@@ -1,0 +1,123 @@
+"""Per-row conform operators, expressed as native Column expressions.
+
+The reference implements these as row-at-a-time Python functions
+(format_date /root/reference/flow/scripts/insert_owid.py:62-69,
+format_location :72-101, format_row :118-145, multi-pattern date
+/root/reference/flow/scripts/parse_insert.py:54-75). Here every one is a
+JVM-side expression so the whole conform stage stays inside whole-stage
+codegen — no Python in the hot path at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def coalesce_candidates(
+    df: DataFrame, mapping: Mapping[str, Sequence[str]]
+) -> DataFrame:
+    """P1 — resolve each logical column from a list of candidate headers.
+
+    The reference scans `columns_allowed` per row and picks the first
+    non-empty cell (/root/reference/flow/scripts/insert_owid.py:35-44,
+    104-115). Spark-first: resolution against ``df.columns`` happens at
+    plan-build time; per-row first-non-empty is ``coalesce(nullif(c,''))``.
+    """
+    out = df
+    for logical, candidates in mapping.items():
+        present = [c for c in candidates if c in df.columns]
+        if not present:
+            out = out.withColumn(logical, F.lit(None).cast("string"))
+        else:
+            out = out.withColumn(
+                logical, F.coalesce(*[F.nullif(F.col(c).cast("string"), F.lit("")) for c in present])
+            )
+    return out
+
+
+# The three dated patterns of /root/reference/flow/scripts/parse_insert.py:54-75
+ISO_WEEK_RE = r"^\d{4}-W\d{1,2}$"
+FR_DATE_RE = r"^\d{2}-\d{2}-\d{4}$"
+ISO_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+
+
+def iso_week_monday(year: Column, week: Column) -> Column:
+    """Monday of ISO week (year, week) via the Jan-4 rule: ISO week 1 always
+    contains Jan 4; its Monday is jan4 - weekday(jan4)."""
+    jan4 = F.make_date(year, F.lit(1), F.lit(4))
+    week1_monday = F.date_sub(jan4, F.weekday(jan4))
+    return F.date_add(week1_monday, (week - F.lit(1)) * F.lit(7))
+
+
+def parse_date_multi(col: Column | str) -> Column:
+    """P2/P3 — multi-pattern date normalize to a (date_start, date_end) struct.
+
+    Patterns (mirroring /root/reference/flow/scripts/parse_insert.py:54-75):
+    ``YYYY-Www`` ISO week → [monday, monday+6]; ``DD-MM-YYYY`` → that day;
+    ``YYYY-MM-DD`` passthrough; '/' pre-cleaned to '-'. Unparseable → null
+    struct (callers drop via F1).
+    """
+    raw = F.regexp_replace(F.trim(_c(col)), "/", "-")
+    year = F.substring(raw, 1, 4).cast("int")
+    week = F.regexp_extract(raw, r"W(\d{1,2})$", 1).cast("int")
+    monday = iso_week_monday(year, week)
+    day = F.when(raw.rlike(ISO_WEEK_RE), monday).otherwise(
+        F.when(raw.rlike(FR_DATE_RE), F.to_date(raw, "dd-MM-yyyy")).otherwise(
+            F.when(raw.rlike(ISO_DATE_RE), F.to_date(raw, "yyyy-MM-dd"))
+        )
+    )
+    end = F.when(raw.rlike(ISO_WEEK_RE), F.date_add(monday, 6)).otherwise(day)
+    return F.struct(day.alias("date_start"), end.alias("date_end"))
+
+
+def iso_week_span(ts: Column | str) -> tuple[Column, Column]:
+    """Week-grain span of a timestamp: (monday, monday+6) — the conformed
+    shape of the reference's ISO-week rows (parse_insert.py:58-64)."""
+    start = F.date_trunc("week", _c(ts)).cast("date")
+    return start, F.date_add(start, 6)
+
+
+def numeric_coerce(col: Column | str, default: int = 0) -> Column:
+    """P6 — ``int(float(x)) if x else default`` exactly
+    (/root/reference/flow/scripts/insert_owid.py:137-141): empty/unparseable
+    → default, else truncate toward zero like Python ``int()``."""
+    d = _c(col).try_cast("double")
+    return F.coalesce(
+        F.when(d.isNotNull(), d.cast("long")), F.lit(default).cast("long")
+    )
+
+
+def ratio_guarded(num: Column | str, den: Column | str, scale: float = 100.0) -> Column:
+    """P7 — ratio with div-by-zero guard → null
+    (/root/reference/flow/scripts/parse_insert.py:121-123)."""
+    n, d = _c(num), _c(den)
+    return F.when(d != 0, n / d * F.lit(scale))
+
+
+def require_fields(df: DataFrame, *cols: str) -> DataFrame:
+    """F1 — keep rows where every required field is non-null
+    (/root/reference/flow/scripts/insert_owid.py:131)."""
+    pred = F.lit(True)
+    for c in cols:
+        pred = pred & F.col(c).isNotNull()
+    return df.filter(pred)
+
+
+def with_provenance(df: DataFrame, source: str | None = None) -> DataFrame:
+    """P12 — carry the source file / crawler name on every row
+    (/root/reference/flow/scripts/insert_owid.py:142)."""
+    col = F.lit(source) if source is not None else F.input_file_name()
+    return df.withColumn("filename", col)
+
+
+def with_uuid(df: DataFrame, name: str = "id") -> DataFrame:
+    """K2 — synthetic per-row document id
+    (/root/reference/flow/scripts/insert_owid.py:153-155)."""
+    return df.withColumn(name, F.expr("uuid()"))

@@ -1,0 +1,147 @@
+"""Text-analysis expressions: tokenize, hash, fingerprint, quality, lang-id.
+
+Replaces the capability the reference delegates to Elasticsearch analyzers
+(/root/reference/flow/scripts/mapping.py:13-16 — `text` fields with
+lowercase+tokenize analysis; /root/reference/flow/scripts/crawl_mapping.py:4)
+with pure JVM-side column expressions — no Python UDFs in the hot path, so
+the whole pipeline stays inside whole-stage codegen at any scale.
+
+Cross-engine determinism: every hash here is built from MD5 (identical bytes
+in Spark, DuckDB, and everything else), so the DuckDB oracle can reproduce
+the exact values. `sql_*` helpers emit the equivalent ANSI SQL from the SAME
+python code path, guaranteeing the two sides can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+HASH_MOD = 1_000_000_007
+# Multi-lingual marker stopwords for the n-gram/lexicon language-ID heuristic
+# (capability X5 — the reference tags `lang` per crawl request,
+# /root/reference/flow/scripts/crawl_google_news.py:68).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "y"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("de5", "shi4", "le5", "zai4"),  # pinyin-romanized placeholders
+}
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercase + split on non-alphanumerics → array<string> of tokens (X1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def sql_tokenize(col_sql: str) -> str:
+    """DuckDB-equivalent of :func:`tokenize`."""
+    return f"regexp_extract_all(lower({col_sql}), '{TOKEN_RE}')"
+
+
+def md5_int_expr(col_sql: str) -> str:
+    """Engine-portable 60-bit integer hash of a string, as a SQL fragment.
+
+    H(s) = int(md5(s)[0:15], 16) — the first 15 hex chars of the md5 digest
+    parsed as an integer. < 16^15 ≈ 1.15e18, safely inside int64. DuckDB
+    parses '0x…' string casts; Spark uses conv(_, 16, 10).
+    """
+    return f"CAST(concat('0x', substr(md5({col_sql}), 1, 15)) AS BIGINT)"
+
+
+def md5_int(col: Column) -> Column:
+    """Spark Column version of :func:`md5_int_expr` (same value)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_perm_params(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) params for minhash permutations h_i = (a*H+b) % P."""
+    return [
+        ((i * 2654435761 + 1) % HASH_MOD | 1, (i * 40503 + 7) % HASH_MOD)
+        for i in range(n_perm)
+    ]
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over the normalized (tokenized) text.
+
+    The canonical form collapses case/punctuation/whitespace, so two
+    documents that differ only in formatting share a fingerprint — the
+    rolling-hash dedup key for the exact-dedup operator.
+    """
+    toks = tokenize(col)
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def sql_fingerprint(col_sql: str) -> str:
+    return f"md5(array_to_string({sql_tokenize(col_sql)}, ' '))"
+
+
+def quality_score(text_col: Column | str) -> dict[str, Column]:
+    """Quality-scoring signals: length, token stats, stopword & punct ratios.
+
+    Returns named Column expressions; callers select the ones they need.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokenize(c)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(
+            F.when(n_tokens > 0, (F.length(F.concat_ws("", toks)).cast("double") / n_tokens)),
+            6,
+        ),
+        "stopword_ratio": F.round(
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens), 6
+        ),
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+    }
+
+
+def token_count_bpe_estimate(text_col: Column | str) -> Column:
+    """BPE-ish token count estimate: regex word/number/punct pieces plus a
+    length correction for long words (a word of n chars ≳ n/6 subword units).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    extra = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.floor(F.length(p) / 6).cast("long"),
+    )
+    return (F.size(pieces).cast("long") + extra).alias("bpe_tokens")
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Lexicon/N-gram language-ID heuristic: count marker-word hits per
+    language, pick the argmax (ties broken by language code order).
+
+    Expressed as a deterministic CASE over hit counts so the DuckDB oracle
+    can reproduce it exactly.
+    """
+    toks = tokenize(text_col)
+
+    def marker_hits(markers):
+        # single-param lambda factory: pyspark passes one arg per declared
+        # param, so defaults-as-closure break higher-order functions
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [
+        (lang, marker_hits(markers)) for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier codes win ties
+    for lang, score in reversed(scores):
+        better = score >= best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))

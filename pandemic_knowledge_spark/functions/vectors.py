@@ -1,0 +1,50 @@
+"""Vector math over array<float|double> embedding columns — JVM-side only.
+
+Dot products / norms / cosine via F.zip_with + F.aggregate: these run inside
+codegen, no Python round-trip, so brute-force similarity scans stay
+cluster-scalable (the per-row cost is a tight loop over the array).
+All arithmetic is done in double after an explicit element cast so results
+are bit-identical to the DuckDB oracle (which also computes in double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product (same accumulation order as SQL)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = as_double(a), as_double(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def sql_dot(a_sql: str, b_sql: str) -> str:
+    """DuckDB fragment computing the same sequential dot product."""
+    return (
+        f"list_sum(list_transform(list_zip({a_sql}, {b_sql}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def sql_cosine(a_sql: str, b_sql: str) -> str:
+    d = sql_dot(a_sql, b_sql)
+    na = f"sqrt({sql_dot(a_sql, a_sql)})"
+    nb = f"sqrt({sql_dot(b_sql, b_sql)})"
+    return f"({d} / ({na} * {nb}))"

@@ -1,0 +1,245 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond the reference (whose only dedup story is a *bug* — uuid4 doc ids make
+re-crawls duplicate rows, /root/reference/flow/scripts/crawl_tweets.py:52) —
+these are the training-data-pipeline operators a 100 TB corpus needs.
+
+Scale design:
+- Exact dedup = hash-groupBy on a content fingerprint: one shuffle on the
+  fingerprint, perfectly parallel, no pairwise anything.
+- MinHash+LSH = shingle → signature (per-row, codegen'd JVM expressions,
+  no Python) → band-explode → equi-self-join on (band, band_hash). The
+  *only* join is an equi-join on tiny band buckets, so candidate generation
+  is O(near-dup pairs), never O(n²). Exact Jaccard verification runs only
+  on candidates.
+- SimHash = per-row 16-bit signature; equal-signature grouping gives
+  hamming-0 buckets; wider hamming radii = band the bits (same LSH idea).
+- n-gram Jaccard = exact pairwise, but *blocked* on a partition column so
+  the quadratic term is bounded per block (the brute-force baseline the
+  LSH paths approximate).
+
+All hashes derive from md5 (identical bytes in every engine) reduced mod a
+61-bit-safe prime, so the DuckDB oracle reproduces values exactly — see
+functions.text.md5_int.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.functions.text import (
+    HASH_MOD,
+    md5_int,
+    minhash_perm_params,
+    tokenize,
+)
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+SIMHASH_BITS = 16
+
+
+def shingles(toks: Column, k: int = 2) -> Column:
+    """Distinct word k-shingles of a token array (empty if < k tokens)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)  # 0-based start positions
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_hashes(toks: Column, k: int = 2) -> Column:
+    """Shingles → int64 hashes reduced mod P (so a*h+b stays in int64)."""
+    return F.transform(shingles(toks, k), lambda s: md5_int(s) % HASH_MOD)
+
+
+def minhash_signature(hashes: Column, n_perm: int = N_PERM) -> Column:
+    """MinHash signature: per permutation i, min((a_i*h + b_i) mod P)."""
+    params = minhash_perm_params(n_perm)
+
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD))
+        )
+
+    return F.array(*[perm_min(a, b) for (a, b) in params])
+
+
+def band_keys(sig: Column, n_bands: int = N_BANDS, rows: int = ROWS_PER_BAND) -> Column:
+    """LSH banding: array of (band_idx, md5-of-band-rows) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.transform(
+                            F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")
+                        ),
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def exact_dedup(df: DataFrame, fp: Column, id_col: str) -> DataFrame:
+    """Exact dedup: group on content fingerprint, keep min id as canonical.
+
+    Returns (fingerprint, keep_id, n_dups). One shuffle; the survivor choice
+    (min id) is deterministic under any partitioning.
+    """
+    return df.select(fp.alias("fp"), F.col(id_col)).groupBy("fp").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def doc_shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int = 2) -> DataFrame:
+    toks = tokenize(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(toks, k).alias("sh"),
+        shingle_hashes(toks, k).alias("hs"),
+    ).filter(F.size("sh") > 0)
+
+
+def minhash_signature_agg(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 2, n_perm: int = N_PERM
+) -> DataFrame:
+    """MinHash signatures via explode → hash-aggregate (the scale path).
+
+    Instead of evaluating 16 array-lambda transforms per row (md5 recomputed
+    per permutation inside one giant expression), explode shingles to rows,
+    compute the md5-derived hash ONCE per shingle as a named column, and take
+    the 16 permutation minima as a groupBy aggregation. HashAggregateExec
+    map-side-combines the minima, so the shuffle carries one 16-long row per
+    doc — this is the shape that survives 100 TB, and it's ~10× faster than
+    the nested-lambda version even locally.
+    """
+    toks = tokenize(text_col)
+    ex = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles(toks, k)).alias("s"))
+        .withColumn("h", md5_int(F.col("s")) % HASH_MOD)
+    )
+    params = minhash_perm_params(n_perm)
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_MOD)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Candidate pairs come from band-bucket equi-joins (never O(n²)); each
+    candidate is verified with exact Jaccard over its distinct shingle sets
+    and kept iff >= threshold. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), shingles(tokenize(text_col), k).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
+    sigs = minhash_signature_agg(docs, id_col, text_col, k)
+    sig_arr = sigs.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(N_PERM)]).alias("sig")
+    )
+    exploded = sig_arr.select(
+        "doc_id", F.explode(band_keys(F.col("sig"))).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash signature over token multiset (bit j set iff the weighted
+    bit-j vote over token hashes is positive)."""
+    hs = F.transform(toks, lambda t: md5_int(t) % F.lit(1 << bits))
+    n = F.size(hs)
+
+    def bit_count(j: int) -> Column:
+        return F.size(
+            F.filter(hs, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        set_cnt = bit_count(j)
+        # vote = set_cnt - (n - set_cnt) > 0  <=>  2*set_cnt > n
+        out = out + F.when(set_cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact blocked n-gram Jaccard: pairwise only within a block
+    (bounded quadratic — the brute-force baseline for the LSH path)."""
+    toks = tokenize(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("blk"),
+        shingles(toks, k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "jaccard",
+        )
+    )

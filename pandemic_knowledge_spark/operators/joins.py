@@ -1,0 +1,153 @@
+"""Join operators: broadcast lookup, multi-key fallback, miss-detection, as-of.
+
+The reference's only joins are in-memory dict probes against a 4,194-row
+lookup table (J1-J4 in SURVEY.md §2.5: build
+/root/reference/flow/scripts/insert_owid.py:255-277, probe
+/root/reference/flow/scripts/insert_owid.py:77-79). Here they become real
+distributed joins: the dict probe is a broadcast hash join, the 3-alternate-
+key dict is an unpivoted dimension with first-wins dedup, the "miss → cache
+→ geocode" loop is a left-anti miss detector, and we add the fact-to-fact
+shapes the reference never needed (shuffle equi-join, as-of, range) because
+a 100 TB engine does.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """J1 — classic broadcast hash join against a small dimension.
+
+    The reference probes a Python dict per row
+    (/root/reference/flow/scripts/insert_owid.py:77-79); broadcasting the dim
+    ships it once per executor and keeps the fact side shuffle-free.
+    """
+    return facts.join(F.broadcast(dim), on=on, how=how)
+
+
+def multikey_lookup_join(
+    facts: DataFrame,
+    probe_key: str,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """J2 — dimension keyed by several alternate columns, first-wins.
+
+    The reference keys its lookup dict by Province_State, Country_Region AND
+    Combined_Key, first writer wins
+    (/root/reference/flow/scripts/insert_owid.py:265-275). Spark-first
+    re-expression: unpivot the dim to (key, payload...) rows with a priority
+    = key-column position, dedup keeping the highest-priority row per key,
+    then a single broadcast equi-join.
+    """
+    melted = None
+    for prio, kc in enumerate(key_cols):
+        part = dim.select(
+            F.col(kc).cast("string").alias("__lookup_key"),
+            F.lit(prio).alias("__prio"),
+            *[F.col(p) for p in payload_cols],
+        ).where(F.col("__lookup_key").isNotNull())
+        melted = part if melted is None else melted.unionByName(part)
+    w = Window.partitionBy("__lookup_key").orderBy("__prio")
+    deduped = (
+        melted.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+    return facts.join(
+        F.broadcast(deduped),
+        facts[probe_key] == deduped["__lookup_key"],
+        how,
+    ).drop("__lookup_key")
+
+
+def anti_join_misses(facts: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
+    """J3 — the "which keys missed the lookup" half of the reference's
+    memoized geocode loop (/root/reference/flow/scripts/insert_owid.py:75-97):
+    distinct unmatched keys via left_anti, ready for offline enrichment and
+    union back into the dimension."""
+    return facts.join(dim, on=on, how="left_anti")
+
+
+def semi_join_hits(facts: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
+    """Semi-join complement of :func:`anti_join_misses`."""
+    return facts.join(dim, on=on, how="left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_payload: Sequence[str],
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row at-or-before
+    (``strict=False``) / strictly-before (``strict=True``) its timestamp,
+    per join key.
+
+    Scalable union-sort implementation — NO pairwise join, NO explosion:
+    tag both sides, union on (key, time), and carry the last non-null right
+    payload forward with a running window. One shuffle on the join key, cost
+    O((|L|+|R|) log) per partition; this is the sort-merge as-of strategy
+    native engines (e.g. kdb, QuestDB, DuckDB ASOF JOIN) use, expressed in
+    DataFrame primitives so Catalyst/AQE still manage partitioning and skew.
+    """
+    keys = list(on)
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__r_{p}") for p in right_payload],
+    )
+    # tie order at equal timestamps: for strict '<' the right row must sort
+    # AFTER the left row (so it is not visible); for '<=' it sorts before.
+    r_tie = 2 if strict else 0
+    r = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(r_tie).alias("__is_left"),
+        *[F.col(p).alias(f"__r_{p}") for p in right_payload],
+    ).select(*l.columns)  # align column order
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("__is_left"),
+        *[
+            F.last(F.col(f"__r_{p}"), ignorenulls=True).over(w).alias(p + "_asof")
+            for p in right_payload
+        ],
+    )
+    return carried.where(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Range/interval join: plain theta-join wrapper. At scale, callers
+    should band the range key (bucketize both sides on coarse intervals,
+    equi-join the bucket, then re-check the precise predicate) — see
+    operators.dedup for the same bucketing idea applied to LSH."""
+    return left.join(right, on=on, how=how)

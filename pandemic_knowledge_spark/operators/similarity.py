@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; IVF (inverted-file) probe
+as the scale path: partition vectors into coarse cells, search only the
+cells nearest the query. At 100 TB the cell assignment is the partition
+key — a probe touches nprobe/ncells of the data and the scan is pruned by
+an equi-filter on the cell id, which Parquet partition pruning serves.
+
+All vector math is JVM-side (F.zip_with/F.aggregate, functions.vectors) —
+sequential fold order matches the DuckDB oracle's list_sum, so scores are
+bit-identical before rounding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.functions.vectors import as_double, cosine
+
+
+def query_vec_col(vec: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def knn_brute_force(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: one pruned column scan + TakeOrderedAndProject
+    (no shuffle of the full table — Spark's top-k is per-partition heaps
+    merged at the driver)."""
+    q = query_vec_col(query)
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def centroids_by_label(emb: DataFrame, vec_col: str, cell_col: str) -> DataFrame:
+    """IVF coarse cells from a partition column: per-cell mean vector.
+
+    posexplode → (cell, pos) mean → re-assemble ordered by pos. Components
+    rounded to 6 dp so downstream cosine is reproducible cross-engine
+    despite double-sum ordering differences.
+    """
+    pos = emb.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "v"),
+    )
+    means = pos.groupBy("cell", "pos").agg(F.round(F.avg("v"), 6).alias("m"))
+    return means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF probe: rank cells by centroid-cosine, scan only the top-nprobe
+    cells, exact cosine inside them. The cell filter is an equi-IN filter →
+    partition pruning on a cell-partitioned layout."""
+    q = query_vec_col(query)
+    cents = centroids_by_label(emb, vec_col, cell_col)
+    top_cells = (
+        cents.select("cell", F.round(cosine(F.col("centroid"), q), 6).alias("cc"))
+        .orderBy(F.desc("cc"), F.col("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    pruned = emb.join(
+        F.broadcast(top_cells), emb[cell_col] == top_cells["cell"], "left_semi"
+    )
+    return knn_brute_force(pruned, vec_col, id_col, query, k)
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on a cell column so
+    the pairwise term is bounded per block (LSH/IVF cells at scale)."""
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("blk"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
+        .withColumn("cos_sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            "cos_sim",
+        )
+    )

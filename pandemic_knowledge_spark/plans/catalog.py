@@ -1,0 +1,1100 @@
+"""The engine's named-query catalog: every operator family from SURVEY.md §2
+as a (Spark plan, DuckDB oracle SQL) pair.
+
+Naming contract: every computed column is aliased to the SAME name in the
+Spark plan and the oracle SQL (the driver sorts columns by name and
+hash-compares values).
+
+Float determinism contract (see operators.aggregates): money/metric sums go
+through integer cents; ratios/scores are rounded (6 dp, BM25 4 dp); corpus
+stats are exact integer sums. This keeps Spark and DuckDB bit-identical
+regardless of partial-aggregation order — which is also what makes results
+reproducible across cluster sizes at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.conform.ops import (
+    iso_week_span,
+    numeric_coerce,
+    ratio_guarded,
+)
+from pandemic_knowledge_spark.functions.text import (
+    HASH_MOD,
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    md5_int_expr,
+    quality_score,
+    sql_fingerprint,
+    sql_tokenize,
+    token_count_bpe_estimate,
+    tokenize,
+)
+from pandemic_knowledge_spark.functions.vectors import cosine, sql_cosine
+from pandemic_knowledge_spark.operators.aggregates import (
+    as_money,
+    cents,
+    cents_sum,
+    sql_cents_sum,
+    terms_topn,
+)
+from pandemic_knowledge_spark.operators.dedup import (
+    N_PERM,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_perm_params,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pandemic_knowledge_spark.operators.joins import (
+    anti_join_misses,
+    asof_join,
+    broadcast_lookup_join,
+    multikey_lookup_join,
+    semi_join_hits,
+)
+from pandemic_knowledge_spark.operators.search import bm25_search, sql_bm25_search
+from pandemic_knowledge_spark.operators.similarity import (
+    ivf_topk,
+    knn_brute_force,
+    near_dup_pairs,
+)
+from pandemic_knowledge_spark.operators.windows import (
+    lag_delta,
+    running_total,
+    topk_per_group,
+)
+from pandemic_knowledge_spark.tables import load
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None = None, bench: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, bench)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+BENCH_QUERY_NAMES: list[str] = []  # filled at the bottom
+
+
+# ---------------------------------------------------------------------------
+# Relational core (reference batch shape: scan→conform→join→agg→sort→limit)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST({sql_cents_sum('l_extendedprice')} AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST({sql_cents_sum('l_extendedprice * (1 - l_discount)', 10000)} AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST({sql_cents_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000)} AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+       CAST({sql_cents_sum('l_extendedprice')} AS DOUBLE) / 100.0 / count(*) AS avg_price,
+       CAST({sql_cents_sum('l_discount')} AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A5 — TPC-H-Q1-shaped metric rollup (the dashboards' 'live totals'
+    capability, /root/reference/README.md:22-24, over the conformed fact)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("2000-12-01").cast("date")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        as_money(cents_sum("l_extendedprice")).alias("sum_base_price"),
+        as_money(cents_sum(disc, 10000), 10000).alias("sum_disc_price"),
+        as_money(cents_sum(charge, 1000000), 1000000).alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast("long")).cast("double") / cnt).alias("avg_qty"),
+        (cents_sum("l_extendedprice").cast("double") / 100.0 / cnt).alias("avg_price"),
+        (cents_sum("l_discount").cast("double") / 100.0 / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST({sql_cents_sum('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS DOUBLE) / 10000.0 AS revenue,
+       CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority
+FROM customer c, orders o, lineitem l
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1998-01-01'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+""",
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi-joins + agg + deterministic top-k (T2 paging shape)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(as_money(cents_sum(disc, 10000), 10000).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_revenue",
+    oracle=f"""
+SELECT n.n_name,
+       CAST({sql_cents_sum('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS DOUBLE) / 10000.0 AS revenue
+FROM region r, nation n, customer c, orders o, lineitem l, supplier s
+WHERE r.r_name = 'ASIA' AND n.n_regionkey = r.r_regionkey
+  AND c.c_nationkey = n.n_nationkey AND o.o_custkey = c.c_custkey
+  AND l.l_orderkey = o.o_orderkey AND l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = c.c_nationkey
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY n.n_name
+""",
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 at scale: broadcast dims (region/nation/supplier) onto the
+    customer⋈orders⋈lineitem fact chain, then grouped revenue."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        as_money(cents_sum(disc, 10000), 10000).alias("revenue")
+    )
+
+
+@q(
+    "dim_broadcast_enrich",
+    oracle="""
+SELECT c.c_custkey, n.n_name, r.r_name
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def dim_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the reference's dict-probe geo enrichment
+    (/root/reference/flow/scripts/insert_owid.py:77-79) as broadcast joins."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    out = broadcast_lookup_join(
+        c, n, c["c_nationkey"] == n["n_nationkey"], "left"
+    )
+    out = broadcast_lookup_join(out, r, out["n_regionkey"] == r["r_regionkey"], "left")
+    return out.select("c_custkey", "n_name", "r_name")
+
+
+@q(
+    "multikey_lookup",
+    oracle="""
+WITH melted AS (
+  SELECT k, prio, n_regionkey FROM (
+    SELECT CAST(n_name AS VARCHAR) AS k, 0 AS prio, n_regionkey FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS VARCHAR) AS k, 1 AS prio, n_regionkey FROM nation
+  ) WHERE k IS NOT NULL
+), dedup AS (
+  SELECT k, n_regionkey FROM (
+    SELECT k, n_regionkey, row_number() OVER (PARTITION BY k ORDER BY prio) AS rn
+    FROM melted
+  ) WHERE rn = 1
+)
+SELECT c.c_custkey, d.n_regionkey AS region_key
+FROM customer c LEFT JOIN dedup d ON CAST(c.c_nationkey AS VARCHAR) = d.k
+""",
+)
+def multikey_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — dimension keyed by alternate columns with first-wins priority
+    (/root/reference/flow/scripts/insert_owid.py:265-275)."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "nk_str", F.col("c_nationkey").cast("string")
+    )
+    n = load(spark, sf_dir, "nation")
+    out = multikey_lookup_join(
+        c,
+        "nk_str",
+        n,
+        key_cols=["n_name", "n_nationkey"],
+        payload_cols=["n_regionkey"],
+    )
+    return out.select("c_custkey", F.col("n_regionkey").alias("region_key"))
+
+
+@q(
+    "anti_join_misses",
+    oracle="""
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def anti_join_misses_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — the 'which keys missed the lookup' half of the reference's
+    memoized geocode loop, as left_anti."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join_misses(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@q(
+    "semi_join_hits",
+    oracle="""
+SELECT c.c_custkey, c.c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def semi_join_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join_hits(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@q(
+    "asof_attribution",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       v.ts AS view_ts, v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks): for each purchase, the
+    latest preceding view by the same user. Union-sort implementation —
+    one shuffle, no pairwise explosion (operators.joins.asof_join)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_payload=["ts", "event_id"],
+        strict=False,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("view_ts"),
+        F.col("event_id_asof").alias("view_event_id"),
+    )
+
+
+@q(
+    "interval_join_shipments",
+    oracle=f"""
+SELECT o.o_orderpriority, count(*) AS n_lines,
+       CAST({sql_cents_sum('l.l_extendedprice', 100)} AS DOUBLE) / 100.0 AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE CAST(l.l_shipdate AS DATE) BETWEEN CAST(o.o_orderdate AS DATE)
+  AND CAST(o.o_orderdate AS DATE) + 90
+GROUP BY o.o_orderpriority
+""",
+)
+def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval (range) join — equi-key plus range predicate, the
+    date_start/date_end span shape of SURVEY.md §1.1."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    sd = F.col("l_shipdate").cast("date")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(sd.between(od, F.date_add(od, 90)))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            as_money(cents_sum("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A6)
+# ---------------------------------------------------------------------------
+
+@q(
+    "agg_daily_orders",
+    oracle=f"""
+SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day_bucket,
+       count(*) AS n_orders,
+       CAST({sql_cents_sum('o_totalprice')} AS DOUBLE) / 100.0 AS total_price
+FROM orders GROUP BY 1
+""",
+)
+def agg_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — date histogram at day grain (Kibana time-series capability)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        as_money(cents_sum("o_totalprice")).alias("total_price"),
+    )
+
+
+@q(
+    "agg_terms_top_events",
+    oracle="""
+SELECT event_type, count(*) AS cnt FROM events
+GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 5
+""",
+)
+def agg_terms_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — terms agg / top-N categories."""
+    return terms_topn(load(spark, sf_dir, "events"), "event_type", 5)
+
+
+@q(
+    "agg_nation_balance",
+    oracle=f"""
+SELECT n.n_name,
+       count(*) AS n_customers,
+       CAST({sql_cents_sum('c.c_acctbal')} AS DOUBLE) / 100.0 AS total_bal,
+       CAST({sql_cents_sum('c.c_acctbal')} AS DOUBLE) / 100.0 / count(*) AS avg_bal,
+       count(DISTINCT c.c_mktsegment) AS n_segments
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def agg_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A5/A6 — grouped metric sums, post-agg ratio, exact distinct."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cnt = F.count(F.lit(1))
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            cnt.alias("n_customers"),
+            as_money(cents_sum("c_acctbal")).alias("total_bal"),
+            (cents_sum("c_acctbal").cast("double") / 100.0 / cnt).alias("avg_bal"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@q(
+    "agg_rollup_region_nation",
+    oracle=f"""
+SELECT r.r_name, n.n_name, count(*) AS n_customers,
+       CAST({sql_cents_sum('c.c_acctbal')} AS DOUBLE) / 100.0 AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → grand total)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        as_money(cents_sum("c_acctbal")).alias("total_bal"),
+    )
+
+
+@q(
+    "agg_cube_status_priority",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST({sql_cents_sum('o_totalprice')} AS DOUBLE) / 100.0 AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        as_money(cents_sum("o_totalprice")).alias("total_price"),
+    )
+
+
+@q("agg_approx_distinct_users")  # approx sketch differs per engine → rows-only check
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — HLL++ approx distinct (the ES cardinality agg idiom). No oracle:
+    sketch estimates are engine-specific by design."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.11)
+# ---------------------------------------------------------------------------
+
+@q(
+    "window_running_revenue",
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+       AS running_revenue
+FROM orders
+""",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals — the '3-weeks live' cumulative dashboard capability
+    (/root/reference/README.md:26-27)."""
+    o = load(spark, sf_dir, "orders")
+    out = running_total(
+        o,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        value=cents("o_totalprice"),
+        out="rt_cents",
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", as_money(F.col("rt_cents")).alias("running_revenue")
+    )
+
+
+@q(
+    "window_topk_orders_per_cust",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked top-k per group (paged top-k capability T2)."""
+    o = load(spark, sf_dir, "orders")
+    out = topk_per_group(
+        o,
+        partition_by=["o_custkey"],
+        order_by=[F.desc("o_totalprice"), F.col("o_orderkey")],
+        k=3,
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+@q(
+    "window_lag_delta",
+    oracle="""
+SELECT event_id, user_id, value,
+       CAST(CAST(round(value * 100, 0) AS BIGINT)
+            - lag(CAST(round(value * 100, 0) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) / 100.0
+       AS delta_value
+FROM events
+""",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead delta per user over event time."""
+    ev = load(spark, sf_dir, "events").withColumn("v_cents", cents("value"))
+    out = lag_delta(
+        ev, partition_by=["user_id"], order_by=["ts", "event_id"], value="v_cents",
+        out="d_cents",
+    )
+    return out.select(
+        "event_id", "user_id", "value", as_money(F.col("d_cents")).alias("delta_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.8)
+# ---------------------------------------------------------------------------
+
+@q(
+    "setop_nations_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+)
+def setop_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q(
+    "setop_nations_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""",
+)
+def setop_nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@q(
+    "union_feed",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS id, 'doc' AS kind, text AS content, lang
+FROM documents
+UNION ALL
+SELECT event_id, 'event' AS kind, event_type AS content, NULL AS lang
+FROM events
+""",
+)
+def union_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-pattern union (`news_*`): two doc shapes unified by name with
+    missing-column fill (/root/reference/news_app/app/app/src/SearchUI.js:6)."""
+    from pandemic_knowledge_spark.operators.setops import union_indices
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.lit("doc").alias("kind"),
+        F.col("text").alias("content"),
+        "lang",
+    )
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.lit("event").alias("kind"),
+        F.col("event_type").alias("content"),
+    )
+    return union_indices(d, e)
+
+
+# ---------------------------------------------------------------------------
+# Conform operators over testdata (P-series demos; full CSV paths in tests/)
+# ---------------------------------------------------------------------------
+
+@q(
+    "conform_json_coerce",
+    oracle="""
+SELECT event_id,
+       coalesce(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT), 0) AS k,
+       CASE WHEN coalesce(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT), 0) <> 0
+            THEN round(value / coalesce(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT), 0) * 100.0, 6)
+       END AS pct
+FROM events
+""",
+)
+def conform_json_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 + P7 — numeric coercion with default ('' → 0, truncate-toward-zero
+    like Python int()) and div-by-zero-guarded ratio, over a semi-structured
+    props column (the dynamic-mapping shape of §1.3)."""
+    ev = load(spark, sf_dir, "events")
+    k = numeric_coerce(F.get_json_object("props", "$.k"))
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.round(ratio_guarded(F.col("value"), k), 6).alias("pct"),
+    )
+
+
+@q(
+    "conform_week_histogram",
+    oracle="""
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       CAST(date_trunc('week', ts) AS DATE) + 6 AS week_end,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+)
+def conform_week_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — ISO-week span conform (the reference's YYYY-Www → 7-day range,
+    /root/reference/flow/scripts/parse_insert.py:58-64) + weekly histogram."""
+    ev = load(spark, sf_dir, "events")
+    start, end = iso_week_span("ts")
+    return ev.groupBy(start.alias("week_start"), end.alias("week_end")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (documents)
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact_docs",
+    oracle=f"""
+SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM (SELECT doc_id, {sql_fingerprint('text')} AS fp FROM documents)
+GROUP BY fp
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (md5 of normalized tokens):
+    one hash-shuffle, deterministic min-id survivor."""
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d, fingerprint("text"), "doc_id")
+
+
+def _sql_minhash_sig() -> str:
+    parts = []
+    for a, b in minhash_perm_params(N_PERM):
+        parts.append(f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {HASH_MOD}))")
+    return "[" + ", ".join(parts) + "]"
+
+
+_MINHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM toks WHERE len(t) >= 2
+), hs AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {md5_int_expr('s')} % {HASH_MOD}) AS hs
+  FROM sh WHERE len(sh) > 0
+), sig AS (
+  SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM hs
+), bands AS (
+  SELECT doc_id, band, md5(array_to_string(sig[band*4+1:band*4+4], '-')) AS bkey
+  FROM sig, (SELECT unnest([0,1,2,3]) AS band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5
+"""
+
+
+@q("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (16 perms, 4 bands), exact-Jaccard
+    verified at τ=0.5 over distinct 2-shingles."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", k=2, threshold=0.5)
+
+
+def _sql_simhash() -> str:
+    hs = f"list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> {md5_int_expr('t')} % 65536)"
+    bits = []
+    for j in range(16):
+        cnt = f"len(list_filter(hs, h -> ((h >> {j}) & 1) = 1))"
+        bits.append(f"CASE WHEN 2 * {cnt} > len(hs) THEN {1 << j} ELSE 0 END")
+    return f"""
+SELECT doc_id, CAST({' + '.join(bits)} AS BIGINT) AS simhash16
+FROM (SELECT doc_id, {hs} AS hs FROM documents)
+"""
+
+
+@q("dedup_simhash_docs", oracle=_sql_simhash())
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (16-bit) over the token multiset; equal signatures
+    = hamming-0 dup buckets, bit-bands widen the radius at scale."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(tokenize("text")).alias("simhash16"))
+
+
+_NGRAM_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
+  WHERE len(t) >= 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+"""
+
+
+@q("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked n-gram Jaccard (brute-force baseline for the LSH path),
+    blocked on lang so the quadratic term is bounded per block."""
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", "lang", k=2, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+# Deterministic 64-dim query vector; exact decimal literals on both engines.
+QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_QLIT = "[" + ", ".join(repr(x) for x in QUERY_VEC) + "]"
+
+
+@q(
+    "knn_cosine_topk",
+    oracle=f"""
+SELECT vec_id, round({sql_cosine('embedding', _QLIT)}, 6) AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+    bench=True,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — exact ANN baseline; per-partition heaps +
+    driver merge, no full shuffle."""
+    e = load(spark, sf_dir, "embeddings")
+    return knn_brute_force(e, "embedding", "vec_id", QUERY_VEC, k=10)
+
+
+@q(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH pos AS (
+  SELECT label AS cell, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), cent AS (
+  SELECT cell, pos, round(avg(v), 6) AS m FROM pos GROUP BY cell, pos
+), cvec AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+), top_cells AS (
+  SELECT cell FROM cvec
+  ORDER BY round({sql_cosine('centroid', _QLIT)}, 6) DESC, cell LIMIT 2
+)
+SELECT vec_id, round({sql_cosine('embedding', _QLIT)}, 6) AS cos_sim
+FROM embeddings WHERE label IN (SELECT cell FROM top_cells)
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the 2 nearest coarse cells (label = cell id),
+    exact cosine inside. At scale the cell id is the partition key →
+    partition-pruned scans."""
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(e, "embedding", "vec_id", "label", QUERY_VEC, k=10, nprobe=2)
+
+
+@q(
+    "emb_near_dup_pairs",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.25
+""",
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on the cell column."""
+    e = load(spark, sf_dir, "embeddings")
+    return near_dup_pairs(e, "embedding", "vec_id", "label", threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis + search (documents)
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_TEXT_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {sql_tokenize('text')} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) END, 6)
+         AS avg_token_len,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE) / len(toks) END, 6)
+         AS stopword_ratio,
+       round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            + coalesce(list_sum(list_transform(
+                regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                p -> CAST(floor(length(p) / 6) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens,
+       {sql_fingerprint('text')} AS fp
+FROM t
+"""
+
+
+@q("text_stats", oracle=_TEXT_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting + fingerprint — all JVM expressions."""
+    d = load(spark, sf_dir, "documents")
+    qs = quality_score("text")
+    return d.select(
+        "doc_id",
+        qs["n_chars"].alias("n_chars"),
+        qs["n_tokens"].alias("n_tokens"),
+        qs["avg_token_len"].alias("avg_token_len"),
+        qs["stopword_ratio"].alias("stopword_ratio"),
+        qs["punct_ratio"].alias("punct_ratio"),
+        token_count_bpe_estimate("text").alias("bpe_tokens"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def _sql_lang_id() -> str:
+    scores = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    gr = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score} = {gr} THEN '{lang}'" for lang, score in scores.items()
+    )
+    return f"""
+SELECT doc_id, lang, CASE WHEN {gr} = 0 THEN 'und' {whens} END AS lang_pred
+FROM (SELECT doc_id, lang, {sql_tokenize('text')} AS toks FROM documents)
+"""
+
+
+@q("text_lang_id", oracle=_sql_lang_id())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon language-ID heuristic (X5) vs the declared lang column."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+_BM25_QUERY = "spark join stream window"
+
+
+@q(
+    "text_search_bm25",
+    oracle=sql_bm25_search("documents", "doc_id", "text", _BM25_QUERY, 10),
+    bench=True,
+)
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — relevance-ranked search (ES multi_match capability) as BM25."""
+    d = load(spark, sf_dir, "documents")
+    return bm25_search(d, "doc_id", "text", _BM25_QUERY, k=10)
+
+
+@q(
+    "text_search_overlap",
+    oracle=f"""
+SELECT doc_id, lang, source FROM documents
+WHERE len(list_intersect({sql_tokenize('text')}, ['spark', 'stream'])) > 0
+""",
+)
+def text_search_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — unranked full-text match (token-overlap predicate)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(
+        F.arrays_overlap(tokenize("text"), F.array(F.lit("spark"), F.lit("stream")))
+    ).select("doc_id", "lang", "source")
+
+
+@q(
+    "latest_feed_page",
+    oracle="""
+SELECT event_id, ts, event_type, value FROM events
+ORDER BY ts DESC, event_id LIMIT 8
+""",
+)
+def latest_feed_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 — 'Latest news' panel: sort by time desc, page of 8."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), "event_id")
+        .limit(8)
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantics, batch-checkable (W1/W2 + §2.10); live tests in tests/
+# ---------------------------------------------------------------------------
+
+@q(
+    "stream_tumbling_hourly",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       count(*) AS n_events,
+       CAST({sql_cents_sum('value')} AS DOUBLE) / 100.0 AS total_value
+FROM events GROUP BY 1, 2
+""",
+    bench=True,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — tumbling event-time window (same F.window plan runs under
+    readStream+watermark; see streaming.jobs)."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return ev.groupBy(w).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        as_money(cents_sum("value")).alias("total_value"),
+    ).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@q(
+    "stream_sliding_1h30m",
+    oracle="""
+WITH w AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)) AS s30, *
+  FROM events
+), e AS (
+  SELECT s30 AS window_start, * FROM w
+  UNION ALL
+  SELECT s30 - INTERVAL 30 MINUTE AS window_start, * FROM w
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, count(*) AS n_events
+FROM e GROUP BY window_start
+""",
+)
+def stream_sliding_1h30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide): each event lands in 2 windows."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return ev.groupBy(w).agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_events",
+    )
+
+
+@q(
+    "stream_session_5m",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 5 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def stream_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user — Spark session_window; the
+    oracle reproduces the merge with gaps-and-islands SQL."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "stream_dedup_first",
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — keyed dedup keeping the earliest row (deterministic version of
+    streaming dropDuplicates; fixes the reference's uuid4 re-crawl dup bug,
+    /root/reference/flow/scripts/crawl_tweets.py:52)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+BENCH_QUERY_NAMES.extend(
+    name for name, spec in REGISTRY.items() if spec.bench
+)

@@ -1,0 +1,67 @@
+"""SparkSession builder tuned for both local testing and cluster scale.
+
+The reference has no engine configuration at all (single-threaded CPython,
+/root/reference/flow/scripts/insert_owid.py:177); everything here is the
+Spark-native replacement: AQE for runtime re-planning, explicit broadcast
+threshold for dimension joins, UTC session time zone so timestamp semantics
+are deterministic and match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "pandemic-knowledge-spark",
+    master: str | None = None,
+    shuffle_partitions: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with scale-aware defaults.
+
+    Local master defaults to ``local[$SPARK_GRAFT_CPUS]``; on a real cluster
+    the caller passes its own master / lets spark-submit decide. All settings
+    below are cluster-safe: AQE handles skew + partition coalescing at any
+    scale, and the broadcast threshold covers every dimension table this
+    engine joins (the reference's largest dim is 4,194 rows —
+    /root/reference/flow/scripts/UID_ISO_FIPS_LookUp_Table.csv).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime re-planning: partition coalescing, skew-join splitting,
+        # dynamic broadcast conversion — essential at 100 TB, harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or os.environ.get("PK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Dim tables (nation/region/supplier/lookup CSVs) are tiny; make sure
+        # they broadcast rather than shuffle the fact side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Deterministic timestamp semantics, matching the DuckDB oracle
+        # (naive timestamps) and avoiding host-TZ drift in date_trunc/window.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas_udf / mapInPandas / toPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet scans: vectorized reader on, sane split sizes for local[32];
+        # on a real cluster these come from the site config.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The testdata's events.ts is TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; read as long nanos and convert in tables.load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
