@@ -1,0 +1,130 @@
+"""Streaming sinks: atomic versioned overwrite + append (SURVEY.md §2.10 W3).
+
+The reference's refresh is delete-index-then-reload, and its own README
+flags the non-atomicity — dashboards read an empty index mid-refresh
+(/root/reference/flow/scripts/insert_owid.py:239-241,
+/root/reference/README.md:226-227). The fix here is the standard
+versioned-directory swap: each refresh writes a brand-new
+``_v=<epoch>/`` directory under the table root, then atomically repoints a
+one-line ``_CURRENT`` manifest via rename. Readers resolve ``_CURRENT``
+first, so they always see a complete version — never a partial or empty
+table. Works on any filesystem with atomic rename (local, HDFS; on S3 the
+manifest PUT is itself atomic).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class AtomicTable:
+    """A parquet table addressed through a ``_CURRENT`` version manifest.
+
+    Layout::
+
+        root/
+          _CURRENT          <- contains "v-000042-<uuid>"
+          v-000041-.../     <- previous version (kept for in-flight readers)
+          v-000042-.../     <- current version
+
+    ``overwrite`` is the W3 atomic full-refresh; ``read`` resolves the
+    manifest then scans only that version directory.
+    """
+
+    def __init__(self, root: str, keep_versions: int = 2) -> None:
+        self.root = root
+        self.keep_versions = keep_versions
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def current_version(self) -> str | None:
+        try:
+            with open(self._manifest) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _versions(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if d.startswith("v-") and os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def overwrite(self, df: DataFrame) -> str:
+        """Write df as a new version, then atomically repoint _CURRENT."""
+        seq = len(self._versions())
+        version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("errorifexists").parquet(os.path.join(self.root, version))
+        tmp = self._manifest + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._manifest)  # atomic on POSIX
+        self._gc(keep=version)
+        return version
+
+    def _gc(self, keep: str) -> None:
+        """Drop all but the newest ``keep_versions`` directories (never the
+        one just published)."""
+        import shutil
+
+        versions = [v for v in self._versions() if v != keep]
+        for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
+            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no published version under {self.root}")
+        return spark.read.parquet(os.path.join(self.root, version))
+
+
+def atomic_overwrite_sink(
+    stream_df: DataFrame,
+    table: AtomicTable,
+    checkpoint: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """W3 — full-refresh-per-micro-batch through the atomic swap.
+
+    ``foreachBatch`` gives exactly-once-per-batch semantics for the publish:
+    a failed batch leaves _CURRENT untouched, a retried batch publishes a
+    fresh version. This is the streaming form of the reference's
+    delete+reload (K3) with the race removed. ``processing_time`` is the
+    reference's 24h IntervalSchedule knob
+    (/root/reference/flow/scripts/insert_owid.py:282-284).
+    """
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        table.overwrite(batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_publish)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def append_parquet_sink(
+    stream_df: DataFrame, path: str, checkpoint: str, **start_kwargs
+):
+    """K1 streaming form — append micro-batches to a parquet table with
+    checkpointed exactly-once file commits (Spark's file-sink log replaces
+    the reference's hand-rolled 1,000-row flush buffer,
+    /root/reference/flow/scripts/insert_owid.py:148-156)."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start(**start_kwargs)
+    )

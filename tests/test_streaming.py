@@ -1,0 +1,151 @@
+"""Streaming tests (SURVEY.md §5 item 5): micro-batch file source, watermark
+windows, dedup-on-key, and the atomic-swap regression test for the
+reference's documented non-atomic refresh (/root/reference/README.md:226-227).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark import tables
+from pandemic_knowledge_spark.streaming import (
+    AtomicTable,
+    atomic_overwrite_sink,
+    dedup_within_watermark,
+    file_stream,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return tables.load(spark, sf_dir, "events").cache()
+
+
+@pytest.fixture()
+def landing(tmp_path, events_batch):
+    """A landing dir with events split across two 'drops' (two micro-batch
+    units for maxFilesPerTrigger=1)."""
+    p = str(tmp_path / "landing")
+    events_batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(p)
+    events_batch.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(p)
+    return p
+
+
+def _run_available_now(sdf, tmp_path, name):
+    out = str(tmp_path / f"{name}_out")
+    cp = str(tmp_path / f"{name}_cp")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out
+
+
+def test_file_stream_matches_batch(spark, events_batch, landing, tmp_path):
+    """W1: streaming read of the landing dir sees exactly the batch rows."""
+    sdf = file_stream(spark, landing, events_batch.schema, max_files_per_trigger=1)
+    assert sdf.isStreaming
+    out = _run_available_now(sdf, tmp_path, "passthrough")
+    got = spark.read.parquet(out)
+    assert got.count() == events_batch.count()
+    assert got.agg(F.sum("event_id")).first()[0] == events_batch.agg(F.sum("event_id")).first()[0]
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_batch, landing, tmp_path):
+    """W1: watermarked tumbling agg over the stream == same transform on the
+    batch frame (one definition, two modes)."""
+    sdf = file_stream(spark, landing, events_batch.schema)
+    streamed = tumbling_window_agg(sdf, width="1 hour", watermark="2 hours")
+    out_path = str(tmp_path / "win_out")
+    cp = str(tmp_path / "win_cp")
+    q = (
+        streamed.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out_path)
+        .select("window_start", "n_events", "sum_value")
+        .orderBy("window_start")
+        .collect()
+    )
+    want = (
+        tumbling_window_agg(events_batch, width="1 hour")
+        .select("window_start", "n_events", "sum_value")
+        .orderBy("window_start")
+        .collect()
+    )
+    # availableNow + watermark: windows not yet passed by the final watermark
+    # (the last ~2h of event time) stay in state and are not emitted in
+    # append mode — so streamed is a strict prefix of the batch result.
+    assert 0 < len(got) <= len(want)
+    assert len(got) >= len(want) - 4
+    for g, w in zip(got, want):
+        assert g.window_start == w.window_start
+        assert g.n_events == w.n_events
+        assert abs(g.sum_value - w.sum_value) < 1e-6
+
+
+def test_dedup_within_watermark_stream(spark, events_batch, tmp_path):
+    """W2: re-ingesting the same drop twice (the reference's daily-overlap
+    bug, crawl_tweets.py:52,60) yields each event exactly once."""
+    p = str(tmp_path / "dup_landing")
+    one = events_batch.limit(500).coalesce(1)
+    one.write.parquet(p)
+    one.write.mode("append").parquet(p)  # the re-crawl
+
+    sdf = file_stream(spark, p, events_batch.schema, max_files_per_trigger=1)
+    deduped = dedup_within_watermark(sdf, ["event_id"], ts_col="ts", watermark="365 days")
+    out = _run_available_now(deduped, tmp_path, "dedup")
+    got = spark.read.parquet(out)
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
+
+
+def test_dedup_batch_mode(events_batch):
+    """W2 batch form: same function, plain dropDuplicates semantics."""
+    doubled = events_batch.unionAll(events_batch)
+    assert dedup_within_watermark(doubled, ["event_id"]).count() == events_batch.count()
+
+
+def test_atomic_swap_never_exposes_empty(spark, events_batch, tmp_path):
+    """W3 regression: across repeated full refreshes, a reader always sees a
+    complete published version — the reference's delete-then-reload window
+    where readers see nothing (README.md:226-227) cannot happen."""
+    t = AtomicTable(str(tmp_path / "atomic"))
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)  # nothing published yet is an explicit error, not empty
+
+    n = events_batch.count()
+    for _ in range(3):
+        t.overwrite(events_batch)
+        assert t.read(spark).count() == n  # complete after every publish
+
+    # GC keeps the table bounded but current version always resolves.
+    versions = [d for d in os.listdir(t.root) if d.startswith("v-")]
+    assert len(versions) <= 2
+    assert t.current_version() in versions
+
+
+def test_atomic_overwrite_sink_stream(spark, events_batch, landing, tmp_path):
+    """W3 via foreachBatch: every micro-batch publishes a complete version."""
+    t = AtomicTable(str(tmp_path / "sink_table"))
+    sdf = file_stream(spark, landing, events_batch.schema)
+    q = atomic_overwrite_sink(
+        sdf, t, checkpoint=str(tmp_path / "sink_cp"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert t.read(spark).count() > 0
