@@ -1,0 +1,159 @@
+"""S5/S6 — crawler adapters as bounded sources over the conformed news schema.
+
+The reference crawls Google News per (lang × tag) and scrapes tweets with a
+1,000-row cap and 1-day lookback (/root/reference/flow/scripts/
+crawl_google_news.py:73-105, crawl_tweets.py:58-86), indexing into the
+news mapping (/root/reference/flow/scripts/crawl_mapping.py:1-24). The
+external libraries (GoogleNews, snscrape) are network-bound and not part of
+an analytics engine, so the adapter takes an injectable ``fetch`` callable
+returning plain dicts; deterministic fakes stand in for tests/offline runs.
+The Spark side — explicit nested schema, cap via ``limit``, window predicate,
+URL dedup (fixing the reference's uuid4 duplicate bug, crawl_tweets.py:52)
+— is real and is what matters at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterable, Sequence
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Conformed news shape — crawl_mapping.py:1-24 as a nested StructType.
+NEWS_SCHEMA = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("date", TimestampType()),
+        StructField("lang", StringType()),
+        StructField(
+            "source",
+            StructType(
+                [
+                    StructField("crawler", StringType()),
+                    StructField("website", StringType()),
+                    StructField("author", StringType()),
+                    StructField("url", StringType()),
+                    StructField(
+                        "tweet", StructType([StructField("id", StringType())])
+                    ),
+                ]
+            ),
+        ),
+    ]
+)
+
+FetchFn = Callable[[str, str], Iterable[dict]]
+
+
+def _det_ts(seed: str, base: datetime) -> datetime:
+    h = int(hashlib.sha256(seed.encode()).hexdigest()[:8], 16)
+    return base - timedelta(minutes=h % (24 * 60))
+
+
+def fake_google_news(lang: str, tag: str) -> list[dict]:
+    """Deterministic offline stand-in for the GoogleNews client (S5)."""
+    base = datetime(2024, 1, 2)
+    out = []
+    for i in range(25):
+        seed = f"{lang}-{tag}-{i}"
+        out.append(
+            {
+                "title": f"[{lang}] {tag} headline {i}",
+                "description": f"story {i} about {tag}",
+                "date": _det_ts(seed, base),
+                "lang": lang,
+                "source": {
+                    "crawler": "google_news",
+                    "website": f"news-{i % 5}.example",
+                    "author": None,
+                    # i%20 over 25 items → repeated URLs within one sweep,
+                    # like a story resurfacing across result pages.
+                    "url": f"https://news-{i % 5}.example/{lang}/{tag.lower()}/{i % 20}",
+                    "tweet": None,
+                },
+            }
+        )
+    return out
+
+
+def fake_tweets(lang: str, tag: str) -> list[dict]:
+    """Deterministic offline stand-in for the tweet scraper (S6) — includes
+    duplicate URLs across calls, like the reference's overlapping re-crawl."""
+    base = datetime(2024, 1, 2)
+    out = []
+    for i in range(1500):  # above the 1,000 cap on purpose
+        seed = f"tw-{lang}-{tag}-{i}"
+        out.append(
+            {
+                "title": f"Tweet from user{i % 400}: {tag} #{i % 700}",
+                "description": None,
+                "date": _det_ts(seed, base),
+                "lang": lang,
+                "source": {
+                    "crawler": "twitter",
+                    "website": "twitter.com",
+                    "author": f"user{i % 400}",
+                    "url": f"https://twitter.com/user{(i % 700) % 400}/status/{i % 700}",
+                    "tweet": {"id": str(i % 700)},
+                },
+            }
+        )
+    return out
+
+
+def _records_df(
+    spark: SparkSession, fetch: FetchFn, params: Sequence[tuple[str, str]]
+) -> DataFrame:
+    rows: list[dict] = []
+    for lang, tag in params:  # lang×tag loop, crawl_google_news.py:91-105
+        rows.extend(fetch(lang, tag))
+    return spark.createDataFrame(rows, schema=NEWS_SCHEMA)
+
+
+def news_source(
+    spark: SparkSession,
+    fetch: FetchFn = fake_google_news,
+    langs: Sequence[str] = ("fr", "en"),
+    tags: Sequence[str] = ("COVID", "CORONA"),
+    lookback: str | None = "1 day",
+) -> DataFrame:
+    """S5 — Google-News-shaped bounded source: lang×tag sweep, 24h window,
+    URL-deduped, uuid doc ids (K2)."""
+    df = _records_df(spark, fetch, [(l, t) for l in langs for t in tags])
+    if lookback is not None:
+        # period="24h" (crawl_google_news.py:86-89) relative to the feed max.
+        mx = df.agg(F.max("date")).first()[0]
+        if mx is not None:
+            df = df.filter(F.col("date") >= F.lit(mx) - F.expr(f"INTERVAL {lookback}"))
+    return _dedup_by_url(df).withColumn("id", F.expr("uuid()"))
+
+
+def tweet_source(
+    spark: SparkSession,
+    fetch: FetchFn = fake_tweets,
+    lang: str = "en",
+    tag: str = "covid",
+    cap: int = 1000,
+) -> DataFrame:
+    """S6 — tweet-shaped bounded source: single query, hard cap (the
+    reference's tweet_limit=1000, crawl_tweets.py:19,66-67), URL-deduped."""
+    df = _records_df(spark, fetch, [(lang, tag)])
+    return _dedup_by_url(df.limit(cap)).withColumn("id", F.expr("uuid()"))
+
+
+def _dedup_by_url(df: DataFrame) -> DataFrame:
+    # dropDuplicates needs a top-level column; materialize the nested key.
+    return (
+        df.withColumn("_url", F.col("source.url"))
+        .dropDuplicates(["_url"])
+        .drop("_url")
+    )

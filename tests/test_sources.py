@@ -1,0 +1,218 @@
+"""Ingest-frontend tests (SURVEY.md §5 item 2): dialect variants, candidate
+header permutations, dirty rows, malformed-file rejection, per-file
+isolation, crawler adapters, HTTP fetch via file:// — each asserting the
+exact drop/default semantics of the reference (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import datetime
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.sources import (
+    MalformedFileError,
+    build_location_dim,
+    fetch_to_local,
+    ingest_isolated,
+    ingest_owid,
+    ingest_weekly_multisource,
+    news_source,
+    read_csv_sniffed,
+    sniff_dialect,
+    tweet_source,
+)
+from pandemic_knowledge_spark.sources.lookup import unmatched_locations
+from pandemic_knowledge_spark.sources.resolve import require_resolvable
+from pandemic_knowledge_spark.sources.pipelines import (
+    OWID_COLUMNS,
+    OWID_REQUIRED,
+)
+
+OWID_CSV = """date,location,new_cases,new_deaths,new_vaccinations,new_tests
+2021-03-01,France,12.0,1,,"5"
+2021-03-02,France,7,,,
+2021-03-02,Atlantis,3,0,0,0
+,France,9,0,0,0
+2021-03-03,France,,0,0,0
+2021-03-04,Germany,5,2,100,
+"""
+
+# Semicolon dialect, like the France sources (FIXTURES.md §2).
+OWID_SEMI_CSV = """date;location;new_cases;new_deaths;new_vaccinations;new_tests
+2021-03-05;France;4;0;;
+"""
+
+LOOKUP_CSV = """UID,iso2,iso3,code3,FIPS,Admin2,Province_State,Country_Region,Lat,Long_,Combined_Key,Population
+250,FR,FRA,250,,,,France,46.2276,2.2137,France,65273512
+276,DE,DEU,276,,,,Germany,51.1657,10.4515,Germany,83783945
+840,US,USA,840,,,New York,US,43.0,-75.0,"New York, US",19453561
+"""
+
+WEEKLY_CSV = """YearWeekISO,ReportingCountry,NumberDosesReceived
+2021-W07,FR,1000
+2021-W08,DE,500
+"""
+
+BAD_HEADERS_CSV = """when,where,how_many
+2021-03-01,France,12
+"""
+
+
+def _write(tmp_path: pathlib.Path, name: str, text: str) -> str:
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+@pytest.fixture()
+def lookup_dim(spark, tmp_path):
+    return build_location_dim(spark, _write(tmp_path, "lookup.csv", LOOKUP_CSV)).cache()
+
+
+def test_sniff_dialect(tmp_path):
+    assert sniff_dialect(_write(tmp_path, "a.csv", OWID_CSV))["sep"] == ","
+    assert sniff_dialect(_write(tmp_path, "b.csv", OWID_SEMI_CSV))["sep"] == ";"
+
+
+def test_read_csv_sniffed_mixed_dialects(spark, tmp_path):
+    """S3: one logical read over files with different delimiters."""
+    paths = [
+        _write(tmp_path, "comma.csv", OWID_CSV),
+        _write(tmp_path, "semi.csv", OWID_SEMI_CSV),
+    ]
+    df = read_csv_sniffed(spark, paths)
+    assert df.count() == 7
+    assert set(OWID_COLUMNS["date"] + ["_source_file"]).issubset(df.columns)
+    # provenance distinguishes the two files (P12)
+    assert df.select("_source_file").distinct().count() == 2
+
+
+def test_require_resolvable_rejects_malformed():
+    """F3: whole-file rejection when required headers are unresolvable
+    (parse_insert.py:168-185)."""
+    with pytest.raises(MalformedFileError) as ei:
+        require_resolvable(["when", "where"], OWID_COLUMNS, OWID_REQUIRED, "x.csv")
+    assert set(ei.value.missing) == {"date", "location_name", "confirmed"}
+
+
+def test_ingest_isolated_continues_past_bad_file(spark, tmp_path):
+    """F4: one bad file doesn't kill the run (insert_owid.py:217-228)."""
+    good_p = _write(tmp_path, "good.csv", OWID_CSV)
+    bad_p = _write(tmp_path, "bad.csv", BAD_HEADERS_CSV)
+
+    def load_one(p: str):
+        df = read_csv_sniffed(spark, [p])
+        require_resolvable(df.columns, OWID_COLUMNS, OWID_REQUIRED, p)
+        return df
+
+    got, errors = ingest_isolated([good_p, bad_p], load_one)
+    assert got is not None and got.count() == 6
+    assert len(errors) == 1 and errors[0][0] == bad_p
+    assert isinstance(errors[0][1], MalformedFileError)
+
+
+def test_ingest_owid_semantics(spark, tmp_path, lookup_dim):
+    """The flagship flow end-to-end on dirty rows (FIXTURES.md dirty cases):
+    missing date → dropped (F1); empty new_cases → dropped (required);
+    unknown location → dropped (geo miss, insert_owid.py:97-100); empty
+    optional metrics → 0 (P6)."""
+    paths = [
+        _write(tmp_path, "owid.csv", OWID_CSV),
+        _write(tmp_path, "owid_semi.csv", OWID_SEMI_CSV),
+    ]
+    out = ingest_owid(spark, paths, lookup_dim).cache()
+    rows = {(r.date_start.isoformat(), r.location_name): r for r in out.collect()}
+
+    # 7 raw rows: -1 null date, -1 empty new_cases, -1 Atlantis (no geo) = 4
+    assert len(rows) == 4
+    r = rows[("2021-03-01", "France")]
+    assert (r.confirmed, r.deaths, r.vaccinated, r.tested) == (12, 1, 0, 5)
+    assert r.iso_code2 == "FR" and abs(r.geo.lat - 46.2276) < 1e-6
+    assert r.date_start == r.date_end == datetime.date(2021, 3, 1)
+    assert r.filename.endswith("owid.csv") and r.id is not None
+    assert ("2021-03-05", "France") in rows  # semicolon file made it in
+
+    # J3 miss-detection: Atlantis is the one unmatched name.
+    misses = unmatched_locations(
+        spark.createDataFrame([("Atlantis",), ("France",)], ["location_name"]),
+        lookup_dim,
+    )
+    assert [r.location_name for r in misses.collect()] == ["Atlantis"]
+
+
+def test_ingest_weekly_iso_week_span(spark, tmp_path, lookup_dim):
+    """P3: ISO week rows expand to [monday, monday+6]; P7 ratio guarded;
+    P8 bucket routing to vaccinated."""
+    out = ingest_weekly_multisource(
+        spark,
+        [_write(tmp_path, "weekly.csv", WEEKLY_CSV)],
+        lookup_dim.withColumn("location_name", F.col("iso_code2")),
+        bucket="vaccination",
+    ).cache()
+    rows = {r.location_name: r for r in out.collect()}
+    fr = rows["FR"]
+    assert fr.date_start == datetime.date(2021, 2, 15)  # 2021-W07 Monday
+    assert fr.date_end == datetime.date(2021, 2, 21)
+    assert fr.vaccinated == 1000 and fr.confirmed == 0
+    assert fr.percentage == pytest.approx(1000 / 65273512 * 100)
+
+
+def test_ingest_weekly_rejects_malformed_file(spark, tmp_path, lookup_dim):
+    with pytest.raises(MalformedFileError):
+        ingest_weekly_multisource(
+            spark,
+            [_write(tmp_path, "bad.csv", BAD_HEADERS_CSV)],
+            lookup_dim,
+        )
+
+
+def test_lookup_dim_first_wins_and_aliases(spark, tmp_path):
+    """S4: three alternate keys melt to one dim; aliases resolve (EL→GR
+    pattern, insert_owid.py:46)."""
+    dim = build_location_dim(
+        spark,
+        _write(tmp_path, "lk.csv", LOOKUP_CSV),
+        extra_aliases={"Deutschland": "Germany"},
+    )
+    got = {r.location_name: r.iso_code2 for r in dim.collect()}
+    assert got["France"] == "FR"
+    assert got["New York"] == "US"  # Province_State key
+    assert got["New York, US"] == "US"  # Combined_Key key
+    assert got["Deutschland"] == "DE"  # alias clone
+
+
+def test_news_source_dedup_and_window(spark):
+    """S5: lang×tag sweep, URL dedup, uuid ids, schema shape."""
+    df = news_source(spark).cache()
+    # 2 langs × 2 tags × 25 items = 100 raw, but only 20 distinct URLs per
+    # (lang, tag) sweep → 80 after dedup.
+    assert df.count() == 80
+    assert df.count() == df.select("source.url").distinct().count()
+    assert df.select("lang").distinct().count() == 2
+    assert df.schema["source"].dataType["crawler"].dataType.typeName() == "string"
+    assert df.filter(F.col("id").isNull()).count() == 0
+
+
+def test_tweet_source_cap(spark):
+    """S6: hard 1,000 cap then URL dedup (the fake emits 1,500 with 700
+    distinct URLs — the reference would index all 1,500 as new uuid docs)."""
+    df = tweet_source(spark).cache()
+    assert df.count() == 700
+    assert df.select("source.tweet.id").distinct().count() == 700
+
+
+def test_fetch_to_local_file_url(tmp_path):
+    """S2 via file:// — full fetch path without network."""
+    src = _write(tmp_path, "remote.csv", OWID_CSV)
+    got = fetch_to_local(f"file://{src}", dest_dir=str(tmp_path / "dl"))
+    assert pathlib.Path(got).read_text() == OWID_CSV
+
+
+def test_fetch_retries_then_raises(tmp_path):
+    with pytest.raises(ConnectionError):
+        fetch_to_local(
+            f"file://{tmp_path}/nope.csv", dest_dir=str(tmp_path), retries=2, backoff=0.01
+        )
