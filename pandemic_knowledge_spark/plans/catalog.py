@@ -1095,6 +1095,56 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (operators.multimodal; training-data pipeline)
+# ---------------------------------------------------------------------------
+
+@q(
+    "multimodal_byte_stats",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       substring(text, 1, 4) AS head
+FROM documents
+""",
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column triage entirely JVM-side (operators.multimodal.byte_stats
+    pattern): documents' text treated as an opaque UTF-8 blob — the
+    pre-decode corrupt/empty filter stage of a media pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.substring("text", 1, 4).alias("head"),
+    )
+
+
+@q("multimodal_media_features")  # non-SQL-expressible: mapInPandas decode
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a deterministic RAW media corpus on executors, decode and
+    feature-extract via Arrow-batched mapInPandas, aggregate per media_type.
+    Rows-only check: binary codecs have no DuckDB equivalent."""
+    from pandemic_knowledge_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64)
+    feats = extract_features(media)
+    joined = feats.join(media.select("media_id", "media_type"), "media_id")
+    return (
+        joined.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg(F.element_at("mean_channel", 1)), 4).alias("avg_mean_c0"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
