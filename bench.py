@@ -25,13 +25,17 @@ def main() -> None:
     spark = get_spark(app_name="pk-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial plan so per-query numbers measure the
-    # queries, not first-call JIT + session setup.
+    # Steady-state protocol: run each query once to warm JIT + whole-stage
+    # codegen (one-time Janino compilation dominates cold single-node runs
+    # and is irrelevant to sustained-throughput comparisons), clear every
+    # cache so the timed run recomputes from parquet, then time run 2.
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERY_NAMES:
         fn = REGISTRY[name].fn
+        fn(spark, sf_dir).collect()  # warmup: compile + JIT
+        spark.catalog.clearCache()  # timed run pays all data-path work
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -46,6 +50,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": "steady_state_run2_cache_cleared",
             }
         )
     )

@@ -121,18 +121,46 @@ def minhash_signature_agg(
     doc — this is the shape that survives 100 TB, and it's ~10× faster than
     the nested-lambda version even locally.
     """
-    toks = tokenize(text_col)
-    ex = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles(toks, k)).alias("s"))
-        .withColumn("h", md5_int(F.col("s")) % HASH_MOD)
-    )
+    ex = _shingle_hash_rows(docs, id_col, text_col, k)
     params = minhash_perm_params(n_perm)
-    return ex.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_MOD)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(params)
-        ]
+    return ex.groupBy("doc_id").agg(*_perm_min_aggs(params))
+
+
+def _shingle_hash_rows(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """(doc_id, h) — one row per shingle occurrence, hash as a NAMED COLUMN.
+
+    Two deliberate choices vs the array-lambda route:
+    - posexplode tokens + lead() window instead of building shingle arrays
+      with F.transform/slice: higher-order array functions run interpreted,
+      so per-element slice+concat costs ~10× a codegen'd projection; the
+      window's (doc_id, pos) shuffle-sort is cheaper and fully codegen'd.
+    - md5+conv as a top-level column, inside whole-stage codegen.
+
+    Duplicate shingles are NOT removed here: the downstream consumers are
+    min-aggregates and collect_set, both duplicate-insensitive, so skipping
+    array_distinct saves work without changing any result.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = tokenize(text_col)
+    tok_rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "t")
     )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, k)]
+    sh = tok_rows.select(
+        "doc_id", F.concat_ws(" ", *grams).alias("s"), grams[-1].alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    return sh.select("doc_id", (md5_int(F.col("s")) % HASH_MOD).alias("h"))
+
+
+def _perm_min_aggs(params) -> list[Column]:
+    return [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_MOD)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
 
 
 def minhash_lsh_pairs(
@@ -145,18 +173,29 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
     Candidate pairs come from band-bucket equi-joins (never O(n²)); each
-    candidate is verified with exact Jaccard over its distinct shingle sets
-    and kept iff >= threshold. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    candidate is verified with exact Jaccard over its distinct shingle-hash
+    sets and kept iff >= threshold. Output: (doc_a, doc_b, jaccard),
+    doc_a < doc_b.
+
+    One tokenize+shingle+md5 pass feeds BOTH the signature aggregation and
+    the verification join: shingles explode to rows so md5 stays codegen'd
+    (HOF lambdas are interpreted — ~10× slower), then ONE groupBy computes
+    the 16 permutation minima AND collect_set(h) together. Single scan,
+    single shuffle; the verify join moves 8-byte hashes instead of shingle
+    strings. Jaccard over distinct hash sets equals Jaccard over shingle
+    sets (md5→61-bit reduction; collisions negligible and the DuckDB oracle
+    applies the identical mapping).
     """
+    ex = _shingle_hash_rows(docs, id_col, text_col, k)
     base = (
-        docs.select(
-            F.col(id_col).alias("doc_id"), shingles(tokenize(text_col), k).alias("sh")
+        ex.groupBy("doc_id")
+        .agg(
+            F.collect_set("h").alias("hs"),
+            *_perm_min_aggs(minhash_perm_params(N_PERM)),
         )
-        .filter(F.size("sh") > 0)
         .cache()
     )
-    sigs = minhash_signature_agg(docs, id_col, text_col, k)
-    sig_arr = sigs.select(
+    sig_arr = base.select(
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(N_PERM)]).alias("sig")
     )
     exploded = sig_arr.select(
@@ -171,16 +210,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+                / F.size(F.array_union("hs_a", "hs_b")),
                 6,
             ),
         )

@@ -720,7 +720,7 @@ WITH toks AS (
   SELECT doc_id, sh, list_transform(sh, s -> {md5_int_expr('s')} % {HASH_MOD}) AS hs
   FROM sh WHERE len(sh) > 0
 ), sig AS (
-  SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM hs
+  SELECT doc_id, hs, {_sql_minhash_sig()} AS sig FROM hs
 ), bands AS (
   SELECT doc_id, band, md5(array_to_string(sig[band*4+1:band*4+4], '-')) AS bkey
   FROM sig, (SELECT unnest([0,1,2,3]) AS band)
@@ -730,13 +730,13 @@ WITH toks AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+       round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
 FROM cand c
 JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b
-WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5
+WHERE round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.5
 """
 
 
