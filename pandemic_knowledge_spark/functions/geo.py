@@ -1,0 +1,85 @@
+"""Geospatial expressions (SURVEY.md §1.1 geo_point, §2.6 A2 geo-bucketed
+aggregation — the reference's Kibana world-map panels over ES geo_point,
+/root/reference/flow/scripts/mapping.py:12, README.md:26-28).
+
+Spark-first choices:
+- geo_point = plain (lat double, lon double) columns / struct — no custom
+  type needed (SURVEY.md §7 risk register).
+- Map bucketing = equal-angle GRID cells from pure arithmetic. A geohash is
+  a base32 z-order encoding of exactly this grid; the arithmetic form keeps
+  the whole aggregation inside codegen and is reproducible in any engine
+  (the DuckDB oracle runs the same floor arithmetic bit-for-bit), which a
+  string geohash UDF would not be.
+- Distance = haversine for true km, squared-degree for exact-arithmetic
+  ranking (identical order at small extents, zero trig → deterministic
+  across libm implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def synth_lat(key: Column) -> Column:
+    """Deterministic synthetic latitude from an integer key (testdata has no
+    coordinate columns; same arithmetic runs in the oracle)."""
+    return (key * F.lit(7919) % F.lit(18000)) / F.lit(100.0) - F.lit(90.0)
+
+
+def synth_lon(key: Column) -> Column:
+    return (key * F.lit(104729) % F.lit(36000)) / F.lit(100.0) - F.lit(180.0)
+
+
+def grid_cell(lat: Column, lon: Column, cell_deg: float = 10.0) -> tuple[Column, Column]:
+    """A2 — equal-angle grid bucket (gy, gx) for map aggregation. Pure
+    floor arithmetic → codegen'd, oracle-reproducible, and monotone in
+    (lat, lon) so cell ranges prune."""
+    gy = F.floor(lat / F.lit(cell_deg)).cast("long")
+    gx = F.floor(lon / F.lit(cell_deg)).cast("long")
+    return gy, gx
+
+
+def grid_cell_id(lat: Column, lon: Column, cell_deg: float = 10.0) -> Column:
+    gy, gx = grid_cell(lat, lon, cell_deg)
+    return F.concat_ws(":", gy, gx)
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km (float trig — for display/real use;
+    oracle-checked queries rank by sq_degree_dist instead)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) ** 2
+    )
+    return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def sq_degree_dist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Squared equal-angle distance — exact arithmetic (no trig), so the
+    deterministic form for top-k-nearest queries that must hash-match an
+    oracle. It is a coordinate-space metric, not km: longitude degrees
+    shrink by cos(lat), so against haversine the ranking agrees when
+    displacements grow monotonically in both axes (nested rings) but can
+    differ for elongated point sets; use haversine_km when true great-circle
+    order matters and exact cross-engine reproducibility does not."""
+    return (lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)
+
+
+# Oracle SQL fragments (DuckDB) — the IDENTICAL arithmetic as above.
+
+def sql_synth_lat(key: str) -> str:
+    return f"({key} * 7919 % 18000) / 100.0 - 90.0"
+
+
+def sql_synth_lon(key: str) -> str:
+    return f"({key} * 104729 % 36000) / 100.0 - 180.0"
+
+
+def sql_grid(expr: str, cell_deg: float = 10.0) -> str:
+    return f"CAST(floor(({expr}) / {cell_deg}) AS BIGINT)"

@@ -38,6 +38,15 @@ from pandemic_knowledge_spark.functions.text import (
     token_count_bpe_estimate,
     tokenize,
 )
+from pandemic_knowledge_spark.functions.geo import (
+    grid_cell,
+    sq_degree_dist,
+    sql_grid,
+    sql_synth_lat,
+    sql_synth_lon,
+    synth_lat,
+    synth_lon,
+)
 from pandemic_knowledge_spark.functions.vectors import cosine, sql_cosine
 from pandemic_knowledge_spark.operators.aggregates import (
     as_money,
@@ -1092,6 +1101,66 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial bucketing (functions.geo; SURVEY.md §2.6 A2 — the world-map aggs)
+# ---------------------------------------------------------------------------
+
+@q(
+    "geo_grid_hotspots",
+    oracle=f"""
+SELECT {sql_grid(sql_synth_lat('c_custkey'))} AS gy,
+       {sql_grid(sql_synth_lon('c_custkey'))} AS gx,
+       count(*) AS n_customers,
+       CAST({sql_cents_sum('c_acctbal')} AS DOUBLE) / 100.0 AS sum_acctbal
+FROM customer
+GROUP BY gy, gx
+""",
+)
+def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — geo-bucketed aggregation (the Kibana world-map panel,
+    /root/reference/README.md:26-28): equal-angle 10° grid cells, count +
+    metric sum per cell. Coordinates synthesized deterministically from
+    c_custkey (testdata has none); at scale the groupBy keys are two longs
+    → map-side partial agg, one narrow shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    lat, lon = synth_lat(F.col("c_custkey")), synth_lon(F.col("c_custkey"))
+    gy, gx = grid_cell(lat, lon)
+    return (
+        cust.select(gy.alias("gy"), gx.alias("gx"), F.col("c_acctbal"))
+        .groupBy("gy", "gx")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            as_money(cents_sum("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+@q(
+    "geo_nearest_customers",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       round(({sql_synth_lat('c_custkey')} - 10.0) * ({sql_synth_lat('c_custkey')} - 10.0)
+           + ({sql_synth_lon('c_custkey')} - 20.0) * ({sql_synth_lon('c_custkey')} - 20.0), 6) AS sq_dist
+FROM customer
+ORDER BY sq_dist, c_custkey
+LIMIT 10
+""",
+)
+def geo_nearest_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-k to a fixed point by squared-degree distance (exact
+    arithmetic → deterministic, oracle-reproducible ranking; see geo.py for
+    the haversine trade-off). TopK = orderBy+limit, which Spark executes as
+    per-partition top-k + single-reduce — no full sort at scale."""
+    cust = load(spark, sf_dir, "customer")
+    lat, lon = synth_lat(F.col("c_custkey")), synth_lon(F.col("c_custkey"))
+    d = sq_degree_dist(lat, lon, F.lit(10.0), F.lit(20.0))
+    return (
+        cust.select("c_custkey", "c_name", F.round(d, 6).alias("sq_dist"))
+        .orderBy("sq_dist", "c_custkey")
+        .limit(10)
     )
 
 
