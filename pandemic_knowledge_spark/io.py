@@ -1,0 +1,65 @@
+"""Batch sinks (SURVEY.md §2.2 K1–K5) and the physical table layout.
+
+The reference's sink is ES bulk-indexing with hand-rolled 1,000-row flush
+buffers and a delete-then-reload refresh (K1/K3,
+/root/reference/flow/scripts/insert_owid.py:148-156,231-252). Spark-first:
+``df.write.parquet`` does the batching; the refresh goes through the same
+atomic versioned swap the streaming sink uses (streaming.sinks.AtomicTable),
+closing the reference's documented non-atomicity
+(/root/reference/README.md:226-227).
+
+Physical layout (SURVEY.md §4.2): facts are hive-partitioned by event date
+(day grain) — the dashboards' time filters become partition pruning — with
+an in-file sort by the secondary filter column so parquet row-group min/max
+stats prune within partitions. At 100 TB this layout is the difference
+between scanning a day and scanning the world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.streaming.sinks import AtomicTable
+
+
+def write_facts_partitioned(
+    df: DataFrame,
+    path: str,
+    date_col: str = "date_start",
+    cluster_col: str | None = "iso_code2",
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """K1 + layout: hive-partition by day, cluster rows within partitions.
+
+    - ``p_date`` partition column derived from ``date_col`` (kept as a real
+      column too, so readers need no reconstruction).
+    - ``sortWithinPartitions(cluster_col)`` orders rows inside each file so
+      row-group statistics prune on the geo key (the dashboards' second
+      filter axis) without a second shuffle.
+    - ``maxRecordsPerFile`` is the scale-tuning knob replacing the
+      reference's MAX_ES_ROW_INJECT flush bound.
+    """
+    out = df.withColumn("p_date", F.col(date_col).cast("date"))
+    if cluster_col is not None and cluster_col in df.columns:
+        out = out.sortWithinPartitions("p_date", cluster_col)
+    writer = out.write.mode(mode).partitionBy("p_date")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def read_facts(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the partitioned fact table; date predicates prune partitions."""
+    return spark.read.parquet(path)
+
+
+def publish_atomic(df: DataFrame, table_root: str) -> str:
+    """K3 — the batch full-refresh through the versioned swap: readers see
+    the previous complete version until the new one is committed."""
+    return AtomicTable(table_root).overwrite(df)
+
+
+def read_published(spark: SparkSession, table_root: str) -> DataFrame:
+    return AtomicTable(table_root).read(spark)

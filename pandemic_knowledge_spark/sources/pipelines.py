@@ -64,20 +64,20 @@ def _validated_headers(
     return good
 
 
-def ingest_owid(
-    spark: SparkSession,
-    paths: Sequence[str],
+def conform_owid(
+    raw: DataFrame,
     lookup_dim: DataFrame,
     drop_unlocated: bool = True,
 ) -> DataFrame:
-    """The flagship flow (insert_owid.py:118-145) as one plan.
+    """The OWID conform stage (insert_owid.py:118-145) on an already-read
+    frame — pure Column expressions, so the SAME function conforms the
+    batch pipeline and the streaming job (one definition, two modes).
 
     P1 candidate coalesce → P2/P3 date parse → F1 required-field filter →
     P6 metric coercion → J1 broadcast geo enrich → K2 uuid ids. The
     reference drops rows whose location never resolves even via geocoder
     (insert_owid.py:97-100) — ``drop_unlocated`` keeps that semantics.
     """
-    raw = read_csv_sniffed(spark, list(paths))
     resolved = coalesce_candidates(raw, OWID_COLUMNS)
     dated = resolved.withColumn("_d", parse_date_multi("date"))
     conformed = (
@@ -100,6 +100,16 @@ def ingest_owid(
     if drop_unlocated:
         enriched = enriched.filter(F.col("iso_code2").isNotNull())
     return with_uuid(enriched.drop("population"))
+
+
+def ingest_owid(
+    spark: SparkSession,
+    paths: Sequence[str],
+    lookup_dim: DataFrame,
+    drop_unlocated: bool = True,
+) -> DataFrame:
+    """Batch form of the flagship flow: sniffed multi-dialect read + conform."""
+    return conform_owid(read_csv_sniffed(spark, list(paths)), lookup_dim, drop_unlocated)
 
 
 def ingest_weekly_multisource(
