@@ -1,0 +1,119 @@
+"""User-facing engine facade: the reference's three entry points as one API.
+
+A user of the reference interacts through (1) the Searchkit news app —
+ranked full-text search with paging and highlighting
+(/root/reference/news_app/app/app/src/SearchUI.js:15-33,51,76-97), (2) the
+Kibana dashboards — totals, time series, top locations, map buckets
+(/root/reference/README.md:22-28), and (3) scheduled ingest flows. This
+facade exposes the same surface over parquet tables + one long-lived
+SparkSession (the "coordinator", SURVEY.md §3.3): ``Engine.search`` is the
+news app, the ``dashboard_*`` methods are the Kibana panels, and
+sources/streaming modules are the flows.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark import tables
+from pandemic_knowledge_spark.functions.geo import grid_cell
+from pandemic_knowledge_spark.operators.search import bm25_search
+
+
+def highlight(text_col, query: str, tag: str = "**") -> F.Column:
+    """X4 — wrap query-term occurrences (case-insensitive, whole-word) in
+    markers; the server-side form of the news app's react-highlight-words
+    (/root/reference/news_app/app/app/src/SearchUI.js:76-97)."""
+    terms = sorted({re.escape(t) for t in query.lower().split() if t})
+    if not terms:
+        return F.col(text_col) if isinstance(text_col, str) else text_col
+    pattern = r"(?i)\b(" + "|".join(terms) + r")\b"
+    return F.regexp_replace(text_col, pattern, tag + r"$1" + tag)
+
+
+class Engine:
+    """One SparkSession + registered tables = the reference's ES cluster,
+    Kibana, and news app in a single object."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = tables.DEFAULT_SF_DIR) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tables = tables.register_all(spark, sf_dir)
+
+    def table(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    def sql(self, query: str) -> DataFrame:
+        """spark.sql over the registered catalog — the engine's query door."""
+        return self.spark.sql(query)
+
+    # ---------------------------------------------------------------- search
+
+    def search(
+        self,
+        query: str,
+        k: int = 8,
+        page: int = 0,
+        with_highlight: bool = True,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """§3.3 — ranked full-text search, paged like the news app
+        (hitsPerPage=8, SearchUI.js:51). BM25 top-((page+1)·k) then the
+        page window; joins back for display columns + highlight."""
+        docs = self.table(table)
+        hits = bm25_search(docs, id_col, text_col, query, k=(page + 1) * k)
+        page_hits = (
+            hits.orderBy(F.desc("score"), "doc_id").offset(page * k).limit(k).alias("h")
+        )
+        d = docs.alias("d")
+        out = page_hits.join(d, F.col("h.doc_id") == F.col(f"d.{id_col}")).select(
+            F.col("h.doc_id").alias(id_col),
+            F.col("h.score").alias("score"),
+            F.col(f"d.{text_col}").alias(text_col),
+        )
+        if with_highlight:
+            out = out.withColumn("highlighted", highlight(text_col, query))
+        return out.orderBy(F.desc("score"), id_col)
+
+    # ------------------------------------------------------------ dashboards
+
+    def dashboard_totals(self, facts: DataFrame, *metric_cols: str) -> DataFrame:
+        """A1 — the live metric-sum panels."""
+        cols = metric_cols or ("confirmed", "deaths", "vaccinated", "tested")
+        return facts.agg(*[F.sum(c).alias(c) for c in cols if c in facts.columns])
+
+    def dashboard_timeseries(
+        self, facts: DataFrame, date_col: str = "date_start", grain: str = "week"
+    ) -> DataFrame:
+        """A3 — date histogram at day/week/month grain."""
+        bucket = F.date_trunc(grain, F.col(date_col)).alias("bucket")
+        return (
+            facts.groupBy(bucket)
+            .agg(F.sum("confirmed").alias("confirmed"))
+            .orderBy("bucket")
+        )
+
+    def dashboard_top_locations(self, facts: DataFrame, n: int = 10) -> DataFrame:
+        """A4 — terms agg: top locations by confirmed."""
+        return (
+            facts.groupBy("location_name")
+            .agg(F.sum("confirmed").alias("confirmed"))
+            .orderBy(F.desc("confirmed"), "location_name")
+            .limit(n)
+        )
+
+    def dashboard_map(
+        self, facts: DataFrame, cell_deg: float = 10.0, lat="geo.lat", lon="geo.lon"
+    ) -> DataFrame:
+        """A2 — the world-map panel: grid-bucketed sums over geo points."""
+        gy, gx = grid_cell(F.col(lat), F.col(lon), cell_deg)
+        return (
+            facts.filter(F.col(lat).isNotNull())
+            .groupBy(gy.alias("gy"), gx.alias("gx"))
+            .agg(F.sum("confirmed").alias("confirmed"))
+        )

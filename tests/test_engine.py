@@ -1,0 +1,79 @@
+"""Engine facade tests: search paging/highlighting (§3.3) and the four
+dashboard panel families (§2.6) over conformed facts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.engine import Engine, highlight
+from pandemic_knowledge_spark.functions.iso import with_iso3
+from pandemic_knowledge_spark.sources import build_location_dim, ingest_owid
+
+from tests.test_sources import LOOKUP_CSV, OWID_CSV, OWID_SEMI_CSV, _write
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+@pytest.fixture()
+def facts(spark, tmp_path):
+    dim = build_location_dim(spark, _write(tmp_path, "lk.csv", LOOKUP_CSV))
+    paths = [
+        _write(tmp_path, "a.csv", OWID_CSV),
+        _write(tmp_path, "b.csv", OWID_SEMI_CSV),
+    ]
+    return ingest_owid(spark, paths, dim).cache()
+
+
+def test_search_pages_are_disjoint_and_ranked(engine):
+    p0 = engine.search("the and of", k=5, page=0).collect()
+    p1 = engine.search("the and of", k=5, page=1).collect()
+    assert len(p0) == 5 and len(p1) == 5
+    assert {r.doc_id for r in p0}.isdisjoint({r.doc_id for r in p1})
+    scores = [r.score for r in p0] + [r.score for r in p1]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_highlight_marks_terms(engine):
+    rows = engine.search("the", k=3).collect()
+    for r in rows:
+        assert "**the**" in r.highlighted.lower()
+
+
+def test_highlight_whole_word_only(spark):
+    df = spark.createDataFrame([("the theme of them",)], ["t"])
+    got = df.select(highlight("t", "the").alias("h")).first().h
+    assert got == "**the** theme of them"
+
+
+def test_sql_door(engine):
+    n = engine.sql("SELECT count(*) AS n FROM nation").first().n
+    assert n == 25
+
+
+def test_dashboard_panels(engine, facts):
+    totals = engine.dashboard_totals(facts).first()
+    assert totals.confirmed == 28 and totals.deaths == 3
+
+    ts = engine.dashboard_timeseries(facts, grain="day").collect()
+    assert [r.confirmed for r in ts] == [12, 7, 5, 4]
+
+    top = engine.dashboard_top_locations(facts, n=1).collect()
+    assert top[0].location_name == "France" and top[0].confirmed == 23
+
+    cells = engine.dashboard_map(facts).collect()
+    # France (46.2,2.2) → cell (4,0); Germany (51.2,10.5) → (5,1)
+    got = {(r.gy, r.gx): r.confirmed for r in cells}
+    assert got == {(4, 0): 23, (5, 1): 5}
+
+
+def test_iso3_join(facts):
+    got = {
+        r.iso_code2: r.iso_code3
+        for r in with_iso3(facts).select("iso_code2", "iso_code3").distinct().collect()
+    }
+    assert got == {"FR": "FRA", "DE": "DEU"}
