@@ -50,8 +50,12 @@ ISO_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
 
 def iso_week_monday(year: Column, week: Column) -> Column:
     """Monday of ISO week (year, week) via the Jan-4 rule: ISO week 1 always
-    contains Jan 4; its Monday is jan4 - weekday(jan4)."""
-    jan4 = F.make_date(year, F.lit(1), F.lit(4))
+    contains Jan 4; its Monday is jan4 - weekday(jan4).
+
+    Guarded for ANSI mode (Spark 4 default): out-of-range years yield null
+    instead of a runtime error — conform must be total on dirty input."""
+    safe_year = F.when(year.between(1, 9999), year)
+    jan4 = F.make_date(safe_year, F.lit(1), F.lit(4))
     week1_monday = F.date_sub(jan4, F.weekday(jan4))
     return F.date_add(week1_monday, (week - F.lit(1)) * F.lit(7))
 
@@ -68,9 +72,11 @@ def parse_date_multi(col: Column | str) -> Column:
     year = F.substring(raw, 1, 4).cast("int")
     week = F.regexp_extract(raw, r"W(\d{1,2})$", 1).cast("int")
     monday = iso_week_monday(year, week)
+    # try_to_date: pattern-matched but invalid dates (e.g. "99-99-2021")
+    # must conform to null, not raise — Spark 4 runs ANSI-on by default.
     day = F.when(raw.rlike(ISO_WEEK_RE), monday).otherwise(
-        F.when(raw.rlike(FR_DATE_RE), F.to_date(raw, "dd-MM-yyyy")).otherwise(
-            F.when(raw.rlike(ISO_DATE_RE), F.to_date(raw, "yyyy-MM-dd"))
+        F.when(raw.rlike(FR_DATE_RE), F.try_to_date(raw, "dd-MM-yyyy")).otherwise(
+            F.when(raw.rlike(ISO_DATE_RE), F.try_to_date(raw, "yyyy-MM-dd"))
         )
     )
     end = F.when(raw.rlike(ISO_WEEK_RE), F.date_add(monday, 6)).otherwise(day)

@@ -184,6 +184,32 @@ def test_lookup_dim_first_wins_and_aliases(spark, tmp_path):
     assert got["Deutschland"] == "DE"  # alias clone
 
 
+def test_enrich_dimension_loop(spark, tmp_path, lookup_dim):
+    """J3 complete: distinct misses → one batched geocode → dim union; the
+    re-run ingests rows the first pass dropped, and unresolvable names stay
+    unmatched (insert_owid.py:97-100)."""
+    from pandemic_knowledge_spark.sources.lookup import enrich_dimension
+
+    facts = spark.createDataFrame(
+        [("France",), ("Atlantis",), ("Atlantis",), ("Narnia",)], ["location_name"]
+    )
+    calls = []
+
+    def fake_geocoder(names):
+        calls.append(names)
+        return {"Atlantis": (0.0, -30.0, "AT1")}  # Narnia stays unresolved
+
+    dim2 = enrich_dimension(spark, lookup_dim, facts, fake_geocoder)
+    assert calls == [["Atlantis", "Narnia"]]  # distinct + sorted, one batch
+    got = {r.location_name: r for r in dim2.collect()}
+    assert got["Atlantis"].iso_code2 == "AT1" and got["Atlantis"].geo.lon == -30.0
+    assert "Narnia" not in got
+    assert unmatched_locations(facts, dim2).collect()[0].location_name == "Narnia"
+    # idempotent once resolved: second pass finds only Narnia
+    enrich_dimension(spark, dim2, facts, fake_geocoder)
+    assert calls[1] == ["Narnia"]
+
+
 def test_news_source_dedup_and_window(spark):
     """S5: lang×tag sweep, URL dedup, uuid ids, schema shape."""
     df = news_source(spark).cache()
