@@ -26,6 +26,10 @@ from pandemic_knowledge_spark.streaming.sinks import (
     append_parquet_sink,
     atomic_overwrite_sink,
 )
+from pandemic_knowledge_spark.streaming.stateful import (
+    running_totals_stateful,
+    sessionize_stateful,
+)
 
 __all__ = [
     "file_stream",
@@ -37,4 +41,6 @@ __all__ = [
     "AtomicTable",
     "atomic_overwrite_sink",
     "append_parquet_sink",
+    "running_totals_stateful",
+    "sessionize_stateful",
 ]

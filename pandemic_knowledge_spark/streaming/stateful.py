@@ -1,0 +1,148 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference has no per-key streaming state at all (its "live" dashboards
+recompute from ES on read). These operators are the engine's answer for
+semantics the built-in windowed aggs can't express: state that survives
+across micro-batches per key, with explicit timeout policy. Arrow moves
+each key-group's batch rows into Python as pandas frames; state is a tiny
+typed tuple — the supported, bounded-memory shape for custom streaming
+logic at scale (state lives in the state store, partitioned by key, NOT on
+the driver).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_TOTALS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+_RUNNING_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("s", DoubleType())]
+)
+
+
+def running_totals_stateful(
+    events: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key LIFETIME running totals, emitted as an update every time the
+    key appears in a micro-batch.
+
+    This is what `groupBy(key).agg(...)` cannot do on a stream (complete
+    mode rewrites the world; windowed aggs scope state to a window): the
+    cumulative 'live counters' panel, maintained incrementally with O(keys)
+    state.
+    """
+
+    def update(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            [{"user_id": key_tuple[0], "n_events": n, "sum_value": s}]
+        )
+
+    stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=_RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom sessionizer with processing-timeout finalization: emits a
+    session row when a key goes ``gap_seconds`` without events (the
+    session_window built-in emits on watermark only; this variant also
+    closes sessions for keys that simply stop arriving — the
+    crawler-went-quiet case)."""
+
+    def update(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start_us: int, n: int) -> dict:
+            return {
+                "user_id": key_tuple[0],
+                "session_start": pd.Timestamp(start_us, unit="us").isoformat(),
+                "n_events": n,
+            }
+
+        if state.hasTimedOut:
+            start_us, _last, n = state.get
+            state.remove()
+            yield pd.DataFrame([emit(start_us, n)])
+            return
+        rows = pd.concat(list(pdfs))
+        # keep microsecond precision: session_start must equal the batch
+        # gaps-and-islands min(ts) exactly
+        ts_us = (rows[ts_col].astype("int64") // 1_000).sort_values()
+        start_us, last_us, n = state.get if state.exists else (int(ts_us.iloc[0]), 0, 0)
+        out = []
+        for t in ts_us:
+            t = int(t)
+            if n > 0 and t - last_us > gap_seconds * 1_000_000:
+                out.append(emit(start_us, n))
+                start_us, n = t, 0
+            last_us = t
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
