@@ -27,19 +27,23 @@ def main() -> None:
 
     # Steady-state protocol: run each query once to warm JIT + whole-stage
     # codegen (one-time Janino compilation dominates cold single-node runs
-    # and is irrelevant to sustained-throughput comparisons), clear every
-    # cache so the timed run recomputes from parquet, then time run 2.
+    # and is irrelevant to sustained-throughput comparisons), then time three
+    # full re-executions — caches cleared before each so every timed run pays
+    # the complete data path from parquet — and report the median.
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERY_NAMES:
         fn = REGISTRY[name].fn
         fn(spark, sf_dir).collect()  # warmup: compile + JIT
-        spark.catalog.clearCache()  # timed run pays all data-path work
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+        runs: list[float] = []
+        for _ in range(3):
+            spark.catalog.clearCache()  # timed run pays all data-path work
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+            assert rows is not None
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -50,7 +54,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "protocol": "steady_state_run2_cache_cleared",
+                "protocol": "steady_state_median_of_3_cache_cleared",
             }
         )
     )
