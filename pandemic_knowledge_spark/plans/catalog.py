@@ -71,6 +71,7 @@ from pandemic_knowledge_spark.operators.joins import (
     semi_join_hits,
 )
 from pandemic_knowledge_spark.operators.search import bm25_search, sql_bm25_search
+from pandemic_knowledge_spark.operators.skew import salted_agg
 from pandemic_knowledge_spark.operators.similarity import (
     ivf_topk,
     knn_brute_force,
@@ -505,6 +506,116 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "agg_pivot_daily_metrics",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(round(value * 100, 0) AS BIGINT) END) AS DOUBLE) / 100.0 AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events GROUP BY 1
+""",
+)
+def agg_pivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 (conditional target column) as conform-time pivot: the reference
+    routes a metric into `vaccinated` vs `confirmed` per source bucket
+    (/root/reference/flow/scripts/parse_insert.py:135); the relational
+    superset is a pivoted day × event_type metric matrix. Pivot values are
+    declared (not discovered) so the plan is a single pass — no extra
+    distinct-scan, stable schema at any scale."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(as_money(cents_sum("value")))
+    )
+
+
+@q(
+    "agg_grouping_sets_orders",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST({sql_cents_sum('o_totalprice')} AS DOUBLE) / 100.0 AS total_price
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets beyond rollup/cube: two independent one-dimension
+    panels (per-status, per-priority) in ONE pass over the fact — the
+    dashboard idiom of several Kibana terms-panels over the same index
+    (/root/reference/README.md:22-28) without rescanning per panel."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        as_money(cents_sum("o_totalprice")).alias("total_price"),
+    )
+
+
+@q(
+    "agg_percentile_quantity",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       round(quantile_cont(l_quantity, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (the Kibana
+    percentile-metric panel; ES computes t-digest approximations — we match
+    the *capability* with exact percentile_cont semantics so the oracle can
+    verify values; the approximate scale path is approx_percentile on the
+    same plan shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {p})"), 6).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.99)
+        ]
+    )
+
+
+@q(
+    "skew_salted_user_totals",
+    oracle=f"""
+SELECT user_id, count(*) AS n_events,
+       CAST({sql_cents_sum('value')} AS DOUBLE) / 100.0 AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 20
+""",
+)
+def skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators.skew.salted_agg): heavy
+    hitters by exact total. The salt bounds every reducer's group size even
+    when one user dominates the table — the declarative counterpart of
+    AQE's skew-join splitting, and exact because the int64-cents partials
+    merge associatively (same totals as the oracle's plain GROUP BY)."""
+    ev = load(spark, sf_dir, "events")
+    agg = salted_agg(
+        ev,
+        "user_id",
+        partials={
+            "n_part": F.count(F.lit(1)),
+            "cents_part": cents_sum("value"),
+        },
+        finals={
+            "n_events": F.sum("n_part"),
+            "total_value": as_money(F.sum("cents_part")),
+        },
+    )
+    return agg.select("user_id", "n_events", "total_value").orderBy(
+        F.desc("total_value"), "user_id"
+    ).limit(20)
 
 
 # ---------------------------------------------------------------------------
