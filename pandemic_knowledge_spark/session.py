@@ -37,6 +37,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # In local mode the driver JVM IS the executor; Spark's 1g default
+        # heap can't even build a medium broadcast table. Size it for the
+        # host (only effective at JVM launch — a no-op on an existing
+        # session; on a real cluster spark-submit owns this).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("PK_DRIVER_MEMORY", "32g"),
+        )
         # Runtime re-planning: partition coalescing, skew-join splitting,
         # dynamic broadcast conversion — essential at 100 TB, harmless locally.
         .config("spark.sql.adaptive.enabled", "true")
