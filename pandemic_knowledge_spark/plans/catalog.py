@@ -243,6 +243,107 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q4_priority_exists",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS: fact-to-fact LEFT SEMI join (orders that have
+    at least one returned line), then grouped counts. The semi join shuffles
+    only the 8-byte key column of the probe side — the shape that matters at
+    100 TB, where a join+distinct would shuffle whole rows twice."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "q10_returned_revenue",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST({sql_cents_sum('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS DOUBLE) / 10000.0 AS revenue
+FROM customer c, nation n, orders o, lineitem l
+WHERE c.c_nationkey = n.n_nationkey AND o.o_custkey = c.c_custkey
+  AND l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped top-k: returned-line revenue per customer, nation
+    dim broadcast onto the fact chain, deterministic top-20 (revenue desc,
+    custkey tiebreak). TopK = `orderBy.limit` → Spark plans TakeOrderedAndProject,
+    a per-partition heap + single driver merge, never a full sort."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(as_money(cents_sum(disc, 10000), 10000).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "agg_stats_moments",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv FROM events
+), s AS (
+  SELECT event_type, count(*) AS n, sum(cv) AS sx, sum(cv * cv) AS sxx
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(sx AS DOUBLE) / 100.0 / n, 6) AS avg_value,
+       round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 6) AS stddev_value
+FROM s
+""",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group moments (Kibana stats-panel capability):
+    mean and sample stddev derived from EXACT integer sums (cents, cents²),
+    so the result is bit-identical under any partial-aggregation order —
+    native stddev_samp over doubles would drift between engines and between
+    cluster sizes."""
+    ev = load(spark, sf_dir, "events")
+    cv = F.round(F.col("value") * 100).cast("long")
+    agg = ev.select("event_type", cv.alias("cv")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cv").alias("sx"),
+        F.sum(F.col("cv") * F.col("cv")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(sx.cast("double") / 100.0 / n, 6).alias("avg_value"),
+        F.round(
+            F.sqrt((n * sxx - sx * sx).cast("double") / (n.cast("double") * (n - 1)))
+            / 100.0,
+            6,
+        ).alias("stddev_value"),
+    )
+
+
+@q(
     "dim_broadcast_enrich",
     oracle="""
 SELECT c.c_custkey, n.n_name, r.r_name
