@@ -302,6 +302,30 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q17_SQL = """
+SELECT p.p_brand,
+       count(*) AS n_small,
+       CAST(sum(CAST(round((l.l_extendedprice) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS small_qty_revenue
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < (
+    SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE) / count(*) * 0.5
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+"""
+
+
+@q("q17_small_qty_revenue", oracle=_Q17_SQL)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar subquery (lines under half their
+    part's average quantity), run through the SQL door verbatim: Catalyst
+    decorrelates the subquery into an aggregate + join — the rewrite the
+    reference has no planner to do. The identical text runs on DuckDB."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q17_SQL)
+
+
 @q(
     "agg_stats_moments",
     oracle="""
