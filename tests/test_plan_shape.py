@@ -85,3 +85,28 @@ def test_dedup_candidate_join_is_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_plans_as_semi_join_on_pruned_key(spark, sf_dir):
+    """EXISTS compiles to LeftSemi and the probe-side scan carries only the
+    key + pushed returnflag filter — never a join+distinct over whole rows."""
+    plan = plan_of(spark, sf_dir, "q4_priority_exists")
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in pushed_filters(plan)
+    assert "l_extendedprice" not in plan  # key-only probe side
+
+
+def test_q10_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """orderBy.limit(20) must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge); a global Sort would shuffle every group at scale."""
+    plan = plan_of(spark, sf_dir, "q10_returned_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_subquery_is_decorrelated(spark, sf_dir):
+    """The correlated scalar subquery must decorrelate into an aggregate +
+    join; a per-row subquery re-scan would be quadratic in the fact table."""
+    plan = plan_of(spark, sf_dir, "q17_small_qty_revenue")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
