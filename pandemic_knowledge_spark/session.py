@@ -69,6 +69,12 @@ def get_spark(
         # The testdata's events.ts is TIMESTAMP(NANOS), which the vectorized
         # reader rejects; read as long nanos and convert in tables.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Managed tables (io.write_bucketed_table) land outside the repo;
+        # on a real cluster the site config points this at durable storage.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("PK_WAREHOUSE_DIR", "/tmp/pk-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -108,3 +108,42 @@ def test_news_stream_dedups_recrawl(spark, tmp_path):
     assert got.count() == feed.count()
     urls = got.select(F.col("source.url")).distinct()
     assert urls.count() == got.count()
+
+
+def test_bucketed_tables_join_with_zero_shuffle(spark, sf_dir, tmp_path):
+    """Co-located fact⋈fact join: both sides bucketed+sorted on the join key
+    → SortMergeJoin consumes the bucket files directly, with NO Exchange in
+    the plan. At 100 TB this converts every repeated orders⋈lineitem from a
+    two-sided shuffle into pure local reads (warehouse dir is set session-wide
+    by session.get_spark; static conf, not settable per-test)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pkio.write_bucketed_table(orders, "b_orders", "o_orderkey", n_buckets=4)
+    pkio.write_bucketed_table(li, "b_lineitem", "l_orderkey", n_buckets=4)
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        # Force the SMJ path (tiny test tables would otherwise broadcast).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            pre_join = plan.split("SortMergeJoin")[1]
+            assert "Exchange" not in pre_join, "bucketed join still shuffled"
+            expected = (
+                orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            assert sorted(map(tuple, joined.collect())) == sorted(
+                map(tuple, expected.collect())
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
