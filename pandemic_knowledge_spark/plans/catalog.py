@@ -302,6 +302,70 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "window_ntile_quartiles",
+    oracle="""
+SELECT o_orderpriority, quartile,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_totalprice
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+GROUP BY o_orderpriority, quartile
+""",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — ntile ranking (per-class quartile summaries, a Kibana
+    percentile-panel idiom). PARTITION BY keeps the sort distributed — a
+    global ntile would funnel the table through one partition at 100 TB.
+    Deterministic tiebreak on the key keeps tile assignment identical
+    across engines and partitionings."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            as_money(cents_sum("o_totalprice")).alias("sum_totalprice"),
+        )
+    )
+
+
+@q(
+    "agg_histogram_buckets",
+    oracle="""
+SELECT bucket,
+       CAST(bucket * 50.0 AS DOUBLE) AS bucket_lo,
+       count(*) AS n_events
+FROM (SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket
+      FROM events WHERE value IS NOT NULL)
+GROUP BY bucket
+""",
+)
+def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-adjacent — fixed-width numeric histogram (Kibana histogram agg):
+    bucket id from pure arithmetic, so the scan groups on a codegen'd
+    expression with map-side partial aggregation — no sampling pass."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / 50.0).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50.0).alias("bucket_lo"),
+            "n_events",
+        )
+    )
+
+
 _Q17_SQL = """
 SELECT p.p_brand,
        count(*) AS n_small,
