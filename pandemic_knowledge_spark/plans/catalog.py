@@ -1514,6 +1514,507 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational core, extended: the remaining classic analytic shapes a user of
+# the reference's dashboards would reach for next — scan-heavy filter+agg,
+# nation-pair flows, conditional-aggregation ratios, distinct-count panels,
+# HAVING-subquery drill-downs, disjunctive predicates, NOT-EXISTS cohorts,
+# and RANGE-frame moving averages. Each exercises a distinct Catalyst
+# capability (predicate pushdown, conditional agg, null-aware anti join,
+# semi-join reuse of an aggregated key, OR-pushdown, range window frames).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT CAST({sql_cents_sum('l_extendedprice * l_discount', 10000)} AS DOUBLE) / 10000.0
+         AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    bench=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped scan-heavy filter+agg: no join, no shuffle beyond the
+    single-row final agg. The whole query rides on predicate pushdown —
+    `.explain` shows all three filters in PushedFilters at the parquet scan,
+    and ReadSchema keeps only the 4 referenced columns. At 100 TB this shape
+    is pure scan bandwidth: row-group min/max pruning on l_shipdate does the
+    heavy lifting when the table is laid out by ship date."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return li.agg(as_money(cents_sum(rev, 10000), 10000).alias("revenue"))
+
+
+@q(
+    "q7_nation_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST({sql_cents_sum('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS DOUBLE) / 10000.0
+         AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS BIGINT)
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped nation-pair flow: the same dimension (nation) joined
+    twice under different roles — supplier side and customer side — with a
+    disjunctive pair filter, yearly grain. Both nation joins broadcast; only
+    the fact-to-fact orders⋈lineitem join shuffles, on its join key."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(as_money(cents_sum(disc, 10000), 10000).alias("revenue"))
+    )
+
+
+@q(
+    "q8_market_share",
+    oracle="""
+WITH flows AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS vol_cents,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents ELSE 0 END) AS DOUBLE)
+             / CAST(sum(vol_cents) AS DOUBLE), 6) AS mkt_share
+FROM flows GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: NATION_3 suppliers' fraction of ECONOMY-
+    part revenue sold into ASIA customers, per year. Conditional aggregation
+    (sum-of-CASE) computes numerator and denominator in ONE pass over the
+    joined fact — no self-join, no second scan. Ratio of two exact integer
+    sums, rounded, so partial-agg order can't move the result."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    nc = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load(spark, sf_dir, "supplier")
+    ns = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    flows = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(nc), nc["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == nc["n_regionkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(ns), F.col("ns_key") == s["s_nationkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol_cents.alias("vol_cents"),
+            "supp_nation",
+        )
+    )
+    return flows.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vol_cents")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum("vol_cents").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST({sql_cents_sum('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS DOUBLE) / 10000.0
+         AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY ns.n_name, CAST(year(o.o_orderdate) AS BIGINT)
+""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-line profit: revenue on parts matching a name
+    pattern, grouped by supplier nation × order year. The LIKE filter prunes
+    the part dim BEFORE it broadcasts; the join then prunes lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    ns = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation")
+    )
+    o = load(spark, sf_dir, "orders")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(ns), F.col("ns_key") == s["s_nationkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(as_money(cents_sum(disc, 10000), 10000).alias("revenue"))
+    )
+
+
+@q(
+    "q12_priority_by_linestatus",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY l.l_linestatus
+""",
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional counts: urgent vs non-urgent order lines
+    per line status, one pass, two sum-of-CASE aggregates (Kibana's
+    'filters' sub-aggregation idiom)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("long").alias("low_count"),
+        )
+    )
+
+
+@q(
+    "q14_promo_revenue",
+    oracle="""
+WITH j AS (
+  SELECT p.p_type,
+         CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT) AS rev_cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-06-01'
+    AND CAST(l.l_shipdate AS DATE) < DATE '1996-07-01'
+)
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_cents) AS DOUBLE), 6) AS promo_pct
+FROM j
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo ratio: PROMO-part share of one month's revenue.
+    Numerator and denominator from a single conditional aggregation over the
+    month-pruned scan (at 100 TB with date-partitioned layout this touches
+    one month of files, nothing else)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-06-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-07-01").cast("date"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev_cents = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    j = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"]).select(
+        "p_type", rev_cents.alias("rev_cents")
+    )
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_cents")).otherwise(0)
+            ).cast("double")
+            / F.sum("rev_cents").cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+@q(
+    "q16_supplier_cnt",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#4'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped distinct-count panel: how many qualifying suppliers
+    serve each (brand, type, size), excluding a supplier denylist. The NOT IN
+    becomes a LEFT ANTI join on the 8-byte key (the denylist is tiny →
+    broadcast anti join, zero shuffle for the exclusion); count(DISTINCT)
+    plans as a two-phase partial-distinct aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    deny = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(deny), li["l_suppkey"] == deny["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q18_large_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       o.o_totalprice AS totalprice,
+       sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_totalprice
+ORDER BY totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+    bench=True,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-order drill-down: IN (GROUP BY …
+    HAVING) = aggregate once, keep only qualifying keys, LEFT SEMI join the
+    orders fact against that key set — the aggregated key column is all that
+    shuffles into the semi join. Deterministic top-20."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["big_orderkey"], "left_semi")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+SELECT CAST({sql_cents_sum('l.l_extendedprice * (1 - l.l_discount)', 10000)} AS DOUBLE) / 10000.0
+         AS revenue
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped OR-of-ANDs: Catalyst extracts the common conjuncts it
+    can push to each side (brand ∈ {…} to the part scan, quantity range to
+    the lineitem scan) and leaves the residual disjunction as the join
+    filter — by-hand CNF splitting the reference could never do."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(
+        arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#3", 35, 20, 30)
+    ).agg(as_money(cents_sum(disc, 10000), 10000).alias("revenue"))
+
+
+@q(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH thr AS (
+  SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS tot_cents,
+         count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       count(*) AS n_cust,
+       CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_acctbal
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) * (SELECT n FROM thr)
+        > (SELECT tot_cents FROM thr)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped cohort: customers above the positive-balance average
+    with no urgent orders, summarized per nation. The global average is a
+    scalar subquery — computed once, broadcast into the filter — and the
+    comparison cross-multiplies integers (cents × count > total_cents) so no
+    float division can drift between engines. NOT EXISTS = LEFT ANTI join
+    shuffling only the custkey column of the probe side."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    bal_cents = cents("c_acctbal")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal_cents).alias("tot_cents"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(bal_cents * F.col("n_pos") > F.col("tot_cents"))
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            as_money(cents_sum("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@q(
+    "window_range_7day_avg",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_day,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS day_cents
+  FROM orders
+  GROUP BY o_orderpriority, CAST(o_orderdate AS DATE),
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+)
+SELECT o_orderpriority, order_day,
+       round(CAST(sum(day_cents) OVER w AS DOUBLE) / 100.0
+             / (count(*) OVER w), 6) AS avg7_totalprice
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_7day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — RANGE-frame trailing average (the dashboards' '3-weeks live'
+    smoothing): daily order value per priority, averaged over the trailing
+    7 *calendar* days. RANGE (value-based) frames differ from ROWS frames
+    exactly when days are missing — the frame is 6 day-numbers back, not 6
+    rows back. Pre-aggregating to daily grain first keeps the window input
+    tiny (days × priorities), so the sort inside each partition is trivial
+    even when the orders fact is 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+        )
+        .agg(cents_sum("o_totalprice").alias("day_cents"))
+        .withColumn(
+            "day_num",
+            F.datediff(F.col("order_day"), F.lit("1995-01-01").cast("date")),
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "order_day",
+        F.round(
+            F.sum("day_cents").over(w).cast("double") / 100.0
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("avg7_totalprice"),
+    )
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
