@@ -131,29 +131,35 @@ def _shingle_hash_rows(
 ) -> DataFrame:
     """(doc_id, h) — one row per shingle occurrence, hash as a NAMED COLUMN.
 
-    Two deliberate choices vs the array-lambda route:
-    - posexplode tokens + lead() window instead of building shingle arrays
-      with F.transform/slice: higher-order array functions run interpreted,
-      so per-element slice+concat costs ~10× a codegen'd projection; the
-      window's (doc_id, pos) shuffle-sort is cheaper and fully codegen'd.
-    - md5+conv as a top-level column, inside whole-stage codegen.
+    Shingles are assembled array-side — k shifted copies of the token array
+    (one O(1)-ish slice each) zipped element-wise with concat — then exploded
+    so md5+conv runs as a top-level codegen'd projection. No window, no
+    shuffle: the pipeline stays scan→project→explode, and the downstream
+    groupBy gets map-side partial aggregation (the shuffle carries one
+    16-long signature row per doc, not one row per shingle). The previous
+    posexplode+lead(window) formulation shuffled every token row to sort it,
+    which cost a full exchange of the corpus for nothing.
 
     Duplicate shingles are NOT removed here: the downstream consumers are
     min-aggregates and collect_set, both duplicate-insensitive, so skipping
     array_distinct saves work without changing any result.
     """
-    from pyspark.sql.window import Window as W
-
     toks = tokenize(text_col)
-    tok_rows = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "t")
+    n = F.size(toks)
+    if k == 2:
+        sh = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    else:
+        idx = F.sequence(F.lit(0), n - k)
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.when(n >= k, sh)).alias("s"),
     )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    grams = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, k)]
-    sh = tok_rows.select(
-        "doc_id", F.concat_ws(" ", *grams).alias("s"), grams[-1].alias("_last")
-    ).filter(F.col("_last").isNotNull())
-    return sh.select("doc_id", (md5_int(F.col("s")) % HASH_MOD).alias("h"))
+    return rows.select("doc_id", (md5_int(F.col("s")) % HASH_MOD).alias("h"))
 
 
 def _perm_min_aggs(params) -> list[Column]:

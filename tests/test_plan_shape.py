@@ -23,7 +23,11 @@ def plan_of(spark, sf_dir, name: str) -> str:
 
 
 def pushed_filters(plan: str) -> str:
-    return " | ".join(m.group(1) for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan))
+    # FileScan truncates long filter lists with "..." (losing the closing
+    # bracket), so capture to end-of-line and trim — substring checks only.
+    return " | ".join(
+        m.group(1) for m in re.finditer(r"PushedFilters: \[([^\]\n]*)\]?", plan)
+    )
 
 
 def test_q5_dims_broadcast_not_shuffled(spark, sf_dir):
@@ -110,3 +114,59 @@ def test_q17_subquery_is_decorrelated(spark, sf_dir):
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_is_pure_scan_agg_with_all_filters_pushed(spark, sf_dir):
+    """Q6 shape: no join anywhere; every predicate reaches the parquet scan
+    (at 100 TB this query IS its row-group pruning)."""
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    assert "Join" not in plan
+    assert "GreaterThanOrEqual(l_shipda" in pushed_filters(plan)
+    # the full predicate set survives to the post-scan Filter
+    assert re.search(r"l_quantity#\d+ < 24\.0", plan)
+    assert re.search(r"l_discount#\d+ >= 0\.05", plan)
+    # only the 4 referenced columns leave the scan
+    assert "l_extendedprice" in plan and "l_tax" not in plan
+
+
+def test_q16_denylist_is_broadcast_anti_join(spark, sf_dir):
+    """The NOT IN denylist must exclude via a broadcast LEFT ANTI join —
+    zero shuffle for the exclusion — and the distinct count must be the
+    two-phase partial-distinct aggregate."""
+    plan = plan_of(spark, sf_dir, "q16_supplier_cnt")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q18_having_subquery_is_semi_join_topk(spark, sf_dir):
+    """IN (GROUP BY … HAVING) = aggregate-once + LEFT SEMI on the key;
+    the final top-20 is TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, sf_dir, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_or_predicate_still_prunes_scans(spark, sf_dir):
+    """OR-of-ANDs: Catalyst must extract the per-side common bounds and push
+    them into both scans (In(p_brand…) to part, quantity range to lineitem)
+    while the residual disjunction stays as the join filter."""
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_predicates")
+    pf = pushed_filters(plan)
+    assert "p_brand" in pf
+    assert "l_quantity" in pf
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_not_exists_is_anti_join(spark, sf_dir):
+    """NOT EXISTS compiles to LEFT ANTI with a key-only probe side; the
+    scalar threshold is a 1-row broadcast, never a shuffle."""
+    plan = plan_of(spark, sf_dir, "q22_idle_rich_customers")
+    assert re.search(r"Join LeftAnti|BroadcastHashJoin .*LeftAnti", plan)
+    assert "o_totalprice" not in plan  # anti side carries only o_custkey
+
+
+def test_range_frame_window_is_range_not_rows(spark, sf_dir):
+    """The 7-day trailing average must use a RANGE (value-based) frame —
+    a ROWS frame would silently change semantics on days with gaps."""
+    plan = plan_of(spark, sf_dir, "window_range_7day_avg")
+    assert re.search(r"RANGE BETWEEN 6 PRECEDING AND CURRENT ROW", plan) or "RangeFrame" in plan
