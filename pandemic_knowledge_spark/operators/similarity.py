@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandemic_knowledge_spark.functions.vectors import as_double, cosine
+from pandemic_knowledge_spark.functions.vectors import as_double, cosine, dot
 
 
 def query_vec_col(vec: Sequence[float]):
@@ -89,6 +89,70 @@ def ivf_topk(
         F.broadcast(top_cells), emb[cell_col] == top_cells["cell"], "left_semi"
     )
     return knn_brute_force(pruned, vec_col, id_col, query, k)
+
+
+RP_SEED = 7
+
+
+def rp_hyperplanes(dim: int, n_bits: int, seed: int = RP_SEED) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH.
+
+    Components are md5-derived exact decimals (k/1000), so the identical
+    constant arrays are embedded verbatim in both the Spark expression and
+    the DuckDB oracle text — no RNG state to reproduce cross-engine.
+    """
+    import hashlib
+
+    planes: list[list[float]] = []
+    for j in range(n_bits):
+        comps = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"rp-{seed}-{j}-{d}".encode()).hexdigest()[:15], 16)
+            comps.append(((h % 2001) - 1000) / 1000.0)
+        planes.append(comps)
+    return planes
+
+
+def rp_bucket_col(vec, planes: list[list[float]]):
+    """Sign-LSH bucket id: bit j = sign(v · h_j). Pure JVM fold per plane."""
+    total = F.lit(0)
+    v = as_double(vec)
+    for j, p in enumerate(planes):
+        pl = F.array(*[F.lit(x) for x in p])
+        total = total + F.when(dot(v, pl) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return total.cast("long")
+
+
+def rp_python_bucket(query: Sequence[float], planes: list[list[float]]) -> int:
+    """The query vector's bucket, computed driver-side with the SAME
+    sequential left-to-right double accumulation the engines use."""
+
+    def pdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    return sum((1 << j) for j, p in enumerate(planes) if pdot(query, p) >= 0)
+
+
+def rp_lsh_topk(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH ANN: candidates = rows in the query's
+    bucket, exact cosine re-rank inside. Complements IVF: no training pass
+    at all — the bucket is a pure function of the vector, so at 100 TB it is
+    precomputed at ingest as a partition column and a probe becomes a
+    partition-pruned scan of 1/2^bits of the corpus."""
+    planes = rp_hyperplanes(len(query), n_bits)
+    qb = rp_python_bucket(query, planes)
+    cand = emb.filter(rp_bucket_col(F.col(vec_col), planes) == F.lit(qb))
+    return knn_brute_force(cand, vec_col, id_col, query, k)
 
 
 def near_dup_pairs(

@@ -47,7 +47,7 @@ from pandemic_knowledge_spark.functions.geo import (
     synth_lat,
     synth_lon,
 )
-from pandemic_knowledge_spark.functions.vectors import cosine, sql_cosine
+from pandemic_knowledge_spark.functions.vectors import cosine, sql_cosine, sql_dot
 from pandemic_knowledge_spark.operators.aggregates import (
     as_money,
     cents,
@@ -76,6 +76,7 @@ from pandemic_knowledge_spark.operators.similarity import (
     ivf_topk,
     knn_brute_force,
     near_dup_pairs,
+    rp_lsh_topk,
 )
 from pandemic_knowledge_spark.operators.windows import (
     lag_delta,
@@ -1152,6 +1153,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned scans."""
     e = load(spark, sf_dir, "embeddings")
     return ivf_topk(e, "embedding", "vec_id", "label", QUERY_VEC, k=10, nprobe=2)
+
+
+def _rp_lsh_oracle() -> str:
+    from pandemic_knowledge_spark.operators.similarity import (
+        rp_hyperplanes,
+        rp_python_bucket,
+    )
+
+    planes = rp_hyperplanes(64, 4)
+    qb = rp_python_bucket(QUERY_VEC, planes)
+    bits = []
+    for j, p in enumerate(planes):
+        plit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"CASE WHEN {sql_dot('embedding', plit)} >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+SELECT vec_id, round({sql_cosine('embedding', _QLIT)}, 6) AS cos_sim
+FROM embeddings
+WHERE ({bucket}) = {qb}
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@q("ann_rp_lsh_topk", oracle=_rp_lsh_oracle())
+def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN (4 random hyperplanes → 16 buckets): probe the query's
+    bucket only, exact cosine re-rank inside. No training pass — at scale
+    the bucket id is precomputed at ingest as a partition column, making a
+    probe a partition-pruned scan of ~1/16 of the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    return rp_lsh_topk(e, "embedding", "vec_id", QUERY_VEC, k=10, n_bits=4)
 
 
 @q(
