@@ -1251,6 +1251,77 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_curation() -> str:
+    scores = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    gr = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score} = {gr} THEN '{lang}'" for lang, score in scores.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, text, {sql_tokenize('text')} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, source,
+         CASE WHEN {gr} = 0 THEN 'und' {whens} END AS lang_pred,
+         len(toks) AS n_tokens,
+         round(CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE) / len(toks) END, 6)
+           AS stopword_ratio,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+              + coalesce(list_sum(list_transform(
+                  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                  p -> CAST(floor(length(p) / 6) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens,
+         {sql_fingerprint('text')} AS fp
+  FROM t
+), filt AS (
+  SELECT * FROM stats WHERE n_tokens BETWEEN 20 AND 80 AND stopword_ratio <= 0.5
+), flagged AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM filt
+)
+SELECT source, lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       CAST(sum(CASE WHEN doc_id = keep_id THEN bpe_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM flagged GROUP BY source, lang_pred
+"""
+
+
+@q("corpus_curation_pipeline", oracle=_sql_curation())
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data cleaning pass, end to end in ONE Catalyst plan:
+    quality scoring (token count + stopword ratio) → bounds filter →
+    language ID → exact-dedup canonical flag (min doc_id per content
+    fingerprint) → per-(source, detected-lang) corpus accounting with token
+    budget of the canonical survivors. At 100 TB this is a single scan +
+    one window shuffle on the fingerprint + one grouped aggregation —
+    the composition costs no extra passes over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    qs = quality_score("text")
+    stats = d.select(
+        "doc_id",
+        "source",
+        lang_id("text").alias("lang_pred"),
+        qs["n_tokens"].alias("n_tokens"),
+        qs["stopword_ratio"].alias("stopword_ratio"),
+        token_count_bpe_estimate("text").alias("bpe_tokens"),
+        fingerprint("text").alias("fp"),
+    ).filter(F.col("n_tokens").between(20, 80) & (F.col("stopword_ratio") <= 0.5))
+    flagged = stats.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    is_keep = F.col("doc_id") == F.col("keep_id")
+    return flagged.groupBy("source", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(is_keep, 1).otherwise(0)).cast("long").alias("n_canonical"),
+        F.sum(F.when(is_keep, F.col("bpe_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
 def _sql_lang_id() -> str:
     scores = {
         lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
