@@ -19,6 +19,7 @@ from pandemic_knowledge_spark.streaming.transforms import (
     dedup_within_watermark,
     session_window_agg,
     sliding_window_agg,
+    stream_stream_interval_join,
     tumbling_window_agg,
 )
 from pandemic_knowledge_spark.streaming.sinks import (
@@ -38,6 +39,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_within_watermark",
+    "stream_stream_interval_join",
     "AtomicTable",
     "atomic_overwrite_sink",
     "append_parquet_sink",

@@ -110,6 +110,41 @@ def dedup_within_watermark(
     return df.dropDuplicates(keys)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream⋈stream event-time interval join.
+
+    Matches a right-side event to a left-side event with the same key when
+    the right event happened within ``lookback`` BEFORE the left event
+    (attribution shape: purchase joined to the click that preceded it).
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions, so Spark can prune join state — without the time bound
+    the state grows without limit at 100 TB/day. Column names must be
+    disjoint across the two inputs (rename before calling).
+
+    In batch mode the same condition runs as a plain inner join — one
+    definition, two modes, like the rest of this module.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[left_key] == right[right_key])
+        & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (right[right_ts] <= left[left_ts])
+    )
+    return left.join(right, cond, "inner")
+
+
 def quarantine_split(df: DataFrame, valid_pred: Column) -> tuple[DataFrame, DataFrame]:
     """W4 — late/dirty-data policy: route invalid rows to a quarantine frame
     instead of silently dropping (reference logs-and-skips,

@@ -121,6 +121,49 @@ def test_dedup_batch_mode(events_batch):
     assert dedup_within_watermark(doubled, ["event_id"]).count() == events_batch.count()
 
 
+def _attribution_frames(events):
+    """purchases ⋈ preceding clicks by the same user (disjoint col names)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event"),
+    )
+    return purchases, clicks
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_batch, landing, tmp_path):
+    """Stream⋈stream attribution join == the same join in batch mode.
+    Inner interval joins emit exactly the matches; with a watermark far
+    beyond the data's time span no state is pruned early, so the streamed
+    result is the complete batch answer."""
+    from pandemic_knowledge_spark.streaming.transforms import (
+        stream_stream_interval_join,
+    )
+
+    schema = events_batch.schema
+    sdf = file_stream(spark, landing, schema, max_files_per_trigger=1)
+    sp, sc = _attribution_frames(sdf)
+    streamed = stream_stream_interval_join(
+        sp, sc, "p_user", "c_user", "p_ts", "c_ts",
+        lookback="30 minutes", watermark="365 days",
+    ).select("p_event", "c_event")
+    out = _run_available_now(streamed, tmp_path, "ssjoin")
+    got = spark.read.parquet(out)
+
+    bp, bc = _attribution_frames(events_batch)
+    want = stream_stream_interval_join(
+        bp, bc, "p_user", "c_user", "p_ts", "c_ts", lookback="30 minutes"
+    ).select("p_event", "c_event")
+    assert want.count() > 0
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_atomic_swap_never_exposes_empty(spark, events_batch, tmp_path):
     """W3 regression: across repeated full refreshes, a reader always sees a
     complete published version — the reference's delete-then-reload window
