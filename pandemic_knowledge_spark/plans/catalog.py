@@ -649,6 +649,7 @@ def agg_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "agg_rollup_region_nation",
+    bench=True,
     oracle=f"""
 SELECT r.r_name, n.n_name, count(*) AS n_customers,
        CAST({sql_cents_sum('c.c_acctbal')} AS DOUBLE) / 100.0 AS total_bal
@@ -841,6 +842,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "window_topk_orders_per_cust",
+    bench=True,
     oracle="""
 SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1289,7 +1291,7 @@ FROM flagged GROUP BY source, lang_pred
 """
 
 
-@q("corpus_curation_pipeline", oracle=_sql_curation())
+@q("corpus_curation_pipeline", oracle=_sql_curation(), bench=True)
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data cleaning pass, end to end in ONE Catalyst plan:
     quality scoring (token count + stopword ratio) → bounds filter →
@@ -1515,6 +1517,7 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "geo_grid_hotspots",
+    bench=True,
     oracle=f"""
 SELECT {sql_grid(sql_synth_lat('c_custkey'))} AS gy,
        {sql_grid(sql_synth_lon('c_custkey'))} AS gx,
