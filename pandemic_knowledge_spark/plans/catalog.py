@@ -184,9 +184,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # lineitem (the 100 TB fact) is the probe side throughout: orders joins
+    # as a build side already pruned by its date filter, customer (segment-
+    # filtered, dimension-sized) broadcasts. Rooting the chain at the
+    # biggest table is what keeps this plan valid when lineitem stops
+    # fitting in a broadcast — locally AQE may still choose to broadcast
+    # the pruned orders side, which is exactly the right call at each scale.
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
@@ -228,11 +234,17 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Rooted at lineitem so the 100 TB fact is always the probe side: the
+    # date-pruned orders and the region-pruned customer chain join as build
+    # sides (AQE broadcasts them locally; shuffles them when they outgrow
+    # the threshold), and the true dimensions broadcast explicitly. The
+    # previous customer-rooted chain made Spark broadcast-build the whole
+    # lineitem table — fine at sf0.1, impossible at scale.
     joined = (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .join(o, o["o_custkey"] == c["c_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
         .join(
             F.broadcast(s),
             (li["l_suppkey"] == s["s_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
@@ -292,10 +304,12 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # lineitem-rooted for the same reason as q5: the fact is the probe side
+    # at every scale; orders/customer join as build sides, nation broadcasts.
     return (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(o, o["o_custkey"] == c["c_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(as_money(cents_sum(disc, 10000), 10000).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -1965,10 +1979,15 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 300)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
+    # The qualifying-order key set is tiny after the HAVING filter, so it is
+    # the build side everywhere: lineitem (the big fact) probes it via the
+    # second join rather than being broadcast-built itself.
     return (
-        o.join(big, o["o_orderkey"] == big["big_orderkey"], "left_semi")
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        li.join(
+            o.join(big, o["o_orderkey"] == big["big_orderkey"], "left_semi"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == c["c_custkey"])
         .groupBy(
             "c_name",
             "c_custkey",
