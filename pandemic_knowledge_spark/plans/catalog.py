@@ -1860,7 +1860,7 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_count"),
