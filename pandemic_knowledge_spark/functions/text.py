@@ -81,13 +81,21 @@ def sql_fingerprint(col_sql: str) -> str:
     return f"md5(array_to_string({sql_tokenize(col_sql)}, ' '))"
 
 
-def quality_score(text_col: Column | str) -> dict[str, Column]:
+def quality_score(
+    text_col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
     """Quality-scoring signals: length, token stats, stopword & punct ratios.
 
     Returns named Column expressions; callers select the ones they need.
+    Pass ``toks`` (a materialized tokens column) when combining with other
+    token-consuming functions: higher-order lambdas run interpreted, outside
+    whole-stage codegen's subexpression elimination, so an inlined
+    ``tokenize`` re-runs its regex once per consuming lambda — sharing one
+    tokens column is a measured ~2× on the curation pipeline.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokenize(c)
+    if toks is None:
+        toks = tokenize(c)
     n_tokens = F.size(toks)
     n_chars = F.length(c)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -120,14 +128,17 @@ def token_count_bpe_estimate(text_col: Column | str) -> Column:
     return (F.size(pieces).cast("long") + extra).alias("bpe_tokens")
 
 
-def lang_id(text_col: Column | str) -> Column:
+def lang_id(text_col: Column | str, toks: Column | None = None) -> Column:
     """Lexicon/N-gram language-ID heuristic: count marker-word hits per
     language, pick the argmax (ties broken by language code order).
 
     Expressed as a deterministic CASE over hit counts so the DuckDB oracle
-    can reproduce it exactly.
+    can reproduce it exactly. Pass ``toks`` to share one materialized tokens
+    column across the per-language filters (see quality_score docstring) —
+    otherwise the tokenize regex re-runs once per language.
     """
-    toks = tokenize(text_col)
+    if toks is None:
+        toks = tokenize(text_col)
 
     def marker_hits(markers):
         # single-param lambda factory: pyspark passes one arg per declared

@@ -1253,8 +1253,8 @@ FROM t
 @q("text_stats", oracle=_TEXT_STATS_ORACLE)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting + fingerprint — all JVM expressions."""
-    d = load(spark, sf_dir, "documents")
-    qs = quality_score("text")
+    d = load(spark, sf_dir, "documents").withColumn("__toks", tokenize("text"))
+    qs = quality_score("text", toks=F.col("__toks"))
     return d.select(
         "doc_id",
         qs["n_chars"].alias("n_chars"),
@@ -1314,12 +1314,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget of the canonical survivors. At 100 TB this is a single scan +
     one window shuffle on the fingerprint + one grouped aggregation —
     the composition costs no extra passes over the corpus."""
-    d = load(spark, sf_dir, "documents")
-    qs = quality_score("text")
+    d = load(spark, sf_dir, "documents").withColumn("__toks", tokenize("text"))
+    toks = F.col("__toks")
+    qs = quality_score("text", toks=toks)
     stats = d.select(
         "doc_id",
         "source",
-        lang_id("text").alias("lang_pred"),
+        lang_id("text", toks=toks).alias("lang_pred"),
         qs["n_tokens"].alias("n_tokens"),
         qs["stopword_ratio"].alias("stopword_ratio"),
         token_count_bpe_estimate("text").alias("bpe_tokens"),
@@ -1356,8 +1357,10 @@ FROM (SELECT doc_id, lang, {sql_tokenize('text')} AS toks FROM documents)
 @q("text_lang_id", oracle=_sql_lang_id())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon language-ID heuristic (X5) vs the declared lang column."""
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+    d = load(spark, sf_dir, "documents").withColumn("__toks", tokenize("text"))
+    return d.select(
+        "doc_id", "lang", lang_id("text", toks=F.col("__toks")).alias("lang_pred")
+    )
 
 
 _BM25_QUERY = "spark join stream window"
