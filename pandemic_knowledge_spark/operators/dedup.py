@@ -235,10 +235,18 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash signature over token multiset (bit j set iff the weighted
-    bit-j vote over token hashes is positive)."""
-    hs = F.transform(toks, lambda t: md5_int(t) % F.lit(1 << bits))
+def token_hashes(toks: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Per-token md5-derived hashes reduced to ``bits`` — materialize this
+    as a named column BEFORE feeding simhash_from_hashes: higher-order
+    lambdas run interpreted (outside codegen subexpression elimination), so
+    an inlined hash transform re-runs once per consuming bit-count — 16×
+    the md5 work (measured 6.9 s → 0.6 s at sf0.1)."""
+    return F.transform(toks, lambda t: md5_int(t) % F.lit(1 << bits))
+
+
+def simhash_from_hashes(hs: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash signature over a materialized token-hash array (bit j set iff
+    the weighted bit-j vote over token hashes is positive)."""
     n = F.size(hs)
 
     def bit_count(j: int) -> Column:
@@ -252,6 +260,12 @@ def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
         # vote = set_cnt - (n - set_cnt) > 0  <=>  2*set_cnt > n
         out = out + F.when(set_cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return out
+
+
+def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over a tokens expression. Convenience form — prefer
+    materializing token_hashes() as a column first (see its docstring)."""
+    return simhash_from_hashes(token_hashes(toks, bits), bits)
 
 
 def ngram_jaccard_pairs(

@@ -1090,8 +1090,15 @@ FROM (SELECT doc_id, {hs} AS hs FROM documents)
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (16-bit) over the token multiset; equal signatures
     = hamming-0 dup buckets, bit-bands widen the radius at scale."""
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash(tokenize("text")).alias("simhash16"))
+    from pandemic_knowledge_spark.operators.dedup import (
+        simhash_from_hashes,
+        token_hashes,
+    )
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "__hs", token_hashes(tokenize("text"))
+    )
+    return d.select("doc_id", simhash_from_hashes(F.col("__hs")).alias("simhash16"))
 
 
 _NGRAM_ORACLE = """
