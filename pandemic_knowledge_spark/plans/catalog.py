@@ -2152,6 +2152,281 @@ def window_range_7day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q2_min_cost_supplier",
+    oracle="""
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_name,
+       CAST(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS DOUBLE) / 100.0
+         AS min_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_type = 'STANDARD'
+  AND CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) =
+      (SELECT min(CAST(round(l2.l_extendedprice * 100, 0) AS BIGINT))
+       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+ORDER BY min_price DESC, p.p_partkey, s.s_name
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated-min lookup (reshaped onto lineitem — the
+    testdata has no partsupp): for each STANDARD part, the supplier(s) whose
+    line price equals the part's global minimum. The correlated scalar
+    subquery decorrelates to a per-part min aggregate joined back on
+    partkey — one shuffle on the agg, then the min-table (|parts| rows)
+    is the small side everywhere. Ties all survive, as in Q2; integer
+    cents make the equality exact across engines."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    price = cents("l_extendedprice")
+    minp = (
+        li.groupBy(F.col("l_partkey").alias("mp_partkey"))
+        .agg(F.min(price).alias("min_cents"))
+    )
+    return (
+        li.join(
+            minp,
+            (li["l_partkey"] == minp["mp_partkey"]) & (price == F.col("min_cents")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            as_money(F.col("min_cents")).alias("min_price"),
+        )
+        .distinct()
+        .orderBy(F.desc("min_price"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@q(
+    "q11_part_value_concentration",
+    oracle="""
+WITH f AS (
+  SELECT l_partkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem WHERE l_returnflag = 'R'
+), g AS (
+  SELECT l_partkey, sum(c) AS sc FROM f GROUP BY l_partkey
+), t AS (
+  SELECT sum(sc) AS tot, count(*) AS np FROM g
+)
+SELECT g.l_partkey, CAST(g.sc AS DOUBLE) / 100.0 AS part_value
+FROM g, t
+WHERE g.sc * t.np > 2 * t.tot
+ORDER BY part_value DESC, g.l_partkey
+""",
+)
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped value concentration (reshaped: no partsupp, and the
+    threshold is mean-relative — ``part value > 2× the mean part value`` —
+    so the predicate stays selective at every scale factor, where Q11's
+    fixed fraction goes empty as data grows). HAVING against a global
+    scalar: aggregate once by part, aggregate that tiny result to one
+    (total, count) row, broadcast it into the filter. The integer
+    cross-multiply (sc·np > 2·tot) avoids any float threshold drift."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    g = li.groupBy("l_partkey").agg(cents_sum("l_extendedprice").alias("sc"))
+    t = g.agg(F.sum("sc").alias("tot"), F.count(F.lit(1)).alias("np"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .filter(F.col("sc") * F.col("np") > 2 * F.col("tot"))
+        .select("l_partkey", as_money(F.col("sc")).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@q(
+    "q13_order_count_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped order-count distribution: LEFT OUTER join with the
+    filter inside the join condition (predicate on the null-producing side
+    — filtering orders *before* the outer join, which Catalyst also does by
+    pushdown, keeps zero-order customers with c_count = 0 instead of
+    dropping them), then a two-level aggregation: count orders per
+    customer, then count customers per order-count. The second agg's input
+    is |customers| rows of two ints — negligible shuffle."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@q(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_cents_sum('l_extendedprice * (1 - l_discount)', 10000)} AS total_cents
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_cents AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_cents = (SELECT max(total_cents) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: a quarterly revenue view per supplier,
+    kept where revenue equals the view's own max (scalar subquery over the
+    same derived table — computed once on the |suppliers|-row aggregate and
+    broadcast into the filter, so the view is NOT evaluated twice). Integer
+    cents make the max-equality tie semantics exact; all tied suppliers
+    survive, as in Q15."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        cents_sum(disc, 10000).alias("total_cents")
+    )
+    mx = revenue.agg(F.max("total_cents").alias("max_cents"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("max_cents"))
+        .join(F.broadcast(s), s["s_suppkey"] == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            as_money(F.col("total_cents"), 10000).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "q20_heavy_part_suppliers",
+    oracle="""
+SELECT s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+    AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+ORDER BY s.s_name
+""",
+)
+def q20_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested IN (reshaped onto shipped quantities — no
+    partsupp): suppliers who moved > 50 units of some red part in 1997.
+    Inner IN = broadcast LEFT SEMI of the name-filtered part keys onto the
+    date-pruned lineitem scan; the grouped HAVING result collapses to a
+    distinct supplier-key set (tiny), which semi-joins supplier — so the
+    only full-table work is one pruned pass over the fact."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    heavy = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+@q(
+    "q21_single_return_supplier",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 25
+""",
+)
+def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped EXISTS + NOT EXISTS self-joins (returnflag standing
+    in for the missing receipt/commit dates): in finished orders with
+    multiple suppliers, the supplier who was the ONLY one with returned
+    ('R') lines. Instead of two correlated self-joins over the 100 TB fact
+    (what the SQL literally says), one grouped pass computes per-order
+    (distinct suppliers, distinct R-suppliers); l1 rows then join that
+    |orders|-sized summary: n_supp > 1 ≡ EXISTS(other supplier) and
+    n_r_supp = 1 ≡ NOT EXISTS(other R supplier), given l1 itself has 'R'.
+    Three scans of lineitem become two, and no join explodes beyond
+    |orders| rows."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    ordstats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(
+            o.select("o_orderkey"), l1["l_orderkey"] == F.col("o_orderkey"), "left_semi"
+        )
+        .join(ordstats, l1["l_orderkey"] == F.col("os_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
