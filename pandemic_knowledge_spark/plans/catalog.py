@@ -2254,6 +2254,7 @@ FROM c_orders
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """,
+    bench=True,
 )
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q13-shaped order-count distribution: LEFT OUTER join with the
@@ -2305,6 +2306,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01").cast("date"))
+        # explicit on the SHARED base: the supplier join infers this
+        # null-filter on its branch anyway; stating it here keeps both
+        # diamond branches canonically identical so AQE reuses the revenue
+        # shuffle stage instead of scanning the fact twice.
+        & F.col("l_suppkey").isNotNull()
     )
     s = load(spark, sf_dir, "supplier")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -2391,6 +2397,7 @@ GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name
 LIMIT 25
 """,
+    bench=True,
 )
 def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21-shaped EXISTS + NOT EXISTS self-joins (returnflag standing
@@ -2401,27 +2408,37 @@ def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct suppliers, distinct R-suppliers); l1 rows then join that
     |orders|-sized summary: n_supp > 1 ≡ EXISTS(other supplier) and
     n_r_supp = 1 ≡ NOT EXISTS(other R supplier), given l1 itself has 'R'.
-    Three scans of lineitem become two, and no join explodes beyond
-    |orders| rows."""
+    Four scans of lineitem become ONE: a per-(order, supplier) pre-agg
+    counts each supplier's R lines, a per-order roll-up of that (already
+    order-sized) table derives supplier count, R-supplier count, the lone
+    R supplier's key, and its line count — so both EXISTS conditions, the
+    group key, and the count come out of two shrinking aggregations with
+    no fact-to-fact join at all (the naive double countDistinct plans as
+    an Expand that doubles the 100 TB fact before aggregating)."""
     s = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    ordstats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("r_lines")
     )
-    l1 = li.filter(F.col("l_returnflag") == "R")
+    ordstats = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("r_lines") > 0).cast("long")).alias("n_r_supp"),
+        F.sum("r_lines").alias("tot_r_lines"),
+        F.max(F.when(F.col("r_lines") > 0, F.col("l_suppkey"))).alias("r_suppkey"),
+    )
+    qual = ordstats.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
     return (
-        l1.join(
-            o.select("o_orderkey"), l1["l_orderkey"] == F.col("o_orderkey"), "left_semi"
+        qual.join(
+            o.select("o_orderkey"),
+            qual["l_orderkey"] == F.col("o_orderkey"),
+            "left_semi",
         )
-        .join(ordstats, l1["l_orderkey"] == F.col("os_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
-        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(s), F.col("r_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("tot_r_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(25)
     )

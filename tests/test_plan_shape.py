@@ -165,6 +165,81 @@ def test_q22_not_exists_is_anti_join(spark, sf_dir):
     assert "o_totalprice" not in plan  # anti side carries only o_custkey
 
 
+def test_q2_correlated_min_is_decorrelated_agg(spark, sf_dir):
+    """The per-part min 'subquery' is one aggregate over the fact joined
+    back on the key — never a per-row re-scan; part and supplier dims ride
+    in as broadcasts."""
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(p_type,STANDARD)" in pushed_filters(plan)
+
+
+def final_plan_of(spark, sf_dir, name: str) -> str:
+    """Execute and return the FINAL adaptive plan — exchange/stage reuse
+    only materializes at runtime under AQE, so diamond-reuse assertions
+    must look here, not at the initial plan."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q11_threshold_is_one_row_broadcast(spark, sf_dir):
+    """HAVING-vs-global-scalar: the (total, count) threshold is a 1-row
+    broadcast into the per-part aggregate — the returnflag predicate is
+    pushed to the scan, the fact's grouped shuffle is computed once and
+    REUSED for the threshold branch, and nothing re-shuffles to apply it."""
+    plan = plan_of(spark, sf_dir, "q11_part_value_concentration")
+    assert "EqualTo(l_returnflag,R)" in pushed_filters(plan)
+    assert "SortMergeJoin" not in plan
+    assert "Reused" in final_plan_of(spark, sf_dir, "q11_part_value_concentration")
+
+
+def test_q13_outer_join_keeps_condition_inside(spark, sf_dir):
+    """Q13 shape: the priority predicate filters the null-producing side
+    BEFORE the outer join (pushed to the orders scan), never after it —
+    post-join filtering would silently drop zero-order customers."""
+    plan = plan_of(spark, sf_dir, "q13_order_count_distribution")
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in pushed_filters(plan)
+
+
+def test_q15_view_aggregated_once(spark, sf_dir):
+    """The revenue view's grouped shuffle is computed once and REUSED for
+    its own max (the view is not evaluated twice); the date range is pushed
+    to the scan and supplier rides in as a broadcast. Regression guard for
+    the diamond-canonicalization trap: an inferred isnotnull on only one
+    branch silently de-duplicates the reuse and doubles the fact scan."""
+    plan = plan_of(spark, sf_dir, "q15_top_supplier")
+    assert "GreaterThanOrEqual(l_shipdate" in pushed_filters(plan)
+    assert "SortMergeJoin" not in plan
+    assert "Reused" in final_plan_of(spark, sf_dir, "q15_top_supplier")
+
+
+def test_q20_nested_in_is_semi_join_chain(spark, sf_dir):
+    """Nested IN = two LEFT SEMI hops: name-filtered part keys prune the
+    date-pruned fact scan, and the heavy-supplier key set prunes supplier;
+    both name and date predicates reach their scans."""
+    plan = plan_of(spark, sf_dir, "q20_heavy_part_suppliers")
+    assert plan.count("LeftSemi") >= 2
+    pf = pushed_filters(plan)
+    assert "StringContains(p_name,red)" in pf
+    assert "GreaterThanOrEqual(l_shipdate" in pf
+
+
+def test_q21_exists_pair_is_single_grouped_pass(spark, sf_dir):
+    """EXISTS + NOT EXISTS over the same correlation key collapse into two
+    shrinking aggregations over ONE lineitem scan — not the four fact scans
+    the literal SQL implies, and no Expand (the multi-countDistinct plan
+    that doubles the fact before aggregating)."""
+    plan = plan_of(spark, sf_dir, "q21_single_return_supplier")
+    assert plan.count("FileScan parquet") == 3  # lineitem ×1 + orders + supplier
+    assert "Expand" not in plan
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_range_frame_window_is_range_not_rows(spark, sf_dir):
     """The 7-day trailing average must use a RANGE (value-based) frame —
     a ROWS frame would silently change semantics on days with gaps."""
