@@ -1,0 +1,71 @@
+"""Deterministic sampling operators: hash-sample, stratified rates, splits.
+
+The reference has no sampling story at all (its only "bound" is a hardcoded
+1,000-tweet crawl cap, /root/reference/flow/scripts/crawl_tweets.py:19) —
+but a 100 TB training-data pipeline lives on sampling: corpus subsampling,
+per-stratum mixture control, and train/test splits that must be REPRODUCIBLE
+across reruns, engines, and cluster sizes.
+
+Design: membership is a pure function of (salt, row key) — a 60-bit md5
+integer (functions.text.md5_int, identical bytes in every engine) taken
+modulo a permille scale. Consequences that matter at scale:
+
+- Zero shuffle, zero state: sampling is a codegen'd scan-side filter.
+  ``df.sample`` by contrast is seeded per-partition — its membership
+  changes with partitioning/cluster size and cannot be oracle-checked.
+- Stable under reruns and engine changes: the same row lands in the same
+  split everywhere (DuckDB reproduces membership bit-exactly).
+- Distinct salts give independent samples; the split salt is independent
+  of any sampling salt, so subsampling never biases the split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.functions.text import md5_int, md5_int_expr
+
+PERMILLE = 1000
+
+
+def hash_bucket(key: Column, salt: str) -> Column:
+    """Deterministic permille bucket in [0, 1000) for a row key."""
+    return md5_int(F.concat(F.lit(salt + ":"), key.cast("string"))) % PERMILLE
+
+
+def hash_bucket_sql(key_sql: str, salt: str) -> str:
+    """ANSI-SQL fragment computing the same permille bucket as hash_bucket."""
+    salted = f"concat('{salt}:', CAST({key_sql} AS VARCHAR))"
+    return f"{md5_int_expr(salted)} % {PERMILLE}"
+
+
+def hash_sample(df: DataFrame, key: Column, rate_permille: int, salt: str) -> DataFrame:
+    """Keep ~rate_permille/1000 of rows, deterministically by key."""
+    return df.filter(hash_bucket(key, salt) < rate_permille)
+
+
+def stratified_sample(
+    df: DataFrame, key: Column, stratum: Column, rates_permille: dict[str, int],
+    default_permille: int, salt: str,
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. downweight a dominant language).
+
+    The rate lookup is a literal CASE expression — strata stay scan-side,
+    no join, no shuffle; tune the mixture without touching the data.
+    """
+    rate = F.lit(default_permille)
+    for value, permille in sorted(rates_permille.items()):
+        rate = F.when(stratum == value, F.lit(permille)).otherwise(rate)
+    return df.filter(hash_bucket(key, salt) < rate)
+
+
+def hash_split(df: DataFrame, key: Column, train_permille: int, salt: str) -> DataFrame:
+    """Add a 'split' column: 'train' for ~train_permille/1000 of rows by
+    key, 'test' otherwise. A row's split never changes across reruns."""
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(key, salt) < train_permille, F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )

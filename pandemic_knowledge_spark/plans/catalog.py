@@ -63,6 +63,11 @@ from pandemic_knowledge_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from pandemic_knowledge_spark.operators.sampling import (
+    hash_bucket_sql,
+    hash_split,
+    stratified_sample,
+)
 from pandemic_knowledge_spark.operators.joins import (
     anti_join_misses,
     asof_join,
@@ -2441,6 +2446,64 @@ def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("tot_r_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling suite (documents) — deterministic, engine-portable membership
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 200}  # downweight the dominant language
+_MIX_DEFAULT = 500
+
+
+@q(
+    "sample_stratified_corpus",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {hash_bucket_sql('doc_id', 'mix1')} <
+      CASE WHEN lang = 'en' THEN {_MIX_RATES['en']} ELSE {_MIX_DEFAULT} END
+""",
+)
+def sample_stratified_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: stratified corpus subsample with per-language
+    rates (keep 20% of English, 50% of everything else — mixture control
+    for a dominant stratum). Membership = md5(salt:doc_id) permille bucket:
+    a pure scan-side filter — no shuffle, no state, and the SAME rows
+    survive on any cluster size, any rerun, any engine (``df.sample`` can
+    guarantee none of that: its seed is per-partition)."""
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, F.col("doc_id"), F.col("lang"), _MIX_RATES, _MIX_DEFAULT, "mix1"
+    ).select("doc_id", "lang", "source")
+
+
+@q(
+    "sample_train_test_split",
+    oracle=f"""
+SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM (SELECT lang, n_chars,
+             CASE WHEN {hash_bucket_sql('doc_id', 'split1')} < 900
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents)
+GROUP BY split, lang
+""",
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: deterministic 90/10 train/test split audited per
+    language. The split salt is independent of any sampling salt, so
+    subsampling upstream never biases membership; a document's split never
+    changes when the corpus grows (only the key feeds the hash). The audit
+    agg is |splits × langs| rows — nothing at scale."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        hash_split(d, F.col("doc_id"), 900, "split1")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
     )
 
 

@@ -1,0 +1,69 @@
+"""Sampling operators: membership must be a pure function of (salt, key) —
+invariant under partitioning, rerun, and upstream subsampling. These are the
+properties ``df.sample`` cannot give (per-partition seeding) and the reason
+the operators exist (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
+from pandemic_knowledge_spark.tables import load
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_membership_invariant_under_partitioning(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    a = hash_sample(d.repartition(1), F.col("doc_id"), 300, "s1")
+    b = hash_sample(d.repartition(7, "lang"), F.col("doc_id"), 300, "s1")
+    assert _ids(a) == _ids(b)
+    assert len(_ids(a)) > 0
+
+
+def test_rates_nest_and_salts_are_independent(spark, sf_dir):
+    """A 200‰ sample is a subset of the 500‰ sample under the SAME salt
+    (buckets nest), while a different salt draws a different sample."""
+    d = load(spark, sf_dir, "documents")
+    small = set(_ids(hash_sample(d, F.col("doc_id"), 200, "s1")))
+    big = set(_ids(hash_sample(d, F.col("doc_id"), 500, "s1")))
+    other = set(_ids(hash_sample(d, F.col("doc_id"), 200, "s2")))
+    assert small <= big
+    assert small != other  # astronomically unlikely to collide if independent
+
+
+def test_stratified_rates_apply_per_stratum(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d, F.col("doc_id"), F.col("lang"), {"en": 0}, 1000, "s1"
+    )
+    langs = {r.lang for r in sampled.select("lang").distinct().collect()}
+    assert "en" not in langs  # rate 0 strips the stratum entirely
+    n_non_en = d.filter(F.col("lang") != "en").count()
+    assert sampled.count() == n_non_en  # rate 1000 keeps every other row
+
+
+def test_split_is_total_disjoint_and_stable_under_subsampling(spark, sf_dir):
+    """Every row lands in exactly one split, and a document's split does
+    not change when the corpus is subsampled upstream (only the key feeds
+    the hash)."""
+    d = load(spark, sf_dir, "documents")
+    full = hash_split(d, F.col("doc_id"), 900, "sp1")
+    assert full.count() == d.count()
+    assert set(r.split for r in full.select("split").distinct().collect()) == {
+        "train",
+        "test",
+    }
+    sub = hash_split(
+        hash_sample(d, F.col("doc_id"), 500, "s1"), F.col("doc_id"), 900, "sp1"
+    )
+    joined = sub.alias("a").join(
+        full.alias("b"), F.col("a.doc_id") == F.col("b.doc_id")
+    )
+    assert joined.filter(F.col("a.split") != F.col("b.split")).count() == 0
