@@ -302,3 +302,68 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → (node, rep).
+
+    Cluster-based dedup is the last mile the pairwise operators feed: near-dup
+    PAIRS must become CLUSTERS (transitively — A~B, B~C ⇒ {A,B,C}) with one
+    representative kept per cluster. rep = min node id in the component,
+    deterministic under any partitioning.
+
+    Algorithm: iterative min-label propagation. Each round every node takes
+    the min of its own label and its neighbors' labels; convergence after
+    D rounds where D = max component diameter. Near-dup graphs have tiny,
+    dense components (D ≲ 4), so the loop is a handful of |edges|-sized
+    shuffles — a driver loop over PLANS, never over rows. Each round
+    persists its (small) label table and unpersists the previous one, so
+    lineage stays flat. For adversarial graphs with giant components, the
+    published fix is alternating large-star/small-star rounds (Kiveris et
+    al., "Connected Components in MapReduce", SoCC'14) — same join shape,
+    O(log²) rounds; not needed for bounded near-dup clusters.
+
+    Raises if max_iter rounds don't converge (a correctness signal — it
+    means the graph has a component with diameter > max_iter).
+    """
+    fwd = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    edges = fwd.unionByName(
+        pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).persist()
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct()
+        .withColumn("lab", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["s"], "left")
+            .select(
+                "node",
+                F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
+                (F.col("nlab") < F.col("lab")).alias("__chg"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = new_labels.filter(F.col("__chg")).count()
+        new_labels = new_labels.drop("__chg")
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select("node", F.col("lab").alias("rep"))
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )

@@ -57,6 +57,7 @@ from pandemic_knowledge_spark.operators.aggregates import (
 )
 from pandemic_knowledge_spark.operators.dedup import (
     N_PERM,
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_perm_params,
@@ -2447,6 +2448,42 @@ def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster dedup: near-dup pairs → connected components → representatives
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node
+"""
+
+
+@q("dedup_cluster_reps", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based dedup, the last mile after pairwise detection: MinHash
+    near-dup pairs become transitive clusters (A~B, B~C ⇒ one cluster) via
+    iterative min-label propagation, and every clustered document maps to
+    its cluster representative (min doc_id — deterministic under any
+    partitioning). The Spark side is a driver loop over PLANS (a few
+    |edges|-sized shuffles, diameter-bounded); the oracle reproduces the
+    same fixpoint declaratively with a recursive CTE."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", k=2, threshold=0.5)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
 
 
 # ---------------------------------------------------------------------------
