@@ -64,6 +64,7 @@ from pandemic_knowledge_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from pandemic_knowledge_spark.operators.packing import pack_sequences
 from pandemic_knowledge_spark.operators.sampling import (
     hash_bucket_sql,
     hash_split,
@@ -2484,6 +2485,53 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(d, "doc_id", "text", k=2, threshold=0.5)
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (documents) — docs → fixed-budget training bins
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 1024
+_PACK_BUCKETS = 16
+
+
+def _sql_pack_bucket() -> str:
+    salted = "concat('pack:', CAST(doc_id AS VARCHAR))"
+    return f"{md5_int_expr(salted)} % {_PACK_BUCKETS}"
+
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, n_chars AS cost, {_sql_pack_bucket()} AS bucket,
+         row_number() OVER (PARTITION BY {_sql_pack_bucket()} ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack(bucket, rn, doc_id, cost, bin_in_bucket, fill) AS (
+  SELECT bucket, rn, doc_id, cost, CAST(0 AS BIGINT), cost FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.cost,
+         CASE WHEN p.fill + d.cost <= {_PACK_BUDGET}
+              THEN p.bin_in_bucket ELSE p.bin_in_bucket + 1 END,
+         CASE WHEN p.fill + d.cost <= {_PACK_BUDGET}
+              THEN p.fill + d.cost ELSE d.cost END
+  FROM pack p JOIN docs d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+)
+SELECT doc_id, bucket, bin_in_bucket, cost FROM pack
+"""
+
+
+@q("pack_training_bins", oracle=_PACK_ORACLE)
+def pack_training_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: pack documents into fixed-budget bins (next-fit
+    greedy in id order) — the batch/context-window assembly step of a
+    corpus pipeline. Inherently sequential per bin, so it parallelizes by
+    salted hash BUCKET (not Spark partition): grouped Arrow applyInPandas
+    per bucket, results bit-identical on any cluster size. The oracle
+    replays the identical loop as a recursive CTE."""
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, "doc_id", "n_chars", _PACK_BUDGET, n_buckets=_PACK_BUCKETS, salt="pack"
+    )
 
 
 # ---------------------------------------------------------------------------
