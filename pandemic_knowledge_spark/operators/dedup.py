@@ -169,6 +169,55 @@ def _perm_min_aggs(params) -> list[Column]:
     ]
 
 
+def minhash_base(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """(doc_id, hs, mh0..mh15): distinct shingle-hash set + MinHash minima,
+    ONE scan and ONE groupBy (collect_set and the 16 permutation minima
+    aggregate together). This is both the in-flight shape of the pairwise
+    operators and the persisted schema of an incremental signature store —
+    plain columns, so it round-trips through parquet unchanged."""
+    ex = _shingle_hash_rows(docs, id_col, text_col, k)
+    return ex.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hs"),
+        *_perm_min_aggs(minhash_perm_params(N_PERM)),
+    )
+
+
+def _band_rows(base: DataFrame) -> DataFrame:
+    """base → (doc_id, band, bkey): one row per LSH band bucket."""
+    sig_arr = base.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(N_PERM)]).alias("sig")
+    )
+    return sig_arr.select(
+        "doc_id", F.explode(band_keys(F.col("sig"))).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
+def _verify_pairs(cand: DataFrame, base_a: DataFrame, base_b: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    the two sides' distinct shingle-hash sets."""
+    sa = base_a.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = base_b.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+                / F.size(F.array_union("hs_a", "hs_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str,
@@ -192,23 +241,8 @@ def minhash_lsh_pairs(
     sets (md5→61-bit reduction; collisions negligible and the DuckDB oracle
     applies the identical mapping).
     """
-    ex = _shingle_hash_rows(docs, id_col, text_col, k)
-    base = (
-        ex.groupBy("doc_id")
-        .agg(
-            F.collect_set("h").alias("hs"),
-            *_perm_min_aggs(minhash_perm_params(N_PERM)),
-        )
-        .cache()
-    )
-    sig_arr = base.select(
-        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(N_PERM)]).alias("sig")
-    )
-    exploded = sig_arr.select(
-        "doc_id", F.explode(band_keys(F.col("sig"))).alias("bk")
-    ).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-    )
+    base = minhash_base(docs, id_col, text_col, k).cache()
+    exploded = _band_rows(base)
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
@@ -216,23 +250,26 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
-                / F.size(F.array_union("hs_a", "hs_b")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    return _verify_pairs(cand, base, base, threshold)
+
+
+def minhash_pairs_between(
+    base_new: DataFrame, base_old: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two signature sets (doc_a from new, doc_b from
+    old) — the incremental-ingest primitive: new docs LSH-probe a persisted
+    signature store instead of re-pairing the whole corpus. Band buckets
+    equi-join (at scale: store the band rows partitioned by (band, bkey) so
+    the probe prunes to matching buckets); verification is exact Jaccard on
+    the stored hash sets."""
+    a = _band_rows(base_new).alias("a")
+    b = _band_rows(base_old).alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    return verified
+    return _verify_pairs(cand, base_new, base_old, threshold)
 
 
 def token_hashes(toks: Column, bits: int = SIMHASH_BITS) -> Column:

@@ -98,3 +98,101 @@ def news_stream_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_stream_ingest_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    doc_schema: StructType,
+    out_path: str,
+    sig_store: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Incremental corpus ingest with near-dup REJECTION — the daily shape
+    of a training-corpus pipeline: new documents land continuously, and a
+    document is accepted only if it is not a near-duplicate of anything
+    already accepted.
+
+    Per micro-batch (foreachBatch):
+      1. cross-history: the batch's MinHash signatures LSH-probe the
+         persisted signature store (operators.dedup.minhash_pairs_between)
+         — new docs matching an accepted doc at >= threshold are rejected.
+         The store keeps the ``minhash_base`` schema, so probing re-pairs
+         nothing: candidates come from band-bucket equi-joins only. At
+         scale, lay the store out partitioned by (band, bkey) so the probe
+         prunes to matching buckets instead of scanning all signatures.
+      2. within-batch: surviving docs pair among themselves and collapse
+         to clusters (connected_components); only each cluster's min-id
+         representative survives.
+      3. survivors append to the corpus table AND their signatures to the
+         store — the store is the job's only state, readable by any other
+         job (it IS the batch dedup structure, shared, not an opaque
+         streaming-state blob).
+
+    Acceptance is order-dependent by design (first-accepted wins), exactly
+    like the reference's daily re-crawl should have been — its uuid4 doc
+    ids made every 24h re-crawl a duplicate storm
+    (/root/reference/flow/scripts/crawl_tweets.py:52).
+
+    Retry caveat: appends in foreachBatch are at-least-once on task retry;
+    production hardening is batch-id-named output files (idempotent
+    overwrite per batch id), same protocol as sinks.append_parquet_sink.
+    """
+    from pandemic_knowledge_spark.operators.dedup import (
+        _band_rows,
+        _verify_pairs,
+        connected_components,
+        minhash_base,
+        minhash_pairs_between,
+    )
+
+    reader = spark.readStream.schema(doc_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(landing_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.localCheckpoint(eager=True)
+        # Signatures computed ONCE per batch; every later step (history
+        # probe, within-batch pairing, survivor selection) reuses them.
+        base = minhash_base(docs, "doc_id", "text").localCheckpoint(eager=True)
+        # Docs too short to shingle have no signature: nothing can verify
+        # as their near-dup, so they are accepted as-is (never stored).
+        unsigned = docs.join(base.select("doc_id"), "doc_id", "left_anti")
+        try:
+            old = spark.read.parquet(sig_store)
+        except Exception:
+            old = None
+        if old is not None:
+            hit = minhash_pairs_between(base, old, threshold).select("doc_a").distinct()
+            base = base.join(hit, base["doc_id"] == hit["doc_a"], "left_anti")
+        a, b = _band_rows(base).alias("a"), _band_rows(base).alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey")),
+            )
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        pairs = _verify_pairs(cand, base, base, threshold)
+        dropped = connected_components(pairs).filter(F.col("node") != F.col("rep"))
+        base = base.join(dropped, base["doc_id"] == dropped["node"], "left_anti")
+        keep = base.select("doc_id").localCheckpoint(eager=True)
+        accepted = docs.join(keep, "doc_id", "left_semi").unionByName(unsigned)
+        accepted.write.mode("append").parquet(out_path)
+        base.write.mode("append").parquet(sig_store)
+
+    writer = stream.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
