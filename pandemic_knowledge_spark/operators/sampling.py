@@ -69,3 +69,22 @@ def hash_split(df: DataFrame, key: Column, train_permille: int, salt: str) -> Da
             F.lit("test")
         ),
     )
+
+
+def upsample_by_stratum(
+    df: DataFrame,
+    stratum: Column,
+    factors: dict[str, int],
+    default_factor: int = 1,
+) -> DataFrame:
+    """Deterministic upsampling WITH replacement: replicate each row
+    factor(stratum) times, adding a 1-based ``copy`` index — the "epochs
+    per source/language" knob of a training mixture (rare strata repeat,
+    dominant strata don't). A literal CASE picks the factor and
+    ``explode(sequence(...))`` emits the copies scan-side: no shuffle, no
+    state, reproducible everywhere; (key, copy) stays a stable unique id
+    for downstream shuffling/packing."""
+    factor = F.lit(default_factor)
+    for value, n in sorted(factors.items()):
+        factor = F.when(stratum == value, F.lit(n)).otherwise(factor)
+    return df.withColumn("copy", F.explode(F.sequence(F.lit(1), factor)))

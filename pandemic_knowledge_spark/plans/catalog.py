@@ -69,6 +69,7 @@ from pandemic_knowledge_spark.operators.sampling import (
     hash_bucket_sql,
     hash_split,
     stratified_sample,
+    upsample_by_stratum,
 )
 from pandemic_knowledge_spark.operators.joins import (
     anti_join_misses,
@@ -2562,6 +2563,25 @@ def sample_stratified_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         d, F.col("doc_id"), F.col("lang"), _MIX_RATES, _MIX_DEFAULT, "mix1"
     ).select("doc_id", "lang", "source")
+
+
+@q(
+    "sample_upsample_epochs",
+    oracle="""
+SELECT doc_id, lang, CAST(u.copy AS BIGINT) AS copy
+FROM documents,
+     unnest(generate_series(1, CASE WHEN lang = 'en' THEN 1 ELSE 3 END)) AS u(copy)
+""",
+)
+def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: deterministic upsampling with replacement — rare
+    languages repeat 3×, the dominant one once (the epochs-per-stratum
+    mixture knob). explode(sequence) emits copies scan-side: zero shuffle,
+    and (doc_id, copy) is a stable unique id downstream."""
+    d = load(spark, sf_dir, "documents")
+    return upsample_by_stratum(d, F.col("lang"), {"en": 1}, 3).select(
+        "doc_id", "lang", F.col("copy").cast("long").alias("copy")
+    )
 
 
 @q(

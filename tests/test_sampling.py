@@ -67,3 +67,17 @@ def test_split_is_total_disjoint_and_stable_under_subsampling(spark, sf_dir):
         full.alias("b"), F.col("a.doc_id") == F.col("b.doc_id")
     )
     assert joined.filter(F.col("a.split") != F.col("b.split")).count() == 0
+
+
+def test_upsample_factors_and_copy_ids(spark, sf_dir):
+    """Each row repeats factor(stratum) times with copy = 1..factor, so
+    (doc_id, copy) stays unique; factor-1 strata are untouched."""
+    from pandemic_knowledge_spark.operators.sampling import upsample_by_stratum
+
+    d = load(spark, sf_dir, "documents")
+    up = upsample_by_stratum(d, F.col("lang"), {"en": 1}, 3)
+    n_en = d.filter(F.col("lang") == "en").count()
+    n_rest = d.count() - n_en
+    assert up.count() == n_en + 3 * n_rest
+    assert up.select("doc_id", "copy").distinct().count() == up.count()
+    assert up.filter((F.col("lang") == "en") & (F.col("copy") > 1)).count() == 0
