@@ -64,6 +64,7 @@ from pandemic_knowledge_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from pandemic_knowledge_spark.operators.decontamination import contamination_report
 from pandemic_knowledge_spark.operators.packing import pack_sequences
 from pandemic_knowledge_spark.operators.sampling import (
     hash_bucket_sql,
@@ -2609,6 +2610,58 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: train split probed against the eval split's n-grams
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN {hash_bucket_sql('doc_id', 'split1')} < 900
+              THEN 'train' ELSE 'test' END AS split,
+         list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
+  WHERE len(t) >= 2
+), hs AS (
+  SELECT doc_id, split, list_transform(sh, s -> {md5_int_expr('s')} % {HASH_MOD}) AS hs
+  FROM sh
+), ev AS (
+  SELECT DISTINCT unnest(hs) AS h FROM hs WHERE split = 'test'
+), tr AS (
+  SELECT doc_id, unnest(hs) AS h FROM hs WHERE split = 'train'
+), tot AS (
+  SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id
+), hit AS (
+  SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id
+)
+SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_shingles, 6) AS overlap_frac,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_shingles, 6) >= 0.2
+         AS contaminated
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+"""
+
+
+@q("decontaminate_train_split", oracle=_DECON_ORACLE)
+def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: eval-set decontamination (the GPT-3-style overlap
+    check) composed with the deterministic 90/10 split — for every train
+    doc, the fraction of its distinct 2-shingles appearing anywhere in the
+    test split, flagged at >= 0.2. The eval side collapses to a distinct
+    n-gram hash set probed by ONE equi-join on 8-byte hashes — linear,
+    broadcastable when the eval set is small, never pairwise."""
+    d = load(spark, sf_dir, "documents")
+    split = hash_split(d, F.col("doc_id"), 900, "split1")
+    return contamination_report(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "test"),
+        "doc_id",
+        "text",
+        k=2,
+        threshold=0.2,
     )
 
 
