@@ -52,23 +52,26 @@ def contamination_report(
         _distinct_shingle_hash_rows(eval_df, id_col, text_col, k)
         .select("h")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     tr = _distinct_shingle_hash_rows(train, id_col, text_col, k)
-    totals = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        tr.join(ev, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    # ev's h is distinct, so the left join never duplicates a train row:
+    # one pass over the train shingles counts totals AND hits together
+    # (count(*) vs count of the marker) — one scan, one join, one agg.
     return (
-        totals.join(hits, "doc_id", "left")
+        tr.join(ev, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hits"),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_shingles"), 6
-            ).alias("overlap_frac"),
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.col("n_shingles"), 6).alias(
+                "overlap_frac"
+            ),
         )
         .withColumn("contaminated", F.col("overlap_frac") >= threshold)
     )
