@@ -240,6 +240,18 @@ def test_q21_exists_pair_is_single_grouped_pass(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_decontamination_probe_is_single_broadcast_pass(spark, sf_dir):
+    """The eval n-gram set enters as a broadcast build side; the train
+    shingles are scanned ONCE and aggregated once (totals + hits together)
+    — and the whole pipeline stays JVM-side."""
+    plan = plan_of(spark, sf_dir, "decontaminate_train_split")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 2  # train once + eval once
+    for node in PY_EVAL_NODES:
+        assert node not in plan
+
+
 def test_range_frame_window_is_range_not_rows(spark, sf_dir):
     """The 7-day trailing average must use a RANGE (value-based) frame —
     a ROWS frame would silently change semantics on days with gaps."""
