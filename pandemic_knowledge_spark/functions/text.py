@@ -156,3 +156,25 @@ def lang_id(text_col: Column | str, toks: Column | None = None) -> Column:
         best = F.when(better, F.lit(lang)).otherwise(best)
         best_score = F.when(better, score).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+# PII redaction: ordered (pattern, replacement) pairs. Email first so its
+# digits never partially match the phone pattern; phone requires 7+ digit
+# cores so ordinary numbers survive. Patterns are deliberately conservative
+# (corpus hygiene wants low false-positive rates on technical text).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"(?<![\w.])\+?\d[\d().\- ]{6,}\d(?![\w.])", "<PHONE>"),
+]
+
+
+def redact_pii(text_col: str | Column) -> Column:
+    """Mask emails, IPv4 addresses, and phone-shaped digit runs — the
+    corpus-hygiene scrub a public training set needs before anything else.
+    A chain of regexp_replace expressions: scan-side, codegen'd, zero
+    shuffle; DuckDB's regexp_replace(..., 'g') reproduces it for parity."""
+    out = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pattern, replacement in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out

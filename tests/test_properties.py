@@ -135,3 +135,23 @@ def test_text_functions_total_on_arbitrary_text(spark, texts):
         if r.stopword_ratio is not None:
             assert 0.0 <= r.stopword_ratio <= 1.0
         assert r.punct_ratio is not None and r.punct_ratio >= 0.0
+
+
+def test_redact_pii_masks_planted_identifiers(spark):
+    from pandemic_knowledge_spark.functions.text import redact_pii
+
+    rows = spark.createDataFrame(
+        [
+            (1, "contact john.doe+spam@example.co.uk for details"),
+            (2, "server at 192.168.1.250 responded"),
+            (3, "call +1 (415) 555-0199 or 0044 20 7946 0958 now"),
+            (4, "version 1.2 of lib 3 costs 42 dollars in 2024"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.red for r in rows.select("id", redact_pii("text").alias("red")).collect()}
+    assert got[1] == "contact <EMAIL> for details"
+    assert got[2] == "server at <IP> responded"
+    assert got[3] == "call <PHONE> or <PHONE> now"
+    # conservative: versions, small numbers, years survive untouched
+    assert got[4] == "version 1.2 of lib 3 costs 42 dollars in 2024"
