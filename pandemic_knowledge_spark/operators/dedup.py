@@ -232,58 +232,35 @@ def minhash_lsh_pairs(
     sets and kept iff >= threshold. Output: (doc_a, doc_b, jaccard),
     doc_a < doc_b.
 
-    Two pruned passes, each shaped for scale:
+    One tokenize+shingle+md5 pass feeds BOTH the signature aggregation and
+    the verification join: shingles explode to rows so md5 stays codegen'd
+    (HOF lambdas are interpreted — ~10× slower), then ONE groupBy computes
+    the 16 permutation minima AND collect_set(h) together. Single scan,
+    single shuffle (cached via the cache manager for its three consumers);
+    the verify join moves 8-byte hashes instead of shingle strings. Jaccard
+    over distinct hash sets equals Jaccard over shingle sets (md5→61-bit
+    reduction; collisions negligible and the DuckDB oracle applies the
+    identical mapping).
 
-    1. Signature pass: shingles explode to rows (md5 codegen'd as a named
-       column — HOF lambdas run interpreted, ~10× slower) and ONE pure
-       HashAggregate takes the 16 permutation minima. No collect_set here:
-       mixing it in forces ObjectHashAggregateExec out of whole-stage
-       codegen AND shuffles a corpus-sized hash-set payload that mostly
-       nobody reads (measured 2× the whole pipeline locally).
-    2. Verification pass: candidate doc ids (tiny — O(near-dup docs))
-       semi-join-prune the corpus BEFORE re-shingling, so the collect_set
-       aggregate builds hash sets for candidate docs only. The verify join
-       moves 8-byte hashes, never shingle strings.
-
-    Jaccard over distinct hash sets equals Jaccard over shingle sets
-    (md5→61-bit reduction; collisions negligible and the DuckDB oracle
-    applies the identical mapping).
+    Scale note: at cluster scale the collect_set payload for ALL docs is
+    the dominant shuffle; the variant that wins there computes hash sets
+    only for CANDIDATE docs (signatures-only aggregate → band join →
+    semi-join-pruned second pass, cf. minhash_pairs_between probing a
+    persisted store). Measured locally, the single-pass form is both
+    faster and far more run-to-run stable, so it stays the default; the
+    incremental path (streaming.jobs.corpus_stream_ingest_dedup) already
+    IS the store-probing form.
     """
-    sig = (
-        _shingle_hash_rows(docs, id_col, text_col, k)
-        .groupBy("doc_id")
-        .agg(*_perm_min_aggs(minhash_perm_params(N_PERM)))
-        # Materialize: 17 longs per doc (the partial-aggregated survivor of
-        # the shingle explosion) feeds both band sides; at cluster scale
-        # this is the table you'd persist as the signature store.
-        .localCheckpoint(eager=True)
-    )
-    exploded = _band_rows(sig)
+    base = minhash_base(docs, id_col, text_col, k).cache()
+    exploded = _band_rows(base)
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        # Materialize: O(near-dup pairs) rows feed THREE consumers (both
-        # verify sides' pruning + the verify join itself) — without this
-        # the whole signature pipeline re-executes per consumer.
-        .localCheckpoint(eager=True)
     )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("cid"))
-        .union(cand.select(F.col("doc_b")))
-        .distinct()
-    )
-    cand_docs = docs.join(
-        cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
-    )
-    hs = (
-        _shingle_hash_rows(cand_docs, id_col, text_col, k)
-        .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("hs"))
-    )
-    return _verify_pairs(cand, hs, hs, threshold)
+    return _verify_pairs(cand, base, base, threshold)
 
 
 def minhash_pairs_between(
