@@ -2453,6 +2453,46 @@ def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "window_gap_islands",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+  FROM events
+)
+SELECT user_id, event_type, count(*) AS run_len, min(event_id) AS first_event
+FROM seq
+GROUP BY user_id, event_type, grp
+HAVING count(*) >= 3
+""",
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-islands (the classic sessionize-in-SQL idiom): maximal runs
+    of consecutive same-type events per user via the difference of two
+    row_numbers — one partitioned sort produces both numberings, the
+    difference is constant exactly within an unbroken run, and a grouped
+    count measures each island. (ts, event_id) makes the ordering total,
+    so results are deterministic under any partitioning. Runs >= 3 kept."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn(
+            "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("first_event"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .drop("grp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cluster dedup: near-dup pairs → connected components → representatives
 # ---------------------------------------------------------------------------
