@@ -57,3 +57,38 @@ def test_nextfit_opens_new_bin_exactly_on_overflow(spark):
     out = pack_sequences(rows, "doc_id", "n_chars", BUDGET, n_buckets=1)
     by_id = {r.doc_id: r.bin_in_bucket for r in out.collect()}
     assert by_id == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def _nextfit_reference(sorted_costs, budget):
+    bins, bin_id, fill, first = [], 0, 0, True
+    for c in sorted_costs:
+        if first:
+            first, fill = False, c
+        elif fill + c <= budget:
+            fill += c
+        else:
+            bin_id, fill = bin_id + 1, c
+        bins.append(bin_id)
+    return bins
+
+
+def test_pack_matches_pure_python_reference(spark):
+    """Property (hypothesis-style over a generated batch): the distributed
+    applyInPandas packing reproduces a 5-line sequential next-fit exactly,
+    per bucket, for adversarial cost mixes (zeros excluded by contract,
+    oversized docs included)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([1, 50, 1023, 1024, 1025, 5000, rng.randint(1, 2000)]))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = pack_sequences(df, "doc_id", "n_chars", BUDGET, n_buckets=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.bucket, []).append((r.doc_id, r.bin_in_bucket, r.cost))
+    assert sum(len(v) for v in got.values()) == 300
+    for bucket, members in got.items():
+        members.sort()
+        want = _nextfit_reference([c for _, _, c in members], BUDGET)
+        assert [b for _, b, _ in members] == want, f"bucket {bucket} diverges"
