@@ -2455,6 +2455,7 @@ def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "window_gap_islands",
+    bench=True,
     oracle="""
 WITH seq AS (
   SELECT user_id, event_type, event_id,
@@ -2562,7 +2563,10 @@ SELECT doc_id, bucket, bin_in_bucket, cost FROM pack
 """
 
 
-@q("pack_training_bins", oracle=_PACK_ORACLE)
+@q(
+    "pack_training_bins",
+    bench=True,
+    oracle=_PACK_ORACLE)
 def pack_training_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data op: pack documents into fixed-budget bins (next-fit
     greedy in id order) — the batch/context-window assembly step of a
@@ -2685,7 +2689,10 @@ FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
 """
 
 
-@q("decontaminate_train_split", oracle=_DECON_ORACLE)
+@q(
+    "decontaminate_train_split",
+    bench=True,
+    oracle=_DECON_ORACLE)
 def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data op: eval-set decontamination (the GPT-3-style overlap
     check) composed with the deterministic 90/10 split — for every train
