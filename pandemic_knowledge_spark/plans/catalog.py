@@ -1110,19 +1110,23 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash_from_hashes(F.col("__hs")).alias("simhash16"))
 
 
-_NGRAM_ORACLE = """
+_NGRAM_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, lang,
          list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sh
   FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
   WHERE len(t) >= 2
+), hs AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(sh, s -> {md5_int_expr('s')} % {HASH_MOD})) AS hs
+  FROM sh
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+       round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
+FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.hs, b.hs))), 6) >= 0.3
 """
 
 
