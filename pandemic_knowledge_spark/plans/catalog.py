@@ -132,7 +132,7 @@ BENCH_QUERY_NAMES: list[str] = []  # filled at the bottom
     "q1_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST({sql_cents_sum('l_extendedprice')} AS DOUBLE) / 100.0 AS sum_base_price,
        CAST({sql_cents_sum('l_extendedprice * (1 - l_discount)', 10000)} AS DOUBLE) / 10000.0 AS sum_disc_price,
        CAST({sql_cents_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000)} AS DOUBLE) / 1000000.0 AS sum_charge,
@@ -1975,7 +1975,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        CAST(o.o_orderdate AS DATE) AS orderdate,
        o.o_totalprice AS totalprice,
-       sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2636,7 +2636,7 @@ def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "sample_train_test_split",
     oracle=f"""
-SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (SELECT lang, n_chars,
              CASE WHEN {hash_bucket_sql('doc_id', 'split1')} < 900
                   THEN 'train' ELSE 'test' END AS split
@@ -2719,3 +2719,57 @@ def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
+
+# ---------------------------------------------------------------------------
+# Driver-facing registry order. The round driver hash-checks queries()[:50]
+# in registry order, so queries that have never had a driver CORRECTNESS row
+# (plus any whose oracle changed this round) are surfaced first; queries
+# already proven green in a previous round's CORRECTNESS_r*.json rotate to
+# the back. Rotate again next round if entries remain unchecked.
+# ---------------------------------------------------------------------------
+_DRIVER_PRIORITY = [
+    # never driver-checked as of r1 (registry[50:] last round)
+    "stream_dedup_first",
+    "geo_grid_hotspots",
+    "geo_nearest_customers",
+    "multimodal_byte_stats",
+    "multimodal_media_features",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_rich_customers",
+    "window_range_7day_avg",
+    "q2_min_cost_supplier",
+    "q11_part_value_concentration",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q20_heavy_part_suppliers",
+    "q21_single_return_supplier",
+    "window_gap_islands",
+    "dedup_cluster_reps",
+    "pack_training_bins",
+    "sample_stratified_corpus",
+    "sample_upsample_epochs",
+    "sample_train_test_split",
+    "decontaminate_train_split",
+    # oracle or query changed this round -> needs a fresh green row
+    "q1_pricing_summary",
+    "agg_approx_distinct_users",
+]
+
+
+def _reorder_registry() -> None:
+    head = {n: REGISTRY[n] for n in _DRIVER_PRIORITY if n in REGISTRY}
+    tail = {n: s for n, s in REGISTRY.items() if n not in head}
+    REGISTRY.clear()
+    REGISTRY.update(head)
+    REGISTRY.update(tail)
+
+
+_reorder_registry()

@@ -52,9 +52,14 @@ def compare_query(spark, sf_dir: str, fn, oracle: str):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_conn(sf_dir)
-    cur = con.execute(oracle)
-    d_cols = [c[0] for c in cur.description]
-    d_rows = cur.fetchall()
+    # Fetch via arrow, not fetchall(): the driver's compare goes through an
+    # arrow path, where DuckDB's HUGEINT (e.g. sum(BIGINT)) surfaces as
+    # decimal128 instead of a Python int. fetchall() silently converts
+    # HUGEINT -> int and masks exactly that class of oracle type bug.
+    tbl = con.execute(oracle).arrow()
+    d_cols = list(tbl.schema.names)
+    cols_pylist = [tbl.column(c).to_pylist() for c in d_cols]
+    d_rows = list(zip(*cols_pylist)) if d_cols else []
     con.close()
 
     s_cols_sorted, s_set = rowset(s_cols, s_rows)
