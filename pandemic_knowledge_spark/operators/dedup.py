@@ -18,8 +18,16 @@ Scale design:
   the quadratic term is bounded per block (the brute-force baseline the
   LSH paths approximate).
 
-All hashes derive from md5 (identical bytes in every engine) reduced mod a
-61-bit-safe prime, so the DuckDB oracle reproduces values exactly — see
+All hashes derive from md5 (identical bytes in every engine) reduced mod
+HASH_MOD = 1_000_000_007 — a ~30-bit space, NOT 61-bit: the prime must be
+small enough that the minhash update a*h + b stays inside int64 (a, b < P,
+so a*h + b < P² ≈ 2^60). Birthday collisions among distinct shingles are
+expected from ~30k distinct shingles onward, so at corpus scale shingle
+collisions slightly INFLATE Jaccard/containment estimates — consistently on
+both engines (the oracle applies the same reduction), so parity holds, and
+LSH candidate verification bounds the damage to the estimate, not to
+correctness of the equi-join. If tighter estimates matter, combine two
+independent 30-bit reductions into a 60-bit effective key. See
 functions.text.md5_int.
 """
 

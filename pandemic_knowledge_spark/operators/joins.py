@@ -107,11 +107,26 @@ def asof_join(
     """
     keys = list(on)
     lcols = [c for c in left.columns]
+    # Carry ONE struct of all payload columns (not each column through its
+    # own last(ignorenulls)): per-column carries could mix payloads from
+    # DIFFERENT right rows whenever a right row holds nulls in some payload
+    # columns — a row-inconsistent as-of match. The struct is non-null
+    # exactly for right rows, so one carry selects one whole matched row.
+    payload_struct = F.struct(
+        *[F.col(p).alias(p) for p in right_payload]
+    )
+    null_struct = F.lit(None).cast(
+        "struct<"
+        + ",".join(
+            f"{p}:{right.schema[p].dataType.simpleString()}" for p in right_payload
+        )
+        + ">"
+    )
     l = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__r_{p}") for p in right_payload],
+        null_struct.alias("__r"),
     )
     # tie order at equal timestamps: for strict '<' the right row must sort
     # AFTER the left row (so it is not visible); for '<=' it sorts before.
@@ -121,7 +136,7 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
         F.col(right_time).alias("__t"),
         F.lit(r_tie).alias("__is_left"),
-        *[F.col(p).alias(f"__r_{p}") for p in right_payload],
+        payload_struct.alias("__r"),
     ).select(*l.columns)  # align column order
     unioned = l.unionByName(r)
     w = (
@@ -132,12 +147,15 @@ def asof_join(
     carried = unioned.select(
         *lcols,
         F.col("__is_left"),
-        *[
-            F.last(F.col(f"__r_{p}"), ignorenulls=True).over(w).alias(p + "_asof")
-            for p in right_payload
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r_asof"),
     )
-    return carried.where(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        carried.where(F.col("__is_left") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"__r_asof.{p}").alias(p + "_asof") for p in right_payload],
+        )
+    )
 
 
 def range_join(

@@ -48,14 +48,26 @@ def pack_sequences(
     salt: str = "pack",
 ) -> DataFrame:
     """(id, cost) → (id, bucket, bin_in_bucket): next-fit greedy packing
-    per hash bucket, in id order. Output is partitioning-invariant."""
+    per hash bucket, in id order. Output is partitioning-invariant.
+
+    The id keeps its original type (a blanket cast-to-long would turn
+    non-numeric ids into nulls, silently corrupting bucket assignment and
+    the in-bucket order the next-fit semantics depend on); null ids fail
+    fast instead of packing nondeterministically.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
     rows = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         F.col(cost_col).cast("long").alias("cost"),
         pack_bucket(F.col(id_col), n_buckets, salt).alias("bucket"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["doc_id"].isna().any():
+            raise ValueError(
+                f"pack_sequences: null values in id column {id_col!r}; "
+                "packing order would be nondeterministic"
+            )
         pdf = pdf.sort_values("doc_id")
         bins: list[int] = []
         bin_id, fill = 0, 0
@@ -72,5 +84,5 @@ def pack_sequences(
         return pdf[["doc_id", "bucket", "bin_in_bucket", "cost"]]
 
     return rows.groupBy("bucket").applyInPandas(
-        pack, "doc_id long, bucket long, bin_in_bucket long, cost long"
+        pack, f"doc_id {id_type}, bucket long, bin_in_bucket long, cost long"
     )

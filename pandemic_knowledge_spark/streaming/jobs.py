@@ -164,10 +164,13 @@ def corpus_stream_ingest_dedup(
         # Docs too short to shingle have no signature: nothing can verify
         # as their near-dup, so they are accepted as-is (never stored).
         unsigned = docs.join(base.select("doc_id"), "doc_id", "left_anti")
-        try:
-            old = spark.read.parquet(sig_store)
-        except Exception:
-            old = None
+        # Missing store == first batch ever: that exact condition is checked
+        # explicitly. Any OTHER read failure (permissions, partial write from
+        # a crash, schema drift) must re-raise — swallowing it would silently
+        # disable cross-history dedup and admit duplicates into the corpus.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(sig_store)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        old = spark.read.parquet(sig_store) if fs.exists(jvm_path) else None
         if old is not None:
             hit = minhash_pairs_between(base, old, threshold).select("doc_a").distinct()
             base = base.join(hit, base["doc_id"] == hit["doc_a"], "left_anti")

@@ -50,15 +50,31 @@ class AtomicTable:
         except FileNotFoundError:
             return None
 
+    @staticmethod
+    def _seq_of(name: str) -> int:
+        try:
+            return int(name.split("-")[1])
+        except (IndexError, ValueError):
+            return -1
+
     def _versions(self) -> list[str]:
-        return sorted(
+        """Version directories ordered by publish recency (mtime, then
+        sequence number as tie-break), oldest first. Lexicographic name
+        order is NOT publish order once sequences collide — the uuid
+        suffix would shuffle same-seq versions arbitrarily."""
+        names = [
             d for d in os.listdir(self.root)
             if d.startswith("v-") and os.path.isdir(os.path.join(self.root, d))
+        ]
+        return sorted(
+            names,
+            key=lambda d: (os.path.getmtime(os.path.join(self.root, d)),
+                           self._seq_of(d), d),
         )
 
     def overwrite(self, df: DataFrame) -> str:
         """Write df as a new version, then atomically repoint _CURRENT."""
-        seq = len(self._versions())
+        seq = max((self._seq_of(v) for v in self._versions()), default=-1) + 1
         version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
         df.write.mode("errorifexists").parquet(os.path.join(self.root, version))
         tmp = self._manifest + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -69,8 +85,10 @@ class AtomicTable:
         return version
 
     def _gc(self, keep: str) -> None:
-        """Drop all but the newest ``keep_versions`` directories (never the
-        one just published)."""
+        """Drop all but the newest ``keep_versions`` directories by publish
+        recency (never the one just published). With the default
+        keep_versions=2 the immediately-previous version always survives
+        for in-flight readers that resolved _CURRENT just before the swap."""
         import shutil
 
         versions = [v for v in self._versions() if v != keep]

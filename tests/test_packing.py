@@ -59,6 +59,31 @@ def test_nextfit_opens_new_bin_exactly_on_overflow(spark):
     assert by_id == {1: 0, 2: 0, 3: 0, 4: 1}
 
 
+def test_string_ids_pack_without_corruption(spark):
+    """Regression (round-2 advice): non-numeric ids must keep their identity
+    — the old cast-to-long turned them ALL into nulls, collapsing bucket
+    assignment and in-bucket order."""
+    rows = spark.createDataFrame(
+        [("doc-a", 600), ("doc-b", 500), ("doc-c", 24)],
+        "doc_id string, n_chars long",
+    )
+    out = pack_sequences(rows, "doc_id", "n_chars", BUDGET, n_buckets=1)
+    got = sorted((r.doc_id, r.bin_in_bucket) for r in out.collect())
+    # id order doc-a, doc-b, doc-c: 600 then 500 overflows -> new bin; 24 joins it
+    assert got == [("doc-a", 0), ("doc-b", 1), ("doc-c", 1)]
+    assert dict(out.dtypes)["doc_id"] == "string"
+
+
+def test_null_ids_fail_fast(spark):
+    import pytest
+
+    rows = spark.createDataFrame(
+        [(None, 600), ("doc-b", 500)], "doc_id string, n_chars long"
+    )
+    with pytest.raises(Exception, match="null values in id column"):
+        pack_sequences(rows, "doc_id", "n_chars", BUDGET, n_buckets=1).collect()
+
+
 def _nextfit_reference(sorted_costs, budget):
     bins, bin_id, fill, first = [], 0, 0, True
     for c in sorted_costs:

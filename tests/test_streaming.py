@@ -183,6 +183,27 @@ def test_atomic_swap_never_exposes_empty(spark, events_batch, tmp_path):
     assert t.current_version() in versions
 
 
+def test_atomic_swap_retains_previous_version(spark, events_batch, tmp_path):
+    """Regression (round-2 advice): the version sequence must keep advancing
+    past keep_versions publishes, and GC must retain the IMMEDIATELY-previous
+    version (publish recency, not lexicographic name order) so a reader that
+    resolved _CURRENT just before a publish can still scan its directory."""
+    t = AtomicTable(str(tmp_path / "atomic"), keep_versions=2)
+    published = []
+    for i in range(6):
+        prev = t.current_version()
+        v = t.overwrite(events_batch.limit(i + 1))
+        published.append(v)
+        live = {d for d in os.listdir(t.root) if d.startswith("v-")}
+        assert v in live
+        if prev is not None:
+            assert prev in live, f"previous version {prev} GC'd on publish {i}"
+        assert len(live) <= 2
+    # sequence numbers strictly increase (no stall at keep_versions)
+    seqs = [int(v.split("-")[1]) for v in published]
+    assert seqs == sorted(set(seqs)) and len(seqs) == 6
+
+
 def test_atomic_overwrite_sink_stream(spark, events_batch, landing, tmp_path):
     """W3 via foreachBatch: every micro-batch publishes a complete version."""
     t = AtomicTable(str(tmp_path / "sink_table"))
