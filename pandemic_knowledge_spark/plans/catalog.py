@@ -79,7 +79,12 @@ from pandemic_knowledge_spark.operators.joins import (
     multikey_lookup_join,
     semi_join_hits,
 )
-from pandemic_knowledge_spark.operators.search import bm25_search, sql_bm25_search
+from pandemic_knowledge_spark.operators.search import (
+    bm25_search,
+    bm25_search_fields,
+    sql_bm25_search,
+    sql_bm25_search_fields,
+)
 from pandemic_knowledge_spark.operators.skew import salted_agg
 from pandemic_knowledge_spark.operators.similarity import (
     ivf_topk,
@@ -712,13 +717,35 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("agg_approx_distinct_users")  # approx sketch differs per engine → rows-only check
+@q(
+    "agg_approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+)
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 — HLL++ approx distinct (the ES cardinality agg idiom). No oracle:
-    sketch estimates are engine-specific by design."""
+    """A6 — HLL++ approx distinct (the ES cardinality agg idiom). Raw sketch
+    estimates are engine-specific, so the checkable form emits the exact
+    count plus a bounded-error boolean: |approx - exact| / exact <= 0.05
+    (HLL++ at rsd=0.01 comfortably clears it). The oracle computes the exact
+    side and asserts the bound as a constant — so the hash check certifies
+    both the exact aggregation AND that the sketch estimate is within
+    tolerance. At 100 TB the approx side is the cheap first pass; the exact
+    side is the one full shuffle you'd avoid in production dashboards."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01).cast("double")
+                - F.count_distinct(F.col("user_id")).cast("double")
+            )
+            / F.count_distinct(F.col("user_id")).cast("double")
+            <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -1395,6 +1422,31 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — relevance-ranked search (ES multi_match capability) as BM25."""
     d = load(spark, sf_dir, "documents")
     return bm25_search(d, "doc_id", "text", _BM25_QUERY, k=10)
+
+
+@q(
+    "text_search_bm25_fields",
+    oracle=sql_bm25_search_fields(
+        "documents",
+        "doc_id",
+        {"title": "substr(text, 1, 80)", "body": "substr(text, 81)"},
+        _BM25_QUERY,
+        10,
+    ),
+)
+def text_search_bm25_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — multi-field `best_fields` relevance search, the reference's
+    actual query shape (`multi_match {type: best_fields, lenient: true}`
+    over every field of news_*, /root/reference/news_app/app/app/src/
+    SearchUI.js:22-27): each field is its own BM25 corpus; a doc ranks by
+    its best single field (`greatest` across fields, SURVEY §2.9 X3).
+    Title/body are derived from `text` identically in both engines."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("substr(text, 1, 80)").alias("title"),
+        F.expr("substr(text, 81)").alias("body"),
+    )
+    return bm25_search_fields(d, "doc_id", ["title", "body"], _BM25_QUERY, k=10)
 
 
 @q(
@@ -2761,6 +2813,8 @@ _DRIVER_PRIORITY = [
     # oracle or query changed this round -> needs a fresh green row
     "q1_pricing_summary",
     "agg_approx_distinct_users",
+    # new this round
+    "text_search_bm25_fields",
 ]
 
 

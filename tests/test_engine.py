@@ -50,6 +50,36 @@ def test_highlight_whole_word_only(spark):
     assert got == "**the** theme of them"
 
 
+def test_best_fields_is_greatest_of_per_field_bm25(spark, sf_dir):
+    """best_fields semantics: with tie_breaker=0, a doc's score is exactly
+    the max of scoring each field as its own BM25 corpus."""
+    from pandemic_knowledge_spark.operators.search import (
+        bm25_search,
+        bm25_search_fields,
+    )
+    from pandemic_knowledge_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("substr(text, 1, 80)").alias("title"),
+        F.expr("substr(text, 81)").alias("body"),
+    ).cache()
+    q = "spark join stream window"
+    k = 10
+    got = {
+        r.doc_id: r.score
+        for r in bm25_search_fields(d, "doc_id", ["title", "body"], q, k=k).collect()
+    }
+    per_field = {}
+    n = d.count()
+    for fcol in ("title", "body"):
+        for r in bm25_search(d, "doc_id", fcol, q, k=n).collect():
+            per_field[r.doc_id] = max(per_field.get(r.doc_id, 0.0), r.score)
+    want = dict(sorted(per_field.items(), key=lambda kv: (-kv[1], kv[0]))[:k])
+    assert got == want
+    d.unpersist()
+
+
 def test_sql_door(engine):
     n = engine.sql("SELECT count(*) AS n FROM nation").first().n
     assert n == 25
