@@ -60,6 +60,7 @@ from pandemic_knowledge_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_pruned,
     minhash_perm_params,
     ngram_jaccard_pairs,
     simhash,
@@ -1108,6 +1109,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified at τ=0.5 over distinct 2-shingles."""
     d = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", k=2, threshold=0.5)
+
+
+@q("dedup_minhash_lsh_pruned", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pruned two-pass MinHash+LSH — identical output to
+    dedup_minhash_lsh, but the hash-set shuffle touches only candidate docs
+    (the 100 TB shape; see operators.dedup.minhash_lsh_pairs_pruned)."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_pruned(d, "doc_id", "text", k=2, threshold=0.5)
 
 
 def _sql_simhash() -> str:
@@ -2815,6 +2825,7 @@ _DRIVER_PRIORITY = [
     "agg_approx_distinct_users",
     # new this round
     "text_search_bm25_fields",
+    "dedup_minhash_lsh_pruned",
 ]
 
 

@@ -7,7 +7,48 @@ from __future__ import annotations
 
 import pytest
 
-from pandemic_knowledge_spark.operators.dedup import connected_components
+from pandemic_knowledge_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_pruned,
+)
+from pandemic_knowledge_spark.tables import load
+
+
+def test_minhash_pruned_two_pass_matches_single_pass(spark, sf_dir):
+    """The candidate-pruned two-pass form (signatures-only agg -> band join
+    -> semi-join-pruned hash-set pass) must emit EXACTLY the single-pass
+    pairs — it prunes shuffle payload, never candidates."""
+    d = load(spark, sf_dir, "documents")
+    one = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(d, "doc_id", "text", k=2, threshold=0.5).collect()
+    }
+    two = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_pruned(d, "doc_id", "text", k=2, threshold=0.5).collect()
+    }
+    assert one == two and len(one) > 0
+
+
+def test_minhash_pruned_collect_set_only_touches_candidates(spark, sf_dir):
+    """Scale gate: in the pruned variant's plan, the collect_set aggregation
+    must sit ABOVE a left-semi join on candidate ids — the corpus-wide
+    hash-set shuffle is what this variant exists to avoid."""
+    d = load(spark, sf_dir, "documents")
+    plan = (
+        minhash_lsh_pairs_pruned(d, "doc_id", "text", k=2, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan
+    # collect_set appears only in aggregates downstream of the semi join
+    # (single-pass minhash_base has no semi join at all)
+    semi_pos = plan.find("LeftSemi")
+    cs_pos = plan.find("collect_set")
+    assert cs_pos != -1
+    # executedPlan prints top-down: the aggregate consuming the semi join
+    # appears BEFORE (above) the join node it reads from.
+    assert cs_pos < semi_pos
 
 
 def test_connected_components_transitive_chain(spark):
