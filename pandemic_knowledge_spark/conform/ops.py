@@ -83,6 +83,91 @@ def parse_date_multi(col: Column | str) -> Column:
     return F.struct(day.alias("date_start"), end.alias("date_end"))
 
 
+# Free-form residue formats, tried in order after the three declared
+# patterns miss. Mirrors the reference's dateparser fallback
+# (/root/reference/flow/scripts/insert_owid.py:62-69) with an explicit,
+# deterministic format table instead of a heuristic library: day-first for
+# numeric forms (the reference's sources are French), month-name forms in
+# English both orders, plus compact ISO.
+_FUZZY_FORMATS = (
+    "%d %B %Y",      # 25 December 2021
+    "%d %b %Y",      # 25 Dec 2021
+    "%B %d, %Y",     # December 25, 2021
+    "%b %d, %Y",     # Dec 25, 2021
+    "%d-%m-%y",      # 25-12-21 (day-first, 2-digit year)
+    "%Y%m%d",        # 20211225
+    "%d %B, %Y",     # 25 December, 2021
+    "%Y-%m",         # 2021-12 -> first of month
+)
+
+
+def fuzzy_parse_date_udf():
+    """Arrow-batched pandas_udf parsing free-form date strings the three
+    declared patterns miss (SURVEY P2 residue path). Vectorized per Arrow
+    batch — never row-at-a-time over the full column; runs ONLY on the
+    residue rows (see parse_date_total), which on conformant feeds is a
+    tiny fraction. Returns null for still-unparsable input so callers can
+    quarantine (W4), never raise."""
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _parse_one(s):
+        if s is None:
+            return None
+        s = " ".join(str(s).split())
+        for fmt in _FUZZY_FORMATS:
+            try:
+                return _dt.datetime.strptime(s, fmt).date()
+            except ValueError:
+                continue
+        return None
+
+    def _fuzzy(col):
+        # Per-batch memoization: free-form feeds repeat a few distinct
+        # strings (report dates), so parse each distinct value once.
+        uniq = {v: _parse_one(v) for v in col.dropna().unique()}
+        return col.map(lambda v: uniq.get(v))
+
+    # Real annotation objects, not strings: this module uses
+    # `from __future__ import annotations`, under which inline hints become
+    # strings that pyspark's pandas_udf type-hint resolver rejects.
+    _fuzzy.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_fuzzy, "date")
+
+
+def parse_date_total(
+    df: DataFrame, col: Column | str, out: str = "date_span"
+) -> tuple[DataFrame, DataFrame]:
+    """P2 + W4 — TOTAL date conform: declared patterns first (pure JVM
+    expressions), the Arrow pandas_udf fuzzy fallback only on the residue,
+    and still-unparsable rows routed to a quarantine frame instead of being
+    silently dropped. Returns (conformed, quarantined); the union of the
+    two preserves every input row.
+
+    Plan shape: the fuzzy UDF is guarded by the null-struct condition, so
+    on a conformant 100 TB feed the Python stage sees only the residue
+    rows' strings — the declared-pattern hot path stays in codegen."""
+    raw = _c(col)
+    base = df.withColumn("__declared", parse_date_multi(raw))
+    fuzzy = fuzzy_parse_date_udf()
+    fuzzy_day = F.when(
+        F.col("__declared.date_start").isNull() & raw.isNotNull(), fuzzy(raw.cast("string"))
+    )
+    span = F.when(
+        F.col("__declared.date_start").isNotNull(), F.col("__declared")
+    ).otherwise(
+        F.struct(
+            fuzzy_day.alias("date_start"), fuzzy_day.alias("date_end")
+        )
+    )
+    parsed = base.withColumn(out, span).drop("__declared")
+    good = parsed.filter(F.col(f"{out}.date_start").isNotNull())
+    quarantined = parsed.filter(F.col(f"{out}.date_start").isNull()).drop(out)
+    return good, quarantined
+
+
 def iso_week_span(ts: Column | str) -> tuple[Column, Column]:
     """Week-grain span of a timestamp: (monday, monday+6) — the conformed
     shape of the reference's ISO-week rows (parse_insert.py:58-64)."""

@@ -90,6 +90,45 @@ def get_spark(
             os.environ.get("PK_WAREHOUSE_DIR", "/tmp/pk-warehouse"),
         )
     )
+    if os.environ.get("PK_S3_ENDPOINT"):
+        builder = _with_s3a_conf(builder)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def _with_s3a_conf(builder):
+    """Wire the s3a connector for an S3-compatible object store (the
+    reference's flagship flow lists a MinIO bucket,
+    /root/reference/flow/scripts/insert_owid.py:203-214).
+
+    Driven entirely by standard environment variables so no credential ever
+    lands in code or logs:
+
+    - ``PK_S3_ENDPOINT``    — endpoint URL (e.g. a MinIO host); enables the block
+    - ``AWS_ACCESS_KEY_ID`` / ``AWS_SECRET_ACCESS_KEY`` — picked up by the
+      default hadoop-aws credential chain; only passed through here if set
+    - ``PK_S3_PATH_STYLE``  — "true" for path-style addressing (MinIO default)
+
+    The hadoop-aws + aws-sdk jars ship with Spark distributions built with
+    the hadoop-cloud profile; on clusters they come from the site classpath.
+    All reads then accept ``s3a://bucket/key`` URIs in every source
+    (sources.resolve handles the scheme dispatch).
+    """
+    endpoint = os.environ["PK_S3_ENDPOINT"]
+    builder = (
+        builder.config("spark.hadoop.fs.s3a.endpoint", endpoint)
+        .config(
+            "spark.hadoop.fs.s3a.path.style.access",
+            os.environ.get("PK_S3_PATH_STYLE", "true"),
+        )
+        .config("spark.hadoop.fs.s3a.connection.maximum", "64")
+        # Fail fast locally instead of the 7×/20 s default retry ladder.
+        .config("spark.hadoop.fs.s3a.attempts.maximum", "3")
+    )
+    key, secret = os.environ.get("AWS_ACCESS_KEY_ID"), os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if key and secret:
+        builder = builder.config("spark.hadoop.fs.s3a.access.key", key).config(
+            "spark.hadoop.fs.s3a.secret.key", secret
+        )
+    return builder

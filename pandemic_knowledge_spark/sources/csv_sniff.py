@@ -16,18 +16,63 @@ from __future__ import annotations
 import csv
 from collections import defaultdict
 from collections.abc import Sequence
+from urllib.parse import urlsplit
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _DELIMITERS = ",;\t|"
 
+#: URI schemes whose prefix read goes through the local filesystem directly.
+_LOCAL_SCHEMES = ("", "file")
 
-def sniff_dialect(path: str, sample_bytes: int = 10_240) -> dict[str, str]:
+
+def read_prefix(
+    path: str, n_bytes: int, spark: SparkSession | None = None
+) -> str:
+    """First ``n_bytes`` of ``path``, scheme-aware.
+
+    Bare paths and ``file://`` URIs read via the local filesystem; any other
+    scheme (``s3a://`` object stores — the reference's MinIO bucket listing,
+    insert_owid.py:203-214 — ``hdfs://``, ...) goes through the Hadoop
+    FileSystem API of the active Spark session, so whatever store the
+    session is configured for (see session._with_s3a_conf) works without a
+    separate client library. The sniff stays a driver-side prefix read
+    either way — the distributed scan is spark.read.csv."""
+    scheme = urlsplit(path).scheme
+    # Windows drive letters aside, a one-char scheme is a path, not a URI.
+    if scheme.lower() in _LOCAL_SCHEMES or len(scheme) <= 1:
+        local = path[len("file://"):] if scheme.lower() == "file" else path
+        with open(local, newline="", encoding="utf-8", errors="replace") as f:
+            return f.read(n_bytes)
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            f"read_prefix: scheme {scheme!r} needs an active SparkSession "
+            "for the Hadoop FileSystem API"
+        )
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jvm_path)
+    try:
+        # One JVM call for the whole prefix (commons-io ships with Spark);
+        # a per-byte py4j loop would cost one round-trip per byte.
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+            stream, min(n_bytes, fs.getFileStatus(jvm_path).getLen())
+        )
+        return bytes(data).decode("utf-8", errors="replace")
+    finally:
+        stream.close()
+
+
+def sniff_dialect(
+    path: str, sample_bytes: int = 10_240, spark: SparkSession | None = None
+) -> dict[str, str]:
     """Sniff (sep, quote) from a file prefix — the reference's 10 kB default
-    (insert_owid.py:163). Falls back to comma/double-quote like csv.excel."""
-    with open(path, newline="", encoding="utf-8", errors="replace") as f:
-        sample = f.read(sample_bytes)
+    (insert_owid.py:163). Falls back to comma/double-quote like csv.excel.
+    Accepts bare paths, ``file://`` URIs, and any Hadoop-supported scheme
+    (``s3a://``, ``hdfs://``)."""
+    sample = read_prefix(path, sample_bytes, spark)
     try:
         d = csv.Sniffer().sniff(sample, delimiters=_DELIMITERS)
         return {"sep": d.delimiter, "quote": d.quotechar}
@@ -55,7 +100,7 @@ def read_csv_sniffed(
     """
     buckets: dict[tuple[str, str], list[str]] = defaultdict(list)
     for p in paths:
-        d = sniff_dialect(p, sample_bytes)
+        d = sniff_dialect(p, sample_bytes, spark)
         buckets[(d["sep"], d["quote"])].append(p)
 
     out: DataFrame | None = None

@@ -56,6 +56,63 @@ def test_parse_date_multi_is_total(spark, values):
             assert span in (0, 6)
 
 
+fuzzy_strings = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(max_size=24),
+        st.dates().map(lambda d: d.strftime("%d %B %Y")),
+        st.dates().map(lambda d: d.strftime("%b %d, %Y")),
+        st.dates().map(lambda d: d.strftime("%Y%m%d")),
+        st.dates().map(str),
+        st.from_regex(r"\d{4}-W\d{1,2}", fullmatch=True),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(fuzzy_strings)
+def test_parse_date_total_never_drops_rows(spark, values):
+    """P2 residue + W4: the fuzzy-fallback conform is TOTAL — every input
+    row lands in exactly one of (conformed, quarantined); no exception, no
+    silent drop; free-form month-name dates that the declared patterns miss
+    are recovered by the pandas_udf fallback."""
+    from pandemic_knowledge_spark.conform.ops import parse_date_total
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               schema="id long, raw string")
+    good, quarantined = parse_date_total(df, "raw")
+    good_ids = {r.id for r in good.select("id").collect()}
+    quar_ids = {r.id for r in quarantined.select("id").collect()}
+    assert good_ids | quar_ids == set(range(len(values)))
+    assert good_ids.isdisjoint(quar_ids)
+    for r in good.select("date_span.*").collect():
+        assert r.date_start is not None
+        assert (r.date_end - r.date_start).days in (0, 6)
+
+
+def test_fuzzy_fallback_recovers_month_name_dates(spark):
+    import datetime
+
+    rows = [
+        (0, "25 December 2021"),
+        (1, "Dec 25, 2021"),
+        (2, "20211225"),
+        (3, "2021-12-25"),   # declared pattern — must NOT go through Python
+        (4, "not a date"),
+        (5, None),
+    ]
+    from pandemic_knowledge_spark.conform.ops import parse_date_total
+
+    df = spark.createDataFrame(rows, "id long, raw string")
+    good, quarantined = parse_date_total(df, "raw")
+    got = {r.id: r.date_span.date_start for r in good.collect()}
+    want_day = datetime.date(2021, 12, 25)
+    assert got == {0: want_day, 1: want_day, 2: want_day, 3: want_day}
+    assert {r.id for r in quarantined.collect()} == {4, 5}
+
+
 NUMERIC_ALPHABET = "0123456789.+- eExyz"  # ascii only: Python float() accepts
 # unicode digits (e.g. '٧') that Spark's cast rejects — a deliberate
 # non-goal, so the generator sticks to the reference's actual input space.

@@ -77,6 +77,46 @@ def test_sniff_dialect(tmp_path):
     assert sniff_dialect(_write(tmp_path, "b.csv", OWID_SEMI_CSV))["sep"] == ";"
 
 
+def test_sniff_dialect_scheme_dispatch(tmp_path):
+    """S1 seam: the sniff accepts file:// URIs, not just bare paths."""
+    from pandemic_knowledge_spark.sources.csv_sniff import read_prefix
+
+    p = _write(tmp_path, "semi.csv", OWID_SEMI_CSV)
+    uri = f"file://{p}"
+    assert sniff_dialect(uri)["sep"] == ";"
+    assert read_prefix(uri, 64) == OWID_SEMI_CSV[:64]
+
+
+def test_read_prefix_hadoop_branch_matches_local(spark, tmp_path):
+    """Drive the JVM FileSystem code path itself (the s3a path shape) by
+    calling it directly on a file: URI."""
+    from pandemic_knowledge_spark.sources import csv_sniff
+
+    p = _write(tmp_path, "comma.csv", OWID_CSV)
+    uri = f"file://{p}"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    assert fs.exists(jvm_path)
+    # monkeypatch the scheme table so the Hadoop branch handles "file"
+    orig = csv_sniff._LOCAL_SCHEMES
+    csv_sniff._LOCAL_SCHEMES = ("",)
+    try:
+        via_hadoop = csv_sniff.read_prefix(uri, 64, spark)
+    finally:
+        csv_sniff._LOCAL_SCHEMES = orig
+    assert via_hadoop == OWID_CSV[:64]
+    assert csv_sniff.sniff_dialect(uri, spark=spark)["sep"] == ","
+
+
+def test_read_csv_sniffed_accepts_file_uris(spark, tmp_path):
+    paths = [
+        f"file://{_write(tmp_path, 'u1.csv', OWID_CSV)}",
+        f"file://{_write(tmp_path, 'u2.csv', OWID_SEMI_CSV)}",
+    ]
+    df = read_csv_sniffed(spark, paths)
+    assert df.count() == 7
+
+
 def test_read_csv_sniffed_mixed_dialects(spark, tmp_path):
     """S3: one logical read over files with different delimiters."""
     paths = [
