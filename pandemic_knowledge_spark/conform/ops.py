@@ -178,10 +178,22 @@ def iso_week_span(ts: Column | str) -> tuple[Column, Column]:
 def numeric_coerce(col: Column | str, default: int = 0) -> Column:
     """P6 — ``int(float(x)) if x else default`` exactly
     (/root/reference/flow/scripts/insert_owid.py:137-141): empty/unparseable
-    → default, else truncate toward zero like Python ``int()``."""
+    → default, else truncate toward zero like Python ``int()``.
+
+    Total on dirty input under ANSI mode (Spark 4 default): NaN/±inf → the
+    default (Python ``int()`` raises on those), and finite doubles beyond
+    int64 saturate to the bounds instead of raising CAST_OVERFLOW — a feed
+    with one '9e99' cell must conform, not kill the job."""
     d = _c(col).try_cast("double")
-    return F.coalesce(
-        F.when(d.isNotNull(), d.cast("long")), F.lit(default).cast("long")
+    i64_hi = float(2**63)  # exact as a double; >= means past max long
+    return (
+        F.when(
+            d.isNull() | F.isnan(d) | (d == F.lit(float("inf"))) | (d == F.lit(float("-inf"))),
+            F.lit(default).cast("long"),
+        )
+        .when(d >= F.lit(i64_hi), F.lit(2**63 - 1))
+        .when(d <= F.lit(-i64_hi), F.lit(-(2**63)))
+        .otherwise(d.cast("long"))
     )
 
 

@@ -145,17 +145,23 @@ def lang_id(text_col: Column | str, toks: Column | None = None) -> Column:
         # param, so defaults-as-closure break higher-order functions
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
-    scores = [
-        (lang, marker_hits(markers)) for lang, markers in sorted(LANG_MARKERS.items())
+    # Argmax via GREATEST over (score, -rank, lang) structs: struct ordering
+    # compares score first, then the negated rank, so ties go to the earlier
+    # language code. Each per-language score expression appears EXACTLY once —
+    # an iterative when(score >= best).otherwise(best) chain duplicates the
+    # running best tree at every step (2^n copies of the interpreted filter
+    # lambdas, no subexpression elimination outside codegen), which measured
+    # ~10× on the curation pipeline.
+    entries = [
+        F.struct(
+            marker_hits(markers).alias("s"),
+            F.lit(-rank).alias("r"),
+            F.lit(lang).alias("l"),
+        )
+        for rank, (lang, markers) in enumerate(sorted(LANG_MARKERS.items()))
     ]
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # iterate in reverse so earlier codes win ties
-    for lang, score in reversed(scores):
-        better = score >= best_score
-        best = F.when(better, F.lit(lang)).otherwise(best)
-        best_score = F.when(better, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    best = F.greatest(*entries)
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 # PII redaction: ordered (pattern, replacement) pairs. Email first so its
