@@ -252,6 +252,89 @@ def test_decontamination_probe_is_single_broadcast_pass(spark, sf_dir):
         assert node not in plan
 
 
+def test_sampling_is_scan_side_zero_shuffle(spark, sf_dir):
+    """Deterministic sampling/upsampling are pure scan-side expressions:
+    membership = md5 permille filter, upsampling = explode(sequence). ZERO
+    exchanges — at 100 TB these ops cost exactly one pass, no shuffle."""
+    for name in ("sample_stratified_corpus", "sample_upsample_epochs"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} shuffles"
+        for node in PY_EVAL_NODES:
+            assert node not in plan
+
+
+def test_split_audit_is_single_partial_agg_shuffle(spark, sf_dir):
+    """The train/test split audit: scan-side split label, then ONE grouped
+    shuffle with map-side partial aggregation (two HashAggregates)."""
+    plan = plan_of(spark, sf_dir, "sample_train_test_split")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_geo_topk_is_take_ordered(spark, sf_dir):
+    """Nearest-k by distance = per-partition heap + driver merge, never a
+    global sort; the distance expression stays JVM-side."""
+    plan = plan_of(spark, sf_dir, "geo_nearest_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_gap_islands_is_one_partitioned_sort(spark, sf_dir):
+    """Gap-and-islands: both window functions share ONE partitioned sort —
+    a second exchange here would double-shuffle the event stream."""
+    plan = plan_of(spark, sf_dir, "window_gap_islands")
+    assert plan.count("Exchange") == 1
+    for node in PY_EVAL_NODES:
+        assert node not in plan
+
+
+def test_packing_is_one_bucket_shuffle_arrow_grouped(spark, sf_dir):
+    """Sequence packing: ONE exchange on the salted bucket feeding grouped
+    Arrow applyInPandas (the sanctioned Python path) — per-bin next-fit is
+    inherently sequential, so the parallel unit is the bucket."""
+    plan = plan_of(spark, sf_dir, "pack_training_bins")
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_minhash_pruned_has_no_pairwise_explosion(spark, sf_dir):
+    """The two-pass candidate-pruned MinHash keeps every join keyed — no
+    cartesian/BNL anywhere — and stays JVM-side; its hash-set aggregation
+    is gated behind a semi join on candidate ids (asserted functionally in
+    test_dedup; here the physical guarantee)."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh_pruned")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in PY_EVAL_NODES:
+        assert node not in plan
+
+
+def test_bm25_fields_stays_jvm_side_topk(spark, sf_dir):
+    """Multi-field best_fields BM25: per-field scoring + greatest must not
+    leave the JVM, and the final ranking is TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "text_search_bm25_fields")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    for node in PY_EVAL_NODES:
+        assert node not in plan
+
+
+def test_lang_id_projection_stays_jvm_side(spark, sf_dir):
+    """Language-ID + curation: single scan, greatest-over-structs argmax —
+    no Python eval, and curation keeps its one window shuffle on fp plus
+    one grouped agg exchange (a third exchange means a plan regression)."""
+    for name in ("text_lang_id",):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan
+        for node in PY_EVAL_NODES:
+            assert node not in plan
+    plan = plan_of(spark, sf_dir, "corpus_curation_pipeline")
+    assert plan.count("Exchange") <= 2
+    for node in PY_EVAL_NODES:
+        assert node not in plan
+
+
 def test_range_frame_window_is_range_not_rows(spark, sf_dir):
     """The 7-day trailing average must use a RANGE (value-based) frame —
     a ROWS frame would silently change semantics on days with gaps."""
