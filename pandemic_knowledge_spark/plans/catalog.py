@@ -67,6 +67,10 @@ from pandemic_knowledge_spark.operators.dedup import (
 )
 from pandemic_knowledge_spark.operators.decontamination import contamination_report
 from pandemic_knowledge_spark.operators.packing import pack_sequences
+from pandemic_knowledge_spark.operators.repetition import (
+    repetition_signals,
+    sql_repetition_signals,
+)
 from pandemic_knowledge_spark.operators.sampling import (
     hash_bucket_sql,
     hash_split,
@@ -1322,6 +1326,19 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_bpe_estimate("text").alias("bpe_tokens"),
         fingerprint("text").alias("fp"),
     )
+
+
+@q(
+    "text_repetition_signals",
+    oracle=sql_repetition_signals("documents", "doc_id", "text"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity signals per doc (top-token
+    fraction, duplicate-2-gram fraction, token entropy) — the curation
+    filters that cull boilerplate/looped text before training. One scan,
+    two map-side-combined keyed aggs; see operators.repetition."""
+    d = load(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text")
 
 
 def _sql_curation() -> str:
@@ -2826,6 +2843,7 @@ _DRIVER_PRIORITY = [
     # new this round
     "text_search_bm25_fields",
     "dedup_minhash_lsh_pruned",
+    "text_repetition_signals",
 ]
 
 

@@ -335,6 +335,17 @@ def test_lang_id_projection_stays_jvm_side(spark, sf_dir):
         assert node not in plan
 
 
+def test_repetition_signals_two_keyed_aggs_no_python(spark, sf_dir):
+    """Repetition signals: the 2-gram fraction is computed array-side before
+    the explode, and token frequencies are exactly two keyed aggregations —
+    (doc, token) then doc — both map-side combined. No Python, no joins."""
+    plan = plan_of(spark, sf_dir, "text_repetition_signals")
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+    for node in PY_EVAL_NODES:
+        assert node not in plan
+
+
 def test_range_frame_window_is_range_not_rows(spark, sf_dir):
     """The 7-day trailing average must use a RANGE (value-based) frame —
     a ROWS frame would silently change semantics on days with gaps."""
