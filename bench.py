@@ -42,17 +42,20 @@ def main() -> None:
             spark.catalog.clearCache()
             REGISTRY[name].fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERY_NAMES:
-        fn = REGISTRY[name].fn
-        runs: list[float] = []
-        for _ in range(3):
+    # Timed passes run ROUND-ROBIN (whole suite per pass, median per query
+    # across passes) rather than back-to-back per query: on a shared box a
+    # multi-second contention burst then lands on at most one run of each
+    # query instead of swallowing all three runs of whichever query was up.
+    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERY_NAMES}
+    for _ in range(3):
+        for name in BENCH_QUERY_NAMES:
+            fn = REGISTRY[name].fn
             spark.catalog.clearCache()  # timed run pays all data-path work
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
+            runs[name].append(time.perf_counter() - t0)
             assert rows is not None
-        timings[name] = round(sorted(runs)[1], 3)
+    timings = {name: round(sorted(ts)[1], 3) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
     print(
