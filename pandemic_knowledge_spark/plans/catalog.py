@@ -58,6 +58,7 @@ from pandemic_knowledge_spark.operators.aggregates import (
 from pandemic_knowledge_spark.operators.dedup import (
     N_PERM,
     connected_components,
+    connected_components_star,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_lsh_pairs_pruned,
@@ -2613,6 +2614,19 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
 
 
+@q("dedup_cluster_reps_star", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_reps_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster dedup via alternating large-star/small-star contraction
+    (Kiveris et al., SoCC'14) — the ADVERSARIAL-GRAPH scale path: O(log²)
+    rounds on any component shape, where min-label propagation needs
+    diameter-many rounds. Same oracle as dedup_cluster_reps proves the two
+    algorithms agree on the real near-dup graph."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", k=2, threshold=0.5)
+    cc = connected_components_star(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (documents) — docs → fixed-budget training bins
 # ---------------------------------------------------------------------------
@@ -2844,6 +2858,7 @@ _DRIVER_PRIORITY = [
     "text_search_bm25_fields",
     "dedup_minhash_lsh_pruned",
     "text_repetition_signals",
+    "dedup_cluster_reps_star",
 ]
 
 

@@ -57,8 +57,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
+            # TIMESTAMP(NANOS) parquet read as long under nanosAsLong:
+            # truncate to micros (same truncation DuckDB's µs datetimes get).
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtype == "timestamp_ntz":
+            # Micros-precision testdata reads natively as TIMESTAMP_NTZ.
+            # Normalize to TimestampType: under the UTC session zone the
+            # wall-clock values are identical (oracle parity unchanged), and
+            # Structured Streaming's withWatermark only accepts event time
+            # of TimestampType — NTZ event time is rejected outright.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

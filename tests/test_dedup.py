@@ -9,6 +9,7 @@ import pytest
 
 from pandemic_knowledge_spark.operators.dedup import (
     connected_components,
+    connected_components_star,
     minhash_lsh_pairs,
     minhash_lsh_pairs_pruned,
 )
@@ -74,3 +75,54 @@ def test_connected_components_raises_without_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(pairs, max_iter=2)
+
+
+def _uf_reference(pairs):
+    """Union-find ground truth: {node: min-id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    """Large-star/small-star output == union-find ground truth == min-label
+    propagation, on pseudo-random graphs with mixed component shapes."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(100))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    want = set(_uf_reference(pairs).items())
+    got_star = {
+        (r.node, r.rep) for r in connected_components_star(df).collect()
+    }
+    got_prop = {
+        (r.node, r.rep) for r in connected_components(df, max_iter=20).collect()
+    }
+    assert got_star == want
+    assert got_prop == want
+
+
+def test_star_contraction_converges_on_long_chain(spark):
+    """The adversarial case the default can't take: a 120-node path graph
+    (diameter 119). Min-label needs ~119 rounds; star contraction must
+    finish in O(log^2 n) — well under 20 — with the exact clustering."""
+    pairs = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {(r.node, r.rep) for r in connected_components_star(df, max_iter=20).collect()}
+    assert got == {(i, 0) for i in range(121)}
