@@ -103,6 +103,7 @@ from pandemic_knowledge_spark.operators.windows import (
     running_total,
     topk_per_group,
 )
+from pandemic_knowledge_spark.engine import highlight
 from pandemic_knowledge_spark.tables import load
 
 
@@ -1475,6 +1476,35 @@ def text_search_bm25_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(text, 81)").alias("body"),
     )
     return bm25_search_fields(d, "doc_id", ["title", "body"], _BM25_QUERY, k=10)
+
+
+_HL_PATTERN = r"(?i)\b(" + "|".join(sorted(set(_BM25_QUERY.split()))) + r")\b"
+
+
+@q(
+    "search_page_highlighted",
+    oracle=f"""
+WITH hits AS ({sql_bm25_search('documents', 'doc_id', 'text', _BM25_QUERY, 8)})
+SELECT h.doc_id, h.score, d.text,
+       regexp_replace(d.text, '{_HL_PATTERN}', '**\\1**', 'g') AS highlighted
+FROM hits h JOIN documents d USING (doc_id)
+""",
+)
+def search_page_highlighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+X4 — the news app's result page end to end: BM25 top-8 (page 0,
+    hitsPerPage=8 — SearchUI.js:51), joined back for display text with
+    query-term highlighting (the server-side form of react-highlight-words,
+    SearchUI.js:76-97). Highlight is one scan-side regexp_replace; RE2 and
+    Java regex agree on the (?i)-word-boundary pattern so the DuckDB oracle
+    reproduces the marked text byte-for-byte."""
+    d = load(spark, sf_dir, "documents")
+    hits = bm25_search(d, "doc_id", "text", _BM25_QUERY, k=8)
+    return hits.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "score",
+        "text",
+        highlight("text", _BM25_QUERY).alias("highlighted"),
+    )
 
 
 @q(
@@ -2859,6 +2889,7 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh_pruned",
     "text_repetition_signals",
     "dedup_cluster_reps_star",
+    "search_page_highlighted",
 ]
 
 
