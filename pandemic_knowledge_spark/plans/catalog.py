@@ -104,6 +104,7 @@ from pandemic_knowledge_spark.operators.windows import (
     topk_per_group,
 )
 from pandemic_knowledge_spark.engine import highlight
+from pandemic_knowledge_spark.functions.iso import ISO2_TO_ISO3, with_iso3
 from pandemic_knowledge_spark.tables import load
 
 
@@ -1476,6 +1477,52 @@ def text_search_bm25_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(text, 81)").alias("body"),
     )
     return bm25_search_fields(d, "doc_id", ["title", "body"], _BM25_QUERY, k=10)
+
+
+# TPC-H nation name → ISO 3166-1 alpha-2 (public data); nations without an
+# entry (ALGERIA, ETHIOPIA, IRAN, IRAQ, JORDAN, MOZAMBIQUE) stay unmapped and
+# exercise the left-join unknown-code → null path. UNITED KINGDOM maps to the
+# EU-convention alias UK (→ GBR), the exact quirk the reference's feeds carry.
+_NATION_ISO2 = {
+    "ARGENTINA": "AR", "BRAZIL": "BR", "CANADA": "CA", "CHINA": "CN",
+    "EGYPT": "EG", "FRANCE": "FR", "GERMANY": "DE", "INDIA": "IN",
+    "INDONESIA": "ID", "JAPAN": "JP", "KENYA": "KE", "MOROCCO": "MA",
+    "PERU": "PE", "ROMANIA": "RO", "RUSSIA": "RU", "SAUDI ARABIA": "SA",
+    "VIETNAM": "VN", "UNITED KINGDOM": "UK", "UNITED STATES": "US",
+}
+
+
+def _sql_iso_enrich() -> str:
+    name_cases = " ".join(
+        f"WHEN '{n}' THEN '{c}'" for n, c in sorted(_NATION_ISO2.items())
+    )
+    dim_rows = ", ".join(f"('{a2}', '{a3}')" for a2, a3 in ISO2_TO_ISO3)
+    return f"""
+WITH n2 AS (
+  SELECT n_nationkey, n_name, CASE n_name {name_cases} END AS iso_code2
+  FROM nation
+), dim(iso_code2, iso_code3) AS (VALUES {dim_rows})
+SELECT n2.n_nationkey, n2.n_name, n2.iso_code2, dim.iso_code3
+FROM n2 LEFT JOIN dim USING (iso_code2)
+"""
+
+
+@q("iso_code_enrich", oracle=_sql_iso_enrich())
+def iso_code_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/J4 — the reference's per-row `countries.get(iso2).alpha3` probe
+    (parse_insert.py:94-96) as a broadcast static-dimension join: nation
+    names map to ISO2 via a declared lookup (UNITED KINGDOM hits the EU
+    UK→GBR alias), unknown codes conform to null exactly like the
+    KeyError-guarded probe. Both engines derive from the SAME Python
+    mapping tables, so drift is impossible."""
+    nat = load(spark, sf_dir, "nation")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(_NATION_ISO2.items()) for x in kv]
+    )
+    n2 = nat.select(
+        "n_nationkey", "n_name", mapping[F.col("n_name")].alias("iso_code2")
+    )
+    return with_iso3(n2).select("n_nationkey", "n_name", "iso_code2", "iso_code3")
 
 
 _HL_PATTERN = r"(?i)\b(" + "|".join(sorted(set(_BM25_QUERY.split()))) + r")\b"
@@ -2890,6 +2937,7 @@ _DRIVER_PRIORITY = [
     "text_repetition_signals",
     "dedup_cluster_reps_star",
     "search_page_highlighted",
+    "iso_code_enrich",
 ]
 
 

@@ -346,6 +346,25 @@ def test_repetition_signals_two_keyed_aggs_no_python(spark, sf_dir):
         assert node not in plan
 
 
+def test_iso_enrich_is_broadcast_static_dim(spark, sf_dir):
+    """P5: the ISO2→ISO3 static dimension rides in as a broadcast — the
+    fact side is never shuffled for a code lookup, and the reference's
+    per-row library probe appears nowhere (no Python eval)."""
+    plan = plan_of(spark, sf_dir, "iso_code_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for node in PY_EVAL_NODES:
+        assert node not in plan
+
+
+def test_highlight_page_stays_scan_side(spark, sf_dir):
+    """X4: highlighting is one regexp_replace projection over the joined
+    page — no Python eval anywhere in the search+highlight plan."""
+    plan = plan_of(spark, sf_dir, "search_page_highlighted")
+    for node in PY_EVAL_NODES:
+        assert node not in plan
+
+
 def test_range_frame_window_is_range_not_rows(spark, sf_dir):
     """The 7-day trailing average must use a RANGE (value-based) frame —
     a ROWS frame would silently change semantics on days with gaps."""
