@@ -24,6 +24,7 @@ from pandemic_knowledge_spark.conform.ops import (
     iso_week_span,
     numeric_coerce,
     ratio_guarded,
+    require_fields,
 )
 from pandemic_knowledge_spark.functions.text import (
     HASH_MOD,
@@ -92,6 +93,7 @@ from pandemic_knowledge_spark.operators.search import (
     sql_bm25_search_fields,
 )
 from pandemic_knowledge_spark.operators.skew import salted_agg
+from pandemic_knowledge_spark.streaming.transforms import quarantine_split
 from pandemic_knowledge_spark.operators.similarity import (
     ivf_topk,
     knn_brute_force,
@@ -1031,6 +1033,50 @@ def conform_json_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         k.alias("k"),
         F.round(ratio_guarded(F.col("value"), k), 6).alias("pct"),
+    )
+
+
+@q(
+    "conform_validity_audit",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
+FROM (
+  SELECT event_type,
+         coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+                  AND value IS NOT NULL, FALSE) AS ok
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def conform_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 + W4 — row-validity gate with quarantine accounting: rows whose
+    required fields (parseable numeric props.k, non-null value) pass stay on
+    the conform path; the rest are ROUTED, not dropped (the reference
+    logs-and-skips, insert_owid.py:196-198). Composes require_fields with
+    quarantine_split, then audits both sides in one union-agg. Plan note:
+    the split is two complementary pushed-filter scans of the source —
+    routing (two output frames) is the point; a count-only audit would be
+    the single-scan sum-of-CASE form the oracle uses."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k_num", F.get_json_object("props", "$.k").try_cast("double")
+    )
+    good, quarantined = quarantine_split(
+        parsed, F.col("k_num").isNotNull() & F.col("value").isNotNull()
+    )
+    good = require_fields(good, "k_num", "value")  # F1: belt over braces
+    g = good.select("event_type", F.lit(1).alias("ok"))
+    b = quarantined.select("event_type", F.lit(0).alias("ok"))
+    return (
+        g.unionByName(b)
+        .groupBy("event_type")
+        .agg(
+            F.sum("ok").cast("long").alias("n_valid"),
+            F.sum(1 - F.col("ok")).cast("long").alias("n_quarantined"),
+        )
     )
 
 
@@ -2938,6 +2984,7 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_reps_star",
     "search_page_highlighted",
     "iso_code_enrich",
+    "conform_validity_audit",
 ]
 
 
