@@ -65,6 +65,7 @@ from pandemic_knowledge_spark.operators.dedup import (
     minhash_lsh_pairs_pruned,
     minhash_perm_params,
     ngram_jaccard_pairs,
+    shingles,
     simhash,
 )
 from pandemic_knowledge_spark.operators.decontamination import contamination_report
@@ -1388,6 +1389,55 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     two map-side-combined keyed aggs; see operators.repetition."""
     d = load(spark, sf_dir, "documents")
     return repetition_signals(d, "doc_id", "text")
+
+
+_BOILER_MIN_FRAC = 0.08
+
+
+@q(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokenize('text')} AS toks FROM documents
+), n AS (
+  SELECT count(*) AS n_docs FROM t
+), g AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM t)
+)
+SELECT gram,
+       count(*) AS doc_freq,
+       round(CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM n), 6) AS doc_frac
+FROM g
+GROUP BY gram
+HAVING CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM n) >= {_BOILER_MIN_FRAC}
+""",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: 2-grams present in >= 8% of all
+    documents (headers, footers, templated phrases — the cross-document
+    repetition the per-doc signals can't see). The output doubles as the
+    stop-shingle denylist for the blocked Jaccard join (whose Σc² fan-out
+    risk is exactly these grams — operators/dedup.py docs). Shape: distinct
+    (doc, gram) explode → gram doc-frequency agg (map-side combined), with
+    the 1-row corpus count broadcast into the HAVING — linear, two keyed
+    shuffles, no pairwise anything."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny action; at scale use a cached corpus-stats table
+    toks = tokenize("text")
+    grams = (
+        d.select(F.col("doc_id"), F.explode(shingles(toks, 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return grams.select(
+        "gram",
+        "doc_freq",
+        F.round(F.col("doc_freq").cast("double") / F.lit(n_docs), 6).alias("doc_frac"),
+    ).filter(F.col("doc_frac") >= _BOILER_MIN_FRAC)
 
 
 def _sql_curation() -> str:
@@ -2985,6 +3035,7 @@ _DRIVER_PRIORITY = [
     "search_page_highlighted",
     "iso_code_enrich",
     "conform_validity_audit",
+    "text_boilerplate_ngrams",
 ]
 
 
