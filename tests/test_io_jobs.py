@@ -147,3 +147,17 @@ def test_bucketed_tables_join_with_zero_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_events_ts_loads_as_ltz_timestamp_for_watermarks(spark, sf_dir):
+    """Testdata-drift guard: the driver regenerates /root/testdata between
+    rounds and events.ts has already shifted physical type once
+    (TIMESTAMP(NANOS)->bigint in round 1, micros->TIMESTAMP_NTZ in round 2).
+    tables.load must normalize every variant to TimestampType: batch
+    semantics are identical under the UTC session zone, but
+    withWatermark REJECTS NTZ event time — this exact drift silently broke
+    every watermarked streaming path."""
+    from pandemic_knowledge_spark import tables
+
+    df = tables.load(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
