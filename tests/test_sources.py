@@ -282,3 +282,43 @@ def test_fetch_retries_then_raises(tmp_path):
         fetch_to_local(
             f"file://{tmp_path}/nope.csv", dest_dir=str(tmp_path), retries=2, backoff=0.01
         )
+
+
+def test_jsonl_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
+    """JSONL ingest policy: malformed lines route to the corrupt frame with
+    the raw line preserved; parsed + corrupt covers every input line."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pandemic_knowledge_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "{broken json\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": "not-a-number", "text": "gamma"}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    parsed, corrupt = read_jsonl(spark, str(p), schema)
+    rows = {r.doc_id: r.text for r in parsed.collect()}
+    bad = [r.raw_line for r in corrupt.collect()]
+    # well-formed lines parse; the type-mismatched field makes the whole
+    # line a corrupt record under an explicit schema (never a silent null id)
+    assert rows == {1: "alpha", 2: "beta"}
+    assert len(bad) == 2 and any("broken" in b for b in bad)
+    assert parsed.count() + corrupt.count() == 4
+
+
+def test_jsonl_inferred_schema_clean_corpus(spark, tmp_path):
+    """Schema inference path: a wholly clean corpus yields an empty corrupt
+    frame (and the corrupt column never leaks into the parsed frame)."""
+    from pandemic_knowledge_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "clean.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\n')
+    parsed, corrupt = read_jsonl(spark, str(p))
+    assert corrupt.count() == 0
+    assert parsed.count() == 2
+    assert "_corrupt_record" not in parsed.columns
