@@ -23,14 +23,23 @@ from pandemic_knowledge_spark.functions.geo import grid_cell
 from pandemic_knowledge_spark.operators.search import bm25_search
 
 
+def highlight_pattern(query: str) -> str | None:
+    """The (?i)-whole-word alternation both engines must share: the Spark
+    highlight() below and any oracle SQL derive their regex from THIS one
+    builder, so lowercasing and metacharacter escaping can never drift."""
+    terms = sorted({re.escape(t) for t in query.lower().split() if t})
+    if not terms:
+        return None
+    return r"(?i)\b(" + "|".join(terms) + r")\b"
+
+
 def highlight(text_col, query: str, tag: str = "**") -> F.Column:
     """X4 — wrap query-term occurrences (case-insensitive, whole-word) in
     markers; the server-side form of the news app's react-highlight-words
     (/root/reference/news_app/app/app/src/SearchUI.js:76-97)."""
-    terms = sorted({re.escape(t) for t in query.lower().split() if t})
-    if not terms:
+    pattern = highlight_pattern(query)
+    if pattern is None:
         return F.col(text_col) if isinstance(text_col, str) else text_col
-    pattern = r"(?i)\b(" + "|".join(terms) + r")\b"
     return F.regexp_replace(text_col, pattern, tag + r"$1" + tag)
 
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandemic_knowledge_spark.functions.text import tokenize
+from pandemic_knowledge_spark.functions.text import sql_tokenize, tokenize
 
 
 def repetition_signals(
@@ -102,7 +102,7 @@ def sql_repetition_signals(table: str, id_col: str, text_col: str) -> str:
     return f"""
 WITH t AS (
   SELECT {id_col} AS doc_id,
-         regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS toks
+         {sql_tokenize(text_col)} AS toks
   FROM {table}
 ), dup AS (
   SELECT doc_id,

@@ -106,7 +106,7 @@ from pandemic_knowledge_spark.operators.windows import (
     running_total,
     topk_per_group,
 )
-from pandemic_knowledge_spark.engine import highlight
+from pandemic_knowledge_spark.engine import highlight, highlight_pattern
 from pandemic_knowledge_spark.functions.iso import ISO2_TO_ISO3, with_iso3
 from pandemic_knowledge_spark.tables import load
 
@@ -1016,12 +1016,18 @@ def union_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "conform_json_coerce",
     oracle="""
-SELECT event_id,
-       coalesce(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT), 0) AS k,
-       CASE WHEN coalesce(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT), 0) <> 0
-            THEN round(value / coalesce(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT), 0) * 100.0, 6)
-       END AS pct
-FROM events
+SELECT event_id, k,
+       CASE WHEN k <> 0 THEN round(value / k * 100.0, 6) END AS pct
+FROM (
+  SELECT event_id, value,
+         CASE WHEN d IS NULL OR isnan(d) OR isinf(d) THEN 0
+              WHEN d >= 9223372036854775808.0 THEN 9223372036854775807
+              WHEN d <= -9223372036854775808.0 THEN -9223372036854775808
+              ELSE CAST(trunc(d) AS BIGINT) END AS k
+  FROM (SELECT event_id, value,
+               TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS d
+        FROM events)
+)
 """,
 )
 def conform_json_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1433,11 +1439,12 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
-    return grams.select(
-        "gram",
-        "doc_freq",
-        F.round(F.col("doc_freq").cast("double") / F.lit(n_docs), 6).alias("doc_frac"),
-    ).filter(F.col("doc_frac") >= _BOILER_MIN_FRAC)
+    # Filter on the RAW ratio (matches the oracle HAVING); round only for display.
+    raw = F.col("doc_freq").cast("double") / F.lit(n_docs)
+    return (
+        grams.filter(raw >= _BOILER_MIN_FRAC)
+        .select("gram", "doc_freq", F.round(raw, 6).alias("doc_frac"))
+    )
 
 
 def _sql_curation() -> str:
@@ -1621,7 +1628,8 @@ def iso_code_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_iso3(n2).select("n_nationkey", "n_name", "iso_code2", "iso_code3")
 
 
-_HL_PATTERN = r"(?i)\b(" + "|".join(sorted(set(_BM25_QUERY.split()))) + r")\b"
+# Oracle regex comes from the SAME builder as engine.highlight() — no drift.
+_HL_PATTERN = highlight_pattern(_BM25_QUERY)
 
 
 @q(

@@ -54,11 +54,13 @@ def read_jsonl(
         df = reader.json(paths)
         if CORRUPT_COL not in df.columns:  # wholly clean corpus
             df = df.withColumn(CORRUPT_COL, F.lit(None).cast("string"))
-    # Spark requires caching (or a prior materialization) before filtering a
-    # raw-parse frame on the corrupt column alone — referencing only
-    # _corrupt_record in a query over the un-materialized scan is an
-    # AnalysisException by design. Cache once; both splits share the scan.
-    df = df.cache()
+    # Spark requires a materialization before filtering a raw-parse frame on
+    # the corrupt column alone — referencing only _corrupt_record over the
+    # un-materialized scan is an AnalysisException by design. localCheckpoint
+    # (not cache) so the ContextCleaner reclaims the blocks once the returned
+    # frames are dereferenced; repeated ingest calls don't accumulate pinned
+    # cache entries for the life of the session.
+    df = df.localCheckpoint(eager=True)
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
