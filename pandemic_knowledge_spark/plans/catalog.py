@@ -1896,11 +1896,28 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("multimodal_media_features")  # non-SQL-expressible: mapInPandas decode
+@q(
+    "multimodal_media_features",
+    # The synth corpus is fully deterministic (numpy PCG64 seeded per media_id,
+    # multimodal.synth_media), and every per-channel mean divides an integer
+    # pixel sum by a power-of-two count (1*32*32 or 8*32*32) — an exact dyadic
+    # rational, so F.avg is bit-identical under any partial-agg merge order.
+    # The expected aggregates are therefore precomputable literals (verified
+    # against the generator in tests/test_multimodal.py); this VALUES oracle
+    # gives the decode path a hard driver-checkable truth.
+    oracle="""
+SELECT * FROM (VALUES
+  ('image', CAST(32 AS BIGINT), CAST(126.8774 AS DOUBLE), CAST(32  AS BIGINT)),
+  ('video', CAST(32 AS BIGINT), CAST(127.6169 AS DOUBLE), CAST(256 AS BIGINT)))
+  AS t(media_type, n_media, avg_mean_c0, total_frames)
+ORDER BY media_type
+""",
+)
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a deterministic RAW media corpus on executors, decode and
     feature-extract via Arrow-batched mapInPandas, aggregate per media_type.
-    Rows-only check: binary codecs have no DuckDB equivalent."""
+    Oracle: literal VALUES precomputed from the same deterministic generator
+    (exact — see the oracle comment above)."""
     from pandemic_knowledge_spark.operators.multimodal import (
         extract_features,
         synth_media,

@@ -93,3 +93,26 @@ def test_byte_stats_jvm_only(media):
     assert r.n_bytes == 20 + 16 * 12 * 3
     assert r.magic == "PKRW"
     assert "mapInPandas" not in stats._jdf.queryExecution().executedPlan().toString()
+
+
+def test_media_features_oracle_literals_match_generator():
+    """The multimodal_media_features VALUES oracle embeds precomputed
+    aggregates; recompute them from the SAME generator params (n=64, 32x32x3,
+    8 frames for video) so any parameter drift breaks loudly here first."""
+    agg = {}
+    for mid in range(64):
+        is_video = mid % 2 == 1
+        f = 8 if is_video else 1
+        rng = np.random.default_rng(mid)
+        arr = rng.integers(0, 256, (f, 32, 32, 3), dtype=np.uint8).astype(np.float64)
+        mt = "video" if is_video else "image"
+        n, frames, s = agg.get(mt, (0, 0, 0.0))
+        agg[mt] = (n + 1, frames + f, s + arr.mean(axis=(0, 1, 2))[0])
+    expected = {
+        "image": (32, 32, 126.8774),
+        "video": (32, 256, 127.6169),
+    }
+    for mt, (n, frames, s) in agg.items():
+        e_n, e_frames, e_avg = expected[mt]
+        assert (n, frames) == (e_n, e_frames)
+        assert round(s / n, 4) == e_avg
