@@ -164,8 +164,54 @@ def range_join(
     on: Column,
     how: str = "inner",
 ) -> DataFrame:
-    """Range/interval join: plain theta-join wrapper. At scale, callers
-    should band the range key (bucketize both sides on coarse intervals,
-    equi-join the bucket, then re-check the precise predicate) — see
-    operators.dedup for the same bucketing idea applied to LSH."""
+    """Range/interval join: plain theta-join wrapper (kept for arbitrary
+    predicates). For the common point-in-interval shape use
+    :func:`banded_range_join`, which turns the theta-join into an equi-join
+    on a band column — the only form that scales."""
     return left.join(right, on=on, how=how)
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lo: str,
+    hi: str,
+    band_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join WITHOUT an equi-key, as a banded
+    equi-join: match every left row whose ``point`` falls in a right row's
+    ``[lo, hi)`` interval.
+
+    Strategy (the bucketize → equi-join → recheck recipe): the left point
+    maps to one band ``floor(point/W)``; each right interval explodes to the
+    bands it overlaps (``sequence(floor(lo/W), floor(hi/W))`` — at most
+    ``len/W + 2`` rows). Equi-join on the band, then re-check the precise
+    ``lo <= point < hi`` predicate to drop band-boundary false positives.
+    A (left, right) pair can only meet in the left point's single band, so
+    no dedup pass is needed.
+
+    Why this scales where a theta-join cannot: Catalyst plans a pure range
+    predicate as BroadcastNestedLoopJoin (O(|L|·|R|) compares, and the whole
+    right side on every executor). The band column is a shuffle-able,
+    AQE-skew-splittable equi key; cost is O(|L| + |R|·len/W + matches).
+    Pick ``band_width`` near the typical interval length so most intervals
+    explode to ~2 bands. Distance joins (|a-b| <= r) reduce to this with
+    intervals [b-r, b+r + ulp)."""
+    lpt = F.col(point)
+    band = F.floor(lpt / F.lit(band_width)).cast("long")
+    lb = left.withColumn("__band", band)
+    rb = right.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(band_width)).cast("long"),
+                F.floor(F.col(hi) / F.lit(band_width)).cast("long"),
+            )
+        ),
+    )
+    joined = lb.join(rb, on="__band", how=how).where(
+        (lpt >= F.col(lo)) & (lpt < F.col(hi))
+    )
+    return joined.drop("__band")

@@ -83,6 +83,7 @@ from pandemic_knowledge_spark.operators.sampling import (
 from pandemic_knowledge_spark.operators.joins import (
     anti_join_misses,
     asof_join,
+    banded_range_join,
     broadcast_lookup_join,
     multikey_lookup_join,
     semi_join_hits,
@@ -555,6 +556,51 @@ def semi_join_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return semi_join_hits(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+# Overlapping value brackets: a pure range predicate with NO equi-key (an
+# event can fall in several brackets). Shared by the Spark query and the
+# oracle VALUES so both engines join against the identical intervals.
+_VALUE_BRACKETS = [
+    ("micro", 0.0, 50.0),
+    ("small", 25.0, 100.0),
+    ("mid", 75.0, 200.0),
+    ("large", 150.0, 300.0),
+    ("jumbo", 250.0, 500.0),
+]
+
+
+def _sql_value_brackets() -> str:
+    rows = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _VALUE_BRACKETS)
+    return f"""
+WITH b(bracket, lo, hi) AS (VALUES {rows})
+SELECT bracket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY bracket
+"""
+
+
+@q("range_join_value_brackets", oracle=_sql_value_brackets())
+def range_join_value_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators.joins.banded_range_join): events.value
+    into OVERLAPPING price brackets on a pure `lo <= value < hi` predicate —
+    no equi-key anywhere in the logical join. The band column turns what
+    Catalyst would plan as BroadcastNestedLoopJoin into a plain equi-join
+    (plan-gated in tests/test_plan_shape.py): left point → one band, right
+    interval → its overlapped bands via sequence(), re-check exact bounds
+    after the join. At 100 TB the band is a shuffle/AQE-skew-splittable key
+    and cost is O(|L| + |R|·len/W + matches), not O(|L|·|R|)."""
+    ev = load(spark, sf_dir, "events")
+    brackets = spark.createDataFrame(
+        _VALUE_BRACKETS, schema="bracket string, lo double, hi double"
+    )
+    joined = banded_range_join(ev, brackets, "value", "lo", "hi", band_width=50.0)
+    return joined.groupBy("bracket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
 
 
 @q(

@@ -3,6 +3,8 @@ when right payload columns contain nulls (round-2 advice regression)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pandemic_knowledge_spark.operators.joins import asof_join
 
 
@@ -49,3 +51,30 @@ def test_asof_no_match_yields_nulls(spark):
         left, right, ["key"], "t", "t", ["price"], strict=True
     ).collect()
     assert len(out) == 1 and out[0].price_asof is None
+
+
+def test_banded_range_join_matches_theta_join(spark):
+    """Banded equi-join + recheck must reproduce the naive theta-join exactly,
+    including boundary semantics (lo inclusive, hi exclusive) and intervals
+    spanning multiple bands."""
+    from pandemic_knowledge_spark.operators.joins import banded_range_join, range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 24.9, 25.0, 49.9, 50.0, 99.9, 100.0, 250.0, 499.9, 500.0])],
+        "pid long, v double",
+    )
+    ivs = spark.createDataFrame(
+        [("a", 0.0, 50.0), ("b", 25.0, 100.0), ("c", 75.0, 500.0), ("d", 480.0, 520.0)],
+        "iv string, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iv)
+        for r in banded_range_join(pts, ivs, "v", "lo", "hi", band_width=50.0).collect()
+    }
+    want = {
+        (r.pid, r.iv)
+        for r in range_join(
+            pts, ivs, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -370,3 +370,13 @@ def test_range_frame_window_is_range_not_rows(spark, sf_dir):
     a ROWS frame would silently change semantics on days with gaps."""
     plan = plan_of(spark, sf_dir, "window_range_7day_avg")
     assert re.search(r"RANGE BETWEEN 6 PRECEDING AND CURRENT ROW", plan) or "RangeFrame" in plan
+
+
+def test_range_join_is_banded_equi_join(spark, sf_dir):
+    """A pure range predicate (no equi-key) must NOT plan as
+    BroadcastNestedLoopJoin: banded_range_join equi-joins on the band
+    column and re-checks exact bounds after the hash join."""
+    plan = plan_of(spark, sf_dir, "range_join_value_brackets")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__band" in plan  # the join key is the band column
