@@ -267,8 +267,10 @@ def minhash_lsh_pairs(
     the dominant shuffle; the variant that wins there computes hash sets
     only for CANDIDATE docs (signatures-only aggregate → band join →
     semi-join-pruned second pass, cf. minhash_pairs_between probing a
-    persisted store). Measured locally, the single-pass form is both
-    faster and far more run-to-run stable, so it stays the default; the
+    persisted store). Measured locally, the single-pass form is faster and
+    more run-to-run stable — so :func:`minhash_lsh_pairs_auto` (the
+    entry-point callers should use) picks THIS form below the
+    ``prunedThreshold`` corpus size and the pruned form above it; the
     incremental path (streaming.jobs.corpus_stream_ingest_dedup) already
     IS the store-probing form.
     """
@@ -333,6 +335,41 @@ def minhash_lsh_pairs_pruned(
         .agg(F.collect_set("h").alias("hs"))
     )
     return _verify_pairs(cand, hs, hs, threshold)
+
+
+PRUNED_THRESHOLD_CONF = "spark.pandemic_knowledge.dedup.prunedThreshold"
+PRUNED_THRESHOLD_DEFAULT = 100_000
+
+
+def minhash_lsh_pairs_auto(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    threshold: float = 0.5,
+    scale: bool | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the scale path config-gated.
+
+    ``scale=True`` forces the candidate-pruned two-pass form
+    (:func:`minhash_lsh_pairs_pruned` — signatures-only first shuffle),
+    ``scale=False`` forces the single-pass form (fastest when the corpus
+    fits executor page cache). ``scale=None`` (default) auto-selects: corpora
+    above ``spark.pandemic_knowledge.dedup.prunedThreshold`` docs (default
+    100k) take the pruned path, because there the corpus-wide
+    collect_set shuffle of the single-pass form is the dominant cost. The
+    sizing count is a column-pruned scan of the id column only — negligible
+    next to the dedup itself, and at cluster scale served by parquet
+    row-group metadata."""
+    if scale is None:
+        thresh = int(
+            docs.sparkSession.conf.get(
+                PRUNED_THRESHOLD_CONF, str(PRUNED_THRESHOLD_DEFAULT)
+            )
+        )
+        scale = docs.select(id_col).count() >= thresh
+    fn = minhash_lsh_pairs_pruned if scale else minhash_lsh_pairs
+    return fn(docs, id_col, text_col, k=k, threshold=threshold)
 
 
 def minhash_pairs_between(

@@ -61,7 +61,7 @@ from pandemic_knowledge_spark.operators.dedup import (
     connected_components,
     connected_components_star,
     exact_dedup,
-    minhash_lsh_pairs,
+    minhash_lsh_pairs_auto,
     minhash_lsh_pairs_pruned,
     minhash_perm_params,
     ngram_jaccard_pairs,
@@ -1212,9 +1212,13 @@ WHERE round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
 @q("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (16 perms, 4 bands), exact-Jaccard
-    verified at τ=0.5 over distinct 2-shingles."""
+    verified at τ=0.5 over distinct 2-shingles. Uses the config-gated auto
+    dispatcher: above `spark.pandemic_knowledge.dedup.prunedThreshold` docs
+    the candidate-pruned two-pass form takes over (its first shuffle
+    carries signatures only — the 100 TB shape), below it the single-pass
+    form wins; both are driver-checked against the same oracle."""
     d = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", k=2, threshold=0.5)
+    return minhash_lsh_pairs_auto(d, "doc_id", "text", k=2, threshold=0.5)
 
 
 @q("dedup_minhash_lsh_pruned", oracle=_MINHASH_ORACLE)
@@ -2853,7 +2857,7 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     |edges|-sized shuffles, diameter-bounded); the oracle reproduces the
     same fixpoint declaratively with a recursive CTE."""
     d = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", k=2, threshold=0.5)
+    pairs = minhash_lsh_pairs_auto(d, "doc_id", "text", k=2, threshold=0.5)
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
 
@@ -2866,7 +2870,7 @@ def dedup_cluster_reps_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter-many rounds. Same oracle as dedup_cluster_reps proves the two
     algorithms agree on the real near-dup graph."""
     d = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, "doc_id", "text", k=2, threshold=0.5)
+    pairs = minhash_lsh_pairs_auto(d, "doc_id", "text", k=2, threshold=0.5)
     cc = connected_components_star(pairs)
     return cc.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
 

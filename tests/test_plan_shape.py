@@ -380,3 +380,45 @@ def test_range_join_is_banded_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "__band" in plan  # the join key is the band column
+
+
+def test_pruned_minhash_first_shuffle_is_signatures_only(spark, sf_dir):
+    """The pruned two-pass MinHash form must keep its FIRST aggregation
+    (pass 1, the corpus-wide shuffle) free of array payloads: signatures
+    only, no collect_set. The hash-set aggregation happens only after the
+    candidate semi-join (pass 2)."""
+    from pandemic_knowledge_spark.operators.dedup import minhash_signature_agg
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    pass1 = minhash_signature_agg(docs, "doc_id", "text", 2)
+    p1 = pass1._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in p1  # signatures-only shuffle
+    full = plan_of(spark, sf_dir, "dedup_minhash_lsh_pruned")
+    assert "LeftSemi" in full  # hash sets built only for candidate docs
+
+
+def test_minhash_auto_dispatch_scale_gate(spark, sf_dir):
+    """Auto dispatcher: below the configured threshold → single-pass
+    (collect_set before any band join); above → pruned two-pass."""
+    from pandemic_knowledge_spark.operators.dedup import (
+        PRUNED_THRESHOLD_CONF,
+        minhash_lsh_pairs_auto,
+    )
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    spark.conf.set(PRUNED_THRESHOLD_CONF, "1")  # force scale path
+    try:
+        plan = (
+            minhash_lsh_pairs_auto(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "LeftSemi" in plan
+    finally:
+        spark.conf.unset(PRUNED_THRESHOLD_CONF)
+    plan_small = (
+        minhash_lsh_pairs_auto(docs, "doc_id", "text")  # default 100k threshold
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" not in plan_small
