@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from pandemic_knowledge_spark import tables
 from pandemic_knowledge_spark.functions.geo import grid_cell
-from pandemic_knowledge_spark.operators.search import bm25_search
+from pandemic_knowledge_spark.operators.search import SearchIndex, bm25_search
 
 
 def highlight_pattern(query: str) -> str | None:
@@ -51,6 +51,22 @@ class Engine:
         self.spark = spark
         self.sf_dir = sf_dir
         self.tables = tables.register_all(spark, sf_dir)
+        self._search_indexes: dict[tuple[str, str, str], SearchIndex] = {}
+
+    def search_index(
+        self, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+    ) -> SearchIndex:
+        """The table's inverted index, built+cached ON FIRST USE and reused by
+        every subsequent search (SURVEY.md §4.2 — the ES-index analogue; the
+        reference pays indexing in its bulk loaders, then each keystroke is a
+        probe). Call .save(path) to persist per ingest; SearchIndex.load
+        swaps a parquet-backed index in."""
+        key = (table, id_col, text_col)
+        if key not in self._search_indexes:
+            self._search_indexes[key] = SearchIndex.build(
+                self.table(table), id_col, text_col
+            ).warm()
+        return self._search_indexes[key]
 
     def table(self, name: str) -> DataFrame:
         return self.tables[name]
@@ -70,12 +86,20 @@ class Engine:
         table: str = "documents",
         id_col: str = "doc_id",
         text_col: str = "text",
+        use_index: bool = True,
     ) -> DataFrame:
         """§3.3 — ranked full-text search, paged like the news app
-        (hitsPerPage=8, SearchUI.js:51). BM25 top-((page+1)·k) then the
-        page window; joins back for display columns + highlight."""
+        (hitsPerPage=8, SearchUI.js:51). Probes the cached inverted index
+        (built once on first search — no per-query corpus tokenize; pass
+        use_index=False for a one-shot scan), BM25 top-((page+1)·k), then
+        the page window; joins back for display columns + highlight."""
         docs = self.table(table)
-        hits = bm25_search(docs, id_col, text_col, query, k=(page + 1) * k)
+        if use_index:
+            hits = self.search_index(table, id_col, text_col).search(
+                query, k=(page + 1) * k
+            )
+        else:
+            hits = bm25_search(docs, id_col, text_col, query, k=(page + 1) * k)
         page_hits = (
             hits.orderBy(F.desc("score"), "doc_id").offset(page * k).limit(k).alias("h")
         )

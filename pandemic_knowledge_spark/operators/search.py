@@ -252,3 +252,146 @@ SELECT doc_id, round(sum(term_score), 4) AS score
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index (SURVEY.md §4.2 — the ES index analogue)
+# ---------------------------------------------------------------------------
+
+N_TERM_BUCKETS = 64
+
+
+def term_bucket_py(term: str) -> int:
+    """Python-side term bucket — MUST mirror the Spark expression in
+    build_postings (crc32 over UTF-8 agrees between zlib and Spark's F.crc32),
+    so a query can enumerate its terms' buckets client-side and get parquet
+    PARTITION PRUNING on the probe."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % N_TERM_BUCKETS
+
+
+def build_postings(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame]:
+    """One corpus pass → (postings, corpus_stats).
+
+    postings: (bucket, term, doc_id, tf, dl) — the per-(term, doc) posting
+    list with the doc-length norm denormalized in (ES stores norms per doc;
+    at parquet scale the duplicated int is cheaper than a second join).
+    corpus_stats: one row (n_docs, sum_dl) — exact integer sums, so scores
+    computed from the index are bit-identical to the direct corpus scorer.
+
+    Persist postings partitioned by ``bucket`` (crc32(term) % 64): a query's
+    terms map to a handful of buckets, so an indexed probe reads ~terms/64
+    of the index — the partition-pruned analogue of ES's term dictionary
+    seek. Within a bucket, parquet min/max on the sorted ``term`` column
+    prunes row groups further."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    postings = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.crc32(F.col("term")), F.lit(N_TERM_BUCKETS)).cast("int")
+        )
+    )
+    return postings, stats
+
+
+def bm25_from_postings(
+    postings: DataFrame, stats: DataFrame, query: str, k: int = 10
+) -> DataFrame:
+    """BM25 top-k scored ENTIRELY from the posting tables — no corpus scan,
+    no tokenize. Identical output to :func:`bm25_search` (same tf/dl/df/
+    corpus stats, same formula, same 4 dp rounding).
+
+    df per term is recomputed from the PRUNED postings (the filter keeps
+    only query-term rows, and (doc_id, term) rows are unique, so a plain
+    count per term IS the document frequency) — cheaper than persisting and
+    probing a second table."""
+    q_terms = sorted(set(query.lower().split()))
+    buckets = sorted({term_bucket_py(t) for t in q_terms})
+    p = postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(q_terms)
+    )
+    df_t = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        p.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+class SearchIndex:
+    """Materialized inverted index: build once per ingest, probe per query —
+    the Spark analogue of the reference's Elasticsearch index (SURVEY.md
+    §4.2; the reference pays this cost in its ES bulk loaders,
+    /root/reference/flow/scripts/insert_owid.py bulk(), and then every
+    keystroke search is an index probe, never a corpus scan)."""
+
+    def __init__(self, postings: DataFrame, stats: DataFrame) -> None:
+        self.postings = postings
+        self.stats = stats
+
+    @classmethod
+    def build(cls, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              cache: bool = True) -> "SearchIndex":
+        """Tokenize the corpus ONCE; optionally pin the postings in the cache
+        manager (the interactive-session mode — repeated searches hit memory)."""
+        postings, stats = build_postings(docs, id_col, text_col)
+        if cache:
+            postings = postings.cache()
+            stats = stats.cache()
+        return cls(postings, stats)
+
+    def warm(self) -> "SearchIndex":
+        """Force materialization now (first search pays nothing)."""
+        self.postings.count()
+        self.stats.count()
+        return self
+
+    def save(self, path: str) -> "SearchIndex":
+        """Persist parquet, postings partitioned by term bucket and sorted by
+        term within each partition file (row-group min/max pruning)."""
+        (
+            self.postings.repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+        self.stats.write.mode("overwrite").parquet(f"{path}/stats")
+        return self
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SearchIndex":
+        return cls(
+            spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(f"{path}/stats"),
+        )
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        return bm25_from_postings(self.postings, self.stats, query, k=k)

@@ -1709,6 +1709,37 @@ def search_page_highlighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "search_page_indexed",
+    oracle=f"""
+WITH hits AS ({sql_bm25_search('documents', 'doc_id', 'text', _BM25_QUERY, 8)})
+SELECT h.doc_id, h.score, d.text,
+       regexp_replace(d.text, '{_HL_PATTERN}', '**\\1**', 'g') AS highlighted
+FROM hits h JOIN documents d USING (doc_id)
+""",
+)
+def search_page_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+X4 over the PERSISTED index path (SURVEY §4.2): build the posting
+    tables (bucket-partitioned term → (doc, tf, dl) lists + one-row corpus
+    stats — operators.search.build_postings), score the page purely from
+    postings (bm25_from_postings: bucket partition-pruning + term filter,
+    NO corpus tokenize at query time), then join back for display text and
+    highlighting. Same oracle as search_page_highlighted proves the indexed
+    probe is bit-identical to the direct corpus scorer — exactly the
+    ES-index/news-app split: indexing at ingest, probing per keystroke."""
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+
+    d = load(spark, sf_dir, "documents")
+    idx = SearchIndex.build(d, "doc_id", "text", cache=False)
+    hits = idx.search(_BM25_QUERY, k=8)
+    return hits.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "score",
+        "text",
+        highlight("text", _BM25_QUERY).alias("highlighted"),
+    )
+
+
+@q(
     "text_search_overlap",
     oracle=f"""
 SELECT doc_id, lang, source FROM documents

@@ -107,3 +107,63 @@ def test_iso3_join(facts):
         for r in with_iso3(facts).select("iso_code2", "iso_code3").distinct().collect()
     }
     assert got == {"FR": "FRA", "DE": "DEU"}
+
+
+def test_search_index_probe_matches_corpus_scan(engine):
+    """Indexed BM25 must be bit-identical to the direct scorer, and the
+    warm engine search plan must contain NO corpus tokenize (the ES-probe
+    property: index at ingest, probe per query)."""
+    direct = engine.search("virus outbreak", k=5, use_index=False).collect()
+    probed = engine.search("virus outbreak", k=5).collect()
+    assert [r.asDict() for r in probed] == [r.asDict() for r in direct]
+    plan = (
+        engine.search("virus outbreak", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" in plan  # probes the cached postings
+    # The cached InMemoryRelation subtree prints the ORIGINAL build plan
+    # (which tokenized, at ingest). Query-time operators — everything before
+    # that subtree — must not tokenize.
+    live_ops = plan.split("InMemoryRelation")[0]
+    assert "regexp_extract_all" not in live_ops  # no query-time tokenize
+
+
+def test_search_index_parquet_roundtrip_prunes_partitions(spark, tmp_path):
+    """save/load: a probe over the parquet index reads only the query
+    terms' bucket partitions (partition pruning), and results survive the
+    roundtrip unchanged."""
+    from pandemic_knowledge_spark.operators.search import (
+        N_TERM_BUCKETS,
+        SearchIndex,
+        term_bucket_py,
+    )
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    built = SearchIndex.build(docs, "doc_id", "text", cache=False)
+    built.save(str(tmp_path / "idx"))
+    loaded = SearchIndex.load(spark, str(tmp_path / "idx"))
+    q = "virus outbreak"
+    assert (
+        loaded.search(q, k=5).collect() == built.search(q, k=5).collect()
+    )
+    plan = loaded.search(q, k=5)._jdf.queryExecution().executedPlan().toString()
+    want_buckets = sorted({term_bucket_py(t) for t in q.split()})
+    assert len(want_buckets) < N_TERM_BUCKETS
+    # partition filter on bucket reaches the scan
+    assert "PartitionFilters: [bucket" in plan.replace("PartitionFilters: [isnotnull(bucket", "PartitionFilters: [bucket") or "bucket#" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_spark_crc32_matches_python_bucket(spark):
+    """The Spark bucket expression and term_bucket_py MUST agree — partition
+    pruning silently returns wrong (empty) results if they drift."""
+    from pandemic_knowledge_spark.operators.search import N_TERM_BUCKETS, term_bucket_py
+
+    terms = ["virus", "outbreak", "zebra", "a", "covid19", "ünïcode"]
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", F.pmod(F.crc32(F.col("term")), F.lit(N_TERM_BUCKETS)).cast("int").alias("b"))
+        .collect()
+    )
+    for r in rows:
+        assert r.b == term_bucket_py(r.term), r.term
