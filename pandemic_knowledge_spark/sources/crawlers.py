@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Callable, Iterable, Sequence
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +32,7 @@ NEWS_SCHEMA = StructType(
     [
         StructField("title", StringType()),
         StructField("description", StringType()),
+        StructField("img", StringType()),
         StructField("date", TimestampType()),
         StructField("lang", StringType()),
         StructField(
@@ -69,6 +70,7 @@ def fake_google_news(lang: str, tag: str) -> list[dict]:
             {
                 "title": f"[{lang}] {tag} headline {i}",
                 "description": f"story {i} about {tag}",
+                "img": f"https://news-{i % 5}.example/img/{i}.jpg",
                 "date": _det_ts(seed, base),
                 "lang": lang,
                 "source": {
@@ -96,6 +98,7 @@ def fake_tweets(lang: str, tag: str) -> list[dict]:
             {
                 "title": f"Tweet from user{i % 400}: {tag} #{i % 700}",
                 "description": None,
+                "img": None,
                 "date": _det_ts(seed, base),
                 "lang": lang,
                 "source": {
@@ -157,3 +160,113 @@ def _dedup_by_url(df: DataFrame) -> DataFrame:
         .dropDuplicates(["_url"])
         .drop("_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-client adapters (S5/S6 conformance): the exact raw shapes the
+# reference's libraries emit, conformed to NEWS_SCHEMA. Offline, recorded
+# fixtures in these same shapes (tests/fixtures/) drive the adapters; online,
+# pass the real client factories.
+# ---------------------------------------------------------------------------
+
+
+def _parse_dt(v) -> datetime | None:
+    """Raw client timestamps → naive UTC datetime: GoogleNews yields naive
+    datetimes, snscrape yields tz-aware UTC, fixtures yield ISO strings."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        v = datetime.fromisoformat(v)
+    if v.tzinfo is not None:
+        v = v.astimezone(timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def adapt_google_news_result(new: dict, lang: str) -> dict | None:
+    """One raw GoogleNews `results()` dict → conformed news row — the same
+    field mapping as the reference's format_new
+    (/root/reference/flow/scripts/crawl_google_news.py:56-70): `desc`→
+    description, `site`→source.website, scheme-less `link` gains https://,
+    `datetime`→date, crawler tag 'Google News'."""
+    if not new:
+        return None
+    link = new.get("link")
+    url = f"https://{link}" if link and "://" not in str(link) else link
+    return {
+        "title": str(new["title"]),
+        "description": str(new.get("desc") or ""),
+        "img": str(new["img"]) if new.get("img") else None,
+        "date": _parse_dt(new.get("datetime")),
+        "lang": lang,
+        "source": {
+            "crawler": "Google News",
+            "website": str(new.get("site")) if new.get("site") else None,
+            "author": None,
+            "url": url,
+            "tweet": None,
+        },
+    }
+
+
+def adapt_tweet(tweet, lang: str) -> dict:
+    """One raw snscrape Tweet (attribute-shaped, or a dict fixture of the
+    same fields) → conformed news row — the reference's field mapping
+    (/root/reference/flow/scripts/crawl_tweets.py:71-84): synthesized
+    title, content→description, url doubles as link/source.url, tweet id
+    kept as text (crawl_mapping.py:19)."""
+    get = tweet.get if isinstance(tweet, dict) else lambda k, d=None: getattr(tweet, k, d)
+    date = _parse_dt(get("date"))
+    username = get("username")
+    return {
+        "title": f"Tweet from {username} the {date}",
+        "description": get("content"),
+        "img": None,
+        "date": date,
+        "lang": lang,
+        "source": {
+            "crawler": "twitter",
+            "website": "https://twitter.com",
+            "author": username,
+            "url": get("url"),
+            "tweet": {"id": str(get("id"))},
+        },
+    }
+
+
+def google_news_fetch(client_factory: Callable[[str], object]) -> FetchFn:
+    """FetchFn over a GoogleNews-API-shaped client: ``client_factory(lang)``
+    must return an object with ``get_news(tag)`` and ``results(sort=True)``
+    — the real library's surface (crawl_google_news.py:73-81). Works with
+    the real client online or a fixture-replaying fake offline."""
+
+    def fetch(lang: str, tag: str) -> list[dict]:
+        client = client_factory(lang)
+        client.get_news(tag)
+        out = []
+        for new in client.results(sort=True) or []:
+            row = adapt_google_news_result(new, lang)
+            if row:
+                out.append(row)
+        return out
+
+    return fetch
+
+
+def snscrape_fetch(
+    scraper_factory: Callable[[str], object], limit: int = 1000
+) -> FetchFn:
+    """FetchFn over a snscrape-shaped scraper: ``scraper_factory(query)``
+    must return an object with ``get_items()`` yielding Tweet-shaped items
+    (crawl_tweets.py:62-67 builds `"{tag} since:... lang:{lang}"` and
+    enumerates with a hard cap)."""
+
+    def fetch(lang: str, tag: str) -> list[dict]:
+        items = scraper_factory(f"{tag} lang:{lang}").get_items()
+        out = []
+        for i, tw in enumerate(items):
+            if i >= limit:
+                break
+            out.append(adapt_tweet(tw, lang))
+        return out
+
+    return fetch
