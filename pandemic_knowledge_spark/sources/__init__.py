@@ -15,10 +15,18 @@ from pandemic_knowledge_spark.sources.resolve import (
 from pandemic_knowledge_spark.sources.http_fetch import fetch_to_local
 from pandemic_knowledge_spark.sources.crawlers import (
     NEWS_SCHEMA,
+    adapt_google_news_result,
+    adapt_tweet,
     fake_google_news,
     fake_tweets,
+    google_news_fetch,
     news_source,
+    snscrape_fetch,
     tweet_source,
+)
+from pandemic_knowledge_spark.sources.geocode import (
+    NominatimGeocoder,
+    enrich_dimension_durable,
 )
 from pandemic_knowledge_spark.sources.lookup import build_location_dim
 from pandemic_knowledge_spark.sources.pipelines import (
@@ -40,6 +48,12 @@ __all__ = [
     "tweet_source",
     "fake_google_news",
     "fake_tweets",
+    "adapt_google_news_result",
+    "adapt_tweet",
+    "google_news_fetch",
+    "snscrape_fetch",
+    "NominatimGeocoder",
+    "enrich_dimension_durable",
     "build_location_dim",
     "OWID_COLUMNS",
     "PARSE_INSERT_COLUMNS",
