@@ -429,3 +429,45 @@ def test_snscrape_attribute_shaped_items_adapt(spark):
     row = adapt_tweet(tw, "en")
     assert row["source"]["tweet"]["id"] == "9"
     assert row["source"]["author"] == "u1"
+
+
+# ------------------------------------------------------- non-local FS seam
+
+
+def test_read_prefix_and_scan_via_hadoop_scheme(spark, tmp_path):
+    """The non-`file` scheme branch of read_prefix (Hadoop FileSystem API)
+    and a spark.read over the same scheme, exercised with a test scheme
+    registered onto Hadoop's local FS — the exact dispatch an s3a:// URI
+    takes, minus the remote store."""
+    from pandemic_knowledge_spark.sources.csv_sniff import read_csv_sniffed, read_prefix, sniff_dialect
+
+    p = tmp_path / "dialect.csv"
+    p.write_text("a;b;c\n1;2;3\n4;5;6\n")
+    # viewfs:// mount table routed onto the local FS: a real non-file scheme
+    # resolved purely through Hadoop's FileSystem dispatch.
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.testcluster.link./data", f"file://{tmp_path}"
+    )
+    uri = f"viewfs://testcluster/data/{p.name}"
+    prefix = read_prefix(uri, 10, spark)
+    assert prefix == "a;b;c\n1;2;"  # first 10 bytes, served by the Hadoop branch
+    assert sniff_dialect(uri, spark=spark)["sep"] == ";"
+    df = read_csv_sniffed(spark, [uri])
+    assert df.count() == 2 and df.columns == ["a", "b", "c", "_source_file"]
+
+
+def test_s3a_conf_wiring(monkeypatch):
+    """_with_s3a_conf translates the env contract into s3a builder confs."""
+    from pyspark.sql import SparkSession
+
+    from pandemic_knowledge_spark.session import _with_s3a_conf
+
+    monkeypatch.setenv("PK_S3_ENDPOINT", "http://minio.test:9000")
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "test-key")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "test-secret")
+    monkeypatch.setenv("PK_S3_PATH_STYLE", "true")
+    builder = _with_s3a_conf(SparkSession.builder)
+    opts = builder._options
+    assert opts["spark.hadoop.fs.s3a.endpoint"] == "http://minio.test:9000"
+    assert opts["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert opts["spark.hadoop.fs.s3a.attempts.maximum"] == "3"
