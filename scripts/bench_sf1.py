@@ -1,0 +1,155 @@
+"""sf1 spot-bench: scale sf0.1 10× and time the 5 most expensive headline
+queries with bench.py's steady-state protocol.
+
+The driver ships sf{0.001,0.01,0.1} only, so sf1 is DERIVED: each fact table
+is 10 shifted copies of sf0.1 (all join keys offset per copy → FK-consistent,
+10× rows; region/nation stay the classic fixed dims). Document texts are
+recombined across docs per copy (first half of doc j + second half of doc
+j+17i) so the near-dup workload keeps a realistic pair density instead of
+every doc gaining 9 exact clones. Embedding ids shift, vectors repeat —
+ANN/kNN cost is row count, not value diversity.
+
+Usage: python scripts/bench_sf1.py [--regen]
+Writes /tmp/pk_sf1/*.parquet once (reused across runs), prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.plans import REGISTRY
+from pandemic_knowledge_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/pk_sf1"
+COPIES = 10
+SHIFT = 100_000_000  # beyond any sf0.1 key
+
+QUERIES = [  # 5 most expensive in BENCH_r02
+    "dedup_minhash_lsh",
+    "decontaminate_train_split",
+    "q21_single_return_supplier",
+    "corpus_curation_pipeline",
+    "q1_pricing_summary",
+]
+
+KEY_COLS = {
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
+}
+NATION_KEYS = ("c_nationkey", "s_nationkey")  # dims stay fixed — don't shift
+
+
+def scale_table(spark, name: str) -> None:
+    df = spark.read.parquet(f"{SRC}/{name}.parquet")
+    copies = []
+    for i in range(COPIES):
+        c = df
+        for k in KEY_COLS.get(name, []):
+            if k in NATION_KEYS:
+                continue
+            c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+
+def scale_documents(spark) -> None:
+    df = spark.read.parquet(f"{SRC}/documents.parquet")
+    n = df.count()
+    base = df.select("doc_id", "text", *[c for c in df.columns if c not in ("doc_id", "text")])
+    halves = df.select(
+        F.col("doc_id").alias("p_id"), F.col("text").alias("p_text")
+    )
+    copies = [df]
+    for i in range(1, COPIES):
+        partner = (F.col("doc_id") + F.lit(17 * i)) % F.lit(n)
+        c = (
+            base.withColumn("p_id", partner)
+            .join(halves, "p_id")
+            .withColumn(
+                "text",
+                F.concat(
+                    F.expr("substr(text, 1, int(length(text)/2))"),
+                    F.lit(" "),
+                    F.expr("substr(p_text, int(length(p_text)/2))"),
+                ),
+            )
+            .drop("p_id", "p_text")
+            .withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT))
+            .select(*df.columns)
+        )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+
+def ensure_data(spark, regen: bool) -> None:
+    marker = f"{DST}/_SCALED_OK"
+    if os.path.exists(marker) and not regen:
+        return
+    os.makedirs(DST, exist_ok=True)
+    for name in ("region", "nation"):
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{name}.parquet"
+        )
+    for name in KEY_COLS:
+        scale_table(spark, name)
+    scale_documents(spark)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def main() -> None:
+    regen = "--regen" in sys.argv
+    spark = get_spark(app_name="pk-bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_data(spark, regen)
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for _ in range(2):  # settle the JIT for the final class population
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            REGISTRY[name].fn(spark, DST).collect()
+    runs = {name: [] for name in QUERIES}
+    for _ in range(3):  # round-robin, median per query
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, DST).collect()
+            runs[name].append(time.perf_counter() - t0)
+    timings = {name: round(sorted(ts)[1], 3) for name, ts in runs.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_spot_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": 1.0,
+                "derived_from": "sf0.1 x10 key-shifted copies",
+                "protocol": "steady_state_median_of_3_cache_cleared",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
