@@ -3100,48 +3100,60 @@ BENCH_QUERY_NAMES.extend(
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # never driver-checked as of r1 (registry[50:] last round)
-    "stream_dedup_first",
-    "geo_grid_hotspots",
-    "geo_nearest_customers",
-    "multimodal_byte_stats",
-    "multimodal_media_features",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue",
-    "q16_supplier_cnt",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_idle_rich_customers",
-    "window_range_7day_avg",
-    "q2_min_cost_supplier",
-    "q11_part_value_concentration",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q20_heavy_part_suppliers",
-    "q21_single_return_supplier",
-    "window_gap_islands",
-    "dedup_cluster_reps",
-    "pack_training_bins",
-    "sample_stratified_corpus",
-    "sample_upsample_epochs",
-    "sample_train_test_split",
-    "decontaminate_train_split",
-    # oracle or query changed this round -> needs a fresh green row
-    "q1_pricing_summary",
-    "agg_approx_distinct_users",
-    # new this round
-    "text_search_bm25_fields",
-    "dedup_minhash_lsh_pruned",
-    "text_repetition_signals",
-    "dedup_cluster_reps_star",
-    "search_page_highlighted",
-    "iso_code_enrich",
-    "conform_validity_audit",
-    "text_boilerplate_ngrams",
+    # The driver hash-checks queries()[:50] in registry order; this list is
+    # derived from the ROUND-3 DIFF at round end (VERDICT r2 item 2):
+    # tier A = new or implementation/oracle-changed in r3 (need fresh rows),
+    # tier B = changed in r2 after their last green row (the r2 stale set),
+    # tier C = r1-only green rows, oldest first — refreshed while slots last.
+    # --- tier A: r3 new / changed ---
+    "range_join_value_brackets",   # new: banded range join
+    "search_page_indexed",         # new: persisted posting-table probe
+    "multimodal_media_features",   # r2 no_oracle -> literal VALUES oracle
+    "conform_json_coerce",         # oracle rewritten (saturation semantics)
+    "text_boilerplate_ngrams",     # raw-ratio filter fix
+    "text_repetition_signals",     # oracle emission via sql_tokenize
+    "search_page_highlighted",     # shared highlight-pattern builder
+    "dedup_minhash_lsh",           # auto dispatcher (sizeInBytes gate)
+    "dedup_minhash_lsh_pruned",    # dispatch target, keep paired
+    "dedup_cluster_reps",          # pairs now via auto dispatcher
+    "dedup_cluster_reps_star",     # pairs now via auto dispatcher
+    # --- tier B: r2 stale ---
+    "text_lang_id",
+    "corpus_curation_pipeline",
+    "stream_tumbling_hourly",
+    "stream_sliding_1h30m",
+    "stream_session_5m",
+    # --- tier C: r1-only green, refresh oldest rows ---
+    "union_feed",
+    "latest_feed_page",
+    "text_search_overlap",
+    "text_search_bm25",
+    "text_stats",
+    "knn_cosine_topk",
+    "ann_ivf_topk",
+    "ann_rp_lsh_topk",
+    "emb_near_dup_pairs",
+    "dedup_exact_docs",
+    "dedup_simhash_docs",
+    "dedup_ngram_jaccard",
+    "asof_attribution",
+    "interval_join_shipments",
+    "setop_nations_intersect",
+    "setop_nations_except",
+    "agg_daily_orders",
+    "agg_terms_top_events",
+    "agg_nation_balance",
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "agg_grouping_sets_orders",
+    "agg_pivot_daily_metrics",
+    "agg_percentile_quantity",
+    "skew_salted_user_totals",
+    "semi_join_hits",
+    "conform_week_histogram",
+    "window_running_revenue",
+    "window_lag_delta",
+    "window_topk_orders_per_cust",
 ]
 
 
