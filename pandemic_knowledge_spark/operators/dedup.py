@@ -659,3 +659,58 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star: no convergence in {max_iter} rounds"
     )
+
+
+def dedup_corpus_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\.",
+) -> DataFrame:
+    """Cross-corpus exact LINE/sentence dedup (the CCNet/RefinedWeb paragraph
+    pass): every distinct non-empty trimmed segment survives only at its
+    FIRST occurrence — smallest (doc, position) corpus-wide — and each doc
+    is reassembled from its surviving segments in original order. Catches
+    boilerplate sentences repeated across documents that doc-level near-dup
+    can never remove (and repeated segments within one doc).
+
+    Output: (doc_id, n_lines, n_kept, text_kept).
+
+    Scale shape: segments explode to rows (linear), ONE shuffle on the
+    segment string picks the keeper via min(encoded doc·1e6+pos) — map-side
+    combined, and AQE splits a skewed boilerplate segment's partition —
+    then one shuffle back on doc_id rebuilds texts. No pairwise anything;
+    the reassembly string_agg is bounded by each doc's own length."""
+    did, pos = F.col(id_col), F.col("pos")
+    ekey = (did * F.lit(1_000_000) + pos).alias("ekey")
+    lines = (
+        docs.select(id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "raw"))
+        .select(id_col, "pos", F.trim(F.col("raw")).alias("line"), ekey)
+        .filter(F.col("line") != "")
+    )
+    keeper = lines.groupBy("line").agg(F.min("ekey").alias("kkey"))
+    kept = (
+        lines.join(keeper, "line")
+        .where(F.col("ekey") == F.col("kkey"))
+        .select(id_col, "pos", "line")
+    )
+    per_doc = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            ". ",
+        ).alias("text_kept"),
+    )
+    return (
+        per_doc.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "text_kept",
+        )
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandemic_knowledge_spark.functions.text import tokenize
+from pandemic_knowledge_spark.functions.text import sql_tokenize, tokenize
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -395,3 +395,71 @@ class SearchIndex:
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         return bm25_from_postings(self.postings, self.stats, query, k=k)
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top-k terms of each doc
+    by tf · ln(N/df), ties broken alphabetically — the classic corpus
+    summarization / tagging pass (ES's significant-terms cousin).
+
+    Shape: one tokenize+explode → (doc, term) TF shuffle (map-side
+    combined), a term-DF aggregate joined back BROADCAST (distinct terms ≪
+    corpus), the one-row corpus count broadcast in, then a per-doc top-k
+    window. The window partitions by doc_id — same key as the TF shuffle,
+    so AQE reuses the partitioning; nothing here is more than linear."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "rnk", "term", "score")
+    )
+
+
+def sql_tfidf_keywords(table: str, id_col: str, text_col: str, top_k: int = 3) -> str:
+    """DuckDB SQL reproducing :func:`tfidf_keywords` exactly."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks
+  FROM {table}
+), stats AS (
+  SELECT count(*) AS n_docs FROM base
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(stats.n_docs AS DOUBLE) / dft.df), 6) AS score
+  FROM tf, dft, stats WHERE tf.term = dft.term
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score FROM ranked WHERE rnk <= {top_k}
+"""

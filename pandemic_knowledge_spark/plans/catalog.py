@@ -93,6 +93,8 @@ from pandemic_knowledge_spark.operators.search import (
     bm25_search_fields,
     sql_bm25_search,
     sql_bm25_search_fields,
+    sql_tfidf_keywords,
+    tfidf_keywords,
 )
 from pandemic_knowledge_spark.operators.skew import salted_agg
 from pandemic_knowledge_spark.streaming.transforms import quarantine_split
@@ -1228,6 +1230,58 @@ def dedup_minhash_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 100 TB shape; see operators.dedup.minhash_lsh_pairs_pruned)."""
     d = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs_pruned(d, "doc_id", "text", k=2, threshold=0.5)
+
+
+_LINE_DEDUP_ORACLE = """
+WITH parts AS (
+  SELECT doc_id, string_split(text, '.') AS ps FROM documents
+), lines AS (
+  SELECT doc_id, u.pos, u.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ps)+1),
+                  i -> {'pos': i, 'line': trim(ps[i])})) AS u
+    FROM parts)
+  WHERE u.line <> ''
+), keeper AS (
+  SELECT line, min(doc_id * 1000000 + pos) AS kkey FROM lines GROUP BY line
+), kept AS (
+  SELECT l.* FROM lines l
+  JOIN keeper k ON l.line = k.line AND l.doc_id * 1000000 + l.pos = k.kkey
+)
+SELECT a.doc_id,
+       count(*) AS n_lines,
+       coalesce((SELECT count(*) FROM kept k WHERE k.doc_id = a.doc_id), 0) AS n_kept,
+       (SELECT string_agg(k.line, '. ' ORDER BY k.pos) FROM kept k WHERE k.doc_id = a.doc_id)
+         AS text_kept
+FROM lines a GROUP BY a.doc_id
+"""
+
+
+@q("dedup_corpus_lines", oracle=_LINE_DEDUP_ORACLE)
+def dedup_corpus_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus sentence-level exact dedup (the CCNet/RefinedWeb
+    paragraph pass): each distinct segment survives only at its first
+    (doc, position) occurrence corpus-wide; docs reassemble from survivors
+    in order (operators.dedup.dedup_corpus_lines). Spark's posexplode is
+    0-based, the oracle's range is 1-based — the keeper choice (min doc_id,
+    then min pos) and therefore the survivor sets are base-invariant, and
+    positions never appear in the output."""
+    from pandemic_knowledge_spark.operators.dedup import dedup_corpus_lines
+
+    d = load(spark, sf_dir, "documents")
+    return dedup_corpus_lines(d, "doc_id", "text")
+
+
+@q(
+    "text_tfidf_keywords",
+    oracle=sql_tfidf_keywords("documents", "doc_id", "text", 3),
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords, ties alphabetical
+    (operators.search.tfidf_keywords) — corpus tagging/summarization, the
+    batch cousin of ES significant-terms."""
+    d = load(spark, sf_dir, "documents")
+    return tfidf_keywords(d, "doc_id", "text", top_k=3)
 
 
 def _sql_simhash() -> str:
@@ -3106,6 +3160,8 @@ _DRIVER_PRIORITY = [
     # tier B = changed in r2 after their last green row (the r2 stale set),
     # tier C = r1-only green rows, oldest first — refreshed while slots last.
     # --- tier A: r3 new / changed ---
+    "dedup_corpus_lines",          # new: cross-corpus sentence dedup
+    "text_tfidf_keywords",         # new: per-doc TF-IDF keywords
     "range_join_value_brackets",   # new: banded range join
     "search_page_indexed",         # new: persisted posting-table probe
     "multimodal_media_features",   # r2 no_oracle -> literal VALUES oracle

@@ -126,3 +126,23 @@ def test_star_contraction_converges_on_long_chain(spark):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {(r.node, r.rep) for r in connected_components_star(df, max_iter=20).collect()}
     assert got == {(i, 0) for i in range(121)}
+
+
+def test_dedup_corpus_lines_semantics(spark):
+    """First corpus-wide occurrence survives (by doc, then position);
+    within-doc repeats collapse; docs reassemble in original order; a doc
+    losing every line keeps n_kept=0 and null text."""
+    from pandemic_knowledge_spark.operators.dedup import dedup_corpus_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta. gamma. alpha beta"),
+            (2, "gamma. delta"),
+            (3, "gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_corpus_lines(docs).collect()}
+    assert (got[1].n_lines, got[1].n_kept, got[1].text_kept) == (3, 2, "alpha beta. gamma")
+    assert (got[2].n_lines, got[2].n_kept, got[2].text_kept) == (2, 1, "delta")
+    assert (got[3].n_lines, got[3].n_kept, got[3].text_kept) == (1, 0, None)
