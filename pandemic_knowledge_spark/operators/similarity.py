@@ -180,3 +180,153 @@ def near_dup_pairs(
             "cos_sim",
         )
     )
+
+
+# --------------------------------------------------------------- k-means
+
+KM_SCALE = 1000  # float32 → integer-quantized coordinates (exact arithmetic)
+
+
+def _quantize(vec_col: str):
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+    )
+
+
+def kmeans_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd k-means over INTEGER-QUANTIZED embeddings — the corpus
+    clustering pass (topic bucketing, IVF coarse-quantizer training,
+    diversity-aware sampling strata).
+
+    Everything is exact int64 arithmetic, so results are bit-identical on
+    any engine and any partitioning: coordinates quantize to
+    round(x·1000); assignment minimizes the exact squared distance with
+    ties broken by lowest cluster id (encoded min(dist·k + cl)); centroid
+    updates floor-divide exact integer sums. Init = the k lowest ``id_col``
+    rows (deterministic, engine-portable).
+
+    Scale shape per iteration: ONE corpus pass for assignment (centroids are
+    k broadcast literals — k·dim int64s — baked into the plan, the same
+    driver-collect every distributed k-means does, incl. MLlib), one
+    posexplode→groupBy(cl, dim) shuffle for the update (map-side combined;
+    k·dim result rows to the driver). The driver loop carries PLANS, not
+    data; each round's frame is a fresh scan, so no lineage blowup.
+
+    Output: (cluster_id, n_vecs, centroid_c0) — final-round assignment
+    counts and the dim-0 coordinate of the final centroids.
+    """
+    base = emb.select(F.col(id_col).alias("vec_id"), _quantize(vec_col).alias("q"))
+    init = base.orderBy("vec_id").limit(k).collect()
+    cents: list[list[int]] = [list(r.q) for r in init]
+    dim = len(cents[0])
+
+    def assign(frame: DataFrame) -> DataFrame:
+        enc = F.array_min(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"),
+                            F.array(*[F.lit(int(v)) for v in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(k)
+                    + F.lit(cl)
+                    for cl, c in enumerate(cents)
+                ]
+            )
+        )
+        return frame.withColumn("cl", (enc % F.lit(k)).cast("long"))
+
+    for _ in range(iters):
+        a = assign(base)
+        upd = (
+            a.select("cl", F.posexplode("q").alias("i", "val"))
+            .groupBy("cl", "i")
+            .agg(
+                F.floor(F.sum("val") / F.count(F.lit(1))).cast("long").alias("cv")
+            )
+            .collect()
+        )
+        new = {}
+        for r in upd:
+            new.setdefault(r.cl, [0] * dim)[r.i] = r.cv
+        cents = [new.get(cl, cents[cl]) for cl in range(k)]  # empty cluster keeps old
+
+    final = assign(base)  # assignment against the final centroids
+    return (
+        final.groupBy("cl")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            F.col("cl").alias("cluster_id"),
+            "n_vecs",
+            # dim-0 coordinate of the final centroid, mapped via a literal
+            F.element_at(
+                F.array(*[F.lit(int(c[0])) for c in cents]),
+                (F.col("cl") + 1).cast("int"),
+            ).alias("centroid_c0"),
+        )
+    )
+
+
+def sql_kmeans(table: str, vec_col: str, id_col: str, k: int = 8,
+               iters: int = 2, dim: int = 64) -> str:
+    """DuckDB SQL reproducing :func:`kmeans_embeddings` exactly — the Lloyd
+    iterations unroll to one assignment + one update CTE pair per round,
+    all in exact int64 arithmetic."""
+    q = (
+        f"q AS (SELECT {id_col} AS vec_id, "
+        f"list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)*{KM_SCALE}) AS BIGINT)) AS q "
+        f"FROM {table})"
+    )
+    c_prev = "c0"
+    ctes = [
+        q,
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q AS c "
+        f"FROM q ORDER BY vec_id LIMIT {k})",
+    ]
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (v.q[i]-c.c[i])*(v.q[i]-c.c[i])))"
+    )
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"a{it} AS (SELECT v.vec_id, CAST(min({dist}*{k} + c.cl) % {k} AS BIGINT) AS cl "
+            f"FROM q v CROSS JOIN {c_prev} c GROUP BY v.vec_id)"
+        )
+        ctes.append(
+            f"u{it} AS (SELECT a.cl, u.i, "
+            f"CAST(floor(CAST(sum(v.q[u.i]) AS DOUBLE)/count(*)) AS BIGINT) AS cv "
+            f"FROM a{it} a JOIN q v USING (vec_id) "
+            f"CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) u "
+            f"GROUP BY a.cl, u.i)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT p.cl, "
+            f"coalesce((SELECT list(u.cv ORDER BY u.i) FROM u{it} u WHERE u.cl = p.cl), p.c) AS c "
+            f"FROM {c_prev} p)"
+        )
+        c_prev = f"c{it}"
+    ctes.append(
+        f"afin AS (SELECT v.vec_id, CAST(min({dist}*{k} + c.cl) % {k} AS BIGINT) AS cl "
+        f"FROM q v CROSS JOIN {c_prev} c GROUP BY v.vec_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT a.cl AS cluster_id,
+       count(*) AS n_vecs,
+       min(c.c[1]) AS centroid_c0
+FROM afin a JOIN {c_prev} c USING (cl)
+GROUP BY a.cl
+"""
+    )

@@ -100,9 +100,11 @@ from pandemic_knowledge_spark.operators.skew import salted_agg
 from pandemic_knowledge_spark.streaming.transforms import quarantine_split
 from pandemic_knowledge_spark.operators.similarity import (
     ivf_topk,
+    kmeans_embeddings,
     knn_brute_force,
     near_dup_pairs,
     rp_lsh_topk,
+    sql_kmeans,
 )
 from pandemic_knowledge_spark.operators.windows import (
     lag_delta,
@@ -1282,6 +1284,22 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch cousin of ES significant-terms."""
     d = load(spark, sf_dir, "documents")
     return tfidf_keywords(d, "doc_id", "text", top_k=3)
+
+
+@q(
+    "emb_kmeans_clusters",
+    oracle=sql_kmeans("embeddings", "embedding", "vec_id", k=8, iters=2),
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering: Lloyd k-means (k=8, 2 iterations) over
+    integer-quantized vectors (operators.similarity.kmeans_embeddings) —
+    topic bucketing / IVF coarse-quantizer training / diversity-sampling
+    strata for the corpus. Exact int64 arithmetic end to end makes the
+    iterative algorithm hash-checkable against an unrolled recursive-free
+    SQL oracle — assignment, floor-divided centroid updates, and tie-breaks
+    are all bit-identical on any engine and partitioning."""
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_embeddings(e, "embedding", "vec_id", k=8, iters=2)
 
 
 def _sql_simhash() -> str:
@@ -3160,6 +3178,7 @@ _DRIVER_PRIORITY = [
     # tier B = changed in r2 after their last green row (the r2 stale set),
     # tier C = r1-only green rows, oldest first — refreshed while slots last.
     # --- tier A: r3 new / changed ---
+    "emb_kmeans_clusters",         # new: quantized Lloyd k-means
     "dedup_corpus_lines",          # new: cross-corpus sentence dedup
     "text_tfidf_keywords",         # new: per-doc TF-IDF keywords
     "range_join_value_brackets",   # new: banded range join

@@ -63,3 +63,20 @@ def test_sq_degree_ranks_like_haversine_on_nested_rings(spark):
     by_hv = [r.pid for r in sorted(ranked, key=lambda r: r.hv)]
     by_sq = [r.pid for r in sorted(ranked, key=lambda r: r.sq)]
     assert by_hv == by_sq
+
+
+def test_kmeans_partitions_corpus_and_is_partitioning_invariant(spark):
+    """Every vector lands in exactly one cluster; the result is identical
+    under a different input partitioning (exact integer arithmetic — no
+    FP merge-order sensitivity)."""
+    from pandemic_knowledge_spark.operators.similarity import kmeans_embeddings
+    from pandemic_knowledge_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    out = kmeans_embeddings(e, "embedding", "vec_id", k=4, iters=2).collect()
+    assert sum(r.n_vecs for r in out) == e.count()
+    assert len(out) <= 4
+    again = kmeans_embeddings(
+        e.repartition(17), "embedding", "vec_id", k=4, iters=2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
