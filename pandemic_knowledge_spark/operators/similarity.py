@@ -223,6 +223,12 @@ def kmeans_embeddings(
     counts and the dim-0 coordinate of the final centroids.
     """
     base = emb.select(F.col(id_col).alias("vec_id"), _quantize(vec_col).alias("q"))
+    # Each iteration re-reads `base` (init + iters×(assign, update) + final
+    # assign). Materialize the quantized vectors ONCE — localCheckpoint, not
+    # cache, so the plan truncates and the ContextCleaner reclaims blocks
+    # when the frame is dereferenced (k·dim longs per row; tiny vs re-scanning
+    # and re-quantizing the parquet five times).
+    base = base.localCheckpoint(eager=True)
     init = base.orderBy("vec_id").limit(k).collect()
     cents: list[list[int]] = [list(r.q) for r in init]
     dim = len(cents[0])
