@@ -463,3 +463,94 @@ WITH base AS (
 )
 SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score FROM ranked WHERE rnk <= {top_k}
 """
+
+
+def build_postings_fields(
+    docs: DataFrame, id_col: str, field_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Multi-field postings in ONE corpus pass: (bucket, field, term, doc_id,
+    tf, dl) + per-field corpus stats — ES's per-field inverted index. Same
+    bucket partitioning as :func:`build_postings`, so a probe prunes to the
+    query terms' buckets regardless of field count."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[tokenize(c).alias(f"__toks_{i}") for i, c in enumerate(field_cols)],
+    )
+    field_structs = F.array(
+        *[
+            F.struct(F.lit(c).alias("field"), F.col(f"__toks_{i}").alias("toks"))
+            for i, c in enumerate(field_cols)
+        ]
+    )
+    long = (
+        base.select("doc_id", F.explode(field_structs).alias("fx"))
+        .select("doc_id", F.col("fx.field").alias("field"), F.col("fx.toks").alias("toks"))
+        .withColumn("dl", F.size("toks"))
+    )
+    stats = long.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    postings = (
+        long.select("field", "doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("field", "doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.crc32(F.col("term")), F.lit(N_TERM_BUCKETS)).cast("int")
+        )
+    )
+    return postings, stats
+
+
+def bm25_fields_from_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """best_fields BM25 from the multi-field posting tables — identical
+    output to :func:`bm25_search_fields`, no corpus tokenize at query time.
+    Per-(field, term) df recomputes from the pruned postings (rows unique
+    per (field, doc, term) → plain count)."""
+    q_terms = sorted(set(query.lower().split()))
+    buckets = sorted({term_bucket_py(t) for t in q_terms})
+    p = postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(q_terms)
+    )
+    df_t = p.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
+    field_scores = (
+        p.join(F.broadcast(df_t), ["field", "term"])
+        .join(F.broadcast(stats), "field")
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id", "field")
+        .agg(F.round(F.sum("term_score"), 4).alias("field_score"))
+    )
+    return (
+        field_scores.groupBy("doc_id")
+        .agg(
+            F.max("field_score").alias("__best"),
+            F.sum("field_score").alias("__total"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("__best") + F.lit(tie_breaker) * (F.col("__total") - F.col("__best")),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )

@@ -1704,6 +1704,37 @@ def text_search_bm25_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search_fields(d, "doc_id", ["title", "body"], _BM25_QUERY, k=10)
 
 
+@q(
+    "search_fields_indexed",
+    oracle=sql_bm25_search_fields(
+        "documents",
+        "doc_id",
+        {"title": "substr(text, 1, 80)", "body": "substr(text, 81)"},
+        _BM25_QUERY,
+        10,
+    ),
+)
+def search_fields_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 over the persisted multi-field index: the news app's best_fields
+    query scored purely from per-field posting tables
+    (operators.search.build_postings_fields + bm25_fields_from_postings —
+    bucket partition-pruned probe, no query-time tokenize). Same oracle as
+    text_search_bm25_fields proves indexed ≡ direct, completing the
+    ES-analogue: per-field inverted index at ingest, probe per keystroke."""
+    from pandemic_knowledge_spark.operators.search import (
+        bm25_fields_from_postings,
+        build_postings_fields,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("substr(text, 1, 80)").alias("title"),
+        F.expr("substr(text, 81)").alias("body"),
+    )
+    postings, stats = build_postings_fields(d, "doc_id", ["title", "body"])
+    return bm25_fields_from_postings(postings, stats, _BM25_QUERY, k=10)
+
+
 # TPC-H nation name → ISO 3166-1 alpha-2 (public data); nations without an
 # entry (ALGERIA, ETHIOPIA, IRAN, IRAQ, JORDAN, MOZAMBIQUE) stay unmapped and
 # exercise the left-join unknown-code → null path. UNITED KINGDOM maps to the
@@ -3178,6 +3209,7 @@ _DRIVER_PRIORITY = [
     # tier B = changed in r2 after their last green row (the r2 stale set),
     # tier C = r1-only green rows, oldest first — refreshed while slots last.
     # --- tier A: r3 new / changed ---
+    "search_fields_indexed",       # new: multi-field indexed probe
     "emb_kmeans_clusters",         # new: quantized Lloyd k-means
     "dedup_corpus_lines",          # new: cross-corpus sentence dedup
     "text_tfidf_keywords",         # new: per-doc TF-IDF keywords

@@ -167,3 +167,23 @@ def test_spark_crc32_matches_python_bucket(spark):
     )
     for r in rows:
         assert r.b == term_bucket_py(r.term), r.term
+
+
+def test_multifield_index_probe_matches_direct(spark):
+    """Indexed best_fields must equal the direct multi-field scorer."""
+    from pandemic_knowledge_spark.operators.search import (
+        bm25_fields_from_postings,
+        bm25_search_fields,
+        build_postings_fields,
+    )
+    from pandemic_knowledge_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.expr("substr(text, 1, 80)").alias("title"),
+        F.expr("substr(text, 81)").alias("body"),
+    )
+    direct = bm25_search_fields(d, "doc_id", ["title", "body"], "virus outbreak", k=5)
+    postings, stats = build_postings_fields(d, "doc_id", ["title", "body"])
+    probed = bm25_fields_from_postings(postings, stats, "virus outbreak", k=5)
+    assert probed.collect() == direct.collect()
