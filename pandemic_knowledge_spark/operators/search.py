@@ -396,6 +396,27 @@ class SearchIndex:
     def search(self, query: str, k: int = 10) -> DataFrame:
         return bm25_from_postings(self.postings, self.stats, query, k=k)
 
+    def merge(self, docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> "SearchIndex":
+        """Incremental maintenance: tokenize ONLY the new docs, union their
+        postings in, and sum the corpus stats — the daily-ingest path (the
+        reference re-bulk-loads whole indexes instead,
+        insert_owid.py:282-284). Searches over the merged index are
+        bit-identical to a from-scratch rebuild: per-doc tf/dl rows are
+        independent, df recounts over the unioned pruned postings, and the
+        one-row stats are exact integer sums. For a parquet-persisted index,
+        write the new postings with mode('append') into the same
+        bucket-partitioned layout and rewrite the (one-row) stats."""
+        new_p, new_s = build_postings(docs, id_col, text_col)
+        stats = (
+            self.stats.unionByName(new_s)
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_dl").alias("sum_dl"),
+            )
+        )
+        return SearchIndex(self.postings.unionByName(new_p), stats)
+
 
 def tfidf_keywords(
     docs: DataFrame,

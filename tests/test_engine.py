@@ -187,3 +187,18 @@ def test_multifield_index_probe_matches_direct(spark):
     postings, stats = build_postings_fields(d, "doc_id", ["title", "body"])
     probed = bm25_fields_from_postings(postings, stats, "virus outbreak", k=5)
     assert probed.collect() == direct.collect()
+
+
+def test_search_index_merge_equals_rebuild(spark):
+    """Merging new docs into an existing index must equal rebuilding from
+    the full corpus — the incremental daily-ingest path."""
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = SearchIndex.build(old, "doc_id", "text", cache=False).merge(new)
+    full = SearchIndex.build(docs, "doc_id", "text", cache=False)
+    q = "virus outbreak"
+    assert merged.search(q, k=8).collect() == full.search(q, k=8).collect()

@@ -231,3 +231,48 @@ def test_feature_pipeline_decodes_mixed_codecs_and_quarantines(spark):
     audit = {r.media_id: r for r in decode_audit(df).collect()}
     assert [audit[i].ok for i in (1, 2, 3, 4, 5)] == [True, True, True, False, False]
     assert "magic" in audit[4].error
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 8),
+    w=st.integers(1, 8),
+    c=st.sampled_from([1, 2, 3, 4]),
+    ftype=st.sampled_from([0, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, ftype, seed):
+    """Any 8-bit image round-trips through our encoder and REAL decoder for
+    every supported color type and the None/Up filters."""
+    from pandemic_knowledge_spark.operators.multimodal import decode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+    got = decode_png(_encode_png(img, filter_type=ftype))
+    assert got.shape == (1, h, w, c)
+    assert np.array_equal(got[0], img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 256),
+    ch=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, seed):
+    """Any 16-bit PCM stream round-trips through the stdlib WAV path with
+    the documented high-byte+offset mapping."""
+    from pandemic_knowledge_spark.operators.multimodal import decode_wav
+
+    pcm = (
+        np.random.default_rng(seed)
+        .integers(-(2**15), 2**15, (n, ch))
+        .astype(np.int16)
+    )
+    got = decode_wav(_encode_wav(pcm))
+    assert got.shape == (1, 1, n, ch)
+    expect = ((pcm.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    assert np.array_equal(got[0, 0], expect)
