@@ -65,6 +65,11 @@ def test_q1_scan_prunes_columns_and_pushes_dates(spark, sf_dir):
         "knn_cosine_topk",
         "window_running_revenue",
         "stream_tumbling_hourly",
+        "text_tfidf_keywords",
+        "dedup_corpus_lines",
+        "range_join_value_brackets",
+        "emb_kmeans_clusters",
+        "search_fields_indexed",
     ],
 )
 def test_hot_path_has_no_python_eval(spark, sf_dir, name):
@@ -422,3 +427,18 @@ def test_minhash_auto_dispatch_scale_gate(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftSemi" not in plan_small
+
+
+def test_corpus_line_dedup_is_linear(spark, sf_dir):
+    """Sentence dedup must stay two keyed shuffles (segment keeper + doc
+    reassembly) — no cartesian, no nested-loop join of segments."""
+    plan = plan_of(spark, sf_dir, "dedup_corpus_lines")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_df_join_is_broadcast(spark, sf_dir):
+    """The term-DF table joins back BROADCAST — shuffling the TF rows on
+    term for a dimension-sized join would double the corpus shuffle."""
+    plan = plan_of(spark, sf_dir, "text_tfidf_keywords")
+    assert "BroadcastHashJoin" in plan
