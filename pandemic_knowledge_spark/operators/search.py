@@ -417,6 +417,35 @@ class SearchIndex:
         )
         return SearchIndex(self.postings.unionByName(new_p), stats)
 
+    @classmethod
+    def append_save(cls, spark, path: str, docs: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text") -> "SearchIndex":
+        """Persisted incremental ingest: tokenize only ``docs``, APPEND their
+        postings into the existing bucket-partitioned parquet layout at
+        ``path`` (dynamic partition append — only the new rows are written),
+        and rewrite the one-row stats. Returns the updated loaded index;
+        probes over it equal a from-scratch rebuild of old ∪ new."""
+        prev = cls.load(spark, path)
+        new_p, new_s = build_postings(docs, id_col, text_col)
+        (
+            new_p.repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+        stats = (
+            prev.stats.unionByName(new_s)
+            .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        )
+        # one-row frame: collect-then-write avoids reading the path being
+        # overwritten inside the same plan
+        row = stats.first()
+        spark.createDataFrame([row], prev.stats.schema).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/stats")
+        return cls.load(spark, path)
+
 
 def tfidf_keywords(
     docs: DataFrame,

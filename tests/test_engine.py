@@ -202,3 +202,20 @@ def test_search_index_merge_equals_rebuild(spark):
     full = SearchIndex.build(docs, "doc_id", "text", cache=False)
     q = "virus outbreak"
     assert merged.search(q, k=8).collect() == full.search(q, k=8).collect()
+
+
+def test_search_index_append_save_equals_rebuild(spark, tmp_path):
+    """The persisted incremental loop: save(old) → append_save(new) →
+    probes equal a from-scratch rebuild of the full corpus."""
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "inc_idx")
+    SearchIndex.build(old, "doc_id", "text", cache=False).save(path)
+    updated = SearchIndex.append_save(spark, path, new)
+    full = SearchIndex.build(docs, "doc_id", "text", cache=False)
+    q = "virus outbreak"
+    assert updated.search(q, k=8).collect() == full.search(q, k=8).collect()
