@@ -209,14 +209,22 @@ def decode_wav(blob: bytes) -> np.ndarray:
 def decode_media(blob: bytes) -> np.ndarray:
     """Codec dispatch on magic bytes → (frames, h, w, c) uint8. RAW, PNG,
     and WAV decode for real; anything else (JPEG, …) raises
-    UnsupportedMediaError for per-blob quarantine."""
+    UnsupportedMediaError for per-blob quarantine. A TRUNCATED or corrupt
+    blob of a known format (struct/zlib/reshape errors mid-decode) is also
+    mapped to UnsupportedMediaError — a malformed blob must route to the
+    quarantine, never kill the job."""
     head = bytes(blob[:12])
-    if head[:4] == _MAGIC:
-        return decode_raw(blob)
-    if head[:8] == _PNG_MAGIC:
-        return decode_png(blob)
-    if head[:4] == _WAV_MAGIC_RIFF and head[8:12] == b"WAVE":
-        return decode_wav(blob)
+    try:
+        if head[:4] == _MAGIC:
+            return decode_raw(blob)
+        if head[:8] == _PNG_MAGIC:
+            return decode_png(blob)
+        if head[:4] == _WAV_MAGIC_RIFF and head[8:12] == b"WAVE":
+            return decode_wav(blob)
+    except UnsupportedMediaError:
+        raise
+    except Exception as e:  # truncated/corrupt payloads of a known magic
+        raise UnsupportedMediaError(f"corrupt {head[:4]!r} blob: {e}") from e
     raise UnsupportedMediaError(f"unknown media magic {head[:4]!r}")
 
 

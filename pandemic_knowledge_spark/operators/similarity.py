@@ -230,6 +230,9 @@ def kmeans_embeddings(
     # and re-quantizing the parquet five times).
     base = base.localCheckpoint(eager=True)
     init = base.orderBy("vec_id").limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_embeddings: empty input")
+    k = min(k, len(init))  # fewer vectors than clusters: shrink k
     cents: list[list[int]] = [list(r.q) for r in init]
     dim = len(cents[0])
 

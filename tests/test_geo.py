@@ -80,3 +80,13 @@ def test_kmeans_partitions_corpus_and_is_partitioning_invariant(spark):
         e.repartition(17), "embedding", "vec_id", k=4, iters=2
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    from pandemic_knowledge_spark.operators.similarity import kmeans_embeddings
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    out = kmeans_embeddings(e, "embedding", "vec_id", k=8, iters=2).collect()
+    assert sum(r.n_vecs for r in out) == 2 and len(out) <= 2

@@ -276,3 +276,20 @@ def test_wav_roundtrip_property(n, ch, seed):
     assert got.shape == (1, 1, n, ch)
     expect = ((pcm.astype(np.int32) >> 8) + 128).astype(np.uint8)
     assert np.array_equal(got[0, 0], expect)
+
+
+def test_truncated_known_format_quarantines():
+    """A blob with a valid PNG/WAV magic but truncated payload must map to
+    UnsupportedMediaError (quarantine), not escape as struct/zlib errors."""
+    from pandemic_knowledge_spark.operators.multimodal import (
+        UnsupportedMediaError,
+        decode_media,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    good_png = _encode_png(img)
+    # cut inside IHDR, inside IDAT, and inside the WAV header respectively
+    for blob in (good_png[:20], good_png[: len(good_png) // 2], _encode_wav(np.zeros((8, 1), dtype=np.int16))[:16]):
+        with pytest.raises(UnsupportedMediaError):
+            decode_media(blob)
