@@ -199,6 +199,11 @@ def banded_range_join(
     Pick ``band_width`` near the typical interval length so most intervals
     explode to ~2 bands. Distance joins (|a-b| <= r) reduce to this with
     intervals [b-r, b+r + ulp)."""
+    if how != "inner":
+        # the exact-bounds recheck runs AFTER the join, which would silently
+        # drop an outer join's null-extended rows — matching ES/SQL range
+        # semantics for outer joins needs a different construction
+        raise ValueError("banded_range_join supports how='inner' only")
     lpt = F.col(point)
     band = F.floor(lpt / F.lit(band_width)).cast("long")
     lb = left.withColumn("__band", band)

@@ -289,10 +289,11 @@ def kmeans_embeddings(
 
 
 def sql_kmeans(table: str, vec_col: str, id_col: str, k: int = 8,
-               iters: int = 2, dim: int = 64) -> str:
+               iters: int = 2) -> str:
     """DuckDB SQL reproducing :func:`kmeans_embeddings` exactly — the Lloyd
     iterations unroll to one assignment + one update CTE pair per round,
-    all in exact int64 arithmetic."""
+    all in exact int64 arithmetic. Dimensionality is derived from the data
+    (len(q)) on both engines, so a testdata dim change can't desync them."""
     q = (
         f"q AS (SELECT {id_col} AS vec_id, "
         f"list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)*{KM_SCALE}) AS BIGINT)) AS q "
@@ -305,8 +306,8 @@ def sql_kmeans(table: str, vec_col: str, id_col: str, k: int = 8,
         f"FROM q ORDER BY vec_id LIMIT {k})",
     ]
     dist = (
-        f"list_sum(list_transform(range(1, {dim + 1}), "
-        f"i -> (v.q[i]-c.c[i])*(v.q[i]-c.c[i])))"
+        "list_sum(list_transform(range(1, len(v.q) + 1), "
+        "i -> (v.q[i]-c.c[i])*(v.q[i]-c.c[i])))"
     )
     for it in range(1, iters + 1):
         ctes.append(
@@ -317,7 +318,7 @@ def sql_kmeans(table: str, vec_col: str, id_col: str, k: int = 8,
             f"u{it} AS (SELECT a.cl, u.i, "
             f"CAST(floor(CAST(sum(v.q[u.i]) AS DOUBLE)/count(*)) AS BIGINT) AS cv "
             f"FROM a{it} a JOIN q v USING (vec_id) "
-            f"CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) u "
+            f"CROSS JOIN (SELECT DISTINCT unnest(range(1, len(q) + 1)) AS i FROM q) u "
             f"GROUP BY a.cl, u.i)"
         )
         ctes.append(
