@@ -199,3 +199,52 @@ def corpus_stream_ingest_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_stream_index(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming search-index maintenance: every micro-batch of newly landed
+    documents tokenizes ONCE and appends its postings into the persisted
+    bucket-partitioned index (operators.search.SearchIndex.append_save) —
+    the streaming form of the reference's daily re-bulk-load into ES
+    (insert_owid.py:282-290), except incremental: old documents are never
+    re-tokenized, and a probe over the index equals a from-scratch rebuild
+    at every point in time. foreachBatch because the sink is a multi-file
+    transactional layout (postings append + stats rewrite), not a row
+    stream."""
+    from pandemic_knowledge_spark.operators.search import SearchIndex, build_postings
+
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(text_col, StringType())]
+    )
+    raw = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def _index(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        jvm = batch_df.sparkSession._jvm
+        hconf = batch_df.sparkSession._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/stats")
+        fs = path.getFileSystem(hconf)
+        if fs.exists(path):
+            SearchIndex.append_save(
+                batch_df.sparkSession, index_dir, batch_df, id_col, text_col
+            )
+        else:
+            postings, stats = build_postings(batch_df, id_col, text_col)
+            SearchIndex(postings, stats).save(index_dir)
+
+    return (
+        raw.writeStream.foreachBatch(_index)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

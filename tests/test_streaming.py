@@ -213,3 +213,31 @@ def test_atomic_overwrite_sink_stream(spark, events_batch, landing, tmp_path):
     )
     q.awaitTermination(120)
     assert t.read(spark).count() > 0
+
+
+def test_corpus_stream_index_equals_batch_build(spark, tmp_path):
+    """Two landed batches stream through corpus_stream_index; the persisted
+    index must answer queries exactly like a batch build over all docs."""
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+    from pandemic_knowledge_spark.streaming.jobs import corpus_stream_index
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(landing)
+    q = corpus_stream_index(
+        spark, landing, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(landing)
+    q2 = corpus_stream_index(
+        spark, landing, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+
+    streamed = SearchIndex.load(spark, str(tmp_path / "idx"))
+    full = SearchIndex.build(docs, "doc_id", "text", cache=False)
+    assert (
+        streamed.search("virus outbreak", k=8).collect()
+        == full.search("virus outbreak", k=8).collect()
+    )
