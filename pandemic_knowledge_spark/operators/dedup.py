@@ -677,21 +677,25 @@ def dedup_corpus_lines(
     Output: (doc_id, n_lines, n_kept, text_kept).
 
     Scale shape: segments explode to rows (linear), ONE shuffle on the
-    segment string picks the keeper via min(encoded doc·1e6+pos) — map-side
-    combined, and AQE splits a skewed boilerplate segment's partition —
-    then one shuffle back on doc_id rebuilds texts. No pairwise anything;
-    the reassembly string_agg is bounded by each doc's own length."""
-    did, pos = F.col(id_col), F.col("pos")
-    ekey = (did * F.lit(1_000_000) + pos).alias("ekey")
+    segment string picks the keeper — row_number over (doc_id, pos) within
+    each segment's partition, so no arithmetic key encoding (an earlier
+    doc_id·1e6+pos encoding overflowed int64 under ANSI mode for large
+    hash-derived doc ids and collided past 1e6 segments) — then one shuffle
+    back on doc_id rebuilds texts. No pairwise anything; the reassembly is
+    bounded by each doc's own length. Skewed boilerplate segments make a
+    skewed window partition; AQE's skew handling doesn't apply to windows,
+    so at extreme scale pre-aggregate per (line, doc_id) min-pos first."""
+    from pyspark.sql.window import Window
+
     lines = (
         docs.select(id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "raw"))
-        .select(id_col, "pos", F.trim(F.col("raw")).alias("line"), ekey)
+        .select(id_col, "pos", F.trim(F.col("raw")).alias("line"))
         .filter(F.col("line") != "")
     )
-    keeper = lines.groupBy("line").agg(F.min("ekey").alias("kkey"))
+    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("pos"))
     kept = (
-        lines.join(keeper, "line")
-        .where(F.col("ekey") == F.col("kkey"))
+        lines.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
         .select(id_col, "pos", "line")
     )
     per_doc = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))

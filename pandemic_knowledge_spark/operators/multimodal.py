@@ -101,7 +101,15 @@ def decode_png(blob: bytes) -> np.ndarray:
 
         from PIL import Image  # optional accelerator, absent in this env
 
-        arr = np.asarray(Image.open(io.BytesIO(blob)).convert("RGBA"), dtype=np.uint8)
+        img = Image.open(io.BytesIO(blob))
+        # Preserve native channel count for the modes the stdlib decoder
+        # also handles, so features are identical with or without PIL;
+        # quarantine everything else exactly like the stdlib path would.
+        if img.mode not in ("L", "LA", "RGB", "RGBA"):
+            raise UnsupportedMediaError(f"PNG mode {img.mode} needs conversion policy")
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:  # L mode: add the channel axis
+            arr = arr[..., None]
         return arr[None, ...]
     except ImportError:
         pass
@@ -352,18 +360,24 @@ def resize(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            contents, metas = [], []
-            for blob, meta in zip(pdf["content"], pdf["meta"]):
-                arr = decode_raw(bytes(blob))
+            keep, contents, metas = [], [], []
+            for idx, (blob, meta) in enumerate(zip(pdf["content"], pdf["meta"])):
+                try:
+                    arr = decode_media(bytes(blob))
+                except UnsupportedMediaError:
+                    continue  # per-blob quarantine (decode_audit explains)
+                keep.append(idx)
                 f, h, w, c = arr.shape
                 yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 resized = arr[:, yi][:, :, xi]
                 contents.append(encode_raw(np.ascontiguousarray(resized)))
-                m = dict(meta)
+                m = dict(meta) if meta is not None else {}
                 m["width"], m["height"] = out_w, out_h
                 metas.append(m)
-            pdf = pdf.copy()
+            if not keep:  # whole batch quarantined: nothing to emit
+                continue
+            pdf = pdf.iloc[keep].copy()
             pdf["content"], pdf["meta"] = contents, metas
             yield pdf
 
@@ -387,7 +401,10 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                arr = decode_raw(bytes(blob))
+                try:
+                    arr = decode_media(bytes(blob))
+                except UnsupportedMediaError:
+                    continue  # per-blob quarantine
                 for idx in range(0, arr.shape[0], every):
                     out.append(
                         {

@@ -374,8 +374,12 @@ class SearchIndex:
         return self
 
     def save(self, path: str) -> "SearchIndex":
-        """Persist parquet, postings partitioned by term bucket and sorted by
-        term within each partition file (row-group min/max pruning)."""
+        """Persist parquet: postings partitioned by term bucket and sorted by
+        term within each partition file (row-group min/max pruning). The
+        postings are the ONLY persisted state — corpus stats derive from
+        them at load, so the layout has a single atomically-committed
+        artifact and incremental appends can never leave stats stale
+        (crash-idempotent with :meth:`append_save`)."""
         (
             self.postings.repartition("bucket")
             .sortWithinPartitions("term")
@@ -383,15 +387,28 @@ class SearchIndex:
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
         )
-        self.stats.write.mode("overwrite").parquet(f"{path}/stats")
         return self
 
     @classmethod
     def load(cls, spark, path: str) -> "SearchIndex":
-        return cls(
-            spark.read.parquet(f"{path}/postings"),
-            spark.read.parquet(f"{path}/stats"),
+        """Load the persisted index; corpus stats (n_docs, sum_dl) are
+        derived from the postings' per-doc dl norms — one aggregate over
+        (doc_id, dl) pairs, cache-worthy for interactive sessions. Caveat:
+        a doc with ZERO tokens has no posting rows, so it doesn't count
+        toward n_docs/avgdl here, whereas the in-memory builder counts it;
+        empty docs don't match any query either way, and scores differ only
+        through that avgdl hair — filter empty docs at ingest if exact
+        rebuild parity matters for such corpora."""
+        postings = spark.read.parquet(f"{path}/postings")
+        stats = (
+            postings.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            )
         )
+        return cls(postings, stats)
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         return bm25_from_postings(self.postings, self.stats, query, k=k)
@@ -404,9 +421,18 @@ class SearchIndex:
         insert_owid.py:282-284). Searches over the merged index are
         bit-identical to a from-scratch rebuild: per-doc tf/dl rows are
         independent, df recounts over the unioned pruned postings, and the
-        one-row stats are exact integer sums. For a parquet-persisted index,
-        write the new postings with mode('append') into the same
-        bucket-partitioned layout and rewrite the (one-row) stats."""
+        one-row stats are exact integer sums.
+
+        Already-indexed doc ids in ``docs`` are DROPPED (first-accepted
+        wins — the same policy as the incremental dedup ingest): without
+        this, a re-crawled doc would hold two posting rows per term,
+        inflating df and double-counting its scores. The guard is one
+        left_anti against the distinct indexed ids (bounded by corpus doc
+        count; at scale keep the indexed-id set as its own tiny table)."""
+        indexed = self.postings.select(
+            F.col("doc_id").alias(id_col)
+        ).distinct()
+        docs = docs.join(indexed, id_col, "left_anti")
         new_p, new_s = build_postings(docs, id_col, text_col)
         stats = (
             self.stats.unionByName(new_s)
@@ -422,11 +448,21 @@ class SearchIndex:
                     id_col: str = "doc_id", text_col: str = "text") -> "SearchIndex":
         """Persisted incremental ingest: tokenize only ``docs``, APPEND their
         postings into the existing bucket-partitioned parquet layout at
-        ``path`` (dynamic partition append — only the new rows are written),
-        and rewrite the one-row stats. Returns the updated loaded index;
-        probes over it equal a from-scratch rebuild of old ∪ new."""
+        ``path``. Returns the updated loaded index; probes over it equal a
+        from-scratch rebuild of old ∪ new.
+
+        CRASH-IDEMPOTENT under at-least-once retries (e.g. foreachBatch):
+        already-indexed doc ids are dropped (first-accepted wins — see
+        :meth:`merge`), the parquet append only becomes visible at job
+        commit (a mid-write crash leaves no partial rows), and there is no
+        second artifact to go stale — stats derive from the postings at
+        load. Re-running the same batch is therefore a no-op."""
         prev = cls.load(spark, path)
-        new_p, new_s = build_postings(docs, id_col, text_col)
+        indexed = prev.postings.select(F.col("doc_id").alias(id_col)).distinct()
+        # materialize the filtered batch BEFORE appending: the anti-join
+        # reads {path}/postings, which the write below appends into
+        docs = docs.join(indexed, id_col, "left_anti").localCheckpoint(eager=True)
+        new_p, _new_s = build_postings(docs, id_col, text_col)
         (
             new_p.repartition("bucket")
             .sortWithinPartitions("term")
@@ -434,16 +470,6 @@ class SearchIndex:
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
         )
-        stats = (
-            prev.stats.unionByName(new_s)
-            .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
-        )
-        # one-row frame: collect-then-write avoids reading the path being
-        # overwritten inside the same plan
-        row = stats.first()
-        spark.createDataFrame([row], prev.stats.schema).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/stats")
         return cls.load(spark, path)
 
 

@@ -1217,8 +1217,9 @@ WHERE round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (16 perms, 4 bands), exact-Jaccard
     verified at τ=0.5 over distinct 2-shingles. Uses the config-gated auto
-    dispatcher: above `spark.pandemic_knowledge.dedup.prunedThreshold` docs
-    the candidate-pruned two-pass form takes over (its first shuffle
+    dispatcher: above `spark.pandemic_knowledge.dedup.prunedThresholdBytes`
+    (Catalyst size estimate, default 1 GiB) the candidate-pruned two-pass
+    form takes over (its first shuffle
     carries signatures only — the 100 TB shape), below it the single-pass
     form wins; both are driver-checked against the same oracle."""
     d = load(spark, sf_dir, "documents")
@@ -1244,11 +1245,11 @@ WITH parts AS (
                   i -> {'pos': i, 'line': trim(ps[i])})) AS u
     FROM parts)
   WHERE u.line <> ''
-), keeper AS (
-  SELECT line, min(doc_id * 1000000 + pos) AS kkey FROM lines GROUP BY line
 ), kept AS (
-  SELECT l.* FROM lines l
-  JOIN keeper k ON l.line = k.line AND l.doc_id * 1000000 + l.pos = k.kkey
+  SELECT doc_id, pos, line FROM (
+    SELECT l.*, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM lines l)
+  WHERE rn = 1
 )
 SELECT a.doc_id,
        count(*) AS n_lines,

@@ -188,7 +188,9 @@ def adapt_google_news_result(new: dict, lang: str) -> dict | None:
     (/root/reference/flow/scripts/crawl_google_news.py:56-70): `desc`→
     description, `site`→source.website, scheme-less `link` gains https://,
     `datetime`→date, crawler tag 'Google News'."""
-    if not new:
+    if not new or not new.get("title") or not new.get("link"):
+        # the real library emits empty/partial dicts on parse misses; a
+        # malformed row quarantines (skips), it never aborts the sweep
         return None
     link = new.get("link")
     url = f"https://{link}" if link and "://" not in str(link) else link

@@ -133,7 +133,13 @@ def enrich_dimension_durable(
     fs = path.getFileSystem(hconf)
     if fs.exists(path):
         stored = spark.read.parquet(store_path)
-        dim = dim.unionByName(stored, allowMissingColumns=True).dropDuplicates([on])
+        # The BASE dimension is authoritative: only stored names absent from
+        # it join in (left_anti). A union+dropDuplicates here would pick a
+        # partition-order-dependent survivor, letting a stale store row
+        # (e.g. population=null from an earlier geocode) shadow a real
+        # dimension row nondeterministically.
+        stored_only = stored.join(dim.select(on), on, "left_anti")
+        dim = dim.unionByName(stored_only, allowMissingColumns=True)
     before = dim
     enriched = enrich_dimension(spark, dim, facts, geocode_fn, on=on)
     new_rows = enriched.join(before.select(on), on=on, how="left_anti")

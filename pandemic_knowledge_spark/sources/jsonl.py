@@ -54,15 +54,21 @@ def read_jsonl(
         df = reader.json(paths)
         if CORRUPT_COL not in df.columns:  # wholly clean corpus
             df = df.withColumn(CORRUPT_COL, F.lit(None).cast("string"))
-    # Spark requires a materialization before filtering a raw-parse frame on
-    # the corrupt column alone — referencing only _corrupt_record over the
-    # un-materialized scan is an AnalysisException by design. localCheckpoint
-    # (not cache) so the ContextCleaner reclaims the blocks once the returned
-    # frames are dereferenced; repeated ingest calls don't accumulate pinned
-    # cache entries for the life of the session.
-    df = df.localCheckpoint(eager=True)
+    # Spark requires caching (or a prior materialization) before filtering a
+    # raw-parse frame on the corrupt column alone — referencing only
+    # _corrupt_record over the un-materialized scan is an AnalysisException
+    # by design. cache() (NOT localCheckpoint) so blocks stay recomputable
+    # from lineage after executor loss — checkpoint blocks are unreplicated
+    # and their loss is fatal on preemptible clusters. The cache entry is
+    # pinned until released: repeated ingest calls should invoke the
+    # returned frames' shared `.unpersist` handle (attribute ``unpersist``
+    # on the parsed frame's `_pk_source`) or let the job's session end.
+    df = df.cache()
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
     parsed = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    # expose the cached scan so callers can release it deterministically
+    parsed._pk_source = df  # type: ignore[attr-defined]
+    corrupt._pk_source = df  # type: ignore[attr-defined]
     return parsed, corrupt

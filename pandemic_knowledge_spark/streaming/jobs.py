@@ -215,9 +215,11 @@ def corpus_stream_index(
     the streaming form of the reference's daily re-bulk-load into ES
     (insert_owid.py:282-290), except incremental: old documents are never
     re-tokenized, and a probe over the index equals a from-scratch rebuild
-    at every point in time. foreachBatch because the sink is a multi-file
-    transactional layout (postings append + stats rewrite), not a row
-    stream."""
+    at every point in time. foreachBatch is at-least-once; the sink is
+    crash-idempotent anyway (SearchIndex.append_save drops already-indexed
+    doc ids, the parquet append commits atomically at job level, and stats
+    derive from postings — no second artifact to go stale), so a retried
+    micro-batch is a no-op."""
     from pandemic_knowledge_spark.operators.search import SearchIndex, build_postings
 
     from pyspark.sql.types import LongType
@@ -232,7 +234,7 @@ def corpus_stream_index(
             return
         jvm = batch_df.sparkSession._jvm
         hconf = batch_df.sparkSession._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/stats")
+        path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/postings")
         fs = path.getFileSystem(hconf)
         if fs.exists(path):
             SearchIndex.append_save(

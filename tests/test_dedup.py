@@ -146,3 +146,19 @@ def test_dedup_corpus_lines_semantics(spark):
     assert (got[1].n_lines, got[1].n_kept, got[1].text_kept) == (3, 2, "alpha beta. gamma")
     assert (got[2].n_lines, got[2].n_kept, got[2].text_kept) == (2, 1, "delta")
     assert (got[3].n_lines, got[3].n_kept, got[3].text_kept) == (1, 0, None)
+
+
+def test_dedup_corpus_lines_huge_doc_ids(spark):
+    """Hash-derived doc ids near int64 must not overflow the keeper choice
+    (regression: an encoded doc_id*1e6+pos key blew ARITHMETIC_OVERFLOW
+    under ANSI mode)."""
+    from pandemic_knowledge_spark.operators.dedup import dedup_corpus_lines
+
+    big = 9_200_000_000_000_000_000  # * 1e6 would overflow int64
+    docs = spark.createDataFrame(
+        [(big, "alpha. beta"), (big - 1, "beta. gamma")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_corpus_lines(docs).collect()}
+    assert got[big - 1].text_kept == "beta. gamma"  # lower id wins 'beta'
+    assert got[big].text_kept == "alpha"

@@ -219,3 +219,31 @@ def test_search_index_append_save_equals_rebuild(spark, tmp_path):
     full = SearchIndex.build(docs, "doc_id", "text", cache=False)
     q = "virus outbreak"
     assert updated.search(q, k=8).collect() == full.search(q, k=8).collect()
+
+
+def test_search_index_append_save_is_idempotent_and_first_wins(spark, tmp_path):
+    """Retrying the same batch (at-least-once foreachBatch) and re-crawling
+    an already-indexed doc must both be no-ops — probes keep equaling the
+    clean rebuild."""
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "idem_idx")
+    SearchIndex.build(old, "doc_id", "text", cache=False).save(path)
+    SearchIndex.append_save(spark, path, new)
+    SearchIndex.append_save(spark, path, new)  # retried batch
+    # re-crawled doc with CHANGED text: first-accepted wins, no double rows
+    mutated = new.limit(3).withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    updated = SearchIndex.append_save(spark, path, mutated)
+    full = SearchIndex.build(docs, "doc_id", "text", cache=False)
+    q = "virus outbreak"
+    assert updated.search(q, k=8).collect() == full.search(q, k=8).collect()
+    # postings hold exactly one (doc, term) row set per doc
+    dup = (
+        updated.postings.groupBy("doc_id", "term")
+        .count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0

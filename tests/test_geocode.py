@@ -120,3 +120,28 @@ def test_enrich_dimension_durable_caches_across_runs(spark, tmp_path):
     enriched2 = enrich_dimension_durable(spark, dim, facts, geo2, store)
     assert {r.location_name for r in enriched2.collect()} == {"Paris", "Utopiaville"}
     assert queries2 == ["Atlantis"]  # Utopiaville served from the store
+
+
+def test_base_dimension_shadows_stale_store_rows(spark, tmp_path):
+    """A name later added to the authoritative base dim must win over the
+    earlier geocoded store row — deterministically."""
+    dim_v1 = spark.createDataFrame(
+        [("Paris", {"lat": 48.86, "lon": 2.35}, "FR", 1000)],
+        "location_name string, geo struct<lat:double,lon:double>, iso_code2 string, population long",
+    )
+    facts = spark.createDataFrame([("Utopiaville",)], "location_name string")
+    store = str(tmp_path / "store")
+    geo, _ = _fixture_geocoder()
+    enrich_dimension_durable(spark, dim_v1, facts, geo, store)
+
+    # next run: the curated dim now carries Utopiaville with a population
+    dim_v2 = dim_v1.union(
+        spark.createDataFrame(
+            [("Utopiaville", {"lat": 48.8588897, "lon": 2.320041}, "FR", 777)],
+            dim_v1.schema,
+        )
+    )
+    out = enrich_dimension_durable(spark, dim_v2, facts, lambda names: {}, store)
+    rows = {r.location_name: r for r in out.collect()}
+    assert rows["Utopiaville"].population == 777  # base dim row won
+    assert out.filter(F.col("location_name") == "Utopiaville").count() == 1

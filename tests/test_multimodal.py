@@ -293,3 +293,30 @@ def test_truncated_known_format_quarantines():
     for blob in (good_png[:20], good_png[: len(good_png) // 2], _encode_wav(np.zeros((8, 1), dtype=np.int16))[:16]):
         with pytest.raises(UnsupportedMediaError):
             decode_media(blob)
+
+
+def test_resize_and_sample_frames_quarantine_mixed_corpus(spark):
+    """resize/sample_frames honor the same per-blob quarantine as
+    extract_features: PNG decodes (re-encoded RAW), garbage is dropped."""
+    from pandemic_knowledge_spark.operators.multimodal import (
+        resize as rz,
+        sample_frames as sf_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_raw(img[None, ...])), {"format": "raw", "width": 6, "height": 6, "channels": 3, "n_frames": 1, "sample_rate": None}),
+        (2, "image", bytearray(_encode_png(img)), {"format": "png", "width": 6, "height": 6, "channels": 3, "n_frames": 1, "sample_rate": None}),
+        (3, "image", bytearray(b"junk-bytes"), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, content binary, "
+        "meta struct<format:string,width:int,height:int,channels:int,n_frames:int,sample_rate:int>",
+    )
+    small = {r.media_id: r for r in rz(df, 3, 3).collect()}
+    assert set(small) == {1, 2}
+    assert decode_raw(bytes(small[2].content)).shape == (1, 3, 3, 3)
+    frames = {r.media_id for r in sf_frames(df, every=1).collect()}
+    assert frames == {1, 2}

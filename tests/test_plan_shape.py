@@ -423,7 +423,7 @@ def test_minhash_auto_dispatch_scale_gate(spark, sf_dir):
     finally:
         spark.conf.unset(PRUNED_THRESHOLD_CONF)
     plan_small = (
-        minhash_lsh_pairs_auto(docs, "doc_id", "text")  # default 100k threshold
+        minhash_lsh_pairs_auto(docs, "doc_id", "text")  # default 1 GiB byte threshold
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftSemi" not in plan_small

@@ -471,3 +471,18 @@ def test_s3a_conf_wiring(monkeypatch):
     assert opts["spark.hadoop.fs.s3a.endpoint"] == "http://minio.test:9000"
     assert opts["spark.hadoop.fs.s3a.path.style.access"] == "true"
     assert opts["spark.hadoop.fs.s3a.attempts.maximum"] == "3"
+
+
+def test_read_jsonl_cache_is_releasable(spark, tmp_path):
+    """The cached raw scan is exposed for deterministic release — repeated
+    ingest calls need not accumulate pinned cache entries."""
+    from pandemic_knowledge_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\nnot-json\n')
+    parsed, corrupt = read_jsonl(spark, str(p))
+    assert parsed.count() == 2 and corrupt.count() == 1
+    src = parsed._pk_source
+    assert src.is_cached
+    src.unpersist()
+    assert not src.is_cached
