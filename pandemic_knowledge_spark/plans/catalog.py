@@ -3192,6 +3192,84 @@ def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (operators/history.py): the type-2 extension of the
+# reference's wholesale SCD1 index refresh (insert_owid.py:109-118).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "scd2_user_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), ch AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+         AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+         IS NULL AS is_current
+FROM ch
+""",
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build over the event change log: per-user event_type treated as a
+    tracked dimension attribute; consecutive re-statements compressed away,
+    each change opening a [valid_from, valid_to) interval. ONE shuffle on
+    user_id — the lag (compression) and lead (interval-closing) windows share
+    a partitioning, so Catalyst reuses the exchange+sort. Linear in changes
+    at any scale."""
+    from pandemic_knowledge_spark.operators.history import build_scd2
+
+    ev = load(spark, sf_dir, "events")
+    return build_scd2(
+        ev, key_cols=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+@q(
+    "scd2_snapshot_asof",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), ch AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+), hist AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+           AS valid_to
+  FROM ch
+)
+SELECT user_id, event_type, valid_from, valid_to
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-02-01 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-02-01 00:00:00')
+""",
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot: each user's dimension state as of 2024-02-01,
+    reconstructed from SCD2 history by interval containment — a pushed-down
+    filter, no join. On a history table laid out by valid_from this is a
+    partition-pruned scan."""
+    from pandemic_knowledge_spark.operators.history import build_scd2, snapshot_at
+
+    ev = load(spark, sf_dir, "events")
+    hist = build_scd2(
+        ev, key_cols=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return snapshot_at(hist, "2024-02-01 00:00:00")
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -3210,6 +3288,8 @@ _DRIVER_PRIORITY = [
     # tier B = changed in r2 after their last green row (the r2 stale set),
     # tier C = r1-only green rows, oldest first — refreshed while slots last.
     # --- tier A: r3 new / changed ---
+    "scd2_user_history",           # new: SCD2 change-compressed history
+    "scd2_snapshot_asof",          # new: point-in-time snapshot
     "search_fields_indexed",       # new: multi-field indexed probe
     "emb_kmeans_clusters",         # new: quantized Lloyd k-means
     "dedup_corpus_lines",          # new: cross-corpus sentence dedup
