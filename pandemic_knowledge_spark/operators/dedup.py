@@ -395,6 +395,66 @@ def minhash_pairs_between(
     return _verify_pairs(cand, base_new, base_old, threshold)
 
 
+def kgram_hashes_ordered(toks: Column, k: int = 3) -> Column:
+    """Positional (non-distinct) k-gram hashes — the rolling-hash stream
+    winnowing selects from. Order matters, so no array_distinct here."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)  # 0-based gram start positions
+    g = F.transform(
+        idx, lambda i: md5_int(F.concat_ws(" ", F.slice(toks, i + 1, k))) % HASH_MOD
+    )
+    return F.when(n >= k, g).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow(hashes: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    slide a w-wide window over the positional k-gram hash stream, keep each
+    window's minimum, return the distinct selected hashes.
+
+    Guarantee: two documents sharing any token run of length >= w + k - 1
+    share at least one fingerprint — so fingerprint-set intersection is a
+    sound local-match detector at ~1/w the index size of full k-gram sets.
+    (The distinct *set* of window minima is identical whichever tied position
+    a scheme picks, so rightmost-min tie-breaking is unnecessary here.)
+
+    O(n·w) per document as pure column expressions — linear per row, no
+    shuffle, no Python. Streams with fewer than w grams contribute their
+    single global minimum (the paper's short-document convention).
+    """
+    m = F.size(hashes)
+    full = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), m - w), lambda j: F.array_min(F.slice(hashes, j + 1, w))
+        )
+    )
+    return (
+        F.when(m >= w, full)
+        .when(m > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Per-document winnowing fingerprints: (id, n_grams, fingerprints).
+
+    The fingerprint column is the sorted distinct window-minima array — the
+    compact sketch a plagiarism/overlap index stores (explode + groupBy
+    fingerprint to build the inverted index; posting-list joins find local
+    matches). Documents with fewer than k tokens are dropped (no grams)."""
+    toks = tokenize(F.col(text_col))
+    return (
+        docs.withColumn("_h", kgram_hashes_ordered(toks, k))
+        .filter(F.size("_h") > 0)
+        .select(
+            F.col(id_col),
+            F.size("_h").alias("n_grams"),
+            F.array_sort(winnow(F.col("_h"), w)).alias("fingerprints"),
+        )
+    )
+
+
 def token_hashes(toks: Column, bits: int = SIMHASH_BITS) -> Column:
     """Per-token md5-derived hashes reduced to ``bits`` — materialize this
     as a named column BEFORE feeding simhash_from_hashes: higher-order

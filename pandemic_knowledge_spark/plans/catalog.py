@@ -3270,6 +3270,68 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_at(hist, "2024-02-01 00:00:00")
 
 
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (operators/dedup.py::winnow_fingerprints)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+@q(
+    "dedup_winnow_fingerprints",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokenize('text')} AS toks FROM documents
+), tt AS (
+  SELECT doc_id, toks, len(toks) - {_WINNOW_K} + 1 AS n_grams
+  FROM t WHERE len(toks) >= {_WINNOW_K}
+), g AS (
+  SELECT doc_id, n_grams, i,
+         {md5_int_expr(f"array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')")}
+           % {HASH_MOD} AS h
+  FROM tt, unnest(generate_series(1, n_grams)) AS u(i)
+), wm AS (
+  SELECT doc_id, n_grams, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wh
+  FROM g
+), fps AS (
+  SELECT doc_id, n_grams, wh FROM wm
+  WHERE n_grams >= {_WINNOW_W} AND i <= n_grams - {_WINNOW_W} + 1
+  UNION ALL
+  SELECT doc_id, n_grams, min(h) AS wh FROM g
+  WHERE n_grams < {_WINNOW_W} GROUP BY doc_id, n_grams
+)
+SELECT doc_id, n_grams,
+       CAST(count(DISTINCT wh) AS BIGINT) AS n_fps,
+       md5(array_to_string(list_sort(list(DISTINCT wh)), ',')) AS fp_digest
+FROM fps GROUP BY doc_id, n_grams
+""",
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS): per doc, the distinct
+    window-minima of the positional 3-gram hash stream under a 4-wide window
+    — guaranteed to catch any shared token run of length >= w+k-1 = 6 at
+    ~1/w the index size of full shingle sets. Per-row column expressions
+    only — no shuffle until the final (absent here) inverted-index build, so
+    at 100 TB the sketch step is embarrassingly parallel scan work. The
+    digest column commits to the full fingerprint SET per doc, so the oracle
+    hash-checks every selected fingerprint, not just counts."""
+    from pandemic_knowledge_spark.operators.dedup import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W)
+    return fp.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size("fingerprints").cast("long").alias("n_fps"),
+        F.md5(
+            F.concat_ws(",", F.transform("fingerprints", lambda x: x.cast("string")))
+        ).alias("fp_digest"),
+    )
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -3290,6 +3352,7 @@ _DRIVER_PRIORITY = [
     # --- tier A: r3 new / changed ---
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
+    "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "search_fields_indexed",       # new: multi-field indexed probe
     "emb_kmeans_clusters",         # new: quantized Lloyd k-means
     "dedup_corpus_lines",          # new: cross-corpus sentence dedup
