@@ -3332,6 +3332,52 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py): multi-dimensional clustering so box
+# predicates prune files on parquet footer stats — the lakehouse-native
+# replacement for the reference's per-dimension ES indices (mapping.py).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "layout_zorder_box_scan",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST({sql_cents_sum('o_totalprice')} AS DOUBLE) / 100.0 AS total_price
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 400
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+""",
+)
+def layout_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the z-ordered layout: rewrite orders along the
+    (o_custkey, o_orderdate) z-curve, then answer a 2-dimensional box from
+    the rewritten files. The oracle runs the same box over the RAW table, so
+    a green row proves the layout rewrite is lossless (no dropped/duplicated
+    rows, values intact). The pruning benefit itself is asserted in
+    tests/test_layout.py by reading the written footers: most files'
+    min/max miss the box on at least one dimension. At 100 TB the rewrite
+    is one range shuffle at ingest; every later box query reads only the
+    overlapping z-range."""
+    import tempfile
+
+    from pandemic_knowledge_spark.operators.layout import zorder_write
+
+    o = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="pk_zorder_orders_")
+    zorder_write(o, ["o_custkey", "o_orderdate"], path, n_files=16)
+    z = spark.read.parquet(path).filter(
+        F.col("o_custkey").between(100, 400)
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return z.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        as_money(cents_sum(F.col("o_totalprice"))).alias("total_price"),
+    )
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -3353,6 +3399,7 @@ _DRIVER_PRIORITY = [
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
+    "layout_zorder_box_scan",      # new: z-order layout round-trip
     "search_fields_indexed",       # new: multi-field indexed probe
     "emb_kmeans_clusters",         # new: quantized Lloyd k-means
     "dedup_corpus_lines",          # new: cross-corpus sentence dedup
