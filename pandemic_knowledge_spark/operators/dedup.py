@@ -33,6 +33,8 @@ functions.text.md5_int.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -397,12 +399,20 @@ def minhash_pairs_between(
 
 def kgram_hashes_ordered(toks: Column, k: int = 3) -> Column:
     """Positional (non-distinct) k-gram hashes — the rolling-hash stream
-    winnowing selects from. Order matters, so no array_distinct here."""
+    winnowing selects from. Order matters, so no array_distinct here.
+
+    Gram assembly is k shifted O(1) slices of the token array zipped
+    element-wise (the `_shingle_hash_rows` trick) — NOT a per-position
+    F.slice inside a lambda, which would re-evaluate the (inlined) token
+    expression once per gram and turn the scan O(n²)-per-doc. Pass a
+    MATERIALIZED tokens column, not an inline tokenize() expression."""
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - k)  # 0-based gram start positions
-    g = F.transform(
-        idx, lambda i: md5_int(F.concat_ws(" ", F.slice(toks, i + 1, k))) % HASH_MOD
+    parts = [F.slice(toks, i + 1, n - k + 1) for i in range(k)]
+    sh = reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.concat(x, F.lit(" "), y)),
+        parts,
     )
+    g = F.transform(sh, lambda s: md5_int(s) % HASH_MOD)
     return F.when(n >= k, g).otherwise(F.array().cast("array<bigint>"))
 
 
@@ -417,18 +427,16 @@ def winnow(hashes: Column, w: int = 4) -> Column:
     (The distinct *set* of window minima is identical whichever tied position
     a scheme picks, so rightmost-min tie-breaking is unnecessary here.)
 
-    O(n·w) per document as pure column expressions — linear per row, no
+    The rolling min is w shifted O(1) slices folded element-wise with
+    least() — O(n·w) cheap comparisons, no per-position slicing, no
     shuffle, no Python. Streams with fewer than w grams contribute their
     single global minimum (the paper's short-document convention).
     """
     m = F.size(hashes)
-    full = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), m - w), lambda j: F.array_min(F.slice(hashes, j + 1, w))
-        )
-    )
+    parts = [F.slice(hashes, j + 1, m - w + 1) for j in range(w)]
+    wins = reduce(lambda a, b: F.zip_with(a, b, lambda x, y: F.least(x, y)), parts)
     return (
-        F.when(m >= w, full)
+        F.when(m >= w, F.array_distinct(wins))
         .when(m > 0, F.array(F.array_min(hashes)))
         .otherwise(F.array().cast("array<bigint>"))
     )
@@ -442,16 +450,58 @@ def winnow_fingerprints(
     The fingerprint column is the sorted distinct window-minima array — the
     compact sketch a plagiarism/overlap index stores (explode + groupBy
     fingerprint to build the inverted index; posting-list joins find local
-    matches). Documents with fewer than k tokens are dropped (no grams)."""
-    toks = tokenize(F.col(text_col))
+    matches). Documents with fewer than k tokens are dropped (no grams).
+
+    Tokens and the gram-hash stream are each materialized as named columns
+    so the multi-reference consumers (filter, size, w shifted slices) share
+    one evaluation instead of inlining the producer expression per use."""
+    base = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    withh = base.withColumn("_h", kgram_hashes_ordered(F.col("_toks"), k))
+    return withh.select(
+        F.col(id_col),
+        F.size("_h").alias("n_grams"),
+        F.array_sort(winnow(F.col("_h"), w)).alias("fingerprints"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_posting: int = 50,
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints.
+
+    The winnow sketch's purpose: two docs sharing any >= w+k-1 token run
+    share a fingerprint, so an inverted index over fingerprints finds every
+    locally-overlapping pair at ~1/w the postings of a full shingle index.
+    Same join shape as ngram_jaccard_pairs (explode → equi-self-join →
+    grouped count), with a stop-fingerprint cap: a fingerprint appearing in
+    more than ``max_posting`` docs is boilerplate (its posting list would
+    contribute O(df²) candidate rows while carrying no pair-specific
+    signal) and is dropped before the join — the Σc² fan-out stays bounded
+    at any corpus size."""
+    fp = winnow_fingerprints(docs, id_col, text_col, k, w)
+    # Cached: the exploded postings feed three consumers (df-count, the kept
+    # filter, and both sides of the self-join) — same discipline as
+    # minhash_base. Postings are ~1/w the corpus's gram count, far smaller
+    # than the input text.
+    ex = fp.select(
+        F.col(id_col).alias("doc_id"), F.explode("fingerprints").alias("fp")
+    ).cache()
+    freq = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    kept = ex.join(freq.filter(F.col("df") <= max_posting).select("fp"), "fp")
+    a, b = kept.alias("a"), kept.alias("b")
     return (
-        docs.withColumn("_h", kgram_hashes_ordered(toks, k))
-        .filter(F.size("_h") > 0)
-        .select(
-            F.col(id_col),
-            F.size("_h").alias("n_grams"),
-            F.array_sort(winnow(F.col("_h"), w)).alias("fingerprints"),
-        )
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

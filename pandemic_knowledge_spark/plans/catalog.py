@@ -3276,12 +3276,10 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_K = 3
 _WINNOW_W = 4
-
-
-@q(
-    "dedup_winnow_fingerprints",
-    oracle=f"""
-WITH t AS (
+# Shared winnowing CTE chain (oracle side of operators.dedup.winnow*): both
+# the fingerprint query and the overlap-pairs query derive from the same SQL
+# so the two oracles cannot drift from each other.
+_WINNOW_FPS_CTE = f"""t AS (
   SELECT doc_id, {sql_tokenize('text')} AS toks FROM documents
 ), tt AS (
   SELECT doc_id, toks, len(toks) - {_WINNOW_K} + 1 AS n_grams
@@ -3302,7 +3300,13 @@ WITH t AS (
   UNION ALL
   SELECT doc_id, n_grams, min(h) AS wh FROM g
   WHERE n_grams < {_WINNOW_W} GROUP BY doc_id, n_grams
-)
+)"""
+
+
+@q(
+    "dedup_winnow_fingerprints",
+    oracle=f"""
+WITH {_WINNOW_FPS_CTE}
 SELECT doc_id, n_grams,
        CAST(count(DISTINCT wh) AS BIGINT) AS n_fps,
        md5(array_to_string(list_sort(list(DISTINCT wh)), ',')) AS fp_digest
@@ -3329,6 +3333,38 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(",", F.transform("fingerprints", lambda x: x.cast("string")))
         ).alias("fp_digest"),
+    )
+
+
+@q(
+    "dedup_winnow_pairs",
+    oracle=f"""
+WITH {_WINNOW_FPS_CTE}, dfp AS (
+  SELECT DISTINCT doc_id, wh FROM fps
+), freq AS (
+  SELECT wh FROM dfp GROUP BY wh HAVING count(*) <= 50
+), kept AS (
+  SELECT d.doc_id, d.wh FROM dfp d JOIN freq f ON d.wh = f.wh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+""",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap pairs via the winnowing inverted index: docs sharing
+    >= 2 selected fingerprints (each fingerprint witnesses a shared token
+    run of length >= w+k-1 = 6). Stop-fingerprints (posting list > 50 docs,
+    i.e. boilerplate) are dropped before the self-join so the Σ·df² fan-out
+    is bounded — the same discipline as the blocked Jaccard join. At corpus
+    scale this probes ~1/w the postings a full shingle index would."""
+    from pandemic_knowledge_spark.operators.dedup import winnow_overlap_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_posting=50
     )
 
 
@@ -3399,6 +3435,7 @@ _DRIVER_PRIORITY = [
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
+    "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "layout_zorder_box_scan",      # new: z-order layout round-trip
     "search_fields_indexed",       # new: multi-field indexed probe
     "emb_kmeans_clusters",         # new: quantized Lloyd k-means
