@@ -442,3 +442,47 @@ def test_tfidf_df_join_is_broadcast(spark, sf_dir):
     term for a dimension-sized join would double the corpus shuffle."""
     plan = plan_of(spark, sf_dir, "text_tfidf_keywords")
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_fact_join(spark, sf_dir):
+    """The 100 TB lever for selective fact-fact joins: when orders carries a
+    selective filter and the orders⋈lineitem join is a shuffle join (no
+    broadcast — the 100 TB shape), Spark must inject a runtime Bloom filter
+    on the lineitem scan side so most probe rows die before the exchange.
+    Locally the 10 GiB application-side threshold keeps it off (correct:
+    the scan is tiny); this pins that the engine's session conf leaves the
+    feature ON and that it fires once the size gates are met."""
+    from pandemic_knowledge_spark.tables import load
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    def build():
+        # Rebuilt per conf change: a DataFrame pins its QueryExecution, so
+        # conf updates only affect newly constructed plans.
+        o = load(spark, sf_dir, "orders").filter("o_orderpriority = '1-URGENT'")
+        li = load(spark, sf_dir, "lineitem")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = build()._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in plan, "bloom filter did not inject"
+        # Broadcast path correctly skips it (the broadcast already prunes).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        plan_b = build()._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" not in plan_b
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
