@@ -72,6 +72,44 @@ def build_scd2(
     )
 
 
+def scd2_merge(
+    history: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Incrementally fold a batch of new changes into existing SCD2 history.
+
+    The scale contract: only keys PRESENT IN THE BATCH are re-windowed.
+    Untouched keys pass through as-is — no sort, no window, no rewrite — so
+    the cost is O(batch keys' history), not O(table). (On a key-bucketed
+    layout the passthrough is also a file-level no-op: only buckets holding
+    touched keys rewrite — the same log-structured-merge note as
+    streaming.sinks.upsert_sink.)
+
+    Correctness: a key's history rows ARE its compressed change log
+    (valid_from = change ts), so re-running the SCD2 build over
+    (touched history ∪ batch) reproduces exactly what a full rebuild over
+    the complete change log would emit for those keys — including late
+    (out-of-order) batch rows that splice intervals mid-history. A batch
+    row timestamped identically to an existing change of the same key wins
+    (sorts later): the merge treats it as a correction.
+    """
+    keys = batch.select(*key_cols).distinct()
+    touched = history.join(keys, key_cols, "left_semi")
+    untouched = history.join(keys, key_cols, "left_anti")
+    # History rows sort before equal-ts batch rows via the source rank —
+    # deterministic, and "batch wins" on exact-ts corrections.
+    log = touched.select(
+        *key_cols, *attr_cols, F.col("valid_from").alias(ts_col), F.lit(0).alias("_src")
+    ).unionByName(
+        batch.select(*key_cols, *attr_cols, F.col(ts_col), F.lit(1).alias("_src"))
+    )
+    rebuilt = build_scd2(log, key_cols, attr_cols, ts_col, tiebreak_col="_src")
+    return untouched.unionByName(rebuilt)
+
+
 def snapshot_at(history: DataFrame, at: str | Column) -> DataFrame:
     """Point-in-time snapshot: each key's attribute state as of ``at``.
 

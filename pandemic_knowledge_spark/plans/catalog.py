@@ -3234,6 +3234,49 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "scd2_incremental_merge",
+    # Oracle = the FULL-rebuild SQL: the incremental path must be
+    # indistinguishable from rebuilding over the complete change log.
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), ch AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+         AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+         IS NULL AS is_current
+FROM ch
+""",
+)
+def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: history built from changes before
+    2024-02-01, then one merge of everything after. Only batch keys are
+    re-windowed (left_semi/left_anti split); untouched keys stream through
+    with no sort. The oracle is the FULL rebuild over the whole log — a
+    green row proves merge ≡ rebuild, the invariant that lets a 100 TB
+    history table absorb daily change feeds at O(touched keys) cost."""
+    from pandemic_knowledge_spark.operators.history import build_scd2, scd2_merge
+
+    ev = load(spark, sf_dir, "events")
+    pivot = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    hist = build_scd2(
+        ev.filter(F.col("ts") < pivot),
+        key_cols=["user_id"], attr_cols=["event_type"], ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return scd2_merge(
+        hist, ev.filter(F.col("ts") >= pivot),
+        key_cols=["user_id"], attr_cols=["event_type"], ts_col="ts",
+    )
+
+
+@q(
     "scd2_snapshot_asof",
     oracle="""
 WITH ordered AS (
@@ -3434,6 +3477,7 @@ _DRIVER_PRIORITY = [
     # --- tier A: r3 new / changed ---
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
+    "scd2_incremental_merge",      # new: merge == full rebuild
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "layout_zorder_box_scan",      # new: z-order layout round-trip

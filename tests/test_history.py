@@ -100,3 +100,82 @@ def test_single_exchange_plan(spark):
     # lag (compression) and lead (interval close) must share one shuffle:
     # a second Exchange would mean the windows failed to reuse partitioning.
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def _build_events(spark, sf_dir):
+    from pandemic_knowledge_spark.tables import load
+
+    return load(spark, sf_dir, "events")
+
+
+def test_incremental_merge_equals_full_rebuild(spark, sf_dir):
+    """Split the change log at a pivot, build on the old half, merge the new
+    half: must equal the full build row-for-row (real event data)."""
+    from pandemic_knowledge_spark.operators.history import build_scd2, scd2_merge
+
+    ev = _build_events(spark, sf_dir)
+    pivot = "2024-02-01 00:00:00"
+    old = ev.filter(F.col("ts") < pivot)
+    new = ev.filter(F.col("ts") >= pivot)
+    full = build_scd2(ev, ["user_id"], ["event_type"], "ts", "event_id")
+    merged = scd2_merge(
+        build_scd2(old, ["user_id"], ["event_type"], "ts", "event_id"),
+        new,
+        ["user_id"],
+        ["event_type"],
+        "ts",
+    )
+    key = lambda r: (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+    assert {key(r) for r in merged.collect()} == {key(r) for r in full.collect()}
+
+
+def test_merge_late_row_splices_history(spark):
+    """An out-of-order batch row lands mid-history and re-chains intervals."""
+    from pandemic_knowledge_spark.operators.history import build_scd2, scd2_merge
+
+    rows = [(1, "a", _t(1), 1), (1, "c", _t(10), 2)]
+    hist = build_scd2(
+        spark.createDataFrame(rows, SCHEMA), ["k"], ["attr"], "ts", "seq"
+    )
+    late = spark.createDataFrame([(1, "b", _t(5), 3)], SCHEMA).select("k", "attr", "ts")
+    merged = scd2_merge(hist, late, ["k"], ["attr"], "ts")
+    got = {
+        (r.k, r.attr, r.valid_from, r.valid_to, r.is_current) for r in merged.collect()
+    }
+    assert got == {
+        (1, "a", _t(1), _t(5), False),
+        (1, "b", _t(5), _t(10), False),
+        (1, "c", _t(10), None, True),
+    }
+
+
+def test_merge_leaves_untouched_keys_alone(spark):
+    from pandemic_knowledge_spark.operators.history import build_scd2, scd2_merge
+
+    rows = [(1, "a", _t(1), 1), (2, "x", _t(1), 2), (2, "y", _t(3), 3)]
+    hist = build_scd2(
+        spark.createDataFrame(rows, SCHEMA), ["k"], ["attr"], "ts", "seq"
+    )
+    batch = spark.createDataFrame([(1, "b", _t(9), 4)], SCHEMA).select("k", "attr", "ts")
+    merged = scd2_merge(hist, batch, ["k"], ["attr"], "ts")
+    k2 = {
+        (r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in merged.filter("k = 2").collect()
+    }
+    assert k2 == {("x", _t(1), _t(3), False), ("y", _t(3), None, True)}
+    k1 = {(r.attr, r.is_current) for r in merged.filter("k = 1").collect()}
+    assert k1 == {("a", False), ("b", True)}
+
+
+def test_merge_equal_ts_batch_wins(spark):
+    """A batch row at an existing change's exact ts is a correction: it
+    becomes the surviving version at that instant."""
+    from pandemic_knowledge_spark.operators.history import build_scd2, scd2_merge
+
+    hist = build_scd2(
+        spark.createDataFrame([(1, "a", _t(2), 1)], SCHEMA), ["k"], ["attr"], "ts", "seq"
+    )
+    fix = spark.createDataFrame([(1, "A", _t(2), 2)], SCHEMA).select("k", "attr", "ts")
+    merged = scd2_merge(hist, fix, ["k"], ["attr"], "ts")
+    cur = merged.filter("is_current").collect()
+    assert len(cur) == 1 and cur[0].attr == "A"
