@@ -3314,6 +3314,85 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-sequence analytics (operators/funnel.py): ordered funnel + cohort
+# retention — the sequential questions past the reference's date_histogram.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "funnel_signup_view_purchase",
+    # Min-join formulation: stage k's entry time is the min qualifying ts
+    # strictly after stage k-1's. Greedy earliest-transition (the Spark
+    # fold) equals this by induction.
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3
+) WHERE n_users > 0
+""",
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → purchase with strictly-increasing
+    timestamps: ONE shuffle (collect each user's events), per-row fold walks
+    the stages — vs the oracle's k-stage join chain (k shuffles). The fold
+    is the ClickHouse-windowFunnel shape done as a codegen'd F.aggregate;
+    at 100 TB the single user-keyed exchange replaces k ever-smaller but
+    still corpus-wide joins."""
+    from pandemic_knowledge_spark.operators.funnel import funnel_counts
+
+    ev = load(spark, sf_dir, "events")
+    out = funnel_counts(ev, "user_id", "ts", "event_type",
+                        ["signup", "view", "purchase"])
+    return out.select(F.col("stage").cast("long").alias("stage"), "n_users")
+
+
+@q(
+    "cohort_weekly_retention",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT c.cohort_week,
+       CAST(floor(date_diff('day', c.cohort_week, a.active_week) / 7.0) AS BIGINT)
+         AS week_n,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM active a JOIN cohorts c ON a.user_id = c.user_id
+WHERE floor(date_diff('day', c.cohort_week, a.active_week) / 7.0) BETWEEN 0 AND 8
+GROUP BY 1, 2
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention (offsets 0..8): two keyed aggregates
+    (first-signup week; distinct active user-weeks) joined on user. The
+    cohort side is one row per user — broadcastable at dashboard scale,
+    shuffle-joined beyond."""
+    from pandemic_knowledge_spark.operators.funnel import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    return cohort_retention(
+        ev, "user_id", "ts", F.col("event_type") == "signup", max_weeks=8
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing document fingerprints (operators/dedup.py::winnow_fingerprints)
 # ---------------------------------------------------------------------------
 
@@ -3478,6 +3557,8 @@ _DRIVER_PRIORITY = [
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
     "scd2_incremental_merge",      # new: merge == full rebuild
+    "funnel_signup_view_purchase", # new: single-shuffle ordered funnel
+    "cohort_weekly_retention",     # new: signup-cohort weekly retention
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "layout_zorder_box_scan",      # new: z-order layout round-trip
