@@ -3392,6 +3392,52 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "timeseries_gapfill_ffill",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         count(*) AS n_events,
+         CAST({sql_cents_sum('value')} AS DOUBLE) / 100.0 AS level
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, h.hour_start,
+       coalesce(b.n_events, 0) AS n_events,
+       last_value(b.level IGNORE NULLS) OVER (
+         PARTITION BY t.event_type ORDER BY h.hour_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level
+FROM types t CROSS JOIN hours h
+LEFT JOIN b ON b.event_type = t.event_type AND b.hour_start = h.hour_start
+""",
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type: every (type, hour) cell exists —
+    counts zero-filled, the money level carried forward (LOCF). The spine is
+    keys × one exploded sequence() row (never touches the fact table); the
+    facts contribute one keyed aggregate; the fill is one window over the
+    grid-bounded spine. What the reference's Kibana only *renders* for
+    missing buckets, materialized as data."""
+    from pandemic_knowledge_spark.operators.timeseries import gapfill_hourly
+
+    ev = load(spark, sf_dir, "events")
+    return gapfill_hourly(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "level": as_money(cents_sum(F.col("value"))),
+        },
+        fill_zero=["n_events"],
+        fill_forward=["level"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing document fingerprints (operators/dedup.py::winnow_fingerprints)
 # ---------------------------------------------------------------------------
@@ -3559,6 +3605,7 @@ _DRIVER_PRIORITY = [
     "scd2_incremental_merge",      # new: merge == full rebuild
     "funnel_signup_view_purchase", # new: single-shuffle ordered funnel
     "cohort_weekly_retention",     # new: signup-cohort weekly retention
+    "timeseries_gapfill_ffill",    # new: dense spine + zero-fill + LOCF
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "layout_zorder_box_scan",      # new: z-order layout round-trip
