@@ -3438,6 +3438,70 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_QUERIES = [
+    "nation-7!", "NATION 12", "natoin_3", "xyzzy", "nation__21", "NaTiOn9",
+]
+
+
+@q(
+    "fuzzy_dim_match_nations",
+    oracle=f"""
+WITH qs(qname) AS (VALUES {", ".join("('" + s + "')" for s in _FUZZY_QUERIES)}),
+qn AS (
+  SELECT qname, regexp_replace(lower(qname), '[^a-z0-9]', '', 'g') AS s FROM qs
+), dn AS (
+  SELECT n_nationkey AS dk, n_name AS dv,
+         regexp_replace(lower(n_name), '[^a-z0-9]', '', 'g') AS s
+  FROM nation
+), qg AS (
+  SELECT qname, substr(s, i, 3) AS t
+  FROM qn, unnest(generate_series(1, length(s) - 2)) AS u(i)
+  WHERE length(s) >= 3 GROUP BY qname, t
+), dgx AS (
+  SELECT dk, substr(s, i, 3) AS t
+  FROM dn, unnest(generate_series(1, length(s) - 2)) AS u(i)
+  WHERE length(s) >= 3 GROUP BY dk, t
+), hot AS (
+  SELECT t FROM dgx GROUP BY t HAVING count(*) > 100
+), dg2 AS (
+  SELECT * FROM dgx WHERE t NOT IN (SELECT t FROM hot)
+), qsz AS (
+  SELECT qname, count(*) AS qsz FROM qg GROUP BY qname
+), dsz AS (
+  SELECT dk, count(*) AS dsz FROM dgx GROUP BY dk
+), inter AS (
+  SELECT a.qname, b.dk, count(*) AS n_inter
+  FROM qg a JOIN dg2 b ON a.t = b.t GROUP BY a.qname, b.dk
+), scored AS (
+  SELECT i.qname, i.dk,
+         CAST(i.n_inter AS DOUBLE) / (q.qsz + d.dsz - i.n_inter) AS j
+  FROM inter i JOIN qsz q ON i.qname = q.qname JOIN dsz d ON i.dk = d.dk
+  WHERE CAST(i.n_inter AS DOUBLE) / (q.qsz + d.dsz - i.n_inter) >= 0.3
+), best AS (
+  SELECT qname, dk, j,
+         row_number() OVER (PARTITION BY qname ORDER BY j DESC, dk) AS rn
+  FROM scored
+)
+SELECT b.qname, b.dk AS n_nationkey, n.dv AS n_name, round(b.j, 6) AS jaccard
+FROM best b JOIN dn n ON b.dk = n.dk WHERE b.rn = 1
+""",
+)
+def fuzzy_dim_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dimension resolution: dirty nation spellings matched to the
+    nation dim by character-trigram Jaccard, best row per query (ties to
+    the smallest key), unmatchable garbage dropped below threshold. The
+    in-engine answer to the reference's geocoder-on-every-near-miss
+    (insert_owid.py:72-101): only true misses leave the cluster. Dim
+    postings broadcast; facts never shuffle for the match."""
+    from pandemic_knowledge_spark.operators.fuzzy import fuzzy_best_match
+
+    n = load(spark, sf_dir, "nation")
+    qs = spark.createDataFrame([(s,) for s in _FUZZY_QUERIES], ["qname"])
+    return fuzzy_best_match(
+        qs, n, "qname", "n_name", "n_nationkey", threshold=0.3, max_posting=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing document fingerprints (operators/dedup.py::winnow_fingerprints)
 # ---------------------------------------------------------------------------
@@ -3606,6 +3670,7 @@ _DRIVER_PRIORITY = [
     "funnel_signup_view_purchase", # new: single-shuffle ordered funnel
     "cohort_weekly_retention",     # new: signup-cohort weekly retention
     "timeseries_gapfill_ffill",    # new: dense spine + zero-fill + LOCF
+    "fuzzy_dim_match_nations",     # new: trigram-Jaccard best match
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "layout_zorder_box_scan",      # new: z-order layout round-trip
