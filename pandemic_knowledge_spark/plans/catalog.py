@@ -3438,6 +3438,32 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@q("profile_orders_table", oracle=_PROFILE_ORACLE)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of orders: completeness, exact
+    cardinality, min/max — one column-pruned scan + map-side-combined
+    aggregate per column, unioned (total I/O = the table once; each
+    sub-aggregate is the 1-column columnar scan parquet is fastest at)."""
+    from pandemic_knowledge_spark.operators.profiling import profile_table
+
+    o = load(spark, sf_dir, "orders")
+    return profile_table(o, _PROFILE_COLS)
+
+
 _FUZZY_QUERIES = [
     "nation-7!", "NATION 12", "natoin_3", "xyzzy", "nation__21", "NaTiOn9",
 ]
@@ -3671,6 +3697,7 @@ _DRIVER_PRIORITY = [
     "cohort_weekly_retention",     # new: signup-cohort weekly retention
     "timeseries_gapfill_ffill",    # new: dense spine + zero-fill + LOCF
     "fuzzy_dim_match_nations",     # new: trigram-Jaccard best match
+    "profile_orders_table",        # new: per-column quality profile
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "layout_zorder_box_scan",      # new: z-order layout round-trip
