@@ -3438,6 +3438,113 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# The ingest frontend end-to-end over COMMITTED fixtures: dialect-sniffed
+# multi-file CSV read (S3), candidate coalesce (P1), multi-pattern dates
+# (P2/P3), required-field filter (F1), numeric coercion (P6), first-wins
+# lookup dim (S4) + broadcast enrich (J1), unlocated-row drop — the whole
+# insert_owid.py conform path, driver-checkable because the DuckDB oracle
+# reads the same fixture files and replays the identical rules in SQL.
+# ---------------------------------------------------------------------------
+
+_FIXDIR = "/root/repo/tests/fixtures"
+_COERCE_SQL = """CASE WHEN {d} IS NULL OR isnan({d}) OR isinf({d}) THEN 0
+       WHEN {d} >= 9223372036854775808.0 THEN 9223372036854775807
+       WHEN {d} <= -9223372036854775808.0 THEN -9223372036854775808
+       ELSE CAST(trunc({d}) AS BIGINT) END"""
+
+
+def _coerce(col: str) -> str:
+    return _COERCE_SQL.format(d=f"TRY_CAST({col} AS DOUBLE)")
+
+
+@q(
+    "ingest_owid_conform_fixture",
+    oracle=f"""
+WITH f1 AS (
+  SELECT date, location, new_cases, new_deaths, new_vaccinations, new_tests
+  FROM read_csv('{_FIXDIR}/owid_comma.csv', header=true, all_varchar=true, delim=',')
+), f2 AS (
+  SELECT date, location, new_cases, new_deaths, new_vaccinations, new_tests
+  FROM read_csv('{_FIXDIR}/owid_semicolon.csv', header=true, all_varchar=true, delim=';')
+), raw AS (
+  SELECT * FROM f1 UNION ALL SELECT * FROM f2
+), c AS (
+  SELECT nullif(date, '') AS date, nullif(location, '') AS location_name,
+         nullif(new_cases, '') AS confirmed_raw,
+         new_cases, new_deaths, new_vaccinations, new_tests
+  FROM raw
+), p AS (
+  SELECT *, replace(trim(date), '/', '-') AS d2,
+         TRY_CAST(substr(replace(trim(date), '/', '-'), 1, 4) AS INTEGER) AS yr,
+         TRY_CAST(regexp_extract(replace(trim(date), '/', '-'), 'W(\\d{{1,2}})$', 1)
+                  AS INTEGER) AS wk
+  FROM c
+), pd AS (
+  SELECT *,
+    CASE WHEN regexp_matches(d2, '^\\d{{4}}-W\\d{{1,2}}$')
+           THEN (make_date(yr, 1, 4)
+                 - CAST(isodow(make_date(yr, 1, 4)) - 1 AS INTEGER))
+                + CAST((wk - 1) * 7 AS INTEGER)
+         WHEN regexp_matches(d2, '^\\d{{2}}-\\d{{2}}-\\d{{4}}$')
+           THEN CAST(try_strptime(d2, '%d-%m-%Y') AS DATE)
+         WHEN regexp_matches(d2, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$')
+           THEN CAST(try_strptime(d2, '%Y-%m-%d') AS DATE)
+    END AS date_start
+  FROM p
+), lk AS (
+  SELECT * FROM read_csv('{_FIXDIR}/lookup_dim.csv', header=true,
+                         all_varchar=true, delim=',')
+), dim AS (
+  SELECT DISTINCT location_name, TRY_CAST(Lat AS DOUBLE) AS lat,
+         TRY_CAST(Long_ AS DOUBLE) AS lon, iso2 AS iso_code2
+  FROM (
+    SELECT nullif(trim(Province_State), '') AS location_name, Lat, Long_, iso2 FROM lk
+    UNION ALL
+    SELECT nullif(trim(Country_Region), ''), Lat, Long_, iso2 FROM lk
+    UNION ALL
+    SELECT nullif(trim(Combined_Key), ''), Lat, Long_, iso2 FROM lk
+  ) WHERE location_name IS NOT NULL
+)
+SELECT pd.location_name, date_start,
+       CASE WHEN regexp_matches(d2, '^\\d{{4}}-W\\d{{1,2}}$')
+            THEN date_start + 6 ELSE date_start END AS date_end,
+       {_coerce('new_cases')} AS confirmed,
+       {_coerce('new_deaths')} AS deaths,
+       {_coerce('new_vaccinations')} AS vaccinated,
+       {_coerce('new_tests')} AS tested,
+       dim.iso_code2, dim.lat, dim.lon
+FROM pd JOIN dim ON pd.location_name = dim.location_name
+WHERE date_start IS NOT NULL AND pd.location_name IS NOT NULL
+  AND confirmed_raw IS NOT NULL
+""",
+)
+def ingest_owid_conform_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship ingest flow end-to-end on committed fixtures: two CSV
+    files in DIFFERENT dialects (sniffed, bucketed scans), candidate
+    coalesce, the three dated patterns incl. ISO-week spans, required-field
+    drops, saturating numeric coercion ('9e99' conforms, never kills the
+    job), first-wins location dim broadcast enrich, unlocated rows dropped
+    — insert_owid.py:118-145 as ONE Catalyst plan. (sf_dir unused: the
+    pipeline's inputs are its own fixture files.)"""
+    from pandemic_knowledge_spark.sources.lookup import build_location_dim
+    from pandemic_knowledge_spark.sources.pipelines import ingest_owid
+
+    dim = build_location_dim(spark, f"{_FIXDIR}/lookup_dim.csv")
+    out = ingest_owid(
+        spark,
+        [f"{_FIXDIR}/owid_comma.csv", f"{_FIXDIR}/owid_semicolon.csv"],
+        dim,
+    )
+    return out.select(
+        "location_name", "date_start", "date_end",
+        "confirmed", "deaths", "vaccinated", "tested",
+        "iso_code2",
+        F.col("geo.lat").alias("lat"),
+        F.col("geo.lon").alias("lon"),
+    )
+
+
 _PROFILE_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority",
@@ -3654,12 +3761,17 @@ def layout_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max miss the box on at least one dimension. At 100 TB the rewrite
     is one range shuffle at ingest; every later box query reads only the
     overlapping z-range."""
+    import os
     import tempfile
 
     from pandemic_knowledge_spark.operators.layout import zorder_write
 
     o = load(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="pk_zorder_orders_")
+    # Fixed per-sf scratch path (mode=overwrite): repeated runs reuse the
+    # same directory instead of accumulating mkdtemp leftovers.
+    path = os.path.join(
+        tempfile.gettempdir(), f"pk_zorder_orders_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     zorder_write(o, ["o_custkey", "o_orderdate"], path, n_files=16)
     z = spark.read.parquet(path).filter(
         F.col("o_custkey").between(100, 400)
@@ -3698,6 +3810,7 @@ _DRIVER_PRIORITY = [
     "timeseries_gapfill_ffill",    # new: dense spine + zero-fill + LOCF
     "fuzzy_dim_match_nations",     # new: trigram-Jaccard best match
     "profile_orders_table",        # new: per-column quality profile
+    "ingest_owid_conform_fixture", # new: end-to-end ingest over fixtures
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "layout_zorder_box_scan",      # new: z-order layout round-trip
