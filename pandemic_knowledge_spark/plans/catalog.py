@@ -3545,6 +3545,87 @@ def ingest_owid_conform_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ingest_weekly_conform_fixture",
+    oracle=f"""
+WITH raw AS (
+  SELECT YearWeekISO, ReportingCountry, NumberDosesReceived
+  FROM read_csv('{_FIXDIR}/weekly_doses.csv', header=true, all_varchar=true,
+                delim=',')
+), c AS (
+  SELECT nullif(YearWeekISO, '') AS date,
+         nullif(ReportingCountry, '') AS location_name,
+         NumberDosesReceived AS cases
+  FROM raw
+), p AS (
+  SELECT *, replace(trim(date), '/', '-') AS d2,
+         TRY_CAST(substr(replace(trim(date), '/', '-'), 1, 4) AS INTEGER) AS yr,
+         TRY_CAST(regexp_extract(replace(trim(date), '/', '-'), 'W(\\d{{1,2}})$', 1)
+                  AS INTEGER) AS wk
+  FROM c
+), pd AS (
+  SELECT *,
+    CASE WHEN regexp_matches(d2, '^\\d{{4}}-W\\d{{1,2}}$')
+           THEN (make_date(yr, 1, 4)
+                 - CAST(isodow(make_date(yr, 1, 4)) - 1 AS INTEGER))
+                + CAST((wk - 1) * 7 AS INTEGER)
+         WHEN regexp_matches(d2, '^\\d{{2}}-\\d{{2}}-\\d{{4}}$')
+           THEN CAST(try_strptime(d2, '%d-%m-%Y') AS DATE)
+         WHEN regexp_matches(d2, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$')
+           THEN CAST(try_strptime(d2, '%Y-%m-%d') AS DATE)
+    END AS date_start
+  FROM p
+), lk AS (
+  SELECT * FROM read_csv('{_FIXDIR}/lookup_dim.csv', header=true,
+                         all_varchar=true, delim=',')
+), dim AS (
+  SELECT DISTINCT iso2 AS location_name, TRY_CAST(Lat AS DOUBLE) AS lat,
+         TRY_CAST(Long_ AS DOUBLE) AS lon, iso2 AS iso_code2,
+         TRY_CAST(Population AS BIGINT) AS population
+  FROM lk
+)
+SELECT pd.location_name, date_start,
+       CASE WHEN regexp_matches(d2, '^\\d{{4}}-W\\d{{1,2}}$')
+            THEN date_start + 6 ELSE date_start END AS date_end,
+       {_coerce('cases')} AS vaccinated,
+       CAST(0 AS BIGINT) AS confirmed,
+       dim.iso_code2, dim.lat, dim.lon,
+       dim.population AS max_population,
+       CASE WHEN dim.population <> 0
+            THEN ({_coerce('cases')} + 0) / dim.population * 100.0 END AS percentage
+FROM pd LEFT JOIN dim ON pd.location_name = dim.location_name
+WHERE date_start IS NOT NULL AND pd.location_name IS NOT NULL
+""",
+)
+def ingest_weekly_conform_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-source weekly flow (parse_insert.py:105-137) over a
+    committed ECDC-style fixture: multi-candidate header resolution with
+    whole-file validation (F3), ISO-week spans (P3), conditional metric
+    target by bucket (P8), conformed reshape (P11), guarded population
+    ratio (P7) — unlocated rows KEPT with null enrichment (unlike the OWID
+    flow), dim re-keyed by iso2 for the EU feed. (sf_dir unused: fixture
+    inputs.)"""
+    from pandemic_knowledge_spark.sources.lookup import build_location_dim
+    from pandemic_knowledge_spark.sources.pipelines import ingest_weekly_multisource
+
+    dim = build_location_dim(spark, f"{_FIXDIR}/lookup_dim.csv").withColumn(
+        "location_name", F.col("iso_code2")
+    )
+    out = ingest_weekly_multisource(
+        spark, [f"{_FIXDIR}/weekly_doses.csv"], dim, bucket="vaccination"
+    )
+    return out.select(
+        "location_name", "date_start", "date_end",
+        F.col("vaccinated").cast("long").alias("vaccinated"),
+        F.col("confirmed").cast("long").alias("confirmed"),
+        "iso_code2",
+        F.col("geo.lat").alias("lat"),
+        F.col("geo.lon").alias("lon"),
+        "max_population",
+        "percentage",
+    )
+
+
 _PROFILE_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority",
@@ -3811,6 +3892,7 @@ _DRIVER_PRIORITY = [
     "fuzzy_dim_match_nations",     # new: trigram-Jaccard best match
     "profile_orders_table",        # new: per-column quality profile
     "ingest_owid_conform_fixture", # new: end-to-end ingest over fixtures
+    "ingest_weekly_conform_fixture", # new: multisource weekly conform
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "layout_zorder_box_scan",      # new: z-order layout round-trip
