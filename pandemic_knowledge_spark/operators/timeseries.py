@@ -21,6 +21,71 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def correlation_pairs_topk(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most-correlated pairs of keys by their DAILY activity series
+    (Pearson r over the dense day grid), computed exactly from sparse data.
+
+    The dense-series trick: with x, y the zero-filled daily count vectors
+    over the table's n-day grid, every Pearson term is a plain sum in which
+    zero days vanish — Σx, Σx² come from each key's observed days alone and
+    Σxy only from days BOTH keys were active (an equi-self-join on day). So
+    the quadratic-looking "correlate all pairs over all days" collapses to
+    one day-keyed join whose fan-out is Σ_d c_d² (c_d = active keys that
+    day) — the same bounded block-join shape as the n-gram Jaccard index,
+    with no dense matrix ever materialized. r is assembled from exact int64
+    sums with a FIXED formula (n·Σxy − ΣxΣy over the sqrt product), so the
+    resulting doubles are bit-identical in any engine and under any
+    partitioning — F.corr's merge-order-dependent streaming algorithm is
+    deliberately avoided.
+
+    Returns (key_a, key_b, r) for the k highest-r pairs (ties broken by
+    key order); constant series (zero variance) are excluded.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), day.alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    n_days = daily.select(F.count_distinct("d").alias("nd"))
+    stats = daily.groupBy("key").agg(
+        F.sum("n").alias("sx"), F.sum(F.col("n") * F.col("n")).alias("sxx")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sxy = (
+        a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.key") < F.col("b.key")))
+        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("sxy"))
+    )
+    sa = stats.select(
+        F.col("key").alias("key_a"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa")
+    )
+    sb = stats.select(
+        F.col("key").alias("key_b"), F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb")
+    )
+    nd = F.col("nd")
+    num = nd * F.col("sxy") - F.col("sxa") * F.col("sxb")
+    var_a = nd * F.col("sxxa") - F.col("sxa") * F.col("sxa")
+    var_b = nd * F.col("sxxb") - F.col("sxb") * F.col("sxb")
+    return (
+        sxy.join(F.broadcast(sa), "key_a")
+        .join(F.broadcast(sb), "key_b")
+        .crossJoin(F.broadcast(n_days))
+        .filter((var_a > 0) & (var_b > 0))
+        .select(
+            "key_a",
+            "key_b",
+            (num.cast("double") / F.sqrt(var_a.cast("double") * var_b.cast("double")))
+            .alias("r"),
+        )
+        .orderBy(F.desc("r"), "key_a", "key_b")
+        .limit(k)
+    )
+
+
 def gapfill_hourly(
     events: DataFrame,
     key_col: str,

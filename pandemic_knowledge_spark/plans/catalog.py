@@ -3652,6 +3652,46 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(o, _PROFILE_COLS)
 
 
+@q(
+    "timeseries_corr_topk",
+    oracle="""
+WITH daily AS (
+  SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), nd AS (SELECT count(DISTINCT d) AS nd FROM daily),
+stats AS (SELECT key, sum(n) AS sx, sum(n * n) AS sxx FROM daily GROUP BY key),
+sxy AS (
+  SELECT a.key AS key_a, b.key AS key_b, sum(a.n * b.n) AS sxy
+  FROM daily a JOIN daily b ON a.d = b.d AND a.key < b.key
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       CAST(nd.nd * s.sxy - sa.sx * sb.sx AS DOUBLE)
+         / sqrt(CAST(nd.nd * sa.sxx - sa.sx * sa.sx AS DOUBLE)
+                * CAST(nd.nd * sb.sxx - sb.sx * sb.sx AS DOUBLE)) AS r
+FROM sxy s
+JOIN stats sa ON s.key_a = sa.key
+JOIN stats sb ON s.key_b = sb.key, nd
+WHERE nd.nd * sa.sxx - sa.sx * sa.sx > 0
+  AND nd.nd * sb.sxx - sb.sx * sb.sx > 0
+ORDER BY r DESC, key_a, key_b LIMIT 10
+""",
+)
+def timeseries_corr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most-correlated user pairs by daily activity series (exact
+    Pearson over the dense day grid, assembled from sparse sums — zero days
+    vanish from every term, so no dense matrix and no per-day zero rows).
+    The pair join is day-blocked (Σ_d c_d² fan-out); per-user moment tables
+    broadcast; r comes from exact int64 sums in a fixed formula, so the
+    doubles are bit-identical to the oracle (F.corr's merge-order-dependent
+    streaming algorithm is deliberately not used)."""
+    from pandemic_knowledge_spark.operators.timeseries import correlation_pairs_topk
+
+    ev = load(spark, sf_dir, "events")
+    return correlation_pairs_topk(ev, "user_id", "ts", k=10)
+
+
 _FUZZY_QUERIES = [
     "nation-7!", "NATION 12", "natoin_3", "xyzzy", "nation__21", "NaTiOn9",
 ]
@@ -3889,6 +3929,7 @@ _DRIVER_PRIORITY = [
     "funnel_signup_view_purchase", # new: single-shuffle ordered funnel
     "cohort_weekly_retention",     # new: signup-cohort weekly retention
     "timeseries_gapfill_ffill",    # new: dense spine + zero-fill + LOCF
+    "timeseries_corr_topk",        # new: exact Pearson pairs, sparse sums
     "fuzzy_dim_match_nations",     # new: trigram-Jaccard best match
     "profile_orders_table",        # new: per-column quality profile
     "ingest_owid_conform_fixture", # new: end-to-end ingest over fixtures

@@ -73,3 +73,49 @@ def test_multiple_events_same_hour_aggregate(spark):
     rows = [("a", _t(1), 1.0), ("a", dt.datetime(2024, 1, 1, 1, 30), 2.0)]
     got = _fill(spark, rows)
     assert got[("a", 1)] == (2, 3.0)
+
+
+def test_correlation_matches_numpy_dense(spark):
+    """r from sparse sums must equal numpy's Pearson on the zero-filled
+    dense vectors."""
+    import numpy as np
+
+    from pandemic_knowledge_spark.operators.timeseries import correlation_pairs_topk
+
+    rows = []
+    series = {
+        1: {0: 3, 1: 1, 3: 2},          # sparse day -> count
+        2: {0: 6, 1: 2, 3: 4},          # exactly 2x user 1 -> r = 1
+        3: {0: 1, 2: 5, 3: 1},
+    }
+    for u, days in series.items():
+        for d, cnt in days.items():
+            for i in range(cnt):
+                rows.append((str(u), dt.datetime(2024, 1, 1 + d, 8, i), 0.0))
+    df = spark.createDataFrame(rows, SCHEMA).withColumnRenamed("k", "u")
+    got = {
+        (int(r.key_a), int(r.key_b)): r.r
+        for r in correlation_pairs_topk(df, "u", "ts", k=10).collect()
+    }
+    # numpy reference over the dense 4-day grid
+    dense = {u: np.array([d.get(i, 0) for i in range(4)], dtype=float)
+             for u, d in series.items()}
+    for (ua, ub), r in got.items():
+        expect = np.corrcoef(dense[ua], dense[ub])[0, 1]
+        assert abs(r - expect) < 1e-12, (ua, ub, r, expect)
+    assert got[(1, 2)] == 1.0
+
+
+def test_correlation_excludes_constant_series(spark):
+    from pandemic_knowledge_spark.operators.timeseries import correlation_pairs_topk
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 0.0),
+        ("a", dt.datetime(2024, 1, 2), 0.0),   # constant 1/day over grid
+        ("b", dt.datetime(2024, 1, 1), 0.0),
+        ("b", dt.datetime(2024, 1, 2), 0.0),
+        ("b", dt.datetime(2024, 1, 2, 1), 0.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).withColumnRenamed("k", "u")
+    out = correlation_pairs_topk(df, "u", "ts").collect()
+    assert out == []  # "a" is constant -> zero variance -> no pair
