@@ -486,3 +486,50 @@ def test_runtime_bloom_filter_injects_on_shuffle_fact_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_funnel_is_single_user_shuffle_no_python(spark, sf_dir):
+    """The funnel fold must stay one user-keyed exchange with the stage
+    walk as codegen'd expressions — no per-stage joins, no Python eval."""
+    plan = final_plan_of(spark, sf_dir, "funnel_signup_view_purchase")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_corr_pairs_day_blocked_no_cartesian(spark, sf_dir):
+    """Pearson pairs: the only pair generator is the day equi-join; the
+    per-key moment tables broadcast."""
+    plan = final_plan_of(spark, sf_dir, "timeseries_corr_topk")
+    # AQE prints Final + Initial sections; judge only the final one.
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join is allowed: the 1-row n_days scalar
+    # broadcast (same shape as the q11 threshold row)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_gapfill_spine_never_scans_facts_twice_with_python(spark, sf_dir):
+    plan = final_plan_of(spark, sf_dir, "timeseries_gapfill_ffill")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_merge_untouched_side_has_no_window(spark, sf_dir):
+    """Incremental SCD2 over a MATERIALIZED history (the production shape):
+    the merge itself must add exactly the two window passes of the
+    touched-keys rebuild — the untouched passthrough contributes none."""
+    from pyspark.sql import functions as F
+
+    from pandemic_knowledge_spark.operators.history import build_scd2, scd2_merge
+    from pandemic_knowledge_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    pivot = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    hist = build_scd2(
+        ev.filter(F.col("ts") < pivot), ["user_id"], ["event_type"], "ts", "event_id"
+    ).localCheckpoint(eager=True)  # stored-table stand-in: cuts build lineage
+    merged = scd2_merge(hist, ev.filter(F.col("ts") >= pivot),
+                        ["user_id"], ["event_type"], "ts")
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window [") == 2, plan
