@@ -21,6 +21,39 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def rolling_active_keys(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day distinct-active count per report day (the DAU/WAU/MAU
+    family): for each day d in the observed range, how many distinct keys
+    had any event in (d-N+1 .. d].
+
+    Distinct-over-a-sliding-window can't ride a RANGE window frame (frames
+    aggregate rows, not distinct keys), and a per-day self-join over the
+    range is N scans. Instead each distinct (key, day) row is exploded to
+    the N report days it contributes to — a constant ×N map-side fan-out of
+    the already-deduplicated user-day table — followed by ONE
+    distinct-count shuffle on report day. Linear at any scale; N is a
+    constant, never a join multiplicity."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    ud = events.select(F.col(key_col).alias("key"), day.alias("d")).distinct()
+    bounds = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    contrib = ud.select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("o"),
+        "d",
+    ).select("key", F.date_add(F.col("d"), F.col("o")).alias("report_day"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("report_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("report_day")
+        .agg(F.count_distinct("key").alias(f"active_{window_days}d"))
+    )
+
+
 def correlation_pairs_topk(
     events: DataFrame,
     key_col: str,

@@ -3653,6 +3653,32 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "timeseries_rolling_active",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+), b AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+x AS (
+  SELECT user_id, d + CAST(o AS INTEGER) AS report_day
+  FROM ud, unnest(generate_series(0, 6)) AS u(o)
+)
+SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+FROM x, b WHERE report_day BETWEEN b.lo AND b.hi GROUP BY report_day
+""",
+)
+def timeseries_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (the WAU curve): each
+    deduped user-day explodes to the 7 report days it serves, then one
+    distinct-count shuffle — no RANGE-frame distinct (impossible) and no
+    7-way self-join. ×7 map-side fan-out of the deduped table, linear at
+    any scale."""
+    from pandemic_knowledge_spark.operators.timeseries import rolling_active_keys
+
+    ev = load(spark, sf_dir, "events")
+    return rolling_active_keys(ev, "user_id", "ts", window_days=7)
+
+
+@q(
     "timeseries_corr_topk",
     oracle="""
 WITH daily AS (
@@ -3930,6 +3956,7 @@ _DRIVER_PRIORITY = [
     "cohort_weekly_retention",     # new: signup-cohort weekly retention
     "timeseries_gapfill_ffill",    # new: dense spine + zero-fill + LOCF
     "timeseries_corr_topk",        # new: exact Pearson pairs, sparse sums
+    "timeseries_rolling_active",   # new: rolling 7-day distinct actives
     "fuzzy_dim_match_nations",     # new: trigram-Jaccard best match
     "profile_orders_table",        # new: per-column quality profile
     "ingest_owid_conform_fixture", # new: end-to-end ingest over fixtures

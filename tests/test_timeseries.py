@@ -119,3 +119,40 @@ def test_correlation_excludes_constant_series(spark):
     df = spark.createDataFrame(rows, SCHEMA).withColumnRenamed("k", "u")
     out = correlation_pairs_topk(df, "u", "ts").collect()
     assert out == []  # "a" is constant -> zero variance -> no pair
+
+
+def test_rolling_active_window_semantics(spark):
+    from pandemic_knowledge_spark.operators.timeseries import rolling_active_keys
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 0.0),
+        ("b", dt.datetime(2024, 1, 3), 0.0),
+        ("a", dt.datetime(2024, 1, 10), 0.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).withColumnRenamed("k", "u")
+    got = {
+        r.report_day.isoformat(): r.active_7d
+        for r in rolling_active_keys(df, "u", "ts", window_days=7).collect()
+    }
+    assert got["2024-01-01"] == 1          # a
+    assert got["2024-01-03"] == 2          # a (jan1 still in window) + b
+    assert got["2024-01-07"] == 2          # last day a's jan1 counts
+    assert got["2024-01-08"] == 1          # a fell out, b (jan3) remains
+    assert got["2024-01-10"] == 1          # only a's second visit
+    # report days bounded to the observed [min, max] range
+    assert min(got) == "2024-01-01" and max(got) == "2024-01-10"
+
+
+def test_rolling_active_dedups_within_window(spark):
+    from pandemic_knowledge_spark.operators.timeseries import rolling_active_keys
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 0.0),
+        ("a", dt.datetime(2024, 1, 2), 0.0),  # same user twice in window
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).withColumnRenamed("k", "u")
+    got = {
+        r.report_day.isoformat(): r.active_7d
+        for r in rolling_active_keys(df, "u", "ts").collect()
+    }
+    assert got["2024-01-02"] == 1
