@@ -207,3 +207,57 @@ def upsert_sink(
     elif processing_time is not None:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def scd2_sink(
+    stream_df: DataFrame,
+    table: AtomicTable,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    checkpoint: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """Streaming SCD2 maintenance: each micro-batch of changes folds into
+    the history table via operators.history.scd2_merge, published through
+    the atomic swap.
+
+    Invariant (the batch operator's contract, driver-checked there): after
+    any batch, the table equals a full build_scd2 over every change seen so
+    far — late rows splice intervals, re-statements compress away, and only
+    keys present in the batch are re-windowed (untouched history passes
+    through). First batch bootstraps the history with build_scd2.
+
+    Retry safety mirrors upsert_sink: a failed batch never repoints
+    _CURRENT, and a replayed batch is idempotent — merging the same changes
+    twice re-compresses to the identical history (re-stated attribute runs
+    collapse), so at-least-once foreachBatch delivery yields exactly-once
+    table states.
+    """
+    from pandemic_knowledge_spark.operators.history import build_scd2, scd2_merge
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(*key_cols, *attr_cols, ts_col).localCheckpoint(
+            eager=True
+        )
+        try:
+            cur = table.read(batch_df.sparkSession)
+        except FileNotFoundError:
+            cur = None
+        if cur is None:
+            hist = build_scd2(batch, key_cols, attr_cols, ts_col)
+        else:
+            hist = scd2_merge(cur, batch, key_cols, attr_cols, ts_col)
+        table.overwrite(hist)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
