@@ -3848,9 +3848,7 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "dedup_winnow_pairs",
-    oracle=f"""
+_WINNOW_PAIRS_ORACLE = f"""
 WITH {_WINNOW_FPS_CTE}, dfp AS (
   SELECT DISTINCT doc_id, wh FROM fps
 ), freq AS (
@@ -3863,8 +3861,10 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 2
-""",
-)
+"""
+
+
+@q("dedup_winnow_pairs", oracle=_WINNOW_PAIRS_ORACLE)
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-overlap pairs via the winnowing inverted index: docs sharing
     >= 2 selected fingerprints (each fingerprint witnesses a shared token
@@ -3878,6 +3878,43 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(
         d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_posting=50
     )
+
+
+@q(
+    "dedup_winnow_cluster_reps",
+    oracle=f"""
+WITH RECURSIVE wpairs AS ({_WINNOW_PAIRS_ORACLE}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM wpairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM wpairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, min(lab) AS rep_id FROM reach GROUP BY node
+""",
+)
+def dedup_winnow_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full local-overlap dedup chain: winnowing sketch → inverted-index
+    pair detection → transitive clustering → per-doc representative (min
+    id). Same component machinery as the MinHash cluster path, driven by a
+    DIFFERENT similarity notion (shared >= w+k-1 token runs vs estimated
+    Jaccard) — the oracle's recursive CTE closes the same graph."""
+    from pandemic_knowledge_spark.operators.dedup import (
+        connected_components,
+        winnow_overlap_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = winnow_overlap_pairs(
+        d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_posting=50
+    )
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    return cc.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -3963,6 +4000,7 @@ _DRIVER_PRIORITY = [
     "ingest_weekly_conform_fixture", # new: multisource weekly conform
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
+    "dedup_winnow_cluster_reps",   # new: winnow chain -> components -> reps
     "layout_zorder_box_scan",      # new: z-order layout round-trip
     "search_fields_indexed",       # new: multi-field indexed probe
     "emb_kmeans_clusters",         # new: quantized Lloyd k-means
