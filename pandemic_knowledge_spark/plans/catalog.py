@@ -3788,6 +3788,8 @@ def fuzzy_dim_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_K = 3
 _WINNOW_W = 4
+_WINNOW_MIN_SHARED = 2
+_WINNOW_MAX_POSTING = 50
 # Shared winnowing CTE chain (oracle side of operators.dedup.winnow*): both
 # the fingerprint query and the overlap-pairs query derive from the same SQL
 # so the two oracles cannot drift from each other.
@@ -3852,7 +3854,7 @@ _WINNOW_PAIRS_ORACLE = f"""
 WITH {_WINNOW_FPS_CTE}, dfp AS (
   SELECT DISTINCT doc_id, wh FROM fps
 ), freq AS (
-  SELECT wh FROM dfp GROUP BY wh HAVING count(*) <= 50
+  SELECT wh FROM dfp GROUP BY wh HAVING count(*) <= {_WINNOW_MAX_POSTING}
 ), kept AS (
   SELECT d.doc_id, d.wh FROM dfp d JOIN freq f ON d.wh = f.wh
 )
@@ -3860,7 +3862,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
-HAVING count(*) >= 2
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
 """
 
 
@@ -3876,7 +3878,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return winnow_overlap_pairs(
-        d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_posting=50
+        d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED, max_posting=_WINNOW_MAX_POSTING
     )
 
 
@@ -3911,7 +3913,7 @@ def dedup_winnow_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     pairs = winnow_overlap_pairs(
-        d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_posting=50
+        d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED, max_posting=_WINNOW_MAX_POSTING
     )
     cc = connected_components(pairs.select("doc_a", "doc_b"))
     return cc.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
