@@ -23,9 +23,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Shared with sql_normalize_name so engine and oracle can't drift.
+NORM_RE = "[^a-z0-9]"
+TRIGRAM_N = 3
+
+
 def normalize_name(c: Column) -> Column:
     """Canonical form for name matching: lowercase, alphanumerics only."""
-    return F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
+    return F.regexp_replace(F.lower(c), NORM_RE, "")
+
+
+def sql_normalize_name(col_sql: str) -> str:
+    """DuckDB-equivalent of :func:`normalize_name` — emitted from the SAME
+    constant so the oracle replays the identical normalization."""
+    return f"regexp_replace(lower({col_sql}), '{NORM_RE}', '', 'g')"
 
 
 def char_trigrams(c: Column) -> Column:
@@ -34,9 +45,9 @@ def char_trigrams(c: Column) -> Column:
     per-position substr is fine — pass a MATERIALIZED normalized column for
     anything longer."""
     n = F.length(c)
-    idx = F.sequence(F.lit(1), n - 2)
-    g = F.transform(idx, lambda i: F.substr(c, i, F.lit(3)))
-    return F.when(n >= 3, F.array_distinct(g)).otherwise(
+    idx = F.sequence(F.lit(1), n - TRIGRAM_N + 1)
+    g = F.transform(idx, lambda i: F.substr(c, i, F.lit(TRIGRAM_N)))
+    return F.when(n >= TRIGRAM_N, F.array_distinct(g)).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -3198,9 +3198,9 @@ def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@q(
-    "scd2_user_history",
-    oracle="""
+# One SQL body for every SCD2 oracle: the full-rebuild truth. history and
+# incremental-merge both compare against it; the snapshot filters it.
+_SCD2_REBUILD_SQL = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -3215,7 +3215,12 @@ SELECT user_id, event_type, valid_from,
        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
          IS NULL AS is_current
 FROM ch
-""",
+"""
+
+
+@q(
+    "scd2_user_history",
+    oracle=_SCD2_REBUILD_SQL,
 )
 def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 build over the event change log: per-user event_type treated as a
@@ -3237,22 +3242,7 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_incremental_merge",
     # Oracle = the FULL-rebuild SQL: the incremental path must be
     # indistinguishable from rebuilding over the complete change log.
-    oracle="""
-WITH ordered AS (
-  SELECT user_id, event_type, ts, event_id,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
-), ch AS (
-  SELECT user_id, event_type, ts AS valid_from, event_id
-  FROM ordered WHERE prev IS NULL OR prev <> event_type
-)
-SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
-         AS valid_to,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
-         IS NULL AS is_current
-FROM ch
-""",
+    oracle=_SCD2_REBUILD_SQL,
 )
 def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 maintenance: history built from changes before
@@ -3278,20 +3268,8 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "scd2_snapshot_asof",
-    oracle="""
-WITH ordered AS (
-  SELECT user_id, event_type, ts, event_id,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-  FROM events
-), ch AS (
-  SELECT user_id, event_type, ts AS valid_from, event_id
-  FROM ordered WHERE prev IS NULL OR prev <> event_type
-), hist AS (
-  SELECT user_id, event_type, valid_from,
-         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
-           AS valid_to
-  FROM ch
-)
+    oracle=f"""
+WITH hist AS ({_SCD2_REBUILD_SQL})
 SELECT user_id, event_type, valid_from, valid_to
 FROM hist
 WHERE valid_from <= TIMESTAMP '2024-02-01 00:00:00'
@@ -3319,33 +3297,36 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@q(
-    "funnel_signup_view_purchase",
-    # Min-join formulation: stage k's entry time is the min qualifying ts
-    # strictly after stage k-1's. Greedy earliest-transition (the Spark
-    # fold) equals this by induction.
-    oracle="""
-WITH s1 AS (
-  SELECT user_id, min(ts) AS t FROM events
-  WHERE event_type = 'signup' GROUP BY user_id
-), s2 AS (
-  SELECT e.user_id, min(e.ts) AS t FROM events e
-  JOIN s1 ON e.user_id = s1.user_id
-  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
-), s3 AS (
-  SELECT e.user_id, min(e.ts) AS t FROM events e
-  JOIN s2 ON e.user_id = s2.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
-)
-SELECT * FROM (
-  SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
-  UNION ALL
-  SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM s2
-  UNION ALL
-  SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3
-) WHERE n_users > 0
-""",
-)
+_FUNNEL_STAGES = ["signup", "view", "purchase"]
+
+
+def _funnel_oracle(stages: list[str]) -> str:
+    """Min-join funnel SQL generated from the SAME stage list the Spark fold
+    receives — stage k's entry time is the min qualifying ts strictly after
+    stage k-1's; greedy earliest-transition equals this by induction."""
+    ctes = [
+        f"s1 AS (\n  SELECT user_id, min(ts) AS t FROM events\n"
+        f"  WHERE event_type = '{stages[0]}' GROUP BY user_id\n)"
+    ]
+    for i, st in enumerate(stages[1:], 2):
+        ctes.append(
+            f"s{i} AS (\n  SELECT e.user_id, min(e.ts) AS t FROM events e\n"
+            f"  JOIN s{i - 1} ON e.user_id = s{i - 1}.user_id\n"
+            f"  WHERE e.event_type = '{st}' AND e.ts > s{i - 1}.t"
+            f" GROUP BY e.user_id\n)"
+        )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({i} AS BIGINT) AS stage,"
+        f" CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        for i in range(1, len(stages) + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f"\nSELECT * FROM (\n{unions}\n) WHERE n_users > 0"
+    )
+
+
+@q("funnel_signup_view_purchase", oracle=_funnel_oracle(_FUNNEL_STAGES))
 def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup → view → purchase with strictly-increasing
     timestamps: ONE shuffle (collect each user's events), per-row fold walks
@@ -3356,8 +3337,7 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandemic_knowledge_spark.operators.funnel import funnel_counts
 
     ev = load(spark, sf_dir, "events")
-    out = funnel_counts(ev, "user_id", "ts", "event_type",
-                        ["signup", "view", "purchase"])
+    out = funnel_counts(ev, "user_id", "ts", "event_type", _FUNNEL_STAGES)
     return out.select(F.col("stage").cast("long").alias("stage"), "n_users")
 
 
@@ -3721,6 +3701,10 @@ def timeseries_corr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_QUERIES = [
     "nation-7!", "NATION 12", "natoin_3", "xyzzy", "nation__21", "NaTiOn9",
 ]
+from pandemic_knowledge_spark.operators.fuzzy import (  # noqa: E402
+    TRIGRAM_N as _TRI_N,
+    sql_normalize_name as _sql_norm,
+)
 
 
 @q(
@@ -3728,19 +3712,19 @@ _FUZZY_QUERIES = [
     oracle=f"""
 WITH qs(qname) AS (VALUES {", ".join("('" + s + "')" for s in _FUZZY_QUERIES)}),
 qn AS (
-  SELECT qname, regexp_replace(lower(qname), '[^a-z0-9]', '', 'g') AS s FROM qs
+  SELECT qname, {_sql_norm('qname')} AS s FROM qs
 ), dn AS (
   SELECT n_nationkey AS dk, n_name AS dv,
-         regexp_replace(lower(n_name), '[^a-z0-9]', '', 'g') AS s
+         {_sql_norm('n_name')} AS s
   FROM nation
 ), qg AS (
-  SELECT qname, substr(s, i, 3) AS t
-  FROM qn, unnest(generate_series(1, length(s) - 2)) AS u(i)
-  WHERE length(s) >= 3 GROUP BY qname, t
+  SELECT qname, substr(s, i, {_TRI_N}) AS t
+  FROM qn, unnest(generate_series(1, length(s) - {_TRI_N} + 1)) AS u(i)
+  WHERE length(s) >= {_TRI_N} GROUP BY qname, t
 ), dgx AS (
-  SELECT dk, substr(s, i, 3) AS t
-  FROM dn, unnest(generate_series(1, length(s) - 2)) AS u(i)
-  WHERE length(s) >= 3 GROUP BY dk, t
+  SELECT dk, substr(s, i, {_TRI_N}) AS t
+  FROM dn, unnest(generate_series(1, length(s) - {_TRI_N} + 1)) AS u(i)
+  WHERE length(s) >= {_TRI_N} GROUP BY dk, t
 ), hot AS (
   SELECT t FROM dgx GROUP BY t HAVING count(*) > 100
 ), dg2 AS (
