@@ -3606,6 +3606,87 @@ def ingest_weekly_conform_fixture(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_GN_SPEC = (
+    '[{"title":"VARCHAR","desc":"VARCHAR","img":"VARCHAR",'
+    '"datetime":"TIMESTAMP","link":"VARCHAR","site":"VARCHAR"}]'
+)
+
+
+@q(
+    "crawl_news_fixture_conform",
+    oracle=f"""
+WITH raw AS (
+  SELECT json_transform(en, '{_GN_SPEC}') AS en,
+         json_transform(fr, '{_GN_SPEC}') AS fr
+  FROM read_json('{_FIXDIR}/google_news_results.json',
+                 columns={{'en': 'JSON', 'fr': 'JSON'}})
+),
+e AS (
+  SELECT unnest(en) AS r, 'en' AS lang FROM raw
+  UNION ALL
+  SELECT unnest(fr) AS r, 'fr' AS lang FROM raw
+),
+rows AS (
+  SELECT r.title AS title,
+         coalesce(r.desc, '') AS description,
+         r.img AS img,
+         r."datetime" AS date,
+         lang,
+         r.site AS website,
+         CASE WHEN strpos(r.link, '://') > 0 THEN r.link
+              ELSE 'https://' || r.link END AS url
+  FROM e WHERE r.title IS NOT NULL AND r.link IS NOT NULL
+),
+mx AS (SELECT max(date) AS m FROM rows),
+recent AS (SELECT rows.* FROM rows, mx WHERE date >= m - INTERVAL 1 DAY),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY date DESC, title DESC)
+         AS rn
+  FROM recent
+)
+SELECT title, description, img, date, lang,
+       'Google News' AS crawler, website, url
+FROM dedup WHERE rn = 1
+""",
+)
+def crawl_news_fixture_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end over the recorded GoogleNews fixture: the real-shape
+    client adapter (scheme-less links gain https, empty/partial result
+    dicts quarantine, 'datetime' parses, desc/site map), the 24h lookback
+    relative to the feed max, and the deterministic latest-wins URL dedup —
+    crawl_google_news.py:56-105 conformed to the news schema, with the
+    oracle replaying every rule from the same fixture via read_json.
+    (sf_dir unused: fixture input.)"""
+    import json
+
+    from pandemic_knowledge_spark.sources.crawlers import (
+        google_news_fetch,
+        news_source,
+    )
+
+    with open(f"{_FIXDIR}/google_news_results.json") as f:
+        fx = json.load(f)
+
+    class _Client:
+        def __init__(self, results):
+            self._r = results
+
+        def get_news(self, tag):
+            return None
+
+        def results(self, sort=True):
+            return self._r
+
+    fetch = google_news_fetch(lambda lang: _Client(fx[lang]))
+    df = news_source(spark, fetch=fetch, langs=["en", "fr"], tags=["COVID"])
+    return df.select(
+        "title", "description", "img", "date", "lang",
+        F.col("source.crawler").alias("crawler"),
+        F.col("source.website").alias("website"),
+        F.col("source.url").alias("url"),
+    )
+
+
 _PROFILE_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority",
@@ -3984,6 +4065,7 @@ _DRIVER_PRIORITY = [
     "profile_orders_table",        # new: per-column quality profile
     "ingest_owid_conform_fixture", # new: end-to-end ingest over fixtures
     "ingest_weekly_conform_fixture", # new: multisource weekly conform
+    "crawl_news_fixture_conform",  # new: S5 adapter chain, JSON oracle
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "dedup_winnow_cluster_reps",   # new: winnow chain -> components -> reps

@@ -154,11 +154,20 @@ def tweet_source(
 
 
 def _dedup_by_url(df: DataFrame) -> DataFrame:
-    # dropDuplicates needs a top-level column; materialize the nested key.
+    # Deterministic keeper per URL: the LATEST story wins (ties by title),
+    # not dropDuplicates' partitioning-dependent arbitrary row — a re-crawl
+    # that resurfaces an old URL with a fresher timestamp must replace it
+    # identically on every cluster layout.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_url").orderBy(
+        F.desc_nulls_last("date"), F.desc_nulls_last("title")
+    )
     return (
         df.withColumn("_url", F.col("source.url"))
-        .dropDuplicates(["_url"])
-        .drop("_url")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_url", "_rn")
     )
 
 
