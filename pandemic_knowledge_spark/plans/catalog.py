@@ -3687,6 +3687,72 @@ def crawl_news_fixture_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TW_SPEC = (
+    '[{"url":"VARCHAR","date":"TIMESTAMP","content":"VARCHAR",'
+    '"id":"UBIGINT","username":"VARCHAR"}]'
+)
+
+
+@q(
+    "crawl_tweets_fixture_conform",
+    oracle=f"""
+WITH raw AS (
+  SELECT json_transform(items, '{_TW_SPEC}') AS items
+  FROM read_json('{_FIXDIR}/snscrape_tweets.json', columns={{'items': 'JSON'}})
+),
+t AS (SELECT unnest(items) AS r FROM raw),
+rows AS (
+  SELECT 'Tweet from ' || r.username || ' the ' || CAST(r.date AS VARCHAR)
+           AS title,
+         r.content AS description, r.date AS date, 'en' AS lang,
+         'twitter' AS crawler, 'https://twitter.com' AS website,
+         r.username AS author, r.url AS url, CAST(r.id AS VARCHAR) AS tweet_id
+  FROM t
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY date DESC, title DESC)
+         AS rn
+  FROM rows
+)
+SELECT title, description, date, lang, crawler, website, author, url, tweet_id
+FROM dedup WHERE rn = 1
+""",
+)
+def crawl_tweets_fixture_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 end-to-end over the recorded snscrape fixture: the Tweet-shaped
+    adapter (synthesized title, tz-aware date normalized to naive UTC,
+    tweet id kept as text), hard cap, deterministic URL dedup —
+    crawl_tweets.py:58-86 conformed to the news schema, oracle replaying
+    the rules via read_json. (sf_dir unused: fixture input.)"""
+    import json
+
+    from pandemic_knowledge_spark.sources.crawlers import (
+        snscrape_fetch,
+        tweet_source,
+    )
+
+    with open(f"{_FIXDIR}/snscrape_tweets.json") as f:
+        fx = json.load(f)
+
+    class _Scraper:
+        def __init__(self, items):
+            self._items = items
+
+        def get_items(self):
+            return iter(self._items)
+
+    fetch = snscrape_fetch(lambda query: _Scraper(fx["items"]), limit=1000)
+    df = tweet_source(spark, fetch=fetch, lang="en", tag="covid")
+    return df.select(
+        "title", "description", "date", "lang",
+        F.col("source.crawler").alias("crawler"),
+        F.col("source.website").alias("website"),
+        F.col("source.author").alias("author"),
+        F.col("source.url").alias("url"),
+        F.col("source.tweet.id").alias("tweet_id"),
+    )
+
+
 _PROFILE_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority",
@@ -4066,6 +4132,7 @@ _DRIVER_PRIORITY = [
     "ingest_owid_conform_fixture", # new: end-to-end ingest over fixtures
     "ingest_weekly_conform_fixture", # new: multisource weekly conform
     "crawl_news_fixture_conform",  # new: S5 adapter chain, JSON oracle
+    "crawl_tweets_fixture_conform", # new: S6 adapter chain, JSON oracle
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "dedup_winnow_cluster_reps",   # new: winnow chain -> components -> reps
