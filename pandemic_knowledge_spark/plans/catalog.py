@@ -3606,6 +3606,57 @@ def ingest_weekly_conform_fixture(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@q(
+    "io_partitioned_roundtrip",
+    oracle=f"""
+SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS p_date,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST({sql_cents_sum('o_totalprice')} AS DOUBLE) / 100.0 AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+  AND o_orderdate <  TIMESTAMP '1996-06-08'
+GROUP BY 1
+""",
+)
+def io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K5 layout round-trip: write orders through the day-partitioned
+    fact sink (hive partitions + in-file clustering), read it back with a
+    one-week date predicate, aggregate per day. The oracle runs the same
+    week over the RAW table — a green row proves the partitioned layout is
+    lossless; tests/test_io_jobs.py asserts the scan's PartitionFilters
+    prune to the 7 matching directories. (Scratch path fixed per-sf,
+    mode=overwrite.)"""
+    import os
+    import tempfile
+
+    from pandemic_knowledge_spark.io import read_facts, write_facts_partitioned
+
+    # Write one month's slice (30 day-partitions): exercises the identical
+    # layout/pruning machinery without creating the full table's ~2400 tiny
+    # partition dirs in a correctness-gate query.
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-06-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .withColumn("date_start", F.col("o_orderdate").cast("timestamp"))
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pk_facts_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_facts_partitioned(o, path, date_col="date_start", cluster_col="o_custkey")
+    facts = read_facts(spark, path).filter(
+        (F.col("p_date") >= F.lit("1996-06-01").cast("date"))
+        & (F.col("p_date") < F.lit("1996-06-08").cast("date"))
+    )
+    return facts.groupBy(F.col("p_date")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        as_money(cents_sum(F.col("o_totalprice"))).alias("total_price"),
+    )
+
+
 _GN_SPEC = (
     '[{"title":"VARCHAR","desc":"VARCHAR","img":"VARCHAR",'
     '"datetime":"TIMESTAMP","link":"VARCHAR","site":"VARCHAR"}]'
@@ -4133,6 +4184,7 @@ _DRIVER_PRIORITY = [
     "ingest_weekly_conform_fixture", # new: multisource weekly conform
     "crawl_news_fixture_conform",  # new: S5 adapter chain, JSON oracle
     "crawl_tweets_fixture_conform", # new: S6 adapter chain, JSON oracle
+    "io_partitioned_roundtrip",    # new: K1/K5 layout lossless round-trip
     "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
     "dedup_winnow_pairs",          # new: winnow inverted-index overlap
     "dedup_winnow_cluster_reps",   # new: winnow chain -> components -> reps
