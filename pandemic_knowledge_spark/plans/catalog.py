@@ -113,7 +113,7 @@ from pandemic_knowledge_spark.operators.windows import (
 )
 from pandemic_knowledge_spark.engine import highlight, highlight_pattern
 from pandemic_knowledge_spark.functions.iso import ISO2_TO_ISO3, with_iso3
-from pandemic_knowledge_spark.tables import load
+from pandemic_knowledge_spark.tables import ensure_engine_conf, load
 
 
 @dataclass(frozen=True)
@@ -3510,6 +3510,8 @@ def ingest_owid_conform_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandemic_knowledge_spark.sources.lookup import build_location_dim
     from pandemic_knowledge_spark.sources.pipelines import ingest_owid
 
+    ensure_engine_conf(spark)
+
     dim = build_location_dim(spark, f"{_FIXDIR}/lookup_dim.csv")
     out = ingest_owid(
         spark,
@@ -3587,6 +3589,8 @@ def ingest_weekly_conform_fixture(spark: SparkSession, sf_dir: str) -> DataFrame
     inputs.)"""
     from pandemic_knowledge_spark.sources.lookup import build_location_dim
     from pandemic_knowledge_spark.sources.pipelines import ingest_weekly_multisource
+
+    ensure_engine_conf(spark)
 
     dim = build_location_dim(spark, f"{_FIXDIR}/lookup_dim.csv").withColumn(
         "location_name", F.col("iso_code2")
@@ -3715,6 +3719,7 @@ def crawl_news_fixture_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
         news_source,
     )
 
+    ensure_engine_conf(spark)
     with open(f"{_FIXDIR}/google_news_results.json") as f:
         fx = json.load(f)
 
@@ -3782,6 +3787,7 @@ def crawl_tweets_fixture_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
         tweet_source,
     )
 
+    ensure_engine_conf(spark)
     with open(f"{_FIXDIR}/snscrape_tweets.json") as f:
         fx = json.load(f)
 
