@@ -146,3 +146,84 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("max_stage", LongType()),
+        StructField("stage_ts", StringType()),
+    ]
+)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("t_us", LongType()),
+    ]
+)
+
+
+def funnel_stateful(
+    events: DataFrame,
+    stages: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ordered funnel: per-key furthest stage as persistent state,
+    an update row emitted whenever a key advances.
+
+    Same greedy earliest-transition semantics as the batch fold
+    (operators.funnel.funnel_stages): an event advances the funnel iff it
+    is the NEXT stage and strictly later than the current stage's entry
+    time. Rows are sorted by event time WITHIN each micro-batch, so
+    in-batch disorder is harmless; across batches the stream matches the
+    batch fold whenever per-key event time is non-decreasing batch-to-batch
+    (ordered at-least-once ingest). A cross-batch late event older than the
+    stored stage time cannot rewind state — it is simply ignored, which is
+    the standard streaming-funnel compromise (the batch fold over the full
+    log remains the reprocessing truth).
+
+    State per key = (stage, entry ts): O(keys) fixed-size state, never the
+    event history.
+    """
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def update(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        stage, t_us = state.get if state.exists else (0, None)
+        advanced = False
+        rows = pd.concat(list(pdfs))
+        rows = rows.assign(_us=rows[ts_col].astype("int64") // 1_000).sort_values(
+            ["_us", type_col]
+        )
+        for _, r in rows.iterrows():
+            idx = stage_of.get(r[type_col])
+            if idx is None or idx != stage:
+                continue
+            t = int(r["_us"])
+            if t_us is not None and t <= t_us:
+                continue
+            stage, t_us, advanced = stage + 1, t, True
+        state.update((stage, t_us))
+        if advanced:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key_tuple[0],
+                        "max_stage": stage,
+                        "stage_ts": pd.Timestamp(t_us, unit="us").isoformat(),
+                    }
+                ]
+            )
+
+    stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

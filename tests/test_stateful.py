@@ -106,3 +106,49 @@ def test_sessionize_stateful_matches_gaps(spark, events_batch, tmp_path):
         key = (r.user_id, r.session_start)
         assert key in want, f"stream emitted unknown session {key}"
         assert want[key] == r.n_events, f"size mismatch for {key}"
+
+
+def test_streaming_funnel_matches_batch_fold(spark, events_batch, tmp_path):
+    """Time-split drops (per-key event time non-decreasing across batches):
+    the final streaming funnel state must equal the batch fold exactly."""
+    from pandemic_knowledge_spark.operators.funnel import funnel_stages
+    from pandemic_knowledge_spark.streaming.stateful import funnel_stateful
+
+    stages = ["signup", "view", "purchase"]
+    landing = str(tmp_path / "landing")
+    pivot = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    events_batch.filter(F.col("ts") < pivot).coalesce(1).write.parquet(landing)
+    events_batch.filter(F.col("ts") >= pivot).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    sdf = file_stream(spark, landing, events_batch.schema, max_files_per_trigger=1)
+    out = funnel_stateful(sdf, stages)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    updates = spark.sql("SELECT * FROM funnel_updates").collect()
+    # stage is monotone per user: the max update is the final state
+    last = {}
+    for r in updates:
+        if r.user_id not in last or r.max_stage > last[r.user_id]:
+            last[r.user_id] = r.max_stage
+    batch = {
+        r.user: r.max_stage
+        for r in funnel_stages(
+            events_batch, "user_id", "ts", "event_type", stages
+        ).collect()
+        if r.max_stage > 0
+    }
+    assert last == batch
+    # at least one user advanced in BOTH batches (state crossed the boundary)
+    per_user_updates = {}
+    for r in updates:
+        per_user_updates.setdefault(r.user_id, []).append(r.max_stage)
+    assert any(len(v) > 1 for v in per_user_updates.values())
