@@ -179,3 +179,37 @@ def test_merge_equal_ts_batch_wins(spark):
     merged = scd2_merge(hist, fix, ["k"], ["attr"], "ts")
     cur = merged.filter("is_current").collect()
     assert len(cur) == 1 and cur[0].attr == "A"
+
+
+def test_merge_equals_rebuild_random_logs(spark):
+    """Property: for random change logs and ANY batch split, incremental
+    merge equals the full rebuild — provided cross-split duplicate
+    timestamps per key don't contradict (we generate unique ts per key).
+    One Spark comparison over a batch of generated cases."""
+    import random
+
+    rng = random.Random(42)
+    from pandemic_knowledge_spark.operators.history import build_scd2, scd2_merge
+
+    rows = []
+    for case in range(20):
+        base = case * 1000  # namespace keys per case
+        for k in range(rng.randint(1, 4)):
+            n = rng.randint(1, 10)
+            ts_points = rng.sample(range(1, 28), n)
+            for seq, day in enumerate(sorted(ts_points)):
+                attr = rng.choice(["a", "b", "c", None])
+                rows.append((base + k, attr, _t(day), seq))
+    df = spark.createDataFrame(rows, SCHEMA)
+    # random pivot per run of the test data's range
+    pivot = _t(rng.randint(5, 25))
+    full = build_scd2(df, ["k"], ["attr"], "ts", "seq")
+    merged = scd2_merge(
+        build_scd2(df.filter(F.col("ts") < pivot), ["k"], ["attr"], "ts", "seq"),
+        df.filter(F.col("ts") >= pivot),
+        ["k"],
+        ["attr"],
+        "ts",
+    )
+    key = lambda r: (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+    assert {key(r) for r in merged.collect()} == {key(r) for r in full.collect()}
