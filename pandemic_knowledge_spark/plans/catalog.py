@@ -68,6 +68,10 @@ from pandemic_knowledge_spark.operators.dedup import (
     shingles,
     simhash,
 )
+from pandemic_knowledge_spark.operators.chunking import (
+    chunk_documents,
+    sql_chunk_documents,
+)
 from pandemic_knowledge_spark.operators.decontamination import contamination_report
 from pandemic_knowledge_spark.operators.packing import pack_sequences
 from pandemic_knowledge_spark.operators.repetition import (
@@ -1518,6 +1522,20 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     two map-side-combined keyed aggs; see operators.repetition."""
     d = load(spark, sf_dir, "documents")
     return repetition_signals(d, "doc_id", "text")
+
+
+@q(
+    "chunk_documents_grid",
+    oracle=sql_chunk_documents("documents", "doc_id", "text"),
+)
+def chunk_documents_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document chunking with overlap — the context-window
+    prep step that turns raw docs into model-sized sequences (no reference
+    counterpart: its docs are ES-indexed whole,
+    /root/reference/flow/scripts/crawl_mapping.py:1-24). Zero shuffle, zero
+    Python: the chunk grid is codegen'd array math; see operators.chunking."""
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text")
 
 
 _BOILER_MIN_FRAC = 0.08
@@ -4176,6 +4194,7 @@ _DRIVER_PRIORITY = [
     # tier B = changed in r2 after their last green row (the r2 stale set),
     # tier C = r1-only green rows, oldest first — refreshed while slots last.
     # --- tier A: r3 new / changed ---
+    "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
     "scd2_incremental_merge",      # new: merge == full rebuild
