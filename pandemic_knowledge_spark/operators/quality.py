@@ -1,0 +1,143 @@
+"""Hashed linear quality classifier: fasttext-shaped doc scoring, scan-side.
+
+The standard web-corpus quality gate (CCNet, GPT-3, LLaMA pipelines) is a
+linear classifier over hashed token n-gram features: each unigram/bigram
+hashes into one of ``dim`` weight buckets, the document's score is the mean
+bucket weight, and a threshold decides keep/discard. The reference has no
+quality model at all (its relevance story is Elasticsearch-side); a
+training-data engine needs the scoring op first-class — it sits directly in
+front of dedup in every curation pipeline.
+
+Scale shape: ZERO shuffle, ZERO Python, no join. The weight vector rides
+into the plan as a codegen literal array (the moral equivalent of a
+broadcast variable, chosen because real quality models are small — fasttext
+quality heads are O(100k) buckets; beyond in-plan literal size, swap the
+literal for an explode → broadcast-hash-join against a weights table, same
+semantics, one map-side-combined shuffle). Scoring 100 TB is then a pure
+map over the scan.
+
+Determinism: weights are INTEGERS (milli-units) and the score is an integer
+sum folded in array order — bit-identical across engines, partitionings and
+cluster sizes; the mean is a single rounded division at the end. The bucket
+hash is the engine-portable md5_int, so DuckDB reproduces the features
+exactly.
+
+The ``hash_weights`` fixture generates a deterministic pseudo-model (Knuth
+multiplicative scramble of the bucket index) so tests and the driver oracle
+have a fixed model without shipping trained artifacts — the engine op takes
+ANY integer weight vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.functions.text import (
+    md5_int,
+    md5_int_expr,
+    sql_tokenize,
+    tokenize,
+)
+
+QUALITY_DIM = 512
+WEIGHT_SPAN = 2001  # weights in [-1000, 1000] milli-units
+_KNUTH = 2654435761
+
+
+def hash_weights(dim: int = QUALITY_DIM, seed: int = 1) -> list[int]:
+    """Deterministic fixture weight vector (stand-in for a trained model)."""
+    return [((i + seed) * _KNUTH) % WEIGHT_SPAN - 1000 for i in range(dim)]
+
+
+def quality_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[int],
+    bias_milli: int = 0,
+    salt: str = "qclf",
+) -> DataFrame:
+    """(doc_id, n_features, score_milli, quality_score, keep) per doc with
+    >= 1 token. Features are unigrams + consecutive bigrams; score_milli is
+    the exact integer sum of bucket weights + bias; quality_score its mean
+    in weight units (6 dp); keep = score_milli >= 0."""
+    dim = len(weights)
+    arr = F.array(*[F.lit(int(w)) for w in weights])
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    n_pairs = F.greatest(n - 1, F.lit(0))  # slice length must be >= 0 (n = 0 docs)
+    grams = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    feats = F.concat(toks, grams)
+
+    def bucket_weight(t: Column) -> Column:
+        h = md5_int(F.concat(F.lit(salt + ":"), t))
+        return F.element_at(arr, (h % dim + 1).cast("int")).cast("long")
+
+    score = F.aggregate(
+        feats, F.lit(bias_milli).cast("long"), lambda acc, t: acc + bucket_weight(t)
+    )
+    n_feats = F.size(feats)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            n_feats.alias("n_features"),
+            score.alias("score_milli"),
+        )
+        .filter(F.col("n_features") > 0)
+        .select(
+            "doc_id",
+            F.col("n_features").cast("long").alias("n_features"),
+            "score_milli",
+            F.round(
+                F.col("score_milli").cast("double") / (1000.0 * F.col("n_features")),
+                6,
+            ).alias("quality_score"),
+            (F.col("score_milli") >= 0).alias("keep"),
+        )
+    )
+
+
+def sql_quality_scores(
+    table: str,
+    id_col: str,
+    text_col: str,
+    weights: list[int],
+    bias_milli: int = 0,
+    salt: str = "qclf",
+) -> str:
+    """DuckDB SQL reproducing :func:`quality_scores` exactly (same weight
+    literal, same hash, same fold)."""
+    dim = len(weights)
+    arr = "[" + ", ".join(str(int(w)) for w in weights) + "]"
+    h = md5_int_expr(f"concat('{salt}:', f)")
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks
+  FROM {table}
+), f AS (
+  SELECT doc_id,
+         toks || CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])
+                      ELSE [] END AS feats
+  FROM t
+), s AS (
+  SELECT doc_id, len(feats) AS n_features,
+         {bias_milli} + list_sum(list_transform(feats,
+            f -> ({arr})[CAST({h} % {dim} AS INT) + 1])) AS score_milli
+  FROM f
+  WHERE len(feats) > 0
+)
+SELECT doc_id,
+       CAST(n_features AS BIGINT) AS n_features,
+       CAST(score_milli AS BIGINT) AS score_milli,
+       round(CAST(score_milli AS DOUBLE) / (1000.0 * n_features), 6)
+         AS quality_score,
+       score_milli >= 0 AS keep
+FROM s
+"""

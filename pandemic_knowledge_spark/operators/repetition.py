@@ -45,9 +45,10 @@ def repetition_signals(
     n = F.size(toks)
     # Raw (non-distinct) 2-gram array: total count vs distinct count is the
     # whole point, so this does NOT reuse dedup.shingles (which distincts).
+    n_pairs = F.greatest(n - 1, F.lit(0))  # slice length must be >= 0 (n = 0 docs)
     grams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
     n_grams = F.when(n >= 2, n - 1).otherwise(F.lit(0))

@@ -72,6 +72,11 @@ from pandemic_knowledge_spark.operators.chunking import (
     chunk_documents,
     sql_chunk_documents,
 )
+from pandemic_knowledge_spark.operators.quality import (
+    hash_weights,
+    quality_scores,
+    sql_quality_scores,
+)
 from pandemic_knowledge_spark.operators.decontamination import contamination_report
 from pandemic_knowledge_spark.operators.packing import pack_sequences
 from pandemic_knowledge_spark.operators.repetition import (
@@ -1522,6 +1527,23 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     two map-side-combined keyed aggs; see operators.repetition."""
     d = load(spark, sf_dir, "documents")
     return repetition_signals(d, "doc_id", "text")
+
+
+_QCLF_WEIGHTS = hash_weights()
+
+
+@q(
+    "text_quality_classifier",
+    oracle=sql_quality_scores("documents", "doc_id", "text", _QCLF_WEIGHTS),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (fasttext-shaped): unigram+bigram
+    features hash into a weight vector riding the plan as a codegen literal
+    — zero shuffle, zero Python, integer-exact scores. The curation gate in
+    front of dedup; no reference counterpart (quality there is ES-side
+    relevance). See operators.quality."""
+    d = load(spark, sf_dir, "documents")
+    return quality_scores(d, "doc_id", "text", _QCLF_WEIGHTS)
 
 
 @q(
@@ -4195,6 +4217,7 @@ _DRIVER_PRIORITY = [
     # tier C = r1-only green rows, oldest first — refreshed while slots last.
     # --- tier A: r3 new / changed ---
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
+    "text_quality_classifier",     # new: hashed linear quality scorer
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
     "scd2_incremental_merge",      # new: merge == full rebuild
