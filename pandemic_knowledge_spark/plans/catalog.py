@@ -72,6 +72,12 @@ from pandemic_knowledge_spark.operators.chunking import (
     chunk_documents,
     sql_chunk_documents,
 )
+from pandemic_knowledge_spark.functions.url import (
+    canonical_url,
+    sql_canonical_url,
+    sql_synth_url,
+    synth_url,
+)
 from pandemic_knowledge_spark.operators.quality import (
     hash_weights,
     quality_scores,
@@ -1527,6 +1533,40 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     two map-side-combined keyed aggs; see operators.repetition."""
     d = load(spark, sf_dir, "documents")
     return repetition_signals(d, "doc_id", "text")
+
+
+@q(
+    "dedup_url_canonical",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, {sql_synth_url('doc_id', 'source')} AS url FROM documents
+), c AS (
+  SELECT doc_id, {sql_canonical_url('url')} AS canonical_url FROM u
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM c GROUP BY canonical_url
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL dedup: canonicalize (case/www/default-port/tracking-
+    param/fragment/trailing-slash/param-order) scan-side, then ONE
+    hash-groupBy on the canonical form — the upgrade over the reference's
+    raw-URL news dedup (/root/reference/flow/scripts/crawl_google_news.py:
+    56-70). The messy inputs are the deterministic synth_url fixture (the
+    testdata carries no URL column). See functions.url."""
+    d = load(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        canonical_url(synth_url(F.col("doc_id"), F.col("source"))).alias(
+            "canonical_url"
+        ),
+    )
+    return c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
 
 
 _QCLF_WEIGHTS = hash_weights()
@@ -4218,6 +4258,7 @@ _DRIVER_PRIORITY = [
     # --- tier A: r3 new / changed ---
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
+    "dedup_url_canonical",         # new: canonical-URL web dedup
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
     "scd2_incremental_merge",      # new: merge == full rebuild
