@@ -194,42 +194,27 @@ def _quantize(vec_col: str):
     )
 
 
-def kmeans_embeddings(
+def _kmeans_fit(
     emb: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 8,
-    iters: int = 2,
-) -> DataFrame:
-    """Lloyd k-means over INTEGER-QUANTIZED embeddings — the corpus
-    clustering pass (topic bucketing, IVF coarse-quantizer training,
-    diversity-aware sampling strata).
-
-    Everything is exact int64 arithmetic, so results are bit-identical on
-    any engine and any partitioning: coordinates quantize to
-    round(x·1000); assignment minimizes the exact squared distance with
-    ties broken by lowest cluster id (encoded min(dist·k + cl)); centroid
-    updates floor-divide exact integer sums. Init = the k lowest ``id_col``
-    rows (deterministic, engine-portable).
-
-    Scale shape per iteration: ONE corpus pass for assignment (centroids are
-    k broadcast literals — k·dim int64s — baked into the plan, the same
-    driver-collect every distributed k-means does, incl. MLlib), one
-    posexplode→groupBy(cl, dim) shuffle for the update (map-side combined;
-    k·dim result rows to the driver). The driver loop carries PLANS, not
-    data; each round's frame is a fresh scan, so no lineage blowup.
-
-    Output: (cluster_id, n_vecs, centroid_c0) — final-round assignment
-    counts and the dim-0 coordinate of the final centroids.
-    """
-    base = emb.select(F.col(id_col).alias("vec_id"), _quantize(vec_col).alias("q"))
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int,
+    extra_cols: tuple = (),
+):
+    """Shared Lloyd fit: returns (final assignment frame with (vec_id, q,
+    *extra_cols, cl), final centroids, effective k). See
+    :func:`kmeans_embeddings` for the algorithm and scale notes."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _quantize(vec_col).alias("q"), *extra_cols
+    )
     # Each iteration re-reads `base` (init + iters×(assign, update) + final
     # assign). Materialize the quantized vectors ONCE — localCheckpoint, not
     # cache, so the plan truncates and the ContextCleaner reclaims blocks
     # when the frame is dereferenced (k·dim longs per row; tiny vs re-scanning
     # and re-quantizing the parquet five times).
     base = base.localCheckpoint(eager=True)
-    init = base.orderBy("vec_id").limit(k).collect()
+    init = base.select("vec_id", "q").orderBy("vec_id").limit(k).collect()
     if not init:
         raise ValueError("kmeans_embeddings: empty input")
     k = min(k, len(init))  # fewer vectors than clusters: shrink k
@@ -272,7 +257,38 @@ def kmeans_embeddings(
             new.setdefault(r.cl, [0] * dim)[r.i] = r.cv
         cents = [new.get(cl, cents[cl]) for cl in range(k)]  # empty cluster keeps old
 
-    final = assign(base)  # assignment against the final centroids
+    return assign(base), cents, k  # assignment against the final centroids
+
+
+def kmeans_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd k-means over INTEGER-QUANTIZED embeddings — the corpus
+    clustering pass (topic bucketing, IVF coarse-quantizer training,
+    diversity-aware sampling strata).
+
+    Everything is exact int64 arithmetic, so results are bit-identical on
+    any engine and any partitioning: coordinates quantize to
+    round(x·1000); assignment minimizes the exact squared distance with
+    ties broken by lowest cluster id (encoded min(dist·k + cl)); centroid
+    updates floor-divide exact integer sums. Init = the k lowest ``id_col``
+    rows (deterministic, engine-portable).
+
+    Scale shape per iteration: ONE corpus pass for assignment (centroids are
+    k broadcast literals — k·dim int64s — baked into the plan, the same
+    driver-collect every distributed k-means does, incl. MLlib), one
+    posexplode→groupBy(cl, dim) shuffle for the update (map-side combined;
+    k·dim result rows to the driver). The driver loop carries PLANS, not
+    data; each round's frame is a fresh scan, so no lineage blowup.
+
+    Output: (cluster_id, n_vecs, centroid_c0) — final-round assignment
+    counts and the dim-0 coordinate of the final centroids.
+    """
+    final, cents, k = _kmeans_fit(emb, vec_col, id_col, k, iters)
     return (
         final.groupBy("cl")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
@@ -288,12 +304,11 @@ def kmeans_embeddings(
     )
 
 
-def sql_kmeans(table: str, vec_col: str, id_col: str, k: int = 8,
-               iters: int = 2) -> str:
-    """DuckDB SQL reproducing :func:`kmeans_embeddings` exactly — the Lloyd
-    iterations unroll to one assignment + one update CTE pair per round,
-    all in exact int64 arithmetic. Dimensionality is derived from the data
-    (len(q)) on both engines, so a testdata dim change can't desync them."""
+def _sql_kmeans_ctes(table: str, vec_col: str, id_col: str, k: int,
+                     iters: int) -> tuple[list[str], str]:
+    """Shared CTE prefix for the k-means oracles: Lloyd unrolled to one
+    assignment + one update CTE pair per round, final assignment in
+    ``afin``. Returns (ctes, name of the final-centroid CTE)."""
     q = (
         f"q AS (SELECT {id_col} AS vec_id, "
         f"list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)*{KM_SCALE}) AS BIGINT)) AS q "
@@ -331,6 +346,16 @@ def sql_kmeans(table: str, vec_col: str, id_col: str, k: int = 8,
         f"afin AS (SELECT v.vec_id, CAST(min({dist}*{k} + c.cl) % {k} AS BIGINT) AS cl "
         f"FROM q v CROSS JOIN {c_prev} c GROUP BY v.vec_id)"
     )
+    return ctes, c_prev
+
+
+def sql_kmeans(table: str, vec_col: str, id_col: str, k: int = 8,
+               iters: int = 2) -> str:
+    """DuckDB SQL reproducing :func:`kmeans_embeddings` exactly — the Lloyd
+    iterations unroll via :func:`_sql_kmeans_ctes`, all in exact int64
+    arithmetic. Dimensionality is derived from the data (len(q)) on both
+    engines, so a testdata dim change can't desync them."""
+    ctes, c_prev = _sql_kmeans_ctes(table, vec_col, id_col, k, iters)
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT a.cl AS cluster_id,
@@ -338,5 +363,88 @@ SELECT a.cl AS cluster_id,
        min(c.c[1]) AS centroid_c0
 FROM afin a JOIN {c_prev} c USING (cl)
 GROUP BY a.cl
+"""
+    )
+
+
+# --------------------------------------------------------- semantic dedup
+
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus with k-means, then
+    mark near-duplicates ONLY within each cluster — a vector is a duplicate
+    iff an earlier-id vector in its cluster has cosine >= threshold
+    (earliest-wins, deterministic). Output (vec_id, cluster_id, is_dup);
+    the kept set is ``is_dup = false``.
+
+    Scale shape: the k-means fit is the linear pass (see
+    :func:`kmeans_embeddings`); the pairwise term is quadratic ONLY within a
+    cluster — the whole point of SemDeDup's blocking — and the dup-join
+    shuffles on the cluster id, so each cluster's block is one partition's
+    local work (AQE splits oversized clusters; raise k to shrink blocks —
+    real deployments run k ≈ sqrt(N) so blocks stay ~sqrt-sized).
+    """
+    assigned, _, _ = _kmeans_fit(
+        emb, vec_col, id_col, k, iters,
+        extra_cols=(as_double(F.col(vec_col)).alias("v"),),
+    )
+    a = assigned.select("vec_id", "cl", "v")
+    dups = (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            (F.col("x.cl") == F.col("y.cl"))
+            & (F.col("y.vec_id") < F.col("x.vec_id")),
+        )
+        .filter(F.round(cosine(F.col("x.v"), F.col("y.v")), 6) >= threshold)
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.select("vec_id", F.col("cl").alias("cluster_id"))
+        .join(dups.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def sql_semantic_dedup(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> str:
+    """DuckDB SQL reproducing :func:`semantic_dedup` exactly (same k-means
+    CTEs, same cosine fold, same earliest-wins EXISTS)."""
+    from pandemic_knowledge_spark.functions.vectors import sql_cosine
+
+    ctes, _ = _sql_kmeans_ctes(table, vec_col, id_col, k, iters)
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+v2 AS (
+  SELECT a.vec_id, a.cl,
+         list_transform(e.{vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM afin a JOIN {table} e ON e.{id_col} = a.vec_id
+)
+SELECT a.vec_id,
+       a.cl AS cluster_id,
+       EXISTS (SELECT 1 FROM v2 b
+               WHERE b.cl = a.cl AND b.vec_id < a.vec_id
+                 AND round({sql_cosine('a.v', 'b.v')}, 6) >= {threshold}) AS is_dup
+FROM v2 a
 """
     )

@@ -119,7 +119,9 @@ from pandemic_knowledge_spark.operators.similarity import (
     knn_brute_force,
     near_dup_pairs,
     rp_lsh_topk,
+    semantic_dedup,
     sql_kmeans,
+    sql_semantic_dedup,
 )
 from pandemic_knowledge_spark.operators.windows import (
     lag_delta,
@@ -1533,6 +1535,19 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     two map-side-combined keyed aggs; see operators.repetition."""
     d = load(spark, sf_dir, "documents")
     return repetition_signals(d, "doc_id", "text")
+
+
+@q(
+    "dedup_semantic_clusters",
+    oracle=sql_semantic_dedup("embeddings", "embedding", "vec_id"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means topic clusters, then
+    earliest-wins cosine near-dup marking WITHIN each cluster only — the
+    embedding-space dedup pass whose pairwise cost is bounded by the
+    cluster blocking. See operators.similarity.semantic_dedup."""
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, "embedding", "vec_id")
 
 
 @q(
@@ -4259,6 +4274,7 @@ _DRIVER_PRIORITY = [
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup
+    "dedup_semantic_clusters",     # new: SemDeDup cluster-blocked cosine
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
     "scd2_incremental_merge",      # new: merge == full rebuild

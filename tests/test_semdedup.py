@@ -1,0 +1,54 @@
+"""SemDeDup semantics: earliest-wins marking, cluster blocking, threshold
+monotonicity — on a hand-built embedding set with known geometry."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.operators.similarity import semantic_dedup
+
+# Two tight groups far apart (clusters), plus one orthogonal outlier.
+# Within group A, vecs 0/1/2 are near-identical; in group B, 10/11 are.
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.999, 0.01, 0.0, 0.0]),
+    (2, [0.998, -0.01, 0.0, 0.0]),
+    (10, [0.0, 0.0, 1.0, 0.0]),
+    (11, [0.0, 0.0, 0.999, 0.01]),
+    (20, [0.0, 1.0, 0.0, 0.0]),
+]
+
+
+def _run(spark, threshold=0.95, k=3):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in VECS],
+        "vec_id long, embedding array<float>",
+    )
+    rows = semantic_dedup(df, "embedding", "vec_id", k=k, iters=2, threshold=threshold)
+    return {r.vec_id: (r.cluster_id, r.is_dup) for r in rows.collect()}
+
+
+def test_earliest_wins_within_cluster(spark):
+    got = _run(spark)
+    # lowest id in each near-dup group survives, later ones marked
+    assert got[0][1] is False and got[1][1] is True and got[2][1] is True
+    assert got[10][1] is False and got[11][1] is True
+    assert got[20][1] is False
+
+
+def test_dups_share_cluster(spark):
+    got = _run(spark)
+    assert got[0][0] == got[1][0] == got[2][0]
+    assert got[10][0] == got[11][0]
+
+
+def test_threshold_monotone(spark):
+    loose = sum(v[1] for v in _run(spark, threshold=0.5).values())
+    tight = sum(v[1] for v in _run(spark, threshold=0.9999).values())
+    assert tight <= loose
+    assert sum(v[1] for v in _run(spark, threshold=1.1).values()) == 0
+
+
+def test_every_vector_reported_once(spark):
+    got = _run(spark)
+    assert sorted(got) == sorted(i for i, _ in VECS)
