@@ -88,3 +88,47 @@ def upsample_by_stratum(
     for value, n in sorted(factors.items()):
         factor = F.when(stratum == value, F.lit(n)).otherwise(factor)
     return df.withColumn("copy", F.explode(F.sequence(F.lit(1), factor)))
+
+
+def budget_mixture_sample(
+    df: DataFrame,
+    key: Column,
+    stratum_col: str,
+    tokens: Column,
+    budgets: dict[str, int],
+    default_budget: int,
+    salt: str,
+) -> DataFrame:
+    """Token-budget mixture control: downsample each stratum to an expected
+    token budget. The per-stratum keep rate is derived IN-QUERY from the
+    stratum's actual token total — rate_permille = min(1000,
+    floor(1000·budget/total)) — so the mixture spec is declarative
+    ("20 B tokens of web, 5 B of code") and membership stays the
+    deterministic md5-permille filter (reproducible across engines,
+    partitionings and reruns; E[kept tokens] ≈ budget, never over 1000‰).
+
+    Scale shape: one map-side-combined groupBy over the stratum column
+    (strata are few — sources/languages), the tiny totals frame broadcast
+    back, then a scan-side filter. No per-stratum giant window partitions,
+    no skew: the corpus-sized side never shuffles.
+
+    Output: input columns + n_tokens + rate_permille, kept rows only.
+    The floor(double) is exact here: numerator/denominator are int64s, so
+    the quotient is ≥ 1/total away from any integer it isn't exactly equal
+    to — far beyond double rounding error.
+    """
+    base = df.withColumn("n_tokens", tokens.cast("long"))
+    totals = base.groupBy(stratum_col).agg(F.sum("n_tokens").alias("__T"))
+    budget = F.lit(default_budget)
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(stratum_col) == value, F.lit(b)).otherwise(budget)
+    rate = F.least(
+        F.lit(1000),
+        F.floor(budget.cast("double") * 1000 / F.col("__T")),
+    ).cast("int")
+    return (
+        base.join(F.broadcast(totals), stratum_col)
+        .withColumn("rate_permille", rate)
+        .filter(hash_bucket(key, salt) < F.col("rate_permille"))
+        .drop("__T")
+    )

@@ -90,6 +90,7 @@ from pandemic_knowledge_spark.operators.repetition import (
     sql_repetition_signals,
 )
 from pandemic_knowledge_spark.operators.sampling import (
+    budget_mixture_sample,
     hash_bucket_sql,
     hash_split,
     stratified_sample,
@@ -1535,6 +1536,56 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     two map-side-combined keyed aggs; see operators.repetition."""
     d = load(spark, sf_dir, "documents")
     return repetition_signals(d, "doc_id", "text")
+
+
+_TOKMIX_BUDGETS = {"src0": 5000, "src1": 700, "src2": 300}
+_TOKMIX_DEFAULT = 400
+_TOKMIX_SALT = "mix"
+_TOKMIX_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{s}' THEN {b}" for s, b in sorted(_TOKMIX_BUDGETS.items())
+    )
+    + f" ELSE {_TOKMIX_DEFAULT} END"
+)
+
+
+@q(
+    "sample_token_mixture",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({sql_tokenize('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT source, sum(n_tokens) AS T FROM t GROUP BY source
+), j AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+         CAST(least(1000, floor(CAST({_TOKMIX_CASE} AS DOUBLE) * 1000 / tot.T))
+              AS INT) AS rate_permille
+  FROM t JOIN tot USING (source)
+)
+SELECT doc_id, source, n_tokens, rate_permille
+FROM j
+WHERE {hash_bucket_sql('doc_id', _TOKMIX_SALT)} < rate_permille
+""",
+)
+def sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative token-budget mixture: per-source keep rates derived
+    in-query from actual token totals (src0's budget saturates to 1000‰ —
+    kept whole; others downsample toward their budgets), membership the
+    deterministic md5-permille filter. See
+    operators.sampling.budget_mixture_sample."""
+    d = load(spark, sf_dir, "documents")
+    out = budget_mixture_sample(
+        d,
+        F.col("doc_id"),
+        "source",
+        F.size(tokenize("text")),
+        _TOKMIX_BUDGETS,
+        _TOKMIX_DEFAULT,
+        _TOKMIX_SALT,
+    )
+    return out.select("doc_id", "source", "n_tokens", "rate_permille")
 
 
 @q(
@@ -4275,6 +4326,7 @@ _DRIVER_PRIORITY = [
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup
     "dedup_semantic_clusters",     # new: SemDeDup cluster-blocked cosine
+    "sample_token_mixture",        # new: token-budget mixture control
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
     "scd2_incremental_merge",      # new: merge == full rebuild

@@ -81,3 +81,36 @@ def test_upsample_factors_and_copy_ids(spark, sf_dir):
     assert up.count() == n_en + 3 * n_rest
     assert up.select("doc_id", "copy").distinct().count() == up.count()
     assert up.filter((F.col("lang") == "en") & (F.col("copy") > 1)).count() == 0
+
+
+def test_budget_mixture_rates_and_saturation(spark, sf_dir):
+    from pandemic_knowledge_spark.functions.text import tokenize
+    from pandemic_knowledge_spark.operators.sampling import budget_mixture_sample
+
+    d = load(spark, sf_dir, "documents")
+    tokens = F.size(tokenize("text"))
+    totals = {
+        r.source: r.T
+        for r in d.groupBy("source").agg(F.sum(tokens).alias("T")).collect()
+    }
+    budgets = {"src0": 10**9, "src1": 700}  # src0 saturates, src1 halves
+    out = budget_mixture_sample(
+        d, F.col("doc_id"), "source", tokens, budgets, 400, "mixt"
+    ).select("doc_id", "source", "n_tokens", "rate_permille")
+    rows = out.collect()
+    rates = {}
+    for r in rows:
+        rates.setdefault(r.source, set()).add(r.rate_permille)
+    assert all(len(v) == 1 for v in rates.values())  # one rate per stratum
+    # saturated stratum keeps every row
+    n_src0 = d.filter(F.col("source") == "src0").count()
+    assert rates["src0"] == {1000}
+    assert sum(1 for r in rows if r.source == "src0") == n_src0
+    # derived rate matches the declarative formula for a downsampled stratum
+    assert rates["src1"] == {min(1000, 700 * 1000 // totals["src1"])}
+    # membership invariant under partitioning
+    again = budget_mixture_sample(
+        d.repartition(13, "lang"), F.col("doc_id"), "source", tokens,
+        budgets, 400, "mixt",
+    )
+    assert _ids(out) == _ids(again)
