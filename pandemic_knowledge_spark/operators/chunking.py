@@ -47,13 +47,16 @@ def chunk_documents(
     text_col: str,
     chunk_tokens: int = CHUNK_TOKENS,
     overlap_tokens: int = OVERLAP_TOKENS,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, chunk_id, chunk_text, n_chunk_tokens) — the sliding chunk
-    grid above. chunk_id is 0-based and dense per doc."""
+    """(doc_id, *carry_cols, chunk_id, chunk_text, n_chunk_tokens) — the
+    sliding chunk grid above. chunk_id is 0-based and dense per doc;
+    ``carry_cols`` ride along unchanged (e.g. source/lang for downstream
+    grouping without a join back)."""
     s, t = _grid(chunk_tokens, overlap_tokens)
     toks = tokenize(text_col)
     base = docs.select(
-        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+        F.col(id_col).alias("doc_id"), *carry_cols, toks.alias("__toks")
     ).withColumn("__n", F.size("__toks")).filter(F.col("__n") > 0)
     # exact integer ceil: 1 + (n - S + T - 1) div T  ==  1 + ceil((n-S)/T)
     n_chunks = F.when(F.col("__n") <= s, F.lit(1)).otherwise(
@@ -67,6 +70,7 @@ def chunk_documents(
         )
         .select(
             "doc_id",
+            *carry_cols,
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.array_join(F.slice("__toks", start, length), " ").alias(
                 "chunk_text"

@@ -50,18 +50,14 @@ def hash_weights(dim: int = QUALITY_DIM, seed: int = 1) -> list[int]:
     return [((i + seed) * _KNUTH) % WEIGHT_SPAN - 1000 for i in range(dim)]
 
 
-def quality_scores(
-    docs: DataFrame,
-    id_col: str,
+def quality_feature_cols(
     text_col: str,
     weights: list[int],
     bias_milli: int = 0,
     salt: str = "qclf",
-) -> DataFrame:
-    """(doc_id, n_features, score_milli, quality_score, keep) per doc with
-    >= 1 token. Features are unigrams + consecutive bigrams; score_milli is
-    the exact integer sum of bucket weights + bias; quality_score its mean
-    in weight units (6 dp); keep = score_milli >= 0."""
+) -> tuple[Column, Column]:
+    """(n_features, score_milli) as scan-side Columns — the composable form
+    (pipelines filter on ``score >= 0`` without a join or a second frame)."""
     dim = len(weights)
     arr = F.array(*[F.lit(int(w)) for w in weights])
     toks = tokenize(text_col)
@@ -81,7 +77,33 @@ def quality_scores(
     score = F.aggregate(
         feats, F.lit(bias_milli).cast("long"), lambda acc, t: acc + bucket_weight(t)
     )
-    n_feats = F.size(feats)
+    return F.size(feats), score
+
+
+def quality_keep(
+    text_col: str,
+    weights: list[int],
+    bias_milli: int = 0,
+    salt: str = "qclf",
+) -> Column:
+    """Boolean keep gate (score >= 0 over >= 1 feature), scan-side."""
+    n_feats, score = quality_feature_cols(text_col, weights, bias_milli, salt)
+    return (n_feats > 0) & (score >= 0)
+
+
+def quality_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[int],
+    bias_milli: int = 0,
+    salt: str = "qclf",
+) -> DataFrame:
+    """(doc_id, n_features, score_milli, quality_score, keep) per doc with
+    >= 1 token. Features are unigrams + consecutive bigrams; score_milli is
+    the exact integer sum of bucket weights + bias; quality_score its mean
+    in weight units (6 dp); keep = score_milli >= 0."""
+    n_feats, score = quality_feature_cols(text_col, weights, bias_milli, salt)
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),

@@ -90,6 +90,35 @@ def upsample_by_stratum(
     return df.withColumn("copy", F.explode(F.sequence(F.lit(1), factor)))
 
 
+def fixed_n_per_stratum(
+    df: DataFrame,
+    key: Column,
+    stratum_col: str,
+    n: int,
+    salt: str,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, deterministically: rank
+    rows within each stratum by the salted md5 hash of the key (ties broken
+    by the key itself — total order) and keep rank <= n. Unlike rate-based
+    sampling this hits an exact COUNT; unlike ``df.limit`` per stratum it
+    is one window pass, reproducible everywhere, and the chosen rows never
+    change when other strata grow.
+
+    Scale note: one shuffle on the stratum column; per-stratum data must
+    sort, so this is for bounded picks (eval sets, per-language probes),
+    not corpus-scale thinning — use the rate-based samplers for that.
+    """
+    from pyspark.sql import Window
+
+    h = md5_int(F.concat(F.lit(salt + ":"), key.cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), key.asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
 def budget_mixture_sample(
     df: DataFrame,
     key: Column,

@@ -80,6 +80,7 @@ from pandemic_knowledge_spark.functions.url import (
 )
 from pandemic_knowledge_spark.operators.quality import (
     hash_weights,
+    quality_keep,
     quality_scores,
     sql_quality_scores,
 )
@@ -91,6 +92,7 @@ from pandemic_knowledge_spark.operators.repetition import (
 )
 from pandemic_knowledge_spark.operators.sampling import (
     budget_mixture_sample,
+    fixed_n_per_stratum,
     hash_bucket_sql,
     hash_split,
     stratified_sample,
@@ -1538,6 +1540,68 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(d, "doc_id", "text")
 
 
+_FIXN_SALT = "fix5"
+_FIXN = 5
+_QCLF_WEIGHTS = hash_weights()
+
+
+@q(
+    "sample_fixed_per_stratum",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {md5_int_expr(f"concat('{_FIXN_SALT}:', CAST(doc_id AS VARCHAR))")},
+                    doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rk <= {_FIXN}
+""",
+)
+def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count deterministic pick: min(5, |source|) docs per source,
+    ranked by salted md5 of the key — the eval-probe sampler (exact counts
+    where rate-based sampling only gives expectations). One stratum-keyed
+    window pass. See operators.sampling.fixed_n_per_stratum."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return fixed_n_per_stratum(d, F.col("doc_id"), "source", _FIXN, _FIXN_SALT)
+
+
+@q(
+    "corpus_training_prep",
+    oracle=f"""
+WITH q AS ({sql_quality_scores('documents', 'doc_id', 'text', _QCLF_WEIGHTS)}),
+kept AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN q ON d.doc_id = q.doc_id AND q.keep
+),
+ch AS ({sql_chunk_documents('kept', 'doc_id', 'text')})
+SELECT k.source,
+       CAST(count(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(ch.n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens
+FROM ch JOIN kept k ON ch.doc_id = k.doc_id
+GROUP BY k.source
+""",
+)
+def corpus_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep in ONE Catalyst plan: hashed-linear
+    quality gate (scan-side filter, no join) → token-budget chunking
+    (codegen grid) → per-source chunk/token accounting. The composition
+    stays a single scan + one final groupBy — the quality filter and the
+    chunk explode never shuffle. Composability is the point: the same ops
+    the individual queries verify, fused."""
+    d = load(spark, sf_dir, "documents")
+    kept = d.filter(quality_keep("text", _QCLF_WEIGHTS))
+    chunks = chunk_documents(kept, "doc_id", "text", carry_cols=("source",))
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("sum_chunk_tokens"),
+    )
+
+
 _TOKMIX_BUDGETS = {"src0": 5000, "src1": 700, "src2": 300}
 _TOKMIX_DEFAULT = 400
 _TOKMIX_SALT = "mix"
@@ -1633,9 +1697,6 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dups"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
-
-
-_QCLF_WEIGHTS = hash_weights()
 
 
 @q(
@@ -4327,6 +4388,8 @@ _DRIVER_PRIORITY = [
     "dedup_url_canonical",         # new: canonical-URL web dedup
     "dedup_semantic_clusters",     # new: SemDeDup cluster-blocked cosine
     "sample_token_mixture",        # new: token-budget mixture control
+    "sample_fixed_per_stratum",    # new: exact-N deterministic pick
+    "corpus_training_prep",        # new: fused quality->chunk pipeline
     "scd2_user_history",           # new: SCD2 change-compressed history
     "scd2_snapshot_asof",          # new: point-in-time snapshot
     "scd2_incremental_merge",      # new: merge == full rebuild

@@ -114,3 +114,17 @@ def test_budget_mixture_rates_and_saturation(spark, sf_dir):
         budgets, 400, "mixt",
     )
     assert _ids(out) == _ids(again)
+
+
+def test_fixed_n_per_stratum_exact_counts_and_stability(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.sampling import fixed_n_per_stratum
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = fixed_n_per_stratum(d, F.col("doc_id"), "source", 3, "pick")
+    counts = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    sizes = {r.source: r.c for r in d.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert counts == {s: min(3, n) for s, n in sizes.items()}
+    # picks are stable when OTHER strata change (membership is per-stratum)
+    one = d.filter(F.col("source") == "src1")
+    solo = fixed_n_per_stratum(one, F.col("doc_id"), "source", 3, "pick")
+    assert _ids(solo) == _ids(out.filter(F.col("source") == "src1"))
