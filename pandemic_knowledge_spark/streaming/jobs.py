@@ -250,3 +250,49 @@ def corpus_stream_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sketch_stream_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Streaming maintenance of the mergeable HLL distinct rollup
+    (operators.sketches): every micro-batch of newly landed events appends
+    its per-day sketch rows; range queries union-merge ALL rows for the
+    covered days, so the rollup needs no read-modify-rewrite of history and
+    a probe equals a from-scratch batch rollup at every point in time
+    (merge-exactness of the sketch state).
+
+    Retry caveat: foreachBatch appends are at-least-once, and a replayed
+    batch would append a DUPLICATE sketch row — but the HLL union is
+    register-wise max, so merging the same sketch twice is a no-op for the
+    distinct ESTIMATE (the product this table serves); only the advisory
+    n_rows column would double-count. Same stance as the posting-index
+    sink: the answer the probe returns is crash-stable.
+    """
+    from pyspark.sql.types import LongType, TimestampType
+
+    from pandemic_knowledge_spark.operators.sketches import daily_sketch_rollup
+
+    schema = StructType(
+        [StructField(key_col, LongType()), StructField(ts_col, TimestampType())]
+    )
+    raw = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        daily_sketch_rollup(batch_df, key_col, ts_col).write.mode(
+            "append"
+        ).parquet(rollup_dir)
+
+    return (
+        raw.writeStream.foreachBatch(_roll)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
