@@ -1,0 +1,241 @@
+"""Exact duplicated-substring detection over a document corpus.
+
+The training-data dedup described in "Deduplicating Training Data Makes
+Language Models Better" (Lee et al., 2022): find every token run of length
+>= L that occurs more than once ACROSS THE WHOLE CORPUS (including twice in
+the same document), and keep only the first occurrence. The paper builds a
+suffix array; a suffix array is a single-machine data structure, so the
+Spark-first re-expression is gram hashing:
+
+1. one scan tokenizes and emits every L-token gram as
+   ``(gram_hash, doc_id, start)`` — |tokens| rows of 24 bytes, the same
+   order of magnitude as the corpus itself;
+2. ONE hash shuffle on ``gram_hash`` ranks occurrences
+   (``row_number() OVER (PARTITION BY gram_hash ORDER BY doc_id, start)``)
+   — every occurrence after the first is a duplicated gram;
+3. ONE shuffle on ``doc_id`` merges overlapping/adjacent duplicated gram
+   positions into maximal spans (gaps-and-islands: spans ``[s, s+L)`` merge
+   while ``start <= prev_start + L``), which is exactly the set of maximal
+   duplicated substrings of length >= L minus their first occurrence.
+
+Both shuffles carry fixed-width integer rows, partition by high-cardinality
+uniform keys (an MD5-derived 60-bit hash; doc ids), and are map-side
+combinable — the plan survives a 1000-executor 100 TB corpus where the
+suffix-array construction would not. Accuracy difference vs the suffix
+array: hash collisions (2^-60 per pair, negligible) and span boundaries
+quantized to gram starts — a duplicated run of exactly ``m >= L`` tokens is
+recovered exactly (its ``m - L + 1`` grams all repeat and merge back into
+one ``[s, s+m)`` span when the repeats are aligned).
+
+Scale note — the dominant cost is shuffling one row per corpus token. A
+two-pass variant (first pass: ``groupBy(gram_hash).count()`` keeps only
+hashes with count > 1 — tiny output because duplicated grams are rare —
+then a semi-join marks positions) halves the second shuffle's input but
+adds a corpus re-read; the single-pass window form is the default because
+it reads the corpus once and its one wide shuffle is hash-balanced.
+
+Cross-engine determinism: gram hash = md5 of the space-joined gram tokens
+(``md5_int``), occurrence rank ordered by the unique key ``(doc_id,
+start)`` — bit-identical in Spark and the DuckDB oracle, no floats anywhere
+until the final rounded ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.functions.text import (
+    md5_int,
+    md5_int_expr,
+    sql_tokenize,
+    tokenize,
+)
+
+GRAM_LEN = 8  # tokens per gram: duplicated runs of >= 8 tokens are flagged
+
+
+def _grams(docs: DataFrame, id_col: str, text_col: str, gram_len: int) -> DataFrame:
+    """(doc_id, n_tokens, start, gram_hash) — one row per L-token gram.
+
+    The gram hashes are built scan-side from the tokens array
+    (sequence → transform → posexplode), all whole-stage-codegen
+    expressions; nothing leaves the JVM.
+    """
+    toks = tokenize(text_col)
+    docs = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("n_tokens") - gram_len),
+        lambda i: md5_int(F.concat_ws(" ", F.slice("toks", i + 1, gram_len))),
+    )
+    return (
+        docs.where(F.col("n_tokens") >= gram_len)
+        .select("doc_id", "n_tokens", F.posexplode(grams).alias("start", "gram_hash"))
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = GRAM_LEN,
+) -> DataFrame:
+    """Maximal duplicated-substring spans, first occurrence exempt.
+
+    Returns (doc_id, span_start, span_end) in TOKEN offsets: every maximal
+    run of tokens ``[span_start, span_end)`` that repeats somewhere earlier
+    in the corpus ("earlier" = smaller ``(doc_id, start)``). Lee et al. §4's
+    output shape: the spans a cleaning pass would cut.
+    """
+    grams = _grams(docs, id_col, text_col, gram_len)
+    occ = Window.partitionBy("gram_hash").orderBy("doc_id", "start")
+    dup = (
+        grams.withColumn("occ", F.row_number().over(occ))
+        .where(F.col("occ") > 1)
+        .select("doc_id", "start")
+    )
+    prev = Window.partitionBy("doc_id").orderBy("start")
+    spans = (
+        dup.withColumn(
+            "brk",
+            F.when(
+                F.lag("start").over(prev).isNull()
+                | (F.col("start") > F.lag("start").over(prev) + gram_len),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(prev))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + gram_len).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+    return spans
+
+
+def duplication_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = GRAM_LEN,
+) -> DataFrame:
+    """Per-document duplication audit over the whole corpus.
+
+    (doc_id, n_tokens, dup_spans, dup_tokens, dup_frac): how much of each
+    document is a repeat of text seen earlier in the corpus. ``dup_frac``
+    rounded to 6 dp; documents with nothing duplicated report zeros.
+    """
+    spans = duplicated_spans(docs, id_col, text_col, gram_len)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(text_col)).cast("long").alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = GRAM_LEN,
+) -> DataFrame:
+    """Rebuild each document's text with duplicated spans cut out
+    (first occurrence kept) — the cleaning pass itself.
+
+    Token-space surgery: re-tokenize, drop tokens inside any span, rejoin
+    with single spaces. Punctuation/casing inside cut regions is not
+    preserved (the tokens ARE the training corpus representation here).
+    """
+    spans = duplicated_spans(docs, id_col, text_col, gram_len)
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    joined = base.join(doc_spans, "doc_id", "left")
+    kept = F.filter(
+        F.transform(F.col("toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.coalesce("spans", F.array()),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle emitters — generated from the SAME constants/code paths as
+# the Spark plan so engine and oracle cannot drift.
+# ---------------------------------------------------------------------------
+
+def sql_duplication_report(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = GRAM_LEN,
+) -> str:
+    """DuckDB SQL replaying :func:`duplication_report` rule-for-rule."""
+    gram = f"array_to_string(t[i + 1 : i + {gram_len}], ' ')"
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table}
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start, {md5_int_expr(gram)} AS gram_hash
+  FROM toks, UNNEST(range(len(t) - {gram_len} + 1)) AS u(i)
+  WHERE len(t) >= {gram_len}
+),
+dup AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+           row_number() OVER (PARTITION BY gram_hash ORDER BY doc_id, start) AS occ
+    FROM grams
+  ) WHERE occ > 1
+),
+isl AS (
+  SELECT doc_id, start,
+         CASE WHEN lag(start) OVER w IS NULL
+                   OR start > lag(start) OVER w + {gram_len} THEN 1 ELSE 0 END AS brk
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY start)
+),
+spans AS (
+  SELECT doc_id, min(start) AS span_start, max(start) + {gram_len} AS span_end
+  FROM (SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+        FROM isl)
+  GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS dup_spans,
+         sum(span_end - span_start) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
+             / greatest(len(b.t), 1), 6) AS dup_frac
+FROM toks b LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -115,6 +115,10 @@ from pandemic_knowledge_spark.operators.search import (
     tfidf_keywords,
 )
 from pandemic_knowledge_spark.operators.skew import salted_agg
+from pandemic_knowledge_spark.operators.substrings import (
+    duplication_report,
+    sql_duplication_report,
+)
 from pandemic_knowledge_spark.streaming.transforms import quarantine_split
 from pandemic_knowledge_spark.operators.similarity import (
     ivf_topk,
@@ -1293,6 +1297,23 @@ def dedup_corpus_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return dedup_corpus_lines(d, "doc_id", "text")
+
+
+@q(
+    "dedup_substring_spans",
+    oracle=sql_duplication_report("documents", "doc_id", "text"),
+    bench=True,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring audit (Lee et al. 2022 dedup, gram-hash
+    re-expression — operators.substrings): every token run of >= GRAM_LEN
+    tokens that repeats anywhere in the corpus is merged into maximal spans
+    per doc (first occurrence exempt), reported as a per-doc duplicated
+    fraction. Two fixed-width integer shuffles (gram_hash rank, doc span
+    merge); the gram table is ~one row per corpus token — the scalable
+    stand-in for the paper's single-machine suffix array."""
+    d = load(spark, sf_dir, "documents")
+    return duplication_report(d, "doc_id", "text")
 
 
 @q(
@@ -4383,6 +4404,7 @@ _DRIVER_PRIORITY = [
     # tier B = changed in r2 after their last green row (the r2 stale set),
     # tier C = r1-only green rows, oldest first — refreshed while slots last.
     # --- tier A: r3 new / changed ---
+    "dedup_substring_spans",       # new: Lee et al. exact substring dedup
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup

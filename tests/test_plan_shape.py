@@ -533,3 +533,18 @@ def test_scd2_merge_untouched_side_has_no_window(spark, sf_dir):
                         ["user_id"], ["event_type"], "ts")
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window [") == 2, plan
+
+
+def test_substring_dedup_two_integer_shuffles_no_python(spark, sf_dir):
+    """Lee-et-al substring dedup: the whole plan is codegen'd expressions —
+    no Python eval nodes — and the only wide exchanges are the gram-hash
+    rank, the per-doc span merge, and the final report join; the gram
+    explosion itself happens scan-side (no exchange before the first
+    window)."""
+    plan = final_plan_of(spark, sf_dir, "dedup_substring_spans")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    # gram_hash rank + doc-span window/agg + report join (<= 4 exchanges:
+    # AQE may add one for the left side of the final doc_id join)
+    assert final.count("Exchange") <= 4, final
