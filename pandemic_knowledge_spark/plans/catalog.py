@@ -119,6 +119,13 @@ from pandemic_knowledge_spark.operators.substrings import (
     duplication_report,
     sql_duplication_report,
 )
+from pandemic_knowledge_spark.operators.epidemic import (
+    daily_counts_dense,
+    outbreak_zscore,
+    rt_cori,
+    sql_outbreak_zscore,
+    sql_rt_cori,
+)
 from pandemic_knowledge_spark.streaming.transforms import quarantine_split
 from pandemic_knowledge_spark.operators.similarity import (
     ivf_topk,
@@ -1314,6 +1321,36 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for the paper's single-machine suffix array."""
     d = load(spark, sf_dir, "documents")
     return duplication_report(d, "doc_id", "text")
+
+
+@q("epi_rt_daily", oracle=sql_rt_cori(), bench=False)
+def epi_rt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instantaneous reproduction number R_t (Cori et al. 2013) over the
+    daily 'error'-event incidence series: dense zero-filled spine, exact
+    integer serial-interval weighting, one double division per day
+    (operators.epidemic). The fact table is scanned once into a
+    #days-sized rollup; every window runs on that rollup."""
+    ev = load(spark, sf_dir, "events")
+    daily = daily_counts_dense(ev, "ts", where=F.col("event_type") == "error")
+    return rt_cori(daily).select("day", "cases", "lambda_num", "rt")
+
+
+@q("epi_outbreak_spikes", oracle=sql_outbreak_zscore())
+def epi_outbreak_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series outbreak detection: today's count vs a trailing 28-day
+    baseline (today excluded), z-score from exact integer sums, spikes
+    flagged at z >= 3 with a minimum-count guard (operators.epidemic).
+    The surveillance alarm the reference's Kibana dashboards eyeball,
+    computed as a window plan on the daily rollup."""
+    ev = load(spark, sf_dir, "events")
+    daily = daily_counts_dense(ev, "ts", key_col="event_type")
+    return outbreak_zscore(daily, key_cols=("key",)).select(
+        "day",
+        F.col("key").alias("event_type"),
+        "cases",
+        "z",
+        "spike",
+    )
 
 
 @q(
@@ -4405,6 +4442,8 @@ _DRIVER_PRIORITY = [
     # tier C = r1-only green rows, oldest first — refreshed while slots last.
     # --- tier A: r3 new / changed ---
     "dedup_substring_spans",       # new: Lee et al. exact substring dedup
+    "epi_rt_daily",                # new: Cori Rt over daily incidence
+    "epi_outbreak_spikes",         # new: trailing-baseline z-score alarm
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup
