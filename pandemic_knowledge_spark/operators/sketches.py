@@ -18,7 +18,7 @@ of history) and range queries are reproducible at any cluster size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LG_K = 12  # 2^12 registers ≈ ±1.6% relative error; 4 KiB per sketch
@@ -66,3 +66,139 @@ def whole_range_estimate(
             ).alias("n_distinct_est")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable QUANTILE sketch rollup — "decimal DDSketch".
+#
+# DDSketch (Masson, Rim, Lee — VLDB'19) buckets values by a relative-error
+# log grid; merged sketches answer quantiles over any range with bounded
+# relative error. The log-gamma grid uses transcendental log(), whose last
+# ulp differs across engines — so this variant buckets by DECIMAL leading
+# digits instead: value → integer cents → (digit_count, leading 3 digits).
+# Pure integer arithmetic, bit-identical in Spark and DuckDB, monotonic in
+# the value, ≤ 0.5% relative error (half bucket width over the bucket's
+# lower edge, lead ≥ 100), and counts merge by plain addition — so the
+# per-day rollup table answers "p99 over any date range" exactly like the
+# HLL rollup answers distinct counts, with merge-exactness BY CONSTRUCTION
+# (integer adds, no register semantics).
+# ---------------------------------------------------------------------------
+
+Q_PROBES = (0.5, 0.9, 0.95, 0.99)
+
+
+def _cents(value: Column) -> Column:
+    return F.round(value * 100).cast("long")
+
+
+def quantile_bucket(value: Column) -> Column:
+    """Monotonic integer bucket id: 0 for values ≤ 0, else
+    1000·digits(cents) + leading-3-digits(cents). Buckets with cents < 1000
+    are exact singletons; above that, relative width ≤ 1%."""
+    c = _cents(value)
+    s = c.cast("string")
+    return F.when(c <= 0, F.lit(0)).otherwise(
+        F.length(s) * 1000 + F.substring(s, 1, 3).cast("long")
+    )
+
+
+def bucket_estimate(b: Column) -> Column:
+    """Bucket id → representative value (bucket midpoint, in value units)."""
+    d = (b / 1000).cast("long")
+    lead = b % 1000
+    p = F.pow(F.lit(10.0), (d - 3).cast("double"))
+    lo = F.when(d <= 3, lead.cast("double")).otherwise(lead * p)
+    hi = F.when(d <= 3, lead.cast("double")).otherwise((lead + 1) * p - 1)
+    return F.when(b == 0, F.lit(0.0)).otherwise(
+        F.round((lo + hi) / 2.0 / 100.0, 6)
+    )
+
+
+def daily_quantile_rollup(
+    events: DataFrame, value_col: str, ts_col: str
+) -> DataFrame:
+    """(day, b, cnt) — the materialized per-day quantile sketch. One
+    map-side-combined shuffle; ≤ ~9k buckets per day regardless of row
+    count, so the rollup is tiny and appends one day at a time."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    return events.groupBy(
+        day.alias("day"), quantile_bucket(F.col(value_col)).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def quantiles_over(
+    rollup: DataFrame,
+    lo: str | Column,
+    hi: str | Column,
+    probes: tuple[float, ...] = Q_PROBES,
+) -> DataFrame:
+    """(q, n, est) per probe quantile over day range [lo, hi]: filter the
+    rollup, add-merge bucket counts, walk the cumulative histogram. The
+    merged histogram is a few thousand rows — the single-partition window
+    is on sketch-sized data, never on facts."""
+    merged = (
+        rollup.filter(F.col("day").between(lo, hi))
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in probes])).alias("q")
+    picked = (
+        cum.select(qs, "b", "cum", "n")
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q", "n")
+        .agg(F.min("b").alias("b"))
+    )
+    return picked.select(
+        "q", "n", bucket_estimate(F.col("b")).alias("est")
+    ).orderBy("q")
+
+
+def sql_quantiles_over(
+    where_sql: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    probes: tuple[float, ...] = Q_PROBES,
+) -> str:
+    """DuckDB SQL replaying daily_quantile_rollup → quantiles_over for a
+    day-range predicate ``where_sql`` over the events table — every rule
+    (cents rounding, digit bucketing, cumulative walk, midpoint decode)
+    emitted from the same constants the Spark plan uses."""
+    probe_list = ", ".join(str(q) for q in probes)
+    return f"""
+WITH cents AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c
+  FROM (SELECT {value_col} AS value, CAST({ts_col} AS DATE) AS day FROM events)
+  WHERE {where_sql}
+),
+bucketed AS (
+  SELECT CASE WHEN c <= 0 THEN 0
+              ELSE length(CAST(c AS VARCHAR)) * 1000
+                   + CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT) END AS b
+  FROM cents
+),
+merged AS (SELECT b, count(*) AS cnt FROM bucketed GROUP BY b),
+walk AS (
+  SELECT b, sum(cnt) OVER (ORDER BY b) AS cum, sum(cnt) OVER () AS n
+  FROM merged
+),
+picked AS (
+  SELECT q, CAST(n AS BIGINT) AS n, min(b) AS b
+  FROM (SELECT CAST(unnest([{probe_list}]) AS DOUBLE) AS q), walk
+  WHERE cum >= ceil(q * n)
+  GROUP BY q, n
+)
+SELECT q, n,
+       CASE WHEN b = 0 THEN 0.0
+            ELSE round((
+              (CASE WHEN b // 1000 <= 3 THEN CAST(b % 1000 AS DOUBLE)
+                    ELSE (b % 1000) * pow(10.0, b // 1000 - 3) END)
+            + (CASE WHEN b // 1000 <= 3 THEN CAST(b % 1000 AS DOUBLE)
+                    ELSE (b % 1000 + 1) * pow(10.0, b // 1000 - 3) - 1 END)
+            ) / 2.0 / 100.0, 6) END AS est
+FROM picked
+ORDER BY q
+"""

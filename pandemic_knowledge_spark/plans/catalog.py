@@ -119,6 +119,11 @@ from pandemic_knowledge_spark.operators.substrings import (
     duplication_report,
     sql_duplication_report,
 )
+from pandemic_knowledge_spark.operators.sketches import (
+    daily_quantile_rollup,
+    quantiles_over,
+    sql_quantiles_over,
+)
 from pandemic_knowledge_spark.operators.epidemic import (
     daily_counts_dense,
     outbreak_zscore,
@@ -1321,6 +1326,25 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for the paper's single-machine suffix array."""
     d = load(spark, sf_dir, "documents")
     return duplication_report(d, "doc_id", "text")
+
+
+@q(
+    "sketch_quantile_rollup",
+    oracle=sql_quantiles_over(
+        "day BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'"
+    ),
+)
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-DDSketch quantile rollup (operators.sketches): per-day
+    mergeable bucket histograms over events.value, add-merged for an
+    arbitrary day range and walked for p50/p90/p95/p99 — the pattern that
+    answers percentile range queries at 100 TB from a sketch table instead
+    of a fact rescan. Integer bucketing end-to-end, so the DuckDB oracle
+    (which computes the same buckets straight from the facts) ALSO proves
+    rollup-merge == direct computation."""
+    ev = load(spark, sf_dir, "events")
+    rollup = daily_quantile_rollup(ev, "value", "ts")
+    return quantiles_over(rollup, F.lit("2024-01-08"), F.lit("2024-01-22"))
 
 
 @q("epi_rt_daily", oracle=sql_rt_cori(), bench=False)
@@ -4444,6 +4468,7 @@ _DRIVER_PRIORITY = [
     "dedup_substring_spans",       # new: Lee et al. exact substring dedup
     "epi_rt_daily",                # new: Cori Rt over daily incidence
     "epi_outbreak_spikes",         # new: trailing-baseline z-score alarm
+    "sketch_quantile_rollup",      # new: decimal-DDSketch range quantiles
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup

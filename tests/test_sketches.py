@@ -89,3 +89,64 @@ def test_sketch_stream_rollup_equals_batch(spark, tmp_path):
     assert dup.count() == 1  # the replayed row really is inside the range
     est_dup = distinct_over_range(streamed.union(dup), lo, hi).collect()[0].n_distinct_est
     assert est_dup == est_stream
+
+
+# --- decimal-DDSketch quantile rollup ---
+
+from pandemic_knowledge_spark.operators.sketches import (  # noqa: E402
+    Q_PROBES,
+    bucket_estimate,
+    daily_quantile_rollup,
+    quantile_bucket,
+    quantiles_over,
+)
+
+
+def test_quantile_estimates_within_relative_bound(spark, sf_dir):
+    """Every probe estimate must land within the sketch's guaranteed
+    relative error (0.5% + one cent of quantization) of an exact
+    rank-quantile over the same rows."""
+    ev = load(spark, sf_dir, "events")
+    rollup = daily_quantile_rollup(ev, "value", "ts")
+    lo, hi = "2024-01-05", "2024-01-25"
+    got = {r.q: r.est for r in quantiles_over(rollup, lo, hi).collect()}
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    vals = sorted(
+        r.value for r in ev.filter(day.between(lo, hi)).select("value").collect()
+    )
+    n = len(vals)
+    for q in Q_PROBES:
+        import math
+        exact = vals[max(0, math.ceil(q * n) - 1)]
+        assert abs(got[q] - exact) <= 0.005 * exact + 0.02, (q, got[q], exact)
+
+
+def test_quantile_rollup_merge_equals_direct(spark, sf_dir):
+    """Add-merging per-day bucket counts must equal bucketing the whole
+    range in one pass (merge-exactness by construction)."""
+    ev = load(spark, sf_dir, "events")
+    lo, hi = "2024-01-03", "2024-01-27"
+    rollup = daily_quantile_rollup(ev, "value", "ts")
+    via_rollup = {(r.q, r.n): r.est for r in quantiles_over(rollup, lo, hi).collect()}
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    one_day_rollup = (
+        ev.filter(day.between(lo, hi))
+        .groupBy(F.lit("2024-01-03").cast("date").alias("day"),
+                 quantile_bucket(F.col("value")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    direct = {(r.q, r.n): r.est for r in quantiles_over(one_day_rollup, lo, hi).collect()}
+    assert via_rollup == direct
+
+
+def test_small_cents_buckets_are_exact_singletons(spark):
+    """Values with cents < 1000 sit in exact singleton buckets: the
+    estimate IS the value."""
+    df = spark.createDataFrame(
+        [(v,) for v in (0.01, 0.5, 1.23, 9.99, 0.0, -3.0)], "value double"
+    )
+    out = df.select(
+        "value", bucket_estimate(quantile_bucket(F.col("value"))).alias("est")
+    ).collect()
+    for r in out:
+        assert r.est == max(r.value, 0.0), r
