@@ -630,3 +630,127 @@ def bm25_fields_from_postings(
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional postings + phrase search (the ES match_phrase analogue —
+# SURVEY.md §2.10; the reference's news UI issues multi_match which ES can
+# escalate to phrase matching from the same positional index).
+# ---------------------------------------------------------------------------
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(bucket, term, doc_id, positions) — per-(term, doc) sorted token
+    positions, the positional inverted index. Same crc32 term-bucket
+    partitioning as :func:`build_postings`, so a phrase probe reads only
+    its terms' buckets (partition pruning), never the corpus."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    return (
+        base.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        .groupBy("doc_id", "term")
+        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+        .withColumn(
+            "bucket", F.pmod(F.crc32(F.col("term")), F.lit(N_TERM_BUCKETS)).cast("int")
+        )
+    )
+
+
+def phrase_search_from_postings(
+    postings_pos: DataFrame, phrase: str, k: int = 10
+) -> DataFrame:
+    """Top-k docs containing the exact consecutive-token phrase, counted
+    from positional postings alone — no corpus scan.
+
+    Each phrase offset j joins its term's posting row; positions shifted by
+    −j; a doc matches where every offset is present AND the shifted arrays
+    intersect (the intersection = the set of phrase start positions, its
+    size = the phrase term frequency). Handles repeated phrase terms
+    (every offset joins independently). The probe touches only the phrase
+    terms' buckets → partition-pruned at scale."""
+    terms = phrase.lower().split()
+    m = len(terms)
+    buckets = sorted({term_bucket_py(t) for t in terms})
+    offsets = F.posexplode(F.array(*[F.lit(t) for t in terms])).alias("off", "term")
+    phrase_df = F.broadcast(
+        postings_pos.sparkSession.range(1).select(offsets)
+    )
+    probe = postings_pos.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(sorted(set(terms)))
+    )
+    joined = probe.join(phrase_df, "term").select(
+        "doc_id",
+        "off",
+        F.transform("positions", lambda p: p - F.col("off")).alias("shifted"),
+    )
+    inter = F.aggregate(
+        F.collect_list("shifted"),
+        F.lit(None).cast("array<int>"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(F.array_intersect(acc, x)),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_off"), inter.alias("starts"))
+        .where((F.col("n_off") == m) & (F.size("starts") > 0))
+        .select("doc_id", F.size("starts").cast("long").alias("phrase_count"))
+        .orderBy(F.desc("phrase_count"), "doc_id")
+        .limit(k)
+    )
+
+
+def phrase_search(
+    docs: DataFrame, id_col: str, text_col: str, phrase: str, k: int = 10
+) -> DataFrame:
+    """Direct-scan phrase search — identical output to
+    :func:`phrase_search_from_postings` (asserted in tests); the form a
+    one-shot query uses when no index is materialized. Counts phrase
+    starts scan-side over the token array (codegen, no shuffle until the
+    top-k)."""
+    terms = phrase.lower().split()
+    m = len(terms)
+    toks = tokenize(text_col)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - m),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(True),
+            lambda acc, j: acc
+            & (F.element_at(toks, (i + j + 1).cast("int"))
+               == F.element_at(F.array(*[F.lit(t) for t in terms]), (j + 1).cast("int"))),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.size(starts).alias("c"))
+        .where((F.size(toks) >= m) & (F.col("c") > 0))
+        .select("doc_id", F.col("c").cast("long").alias("phrase_count"))
+        .orderBy(F.desc("phrase_count"), "doc_id")
+        .limit(k)
+    )
+
+
+def sql_phrase_search(
+    table: str, id_col: str, text_col: str, phrase: str, k: int = 10
+) -> str:
+    """DuckDB oracle for both phrase-search forms: token-level consecutive
+    match over the same tokenizer — no regex lookarounds (RE2 has none),
+    the token array IS the semantics."""
+    terms = phrase.lower().split()
+    m = len(terms)
+    conds = " AND ".join(
+        f"t[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table}
+),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t) - {m} + 2), i -> {conds})) AS c
+  FROM toks WHERE len(t) >= {m}
+)
+SELECT doc_id, CAST(c AS BIGINT) AS phrase_count
+FROM hits WHERE c > 0
+ORDER BY phrase_count DESC, doc_id LIMIT {k}
+"""

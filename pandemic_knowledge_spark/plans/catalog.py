@@ -107,6 +107,9 @@ from pandemic_knowledge_spark.operators.joins import (
     semi_join_hits,
 )
 from pandemic_knowledge_spark.operators.search import (
+    build_positional_postings,
+    phrase_search_from_postings,
+    sql_phrase_search,
     bm25_search,
     bm25_search_fields,
     sql_bm25_search,
@@ -1326,6 +1329,25 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for the paper's single-machine suffix array."""
     d = load(spark, sf_dir, "documents")
     return duplication_report(d, "doc_id", "text")
+
+
+_PHRASE_QUERY = "window table"
+
+
+@q(
+    "search_phrase_positional",
+    oracle=sql_phrase_search("documents", "doc_id", "text", _PHRASE_QUERY, 10),
+)
+def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-token phrase search from POSITIONAL postings
+    (ES match_phrase analogue, operators.search): each phrase offset joins
+    its term's posting row, positions shift by −offset, the intersection
+    of shifted arrays is the set of phrase starts. The probe touches only
+    the phrase terms' crc32 buckets — partition-pruned at index scale; the
+    direct-scan form is asserted identical in tests/test_phrase.py."""
+    d = load(spark, sf_dir, "documents")
+    pp = build_positional_postings(d, "doc_id", "text")
+    return phrase_search_from_postings(pp, _PHRASE_QUERY, 10)
 
 
 @q(
@@ -4469,6 +4491,7 @@ _DRIVER_PRIORITY = [
     "epi_rt_daily",                # new: Cori Rt over daily incidence
     "epi_outbreak_spikes",         # new: trailing-baseline z-score alarm
     "sketch_quantile_rollup",      # new: decimal-DDSketch range quantiles
+    "search_phrase_positional",    # new: positional-postings phrase match
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup
