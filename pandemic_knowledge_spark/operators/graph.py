@@ -1,0 +1,124 @@
+"""Graph centrality: weighted PageRank as an iterative DataFrame plan.
+
+The curation use at corpus scale: rank hosts/entities by link structure
+(domain authority for web-crawl curation, supplier/customer importance in
+a trade graph). Power iteration is the Pregel pattern — per round, one
+join of the rank table onto the edge list and one groupBy(dst) — which at
+cluster scale runs with the EDGE LIST hash-partitioned by ``src`` ONCE and
+cached: every subsequent round reuses that partitioning (the rank table,
+|nodes| rows, is the small side), so k iterations cost k small shuffles of
+rank-sized data, never k edge-list shuffles. ``localCheckpoint`` per round
+truncates the growing lineage exactly like
+operators.dedup.connected_components does.
+
+FIXED-POINT INTEGER arithmetic throughout: ranks live in micro-units
+(SCALE = 1e6) and every step is int64 multiply / floor-divide / sum —
+integer sums are associative-commutative regardless of partial-aggregation
+order, so the result is bit-identical on any cluster size AND in the
+DuckDB oracle (which unrolls the same k iterations as CTEs from the same
+constants). Floating-point PageRank cannot make that promise: the
+per-node contribution sum would depend on partition order.
+
+Semantics: per-node damped rank r'_v = (15·SCALE)/100 +
+(85 · Σ_{u→v} (r_u · w_uv) div W_u) / 100, uniform init r = SCALE (the
+"per-node units" normalization: ranks average ≈ SCALE, independent of
+graph size). Floor-division drops < 1 micro-unit per edge per round —
+deterministic truncation, same in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000   # rank micro-units
+DAMP_NUM = 85       # damping 0.85 as an integer rational
+DAMP_DEN = 100
+ITERS = 5
+
+
+def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
+    """Weighted PageRank over directed ``edges(src, dst, w)``.
+
+    Returns (node, rank) in micro-units after ``iters`` rounds. Nodes are
+    whatever integer ids the edge list uses; every node must have at least
+    one out-edge (symmetrize the graph first if needed — dangling mass is
+    not redistributed here).
+    """
+    edges = edges.select("src", "dst", "w")
+    outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    ranks = outw.select(F.col("src").alias("node"), F.lit(SCALE).alias("r"))
+    base = (15 * SCALE) // DAMP_DEN
+    e = edges.join(outw, "src")
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                "dst",
+                F.expr(f"(r * w) div w_out").alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.expr(f"{base} + ({DAMP_NUM} * sum(c)) div {DAMP_DEN}").alias("r"))
+        ).localCheckpoint(eager=False)
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
+def trade_graph_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Symmetrized customer↔supplier trade graph from the fact tables:
+    edge weight = number of lineitems between the pair. Node encoding:
+    customer c → 2c, supplier s → 2s+1 (disjoint integer namespaces)."""
+    pairs = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    fwd = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w")
+    rev = pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
+    return fwd.unionAll(rev)
+
+
+def sql_trade_pagerank(top_k: int = 20, iters: int = ITERS) -> str:
+    """DuckDB oracle: the SAME fixed-point iteration unrolled as ``iters``
+    chained CTEs, from the same SCALE/DAMP constants."""
+    base = (15 * SCALE) // DAMP_DEN
+    ctes = [
+        f"""pairs AS (
+  SELECT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode,
+         count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)""",
+        """edges AS (
+  SELECT cnode AS src, snode AS dst, w FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst, w FROM pairs
+)""",
+        """outw AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY src)""",
+        f"""iter0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS r FROM outw)""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""iter{k} AS (
+  SELECT e.dst AS node,
+         {base} + ({DAMP_NUM} * sum((i.r * e.w) // o.w_out)) // {DAMP_DEN} AS r
+  FROM edges e
+  JOIN iter{k - 1} i ON e.src = i.node
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+    return f"""
+WITH {','.join(ctes)}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       node // 2 AS entity_key,
+       r AS rank_micro
+FROM iter{iters}
+ORDER BY rank_micro DESC, node LIMIT {top_k}
+"""

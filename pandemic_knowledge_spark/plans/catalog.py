@@ -122,6 +122,11 @@ from pandemic_knowledge_spark.operators.substrings import (
     duplication_report,
     sql_duplication_report,
 )
+from pandemic_knowledge_spark.operators.graph import (
+    pagerank,
+    sql_trade_pagerank,
+    trade_graph_edges,
+)
 from pandemic_knowledge_spark.operators.sketches import (
     daily_quantile_rollup,
     quantiles_over,
@@ -1329,6 +1334,31 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for the paper's single-machine suffix array."""
     d = load(spark, sf_dir, "documents")
     return duplication_report(d, "doc_id", "text")
+
+
+@q("graph_trade_pagerank", oracle=sql_trade_pagerank(20))
+def graph_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the symmetrized customer↔supplier
+    trade graph (operators.graph): 5 power-iteration rounds, each one
+    rank-table join + one groupBy(dst), all int64 arithmetic so the result
+    is bit-identical at any cluster size; oracle unrolls the same rounds
+    as chained CTEs. Top-20 most central entities."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    ranks = pagerank(trade_graph_edges(li, od))
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.expr("node div 2").alias("entity_key"),
+            F.col("rank").alias("rank_micro"),
+            "node",
+        )
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(20)
+        .drop("node")
+    )
 
 
 _PHRASE_QUERY = "window table"
@@ -4492,6 +4522,7 @@ _DRIVER_PRIORITY = [
     "epi_outbreak_spikes",         # new: trailing-baseline z-score alarm
     "sketch_quantile_rollup",      # new: decimal-DDSketch range quantiles
     "search_phrase_positional",    # new: positional-postings phrase match
+    "graph_trade_pagerank",        # new: fixed-point integer PageRank
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup

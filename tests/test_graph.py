@@ -1,0 +1,72 @@
+"""PageRank (operators.graph): fixed-point iteration must match a Python
+integer reference exactly on random graphs, and rank structure must behave
+(hubs dominate, damping floor holds, weights matter)."""
+
+from __future__ import annotations
+
+import random
+
+from pandemic_knowledge_spark.operators.graph import (
+    DAMP_DEN,
+    DAMP_NUM,
+    ITERS,
+    SCALE,
+    pagerank,
+)
+
+
+def brute_pagerank(edges, iters=ITERS):
+    """edges: [(src, dst, w)] — same int64 semantics as the Spark plan."""
+    out_w: dict[int, int] = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    r = {n: SCALE for n in out_w}
+    base = (15 * SCALE) // DAMP_DEN
+    for _ in range(iters):
+        acc: dict[int, int] = {}
+        for s, d, w in edges:
+            acc[d] = acc.get(d, 0) + (r[s] * w) // out_w[s]
+        r = {d: base + (DAMP_NUM * c) // DAMP_DEN for d, c in acc.items()}
+    return r
+
+
+def _spark_ranks(spark, edges, iters=ITERS):
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    return {r.node: r.rank for r in pagerank(df, iters).collect()}
+
+
+def _symmetrize(pairs):
+    return [(a, b, w) for a, b, w in pairs] + [(b, a, w) for a, b, w in pairs]
+
+
+def test_matches_integer_reference_on_random_graph(spark):
+    rng = random.Random(3)
+    pairs = {(rng.randrange(0, 12), 12 + rng.randrange(0, 8)) for _ in range(40)}
+    edges = _symmetrize([(a, b, 1 + rng.randrange(5)) for a, b in pairs])
+    assert _spark_ranks(spark, edges) == brute_pagerank(edges)
+
+
+def test_hub_dominates_star_graph(spark):
+    edges = _symmetrize([(0, leaf, 1) for leaf in range(1, 9)])
+    ranks = _spark_ranks(spark, edges)
+    assert ranks[0] > max(ranks[leaf] for leaf in range(1, 9)) * 3
+
+
+def test_damping_floor(spark):
+    # every node's rank is at least the teleport term
+    edges = _symmetrize([(0, 1, 1), (1, 2, 1), (2, 3, 5)])
+    ranks = _spark_ranks(spark, edges)
+    assert all(r >= (15 * SCALE) // DAMP_DEN for r in ranks.values())
+
+
+def test_edge_weights_shift_rank(spark):
+    # b receives 9x the weight a receives from the shared source
+    edges = _symmetrize([(0, 1, 1), (0, 2, 9)])
+    ranks = _spark_ranks(spark, edges)
+    assert ranks[2] > ranks[1]
+
+
+def test_symmetric_pair_equal_ranks(spark):
+    edges = _symmetrize([(0, 1, 3)])
+    ranks = _spark_ranks(spark, edges)
+    assert ranks[0] == ranks[1]
