@@ -122,6 +122,10 @@ from pandemic_knowledge_spark.operators.substrings import (
     duplication_report,
     sql_duplication_report,
 )
+from pandemic_knowledge_spark.operators.embedding import (
+    hash_embeddings,
+    sql_hash_embeddings,
+)
 from pandemic_knowledge_spark.operators.graph import (
     pagerank,
     sql_trade_pagerank,
@@ -1334,6 +1338,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for the paper's single-machine suffix array."""
     d = load(spark, sf_dir, "documents")
     return duplication_report(d, "doc_id", "text")
+
+
+@q("text_hash_embeddings", oracle=sql_hash_embeddings())
+def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embeddings (operators.embedding): 64-dim signed
+    hashed token counts per document, exact integers from the portable md5
+    hash — the model-free embedding generator whose output feeds the ANN /
+    SemDeDup / k-means operators. One grouped shuffle of (doc, dim, count)
+    rows; dense assembly via a broadcast dim grid; zero Python."""
+    d = load(spark, sf_dir, "documents")
+    return hash_embeddings(d, "doc_id", "text")
 
 
 @q("graph_trade_pagerank", oracle=sql_trade_pagerank(20))
@@ -4523,6 +4538,7 @@ _DRIVER_PRIORITY = [
     "sketch_quantile_rollup",      # new: decimal-DDSketch range quantiles
     "search_phrase_positional",    # new: positional-postings phrase match
     "graph_trade_pagerank",        # new: fixed-point integer PageRank
+    "text_hash_embeddings",        # new: feature-hashing doc vectors
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup
