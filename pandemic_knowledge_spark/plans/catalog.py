@@ -122,6 +122,10 @@ from pandemic_knowledge_spark.operators.substrings import (
     duplication_report,
     sql_duplication_report,
 )
+from pandemic_knowledge_spark.operators.bpe import (
+    bpe_learn,
+    sql_bpe_merges,
+)
 from pandemic_knowledge_spark.operators.embedding import (
     hash_embeddings,
     sql_hash_embeddings,
@@ -1338,6 +1342,19 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for the paper's single-machine suffix array."""
     d = load(spark, sf_dir, "documents")
     return duplication_report(d, "doc_id", "text")
+
+
+@q("bpe_learn_merges", oracle=sql_bpe_merges())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016; operators.bpe): 8
+    merge rounds learned from the corpus word-frequency vocabulary — the
+    only corpus-sized pass is the word groupBy; each round is a tiny
+    pair-count shuffle, a deterministic argmax, and a codegen greedy-left
+    merge fold. Oracle replays every round with recursive-CTE merge walks.
+    Output: the learned merge table (it, left_sym, right_sym, cnt)."""
+    d = load(spark, sf_dir, "documents")
+    merges, _ = bpe_learn(d, "doc_id", "text")
+    return merges
 
 
 @q("text_hash_embeddings", oracle=sql_hash_embeddings())
@@ -4539,6 +4556,7 @@ _DRIVER_PRIORITY = [
     "search_phrase_positional",    # new: positional-postings phrase match
     "graph_trade_pagerank",        # new: fixed-point integer PageRank
     "text_hash_embeddings",        # new: feature-hashing doc vectors
+    "bpe_learn_merges",            # new: BPE tokenizer training
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup
