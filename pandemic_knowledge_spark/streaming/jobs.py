@@ -296,3 +296,59 @@ def sketch_stream_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _write_quantile_batch(
+    batch_rollup: DataFrame, batch_id: int, rollup_dir: str
+) -> None:
+    """Idempotent batch append: the rollup rows land in a batch_id
+    partition via DYNAMIC partition overwrite, so a replayed micro-batch
+    REPLACES its own partition instead of appending a duplicate. The HLL
+    rollup can shrug off replays (register-max union is idempotent on the
+    estimate); this sketch's counts ADD, so replay safety must come from
+    the write protocol, not the algebra."""
+    (
+        batch_rollup.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(rollup_dir)
+    )
+
+
+def quantile_stream_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+):
+    """Streaming maintenance of the decimal-DDSketch quantile rollup
+    (operators.sketches.daily_quantile_rollup): each micro-batch of landed
+    events appends its (day, bucket, cnt) rows into its own batch_id
+    partition; a probe (quantiles_over) group-sums across all rows for the
+    covered days, so the streamed rollup answers exactly like a
+    from-scratch batch rollup at every point in time."""
+    from pyspark.sql.types import DoubleType, LongType, TimestampType
+
+    from pandemic_knowledge_spark.operators.sketches import daily_quantile_rollup
+
+    schema = StructType(
+        [StructField(value_col, DoubleType()), StructField(ts_col, TimestampType())]
+    )
+    raw = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _write_quantile_batch(
+            daily_quantile_rollup(batch_df, value_col, ts_col), batch_id, rollup_dir
+        )
+
+    return (
+        raw.writeStream.foreachBatch(_roll)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

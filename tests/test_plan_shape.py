@@ -548,3 +548,39 @@ def test_substring_dedup_two_integer_shuffles_no_python(spark, sf_dir):
     # gram_hash rank + doc-span window/agg + report join (<= 4 exchanges:
     # AQE may add one for the left side of the final doc_id join)
     assert final.count("Exchange") <= 4, final
+
+
+def test_hash_embeddings_grid_is_broadcast_no_python(spark, sf_dir):
+    """The dim grid must broadcast onto the doc list (never shuffle the
+    corpus against a 64-row frame) and the whole plan stays codegen."""
+    plan = final_plan_of(spark, sf_dir, "text_hash_embeddings")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_probe_no_python_no_cartesian(spark, sf_dir):
+    plan = final_plan_of(spark, sf_dir, "search_phrase_positional")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # phrase-offset table joins as a broadcast (2 rows)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_epi_queries_single_fact_scan_no_python(spark, sf_dir):
+    """Both epidemic queries reduce the fact table ONCE into a days-sized
+    rollup; windows run on the rollup."""
+    for name in ("epi_rt_daily", "epi_outbreak_spikes"):
+        plan = final_plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        # events parquet appears in at most two scans: bounds + counts
+        # (AQE may reuse); never one per lag term
+        assert final.count("Scan parquet") <= 3, final
+
+
+def test_quantile_rollup_walk_on_sketch_not_facts(spark, sf_dir):
+    plan = final_plan_of(spark, sf_dir, "sketch_quantile_rollup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 1, final  # one fact reduction

@@ -150,3 +150,42 @@ def test_small_cents_buckets_are_exact_singletons(spark):
     ).collect()
     for r in out:
         assert r.est == max(r.value, 0.0), r
+
+
+def test_quantile_stream_rollup_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streamed quantile rollup probes equal the batch rollup at every
+    point; a replayed micro-batch overwrites its own partition (dynamic
+    partition overwrite), leaving probes unchanged — exactly-once by write
+    protocol where the HLL rollup relies on register-max algebra."""
+    from pandemic_knowledge_spark.streaming.jobs import (
+        _write_quantile_batch,
+        quantile_stream_rollup,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select("value", "ts")
+    landing = str(tmp_path / "landing")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    lo, hi = "2024-01-01", "2024-01-30"
+
+    ev.filter(F.dayofmonth("ts") <= 10).write.mode("append").parquet(landing)
+    quantile_stream_rollup(spark, landing, rollup_dir, ckpt).awaitTermination(120)
+    ev.filter(F.dayofmonth("ts") > 10).write.mode("append").parquet(landing)
+    quantile_stream_rollup(spark, landing, rollup_dir, ckpt).awaitTermination(120)
+
+    streamed = spark.read.parquet(rollup_dir).select("day", "b", "cnt")
+    got = {r.q: (r.n, r.est) for r in quantiles_over(streamed, lo, hi).collect()}
+    batch = daily_quantile_rollup(ev, "value", "ts")
+    want = {r.q: (r.n, r.est) for r in quantiles_over(batch, lo, hi).collect()}
+    assert got == want
+
+    # replay batch 0: same rollup rows, same batch_id -> overwrite, not append
+    replay = (
+        daily_quantile_rollup(
+            ev.filter(F.dayofmonth("ts") <= 10), "value", "ts"
+        )
+    )
+    _write_quantile_batch(replay, 0, rollup_dir)
+    after = spark.read.parquet(rollup_dir).select("day", "b", "cnt")
+    got2 = {r.q: (r.n, r.est) for r in quantiles_over(after, lo, hi).collect()}
+    assert got2 == want
