@@ -118,16 +118,11 @@ def bpe_learn(
     return mdf, vocab
 
 
-def sql_bpe_merges(
-    table: str = "documents",
-    text_col: str = "text",
-    n_merges: int = N_MERGES,
-) -> str:
-    """DuckDB oracle for the merges table: each round's pair counts,
-    argmax, and recursive-cursor merge walk, chained n_merges times."""
-    # Every non-recursive CTE is MATERIALIZED: plain CTEs inline at each
-    # reference, and this chain references each level ~5 times — naive
-    # inlining would expand 5^k copies of the corpus scan.
+def _bpe_ctes(table: str, text_col: str, n_merges: int) -> list[str]:
+    """The shared CTE chain: vocab0 → (pairs, best, walk, vocab) × rounds.
+    Every non-recursive CTE is MATERIALIZED: plain CTEs inline at each
+    reference, and this chain references each level ~5 times — naive
+    inlining would expand 5^k copies of the corpus scan."""
     ctes = [
         f"""vocab0 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq,
@@ -171,6 +166,17 @@ def sql_bpe_merges(
   SELECT word, freq, acc AS syms FROM walk{k} WHERE pos > len(syms)
 )"""
         )
+    return ctes
+
+
+def sql_bpe_merges(
+    table: str = "documents",
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> str:
+    """DuckDB oracle for the merges table: each round's pair counts,
+    argmax, and recursive-cursor merge walk, chained n_merges times."""
+    ctes = _bpe_ctes(table, text_col, n_merges)
     sel = "\nUNION ALL\n".join(
         f"SELECT {k} AS it, a AS left_sym, b AS right_sym, cnt FROM best{k}"
         for k in range(1, n_merges + 1)
@@ -179,3 +185,72 @@ def sql_bpe_merges(
 WITH RECURSIVE {','.join(ctes)}
 SELECT * FROM ({sel}) ORDER BY it
 """
+
+
+def sql_bpe_encode(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> str:
+    """DuckDB oracle for :func:`bpe_encode_report`: re-encode every doc
+    with the final learned vocab and report subword compression."""
+    ctes = _bpe_ctes(table, text_col, n_merges)
+    return f"""
+WITH RECURSIVE {','.join(ctes)},
+doc_tok AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, unnest({sql_tokenize(text_col)}) AS word
+  FROM {table}
+),
+enc AS (
+  SELECT t.doc_id, count(*) AS n_words,
+         sum(len(v.syms)) AS n_subwords
+  FROM doc_tok t JOIN vocab{n_merges} v USING (word)
+  GROUP BY t.doc_id
+)
+SELECT d.{id_col} AS doc_id,
+       CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(e.n_subwords, 0) AS BIGINT) AS n_subwords,
+       round(CAST(coalesce(e.n_subwords, 0) AS DOUBLE)
+             / greatest(coalesce(e.n_words, 0), 1), 6) AS subwords_per_word
+FROM {table} d LEFT JOIN enc e ON d.{id_col} = e.doc_id
+"""
+
+
+def bpe_encode_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = N_MERGES,
+) -> DataFrame:
+    """Re-encode every document with the learned vocab: per-doc word and
+    subword counts plus the compression ratio — the "how many tokens will
+    training see" accounting step. One broadcast join of the (tiny) merged
+    vocab onto the exploded corpus; everything else scan-side."""
+    merges, vocab = bpe_learn(docs, id_col, text_col, n_merges)
+    vlen = vocab.select("word", F.size("syms").cast("long").alias("n_syms"))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("word")
+    )
+    enc = (
+        tok.join(F.broadcast(vlen), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_subwords"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(enc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+            F.round(
+                F.coalesce("n_subwords", F.lit(0))
+                / F.greatest(F.coalesce("n_words", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("subwords_per_word"),
+        )
+    )

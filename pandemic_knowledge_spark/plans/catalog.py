@@ -123,7 +123,9 @@ from pandemic_knowledge_spark.operators.substrings import (
     sql_duplication_report,
 )
 from pandemic_knowledge_spark.operators.bpe import (
+    bpe_encode_report,
     bpe_learn,
+    sql_bpe_encode,
     sql_bpe_merges,
 )
 from pandemic_knowledge_spark.operators.embedding import (
@@ -1355,6 +1357,17 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     merges, _ = bpe_learn(d, "doc_id", "text")
     return merges
+
+
+@q("bpe_encode_docs", oracle=sql_bpe_encode())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword accounting with the learned BPE vocab (operators.bpe):
+    every document re-encoded via a broadcast join of the merged
+    vocabulary, reporting words, subwords, and compression per doc — the
+    'how many tokens will training actually see' step after tokenizer
+    training."""
+    d = load(spark, sf_dir, "documents")
+    return bpe_encode_report(d, "doc_id", "text")
 
 
 @q("text_hash_embeddings", oracle=sql_hash_embeddings())
@@ -4557,6 +4570,7 @@ _DRIVER_PRIORITY = [
     "graph_trade_pagerank",        # new: fixed-point integer PageRank
     "text_hash_embeddings",        # new: feature-hashing doc vectors
     "bpe_learn_merges",            # new: BPE tokenizer training
+    "bpe_encode_docs",             # new: subword accounting w/ learned vocab
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup

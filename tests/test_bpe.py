@@ -90,3 +90,20 @@ def test_exhausted_corpus_stops_early(spark):
     got, _ = _learn(spark, ["x x x"], 5)
     assert got == ref_bpe(["x x x"], 5)
     assert len(got) == 1
+
+
+def test_encode_report_counts_and_compression(spark):
+    from pandemic_knowledge_spark.operators.bpe import bpe_encode_report
+
+    texts = ["low low low lower lowest", "low lower", "...!!!"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {r.doc_id: r for r in bpe_encode_report(docs, n_merges=6).collect()}
+    assert set(out) == {0, 1, 2}                 # empty doc keeps its row
+    assert out[2].n_words == 0 and out[2].n_subwords == 0
+    assert out[0].n_words == 5
+    # merges compress: subwords per word < chars+endmark per word
+    chars_plus_end = sum(len(w) + 1 for w in texts[0].split())
+    assert out[0].n_subwords < chars_plus_end
+    # frequent 'low' should be fully merged after 6 rounds on this corpus:
+    # every word's symbol count >= 1, ratio >= 1 subword per word
+    assert out[0].subwords_per_word >= 1.0
