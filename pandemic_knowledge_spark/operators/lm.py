@@ -1,0 +1,135 @@
+"""Statistical n-gram language-model scoring — the CCNet-style quality
+filter (Wenzek et al. 2020 filter CommonCrawl by LM perplexity; the
+model-free Spark analogue trains the LM from a reference corpus in-query).
+
+Bigram model with add-one smoothing: P(b|a) = (C(a,b)+1) / (H(a)+V), where
+C is the bigram count, H(a) = Σ_b C(a,b) the history count, V the vocabulary
+size. A document's score is its per-bigram cross-entropy in nats — high
+means "unlike the reference corpus" (gibberish, boilerplate, wrong
+language), the signal CCNet buckets into head/middle/tail.
+
+Determinism contract: per-pair log-probabilities are quantized to integer
+MICRO-NATS before summing — int64 sums are order-invariant, so the score
+is bit-identical across partitionings and engines (a raw double sum over
+~100 bigrams/doc would depend on partial-aggregation order). ln() is
+transcendental (1-ulp engine differences) but a flip needs the micro-nat
+rounding to land within that ulp — ~1e-10 per pair.
+
+Plan shape: one (a,b) groupBy trains the model from the corpus; scoring
+joins each doc bigram to its count — the join keys are the model table's
+keys, so the model side shuffles once at model size (≪ corpus); history
+counts and V broadcast. The corpus is scanned twice (train, score) —
+at 100 TB you train on a reference SAMPLE and only the scoring scan is
+corpus-sized, exactly CCNet's shape (Wikipedia-trained LM, crawl-scored).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.functions.text import sql_tokenize, tokenize
+
+MICRO = 1_000_000  # micro-nat quantization for order-invariant summing
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = tokenize(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, (i + 1).cast("int")).alias("a"),
+            F.element_at(toks, (i + 2).cast("int")).alias("b"),
+        ),
+    )
+    return (
+        docs.where(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+
+
+def lm_score(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, xent_nats) for every score_doc with ≥ 2 tokens.
+
+    ``xent_nats`` (4 dp) = −mean micro-nat log-prob of the doc's bigrams
+    under the add-one-smoothed bigram model trained on ``train_docs``.
+    Unseen bigrams/histories fall back to the smoothing floor."""
+    train_pairs = _doc_bigrams(train_docs, id_col, text_col)
+    big = train_pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    hist = big.groupBy("a").agg(F.sum("c_ab").alias("h_a"))
+    vocab = (
+        train_docs.select(F.explode(tokenize(text_col)).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    pairs = _doc_bigrams(score_docs, id_col, text_col)
+    scored = (
+        pairs.join(big, ["a", "b"], "left")
+        .join(F.broadcast(hist), "a", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce("c_ab", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("h_a", F.lit(0)) + F.col("v"))
+                )
+                * MICRO
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(-F.col("s") / F.col("n_bigrams") / MICRO, 4).alias("xent_nats"),
+        )
+    )
+
+
+def sql_lm_score(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for the self-scored form (train == score == table):
+    same smoothing, same micro-nat quantization, same 4 dp rounding."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table}
+),
+pairs AS MATERIALIZED (
+  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+big AS MATERIALIZED (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+hist AS (SELECT a, sum(c_ab) AS h_a FROM big GROUP BY a),
+vocab AS (SELECT count(DISTINCT u.tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks) u),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln(CAST(coalesce(g.c_ab, 0) + 1 AS DOUBLE)
+                       / (coalesce(h.h_a, 0) + vocab.v)) * {MICRO}) AS BIGINT)
+           AS lp_micro
+  FROM pairs p
+  LEFT JOIN big g ON p.a = g.a AND p.b = g.b
+  LEFT JOIN hist h ON p.a = h.a
+  CROSS JOIN vocab
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-CAST(sum(lp_micro) AS DOUBLE) / count(*) / {MICRO}, 4) AS xent_nats
+FROM scored GROUP BY doc_id
+"""

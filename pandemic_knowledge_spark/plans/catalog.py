@@ -132,6 +132,10 @@ from pandemic_knowledge_spark.operators.embedding import (
     hash_embeddings,
     sql_hash_embeddings,
 )
+from pandemic_knowledge_spark.operators.lm import (
+    lm_score,
+    sql_lm_score,
+)
 from pandemic_knowledge_spark.operators.graph import (
     pagerank,
     sql_trade_pagerank,
@@ -1357,6 +1361,17 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     merges, _ = bpe_learn(d, "doc_id", "text")
     return merges
+
+
+@q("lm_score_docs", oracle=sql_lm_score())
+def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality scoring (operators.lm): add-one
+    bigram LM trained from the corpus in-query, every document scored by
+    per-bigram cross-entropy in nats — integer micro-nat sums keep the
+    score bit-identical across partitionings. At 100 TB the model trains
+    on a reference sample and only the scoring scan is corpus-sized."""
+    d = load(spark, sf_dir, "documents")
+    return lm_score(d, d, "doc_id", "text")
 
 
 @q("bpe_encode_docs", oracle=sql_bpe_encode())
@@ -4571,6 +4586,7 @@ _DRIVER_PRIORITY = [
     "text_hash_embeddings",        # new: feature-hashing doc vectors
     "bpe_learn_merges",            # new: BPE tokenizer training
     "bpe_encode_docs",             # new: subword accounting w/ learned vocab
+    "lm_score_docs",               # new: CCNet-style bigram-LM scoring
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup
