@@ -1374,6 +1374,37 @@ def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(d, d, "doc_id", "text")
 
 
+_CCNET_SQL = f"""
+WITH scored AS ({sql_lm_score()})
+SELECT doc_id, xent_nats,
+       CASE ntile(3) OVER (ORDER BY xent_nats, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored
+"""
+
+
+@q("lm_ccnet_buckets", oracle=_CCNET_SQL)
+def lm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: corpus tertiles of the bigram-LM
+    cross-entropy (head = most reference-like third). ntile over the total
+    order (xent, doc_id) is exactly deterministic; at 100 TB the same
+    labeling runs scan-side against two broadcast tertile thresholds from
+    the quantile-sketch rollup instead of a global window."""
+    scores = lm_score(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+    )
+    w = Window.orderBy("xent_nats", "doc_id")
+    nt = F.ntile(3).over(w)
+    return scores.select(
+        "doc_id",
+        "xent_nats",
+        F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
 @q("bpe_encode_docs", oracle=sql_bpe_encode())
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword accounting with the learned BPE vocab (operators.bpe):
@@ -4587,6 +4618,7 @@ _DRIVER_PRIORITY = [
     "bpe_learn_merges",            # new: BPE tokenizer training
     "bpe_encode_docs",             # new: subword accounting w/ learned vocab
     "lm_score_docs",               # new: CCNet-style bigram-LM scoring
+    "lm_ccnet_buckets",            # new: head/middle/tail tertile split
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
     "dedup_url_canonical",         # new: canonical-URL web dedup
