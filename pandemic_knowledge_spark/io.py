@@ -89,3 +89,78 @@ def publish_atomic(df: DataFrame, table_root: str) -> str:
 
 def read_published(spark: SparkSession, table_root: str) -> DataFrame:
     return AtomicTable(table_root).read(spark)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> list[dict]:
+    """Small-file compaction (the OPTIMIZE maintenance job): rewrite each
+    hive partition whose file count exceeds what its byte size needs into
+    ~``target_file_bytes`` files.
+
+    Streaming appends and per-batch writes fragment a 100 TB table into
+    millions of small files; every query then pays file-open latency and
+    loses row-group pruning. This job walks the partition directories
+    (driver-side listing — metadata, not data), and for each fragmented
+    partition rewrites it with ``repartition(n_target)`` (the rewrite
+    itself is distributed) then swaps the directory. Partitions already
+    compact are left byte-for-byte untouched, so the job is incremental
+    and re-runnable; the swap is rename-based (atomic on HDFS-like
+    filesystems; on object stores run it under the table's version-swap
+    publish instead — streaming.sinks.AtomicTable).
+
+    Returns a per-compacted-partition report:
+    {partition, files_before, files_after, bytes}.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hconf = jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    report: list[dict] = []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        part = st.getPath()
+        name = part.getName()
+        if name.startswith("_") or "=" not in name:
+            continue
+        files = [
+            f for f in fs.listStatus(part)
+            if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+        ]
+        total = sum(f.getLen() for f in files)
+        n_target = max(1, -(-total // target_file_bytes))
+        if len(files) < max(min_files_to_compact, n_target + 1):
+            continue
+        part_str = part.toString()
+        df = spark.read.parquet(part_str)
+        tmp = jvm.org.apache.hadoop.fs.Path(part.getParent(), "_compact_tmp_" + name)
+        df.repartition(int(n_target)).write.mode("overwrite").parquet(tmp.toString())
+        # drop the writer's _SUCCESS marker, then swap directories
+        marker = jvm.org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+        if fs.exists(marker):
+            fs.delete(marker, False)
+        old = jvm.org.apache.hadoop.fs.Path(part.getParent(), "_compact_old_" + name)
+        if not fs.rename(part, old):
+            raise IOError(f"compaction swap failed for {part_str}")
+        if not fs.rename(tmp, part):
+            fs.rename(old, part)  # roll back
+            raise IOError(f"compaction swap failed for {part_str}")
+        fs.delete(old, True)
+        n_after = len([
+            f for f in fs.listStatus(part)
+            if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+        ])
+        report.append(
+            {
+                "partition": name,
+                "files_before": len(files),
+                "files_after": n_after,
+                "bytes": int(total),
+            }
+        )
+    return report

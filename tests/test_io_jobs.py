@@ -161,3 +161,33 @@ def test_events_ts_loads_as_ltz_timestamp_for_watermarks(spark, sf_dir):
 
     df = tables.load(spark, sf_dir, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_compact_partitions_merges_small_files_losslessly(spark, tmp_path):
+    """Fragmented partitions compact to their byte-need; data identical;
+    already-compact partitions untouched; re-run is a no-op."""
+    from pandemic_knowledge_spark.io import compact_partitions, write_facts_partitioned
+    from pandemic_knowledge_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "date_start", F.col("ts").cast("date")
+    )
+    path = str(tmp_path / "facts")
+    write_facts_partitioned(
+        ev, path, date_col="date_start", cluster_col=None, max_records_per_file=7
+    )
+    before = spark.read.parquet(path)
+    rows_before = sorted(map(tuple, before.drop("p_date").collect()))
+    import glob
+    n_files_before = len(glob.glob(f"{path}/p_date=*/*.parquet"))
+    assert n_files_before > 60  # genuinely fragmented
+
+    report = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert report and all(r["files_after"] == 1 for r in report)
+    n_files_after = len(glob.glob(f"{path}/p_date=*/*.parquet"))
+    assert n_files_after == len(report)
+
+    after = spark.read.parquet(path)
+    assert sorted(map(tuple, after.drop("p_date").collect())) == rows_before
+    # idempotent: second run finds nothing fragmented
+    assert compact_partitions(spark, path, target_file_bytes=1 << 30) == []
