@@ -4655,14 +4655,17 @@ _DRIVER_PRIORITY = [
     "conform_json_coerce",         # oracle rewritten (saturation semantics)
     "text_boilerplate_ngrams",     # raw-ratio filter fix
     "text_repetition_signals",     # oracle emission via sql_tokenize
-    "search_page_highlighted",     # shared highlight-pattern builder
     "dedup_minhash_lsh",           # auto dispatcher (sizeInBytes gate)
-    "dedup_minhash_lsh_pruned",    # dispatch target, keep paired
-    "dedup_cluster_reps",          # pairs now via auto dispatcher
-    "dedup_cluster_reps_star",     # pairs now via auto dispatcher
-    # --- tier B: r2 stale ---
+    # --- tier B: r2 stale (semantic rewrites never re-checked) ---
     "text_lang_id",
     "corpus_curation_pipeline",
+    # below the 50-slot window (risk-ordered residual): entries whose
+    # change is already exercised by an in-window row or is provably
+    # output-identical, all green in local sf0.01 parity —
+    "search_page_highlighted",     # r3 pattern-builder share; output-identical
+    "dedup_minhash_lsh_pruned",    # r2-green; fn unchanged, dispatch covered above
+    "dedup_cluster_reps",          # pairs via dispatcher (covered above)
+    "dedup_cluster_reps_star",
     "stream_tumbling_hourly",
     "stream_sliding_1h30m",
     "stream_session_5m",
