@@ -352,3 +352,52 @@ def quantile_stream_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incidence_stream_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+):
+    """Streaming epidemic surveillance feed: each micro-batch of landed
+    events appends its per-(day, key) case counts — the live-maintained
+    incidence table behind operators.epidemic (R_t, outbreak z-scores).
+    Counts are additive, so replay safety uses the same batch_id dynamic
+    partition overwrite as the quantile rollup; a probe sums counts per
+    (day, key) across batches and then runs the same window analytics a
+    batch rebuild would, with identical results at every point in time."""
+    from pyspark.sql.types import LongType, StringType, TimestampType
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField(ts_col, TimestampType()),
+            StructField(key_col, StringType()),
+        ]
+    )
+    raw = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        day = F.date_trunc("day", F.col(ts_col)).cast("date")
+        counts = batch_df.groupBy(
+            day.alias("day"), F.col(key_col).alias("key")
+        ).agg(F.count(F.lit(1)).alias("cases"))
+        (
+            counts.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(rollup_dir)
+        )
+
+    return (
+        raw.writeStream.foreachBatch(_roll)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

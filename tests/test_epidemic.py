@@ -106,3 +106,51 @@ def test_spine_bounds_from_unfiltered_table(spark):
     # spine spans the WHOLE table (6 days), not just the filtered signal
     assert len(rows) == 6
     assert [r.cases for r in rows] == [0, 0, 4, 0, 0, 0]
+
+
+def test_streaming_incidence_rollup_matches_batch_surveillance(spark, tmp_path):
+    """The live-maintained incidence rollup must drive identical R_t and
+    z-score outputs to a from-scratch batch rebuild after every batch.
+    Streamed counts are per-batch partial sums; the probe aggregates them
+    onto the dense spine before the windows run."""
+    from pandemic_knowledge_spark.streaming.jobs import incidence_stream_rollup
+    from pandemic_knowledge_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type"
+    )
+    landing = str(tmp_path / "landing")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev.filter(F.dayofmonth("ts") <= 12).write.mode("append").parquet(landing)
+    incidence_stream_rollup(spark, landing, rollup_dir, ckpt).awaitTermination(120)
+    ev.filter(F.dayofmonth("ts") > 12).write.mode("append").parquet(landing)
+    incidence_stream_rollup(spark, landing, rollup_dir, ckpt).awaitTermination(120)
+
+    streamed = (
+        spark.read.parquet(rollup_dir)
+        .groupBy("day", "key")
+        .agg(F.sum("cases").cast("long").alias("cases"))
+    )
+    # densify streamed partial counts onto the full spine (streamed rollup
+    # has no rows for zero days)
+    batch_daily = daily_counts_dense(ev, "ts", key_col="event_type")
+    spine = batch_daily.select("day", "key")
+    streamed_dense = (
+        spine.join(streamed, ["day", "key"], "left")
+        .select("day", "key", F.coalesce("cases", F.lit(0)).cast("long").alias("cases"))
+    )
+    got = sorted(
+        map(tuple, outbreak_zscore(streamed_dense, key_cols=("key",)).collect())
+    )
+    want = sorted(
+        map(tuple, outbreak_zscore(batch_daily, key_cols=("key",)).collect())
+    )
+    assert got == want
+
+    err_stream = streamed_dense.where(F.col("key") == "error").drop("key")
+    err_batch = batch_daily.where(F.col("key") == "error").drop("key")
+    assert sorted(map(tuple, rt_cori(err_stream).collect())) == sorted(
+        map(tuple, rt_cori(err_batch).collect())
+    )
