@@ -49,8 +49,14 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     ranks = outw.select(F.col("src").alias("node"), F.lit(SCALE).alias("r"))
     base = (15 * SCALE) // DAMP_DEN
-    e = edges.join(outw, "src")
-    for _ in range(iters):
+    # Materialize the weighted edge list ONCE, hash-partitioned by dst —
+    # every iteration broadcast-joins the (small) rank table onto it and
+    # aggregates by dst, so with the dst partitioning baked into the
+    # checkpoint each round needs ZERO edge shuffles (localCheckpoint
+    # preserves outputPartitioning). Without this the fact-table edge
+    # derivation AND a corpus-sized exchange would re-run per round.
+    e = edges.join(outw, "src").repartition("dst").localCheckpoint(eager=True)
+    for it in range(1, iters + 1):
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .select(
@@ -58,10 +64,14 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
                 F.expr(f"(r * w) div w_out").alias("c"),
             )
         )
-        ranks = (
-            contrib.groupBy(F.col("dst").alias("node"))
-            .agg(F.expr(f"{base} + ({DAMP_NUM} * sum(c)) div {DAMP_DEN}").alias("r"))
-        ).localCheckpoint(eager=False)
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.expr(f"{base} + ({DAMP_NUM} * sum(c)) div {DAMP_DEN}").alias("r")
+        )
+        # Truncate lineage periodically, not per round: a checkpoint is a
+        # full job barrier, and short loops run faster as ONE fused job;
+        # only deep loops need the lineage cut.
+        if it % 8 == 0 and it < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank"))
 
 

@@ -34,18 +34,19 @@ MICRO = 1_000_000  # micro-nat quantization for order-invariant summing
 
 
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = tokenize(text_col)
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.struct(
-            F.element_at(toks, (i + 1).cast("int")).alias("a"),
-            F.element_at(toks, (i + 2).cast("int")).alias("b"),
-        ),
+    # Materialize the token array into a named column FIRST: element_at on
+    # the raw tokenize() EXPRESSION would re-run the regex per element —
+    # O(tokens²) regex work per doc (the round-1 lang_id blowup class).
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).where(F.size("toks") >= 2)
+    pairs = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
-    return (
-        docs.where(F.size(toks) >= 2)
-        .select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    return base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
 
 
