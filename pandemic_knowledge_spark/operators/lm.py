@@ -134,3 +134,81 @@ SELECT doc_id, count(*) AS n_bigrams,
        round(-CAST(sum(lp_micro) AS DOUBLE) / count(*) / {MICRO}, 4) AS xent_nats
 FROM scored GROUP BY doc_id
 """
+
+
+PMI_MIN_COUNT = 5
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+    min_count: int = PMI_MIN_COUNT,
+) -> DataFrame:
+    """Collocation extraction: top-k token bigrams by pointwise mutual
+    information, PMI = ln(N·C(a,b) / (C₁(a)·C₁(b))) with N the total
+    bigram count and C₁ the unigram-occurrence counts — the
+    significant-phrases feature (ES significant-terms' bigram cousin).
+    min_count suppresses the low-frequency PMI pathology (hapax pairs
+    always score highest). 4 dp rounding; ties break lexicographically."""
+    pairs = _doc_bigrams(docs, id_col, text_col)
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        docs.select(F.explode(tokenize(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    n_tot = pairs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        big.where(F.col("c_ab") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("t", "a").withColumnRenamed("c_t", "c_a")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("t", "b").withColumnRenamed("c_t", "c_b")), "b")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("n").cast("double") * F.col("c_ab")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "a", "b").limit(top_k)
+
+
+def sql_collocations_pmi(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+    min_count: int = PMI_MIN_COUNT,
+) -> str:
+    """DuckDB oracle for :func:`collocations_pmi`."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table}
+),
+pairs AS MATERIALIZED (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+big AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+uni AS (SELECT u.tok AS t, count(*) AS c_t
+        FROM (SELECT unnest(t) AS tok FROM toks) u GROUP BY u.tok),
+tot AS (SELECT count(*) AS n FROM pairs)
+SELECT g.a, g.b, g.c_ab,
+       round(ln(CAST(tot.n AS DOUBLE) * g.c_ab
+                / (CAST(ua.c_t AS DOUBLE) * ub.c_t)), 4) AS pmi
+FROM big g
+JOIN uni ua ON g.a = ua.t
+JOIN uni ub ON g.b = ub.t
+CROSS JOIN tot
+WHERE g.c_ab >= {min_count}
+ORDER BY pmi DESC, g.a, g.b LIMIT {top_k}
+"""

@@ -133,7 +133,9 @@ from pandemic_knowledge_spark.operators.embedding import (
     sql_hash_embeddings,
 )
 from pandemic_knowledge_spark.operators.lm import (
+    collocations_pmi,
     lm_score,
+    sql_collocations_pmi,
     sql_lm_score,
 )
 from pandemic_knowledge_spark.operators.graph import (
@@ -1361,6 +1363,15 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     merges, _ = bpe_learn(d, "doc_id", "text")
     return merges
+
+
+@q("text_collocations_pmi", oracle=sql_collocations_pmi())
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (operators.lm): top-20 bigrams by pointwise
+    mutual information with a min-count guard — significant-phrase mining
+    over the corpus; model-table-sized joins, unigram counts broadcast."""
+    d = load(spark, sf_dir, "documents")
+    return collocations_pmi(d, "doc_id", "text")
 
 
 @q("lm_score_docs", oracle=sql_lm_score())
@@ -4618,6 +4629,7 @@ _DRIVER_PRIORITY = [
     "bpe_learn_merges",            # new: BPE tokenizer training
     "bpe_encode_docs",             # new: subword accounting w/ learned vocab
     "lm_score_docs",               # new: CCNet-style bigram-LM scoring
+    "text_collocations_pmi",       # new: PMI significant-phrase mining
     "lm_ccnet_buckets",            # new: head/middle/tail tertile split
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer

@@ -32,12 +32,15 @@ DST = "/tmp/pk_sf1"
 COPIES = 10
 SHIFT = 100_000_000  # beyond any sf0.1 key
 
-QUERIES = [  # 5 most expensive in BENCH_r02
+QUERIES = [  # 5 most expensive in BENCH_r02 + the heaviest later additions
     "dedup_minhash_lsh",
     "decontaminate_train_split",
     "q21_single_return_supplier",
     "corpus_curation_pipeline",
     "q1_pricing_summary",
+    "dedup_substring_spans",   # gram-hash rank + span merge (headline, r3)
+    "graph_trade_pagerank",    # 12M-edge build + 5 power-iteration rounds
+    "lm_score_docs",           # bigram-model join scoring
 ]
 
 KEY_COLS = {

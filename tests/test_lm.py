@@ -67,3 +67,31 @@ def test_in_domain_beats_gibberish(spark):
 def test_short_docs_dropped(spark):
     out = _spark_scores(spark, ["a b c"], ["only", ""])
     assert out == {}
+
+
+def test_collocations_pmi_finds_planted_phrase(spark):
+    from pandemic_knowledge_spark.operators.lm import collocations_pmi
+
+    # "hong kong" always co-occurs; filler words are independent
+    import random
+    rng = random.Random(2)
+    filler = ["the", "of", "data", "table", "row", "scan"]
+    texts = []
+    for i in range(30):
+        words = [rng.choice(filler) for _ in range(12)]
+        words[4:4] = ["hong", "kong"]
+        texts.append(" ".join(words))
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    top = collocations_pmi(docs, top_k=5, min_count=5).collect()
+    assert (top[0].a, top[0].b) == ("hong", "kong")
+    assert top[0].pmi > 1.0
+
+
+def test_collocations_min_count_guard(spark):
+    from pandemic_knowledge_spark.operators.lm import collocations_pmi
+
+    docs = spark.createDataFrame(
+        [(0, "rare pair here"), (1, "other words entirely")],
+        "doc_id long, text string",
+    )
+    assert collocations_pmi(docs, min_count=5).collect() == []
