@@ -132,6 +132,10 @@ from pandemic_knowledge_spark.operators.embedding import (
     hash_embeddings,
     sql_hash_embeddings,
 )
+from pandemic_knowledge_spark.operators.privacy import (
+    k_anonymize,
+    sql_k_anonymize_events,
+)
 from pandemic_knowledge_spark.operators.lm import (
     collocations_pmi,
     lm_score,
@@ -1363,6 +1367,30 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     merges, _ = bpe_learn(d, "doc_id", "text")
     return merges
+
+
+_ANON_K = 5
+_ANON_QUASI_SQL = {
+    "day": "CAST(CAST(ts AS DATE) AS VARCHAR)",
+    "etype": "event_type",
+    "value_band": "CAST(CAST(floor(value / 50) * 50 AS BIGINT) AS VARCHAR)",
+}
+
+
+@q("privacy_k_anonymize", oracle=sql_k_anonymize_events(_ANON_QUASI_SQL, _ANON_K))
+def privacy_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (operators.privacy): events released with
+    (day, type, value-band) quasi-identifiers; combinations rarer than
+    k=5 are masked to '*' so every released combination is an anonymity
+    set — one window count on the quasi key, scan-side masking."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.col("event_type").alias("etype"),
+        (F.floor(F.col("value") / 50) * 50).cast("long").alias("value_band"),
+    )
+    return k_anonymize(base, ["day", "etype", "value_band"], _ANON_K)
 
 
 @q("text_collocations_pmi", oracle=sql_collocations_pmi())
@@ -4630,6 +4658,7 @@ _DRIVER_PRIORITY = [
     "bpe_encode_docs",             # new: subword accounting w/ learned vocab
     "lm_score_docs",               # new: CCNet-style bigram-LM scoring
     "text_collocations_pmi",       # new: PMI significant-phrase mining
+    "privacy_k_anonymize",         # new: quasi-identifier suppression
     "lm_ccnet_buckets",            # new: head/middle/tail tertile split
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
