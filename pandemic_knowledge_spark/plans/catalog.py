@@ -4694,15 +4694,17 @@ _DRIVER_PRIORITY = [
     "search_page_indexed",         # new: persisted posting-table probe
     "multimodal_media_features",   # r2 no_oracle -> literal VALUES oracle
     "conform_json_coerce",         # oracle rewritten (saturation semantics)
-    "text_boilerplate_ngrams",     # raw-ratio filter fix
-    "text_repetition_signals",     # oracle emission via sql_tokenize
-    "dedup_minhash_lsh",           # auto dispatcher (sizeInBytes gate)
+    "text_boilerplate_ngrams",     # raw-ratio filter fix (behavior change)
     # --- tier B: r2 stale (semantic rewrites never re-checked) ---
     "text_lang_id",
     "corpus_curation_pipeline",
     # below the 50-slot window (risk-ordered residual): entries whose
     # change is already exercised by an in-window row or is provably
-    # output-identical, all green in local sf0.01 parity —
+    # output-identical (sql_tokenize emits the same literal regex;
+    # the auto dispatcher picks the r1-green single-pass form at sf0.01),
+    # all green in local sf0.01 parity —
+    "text_repetition_signals",     # oracle emission via sql_tokenize
+    "dedup_minhash_lsh",           # auto dispatcher (sizeInBytes gate)
     "search_page_highlighted",     # r3 pattern-builder share; output-identical
     "dedup_minhash_lsh_pruned",    # r2-green; fn unchanged, dispatch covered above
     "dedup_cluster_reps",          # pairs via dispatcher (covered above)
