@@ -305,20 +305,23 @@ def kmeans_embeddings(
 
 
 def _sql_kmeans_ctes(table: str, vec_col: str, id_col: str, k: int,
-                     iters: int) -> tuple[list[str], str]:
+                     iters: int, prefix: str = "") -> tuple[list[str], str]:
     """Shared CTE prefix for the k-means oracles: Lloyd unrolled to one
     assignment + one update CTE pair per round, final assignment in
-    ``afin``. Returns (ctes, name of the final-centroid CTE)."""
+    ``afin``. Returns (ctes, name of the final-centroid CTE). ``prefix``
+    namespaces every CTE so independent fits (PQ subspaces) can coexist
+    in one WITH list."""
+    P = prefix
     q = (
-        f"q AS (SELECT {id_col} AS vec_id, "
+        f"{P}q AS (SELECT {id_col} AS vec_id, "
         f"list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)*{KM_SCALE}) AS BIGINT)) AS q "
         f"FROM {table})"
     )
-    c_prev = "c0"
+    c_prev = f"{P}c0"
     ctes = [
         q,
-        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q AS c "
-        f"FROM q ORDER BY vec_id LIMIT {k})",
+        f"{P}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q AS c "
+        f"FROM {P}q ORDER BY vec_id LIMIT {k})",
     ]
     dist = (
         "list_sum(list_transform(range(1, len(v.q) + 1), "
@@ -326,25 +329,25 @@ def _sql_kmeans_ctes(table: str, vec_col: str, id_col: str, k: int,
     )
     for it in range(1, iters + 1):
         ctes.append(
-            f"a{it} AS (SELECT v.vec_id, CAST(min({dist}*{k} + c.cl) % {k} AS BIGINT) AS cl "
-            f"FROM q v CROSS JOIN {c_prev} c GROUP BY v.vec_id)"
+            f"{P}a{it} AS (SELECT v.vec_id, CAST(min({dist}*{k} + c.cl) % {k} AS BIGINT) AS cl "
+            f"FROM {P}q v CROSS JOIN {c_prev} c GROUP BY v.vec_id)"
         )
         ctes.append(
-            f"u{it} AS (SELECT a.cl, u.i, "
+            f"{P}u{it} AS (SELECT a.cl, u.i, "
             f"CAST(floor(CAST(sum(v.q[u.i]) AS DOUBLE)/count(*)) AS BIGINT) AS cv "
-            f"FROM a{it} a JOIN q v USING (vec_id) "
-            f"CROSS JOIN (SELECT DISTINCT unnest(range(1, len(q) + 1)) AS i FROM q) u "
+            f"FROM {P}a{it} a JOIN {P}q v USING (vec_id) "
+            f"CROSS JOIN (SELECT DISTINCT unnest(range(1, len(q) + 1)) AS i FROM {P}q) u "
             f"GROUP BY a.cl, u.i)"
         )
         ctes.append(
-            f"c{it} AS (SELECT p.cl, "
-            f"coalesce((SELECT list(u.cv ORDER BY u.i) FROM u{it} u WHERE u.cl = p.cl), p.c) AS c "
+            f"{P}c{it} AS (SELECT p.cl, "
+            f"coalesce((SELECT list(u.cv ORDER BY u.i) FROM {P}u{it} u WHERE u.cl = p.cl), p.c) AS c "
             f"FROM {c_prev} p)"
         )
-        c_prev = f"c{it}"
+        c_prev = f"{P}c{it}"
     ctes.append(
-        f"afin AS (SELECT v.vec_id, CAST(min({dist}*{k} + c.cl) % {k} AS BIGINT) AS cl "
-        f"FROM q v CROSS JOIN {c_prev} c GROUP BY v.vec_id)"
+        f"{P}afin AS (SELECT v.vec_id, CAST(min({dist}*{k} + c.cl) % {k} AS BIGINT) AS cl "
+        f"FROM {P}q v CROSS JOIN {c_prev} c GROUP BY v.vec_id)"
     )
     return ctes, c_prev
 
@@ -448,3 +451,141 @@ SELECT a.vec_id,
 FROM v2 a
 """
     )
+
+
+# --------------------------------------------------- product quantization
+
+PQ_M = 4        # subspaces (dim must divide evenly)
+PQ_K = 16       # codewords per subspace codebook
+PQ_ITERS = 2
+
+
+def _py_quant(x: float) -> int:
+    """Driver-side quantizer for LITERAL query vectors — round half away
+    from zero at KM_SCALE (the query literal is shared verbatim between
+    engine and oracle, so only self-consistency matters)."""
+    import math
+
+    v = x * KM_SCALE
+    return int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+
+
+def pq_fit_codes(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Product quantization (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): split each vector into ``m`` subvectors,
+    learn an independent ``k``-codeword Lloyd codebook per subspace
+    (operators.similarity._kmeans_fit — exact int64 arithmetic), and store
+    each vector as ``m`` small codes.
+
+    Returns (codes, codebooks): codes = (vec_id, code_0..code_{m-1});
+    codebooks[j][c] = centroid c of subspace j (quantized ints). The codes
+    table is m bytes-ish per vector — the 100 TB memory math that makes
+    billion-vector ANN fit an index: 64 floats → 4 codes.
+    Each subspace fit scans the (tiny, checkpointed) quantized projection;
+    the m fits are vocabulary-of-codebooks work, corpus-touching exactly
+    once per subspace."""
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    codes = None
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * d + 1, d).alias("sub"),
+        )
+        assigned, cents, _ = _kmeans_fit(sub, "sub", "vec_id", k, iters)
+        books.append([list(c) for c in cents])
+        cj = assigned.select("vec_id", F.col("cl").alias(f"code_{j}"))
+        codes = cj if codes is None else codes.join(cj, "vec_id")
+    return codes, books
+
+
+def pq_topk(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: "Sequence[float]",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    top_k: int = 10,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance computation (ADC): the query stays
+    un-quantized-to-codes; its exact distance to every codeword is a tiny
+    driver-side table, and each vector's approximate distance is the SUM
+    of m table lookups on its codes — integer arithmetic end-to-end, so
+    the ranking is bit-stable. Output (vec_id, adc_dist)."""
+    codes, books = pq_fit_codes(emb, vec_col, id_col, m, k, iters)
+    d = len(books[0][0])
+    qq = [_py_quant(x) for x in query]
+    adc = None
+    for j, book in enumerate(books):
+        qsub = qq[j * d : (j + 1) * d]
+        table = [
+            sum((a - b) * (a - b) for a, b in zip(qsub, cent)) for cent in book
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(int(v)) for v in table]),
+            (F.col(f"code_{j}") + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.select("vec_id", adc.cast("long").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(top_k)
+    )
+
+
+def sql_pq_topk(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    query: "Sequence[float]",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    top_k: int = 10,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`pq_topk`: m namespaced Lloyd CTE chains
+    (one per subspace slice), ADC as per-subspace codeword distances to
+    the same quantized query literal, summed over the code joins."""
+    d = dim // m
+    qq = [_py_quant(x) for x in query]
+    ctes: list[str] = []
+    finals: list[tuple[str, str]] = []
+    for j in range(m):
+        sub_ctes, c_prev = _sql_kmeans_ctes(
+            table, f"{vec_col}[{j * d + 1}:{(j + 1) * d}]", id_col, k, iters,
+            prefix=f"p{j}_",
+        )
+        ctes.extend(sub_ctes)
+        finals.append((f"p{j}_afin", c_prev))
+    qlits = {
+        j: "[" + ", ".join(str(v) for v in qq[j * d : (j + 1) * d]) + "]"
+        for j in range(m)
+    }
+    joins = [f"FROM {finals[0][0]} a0 JOIN {finals[0][1]} x0 ON x0.cl = a0.cl"]
+    for j in range(1, m):
+        joins.append(f"JOIN {finals[j][0]} a{j} ON a{j}.vec_id = a0.vec_id")
+        joins.append(f"JOIN {finals[j][1]} x{j} ON x{j}.cl = a{j}.cl")
+    dist_terms = [
+        f"list_sum(list_transform(range(1, {d} + 1), "
+        f"i -> ({qlits[j]}[i] - x{j}.c[i]) * ({qlits[j]}[i] - x{j}.c[i])))"
+        for j in range(m)
+    ]
+    return f"""
+WITH {','.join(ctes)}
+SELECT a0.vec_id, CAST({' + '.join(dist_terms)} AS BIGINT) AS adc_dist
+{chr(10).join(joins)}
+ORDER BY adc_dist, a0.vec_id LIMIT {top_k}
+"""

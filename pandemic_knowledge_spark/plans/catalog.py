@@ -132,6 +132,10 @@ from pandemic_knowledge_spark.operators.embedding import (
     hash_embeddings,
     sql_hash_embeddings,
 )
+from pandemic_knowledge_spark.operators.similarity import (
+    pq_topk,
+    sql_pq_topk,
+)
 from pandemic_knowledge_spark.operators.privacy import (
     k_anonymize,
     sql_k_anonymize_events,
@@ -1369,6 +1373,20 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges
 
 
+@q(
+    "ann_pq_topk",
+    oracle=None,  # set below once QUERY_VEC is defined; see _set_pq_oracle
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011; operators.similarity):
+    4 independent 16-codeword Lloyd codebooks over 16-dim slices, vectors
+    stored as 4 codes, top-10 by asymmetric distance (integer codeword
+    lookup tables, bit-stable ranking). The 64-float to 4-byte compression
+    that fits billion-vector indexes in memory at 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    return pq_topk(e, "embedding", "vec_id", QUERY_VEC)
+
+
 _ANON_K = 5
 _ANON_QUASI_SQL = {
     "day": "CAST(CAST(ts AS DATE) AS VARCHAR)",
@@ -1648,6 +1666,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic 64-dim query vector; exact decimal literals on both engines.
 QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+REGISTRY["ann_pq_topk"] = QuerySpec(
+    REGISTRY["ann_pq_topk"].fn,
+    sql_pq_topk("embeddings", "embedding", "vec_id", QUERY_VEC),
+)
 _QLIT = "[" + ", ".join(repr(x) for x in QUERY_VEC) + "]"
 
 
@@ -4659,6 +4681,7 @@ _DRIVER_PRIORITY = [
     "lm_score_docs",               # new: CCNet-style bigram-LM scoring
     "text_collocations_pmi",       # new: PMI significant-phrase mining
     "privacy_k_anonymize",         # new: quasi-identifier suppression
+    "ann_pq_topk",                 # new: product-quantization ADC top-k
     "lm_ccnet_buckets",            # new: head/middle/tail tertile split
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer

@@ -52,3 +52,47 @@ def test_threshold_monotone(spark):
 def test_every_vector_reported_once(spark):
     got = _run(spark)
     assert sorted(got) == sorted(i for i, _ in VECS)
+
+
+# --------------------------------------------------- product quantization
+
+def test_pq_retrieves_query_cluster(spark):
+    """Three well-separated clusters; ADC top-k must come entirely from
+    the query's cluster (PQ's coarse distances preserve cluster-level
+    ranking even at 4 codes/vector)."""
+    import random
+
+    from pandemic_knowledge_spark.operators.similarity import pq_topk
+
+    rng = random.Random(9)
+    centers = {0: 5.0, 1: -5.0, 2: 0.0}
+    rows = []
+    vid = 0
+    for label, c in centers.items():
+        for _ in range(40):
+            rows.append((vid, label, [c + rng.uniform(-0.3, 0.3) for _ in range(16)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    query = [5.0] * 16
+    top = pq_topk(emb, "embedding", "vec_id", query, m=4, k=8, iters=2, top_k=10)
+    labels = {r.label for r in top.join(emb.select("vec_id", "label"), "vec_id").collect()}
+    assert labels == {0}
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    import random
+
+    from pandemic_knowledge_spark.operators.similarity import pq_fit_codes, pq_topk
+
+    rng = random.Random(1)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes, books = pq_fit_codes(emb, "embedding", "vec_id", m=2, k=4, iters=2)
+    assert len(books) == 2 and all(len(b[0]) == 4 for b in books)
+    got = codes.orderBy("vec_id").collect()
+    assert {r.vec_id for r in got} == set(range(30))
+    assert all(0 <= r.code_0 < 4 and 0 <= r.code_1 < 4 for r in got)
+    q = [0.1] * 8
+    a = pq_topk(emb, "embedding", "vec_id", q, m=2, k=4, iters=2).collect()
+    b = pq_topk(emb, "embedding", "vec_id", q, m=2, k=4, iters=2).collect()
+    assert a == b
