@@ -1,0 +1,90 @@
+"""Totality on degenerate inputs: every new operator must return a sane
+empty/zero result on empty or token-free tables instead of crashing —
+the property that matters when a 100 TB pipeline hits an empty partition
+or a filtered-to-nothing source."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _blank_docs(spark):
+    return spark.createDataFrame([(0, ""), (1, "!!!")], "doc_id long, text string")
+
+
+def test_substring_report_total(spark):
+    from pandemic_knowledge_spark.operators.substrings import duplication_report
+
+    assert duplication_report(_empty_docs(spark)).collect() == []
+    rows = duplication_report(_blank_docs(spark)).collect()
+    assert len(rows) == 2 and all(r.dup_spans == 0 and r.dup_frac == 0.0 for r in rows)
+
+
+def test_lm_and_pmi_total(spark):
+    from pandemic_knowledge_spark.operators.lm import collocations_pmi, lm_score
+
+    assert lm_score(_empty_docs(spark), _empty_docs(spark)).collect() == []
+    assert lm_score(_blank_docs(spark), _blank_docs(spark)).collect() == []
+    assert collocations_pmi(_empty_docs(spark)).collect() == []
+
+
+def test_bpe_total_on_tokenless_corpus(spark):
+    from pandemic_knowledge_spark.operators.bpe import bpe_encode_report, bpe_learn
+
+    merges, vocab = bpe_learn(_blank_docs(spark))
+    assert merges.collect() == [] and vocab.collect() == []
+    rep = bpe_encode_report(_blank_docs(spark)).collect()
+    assert len(rep) == 2 and all(r.n_subwords == 0 for r in rep)
+
+
+def test_pagerank_empty_edges(spark):
+    from pandemic_knowledge_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long, w long")
+    assert pagerank(e).collect() == []
+
+
+def test_quantile_rollup_empty_and_out_of_range(spark):
+    from pandemic_knowledge_spark.operators.sketches import (
+        daily_quantile_rollup,
+        quantiles_over,
+    )
+
+    ev = spark.createDataFrame([], "value double, ts timestamp")
+    rollup = daily_quantile_rollup(ev, "value", "ts")
+    assert quantiles_over(rollup, "2024-01-01", "2024-01-31").collect() == []
+
+
+def test_epidemic_empty_signal(spark):
+    import datetime as dt
+
+    from pandemic_knowledge_spark.operators.epidemic import (
+        daily_counts_dense,
+        rt_cori,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), "click")],
+        "event_id long, ts timestamp, event_type string",
+    )
+    # signal filter matches nothing -> dense zero series, rt all NULL
+    daily = daily_counts_dense(ev, "ts", where=F.col("event_type") == "error")
+    rows = rt_cori(daily).collect()
+    assert len(rows) == 1 and rows[0].cases == 0 and rows[0].rt is None
+
+
+def test_phrase_and_privacy_total(spark):
+    from pandemic_knowledge_spark.operators.privacy import k_anonymize
+    from pandemic_knowledge_spark.operators.search import (
+        build_positional_postings,
+        phrase_search_from_postings,
+    )
+
+    pp = build_positional_postings(_empty_docs(spark), "doc_id", "text")
+    assert phrase_search_from_postings(pp, "a b").collect() == []
+    empty = spark.createDataFrame([], "id long, q string")
+    assert k_anonymize(empty, ["q"], 3).collect() == []

@@ -584,3 +584,15 @@ def test_quantile_rollup_walk_on_sketch_not_facts(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") <= 1, final  # one fact reduction
+
+
+def test_lm_pmi_privacy_pq_no_python_no_cartesian(spark, sf_dir):
+    """The statistical text/privacy/PQ family stays JVM-side: no Python
+    eval nodes; the only nested-loop joins are 1-row scalar broadcasts
+    (vocab size, total bigram count)."""
+    for name in ("lm_score_docs", "text_collocations_pmi",
+                 "privacy_k_anonymize", "ann_pq_topk"):
+        plan = final_plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final, name
