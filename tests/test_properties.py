@@ -211,3 +211,57 @@ def test_redact_pii_masks_planted_identifiers(spark):
     assert got[3] == "call <PHONE> or <PHONE> now"
     # conservative: versions, small numbers, years survive untouched
     assert got[4] == "version 1.2 of lib 3 costs 42 dollars in 2024"
+
+
+# --- decimal-DDSketch bucket properties (hypothesis over the SQL form;
+# DuckDB replays the exact engine expressions without a Spark round-trip
+# per example) ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=0.005, max_value=1e9, allow_nan=False))
+def test_quantile_bucket_decode_within_relative_bound(v):
+    """For any positive value, the bucket midpoint is within 0.5% + one
+    cent of the value (the sketch's guaranteed relative error)."""
+    import duckdb
+
+    est = duckdb.connect().execute(
+        f"""
+        WITH b AS (
+          SELECT CASE WHEN c <= 0 THEN 0
+                      ELSE length(CAST(c AS VARCHAR)) * 1000
+                           + CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT) END AS b
+          FROM (SELECT CAST(round(CAST({v!r} AS DOUBLE) * 100) AS BIGINT) AS c)
+        )
+        SELECT CASE WHEN b = 0 THEN 0.0
+                    ELSE ((CASE WHEN b // 1000 <= 3 THEN CAST(b % 1000 AS DOUBLE)
+                                ELSE (b % 1000) * pow(10.0, b // 1000 - 3) END)
+                        + (CASE WHEN b // 1000 <= 3 THEN CAST(b % 1000 AS DOUBLE)
+                                ELSE (b % 1000 + 1) * pow(10.0, b // 1000 - 3) - 1 END)
+                       ) / 2.0 / 100.0 END
+        FROM b
+        """
+    ).fetchone()[0]
+    assert abs(est - v) <= 0.005 * v + 0.011, (v, est)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=0.01, max_value=1e8, allow_nan=False),
+    st.floats(min_value=1.0001, max_value=50.0),
+)
+def test_quantile_bucket_monotone(v, factor):
+    """Bucket ids are monotone in the value — the property the cumulative
+    walk depends on."""
+    import duckdb
+
+    q = """SELECT CASE WHEN c <= 0 THEN 0
+                  ELSE length(CAST(c AS VARCHAR)) * 1000
+                       + CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT) END
+           FROM (SELECT CAST(round(CAST({} AS DOUBLE) * 100) AS BIGINT) AS c)"""
+    con = duckdb.connect()
+    b1 = con.execute(q.format(repr(v))).fetchone()[0]
+    b2 = con.execute(q.format(repr(v * factor))).fetchone()[0]
+    assert b2 >= b1, (v, v * factor, b1, b2)
