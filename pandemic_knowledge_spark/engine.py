@@ -52,6 +52,7 @@ class Engine:
         self.sf_dir = sf_dir
         self.tables = tables.register_all(spark, sf_dir)
         self._search_indexes: dict[tuple[str, str, str], SearchIndex] = {}
+        self._positional_indexes: dict[tuple, DataFrame] = {}
 
     def search_index(
         self, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
@@ -112,6 +113,30 @@ class Engine:
         if with_highlight:
             out = out.withColumn("highlighted", highlight(text_col, query))
         return out.orderBy(F.desc("score"), id_col)
+
+    def phrase_search(
+        self,
+        phrase: str,
+        k: int = 8,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Exact consecutive-token phrase match (ES match_phrase) from a
+        cached POSITIONAL index — built on first phrase query per table,
+        probed thereafter (operators.search.phrase_search_from_postings);
+        same cache-per-table discipline as the BM25 index."""
+        from pandemic_knowledge_spark.operators.search import (
+            build_positional_postings,
+            phrase_search_from_postings,
+        )
+
+        key = ("pos", table, id_col, text_col)
+        if key not in self._positional_indexes:
+            self._positional_indexes[key] = build_positional_postings(
+                self.table(table), id_col, text_col
+            ).cache()
+        return phrase_search_from_postings(self._positional_indexes[key], phrase, k)
 
     # ------------------------------------------------------------ dashboards
 

@@ -60,3 +60,15 @@ def test_three_token_phrase_and_boundaries(spark):
 def test_absent_phrase_empty(spark):
     rows = [(0, "nothing to see"), (1, "move along")]
     assert _both(spark, rows, "missing phrase") == []
+
+
+def test_engine_phrase_search_cached_index(spark):
+    from pandemic_knowledge_spark.engine import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    a = eng.phrase_search("window table", k=5).collect()
+    # second call probes the cached positional postings (no rebuild)
+    idx_before = dict(eng._positional_indexes)
+    b = eng.phrase_search("window table", k=5).collect()
+    assert a == b and dict(eng._positional_indexes) == idx_before
+    assert all(r.phrase_count >= 1 for r in a)
