@@ -10,9 +10,13 @@ Spark-first re-expression is gram hashing:
 1. one scan tokenizes and emits every L-token gram as
    ``(gram_hash, doc_id, start)`` — |tokens| rows of 24 bytes, the same
    order of magnitude as the corpus itself;
-2. ONE hash shuffle on ``gram_hash`` ranks occurrences
-   (``row_number() OVER (PARTITION BY gram_hash ORDER BY doc_id, start)``)
-   — every occurrence after the first is a duplicated gram;
+2. ONE map-side-combined aggregate on ``gram_hash`` finds each gram's
+   first occurrence (min (doc_id, start) struct) and repeat count; joining
+   grams back to the repeated subset marks every occurrence after the
+   first. (A rank window would compute the same thing but serializes each
+   hash into one task — a hot boilerplate gram becomes a straggler; the
+   combine-then-join form collapses hot keys map-side and leaves skew
+   handling to AQE.)
 3. ONE shuffle on ``doc_id`` merges overlapping/adjacent duplicated gram
    positions into maximal spans (gaps-and-islands: spans ``[s, s+L)`` merge
    while ``start <= prev_start + L``), which is exactly the set of maximal
@@ -27,12 +31,11 @@ quantized to gram starts — a duplicated run of exactly ``m >= L`` tokens is
 recovered exactly (its ``m - L + 1`` grams all repeat and merge back into
 one ``[s, s+m)`` span when the repeats are aligned).
 
-Scale note — the dominant cost is shuffling one row per corpus token. A
-two-pass variant (first pass: ``groupBy(gram_hash).count()`` keeps only
-hashes with count > 1 — tiny output because duplicated grams are rare —
-then a semi-join marks positions) halves the second shuffle's input but
-adds a corpus re-read; the single-pass window form is the default because
-it reads the corpus once and its one wide shuffle is hash-balanced.
+Scale note — the dominant cost is shuffling one row per corpus token into
+the gram aggregate; that shuffle is hash-balanced and map-side combined.
+The grams side of the dup join is the same corpus-sized stream re-derived
+from the scan; the build side (repeated grams only) is small enough to
+broadcast in typical corpora, so the join adds no second wide shuffle.
 
 Cross-engine determinism: gram hash = md5 of the space-joined gram tokens
 (``md5_int``), occurrence rank ordered by the unique key ``(doc_id,
@@ -90,10 +93,24 @@ def duplicated_spans(
     output shape: the spans a cleaning pass would cut.
     """
     grams = _grams(docs, id_col, text_col, gram_len)
-    occ = Window.partitionBy("gram_hash").orderBy("doc_id", "start")
+    # "Every occurrence after the first" WITHOUT a rank window: a
+    # row_number() over gram_hash puts ALL occurrences of one hash in one
+    # task — a hot boilerplate gram (billions of repeats at corpus scale)
+    # becomes a single-partition straggler. The min-struct aggregate gives
+    # the same first occurrence with MAP-SIDE COMBINE (hot keys collapse
+    # to one row per input partition before the shuffle), and the join's
+    # build side holds only grams that repeat at all — rare, usually
+    # broadcastable, and AQE skew-split handles the probe side.
+    per_gram = grams.groupBy("gram_hash").agg(
+        F.min(F.struct("doc_id", "start")).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     dup = (
-        grams.withColumn("occ", F.row_number().over(occ))
-        .where(F.col("occ") > 1)
+        grams.join(per_gram.where(F.col("cnt") > 1), "gram_hash")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("start") != F.col("first.start"))
+        )
         .select("doc_id", "start")
     )
     prev = Window.partitionBy("doc_id").orderBy("start")
