@@ -205,16 +205,13 @@ def remove_duplicated_spans(
 # the Spark plan so engine and oracle cannot drift.
 # ---------------------------------------------------------------------------
 
-def sql_duplication_report(
-    table: str = "documents",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    gram_len: int = GRAM_LEN,
+def _sql_span_ctes(
+    table: str, id_col: str, text_col: str, gram_len: int
 ) -> str:
-    """DuckDB SQL replaying :func:`duplication_report` rule-for-rule."""
+    """Shared CTE body: toks → grams → first-occurrence dedup → merged
+    spans. Used by both the report and the cleaning oracle."""
     gram = f"array_to_string(t[i + 1 : i + {gram_len}], ' ')"
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table}
 ),
 grams AS (
@@ -242,7 +239,18 @@ spans AS (
                sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
         FROM isl)
   GROUP BY doc_id, island
-),
+)"""
+
+
+def sql_duplication_report(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = GRAM_LEN,
+) -> str:
+    """DuckDB SQL replaying :func:`duplication_report` rule-for-rule."""
+    return f"""
+WITH {_sql_span_ctes(table, id_col, text_col, gram_len)},
 per_doc AS (
   SELECT doc_id, count(*) AS dup_spans,
          sum(span_end - span_start) AS dup_tokens
@@ -255,4 +263,32 @@ SELECT b.doc_id,
        round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
              / greatest(len(b.t), 1), 6) AS dup_frac
 FROM toks b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def sql_remove_duplicated_spans(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = GRAM_LEN,
+) -> str:
+    """DuckDB SQL replaying :func:`remove_duplicated_spans`: rebuild each
+    doc from the tokens outside every duplicated span, space-joined."""
+    return f"""
+WITH {_sql_span_ctes(table, id_col, text_col, gram_len)},
+pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, t[u.i + 1] AS tok
+  FROM toks, UNNEST(range(len(t))) AS u(i)
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok
+  FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.i >= s.span_start AND p.i < s.span_end)
+)
+SELECT b.doc_id,
+       coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
+                 FROM kept k WHERE k.doc_id = b.doc_id), '') AS clean_text
+FROM toks b
 """

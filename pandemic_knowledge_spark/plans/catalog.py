@@ -120,7 +120,9 @@ from pandemic_knowledge_spark.operators.search import (
 from pandemic_knowledge_spark.operators.skew import salted_agg
 from pandemic_knowledge_spark.operators.substrings import (
     duplication_report,
+    remove_duplicated_spans,
     sql_duplication_report,
+    sql_remove_duplicated_spans,
 )
 from pandemic_knowledge_spark.operators.bpe import (
     bpe_encode_report,
@@ -1575,6 +1577,19 @@ def epi_outbreak_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z",
         "spike",
     )
+
+
+@q(
+    "dedup_substring_clean",
+    oracle=sql_remove_duplicated_spans("documents", "doc_id", "text"),
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al cleaning pass itself (operators.substrings): every
+    duplicated span cut, first occurrence kept, docs reassembled from the
+    surviving tokens — the driver checks the actual cleaned text, not
+    just the span accounting."""
+    d = load(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, "doc_id", "text")
 
 
 @q(
@@ -4670,6 +4685,7 @@ _DRIVER_PRIORITY = [
     # tier C = r1-only green rows, oldest first — refreshed while slots last.
     # --- tier A: r3 new / changed ---
     "dedup_substring_spans",       # new: Lee et al. exact substring dedup
+    "dedup_substring_clean",       # new: the span-cut cleaning pass
     "epi_rt_daily",                # new: Cori Rt over daily incidence
     "epi_outbreak_spikes",         # new: trailing-baseline z-score alarm
     "sketch_quantile_rollup",      # new: decimal-DDSketch range quantiles
