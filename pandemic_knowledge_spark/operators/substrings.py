@@ -10,13 +10,12 @@ Spark-first re-expression is gram hashing:
 1. one scan tokenizes and emits every L-token gram as
    ``(gram_hash, doc_id, start)`` — |tokens| rows of 24 bytes, the same
    order of magnitude as the corpus itself;
-2. ONE map-side-combined aggregate on ``gram_hash`` finds each gram's
-   first occurrence (min (doc_id, start) struct) and repeat count; joining
-   grams back to the repeated subset marks every occurrence after the
-   first. (A rank window would compute the same thing but serializes each
-   hash into one task — a hot boilerplate gram becomes a straggler; the
-   combine-then-join form collapses hot keys map-side and leaves skew
-   handling to AQE.)
+2. every occurrence after the first (ordered by (doc_id, start)) is a
+   duplicated gram — found by a rank window below the size gate (one
+   shuffle, fastest small) or by a map-side-combined min-struct aggregate
+   + repeat-subset join above it (hot-gram-proof; see
+   :func:`_dup_positions_combine`), auto-dispatched like the MinHash
+   scale path;
 3. ONE shuffle on ``doc_id`` merges overlapping/adjacent duplicated gram
    positions into maximal spans (gaps-and-islands: spans ``[s, s+L)`` merge
    while ``start <= prev_start + L``), which is exactly the set of maximal
@@ -79,33 +78,37 @@ def _grams(docs: DataFrame, id_col: str, text_col: str, gram_len: int) -> DataFr
     )
 
 
-def duplicated_spans(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    gram_len: int = GRAM_LEN,
-) -> DataFrame:
-    """Maximal duplicated-substring spans, first occurrence exempt.
+SKEW_THRESHOLD_CONF = "spark.pandemic_knowledge.substrings.skewSafeThresholdBytes"
+SKEW_THRESHOLD_DEFAULT = 1 << 30  # same 1 GiB frontier as the minhash gate
 
-    Returns (doc_id, span_start, span_end) in TOKEN offsets: every maximal
-    run of tokens ``[span_start, span_end)`` that repeats somewhere earlier
-    in the corpus ("earlier" = smaller ``(doc_id, start)``). Lee et al. §4's
-    output shape: the spans a cleaning pass would cut.
-    """
-    grams = _grams(docs, id_col, text_col, gram_len)
-    # "Every occurrence after the first" WITHOUT a rank window: a
-    # row_number() over gram_hash puts ALL occurrences of one hash in one
-    # task — a hot boilerplate gram (billions of repeats at corpus scale)
-    # becomes a single-partition straggler. The min-struct aggregate gives
-    # the same first occurrence with MAP-SIDE COMBINE (hot keys collapse
-    # to one row per input partition before the shuffle), and the join's
-    # build side holds only grams that repeat at all — rare, usually
-    # broadcastable, and AQE skew-split handles the probe side.
+
+def _dup_positions_window(grams: DataFrame) -> DataFrame:
+    """Rank-window form: ONE shuffle, single gram derivation — fastest
+    while no gram hash is hot enough to straggle a task (small/medium
+    corpora, page-cache scale)."""
+    occ = Window.partitionBy("gram_hash").orderBy("doc_id", "start")
+    return (
+        grams.withColumn("occ", F.row_number().over(occ))
+        .where(F.col("occ") > 1)
+        .select("doc_id", "start")
+    )
+
+
+def _dup_positions_combine(grams: DataFrame) -> DataFrame:
+    """Skew-safe form: the rank window puts ALL occurrences of one hash in
+    one task — a hot boilerplate gram (billions of repeats at corpus
+    scale) becomes a single-partition straggler. The min-struct aggregate
+    finds the same first occurrence with MAP-SIDE COMBINE (hot keys
+    collapse per input partition before the shuffle); the join's build
+    side holds only grams that repeat at all — rare, usually
+    broadcastable — and AQE skew-split handles the probe. Costs a second
+    gram derivation (mitigated by the caller's cache), which is why it is
+    the above-threshold path, not the default."""
     per_gram = grams.groupBy("gram_hash").agg(
         F.min(F.struct("doc_id", "start")).alias("first"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    dup = (
+    return (
         grams.join(per_gram.where(F.col("cnt") > 1), "gram_hash")
         .where(
             (F.col("doc_id") != F.col("first.doc_id"))
@@ -113,6 +116,45 @@ def duplicated_spans(
         )
         .select("doc_id", "start")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = GRAM_LEN,
+    skew_safe: bool | None = None,
+) -> DataFrame:
+    """Maximal duplicated-substring spans, first occurrence exempt.
+
+    Returns (doc_id, span_start, span_end) in TOKEN offsets: every maximal
+    run of tokens ``[span_start, span_end)`` that repeats somewhere earlier
+    in the corpus ("earlier" = smaller ``(doc_id, start)``). Lee et al. §4's
+    output shape: the spans a cleaning pass would cut.
+
+    ``skew_safe`` picks the first-occurrence strategy: False = rank window
+    (one shuffle, fastest small), True = combine+join (hot-gram-proof, the
+    100 TB form), None = auto on the Catalyst size estimate vs
+    ``spark.pandemic_knowledge.substrings.skewSafeThresholdBytes`` (1 GiB
+    default) — the same gate shape as the MinHash dispatcher.
+    """
+    if skew_safe is None:
+        thresh = int(
+            docs.sparkSession.conf.get(
+                SKEW_THRESHOLD_CONF, str(SKEW_THRESHOLD_DEFAULT)
+            )
+        )
+        est = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        skew_safe = est >= thresh
+    grams = _grams(docs, id_col, text_col, gram_len)
+    if skew_safe:
+        # cache: the combine form derives grams twice (aggregate + probe);
+        # MEMORY_AND_DISK blocks are evictable, so at corpus scale this
+        # degrades to the recompute it replaces rather than OOMing.
+        grams = grams.cache()
+        dup = _dup_positions_combine(grams)
+    else:
+        dup = _dup_positions_window(grams)
     prev = Window.partitionBy("doc_id").orderBy("start")
     spans = (
         dup.withColumn(

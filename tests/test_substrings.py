@@ -131,3 +131,41 @@ def test_quantized_boundaries_vs_brute(spark):
     rows = [(d, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 40))))
             for d in range(25)]
     assert _spans(spark, rows) == brute_spans(rows)
+
+
+def test_both_first_occurrence_forms_identical(spark):
+    """The rank-window and the skew-safe combine+join forms must produce
+    identical spans on a collision-heavy corpus."""
+    from pandemic_knowledge_spark.operators.substrings import duplicated_spans
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "d"]
+    rows = [(d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 35))))
+            for d in range(40)]
+    docs = _docs(spark, rows)
+    w = sorted(map(tuple, duplicated_spans(docs, gram_len=L, skew_safe=False).collect()))
+    c = sorted(map(tuple, duplicated_spans(docs, gram_len=L, skew_safe=True).collect()))
+    assert w == c
+
+
+def test_skew_gate_dispatches_on_threshold(spark):
+    from pandemic_knowledge_spark.operators.substrings import (
+        SKEW_THRESHOLD_CONF,
+        duplicated_spans,
+    )
+
+    # must be a parquet-backed frame: LocalRelations report unknown stats
+    # (Long.MaxValue) and always dispatch to the skew-safe form
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = spark.conf.get(SKEW_THRESHOLD_CONF, None)
+    try:
+        spark.conf.set(SKEW_THRESHOLD_CONF, "1")  # everything is "big"
+        plan_big = duplicated_spans(docs, gram_len=L)._jdf.queryExecution().optimizedPlan().toString()
+        spark.conf.set(SKEW_THRESHOLD_CONF, str(1 << 40))
+        plan_small = duplicated_spans(docs, gram_len=L)._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(SKEW_THRESHOLD_CONF)
+        else:
+            spark.conf.set(SKEW_THRESHOLD_CONF, old)
+    assert "row_number" not in plan_big and "row_number" in plan_small
