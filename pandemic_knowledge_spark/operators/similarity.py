@@ -589,3 +589,36 @@ SELECT a0.vec_id, CAST({' + '.join(dist_terms)} AS BIGINT) AS adc_dist
 {chr(10).join(joins)}
 ORDER BY adc_dist, a0.vec_id LIMIT {top_k}
 """
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    query: "Sequence[float]",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    top_k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ: the two-stage billion-scale ANN shape (FAISS's IVFADC) —
+    coarse cells prune the corpus to nprobe partitions (partition pruning
+    on a cell-partitioned layout), then PQ asymmetric distance ranks only
+    the surviving vectors. Composes :func:`ivf_topk`'s cell probe with
+    :func:`pq_topk`'s code ranking; the PQ codebooks here are fit on the
+    probed subset (at ingest scale you fit them corpus-wide once and store
+    codes alongside the cell id — the probe then touches codes only)."""
+    q = query_vec_col(query)
+    cents = centroids_by_label(emb, vec_col, cell_col)
+    top_cells = (
+        cents.select("cell", F.round(cosine(F.col("centroid"), q), 6).alias("cc"))
+        .orderBy(F.desc("cc"), F.col("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    pruned = emb.join(
+        F.broadcast(top_cells), emb[cell_col] == top_cells["cell"], "left_semi"
+    )
+    return pq_topk(pruned, vec_col, id_col, query, m=m, k=k, iters=iters, top_k=top_k)

@@ -96,3 +96,28 @@ def test_pq_codes_shape_and_determinism(spark):
     a = pq_topk(emb, "embedding", "vec_id", q, m=2, k=4, iters=2).collect()
     b = pq_topk(emb, "embedding", "vec_id", q, m=2, k=4, iters=2).collect()
     assert a == b
+
+
+def test_ivfpq_prunes_cells_and_ranks_within(spark):
+    """IVF-PQ: results come only from the probed cells, and on separated
+    clusters the query's own cluster dominates the top-k."""
+    import random
+
+    from pandemic_knowledge_spark.operators.similarity import ivfpq_topk
+
+    rng = random.Random(21)
+    rows = []
+    vid = 0
+    for cell, center in ((0, 4.0), (1, -4.0), (2, 0.5)):
+        for _ in range(30):
+            rows.append(
+                (vid, cell, [center + rng.uniform(-0.2, 0.2) for _ in range(16)])
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    top = ivfpq_topk(
+        emb, "embedding", "vec_id", "label", [4.0] * 16,
+        m=4, k=8, iters=2, top_k=10, nprobe=1,
+    )
+    hits = top.join(emb.select("vec_id", "label"), "vec_id").collect()
+    assert len(hits) == 10 and {r.label for r in hits} == {0}
