@@ -96,6 +96,7 @@ def compact_partitions(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    sort_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """Small-file compaction (the OPTIMIZE maintenance job): rewrite each
     hive partition whose file count exceeds what its byte size needs into
@@ -139,7 +140,14 @@ def compact_partitions(
         part_str = part.toString()
         df = spark.read.parquet(part_str)
         tmp = jvm.org.apache.hadoop.fs.Path(part.getParent(), "_compact_tmp_" + name)
-        df.repartition(int(n_target)).write.mode("overwrite").parquet(tmp.toString())
+        out = df.repartition(int(n_target))
+        if sort_cols:
+            # re-establish the in-file clustering the original writer laid
+            # down (io.write_facts_partitioned sortWithinPartitions) — a
+            # plain rewrite would shuffle rows arbitrarily and destroy the
+            # row-group min/max pruning the layout exists for.
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").parquet(tmp.toString())
         # drop the writer's _SUCCESS marker, then swap directories
         marker = jvm.org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
         if fs.exists(marker):

@@ -191,3 +191,26 @@ def test_compact_partitions_merges_small_files_losslessly(spark, tmp_path):
     assert sorted(map(tuple, after.drop("p_date").collect())) == rows_before
     # idempotent: second run finds nothing fragmented
     assert compact_partitions(spark, path, target_file_bytes=1 << 30) == []
+
+
+def test_compact_preserves_in_file_clustering(spark, tmp_path):
+    """With sort_cols, compacted files keep the cluster-column ordering the
+    original layout had — row-group min/max pruning survives compaction."""
+    from pandemic_knowledge_spark.io import compact_partitions, write_facts_partitioned
+    from pandemic_knowledge_spark.tables import load
+
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("date_start", F.col("ts").cast("date"))
+        .withColumn("iso_code2", F.concat(F.lit("u"), F.col("user_id") % 20))
+    )
+    path = str(tmp_path / "facts")
+    write_facts_partitioned(ev, path, date_col="date_start", max_records_per_file=9)
+    report = compact_partitions(
+        spark, path, target_file_bytes=1 << 30, sort_cols=("iso_code2",)
+    )
+    assert report
+    import glob
+    for f in glob.glob(f"{path}/p_date=*/*.parquet")[:5]:
+        vals = [r.iso_code2 for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals), f
