@@ -1530,10 +1530,13 @@ def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search_from_postings(pp, _PHRASE_QUERY, 10)
 
 
+_QROLL_LO, _QROLL_HI = "2024-01-08", "2024-01-22"
+
+
 @q(
     "sketch_quantile_rollup",
     oracle=sql_quantiles_over(
-        "day BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'"
+        f"day BETWEEN DATE '{_QROLL_LO}' AND DATE '{_QROLL_HI}'"
     ),
 )
 def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1546,7 +1549,7 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup-merge == direct computation."""
     ev = load(spark, sf_dir, "events")
     rollup = daily_quantile_rollup(ev, "value", "ts")
-    return quantiles_over(rollup, F.lit("2024-01-08"), F.lit("2024-01-22"))
+    return quantiles_over(rollup, F.lit(_QROLL_LO), F.lit(_QROLL_HI))
 
 
 @q("epi_rt_daily", oracle=sql_rt_cori(), bench=False)
