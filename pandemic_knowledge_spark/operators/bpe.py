@@ -37,7 +37,7 @@ N_MERGES = 8
 END_MARK = "</w>"  # end-of-word sentinel so merges can't cross words
 
 
-def word_vocab(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, freq, syms) — the weighted vocabulary with each word split
     into characters + the end-of-word mark. The one corpus-sized pass."""
     return (
@@ -99,7 +99,7 @@ def bpe_learn(
     (vocab-sized, not corpus-sized) and truncates lineage so the k-round
     loop doesn't grow the plan."""
     spark = docs.sparkSession
-    vocab = word_vocab(docs, id_col, text_col).localCheckpoint(eager=True)
+    vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for it in range(1, n_merges + 1):
         top = (

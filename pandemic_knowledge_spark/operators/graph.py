@@ -19,7 +19,7 @@ DuckDB oracle (which unrolls the same k iterations as CTEs from the same
 constants). Floating-point PageRank cannot make that promise: the
 per-node contribution sum would depend on partition order.
 
-Semantics: per-node damped rank r'_v = (15·SCALE)/100 +
+Semantics: per-node damped rank r'_v = ((100−85)·SCALE)/100 +
 (85 · Σ_{u→v} (r_u · w_uv) div W_u) / 100, uniform init r = SCALE (the
 "per-node units" normalization: ranks average ≈ SCALE, independent of
 graph size). Floor-division drops < 1 micro-unit per edge per round —
@@ -40,15 +40,26 @@ ITERS = 5
 def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     """Weighted PageRank over directed ``edges(src, dst, w)``.
 
-    Returns (node, rank) in micro-units after ``iters`` rounds. Nodes are
-    whatever integer ids the edge list uses; every node must have at least
-    one out-edge (symmetrize the graph first if needed — dangling mass is
-    not redistributed here).
+    Returns (node, rank) in micro-units after ``iters`` rounds, one row
+    per node in src ∪ dst. Nodes with no in-edges keep their teleport-base
+    rank and keep contributing; dangling nodes (no out-edges) receive but
+    contribute nothing — their mass is dropped, not redistributed (the
+    usual simplification; symmetrize the graph if you need conservation).
     """
     edges = edges.select("src", "dst", "w")
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    ranks = outw.select(F.col("src").alias("node"), F.lit(SCALE).alias("r"))
-    base = (15 * SCALE) // DAMP_DEN
+    # Node universe = src ∪ dst: a node with out-edges but no in-edges
+    # receives no contributions, but it must KEEP its teleport-base rank
+    # and keep contributing — rebuilding ranks from the contribution
+    # aggregate alone would silently drop it after round 1.
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(SCALE).alias("r"))
+    base = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
     # Materialize the weighted edge list ONCE, hash-partitioned by dst —
     # every iteration broadcast-joins the (small) rank table onto it and
     # aggregates by dst, so with the dst partitioning baked into the
@@ -58,14 +69,20 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     e = edges.join(outw, "src").repartition("dst").localCheckpoint(eager=True)
     for it in range(1, iters + 1):
         contrib = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(F.broadcast(ranks), e.src == ranks.node)
             .select(
                 "dst",
                 F.expr(f"(r * w) div w_out").alias("c"),
             )
         )
-        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
-            F.expr(f"{base} + ({DAMP_NUM} * sum(c)) div {DAMP_DEN}").alias("r")
+        recv = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        ranks = nodes.join(recv, "node", "left").select(
+            "node",
+            F.expr(
+                f"{base} + ({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}"
+            ).alias("r"),
         )
         # Truncate lineage periodically, not per round: a checkpoint is a
         # full job barrier, and short loops run faster as ONE fused job;
@@ -97,7 +114,7 @@ def trade_graph_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
 def sql_trade_pagerank(top_k: int = 20, iters: int = ITERS) -> str:
     """DuckDB oracle: the SAME fixed-point iteration unrolled as ``iters``
     chained CTEs, from the same SCALE/DAMP constants."""
-    base = (15 * SCALE) // DAMP_DEN
+    base = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
     ctes = [
         f"""pairs AS (
   SELECT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode,
@@ -111,17 +128,23 @@ def sql_trade_pagerank(top_k: int = 20, iters: int = ITERS) -> str:
   SELECT snode AS src, cnode AS dst, w FROM pairs
 )""",
         """outw AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY src)""",
-        f"""iter0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS r FROM outw)""",
+        """nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges))""",
+        f"""iter0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS r FROM nodes)""",
     ]
     for k in range(1, iters + 1):
         ctes.append(
             f"""iter{k} AS (
-  SELECT e.dst AS node,
-         {base} + ({DAMP_NUM} * sum((i.r * e.w) // o.w_out)) // {DAMP_DEN} AS r
-  FROM edges e
-  JOIN iter{k - 1} i ON e.src = i.node
-  JOIN outw o ON o.src = e.src
-  GROUP BY e.dst
+  SELECT n.node,
+         {base} + ({DAMP_NUM} * coalesce(rcv.s, 0)) // {DAMP_DEN} AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, sum((i.r * e.w) // o.w_out) AS s
+    FROM edges e
+    JOIN iter{k - 1} i ON e.src = i.node
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) rcv ON rcv.node = n.node
 )"""
         )
     return f"""

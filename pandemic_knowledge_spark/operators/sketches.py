@@ -54,7 +54,7 @@ def distinct_over_range(
 def whole_range_estimate(
     events: DataFrame, key_col: str, ts_col: str, lo: str, hi: str,
     lg_k: int = LG_K,
-) -> Column:
+) -> DataFrame:
     """Direct (non-rollup) estimate over the same range — the reference
     the rollup path must reproduce exactly."""
     day = F.date_trunc("day", F.col(ts_col)).cast("date")

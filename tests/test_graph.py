@@ -16,17 +16,19 @@ from pandemic_knowledge_spark.operators.graph import (
 
 
 def brute_pagerank(edges, iters=ITERS):
-    """edges: [(src, dst, w)] — same int64 semantics as the Spark plan."""
+    """edges: [(src, dst, w)] — same int64 semantics as the Spark plan:
+    node universe src ∪ dst, zero-contribution nodes keep the base."""
     out_w: dict[int, int] = {}
     for s, _, w in edges:
         out_w[s] = out_w.get(s, 0) + w
-    r = {n: SCALE for n in out_w}
-    base = (15 * SCALE) // DAMP_DEN
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    r = {n: SCALE for n in nodes}
+    base = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
     for _ in range(iters):
         acc: dict[int, int] = {}
         for s, d, w in edges:
             acc[d] = acc.get(d, 0) + (r[s] * w) // out_w[s]
-        r = {d: base + (DAMP_NUM * c) // DAMP_DEN for d, c in acc.items()}
+        r = {n: base + (DAMP_NUM * acc.get(n, 0)) // DAMP_DEN for n in nodes}
     return r
 
 
@@ -70,3 +72,13 @@ def test_symmetric_pair_equal_ranks(spark):
     edges = _symmetrize([(0, 1, 3)])
     ranks = _spark_ranks(spark, edges)
     assert ranks[0] == ranks[1]
+
+
+def test_asymmetric_graph_keeps_source_only_nodes(spark):
+    """A node with out-edges but no in-edges survives every round at the
+    teleport base and keeps feeding its neighbors (the silent-drop bug
+    class: rebuilding ranks from the contribution aggregate alone)."""
+    edges = [(1, 2, 1), (2, 3, 1), (3, 2, 1)]
+    ranks = _spark_ranks(spark, edges)
+    assert ranks == brute_pagerank(edges)
+    assert 1 in ranks and ranks[1] == (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
