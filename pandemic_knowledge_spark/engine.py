@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from pandemic_knowledge_spark import tables
 from pandemic_knowledge_spark.functions.geo import grid_cell
+from pandemic_knowledge_spark.functions.text import query_terms
 from pandemic_knowledge_spark.operators.search import SearchIndex, bm25_search
 
 
@@ -27,7 +28,7 @@ def highlight_pattern(query: str) -> str | None:
     """The (?i)-whole-word alternation both engines must share: the Spark
     highlight() below and any oracle SQL derive their regex from THIS one
     builder, so lowercasing and metacharacter escaping can never drift."""
-    terms = sorted({re.escape(t) for t in query.lower().split() if t})
+    terms = sorted({re.escape(t) for t in query_terms(query)})
     if not terms:
         return None
     return r"(?i)\b(" + "|".join(terms) + r")\b"

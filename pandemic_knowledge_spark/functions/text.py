@@ -38,6 +38,17 @@ def tokenize(col: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
 
 
+def query_terms(query: str) -> list[str]:
+    """Tokenize a QUERY STRING with the same rule as the corpus tokenizer
+    (TOKEN_RE) — ES analyzes queries with the index analyzer; a whitespace
+    split would make any punctuated query ('covid-19') unmatchable. Every
+    search/phrase/highlight entry point derives its terms from THIS helper
+    so query- and corpus-side analysis can never drift."""
+    import re
+
+    return re.findall(TOKEN_RE, query.lower())
+
+
 def sql_tokenize(col_sql: str) -> str:
     """DuckDB-equivalent of :func:`tokenize`."""
     return f"regexp_extract_all(lower({col_sql}), '{TOKEN_RE}')"

@@ -121,6 +121,21 @@ def compact_partitions(
     hconf = jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(hconf)
+    # Crash recovery preamble: a kill between the two swap renames leaves
+    # the partition parked as _compact_old_<name> (data intact, table
+    # missing the partition) and possibly a _compact_tmp_<name>. Restore
+    # the old dir if its partition is absent, then clear leftovers — so a
+    # re-run self-heals instead of permanently skipping underscore dirs.
+    for st in fs.listStatus(root):
+        nm = st.getPath().getName()
+        if nm.startswith("_compact_old_"):
+            orig = jvm.org.apache.hadoop.fs.Path(root, nm[len("_compact_old_"):])
+            if not fs.exists(orig):
+                fs.rename(st.getPath(), orig)
+            else:
+                fs.delete(st.getPath(), True)
+        elif nm.startswith("_compact_tmp_"):
+            fs.delete(st.getPath(), True)
     report: list[dict] = []
     for st in fs.listStatus(root):
         if not st.isDirectory():

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandemic_knowledge_spark.functions.text import sql_tokenize, tokenize
+from pandemic_knowledge_spark.functions.text import query_terms, sql_tokenize, tokenize
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -39,7 +39,7 @@ def bm25_search(
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson-Sparck Jones, the
     Lucene/ES formula]; tf component uses k1=1.2, b=0.75.
     """
-    q_terms = sorted(set(query.lower().split()))
+    q_terms = sorted(set(query_terms(query)))
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
     ).withColumn("dl", F.size("toks"))
@@ -102,7 +102,7 @@ def bm25_search_fields(
     Candidate rows are only docs matching >= 1 query term in >= 1 field, so
     the expensive stages are bounded by matches, not corpus size.
     """
-    q_terms = sorted(set(query.lower().split()))
+    q_terms = sorted(set(query_terms(query)))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         *[tokenize(c).alias(f"__toks_{i}") for i, c in enumerate(field_cols)],
@@ -181,7 +181,7 @@ def sql_bm25_search_fields(
     ``field_exprs`` maps field name → SQL expression deriving that field's
     text from the table's columns (must match the Spark-side derivation).
     """
-    q_terms = sorted(set(query.lower().split()))
+    q_terms = sorted(set(query_terms(query)))
     terms_list = ", ".join(f"'{t}'" for t in q_terms)
     branches = " UNION ALL ".join(
         f"SELECT {id_col} AS doc_id, '{name}' AS field, "
@@ -221,7 +221,7 @@ ORDER BY score DESC, doc_id LIMIT {k}
 
 def sql_bm25_search(table: str, id_col: str, text_col: str, query: str, k: int = 10) -> str:
     """DuckDB SQL reproducing :func:`bm25_search` exactly."""
-    q_terms = sorted(set(query.lower().split()))
+    q_terms = sorted(set(query_terms(query)))
     terms_list = ", ".join(f"'{t}'" for t in q_terms)
     return f"""
 WITH base AS (
@@ -313,7 +313,7 @@ def bm25_from_postings(
     only query-term rows, and (doc_id, term) rows are unique, so a plain
     count per term IS the document frequency) — cheaper than persisting and
     probing a second table."""
-    q_terms = sorted(set(query.lower().split()))
+    q_terms = sorted(set(query_terms(query)))
     buckets = sorted({term_bucket_py(t) for t in q_terms})
     p = postings.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(q_terms)
@@ -588,7 +588,7 @@ def bm25_fields_from_postings(
     output to :func:`bm25_search_fields`, no corpus tokenize at query time.
     Per-(field, term) df recomputes from the pruned postings (rows unique
     per (field, doc, term) → plain count)."""
-    q_terms = sorted(set(query.lower().split()))
+    q_terms = sorted(set(query_terms(query)))
     buckets = sorted({term_bucket_py(t) for t in q_terms})
     p = postings.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(q_terms)
@@ -670,7 +670,7 @@ def phrase_search_from_postings(
     size = the phrase term frequency). Handles repeated phrase terms
     (every offset joins independently). The probe touches only the phrase
     terms' buckets → partition-pruned at scale."""
-    terms = phrase.lower().split()
+    terms = query_terms(phrase)
     m = len(terms)
     buckets = sorted({term_bucket_py(t) for t in terms})
     offsets = F.posexplode(F.array(*[F.lit(t) for t in terms])).alias("off", "term")
@@ -708,7 +708,7 @@ def phrase_search(
     one-shot query uses when no index is materialized. Counts phrase
     starts scan-side over the token array (codegen, no shuffle until the
     top-k)."""
-    terms = phrase.lower().split()
+    terms = query_terms(phrase)
     m = len(terms)
     toks = tokenize(text_col)
     starts = F.filter(
@@ -736,7 +736,7 @@ def sql_phrase_search(
     """DuckDB oracle for both phrase-search forms: token-level consecutive
     match over the same tokenizer — no regex lookarounds (RE2 has none),
     the token array IS the semantics."""
-    terms = phrase.lower().split()
+    terms = query_terms(phrase)
     m = len(terms)
     conds = " AND ".join(
         f"t[i + {j}] = '{t}'" for j, t in enumerate(terms)

@@ -77,6 +77,16 @@ def ivf_topk(
     """IVF probe: rank cells by centroid-cosine, scan only the top-nprobe
     cells, exact cosine inside them. The cell filter is an equi-IN filter →
     partition pruning on a cell-partitioned layout."""
+    pruned = _probe_cells(emb, vec_col, cell_col, query, nprobe)
+    return knn_brute_force(pruned, vec_col, id_col, query, k)
+
+
+def _probe_cells(
+    emb: DataFrame, vec_col: str, cell_col: str, query: Sequence[float], nprobe: int
+) -> DataFrame:
+    """Prune the corpus to the top-nprobe cells by centroid cosine — the
+    shared coarse stage of ivf_topk and ivfpq_topk (one probe definition,
+    so rounding/tie-break/nprobe semantics cannot desynchronize)."""
     q = query_vec_col(query)
     cents = centroids_by_label(emb, vec_col, cell_col)
     top_cells = (
@@ -85,10 +95,9 @@ def ivf_topk(
         .limit(nprobe)
         .select("cell")
     )
-    pruned = emb.join(
+    return emb.join(
         F.broadcast(top_cells), emb[cell_col] == top_cells["cell"], "left_semi"
     )
-    return knn_brute_force(pruned, vec_col, id_col, query, k)
 
 
 RP_SEED = 7
@@ -610,15 +619,5 @@ def ivfpq_topk(
     :func:`pq_topk`'s code ranking; the PQ codebooks here are fit on the
     probed subset (at ingest scale you fit them corpus-wide once and store
     codes alongside the cell id — the probe then touches codes only)."""
-    q = query_vec_col(query)
-    cents = centroids_by_label(emb, vec_col, cell_col)
-    top_cells = (
-        cents.select("cell", F.round(cosine(F.col("centroid"), q), 6).alias("cc"))
-        .orderBy(F.desc("cc"), F.col("cell"))
-        .limit(nprobe)
-        .select("cell")
-    )
-    pruned = emb.join(
-        F.broadcast(top_cells), emb[cell_col] == top_cells["cell"], "left_semi"
-    )
+    pruned = _probe_cells(emb, vec_col, cell_col, query, nprobe)
     return pq_topk(pruned, vec_col, id_col, query, m=m, k=k, iters=iters, top_k=top_k)

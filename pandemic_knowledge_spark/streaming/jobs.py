@@ -48,6 +48,11 @@ def owid_stream_ingest(
     reader = (
         spark.readStream.schema(OWID_LANDING_SCHEMA)
         .option("header", "true")
+        # CSV user-schemas map by POSITION; enforceSchema=false makes Spark
+        # validate the file header against the schema's field names and
+        # fail loudly on a reordered/foreign file instead of silently
+        # reading iso_code values into the date column.
+        .option("enforceSchema", "false")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -214,3 +214,64 @@ def test_compact_preserves_in_file_clustering(spark, tmp_path):
     for f in glob.glob(f"{path}/p_date=*/*.parquet")[:5]:
         vals = [r.iso_code2 for r in spark.read.parquet(f).collect()]
         assert vals == sorted(vals), f
+
+
+def test_compact_recovers_from_interrupted_swap(spark, tmp_path):
+    """A kill between the two swap renames parks the partition as
+    _compact_old_<name>; the next run must restore it (and clear tmp
+    leftovers) instead of skipping underscore dirs forever."""
+    import glob
+    import os
+
+    from pandemic_knowledge_spark.io import compact_partitions, write_facts_partitioned
+    from pandemic_knowledge_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "date_start", F.col("ts").cast("date")
+    )
+    path = str(tmp_path / "facts")
+    write_facts_partitioned(
+        ev, path, date_col="date_start", cluster_col=None, max_records_per_file=7
+    )
+    rows_before = sorted(
+        map(tuple, spark.read.parquet(path).drop("p_date").collect())
+    )
+    # simulate the crash window: one partition renamed aside, a tmp left over
+    part = sorted(glob.glob(f"{path}/p_date=*"))[0]
+    name = os.path.basename(part)
+    os.rename(part, f"{path}/_compact_old_{name}")
+    os.makedirs(f"{path}/_compact_tmp_{name}", exist_ok=True)
+
+    report = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert report  # compaction proceeded after recovery
+    assert not glob.glob(f"{path}/_compact_*")
+    rows_after = sorted(
+        map(tuple, spark.read.parquet(path).drop("p_date").collect())
+    )
+    assert rows_after == rows_before
+
+
+def test_owid_stream_rejects_reordered_header(spark, tmp_path, lookup_dim, owid_paths):
+    """CSV user-schemas map by position; enforceSchema=false makes the
+    stream FAIL on a file whose header order differs from the landing
+    schema instead of silently reading iso_code values as dates."""
+    import pytest
+
+    with open(owid_paths[0]) as f:
+        header = f.readline().rstrip("\n").split(",")
+        body = f.read()
+    landing = tmp_path / "landing_bad"
+    landing.mkdir()
+    reordered = ",".join(header[1:] + header[:1])
+    (landing / "bad.csv").write_text(reordered + "\n" + body)
+
+    q = owid_stream_ingest(
+        spark, str(landing), lookup_dim,
+        str(tmp_path / "out_bad"), str(tmp_path / "cp_bad"), available_now=True,
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(120)
+    assert "stream_failed" in str(exc.value).lower()
+    # and nothing corrupt was committed
+    import glob
+    assert not glob.glob(str(tmp_path / "out_bad" / "*.parquet"))

@@ -72,3 +72,17 @@ def test_engine_phrase_search_cached_index(spark):
     b = eng.phrase_search("window table", k=5).collect()
     assert a == b and dict(eng._positional_indexes) == idx_before
     assert all(r.phrase_count >= 1 for r in a)
+
+
+def test_punctuated_query_analyzed_like_corpus(spark):
+    """Query strings pass through the corpus tokenizer: 'covid-19' must
+    match documents containing 'covid 19' as consecutive tokens (ES
+    analyzes queries with the index analyzer; a whitespace split made any
+    punctuated query unmatchable)."""
+    from pandemic_knowledge_spark.operators.search import bm25_search
+
+    rows = [(0, "new covid-19 wave reported"), (1, "unrelated text entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert _both(spark, rows, "covid-19") == [(0, 1)]
+    hits = bm25_search(docs, "doc_id", "text", "COVID-19!", k=5).collect()
+    assert [r.doc_id for r in hits] == [0]
