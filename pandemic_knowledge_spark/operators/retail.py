@@ -1,0 +1,170 @@
+"""Customer/basket analytics: RFM segmentation and association rules.
+
+The two classic warehouse workloads a BI user of the reference's dashboards
+reaches for next (both are terms-agg cousins the reference's Kibana cannot
+express server-side):
+
+* **RFM segmentation**: per-customer Recency (days since last order),
+  Frequency (order count), Monetary (lifetime spend, exact cents), each cut
+  into quintiles — ntile over a deterministic total order (metric, then
+  customer key) so segment labels are reproducible. One grouped pass over
+  orders + one window pass over the customer-sized rollup; the fact table
+  is never windowed.
+
+* **Association rules** (support / confidence / lift over co-ordered part
+  pairs): baskets are orders; pair generation is a within-order self-join
+  on the DISTINCT part set — bounded by basket size (≤ ~7 lineitems in
+  TPC-H-shaped data), so the pair count is O(orders · basket²), never
+  corpus-quadratic. Ratios are single double divisions of exact int64
+  counts, rounded 6 dp — bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.operators.aggregates import cents_sum, sql_cents_sum
+
+RFM_BUCKETS = 5
+RULE_MIN_PAIR = 3
+RULE_TOP_K = 20
+
+
+def rfm_segments(orders: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
+    """(custkey, recency_days, frequency, monetary, r, f, m, segment).
+
+    Recency anchors on the CORPUS max order date (the "as of" the table
+    ends at); r=1 is the MOST recent quintile, f=5/m=5 the most
+    frequent/valuable — the conventional 111-is-best reading needs
+    descending recency and ascending frequency/monetary ntiles, so r uses
+    ascending recency_days and f/m use descending metric order."""
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        cents_sum("o_totalprice").alias("monetary_cents"),
+    )
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff("anchor", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_w = Window.orderBy("recency_days", "custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "custkey")
+    m_w = Window.orderBy(F.desc("monetary_cents"), "custkey")
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(buckets).over(r_w).alias("r"),
+        F.ntile(buckets).over(f_w).alias("f"),
+        F.ntile(buckets).over(m_w).alias("m"),
+    ).withColumn(
+        "segment", F.concat_ws("", F.col("r"), F.col("f"), F.col("m"))
+    )
+
+
+def sql_rfm_segments(buckets: int = RFM_BUCKETS) -> str:
+    """DuckDB oracle replaying :func:`rfm_segments` over orders."""
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         count(*) AS frequency,
+         {sql_cents_sum('o_totalprice')} AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+base AS (
+  SELECT custkey, CAST(datediff('day', last_order, anchor) AS BIGINT) AS recency_days,
+         frequency, monetary_cents
+  FROM per_cust CROSS JOIN anchor
+)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       ntile({buckets}) OVER (ORDER BY recency_days, custkey) AS r,
+       ntile({buckets}) OVER (ORDER BY frequency DESC, custkey) AS f,
+       ntile({buckets}) OVER (ORDER BY monetary_cents DESC, custkey) AS m,
+       CAST(ntile({buckets}) OVER (ORDER BY recency_days, custkey) AS VARCHAR)
+       || CAST(ntile({buckets}) OVER (ORDER BY frequency DESC, custkey) AS VARCHAR)
+       || CAST(ntile({buckets}) OVER (ORDER BY monetary_cents DESC, custkey) AS VARCHAR)
+         AS segment
+FROM base
+"""
+
+
+def association_rules(
+    lineitem: DataFrame,
+    min_pair_count: int = RULE_MIN_PAIR,
+    top_k: int = RULE_TOP_K,
+) -> DataFrame:
+    """Top-k co-purchase rules {a} → {b} (a < b) by lift.
+
+    support counts from the distinct (order, part) sets; confidence =
+    P(b|a) = pair/cnt_a; lift = pair·N / (cnt_a·cnt_b). Output both
+    directions' confidence so the rule table reads either way."""
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_df = baskets.agg(F.countDistinct("okey").alias("n_orders"))
+    part_cnt = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_pair_count)
+    )
+    ca = part_cnt.select(F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = part_cnt.select(F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.round(F.col("pair_cnt") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("pair_cnt") / F.col("cnt_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("pair_cnt") / F.col("cnt_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("pair_cnt") * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(top_k)
+
+
+def sql_association_rules(
+    min_pair_count: int = RULE_MIN_PAIR, top_k: int = RULE_TOP_K
+) -> str:
+    """DuckDB oracle replaying :func:`association_rules` over lineitem."""
+    return f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+n AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
+part_cnt AS (SELECT part, count(*) AS cnt FROM baskets GROUP BY part),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, count(*) AS pair_cnt
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_pair_count}
+)
+SELECT p.part_a, p.part_b, p.pair_cnt,
+       round(CAST(p.pair_cnt AS DOUBLE) / n.n_orders, 6) AS support,
+       round(CAST(p.pair_cnt AS DOUBLE) / ca.cnt, 6) AS conf_a_to_b,
+       round(CAST(p.pair_cnt AS DOUBLE) / cb.cnt, 6) AS conf_b_to_a,
+       round(CAST(p.pair_cnt AS DOUBLE) * n.n_orders / (ca.cnt * cb.cnt), 6) AS lift
+FROM pairs p
+JOIN part_cnt ca ON ca.part = p.part_a
+JOIN part_cnt cb ON cb.part = p.part_b
+CROSS JOIN n
+ORDER BY lift DESC, p.part_a, p.part_b LIMIT {top_k}
+"""

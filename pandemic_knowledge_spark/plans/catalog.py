@@ -138,6 +138,12 @@ from pandemic_knowledge_spark.operators.similarity import (
     pq_topk,
     sql_pq_topk,
 )
+from pandemic_knowledge_spark.operators.retail import (
+    association_rules,
+    rfm_segments,
+    sql_association_rules,
+    sql_rfm_segments,
+)
 from pandemic_knowledge_spark.operators.privacy import (
     k_anonymize,
     sql_k_anonymize_events,
@@ -1387,6 +1393,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that fits billion-vector indexes in memory at 100 TB."""
     e = load(spark, sf_dir, "embeddings")
     return pq_topk(e, "embedding", "vec_id", QUERY_VEC)
+
+
+@q("retail_rfm_segments", oracle=sql_rfm_segments())
+def retail_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators.retail): recency/frequency/
+    monetary quintiles over deterministic total orders, exact-cents spend;
+    one grouped pass over orders, windows only on the customer rollup."""
+    return rfm_segments(load(spark, sf_dir, "orders"))
+
+
+@q("retail_association_rules", oracle=sql_association_rules())
+def retail_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase association rules (operators.retail): support /
+    confidence / lift over within-order part pairs — pair generation
+    bounded by basket size, ratios as single divisions of exact counts.
+    Top-20 by lift."""
+    return association_rules(load(spark, sf_dir, "lineitem"))
 
 
 _ANON_K = 5
@@ -4701,6 +4724,8 @@ _DRIVER_PRIORITY = [
     "text_collocations_pmi",       # new: PMI significant-phrase mining
     "privacy_k_anonymize",         # new: quasi-identifier suppression
     "ann_pq_topk",                 # new: product-quantization ADC top-k
+    "retail_rfm_segments",         # new: RFM quintile segmentation
+    "retail_association_rules",    # new: support/confidence/lift rules
     "lm_ccnet_buckets",            # new: head/middle/tail tertile split
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
