@@ -165,3 +165,97 @@ def gapfill_hourly(
             c = F.last(c, ignorenulls=True).over(w)
         out_cols.append(c.alias(n))
     return joined.select(*out_cols)
+
+
+# ------------------------------------------------- exponential smoothing
+
+SES_ALPHA_NUM = 3   # alpha = 0.3 as an integer rational
+SES_ALPHA_DEN = 10
+SES_SCALE = 1_000_000  # level lives in micro-units: exact int64 recursion
+
+
+def ses_forecast(
+    daily: DataFrame,
+    key_cols: tuple[str, ...],
+    order_col: str = "day",
+    value_col: str = "cases",
+    alpha_num: int = SES_ALPHA_NUM,
+    alpha_den: int = SES_ALPHA_DEN,
+) -> DataFrame:
+    """Simple exponential smoothing per key, as FIXED-POINT integer
+    recursion: s_t = (α·x_t·SCALE + (1−α)·s_{t−1}) with α = num/den and
+    floor division — every step exact int64, so the final level (= the
+    one-step-ahead forecast) is bit-identical across engines and
+    partitionings, where a float recursion would drift in the last ulp.
+
+    The recursion folds over each key's ORDERED value array
+    (collect_list over a sort — series length = days, bounded; the corpus
+    was already reduced to the daily rollup). s_0 = x_0·SCALE.
+    Returns (*key_cols, n_days, level_micro, forecast) with forecast =
+    level/SCALE rounded 6 dp.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(order_col)
+    ordered = daily.withColumn("_rn", F.row_number().over(w))
+    series = (
+        ordered.groupBy(*key_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_rn", F.col(value_col).alias("x")))
+            ).alias("s")
+        )
+        .select(
+            *key_cols,
+            F.transform("s", lambda e: e["x"].cast("long")).alias("xs"),
+        )
+    )
+    b = alpha_den - alpha_num
+
+    def step(acc, x):
+        # integer floor division inside a lambda (Column `/` is double):
+        # subtract the remainder first, then divide — exact while the
+        # numerator stays under 2^53 (daily counts in micro-units: ample).
+        num = x * SES_SCALE * alpha_num + acc * b
+        return ((num - num % alpha_den) / alpha_den).cast("long")
+
+    fold = F.aggregate(
+        "xs",
+        F.lit(None).cast("long"),
+        lambda acc, x: F.when(acc.isNull(), x * SES_SCALE).otherwise(step(acc, x)),
+    )
+    return series.select(
+        *key_cols,
+        F.size("xs").cast("long").alias("n_days"),
+        fold.alias("level_micro"),
+    ).withColumn(
+        "forecast", F.round(F.col("level_micro") / SES_SCALE, 6)
+    )
+
+
+def sql_ses_forecast(
+    daily_sql: str,
+    key_sql: str,
+    alpha_num: int = SES_ALPHA_NUM,
+    alpha_den: int = SES_ALPHA_DEN,
+) -> str:
+    """DuckDB oracle for :func:`ses_forecast`: the same fixed-point
+    recursion as a recursive-CTE cursor walk over each key's ordered
+    series (``daily_sql`` must yield (key, day, cases))."""
+    b = alpha_den - alpha_num
+    return f"""
+WITH RECURSIVE daily AS MATERIALIZED ({daily_sql}),
+series AS MATERIALIZED (
+  SELECT {key_sql} AS key, list(CAST(cases AS BIGINT) ORDER BY day) AS xs
+  FROM daily GROUP BY 1
+),
+walk(key, xs, pos, acc) AS (
+  SELECT key, xs, 2, xs[1] * {SES_SCALE} FROM series
+  UNION ALL
+  SELECT key, xs, pos + 1,
+         (xs[pos] * {SES_SCALE} * {alpha_num} + acc * {b}) // {alpha_den}
+  FROM walk WHERE pos <= len(xs)
+)
+SELECT key, CAST(len(xs) AS BIGINT) AS n_days,
+       acc AS level_micro,
+       round(CAST(acc AS DOUBLE) / {SES_SCALE}, 6) AS forecast
+FROM walk WHERE pos = len(xs) + 1
+"""

@@ -165,6 +165,7 @@ from pandemic_knowledge_spark.operators.sketches import (
     sql_quantiles_over,
 )
 from pandemic_knowledge_spark.operators.epidemic import (
+    _sql_dense_daily,
     daily_counts_dense,
     outbreak_zscore,
     rt_cori,
@@ -181,6 +182,10 @@ from pandemic_knowledge_spark.operators.similarity import (
     semantic_dedup,
     sql_kmeans,
     sql_semantic_dedup,
+)
+from pandemic_knowledge_spark.operators.timeseries import (
+    ses_forecast,
+    sql_ses_forecast,
 )
 from pandemic_knowledge_spark.operators.windows import (
     lag_delta,
@@ -1393,6 +1398,24 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that fits billion-vector indexes in memory at 100 TB."""
     e = load(spark, sf_dir, "embeddings")
     return pq_topk(e, "embedding", "vec_id", QUERY_VEC)
+
+
+_SES_DAILY_SQL = (
+    "WITH " + _sql_dense_daily("ts", "TRUE", "event_type")
+    + " SELECT day, key, cases FROM daily"
+)
+
+
+@q("timeseries_ses_forecast", oracle=sql_ses_forecast(_SES_DAILY_SQL, "key"))
+def timeseries_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series exponential-smoothing forecast (operators.timeseries):
+    fixed-point integer SES recursion over each event type's dense daily
+    counts — exact int64 at every step, so the forecast is bit-identical
+    at any cluster size; oracle walks the same recursion per key via a
+    recursive CTE."""
+    ev = load(spark, sf_dir, "events")
+    daily = daily_counts_dense(ev, "ts", key_col="event_type")
+    return ses_forecast(daily, ("key",))
 
 
 @q("retail_rfm_segments", oracle=sql_rfm_segments())
@@ -4725,6 +4748,7 @@ _DRIVER_PRIORITY = [
     "privacy_k_anonymize",         # new: quasi-identifier suppression
     "ann_pq_topk",                 # new: product-quantization ADC top-k
     "retail_rfm_segments",         # new: RFM quintile segmentation
+    "timeseries_ses_forecast",     # new: fixed-point SES forecast
     "retail_association_rules",    # new: support/confidence/lift rules
     "lm_ccnet_buckets",            # new: head/middle/tail tertile split
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap

@@ -156,3 +156,39 @@ def test_rolling_active_dedups_within_window(spark):
         for r in rolling_active_keys(df, "u", "ts").collect()
     }
     assert got["2024-01-02"] == 1
+
+
+def test_ses_forecast_matches_python_reference(spark):
+    """Fixed-point SES fold equals the integer reference recursion, series
+    order is respected, and a constant series forecasts itself."""
+    import datetime as dt
+    import random
+
+    from pandemic_knowledge_spark.operators.timeseries import (
+        SES_ALPHA_DEN,
+        SES_ALPHA_NUM,
+        SES_SCALE,
+        ses_forecast,
+    )
+
+    def ref(xs):
+        s = xs[0] * SES_SCALE
+        for x in xs[1:]:
+            s = (x * SES_SCALE * SES_ALPHA_NUM + s * (SES_ALPHA_DEN - SES_ALPHA_NUM)) // SES_ALPHA_DEN
+        return s
+
+    rng = random.Random(4)
+    rows, expect = [], {}
+    for k in range(6):
+        xs = [rng.randint(0, 500) for _ in range(rng.randint(1, 25))]
+        expect[f"k{k}"] = ref(xs)
+        rows += [(f"k{k}", dt.date(2024, 1, 1 + i), v) for i, v in enumerate(xs)]
+    daily = spark.createDataFrame(rows, "key string, day date, cases long")
+    out = {r.key: r for r in ses_forecast(daily, ("key",)).collect()}
+    assert {k: r.level_micro for k, r in out.items()} == expect
+    const = spark.createDataFrame(
+        [("c", dt.date(2024, 1, 1 + i), 7) for i in range(10)],
+        "key string, day date, cases long",
+    )
+    r = ses_forecast(const, ("key",)).collect()[0]
+    assert r.forecast == 7.0
