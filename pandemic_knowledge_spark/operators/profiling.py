@@ -47,3 +47,106 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# ------------------------------------------------ distribution drift (PSI)
+
+PSI_MICRO = 1_000_000
+
+
+def distribution_drift_psi(
+    events: DataFrame,
+    value_col: str,
+    ts_col: str,
+    period_a: tuple[str, str],
+    period_b: tuple[str, str],
+) -> DataFrame:
+    """Population Stability Index between two periods' value
+    distributions — the data-observability drift alarm (PSI > 0.25 is the
+    conventional "population shifted" threshold).
+
+    Binning reuses the decimal-DDSketch bucket grid
+    (operators.sketches.quantile_bucket): deterministic integer buckets,
+    ≤0.5% relative width, identical in the oracle. Both periods bin in ONE
+    conditional-aggregation pass over the fact table; per-bucket shares are
+    add-one smoothed over the union bucket set (PSI is undefined on empty
+    cells), and contributions (p−q)·ln(p/q) are quantized to integer
+    micro-nats before summing — order-invariant, bit-identical.
+
+    Returns one row: (n_a, n_b, n_buckets, psi)."""
+    from pandemic_knowledge_spark.operators.sketches import quantile_bucket
+
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    in_a = day.between(F.lit(period_a[0]), F.lit(period_a[1]))
+    in_b = day.between(F.lit(period_b[0]), F.lit(period_b[1]))
+    counts = (
+        events.where(in_a | in_b)
+        .groupBy(quantile_bucket(F.col(value_col)).alias("bkt"))
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(in_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    p = (F.col("ca") + 1).cast("double") / (F.col("n_a") + F.col("n_buckets"))
+    q = (F.col("cb") + 1).cast("double") / (F.col("n_b") + F.col("n_buckets"))
+    contrib = F.round((p - q) * F.log(p / q) * PSI_MICRO).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("n_a", "n_b", "n_buckets", contrib.alias("c"))
+        .groupBy("n_a", "n_b", "n_buckets")
+        .agg(F.round(F.sum("c") / PSI_MICRO, 4).alias("psi"))
+    )
+
+
+def sql_distribution_drift_psi(
+    value_col: str,
+    ts_col: str,
+    period_a: tuple[str, str],
+    period_b: tuple[str, str],
+) -> str:
+    """DuckDB oracle replaying :func:`distribution_drift_psi` over events."""
+    return f"""
+WITH base AS (
+  SELECT CAST(round({value_col} * 100) AS BIGINT) AS c,
+         CAST({ts_col} AS DATE) AS day
+  FROM events
+),
+tagged AS (
+  SELECT CASE WHEN c <= 0 THEN 0
+              ELSE length(CAST(c AS VARCHAR)) * 1000
+                   + CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT) END AS bkt,
+         (day BETWEEN DATE '{period_a[0]}' AND DATE '{period_a[1]}') AS in_a,
+         (day BETWEEN DATE '{period_b[0]}' AND DATE '{period_b[1]}') AS in_b
+  FROM base
+  WHERE (day BETWEEN DATE '{period_a[0]}' AND DATE '{period_a[1]}')
+     OR (day BETWEEN DATE '{period_b[0]}' AND DATE '{period_b[1]}')
+),
+counts AS (
+  SELECT bkt,
+         sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS cb
+  FROM tagged GROUP BY bkt
+),
+totals AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+         count(*) AS n_buckets
+  FROM counts
+),
+contrib AS (
+  SELECT n_a, n_b, n_buckets,
+         CAST(round(
+           (CAST(ca + 1 AS DOUBLE) / (n_a + n_buckets)
+            - CAST(cb + 1 AS DOUBLE) / (n_b + n_buckets))
+           * ln((CAST(ca + 1 AS DOUBLE) / (n_a + n_buckets))
+                / (CAST(cb + 1 AS DOUBLE) / (n_b + n_buckets)))
+           * {PSI_MICRO}) AS BIGINT) AS c
+  FROM counts CROSS JOIN totals
+)
+SELECT n_a, n_b, n_buckets, round(CAST(sum(c) AS DOUBLE) / {PSI_MICRO}, 4) AS psi
+FROM contrib GROUP BY n_a, n_b, n_buckets
+"""

@@ -138,6 +138,10 @@ from pandemic_knowledge_spark.operators.similarity import (
     pq_topk,
     sql_pq_topk,
 )
+from pandemic_knowledge_spark.operators.profiling import (
+    distribution_drift_psi,
+    sql_distribution_drift_psi,
+)
 from pandemic_knowledge_spark.operators.retail import (
     association_rules,
     rfm_segments,
@@ -1398,6 +1402,24 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that fits billion-vector indexes in memory at 100 TB."""
     e = load(spark, sf_dir, "embeddings")
     return pq_topk(e, "embedding", "vec_id", QUERY_VEC)
+
+
+_PSI_A = ("2024-01-01", "2024-01-10")
+_PSI_B = ("2024-01-21", "2024-01-30")
+
+
+@q(
+    "profile_drift_psi",
+    oracle=sql_distribution_drift_psi("value", "ts", _PSI_A, _PSI_B),
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two periods (operators.profiling): PSI
+    over decimal-DDSketch buckets, one conditional-aggregation fact pass,
+    add-one smoothing on the union bucket set, micro-nat-quantized
+    contributions — the observability alarm that catches a silently
+    shifted metric before dashboards mislead."""
+    ev = load(spark, sf_dir, "events")
+    return distribution_drift_psi(ev, "value", "ts", _PSI_A, _PSI_B)
 
 
 _SES_DAILY_SQL = (
@@ -4749,6 +4771,7 @@ _DRIVER_PRIORITY = [
     "ann_pq_topk",                 # new: product-quantization ADC top-k
     "retail_rfm_segments",         # new: RFM quintile segmentation
     "timeseries_ses_forecast",     # new: fixed-point SES forecast
+    "profile_drift_psi",           # new: PSI distribution-drift alarm
     "retail_association_rules",    # new: support/confidence/lift rules
     "lm_ccnet_buckets",            # new: head/middle/tail tertile split
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
