@@ -4769,10 +4769,8 @@ _DRIVER_PRIORITY = [
     "text_collocations_pmi",       # new: PMI significant-phrase mining
     "privacy_k_anonymize",         # new: quasi-identifier suppression
     "ann_pq_topk",                 # new: product-quantization ADC top-k
-    "retail_rfm_segments",         # new: RFM quintile segmentation
     "timeseries_ses_forecast",     # new: fixed-point SES forecast
     "profile_drift_psi",           # new: PSI distribution-drift alarm
-    "retail_association_rules",    # new: support/confidence/lift rules
     "lm_ccnet_buckets",            # new: head/middle/tail tertile split
     "chunk_documents_grid",        # new: token-budget chunking w/ overlap
     "text_quality_classifier",     # new: hashed linear quality scorer
@@ -4817,6 +4815,12 @@ _DRIVER_PRIORITY = [
     # output-identical (sql_tokenize emits the same literal regex;
     # the auto dispatcher picks the r1-green single-pass form at sf0.01),
     # all green in local sf0.01 parity —
+    # plus the two r3 retail additions (fixture-arithmetic pytest +
+    # local parity green) which yield their slots to
+    # multimodal_media_features and search_page_indexed — the r2
+    # verdict's explicit asks — and rotate to the head next round:
+    "retail_rfm_segments",
+    "retail_association_rules",
     "text_repetition_signals",     # oracle emission via sql_tokenize
     "dedup_minhash_lsh",           # auto dispatcher (sizeInBytes gate)
     "search_page_highlighted",     # r3 pattern-builder share; output-identical
