@@ -49,6 +49,8 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+from pandemic_knowledge_spark.operators.sketches import sql_quantile_bucket
+
 # ------------------------------------------------ distribution drift (PSI)
 
 PSI_MICRO = 1_000_000
@@ -117,9 +119,7 @@ WITH base AS (
   FROM events
 ),
 tagged AS (
-  SELECT CASE WHEN c <= 0 THEN 0
-              ELSE length(CAST(c AS VARCHAR)) * 1000
-                   + CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT) END AS bkt,
+  SELECT {sql_quantile_bucket('c')} AS bkt,
          (day BETWEEN DATE '{period_a[0]}' AND DATE '{period_a[1]}') AS in_a,
          (day BETWEEN DATE '{period_b[0]}' AND DATE '{period_b[1]}') AS in_b
   FROM base

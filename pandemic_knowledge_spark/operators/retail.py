@@ -32,13 +32,13 @@ RULE_TOP_K = 20
 
 
 def rfm_segments(orders: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
-    """(custkey, recency_days, frequency, monetary, r, f, m, segment).
+    """(custkey, recency_days, frequency, monetary_cents, r, f, m, segment).
 
     Recency anchors on the CORPUS max order date (the "as of" the table
-    ends at); r=1 is the MOST recent quintile, f=5/m=5 the most
-    frequent/valuable — the conventional 111-is-best reading needs
-    descending recency and ascending frequency/monetary ntiles, so r uses
-    ascending recency_days and f/m use descending metric order."""
+    ends at). Quintile polarity: 1 is BEST on every axis — r=1 the most
+    recent (ascending recency_days order), f=1 the most frequent and m=1
+    the most valuable (descending metric order) — so segment '111' reads
+    as the conventional best-customer cell."""
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),

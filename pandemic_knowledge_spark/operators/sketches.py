@@ -102,6 +102,17 @@ def quantile_bucket(value: Column) -> Column:
     )
 
 
+def sql_quantile_bucket(cents_expr: str) -> str:
+    """DuckDB emitter for :func:`quantile_bucket` given an integer-cents
+    SQL expression — the ONE definition of the bucket grid every oracle
+    (quantile rollup, PSI drift) derives from, so the grid cannot fork."""
+    return (
+        f"CASE WHEN {cents_expr} <= 0 THEN 0 "
+        f"ELSE length(CAST({cents_expr} AS VARCHAR)) * 1000 "
+        f"+ CAST(substr(CAST({cents_expr} AS VARCHAR), 1, 3) AS BIGINT) END"
+    )
+
+
 def bucket_estimate(b: Column) -> Column:
     """Bucket id → representative value (bucket midpoint, in value units)."""
     d = (b / 1000).cast("long")
@@ -175,9 +186,7 @@ WITH cents AS (
   WHERE {where_sql}
 ),
 bucketed AS (
-  SELECT CASE WHEN c <= 0 THEN 0
-              ELSE length(CAST(c AS VARCHAR)) * 1000
-                   + CAST(substr(CAST(c AS VARCHAR), 1, 3) AS BIGINT) END AS b
+  SELECT {sql_quantile_bucket('c')} AS b
   FROM cents
 ),
 merged AS (SELECT b, count(*) AS cnt FROM bucketed GROUP BY b),

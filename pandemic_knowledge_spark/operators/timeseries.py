@@ -46,11 +46,23 @@ def rolling_active_keys(
         F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("o"),
         "d",
     ).select("key", F.date_add(F.col("d"), F.col("o")).alias("report_day"))
-    return (
+    counts = (
         contrib.crossJoin(F.broadcast(bounds))
         .filter(F.col("report_day").between(F.col("lo"), F.col("hi")))
         .groupBy("report_day")
-        .agg(F.count_distinct("key").alias(f"active_{window_days}d"))
+        .agg(F.count_distinct("key").alias("cnt"))
+    )
+    # dense report-day spine: a stretch with NO activity anywhere must
+    # report 0 rows-with-zero, not missing rows — the drop-alert case the
+    # series exists for (zero counts are data, per the module thesis).
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+            "report_day"
+        )
+    )
+    return spine.join(counts, "report_day", "left").select(
+        "report_day",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias(f"active_{window_days}d"),
     )
 
 
@@ -83,7 +95,12 @@ def correlation_pairs_topk(
     daily = events.groupBy(
         F.col(key_col).alias("key"), day.alias("d")
     ).agg(F.count(F.lit(1)).alias("n"))
-    n_days = daily.select(F.count_distinct("d").alias("nd"))
+    # n = the DENSE calendar span (the zero-filled series length the
+    # docstring promises), not the count of days with any event — a
+    # corpus-wide quiet day is a real 0 in every series.
+    n_days = daily.select(
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("nd")
+    )
     stats = daily.groupBy("key").agg(
         F.sum("n").alias("sx"), F.sum(F.col("n") * F.col("n")).alias("sxx")
     )

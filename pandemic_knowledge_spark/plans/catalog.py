@@ -4424,9 +4424,14 @@ WITH ud AS (
 x AS (
   SELECT user_id, d + CAST(o AS INTEGER) AS report_day
   FROM ud, unnest(generate_series(0, 6)) AS u(o)
-)
-SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
-FROM x, b WHERE report_day BETWEEN b.lo AND b.hi GROUP BY report_day
+),
+counts AS (
+  SELECT report_day, count(DISTINCT user_id) AS cnt
+  FROM x, b WHERE report_day BETWEEN b.lo AND b.hi GROUP BY report_day
+),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS report_day FROM b)
+SELECT s.report_day, CAST(coalesce(c.cnt, 0) AS BIGINT) AS active_7d
+FROM spine s LEFT JOIN counts c USING (report_day)
 """,
 )
 def timeseries_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4448,7 +4453,7 @@ WITH daily AS (
   SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE) AS d,
          count(*) AS n
   FROM events GROUP BY 1, 2
-), nd AS (SELECT count(DISTINCT d) AS nd FROM daily),
+), nd AS (SELECT CAST(datediff('day', min(d), max(d)) + 1 AS BIGINT) AS nd FROM daily),
 stats AS (SELECT key, sum(n) AS sx, sum(n * n) AS sxx FROM daily GROUP BY key),
 sxy AS (
   SELECT a.key AS key_a, b.key AS key_b, sum(a.n * b.n) AS sxy
