@@ -46,6 +46,11 @@ def funnel_stages(
     do not chain)."""
     if not stages:
         raise ValueError("funnel_stages requires at least one stage")
+    # Untimed events cannot participate in an ORDERED funnel: a NULL ts
+    # would sort first, advance a stage with t=NULL, and then exempt every
+    # later stage from the strictly-increasing check (the init state's
+    # t-is-null branch would match mid-funnel). Drop them up front.
+    events = events.where(F.col(ts_col).isNotNull())
     ev = F.array_sort(
         F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
     )

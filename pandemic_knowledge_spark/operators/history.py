@@ -42,8 +42,10 @@ def build_scd2(
     - ``is_current``  — exactly one true row per key.
 
     ``tiebreak_col`` makes the within-timestamp order deterministic when two
-    changes of one key share a timestamp (e.g. a monotonic event id). Ties
-    still produce *one row each*; the tiebreak only fixes which is "later".
+    changes of one key share a timestamp (e.g. a monotonic event id). Of an
+    equal-timestamp run only the LAST (per tiebreak) survives — the earlier
+    ones would be zero-length ``[t, t)`` intervals, invisible to every
+    snapshot and hazardous to re-merge, so they are dropped.
     """
     if not key_cols or not attr_cols:
         raise ValueError("build_scd2 requires at least one key and one attribute")
@@ -68,6 +70,12 @@ def build_scd2(
         compressed.withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", valid_to)
         .withColumn("is_current", valid_to.isNull())
+        # Drop zero-length [t, t) intervals (same-instant corrections):
+        # they are invisible to every snapshot, and keeping them poisons
+        # RE-merging — on the next merge both rows re-enter the change log
+        # with identical (ts, _src=0) sort keys, making which attribute
+        # set wins partition-layout-dependent.
+        .where(F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from")))
         .select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
     )
 

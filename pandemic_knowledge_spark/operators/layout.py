@@ -48,6 +48,12 @@ def zvalue(quantized: list[Column], bits: int = Z_BITS) -> Column:
     Static expression tree (bits × ndims shift/mask/or terms), fully inside
     whole-stage codegen."""
     n = len(quantized)
+    if n * bits > 63:
+        raise ValueError(
+            f"z-value needs {n * bits} bits (> 63): the top interleaved bit "
+            f"would land in the int64 sign bit and invert the sort order — "
+            f"reduce bits per dimension (e.g. bits={63 // n})"
+        )
     terms = [
         F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + j)
         for j, q in enumerate(quantized)
@@ -80,6 +86,11 @@ def zorder_frame(
         *[F.min(e).cast("double").alias(f"min_{c}") for c, e in numeric.items()],
         *[F.max(e).cast("double").alias(f"max_{c}") for c, e in numeric.items()],
     ).first()
+    if any(bounds[f"min_{c}"] is None for c in numeric):
+        # empty frame or an all-NULL dimension: no meaningful curve —
+        # degrade to a constant z (write proceeds, ordering is a no-op)
+        # instead of a TypeError from None arithmetic.
+        return df.withColumn(z_col, F.lit(0).cast("long"))
     quantized = [
         _quantize(e, bounds[f"min_{c}"], bounds[f"max_{c}"], bits)
         for c, e in numeric.items()

@@ -60,15 +60,25 @@ def quality_feature_cols(
     (pipelines filter on ``score >= 0`` without a join or a second frame)."""
     dim = len(weights)
     arr = F.array(*[F.lit(int(w)) for w in weights])
-    toks = tokenize(text_col)
-    n = F.size(toks)
-    n_pairs = F.greatest(n - 1, F.lit(0))  # slice length must be >= 0 (n = 0 docs)
-    grams = F.zip_with(
-        F.slice(toks, 1, n_pairs),
-        F.slice(toks, 2, n_pairs),
-        lambda x, y: F.concat(x, F.lit(" "), y),
+
+    def build_feats(toks: Column) -> Column:
+        n = F.size(toks)
+        n_pairs = F.greatest(n - 1, F.lit(0))  # slice length >= 0 (n = 0 docs)
+        grams = F.zip_with(
+            F.slice(toks, 1, n_pairs),
+            F.slice(toks, 2, n_pairs),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+        return F.concat(toks, grams)
+
+    # Bind the token array ONCE per evaluation via a lambda variable:
+    # inlining tokenize() into every slice/concat/size consumer re-runs
+    # the regex per consumer outside codegen CSE (the measured 2x on the
+    # curation pipeline) — the single-element transform makes `toks` a
+    # bound variable every downstream term references.
+    feats = F.flatten(
+        F.transform(F.array(tokenize(text_col)), lambda t: build_feats(t))
     )
-    feats = F.concat(toks, grams)
 
     def bucket_weight(t: Column) -> Column:
         h = md5_int(F.concat(F.lit(salt + ":"), t))

@@ -3788,12 +3788,14 @@ WITH ordered AS (
   SELECT user_id, event_type, ts AS valid_from, event_id
   FROM ordered WHERE prev IS NULL OR prev <> event_type
 )
-SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
-         AS valid_to,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
-         IS NULL AS is_current
-FROM ch
+SELECT * FROM (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+           AS valid_to,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+           IS NULL AS is_current
+  FROM ch
+) WHERE valid_to IS NULL OR valid_to <> valid_from
 """
 
 
@@ -4350,7 +4352,7 @@ dedup AS (
   FROM rows
 )
 SELECT title, description, date, lang, crawler, website, author, url, tweet_id
-FROM dedup WHERE rn = 1
+FROM dedup WHERE url IS NULL OR rn = 1
 """,
 )
 def crawl_tweets_fixture_conform(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -166,7 +166,10 @@ def _dedup_by_url(df: DataFrame) -> DataFrame:
     return (
         df.withColumn("_url", F.col("source.url"))
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        # NULL URLs are NOT one dedup key: items lacking a link (some tweet
+        # shapes) are distinct stories and must all pass through — only
+        # rows that actually share a URL collapse.
+        .filter(F.col("_url").isNull() | (F.col("_rn") == 1))
         .drop("_url", "_rn")
     )
 

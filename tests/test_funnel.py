@@ -117,3 +117,24 @@ def test_retention_ignores_pre_cohort_activity(spark):
     out = cohort_retention(df, "u", "ts", F.col("et") == "signup").collect()
     offsets = {r.week_n for r in out}
     assert offsets == {0}  # the pre-cohort week must not appear (no negatives)
+
+
+def test_null_timestamp_events_ignored(spark):
+    """Untimed events can't advance or unlock stages: a NULL-ts stage-0
+    event followed by an earlier-than-nothing stage-1 event must leave the
+    user at stage 0 progress (only timed events fold)."""
+    import datetime as dt
+
+    from pandemic_knowledge_spark.operators.funnel import funnel_stages
+
+    rows = [
+        (1, None, "signup"),
+        (1, dt.datetime(2024, 1, 2), "view"),
+        (2, dt.datetime(2024, 1, 1), "signup"),
+        (2, dt.datetime(2024, 1, 2), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.user: r.max_stage for r in
+           funnel_stages(ev, "user_id", "ts", "event_type", ["signup", "view"]).collect()}
+    assert out[2] == 2          # timed pair chains normally
+    assert out.get(1, 0) == 0   # null-ts signup never counted

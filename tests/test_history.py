@@ -69,14 +69,43 @@ def test_null_safe_attribute_changes(spark):
 
 
 def test_same_timestamp_tiebreak(spark):
-    # Two changes at one instant: seq fixes the order; both versions kept,
-    # the earlier one's interval is empty [t, t).
+    # Two changes at one instant: seq fixes the order; only the LAST
+    # survives — the earlier one's [t, t) interval is zero-length
+    # (invisible to snapshots, unsafe to re-merge) and is dropped.
     rows = [(1, "a", _t(1), 1), (1, "b", _t(1), 2)]
     hist = build_scd2(
         spark.createDataFrame(rows, SCHEMA), ["k"], ["attr"], "ts", "seq"
     )
+    assert hist.count() == 1
     cur = hist.filter("is_current").collect()
     assert len(cur) == 1 and cur[0].attr == "b"
+
+
+def test_exact_ts_correction_remerge_deterministic(spark):
+    """A batch correction at an existing change's exact timestamp REPLACES
+    the superseded version; a further merge of the result stays
+    deterministic (the degenerate-[t,t)-row re-merge hazard)."""
+    from pandemic_knowledge_spark.operators.history import scd2_merge
+
+    hist = build_scd2(
+        spark.createDataFrame([(1, "a", _t(1), 1)], SCHEMA), ["k"], ["attr"], "ts", "seq"
+    )
+    corrected = scd2_merge(
+        hist,
+        spark.createDataFrame([(1, "b", _t(1), 2)], SCHEMA).drop("seq"),
+        ["k"], ["attr"], "ts",
+    )
+    rows = corrected.collect()
+    assert len(rows) == 1 and rows[0].attr == "b" and rows[0].is_current
+    # re-merge an unrelated later change: the correction must survive
+    again = scd2_merge(
+        corrected,
+        spark.createDataFrame([(1, "c", _t(5), 3)], SCHEMA).drop("seq"),
+        ["k"], ["attr"], "ts",
+    )
+    snap = {r.k: r.attr for r in
+            __import__("pandemic_knowledge_spark.operators.history", fromlist=["snapshot_at"]).snapshot_at(again, "2024-01-03 00:00:00").collect()}
+    assert snap == {1: "b"}
 
 
 def test_snapshot_at(spark):

@@ -110,3 +110,21 @@ def test_zorder_frame_handles_timestamp(spark, sf_dir):
     z = zorder_frame(ev, ["user_id", "ts"])
     assert "_z" in z.columns
     assert z.filter(F.col("_z").isNull()).count() == 0
+
+
+def test_zvalue_bit_budget_guard():
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandemic_knowledge_spark.operators.layout import zvalue
+
+    with pytest.raises(ValueError):
+        zvalue([F.lit(1)] * 4, bits=16)  # 64 bits > 63
+
+
+def test_zorder_empty_frame_degrades_gracefully(spark, tmp_path):
+    from pandemic_knowledge_spark.operators.layout import zorder_frame
+
+    empty = spark.createDataFrame([], "a double, b double")
+    out = zorder_frame(empty, ["a", "b"])
+    assert out.collect() == []

@@ -486,3 +486,24 @@ def test_read_jsonl_cache_is_releasable(spark, tmp_path):
     assert src.is_cached
     src.unpersist()
     assert not src.is_cached
+
+
+def test_url_dedup_passes_null_url_rows_through(spark):
+    """Items without a link are distinct stories, not one dedup key —
+    N null-URL rows must all survive while real duplicates collapse."""
+    import datetime as dt
+
+    from pandemic_knowledge_spark.sources.crawlers import _dedup_by_url
+
+    rows = [
+        ("t1", dt.datetime(2024, 1, 1), ("http://a.example/x",)),
+        ("t2", dt.datetime(2024, 1, 2), ("http://a.example/x",)),  # dup URL
+        ("t3", dt.datetime(2024, 1, 1), (None,)),
+        ("t4", dt.datetime(2024, 1, 2), (None,)),
+    ]
+    df = spark.createDataFrame(
+        rows, "title string, date timestamp, source struct<url: string>"
+    )
+    out = _dedup_by_url(df).collect()
+    titles = sorted(r.title for r in out)
+    assert titles == ["t2", "t3", "t4"]  # latest wins per URL; nulls all kept
