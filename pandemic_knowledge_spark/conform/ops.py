@@ -69,17 +69,31 @@ def parse_date_multi(col: Column | str) -> Column:
     struct (callers drop via F1).
     """
     raw = F.regexp_replace(F.trim(_c(col)), "/", "-")
-    year = F.substring(raw, 1, 4).cast("int")
-    week = F.regexp_extract(raw, r"W(\d{1,2})$", 1).cast("int")
+    # try_cast: the year/week terms are now evaluated unconditionally by
+    # the week-validity predicate; non-numeric prefixes are ANSI cast
+    # errors with a plain cast.
+    year = F.substring(raw, 1, 4).try_cast("int")
+    # try_cast: week_ok evaluates the extract UNCONDITIONALLY (it is no
+    # longer nested under the rlike branch), and '' casts are ANSI errors.
+    week = F.regexp_extract(raw, r"W(\d{1,2})$", 1).try_cast("int")
     monday = iso_week_monday(year, week)
+    # Week validity: the regex admits any 1-2 digit week; W0/W54+/W53-in-a-
+    # 52-week-year would FABRICATE a date. weekofyear(monday-of-week-w) == w
+    # exactly when the week exists, so invalid weeks fall through to the
+    # fuzzy/quarantine path instead of conforming confidently wrong.
+    week_ok = (
+        raw.rlike(ISO_WEEK_RE)
+        & week.between(1, 53)
+        & (F.weekofyear(monday) == week)
+    )
     # try_to_date: pattern-matched but invalid dates (e.g. "99-99-2021")
     # must conform to null, not raise — Spark 4 runs ANSI-on by default.
-    day = F.when(raw.rlike(ISO_WEEK_RE), monday).otherwise(
+    day = F.when(week_ok, monday).otherwise(
         F.when(raw.rlike(FR_DATE_RE), F.try_to_date(raw, "dd-MM-yyyy")).otherwise(
             F.when(raw.rlike(ISO_DATE_RE), F.try_to_date(raw, "yyyy-MM-dd"))
         )
     )
-    end = F.when(raw.rlike(ISO_WEEK_RE), F.date_add(monday, 6)).otherwise(day)
+    end = F.when(week_ok, F.date_add(monday, 6)).otherwise(day)
     return F.struct(day.alias("date_start"), end.alias("date_end"))
 
 
@@ -162,7 +176,13 @@ def parse_date_total(
             fuzzy_day.alias("date_start"), fuzzy_day.alias("date_end")
         )
     )
-    parsed = base.withColumn(out, span).drop("__declared")
+    # Cache before the two-way split: both halves filter the SAME plan,
+    # and without it a caller consuming good AND quarantined re-runs the
+    # upstream scan plus the Arrow fuzzy UDF twice (the expensive part of
+    # the conform stage on dirty feeds). Same retention stance as
+    # sources.jsonl.read_jsonl: evictable MEMORY_AND_DISK blocks, shared
+    # `.unpersist` via either returned frame's storage handle.
+    parsed = base.withColumn(out, span).drop("__declared").cache()
     good = parsed.filter(F.col(f"{out}.date_start").isNotNull())
     quarantined = parsed.filter(F.col(f"{out}.date_start").isNull()).drop(out)
     return good, quarantined

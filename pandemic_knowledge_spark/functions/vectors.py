@@ -31,8 +31,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """NULL on a zero-norm side (empty/all-zero vectors): an unguarded
+    division is a job-killing DIVIDE_BY_ZERO under ANSI mode — one dirty
+    embedding row must not abort a corpus-wide similarity pass."""
     da, db = as_double(a), as_double(b)
-    return dot(da, db) / (norm(da) * norm(db))
+    denom = norm(da) * norm(db)
+    return F.when(denom != 0, dot(da, db) / denom)
 
 
 def sql_dot(a_sql: str, b_sql: str) -> str:
@@ -47,4 +51,6 @@ def sql_cosine(a_sql: str, b_sql: str) -> str:
     d = sql_dot(a_sql, b_sql)
     na = f"sqrt({sql_dot(a_sql, a_sql)})"
     nb = f"sqrt({sql_dot(b_sql, b_sql)})"
-    return f"({d} / ({na} * {nb}))"
+    return (
+        f"(CASE WHEN {na} * {nb} <> 0 THEN {d} / ({na} * {nb}) END)"
+    )

@@ -4044,6 +4044,10 @@ WITH f1 AS (
 ), pd AS (
   SELECT *,
     CASE WHEN regexp_matches(d2, '^\\d{{4}}-W\\d{{1,2}}$')
+              AND wk BETWEEN 1 AND 53
+              AND weekofyear((make_date(yr, 1, 4)
+                 - CAST(isodow(make_date(yr, 1, 4)) - 1 AS INTEGER))
+                + CAST((wk - 1) * 7 AS INTEGER)) = wk
            THEN (make_date(yr, 1, 4)
                  - CAST(isodow(make_date(yr, 1, 4)) - 1 AS INTEGER))
                 + CAST((wk - 1) * 7 AS INTEGER)
@@ -4129,6 +4133,10 @@ WITH raw AS (
 ), pd AS (
   SELECT *,
     CASE WHEN regexp_matches(d2, '^\\d{{4}}-W\\d{{1,2}}$')
+              AND wk BETWEEN 1 AND 53
+              AND weekofyear((make_date(yr, 1, 4)
+                 - CAST(isodow(make_date(yr, 1, 4)) - 1 AS INTEGER))
+                + CAST((wk - 1) * 7 AS INTEGER)) = wk
            THEN (make_date(yr, 1, 4)
                  - CAST(isodow(make_date(yr, 1, 4)) - 1 AS INTEGER))
                 + CAST((wk - 1) * 7 AS INTEGER)

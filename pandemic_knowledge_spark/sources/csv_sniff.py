@@ -42,7 +42,10 @@ def read_prefix(
     scheme = urlsplit(path).scheme
     # Windows drive letters aside, a one-char scheme is a path, not a URI.
     if scheme.lower() in _LOCAL_SCHEMES or len(scheme) <= 1:
-        local = path[len("file://"):] if scheme.lower() == "file" else path
+        # urlsplit handles every file-URI spelling — 'file:/p' (no
+        # authority), 'file:///p', 'file://host/p' — where a fixed-length
+        # 'file://' strip mangles the first and third forms.
+        local = urlsplit(path).path if scheme.lower() == "file" else path
         with open(local, newline="", encoding="utf-8", errors="replace") as f:
             return f.read(n_bytes)
     spark = spark or SparkSession.getActiveSession()

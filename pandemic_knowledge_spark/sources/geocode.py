@@ -132,7 +132,20 @@ def enrich_dimension_durable(
     path = jvm.org.apache.hadoop.fs.Path(store_path)
     fs = path.getFileSystem(hconf)
     if fs.exists(path):
+        # Deterministic per-name survivor: blind appends mean a replayed or
+        # concurrent run can land the same miss twice, and a duplicate key
+        # here would FAN OUT every matching fact row downstream. min_by on
+        # a stable total order of the payload keeps one row per name
+        # identically on any layout.
         stored = spark.read.parquet(store_path)
+        payload = [c for c in stored.columns if c != on]
+        stored = (
+            stored.groupBy(on)
+            .agg(
+                F.min(F.struct(*[F.col(c) for c in payload])).alias("_p")
+            )
+            .select(on, *[F.col(f"_p.{c}").alias(c) for c in payload])
+        )
         # The BASE dimension is authoritative: only stored names absent from
         # it join in (left_anti). A union+dropDuplicates here would pick a
         # partition-order-dependent survivor, letting a stale store row

@@ -65,7 +65,14 @@ def build_location_dim(
             )
             alias_rows = cloned if alias_rows is None else alias_rows.unionByName(cloned)
         if alias_rows is not None:
-            dim = dim.unionByName(alias_rows).dropDuplicates(["location_name"])
+            # Existing names DETERMINISTICALLY win over alias clones: a
+            # union + dropDuplicates picks a partition-order-dependent
+            # survivor when the CSV already contains a row named like an
+            # alias (the first-wins contract would flap across layouts).
+            alias_rows = alias_rows.join(
+                dim.select("location_name"), "location_name", "left_anti"
+            )
+            dim = dim.unionByName(alias_rows)
     return dim
 
 

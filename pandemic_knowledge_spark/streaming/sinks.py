@@ -8,8 +8,11 @@ versioned-directory swap: each refresh writes a brand-new
 ``_v=<epoch>/`` directory under the table root, then atomically repoints a
 one-line ``_CURRENT`` manifest via rename. Readers resolve ``_CURRENT``
 first, so they always see a complete version — never a partial or empty
-table. Works on any filesystem with atomic rename (local, HDFS; on S3 the
-manifest PUT is itself atomic).
+table. The manifest/GC I/O is driver-local file I/O, so the root must be
+a filesystem the driver sees (local, NFS mount); remote schemes are
+rejected at construction — an hdfs:///s3a:// root would need the Hadoop
+FileSystem API for the manifest path (the version-directory DATA writes
+already go wherever Spark is configured to write).
 """
 
 from __future__ import annotations
@@ -35,6 +38,18 @@ class AtomicTable:
     """
 
     def __init__(self, root: str, keep_versions: int = 2) -> None:
+        # Manifest/GC I/O is driver-local (os/open/shutil): correct on a
+        # shared local/NFS root. Remote stores would need the Hadoop
+        # FileSystem API for the manifest — fail fast instead of writing a
+        # literal 'hdfs:/...' directory on the driver's disk while readers
+        # look for the manifest that never lands on the remote store.
+        scheme = root.split("://", 1)[0] if "://" in root else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                f"AtomicTable root must be driver-local (got scheme "
+                f"{scheme!r}); route remote stores through the Hadoop "
+                "FileSystem API or mount them locally"
+            )
         self.root = root
         self.keep_versions = keep_versions
         os.makedirs(root, exist_ok=True)

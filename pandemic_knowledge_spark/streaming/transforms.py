@@ -13,25 +13,19 @@ from pyspark.sql import functions as F
 
 
 def _window_agg(df: DataFrame, win: Column, extra_keys: list[str], aggs: list[Column]) -> DataFrame:
-    return (
-        df.groupBy(win.alias("win"), *[F.col(k) for k in extra_keys])
-        .agg(*aggs)
-        .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
-            *extra_keys,
-            *[F.col(c) for c in _agg_names(aggs)],
-        )
+    agged = df.groupBy(win.alias("win"), *[F.col(k) for k in extra_keys]).agg(*aggs)
+    # The aggregate columns are everything after the grouping keys — taken
+    # POSITIONALLY from the aggregated frame's own schema. (Parsing the JVM
+    # expression string on ' AS ' broke for unaliased aggs containing a
+    # cast — 'sum(CAST(x AS DOUBLE))' — and Column._jc does not exist under
+    # Spark Connect.)
+    agg_cols = agged.columns[1 + len(extra_keys):]
+    return agged.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *extra_keys,
+        *[F.col(f"`{c}`") for c in agg_cols],
     )
-
-
-def _agg_names(aggs: list[Column]) -> list[str]:
-    # Column alias is the last name component of the expression string.
-    names = []
-    for c in aggs:
-        s = c._jc.toString()
-        names.append(s.split(" AS ")[-1].strip("`"))
-    return names
 
 
 def default_aggs() -> list[Column]:

@@ -145,3 +145,23 @@ def test_base_dimension_shadows_stale_store_rows(spark, tmp_path):
     rows = {r.location_name: r for r in out.collect()}
     assert rows["Utopiaville"].population == 777  # base dim row won
     assert out.filter(F.col("location_name") == "Utopiaville").count() == 1
+
+
+def test_durable_store_duplicate_appends_collapse(spark, tmp_path):
+    """A replayed run's duplicate store rows must not fan facts out: the
+    store dedups per name deterministically on load."""
+    import pandemic_knowledge_spark.sources.geocode as gc
+
+    store = str(tmp_path / "store")
+    rows = [("Atlantis", 1.0), ("Atlantis", 1.0), ("Mu", 2.0)]
+    spark.createDataFrame(rows, "location_name string, lat double").write.parquet(store)
+
+    dim = spark.createDataFrame([("Paris", 9.9)], "location_name string, lat double")
+    facts = spark.createDataFrame(
+        [("Atlantis",), ("Paris",), ("Mu",)], "location_name string"
+    )
+    enriched = gc.enrich_dimension_durable(
+        spark, dim, facts, lambda names: {}, store
+    )
+    names = [r.location_name for r in enriched.collect()]
+    assert sorted(names) == ["Atlantis", "Mu", "Paris"]  # no duplicate keys

@@ -265,3 +265,34 @@ def test_quantile_bucket_monotone(v, factor):
     b1 = con.execute(q.format(repr(v))).fetchone()[0]
     b2 = con.execute(q.format(repr(v * factor))).fetchone()[0]
     assert b2 >= b1, (v, v * factor, b1, b2)
+
+
+def test_invalid_iso_weeks_quarantine_not_fabricate(spark):
+    """W0 / W99 / W53-of-a-52-week-year must NOT conform to confident but
+    fabricated dates; real W53 (e.g. 2020) conforms."""
+    from pandemic_knowledge_spark.conform.ops import parse_date_multi
+
+    rows = [("2021-W99",), ("2021-W0",), ("2021-W53",), ("2020-W53",), ("2021-W07",)]
+    df = spark.createDataFrame(rows, "raw string")
+    out = {r.raw: r.span for r in
+           df.select("raw", parse_date_multi("raw").alias("span")).collect()}
+    assert out["2021-W99"].date_start is None
+    assert out["2021-W0"].date_start is None
+    assert out["2021-W53"].date_start is None      # 2021 has 52 ISO weeks
+    assert str(out["2020-W53"].date_start) == "2020-12-28"  # 2020 has 53
+    assert str(out["2021-W07"].date_start) == "2021-02-15"
+
+
+def test_cosine_zero_norm_is_null_not_error(spark):
+    """One dirty all-zero embedding must not abort a similarity pass under
+    ANSI mode — cosine yields NULL for that row."""
+    from pandemic_knowledge_spark.functions.vectors import cosine
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, v array<double>",
+    )
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    out = {r.vec_id: r.c for r in
+           df.select("vec_id", cosine(F.col("v"), q).alias("c")).collect()}
+    assert out[0] == 1.0 and out[1] is None and abs(out[2] - 0.7071067811865475) < 1e-12

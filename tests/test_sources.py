@@ -507,3 +507,22 @@ def test_url_dedup_passes_null_url_rows_through(spark):
     out = _dedup_by_url(df).collect()
     titles = sorted(r.title for r in out)
     assert titles == ["t2", "t3", "t4"]  # latest wins per URL; nulls all kept
+
+
+def test_alias_collision_existing_name_wins(spark, tmp_path):
+    """An extra_aliases name that already exists in the CSV keeps the CSV
+    row deterministically (first-wins contract; no layout-dependent pick)."""
+    import csv as _csv
+
+    from pandemic_knowledge_spark.sources.lookup import build_location_dim
+
+    p = tmp_path / "lk.csv"
+    with open(p, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["Province_State", "Country_Region", "Combined_Key",
+                    "Lat", "Long_", "iso2", "Population"])
+        w.writerow(["", "Greece", "", "39.0", "22.0", "GR", "1000"])
+        w.writerow(["", "EL", "", "1.0", "2.0", "XX", "7"])
+    dim = build_location_dim(spark, str(p), extra_aliases={"EL": "Greece"})
+    el = [r for r in dim.collect() if r.location_name == "EL"]
+    assert len(el) == 1 and el[0].iso_code2 == "XX"  # the real CSV row wins
