@@ -182,7 +182,19 @@ def lang_id(text_col: Column | str, toks: Column | None = None) -> Column:
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"(?<![\w.])\+?\d[\d().\- ]{6,}\d(?![\w.])", "<PHONE>"),
+    # Phone shapes only — a bare "8+ digits with any separators" rule
+    # redacts ISO dates, year ranges and ISBNs (date-dense corpora would
+    # lose every dated sentence). Accepted shapes: international (+...),
+    # parenthesized area code, 3-3-4 groups, 4+ space-separated groups,
+    # or a 10-15 digit contiguous run.
+    (
+        r"(?<![\w.])(?:\+\d[\d().\- ]{6,}\d"
+        r"|\(\d{2,4}\)[\d.\- ]{4,}\d"
+        r"|\d{3}[ .-]\d{3}[ .-]\d{4}"
+        r"|(?:\d{2,4} ){3,}\d{2,4}"
+        r"|\d{10,15})(?![\w.])",
+        "<PHONE>",
+    ),
 ]
 
 

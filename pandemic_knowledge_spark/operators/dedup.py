@@ -51,24 +51,29 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 SIMHASH_BITS = 16
 
 
+def _kgram_concat(toks: Column, k: int) -> Column:
+    """Space-joined k-grams via k shifted O(1) slices zipped element-wise —
+    the ONE gram-assembly definition (shingles, _shingle_hash_rows,
+    kgram_hashes_ordered all build from it). For k=2 this reduces to the
+    original two-slice zip_with, so existing hashes are bit-identical; for
+    any k it avoids the per-position F.slice-inside-a-lambda form that
+    re-evaluates O(n) work per gram (O(n²) per doc, ~5× measured)."""
+    n = F.size(toks)
+    parts = [F.slice(toks, i + 1, n - k + 1) for i in range(k)]
+    return reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.concat(x, F.lit(" "), y)),
+        parts,
+    )
+
+
 def shingles(toks: Column, k: int = 2) -> Column:
     """Distinct word k-shingles of a token array (empty if < k tokens).
 
-    k=2 (the default everywhere) takes the zip_with fast path: two O(1)
-    array slices zipped element-wise. The generic path's per-position
-    F.slice is O(n) inside an interpreted HOF lambda — O(n²) per doc and
-    ~5× slower end-to-end on real corpora (measured on the
-    decontamination pipeline)."""
+    Assembly via the shared zip_with k-gram builder (_kgram_concat) —
+    linear for ANY k; the old generic branch's per-position F.slice inside
+    an interpreted HOF was O(n²) per doc (~5× measured)."""
     n = F.size(toks)
-    if k == 2:
-        sh = F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
-    else:
-        idx = F.sequence(F.lit(0), n - k)  # 0-based start positions
-        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    sh = _kgram_concat(toks, k)
     return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
@@ -169,15 +174,7 @@ def _shingle_hash_rows(
     """
     toks = tokenize(text_col)
     n = F.size(toks)
-    if k == 2:
-        sh = F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
-    else:
-        idx = F.sequence(F.lit(0), n - k)
-        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    sh = _kgram_concat(toks, k)
     rows = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.when(n >= k, sh)).alias("s"),
@@ -407,11 +404,7 @@ def kgram_hashes_ordered(toks: Column, k: int = 3) -> Column:
     expression once per gram and turn the scan O(n²)-per-doc. Pass a
     MATERIALIZED tokens column, not an inline tokenize() expression."""
     n = F.size(toks)
-    parts = [F.slice(toks, i + 1, n - k + 1) for i in range(k)]
-    sh = reduce(
-        lambda a, b: F.zip_with(a, b, lambda x, y: F.concat(x, F.lit(" "), y)),
-        parts,
-    )
+    sh = _kgram_concat(toks, k)
     g = F.transform(sh, lambda s: md5_int(s) % HASH_MOD)
     return F.when(n >= k, g).otherwise(F.array().cast("array<bigint>"))
 

@@ -131,6 +131,11 @@ def asof_join(
     # tie order at equal timestamps: for strict '<' the right row must sort
     # AFTER the left row (so it is not visible); for '<=' it sorts before.
     r_tie = 2 if strict else 0
+    # A right row with NULL time has no position on the axis: ascending
+    # sort puts nulls FIRST, so it would be carried as the "as-of" match
+    # for every left row before the first real right row. It can never be
+    # a valid match under either contract — drop it.
+    right = right.where(F.col(right_time).isNotNull())
     r = right.select(
         *[F.col(k) for k in keys],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],

@@ -68,6 +68,13 @@ def pack_sequences(
                 f"pack_sequences: null values in id column {id_col!r}; "
                 "packing order would be nondeterministic"
             )
+        if pdf["cost"].isna().any():
+            # a null cost becomes float NaN here: every comparison is
+            # False (bin perturbation) and NaN then hits the declared-long
+            # output column — same fail-fast discipline as null ids.
+            raise ValueError(
+                f"pack_sequences: null values in cost column {cost_col!r}"
+            )
         pdf = pdf.sort_values("doc_id")
         bins: list[int] = []
         bin_id, fill = 0, 0

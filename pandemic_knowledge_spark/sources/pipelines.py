@@ -52,16 +52,17 @@ def _validated_headers(
     mapping: dict[str, list[str]],
     required: Sequence[str],
 ) -> list[str]:
-    """F3 per file, driver-side: header row only (limit 0 schema probe)."""
-    good: list[str] = []
+    """F3 per file, driver-side: header row only (limit 0 schema probe).
+
+    Validate-then-return: the FIRST malformed file raises (callers and
+    tests pin fail-fast ingest); a filtered 'good' list would be dead code
+    since nothing survives past a raise. Per-file catch-and-skip is the
+    resolve module's job (sources.resolve isolates per-file errors when a
+    pipeline opts into salvage)."""
     for p in paths:
-        cols = (
-            spark.read.csv(p, header=True, **sniff_dialect(p))
-            .columns
-        )
+        cols = spark.read.csv(p, header=True, **sniff_dialect(p)).columns
         require_resolvable(cols, mapping, required, path=p)
-        good.append(p)
-    return good
+    return list(paths)
 
 
 def conform_owid(

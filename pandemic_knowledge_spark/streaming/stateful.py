@@ -17,6 +17,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -66,6 +67,11 @@ def running_totals_stateful(
             [{"user_id": key_tuple[0], "n_events": n, "sum_value": s}]
         )
 
+    # Untimed rows cannot participate in time-ordered state: pandas turns
+    # a NULL ts into the NaT int64-min sentinel, which would 'advance'
+    # state with a fabricated 1677 timestamp — drop them, matching the
+    # batch forms (operators.funnel filters ts IS NOT NULL).
+    events = events.where(F.col(ts_col).isNotNull())
     stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return stream.groupBy(key).applyInPandasWithState(
         update,
@@ -138,6 +144,11 @@ def sessionize_stateful(
         if out:
             yield pd.DataFrame(out)
 
+    # Untimed rows cannot participate in time-ordered state: pandas turns
+    # a NULL ts into the NaT int64-min sentinel, which would 'advance'
+    # state with a fabricated 1677 timestamp — drop them, matching the
+    # batch forms (operators.funnel filters ts IS NOT NULL).
+    events = events.where(F.col(ts_col).isNotNull())
     stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return stream.groupBy(key).applyInPandasWithState(
         update,
@@ -219,6 +230,11 @@ def funnel_stateful(
                 ]
             )
 
+    # Untimed rows cannot participate in time-ordered state: pandas turns
+    # a NULL ts into the NaT int64-min sentinel, which would 'advance'
+    # state with a fabricated 1677 timestamp — drop them, matching the
+    # batch forms (operators.funnel filters ts IS NOT NULL).
+    events = events.where(F.col(ts_col).isNotNull())
     stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return stream.groupBy(key).applyInPandasWithState(
         update,

@@ -213,6 +213,29 @@ def test_redact_pii_masks_planted_identifiers(spark):
     assert got[4] == "version 1.2 of lib 3 costs 42 dollars in 2024"
 
 
+def test_redact_pii_leaves_dates_and_isbns(spark):
+    """The phone rule must not eat date-shaped digit runs — a pandemic
+    corpus is date-dense, and ISO dates/year ranges/ISBNs are not PII."""
+    from pandemic_knowledge_spark.functions.text import redact_pii
+
+    rows = spark.createDataFrame(
+        [
+            (1, "reported on 2026-08-14, cases rose"),
+            (2, "the 1914-1918 pandemic wave"),
+            (3, "ISBN 978-0-13-468599-1 covers it"),
+            (4, "dial 555-123-4567 for info"),
+            (5, "raw line 4915123456789 here"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.red for r in rows.select("id", redact_pii("text").alias("red")).collect()}
+    assert got[1] == "reported on 2026-08-14, cases rose"
+    assert got[2] == "the 1914-1918 pandemic wave"
+    assert got[3] == "ISBN 978-0-13-468599-1 covers it"
+    assert got[4] == "dial <PHONE> for info"
+    assert got[5] == "raw line <PHONE> here"
+
+
 # --- decimal-DDSketch bucket properties (hypothesis over the SQL form;
 # DuckDB replays the exact engine expressions without a Spark round-trip
 # per example) ---
