@@ -38,8 +38,13 @@ def iso_dim(spark: SparkSession) -> DataFrame:
 
 def with_iso3(df: DataFrame, iso2_col: str = "iso_code2") -> DataFrame:
     """Left broadcast join adding ``iso_code3`` (unknown codes → null, like
-    the reference's silent KeyError-guarded probe)."""
+    the reference's silent KeyError-guarded probe). The caller's columns
+    are untouched: a custom ``iso2_col`` joins through the dim's key
+    without renaming (a rename could collide with an existing iso_code2
+    column → AMBIGUOUS_REFERENCE on the next join)."""
     dim = iso_dim(df.sparkSession)
-    if iso2_col != "iso_code2":
-        df = df.withColumnRenamed(iso2_col, "iso_code2")
-    return df.join(F.broadcast(dim), "iso_code2", "left")
+    if iso2_col == "iso_code2":
+        return df.join(F.broadcast(dim), "iso_code2", "left")
+    return df.join(
+        F.broadcast(dim), df[iso2_col] == dim["iso_code2"], "left"
+    ).drop(dim["iso_code2"])

@@ -45,7 +45,9 @@ def date_histogram(
     """A3 — date-histogram: bucket rows by truncated event time."""
     bucket = F.date_trunc(grain, F.col(ts)).cast("date" if grain in ("day", "week", "month") else "timestamp")
     g = df.groupBy(bucket.alias(f"{grain}_bucket"))
-    return g.agg(*(metrics or {"n": F.count(F.lit(1)).alias("n")}).values())
+    # dict KEYS are the output column names (same contract as salted_agg)
+    m = metrics or {"n": F.count(F.lit(1))}
+    return g.agg(*[c.alias(name) for name, c in m.items()])
 
 
 def terms_topn(df: DataFrame, col: str, n: int = 10) -> DataFrame:

@@ -43,14 +43,13 @@ def repetition_signals(
     """
     toks = tokenize(text_col)
     n = F.size(toks)
-    # Raw (non-distinct) 2-gram array: total count vs distinct count is the
-    # whole point, so this does NOT reuse dedup.shingles (which distincts).
-    n_pairs = F.greatest(n - 1, F.lit(0))  # slice length must be >= 0 (n = 0 docs)
-    grams = F.zip_with(
-        F.slice(toks, 1, n_pairs),
-        F.slice(toks, 2, n_pairs),
-        lambda x, y: F.concat(x, F.lit(" "), y),
-    )
+    # Raw (non-distinct) 2-gram array via the ONE shared gram-assembly
+    # definition (dedup._kgram_concat — shingles would array_distinct,
+    # which is exactly what this signal must not do). Only evaluated
+    # under the n >= 2 branches below, so short docs are safe.
+    from pandemic_knowledge_spark.operators.dedup import _kgram_concat
+
+    grams = _kgram_concat(toks, 2)
     n_grams = F.when(n >= 2, n - 1).otherwise(F.lit(0))
     dup_frac = F.when(
         n_grams > 0,

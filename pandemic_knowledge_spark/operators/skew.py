@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
-def with_salt(df: DataFrame, key: str, n_salts: int = DEFAULT_SALTS) -> DataFrame:
+def with_salt(df: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFrame:
     """Attach a uniform salt derived from the full row spread (crc32 of a
     uuid-free deterministic column mix would still collide on the hot key —
     the point of salting is to split WITHIN a key, so the salt must NOT be a
@@ -56,7 +56,7 @@ def salted_agg(
     dominates a post-shuffle partition.)
     """
     phase1 = (
-        with_salt(df, key, n_salts)
+        with_salt(df, n_salts)
         .groupBy(key, "_salt")
         .agg(*[c.alias(n) for n, c in partials.items()])
     )
@@ -76,9 +76,16 @@ def salted_join(
     salt value (an ``explode(sequence(...))`` — n_salts× the dim, which by
     assumption is far smaller than the fact). Joining on (key, salt) spreads
     each hot fact key over n_salts reducers. Same rows as ``fact.join(dim,
-    key, how)`` for inner/left joins keyed on ``key``.
+    key, how)`` for inner/left joins keyed on ``key``; right/full joins
+    would emit one null-padded row PER SALT for dim keys absent from the
+    fact side — rejected rather than silently inflated.
     """
-    salted_fact = with_salt(fact, key, n_salts)
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' (got {how!r}): the "
+            "replicated dim side breaks right/full row-count semantics"
+        )
+    salted_fact = with_salt(fact, n_salts)
     replicated = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))

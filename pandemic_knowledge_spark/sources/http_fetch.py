@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import tempfile
 import time
+import urllib.error
+import urllib.parse
 import urllib.request
 
 
@@ -30,7 +32,9 @@ def fetch_to_local(
     """
     dest_dir = dest_dir or tempfile.mkdtemp(prefix="pk_fetch_")
     os.makedirs(dest_dir, exist_ok=True)
-    name = os.path.basename(url.rstrip("/")) or "download.csv"
+    # name from the URL PATH only: a raw basename would embed query strings
+    # (possibly credentials) into the local filename.
+    name = os.path.basename(urllib.parse.urlsplit(url).path.rstrip("/")) or "download.csv"
     dest = os.path.join(dest_dir, name)
     last: Exception | None = None
     for attempt in range(retries):
@@ -38,8 +42,15 @@ def fetch_to_local(
             with urllib.request.urlopen(url, timeout=timeout) as r, open(dest, "wb") as f:
                 f.write(r.read())
             return dest
-        except Exception as e:  # noqa: BLE001
+        except urllib.error.HTTPError as e:
+            if 400 <= e.code < 500:
+                # non-transient (404/403): surface immediately — the
+                # reference's Retry(connect=3) retries connection errors
+                # only, not definitive server answers.
+                raise
             last = e
-            if attempt < retries - 1:
-                time.sleep(backoff * (2**attempt))
+        except Exception as e:  # noqa: BLE001 — connection-class errors
+            last = e
+        if attempt < retries - 1:
+            time.sleep(backoff * (2**attempt))
     raise ConnectionError(f"fetch failed after {retries} attempts: {url}") from last

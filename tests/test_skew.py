@@ -52,3 +52,15 @@ def test_salted_join_left_keeps_unmatched(spark, sf_dir):
     salted = salted_join(ev, cust, "c_custkey", n_salts=4, how="left")
     cols = sorted(plain.columns)
     assert _rowset(salted.select(*cols)) == _rowset(plain.select(*cols))
+
+
+def test_salted_join_rejects_right_full(spark):
+    import pytest
+
+    from pandemic_knowledge_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "c_custkey long, v string")
+    b = spark.createDataFrame([(1, "y")], "c_custkey long, w string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(a, b, "c_custkey", n_salts=4, how=how)

@@ -526,3 +526,48 @@ def test_alias_collision_existing_name_wins(spark, tmp_path):
     dim = build_location_dim(spark, str(p), extra_aliases={"EL": "Greece"})
     el = [r for r in dim.collect() if r.location_name == "EL"]
     assert len(el) == 1 and el[0].iso_code2 == "XX"  # the real CSV row wins
+
+
+def test_fetch_filename_drops_query_string(tmp_path):
+    """Query strings (possibly credentials) never reach the local
+    filename; 4xx answers surface immediately instead of retrying."""
+    import http.server
+    import threading
+    import urllib.error
+
+    import pytest
+
+    from pandemic_knowledge_spark.sources.http_fetch import fetch_to_local
+
+    class H(http.server.BaseHTTPRequestHandler):
+        calls = 0
+
+        def do_GET(self):
+            H.calls += 1
+            if self.path.startswith("/data.csv"):
+                body = b"a,b\n1,2\n"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        got = fetch_to_local(
+            f"http://127.0.0.1:{port}/data.csv?token=SECRET", dest_dir=str(tmp_path)
+        )
+        assert got.endswith("/data.csv") and "SECRET" not in got
+        H.calls = 0
+        with pytest.raises(urllib.error.HTTPError):
+            fetch_to_local(f"http://127.0.0.1:{port}/missing.csv", dest_dir=str(tmp_path))
+        assert H.calls == 1  # no retries on a definitive 404
+    finally:
+        srv.shutdown()
