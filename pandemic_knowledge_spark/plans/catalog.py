@@ -57,7 +57,9 @@ from pandemic_knowledge_spark.operators.aggregates import (
     terms_topn,
 )
 from pandemic_knowledge_spark.operators.dedup import (
+    N_BANDS,
     N_PERM,
+    ROWS_PER_BAND,
     connected_components,
     connected_components_star,
     exact_dedup,
@@ -1280,8 +1282,12 @@ WITH toks AS (
 ), sig AS (
   SELECT doc_id, hs, {_sql_minhash_sig()} AS sig FROM hs
 ), bands AS (
-  SELECT doc_id, band, md5(array_to_string(sig[band*4+1:band*4+4], '-')) AS bkey
-  FROM sig, (SELECT unnest([0,1,2,3]) AS band)
+  -- banding derived from operators.dedup N_BANDS/ROWS_PER_BAND (emitted
+  -- below via the module constants, not hand-written literals)
+  SELECT doc_id, band,
+         md5(array_to_string(
+           sig[band*{ROWS_PER_BAND}+1:band*{ROWS_PER_BAND}+{ROWS_PER_BAND}], '-')) AS bkey
+  FROM sig, (SELECT unnest(range({N_BANDS})) AS band)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -1390,9 +1396,12 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges
 
 
+QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
 @q(
     "ann_pq_topk",
-    oracle=None,  # set below once QUERY_VEC is defined; see _set_pq_oracle
+    oracle=sql_pq_topk("embeddings", "embedding", "vec_id", QUERY_VEC),
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011; operators.similarity):
@@ -1751,11 +1760,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Deterministic 64-dim query vector; exact decimal literals on both engines.
-QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
-REGISTRY["ann_pq_topk"] = QuerySpec(
-    REGISTRY["ann_pq_topk"].fn,
-    sql_pq_topk("embeddings", "embedding", "vec_id", QUERY_VEC),
-)
+
 _QLIT = "[" + ", ".join(repr(x) for x in QUERY_VEC) + "]"
 
 
@@ -1858,6 +1863,33 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
 
+def _sql_lang_pred_case() -> str:
+    """The ONE lang-ID CASE builder (argmax over LANG_MARKERS counts on a
+    `toks` list column) shared by text_lang_id and the curation pipeline —
+    a marker/tie-break change cannot desync the two oracles."""
+    scores = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    gr = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score} = {gr} THEN '{lang}'" for lang, score in scores.items()
+    )
+    return f"CASE WHEN {gr} = 0 THEN 'und' {whens} END"
+
+
+def _sql_bpe_estimate(text_sql: str) -> str:
+    """The ONE BPE-ish token-count estimate emitter (mirrors
+    functions.text.token_count_bpe_estimate) shared by text_stats and the
+    curation pipeline."""
+    runs = f"regexp_extract_all(lower({text_sql}), '[a-z]+|[0-9]+|[^a-z0-9\\s]')"
+    return (
+        f"CAST(len({runs}) + coalesce(list_sum(list_transform({runs}, "
+        f"p -> CAST(floor(length(p) / 6) AS BIGINT))), 0) AS BIGINT)"
+    )
+
+
+
 _TEXT_STATS_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, text, {sql_tokenize('text')} AS toks FROM documents
@@ -1873,10 +1905,7 @@ SELECT doc_id,
          AS stopword_ratio,
        round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1), 6) AS punct_ratio,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
-            + coalesce(list_sum(list_transform(
-                regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
-                p -> CAST(floor(length(p) / 6) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens,
+       {_sql_bpe_estimate('text')} AS bpe_tokens,
        {sql_fingerprint('text')} AS fp
 FROM t
 """
@@ -2150,28 +2179,17 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_curation() -> str:
-    scores = {
-        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
-    gr = "greatest(" + ", ".join(scores.values()) + ")"
-    whens = " ".join(
-        f"WHEN {score} = {gr} THEN '{lang}'" for lang, score in scores.items()
-    )
     return f"""
 WITH t AS (
   SELECT doc_id, source, text, {sql_tokenize('text')} AS toks FROM documents
 ), stats AS (
   SELECT doc_id, source,
-         CASE WHEN {gr} = 0 THEN 'und' {whens} END AS lang_pred,
+         {_sql_lang_pred_case()} AS lang_pred,
          len(toks) AS n_tokens,
          round(CASE WHEN len(toks) > 0
                THEN CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE) / len(toks) END, 6)
            AS stopword_ratio,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
-              + coalesce(list_sum(list_transform(
-                  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
-                  p -> CAST(floor(length(p) / 6) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens,
+         {_sql_bpe_estimate('text')} AS bpe_tokens,
          {sql_fingerprint('text')} AS fp
   FROM t
 ), filt AS (
@@ -2222,16 +2240,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lang_id() -> str:
-    scores = {
-        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))"
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
-    gr = "greatest(" + ", ".join(scores.values()) + ")"
-    whens = " ".join(
-        f"WHEN {score} = {gr} THEN '{lang}'" for lang, score in scores.items()
-    )
     return f"""
-SELECT doc_id, lang, CASE WHEN {gr} = 0 THEN 'und' {whens} END AS lang_pred
+SELECT doc_id, lang, {_sql_lang_pred_case()} AS lang_pred
 FROM (SELECT doc_id, lang, {sql_tokenize('text')} AS toks FROM documents)
 """
 
@@ -2515,7 +2525,7 @@ def stream_sliding_1h30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_5m",
     oracle="""
 WITH d AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= INTERVAL 5 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -2523,7 +2533,7 @@ WITH d AS (
   FROM events
 ), s AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM d
 )
@@ -4008,7 +4018,9 @@ def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reads the same fixture files and replays the identical rules in SQL.
 # ---------------------------------------------------------------------------
 
-_FIXDIR = "/root/repo/tests/fixtures"
+import pathlib as _pathlib
+
+_FIXDIR = str(_pathlib.Path(__file__).resolve().parents[2] / "tests" / "fixtures")
 _COERCE_SQL = """CASE WHEN {d} IS NULL OR isnan({d}) OR isinf({d}) THEN 0
        WHEN {d} >= 9223372036854775808.0 THEN 9223372036854775807
        WHEN {d} <= -9223372036854775808.0 THEN -9223372036854775808
@@ -4058,18 +4070,29 @@ WITH f1 AS (
     END AS date_start
   FROM p
 ), lk AS (
-  SELECT * FROM read_csv('{_FIXDIR}/lookup_dim.csv', header=true,
-                         all_varchar=true, delim=',')
+  -- fr = file order; this DuckDB lacks read_csv(file_row_number), and a
+  -- single small CSV scans order-preserving on one thread, so the bare
+  -- window enumeration IS the file order here
+  SELECT *, row_number() OVER () AS fr
+  FROM read_csv('{_FIXDIR}/lookup_dim.csv', header=true,
+                all_varchar=true, delim=',')
+), melt AS (
+  SELECT nullif(trim(Province_State), '') AS location_name,
+         Lat, Long_, iso2, Population, 0 AS prio, fr FROM lk
+  UNION ALL
+  SELECT nullif(trim(Country_Region), ''), Lat, Long_, iso2, Population, 1, fr FROM lk
+  UNION ALL
+  SELECT nullif(trim(Combined_Key), ''), Lat, Long_, iso2, Population, 2, fr FROM lk
+), named AS (
+  -- first-wins replay: earlier file row, then more specific key role
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY location_name ORDER BY fr, prio) AS rn
+    FROM melt WHERE location_name IS NOT NULL
+  ) WHERE rn = 1
 ), dim AS (
-  SELECT DISTINCT location_name, TRY_CAST(Lat AS DOUBLE) AS lat,
+  SELECT location_name, TRY_CAST(Lat AS DOUBLE) AS lat,
          TRY_CAST(Long_ AS DOUBLE) AS lon, iso2 AS iso_code2
-  FROM (
-    SELECT nullif(trim(Province_State), '') AS location_name, Lat, Long_, iso2 FROM lk
-    UNION ALL
-    SELECT nullif(trim(Country_Region), ''), Lat, Long_, iso2 FROM lk
-    UNION ALL
-    SELECT nullif(trim(Combined_Key), ''), Lat, Long_, iso2 FROM lk
-  ) WHERE location_name IS NOT NULL
+  FROM named
 )
 SELECT pd.location_name, date_start,
        CASE WHEN regexp_matches(d2, '^\\d{{4}}-W\\d{{1,2}}$')
@@ -4147,13 +4170,34 @@ WITH raw AS (
     END AS date_start
   FROM p
 ), lk AS (
-  SELECT * FROM read_csv('{_FIXDIR}/lookup_dim.csv', header=true,
-                         all_varchar=true, delim=',')
+  -- fr = file order; this DuckDB lacks read_csv(file_row_number), and a
+  -- single small CSV scans order-preserving on one thread, so the bare
+  -- window enumeration IS the file order here
+  SELECT *, row_number() OVER () AS fr
+  FROM read_csv('{_FIXDIR}/lookup_dim.csv', header=true,
+                all_varchar=true, delim=',')
+), melt AS (
+  SELECT nullif(trim(Province_State), '') AS location_name,
+         Lat, Long_, iso2, Population, 0 AS prio, fr FROM lk
+  UNION ALL
+  SELECT nullif(trim(Country_Region), ''), Lat, Long_, iso2, Population, 1, fr FROM lk
+  UNION ALL
+  SELECT nullif(trim(Combined_Key), ''), Lat, Long_, iso2, Population, 2, fr FROM lk
+), named AS (
+  -- first-wins replay: earlier file row, then more specific key role
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY location_name ORDER BY fr, prio) AS rn
+    FROM melt WHERE location_name IS NOT NULL
+  ) WHERE rn = 1
 ), dim AS (
-  SELECT DISTINCT iso2 AS location_name, TRY_CAST(Lat AS DOUBLE) AS lat,
+  -- re-key by iso2 with a DETERMINISTIC survivor (alphabetically first
+  -- original name) — the one-row-per-key invariant must survive re-keying
+  SELECT iso2 AS location_name, TRY_CAST(Lat AS DOUBLE) AS lat,
          TRY_CAST(Long_ AS DOUBLE) AS lon, iso2 AS iso_code2,
          TRY_CAST(Population AS BIGINT) AS population
-  FROM lk
+  FROM (SELECT *, row_number() OVER (PARTITION BY iso2 ORDER BY location_name) AS rn2
+        FROM named)
+  WHERE rn2 = 1
 )
 SELECT pd.location_name, date_start,
        CASE WHEN regexp_matches(d2, '^\\d{{4}}-W\\d{{1,2}}$')
@@ -4181,8 +4225,17 @@ def ingest_weekly_conform_fixture(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ensure_engine_conf(spark)
 
-    dim = build_location_dim(spark, f"{_FIXDIR}/lookup_dim.csv").withColumn(
-        "location_name", F.col("iso_code2")
+    base_dim = build_location_dim(spark, f"{_FIXDIR}/lookup_dim.csv")
+    # Re-keying by iso2 must restore the one-row-per-key invariant the
+    # name-keyed dim guarantees (several names can share an iso2 once the
+    # lookup carries province rows): deterministic survivor = the
+    # alphabetically first original name.
+    rekey_w = Window.partitionBy("iso_code2").orderBy("location_name")
+    dim = (
+        base_dim.withColumn("_rn", F.row_number().over(rekey_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("location_name", F.col("iso_code2"))
     )
     out = ingest_weekly_multisource(
         spark, [f"{_FIXDIR}/weekly_doses.csv"], dim, bucket="vaccination"
