@@ -4875,7 +4875,10 @@ _DRIVER_PRIORITY = [
     "multimodal_media_features",   # r2 no_oracle -> literal VALUES oracle
     "conform_json_coerce",         # oracle rewritten (saturation semantics)
     "text_boilerplate_ngrams",     # raw-ratio filter fix (behavior change)
-    # --- tier B: r2 stale (semantic rewrites never re-checked) ---
+    # --- tier B: r2 stale (semantic rewrites; NOTE: late r3 additions
+    # grew the never-checked set past 50, so everything from here down is
+    # now BELOW the driver's check window — covered by r1/r2 green rows
+    # plus local sf0.01 AND sf0.1 parity, rotating to the head in r4) ---
     "text_lang_id",
     "corpus_curation_pipeline",
     # below the 50-slot window (risk-ordered residual): entries whose
