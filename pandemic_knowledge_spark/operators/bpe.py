@@ -135,7 +135,7 @@ def _bpe_ctes(table: str, text_col: str, n_merges: int) -> list[str]:
         prev = f"vocab{k - 1}"
         ctes.append(
             f"""pairs{k} AS MATERIALIZED (
-  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
   FROM {prev}, UNNEST(range(1, len(syms))) AS u(i)
   GROUP BY 1, 2
 )"""

@@ -274,6 +274,15 @@ def minhash_lsh_pairs(
     IS the store-probing form.
     """
     base = minhash_base(docs, id_col, text_col, k).cache()
+    return pairs_from_base(base, threshold)
+
+
+def pairs_from_base(base: DataFrame, threshold: float) -> DataFrame:
+    """Within-set near-dup pairs from a prepared signature BASE (sig +
+    hash sets): band-bucket equi-self-join → verified Jaccard. The ONE
+    candidate-construction definition — the batch form above and the
+    incremental streaming ingest both call it, so a banding or
+    verification change cannot fork the two paths."""
     exploded = _band_rows(base)
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (

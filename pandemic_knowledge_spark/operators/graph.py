@@ -150,8 +150,8 @@ def sql_trade_pagerank(top_k: int = 20, iters: int = ITERS) -> str:
     return f"""
 WITH {','.join(ctes)}
 SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
-       node // 2 AS entity_key,
-       r AS rank_micro
+       CAST(node // 2 AS BIGINT) AS entity_key,
+       CAST(r AS BIGINT) AS rank_micro
 FROM iter{iters}
 ORDER BY rank_micro DESC, node LIMIT {top_k}
 """

@@ -74,7 +74,7 @@ WITH per_cust AS (
   SELECT o_custkey AS custkey,
          max(CAST(o_orderdate AS DATE)) AS last_order,
          count(*) AS frequency,
-         {sql_cents_sum('o_totalprice')} AS monetary_cents
+         CAST({sql_cents_sum('o_totalprice')} AS BIGINT) AS monetary_cents
   FROM orders GROUP BY o_custkey
 ),
 anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),

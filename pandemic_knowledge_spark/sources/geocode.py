@@ -100,7 +100,10 @@ class NominatimGeocoder:
         cc = address.get("country_code")
         if not cc or "lat" not in top or "lon" not in top:
             return None
-        return (float(top["lat"]), float(top["lon"]), str(cc).upper())
+        try:
+            return (float(top["lat"]), float(top["lon"]), str(cc).upper())
+        except (TypeError, ValueError):
+            return None  # present-but-malformed coordinate == miss, not fatal
 
     def __call__(self, names: list[str]) -> dict[str, tuple[float, float, str]]:
         out = {}
@@ -155,7 +158,11 @@ def enrich_dimension_durable(
         dim = dim.unionByName(stored_only, allowMissingColumns=True)
     before = dim
     enriched = enrich_dimension(spark, dim, facts, geocode_fn, on=on)
-    new_rows = enriched.join(before.select(on), on=on, how="left_anti")
+    # localCheckpoint: the emptiness probe AND the append would otherwise
+    # evaluate the store-scan + dedup + double anti-join plan twice.
+    new_rows = enriched.join(
+        before.select(on), on=on, how="left_anti"
+    ).localCheckpoint(eager=True)
     if new_rows.limit(1).count() > 0:
         new_rows.write.mode("append").parquet(store_path)
     return enriched

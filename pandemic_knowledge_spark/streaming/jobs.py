@@ -147,11 +147,10 @@ def corpus_stream_ingest_dedup(
     overwrite per batch id), same protocol as sinks.append_parquet_sink.
     """
     from pandemic_knowledge_spark.operators.dedup import (
-        _band_rows,
-        _verify_pairs,
         connected_components,
         minhash_base,
         minhash_pairs_between,
+        pairs_from_base,
     )
 
     reader = spark.readStream.schema(doc_schema)
@@ -179,18 +178,7 @@ def corpus_stream_ingest_dedup(
         if old is not None:
             hit = minhash_pairs_between(base, old, threshold).select("doc_a").distinct()
             base = base.join(hit, base["doc_id"] == hit["doc_a"], "left_anti")
-        a, b = _band_rows(base).alias("a"), _band_rows(base).alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey")),
-            )
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-        )
-        pairs = _verify_pairs(cand, base, base, threshold)
+        pairs = pairs_from_base(base, threshold)
         dropped = connected_components(pairs).filter(F.col("node") != F.col("rep"))
         base = base.join(dropped, base["doc_id"] == dropped["node"], "left_anti")
         keep = base.select("doc_id").localCheckpoint(eager=True)
@@ -392,13 +380,7 @@ def incidence_stream_rollup(
         counts = batch_df.groupBy(
             day.alias("day"), F.col(key_col).alias("key")
         ).agg(F.count(F.lit(1)).alias("cases"))
-        (
-            counts.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(rollup_dir)
-        )
+        _write_quantile_batch(counts, batch_id, rollup_dir)
 
     return (
         raw.writeStream.foreachBatch(_roll)

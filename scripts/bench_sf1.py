@@ -107,6 +107,10 @@ def ensure_data(spark, regen: bool) -> None:
     marker = f"{DST}/_SCALED_OK"
     if os.path.exists(marker) and not regen:
         return
+    # drop the stale marker FIRST: an interrupted rewrite must not leave a
+    # prior run's marker validating a mixed old/new dataset
+    if os.path.exists(marker):
+        os.remove(marker)
     os.makedirs(DST, exist_ok=True)
     for name in ("region", "nation"):
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(

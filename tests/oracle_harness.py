@@ -9,6 +9,7 @@ determinism contract, see plans/catalog.py docstring).
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 
 import duckdb
@@ -36,6 +37,12 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
+    if isinstance(v, _decimal.Decimal):
+        # Keep Decimal DISTINGUISHABLE from int: Python's cross-type
+        # equality (Decimal(5) == 5) would re-mask exactly the
+        # HUGEINT-vs-BIGINT oracle type bug the arrow fetch exists to
+        # surface — tag it so an int column never equals a decimal one.
+        return ("decimal", str(v))
     return v
 
 
