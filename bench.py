@@ -100,20 +100,33 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "search_index": search_index,
-                "protocol": "steady_state_median_of_3_cache_cleared",
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "search_index": search_index,
+            "protocol": "steady_state_median_of_3_cache_cleared",
+        }
     )
+    # Durable marker FIRST: the round driver parses the last stdout line,
+    # and round 3's record was lost to executor shutdown log spam landing
+    # AFTER the JSON line (BENCH_r03.json: rc=0, parsed=null). So (a) write
+    # the payload to a file the driver/judge can always read, (b) silence
+    # the JVM before stopping, (c) print the JSON line as the absolute last
+    # stdout action — after spark.stop() has already flushed its noise.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        f.write(payload + "\n")
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

@@ -26,12 +26,15 @@ from pandemic_knowledge_spark.functions.text import md5_int, md5_int_expr, sql_t
 DIM = 64  # embedding width; 2^6 keeps the grid join trivial
 
 
-def hash_embeddings(
+def hash_embeddings_long(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = DIM
 ) -> DataFrame:
-    """(doc_id, emb) — emb: array<bigint> of signed hashed token counts.
+    """Dense LONG form: one (doc_id, dim, v) row per document × dimension.
 
-    Documents with zero tokens embed to the zero vector (they stay
+    The scalar-column shape external harnesses can sort/hash row-wise (an
+    ``array<bigint>`` column defeats frame canonicalizers that sort by
+    column values); :func:`hash_embeddings` assembles the array form from
+    this. Documents with zero tokens embed to the zero vector (they stay
     addressable downstream rather than disappearing)."""
     if dim & (dim - 1):
         raise ValueError("dim must be a power of two (shift-exact sign bit)")
@@ -55,23 +58,30 @@ def hash_embeddings(
             docs.sparkSession.range(dim).select(F.col("id").cast("long").alias("dim"))
         )
     )
-    dense = grid.join(sums, ["doc_id", "dim"], "left").select(
+    return grid.join(sums, ["doc_id", "dim"], "left").select(
         "doc_id", "dim", F.coalesce("v", F.lit(0)).alias("v")
     )
+
+
+def hash_embeddings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", dim: int = DIM
+) -> DataFrame:
+    """(doc_id, emb) — emb: array<bigint> of signed hashed token counts.
+
+    The library API the ANN / SemDeDup / k-means operators consume; the
+    driver-facing catalog query uses :func:`hash_embeddings_long` instead
+    (scalar columns survive row-wise canonicalization)."""
+    dense = hash_embeddings_long(docs, id_col, text_col, dim)
     ordered = F.array_sort(F.collect_list(F.struct("dim", "v")))
     return dense.groupBy("doc_id").agg(
         F.transform(ordered, lambda x: x["v"]).alias("emb")
     )
 
 
-def sql_hash_embeddings(
-    table: str = "documents",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    dim: int = DIM,
-) -> str:
-    """DuckDB SQL replaying :func:`hash_embeddings` — same md5 dimension
-    hash, same sign rule, same dense assembly."""
+def _sql_dense_ctes(table: str, id_col: str, text_col: str, dim: int) -> str:
+    """Shared CTE chain ending at ``dense`` (doc_id, dim, v) — the ONE
+    definition both SQL emitters build on, so the hash/sign/assembly rules
+    cannot fork between the long-form and array-form oracles."""
     h = md5_int_expr("term")
     return f"""
 WITH toks AS (
@@ -88,7 +98,32 @@ grid AS (SELECT doc_id, CAST(u.d AS BIGINT) AS dim
 dense AS (
   SELECT g.doc_id, g.dim, CAST(coalesce(s.v, 0) AS BIGINT) AS v
   FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.dim = s.dim
-)
-SELECT doc_id, list(v ORDER BY dim) AS emb
-FROM dense GROUP BY doc_id
-"""
+)"""
+
+
+def sql_hash_embeddings_long(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DIM,
+) -> str:
+    """DuckDB SQL replaying :func:`hash_embeddings_long` — scalar rows,
+    the driver-checkable form."""
+    return (
+        _sql_dense_ctes(table, id_col, text_col, dim)
+        + "\nSELECT doc_id, dim, v FROM dense\n"
+    )
+
+
+def sql_hash_embeddings(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DIM,
+) -> str:
+    """DuckDB SQL replaying :func:`hash_embeddings` — same md5 dimension
+    hash, same sign rule, same dense assembly."""
+    return (
+        _sql_dense_ctes(table, id_col, text_col, dim)
+        + "\nSELECT doc_id, list(v ORDER BY dim) AS emb\nFROM dense GROUP BY doc_id\n"
+    )

@@ -4,8 +4,9 @@ The curation use at corpus scale: rank hosts/entities by link structure
 (domain authority for web-crawl curation, supplier/customer importance in
 a trade graph). Power iteration is the Pregel pattern — per round, one
 join of the rank table onto the edge list and one groupBy(dst) — which at
-cluster scale runs with the EDGE LIST hash-partitioned by ``src`` ONCE and
-cached: every subsequent round reuses that partitioning (the rank table,
+cluster scale runs with the EDGE LIST hash-partitioned by ``dst`` ONCE and
+cached: every subsequent round's groupBy(dst) reuses that partitioning (the
+rank table,
 |nodes| rows, is the small side), so k iterations cost k small shuffles of
 rank-sized data, never k edge-list shuffles. ``localCheckpoint`` per round
 truncates the growing lineage exactly like

@@ -671,6 +671,8 @@ def phrase_search_from_postings(
     (every offset joins independently). The probe touches only the phrase
     terms' buckets → partition-pruned at scale."""
     terms = query_terms(phrase)
+    if not terms:
+        raise ValueError("phrase has no tokenizable terms")
     m = len(terms)
     buckets = sorted({term_bucket_py(t) for t in terms})
     offsets = F.posexplode(F.array(*[F.lit(t) for t in terms])).alias("off", "term")
@@ -709,6 +711,8 @@ def phrase_search(
     starts scan-side over the token array (codegen, no shuffle until the
     top-k)."""
     terms = query_terms(phrase)
+    if not terms:
+        raise ValueError("phrase has no tokenizable terms")
     m = len(terms)
     toks = tokenize(text_col)
     starts = F.filter(
@@ -737,6 +741,8 @@ def sql_phrase_search(
     match over the same tokenizer — no regex lookarounds (RE2 has none),
     the token array IS the semantics."""
     terms = query_terms(phrase)
+    if not terms:
+        raise ValueError("phrase has no tokenizable terms")
     m = len(terms)
     conds = " AND ".join(
         f"t[i + {j}] = '{t}'" for j, t in enumerate(terms)

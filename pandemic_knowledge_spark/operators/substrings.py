@@ -137,6 +137,12 @@ def duplicated_spans(
     100 TB form), None = auto on the Catalyst size estimate vs
     ``spark.pandemic_knowledge.substrings.skewSafeThresholdBytes`` (1 GiB
     default) — the same gate shape as the MinHash dispatcher.
+
+    Auto-mode caveat: the size estimate is the optimized plan's
+    ``sizeInBytes``, which is Long.MaxValue for LocalRelation inputs
+    (``createDataFrame`` frames), so in-memory corpora always take the
+    skew-safe path — pass parquet-backed input (or an explicit
+    ``skew_safe=``) when the dispatch choice matters.
     """
     if skew_safe is None:
         thresh = int(
@@ -150,9 +156,16 @@ def duplicated_spans(
     if skew_safe:
         # cache: the combine form derives grams twice (aggregate + probe);
         # MEMORY_AND_DISK blocks are evictable, so at corpus scale this
-        # degrades to the recompute it replaces rather than OOMing.
+        # degrades to the recompute it replaces rather than OOMing. The
+        # eager localCheckpoint of the (duplicated-positions-only, ≪ gram
+        # count) result scopes the cache to this call — without it the
+        # lazily-returned spans frame would outlive the cache decision and
+        # the gram blocks would pin evictable storage for the session.
         grams = grams.cache()
-        dup = _dup_positions_combine(grams)
+        try:
+            dup = _dup_positions_combine(grams).localCheckpoint(eager=True)
+        finally:
+            grams.unpersist()
     else:
         dup = _dup_positions_window(grams)
     prev = Window.partitionBy("doc_id").orderBy("start")

@@ -133,8 +133,8 @@ from pandemic_knowledge_spark.operators.bpe import (
     sql_bpe_merges,
 )
 from pandemic_knowledge_spark.operators.embedding import (
-    hash_embeddings,
-    sql_hash_embeddings,
+    hash_embeddings_long,
+    sql_hash_embeddings_long,
 )
 from pandemic_knowledge_spark.operators.similarity import (
     pq_topk,
@@ -1552,15 +1552,18 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_report(d, "doc_id", "text")
 
 
-@q("text_hash_embeddings", oracle=sql_hash_embeddings())
+@q("text_hash_embeddings", oracle=sql_hash_embeddings_long())
 def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embeddings (operators.embedding): 64-dim signed
     hashed token counts per document, exact integers from the portable md5
     hash — the model-free embedding generator whose output feeds the ANN /
     SemDeDup / k-means operators. One grouped shuffle of (doc, dim, count)
-    rows; dense assembly via a broadcast dim grid; zero Python."""
+    rows; dense assembly via a broadcast dim grid; zero Python. Emitted in
+    the dense LONG form (doc_id, dim, v) — scalar columns a row-wise
+    harness canonicalizer can sort/hash (an array column cannot be
+    pandas-sorted); hash_embeddings assembles the array API from this."""
     d = load(spark, sf_dir, "documents")
-    return hash_embeddings(d, "doc_id", "text")
+    return hash_embeddings_long(d, "doc_id", "text")
 
 
 @q("graph_trade_pagerank", oracle=sql_trade_pagerank(20))

@@ -31,6 +31,23 @@ def sf_dir():
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, sf_dir, name):
     spec = REGISTRY[name]
+    # Driver-harness shape gate: the driver's canonicalizer pandas-sorts
+    # result frames row-wise, which raises on array/map/struct columns
+    # (round 3's only red row, text_hash_embeddings, failed EXACTLY this
+    # way while local parity was green — lists compare fine in DuckDB).
+    # Every hash-compared query must therefore emit scalar columns only.
+    from pyspark.sql.types import AtomicType, NullType
+
+    df = spec.fn(spark, sf_dir)
+    non_scalar = [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(f.dataType, (AtomicType, NullType))
+    ]
+    assert not non_scalar, (
+        f"{name}: non-scalar driver-facing columns {non_scalar} "
+        "(the driver canonicalizer cannot sort them — emit a long/digest form)"
+    )
     problems, n_rows = compare_query(spark, sf_dir, spec.fn, spec.oracle)
     assert not problems, f"{name}: {problems}"
 
