@@ -192,3 +192,65 @@ def test_ses_forecast_matches_python_reference(spark):
     )
     r = ses_forecast(const, ("key",)).collect()[0]
     assert r.forecast == 7.0
+
+
+def test_corr_pruned_matches_exact_on_strong_pairs(spark):
+    """The sign-sketch tier must reproduce the exact top-k when the top-k
+    is made of strongly-correlated pairs (its design contract): 6 groups of
+    3 keys sharing a scaled pattern give 18 r=1 pairs — parallel centered
+    vectors agree on EVERY projection sign, so candidate recall is certain,
+    and the re-check shares the exact tier's formula bit-for-bit."""
+    import random
+
+    from pandemic_knowledge_spark.operators.timeseries import (
+        correlation_pairs_topk,
+        correlation_pairs_topk_pruned,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    for g in range(6):
+        pattern = [rng.randint(1, 4) for _ in range(8)]
+        for m in range(3):  # 3 keys per group, scaled 1x/2x/3x
+            u = f"g{g}m{m}"
+            for d, base in enumerate(pattern):
+                for i in range((m + 1) * base):
+                    rows.append((u, dt.datetime(2024, 1, 1 + d, 6, i % 60), 0.0))
+    for nkey in range(5):  # uncorrelated noise keys
+        for d in rng.sample(range(8), 4):
+            rows.append((f"n{nkey}", dt.datetime(2024, 1, 1 + d, 7), 0.0))
+    df = spark.createDataFrame(rows, SCHEMA).withColumnRenamed("k", "u")
+    exact = [tuple(r) for r in correlation_pairs_topk(df, "u", "ts", k=10).collect()]
+    pruned = [
+        tuple(r)
+        for r in correlation_pairs_topk_pruned(df, "u", "ts", k=10).collect()
+    ]
+    assert pruned == exact
+    assert all(abs(r - 1.0) < 1e-12 for _, _, r in exact)
+
+
+def test_corr_auto_dispatch_scale_gate(spark, sf_dir):
+    """Auto dispatcher: below the byte threshold → exact day-blocked pair
+    join (no sign sketches); above → pruned (the shiftleft band packing
+    appears in the plan)."""
+    from pandemic_knowledge_spark.operators.timeseries import (
+        CORR_THRESHOLD_CONF,
+        correlation_pairs_topk_auto,
+    )
+    from pandemic_knowledge_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    spark.conf.set(CORR_THRESHOLD_CONF, "1")  # force scale path
+    try:
+        plan = (
+            correlation_pairs_topk_auto(ev, "user_id", "ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "shiftleft" in plan
+    finally:
+        spark.conf.unset(CORR_THRESHOLD_CONF)
+    plan_small = (
+        correlation_pairs_topk_auto(ev, "user_id", "ts")  # default 1 GiB gate
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "shiftleft" not in plan_small
