@@ -5,19 +5,24 @@ flags the non-atomicity — dashboards read an empty index mid-refresh
 (/root/reference/flow/scripts/insert_owid.py:239-241,
 /root/reference/README.md:226-227). The fix here is the standard
 versioned-directory swap: each refresh writes a brand-new
-``_v=<epoch>/`` directory under the table root, then atomically repoints a
-one-line ``_CURRENT`` manifest via rename. Readers resolve ``_CURRENT``
-first, so they always see a complete version — never a partial or empty
-table. The manifest/GC I/O is driver-local file I/O, so the root must be
-a filesystem the driver sees (local, NFS mount); remote schemes are
-rejected at construction — an hdfs:///s3a:// root would need the Hadoop
-FileSystem API for the manifest path (the version-directory DATA writes
-already go wherever Spark is configured to write).
+version directory under the table root, then atomically repoints a
+one-line ``_CURRENT`` manifest. Readers resolve ``_CURRENT`` first, so
+they always see a complete version — never a partial or empty table.
+
+All manifest/list/GC I/O goes through the HADOOP FILESYSTEM API (the same
+dispatch `sources.csv_sniff.read_prefix` and `io.compact_partitions`
+already use), so the table root can be ANY scheme Spark can write —
+``file:``, ``hdfs:``, ``viewfs:``, ``s3a:`` (the reference's own storage
+is a MinIO bucket, insert_owid.py:203-214). The pointer swap is a
+FileContext rename with OVERWRITE (atomic on HDFS/local/viewfs); for
+schemes without an AbstractFileSystem binding — typical for object
+stores — it falls back to a direct overwrite-create of the one-object
+manifest, which an object store serves as an atomic PUT: readers see the
+old pointer or the new one, never a torn file.
 """
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,33 +42,61 @@ class AtomicTable:
     manifest then scans only that version directory.
     """
 
-    def __init__(self, root: str, keep_versions: int = 2) -> None:
-        # Manifest/GC I/O is driver-local (os/open/shutil): correct on a
-        # shared local/NFS root. Remote stores would need the Hadoop
-        # FileSystem API for the manifest — fail fast instead of writing a
-        # literal 'hdfs:/...' directory on the driver's disk while readers
-        # look for the manifest that never lands on the remote store.
-        scheme = root.split("://", 1)[0] if "://" in root else ""
-        if scheme and scheme != "file":
-            raise ValueError(
-                f"AtomicTable root must be driver-local (got scheme "
-                f"{scheme!r}); route remote stores through the Hadoop "
-                "FileSystem API or mount them locally"
-            )
-        self.root = root
+    def __init__(
+        self, root: str, keep_versions: int = 2, spark: SparkSession | None = None
+    ) -> None:
+        # All manifest I/O runs through the Hadoop FileSystem of the root's
+        # scheme, so any Spark-writable store works (file/hdfs/viewfs/s3a).
+        # ``spark`` pins the session the FS is resolved from; default is
+        # the active one (constructors run on the driver).
+        self.root = root.rstrip("/") or root
         self.keep_versions = keep_versions
-        os.makedirs(root, exist_ok=True)
+        self._spark = spark
+        jvm, fs, rootp = self._fs()
+        fs.mkdirs(rootp)
 
-    @property
-    def _manifest(self) -> str:
-        return os.path.join(self.root, "_CURRENT")
+    # -- Hadoop FS plumbing -------------------------------------------------
+
+    def _session(self) -> SparkSession:
+        s = self._spark or SparkSession.getActiveSession()
+        if s is None:
+            raise RuntimeError(
+                "AtomicTable manifest I/O needs a SparkSession (pass spark= "
+                "or create the session first)"
+            )
+        return s
+
+    def _fs(self):
+        s = self._session()
+        jvm = s._jvm
+        rootp = jvm.org.apache.hadoop.fs.Path(self.root)
+        fs = rootp.getFileSystem(s._jsc.hadoopConfiguration())
+        return jvm, fs, rootp
+
+    def _child(self, jvm, rootp, name: str):
+        return jvm.org.apache.hadoop.fs.Path(rootp, name)
+
+    def _write_file(self, fs, path, content: str) -> None:
+        out = fs.create(path, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
 
     def current_version(self) -> str | None:
-        try:
-            with open(self._manifest) as f:
-                return f.read().strip() or None
-        except FileNotFoundError:
+        jvm, fs, rootp = self._fs()
+        mp = self._child(jvm, rootp, "_CURRENT")
+        if not fs.exists(mp):
             return None
+        ins = fs.open(mp)
+        try:
+            br = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(ins, "UTF-8")
+            )
+            line = br.readLine()
+        finally:
+            ins.close()
+        return (line or "").strip() or None
 
     @staticmethod
     def _seq_of(name: str) -> int:
@@ -73,48 +106,68 @@ class AtomicTable:
             return -1
 
     def _versions(self) -> list[str]:
-        """Version directories ordered by publish recency (mtime, then
-        sequence number as tie-break), oldest first. Lexicographic name
-        order is NOT publish order once sequences collide — the uuid
-        suffix would shuffle same-seq versions arbitrarily."""
-        names = [
-            d for d in os.listdir(self.root)
-            if d.startswith("v-") and os.path.isdir(os.path.join(self.root, d))
-        ]
-        return sorted(
-            names,
-            key=lambda d: (os.path.getmtime(os.path.join(self.root, d)),
-                           self._seq_of(d), d),
-        )
+        """Version directories ordered by publish recency (modification
+        time, then sequence number as tie-break), oldest first.
+        Lexicographic name order is NOT publish order once sequences
+        collide — the uuid suffix would shuffle same-seq versions
+        arbitrarily."""
+        jvm, fs, rootp = self._fs()
+        entries = []
+        for st in fs.listStatus(rootp):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v-"):
+                entries.append((st.getModificationTime(), self._seq_of(name), name))
+        return [name for _, _, name in sorted(entries)]
 
     def overwrite(self, df: DataFrame) -> str:
         """Write df as a new version, then atomically repoint _CURRENT."""
         seq = max((self._seq_of(v) for v in self._versions()), default=-1) + 1
         version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("errorifexists").parquet(os.path.join(self.root, version))
-        tmp = self._manifest + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, self._manifest)  # atomic on POSIX
+        df.write.mode("errorifexists").parquet(f"{self.root}/{version}")
+        self._publish(version)
         self._gc(keep=version)
         return version
+
+    def _publish(self, version: str) -> None:
+        """Atomically repoint _CURRENT at ``version``: tmp write + rename
+        with OVERWRITE through FileContext (atomic on HDFS/local/viewfs).
+        Schemes with no AbstractFileSystem binding (object stores,
+        typically) fall back to a direct overwrite-create — there the
+        manifest is one object and the PUT itself is atomic at the store,
+        which is the property the rename provides elsewhere."""
+        s = self._session()
+        jvm, fs, rootp = self._fs()
+        tmp = self._child(jvm, rootp, f"_CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+        dst = self._child(jvm, rootp, "_CURRENT")
+        self._write_file(fs, tmp, version)
+        try:
+            gw = s.sparkContext._gateway
+            rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+            opts = gw.new_array(rename_enum, 1)
+            opts[0] = rename_enum.OVERWRITE
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                rootp.toUri(), s._jsc.hadoopConfiguration()
+            )
+            fc.rename(tmp, dst, opts)
+        except Exception:
+            self._write_file(fs, dst, version)
+            fs.delete(tmp, False)
 
     def _gc(self, keep: str) -> None:
         """Drop all but the newest ``keep_versions`` directories by publish
         recency (never the one just published). With the default
         keep_versions=2 the immediately-previous version always survives
         for in-flight readers that resolved _CURRENT just before the swap."""
-        import shutil
-
+        jvm, fs, rootp = self._fs()
         versions = [v for v in self._versions() if v != keep]
         for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
-            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+            fs.delete(self._child(jvm, rootp, stale), True)
 
     def read(self, spark: SparkSession) -> DataFrame:
         version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"no published version under {self.root}")
-        return spark.read.parquet(os.path.join(self.root, version))
+        return spark.read.parquet(f"{self.root}/{version}")
 
 
 def atomic_overwrite_sink(

@@ -275,3 +275,32 @@ def test_owid_stream_rejects_reordered_header(spark, tmp_path, lookup_dim, owid_
     # and nothing corrupt was committed
     import glob
     assert not glob.glob(str(tmp_path / "out_bad" / "*.parquet"))
+
+
+def test_compact_partitions_on_hadoop_scheme(spark, tmp_path):
+    """OPTIMIZE over a non-file scheme: the whole walk (list, rewrite,
+    two-rename swap, crash-recovery preamble) through Hadoop FileSystem
+    dispatch on a viewfs:// mount — the path an hdfs:// table root takes.
+    (On object stores the rename-swap caveat in the docstring applies:
+    route the publish through AtomicTable's version swap instead.)"""
+    from pandemic_knowledge_spark.io import compact_partitions, write_facts_partitioned
+    from pandemic_knowledge_spark.tables import load
+
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.compacttest.link./warehouse", f"file://{tmp_path}"
+    )
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "date_start", F.col("ts").cast("date")
+    )
+    path = "viewfs://compacttest/warehouse/facts"
+    write_facts_partitioned(
+        ev, path, date_col="date_start", cluster_col=None, max_records_per_file=7
+    )
+    rows_before = sorted(
+        map(tuple, spark.read.parquet(path).drop("p_date").collect())
+    )
+    report = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    assert report and all(r["files_after"] == 1 for r in report)
+    after = sorted(map(tuple, spark.read.parquet(path).drop("p_date").collect()))
+    assert after == rows_before
+    assert compact_partitions(spark, path, target_file_bytes=1 << 30) == []
