@@ -67,39 +67,66 @@ def partitioned_ntile(
     ascending: bool = True,
     bucket: Column | None = None,
     materialize: bool = True,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Add ``out_col`` = NTILE(n_buckets) OVER (ORDER BY value [DESC],
-    tiebreak) — bit-identical to the single-task window, computed with a
-    partitioned one (see module docstring).
+    """Add ``out_col`` = NTILE(n_buckets) OVER ([PARTITION BY group_cols]
+    ORDER BY value [DESC], tiebreak) — bit-identical to the plain window,
+    computed with a partitioned one (see module docstring).
 
     ``bucket`` overrides the coarse key (must be order-monotone in the
     value; identity is ideal for small-range integers). ``materialize``
     localCheckpoints the input first — pass False only when the caller
     already materialized it.
+
+    ``group_cols`` computes the ntile WITHIN each group. This is the tool
+    for FEW, HUGE groups (where a plain PARTITION BY group window would
+    funnel a fact-sized slice through one task — e.g. 5 order priorities at
+    100 TB); the offsets table grows as |groups| × |buckets| and must stay
+    broadcastable, so for high-cardinality groups use the ordinary grouped
+    window instead (it is already parallel there).
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     b = bucket if bucket is not None else decimal_bucket(F.col(value_col))
     if materialize:
         df = df.localCheckpoint(eager=True)
+    gcols = list(group_cols)
     df2 = df.withColumn("__pk_nt_b", b)
-    bcounts = df2.groupBy("__pk_nt_b").agg(F.count(F.lit(1)).alias("__pk_nt_c"))
+    bcounts = df2.groupBy(*gcols, "__pk_nt_b").agg(
+        F.count(F.lit(1)).alias("__pk_nt_c")
+    )
     border = F.col("__pk_nt_b").asc() if ascending else F.col("__pk_nt_b").desc()
-    # cumulative walk over the SKETCH-SIZED bucket-count table (the single
+    # cumulative walk over the SKETCH-SIZED bucket-count table (each
     # partition here holds ≤ a few thousand rows by construction — never
     # the input).
-    ow = Window.orderBy(border).rowsBetween(Window.unboundedPreceding, -1)
+    ow = (
+        Window.partitionBy(*gcols).orderBy(border)
+        if gcols
+        else Window.orderBy(border)
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = bcounts.select(
+        *gcols,
         "__pk_nt_b",
         F.coalesce(F.sum("__pk_nt_c").over(ow), F.lit(0)).alias("__pk_nt_off"),
     )
-    total = bcounts.agg(F.sum("__pk_nt_c").alias("__pk_nt_n"))
+    if gcols:
+        total = bcounts.groupBy(*gcols).agg(
+            F.sum("__pk_nt_c").alias("__pk_nt_n")
+        )
+    else:
+        total = bcounts.agg(F.sum("__pk_nt_c").alias("__pk_nt_n"))
     vorder = F.col(value_col).asc() if ascending else F.col(value_col).desc()
-    lw = Window.partitionBy("__pk_nt_b").orderBy(vorder, F.col(tiebreak_col).asc())
-    ranked = (
-        df2.join(F.broadcast(offsets), "__pk_nt_b")
-        .crossJoin(F.broadcast(total))
-        .withColumn("__pk_nt_rk", F.col("__pk_nt_off") + F.row_number().over(lw))
+    lw = Window.partitionBy(*gcols, "__pk_nt_b").orderBy(
+        vorder, F.col(tiebreak_col).asc()
+    )
+    joined = df2.join(F.broadcast(offsets), gcols + ["__pk_nt_b"])
+    joined = (
+        joined.join(F.broadcast(total), gcols)
+        if gcols
+        else joined.crossJoin(F.broadcast(total))
+    )
+    ranked = joined.withColumn(
+        "__pk_nt_rk", F.col("__pk_nt_off") + F.row_number().over(lw)
     )
     # Standard SQL NTILE from the global rank: q = n div b, rem = n mod b;
     # the first rem tiles hold q+1 rows. greatest(q, 1) guards the ANSI

@@ -87,6 +87,7 @@ from pandemic_knowledge_spark.operators.quality import (
     sql_quality_scores,
 )
 from pandemic_knowledge_spark.operators.decontamination import contamination_report
+from pandemic_knowledge_spark.operators.ranks import decimal_bucket
 from pandemic_knowledge_spark.operators.packing import pack_sequences
 from pandemic_knowledge_spark.operators.repetition import (
     repetition_signals,
@@ -452,21 +453,31 @@ GROUP BY o_orderpriority, quartile
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 — ntile ranking (per-class quartile summaries, a Kibana
-    percentile-panel idiom). PARTITION BY keeps the sort distributed — a
-    global ntile would funnel the table through one partition at 100 TB.
-    Deterministic tiebreak on the key keeps tile assignment identical
-    across engines and partitionings."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select(
-            "o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile")
-        )
-        .groupBy("o_orderpriority", "quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            as_money(cents_sum("o_totalprice")).alias("sum_totalprice"),
-        )
+    percentile-panel idiom). A plain PARTITION BY o_orderpriority window
+    has only 5 partitions — at 100 TB that is 5 tasks each sorting a fifth
+    of the fact table, barely better than a global funnel — so the tiles
+    come from operators.ranks.partitioned_ntile with group_cols: per-group
+    decimal-digit price buckets give broadcast rank offsets and every
+    (priority, bucket) slice sorts independently, bit-identical to the
+    oracle's grouped ntile. Deterministic tiebreak on the key keeps tile
+    assignment identical across engines and partitionings."""
+    from pandemic_knowledge_spark.operators.ranks import partitioned_ntile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tiled = partitioned_ntile(
+        o,
+        4,
+        "o_totalprice",
+        "o_orderkey",
+        "quartile",
+        bucket=decimal_bucket(F.round(F.col("o_totalprice") * 100).cast("long")),
+        group_cols=("o_orderpriority",),
+    )
+    return tiled.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        as_money(cents_sum("o_totalprice")).alias("sum_totalprice"),
     )
 
 
@@ -4721,7 +4732,7 @@ HAVING count(*) >= {_WINNOW_MIN_SHARED}
 """
 
 
-@q("dedup_winnow_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+@q("dedup_winnow_pairs", oracle=_WINNOW_PAIRS_ORACLE, bench=True)
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-overlap pairs via the winnowing inverted index: docs sharing
     >= 2 selected fingerprints (each fingerprint witnesses a shared token
@@ -4837,91 +4848,35 @@ BENCH_QUERY_NAMES.extend(
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # The driver hash-checks queries()[:50] in registry order; this list is
-    # derived from the ROUND-3 DIFF at round end (VERDICT r2 item 2):
-    # tier A = new or implementation/oracle-changed in r3 (need fresh rows),
-    # tier B = changed in r2 after their last green row (the r2 stale set),
-    # tier C = r1-only green rows, oldest first — refreshed while slots last.
-    # --- tier A: r3 new / changed ---
-    "dedup_substring_spans",       # new: Lee et al. exact substring dedup
-    "dedup_substring_clean",       # new: the span-cut cleaning pass
-    "epi_rt_daily",                # new: Cori Rt over daily incidence
-    "epi_outbreak_spikes",         # new: trailing-baseline z-score alarm
-    "sketch_quantile_rollup",      # new: decimal-DDSketch range quantiles
-    "search_phrase_positional",    # new: positional-postings phrase match
-    "graph_trade_pagerank",        # new: fixed-point integer PageRank
-    "text_hash_embeddings",        # new: feature-hashing doc vectors
-    "bpe_learn_merges",            # new: BPE tokenizer training
-    "bpe_encode_docs",             # new: subword accounting w/ learned vocab
-    "lm_score_docs",               # new: CCNet-style bigram-LM scoring
-    "text_collocations_pmi",       # new: PMI significant-phrase mining
-    "privacy_k_anonymize",         # new: quasi-identifier suppression
-    "ann_pq_topk",                 # new: product-quantization ADC top-k
-    "timeseries_ses_forecast",     # new: fixed-point SES forecast
-    "profile_drift_psi",           # new: PSI distribution-drift alarm
-    "lm_ccnet_buckets",            # new: head/middle/tail tertile split
-    "chunk_documents_grid",        # new: token-budget chunking w/ overlap
-    "text_quality_classifier",     # new: hashed linear quality scorer
-    "dedup_url_canonical",         # new: canonical-URL web dedup
-    "dedup_semantic_clusters",     # new: SemDeDup cluster-blocked cosine
-    "sample_token_mixture",        # new: token-budget mixture control
-    "sample_fixed_per_stratum",    # new: exact-N deterministic pick
-    "corpus_training_prep",        # new: fused quality->chunk pipeline
-    "scd2_user_history",           # new: SCD2 change-compressed history
-    "scd2_snapshot_asof",          # new: point-in-time snapshot
-    "scd2_incremental_merge",      # new: merge == full rebuild
-    "funnel_signup_view_purchase", # new: single-shuffle ordered funnel
-    "cohort_weekly_retention",     # new: signup-cohort weekly retention
-    "timeseries_gapfill_ffill",    # new: dense spine + zero-fill + LOCF
-    "timeseries_corr_topk",        # new: exact Pearson pairs, sparse sums
-    "timeseries_rolling_active",   # new: rolling 7-day distinct actives
-    "fuzzy_dim_match_nations",     # new: trigram-Jaccard best match
-    "profile_orders_table",        # new: per-column quality profile
-    "ingest_owid_conform_fixture", # new: end-to-end ingest over fixtures
-    "ingest_weekly_conform_fixture", # new: multisource weekly conform
-    "crawl_news_fixture_conform",  # new: S5 adapter chain, JSON oracle
-    "crawl_tweets_fixture_conform", # new: S6 adapter chain, JSON oracle
-    "io_partitioned_roundtrip",    # new: K1/K5 layout lossless round-trip
-    "dedup_winnow_fingerprints",   # new: MOSS winnowing sketch
-    "dedup_winnow_pairs",          # new: winnow inverted-index overlap
-    "dedup_winnow_cluster_reps",   # new: winnow chain -> components -> reps
-    "layout_zorder_box_scan",      # new: z-order layout round-trip
-    "search_fields_indexed",       # new: multi-field indexed probe
-    "emb_kmeans_clusters",         # new: quantized Lloyd k-means
-    "dedup_corpus_lines",          # new: cross-corpus sentence dedup
-    "text_tfidf_keywords",         # new: per-doc TF-IDF keywords
-    "range_join_value_brackets",   # new: banded range join
-    "search_page_indexed",         # new: persisted posting-table probe
-    "multimodal_media_features",   # r2 no_oracle -> literal VALUES oracle
-    "conform_json_coerce",         # oracle rewritten (saturation semantics)
-    "text_boilerplate_ngrams",     # raw-ratio filter fix (behavior change)
-    # --- tier B: r2 stale (semantic rewrites; NOTE: late r3 additions
-    # grew the never-checked set past 50, so everything from here down is
-    # now BELOW the driver's check window — covered by r1/r2 green rows
-    # plus local sf0.01 AND sf0.1 parity, rotating to the head in r4) ---
-    "text_lang_id",
-    "corpus_curation_pipeline",
-    # below the 50-slot window (risk-ordered residual): entries whose
-    # change is already exercised by an in-window row or is provably
-    # output-identical (sql_tokenize emits the same literal regex;
-    # the auto dispatcher picks the r1-green single-pass form at sf0.01),
-    # all green in local sf0.01 parity —
-    # plus the two r3 retail additions (fixture-arithmetic pytest +
-    # local parity green) which yield their slots to
-    # multimodal_media_features and search_page_indexed — the r2
-    # verdict's explicit asks — and rotate to the head next round:
-    "retail_rfm_segments",
-    "retail_association_rules",
-    "text_repetition_signals",     # oracle emission via sql_tokenize
-    "dedup_minhash_lsh",           # auto dispatcher (sizeInBytes gate)
-    "search_page_highlighted",     # r3 pattern-builder share; output-identical
-    "dedup_minhash_lsh_pruned",    # r2-green; fn unchanged, dispatch covered above
-    "dedup_cluster_reps",          # pairs via dispatcher (covered above)
-    "dedup_cluster_reps_star",
+    # ROUND-4 WINDOW (50 slots), derived from CORRECTNESS_r0{1,2,3}.json +
+    # the r4 diff. Tier A = changed this round or changed since their last
+    # green row (riskiest first); tier B = the ENTIRE r1-only-green
+    # residue (no row since round 1 — oldest evidence, refreshed in full).
+    # Every r2/r3-green unchanged query sits below the window on its
+    # existing row; the r2-only set (q1-q22 TPC-H family, sampling, geo,
+    # lookup/conform, stateful-stream rows) rotates to the head in r5.
+    # --- tier A: r4-changed / never-green / changed-since-green ---
+    "text_hash_embeddings",        # r3 RED (harness shape); r4 long-form fix
+    "retail_rfm_segments",         # never driver-checked; r4 partitioned_ntile
+    "retail_association_rules",    # never driver-checked
+    "lm_ccnet_buckets",            # r4: global ntile -> partitioned_ntile
+    "window_ntile_quartiles",      # r4: 5-partition window -> grouped ranks
+    "timeseries_corr_topk",        # r4: auto-dispatch added (exact @ sf0.01)
+    "dedup_substring_spans",       # r4: skew-path cache scoping touched
+    "dedup_substring_clean",       # r4: same dependency
+    "search_phrase_positional",    # r4: empty-phrase fail-fast touched
+    "conform_json_coerce",         # oracle rewritten r3; last green r1
+    "text_boilerplate_ngrams",     # behavior change r3; last green r2
+    "text_repetition_signals",     # oracle emission change r3; last green r2
+    "dedup_minhash_lsh",           # dispatcher added r2/r3; last green r1
+    "corpus_curation_pipeline",    # changed r2; last green r1
+    "text_lang_id",                # changed r2; last green r1
+    "search_page_highlighted",     # pattern-builder share r3; last green r2
+    "dedup_minhash_lsh_pruned",    # last green r2; fn unchanged since
+    # --- tier B: every r1-only-green query (no row since round 1) ---
     "stream_tumbling_hourly",
     "stream_sliding_1h30m",
     "stream_session_5m",
-    # --- tier C: r1-only green, refresh oldest rows ---
     "union_feed",
     "latest_feed_page",
     "text_search_overlap",

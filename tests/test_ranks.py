@@ -119,3 +119,24 @@ def test_rfm_and_ccnet_plans_have_no_global_ntile(spark, sf_dir):
         assert "ntile" not in plan, name
         for m in re.finditer(r"Window \[row_number\(\).*", plan):
             assert "__pk_nt_b" in m.group(0), (name, m.group(0))
+
+
+def test_grouped_matches_grouped_ntile_exactly(spark):
+    """group_cols variant vs ntile() OVER (PARTITION BY g ORDER BY v, k),
+    uneven group sizes and cross-group value collisions included."""
+    random.seed(13)
+    rows = [
+        (i, random.choice(["a", "b", "c"]), random.randint(0, 80))
+        for i in range(2500)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, v long")
+    expected = df.select(
+        "k",
+        "g",
+        F.ntile(4).over(Window.partitionBy("g").orderBy("v", "k")).alias("t"),
+    )
+    got = partitioned_ntile(
+        df, 4, "v", "k", "t", group_cols=("g",)
+    ).select("k", "g", "t")
+    assert expected.exceptAll(got).count() == 0
+    assert got.exceptAll(expected).count() == 0
