@@ -371,15 +371,9 @@ def minhash_lsh_pairs_auto(
     (a sizing count() measured ~0.2 s per call on the bench, pure overhead
     for small corpora)."""
     if scale is None:
-        thresh = int(
-            docs.sparkSession.conf.get(
-                PRUNED_THRESHOLD_CONF, str(PRUNED_THRESHOLD_DEFAULT)
-            )
-        )
-        est_bytes = (
-            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        scale = est_bytes >= thresh
+        from pandemic_knowledge_spark.operators.dispatch import size_gated
+
+        scale = size_gated(docs, PRUNED_THRESHOLD_CONF, PRUNED_THRESHOLD_DEFAULT)
     fn = minhash_lsh_pairs_pruned if scale else minhash_lsh_pairs
     return fn(docs, id_col, text_col, k=k, threshold=threshold)
 

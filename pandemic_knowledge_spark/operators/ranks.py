@@ -46,8 +46,10 @@ from pyspark.sql import functions as F
 
 def decimal_bucket(v: Column) -> Column:
     """Order-monotone coarse bucket for integer columns: sign ×
-    (digit_count·1000 + leading 3 digits); 0 for zero. ≤ ~900 buckets per
-    order of magnitude, relative bucket width ≤ 1% above 3 digits."""
+    (digit_count·1000 + leading 3 digits); 0 for zero; NULL stays NULL
+    (partitioned_ntile maps it to the null sentinel bucket). ≤ ~900
+    buckets per order of magnitude, relative bucket width ≤ 1% above 3
+    digits."""
     a = F.abs(v)
     s = a.cast("string")
     mag = F.length(s) * 1000 + F.substring(s, 1, 3).cast("long")
@@ -56,6 +58,13 @@ def decimal_bucket(v: Column) -> Column:
         .when(v > 0, mag)
         .otherwise(-mag)
     )
+
+
+# NULL values sort FIRST ascending and LAST descending under Spark's
+# default ordering — i.e. NULL behaves as the smallest value in both
+# directions, so one below-everything sentinel bucket reproduces it. A
+# custom ``bucket`` expression must never legitimately produce this value.
+_NULL_BUCKET = -(1 << 62)
 
 
 def partitioned_ntile(
@@ -88,6 +97,10 @@ def partitioned_ntile(
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     b = bucket if bucket is not None else decimal_bucket(F.col(value_col))
+    # NULL values (or a NULL from a custom bucket expression) land in the
+    # dedicated sentinel bucket instead of silently dropping at the
+    # non-null-safe bucket equi-join — ntile ranks NULL rows too.
+    b = F.coalesce(b, F.lit(_NULL_BUCKET))
     if materialize:
         df = df.localCheckpoint(eager=True)
     gcols = list(group_cols)
@@ -119,12 +132,35 @@ def partitioned_ntile(
     lw = Window.partitionBy(*gcols, "__pk_nt_b").orderBy(
         vorder, F.col(tiebreak_col).asc()
     )
-    joined = df2.join(F.broadcast(offsets), gcols + ["__pk_nt_b"])
-    joined = (
-        joined.join(F.broadcast(total), gcols)
-        if gcols
-        else joined.crossJoin(F.broadcast(total))
-    )
+    if gcols:
+        # group joins must be NULL-SAFE: ntile's PARTITION BY treats a NULL
+        # group as a real partition, and a plain equi-join would silently
+        # drop its rows.
+        boff = offsets.select(
+            F.col("__pk_nt_b").alias("__pk_nt_bo"),
+            "__pk_nt_off",
+            *[F.col(c).alias(f"__pk_nt_go{i}") for i, c in enumerate(gcols)],
+        )
+        cond = F.col("__pk_nt_b") == F.col("__pk_nt_bo")
+        for i, c in enumerate(gcols):
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__pk_nt_go{i}"))
+        joined = df2.join(F.broadcast(boff), cond).drop(
+            "__pk_nt_bo", *[f"__pk_nt_go{i}" for i in range(len(gcols))]
+        )
+        btot = total.select(
+            "__pk_nt_n",
+            *[F.col(c).alias(f"__pk_nt_gt{i}") for i, c in enumerate(gcols)],
+        )
+        tcond = F.lit(True)
+        for i, c in enumerate(gcols):
+            tcond = tcond & F.col(c).eqNullSafe(F.col(f"__pk_nt_gt{i}"))
+        joined = joined.join(F.broadcast(btot), tcond).drop(
+            *[f"__pk_nt_gt{i}" for i in range(len(gcols))]
+        )
+    else:
+        joined = df2.join(F.broadcast(offsets), ["__pk_nt_b"]).crossJoin(
+            F.broadcast(total)
+        )
     ranked = joined.withColumn(
         "__pk_nt_rk", F.col("__pk_nt_off") + F.row_number().over(lw)
     )

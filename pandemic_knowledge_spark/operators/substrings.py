@@ -145,13 +145,9 @@ def duplicated_spans(
     ``skew_safe=``) when the dispatch choice matters.
     """
     if skew_safe is None:
-        thresh = int(
-            docs.sparkSession.conf.get(
-                SKEW_THRESHOLD_CONF, str(SKEW_THRESHOLD_DEFAULT)
-            )
-        )
-        est = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        skew_safe = est >= thresh
+        from pandemic_knowledge_spark.operators.dispatch import size_gated
+
+        skew_safe = size_gated(docs, SKEW_THRESHOLD_CONF, SKEW_THRESHOLD_DEFAULT)
     grams = _grams(docs, id_col, text_col, gram_len)
     if skew_safe:
         # cache: the combine form derives grams twice (aggregate + probe);

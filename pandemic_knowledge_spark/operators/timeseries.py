@@ -73,20 +73,30 @@ def _daily_counts(events: DataFrame, key_col: str, ts_col: str) -> DataFrame:
     )
 
 
-def _corr_topk_from_sxy(daily: DataFrame, sxy: DataFrame, k: int) -> DataFrame:
+def _corr_topk_from_sxy(
+    daily: DataFrame,
+    sxy: DataFrame,
+    k: int,
+    stats: DataFrame | None = None,
+    n_days: DataFrame | None = None,
+) -> DataFrame:
     """Assemble exact Pearson r for the (key_a, key_b, sxy) pairs and take
     the top-k — the shared tail of the exact and candidate-pruned tiers, so
     the r formula (exact int64 sums, fixed assembly, bit-identical doubles)
-    cannot fork between them."""
+    cannot fork between them. ``stats``/``n_days`` accept the frames a
+    caller already derived for its candidate stage (the pruned tier needs
+    both for its sketches) instead of re-aggregating ``daily``."""
     # n = the DENSE calendar span (the zero-filled series length the
     # docstring promises), not the count of days with any event — a
     # corpus-wide quiet day is a real 0 in every series.
-    n_days = daily.select(
-        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("nd")
-    )
-    stats = daily.groupBy("key").agg(
-        F.sum("n").alias("sx"), F.sum(F.col("n") * F.col("n")).alias("sxx")
-    )
+    if n_days is None:
+        n_days = daily.select(
+            (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("nd")
+        )
+    if stats is None:
+        stats = daily.groupBy("key").agg(
+            F.sum("n").alias("sx"), F.sum(F.col("n") * F.col("n")).alias("sxx")
+        )
     sa = stats.select(
         F.col("key").alias("key_a"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa")
     )
@@ -226,13 +236,17 @@ def correlation_pairs_topk_pruned(
         .groupBy("key", "p")
         .agg(F.sum(F.col("n") * F.col("c")).alias("pr"))
     )
-    sx = daily.groupBy("key").agg(F.sum("n").alias("sx"))
+    # one moment pass serves both the sketches (sx) and the final exact
+    # assembly (sx, sxx) — no re-aggregation of daily downstream
+    stats = daily.groupBy("key").agg(
+        F.sum("n").alias("sx"), F.sum(F.col("n") * F.col("n")).alias("sxx")
+    )
     nd_df = bounds.select(
         (F.datediff("hi", "lo") + 1).cast("long").alias("nd")
     )
     bits = (
         raw.join(F.broadcast(s_p), "p")
-        .join(sx, "key")
+        .join(stats.select("key", "sx"), "key")
         .crossJoin(F.broadcast(nd_df))
         .select(
             "key",
@@ -263,7 +277,7 @@ def correlation_pairs_topk_pruned(
         .groupBy("key_a", "key_b")
         .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("sxy"))
     )
-    return _corr_topk_from_sxy(daily, sxy, k)
+    return _corr_topk_from_sxy(daily, sxy, k, stats=stats, n_days=nd_df)
 
 
 def correlation_pairs_topk_auto(
@@ -281,13 +295,9 @@ def correlation_pairs_topk_auto(
     constant) every pair is scored exactly; above it the sign-sketch tier
     prunes candidates first."""
     if scale is None:
-        thresh = int(
-            events.sparkSession.conf.get(
-                CORR_THRESHOLD_CONF, str(CORR_THRESHOLD_DEFAULT)
-            )
-        )
-        est = events._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        scale = est >= thresh
+        from pandemic_knowledge_spark.operators.dispatch import size_gated
+
+        scale = size_gated(events, CORR_THRESHOLD_CONF, CORR_THRESHOLD_DEFAULT)
     fn = correlation_pairs_topk_pruned if scale else correlation_pairs_topk
     return fn(events, key_col, ts_col, k=k)
 

@@ -13,12 +13,13 @@ All manifest/list/GC I/O goes through the HADOOP FILESYSTEM API (the same
 dispatch `sources.csv_sniff.read_prefix` and `io.compact_partitions`
 already use), so the table root can be ANY scheme Spark can write —
 ``file:``, ``hdfs:``, ``viewfs:``, ``s3a:`` (the reference's own storage
-is a MinIO bucket, insert_owid.py:203-214). The pointer swap is a
-FileContext rename with OVERWRITE (atomic on HDFS/local/viewfs); for
-schemes without an AbstractFileSystem binding — typical for object
-stores — it falls back to a direct overwrite-create of the one-object
-manifest, which an object store serves as an atomic PUT: readers see the
-old pointer or the new one, never a torn file.
+is a MinIO bucket, insert_owid.py:203-214). The pointer swap picks the
+mechanism that is actually atomic per store: FileContext rename with
+OVERWRITE on real filesystems (HDFS/local/viewfs), and a direct
+overwrite-create of the one-object manifest on object-store schemes —
+there the PUT replaces the object atomically while Hadoop's "rename" is
+delete-then-copy and would expose a missing-manifest window. Readers see
+the old pointer or the new one, never a torn or absent file.
 """
 
 from __future__ import annotations
@@ -128,17 +129,36 @@ class AtomicTable:
         self._gc(keep=version)
         return version
 
+    # Stores where a single-object overwrite PUT is atomic but rename is
+    # NOT (delete-dst-then-copy under the hood, leaving a no-manifest
+    # window a concurrent reader would see): publish the manifest by
+    # direct create-overwrite there, never by rename.
+    OBJECT_STORE_SCHEMES = frozenset(
+        {"s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos"}
+    )
+
     def _publish(self, version: str) -> None:
-        """Atomically repoint _CURRENT at ``version``: tmp write + rename
-        with OVERWRITE through FileContext (atomic on HDFS/local/viewfs).
-        Schemes with no AbstractFileSystem binding (object stores,
-        typically) fall back to a direct overwrite-create — there the
-        manifest is one object and the PUT itself is atomic at the store,
-        which is the property the rename provides elsewhere."""
+        """Atomically repoint _CURRENT at ``version``.
+
+        Real filesystems (file/hdfs/viewfs): tmp write + FileContext rename
+        with OVERWRITE — the POSIX/HDFS atomic pointer swap. Object stores
+        (scheme-listed above): direct overwrite-create of the one-object
+        manifest — the PUT replaces the object atomically at the store,
+        while their "rename" is delete-then-copy and would expose a
+        missing-manifest window. Unknown schemes try the rename and fall
+        back to the PUT form only when no AbstractFileSystem is bound
+        (UnsupportedFileSystemException); any other rename failure
+        propagates — downgrading a transient HDFS error to a truncate of
+        the LIVE manifest would be the non-atomicity this class exists to
+        prevent."""
         s = self._session()
         jvm, fs, rootp = self._fs()
-        tmp = self._child(jvm, rootp, f"_CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+        scheme = (rootp.toUri().getScheme() or "file").lower()
         dst = self._child(jvm, rootp, "_CURRENT")
+        if scheme in self.OBJECT_STORE_SCHEMES:
+            self._write_file(fs, dst, version)
+            return
+        tmp = self._child(jvm, rootp, f"_CURRENT.tmp-{uuid.uuid4().hex[:8]}")
         self._write_file(fs, tmp, version)
         try:
             gw = s.sparkContext._gateway
@@ -149,7 +169,12 @@ class AtomicTable:
                 rootp.toUri(), s._jsc.hadoopConfiguration()
             )
             fc.rename(tmp, dst, opts)
-        except Exception:
+        except Exception as e:
+            if "UnsupportedFileSystemException" not in str(
+                getattr(e, "java_exception", e)
+            ) and "UnsupportedFileSystemException" not in str(e):
+                fs.delete(tmp, False)
+                raise
             self._write_file(fs, dst, version)
             fs.delete(tmp, False)
 

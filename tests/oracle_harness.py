@@ -53,8 +53,13 @@ def rowset(cols, rows):
     return [cols[i] for i in order], out
 
 
-def compare_query(spark, sf_dir: str, fn, oracle: str):
-    sdf = fn(spark, sf_dir)
+def compare_query(spark, sf_dir: str, fn, oracle: str, sdf=None):
+    """``sdf`` lets the caller pass an ALREADY-BUILT Spark frame for fn —
+    r4 queries run eager localCheckpoint jobs at build time, so building
+    twice (schema gate + compare) would execute their whole pipeline
+    twice."""
+    if sdf is None:
+        sdf = fn(spark, sf_dir)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
 

@@ -48,7 +48,7 @@ def test_oracle_parity(spark, sf_dir, name):
         f"{name}: non-scalar driver-facing columns {non_scalar} "
         "(the driver canonicalizer cannot sort them — emit a long/digest form)"
     )
-    problems, n_rows = compare_query(spark, sf_dir, spec.fn, spec.oracle)
+    problems, n_rows = compare_query(spark, sf_dir, spec.fn, spec.oracle, sdf=df)
     assert not problems, f"{name}: {problems}"
 
 

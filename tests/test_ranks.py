@@ -140,3 +140,31 @@ def test_grouped_matches_grouped_ntile_exactly(spark):
     ).select("k", "g", "t")
     assert expected.exceptAll(got).count() == 0
     assert got.exceptAll(expected).count() == 0
+
+
+def test_null_values_and_null_groups_rank_like_ntile(spark):
+    """NULL metric values and NULL group keys must not drop (review
+    finding): Spark's ntile puts NULLs first ascending / last descending
+    (NULL = smallest both ways) and a NULL group is a real partition."""
+    rows = [(1, "a", 10), (2, "a", None), (3, "a", 30), (4, "a", 20),
+            (5, "a", None), (6, None, 7), (7, None, None)]
+    df = spark.createDataFrame(rows, "k long, g string, v long")
+    for asc in (True, False):
+        vorder = F.col("v").asc() if asc else F.col("v").desc()
+        expected = df.select(
+            "k", F.ntile(2).over(Window.orderBy(vorder, "k")).alias("t")
+        )
+        got = partitioned_ntile(df, 2, "v", "k", "t", ascending=asc).select("k", "t")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expected.collect())
+        ), f"ascending={asc}"
+    expected_g = df.select(
+        "k",
+        F.ntile(2).over(Window.partitionBy("g").orderBy("v", "k")).alias("t"),
+    )
+    got_g = partitioned_ntile(df, 2, "v", "k", "t", group_cols=("g",)).select(
+        "k", "t"
+    )
+    assert sorted(map(tuple, got_g.collect())) == sorted(
+        map(tuple, expected_g.collect())
+    )
