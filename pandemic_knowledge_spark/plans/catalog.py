@@ -4848,65 +4848,64 @@ BENCH_QUERY_NAMES.extend(
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ROUND-4 WINDOW (50 slots), derived from CORRECTNESS_r0{1,2,3}.json +
-    # the r4 diff. Tier A = changed this round or changed since their last
-    # green row (riskiest first); tier B = the ENTIRE r1-only-green
-    # residue (no row since round 1 — oldest evidence, refreshed in full).
-    # Every r2/r3-green unchanged query sits below the window on its
-    # existing row; the r2-only set (q1-q22 TPC-H family, sampling, geo,
-    # lookup/conform, stateful-stream rows) rotates to the head in r5.
-    # --- tier A: r4-changed / never-green / changed-since-green ---
-    "text_hash_embeddings",        # r3 RED (harness shape); r4 long-form fix
-    "retail_rfm_segments",         # never driver-checked; r4 partitioned_ntile
-    "retail_association_rules",    # never driver-checked
-    "lm_ccnet_buckets",            # r4: global ntile -> partitioned_ntile
-    "window_ntile_quartiles",      # r4: 5-partition window -> grouped ranks
-    "timeseries_corr_topk",        # r4: auto-dispatch added (exact @ sf0.01)
-    "dedup_substring_spans",       # r4: skew-path cache scoping touched
-    "dedup_substring_clean",       # r4: same dependency
-    "search_phrase_positional",    # r4: empty-phrase fail-fast touched
-    "conform_json_coerce",         # oracle rewritten r3; last green r1
-    "text_boilerplate_ngrams",     # behavior change r3; last green r2
-    "text_repetition_signals",     # oracle emission change r3; last green r2
-    "dedup_minhash_lsh",           # dispatcher added r2/r3; last green r1
-    "corpus_curation_pipeline",    # changed r2; last green r1
-    "text_lang_id",                # changed r2; last green r1
-    "search_page_highlighted",     # pattern-builder share r3; last green r2
-    "dedup_minhash_lsh_pruned",    # last green r2; fn unchanged since
-    # --- tier B: every r1-only-green query (no row since round 1) ---
-    "stream_tumbling_hourly",
-    "stream_sliding_1h30m",
-    "stream_session_5m",
-    "union_feed",
-    "latest_feed_page",
-    "text_search_overlap",
-    "text_search_bm25",
-    "text_stats",
-    "knn_cosine_topk",
-    "ann_ivf_topk",
-    "ann_rp_lsh_topk",
-    "emb_near_dup_pairs",
-    "dedup_exact_docs",
-    "dedup_simhash_docs",
-    "dedup_ngram_jaccard",
-    "asof_attribution",
-    "interval_join_shipments",
-    "setop_nations_intersect",
-    "setop_nations_except",
-    "agg_daily_orders",
-    "agg_terms_top_events",
-    "agg_nation_balance",
-    "agg_rollup_region_nation",
-    "agg_cube_status_priority",
-    "agg_grouping_sets_orders",
-    "agg_pivot_daily_metrics",
-    "agg_percentile_quantity",
-    "skew_salted_user_totals",
-    "semi_join_hits",
-    "conform_week_histogram",
-    "window_running_revenue",
-    "window_lag_delta",
-    "window_topk_orders_per_cust",
+    # ROUND-5 WINDOW (50 slots), derived from CORRECTNESS_r0{1,2,3,4}.json +
+    # the r5 diff. Tier A = new or changed this round (riskiest first);
+    # tier B = the ENTIRE r2-only-green residue (no row since round 2 —
+    # oldest evidence in the catalog, refreshed in full, exactly as the r4
+    # comment promised). The r3-green set (44 rows) rotates to the head in
+    # r6; every r4-green unchanged query sits below on its fresh row.
+    # --- tier A: r5-new / r5-changed ---
+    "redact_pii",                  # NEW r5: fixture-backed PII driver row
+    "dedup_winnow_pairs",          # r5: grouped-pairs rewrite (shuffle halved)
+    "dedup_winnow_cluster_reps",   # r5: consumes the rewritten pairs
+    "search_page_indexed",         # r5: probe-pruning fix (r4 bench regression)
+    "search_fields_indexed",       # r5: same probe path
+    "agg_percentile_quantity",     # r5: exact percentile via partitioned ranks
+    # --- tier B: every r2-only-green query (no row since round 2) ---
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_revenue",
+    "q11_part_value_concentration",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_heavy_part_suppliers",
+    "q21_single_return_supplier",
+    "q22_idle_rich_customers",
+    "agg_approx_distinct_users",
+    "agg_histogram_buckets",
+    "agg_stats_moments",
+    "anti_join_misses",
+    "conform_validity_audit",
+    "decontaminate_train_split",
+    "dedup_cluster_reps",
+    "dedup_cluster_reps_star",
+    "dim_broadcast_enrich",
+    "geo_grid_hotspots",
+    "geo_nearest_customers",
+    "iso_code_enrich",
+    "multikey_lookup",
+    "multimodal_byte_stats",
+    "pack_training_bins",
+    "sample_stratified_corpus",
+    "sample_train_test_split",
+    "sample_upsample_epochs",
+    "stream_dedup_first",
+    "text_search_bm25_fields",
+    "window_gap_islands",
+    "window_range_7day_avg",
 ]
 
 

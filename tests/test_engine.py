@@ -154,6 +154,50 @@ def test_search_index_parquet_roundtrip_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [bucket" in plan.replace("PartitionFilters: [isnotnull(bucket", "PartitionFilters: [bucket") or "bucket#" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
+def test_search_index_probe_tiers_and_eager_stats(spark, tmp_path):
+    """Probe-tier dispatch regression pin (the r4 probe-latency bug):
+
+    1. load() derives corpus stats ONCE, eagerly — the probe plan must not
+       re-aggregate the whole postings table per query (exactly one parquet
+       scan in the small-tier plan, and it carries the bucket partition
+       filter).
+    2. A small loaded index takes the single-scan window tier; forcing the
+       gate to 0 bytes flips to the broadcast-df scale tier; both tiers
+       return identical rows.
+    3. The eager (n_docs, sum_dl) scalars equal the full derivation.
+    """
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    SearchIndex.build(docs, "doc_id", "text", cache=False).save(str(tmp_path / "idx"))
+    idx = SearchIndex.load(spark, str(tmp_path / "idx"))
+
+    # eager stats match a from-scratch derivation
+    n_docs, sum_dl = idx.stats_scalars
+    from pandemic_knowledge_spark.functions.text import tokenize
+
+    base = docs.select(F.col("doc_id"), F.size(tokenize("text")).alias("dl"))
+    exp = base.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    assert (n_docs, sum_dl) == (exp[0], exp[1])
+
+    q = "virus outbreak"
+    small = idx.search(q, k=8)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # small tier selected for a tiny index
+    assert plan.count("Scan parquet") == 1  # stats folded, not re-derived
+
+    spark.conf.set("pk.search.probe.windowMaxBytes", "0")
+    try:
+        big = idx.search(q, k=8)
+        big_plan = big._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in big_plan  # scale tier: broadcast df, no
+        # posting-row shuffle by term
+        assert big.collect() == small.collect()
+    finally:
+        spark.conf.unset("pk.search.probe.windowMaxBytes")
+
+
 def test_spark_crc32_matches_python_bucket(spark):
     """The Spark bucket expression and term_bucket_py MUST agree — partition
     pruning silently returns wrong (empty) results if they drift."""
