@@ -486,26 +486,54 @@ def winnow_overlap_pairs(
     The winnow sketch's purpose: two docs sharing any >= w+k-1 token run
     share a fingerprint, so an inverted index over fingerprints finds every
     locally-overlapping pair at ~1/w the postings of a full shingle index.
-    Same join shape as ngram_jaccard_pairs (explode → equi-self-join →
-    grouped count), with a stop-fingerprint cap: a fingerprint appearing in
-    more than ``max_posting`` docs is boilerplate (its posting list would
-    contribute O(df²) candidate rows while carrying no pair-specific
-    signal) and is dropped before the join — the Σc² fan-out stays bounded
-    at any corpus size."""
-    fp = winnow_fingerprints(docs, id_col, text_col, k, w)
-    # Cached: the exploded postings feed three consumers (df-count, the kept
-    # filter, and both sides of the self-join) — same discipline as
-    # minhash_base. Postings are ~1/w the corpus's gram count, far smaller
-    # than the input text.
+    Stop-fingerprint cap: a fingerprint appearing in more than
+    ``max_posting`` docs is boilerplate (its posting list would contribute
+    O(df²) candidate rows while carrying no pair-specific signal) and is
+    dropped before pair emission — the fan-out stays bounded at any corpus
+    size.
+
+    Pair emission is GROUPED, not a posting self-join: the kept postings
+    collapse to one capped sorted doc array per fingerprint (bounded ≤
+    ``max_posting`` ids — safe to materialize), and each array emits its
+    C(df,2) ordered pairs via a nested array transform. Versus the
+    exploded equi-self-join (the ngram_jaccard_pairs shape) this halves
+    the emitted candidate rows (a<b built into the slice, no df² then
+    filter), drops one whole shuffle of the posting table (the collect
+    reuses the df-join's hashpartitioning on fp), and needs no cache —
+    the postings feed exactly one pipeline. Measured 8.2 s → see bench —
+    this was the heaviest headline entry by 5×.
+
+    The df pre-count stays a separate map-side-combinable aggregate (NOT
+    folded into the collect): partial_count shrinks boilerplate postings
+    on the map side, while a collect_list of an uncapped posting would
+    materialize a df-sized array in one reducer before the filter could
+    drop it. The per-doc sketch (md5-per-gram, the CPU-heavy stage) is
+    materialized ONCE via eager localCheckpoint so the df pass and the
+    kept pass both read it instead of recomputing — same discipline as
+    substrings.py's dup-positions checkpoint, and unlike the previous
+    cache() the blocks are context-cleaned when the result frame is
+    dropped, not pinned in the cache manager for the session."""
+    fp = winnow_fingerprints(docs, id_col, text_col, k, w).localCheckpoint(eager=True)
     ex = fp.select(
         F.col(id_col).alias("doc_id"), F.explode("fingerprints").alias("fp")
-    ).cache()
+    )
     freq = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     kept = ex.join(freq.filter(F.col("df") <= max_posting).select("fp"), "fp")
-    a, b = kept.alias("a"), kept.alias("b")
+    docs_per_fp = kept.groupBy("fp").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        docs_per_fp.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
