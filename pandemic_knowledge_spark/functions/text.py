@@ -202,8 +202,33 @@ def redact_pii(text_col: str | Column) -> Column:
     """Mask emails, IPv4 addresses, and phone-shaped digit runs — the
     corpus-hygiene scrub a public training set needs before anything else.
     A chain of regexp_replace expressions: scan-side, codegen'd, zero
-    shuffle; DuckDB's regexp_replace(..., 'g') reproduces it for parity."""
+    shuffle; :func:`sql_redact_pii` reproduces it for parity."""
     out = F.col(text_col) if isinstance(text_col, str) else text_col
     for pattern, replacement in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+# The phone pattern's word-ish guards, split out so the DuckDB emitter can
+# strip and translate them (RE2 has no lookarounds).
+_PHONE_GUARD_PREFIX = r"(?<![\w.])"
+_PHONE_GUARD_SUFFIX = r"(?![\w.])"
+
+
+def sql_redact_pii(col_sql: str) -> str:
+    """DuckDB SQL reproducing :func:`redact_pii`, emitted from the SAME
+    PII_PATTERNS constants (no drift). RE2 lacks lookarounds, so the phone
+    guards translate to consumed one-char guard groups re-inserted via
+    backreferences — equivalent output except when two phone-shaped runs
+    are separated by a single guard character (the consumed guard then
+    hides the second run's left context; real prose separates them by
+    words, and the parity fixture does too)."""
+    out = col_sql
+    for pattern, repl in PII_PATTERNS:
+        if pattern.startswith(_PHONE_GUARD_PREFIX):
+            core = pattern[len(_PHONE_GUARD_PREFIX):-len(_PHONE_GUARD_SUFFIX)]
+            pat = f"(^|[^\\w.])(?:{core})($|[^\\w.])"
+            out = f"regexp_replace({out}, '{pat}', '\\1{repl}\\2', 'g')"
+        else:
+            out = f"regexp_replace({out}, '{pattern}', '{repl}', 'g')"
     return out

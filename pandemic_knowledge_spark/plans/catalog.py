@@ -4476,6 +4476,37 @@ def crawl_tweets_fixture_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_redact_pii_oracle() -> str:
+    from pandemic_knowledge_spark.functions.text import sql_redact_pii
+
+    return f"""
+SELECT doc_id, {sql_redact_pii('text')} AS clean_text
+FROM read_csv('{_FIXDIR}/pii_docs.csv', header=true, all_varchar=true, delim=',')
+"""
+
+
+@q("redact_pii", oracle=_sql_redact_pii_oracle())
+def redact_pii_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene PII scrub over a committed fixture that PLANTS the
+    PII the synthetic testdata lacks: emails, IPv4s, and every accepted
+    phone shape (international, parenthesized area code, 3-3-4, spaced
+    groups, contiguous runs), interleaved with must-survive lookalikes
+    (ISO dates, versions, ISBN/DOI, 8-digit year runs, two-group digit
+    sequences). The scrub itself is the scan-side codegen
+    regexp_replace chain of functions/text.redact_pii — zero shuffle at
+    any corpus size; the oracle replays the SAME PII_PATTERNS constants
+    through the RE2 guard-translation emitter. (sf_dir unused: fixture
+    input.)"""
+    from pandemic_knowledge_spark.functions.text import redact_pii
+
+    ensure_engine_conf(spark)
+    df = spark.read.csv(
+        f"{_FIXDIR}/pii_docs.csv", header=True,
+        schema="doc_id string, text string",
+    )
+    return df.select("doc_id", redact_pii("text").alias("clean_text"))
+
+
 _PROFILE_COLS = [
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority",
