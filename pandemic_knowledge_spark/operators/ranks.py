@@ -49,8 +49,16 @@ def decimal_bucket(v: Column) -> Column:
     (digit_count·1000 + leading 3 digits); 0 for zero; NULL stays NULL
     (partitioned_ntile maps it to the null sentinel bucket). ≤ ~900
     buckets per order of magnitude, relative bucket width ≤ 1% above 3
-    digits."""
-    a = F.abs(v)
+    digits.
+
+    The input is cast to long INSIDE the bucket expression: the
+    digit-count monotonicity proof runs over the decimal string render,
+    and a double/decimal column rendered to scientific notation
+    ('1.0E7') would silently misrank instead of erroring. Fractional
+    inputs are therefore truncated toward zero — callers needing
+    fractional ranks should pre-scale to fixed-point integers first
+    (the catalog's cents/micro-unit convention)."""
+    a = F.abs(v.cast("long"))
     s = a.cast("string")
     mag = F.length(s) * 1000 + F.substring(s, 1, 3).cast("long")
     return (

@@ -288,16 +288,40 @@ def correlation_pairs_topk_auto(
     scale: bool | None = None,
 ) -> DataFrame:
     """Exact-vs-pruned dispatch on the Catalyst size estimate — the same
-    gate shape (and LocalRelation caveat) as
-    operators.dedup.minhash_lsh_pairs_auto: below
+    gate shape as operators.dedup.minhash_lsh_pairs_auto: below
     ``spark.pandemic_knowledge.timeseries.corrPrunedThresholdBytes``
     (default 1 MiB — the measured exact-vs-pruned frontier, see the
     constant) every pair is scored exactly; above it the sign-sketch tier
-    prunes candidates first."""
-    if scale is None:
-        from pandemic_knowledge_spark.operators.dispatch import size_gated
+    prunes candidates first.
 
-        scale = size_gated(events, CORR_THRESHOLD_CONF, CORR_THRESHOLD_DEFAULT)
+    Unlike the dedup dispatchers (where "unknown size" must be treated as
+    huge for memory safety), a size-UNKNOWN input (LocalRelation /
+    createDataFrame — Catalyst reports Long.MaxValue) takes the EXACT
+    tier here: such frames are driver-materialized and necessarily small,
+    and the pruned tier is recall-lossy — silently dropping true
+    weakly-correlated top-k pairs for an in-memory test frame would be
+    wrong in the only direction the caller can't detect. The chosen tier
+    is logged either way."""
+    if scale is None:
+        from pandemic_knowledge_spark.operators.dispatch import (
+            UNKNOWN_SIZE,
+            size_estimate,
+        )
+
+        est = size_estimate(events)
+        thresh = int(
+            events.sparkSession.conf.get(
+                CORR_THRESHOLD_CONF, str(CORR_THRESHOLD_DEFAULT)
+            )
+        )
+        scale = est != UNKNOWN_SIZE and est >= thresh
+    import logging
+
+    logging.getLogger(__name__).info(
+        "correlation_pairs_topk_auto tier=%s (recall-lossy sketch)" if scale
+        else "correlation_pairs_topk_auto tier=%s",
+        "pruned" if scale else "exact",
+    )
     fn = correlation_pairs_topk_pruned if scale else correlation_pairs_topk
     return fn(events, key_col, ts_col, k=k)
 

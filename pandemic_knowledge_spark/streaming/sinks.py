@@ -28,6 +28,27 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+_UNSUPPORTED_FS_CLASS = "org.apache.hadoop.fs.UnsupportedFileSystemException"
+
+
+def _is_unsupported_fs(e: Exception) -> bool:
+    """True iff ``e`` wraps a Java UnsupportedFileSystemException anywhere
+    in its cause chain — classified by walking getClass().getName(), not by
+    substring-matching the rendered message (a rephrased or merely-
+    mentioning error must NOT be treated as 'no AbstractFileSystem bound',
+    because the fallback it unlocks is weaker than the rename path)."""
+    je = getattr(e, "java_exception", None)
+    depth = 0
+    while je is not None and depth < 16:
+        try:
+            if je.getClass().getName() == _UNSUPPORTED_FS_CLASS:
+                return True
+            je = je.getCause()
+        except Exception:
+            return False
+        depth += 1
+    return False
+
 
 class AtomicTable:
     """A parquet table addressed through a ``_CURRENT`` version manifest.
@@ -146,16 +167,17 @@ class AtomicTable:
         manifest — the PUT replaces the object atomically at the store,
         while their "rename" is delete-then-copy and would expose a
         missing-manifest window. Unknown schemes try the rename and fall
-        back to the PUT form only when no AbstractFileSystem is bound
-        (UnsupportedFileSystemException); any other rename failure
-        propagates — downgrading a transient HDFS error to a truncate of
-        the LIVE manifest would be the non-atomicity this class exists to
-        prevent."""
+        back to a FileSystem-level delete+rename swap only when no
+        AbstractFileSystem is bound (UnsupportedFileSystemException,
+        classified by java class walk, not message text); any other
+        rename failure propagates — downgrading a transient HDFS error
+        to touching the LIVE manifest would be the non-atomicity this
+        class exists to prevent."""
         s = self._session()
         jvm, fs, rootp = self._fs()
         scheme = (rootp.toUri().getScheme() or "file").lower()
         dst = self._child(jvm, rootp, "_CURRENT")
-        if scheme in self.OBJECT_STORE_SCHEMES:
+        if self._publish_mechanism(scheme) == "put":
             self._write_file(fs, dst, version)
             return
         tmp = self._child(jvm, rootp, f"_CURRENT.tmp-{uuid.uuid4().hex[:8]}")
@@ -170,13 +192,30 @@ class AtomicTable:
             )
             fc.rename(tmp, dst, opts)
         except Exception as e:
-            if "UnsupportedFileSystemException" not in str(
-                getattr(e, "java_exception", e)
-            ) and "UnsupportedFileSystemException" not in str(e):
+            if not _is_unsupported_fs(e):
                 fs.delete(tmp, False)
                 raise
-            self._write_file(fs, dst, version)
-            fs.delete(tmp, False)
+            # No AbstractFileSystem bound for this scheme: FileSystem-level
+            # swap. delete+rename leaves at worst a brief missing-manifest
+            # window (a reader sees old pointer, or retries past "absent"),
+            # NEVER a torn file — overwrite-creating the live dst would
+            # truncate-then-write in place, exposing an empty/partial
+            # manifest mid-write. A failed rename then propagates loudly
+            # (the version directory is intact; re-publishing repairs).
+            fs.delete(dst, False)
+            if not fs.rename(tmp, dst):
+                raise RuntimeError(
+                    f"manifest swap failed: rename({tmp}, {dst}) returned "
+                    "false; re-publish to repair"
+                )
+
+    def _publish_mechanism(self, scheme: str) -> str:
+        """'put' (single-object overwrite-create — atomic at object
+        stores, where rename is delete-then-copy) or 'rename' (tmp +
+        FileContext rename-with-OVERWRITE — atomic on real filesystems).
+        Split out so tests pin the dispatch per scheme without needing a
+        live object-store connection."""
+        return "put" if scheme in self.OBJECT_STORE_SCHEMES else "rename"
 
     def _gc(self, keep: str) -> None:
         """Drop all but the newest ``keep_versions`` directories by publish

@@ -277,6 +277,45 @@ def test_atomic_table_on_hadoop_scheme(spark, events_batch, tmp_path):
     assert (tmp_path / "atomic" / "_CURRENT").read_text().strip() == published[-1]
 
 
+def test_atomic_table_publish_branch_dispatch(spark, events_batch, tmp_path):
+    """Pin the per-store publish mechanism (r4 verdict: the s3a-class
+    branch had no test): every object-store scheme takes the atomic
+    overwrite-PUT, every filesystem scheme the FileContext rename. Then
+    actually EXERCISE the PUT code path over a local root (scheme forced
+    into the object-store set on the instance): the manifest is written
+    direct, no _CURRENT.tmp-* residue, and the protocol round-trips."""
+    t = AtomicTable(str(tmp_path / "put_table"))
+    for s in ("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos"):
+        assert t._publish_mechanism(s) == "put"
+    for s in ("file", "hdfs", "viewfs", "webhdfs", "o3fs", "unknown"):
+        assert t._publish_mechanism(s) == "rename"
+
+    # Force the PUT branch on this instance: its root's "file" scheme
+    # dispatches as an object store would.
+    t.OBJECT_STORE_SCHEMES = AtomicTable.OBJECT_STORE_SCHEMES | {"file"}
+    n = events_batch.count()
+    v1 = t.overwrite(events_batch.limit(n - 1))
+    v2 = t.overwrite(events_batch.limit(n - 2))
+    assert t.read(spark).count() == n - 2
+    assert (tmp_path / "put_table" / "_CURRENT").read_text().strip() == v2
+    residue = [
+        f for f in os.listdir(tmp_path / "put_table") if f.startswith("_CURRENT.tmp")
+    ]
+    assert residue == []  # PUT branch never stages a tmp pointer
+    assert v1 != v2
+
+
+def test_atomic_table_rename_branch_leaves_no_tmp(spark, events_batch, tmp_path):
+    """The rename branch (file scheme) stages _CURRENT.tmp-* then swaps —
+    after publish the tmp is gone and the pointer is whole."""
+    t = AtomicTable(str(tmp_path / "mv_table"))
+    v = t.overwrite(events_batch.limit(3))
+    names = os.listdir(tmp_path / "mv_table")
+    assert "_CURRENT" in names
+    assert not [f for f in names if f.startswith("_CURRENT.tmp")]
+    assert (tmp_path / "mv_table" / "_CURRENT").read_text().strip() == v
+
+
 def test_atomic_table_requires_session(tmp_path):
     """Without any SparkSession the constructor cannot resolve a FileSystem
     — explicit error, not a driver-side directory surprise."""

@@ -250,7 +250,7 @@ def test_corr_auto_dispatch_scale_gate(spark, sf_dir):
     finally:
         spark.conf.unset(CORR_THRESHOLD_CONF)
     plan_small = (
-        correlation_pairs_topk_auto(ev, "user_id", "ts")  # default 1 GiB gate
+        correlation_pairs_topk_auto(ev, "user_id", "ts")  # default 1 MiB gate
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "shiftleft" not in plan_small
