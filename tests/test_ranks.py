@@ -168,3 +168,66 @@ def test_null_values_and_null_groups_rank_like_ntile(spark):
     assert sorted(map(tuple, got_g.collect())) == sorted(
         map(tuple, expected_g.collect())
     )
+
+
+def test_grouped_percentiles_match_builtin(spark):
+    """grouped_percentiles_exact vs the builtin percentile() aggregate —
+    bit-identical doubles on fractional values with heavy ties, including
+    a NULL group key, NULL values (excluded), a single-row group, and an
+    all-NULL group (NULL percentiles)."""
+    from pandemic_knowledge_spark.operators.ranks import grouped_percentiles_exact
+
+    random.seed(23)
+    rows = [(i, "g%d" % (i % 3), random.randint(0, 80) / 4.0) for i in range(2000)]
+    rows += [(9000 + i, "g0", 7.25) for i in range(150)]       # mega-tie
+    rows += [(9900, None, 3.5), (9901, None, 4.5), (9902, None, None)]
+    rows += [(9950, "solo", 13.75)]
+    rows += [(9960, "allnull", None), (9961, "allnull", None)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    ps = [0.25, 0.5, 0.75, 0.99]
+    got = grouped_percentiles_exact(df, ["g"], "v", ps)
+    exp = df.groupBy("g").agg(
+        *[F.expr(f"percentile(v, {p})").alias(f"p{int(p * 100)}") for p in ps]
+    )
+    g = {tuple(r)[:1]: tuple(r)[1:] for r in got.collect()}
+    e = {tuple(r)[:1]: tuple(r)[1:] for r in exp.collect()}
+    assert g == e  # exact doubles, no rounding
+
+
+def test_grouped_percentiles_auto_dispatch(spark, sf_dir):
+    """Auto tier: parquet-backed input below the 1 GiB default gate takes
+    the builtin aggregate; forcing the gate to 0 flips to the rank form;
+    identical values either way (latency-only dispatch)."""
+    from pandemic_knowledge_spark.operators.ranks import (
+        PCT_THRESHOLD_CONF,
+        grouped_percentiles_auto,
+    )
+    from pandemic_knowledge_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = [0.25, 0.5]
+    small = grouped_percentiles_auto(li, ["l_returnflag"], "l_quantity", ps)
+    assert "percentile(" in small._jdf.queryExecution().executedPlan().toString()
+    spark.conf.set(PCT_THRESHOLD_CONF, "0")
+    try:
+        big = grouped_percentiles_auto(li, ["l_returnflag"], "l_quantity", ps)
+        assert "percentile(" not in big._jdf.queryExecution().executedPlan().toString()
+        assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))
+    finally:
+        spark.conf.unset(PCT_THRESHOLD_CONF)
+
+
+def test_grouped_percentiles_plan_shape(spark, sf_dir):
+    """The 100 TB shape: no builtin percentile aggregate (single-buffer
+    value map per group), ranked row_number windows partitioned on the
+    coarse bucket, and the fact-side joins broadcast (needed-bucket list
+    and hit set are sketch-sized)."""
+    from pandemic_knowledge_spark.plans.catalog import REGISTRY
+
+    df = REGISTRY["agg_percentile_quantity"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile(" not in plan
+    for m in re.finditer(r"Window \[row_number\(\).*", plan):
+        assert "__pk_pc_b" in m.group(0), m.group(0)
+    assert "hashpartitioning(l_returnflag" in plan and "__pk_pc_b" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
