@@ -166,13 +166,30 @@ def correlation_pairs_topk(
 
 CORR_THRESHOLD_CONF = "spark.pandemic_knowledge.timeseries.corrPrunedThresholdBytes"
 # The exact tier's Σ_d c_d² pair fan-out is quadratic in keys-active-per-
-# day, so its frontier sits FAR below the MinHash dispatcher's 1 GiB:
-# measured on the bench corpus, exact is already 2.3× slower than pruned
-# at 2 MB of events (sf0.1: 9.3 s vs 4.0 s, identical top-10). 1 MiB keeps
-# oracle-scale runs exact and routes anything bigger to the sketch tier.
-CORR_THRESHOLD_DEFAULT = 1 << 20
-CORR_N_PROJ = 32
-CORR_N_BANDS = 8
+# day, so its frontier sits FAR below the MinHash dispatcher's 1 GiB —
+# but not at 1 MiB: with the r5 adaptive band width the sketch tier's
+# fixed cost (keys × n_proj signature pass) makes exact the better AND
+# lossless choice through sf0.1-class data (measured 9.3 s exact vs
+# 10.9 s pruned at 2.2 MB / 1.5k keys), while the sketch tier wins 10×+
+# once keys multiply (14–18 s vs minutes at 22 MB / 15k keys). 4 MiB
+# keeps oracle- and bench-scale runs exact and routes real corpora to
+# the sketch tier.
+CORR_THRESHOLD_DEFAULT = 1 << 22
+CORR_N_BANDS = 16
+# Band width (bits) adapts to the key count: b = ⌈log₂ n⌉ + 1, so the
+# per-band bucket space is ~2× the key count and EXPECTED candidates stay
+# O(bands · n) — a fixed width is quadratic in keys once n outgrows 2^b
+# (the r4 default of 4 bits/band measured 63M candidate pairs for 15k
+# keys at sf1: every band degenerated to ~n/16-sized buckets; it looked
+# accurate at sf0.1 only because near-all-pairs were being re-checked).
+CORR_MIN_BITS = 4
+CORR_MAX_BITS = 20
+# A band bucket holding more keys than this is degenerate — dominated by
+# (near-)identical series that agree on every projection sign (mass-
+# duplicated metrics, bot cohorts). Emitting its C(c,2) pairs is
+# quadratic while adding no top-k information (all pairs tie near r=1);
+# oversized buckets chain-link instead (see the pruned docstring).
+CORR_BUCKET_CAP = 512
 
 
 def correlation_pairs_topk_pruned(
@@ -180,8 +197,9 @@ def correlation_pairs_topk_pruned(
     key_col: str,
     ts_col: str,
     k: int = 10,
-    n_proj: int = CORR_N_PROJ,
+    n_proj: int | None = None,
     n_bands: int = CORR_N_BANDS,
+    bucket_cap: int = CORR_BUCKET_CAP,
 ) -> DataFrame:
     """The 100 TB tier: random-hyperplane sign sketches prune the pair
     space BEFORE the exact Pearson re-check — the verdict-named fix for the
@@ -202,18 +220,48 @@ def correlation_pairs_topk_pruned(
     exact — only recall of weakly-correlated tail pairs is traded, exactly
     like MinHash vs exact Jaccard.
 
-    Cost: one (keys × n_proj)-row signature shuffle + a bucket-bounded
-    candidate join — never keys-quadratic. The per-day coefficient table is
-    grid-sized (days × n_proj) and broadcasts.
+    Cost: one (keys × n_proj)-row signature shuffle + candidate emission
+    bounded by Σ min(C(c,2), c) per bucket — never keys-quadratic. The
+    per-day coefficient table is grid-sized (days × n_proj) and
+    broadcasts. Two structural guards keep that true at any key count:
+
+    - ADAPTIVE BAND WIDTH (``n_proj=None``): bits per band =
+      ⌈log₂ n_keys⌉ + 1 (clamped to [4, 20]), read off one count over
+      the already-materialized daily rollup. The per-band bucket space
+      then tracks ~2n, so expected random collisions stay O(n_bands·n);
+      any FIXED width goes quadratic once keys outgrow its bucket space.
+    - DEGENERATE-BUCKET CHAIN LINKING: a bucket above ``bucket_cap`` is
+      mass-duplication (near-identical series match every sign bit — no
+      width fixes that), and its C(c,2) pairs all tie near r=1; such
+      buckets emit only consecutive-by-key chain pairs within crc32
+      salt sub-buckets (window stays parallel, c−#subs pairs), which
+      still surfaces representative max-r pairs for the top-k while
+      bounding the fan-out linearly. Recall trade: non-adjacent pairs
+      INSIDE a degenerate bucket are not re-checked — they are
+      interchangeable with the emitted ones at the top of the ranking.
+
+    Sub-cap buckets emit exact C(c,2) ordered pairs grouped (sorted
+    collect per bucket + nested array transform — the winnow shape), so
+    candidate rows never pass through a posting self-join.
     """
-    if n_proj % n_bands:
-        raise ValueError("n_proj must divide into n_bands equal bands")
-    r_bits = n_proj // n_bands
     from pandemic_knowledge_spark.functions.text import md5_int
 
     # both phases (signatures, exact re-check) consume the daily rollup —
     # materialize it once instead of re-aggregating events per consumer
     daily = _daily_counts(events, key_col, ts_col).localCheckpoint(eager=True)
+    if n_proj is None:
+        import math
+
+        n_keys = daily.select("key").distinct().count()
+        r_bits = min(
+            CORR_MAX_BITS,
+            max(CORR_MIN_BITS, math.ceil(math.log2(max(n_keys, 2))) + 1),
+        )
+        n_proj = r_bits * n_bands
+    elif n_proj % n_bands:
+        raise ValueError("n_proj must divide into n_bands equal bands")
+    else:
+        r_bits = n_proj // n_bands
     bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
@@ -259,17 +307,44 @@ def correlation_pairs_topk_pruned(
     sig = bits.groupBy(
         "key", F.expr(f"p div {r_bits}").alias("band")
     ).agg(F.expr(f"sum(bit * shiftleft(1, cast(p % {r_bits} as int)))").alias("bkey"))
-    x, y = sig.alias("x"), sig.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.key") < F.col("y.key")),
-        )
-        .select(F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b"))
-        .distinct()
+    bsize = sig.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("__bc"))
+    sigc = sig.join(bsize, ["band", "bkey"])
+    grouped = (
+        sigc.filter(F.col("__bc") <= bucket_cap)
+        .groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("key")).alias("__ks"))
     )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ks"),
+            lambda a_, i: F.transform(
+                F.slice(F.col("__ks"), i + F.lit(2), F.size(F.col("__ks"))),
+                lambda b_: F.struct(a_.alias("key_a"), b_.alias("key_b")),
+            ),
+        )
+    )
+    pairs_small = grouped.select(F.explode(pair_structs).alias("__pr")).select(
+        "__pr.key_a", "__pr.key_b"
+    )
+    # ⌈c/cap⌉ salt sub-buckets of ~cap keys each: the chain window stays
+    # parallel AND every sub-bucket holds enough keys to actually chain
+    # (a fixed salt count would scatter a barely-over-cap bucket into
+    # singleton partitions with no adjacent pairs at all).
+    chain_w = Window.partitionBy("band", "bkey", "__sub").orderBy("key")
+    pairs_chain = (
+        sigc.filter(F.col("__bc") > bucket_cap)
+        .withColumn(
+            "__sub",
+            F.pmod(
+                F.crc32(F.col("key").cast("string")),
+                F.ceil(F.col("__bc") / F.lit(bucket_cap)).cast("long"),
+            ).cast("int"),
+        )
+        .withColumn("__nxt", F.lead("key").over(chain_w))
+        .filter(F.col("__nxt").isNotNull())
+        .select(F.col("key").alias("key_a"), F.col("__nxt").alias("key_b"))
+    )
+    cand = pairs_small.unionByName(pairs_chain).distinct()
     a, b = daily.alias("a"), daily.alias("b")
     sxy = (
         cand.join(a, F.col("key_a") == F.col("a.key"))
@@ -290,7 +365,7 @@ def correlation_pairs_topk_auto(
     """Exact-vs-pruned dispatch on the Catalyst size estimate — the same
     gate shape as operators.dedup.minhash_lsh_pairs_auto: below
     ``spark.pandemic_knowledge.timeseries.corrPrunedThresholdBytes``
-    (default 1 MiB — the measured exact-vs-pruned frontier, see the
+    (default 4 MiB — the measured exact-vs-pruned frontier, see the
     constant) every pair is scored exactly; above it the sign-sketch tier
     prunes candidates first.
 

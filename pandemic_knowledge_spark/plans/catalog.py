@@ -4608,7 +4608,7 @@ def timeseries_corr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the oracle (F.corr's merge-order-dependent streaming
     algorithm is deliberately not used). Size-gated auto-dispatch (the
     MinHash pattern): at driver/oracle scale (sf0.01, 216 KB) the exact
-    day-blocked pair join runs; above the measured 1 MiB frontier the
+    day-blocked pair join runs; above the measured 4 MiB frontier the
     random-hyperplane sign-sketch tier prunes candidate pairs first and
     re-checks them through the same exact formula — the verdict-named fix
     for the Σ_d c_d² all-pairs fan-out (sf0.1: 4.0 s vs 9.3 s exact,

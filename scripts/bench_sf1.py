@@ -42,13 +42,15 @@ QUERIES = [  # 5 most expensive in BENCH_r02 + the heaviest later additions
     "graph_trade_pagerank",    # 12M-edge build + 5 power-iteration rounds
     "lm_score_docs",           # bigram-model join scoring
     # r4 scale-path rewrites — measured here AT the scale tier they exist
-    # for (sf1 events cross the 1 MiB corr gate; the ntile rewires must
+    # for (sf1 events cross the 4 MiB corr gate; the ntile rewires must
     # show flat cost at 10x rows, no single-task sort):
     "retail_rfm_segments",     # 3x partitioned_ntile over customer rollup
     "lm_ccnet_buckets",        # partitioned_ntile tertiles over lm_score
     "window_ntile_quartiles",  # grouped partitioned_ntile over orders
     "timeseries_corr_topk",    # auto -> sign-sketch pruned tier at sf1
-    "dedup_winnow_pairs",      # capped Sdf^2 posting join (bench-tracked r4)
+    "dedup_winnow_pairs",      # r5 grouped pair emission (bench-tracked)
+    # r5-new tiers:
+    "agg_percentile_quantity", # rank-targeted exact percentiles (scale tier)
 ]
 
 KEY_COLS = {

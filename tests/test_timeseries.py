@@ -229,6 +229,36 @@ def test_corr_pruned_matches_exact_on_strong_pairs(spark):
     assert all(abs(r - 1.0) < 1e-12 for _, _, r in exact)
 
 
+def test_corr_pruned_degenerate_bucket_chain(spark):
+    """Mass-duplicated series (every clone lands in ONE band bucket at any
+    band width) must not go quadratic: with a bucket_cap below the clone
+    count the tier chain-links the bucket instead of emitting C(c,2)
+    pairs, and the top-k still comes back all-r=1 clone pairs (chain pairs
+    of identical series ARE r=1 — interchangeable with the dropped ones).
+    """
+    from pandemic_knowledge_spark.operators.timeseries import (
+        correlation_pairs_topk_pruned,
+    )
+
+    rows = []
+    pattern = [3, 1, 4, 1, 5, 2, 6, 2]
+    for m in range(30):  # 30 identical clones
+        for d, cnt in enumerate(pattern):
+            for i in range(cnt):
+                rows.append((f"c{m:02d}", dt.datetime(2024, 1, 1 + d, 8, i), 0.0))
+    df = spark.createDataFrame(rows, SCHEMA).withColumnRenamed("k", "u")
+    out = correlation_pairs_topk_pruned(
+        df, "u", "ts", k=10, bucket_cap=4
+    ).collect()
+    assert len(out) == 10
+    assert all(abs(r.r - 1.0) < 1e-12 for r in out)
+    # and the full-pair form below the cap agrees on the same data
+    out_full = correlation_pairs_topk_pruned(
+        df, "u", "ts", k=10, bucket_cap=1000
+    ).collect()
+    assert all(abs(r.r - 1.0) < 1e-12 for r in out_full)
+
+
 def test_corr_auto_dispatch_scale_gate(spark, sf_dir):
     """Auto dispatcher: below the byte threshold → exact day-blocked pair
     join (no sign sketches); above → pruned (the shiftleft band packing
@@ -250,7 +280,7 @@ def test_corr_auto_dispatch_scale_gate(spark, sf_dir):
     finally:
         spark.conf.unset(CORR_THRESHOLD_CONF)
     plan_small = (
-        correlation_pairs_topk_auto(ev, "user_id", "ts")  # default 1 MiB gate
+        correlation_pairs_topk_auto(ev, "user_id", "ts")  # default 4 MiB gate
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "shiftleft" not in plan_small
