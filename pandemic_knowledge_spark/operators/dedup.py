@@ -37,6 +37,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pandemic_knowledge_spark.functions.text import (
     HASH_MOD,
@@ -579,6 +580,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     k: int = 2,
     threshold: float = 0.3,
+    collect_cap: int = 1024,
 ) -> DataFrame:
     """Exact blocked n-gram Jaccard via an inverted shingle index — the
     exhaustive baseline the LSH path approximates, in join form rather
@@ -590,10 +592,37 @@ def ngram_jaccard_pairs(
     and can never pass the threshold), and |A∪B| = |A|+|B|−|A∩B| closes
     the formula. Identical output to the naive all-pairs form, but every
     per-pair array intersection (O(|A|·|B|) string work × all block pairs
-    — measured 170 s at sf0.1) becomes one shuffle of Σ_s c_s² two-long
-    rows (~4 s). Fan-out is bounded by the block + the shingle frequency
-    distribution; at adversarial scale, cap or drop stop-shingles (c_s
-    huge ⇒ the shingle carries no near-dup signal anyway)."""
+    — measured 170 s at sf0.1) becomes per-posting pair emission.
+
+    Pair emission is CHUNKED grouped emission, EXACT at any frequency skew
+    (no stop-shingle drop — the oracle computes uncapped Jaccard): the
+    hashed shingle table materializes once (eager localCheckpoint —
+    tokenize + per-shingle md5 is the CPU-heavy stage), every posting is
+    row_number-chunked into doc-sorted arrays of ≤ ``collect_cap`` ids,
+    and C(c,2) ordered pairs come from two bounded streams: within-chunk
+    nested-transform emission, plus a chunk-pair join (chunk_a < chunk_b
+    on the same posting — chunks hold disjoint ascending doc ranges, so
+    every cross product is already ordered) whose fan-out is C(c/cap, 2)
+    ROWS per posting with the m×m expansion deferred to a per-row
+    transform. A c=1M stop-shingle therefore becomes ~500k independent
+    cross rows, not one c² task. Three deliberate exchanges keep the
+    quadratic CPU off the skew/AQE cliff: the posting shuffle itself
+    (groupBy), and a round-robin repartition of EACH pair stream before
+    its explode — the collapsed arrays are tiny on the wire, so AQE
+    coalesces their shuffles to a few partitions (it sizes bytes, not
+    downstream CPU) and would otherwise fuse the entire pair explosion
+    into those tasks (measured: 5-task straggler tail at the derived
+    sf1's 1.8e9-pair workload; the old a<b posting self-join form took
+    184 s / ran 1.4e9 candidates through one sort-merge partition per
+    hot key — see BASELINE.md for the rewrite numbers)."""
+    # The shingle sketch is CPU-bound and the checkpoint pins its
+    # partitioning for every downstream stage — rebalance a
+    # fewer-partitions-than-cores scan first (same guard as
+    # winnow_fingerprints; a one-file corpus would otherwise compute AND
+    # emit pairs on a single core).
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     toks = tokenize(text_col)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -611,20 +640,67 @@ def ngram_jaccard_pairs(
         F.array_distinct(
             F.transform("sh", lambda s: md5_int(s) % HASH_MOD)
         ).alias("hs"),
-    )
+    ).localCheckpoint(eager=True)
+    cap = max(1, collect_cap)
+    par = sc.defaultParallelism
     sizes = hashed.select("doc_id", F.size("hs").alias("sz"))
     ex = hashed.select("doc_id", "blk", F.explode("hs").alias("h"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Chunk every posting into doc-sorted arrays of ≤ cap ids. The window
+    # shuffles by (blk, h) exactly as a direct groupBy would; the per-key
+    # sort is c·log c on the posting, never corpus-wide.
+    w = Window.partitionBy("blk", "h").orderBy("doc_id")
+    chunked = (
+        ex.withColumn("__ck", ((F.row_number().over(w) - F.lit(1)) / cap).cast("long"))
+        .groupBy("blk", "h", "__ck")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("__ds"))
     )
+    # Pair emission is two stacked generators per stream — nested-loop row
+    # generation inside whole-stage codegen, no intermediate C(c,2) array
+    # (the first cut flattened nested transforms into a struct array per
+    # posting: ~24 B/pair materialized before the explode even ran; the
+    # generator form allocates nothing). Chunks are sorted and hold
+    # disjoint ascending ranges, so j > i (within) and chunk_a < chunk_b
+    # (cross) each guarantee doc_a < doc_b.
+    w1 = chunked.repartition(par).select(
+        "__ds", F.posexplode("__ds").alias("__i", "doc_a")
+    )
+    pairs_within = (
+        w1.select("doc_a", "__i", F.posexplode("__ds").alias("__j", "doc_b"))
+        .filter(F.col("__j") > F.col("__i"))
+        .select("doc_a", "doc_b")
+    )
+    ca = chunked.select("blk", "h", F.col("__ck").alias("__ca"), F.col("__ds").alias("__da"))
+    cb = chunked.select("blk", "h", F.col("__ck").alias("__cb"), F.col("__ds").alias("__db"))
+    pairs_cross = (
+        ca.join(cb, ["blk", "h"])
+        .filter(F.col("__ca") < F.col("__cb"))
+        .repartition(par)
+        .select("__db", F.explode("__da").alias("doc_a"))
+        .select("doc_a", F.explode("__db").alias("doc_b"))
+    )
+    pairs = pairs_within.unionByName(pairs_cross)
+    # The Σ C(c,2) pair stream into the count is THE shuffle of this
+    # operator. When every doc id fits 31 unsigned bits (one bounded agg
+    # over the checkpointed sketch decides), pack the pair into a single
+    # long: half the shuffle key width and a primitive-key hash aggregate
+    # instead of a two-column one. Wider ids keep the two-column form —
+    # identical output either way.
+    mm = hashed.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    if mm.mn is not None and mm.mn >= 0 and mm.mx < (1 << 31):
+        packed = pairs.select(
+            (F.shiftleft(F.col("doc_a"), 31) + F.col("doc_b")).alias("__pk")
+        )
+        inter = (
+            packed.groupBy("__pk")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .select(
+                F.shiftright(F.col("__pk"), 31).alias("doc_a"),
+                F.col("__pk").bitwiseAND(F.lit((1 << 31) - 1)).alias("doc_b"),
+                "n_inter",
+            )
+        )
+    else:
+        inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (

@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandemic_knowledge_spark.functions.vectors import as_double, cosine, dot
+from pandemic_knowledge_spark.functions.vectors import as_double, cosine, dot, norm
 
 
 def query_vec_col(vec: Sequence[float]):
@@ -172,16 +172,26 @@ def near_dup_pairs(
     threshold: float,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on a cell column so
-    the pairwise term is bounded per block (LSH/IVF cells at scale)."""
+    the pairwise term is bounded per block (LSH/IVF cells at scale).
+
+    Norms are precomputed per ROW before the pair join (linear work), so
+    each emitted pair pays one dot product instead of three (cosine
+    inlined per pair re-derives both norms — 3× the HOF array ops on a
+    workload whose cost is Ω(pairs); same accumulation order, so the
+    resulting doubles are bit-identical). The output itself is pairwise
+    within blocks — at corpus scale pass an LSH/IVF cell as the block, or
+    use SemDeDup, rather than a fixed-cardinality data column."""
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("blk"),
         as_double(F.col(vec_col)).alias("v"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.when(denom != 0, dot(F.col("a.v"), F.col("b.v")) / denom)
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
-        .withColumn("cos_sim", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select(
             F.col("a.vid").alias("vec_a"),
@@ -314,24 +324,38 @@ def kmeans_embeddings(
 
 
 def _sql_kmeans_ctes(table: str, vec_col: str, id_col: str, k: int,
-                     iters: int, prefix: str = "") -> tuple[list[str], str]:
+                     iters: int, prefix: str = "",
+                     train_limit: int | None = None) -> tuple[list[str], str]:
     """Shared CTE prefix for the k-means oracles: Lloyd unrolled to one
     assignment + one update CTE pair per round, final assignment in
     ``afin``. Returns (ctes, name of the final-centroid CTE). ``prefix``
     namespaces every CTE so independent fits (PQ subspaces) can coexist
-    in one WITH list."""
+    in one WITH list. ``train_limit`` mirrors the engine's sample-bounded
+    training (``pq_fit_codes``): the Lloyd iterations run over the
+    md5-ordered first ``train_limit`` vectors while ``afin`` still assigns
+    the full table."""
+    from pandemic_knowledge_spark.functions.text import md5_int_expr
+
     P = prefix
     q = (
         f"{P}q AS (SELECT {id_col} AS vec_id, "
         f"list_transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)*{KM_SCALE}) AS BIGINT)) AS q "
         f"FROM {table})"
     )
+    ctes = [q]
+    t = f"{P}q"
+    if train_limit is not None:
+        h = md5_int_expr("CAST(vec_id AS VARCHAR)")
+        ctes.append(
+            f"{P}t AS (SELECT vec_id, q FROM {P}q "
+            f"ORDER BY {h}, vec_id LIMIT {train_limit})"
+        )
+        t = f"{P}t"
     c_prev = f"{P}c0"
-    ctes = [
-        q,
+    ctes.append(
         f"{P}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q AS c "
-        f"FROM {P}q ORDER BY vec_id LIMIT {k})",
-    ]
+        f"FROM {t} ORDER BY vec_id LIMIT {k})"
+    )
     dist = (
         "list_sum(list_transform(range(1, len(v.q) + 1), "
         "i -> (v.q[i]-c.c[i])*(v.q[i]-c.c[i])))"
@@ -339,13 +363,13 @@ def _sql_kmeans_ctes(table: str, vec_col: str, id_col: str, k: int,
     for it in range(1, iters + 1):
         ctes.append(
             f"{P}a{it} AS (SELECT v.vec_id, CAST(min({dist}*{k} + c.cl) % {k} AS BIGINT) AS cl "
-            f"FROM {P}q v CROSS JOIN {c_prev} c GROUP BY v.vec_id)"
+            f"FROM {t} v CROSS JOIN {c_prev} c GROUP BY v.vec_id)"
         )
         ctes.append(
             f"{P}u{it} AS (SELECT a.cl, u.i, "
             f"CAST(floor(CAST(sum(v.q[u.i]) AS DOUBLE)/count(*)) AS BIGINT) AS cv "
-            f"FROM {P}a{it} a JOIN {P}q v USING (vec_id) "
-            f"CROSS JOIN (SELECT DISTINCT unnest(range(1, len(q) + 1)) AS i FROM {P}q) u "
+            f"FROM {P}a{it} a JOIN {t} v USING (vec_id) "
+            f"CROSS JOIN (SELECT DISTINCT unnest(range(1, len(q) + 1)) AS i FROM {t}) u "
             f"GROUP BY a.cl, u.i)"
         )
         ctes.append(
@@ -467,6 +491,7 @@ FROM v2 a
 PQ_M = 4        # subspaces (dim must divide evenly)
 PQ_K = 16       # codewords per subspace codebook
 PQ_ITERS = 2
+PQ_TRAIN_CAP = 4096  # codebook training sample (256 vectors per codeword)
 
 
 def _py_quant(x: float) -> int:

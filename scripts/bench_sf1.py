@@ -53,6 +53,30 @@ QUERIES = [  # 5 most expensive in BENCH_r02 + the heaviest later additions
     "agg_percentile_quantity", # rank-targeted exact percentiles (scale tier)
 ]
 
+# Second tier (--wide): families with NO sf1 evidence yet — the corr
+# quadratic frontier was only visible at sf1, so sweep every family whose
+# cost shape could hide one (pair joins, posting indexes, per-key state).
+WIDE_QUERIES = [
+    "knn_cosine_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "emb_near_dup_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_docs",
+    "dedup_exact_docs",
+    "dedup_corpus_lines",
+    "text_search_bm25",
+    "text_tfidf_keywords",
+    "funnel_signup_view_purchase",
+    "cohort_weekly_retention",
+    "scd2_user_history",
+    "sketch_quantile_rollup",
+    "epi_rt_daily",
+    "timeseries_rolling_active",
+    "window_gap_islands",
+    "skew_salted_user_totals",
+]
+
 KEY_COLS = {
     "customer": ["c_custkey", "c_nationkey"],
     "supplier": ["s_suppkey", "s_nationkey"],
@@ -135,18 +159,19 @@ def ensure_data(spark, regen: bool) -> None:
 
 def main() -> None:
     regen = "--regen" in sys.argv
+    queries = WIDE_QUERIES if "--wide" in sys.argv else QUERIES
     spark = get_spark(app_name="pk-bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_data(spark, regen)
 
     spark.range(1000).selectExpr("sum(id)").collect()
     for _ in range(2):  # settle the JIT for the final class population
-        for name in QUERIES:
+        for name in queries:
             spark.catalog.clearCache()
             REGISTRY[name].fn(spark, DST).collect()
-    runs = {name: [] for name in QUERIES}
+    runs = {name: [] for name in queries}
     for _ in range(3):  # round-robin, median per query
-        for name in QUERIES:
+        for name in queries:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, DST).collect()
@@ -155,7 +180,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "sf1_spot_total",
+                "metric": "sf1_spot_total" + ("_wide" if queries is WIDE_QUERIES else ""),
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,

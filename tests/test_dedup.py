@@ -162,3 +162,51 @@ def test_dedup_corpus_lines_huge_doc_ids(spark):
     got = {r.doc_id: r for r in dedup_corpus_lines(docs).collect()}
     assert got[big - 1].text_kept == "beta. gamma"  # lower id wins 'beta'
     assert got[big].text_kept == "alpha"
+
+
+def test_ngram_jaccard_cap_branches_agree(spark, sf_dir):
+    """Chunked pair emission splits each (block, shingle) posting into
+    doc-sorted chunks of <= collect_cap ids; pairs come from within-chunk
+    nested transforms plus a chunk-pair cross join. Every route must be
+    EXACT: cap=0 (clamped to 1 — every pair crosses chunks), a tiny cap
+    (both streams active), and a huge cap (single chunk — within-only)
+    must emit identical (pair, jaccard) sets."""
+    from pandemic_knowledge_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    runs = [
+        {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                d, "doc_id", "text", "lang", k=2, threshold=0.3, collect_cap=cap
+            ).collect()
+        }
+        for cap in (0, 3, 1 << 30)
+    ]
+    assert runs[0] == runs[1] == runs[2] and len(runs[0]) > 0
+
+
+def test_ngram_jaccard_wide_ids_take_unpacked_branch(spark):
+    """The pair count packs (doc_a, doc_b) into one long only when every id
+    fits 31 unsigned bits; wider ids must route to the two-column count and
+    emit the same pairs/values as the packed form does for the same corpus
+    under small ids."""
+    from pandemic_knowledge_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",
+        "omega psi chi phi upsilon",
+    ]
+    big = 1 << 40
+    runs = []
+    for base in (1, big):
+        d = spark.createDataFrame(
+            [(base + i, "en", t) for i, t in enumerate(texts)],
+            "doc_id long, lang string, text string",
+        )
+        out = ngram_jaccard_pairs(d, "doc_id", "text", "lang", k=2, threshold=0.1)
+        runs.append(
+            {(r.doc_a - base, r.doc_b - base, r.jaccard) for r in out.collect()}
+        )
+    assert runs[0] == runs[1] and len(runs[0]) > 0
