@@ -504,6 +504,31 @@ def _py_quant(x: float) -> int:
     return int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
 
 
+def _lloyd_sample(
+    rows: list[list[int]], k: int, iters: int
+) -> list[list[int]]:
+    """Driver-side exact-int64 Lloyd over a BOUNDED training sample —
+    arithmetic-identical to :func:`_kmeans_fit` (argmin squared distance,
+    ties to the lowest cluster id, centroid update floor(sum/count), empty
+    cluster keeps its previous centroid). ``rows`` must already be in init
+    order (lowest vec_id first): init = the first ``k`` rows."""
+    import numpy as np
+
+    x = np.asarray(rows, dtype=np.int64)          # (n, d)
+    k = min(k, len(x))
+    cents = x[:k].copy()                          # (k, d)
+    for _ in range(iters):
+        # (n, k) exact squared distances; argmin takes the FIRST minimum,
+        # i.e. the lowest cluster id on ties — same as min(dist*k + cl) % k.
+        diff = x[:, None, :] - cents[None, :, :]
+        cl = np.argmin((diff * diff).sum(axis=2), axis=1)
+        for c in range(k):
+            mem = x[cl == c]
+            if len(mem):
+                cents[c] = mem.sum(axis=0) // len(mem)  # floor matches F.floor
+    return [[int(v) for v in c] for c in cents]
+
+
 def pq_fit_codes(
     emb: DataFrame,
     vec_col: str,
@@ -511,35 +536,84 @@ def pq_fit_codes(
     m: int = PQ_M,
     k: int = PQ_K,
     iters: int = PQ_ITERS,
+    train_cap: int = PQ_TRAIN_CAP,
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Product quantization (Jégou et al. 2011, "Product Quantization for
     Nearest Neighbor Search"): split each vector into ``m`` subvectors,
-    learn an independent ``k``-codeword Lloyd codebook per subspace
-    (operators.similarity._kmeans_fit — exact int64 arithmetic), and store
-    each vector as ``m`` small codes.
+    learn an independent ``k``-codeword Lloyd codebook per subspace, and
+    store each vector as ``m`` small codes.
+
+    Scale shape — codebook training is SAMPLE-BOUNDED, assignment is ONE
+    corpus pass: the quantized table materializes once (eager
+    localCheckpoint), the training set is the md5-ordered first
+    ``train_cap`` vectors (deterministic, engine-portable; FAISS trains
+    IVFADC codebooks on ~k·256 samples the same way), the m Lloyd fits run
+    driver-side over that bounded sample in exact int64 (``_lloyd_sample``
+    — bit-identical arithmetic to the distributed fit), and every vector's
+    m codes come from a SINGLE select whose m argmin expressions carry the
+    k·dim centroid literals. Nothing here scales with the corpus except
+    the one assignment scan — no per-subspace corpus fits, no m-way code
+    join. Corpora ≤ ``train_cap`` train on every vector, so small inputs
+    are bit-identical to an unsampled fit.
 
     Returns (codes, codebooks): codes = (vec_id, code_0..code_{m-1});
     codebooks[j][c] = centroid c of subspace j (quantized ints). The codes
     table is m bytes-ish per vector — the 100 TB memory math that makes
-    billion-vector ANN fit an index: 64 floats → 4 codes.
-    Each subspace fit scans the (tiny, checkpointed) quantized projection;
-    the m fits are vocabulary-of-codebooks work, corpus-touching exactly
-    once per subspace."""
+    billion-vector ANN fit an index: 64 floats → 4 codes."""
+    from pandemic_knowledge_spark.functions.text import md5_int
+
     dim = len(emb.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    codes = None
-    books: list[list[list[int]]] = []
-    for j in range(m):
-        sub = emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), j * d + 1, d).alias("sub"),
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _quantize(vec_col).alias("q")
+    ).localCheckpoint(eager=True)
+    sample = (
+        base.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id")
+        .limit(max(1, train_cap))
+        .orderBy("vec_id")  # init order: lowest vec_id first
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_fit_codes: empty input")
+    books: list[list[list[int]]] = [
+        _lloyd_sample([list(r.q[j * d : (j + 1) * d]) for r in sample], k, iters)
+        for j in range(m)
+    ]
+
+    def argmin_code(sub_col: str, book: list[list[int]]) -> Column:
+        kk = len(book)
+        enc = F.array_min(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(sub_col),
+                            F.array(*[F.lit(int(v)) for v in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(kk)
+                    + F.lit(cl)
+                    for cl, c in enumerate(book)
+                ]
+            )
         )
-        assigned, cents, _ = _kmeans_fit(sub, "sub", "vec_id", k, iters)
-        books.append([list(c) for c in cents])
-        cj = assigned.select("vec_id", F.col("cl").alias(f"code_{j}"))
-        codes = cj if codes is None else codes.join(cj, "vec_id")
+        return (enc % F.lit(kk)).cast("long")
+
+    # Materialize the slices as columns BEFORE the argmin HOFs (a HOF over
+    # a raw slice expression re-runs the slice per centroid term).
+    sliced = base.select(
+        "vec_id",
+        *[F.slice(F.col("q"), j * d + 1, d).alias(f"_s{j}") for j in range(m)],
+    )
+    codes = sliced.select(
+        "vec_id",
+        *[argmin_code(f"_s{j}", books[j]).alias(f"code_{j}") for j in range(m)],
+    )
     return codes, books
 
 
@@ -552,13 +626,16 @@ def pq_topk(
     k: int = PQ_K,
     iters: int = PQ_ITERS,
     top_k: int = 10,
+    train_cap: int = PQ_TRAIN_CAP,
 ) -> DataFrame:
     """ANN top-k by asymmetric distance computation (ADC): the query stays
     un-quantized-to-codes; its exact distance to every codeword is a tiny
     driver-side table, and each vector's approximate distance is the SUM
     of m table lookups on its codes — integer arithmetic end-to-end, so
     the ranking is bit-stable. Output (vec_id, adc_dist)."""
-    codes, books = pq_fit_codes(emb, vec_col, id_col, m, k, iters)
+    codes, books = pq_fit_codes(
+        emb, vec_col, id_col, m, k, iters, train_cap=train_cap
+    )
     d = len(books[0][0])
     qq = [_py_quant(x) for x in query]
     adc = None
@@ -589,10 +666,13 @@ def sql_pq_topk(
     iters: int = PQ_ITERS,
     top_k: int = 10,
     dim: int = 64,
+    train_cap: int = PQ_TRAIN_CAP,
 ) -> str:
     """DuckDB oracle for :func:`pq_topk`: m namespaced Lloyd CTE chains
-    (one per subspace slice), ADC as per-subspace codeword distances to
-    the same quantized query literal, summed over the code joins."""
+    (one per subspace slice, each training over the md5-ordered first
+    ``train_cap`` vectors exactly as :func:`pq_fit_codes` samples), ADC as
+    per-subspace codeword distances to the same quantized query literal,
+    summed over the code joins."""
     d = dim // m
     qq = [_py_quant(x) for x in query]
     ctes: list[str] = []
@@ -600,7 +680,7 @@ def sql_pq_topk(
     for j in range(m):
         sub_ctes, c_prev = _sql_kmeans_ctes(
             table, f"{vec_col}[{j * d + 1}:{(j + 1) * d}]", id_col, k, iters,
-            prefix=f"p{j}_",
+            prefix=f"p{j}_", train_limit=max(1, train_cap),
         )
         ctes.extend(sub_ctes)
         finals.append((f"p{j}_afin", c_prev))
@@ -636,13 +716,18 @@ def ivfpq_topk(
     iters: int = PQ_ITERS,
     top_k: int = 10,
     nprobe: int = 2,
+    train_cap: int = PQ_TRAIN_CAP,
 ) -> DataFrame:
     """IVF-PQ: the two-stage billion-scale ANN shape (FAISS's IVFADC) —
     coarse cells prune the corpus to nprobe partitions (partition pruning
     on a cell-partitioned layout), then PQ asymmetric distance ranks only
     the surviving vectors. Composes :func:`ivf_topk`'s cell probe with
-    :func:`pq_topk`'s code ranking; the PQ codebooks here are fit on the
-    probed subset (at ingest scale you fit them corpus-wide once and store
-    codes alongside the cell id — the probe then touches codes only)."""
+    :func:`pq_topk`'s code ranking; the PQ codebooks here are fit on a
+    bounded sample of the probed subset (at ingest scale you fit them
+    corpus-wide once and store codes alongside the cell id — the probe
+    then touches codes only)."""
     pruned = _probe_cells(emb, vec_col, cell_col, query, nprobe)
-    return pq_topk(pruned, vec_col, id_col, query, m=m, k=k, iters=iters, top_k=top_k)
+    return pq_topk(
+        pruned, vec_col, id_col, query,
+        m=m, k=k, iters=iters, top_k=top_k, train_cap=train_cap,
+    )

@@ -121,3 +121,26 @@ def test_ivfpq_prunes_cells_and_ranks_within(spark):
     )
     hits = top.join(emb.select("vec_id", "label"), "vec_id").collect()
     assert len(hits) == 10 and {r.label for r in hits} == {0}
+
+def test_pq_sample_training_parity_with_oracle(spark, sf_dir):
+    """The SAMPLING arm (train_cap < corpus) must stay engine/oracle
+    lockstep: both sides train every codebook on the md5-ordered first
+    train_cap vectors and assign the FULL table against those centroids.
+    The catalog row can't prove this (testdata corpora sit under the
+    default cap, where sampling degenerates to full training), so force a
+    sub-corpus cap here."""
+    from pandemic_knowledge_spark.operators.similarity import pq_topk, sql_pq_topk
+    from pandemic_knowledge_spark.plans.catalog import QUERY_VEC
+    from pandemic_knowledge_spark.tables import load
+
+    from tests.oracle_harness import compare_query
+
+    cap = 64  # every testdata embeddings table holds >= 500 vectors
+    sdf = pq_topk(
+        load(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        QUERY_VEC, train_cap=cap,
+    )
+    oracle = sql_pq_topk("embeddings", "embedding", "vec_id", QUERY_VEC,
+                         train_cap=cap)
+    problems, n = compare_query(spark, sf_dir, None, oracle, sdf=sdf)
+    assert not problems and n == 10, problems
