@@ -4902,6 +4902,10 @@ _DRIVER_PRIORITY = [
     "search_page_indexed",         # r5: probe-pruning fix (r4 bench regression)
     "search_fields_indexed",       # r5: same probe path
     "agg_percentile_quantity",     # r5: exact percentile via partitioned ranks
+    "ann_pq_topk",                 # r5: sample-trained codebooks (oracle gained
+                                   #     the {P}t sample CTE) + one-pass assign
+    "dedup_ngram_jaccard",         # r5: chunked grouped pair emission
+    "emb_near_dup_pairs",          # r5: precomputed-norm cosine (bit-identical)
     # --- tier B: every r2-only-green query (no row since round 2) ---
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -4926,8 +4930,9 @@ _DRIVER_PRIORITY = [
     "q21_single_return_supplier",
     "q22_idle_rich_customers",
     "agg_approx_distinct_users",
-    "agg_histogram_buckets",
-    "agg_stats_moments",
+    # (agg_histogram_buckets, agg_stats_moments, window_range_7day_avg —
+    #  r2-green, untouched since, simple agg/window shapes — deferred to
+    #  the r6 head to make room for the three r5-changed rows above)
     "anti_join_misses",
     "conform_validity_audit",
     "decontaminate_train_split",
@@ -4946,7 +4951,6 @@ _DRIVER_PRIORITY = [
     "stream_dedup_first",
     "text_search_bm25_fields",
     "window_gap_islands",
-    "window_range_7day_avg",
 ]
 
 
