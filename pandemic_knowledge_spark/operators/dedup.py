@@ -573,6 +573,9 @@ def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
     return simhash_from_hashes(token_hashes(toks, bits), bits)
 
 
+PAIRS_PER_AGG_PARTITION = 2_000_000  # pair rows per intersection-count reduce partition
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,
@@ -645,6 +648,26 @@ def ngram_jaccard_pairs(
     par = sc.defaultParallelism
     sizes = hashed.select("doc_id", F.size("hs").alias("sz"))
     ex = hashed.select("doc_id", "blk", F.explode("hs").alias("h"))
+    # Total pair volume Σ C(df,2) is known EXACTLY before any pair exists
+    # (chunking never changes it), from one cheap agg over the checkpointed
+    # sketch. It sizes the intersection-count exchange below: the pair
+    # stream's partial aggregate is near-useless (avg key multiplicity
+    # ~3 spread over random partitions → per-task maps fill with ~unique
+    # keys, spill, and still shuffle almost every row), so the count is
+    # planned as repartition-by-key FIRST — a pure exchange of packed
+    # longs — with the partial+final pair running pipelined per reduce
+    # partition over ~PAIRS_PER_AGG_PARTITION keys (cache-resident maps,
+    # no spill; measured at the derived sf1's 908M-pair workload:
+    # in-place groupBy ~170-210 s, repartition-first ~60-90 s).
+    dfc = ex.groupBy("blk", "h").agg(F.count(F.lit(1)).alias("__c"))
+    total_pairs = int(
+        dfc.agg(
+            F.coalesce(
+                F.sum(F.col("__c") * (F.col("__c") - 1) / 2), F.lit(0.0)
+            ).alias("p")
+        ).first().p
+    )
+    n_agg = int(min(1024, max(par, total_pairs // PAIRS_PER_AGG_PARTITION)))
     # Chunk every posting into doc-sorted arrays of ≤ cap ids. The window
     # shuffles by (blk, h) exactly as a direct groupBy would; the per-key
     # sort is c·log c on the posting, never corpus-wide.
@@ -680,18 +703,20 @@ def ngram_jaccard_pairs(
     )
     pairs = pairs_within.unionByName(pairs_cross)
     # The Σ C(c,2) pair stream into the count is THE shuffle of this
-    # operator. When every doc id fits 31 unsigned bits (one bounded agg
-    # over the checkpointed sketch decides), pack the pair into a single
-    # long: half the shuffle key width and a primitive-key hash aggregate
-    # instead of a two-column one. Wider ids keep the two-column form —
-    # identical output either way.
+    # operator — planned repartition-first (see n_agg above). When every
+    # doc id fits 31 unsigned bits (one bounded agg over the checkpointed
+    # sketch decides), pack the pair into a single long: half the shuffle
+    # key width and a primitive-key hash aggregate instead of a
+    # two-column one. Wider ids keep the two-column form — identical
+    # output either way.
     mm = hashed.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
     if mm.mn is not None and mm.mn >= 0 and mm.mx < (1 << 31):
         packed = pairs.select(
             (F.shiftleft(F.col("doc_a"), 31) + F.col("doc_b")).alias("__pk")
         )
         inter = (
-            packed.groupBy("__pk")
+            packed.repartition(n_agg, "__pk")
+            .groupBy("__pk")
             .agg(F.count(F.lit(1)).alias("n_inter"))
             .select(
                 F.shiftright(F.col("__pk"), 31).alias("doc_a"),
@@ -700,7 +725,11 @@ def ngram_jaccard_pairs(
             )
         )
     else:
-        inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
+        inter = (
+            pairs.repartition(n_agg, "doc_a", "doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
