@@ -144,3 +144,71 @@ def test_pq_sample_training_parity_with_oracle(spark, sf_dir):
                          train_cap=cap)
     problems, n = compare_query(spark, sf_dir, None, oracle, sdf=sdf)
     assert not problems and n == 10, problems
+
+
+# ------------------------------------------------------- near_dup_pairs
+
+
+def _ndp_rows(spark, data, schema, threshold=0.25, **kw):
+    from pandemic_knowledge_spark.operators.similarity import near_dup_pairs
+
+    df = spark.createDataFrame(data, schema)
+    out = near_dup_pairs(df, "embedding", "vec_id", "label", threshold, **kw)
+    return {tuple(r) for r in out.collect()}
+
+
+_NDP_SCHEMA = "vec_id long, label long, embedding array<float>"
+_NDP_DATA = [
+    (0, 0, [1.0, 0.0, 0.0]),
+    (1, 0, [0.9, 0.1, 0.0]),
+    (2, 0, [0.0, 1.0, 0.0]),
+    (3, 0, [0.0, 0.0, 0.0]),  # zero norm: cosine NULL, never emitted
+    (4, 0, None),  # null vector: never emitted
+    (5, 1, [1.0, 0.0, 0.0]),  # other block: never pairs with label 0
+    (6, 1, [1.0, 0.01, 0.0]),
+]
+
+
+def test_near_dup_tiers_bit_identical(spark):
+    sql = _ndp_rows(spark, _NDP_DATA, _NDP_SCHEMA, impl="sql")
+    arrow = _ndp_rows(spark, _NDP_DATA, _NDP_SCHEMA, impl="arrow")
+    assert sql == arrow and len(sql) > 0
+    ids = {(a, b) for a, b, _ in sql}
+    assert (0, 1) in ids and (5, 6) in ids
+    assert all(a < b for a, b in ids)
+    assert not any(3 in p or 4 in p for p in ids)  # zero-norm / null dropped
+    assert not any((a < 5) != (b < 5) for a, b in ids)  # blocked
+
+
+def test_near_dup_grid_invariant(spark):
+    base = _ndp_rows(spark, _NDP_DATA, _NDP_SCHEMA)
+    for g in (1, 3, 16):
+        assert _ndp_rows(spark, _NDP_DATA, _NDP_SCHEMA, grid=g) == base
+
+
+def test_near_dup_ragged_corpus_takes_sql_tier(spark):
+    # mixed dims: auto must fall back to the fold tier (zip_with pads),
+    # and impl='arrow' must refuse rather than silently truncate
+    import pytest
+
+    ragged = _NDP_DATA + [(7, 0, [1.0, 0.0, 0.0, 0.5])]
+    auto = _ndp_rows(spark, ragged, _NDP_SCHEMA)
+    sql = _ndp_rows(spark, ragged, _NDP_SCHEMA, impl="sql")
+    assert auto == sql
+    with pytest.raises(ValueError):
+        _ndp_rows(spark, ragged, _NDP_SCHEMA, impl="arrow")
+
+
+def test_near_dup_arrow_tile_boundary(spark):
+    # force multi-tile scoring inside one cogroup: identical output
+    import pandemic_knowledge_spark.operators.similarity as sim
+
+    data = [(i, 0, [1.0, float(i % 7) / 10.0, 0.5]) for i in range(23)]
+    base = _ndp_rows(spark, data, _NDP_SCHEMA, impl="arrow")
+    old = sim.NEAR_DUP_TILE
+    sim.NEAR_DUP_TILE = 4
+    try:
+        tiled = _ndp_rows(spark, data, _NDP_SCHEMA, impl="arrow")
+    finally:
+        sim.NEAR_DUP_TILE = old
+    assert tiled == base and len(base) > 0
