@@ -635,10 +635,12 @@ def semantic_dedup(
 
     Scale shape: the k-means fit is the linear pass (see
     :func:`kmeans_embeddings`); the pairwise term is quadratic ONLY within a
-    cluster — the whole point of SemDeDup's blocking — and the dup-join
-    shuffles on the cluster id, so each cluster's block is one partition's
-    local work (AQE splits oversized clusters; raise k to shrink blocks —
-    real deployments run k ≈ sqrt(N) so blocks stay ~sqrt-sized).
+    cluster — the whole point of SemDeDup's blocking — and is delegated to
+    :func:`near_dup_pairs` with the cluster id as the block, inheriting its
+    fragment-replicate grid (a k=8 clustering no longer caps the quadratic
+    term at 8 tasks) and its Arrow scoring tier (bit-identical cosines at
+    vectorized speed; a pair (earlier y, later x) marks x). Real
+    deployments run k ≈ sqrt(N) so blocks stay ~sqrt-sized.
     """
     assigned, _, _ = _kmeans_fit(
         emb, vec_col, id_col, k, iters,
@@ -646,14 +648,8 @@ def semantic_dedup(
     )
     a = assigned.select("vec_id", "cl", "v")
     dups = (
-        a.alias("x")
-        .join(
-            a.alias("y"),
-            (F.col("x.cl") == F.col("y.cl"))
-            & (F.col("y.vec_id") < F.col("x.vec_id")),
-        )
-        .filter(F.round(cosine(F.col("x.v"), F.col("y.v")), 6) >= threshold)
-        .select(F.col("x.vec_id").alias("vec_id"))
+        near_dup_pairs(a, "v", "vec_id", "cl", threshold)
+        .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
     return (
