@@ -711,8 +711,14 @@ def ngram_jaccard_pairs(
     # output either way.
     mm = hashed.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
     if mm.mn is not None and mm.mn >= 0 and mm.mx < (1 << 31):
+        # cast before shifting: the VALUE guard above says nothing about
+        # the column TYPE, and shiftleft on an int32 id wraps to the low
+        # bit, colliding unrelated pairs into one packed key
         packed = pairs.select(
-            (F.shiftleft(F.col("doc_a"), 31) + F.col("doc_b")).alias("__pk")
+            (
+                F.shiftleft(F.col("doc_a").cast("long"), 31)
+                + F.col("doc_b").cast("long")
+            ).alias("__pk")
         )
         inter = (
             packed.repartition(n_agg, "__pk")

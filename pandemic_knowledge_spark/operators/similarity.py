@@ -267,8 +267,16 @@ def _near_dup_pairs_sql(
     # query at the derived sf1). An exchange pins both to once-per-row,
     # and when the planner picks sort-merge it doubles as the join
     # distribution, so no extra shuffle is ever paid.
+    # __gt must be LONG like __gb (pmod of a crc32): an int key under the
+    # join condition analyzes to cast(__gt as bigint) = __gb, which the
+    # explicit hashpartitioning on the raw column no longer satisfies —
+    # EnsureRequirements would re-shuffle the side the barrier just paid
+    # for.
     a = (
-        base.withColumn("__gt", F.explode(F.sequence(F.lit(0), F.lit(g - 1))))
+        base.withColumn(
+            "__gt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(g - 1).cast("long"))),
+        )
         .repartition(par, "blk", "__gt")
         .alias("a")
     )
@@ -311,25 +319,43 @@ def _near_dup_pairs_arrow(
     sub-group; the kernel scores them in ≤ NEAR_DUP_TILE² tiles (bounding
     the accumulator at ~128 MiB however large a block gets) and walks the
     vector dimension in ascending order so every double matches the JVM
-    fold bit-for-bit. Rows whose vector is NULL can never emit (their dot
-    is NULL in the fold semantics) and are dropped scan-side; NULL
-    ELEMENTS inside a vector become NaN scores here vs NULL there — both
-    fail every threshold, so the emitted rowset is identical."""
+    fold bit-for-bit. Rows whose vector, id or block is NULL can never
+    emit under the SQL tier's predicate semantics and are dropped
+    scan-side; NULL ELEMENTS inside a vector score NULL there and NaN
+    here, and both FAIL the threshold filter... except a true NaN
+    element (not NULL) scores NaN under BOTH tiers and then PASSES it —
+    Spark orders NaN above every number — so the kernel re-admits NaN
+    scores explicitly. The emitted rowset is identical either way."""
     import numpy as np
 
     id_type = emb.schema[id_col].dataType
+    # NaN scores ride out of the kernel as a FLAG, not as NaN doubles:
+    # the pandas→Arrow conversion treats NaN as the missing-value
+    # sentinel, so an emitted NaN arrives in Spark as NULL and silently
+    # fails the threshold filter the JVM tier passes (Spark orders NaN
+    # above every number). The flag rebuilds a true NaN Spark-side.
     out_schema = T.StructType(
         [
             T.StructField("vec_a", id_type),
             T.StructField("vec_b", id_type),
             T.StructField("raw_cos", T.DoubleType()),
+            T.StructField("is_nan", T.BooleanType()),
         ]
     )
+    # NULL-id and NULL-block rows never pair in the SQL tier (both sit
+    # in join predicates, and NULL matches nothing) — drop them here too,
+    # or cogroup would happily line up the two sides' NULL-key groups
+    # (and a None id inside an object ndarray makes `<` raise).
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("blk"),
         as_double(F.col(vec_col)).alias("v"),
-    ).filter(F.col("v").isNotNull() & (F.size("v") == dim))
+    ).filter(
+        F.col("v").isNotNull()
+        & (F.size("v") == dim)
+        & F.col("vid").isNotNull()
+        & F.col("blk").isNotNull()
+    )
     # __gt must be LONG to match __gb (pmod of a crc32): cogroup routes
     # each side's groups through its own groupBy shuffle, and an int-vs-
     # long key pair hashes to DIFFERENT partitions — the two halves of a
@@ -355,7 +381,12 @@ def _near_dup_pairs_arrow(
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"vec_a": left["vid"][:0], "vec_b": left["vid"][:0], "raw_cos": pd.Series([], dtype="float64")}
+            {
+                "vec_a": left["vid"][:0],
+                "vec_b": left["vid"][:0],
+                "raw_cos": pd.Series([], dtype="float64"),
+                "is_nan": pd.Series([], dtype="bool"),
+            }
         )
         if left.empty or right.empty:
             return empty
@@ -382,19 +413,26 @@ def _near_dup_pairs_arrow(
                 denom = an[i0:a1, None] * bn[j0:j1][None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     raw = acc / denom
+                # NaN scores (a NaN element in either vector) PASS the
+                # JVM tier's filter — Spark and DuckDB both order NaN
+                # above every number, so round(NaN,6) >= t is TRUE —
+                # while numpy's >= is False for NaN: re-admit them.
                 mask = (
                     (denom != 0)
                     & (aid[i0:a1, None] < bid[j0:j1][None, :])
-                    & (raw >= loose)
+                    & ((raw >= loose) | np.isnan(raw))
                 )
                 ii, jj = np.nonzero(mask)
                 if len(ii):
+                    sel = raw[ii, jj]
+                    isn = np.isnan(sel)
                     outs.append(
                         pd.DataFrame(
                             {
                                 "vec_a": aid[i0:a1][ii],
                                 "vec_b": bid[j0:j1][jj],
-                                "raw_cos": raw[ii, jj],
+                                "raw_cos": np.where(isn, 0.0, sel),
+                                "is_nan": isn,
                             }
                         )
                     )
@@ -406,7 +444,12 @@ def _near_dup_pairs_arrow(
         .applyInPandas(score, schema=out_schema)
     )
     return (
-        scored.withColumn("cos_sim", F.round(F.col("raw_cos"), 6))
+        scored.withColumn(
+            "cos_sim",
+            F.when(F.col("is_nan"), F.lit(float("nan"))).otherwise(
+                F.round(F.col("raw_cos"), 6)
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )

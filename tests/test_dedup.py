@@ -210,3 +210,26 @@ def test_ngram_jaccard_wide_ids_take_unpacked_branch(spark):
             {(r.doc_a - base, r.doc_b - base, r.jaccard) for r in out.collect()}
         )
     assert runs[0] == runs[1] and len(runs[0]) > 0
+
+
+def test_ngram_jaccard_int32_ids_pack_safely(spark):
+    # value-range guard alone would let an int32 id column into the packed
+    # branch, where shiftleft wraps to the low bit — the cast must make
+    # packing type-safe, with output identical to the long-id run
+    from pandemic_knowledge_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (i, "en", f"alpha beta gamma delta epsilon zeta token{i % 3}")
+        for i in range(8)
+    ]
+    as_long = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    as_int = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    expect = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(as_long, "doc_id", "text", "lang").collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(as_int, "doc_id", "text", "lang").collect()
+    }
+    assert got == expect and len(got) > 0

@@ -212,3 +212,38 @@ def test_near_dup_arrow_tile_boundary(spark):
     finally:
         sim.NEAR_DUP_TILE = old
     assert tiled == base and len(base) > 0
+
+
+def test_near_dup_nan_element_emitted_by_both_tiers(spark):
+    # a true NaN element (not NULL) scores NaN, and Spark/DuckDB order NaN
+    # above every number, so round(NaN,6) >= t PASSES — the Arrow kernel
+    # must re-admit what numpy's >= drops
+    nan = float("nan")
+    data = [
+        (0, 0, [1.0, 0.0, 0.0]),
+        (1, 0, [nan, 0.1, 0.0]),
+        (2, 0, [0.9, 0.1, 0.0]),
+    ]
+    import math
+
+    def norm_rows(rows):
+        return {(a, b, "nan" if math.isnan(c) else c) for a, b, c in rows}
+
+    sql = norm_rows(_ndp_rows(spark, data, _NDP_SCHEMA, impl="sql"))
+    arrow = norm_rows(_ndp_rows(spark, data, _NDP_SCHEMA, impl="arrow"))
+    assert sql == arrow
+    assert (0, 1, "nan") in arrow and (1, 2, "nan") in arrow and (0, 2, 0.993884) in arrow
+
+
+def test_near_dup_null_id_or_block_dropped_by_both_tiers(spark):
+    data = [
+        (0, 0, [1.0, 0.0, 0.0]),
+        (1, 0, [0.9, 0.1, 0.0]),
+        (None, 0, [0.95, 0.05, 0.0]),  # NULL id: joins/compares to nothing
+        (7, None, [1.0, 0.0, 0.0]),  # NULL block: matches no block
+        (8, None, [0.99, 0.01, 0.0]),
+    ]
+    sql = _ndp_rows(spark, data, _NDP_SCHEMA, impl="sql")
+    arrow = _ndp_rows(spark, data, _NDP_SCHEMA, impl="arrow")
+    assert sql == arrow
+    assert {(a, b) for a, b, _ in sql} == {(0, 1)}
