@@ -4904,8 +4904,12 @@ _DRIVER_PRIORITY = [
     "agg_percentile_quantity",     # r5: exact percentile via partitioned ranks
     "ann_pq_topk",                 # r5: sample-trained codebooks (oracle gained
                                    #     the {P}t sample CTE) + one-pass assign
-    "dedup_ngram_jaccard",         # r5: chunked grouped pair emission
-    "emb_near_dup_pairs",          # r5: precomputed-norm cosine (bit-identical)
+    "dedup_ngram_jaccard",         # r5: chunked pair emission + repartition-
+                                   #     first intersection count
+    "emb_near_dup_pairs",          # r5: fragment-replicate grid + Arrow
+                                   #     dimension-ordered kernel
+    "dedup_semantic_clusters",     # r5: within-cluster scoring delegated to
+                                   #     near_dup_pairs (grid + Arrow tier)
     # --- tier B: every r2-only-green query (no row since round 2) ---
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -4930,10 +4934,10 @@ _DRIVER_PRIORITY = [
     "q21_single_return_supplier",
     "q22_idle_rich_customers",
     "agg_approx_distinct_users",
-    # (agg_histogram_buckets, agg_stats_moments, window_range_7day_avg —
-    #  r2-green, untouched since, simple agg/window shapes — deferred to
-    #  the r6 head to make room for the three r5-changed rows above)
-    "anti_join_misses",
+    # (agg_histogram_buckets, agg_stats_moments, window_range_7day_avg,
+    #  anti_join_misses — r2-green, untouched since, simple agg/window/join
+    #  shapes — deferred to the r6 head to make room for the four
+    #  r5-changed rows above)
     "conform_validity_audit",
     "decontaminate_train_split",
     "dedup_cluster_reps",
