@@ -168,6 +168,8 @@ from pandemic_knowledge_spark.operators.graph import (
 )
 from pandemic_knowledge_spark.operators.sketches import (
     daily_quantile_rollup,
+    daily_sketch_rollup,
+    distinct_over_range,
     quantiles_over,
     sql_quantiles_over,
 )
@@ -1661,6 +1663,47 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     rollup = daily_quantile_rollup(ev, "value", "ts")
     return quantiles_over(rollup, F.lit(_QROLL_LO), F.lit(_QROLL_HI))
+
+
+_HLL_RANGES = [
+    ("2024-01-01", "2024-01-07"),
+    ("2024-01-08", "2024-01-14"),
+    ("2024-01-15", "2024-01-21"),
+    ("2024-01-01", "2024-01-30"),
+]
+
+
+@q("sketch_hll_range_rollup")  # NO oracle (rows-only driver check): the
+# sketch state is Spark's Apache DataSketches HLL binary — deterministic
+# and partitioning-invariant (registers are max-aggregated), but DuckDB's
+# approx_count_distinct is a different HLL implementation, so no SQL text
+# can reproduce the estimate bit-for-bit. The merge-exactness property
+# (rollup-then-union == one direct sketch, the load-bearing invariant)
+# is asserted in tests/test_sketches.py instead.
+def sketch_hll_range_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user rollup (operators.sketches): one 4 KiB sketch row
+    per day, then any date-range distinct estimate is a register-wise
+    union over the rollup — the companion to sketch_quantile_rollup for
+    COUNT(DISTINCT) range queries at 100 TB (distinct counts don't sum,
+    sketches do merge). Emits the estimate for three weekly ranges plus
+    the whole month, all answered from the ~30-row rollup without
+    rescanning events."""
+    ev = load(spark, sf_dir, "events")
+    # the rollup is days-sized; checkpoint so the four range merges read
+    # it instead of re-aggregating events once per range
+    rollup = daily_sketch_rollup(ev, "user_id", "ts").localCheckpoint(eager=True)
+    parts = [
+        distinct_over_range(rollup, lo, hi).select(
+            F.lit(lo).alias("range_lo"),
+            F.lit(hi).alias("range_hi"),
+            F.col("n_distinct_est"),
+        )
+        for lo, hi in _HLL_RANGES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @q("epi_rt_daily", oracle=sql_rt_cori(), bench=False)
@@ -4897,6 +4940,7 @@ _DRIVER_PRIORITY = [
     # r6; every r4-green unchanged query sits below on its fresh row.
     # --- tier A: r5-new / r5-changed ---
     "redact_pii",                  # NEW r5: fixture-backed PII driver row
+    "sketch_hll_range_rollup",     # NEW r5: HLL rollup (rows-only: no oracle)
     "dedup_winnow_pairs",          # r5: grouped-pairs rewrite (shuffle halved)
     "dedup_winnow_cluster_reps",   # r5: consumes the rewritten pairs
     "search_page_indexed",         # r5: probe-pruning fix (r4 bench regression)
@@ -4935,9 +4979,10 @@ _DRIVER_PRIORITY = [
     "q22_idle_rich_customers",
     "agg_approx_distinct_users",
     # (agg_histogram_buckets, agg_stats_moments, window_range_7day_avg,
-    #  anti_join_misses — r2-green, untouched since, simple agg/window/join
-    #  shapes — deferred to the r6 head to make room for the four
-    #  r5-changed rows above)
+    #  anti_join_misses, iso_code_enrich — r2-green, untouched since, simple
+    #  agg/window/join shapes (and semi_join_hits proved the iso join path
+    #  green in r4) — deferred to the r6 head to make room for the five
+    #  r5-new/changed rows above)
     "conform_validity_audit",
     "decontaminate_train_split",
     "dedup_cluster_reps",
@@ -4945,7 +4990,6 @@ _DRIVER_PRIORITY = [
     "dim_broadcast_enrich",
     "geo_grid_hotspots",
     "geo_nearest_customers",
-    "iso_code_enrich",
     "multikey_lookup",
     "multimodal_byte_stats",
     "pack_training_bins",

@@ -64,6 +64,7 @@ WIDE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash_docs",
     "dedup_exact_docs",
+    "dedup_semantic_clusters",
     "dedup_corpus_lines",
     "text_search_bm25",
     "text_tfidf_keywords",
