@@ -596,3 +596,39 @@ def test_lm_pmi_privacy_pq_no_python_no_cartesian(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         final = plan.split("== Initial Plan ==")[0]
         assert "CartesianProduct" not in final, name
+
+
+def test_near_dup_arrow_tier_is_cogrouped_arrow(spark, sf_dir):
+    """The fixed-dim embeddings corpus routes to the cogrouped Arrow kernel
+    (FlatMapCoGroupsInPandas), never to a per-pair JVM fold or row-wise
+    Python eval."""
+    plan = plan_of(spark, sf_dir, "emb_near_dup_pairs")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan  # the pair join IS the cogroup
+
+
+def test_near_dup_sql_tier_keeps_materialization_barriers(spark, sf_dir):
+    """The SQL tier must exchange BOTH join inputs (REPARTITION_BY_NUM
+    barriers): a broadcast-hash plan would re-evaluate the transform()/fold
+    producer expressions per PAIR on the streamed side (measured 277 s vs
+    17 s at the derived sf1)."""
+    from pandemic_knowledge_spark.operators.similarity import near_dup_pairs
+    from pandemic_knowledge_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    df = near_dup_pairs(emb, "embedding", "vec_id", "label", 0.25, impl="sql")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both inputs exchanged; a broadcast build is fine (it reads the
+    # exchanged rows), as long as neither side streams straight off the
+    # producer projections
+    assert plan.count("REPARTITION_BY_NUM") >= 2
+
+
+def test_ngram_jaccard_count_is_repartition_first(spark, sf_dir):
+    """The intersection count must aggregate AFTER an explicit hash
+    exchange of the packed pair key — the pair stream's partial aggregate
+    over near-unique keys is pure spill overhead (185 s vs 93 s at sf1)."""
+    plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    m = re.search(r"Exchange hashpartitioning\(__pk[^)]*\), REPARTITION_BY_NUM", plan)
+    assert m, "packed pair key must be exchanged via explicit repartition"
