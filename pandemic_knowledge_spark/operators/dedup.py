@@ -667,7 +667,7 @@ def ngram_jaccard_pairs(
             ).alias("p")
         ).first().p
     )
-    n_agg = int(min(1024, max(par, total_pairs // PAIRS_PER_AGG_PARTITION)))
+    n_agg = int(max(par, min(1024, total_pairs // PAIRS_PER_AGG_PARTITION)))
     # Chunk every posting into doc-sorted arrays of ≤ cap ids. The window
     # shuffles by (blk, h) exactly as a direct groupBy would; the per-key
     # sort is c·log c on the posting, never corpus-wide.

@@ -319,13 +319,16 @@ def _near_dup_pairs_arrow(
     sub-group; the kernel scores them in ≤ NEAR_DUP_TILE² tiles (bounding
     the accumulator at ~128 MiB however large a block gets) and walks the
     vector dimension in ascending order so every double matches the JVM
-    fold bit-for-bit. Rows whose vector, id or block is NULL can never
-    emit under the SQL tier's predicate semantics and are dropped
-    scan-side; NULL ELEMENTS inside a vector score NULL there and NaN
-    here, and both FAIL the threshold filter... except a true NaN
-    element (not NULL) scores NaN under BOTH tiers and then PASSES it —
+    fold bit-for-bit. Rows whose vector, id or block is NULL — or whose
+    vector CONTAINS a NULL element — can never emit under the SQL tier's
+    fold/predicate semantics and are dropped scan-side (the NULL-element
+    case must be decided there: Arrow hands NULL list elements to numpy
+    as NaN, erasing the distinction the fold preserves). A true NaN
+    element scores NaN under both tiers and then PASSES the filter —
     Spark orders NaN above every number — so the kernel re-admits NaN
-    scores explicitly. The emitted rowset is identical either way."""
+    scores explicitly and flags them for transport (pandas→Arrow would
+    turn an emitted NaN into NULL). The emitted rowset is identical
+    either way."""
     import numpy as np
 
     id_type = emb.schema[id_col].dataType
@@ -345,7 +348,14 @@ def _near_dup_pairs_arrow(
     # NULL-id and NULL-block rows never pair in the SQL tier (both sit
     # in join predicates, and NULL matches nothing) — drop them here too,
     # or cogroup would happily line up the two sides' NULL-key groups
-    # (and a None id inside an object ndarray makes `<` raise).
+    # (and a None id inside an object ndarray makes `<` raise). Rows with
+    # a NULL ELEMENT inside the vector also never emit there (the fold
+    # scores them NULL, dropped by the filter) but MUST be excluded
+    # before Arrow transport: Arrow hands a NULL list element to numpy as
+    # NaN, indistinguishable from a true NaN element — and true NaN has
+    # the opposite fate (scores NaN, which Spark orders above every
+    # number, so it PASSES). Only the scan-side exists() can tell the
+    # two apart.
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("blk"),
@@ -355,6 +365,7 @@ def _near_dup_pairs_arrow(
         & (F.size("v") == dim)
         & F.col("vid").isNotNull()
         & F.col("blk").isNotNull()
+        & ~F.exists("v", lambda x: x.isNull())
     )
     # __gt must be LONG to match __gb (pmod of a crc32): cogroup routes
     # each side's groups through its own groupBy shuffle, and an int-vs-

@@ -1669,7 +1669,7 @@ _HLL_RANGES = [
     ("2024-01-01", "2024-01-07"),
     ("2024-01-08", "2024-01-14"),
     ("2024-01-15", "2024-01-21"),
-    ("2024-01-01", "2024-01-30"),
+    ("2024-01-01", "2024-01-31"),
 ]
 
 

@@ -247,3 +247,19 @@ def test_near_dup_null_id_or_block_dropped_by_both_tiers(spark):
     arrow = _ndp_rows(spark, data, _NDP_SCHEMA, impl="arrow")
     assert sql == arrow
     assert {(a, b) for a, b, _ in sql} == {(0, 1)}
+
+
+def test_near_dup_null_element_dropped_by_both_tiers(spark):
+    # a NULL ELEMENT inside a vector folds to a NULL score (dropped) in
+    # the SQL tier; the arrow tier must not resurrect it as NaN (Arrow
+    # transports NULL list elements as NaN, so only a scan-side exists()
+    # can preserve the NULL-vs-NaN distinction)
+    data = [
+        (0, 0, [1.0, 0.0, 0.0]),
+        (1, 0, [None, 0.1, 0.0]),
+        (2, 0, [0.9, 0.1, 0.0]),
+    ]
+    sql = _ndp_rows(spark, data, _NDP_SCHEMA, impl="sql")
+    arrow = _ndp_rows(spark, data, _NDP_SCHEMA, impl="arrow")
+    assert sql == arrow
+    assert {(a, b) for a, b, _ in sql} == {(0, 2)}
