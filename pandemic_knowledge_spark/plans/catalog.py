@@ -1927,6 +1927,7 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.25
 """,
+    bench=True,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on the cell column."""
