@@ -189,13 +189,18 @@ def near_dup_pairs(
     a ``grid`` of hash sub-groups: a bare equi-join on the block key caps
     parallelism at the number of blocks (10 labels → ≤10 tasks for the
     whole workload, measured ~30 s at the derived sf1 with 22 cores
-    idle), so the left side replicates across the right side's ``grid``
-    sub-groups and the pairing key becomes (block, sub-group) —
-    block_count × grid evenly-sized units of C(n_blk, 2)/grid pairs each.
-    Every ordered pair still matches exactly once (the replica whose
-    target equals the right row's sub-group), so the output is identical
-    at any grid; replication multiplies the left side's shuffle by
-    ``grid``, a linear cost against the quadratic term it spreads.
+    idle). The SQL tier replicates the left side across the right side's
+    ``grid`` sub-groups (block_count × grid join cells; sort-merge only
+    buffers the bounded right group). The Arrow tier uses the full 2-D
+    grid — each side keeps its own sub-group and replicates across the
+    OTHER side's axis, so pair (x, y) lands in exactly one of
+    block_count × grid² cogroup cells and the kernel never materializes
+    more than block/grid rows per side (cogroup hands the kernel whole
+    groups, so group size — not tile size — is the executor-memory
+    bound). Either way every ordered pair matches exactly once, the
+    output is identical at any grid, and replication multiplies shuffle
+    volume by ``grid`` — a linear cost against the quadratic term it
+    spreads.
 
     Tiers (``impl``): the Ω(pairs) inner loop is a dot product, and no
     JVM expression form evaluates it well — the zip_with/aggregate fold
@@ -367,26 +372,42 @@ def _near_dup_pairs_arrow(
         & F.col("blk").isNotNull()
         & ~F.exists("v", lambda x: x.isNull())
     )
-    # __gt must be LONG to match __gb (pmod of a crc32): cogroup routes
-    # each side's groups through its own groupBy shuffle, and an int-vs-
-    # long key pair hashes to DIFFERENT partitions — the two halves of a
-    # group then each cogroup against an empty peer and the kernel
-    # silently emits nothing (invisible at tiny scale, where AQE
-    # coalesces both shuffles into one partition and the sort-based
-    # in-partition cogroup still lines the keys up).
+    # 2-D grid cells: pair (x, y) is scored in exactly one cogroup cell,
+    # (blk, gx, gy) — the left side keeps its own sub-group gx and
+    # replicates across the TARGET axis gy; the right side keeps gy and
+    # replicates across the SOURCE axis gx. Both pdfs a kernel ever sees
+    # are therefore ≤ block/g rows (a 1-D grid bounded only the right
+    # side — the left pdf was the ENTIRE block, an executor-memory cliff
+    # for corpus-scale blocks that no tile loop can fix because cogroup
+    # materializes the whole group before the kernel runs). Replication
+    # multiplies each side's shuffle by g: linear cost, quadratic spread.
+    #
+    # All grid keys must be LONG (the explode'd axis would otherwise be
+    # int vs the pmod-of-crc32 long): cogroup routes each side's groups
+    # through its own groupBy shuffle, and an int-vs-long key pair hashes
+    # to DIFFERENT partitions — the two halves of a group then each
+    # cogroup against an empty peer and the kernel silently emits nothing
+    # (invisible at tiny scale, where AQE coalesces both shuffles into
+    # one partition and the sort-based in-partition cogroup still lines
+    # the keys up).
+    axis = F.sequence(F.lit(0).cast("long"), F.lit(g - 1).cast("long"))
     a = base.withColumn(
-        "__gt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(g - 1).cast("long")))
-    )
+        "__ga", F.pmod(F.crc32(F.col("vid").cast("string")), F.lit(g))
+    ).withColumn("__gt", F.explode(axis))
     # The right side MUST be alias-renamed: both sides derive from `base`,
     # so their attributes share exprIds and the cogroup plan deduplicates
     # them — the right child gets column-pruned down to its grouping keys
     # and the kernel sees no vectors (the same self-derived-lineage trap
     # as bare same-name join predicates, in cogroup clothing).
-    b = base.select(
-        F.col("vid").alias("bvid"),
-        F.col("blk").alias("bblk"),
-        F.col("v").alias("bv"),
-    ).withColumn("__gb", F.pmod(F.crc32(F.col("bvid").cast("string")), F.lit(g)))
+    b = (
+        base.select(
+            F.col("vid").alias("bvid"),
+            F.col("blk").alias("bblk"),
+            F.col("v").alias("bv"),
+        )
+        .withColumn("__gb", F.pmod(F.crc32(F.col("bvid").cast("string")), F.lit(g)))
+        .withColumn("__gs", F.explode(axis))
+    )
     loose = float(threshold) - 1e-6
     tile = NEAR_DUP_TILE
 
@@ -450,8 +471,8 @@ def _near_dup_pairs_arrow(
         return pd.concat(outs, ignore_index=True) if outs else empty
 
     scored = (
-        a.groupBy("blk", "__gt")
-        .cogroup(b.groupBy("bblk", "__gb"))
+        a.groupBy("blk", "__ga", "__gt")
+        .cogroup(b.groupBy("bblk", "__gs", "__gb"))
         .applyInPandas(score, schema=out_schema)
     )
     return (
