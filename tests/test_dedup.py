@@ -233,3 +233,63 @@ def test_ngram_jaccard_int32_ids_pack_safely(spark):
         for r in ngram_jaccard_pairs(as_int, "doc_id", "text", "lang").collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_ngram_jaccard_matches_python_reference(spark):
+    """Seeded randomized cross-check against an independent pure-Python
+    implementation (same md5-derived shingle hashing, same rounding) —
+    exercises the full chunk/pack/repartition pipeline, including the
+    cross-chunk stream at a tiny collect_cap."""
+    import hashlib
+    import random
+
+    from pandemic_knowledge_spark.operators.dedup import HASH_MOD, ngram_jaccard_pairs
+
+    rng = random.Random(421)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(14):  # base docs + mutated near-copies = real matches
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+        rows.append((len(rows), rng.choice(["en", "fr"]), " ".join(words)))
+        for _ in range(rng.randint(0, 2)):
+            mut = list(words)
+            if mut:
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((len(rows), rows[-1][1], " ".join(mut)))
+
+    def py_hash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % HASH_MOD
+
+    def py_shingles(text: str) -> set[int]:
+        import re
+
+        toks = re.findall("[a-z0-9]+", text.lower())
+        return {py_hash(f"{a} {b}") for a, b in zip(toks, toks[1:])}
+
+    expect = set()
+    for ai in range(len(rows)):
+        for bi in range(ai + 1, len(rows)):
+            ia, la, ta = rows[ai]
+            ib, lb, tb = rows[bi]
+            if la != lb:
+                continue
+            sa, sb = py_shingles(ta), py_shingles(tb)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = round(inter / (len(sa) + len(sb) - inter), 6)
+            if j >= 0.3:
+                expect.add((ia, ib, j))
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for cap in (2, 1024):
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", "lang", k=2, threshold=0.3, collect_cap=cap
+            ).collect()
+        }
+        assert got == expect, f"cap={cap}"
+    assert len(expect) > 3  # the fixture must actually exercise matches

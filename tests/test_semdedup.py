@@ -263,3 +263,48 @@ def test_near_dup_null_element_dropped_by_both_tiers(spark):
     arrow = _ndp_rows(spark, data, _NDP_SCHEMA, impl="arrow")
     assert sql == arrow
     assert {(a, b) for a, b, _ in sql} == {(0, 2)}
+
+
+def test_near_dup_matches_python_reference(spark):
+    """Seeded randomized cross-check against an independent pure-Python
+    cosine (same left-to-right double accumulation, same HALF_UP
+    rounding) — both tiers must reproduce it exactly."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = random.Random(99)
+    dim = 5
+    rows = []
+    for i in range(60):
+        base = [rng.randint(-1000, 1000) / 1000.0 for _ in range(dim)]
+        rows.append((i, rng.randint(0, 2), [float(x) for x in base]))
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def round6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    expect = set()
+    for ai in range(len(rows)):
+        for bi in range(ai + 1, len(rows)):
+            ia, la, va = rows[ai]
+            ib, lb, vb = rows[bi]
+            if la != lb:
+                continue
+            na, nb = math.sqrt(seq_dot(va, va)), math.sqrt(seq_dot(vb, vb))
+            if na * nb == 0:
+                continue
+            c = round6(seq_dot(va, vb) / (na * nb))
+            if c >= 0.25:
+                expect.add((ia, ib, c))
+    assert len(expect) > 10
+
+    schema = "vec_id long, label long, embedding array<double>"
+    for impl in ("sql", "arrow"):
+        got = _ndp_rows(spark, rows, schema, impl=impl)
+        assert got == expect, impl
