@@ -4955,6 +4955,7 @@ _DRIVER_PRIORITY = [
                                    #     dimension-ordered kernel
     "dedup_semantic_clusters",     # r5: within-cluster scoring delegated to
                                    #     near_dup_pairs (grid + Arrow tier)
+    "retail_association_rules",    # r5: grouped pair emission (no self-join)
     # --- tier B: every r2-only-green query (no row since round 2) ---
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -4982,13 +4983,14 @@ _DRIVER_PRIORITY = [
     # (agg_histogram_buckets, agg_stats_moments, window_range_7day_avg,
     #  anti_join_misses, iso_code_enrich — r2-green, untouched since, simple
     #  agg/window/join shapes (and semi_join_hits proved the iso join path
-    #  green in r4) — deferred to the r6 head to make room for the five
-    #  r5-new/changed rows above)
+    #  green in r4), plus dim_broadcast_enrich (r2-green broadcast-join
+    #  shape whose family stays covered by geo_grid_hotspots and
+    #  multikey_lookup below) — deferred to the r6 head to make room for
+    #  the six r5-new/changed rows above)
     "conform_validity_audit",
     "decontaminate_train_split",
     "dedup_cluster_reps",
     "dedup_cluster_reps_star",
-    "dim_broadcast_enrich",
     "geo_grid_hotspots",
     "geo_nearest_customers",
     "multikey_lookup",

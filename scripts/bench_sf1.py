@@ -76,6 +76,12 @@ WIDE_QUERIES = [
     "timeseries_rolling_active",
     "window_gap_islands",
     "skew_salted_user_totals",
+    "retail_association_rules",
+    "privacy_k_anonymize",
+    "profile_drift_psi",
+    "dedup_substring_clean",
+    "pack_training_bins",
+    "dedup_url_canonical",
 ]
 
 KEY_COLS = {
