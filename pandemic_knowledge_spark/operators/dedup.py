@@ -217,6 +217,64 @@ def _band_rows(base: DataFrame) -> DataFrame:
     )
 
 
+def band_rows_rowlocal(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """(doc_id, band, bkey) via row-local HOFs only — no aggregation, so it
+    runs unchanged on a STREAMING DataFrame (the dedup-at-ingest shape).
+
+    bkeys are bit-identical to the agg form (`_band_rows` over
+    `minhash_base`): the signature is per-permutation minima over the
+    shingle-hash set, minima ignore hash multiplicity, and `band_keys`
+    sees only the signature — pinned by tests/test_stream_neardup.py.
+    Docs with no shingles (< k tokens) are dropped, matching
+    `_shingle_hash_rows`'s explode."""
+    with_hs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(tokenize(text_col), k).alias("hs"),
+    ).where(F.size("hs") > 0)
+    return with_hs.select(
+        "doc_id",
+        F.explode(band_keys(minhash_signature(F.col("hs")))).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
+def near_dup_mark(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Per-doc near-dup verdict at LSH-candidate granularity: a doc is
+    marked iff it shares ANY band bucket with a lower-id doc (the
+    first-seen-wins dedup-at-ingest rule; id order is the arrival proxy,
+    exactly as stream_dedup_first uses (ts, event_id)).
+
+    Returns (doc_id, first_ref, is_dup): first_ref = min doc_id over all
+    of this doc's band buckets (= itself when no earlier candidate), and
+    is_dup = first_ref < doc_id. Candidate-level by design — the verified
+    pairwise tier is `minhash_lsh_pairs_*`; this is its streaming-capable
+    mark companion (`streaming.stateful.near_dup_mark_stateful` emits the
+    same marks incrementally, state = one long per bucket).
+
+    Shape: one groupBy to signatures (map-side combined), one window min
+    over (band, bkey) — hash-partitioned, no global sort — and one doc
+    rollup. Nothing is pairwise; hot buckets cost a min, not C(n,2)."""
+    bands = _band_rows(minhash_base(docs, id_col, text_col, k))
+    w = Window.partitionBy("band", "bkey")
+    marked = bands.select(
+        "doc_id", F.min("doc_id").over(w).alias("band_ref")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(F.min("band_ref").alias("first_ref"))
+        .select(
+            "doc_id",
+            "first_ref",
+            (F.col("first_ref") < F.col("doc_id")).alias("is_dup"),
+        )
+    )
+
+
 def _verify_pairs(cand: DataFrame, base_a: DataFrame, base_b: DataFrame,
                   threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against

@@ -66,6 +66,7 @@ from pandemic_knowledge_spark.operators.dedup import (
     minhash_lsh_pairs_auto,
     minhash_lsh_pairs_pruned,
     minhash_perm_params,
+    near_dup_mark,
     ngram_jaccard_pairs,
     shingles,
     simhash,
@@ -1292,7 +1293,7 @@ def _sql_minhash_sig() -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-_MINHASH_ORACLE = f"""
+_MINHASH_BAND_CTES = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
 ), sh AS (
@@ -1311,7 +1312,9 @@ WITH toks AS (
          md5(array_to_string(
            sig[band*{ROWS_PER_BAND}+1:band*{ROWS_PER_BAND}+{ROWS_PER_BAND}], '-')) AS bkey
   FROM sig, (SELECT unnest(range({N_BANDS})) AS band)
-), cand AS (
+)"""
+
+_MINHASH_ORACLE = f"""{_MINHASH_BAND_CTES}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
   WHERE a.doc_id < b.doc_id
@@ -2659,6 +2662,32 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
+
+
+@q(
+    "stream_near_dup_mark",
+    oracle=f"""{_MINHASH_BAND_CTES},
+bm AS (SELECT band, bkey, min(doc_id) AS bmin FROM bands GROUP BY band, bkey)
+SELECT b.doc_id AS doc_id, min(m.bmin) AS first_ref,
+       (min(m.bmin) < b.doc_id) AS is_dup
+FROM bands b JOIN bm m ON b.band = m.band AND b.bkey = m.bkey
+GROUP BY b.doc_id
+""",
+)
+def stream_near_dup_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup marking at ingest (W2 extended from exact keys to MinHash
+    similarity): a doc is flagged iff any of its LSH band buckets was
+    already claimed by a lower-id doc — first-seen-wins, id order as the
+    arrival proxy, candidate-level (the verified tier is
+    dedup_minhash_lsh). This is the batch form of
+    streaming.stateful.near_dup_mark_stateful, whose incremental marks
+    (state = ONE long per band bucket in the state store) roll up to
+    byte-identical verdicts — equivalence pinned across micro-batch splits
+    in tests/test_stream_neardup.py. At 100 TB the stateful form IS the
+    signature store: 4 longs per doc, hash-partitioned, no pairwise work
+    anywhere (hot buckets cost a running min, not C(n,2))."""
+    d = load(spark, sf_dir, "documents")
+    return near_dup_mark(d, "doc_id", "text", k=2)
 
 
 # ---------------------------------------------------------------------------
@@ -4956,6 +4985,9 @@ _DRIVER_PRIORITY = [
     "dedup_semantic_clusters",     # r5: within-cluster scoring delegated to
                                    #     near_dup_pairs (grid + Arrow tier)
     "retail_association_rules",    # r5: grouped pair emission (no self-join)
+    "stream_near_dup_mark",        # NEW r5: streaming LSH near-dup marks
+                                   #     (batch form; stateful parity pinned
+                                   #     in tests/test_stream_neardup.py)
     # --- tier B: every r2-only-green query (no row since round 2) ---
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -5000,7 +5032,9 @@ _DRIVER_PRIORITY = [
     "sample_train_test_split",
     "sample_upsample_epochs",
     "stream_dedup_first",
-    "text_search_bm25_fields",
+    # (text_search_bm25_fields — r2-green, deferred to the r6 head to make
+    #  room for stream_near_dup_mark above: its fielded-BM25 code path got
+    #  fresh r5 coverage via search_fields_indexed and text_search_bm25)
     "window_gap_islands",
 ]
 

@@ -28,6 +28,8 @@ from pandemic_knowledge_spark.streaming.sinks import (
     atomic_overwrite_sink,
 )
 from pandemic_knowledge_spark.streaming.stateful import (
+    near_dup_mark_stateful,
+    near_dup_verdicts,
     running_totals_stateful,
     sessionize_stateful,
 )
@@ -43,6 +45,8 @@ __all__ = [
     "AtomicTable",
     "atomic_overwrite_sink",
     "append_parquet_sink",
+    "near_dup_mark_stateful",
+    "near_dup_verdicts",
     "running_totals_stateful",
     "sessionize_stateful",
 ]

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -242,4 +243,81 @@ def funnel_stateful(
         stateStructType=_FUNNEL_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+NEAR_DUP_MARK_OUTPUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("band_ref", LongType()),
+    ]
+)
+_NEAR_DUP_MARK_STATE = StructType([StructField("min_id", LongType())])
+
+
+def near_dup_mark_stateful(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Incremental near-dup marking at ingest — the streaming companion of
+    operators.dedup.near_dup_mark: every arriving doc emits one mark row
+    per LSH band, band_ref = the smallest doc id this band bucket has EVER
+    seen (itself included). A doc is a near-dup candidate iff
+    min(band_ref) over its bands < its own id; `near_dup_verdicts` is that
+    rollup (run it over the sink — idempotent, so an at-least-once sink
+    still rolls up to the right verdict).
+
+    MinHash signatures and band keys are row-local HOFs
+    (operators.dedup.band_rows_rowlocal), so the only stateful step is a
+    per-(band, bkey) running MIN: state is ONE long per distinct bucket —
+    the smallest possible signature store (a corpus of N docs holds at most
+    4N buckets x 16 bytes, hash-partitioned across the state store, never
+    on the driver; at 100 TB use the RocksDB state store provider). Within
+    a micro-batch rows are processed in doc-id order; across batches
+    arrival order wins — identical to the batch form whenever ingest is
+    id-ordered, which is exactly stream_dedup_first's (ts, event_id)
+    contract with doc_id as the arrival proxy.
+    """
+    from pandemic_knowledge_spark.operators.dedup import band_rows_rowlocal
+
+    def update(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ids = np.sort(
+            np.concatenate([p["doc_id"].to_numpy(np.int64) for p in pdfs])
+        )
+        if ids.size == 0:  # pragma: no cover - empty group never dispatched
+            return
+        refs = np.minimum.accumulate(ids)
+        if state.exists:
+            refs = np.minimum(refs, np.int64(state.get[0]))
+        state.update((int(refs[-1]),))
+        yield pd.DataFrame(
+            {"doc_id": ids, "band": int(key_tuple[0]), "band_ref": refs}
+        )
+
+    bands = band_rows_rowlocal(docs, id_col, text_col, k)
+    return bands.groupBy("band", "bkey").applyInPandasWithState(
+        update,
+        outputStructType=NEAR_DUP_MARK_OUTPUT,
+        stateStructType=_NEAR_DUP_MARK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dup_verdicts(marks: DataFrame) -> DataFrame:
+    """Roll the mark stream up to per-doc verdicts (doc_id, first_ref,
+    is_dup) — same schema as operators.dedup.near_dup_mark. min() is
+    idempotent over replayed marks, so at-least-once sinks are safe."""
+    return (
+        marks.groupBy("doc_id")
+        .agg(F.min("band_ref").alias("first_ref"))
+        .select(
+            "doc_id",
+            "first_ref",
+            (F.col("first_ref") < F.col("doc_id")).alias("is_dup"),
+        )
     )

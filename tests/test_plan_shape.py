@@ -632,3 +632,13 @@ def test_ngram_jaccard_count_is_repartition_first(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
     m = re.search(r"Exchange hashpartitioning\(__pk[^)]*\), REPARTITION_BY_NUM", plan)
     assert m, "packed pair key must be exchanged via explicit repartition"
+
+
+def test_near_dup_mark_has_no_pairwise_join(spark, sf_dir):
+    """stream_near_dup_mark's batch form is a window min + rollup — a
+    bucket with c docs must cost a running min, never C(c,2): no Join node
+    of any kind in the plan, and the bucket min is a Window (one hash
+    exchange on (band, bkey)), not a self-join back onto the bands."""
+    plan = plan_of(spark, sf_dir, "stream_near_dup_mark")
+    assert "Join" not in plan
+    assert "Window" in plan
