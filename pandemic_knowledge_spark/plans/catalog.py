@@ -189,6 +189,7 @@ from pandemic_knowledge_spark.operators.similarity import (
     knn_brute_force,
     near_dup_pairs,
     rp_lsh_topk,
+    rp_lsh_topk_multi,
     semantic_dedup,
     sql_kmeans,
     sql_semantic_dedup,
@@ -1888,13 +1889,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, "embedding", "vec_id", "label", QUERY_VEC, k=10, nprobe=2)
 
 
-def _rp_lsh_oracle() -> str:
+def _sql_rp_table_pred(seed: int) -> str:
+    """One table's bucket-equality predicate, emitted from the SAME plane
+    constants the Spark tier uses (rp_hyperplanes at this seed)."""
     from pandemic_knowledge_spark.operators.similarity import (
         rp_hyperplanes,
         rp_python_bucket,
     )
 
-    planes = rp_hyperplanes(64, 4)
+    planes = rp_hyperplanes(64, 4, seed=seed)
     qb = rp_python_bucket(QUERY_VEC, planes)
     bits = []
     for j, p in enumerate(planes):
@@ -1902,11 +1905,19 @@ def _rp_lsh_oracle() -> str:
         bits.append(
             f"CASE WHEN {sql_dot('embedding', plit)} >= 0 THEN {1 << j} ELSE 0 END"
         )
-    bucket = " + ".join(bits)
+    return f"({' + '.join(bits)}) = {qb}"
+
+
+def _rp_lsh_oracle(n_tables: int = 1) -> str:
+    from pandemic_knowledge_spark.operators.similarity import RP_SEED
+
+    pred = " OR ".join(
+        _sql_rp_table_pred(RP_SEED + t) for t in range(n_tables)
+    )
     return f"""
 SELECT vec_id, round({sql_cosine('embedding', _QLIT)}, 6) AS cos_sim
 FROM embeddings
-WHERE ({bucket}) = {qb}
+WHERE {pred}
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
@@ -1919,6 +1930,21 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe a partition-pruned scan of ~1/16 of the corpus."""
     e = load(spark, sf_dir, "embeddings")
     return rp_lsh_topk(e, "embedding", "vec_id", QUERY_VEC, k=10, n_bits=4)
+
+
+@q("ann_rp_lsh_multi_topk", oracle=_rp_lsh_oracle(n_tables=4))
+def ann_rp_lsh_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN (4 independent 4-hyperplane tables): the
+    recall knob the single-table tier lacks — per-table hit probability p
+    becomes 1-(1-p)^4 at ~4/16 scan cost (measured: recall@10 0.55 → 0.83
+    on the planted-cluster corpus, BASELINE.md ANN section). Candidates from
+    ONE pruned scan (OR of bucket equalities, scan-side codegen), exact
+    cosine re-rank inside; table 0 is bit-identical to ann_rp_lsh_topk's
+    bucket, so multi's candidate set is a superset of single's."""
+    e = load(spark, sf_dir, "embeddings")
+    return rp_lsh_topk_multi(
+        e, "embedding", "vec_id", QUERY_VEC, k=10, n_bits=4, n_tables=4
+    )
 
 
 @q(
@@ -4988,6 +5014,8 @@ _DRIVER_PRIORITY = [
     "stream_near_dup_mark",        # NEW r5: streaming LSH near-dup marks
                                    #     (batch form; stateful parity pinned
                                    #     in tests/test_stream_neardup.py)
+    "ann_rp_lsh_multi_topk",       # NEW r5: multi-table sign-LSH (recall
+                                   #     knob the ann_recall.py eval exposed)
     # --- tier B: every r2-only-green query (no row since round 2) ---
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -5030,7 +5058,9 @@ _DRIVER_PRIORITY = [
     "pack_training_bins",
     "sample_stratified_corpus",
     "sample_train_test_split",
-    "sample_upsample_epochs",
+    # (sample_upsample_epochs — r2-green, deferred to the r6 head to make
+    #  room for ann_rp_lsh_multi_topk above: its scan-side md5-permille
+    #  family is re-proven in-window by the two sampling rows kept)
     "stream_dedup_first",
     # (text_search_bm25_fields — r2-green, deferred to the r6 head to make
     #  room for stream_near_dup_mark above: its fielded-BM25 code path got

@@ -47,6 +47,8 @@ from pandemic_knowledge_spark.operators.similarity import (
     rp_bucket_col,
     rp_hyperplanes,
     rp_lsh_topk,
+    rp_lsh_topk_multi,
+    rp_multi_table_pred,
     rp_python_bucket,
     _probe_cells,
 )
@@ -121,6 +123,10 @@ def evaluate(emb, args) -> dict:
         "rp_lsh": lambda q: rp_lsh_topk(
             emb, "embedding", "vec_id", q, k=args.k, n_bits=args.lsh_bits
         ),
+        "rp_lsh_multi": lambda q: rp_lsh_topk_multi(
+            emb, "embedding", "vec_id", q, k=args.k,
+            n_bits=args.lsh_bits, n_tables=args.lsh_tables,
+        ),
         "pq": lambda q: pq_topk(
             emb, "embedding", "vec_id", q, top_k=args.k,
             m=args.pq_m, k=args.pq_k,
@@ -144,9 +150,13 @@ def evaluate(emb, args) -> dict:
         }
         ivf_rows = sum(cell_sizes[c] for c in probed_cells)
         lsh_rows = bucket_sizes.get(rp_python_bucket(qvec, planes), 0)
+        multi_rows = emb.filter(
+            rp_multi_table_pred("embedding", qvec, args.lsh_bits, args.lsh_tables)
+        ).count()
         frac = {
             "ivf": ivf_rows / n_corpus,
             "rp_lsh": lsh_rows / n_corpus,
+            "rp_lsh_multi": multi_rows / n_corpus,
             "pq": 1.0,  # ADC ranks every code — scans codes, not vectors
             "ivfpq": ivf_rows / n_corpus,
         }
@@ -176,6 +186,7 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--nprobe", type=int, default=2)
     ap.add_argument("--lsh-bits", type=int, default=4)
+    ap.add_argument("--lsh-tables", type=int, default=4)
     ap.add_argument("--alpha", type=float, default=0.7)
     ap.add_argument("--pq-m", type=int, default=4)
     ap.add_argument("--pq-k", type=int, default=16)
@@ -200,6 +211,7 @@ def main() -> None:
         "n_queries": args.queries,
         "nprobe": args.nprobe,
         "lsh_bits": args.lsh_bits,
+        "lsh_tables": args.lsh_tables,
         "alpha": args.alpha,
         "pq_m": args.pq_m,
         "pq_k": args.pq_k,
