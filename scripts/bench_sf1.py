@@ -82,6 +82,8 @@ WIDE_QUERIES = [
     "dedup_substring_clean",
     "pack_training_bins",
     "dedup_url_canonical",
+    "stream_near_dup_mark",    # r5: minhash-base + bucket-window shape
+    "ann_rp_lsh_multi_topk",   # r5: OR-of-buckets pruned scan
 ]
 
 KEY_COLS = {
@@ -167,6 +169,8 @@ def ensure_data(spark, regen: bool) -> None:
 def main() -> None:
     regen = "--regen" in sys.argv
     queries = WIDE_QUERIES if "--wide" in sys.argv else QUERIES
+    if "--only" in sys.argv:  # targeted probe: --only name1,name2
+        queries = sys.argv[sys.argv.index("--only") + 1].split(",")
     spark = get_spark(app_name="pk-bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_data(spark, regen)
