@@ -49,6 +49,30 @@ def knn_brute_force(
     )
 
 
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k_cells: int = 8,
+    iters: int = 2,
+    top_k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer — the production shape when no
+    ingest-time cell column exists: cells come from the shared integer
+    Lloyd fit (bit-identical to kmeans_embeddings and its SQL unroll), the
+    probe is :func:`ivf_topk` over the assigned frame. At ingest scale the
+    fit runs once and `cl` is written as the partition key; a probe is then
+    a partition-pruned scan of nprobe cells — this operator is the
+    train+assign+probe pipeline end-to-end, oracle-checked against the
+    unrolled-Lloyd + centroid-probe SQL (catalog:ann_ivf_kmeans_topk)."""
+    assigned, _, _ = _kmeans_fit(
+        emb, vec_col, id_col, k_cells, iters, extra_cols=(F.col(vec_col),)
+    )
+    return ivf_topk(assigned, vec_col, "vec_id", "cl", query, k=top_k, nprobe=nprobe)
+
+
 def centroids_by_label(emb: DataFrame, vec_col: str, cell_col: str) -> DataFrame:
     """IVF coarse cells from a partition column: per-cell mean vector.
 

@@ -184,6 +184,7 @@ from pandemic_knowledge_spark.operators.epidemic import (
 )
 from pandemic_knowledge_spark.streaming.transforms import quarantine_split
 from pandemic_knowledge_spark.operators.similarity import (
+    ivf_kmeans_topk,
     ivf_topk,
     kmeans_embeddings,
     knn_brute_force,
@@ -1887,6 +1888,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned scans."""
     e = load(spark, sf_dir, "embeddings")
     return ivf_topk(e, "embedding", "vec_id", "label", QUERY_VEC, k=10, nprobe=2)
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Train + assign + probe in one SQL text: the unrolled integer-Lloyd
+    CTE chain (shared with the kmeans oracle, so the two cannot desync)
+    feeds the same centroid-cosine cell probe ann_ivf_topk uses."""
+    from pandemic_knowledge_spark.operators.similarity import _sql_kmeans_ctes
+
+    ctes, _ = _sql_kmeans_ctes("embeddings", "embedding", "vec_id", 8, 2)
+    cte_sql = ",\n".join(ctes)
+    return f"""
+WITH {cte_sql}, lab AS (
+  SELECT e.vec_id, e.embedding, a.cl AS cell
+  FROM embeddings e JOIN afin a ON e.vec_id = a.vec_id
+), pos AS (
+  SELECT cell, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM lab
+), cent AS (
+  SELECT cell, pos, round(avg(v), 6) AS m FROM pos GROUP BY cell, pos
+), cvec AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+), top_cells AS (
+  SELECT cell FROM cvec
+  ORDER BY round({sql_cosine('centroid', _QLIT)}, 6) DESC, cell LIMIT 2
+)
+SELECT vec_id, round({sql_cosine('embedding', _QLIT)}, 6) AS cos_sim
+FROM lab WHERE cell IN (SELECT cell FROM top_cells)
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@q("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle())
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a TRAINED coarse quantizer (ann_ivf_topk probes a given
+    cell column; this is the no-cell-column production path): 8 k-means
+    cells from the shared integer-Lloyd fit, then the same
+    centroid-cosine nprobe=2 probe. At ingest scale the fit runs once and
+    the cell id becomes the partition key — probe = partition-pruned scan
+    (recall 1.0 at nprobe/cells scan on clustered corpora, BASELINE.md
+    ANN section)."""
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_kmeans_topk(
+        e, "embedding", "vec_id", QUERY_VEC, k_cells=8, iters=2,
+        top_k=10, nprobe=2,
+    )
 
 
 def _sql_rp_table_pred(seed: int) -> str:
@@ -5016,6 +5063,8 @@ _DRIVER_PRIORITY = [
                                    #     in tests/test_stream_neardup.py)
     "ann_rp_lsh_multi_topk",       # NEW r5: multi-table sign-LSH (recall
                                    #     knob the ann_recall.py eval exposed)
+    "ann_ivf_kmeans_topk",         # NEW r5: trained-coarse-quantizer IVF
+                                   #     (train+assign+probe in one oracle)
     # --- tier B: every r2-only-green query (no row since round 2) ---
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -5050,7 +5099,10 @@ _DRIVER_PRIORITY = [
     "conform_validity_audit",
     "decontaminate_train_split",
     "dedup_cluster_reps",
-    "dedup_cluster_reps_star",
+    # (dedup_cluster_reps_star — r2-green, deferred to the r6 head to make
+    #  room for ann_ivf_kmeans_topk above: the connected-components family
+    #  keeps two in-window rows via dedup_cluster_reps and
+    #  dedup_winnow_cluster_reps)
     "geo_grid_hotspots",
     "geo_nearest_customers",
     "multikey_lookup",

@@ -84,6 +84,7 @@ WIDE_QUERIES = [
     "dedup_url_canonical",
     "stream_near_dup_mark",    # r5: minhash-base + bucket-window shape
     "ann_rp_lsh_multi_topk",   # r5: OR-of-buckets pruned scan
+    "ann_ivf_kmeans_topk",     # r5: Lloyd fit + assign + probe pipeline
 ]
 
 KEY_COLS = {
