@@ -228,8 +228,10 @@ def band_rows_rowlocal(
     shingle-hash set, minima ignore hash multiplicity, and `band_keys`
     sees only the signature — pinned by tests/test_stream_neardup.py.
     Docs with no shingles (< k tokens) are dropped, matching
-    `_shingle_hash_rows`'s explode."""
-    with_hs = docs.select(
+    `_shingle_hash_rows`'s explode; NULL-id docs are dropped scan-side —
+    an id-less doc can't be registered in the bucket store, and a NaN id
+    would poison the stateful kernel's int64 running min."""
+    with_hs = docs.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         shingle_hashes(tokenize(text_col), k).alias("hs"),
     ).where(F.size("hs") > 0)
@@ -258,7 +260,10 @@ def near_dup_mark(
 
     Shape: one groupBy to signatures (map-side combined), one window min
     over (band, bkey) — hash-partitioned, no global sort — and one doc
-    rollup. Nothing is pairwise; hot buckets cost a min, not C(n,2)."""
+    rollup. Nothing is pairwise; hot buckets cost a min, not C(n,2).
+    NULL-id docs are dropped (same contract as the streaming form: no id,
+    no bucket registration)."""
+    docs = docs.where(F.col(id_col).isNotNull())
     bands = _band_rows(minhash_base(docs, id_col, text_col, k))
     w = Window.partitionBy("band", "bkey")
     marked = bands.select(

@@ -199,6 +199,8 @@ def rp_multi_table_pred(
     sets (table t seeds rp_hyperplanes at RP_SEED + t, so table 0 IS the
     single-table tier). Scan-side codegen — a sum of sign-CASE dots per
     table, no shuffle, no training pass."""
+    if n_tables < 1:
+        raise ValueError("rp_multi_table_pred: n_tables must be >= 1")
     pred = None
     for t in range(n_tables):
         planes = rp_hyperplanes(len(query), n_bits, seed=RP_SEED + t)

@@ -15,6 +15,7 @@ Pins the three load-bearing equivalences:
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -83,6 +84,19 @@ def test_batch_mark_flags_known_dups(spark):
     assert out[102].is_dup and out[102].first_ref == 2
     for i in (1, 2, 3, 103):
         assert not out[i].is_dup and out[i].first_ref == i
+
+
+def test_null_id_docs_are_dropped(spark):
+    """An id-less doc can't register in the bucket store: both forms drop
+    it scan-side (a NaN id would poison the stateful kernel's int64
+    running min; the batch form matches so stream ≡ batch holds)."""
+    rows = [(None, _BASE), (1, _BASE), (101, _TEXTS[101])]
+    d = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    out = {r.doc_id: r for r in near_dup_mark(d, "doc_id", "text").collect()}
+    assert set(out) == {1, 101}
+    assert out[101].is_dup and out[101].first_ref == 1
+    b = band_rows_rowlocal(d, "doc_id", "text", 2)
+    assert b.where(F.col("doc_id").isNull()).count() == 0
 
 
 @pytest.mark.parametrize("split", ["one_batch", "cross_batch"])
