@@ -269,8 +269,17 @@ def near_dup_mark(
     marked = bands.select(
         "doc_id", F.min("doc_id").over(w).alias("band_ref")
     )
+    return near_dup_verdicts(marked)
+
+
+def near_dup_verdicts(marks: DataFrame) -> DataFrame:
+    """Roll (doc_id, ..., band_ref) mark rows up to per-doc verdicts
+    (doc_id, first_ref, is_dup). THE one rollup definition — the batch
+    operator and the streaming mark consumer (streaming.stateful) both
+    call it, so the pinned stream ≡ batch equivalence cannot drift.
+    min() is idempotent over replayed marks (at-least-once sink safe)."""
     return (
-        marked.groupBy("doc_id")
+        marks.groupBy("doc_id")
         .agg(F.min("band_ref").alias("first_ref"))
         .select(
             "doc_id",

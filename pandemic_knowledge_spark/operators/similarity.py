@@ -70,7 +70,10 @@ def ivf_kmeans_topk(
     assigned, _, _ = _kmeans_fit(
         emb, vec_col, id_col, k_cells, iters, extra_cols=(F.col(vec_col),)
     )
-    return ivf_topk(assigned, vec_col, "vec_id", "cl", query, k=top_k, nprobe=nprobe)
+    # _kmeans_fit aliases the id to vec_id internally; restore the caller's
+    # id_col so the output schema matches the sibling ANN tiers.
+    assigned = assigned.withColumnRenamed("vec_id", id_col)
+    return ivf_topk(assigned, vec_col, id_col, "cl", query, k=top_k, nprobe=nprobe)
 
 
 def centroids_by_label(emb: DataFrame, vec_col: str, cell_col: str) -> DataFrame:
@@ -185,9 +188,7 @@ def rp_lsh_topk(
     at all — the bucket is a pure function of the vector, so at 100 TB it is
     precomputed at ingest as a partition column and a probe becomes a
     partition-pruned scan of 1/2^bits of the corpus."""
-    planes = rp_hyperplanes(len(query), n_bits)
-    qb = rp_python_bucket(query, planes)
-    cand = emb.filter(rp_bucket_col(F.col(vec_col), planes) == F.lit(qb))
+    cand = emb.filter(rp_multi_table_pred(vec_col, query, n_bits, 1))
     return knn_brute_force(cand, vec_col, id_col, query, k)
 
 
@@ -222,7 +223,7 @@ def rp_lsh_topk_multi(
     """Multi-table sign-LSH ANN — the standard recall knob for LSH: per-table
     hit probability p becomes 1-(1-p)^T across T tables at ~T/2^bits scan
     cost (measured on the planted-cluster corpus, scripts/ann_recall.py:
-    recall@10 0.55 single-table → 0.83 at T=4; BASELINE.md). Candidates come
+    recall@10 0.36 single-table → 0.80 at T=4; BASELINE.md). Candidates come
     from ONE pruned scan (OR of the per-table bucket equalities — never T
     scans unioned), exact cosine re-rank inside. At ingest the T bucket ids
     are T precomputed partition columns; a probe scans T partitions."""

@@ -1297,7 +1297,11 @@ def _sql_minhash_sig() -> str:
 
 _MINHASH_BAND_CTES = f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+  -- NULL-id docs can't register in the bucket store (near_dup_mark /
+  -- band_rows_rowlocal drop them scan-side); the pairwise consumers were
+  -- only accidentally NULL-safe via a.doc_id < b.doc_id.
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE doc_id IS NOT NULL
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sh
@@ -1983,7 +1987,7 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_rp_lsh_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH ANN (4 independent 4-hyperplane tables): the
     recall knob the single-table tier lacks — per-table hit probability p
-    becomes 1-(1-p)^4 at ~4/16 scan cost (measured: recall@10 0.55 → 0.83
+    becomes 1-(1-p)^4 at ~4/16 scan cost (measured: recall@10 0.36 → 0.80
     on the planted-cluster corpus, BASELINE.md ANN section). Candidates from
     ONE pruned scan (OR of bucket equalities, scan-side codegen), exact
     cosine re-rank inside; table 0 is bit-identical to ann_rp_lsh_topk's

@@ -310,14 +310,12 @@ def near_dup_mark_stateful(
 
 def near_dup_verdicts(marks: DataFrame) -> DataFrame:
     """Roll the mark stream up to per-doc verdicts (doc_id, first_ref,
-    is_dup) — same schema as operators.dedup.near_dup_mark. min() is
-    idempotent over replayed marks, so at-least-once sinks are safe."""
-    return (
-        marks.groupBy("doc_id")
-        .agg(F.min("band_ref").alias("first_ref"))
-        .select(
-            "doc_id",
-            "first_ref",
-            (F.col("first_ref") < F.col("doc_id")).alias("is_dup"),
-        )
+    is_dup) — delegates to THE one rollup definition in operators.dedup
+    (near_dup_mark uses the same code path, so the pinned stream ≡ batch
+    equivalence cannot drift). min() is idempotent over replayed marks,
+    so at-least-once sinks are safe."""
+    from pandemic_knowledge_spark.operators.dedup import (
+        near_dup_verdicts as _verdicts,
     )
+
+    return _verdicts(marks)

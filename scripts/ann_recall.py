@@ -56,17 +56,29 @@ from pandemic_knowledge_spark.session import get_spark
 from pandemic_knowledge_spark.tables import load
 
 
+PLANT_SEED_OFFSET = 1000  # centers MUST be disjoint from every LSH table's
+# planes (tables seed at RP_SEED..RP_SEED+T-1): if a center IS a plane h_j,
+# dot(v', h_j) = |h_j| + a·dot(v, h_j) > 0 for every member of that cluster,
+# deterministically fixing LSH bit j and inflating LSH recall for free.
+
+
 def planted_corpus(spark, emb, alpha: float, out_dir: str):
     """Derive a clustered corpus from the uniform one: same ids/labels,
     vectors pulled toward a deterministic per-label center (rp_hyperplanes
-    reused as the center source — md5-seeded, no RNG). Written to parquet
-    so the eval reads the same scan shape as the raw table."""
+    reused as the center source — md5-seeded, no RNG, at a seed offset
+    disjoint from the LSH tables under evaluation). Written to parquet so
+    the eval reads the same scan shape as the raw table."""
     import numpy as np
+
+    from pandemic_knowledge_spark.operators.similarity import RP_SEED
 
     rows = emb.select("vec_id", "embedding", "label").collect()
     dim = len(rows[0].embedding)
     n_labels = 1 + max(r.label for r in rows)
-    centers = np.array(rp_hyperplanes(dim, n_labels), dtype=np.float64)
+    centers = np.array(
+        rp_hyperplanes(dim, n_labels, seed=RP_SEED + PLANT_SEED_OFFSET),
+        dtype=np.float64,
+    )
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     out = []
     for r in rows:
@@ -197,13 +209,6 @@ def main() -> None:
 
     spark = get_spark(app_name="pk-ann-recall")
     raw = load(spark, args.sf_dir, "embeddings").cache()
-    import tempfile
-
-    planted_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"pk_ann_planted_{os.path.basename(args.sf_dir.rstrip('/'))}",
-    )
-    planted = planted_corpus(spark, raw, args.alpha, planted_dir).cache()
     out = {
         "metric": "ann_recall_at_k",
         "sf_dir": args.sf_dir,
@@ -219,6 +224,13 @@ def main() -> None:
     if args.corpus in ("both", "uniform"):
         out["uniform"] = evaluate(raw, args)
     if args.corpus in ("both", "planted"):
+        import tempfile
+
+        planted_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"pk_ann_planted_{os.path.basename(args.sf_dir.rstrip('/'))}",
+        )
+        planted = planted_corpus(spark, raw, args.alpha, planted_dir).cache()
         out["planted"] = evaluate(planted, args)
     spark.stop()
     print(json.dumps(out))

@@ -171,7 +171,13 @@ def main() -> None:
     regen = "--regen" in sys.argv
     queries = WIDE_QUERIES if "--wide" in sys.argv else QUERIES
     if "--only" in sys.argv:  # targeted probe: --only name1,name2
-        queries = sys.argv[sys.argv.index("--only") + 1].split(",")
+        i = sys.argv.index("--only") + 1
+        if i >= len(sys.argv) or sys.argv[i].startswith("--"):
+            raise SystemExit("--only needs a comma-separated query list")
+        queries = sys.argv[i].split(",")
+        unknown = [n for n in queries if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
     spark = get_spark(app_name="pk-bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_data(spark, regen)

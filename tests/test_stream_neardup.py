@@ -128,7 +128,7 @@ def test_stream_matches_batch_across_microbatches(spark, tmp_path, split):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
 
     mark_rows = spark.read.parquet(out)
     # one mark row per (doc, band), nothing pairwise
@@ -166,7 +166,7 @@ def test_stream_matches_batch_on_testdata(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not finish in time"
     streamed = near_dup_verdicts(spark.read.parquet(out))
     batch = near_dup_mark(d, "doc_id", "text")
     assert sorted(map(tuple, streamed.collect())) == sorted(
