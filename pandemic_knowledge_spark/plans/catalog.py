@@ -2743,6 +2743,7 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "stream_near_dup_mark",
+    bench=True,
     oracle=f"""{_MINHASH_BAND_CTES},
 bm AS (SELECT band, bkey, min(doc_id) AS bmin FROM bands GROUP BY band, bkey)
 SELECT b.doc_id AS doc_id, min(m.bmin) AS first_ref,

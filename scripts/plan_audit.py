@@ -1,0 +1,115 @@
+"""Catalog-wide physical-plan audit.
+
+tests/test_plan_shape.py pins the load-bearing plans (broadcasts, pushdown,
+no-Python, explicit exchanges); this sweeps ALL catalog queries for the
+anti-patterns the targeted gates don't cover:
+
+- row-wise Python in any plan (BatchEvalPython) — banned everywhere
+- Arrow Python nodes outside the operators documented to use them
+- CartesianProduct / BroadcastNestedLoopJoin — accidental cross joins
+- global single-partition sorts (Exchange SinglePartition followed by Sort)
+  that aren't a final top-k/limit
+- exchange counts per query (distribution recorded; outliers listed)
+
+Usage: python scripts/plan_audit.py [--sf-dir /root/testdata/sf0.01]
+Prints one JSON line with per-flag offender lists + exchange histogram.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pandemic_knowledge_spark.plans import REGISTRY
+from pandemic_knowledge_spark.session import get_spark
+
+# Operators DOCUMENTED to run grouped/cogrouped Arrow kernels (multimodal
+# decode, bin packing, the near-dup pair kernel) — Arrow nodes there are
+# the design, not a finding.
+ARROW_OK = {
+    "multimodal_decode_features",
+    "multimodal_byte_stats",
+    "multimodal_quarantine",
+    "pack_training_bins",
+    "emb_near_dup_pairs",
+    "dedup_semantic_clusters",
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="pk-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    flags: dict[str, list] = {
+        "python_row_wise": [],
+        "arrow_unexpected": [],
+        "cartesian_product": [],
+        "bnlj_multiple": [],  # >1 nested-loop join: not the scalar pattern
+        "global_single_partition_sort": [],
+        "errored": [],
+    }
+    exchange_counts: dict[str, int] = {}
+    scalar_bnlj = 0  # exactly one BNLJ = one-row stats broadcast (by design:
+    # corpus totals / thresholds joined keylessly; build side is one row)
+
+    for name, spec in REGISTRY.items():
+        try:
+            df = spec.fn(spark, args.sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 - audit must survive any query
+            flags["errored"].append([name, str(e).splitlines()[0][:120]])
+            continue
+        if "BatchEvalPython" in plan:
+            flags["python_row_wise"].append(name)
+        if name not in ARROW_OK and re.search(
+            r"ArrowEvalPython|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas",
+            plan,
+        ):
+            flags["arrow_unexpected"].append(name)
+        if "CartesianProduct" in plan:
+            flags["cartesian_product"].append(name)
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        if n_bnlj == 1:
+            scalar_bnlj += 1
+        elif n_bnlj > 1:
+            flags["bnlj_multiple"].append(name)
+        # single-partition exchange feeding a Sort that is NOT a top-k
+        # (TakeOrderedAndProject never plans an exchange) — the global-sort
+        # scale smell the ranks/ntile rewrites exist to avoid
+        if re.search(r"Exchange SinglePartition(?![\s\S]{0,400}CollectLimit)", plan) and re.search(
+            r"Exchange SinglePartition[\s\S]{0,400}?\bSort\b", plan
+        ):
+            flags["global_single_partition_sort"].append(name)
+        exchange_counts[name] = plan.count("Exchange ")
+
+    hist: dict[str, int] = {}
+    for n in exchange_counts.values():
+        b = str(n) if n < 8 else "8+"
+        hist[b] = hist.get(b, 0) + 1
+    top = sorted(exchange_counts.items(), key=lambda kv: -kv[1])[:8]
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "plan_audit",
+                "n_queries": len(REGISTRY),
+                "flags": flags,
+                "scalar_bnlj_queries": scalar_bnlj,
+                "exchange_histogram": dict(sorted(hist.items())),
+                "most_exchanges": top,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
