@@ -172,3 +172,12 @@ def test_stream_matches_batch_on_testdata(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_mark_is_partitioning_invariant(spark, sf_dir):
+    """Verdicts are a pure function of the corpus — any physical layout
+    gives identical rows (the min-based rollup has no order sensitivity)."""
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = near_dup_mark(d.repartition(7), "doc_id", "text").collect()
+    b = near_dup_mark(d.coalesce(1), "doc_id", "text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
