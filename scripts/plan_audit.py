@@ -28,17 +28,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pandemic_knowledge_spark.plans import REGISTRY
 from pandemic_knowledge_spark.session import get_spark
 
-# Operators DOCUMENTED to run grouped/cogrouped Arrow kernels (multimodal
-# decode, bin packing, the near-dup pair kernel) — Arrow nodes there are
-# the design, not a finding.
+# Operators DOCUMENTED to run grouped/cogrouped/mapped Arrow kernels
+# (multimodal decode, bin packing, the near-dup pair kernel) — Arrow nodes
+# there are the design, not a finding.
 ARROW_OK = {
-    "multimodal_decode_features",
     "multimodal_byte_stats",
-    "multimodal_quarantine",
+    "multimodal_media_features",
     "pack_training_bins",
     "emb_near_dup_pairs",
     "dedup_semantic_clusters",
 }
+
+# Every Arrow-batched Python node Spark can plan — including MapInPandas
+# (the multimodal form) and the windowed/aggregating variants; the audit
+# must see them all or ARROW_OK is a dead letter.
+ARROW_NODE_RE = (
+    r"ArrowEvalPython|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+    r"|MapInPandas|AggregateInPandas|WindowInPandas|PythonMapInArrow"
+)
+
+# Queries DOCUMENTED to sort on one partition because the sorted side is
+# provably bounded (not fact-sized): the quantile walk runs over the
+# MERGED decimal-bucket histogram — a few thousand rows regardless of
+# corpus size (operators/sketches.py::quantiles_over docstring).
+SINGLE_SORT_OK = {"sketch_quantile_rollup"}
 
 
 def main() -> None:
@@ -70,10 +83,7 @@ def main() -> None:
             continue
         if "BatchEvalPython" in plan:
             flags["python_row_wise"].append(name)
-        if name not in ARROW_OK and re.search(
-            r"ArrowEvalPython|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas",
-            plan,
-        ):
+        if name not in ARROW_OK and re.search(ARROW_NODE_RE, plan):
             flags["arrow_unexpected"].append(name)
         if "CartesianProduct" in plan:
             flags["cartesian_product"].append(name)
@@ -82,14 +92,31 @@ def main() -> None:
             scalar_bnlj += 1
         elif n_bnlj > 1:
             flags["bnlj_multiple"].append(name)
-        # single-partition exchange feeding a Sort that is NOT a top-k
-        # (TakeOrderedAndProject never plans an exchange) — the global-sort
-        # scale smell the ranks/ntile rewrites exist to avoid
-        if re.search(r"Exchange SinglePartition(?![\s\S]{0,400}CollectLimit)", plan) and re.search(
-            r"Exchange SinglePartition[\s\S]{0,400}?\bSort\b", plan
+        # A Sort whose DIRECT CHILD is a single-partition exchange — the
+        # unpartitioned-window / sort-everything-on-one-task smell the
+        # ranks/ntile rewrites exist to avoid. Plan text prints parents
+        # above children, so the pattern is a Sort line immediately
+        # followed by its "+- Exchange SinglePartition" child line.
+        # (TakeOrderedAndProject — the healthy top-k — plans no exchange
+        # and never matches.)
+        if name not in SINGLE_SORT_OK and re.search(
+            r"\bSort\b[^\n]*\n\s*(?::|\+)- Exchange SinglePartition", plan
         ):
             flags["global_single_partition_sort"].append(name)
-        exchange_counts[name] = plan.count("Exchange ")
+        # Count SHUFFLE exchanges only: broadcasts move dims by design and
+        # ReusedExchange re-prints its target's description per reference —
+        # neither belongs in a shuffle distribution.
+        n_ex = 0
+        for line in plan.splitlines():
+            if "ReusedExchange" in line:
+                continue
+            if re.search(
+                r"\bExchange (hashpartitioning|rangepartitioning"
+                r"|SinglePartition|RoundRobinPartitioning)",
+                line,
+            ):
+                n_ex += 1
+        exchange_counts[name] = n_ex
 
     hist: dict[str, int] = {}
     for n in exchange_counts.values():
