@@ -181,3 +181,43 @@ def test_mark_is_partitioning_invariant(spark, sf_dir):
     a = near_dup_mark(d.repartition(7), "doc_id", "text").collect()
     b = near_dup_mark(d.coalesce(1), "doc_id", "text").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_stream_under_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state story names the RocksDB state store provider
+    (state spills to disk instead of executor heap); prove the stateful
+    op actually runs under it — same cross-batch corpus, same verdicts."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        landing = str(tmp_path / "landing")
+        first = sorted(i for i in _TEXTS if i < 100)
+        second = sorted(i for i in _TEXTS if i >= 100)
+        _docs_df(spark, first).coalesce(1).write.parquet(landing)
+        _docs_df(spark, second).coalesce(1).write.mode("append").parquet(landing)
+        stream = file_stream(spark, landing, DOCS_SCHEMA, max_files_per_trigger=1)
+        marks = near_dup_mark_stateful(stream, "doc_id", "text", k=2)
+        out = str(tmp_path / "marks_out")
+        q = (
+            marks.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish in time"
+        streamed = near_dup_verdicts(spark.read.parquet(out))
+        batch = near_dup_mark(_docs_df(spark, sorted(_TEXTS)), "doc_id", "text")
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
