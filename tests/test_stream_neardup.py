@@ -221,3 +221,51 @@ def test_stream_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_checkpoint_restart_resumes_state(spark, tmp_path):
+    """The production restart path: the stream STOPS after the first
+    corpus drop (availableNow run 1 drains and terminates), more docs
+    land, and a brand-new query with the SAME checkpoint picks up — the
+    bucket registry must come back from the state store, so a doc whose
+    near-dup original arrived before the restart is still marked, and
+    already-processed docs are not re-emitted."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "marks_out")
+    cp = str(tmp_path / "cp")
+    first = sorted(i for i in _TEXTS if i < 100)
+    second = sorted(i for i in _TEXTS if i >= 100)
+
+    def run_once():
+        stream = file_stream(spark, landing, DOCS_SCHEMA)
+        marks = near_dup_mark_stateful(stream, "doc_id", "text", k=2)
+        q = (
+            marks.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish in time"
+
+    _docs_df(spark, first).coalesce(1).write.parquet(landing)
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 4 * 3  # docs 1,2,3 (4 has no shingles)
+
+    _docs_df(spark, second).coalesce(1).write.mode("append").parquet(landing)
+    run_once()  # NEW query object, SAME checkpoint: state must restore
+
+    mark_rows = spark.read.parquet(out)
+    # run 2 emitted only the second drop's marks — no reprocessing
+    assert mark_rows.count() == 4 * 6
+    streamed = near_dup_verdicts(mark_rows)
+    batch = near_dup_mark(_docs_df(spark, sorted(_TEXTS)), "doc_id", "text")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # the cross-RESTART near-dups specifically: originals arrived pre-stop
+    v = {r.doc_id: r for r in streamed.collect()}
+    assert v[101].is_dup and v[101].first_ref == 1
+    assert v[102].is_dup and v[102].first_ref == 2
