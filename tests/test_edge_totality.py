@@ -88,3 +88,31 @@ def test_phrase_and_privacy_total(spark):
     assert phrase_search_from_postings(pp, "a b").collect() == []
     empty = spark.createDataFrame([], "id long, q string")
     assert k_anonymize(empty, ["q"], 3).collect() == []
+
+
+def test_near_dup_mark_total(spark):
+    from pandemic_knowledge_spark.operators.dedup import near_dup_mark
+
+    assert near_dup_mark(_empty_docs(spark), "doc_id", "text").collect() == []
+    # token-free docs produce no shingles -> no verdicts, not a crash
+    assert near_dup_mark(_blank_docs(spark), "doc_id", "text").collect() == []
+
+
+def test_ann_multi_lsh_total(spark):
+    from pandemic_knowledge_spark.operators.similarity import rp_lsh_topk_multi
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = [0.5] * 8
+    assert rp_lsh_topk_multi(
+        empty, "embedding", "vec_id", q, k=5, n_bits=4, n_tables=4
+    ).collect() == []
+
+
+def test_ivf_kmeans_fails_loudly_on_empty(spark):
+    import pytest
+
+    from pandemic_knowledge_spark.operators.similarity import ivf_kmeans_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty input"):
+        ivf_kmeans_topk(empty, "embedding", "vec_id", [0.5] * 8).collect()
