@@ -109,6 +109,11 @@ def main() -> None:
             "sf": sf,
             "search_index": search_index,
             "protocol": "steady_state_median_of_3_cache_cleared",
+            # Contention witness: this box is shared with the round driver,
+            # and overlapping runs measure 1.2-2x slower uniformly
+            # (BASELINE.md variance notes). loadavg >> this process's own
+            # footprint at read time means the numbers carry that tax.
+            "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
         }
     )
     # Durable marker FIRST: the round driver parses the last stdout line,
