@@ -37,6 +37,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 from pyspark.sql.window import Window
 
 from pandemic_knowledge_spark.functions.text import (
@@ -329,7 +330,7 @@ def minhash_lsh_pairs(
     the verification join: shingles explode to rows so md5 stays codegen'd
     (HOF lambdas are interpreted — ~10× slower), then ONE groupBy computes
     the 16 permutation minima AND collect_set(h) together. Single scan,
-    single shuffle (cached via the cache manager for its three consumers);
+    single shuffle (eagerly localCheckpoint'd for its three consumers);
     the verify join moves 8-byte hashes instead of shingle strings. Jaccard
     over distinct hash sets equals Jaccard over shingle sets (md5→61-bit
     reduction; collisions negligible and the DuckDB oracle applies the
@@ -346,7 +347,12 @@ def minhash_lsh_pairs(
     incremental path (streaming.jobs.corpus_stream_ingest_dedup) already
     IS the store-probing form.
     """
-    base = minhash_base(docs, id_col, text_col, k).cache()
+    # Eager localCheckpoint, not cache(): same winnow/substrings discipline —
+    # the base (shingle scan + one groupBy) has three consumers (band rows +
+    # both verify sides), and checkpoint blocks are context-cleaned when the
+    # result frame is dropped instead of pinned in the session cache manager
+    # (a slow leak in long-lived interactive sessions).
+    base = minhash_base(docs, id_col, text_col, k).localCheckpoint(eager=True)
     return pairs_from_base(base, threshold)
 
 
@@ -394,7 +400,12 @@ def minhash_lsh_pairs_pruned(
     measures faster; this form exists as the tested scale path and the
     default can flip per deployment.
     """
-    sigs = minhash_signature_agg(docs, id_col, text_col, k).cache()
+    # Both intermediates multi-consumed → eager localCheckpoint (winnow
+    # precedent), so their blocks context-clean with the result frame
+    # instead of accumulating in the cache manager across queries.
+    sigs = minhash_signature_agg(docs, id_col, text_col, k).localCheckpoint(
+        eager=True
+    )
     exploded = _band_rows(sigs)
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
@@ -402,7 +413,7 @@ def minhash_lsh_pairs_pruned(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -656,6 +667,7 @@ def ngram_jaccard_pairs(
     k: int = 2,
     threshold: float = 0.3,
     collect_cap: int = 1024,
+    allow_large: bool = False,
 ) -> DataFrame:
     """Exact blocked n-gram Jaccard via an inverted shingle index — the
     exhaustive baseline the LSH path approximates, in join form rather
@@ -690,6 +702,34 @@ def ngram_jaccard_pairs(
     sf1's 1.8e9-pair workload; the old a<b posting self-join form took
     184 s / ran 1.4e9 candidates through one sort-merge partition per
     hot key — see BASELINE.md for the rewrite numbers)."""
+    # Size gate: exact Jaccard is Θ(Σ C(df, 2)) BY CONTRACT — unlike its
+    # siblings (MinHash, substrings, corr) there is no lossless scale tier
+    # to auto-dispatch to, so above the pruned threshold the operator
+    # REFUSES rather than silently swapping semantics; the error names the
+    # intended scale tier. Unknown estimates (createDataFrame frames,
+    # sizeInBytes = Long.MaxValue) count as small — driver-materialized
+    # frames necessarily are — same reading as the recall-lossy corr gate.
+    if not allow_large:
+        from pandemic_knowledge_spark.operators.dispatch import (
+            UNKNOWN_SIZE,
+            size_estimate,
+        )
+
+        thresh = int(
+            docs.sparkSession.conf.get(
+                PRUNED_THRESHOLD_CONF, str(PRUNED_THRESHOLD_DEFAULT)
+            )
+        )
+        est = size_estimate(docs)
+        if est != UNKNOWN_SIZE and est >= thresh:
+            raise ValueError(
+                f"ngram_jaccard_pairs: corpus size estimate {est} B >= "
+                f"{PRUNED_THRESHOLD_CONF}={thresh} B. Exact Jaccard is "
+                "quadratic in per-shingle doc frequency; at this scale use "
+                "minhash_lsh_pairs_auto (the approximate scale tier), raise "
+                "the threshold conf, or pass allow_large=True to accept the "
+                "quadratic cost explicitly."
+            )
     # The shingle sketch is CPU-bound and the checkpoint pins its
     # partitioning for every downstream stage — rebalance a
     # fewer-partitions-than-cores scan first (same guard as
@@ -781,8 +821,21 @@ def ngram_jaccard_pairs(
     # key width and a primitive-key hash aggregate instead of a
     # two-column one. Wider ids keep the two-column form — identical
     # output either way.
-    mm = hashed.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
-    if mm.mn is not None and mm.mn >= 0 and mm.mx < (1 << 31):
+    # Packing is only defined for integral ids: gate on the column TYPE
+    # before the value-range agg — min/max of a string id column returns
+    # strings, and comparing those against ints raises. Non-integral ids
+    # (strings, decimals, ...) fall through to the two-column aggregate,
+    # which handles any orderable id type.
+    id_integral = isinstance(
+        hashed.schema["doc_id"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    mm = (
+        hashed.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+        if id_integral
+        else None
+    )
+    if mm is not None and mm.mn is not None and mm.mn >= 0 and mm.mx < (1 << 31):
         # cast before shifting: the VALUE guard above says nothing about
         # the column TYPE, and shiftleft on an int32 id wraps to the low
         # bit, colliding unrelated pairs into one packed key

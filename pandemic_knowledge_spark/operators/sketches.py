@@ -68,6 +68,89 @@ def whole_range_estimate(
     )
 
 
+def distinct_tolerance_audit(
+    events: DataFrame,
+    rollup: DataFrame,
+    key_col: str,
+    ts_col: str,
+    ranges: tuple[tuple[str, str], ...],
+    tol: float = 0.05,
+) -> DataFrame:
+    """(range_lo, range_hi, n_distinct_exact, within_5pct) — the HLL range
+    rollup re-expressed in ORACLE-CHECKABLE tolerance form. The estimate
+    itself can't replay in another engine (DataSketches register layout),
+    but the CLAIM the sketch makes — "within ±tol of the true distinct
+    count" — can: Spark emits the exact count plus a boolean witness that
+    the rollup-merged estimate honors the bound; the DuckDB oracle computes
+    the same exact counts and literal TRUE. A hash match therefore proves
+    both the exact side and that every estimate was in-tolerance. The
+    exact side is the audit harness, not the 100 TB serving path — one
+    fact scan with per-range conditional COUNT(DISTINCT); the serving path
+    stays the rollup merge (see :func:`distinct_over_range`)."""
+    est_parts = [
+        distinct_over_range(rollup, lo, hi).select(
+            F.lit(lo).alias("range_lo"),
+            F.lit(hi).alias("range_hi"),
+            "n_distinct_est",
+        )
+        for lo, hi in ranges
+    ]
+    est = est_parts[0]
+    for p in est_parts[1:]:
+        est = est.unionByName(p)
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    exact_wide = events.select(F.col(key_col).alias("k"), day.alias("day")).agg(
+        *[
+            F.count_distinct(
+                F.when(F.col("day").between(F.lit(lo), F.lit(hi)), F.col("k"))
+            ).alias(f"__x{i}")
+            for i, (lo, hi) in enumerate(ranges)
+        ]
+    )
+    exact = exact_wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lo).alias("range_lo"),
+                        F.lit(hi).alias("range_hi"),
+                        F.col(f"__x{i}").alias("n_distinct_exact"),
+                    )
+                    for i, (lo, hi) in enumerate(ranges)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    lo_b = F.col("n_distinct_exact") * F.lit(1.0 - tol)
+    hi_b = F.col("n_distinct_exact") * F.lit(1.0 + tol)
+    return est.join(F.broadcast(exact), ["range_lo", "range_hi"]).select(
+        "range_lo",
+        "range_hi",
+        "n_distinct_exact",
+        (
+            (F.col("n_distinct_est") >= lo_b) & (F.col("n_distinct_est") <= hi_b)
+        ).alias("within_5pct"),
+    )
+
+
+def sql_distinct_tolerance(
+    ranges: tuple[tuple[str, str], ...],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of :func:`distinct_tolerance_audit`'s checkable half:
+    exact per-range distinct counts plus literal TRUE — the oracle asserts
+    the Spark estimate was in-tolerance by hash-matching the booleans."""
+    selects = [
+        f"SELECT '{lo}' AS range_lo, '{hi}' AS range_hi, "
+        f"CAST(COUNT(DISTINCT {key_col}) AS BIGINT) AS n_distinct_exact, "
+        f"TRUE AS within_5pct FROM events "
+        f"WHERE CAST({ts_col} AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
+        for lo, hi in ranges
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 # ---------------------------------------------------------------------------
 # Mergeable QUANTILE sketch rollup — "decimal DDSketch".
 #

@@ -170,8 +170,9 @@ from pandemic_knowledge_spark.operators.graph import (
 from pandemic_knowledge_spark.operators.sketches import (
     daily_quantile_rollup,
     daily_sketch_rollup,
-    distinct_over_range,
+    distinct_tolerance_audit,
     quantiles_over,
+    sql_distinct_tolerance,
     sql_quantiles_over,
 )
 from pandemic_knowledge_spark.operators.epidemic import (
@@ -1682,37 +1683,33 @@ _HLL_RANGES = [
 ]
 
 
-@q("sketch_hll_range_rollup")  # NO oracle (rows-only driver check): the
-# sketch state is Spark's Apache DataSketches HLL binary — deterministic
-# and partitioning-invariant (registers are max-aggregated), but DuckDB's
-# approx_count_distinct is a different HLL implementation, so no SQL text
-# can reproduce the estimate bit-for-bit. The merge-exactness property
-# (rollup-then-union == one direct sketch, the load-bearing invariant)
-# is asserted in tests/test_sketches.py instead.
+@q(
+    "sketch_hll_range_rollup",
+    # The raw DataSketches estimate can't replay bit-for-bit in DuckDB
+    # (different HLL implementation), so the query emits the TOLERANCE form
+    # instead: exact per-range distinct counts plus a boolean witness that
+    # the rollup-merged estimate is within ±5% — both hash-checkable. The
+    # merge-exactness property (rollup-then-union == one direct sketch,
+    # the load-bearing invariant) stays pinned in tests/test_sketches.py.
+    oracle=sql_distinct_tolerance(tuple(_HLL_RANGES)),
+)
 def sketch_hll_range_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-user rollup (operators.sketches): one 4 KiB sketch row
     per day, then any date-range distinct estimate is a register-wise
     union over the rollup — the companion to sketch_quantile_rollup for
     COUNT(DISTINCT) range queries at 100 TB (distinct counts don't sum,
-    sketches do merge). Emits the estimate for three weekly ranges plus
-    the whole month, all answered from the ~30-row rollup without
-    rescanning events."""
+    sketches do merge). Emitted in tolerance-audit form (exact count +
+    within_5pct witness) so the estimate's accuracy claim is itself
+    oracle-checked; the serving path at scale is the rollup merge alone
+    (three weekly ranges plus the whole month answered from the ~30-row
+    rollup without rescanning events)."""
     ev = load(spark, sf_dir, "events")
     # the rollup is days-sized; checkpoint so the four range merges read
     # it instead of re-aggregating events once per range
     rollup = daily_sketch_rollup(ev, "user_id", "ts").localCheckpoint(eager=True)
-    parts = [
-        distinct_over_range(rollup, lo, hi).select(
-            F.lit(lo).alias("range_lo"),
-            F.lit(hi).alias("range_hi"),
-            F.col("n_distinct_est"),
-        )
-        for lo, hi in _HLL_RANGES
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return distinct_tolerance_audit(
+        ev, rollup, "user_id", "ts", tuple(_HLL_RANGES)
+    )
 
 
 @q("epi_rt_daily", oracle=sql_rt_cori(), bench=False)
@@ -5040,89 +5037,66 @@ BENCH_QUERY_NAMES.extend(
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ROUND-5 WINDOW (50 slots), derived from CORRECTNESS_r0{1,2,3,4}.json +
-    # the r5 diff. Tier A = new or changed this round (riskiest first);
-    # tier B = the ENTIRE r2-only-green residue (no row since round 2 —
-    # oldest evidence in the catalog, refreshed in full, exactly as the r4
-    # comment promised). The r3-green set (44 rows) rotates to the head in
-    # r6; every r4-green unchanged query sits below on its fresh row.
-    # --- tier A: r5-new / r5-changed ---
-    "redact_pii",                  # NEW r5: fixture-backed PII driver row
-    "sketch_hll_range_rollup",     # NEW r5: HLL rollup (rows-only: no oracle)
-    "dedup_winnow_pairs",          # r5: grouped-pairs rewrite (shuffle halved)
-    "dedup_winnow_cluster_reps",   # r5: consumes the rewritten pairs
-    "search_page_indexed",         # r5: probe-pruning fix (r4 bench regression)
-    "search_fields_indexed",       # r5: same probe path
-    "agg_percentile_quantity",     # r5: exact percentile via partitioned ranks
-    "ann_pq_topk",                 # r5: sample-trained codebooks (oracle gained
-                                   #     the {P}t sample CTE) + one-pass assign
-    "dedup_ngram_jaccard",         # r5: chunked pair emission + repartition-
-                                   #     first intersection count
-    "emb_near_dup_pairs",          # r5: fragment-replicate grid + Arrow
-                                   #     dimension-ordered kernel
-    "dedup_semantic_clusters",     # r5: within-cluster scoring delegated to
-                                   #     near_dup_pairs (grid + Arrow tier)
-    "retail_association_rules",    # r5: grouped pair emission (no self-join)
-    "stream_near_dup_mark",        # NEW r5: streaming LSH near-dup marks
-                                   #     (batch form; stateful parity pinned
-                                   #     in tests/test_stream_neardup.py)
-    "ann_rp_lsh_multi_topk",       # NEW r5: multi-table sign-LSH (recall
-                                   #     knob the ann_recall.py eval exposed)
-    "ann_ivf_kmeans_topk",         # NEW r5: trained-coarse-quantizer IVF
-                                   #     (train+assign+probe in one oracle)
-    # --- tier B: every r2-only-green query (no row since round 2) ---
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_revenue",
-    "q11_part_value_concentration",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q20_heavy_part_suppliers",
-    "q21_single_return_supplier",
-    "q22_idle_rich_customers",
-    "agg_approx_distinct_users",
-    # (agg_histogram_buckets, agg_stats_moments, window_range_7day_avg,
-    #  anti_join_misses, iso_code_enrich — r2-green, untouched since, simple
-    #  agg/window/join shapes (and semi_join_hits proved the iso join path
-    #  green in r4), plus dim_broadcast_enrich (r2-green broadcast-join
-    #  shape whose family stays covered by geo_grid_hotspots and
-    #  multikey_lookup below) — deferred to the r6 head to make room for
-    #  the six r5-new/changed rows above)
-    "conform_validity_audit",
-    "decontaminate_train_split",
-    "dedup_cluster_reps",
-    # (dedup_cluster_reps_star — r2-green, deferred to the r6 head to make
-    #  room for ann_ivf_kmeans_topk above: the connected-components family
-    #  keeps two in-window rows via dedup_cluster_reps and
-    #  dedup_winnow_cluster_reps)
-    "geo_grid_hotspots",
-    "geo_nearest_customers",
-    "multikey_lookup",
-    "multimodal_byte_stats",
-    "pack_training_bins",
-    "sample_stratified_corpus",
-    "sample_train_test_split",
-    # (sample_upsample_epochs — r2-green, deferred to the r6 head to make
-    #  room for ann_rp_lsh_multi_topk above: its scan-side md5-permille
-    #  family is re-proven in-window by the two sampling rows kept)
-    "stream_dedup_first",
-    # (text_search_bm25_fields — r2-green, deferred to the r6 head to make
-    #  room for stream_near_dup_mark above: its fielded-BM25 code path got
-    #  fresh r5 coverage via search_fields_indexed and text_search_bm25)
-    "window_gap_islands",
+    # ROUND-6 WINDOW (50 slots) — the exact scripts/window_rotate.py
+    # --must-lead proposal from the r5 evidence (r5 verdict item #1):
+    # 1 rows-only row first (gains a hash oracle this round), then the 9
+    # declared r2-stale deferral IOUs (three of them the primary §2 driver
+    # evidence for P4/J1, P5, J3), then the full r3-stale set oldest-first,
+    # then the two oldest r4 rows to fill 50. After this round no catalog
+    # row carries evidence older than r4.
+    "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
+    # --- the 9 r2-only-green deferral IOUs ---
+    "agg_histogram_buckets",
+    "agg_stats_moments",
+    "window_range_7day_avg",
+    "anti_join_misses",
+    "iso_code_enrich",
+    "dim_broadcast_enrich",
+    "text_search_bm25_fields",
+    "sample_upsample_epochs",
+    "dedup_cluster_reps_star",
+    # --- the entire r3-only-green residue ---
+    "bpe_encode_docs",
+    "bpe_learn_merges",
+    "chunk_documents_grid",
+    "cohort_weekly_retention",
+    "corpus_training_prep",
+    "crawl_news_fixture_conform",
+    "crawl_tweets_fixture_conform",
+    "dedup_corpus_lines",
+    "dedup_url_canonical",
+    "dedup_winnow_fingerprints",
+    "emb_kmeans_clusters",
+    "epi_outbreak_spikes",
+    "epi_rt_daily",
+    "funnel_signup_view_purchase",
+    "fuzzy_dim_match_nations",
+    "graph_trade_pagerank",
+    "ingest_owid_conform_fixture",
+    "ingest_weekly_conform_fixture",
+    "io_partitioned_roundtrip",
+    "layout_zorder_box_scan",
+    "lm_score_docs",
+    "multimodal_media_features",
+    "privacy_k_anonymize",
+    "profile_drift_psi",
+    "profile_orders_table",
+    "range_join_value_brackets",
+    "sample_fixed_per_stratum",
+    "sample_token_mixture",
+    "scd2_incremental_merge",
+    "scd2_snapshot_asof",
+    "scd2_user_history",
+    "sketch_quantile_rollup",
+    "text_collocations_pmi",
+    "text_quality_classifier",
+    "text_tfidf_keywords",
+    "timeseries_gapfill_ffill",
+    "timeseries_rolling_active",
+    "timeseries_ses_forecast",
+    # --- oldest-r4 fill ---
+    "agg_cube_status_priority",
+    "agg_daily_orders",
 ]
 
 

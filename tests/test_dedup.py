@@ -235,6 +235,82 @@ def test_ngram_jaccard_int32_ids_pack_safely(spark):
     assert got == expect and len(got) > 0
 
 
+def test_ngram_jaccard_size_gate_refuses_large_estimates(spark, sf_dir):
+    """Exact Jaccard has no lossless scale tier, so above prunedThresholdBytes
+    the operator must refuse loudly (naming minhash_lsh_pairs_auto) instead of
+    silently running Θ(ΣC(df,2)) work — and must NOT fire at sf0.01 under the
+    default threshold, nor for driver-materialized (unknown-size) frames."""
+    import pytest
+
+    from pandemic_knowledge_spark.operators.dedup import (
+        PRUNED_THRESHOLD_CONF,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # default threshold (1 GiB): sf0.01 passes the gate — plan construction
+    # alone proves it (the eager checkpoint inside runs the sketch too)
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", "lang").columns == [
+        "doc_a",
+        "doc_b",
+        "jaccard",
+    ]
+    spark.conf.set(PRUNED_THRESHOLD_CONF, "1")
+    try:
+        with pytest.raises(ValueError, match="minhash_lsh_pairs_auto"):
+            ngram_jaccard_pairs(docs, "doc_id", "text", "lang")
+        # explicit override accepts the quadratic cost
+        out = ngram_jaccard_pairs(
+            docs, "doc_id", "text", "lang", allow_large=True
+        )
+        assert out.columns == ["doc_a", "doc_b", "jaccard"]
+        # unknown estimate (LocalRelation = Long.MaxValue) reads as small,
+        # not huge: driver-materialized frames necessarily fit memory
+        local = spark.createDataFrame(
+            [(1, "en", "alpha beta gamma"), (2, "en", "alpha beta delta")],
+            "doc_id long, lang string, text string",
+        )
+        assert ngram_jaccard_pairs(local, "doc_id", "text", "lang").count() >= 0
+    finally:
+        spark.conf.unset(PRUNED_THRESHOLD_CONF)
+
+
+def test_ngram_jaccard_string_ids_fall_through_to_two_column_count(spark):
+    """Non-integral doc ids must never reach the packed-key branch: the
+    value-range guard compares the driver-side min/max against ints, which
+    raises TypeError for string ids. The type gate routes them to the
+    two-column groupBy, which handles any orderable id — output must match
+    the integer-id run on the same corpus (advisor-reported regression)."""
+    from pandemic_knowledge_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",
+        "omega psi chi phi upsilon",
+    ]
+    as_long = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string",
+    )
+    as_str = spark.createDataFrame(
+        [(f"doc-{i}", "en", t) for i, t in enumerate(texts)],
+        "doc_id string, lang string, text string",
+    )
+    expect = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            as_long, "doc_id", "text", "lang", k=2, threshold=0.1
+        ).collect()
+    }
+    got = {
+        (int(r.doc_a.removeprefix("doc-")), int(r.doc_b.removeprefix("doc-")), r.jaccard)
+        for r in ngram_jaccard_pairs(
+            as_str, "doc_id", "text", "lang", k=2, threshold=0.1
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
 def test_ngram_jaccard_matches_python_reference(spark):
     """Seeded randomized cross-check against an independent pure-Python
     implementation (same md5-derived shingle hashing, same rounding) —
