@@ -40,6 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from pandemic_knowledge_spark.operators.similarity import (
+    PQ_K,
+    PQ_M,
     ivf_topk,
     ivfpq_topk,
     knn_brute_force,
@@ -200,8 +202,10 @@ def main() -> None:
     ap.add_argument("--lsh-bits", type=int, default=4)
     ap.add_argument("--lsh-tables", type=int, default=4)
     ap.add_argument("--alpha", type=float, default=0.7)
-    ap.add_argument("--pq-m", type=int, default=4)
-    ap.add_argument("--pq-k", type=int, default=16)
+    # track the catalog defaults (similarity.PQ_M/PQ_K) so the eval measures
+    # what the catalog actually ships
+    ap.add_argument("--pq-m", type=int, default=PQ_M)
+    ap.add_argument("--pq-k", type=int, default=PQ_K)
     ap.add_argument(
         "--corpus", choices=["both", "uniform", "planted"], default="both"
     )

@@ -37,6 +37,10 @@ ARROW_OK = {
     "pack_training_bins",
     "emb_near_dup_pairs",
     "dedup_semantic_clusters",
+    # r6: PQ code assignment is a documented mapInPandas kernel — the m·k
+    # interpreted-HOF argmin measured 22 s at sf0.01 for m=8/k=64; the
+    # vectorized int64 numpy argmin is bit-identical (similarity.py).
+    "ann_pq_topk",
 }
 
 # Every Arrow-batched Python node Spark can plan — including MapInPandas

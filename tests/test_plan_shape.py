@@ -586,16 +586,28 @@ def test_quantile_rollup_walk_on_sketch_not_facts(spark, sf_dir):
     assert final.count("Scan parquet") <= 1, final  # one fact reduction
 
 
-def test_lm_pmi_privacy_pq_no_python_no_cartesian(spark, sf_dir):
-    """The statistical text/privacy/PQ family stays JVM-side: no Python
+def test_lm_pmi_privacy_no_python_no_cartesian(spark, sf_dir):
+    """The statistical text/privacy family stays JVM-side: no Python
     eval nodes; the only nested-loop joins are 1-row scalar broadcasts
     (vocab size, total bigram count)."""
     for name in ("lm_score_docs", "text_collocations_pmi",
-                 "privacy_k_anonymize", "ann_pq_topk"):
+                 "privacy_k_anonymize"):
         plan = final_plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         final = plan.split("== Initial Plan ==")[0]
         assert "CartesianProduct" not in final, name
+
+
+def test_pq_assignment_is_vectorized_arrow(spark, sf_dir):
+    """PQ code assignment routes through the documented mapInPandas kernel
+    (vectorized int64 argmin), never row-wise Python or the m·k
+    interpreted-HOF tree (22 s at sf0.01 for m=8/k=64), and plans no
+    cartesian product."""
+    plan = final_plan_of(spark, sf_dir, "ann_pq_topk")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
 
 
 def test_near_dup_arrow_tier_is_cogrouped_arrow(spark, sf_dir):
