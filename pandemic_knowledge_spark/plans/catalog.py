@@ -5027,6 +5027,90 @@ def layout_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# The SQL door (r5 verdict stretch): the "analyst types SQL" entry point the
+# reference's ES _search DSL implies. Engine.sql() (engine.py:76) runs raw
+# SQL over the registered temp views; these catalog rows prove the door with
+# the STRONGEST possible statement — the SAME ANSI SQL text is executed by
+# BOTH engines (Spark via spark.sql over the views, DuckDB as the oracle,
+# character-for-character identical), so a green row certifies that what an
+# analyst types into the door means what the oracle says it means. Every
+# money sum goes through the shared exact-cents idiom (round→BIGINT→sum),
+# which both dialects evaluate identically on positive prices.
+# ---------------------------------------------------------------------------
+
+
+def _sql_door(spark: SparkSession, sf_dir: str, sql_text: str, tabs) -> DataFrame:
+    """Register the needed tables as temp views and run the raw SQL —
+    the catalog-side twin of Engine.sql (which registers all tables once
+    at construction; per-call registration here keeps the driver's
+    (spark, sf_dir) contract)."""
+    for t in tabs:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql_text)
+
+
+_SQL_DOOR_NATION_REVENUE = """
+SELECT n.n_name,
+       count(*) AS n_lineitems,
+       CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+LIMIT 10
+"""
+
+_SQL_DOOR_MONTHLY_ORDERS = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+FROM orders
+GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+"""
+
+_SQL_DOOR_DOC_PROFILE = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@q("sql_door_nation_revenue", oracle=_SQL_DOOR_NATION_REVENUE)
+def sql_door_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL door, join shape: a 4-table join + exact-cents rollup +
+    deterministic top-10, typed as plain ANSI SQL. Catalyst plans it like
+    the DataFrame twin (q5/q7 family): dims broadcast, lineitem stays the
+    probe side, the cents sum folds into the grouped agg — declarative
+    SQL through the door loses nothing at 100 TB."""
+    return _sql_door(
+        spark, sf_dir, _SQL_DOOR_NATION_REVENUE,
+        ("lineitem", "orders", "customer", "nation"),
+    )
+
+
+@q("sql_door_monthly_orders", oracle=_SQL_DOOR_MONTHLY_ORDERS)
+def sql_door_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL door, dashboard shape: month histogram with count, distinct
+    customers and exact-cents totals — the Kibana date-histogram panel as
+    one typed statement."""
+    return _sql_door(spark, sf_dir, _SQL_DOOR_MONTHLY_ORDERS, ("orders",))
+
+
+@q("sql_door_doc_profile", oracle=_SQL_DOOR_DOC_PROFILE)
+def sql_door_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL door, text-corpus shape: per-language doc counts and
+    character budgets over the documents table."""
+    return _sql_door(spark, sf_dir, _SQL_DOOR_DOC_PROFILE, ("documents",))
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -5039,13 +5123,21 @@ BENCH_QUERY_NAMES.extend(
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ROUND-6 WINDOW (50 slots) — the exact scripts/window_rotate.py
-    # --must-lead proposal from the r5 evidence (r5 verdict item #1):
-    # 1 rows-only row first (gains a hash oracle this round), then the 9
+    # ROUND-6 WINDOW (50 slots) — the scripts/window_rotate.py --must-lead
+    # proposal from the r5 evidence (r5 verdict item #1), amended for the
+    # three NEW r6 sql_door queries (never-checked = riskiest, they lead):
+    # then the tolerance-form HLL row (oracle changed this round), the 9
     # declared r2-stale deferral IOUs (three of them the primary §2 driver
-    # evidence for P4/J1, P5, J3), then the full r3-stale set oldest-first,
-    # then the two oldest r4 rows to fill 50. After this round no catalog
-    # row carries evidence older than r4.
+    # evidence for P4/J1, P5, J3), and the r3-stale set oldest-first. To
+    # make room for the 3 new rows, the proposal's two oldest-r4 fills
+    # (agg_cube_status_priority, agg_daily_orders — both r4-green) and ONE
+    # r3 row (scd2_user_history, whose SCD2 family keeps two in-window rows
+    # via scd2_incremental_merge + scd2_snapshot_asof) are declared r7
+    # IOUs. After this round scd2_user_history is the only row older
+    # than r4.
+    "sql_door_nation_revenue",   # NEW r6: raw-SQL door, join shape
+    "sql_door_monthly_orders",   # NEW r6: raw-SQL door, dashboard shape
+    "sql_door_doc_profile",      # NEW r6: raw-SQL door, corpus shape
     "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
     # --- the 9 r2-only-green deferral IOUs ---
     "agg_histogram_buckets",
@@ -5088,7 +5180,9 @@ _DRIVER_PRIORITY = [
     "sample_token_mixture",
     "scd2_incremental_merge",
     "scd2_snapshot_asof",
-    "scd2_user_history",
+    # (scd2_user_history — r3-green, deferred to the r7 head to make room
+    #  for the three new sql_door rows: its SCD2 family keeps two in-window
+    #  rows above)
     "sketch_quantile_rollup",
     "text_collocations_pmi",
     "text_quality_classifier",
@@ -5096,9 +5190,9 @@ _DRIVER_PRIORITY = [
     "timeseries_gapfill_ffill",
     "timeseries_rolling_active",
     "timeseries_ses_forecast",
-    # --- oldest-r4 fill ---
-    "agg_cube_status_priority",
-    "agg_daily_orders",
+    # (agg_cube_status_priority, agg_daily_orders — the rotate proposal's
+    #  oldest-r4 fills, deferred to the r7 head to make room for the three
+    #  new sql_door rows; both are r4-green)
 ]
 
 

@@ -85,6 +85,27 @@ def test_sql_door(engine):
     assert n == 25
 
 
+def test_sql_door_runs_catalog_door_queries(engine):
+    """Engine.sql over the construction-time views IS the catalog's
+    sql_door path: the same SQL text returns the same rows (the catalog
+    twin registers views per call; the Engine registered them once)."""
+    from pandemic_knowledge_spark.plans.catalog import (
+        _SQL_DOOR_MONTHLY_ORDERS,
+        _SQL_DOOR_NATION_REVENUE,
+        REGISTRY,
+    )
+
+    for name, sql_text in (
+        ("sql_door_nation_revenue", _SQL_DOOR_NATION_REVENUE),
+        ("sql_door_monthly_orders", _SQL_DOOR_MONTHLY_ORDERS),
+    ):
+        via_engine = sorted(map(tuple, engine.sql(sql_text).collect()))
+        via_catalog = sorted(
+            map(tuple, REGISTRY[name].fn(engine.spark, engine.sf_dir).collect())
+        )
+        assert via_engine == via_catalog and len(via_engine) > 0, name
+
+
 def test_dashboard_panels(engine, facts):
     totals = engine.dashboard_totals(facts).first()
     assert totals.confirmed == 28 and totals.deaths == 3
