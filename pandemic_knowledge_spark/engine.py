@@ -115,6 +115,27 @@ class Engine:
             out = out.withColumn("highlighted", highlight(text_col, query))
         return out.orderBy(F.desc("score"), id_col)
 
+    def more_like_this(
+        self,
+        doc_id,
+        k: int = 8,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        max_query_terms: int = 8,
+        min_doc_freq: int = 2,
+    ) -> DataFrame:
+        """ES `more_like_this` — the news app's "related articles" panel:
+        top tf·idf terms of the given doc become the query, BM25 over
+        those terms ranks the rest of the corpus
+        (operators.search.more_like_this)."""
+        from pandemic_knowledge_spark.operators.search import more_like_this
+
+        return more_like_this(
+            self.table(table), id_col, text_col, doc_id, k=k,
+            max_query_terms=max_query_terms, min_doc_freq=min_doc_freq,
+        )
+
     def phrase_search(
         self,
         phrase: str,

@@ -219,6 +219,155 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def more_like_this(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    src_doc_id,
+    k: int = 10,
+    max_query_terms: int = 8,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """ES ``more_like_this`` (the news app's "related articles" shape): the
+    source doc's top ``max_query_terms`` terms by tf·ln(N/df) become the
+    query, the corpus is BM25-scored over exactly those terms, the source
+    doc is excluded, top-k returned — (doc_id, score).
+
+    Fully distributed, NO driver round-trip for the term selection: the
+    selected-terms frame is ≤ max_query_terms rows and joins BROADCAST into
+    the scoring pass, so the plan is tokenize → one (doc, term) TF shuffle
+    → tiny DF/stats broadcasts → selection window on the one source doc's
+    rows → broadcast-semi term filter → per-doc agg → top-k. The TF table
+    feeds both the selection and the scoring, so it materializes once
+    (eager localCheckpoint, context-cleaned with the frame). At index
+    scale, run the same selection against a persisted
+    :class:`SearchIndex`'s postings and probe only the selected terms'
+    crc32 buckets — the term-selection and scoring math is identical.
+
+    ES-default knobs ``min_term_freq`` / ``min_doc_freq`` prune noise terms
+    before ranking (ES defaults are 2/5; here 1/1 so tiny fixture corpora
+    keep their terms — the catalog query sets them explicitly).
+    Ties in term selection break alphabetically on the 6-dp-rounded
+    selection score, exactly as :func:`tfidf_keywords` (and the DuckDB
+    oracle) rank. An unknown/empty source doc selects no terms and returns
+    an empty frame, not an error."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # orderBy().limit() plans TakeOrderedAndProject (per-partition heaps
+    # merged at the driver — no single-partition exchange); its input is
+    # the ONE source doc's terms joined to the tiny DF table, bounded by
+    # that doc's vocabulary, never corpus-sized
+    selected = (
+        tf.filter(F.col("doc_id") == F.lit(src_doc_id))
+        .filter(F.col("tf") >= F.lit(min_term_freq))
+        .join(F.broadcast(df_t), "term")
+        .filter(F.col("df") >= F.lit(min_doc_freq))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .withColumn(
+            "sel_score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+        .orderBy(F.desc("sel_score"), F.col("term"))
+        .limit(max_query_terms)
+        .select("term")
+    )
+    scored = (
+        tf.join(F.broadcast(selected), "term")
+        .filter(F.col("doc_id") != F.lit(src_doc_id))
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def sql_more_like_this(
+    table: str,
+    id_col: str,
+    text_col: str,
+    src_doc_id,
+    k: int = 10,
+    max_query_terms: int = 8,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+) -> str:
+    """DuckDB SQL reproducing :func:`more_like_this` exactly — same
+    tokenizer, same tf·ln(N/df) selection with the 6-dp round and
+    (score DESC, term) tie-break, same BM25 scoring over the selected
+    terms, same source-doc exclusion and 4-dp rounding."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks FROM {table}
+), base2 AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM base
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base2
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
+  GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), sel AS (
+  SELECT term
+  FROM (
+    SELECT tf.term,
+           row_number() OVER (
+             ORDER BY round(tf.tf * ln(CAST(stats.n_docs AS DOUBLE) / dft.df), 6) DESC,
+                      tf.term
+           ) AS rnk
+    FROM tf, dft, stats
+    WHERE tf.doc_id = {src_doc_id} AND tf.term = dft.term
+      AND tf.tf >= {min_term_freq} AND dft.df >= {min_doc_freq}
+  ) WHERE rnk <= {max_query_terms}
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1))
+         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+         AS term_score
+  FROM tf
+  JOIN sel ON tf.term = sel.term
+  JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats
+  WHERE tf.doc_id <> {src_doc_id}
+)
+SELECT doc_id, round(sum(term_score), 4) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def sql_bm25_search(table: str, id_col: str, text_col: str, query: str, k: int = 10) -> str:
     """DuckDB SQL reproducing :func:`bm25_search` exactly."""
     q_terms = sorted(set(query_terms(query)))

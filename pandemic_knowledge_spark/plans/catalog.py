@@ -112,7 +112,9 @@ from pandemic_knowledge_spark.operators.joins import (
 )
 from pandemic_knowledge_spark.operators.search import (
     build_positional_postings,
+    more_like_this,
     phrase_search_from_postings,
+    sql_more_like_this,
     sql_phrase_search,
     bm25_search,
     bm25_search_fields,
@@ -2424,6 +2426,30 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — relevance-ranked search (ES multi_match capability) as BM25."""
     d = load(spark, sf_dir, "documents")
     return bm25_search(d, "doc_id", "text", _BM25_QUERY, k=10)
+
+
+_MLT_SRC_DOC = 7  # exists at every sf (doc ids are dense from 0)
+
+
+@q(
+    "search_more_like_this",
+    oracle=sql_more_like_this(
+        "documents", "doc_id", "text", _MLT_SRC_DOC, 10,
+        max_query_terms=8, min_term_freq=1, min_doc_freq=2,
+    ),
+)
+def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES `more_like_this` (the news app's "related articles" query):
+    the source doc's top-8 tf·idf terms become the query, the corpus is
+    BM25-ranked over exactly those terms with the source excluded
+    (operators.search.more_like_this — term selection stays distributed,
+    the ≤8-row selection broadcasts into the scoring pass).
+    min_doc_freq=2: a term must LINK two docs to vote."""
+    d = load(spark, sf_dir, "documents")
+    return more_like_this(
+        d, "doc_id", "text", _MLT_SRC_DOC, k=10,
+        max_query_terms=8, min_term_freq=1, min_doc_freq=2,
+    )
 
 
 @q(
@@ -5138,6 +5164,7 @@ _DRIVER_PRIORITY = [
     "sql_door_nation_revenue",   # NEW r6: raw-SQL door, join shape
     "sql_door_monthly_orders",   # NEW r6: raw-SQL door, dashboard shape
     "sql_door_doc_profile",      # NEW r6: raw-SQL door, corpus shape
+    "search_more_like_this",     # NEW r6: ES more_like_this parity
     "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
     # --- the 9 r2-only-green deferral IOUs ---
     "agg_histogram_buckets",
@@ -5189,7 +5216,9 @@ _DRIVER_PRIORITY = [
     "text_tfidf_keywords",
     "timeseries_gapfill_ffill",
     "timeseries_rolling_active",
-    "timeseries_ses_forecast",
+    # (timeseries_ses_forecast — r3-green, deferred to the r7 head to make
+    #  room for search_more_like_this: the timeseries family keeps two
+    #  in-window rows above)
     # (agg_cube_status_priority, agg_daily_orders — the rotate proposal's
     #  oldest-r4 fills, deferred to the r7 head to make room for the three
     #  new sql_door rows; both are r4-green)

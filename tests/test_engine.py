@@ -85,6 +85,50 @@ def test_sql_door(engine):
     assert n == 25
 
 
+def test_more_like_this_ranks_shared_vocabulary(spark):
+    """MLT of a fruit doc must surface the other fruit docs above the
+    unrelated one, exclude the source itself, and return (doc_id, score)."""
+    from pandemic_knowledge_spark.operators.search import more_like_this
+
+    rows = [
+        (1, "apples oranges pears ripe orchard fruit baskets"),
+        (2, "oranges apples fruit market fresh orchard stand"),
+        (3, "pears apples orchard harvest fruit crates"),
+        (4, "structured streaming state store checkpoint watermark"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = more_like_this(d, "doc_id", "text", 1, k=10, min_doc_freq=2).collect()
+    ids = [r.doc_id for r in out]
+    assert 1 not in ids            # source excluded
+    assert set(ids) >= {2, 3}      # fruit docs found
+    scores = {r.doc_id: r.score for r in out}
+    assert all(scores[i] > scores.get(4, 0.0) for i in (2, 3))
+
+
+def test_more_like_this_unknown_source_is_empty(spark):
+    from pandemic_knowledge_spark.operators.search import more_like_this
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    assert more_like_this(d, "doc_id", "text", 999, k=5).count() == 0
+
+
+def test_more_like_this_min_doc_freq_prunes_singleton_terms(spark):
+    """A term appearing ONLY in the source (df=1) cannot link docs under
+    min_doc_freq=2 — a source doc with unique vocabulary matches nothing."""
+    from pandemic_knowledge_spark.operators.search import more_like_this
+
+    d = spark.createDataFrame(
+        [(1, "zyzzyva quokka axolotl"), (2, "alpha beta gamma"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    assert (
+        more_like_this(d, "doc_id", "text", 1, k=5, min_doc_freq=2).count() == 0
+    )
+
+
 def test_sql_door_runs_catalog_door_queries(engine):
     """Engine.sql over the construction-time views IS the catalog's
     sql_door path: the same SQL text returns the same rows (the catalog
