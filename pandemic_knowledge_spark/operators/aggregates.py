@@ -59,3 +59,103 @@ def terms_topn(df: DataFrame, col: str, n: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), F.col(col))
         .limit(n)
     )
+
+
+def significant_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    fg_predicate: Column,
+    top_k: int = 10,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """ES ``significant_terms`` (the Kibana "significant terms" panel):
+    terms OVERREPRESENTED in a foreground doc subset vs the whole corpus,
+    ranked by the JLH score ES defaults to —
+    ``(fg_pct − bg_pct) · (fg_pct / bg_pct)`` where fg_pct = share of
+    foreground docs containing the term and bg_pct = share of ALL docs
+    (ES's superset background: foreground included). Counts are DOC
+    frequencies over per-doc DISTINCT terms, exactly as ES counts its
+    doc_count. Output (term, fg_count, bg_count, score), top-k by
+    (score DESC, term).
+
+    Plan: one corpus scan → per-doc distinct-term explode → ONE shuffle on
+    term producing fg/bg doc counts together (conditional sum, no second
+    pass), one-row totals broadcast in, top-k via per-partition heaps
+    (TakeOrderedAndProject). ``min_doc_count`` (ES default 3, here 2)
+    suppresses one-off noise terms before ranking."""
+    from pandemic_knowledge_spark.functions.text import tokenize
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        fg_predicate.cast("boolean").alias("fg"),
+        F.array_distinct(tokenize(text_col)).alias("terms"),
+    )
+    totals = base.agg(
+        F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("n_fg"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    per_term = (
+        base.select("fg", F.explode("terms").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("fg_count"),
+            F.count(F.lit(1)).alias("bg_count"),
+        )
+        .filter(F.col("fg_count") >= F.lit(min_doc_count))
+    )
+    fg_pct = F.col("fg_count").cast("double") / F.col("n_fg")
+    bg_pct = F.col("bg_count").cast("double") / F.col("n_all")
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "fg_count",
+            "bg_count",
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("term"))
+        .limit(top_k)
+    )
+
+
+def sql_significant_terms(
+    table: str,
+    id_col: str,
+    text_col: str,
+    fg_predicate_sql: str,
+    top_k: int = 10,
+    min_doc_count: int = 2,
+) -> str:
+    """DuckDB SQL reproducing :func:`significant_terms` exactly — same
+    tokenizer, per-doc distinct terms, superset background, JLH score,
+    6-dp round and (score DESC, term) tie-break."""
+    from pandemic_knowledge_spark.functions.text import sql_tokenize
+
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         ({fg_predicate_sql}) AS fg,
+         list_distinct({sql_tokenize(text_col)}) AS terms
+  FROM {table}
+), totals AS (
+  SELECT sum(CASE WHEN fg THEN 1 ELSE 0 END) AS n_fg, count(*) AS n_all FROM base
+), per_term AS (
+  SELECT term,
+         sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_count,
+         count(*) AS bg_count
+  FROM (SELECT fg, unnest(terms) AS term FROM base)
+  GROUP BY term
+  HAVING fg_count >= {min_doc_count}
+)
+SELECT term,
+       CAST(fg_count AS BIGINT) AS fg_count,
+       CAST(bg_count AS BIGINT) AS bg_count,
+       round(
+         (CAST(fg_count AS DOUBLE) / n_fg - CAST(bg_count AS DOUBLE) / n_all)
+         * ((CAST(fg_count AS DOUBLE) / n_fg) / (CAST(bg_count AS DOUBLE) / n_all)),
+         6
+       ) AS score
+FROM per_term, totals
+ORDER BY score DESC, term LIMIT {top_k}
+"""

@@ -53,7 +53,9 @@ from pandemic_knowledge_spark.operators.aggregates import (
     as_money,
     cents,
     cents_sum,
+    significant_terms,
     sql_cents_sum,
+    sql_significant_terms,
     terms_topn,
 )
 from pandemic_knowledge_spark.operators.dedup import (
@@ -811,6 +813,24 @@ GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 5
 def agg_terms_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — terms agg / top-N categories."""
     return terms_topn(load(spark, sf_dir, "events"), "event_type", 5)
+
+
+@q(
+    "agg_significant_terms",
+    oracle=sql_significant_terms(
+        "documents", "doc_id", "text", "lang = 'de'", top_k=10, min_doc_count=2
+    ),
+)
+def agg_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms (the Kibana panel the reference's dashboards
+    ship): terms overrepresented in the German-language foreground vs the
+    whole corpus, JLH-scored (operators.aggregates.significant_terms).
+    One distinct-terms explode, ONE term shuffle carrying fg/bg doc counts
+    together, one-row totals broadcast, heap top-k."""
+    d = load(spark, sf_dir, "documents")
+    return significant_terms(
+        d, "doc_id", "text", F.col("lang") == "de", top_k=10, min_doc_count=2
+    )
 
 
 @q(
@@ -5165,6 +5185,7 @@ _DRIVER_PRIORITY = [
     "sql_door_monthly_orders",   # NEW r6: raw-SQL door, dashboard shape
     "sql_door_doc_profile",      # NEW r6: raw-SQL door, corpus shape
     "search_more_like_this",     # NEW r6: ES more_like_this parity
+    "agg_significant_terms",     # NEW r6: ES significant_terms parity
     "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
     # --- the 9 r2-only-green deferral IOUs ---
     "agg_histogram_buckets",
@@ -5204,7 +5225,9 @@ _DRIVER_PRIORITY = [
     "profile_orders_table",
     "range_join_value_brackets",
     "sample_fixed_per_stratum",
-    "sample_token_mixture",
+    # (sample_token_mixture — r3-green, deferred to the r7 head to make
+    #  room for agg_significant_terms: the sampling family keeps
+    #  sample_fixed_per_stratum + sample_upsample_epochs in-window)
     "scd2_incremental_merge",
     "scd2_snapshot_asof",
     # (scd2_user_history — r3-green, deferred to the r7 head to make room

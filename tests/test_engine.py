@@ -129,6 +129,36 @@ def test_more_like_this_min_doc_freq_prunes_singleton_terms(spark):
     )
 
 
+def test_significant_terms_surfaces_foreground_vocabulary(spark):
+    """Terms exclusive to the foreground docs must outrank corpus-wide
+    terms (which score ~0: fg_pct == bg_pct ⇒ JLH ≈ small), and terms
+    below min_doc_count must not appear."""
+    from pandemic_knowledge_spark.operators.aggregates import significant_terms
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "de", "katze hund maus haus common"),
+        (2, "de", "katze hund vogel baum common"),
+        (3, "en", "cat dog mouse house common"),
+        (4, "en", "cat dog bird tree common"),
+        (5, "en", "fish cow horse sheep common"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = significant_terms(
+        d, "doc_id", "text", F.col("lang") == "de", top_k=5, min_doc_count=2
+    ).collect()
+    by_term = {r.term: r for r in out}
+    # fg-exclusive terms present in both German docs lead
+    assert {"katze", "hund"} <= set(by_term)
+    assert by_term["katze"].fg_count == 2 and by_term["katze"].bg_count == 2
+    # 'common' is in every doc: fg_pct == bg_pct == 1 ⇒ score 0; if it
+    # appears at all it must rank below the exclusive terms
+    if "common" in by_term:
+        assert by_term["common"].score < by_term["katze"].score
+    # terms appearing in only one fg doc (maus, vogel, ...) are pruned
+    assert "maus" not in by_term and "vogel" not in by_term
+
+
 def test_sql_door_runs_catalog_door_queries(engine):
     """Engine.sql over the construction-time views IS the catalog's
     sql_door path: the same SQL text returns the same rows (the catalog
