@@ -136,6 +136,23 @@ class Engine:
             max_query_terms=max_query_terms, min_doc_freq=min_doc_freq,
         )
 
+    def suggest(
+        self,
+        term: str,
+        max_edits: int = 2,
+        k: int = 5,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """ES term suggester ("did you mean") over the table's vocabulary
+        (operators.search.term_suggest)."""
+        from pandemic_knowledge_spark.operators.search import term_suggest
+
+        return term_suggest(
+            self.table(table), id_col, text_col, term, max_edits=max_edits, k=k
+        )
+
     def phrase_search(
         self,
         phrase: str,

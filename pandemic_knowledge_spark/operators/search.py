@@ -368,6 +368,86 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def term_suggest(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    term: str,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """ES term suggester ("did you mean"): corpus terms within
+    ``max_edits`` Levenshtein edits of the input, ranked by (distance ASC,
+    doc frequency DESC, term ASC) — (term, df, distance).
+
+    Scale shape mirrors ES's candidate pruning: the vocabulary (distinct
+    terms + doc frequency, one term shuffle — tiny vs the corpus) is
+    pre-filtered by the two cheap exact bounds before any edit-distance
+    evaluation: a shared ``prefix_length``-char prefix (ES default 1 — an
+    FST prefix walk there, a pushable equality here) and
+    ``|len(t) − len(q)| ≤ max_edits`` (a length band; edit distance can
+    never beat the length gap). Levenshtein runs only on the surviving
+    sliver. The exact-match term itself is excluded (ES suggest_mode
+    behavior for the candidate list: you don't suggest the word typed)."""
+    q = term.lower()
+    vocab = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    pref = q[: max(0, prefix_length)]
+    cand = vocab.filter(
+        (F.substring("term", 1, len(pref)) == F.lit(pref))
+        & (F.abs(F.length("term") - F.lit(len(q))) <= F.lit(max_edits))
+        & (F.col("term") != F.lit(q))
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein(F.col("term"), F.lit(q)))
+        .filter(F.col("distance") <= F.lit(max_edits))
+        .orderBy("distance", F.desc("df"), "term")
+        .limit(k)
+    )
+
+
+def sql_term_suggest(
+    table: str,
+    id_col: str,
+    text_col: str,
+    term: str,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    k: int = 5,
+) -> str:
+    """DuckDB SQL reproducing :func:`term_suggest` exactly (DuckDB's
+    ``levenshtein`` and Spark's agree: plain unit-cost edit distance)."""
+    q = term.lower().replace("'", "''")
+    pref = q[: max(0, prefix_length)]
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*) AS df
+  FROM (
+    SELECT {id_col} AS doc_id, unnest(list_distinct({sql_tokenize(text_col)})) AS term
+    FROM {table}
+  )
+  GROUP BY term
+), cand AS (
+  SELECT term, CAST(df AS BIGINT) AS df,
+         CAST(levenshtein(term, '{q}') AS INTEGER) AS distance
+  FROM vocab
+  WHERE substr(term, 1, {len(pref)}) = '{pref}'
+    AND abs(length(term) - {len(q)}) <= {max_edits}
+    AND term <> '{q}'
+)
+SELECT term, df, distance FROM cand
+WHERE distance <= {max_edits}
+ORDER BY distance, df DESC, term LIMIT {k}
+"""
+
+
 def sql_bm25_search(table: str, id_col: str, text_col: str, query: str, k: int = 10) -> str:
     """DuckDB SQL reproducing :func:`bm25_search` exactly."""
     q_terms = sorted(set(query_terms(query)))

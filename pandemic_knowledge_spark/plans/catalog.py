@@ -118,6 +118,8 @@ from pandemic_knowledge_spark.operators.search import (
     phrase_search_from_postings,
     sql_more_like_this,
     sql_phrase_search,
+    sql_term_suggest,
+    term_suggest,
     bm25_search,
     bm25_search_fields,
     sql_bm25_search,
@@ -2446,6 +2448,24 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — relevance-ranked search (ES multi_match capability) as BM25."""
     d = load(spark, sf_dir, "documents")
     return bm25_search(d, "doc_id", "text", _BM25_QUERY, k=10)
+
+
+_SUGGEST_TERM = "strean"  # a typo of 'stream' (in-vocabulary at every sf)
+
+
+@q(
+    "search_term_suggest",
+    oracle=sql_term_suggest(
+        "documents", "doc_id", "text", _SUGGEST_TERM, max_edits=2, k=5
+    ),
+)
+def search_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester ("did you mean"): vocabulary terms within 2
+    Levenshtein edits of the typo, ES-style candidate pruning first
+    (shared 1-char prefix + length band — both pushable exact predicates),
+    ranked (distance, df DESC, term) — operators.search.term_suggest."""
+    d = load(spark, sf_dir, "documents")
+    return term_suggest(d, "doc_id", "text", _SUGGEST_TERM, max_edits=2, k=5)
 
 
 _MLT_SRC_DOC = 7  # exists at every sf (doc ids are dense from 0)
@@ -5186,6 +5206,7 @@ _DRIVER_PRIORITY = [
     "sql_door_doc_profile",      # NEW r6: raw-SQL door, corpus shape
     "search_more_like_this",     # NEW r6: ES more_like_this parity
     "agg_significant_terms",     # NEW r6: ES significant_terms parity
+    "search_term_suggest",       # NEW r6: ES term suggester parity
     "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
     # --- the 9 r2-only-green deferral IOUs ---
     "agg_histogram_buckets",
@@ -5215,7 +5236,9 @@ _DRIVER_PRIORITY = [
     "fuzzy_dim_match_nations",
     "graph_trade_pagerank",
     "ingest_owid_conform_fixture",
-    "ingest_weekly_conform_fixture",
+    # (ingest_weekly_conform_fixture — r3-green, deferred to the r7 head to
+    #  make room for search_term_suggest: the ingest/conform fixture family
+    #  keeps ingest_owid + both crawl fixtures in-window)
     "io_partitioned_roundtrip",
     "layout_zorder_box_scan",
     "lm_score_docs",

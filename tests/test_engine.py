@@ -159,6 +159,34 @@ def test_significant_terms_surfaces_foreground_vocabulary(spark):
     assert "maus" not in by_term and "vogel" not in by_term
 
 
+def test_term_suggest_ranks_by_distance_then_frequency(spark):
+    from pandemic_knowledge_spark.operators.search import term_suggest
+
+    rows = [
+        (1, "stream stream strem"),   # strem df 1
+        (2, "stream steam"),          # steam df 1
+        (3, "stream"),                # stream df 3
+        (4, "xylophone"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = term_suggest(d, "doc_id", "text", "strean", max_edits=2, k=5).collect()
+    got = [(r.term, r.df, r.distance) for r in out]
+    # stream: dist 1; steam/strem: dist 2, tie broken by df then term;
+    # the exact term 'strean' is absent from the corpus anyway; xylophone
+    # fails the prefix gate before levenshtein ever runs
+    assert got == [("stream", 3, 1), ("steam", 1, 2), ("strem", 1, 2)]
+
+
+def test_term_suggest_excludes_exact_match(spark):
+    from pandemic_knowledge_spark.operators.search import term_suggest
+
+    d = spark.createDataFrame(
+        [(1, "stream stream"), (2, "steam")], "doc_id long, text string"
+    )
+    got = {r.term for r in term_suggest(d, "doc_id", "text", "stream", k=5).collect()}
+    assert "stream" not in got and "steam" in got
+
+
 def test_sql_door_runs_catalog_door_queries(engine):
     """Engine.sql over the construction-time views IS the catalog's
     sql_door path: the same SQL text returns the same rows (the catalog
