@@ -659,19 +659,22 @@ def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
 PAIRS_PER_AGG_PARTITION = 2_000_000  # pair rows per intersection-count reduce partition
 
 
-def ngram_jaccard_pairs(
+def ngram_intersections(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     block_col: str,
     k: int = 2,
-    threshold: float = 0.3,
     collect_cap: int = 1024,
     allow_large: bool = False,
+    op_name: str = "ngram_intersections",
 ) -> DataFrame:
-    """Exact blocked n-gram Jaccard via an inverted shingle index — the
-    exhaustive baseline the LSH path approximates, in join form rather
-    than pair-at-a-time form.
+    """Shared exact pair-intersection core: (doc_a, doc_b, n_inter, sz_a,
+    sz_b) for every same-block doc pair sharing ≥ 1 distinct k-shingle
+    hash. Jaccard (:func:`ngram_jaccard_pairs`) and asymmetric containment
+    (:func:`ngram_containment_pairs`) are one formula away — both consume
+    THIS frame, so the chunked pair-emission machinery and the size gate
+    cannot fork between them.
 
     Distinct shingles explode to (block, shingle, doc) rows; a self
     equi-join on (block, shingle) + grouped count yields |A∩B| for exactly
@@ -723,12 +726,12 @@ def ngram_jaccard_pairs(
         est = size_estimate(docs)
         if est != UNKNOWN_SIZE and est >= thresh:
             raise ValueError(
-                f"ngram_jaccard_pairs: corpus size estimate {est} B >= "
-                f"{PRUNED_THRESHOLD_CONF}={thresh} B. Exact Jaccard is "
-                "quadratic in per-shingle doc frequency; at this scale use "
-                "minhash_lsh_pairs_auto (the approximate scale tier), raise "
-                "the threshold conf, or pass allow_large=True to accept the "
-                "quadratic cost explicitly."
+                f"{op_name}: corpus size estimate {est} B >= "
+                f"{PRUNED_THRESHOLD_CONF}={thresh} B. Exact pairwise "
+                "intersection is quadratic in per-shingle doc frequency; at "
+                "this scale use minhash_lsh_pairs_auto (the approximate "
+                "scale tier), raise the threshold conf, or pass "
+                "allow_large=True to accept the quadratic cost explicitly."
             )
     # The shingle sketch is CPU-bound and the checkpoint pins its
     # partitioning for every downstream stage — rebalance a
@@ -863,10 +866,28 @@ def ngram_jaccard_pairs(
         )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 2,
+    threshold: float = 0.3,
+    collect_cap: int = 1024,
+    allow_large: bool = False,
+) -> DataFrame:
+    """Exact blocked n-gram Jaccard over the shared intersection core:
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle-hash sets,
+    pairs at or above ``threshold`` → (doc_a, doc_b, jaccard)."""
+    base = ngram_intersections(
+        docs, id_col, text_col, block_col, k=k, collect_cap=collect_cap,
+        allow_large=allow_large, op_name="ngram_jaccard_pairs",
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        base.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter").cast("double")
@@ -876,6 +897,44 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 2,
+    threshold: float = 0.8,
+    collect_cap: int = 1024,
+    allow_large: bool = False,
+) -> DataFrame:
+    """Exact blocked n-gram CONTAINMENT — the asymmetric near-dup measure
+    Jaccard misses: cont(A in B) = |A∩B| / |A| is high whenever A is
+    (mostly) quoted inside a larger B even though their Jaccard is tiny
+    (a tweet inside an article scores |A|/|B| ≈ 0 Jaccard but 1.0
+    containment). The quote/superset detector a curation pipeline runs
+    BESIDE symmetric dedup: keep the superset, drop embedded copies, or
+    attribute quotes. Emits (doc_a, doc_b, cont_a_in_b, cont_b_in_a) for
+    pairs where EITHER direction reaches ``threshold``; consumes the same
+    chunked-pair-emission core (and size gate) as the Jaccard form —
+    Broder's resemblance-vs-containment pairing (Broder 1997, "On the
+    resemblance and containment of documents")."""
+    base = ngram_intersections(
+        docs, id_col, text_col, block_col, k=k, collect_cap=collect_cap,
+        allow_large=allow_large, op_name="ngram_containment_pairs",
+    )
+    c_ab = F.round(F.col("n_inter").cast("double") / F.col("sz_a"), 6)
+    c_ba = F.round(F.col("n_inter").cast("double") / F.col("sz_b"), 6)
+    return (
+        base.withColumn("cont_a_in_b", c_ab)
+        .withColumn("cont_b_in_a", c_ba)
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= F.lit(threshold)
+        )
+        .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a")
     )
 
 

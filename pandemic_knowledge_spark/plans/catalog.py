@@ -69,6 +69,7 @@ from pandemic_knowledge_spark.operators.dedup import (
     minhash_lsh_pairs_pruned,
     minhash_perm_params,
     near_dup_mark,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     shingles,
     simhash,
@@ -1862,6 +1863,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked on lang so the quadratic term is bounded per block."""
     d = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "doc_id", "text", "lang", k=2, threshold=0.3)
+
+
+def _ngram_hashed_cte(k: int) -> str:
+    """Shared DuckDB CTE pair: per-doc distinct k-shingle hash sets,
+    generalizing _NGRAM_ORACLE's k=2 form (same tokenizer, separator,
+    md5→61-bit→mod-P mapping as operators.dedup.shingle_hashes)."""
+    join = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(t) - {k - 2}), i -> {join})) AS sh
+  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
+  WHERE len(t) >= {k}
+), hs AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(sh, s -> {md5_int_expr('s')} % {HASH_MOD})) AS hs
+  FROM sh
+)"""
+
+
+_CONTAIN_K, _CONTAIN_THR = 3, 0.6
+
+_CONTAIN_ORACLE = f"""
+{_ngram_hashed_cte(_CONTAIN_K)}
+SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / len(a.hs), 6) AS cont_a_in_b,
+         round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / len(b.hs), 6) AS cont_b_in_a
+  FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= {_CONTAIN_THR}
+"""
+
+
+@q("dedup_ngram_containment", oracle=_CONTAIN_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked n-gram CONTAINMENT (Broder 1997's asymmetric measure):
+    cont(A in B) = |A∩B|/|A| catches a short doc quoted inside a longer
+    one — near-zero Jaccard, containment ≈ 1 — the quote/superset detector
+    run beside symmetric dedup. Shares the chunked pair-emission core and
+    size gate with the Jaccard form (operators.dedup.ngram_intersections);
+    k=3 shingles so the tiny synthetic vocabulary doesn't saturate."""
+    d = load(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, "doc_id", "text", "lang", k=_CONTAIN_K, threshold=_CONTAIN_THR
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5207,6 +5254,7 @@ _DRIVER_PRIORITY = [
     "search_more_like_this",     # NEW r6: ES more_like_this parity
     "agg_significant_terms",     # NEW r6: ES significant_terms parity
     "search_term_suggest",       # NEW r6: ES term suggester parity
+    "dedup_ngram_containment",   # NEW r6: asymmetric containment pairs
     "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
     # --- the 9 r2-only-green deferral IOUs ---
     "agg_histogram_buckets",
@@ -5228,7 +5276,10 @@ _DRIVER_PRIORITY = [
     "crawl_tweets_fixture_conform",
     "dedup_corpus_lines",
     "dedup_url_canonical",
-    "dedup_winnow_fingerprints",
+    # (dedup_winnow_fingerprints — r3-green, deferred to the r7 head to
+    #  make room for dedup_ngram_containment: the winnow family's r5 rows
+    #  dedup_winnow_pairs + dedup_winnow_cluster_reps both CONSUME the
+    #  fingerprints path, so it keeps fresh transitive coverage)
     "emb_kmeans_clusters",
     "epi_outbreak_spikes",
     "epi_rt_daily",

@@ -311,6 +311,37 @@ def test_ngram_jaccard_string_ids_fall_through_to_two_column_count(spark):
     assert got == expect and len(got) > 0
 
 
+def test_ngram_containment_detects_embedded_quote(spark):
+    """A short doc quoted verbatim inside a much longer one: Jaccard is
+    tiny (|A|/|B|), containment of the quote in the article is 1.0 — the
+    asymmetric measure must flag the pair the symmetric one misses."""
+    from pandemic_knowledge_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    rows = [
+        (1, "en", quote),
+        (2, "en", filler + " " + quote + " " + filler.replace("word", "unit")),
+        (3, "en", "completely unrelated vocabulary about streaming state"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    cont = {
+        (r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in ngram_containment_pairs(
+            d, "doc_id", "text", "lang", k=2, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)][0] == 1.0  # quote fully inside
+    assert all(k == (1, 2) for k in cont)             # nothing else flagged
+    jac = ngram_jaccard_pairs(
+        d, "doc_id", "text", "lang", k=2, threshold=0.5
+    ).collect()
+    assert jac == []  # the symmetric measure misses the embedded quote
+
+
 def test_ngram_jaccard_matches_python_reference(spark):
     """Seeded randomized cross-check against an independent pure-Python
     implementation (same md5-derived shingle hashing, same rounding) —
