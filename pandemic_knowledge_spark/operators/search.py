@@ -311,6 +311,75 @@ def more_like_this(
     )
 
 
+def more_like_this_from_postings(
+    postings: DataFrame,
+    stats,
+    src_doc_id,
+    k: int = 10,
+    max_query_terms: int = 8,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """``more_like_this`` probed from a persisted index — the interactive
+    path (ES fetches the source doc's term vector, selects terms, then
+    runs a pruned terms query; this does the same against the parquet
+    postings). Identical output to :func:`more_like_this` over the same
+    corpus (same selection math, same BM25, same exclusions) — pinned by
+    ``tests/test_engine.py``.
+
+    Two bounded driver round-trips, mirroring ES's interactive shape:
+    (1) the SOURCE doc's posting rows (one doc's vocabulary — the term
+    vector fetch; a full-scale deployment would also persist a doc-
+    partitioned forward index to prune this scan), then (2) df for just
+    those terms via a BUCKET-PRUNED probe (buckets are known once the
+    terms are). Selection (tf·ln(N/df), 6-dp round, alphabetical
+    tie-break, min_term_freq/min_doc_freq) runs driver-side over ≤ one
+    doc's vocabulary. Scoring reuses :func:`bm25_from_postings` — the
+    selected terms ARE tokens, so a space-joined query string re-analyzes
+    to exactly them — probing k+1 and dropping the source."""
+    import math
+
+    if isinstance(stats, tuple):
+        n_docs = int(stats[0])
+    else:
+        n_docs = int(stats.collect()[0]["n_docs"])
+    src_rows = (
+        postings.filter(F.col("doc_id") == F.lit(src_doc_id))
+        .filter(F.col("tf") >= F.lit(min_term_freq))
+        .select("term", "tf")
+        .collect()
+    )
+    if not src_rows:
+        return bm25_from_postings(postings, stats, "", k)  # empty, right schema
+    buckets = sorted({term_bucket_py(r.term) for r in src_rows})
+    src_terms = sorted({r.term for r in src_rows})
+    df_rows = (
+        postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(src_terms)
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    df_by_term = {r.term: r.df for r in df_rows}
+    ranked = sorted(
+        (
+            (-round(r.tf * math.log(n_docs / df_by_term[r.term]), 6), r.term)
+            for r in src_rows
+            if df_by_term.get(r.term, 0) >= min_doc_freq
+        ),
+    )[:max_query_terms]
+    if not ranked:
+        return bm25_from_postings(postings, stats, "", k)
+    query = " ".join(t for _, t in ranked)
+    hits = bm25_from_postings(postings, stats, query, k + 1)
+    return (
+        hits.filter(F.col("doc_id") != F.lit(src_doc_id))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 def sql_more_like_this(
     table: str,
     id_col: str,
@@ -760,6 +829,24 @@ class SearchIndex:
                 )
             return bm25_from_postings(self.postings, self.stats_scalars, query, k=k)
         return bm25_from_postings(self.postings, self.stats, query, k=k)
+
+    def more_like_this(
+        self,
+        src_doc_id,
+        k: int = 10,
+        max_query_terms: int = 8,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 1,
+    ) -> DataFrame:
+        """Related-docs probe from the index — ES more_like_this against
+        the persisted postings (see :func:`more_like_this_from_postings`);
+        output identical to the corpus-scan form."""
+        stats = self.stats_scalars if self.stats_scalars is not None else self.stats
+        return more_like_this_from_postings(
+            self.postings, stats, src_doc_id, k=k,
+            max_query_terms=max_query_terms,
+            min_term_freq=min_term_freq, min_doc_freq=min_doc_freq,
+        )
 
     def merge(self, docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> "SearchIndex":

@@ -2520,6 +2520,7 @@ _MLT_SRC_DOC = 7  # exists at every sf (doc ids are dense from 0)
 
 @q(
     "search_more_like_this",
+    bench=True,
     oracle=sql_more_like_this(
         "documents", "doc_id", "text", _MLT_SRC_DOC, 10,
         max_query_terms=8, min_term_freq=1, min_doc_freq=2,

@@ -85,6 +85,12 @@ WIDE_QUERIES = [
     "stream_near_dup_mark",    # r5: minhash-base + bucket-window shape
     "ann_rp_lsh_multi_topk",   # r5: OR-of-buckets pruned scan
     "ann_ivf_kmeans_topk",     # r5: Lloyd fit + assign + probe pipeline
+    # r6-new operators — first sf1 evidence for each cost shape:
+    "search_more_like_this",   # TF shuffle + broadcast term-set scoring
+    "agg_significant_terms",   # distinct-term explode + one term shuffle
+    "search_term_suggest",     # vocab agg + pruned levenshtein sliver
+    "dedup_ngram_containment", # shared chunked pair-emission core (k=3)
+    "sql_door_nation_revenue", # raw-SQL door 4-table join
 ]
 
 KEY_COLS = {

@@ -105,6 +105,43 @@ def test_more_like_this_ranks_shared_vocabulary(spark):
     assert all(scores[i] > scores.get(4, 0.0) for i in (2, 3))
 
 
+def test_more_like_this_index_probe_matches_corpus_scan(spark, sf_dir, tmp_path):
+    """The persisted-index MLT probe must return exactly the corpus-scan
+    form's rows — same selection, same BM25, same exclusion — including
+    through a save/load round-trip (the interactive deployment shape)."""
+    from pandemic_knowledge_spark import tables
+    from pandemic_knowledge_spark.operators.search import (
+        SearchIndex,
+        more_like_this,
+        more_like_this_from_postings,
+    )
+
+    d = tables.load(spark, sf_dir, "documents")
+    idx = SearchIndex.build(d, "doc_id", "text")
+    idx.save(str(tmp_path / "mlt_idx"))
+    loaded = SearchIndex.load(spark, str(tmp_path / "mlt_idx"))
+    for src in (0, 7, 11):
+        direct = [
+            (r.doc_id, r.score)
+            for r in more_like_this(
+                d, "doc_id", "text", src, k=10, min_doc_freq=2
+            ).collect()
+        ]
+        via_build = [
+            (r.doc_id, r.score)
+            for r in more_like_this_from_postings(
+                idx.postings, idx.stats, src, k=10, min_doc_freq=2
+            ).collect()
+        ]
+        via_loaded = [
+            (r.doc_id, r.score)
+            for r in loaded.more_like_this(src, k=10, min_doc_freq=2).collect()
+        ]
+        assert direct == via_build == via_loaded and len(direct) > 0, src
+    # unknown source: empty from the index path too
+    assert more_like_this_from_postings(idx.postings, idx.stats, 10**9).count() == 0
+
+
 def test_more_like_this_unknown_source_is_empty(spark):
     from pandemic_knowledge_spark.operators.search import more_like_this
 
