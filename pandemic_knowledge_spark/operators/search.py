@@ -262,6 +262,11 @@ def more_like_this(
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # ONE scalar-stats broadcast for the whole operator, carried on the
+        # checkpointed frame: selection needs N, scoring needs N + sum_dl —
+        # a keyless one-row join per consumer would double the plan's
+        # nested-loop count (the plan-audit scalar-BNLJ budget is one).
+        .crossJoin(F.broadcast(stats))
         .localCheckpoint(eager=True)
     )
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -274,7 +279,6 @@ def more_like_this(
         .filter(F.col("tf") >= F.lit(min_term_freq))
         .join(F.broadcast(df_t), "term")
         .filter(F.col("df") >= F.lit(min_doc_freq))
-        .crossJoin(F.broadcast(stats.select("n_docs")))
         .withColumn(
             "sel_score",
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
@@ -287,7 +291,6 @@ def more_like_this(
         tf.join(F.broadcast(selected), "term")
         .filter(F.col("doc_id") != F.lit(src_doc_id))
         .join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
         .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
         .withColumn(
             "idf",
