@@ -44,6 +44,59 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def percentile_ranks(
+    df: DataFrame, col: str, values, out_col: str = "pct_rank"
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation (the inverse of percentiles):
+    for each probe value v, the percentage of observed values ≤ v —
+    (value, pct_rank) rows, pct_rank = 100 · count(x ≤ v) / count(*),
+    6-dp rounded. ONE scan with a conditional sum per probe value (the
+    probe list is a handful of literals), no sort, no shuffle beyond the
+    scalar aggregate — the exact form of what ES's TDigest approximates."""
+    vals = list(values)
+    wide = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.when(F.col(col) <= F.lit(v), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__le{i}")
+            for i, v in enumerate(vals)
+        ],
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(v)).alias("value"),
+                        F.round(
+                            F.lit(100.0) * F.col(f"__le{i}") / F.col("__n"), 6
+                        ).alias(out_col),
+                    )
+                    for i, v in enumerate(vals)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+def sql_percentile_ranks(
+    table: str, col: str, values, out_col: str = "pct_rank"
+) -> str:
+    """DuckDB SQL reproducing :func:`percentile_ranks` exactly."""
+    vals = list(values)
+    les = ", ".join(
+        f"sum(CASE WHEN {col} <= {v} THEN 1 ELSE 0 END) AS le{i}"
+        for i, v in enumerate(vals)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({float(v)} AS DOUBLE) AS value, "
+        f"round(100.0 * le{i} / n, 6) AS {out_col} FROM wide"
+        for i, v in enumerate(vals)
+    )
+    return f"WITH wide AS (SELECT count(*) AS n, {les} FROM {table})\n{rows}"
+
+
 def decimal_bucket(v: Column) -> Column:
     """Order-monotone coarse bucket for integer columns: sign ×
     (digit_count·1000 + leading 3 digits); 0 for zero; NULL stays NULL

@@ -314,6 +314,48 @@ def more_like_this(
     )
 
 
+def rrf_fuse(
+    rankings,
+    rank_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009; ES 8's hybrid-retrieval
+    combiner): fused_score(d) = Σ over result lists 1/(rank_const +
+    rank(d)), ranks 1-based, absent-from-a-list contributes nothing —
+    the standard way to merge a lexical (BM25) and a vector (kNN) ranking
+    without score calibration. ``rankings`` is a sequence of
+    (frame, id_col, score_col) triples; each frame is a TOP-K result
+    (bounded — ranks derive from a window over ≤ k rows, never a corpus),
+    ranked (score DESC, id ASC) exactly as every scorer here emits.
+    Output (doc_id, rrf_score) top-k, ties by id. With two lists the
+    per-doc sum has ≤ 2 addends, so IEEE addition is order-exact and the
+    fused score replays bit-identically in the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    parts = []
+    for frame, id_col, score_col in rankings:
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        parts.append(
+            frame.select(
+                F.col(id_col).alias("doc_id"),
+                F.row_number().over(w).alias("rnk"),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return (
+        unioned.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(rank_const) + F.col("rnk"))), 6
+            ).alias("rrf_score")
+        )
+        .orderBy(F.desc("rrf_score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 def more_like_this_from_postings(
     postings: DataFrame,
     stats,

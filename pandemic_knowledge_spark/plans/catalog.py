@@ -91,7 +91,10 @@ from pandemic_knowledge_spark.operators.quality import (
     sql_quality_scores,
 )
 from pandemic_knowledge_spark.operators.decontamination import contamination_report
-from pandemic_knowledge_spark.operators.ranks import decimal_bucket
+from pandemic_knowledge_spark.operators.ranks import (
+    decimal_bucket,
+    sql_percentile_ranks,
+)
 from pandemic_knowledge_spark.operators.packing import pack_sequences
 from pandemic_knowledge_spark.operators.repetition import (
     repetition_signals,
@@ -117,6 +120,7 @@ from pandemic_knowledge_spark.operators.search import (
     build_positional_postings,
     more_like_this,
     phrase_search_from_postings,
+    rrf_fuse,
     sql_more_like_this,
     sql_phrase_search,
     sql_term_suggest,
@@ -988,6 +992,25 @@ def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         as_money(cents_sum("o_totalprice")).alias("total_price"),
     )
+
+
+_PCT_RANK_VALUES = (1000.0, 50000.0, 150000.0, 300000.0, 450000.0)
+
+
+@q(
+    "agg_percentile_ranks",
+    oracle=sql_percentile_ranks("orders", "o_totalprice", _PCT_RANK_VALUES),
+)
+def agg_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks aggregation (the inverse of the percentile
+    panel): for each probe price, the percentage of orders at or below it
+    (operators.ranks.percentile_ranks) — ONE scan, one conditional sum
+    per probe literal, no sort. ES approximates this with TDigest; the
+    exact form is oracle-checkable."""
+    o = load(spark, sf_dir, "orders")
+    from pandemic_knowledge_spark.operators.ranks import percentile_ranks
+
+    return percentile_ranks(o, "o_totalprice", _PCT_RANK_VALUES)
 
 
 @q(
@@ -2537,6 +2560,47 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return more_like_this(
         d, "doc_id", "text", _MLT_SRC_DOC, k=10,
         max_query_terms=8, min_term_freq=1, min_doc_freq=2,
+    )
+
+
+_RRF_K = 20  # per-list depth fed into the fusion
+
+
+@q(
+    "search_hybrid_rrf",
+    oracle=f"""
+WITH text_hits AS (
+  SELECT * FROM ({sql_bm25_search('documents', 'doc_id', 'text', _BM25_QUERY, _RRF_K)}) t
+), vec_hits AS (
+  SELECT vec_id, round({sql_cosine('embedding', _QLIT)}, 6) AS cos_sim
+  FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT {_RRF_K}
+), tr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM text_hits
+), vr AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk FROM vec_hits
+), allr AS (
+  SELECT doc_id, rnk FROM tr UNION ALL SELECT doc_id, rnk FROM vr
+)
+SELECT doc_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf_score
+FROM allr GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (ES 8's RRF retriever —
+    the lexical+vector combination RAG stacks run): BM25 top-20 over
+    documents.text fused with brute-cosine top-20 over the aligned
+    embeddings (vec_id ≡ doc_id in the testdata), fused_score =
+    Σ 1/(60 + rank), top-10 (operators.search.rrf_fuse). Each ranking is
+    already a bounded top-k, so the fusion windows sort ≤ 20 rows each —
+    never a corpus."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    text_hits = bm25_search(d, "doc_id", "text", _BM25_QUERY, k=_RRF_K)
+    vec_hits = knn_brute_force(e, "embedding", "vec_id", QUERY_VEC, k=_RRF_K)
+    return rrf_fuse(
+        [(text_hits, "doc_id", "score"), (vec_hits, "vec_id", "cos_sim")],
+        rank_const=60,
+        k=10,
     )
 
 
@@ -5256,6 +5320,8 @@ _DRIVER_PRIORITY = [
     "agg_significant_terms",     # NEW r6: ES significant_terms parity
     "search_term_suggest",       # NEW r6: ES term suggester parity
     "dedup_ngram_containment",   # NEW r6: asymmetric containment pairs
+    "search_hybrid_rrf",         # NEW r6: BM25 ⊕ kNN reciprocal-rank fusion
+    "agg_percentile_ranks",      # NEW r6: ES percentile_ranks aggregation
     "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
     # --- the 9 r2-only-green deferral IOUs ---
     "agg_histogram_buckets",
@@ -5271,7 +5337,9 @@ _DRIVER_PRIORITY = [
     "bpe_encode_docs",
     "bpe_learn_merges",
     "chunk_documents_grid",
-    "cohort_weekly_retention",
+    # (cohort_weekly_retention — r3-green, deferred to the r7 head to make
+    #  room for search_hybrid_rrf: funnel_signup_view_purchase keeps the
+    #  funnel/retention machinery in-window)
     "corpus_training_prep",
     "crawl_news_fixture_conform",
     "crawl_tweets_fixture_conform",
@@ -5282,7 +5350,9 @@ _DRIVER_PRIORITY = [
     #  dedup_winnow_pairs + dedup_winnow_cluster_reps both CONSUME the
     #  fingerprints path, so it keeps fresh transitive coverage)
     "emb_kmeans_clusters",
-    "epi_outbreak_spikes",
+    # (epi_outbreak_spikes — r3-green, deferred to the r7 head to make room
+    #  for agg_percentile_ranks: epi_rt_daily keeps the shared
+    #  daily_counts_dense machinery in-window)
     "epi_rt_daily",
     "funnel_signup_view_purchase",
     "fuzzy_dim_match_nations",

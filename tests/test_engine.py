@@ -166,6 +166,36 @@ def test_more_like_this_min_doc_freq_prunes_singleton_terms(spark):
     )
 
 
+def test_rrf_fuse_known_rankings(spark):
+    """Hand-checkable fusion: doc 1 is rank 1 in both lists →
+    2/(60+1); doc 2 is rank 2 + rank 3 → 1/62 + 1/63; doc 3 only in one
+    list → 1/62. Fused order must be 1, 2, 3."""
+    from pandemic_knowledge_spark.operators.search import rrf_fuse
+
+    text = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 4.0)], "doc_id long, score double"
+    )
+    vec = spark.createDataFrame(
+        [(1, 0.99), (4, 0.70), (2, 0.60)], "vec_id long, cos_sim double"
+    )
+    out = rrf_fuse(
+        [(text, "doc_id", "score"), (vec, "vec_id", "cos_sim")], k=10
+    ).collect()
+    scores = {r.doc_id: r.rrf_score for r in out}
+    assert scores[1] == round(1 / 61 + 1 / 61, 6)
+    assert scores[2] == round(1 / 62 + 1 / 63, 6)
+    assert scores[3] == round(1 / 63, 6) and scores[4] == round(1 / 62, 6)
+    assert [r.doc_id for r in out][:2] == [1, 2]  # both-lists docs lead
+
+
+def test_percentile_ranks_exact_fractions(spark):
+    from pandemic_knowledge_spark.operators.ranks import percentile_ranks
+
+    d = spark.createDataFrame([(float(v),) for v in range(1, 11)], "x double")
+    out = {r.value: r.pct_rank for r in percentile_ranks(d, "x", (0.0, 5.0, 10.0)).collect()}
+    assert out == {0.0: 0.0, 5.0: 50.0, 10.0: 100.0}
+
+
 def test_significant_terms_surfaces_foreground_vocabulary(spark):
     """Terms exclusive to the foreground docs must outrank corpus-wide
     terms (which score ~0: fg_pct == bg_pct ⇒ JLH ≈ small), and terms
