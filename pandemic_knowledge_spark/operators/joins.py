@@ -93,10 +93,15 @@ def asof_join(
     right_time: str,
     right_payload: Sequence[str],
     strict: bool = True,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row at-or-before
     (``strict=False``) / strictly-before (``strict=True``) its timestamp,
-    per join key.
+    per join key. ``tolerance`` (pandas ``merge_asof`` semantics): a match
+    older than ``tolerance`` seconds (or axis units, for numeric time
+    columns) is discarded — the payload columns come back NULL, exactly as
+    if no right row preceded the left one. Staleness cut-offs ("use the
+    last quote, but only if it's fresher than 5 minutes") are this knob.
 
     Scalable union-sort implementation — NO pairwise join, NO explosion:
     tag both sides, union on (key, time), and carry the last non-null right
@@ -112,13 +117,21 @@ def asof_join(
     # DIFFERENT right rows whenever a right row holds nulls in some payload
     # columns — a row-inconsistent as-of match. The struct is non-null
     # exactly for right rows, so one carry selects one whole matched row.
+    # the matched right TIME rides inside the carried struct (__rt) so the
+    # tolerance check can compare it against the left row's time after the
+    # carry — per-column carries couldn't know which right row matched
     payload_struct = F.struct(
-        *[F.col(p).alias(p) for p in right_payload]
+        F.col(right_time).alias("__rt"),
+        *[F.col(p).alias(p) for p in right_payload],
     )
     null_struct = F.lit(None).cast(
         "struct<"
         + ",".join(
-            f"{p}:{right.schema[p].dataType.simpleString()}" for p in right_payload
+            [f"__rt:{right.schema[right_time].dataType.simpleString()}"]
+            + [
+                f"{p}:{right.schema[p].dataType.simpleString()}"
+                for p in right_payload
+            ]
         )
         + ">"
     )
@@ -151,14 +164,21 @@ def asof_join(
     )
     carried = unioned.select(
         *lcols,
+        F.col("__t"),
         F.col("__is_left"),
         F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r_asof"),
     )
+    match = F.col("__r_asof")
+    if tolerance is not None:
+        # gap is >= 0 by construction (the carry only sees earlier rows);
+        # a stale match nulls out whole, exactly as if none existed
+        gap = F.col("__t").cast("double") - match["__rt"].cast("double")
+        match = F.when(gap <= F.lit(float(tolerance)), match)
     return (
         carried.where(F.col("__is_left") == 1)
         .select(
             *lcols,
-            *[F.col(f"__r_asof.{p}").alias(p + "_asof") for p in right_payload],
+            *[match[p].alias(p + "_asof") for p in right_payload],
         )
     )
 

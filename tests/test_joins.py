@@ -53,6 +53,35 @@ def test_asof_no_match_yields_nulls(spark):
     assert len(out) == 1 and out[0].price_asof is None
 
 
+def test_asof_tolerance_discards_stale_matches(spark):
+    """pandas merge_asof tolerance semantics: a match older than the
+    tolerance comes back NULL, a fresh one survives — per left row, on
+    the same run."""
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 100)], "key string, t long"
+    )
+    right = spark.createDataFrame(
+        [("k", 8, 5)], "key string, t long, price int"
+    )
+    out = {
+        r.t: r.price_asof
+        for r in asof_join(
+            left, right, ["key"], "t", "t", ["price"],
+            strict=True, tolerance=10.0,
+        ).collect()
+    }
+    assert out[10] == 5        # gap 2 <= 10: fresh
+    assert out[100] is None    # gap 92 > 10: stale, nulled out
+    # tolerance=None keeps the unbounded behavior
+    unbounded = {
+        r.t: r.price_asof
+        for r in asof_join(
+            left, right, ["key"], "t", "t", ["price"], strict=True
+        ).collect()
+    }
+    assert unbounded == {10: 5, 100: 5}
+
+
 def test_banded_range_join_matches_theta_join(spark):
     """Banded equi-join + recheck must reproduce the naive theta-join exactly,
     including boundary semantics (lo inclusive, hi exclusive) and intervals
