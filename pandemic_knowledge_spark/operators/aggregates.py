@@ -119,6 +119,97 @@ def significant_terms(
     )
 
 
+def matrix_stats(df: DataFrame, cols) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: pairwise population covariance and
+    Pearson correlation across numeric fields, in ONE scan. ``cols`` is a
+    sequence of (name, integer-valued Column) — the caller scales each
+    field to exact integers (cents, permille, ...) so every sum is
+    order-insensitive int64; the moments then combine in DOUBLE with one
+    fixed expression shape, so the result is bit-identical on any engine
+    and partitioning (native covar_pop/corr over raw doubles drift with
+    partial-agg order). Covariance is in the caller's scaled units;
+    correlation is scale-invariant. Output one row per unordered field
+    pair (col_a ≤ col_b): (col_a, col_b, n, covariance, correlation),
+    6-dp rounded; the diagonal's correlation is exactly 1."""
+    names = [n for n, _ in cols]
+    m = len(names)
+    proj = df.select(
+        *[c.cast("long").alias(f"__v{i}") for i, (_, c) in enumerate(cols)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(m):
+        aggs.append(F.sum(F.col(f"__v{i}")).alias(f"s{i}"))
+        for j in range(i, m):
+            aggs.append(
+                F.sum(F.col(f"__v{i}") * F.col(f"__v{j}")).alias(f"p{i}_{j}")
+            )
+    wide = proj.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def dbl(name: str):
+        return F.col(name).cast("double")
+
+    rows = []
+    for i in range(m):
+        for j in range(i, m):
+            num = nd * dbl(f"p{i}_{j}") - dbl(f"s{i}") * dbl(f"s{j}")
+            var_i = nd * dbl(f"p{i}_{i}") - dbl(f"s{i}") * dbl(f"s{i}")
+            var_j = nd * dbl(f"p{j}_{j}") - dbl(f"s{j}") * dbl(f"s{j}")
+            rows.append(
+                F.struct(
+                    F.lit(names[i]).alias("col_a"),
+                    F.lit(names[j]).alias("col_b"),
+                    F.col("n").alias("n"),
+                    F.round(num / (nd * nd), 6).alias("covariance"),
+                    F.round(num / F.sqrt(var_i * var_j), 6).alias("correlation"),
+                )
+            )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def sql_matrix_stats(table: str, cols) -> str:
+    """DuckDB SQL reproducing :func:`matrix_stats` exactly. ``cols`` maps
+    name → integer-valued SQL expression (must match the Spark scaling)."""
+    names = [n for n, _ in cols]
+    m = len(names)
+    exprs = {n: e for n, e in cols}
+    sums = ["count(*) AS n"]
+    for i in range(m):
+        sums.append(f"sum(v{i}) AS s{i}")
+        for j in range(i, m):
+            sums.append(f"sum(v{i} * v{j}) AS p{i}_{j}")
+    proj = ", ".join(
+        f"CAST({exprs[names[i]]} AS BIGINT) AS v{i}" for i in range(m)
+    )
+    selects = []
+    for i in range(m):
+        for j in range(i, m):
+            num = (
+                f"(CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+            )
+            var_i = (
+                f"(CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+            )
+            var_j = (
+                f"(CAST(n AS DOUBLE) * CAST(p{j}_{j} AS DOUBLE)"
+                f" - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+            )
+            selects.append(
+                f"SELECT '{names[i]}' AS col_a, '{names[j]}' AS col_b, "
+                f"CAST(n AS BIGINT) AS n, "
+                f"round({num} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covariance, "
+                f"round({num} / sqrt({var_i} * {var_j}), 6) AS correlation "
+                f"FROM wide"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        f"WITH proj AS (SELECT {proj} FROM {table}),\n"
+        f"wide AS (SELECT {', '.join(sums)} FROM proj)\n{body}"
+    )
+
+
 def sql_significant_terms(
     table: str,
     id_col: str,

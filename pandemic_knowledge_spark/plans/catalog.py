@@ -53,8 +53,10 @@ from pandemic_knowledge_spark.operators.aggregates import (
     as_money,
     cents,
     cents_sum,
+    matrix_stats,
     significant_terms,
     sql_cents_sum,
+    sql_matrix_stats,
     sql_significant_terms,
     terms_topn,
 )
@@ -991,6 +993,38 @@ def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         as_money(cents_sum("o_totalprice")).alias("total_price"),
+    )
+
+
+_MATRIX_COLS_SQL = (
+    ("quantity", "l_quantity"),
+    ("price_usd", "round(l_extendedprice)"),
+    ("discount_pm", "round(l_discount * 1000)"),
+    ("tax_pm", "round(l_tax * 1000)"),
+)
+
+
+@q(
+    "agg_matrix_stats",
+    oracle=sql_matrix_stats("lineitem", _MATRIX_COLS_SQL),
+)
+def agg_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats aggregation: the pairwise covariance/correlation
+    matrix over lineitem's numeric fields in ONE scan
+    (operators.aggregates.matrix_stats). Fields scale to exact integers
+    first — whole dollars for price (cents² sums would overflow int64 at
+    sf0.1), permille for the rate columns — so every moment is an
+    order-insensitive integer sum and the double combination is
+    bit-identical on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return matrix_stats(
+        li,
+        (
+            ("quantity", F.col("l_quantity")),
+            ("price_usd", F.round(F.col("l_extendedprice"))),
+            ("discount_pm", F.round(F.col("l_discount") * 1000)),
+            ("tax_pm", F.round(F.col("l_tax") * 1000)),
+        ),
     )
 
 
@@ -5322,6 +5356,7 @@ _DRIVER_PRIORITY = [
     "dedup_ngram_containment",   # NEW r6: asymmetric containment pairs
     "search_hybrid_rrf",         # NEW r6: BM25 ⊕ kNN reciprocal-rank fusion
     "agg_percentile_ranks",      # NEW r6: ES percentile_ranks aggregation
+    "agg_matrix_stats",          # NEW r6: ES matrix_stats (cov/corr matrix)
     "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
     # --- the 9 r2-only-green deferral IOUs ---
     "agg_histogram_buckets",
@@ -5342,7 +5377,10 @@ _DRIVER_PRIORITY = [
     #  funnel/retention machinery in-window)
     "corpus_training_prep",
     "crawl_news_fixture_conform",
-    "crawl_tweets_fixture_conform",
+    # (crawl_tweets_fixture_conform — r3-green, deferred to the r7 head to
+    #  make room for agg_matrix_stats: the crawler/conform family keeps
+    #  crawl_news_fixture_conform in-window and the tweet source cap stays
+    #  pytest-pinned)
     "dedup_corpus_lines",
     "dedup_url_canonical",
     # (dedup_winnow_fingerprints — r3-green, deferred to the r7 head to

@@ -196,6 +196,32 @@ def test_percentile_ranks_exact_fractions(spark):
     assert out == {0.0: 0.0, 5.0: 50.0, 10.0: 100.0}
 
 
+def test_matrix_stats_known_moments(spark):
+    """Hand-checkable matrix: y = 2x → corr exactly 1; z = −x → corr −1;
+    diagonal corr 1; covariance matches the population formula."""
+    from pandemic_knowledge_spark.operators.aggregates import matrix_stats
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(1, 2, -1), (2, 4, -2), (3, 6, -3), (4, 8, -4)],
+        "x long, y long, z long",
+    )
+    out = {
+        (r.col_a, r.col_b): r
+        for r in matrix_stats(
+            d, (("x", F.col("x")), ("y", F.col("y")), ("z", F.col("z")))
+        ).collect()
+    }
+    assert out[("x", "y")].correlation == 1.0
+    assert out[("x", "z")].correlation == -1.0
+    assert out[("x", "x")].correlation == 1.0
+    # population var(x) for 1..4 = 1.25; cov(x,y)=2*var=2.5; cov(x,z)=-1.25
+    assert out[("x", "x")].covariance == 1.25
+    assert out[("x", "y")].covariance == 2.5
+    assert out[("x", "z")].covariance == -1.25
+    assert all(r.n == 4 for r in out.values()) and len(out) == 6
+
+
 def test_significant_terms_surfaces_foreground_vocabulary(spark):
     """Terms exclusive to the foreground docs must outrank corpus-wide
     terms (which score ~0: fg_pct == bg_pct ⇒ JLH ≈ small), and terms
