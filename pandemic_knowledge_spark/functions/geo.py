@@ -71,6 +71,29 @@ def sq_degree_dist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Co
     return (lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)
 
 
+def ring_index(sq_dist: Column, edges_deg) -> Column:
+    """ES/Kibana ``geo_distance`` ring bucket: the index of the first ring
+    whose outer edge exceeds the point's distance (edges in DEGREES,
+    compared as squared degrees — exact arithmetic, no trig, so the bucket
+    id hashes identically on any engine; the same determinism trade-off as
+    :func:`sq_degree_dist`). Points beyond the last edge land in ring
+    len(edges) (the unbounded outer ring)."""
+    expr = F.lit(len(edges_deg))
+    for i in range(len(edges_deg) - 1, -1, -1):
+        e = float(edges_deg[i])
+        expr = F.when(sq_dist < F.lit(e * e), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def sql_ring_index(sq_dist_expr: str, edges_deg) -> str:
+    """DuckDB emitter for :func:`ring_index` — same edge² comparisons."""
+    cases = " ".join(
+        f"WHEN ({sq_dist_expr}) < {float(e) * float(e)} THEN {i}"
+        for i, e in enumerate(edges_deg)
+    )
+    return f"CASE {cases} ELSE {len(edges_deg)} END"
+
+
 # Oracle SQL fragments (DuckDB) — the IDENTICAL arithmetic as above.
 
 def sql_synth_lat(key: str) -> str:

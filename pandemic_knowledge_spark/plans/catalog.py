@@ -41,8 +41,10 @@ from pandemic_knowledge_spark.functions.text import (
 )
 from pandemic_knowledge_spark.functions.geo import (
     grid_cell,
+    ring_index,
     sq_degree_dist,
     sql_grid,
+    sql_ring_index,
     sql_synth_lat,
     sql_synth_lon,
     synth_lat,
@@ -3014,6 +3016,47 @@ def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RING_EDGES = (15.0, 45.0, 90.0)  # degree radii around the origin point
+_RING_ORIGIN = (10.0, 20.0)
+
+
+@q(
+    "geo_distance_rings",
+    oracle=f"""
+WITH pts AS (
+  SELECT ({sql_synth_lat('c_custkey')} - {_RING_ORIGIN[0]}) * ({sql_synth_lat('c_custkey')} - {_RING_ORIGIN[0]})
+       + ({sql_synth_lon('c_custkey')} - {_RING_ORIGIN[1]}) * ({sql_synth_lon('c_custkey')} - {_RING_ORIGIN[1]}) AS sq_dist,
+         c_acctbal
+  FROM customer
+)
+SELECT {sql_ring_index('sq_dist', _RING_EDGES)} AS ring,
+       count(*) AS n_customers,
+       CAST({sql_cents_sum('c_acctbal')} AS DOUBLE) / 100.0 AS sum_acctbal
+FROM pts GROUP BY ring
+""",
+)
+def geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES/Kibana geo_distance aggregation (the map's concentric-rings
+    panel): customers bucketed by distance rings around a point, count +
+    metric per ring (functions.geo.ring_index — exact squared-degree
+    arithmetic so the bucket ids hash across engines; the haversine
+    display form shares the trade-off note on sq_degree_dist). Scan-side
+    ring id → one narrow groupBy, same shape as the grid panel."""
+    cust = load(spark, sf_dir, "customer")
+    lat, lon = synth_lat(F.col("c_custkey")), synth_lon(F.col("c_custkey"))
+    sq = sq_degree_dist(lat, lon, F.lit(_RING_ORIGIN[0]), F.lit(_RING_ORIGIN[1]))
+    return (
+        cust.select(
+            ring_index(sq, _RING_EDGES).alias("ring"), F.col("c_acctbal")
+        )
+        .groupBy("ring")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            as_money(cents_sum("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
 @q(
     "geo_nearest_customers",
     oracle=f"""
@@ -5357,6 +5400,7 @@ _DRIVER_PRIORITY = [
     "search_hybrid_rrf",         # NEW r6: BM25 ⊕ kNN reciprocal-rank fusion
     "agg_percentile_ranks",      # NEW r6: ES percentile_ranks aggregation
     "agg_matrix_stats",          # NEW r6: ES matrix_stats (cov/corr matrix)
+    "geo_distance_rings",        # NEW r6: ES geo_distance ring aggregation
     "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
     # --- the 9 r2-only-green deferral IOUs ---
     "agg_histogram_buckets",
@@ -5400,7 +5444,10 @@ _DRIVER_PRIORITY = [
     #  make room for search_term_suggest: the ingest/conform fixture family
     #  keeps ingest_owid + both crawl fixtures in-window)
     "io_partitioned_roundtrip",
-    "layout_zorder_box_scan",
+    # (layout_zorder_box_scan — r3-green, deferred to the r7 head to make
+    #  room for geo_distance_rings: the layout family keeps
+    #  io_partitioned_roundtrip in-window and the pruning property stays
+    #  pinned in tests/test_layout.py)
     "lm_score_docs",
     "multimodal_media_features",
     "privacy_k_anonymize",
