@@ -161,3 +161,120 @@ def budget_mixture_sample(
         .filter(hash_bucket(key, salt) < F.col("rate_permille"))
         .drop("__T")
     )
+
+
+# --------------------------------------------------------------------- DSIR
+
+
+def dsir_rank(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 4096,
+    top_k: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR):
+    rank candidate docs by how much they resemble a TARGET distribution,
+    estimated over hashed bigram features — the standard LLM-pretraining
+    data-selection move ("pick web text that looks like Wikipedia").
+
+    log w(x) = Σ over x's bigrams of [ln p̂_target(b) − ln p̂_raw(b)] with
+    add-1-smoothed bucket unigram models (p̂(b) = (cnt_b + 1)/(total + B)).
+    Candidates are the NON-target docs; target docs define the numerator
+    model and the whole corpus the denominator (the raw pool).
+
+    Engine shape — every stage order-insensitive: bigrams hash to
+    ``n_buckets`` buckets (md5→61-bit→mod, the shared shingle mapping; the
+    FEATURE MULTISET is kept — no distinct — as DSIR's unigram model
+    counts occurrences), bucket counts are one map-side-combined shuffle,
+    the per-bucket log-ratio quantizes to INTEGER micro-log-units
+    (round(lr·1e6) — so the per-doc sum is an exact int64 aggregate,
+    partitioning-invariant where a float sum would drift), the ≤n_buckets
+    ratio table broadcasts back onto the exploded features, and the
+    ranking is a heap top-k on (log_w DESC, doc_id). Output (doc_id,
+    log_w) with log_w = micro-units / 1e6."""
+    from pandemic_knowledge_spark.operators.dedup import HASH_MOD, _kgram_concat
+    from pandemic_knowledge_spark.functions.text import md5_int, tokenize
+
+    toks = tokenize(text_col)
+    grams = F.when(F.size(toks) >= 2, _kgram_concat(toks, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("tgt"),
+        F.transform(
+            grams, lambda s: (md5_int(s) % HASH_MOD) % n_buckets
+        ).alias("bs"),
+    )
+    ex = base.select("doc_id", "tgt", F.explode("bs").alias("b"))
+    counts = ex.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("tc"),
+        F.count(F.lit(1)).alias("rc"),
+    )
+    totals = counts.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("tc") + 1).cast("double") / (F.col("tt") + n_buckets))
+                - F.log((F.col("rc") + 1).cast("double") / (F.col("rt") + n_buckets))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lri"),
+    )
+    return (
+        ex.filter(~F.col("tgt"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lri") / 1e6, 6).alias("log_w"))
+        .orderBy(F.desc("log_w"), F.col("doc_id"))
+        .limit(top_k)
+    )
+
+
+def sql_dsir_rank(
+    table: str,
+    id_col: str,
+    text_col: str,
+    target_pred_sql: str,
+    n_buckets: int = 4096,
+    top_k: int = 100,
+) -> str:
+    """DuckDB SQL reproducing :func:`dsir_rank` exactly (same bigram
+    hashing, add-1 smoothing, micro-log-unit quantization and tie-break)."""
+    from pandemic_knowledge_spark.operators.dedup import HASH_MOD
+    from pandemic_knowledge_spark.functions.text import md5_int_expr, sql_tokenize
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, __tp AS tgt,
+         CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> ({md5_int_expr("t[i] || ' ' || t[i+1]")} % {HASH_MOD}) % {n_buckets})
+         ELSE [] END AS bs
+  FROM (SELECT {id_col} AS doc_id, ({target_pred_sql}) AS __tp, {sql_tokenize(text_col)} AS t FROM {table})
+), ex AS (
+  SELECT doc_id, tgt, unnest(bs) AS b FROM base
+), counts AS (
+  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc, count(*) AS rc
+  FROM ex GROUP BY b
+), totals AS (
+  SELECT sum(tc) AS tt, sum(rc) AS rt FROM counts
+), lr AS (
+  SELECT b, CAST(round(
+    (ln(CAST(tc + 1 AS DOUBLE) / (tt + {n_buckets}))
+     - ln(CAST(rc + 1 AS DOUBLE) / (rt + {n_buckets}))) * 1e6
+  ) AS BIGINT) AS lri
+  FROM counts, totals
+)
+SELECT doc_id, round(CAST(sum(lri) AS DOUBLE) / 1e6, 6) AS log_w
+FROM ex JOIN lr ON ex.b = lr.b
+WHERE NOT tgt
+GROUP BY doc_id
+ORDER BY log_w DESC, doc_id LIMIT {top_k}
+"""

@@ -106,9 +106,11 @@ from pandemic_knowledge_spark.operators.repetition import (
 )
 from pandemic_knowledge_spark.operators.sampling import (
     budget_mixture_sample,
+    dsir_rank,
     fixed_n_per_stratum,
     hash_bucket_sql,
     hash_split,
+    sql_dsir_rank,
     stratified_sample,
     upsample_by_stratum,
 )
@@ -4092,6 +4094,26 @@ def pack_training_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sampling suite (documents) — deterministic, engine-portable membership
 # ---------------------------------------------------------------------------
 
+@q(
+    "sample_dsir_rank",
+    oracle=sql_dsir_rank(
+        "documents", "doc_id", "text", "lang = 'de'", n_buckets=4096, top_k=50
+    ),
+)
+def sample_dsir_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): rank non-German candidate
+    docs by resemblance to the German target slice under hashed-bigram
+    unigram models — the 'pick raw text that looks like the target
+    distribution' move LLM pretraining pipelines run at corpus scale
+    (operators.sampling.dsir_rank). Per-bucket log-ratios quantize to
+    integer micro-log-units so the per-doc sums are exact and
+    partitioning-invariant."""
+    d = load(spark, sf_dir, "documents")
+    return dsir_rank(
+        d, "doc_id", "text", F.col("lang") == "de", n_buckets=4096, top_k=50
+    )
+
+
 _MIX_RATES = {"en": 200}  # downweight the dominant language
 _MIX_DEFAULT = 500
 
@@ -5401,6 +5423,7 @@ _DRIVER_PRIORITY = [
     "agg_percentile_ranks",      # NEW r6: ES percentile_ranks aggregation
     "agg_matrix_stats",          # NEW r6: ES matrix_stats (cov/corr matrix)
     "geo_distance_rings",        # NEW r6: ES geo_distance ring aggregation
+    "sample_dsir_rank",          # NEW r6: DSIR importance-resampling rank
     "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
     # --- the 9 r2-only-green deferral IOUs ---
     "agg_histogram_buckets",
@@ -5438,7 +5461,10 @@ _DRIVER_PRIORITY = [
     "epi_rt_daily",
     "funnel_signup_view_purchase",
     "fuzzy_dim_match_nations",
-    "graph_trade_pagerank",
+    # (graph_trade_pagerank — r3-green, deferred to the r7 head to make
+    #  room for sample_dsir_rank: the iterative-graph family's
+    #  convergence/asymptotics evidence stays pinned in tests/test_graph.py
+    #  and the r5 sf3 probe)
     "ingest_owid_conform_fixture",
     # (ingest_weekly_conform_fixture — r3-green, deferred to the r7 head to
     #  make room for search_term_suggest: the ingest/conform fixture family

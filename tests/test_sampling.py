@@ -128,3 +128,33 @@ def test_fixed_n_per_stratum_exact_counts_and_stability(spark, sf_dir):
     one = d.filter(F.col("source") == "src1")
     solo = fixed_n_per_stratum(one, F.col("doc_id"), "source", 3, "pick")
     assert _ids(solo) == _ids(out.filter(F.col("source") == "src1"))
+
+
+def test_dsir_rank_prefers_target_like_candidates(spark):
+    """Candidates sharing the target slice's vocabulary must outrank
+    candidates that don't; target docs themselves are never candidates;
+    the ranking is partitioning-invariant (integer micro-log-unit sums)."""
+    from pandemic_knowledge_spark.operators.sampling import dsir_rank
+
+    rows = [
+        (1, "de", "katze hund maus katze hund haus"),
+        (2, "de", "katze hund vogel katze baum hund"),
+        (10, "xx", "katze hund maus baum katze hund"),   # target-like
+        (11, "xx", "stream state checkpoint watermark batch shuffle"),
+        (12, "xx", "filter scan column vector batch window"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = dsir_rank(
+        d, "doc_id", "text", F.col("lang") == "de", n_buckets=256, top_k=10
+    )
+    got = [(r.doc_id, r.log_w) for r in out.collect()]
+    ids = [i for i, _ in got]
+    assert 1 not in ids and 2 not in ids          # targets excluded
+    assert ids[0] == 10                            # target-like leads
+    scores = dict(got)
+    assert scores[10] > scores[11] and scores[10] > scores[12]
+    again = dsir_rank(
+        d.repartition(7), "doc_id", "text", F.col("lang") == "de",
+        n_buckets=256, top_k=10,
+    ).collect()
+    assert [(r.doc_id, r.log_w) for r in again] == got
