@@ -91,6 +91,11 @@ WIDE_QUERIES = [
     "search_term_suggest",     # vocab agg + pruned levenshtein sliver
     "dedup_ngram_containment", # shared chunked pair-emission core (k=3)
     "sql_door_nation_revenue", # raw-SQL door 4-table join
+    "search_hybrid_rrf",       # BM25 + kNN rank fusion over bounded top-k
+    "agg_matrix_stats",        # all pairwise moments in one scan
+    "agg_percentile_ranks",    # conditional sums, one scan
+    "geo_distance_rings",      # scan-side ring id + narrow groupBy
+    "sample_dsir_rank",        # bigram-bucket models + broadcast ratios
 ]
 
 KEY_COLS = {
