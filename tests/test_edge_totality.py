@@ -116,3 +116,54 @@ def test_ivf_kmeans_fails_loudly_on_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty input"):
         ivf_kmeans_topk(empty, "embedding", "vec_id", [0.5] * 8).collect()
+
+
+def test_r6_search_family_total(spark):
+    """MLT, suggester, significant terms, RRF: empty/token-free corpora
+    return empty frames (or empty rankings), never crash."""
+    from pandemic_knowledge_spark.operators.aggregates import significant_terms
+    from pandemic_knowledge_spark.operators.search import (
+        more_like_this,
+        rrf_fuse,
+        term_suggest,
+    )
+
+    for d in (_empty_docs(spark), _blank_docs(spark)):
+        assert more_like_this(d, "doc_id", "text", 0).collect() == []
+        assert term_suggest(d, "doc_id", "text", "stream").collect() == []
+        assert (
+            significant_terms(
+                d, "doc_id", "text", F.col("doc_id") == 0
+            ).collect()
+            == []
+        )
+    empty_rank = spark.createDataFrame([], "doc_id long, score double")
+    assert rrf_fuse([(empty_rank, "doc_id", "score")]).collect() == []
+
+
+def test_r6_containment_and_dsir_total(spark):
+    from pandemic_knowledge_spark.operators.dedup import ngram_containment_pairs
+    from pandemic_knowledge_spark.operators.sampling import dsir_rank
+
+    blank = spark.createDataFrame(
+        [(0, "en", ""), (1, "en", "!!!")], "doc_id long, lang string, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    for d in (empty, blank):
+        assert ngram_containment_pairs(d, "doc_id", "text", "lang").collect() == []
+        assert dsir_rank(d, "doc_id", "text", F.col("lang") == "de").collect() == []
+
+
+def test_r6_matrix_and_pct_ranks_total(spark):
+    """Empty input: percentile_ranks yields 0/0 → NULL pct (no crash, one
+    row per probe); matrix_stats yields NULL moments for every pair."""
+    from pandemic_knowledge_spark.operators.aggregates import matrix_stats
+    from pandemic_knowledge_spark.operators.ranks import percentile_ranks
+
+    e = spark.createDataFrame([], "x long, y long")
+    pr = percentile_ranks(e.select(F.col("x").alias("v")), "v", (1.0, 2.0)).collect()
+    assert len(pr) == 2 and all(r.pct_rank is None for r in pr)
+    ms = matrix_stats(e, (("x", F.col("x")), ("y", F.col("y")))).collect()
+    assert len(ms) == 3 and all(
+        r.covariance is None and r.correlation is None for r in ms
+    )

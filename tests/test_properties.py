@@ -319,3 +319,76 @@ def test_cosine_zero_norm_is_null_not_error(spark):
     out = {r.vec_id: r.c for r in
            df.select("vec_id", cosine(F.col("v"), q).alias("c")).collect()}
     assert out[0] == 1.0 and out[1] is None and abs(out[2] - 0.7071067811865475) < 1e-12
+
+
+# ------------------------------------------------------- r6 search/dedup
+
+word_docs = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+        min_size=2,
+        max_size=12,
+    ).map(" ".join),
+    min_size=3,
+    max_size=10,
+)
+
+
+@SETTINGS
+@given(word_docs)
+def test_containment_bounds_jaccard(spark, texts):
+    """Invariant linking the two exact pair measures on ANY corpus:
+    jaccard(A,B) ≤ min(cont(A in B), cont(B in A)) ≤ max(...) ≤ 1, and a
+    pair's Jaccard equals n_inter/(sz_a+sz_b−n_inter) while each
+    containment equals n_inter over its own side — checked via the shared
+    intersection core both operators consume (threshold 0 = every pair)."""
+    from pandemic_knowledge_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "b", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string",
+    )
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.0).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in ngram_containment_pairs(
+            d, "doc_id", "text", "lang", threshold=0.0
+        ).collect()
+    }
+    assert set(jac) == set(cont)
+    eps = 2e-6  # both sides round to 6 dp independently
+    for pair, j in jac.items():
+        ca, cb = cont[pair]
+        assert 0.0 <= j <= min(ca, cb) + eps, (pair, j, ca, cb)
+        assert max(ca, cb) <= 1.0 + eps
+
+
+@SETTINGS
+@given(st.permutations(range(4)))
+def test_rrf_fuse_list_order_invariant(spark, perm):
+    """Fused scores must not depend on the ORDER the result lists are
+    passed in (each list's internal ranking is what matters)."""
+    from pandemic_knowledge_spark.operators.search import rrf_fuse
+
+    lists = [
+        spark.createDataFrame([(1, 3.0), (2, 2.0)], "doc_id long, s double"),
+        spark.createDataFrame([(2, 9.0), (3, 1.0)], "doc_id long, s double"),
+        spark.createDataFrame([(3, 5.0), (1, 4.0)], "doc_id long, s double"),
+        spark.createDataFrame([(4, 7.0)], "doc_id long, s double"),
+    ]
+    base = sorted(
+        map(tuple, rrf_fuse([(f, "doc_id", "s") for f in lists], k=10).collect())
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            rrf_fuse([(lists[i], "doc_id", "s") for i in perm], k=10).collect(),
+        )
+    )
+    assert shuffled == base and len(base) == 4
