@@ -36,6 +36,10 @@ QUERIES = [
     "retail_rfm_segments",
     "graph_trade_pagerank",
     "q1_pricing_summary",
+    # r6 additions whose sf1 cost was non-trivial — stretch their shapes:
+    "sample_dsir_rank",        # bigram-bucket models (3.7 s at sf1)
+    "dedup_ngram_containment", # exact pair core, ΣC(df,2) contract (8.2 s)
+    "search_more_like_this",   # TF shuffle + broadcast term scoring
 ]
 
 
