@@ -5399,6 +5399,25 @@ BENCH_QUERY_NAMES.extend(
 # already proven green in a previous round's CORRECTNESS_r*.json rotate to
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
+# The rows displaced from the r6 window by this round's 12 new queries —
+# each deferral is justified inline below by in-window family coverage.
+# These MUST lead the r7 window (after r7's own new/changed rows):
+# scripts/window_rotate.py --must-lead $(paste this list) emits it.
+_NEXT_WINDOW_IOUS = [
+    "agg_cube_status_priority",
+    "agg_daily_orders",
+    "cohort_weekly_retention",
+    "crawl_tweets_fixture_conform",
+    "dedup_winnow_fingerprints",
+    "epi_outbreak_spikes",
+    "graph_trade_pagerank",
+    "ingest_weekly_conform_fixture",
+    "layout_zorder_box_scan",
+    "sample_token_mixture",
+    "scd2_user_history",
+    "timeseries_ses_forecast",
+]
+
 _DRIVER_PRIORITY = [
     # ROUND-6 WINDOW (50 slots) — the scripts/window_rotate.py --must-lead
     # proposal from the r5 evidence (r5 verdict item #1), amended for the

@@ -54,6 +54,13 @@ def main() -> None:
 
     rows = newest_rows()
     must = [n for n in args.must_lead.split(",") if n]
+    if not must:
+        # default to the catalog's declared deferral debt — the constant
+        # the previous round's rotation left behind (one source of truth,
+        # no hand-copied list at round start)
+        from pandemic_knowledge_spark.plans import catalog as _cat
+
+        must = list(getattr(_cat, "_NEXT_WINDOW_IOUS", []))
     unknown = [n for n in must if n not in REGISTRY]
     if unknown:
         raise SystemExit(f"--must-lead: unknown queries {unknown}")
