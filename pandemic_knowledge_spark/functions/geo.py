@@ -78,6 +78,10 @@ def ring_index(sq_dist: Column, edges_deg) -> Column:
     id hashes identically on any engine; the same determinism trade-off as
     :func:`sq_degree_dist`). Points beyond the last edge land in ring
     len(edges) (the unbounded outer ring)."""
+    if not edges_deg:
+        # both twins must fail identically — an edgeless ring spec is a
+        # caller bug, not "everything in ring 0"
+        raise ValueError("ring_index: edges_deg must be non-empty")
     expr = F.lit(len(edges_deg))
     for i in range(len(edges_deg) - 1, -1, -1):
         e = float(edges_deg[i])
@@ -87,6 +91,8 @@ def ring_index(sq_dist: Column, edges_deg) -> Column:
 
 def sql_ring_index(sq_dist_expr: str, edges_deg) -> str:
     """DuckDB emitter for :func:`ring_index` — same edge² comparisons."""
+    if not edges_deg:
+        raise ValueError("sql_ring_index: edges_deg must be non-empty")
     cases = " ".join(
         f"WHEN ({sq_dist_expr}) < {float(e) * float(e)} THEN {i}"
         for i, e in enumerate(edges_deg)

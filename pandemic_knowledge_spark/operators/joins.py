@@ -171,8 +171,16 @@ def asof_join(
     match = F.col("__r_asof")
     if tolerance is not None:
         # gap is >= 0 by construction (the carry only sees earlier rows);
-        # a stale match nulls out whole, exactly as if none existed
-        gap = F.col("__t").cast("double") - match["__rt"].cast("double")
+        # a stale match nulls out whole, exactly as if none existed.
+        # DATE axes can't cast to double — their gap is datediff in DAYS
+        # (tolerance stays "axis units": days for dates, seconds for
+        # timestamps, raw units for numerics).
+        from pyspark.sql.types import DateType
+
+        if isinstance(left.schema[left_time].dataType, DateType):
+            gap = F.datediff(F.col("__t"), match["__rt"]).cast("double")
+        else:
+            gap = F.col("__t").cast("double") - match["__rt"].cast("double")
         match = F.when(gap <= F.lit(float(tolerance)), match)
     return (
         carried.where(F.col("__is_left") == 1)

@@ -208,7 +208,14 @@ def dsir_rank(
             grams, lambda s: (md5_int(s) % HASH_MOD) % n_buckets
         ).alias("bs"),
     )
-    ex = base.select("doc_id", "tgt", F.explode("bs").alias("b"))
+    # eager localCheckpoint: the exploded feature frame feeds BOTH the
+    # bucket-count branch and the candidate-scoring branch — without it
+    # each re-runs tokenize + per-bigram md5 over the whole corpus (the
+    # operator's dominant cost), the same multi-consumer discipline as
+    # minhash/winnow/more_like_this
+    ex = base.select(
+        "doc_id", "tgt", F.explode("bs").alias("b")
+    ).localCheckpoint(eager=True)
     counts = ex.groupBy("b").agg(
         F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("tc"),
         F.count(F.lit(1)).alias("rc"),

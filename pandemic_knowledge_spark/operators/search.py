@@ -425,6 +425,14 @@ def more_like_this_from_postings(
     )
 
 
+def _sql_id_lit(v) -> str:
+    """Render a doc id as a SQL literal: strings quote-escape, numerics
+    pass through — so emitters accept any id type the Spark twins do."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 def sql_more_like_this(
     table: str,
     id_col: str,
@@ -439,6 +447,7 @@ def sql_more_like_this(
     tokenizer, same tf·ln(N/df) selection with the 6-dp round and
     (score DESC, term) tie-break, same BM25 scoring over the selected
     terms, same source-doc exclusion and 4-dp rounding."""
+    src_lit = _sql_id_lit(src_doc_id)
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks FROM {table}
@@ -461,7 +470,7 @@ WITH base AS (
                       tf.term
            ) AS rnk
     FROM tf, dft, stats
-    WHERE tf.doc_id = {src_doc_id} AND tf.term = dft.term
+    WHERE tf.doc_id = {src_lit} AND tf.term = dft.term
       AND tf.tf >= {min_term_freq} AND dft.df >= {min_doc_freq}
   ) WHERE rnk <= {max_query_terms}
 ), scored AS (
@@ -474,7 +483,7 @@ WITH base AS (
   JOIN sel ON tf.term = sel.term
   JOIN dft ON tf.term = dft.term
   CROSS JOIN stats
-  WHERE tf.doc_id <> {src_doc_id}
+  WHERE tf.doc_id <> {src_lit}
 )
 SELECT doc_id, round(sum(term_score), 4) AS score
 FROM scored GROUP BY doc_id
@@ -537,9 +546,16 @@ def sql_term_suggest(
     k: int = 5,
 ) -> str:
     """DuckDB SQL reproducing :func:`term_suggest` exactly (DuckDB's
-    ``levenshtein`` and Spark's agree: plain unit-cost edit distance)."""
-    q = term.lower().replace("'", "''")
+    ``levenshtein`` and Spark's agree: plain unit-cost edit distance).
+
+    Prefix and length band derive from the RAW lowered term — quote
+    escaping happens only when rendering string literals, so an
+    apostrophe in the input can neither shift the length band off the
+    Spark twin's nor break the emitted SQL."""
+    q = term.lower()
     pref = q[: max(0, prefix_length)]
+    q_lit = q.replace("'", "''")
+    pref_lit = pref.replace("'", "''")
     return f"""
 WITH vocab AS (
   SELECT term, count(*) AS df
@@ -550,11 +566,11 @@ WITH vocab AS (
   GROUP BY term
 ), cand AS (
   SELECT term, CAST(df AS BIGINT) AS df,
-         CAST(levenshtein(term, '{q}') AS INTEGER) AS distance
+         CAST(levenshtein(term, '{q_lit}') AS INTEGER) AS distance
   FROM vocab
-  WHERE substr(term, 1, {len(pref)}) = '{pref}'
+  WHERE substr(term, 1, {len(pref)}) = '{pref_lit}'
     AND abs(length(term) - {len(q)}) <= {max_edits}
-    AND term <> '{q}'
+    AND term <> '{q_lit}'
 )
 SELECT term, df, distance FROM cand
 WHERE distance <= {max_edits}

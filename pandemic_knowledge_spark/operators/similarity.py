@@ -841,7 +841,7 @@ PQ_K = 64       # codewords per subspace codebook — m=8/k=64 measures
 # tractable (~3 s DuckDB at sf0.01) and the Arrow assignment kernel makes
 # the Spark side independent of m·k
 PQ_ITERS = 2
-PQ_TRAIN_CAP = 4096  # codebook training sample (256 vectors per codeword)
+PQ_TRAIN_CAP = 4096  # codebook training sample (64 vectors/codeword at k=64)
 
 
 def _py_quant(x: float) -> int:

@@ -123,6 +123,13 @@ def main() -> None:
         time.sleep(0.05)  # strictly increasing mtimes across drops
 
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    # recentProgress retains only numRecentProgressUpdates events (default
+    # 100) — raise it above the batch count so per_batch never silently
+    # truncates for large --batches drains
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(100, args.batches + 10)),
+    )
     try:
         stream = file_stream(
             spark, landing, DOCS_SCHEMA, max_files_per_trigger=1
@@ -194,6 +201,11 @@ def main() -> None:
 
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(result))
+    # The witness is a GATE, not a footnote: a throughput number from a
+    # wrong stream must not exit 0 (the record prints first so the failed
+    # run's evidence survives for diagnosis).
+    if result.get("stream_equals_batch") is False:
+        raise SystemExit("stream_equals_batch FAILED — do not record this run")
 
 
 if __name__ == "__main__":

@@ -507,3 +507,68 @@ def test_search_index_append_save_is_idempotent_and_first_wins(spark, tmp_path):
         .count().filter(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_term_suggest_oracle_handles_apostrophe_terms(spark):
+    """The SQL emitter must measure prefix/length on the RAW term and
+    escape only the literals (review finding: escaped-length band skew +
+    malformed SQL)."""
+    import duckdb
+    import pandas as pd
+
+    from pandemic_knowledge_spark.operators.search import (
+        sql_term_suggest,
+        term_suggest,
+    )
+
+    rows = [(1, "dont dint"), (2, "dont")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.term, r.df, r.distance)
+        for r in term_suggest(d, "doc_id", "text", "don't", max_edits=2).collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(
+        sql_term_suggest("documents", "doc_id", "text", "don't", max_edits=2)
+    ).fetchall()
+    assert got == [tuple(w) for w in want] and len(got) > 0
+
+
+def test_more_like_this_oracle_quotes_string_ids(spark):
+    import duckdb
+    import pandas as pd
+
+    from pandemic_knowledge_spark.operators.search import (
+        more_like_this,
+        sql_more_like_this,
+    )
+
+    rows = [
+        ("a-1", "alpha beta gamma delta"),
+        ("b'2", "alpha beta gamma zeta"),
+        ("c-3", "omega psi chi phi"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    got = [
+        (r.doc_id, r.score)
+        for r in more_like_this(d, "doc_id", "text", "b'2", k=5).collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(
+        sql_more_like_this("documents", "doc_id", "text", "b'2", k=5)
+    ).fetchall()
+    assert got == [tuple(w) for w in want] and got[0][0] == "a-1"
+
+
+def test_ring_index_rejects_empty_edges(spark):
+    import pytest
+
+    from pandemic_knowledge_spark.functions.geo import ring_index, sql_ring_index
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError):
+        ring_index(F.lit(0.0), ())
+    with pytest.raises(ValueError):
+        sql_ring_index("d", ())

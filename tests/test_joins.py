@@ -107,3 +107,26 @@ def test_banded_range_join_matches_theta_join(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_asof_tolerance_on_date_axis_uses_day_units(spark):
+    """DateType time columns can't cast to double — tolerance must work in
+    DAY units on date axes (review finding: analysis error before)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("k", dt.date(2024, 1, 10)), ("k", dt.date(2024, 3, 1))],
+        "key string, d date",
+    )
+    right = spark.createDataFrame(
+        [("k", dt.date(2024, 1, 8), 5)], "key string, d date, price int"
+    )
+    out = {
+        r.d: r.price_asof
+        for r in asof_join(
+            left, right, ["key"], "d", "d", ["price"],
+            strict=True, tolerance=10.0,
+        ).collect()
+    }
+    assert out[dt.date(2024, 1, 10)] == 5     # 2 days <= 10
+    assert out[dt.date(2024, 3, 1)] is None   # 53 days > 10
