@@ -314,6 +314,137 @@ def more_like_this(
     )
 
 
+def prefix_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Search-as-you-type (ES ``match_bool_prefix``): every query token
+    but the last matches exactly; the LAST token is a PREFIX, expanded to
+    the ``max_expansions`` highest-df vocabulary terms starting with it
+    (ES's expansion cap, deterministic here by (df DESC, term)); BM25
+    ranks docs over the union of exact terms and expansions. The news
+    app's per-keystroke search — "spark str" finds stream/streaming docs
+    before the word is finished.
+
+    Same distributed shape as :func:`more_like_this`: one TF shuffle with
+    the corpus stats carried on the checkpointed frame, the ≤(terms +
+    max_expansions)-row selected-term set broadcasts into scoring, heap
+    top-k. Empty queries and prefixes with no vocabulary match return
+    empty frames."""
+    toks = query_terms(query)
+    if not toks:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id %s, score double" % docs.schema[id_col].dataType.simpleString()
+        )
+    *full_terms, prefix = toks
+    full_terms = sorted(set(full_terms))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .crossJoin(F.broadcast(stats))
+        .localCheckpoint(eager=True)
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    expansions = (
+        df_t.filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.col("term"))
+        .limit(max_expansions)
+        .select("term")
+    )
+    selected = expansions
+    if full_terms:
+        exact = docs.sparkSession.createDataFrame(
+            [(t,) for t in full_terms], "term string"
+        )
+        selected = expansions.unionByName(exact).distinct()
+    scored = (
+        tf.join(F.broadcast(selected), "term")
+        .join(F.broadcast(df_t), "term")
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            _term_score(F.col("idf"), F.col("tf"), F.col("dl"), F.col("avgdl")),
+        )
+    )
+    return _bm25_score_agg(scored, k)
+
+
+def sql_prefix_search(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> str:
+    """DuckDB SQL reproducing :func:`prefix_search` exactly — same
+    tokenizer, same (df DESC, term) expansion cap, same BM25/rounding."""
+    toks = query_terms(query)
+    if not toks:
+        raise ValueError("sql_prefix_search: empty query")
+    *full_terms, prefix = toks
+    full_terms = sorted(set(full_terms))
+    pre_lit = prefix.replace("'", "''")
+    exact_cte = ""
+    sel = "SELECT term FROM expansions"
+    if full_terms:
+        lits = " UNION ALL ".join(f"SELECT '{t}' AS term" for t in full_terms)
+        exact_cte = f", exact AS ({lits})"
+        sel = "SELECT DISTINCT term FROM (SELECT term FROM expansions UNION ALL SELECT term FROM exact)"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks FROM {table}
+), base2 AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM base
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base2
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
+  GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), expansions AS (
+  SELECT term FROM dft
+  WHERE term LIKE '{pre_lit}%'
+  ORDER BY df DESC, term LIMIT {max_expansions}
+){exact_cte}, sel AS (
+  {sel}
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1))
+         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+         AS term_score
+  FROM tf
+  JOIN sel ON tf.term = sel.term
+  JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats
+)
+SELECT doc_id, round(sum(term_score), 4) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def rrf_fuse(
     rankings,
     rank_const: int = 60,

@@ -126,7 +126,9 @@ from pandemic_knowledge_spark.operators.search import (
     build_positional_postings,
     more_like_this,
     phrase_search_from_postings,
+    prefix_search,
     rrf_fuse,
+    sql_prefix_search,
     sql_more_like_this,
     sql_phrase_search,
     sql_term_suggest,
@@ -2599,6 +2601,23 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", _MLT_SRC_DOC, k=10,
         max_query_terms=8, min_term_freq=1, min_doc_freq=2,
     )
+
+
+_PREFIX_QUERY = "spark str"  # an unfinished keystroke: 'str' is the prefix
+
+
+@q(
+    "search_prefix_type_ahead",
+    oracle=sql_prefix_search("documents", "doc_id", "text", _PREFIX_QUERY, 10),
+)
+def search_prefix_type_ahead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-as-you-type (ES match_bool_prefix — the news app's live
+    keystroke search): 'spark' matches exactly, the unfinished 'str'
+    expands to the top-df vocabulary terms starting with it (capped,
+    deterministic), BM25 over the union ranks the page
+    (operators.search.prefix_search)."""
+    d = load(spark, sf_dir, "documents")
+    return prefix_search(d, "doc_id", "text", _PREFIX_QUERY, k=10)
 
 
 _RRF_K = 20  # per-list depth fed into the fusion
@@ -5413,6 +5432,7 @@ _NEXT_WINDOW_IOUS = [
     "graph_trade_pagerank",
     "ingest_weekly_conform_fixture",
     "layout_zorder_box_scan",
+    "profile_orders_table",
     "sample_token_mixture",
     "scd2_user_history",
     "timeseries_ses_forecast",
@@ -5443,6 +5463,7 @@ _DRIVER_PRIORITY = [
     "agg_matrix_stats",          # NEW r6: ES matrix_stats (cov/corr matrix)
     "geo_distance_rings",        # NEW r6: ES geo_distance ring aggregation
     "sample_dsir_rank",          # NEW r6: DSIR importance-resampling rank
+    "search_prefix_type_ahead",  # NEW r6: ES match_bool_prefix parity
     "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
     # --- the 9 r2-only-green deferral IOUs ---
     "agg_histogram_buckets",
@@ -5497,7 +5518,9 @@ _DRIVER_PRIORITY = [
     "multimodal_media_features",
     "privacy_k_anonymize",
     "profile_drift_psi",
-    "profile_orders_table",
+    # (profile_orders_table — r3-green, deferred to the r7 head to make
+    #  room for search_prefix_type_ahead: profile_drift_psi keeps the
+    #  profiling family in-window)
     "range_join_value_brackets",
     "sample_fixed_per_stratum",
     # (sample_token_mixture — r3-green, deferred to the r7 head to make

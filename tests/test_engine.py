@@ -572,3 +572,23 @@ def test_ring_index_rejects_empty_edges(spark):
         ring_index(F.lit(0.0), ())
     with pytest.raises(ValueError):
         sql_ring_index("d", ())
+
+
+def test_prefix_search_matches_unfinished_term(spark):
+    """'qui' must reach docs containing quick/quiet via expansion; the
+    exact term 'fox' contributes too; docs with neither never rank; an
+    unmatchable prefix with no exact terms returns empty."""
+    from pandemic_knowledge_spark.operators.search import prefix_search
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "a quiet evening walk"),
+        (3, "structured streaming state"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id for r in prefix_search(d, "doc_id", "text", "fox qui", k=10).collect()}
+    assert got == {1, 2}
+    assert prefix_search(d, "doc_id", "text", "zzz", k=10).collect() == []
+    # max_expansions caps the expanded set deterministically by df
+    one = prefix_search(d, "doc_id", "text", "qui", k=10, max_expansions=1).collect()
+    assert len(one) == 1  # only the higher-df 'qui…' term survives
