@@ -130,7 +130,9 @@ def matrix_stats(df: DataFrame, cols) -> DataFrame:
     partial-agg order). Covariance is in the caller's scaled units;
     correlation is scale-invariant. Output one row per unordered field
     pair (col_a ≤ col_b): (col_a, col_b, n, covariance, correlation),
-    6-dp rounded; the diagonal's correlation is exactly 1."""
+    6-dp rounded; the diagonal's correlation is exactly 1 for any
+    non-constant column (a zero-variance column yields 0/0 → NULL, in
+    both Spark and DuckDB — the empty/constant-input tests pin this)."""
     names = [n for n, _ in cols]
     m = len(names)
     proj = df.select(

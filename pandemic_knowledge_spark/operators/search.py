@@ -273,11 +273,14 @@ def more_like_this(
     # orderBy().limit() plans TakeOrderedAndProject (per-partition heaps
     # merged at the driver — no single-partition exchange); its input is
     # the ONE source doc's terms joined to the tiny DF table, bounded by
-    # that doc's vocabulary, never corpus-sized
+    # that doc's vocabulary, never corpus-sized. The broadcast BUILD side
+    # is the one-doc TF sliver, NEVER the full-vocabulary df_t — at corpus
+    # scale the vocabulary is multi-GB and would blow the broadcast cap.
+    src_tf = tf.filter(F.col("doc_id") == F.lit(src_doc_id)).filter(
+        F.col("tf") >= F.lit(min_term_freq)
+    )
     selected = (
-        tf.filter(F.col("doc_id") == F.lit(src_doc_id))
-        .filter(F.col("tf") >= F.lit(min_term_freq))
-        .join(F.broadcast(df_t), "term")
+        df_t.join(F.broadcast(src_tf), "term")
         .filter(F.col("df") >= F.lit(min_doc_freq))
         .withColumn(
             "sel_score",
@@ -287,10 +290,15 @@ def more_like_this(
         .limit(max_query_terms)
         .select("term")
     )
+    # bound df_t to the selected terms FIRST (build side = the ≤
+    # max_query_terms selection), then broadcast that ≤-m-row frame into
+    # scoring — one broadcast join does both the term filter and the df
+    # attach, and no BroadcastExchange ever has the unfiltered vocabulary
+    # as input
+    df_sel = df_t.join(F.broadcast(selected), "term")
     scored = (
-        tf.join(F.broadcast(selected), "term")
+        tf.join(F.broadcast(df_sel), "term")
         .filter(F.col("doc_id") != F.lit(src_doc_id))
-        .join(F.broadcast(df_t), "term")
         .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
         .withColumn(
             "idf",
@@ -368,9 +376,12 @@ def prefix_search(
             [(t,) for t in full_terms], "term string"
         )
         selected = expansions.unionByName(exact).distinct()
+    # bound df_t to the selected terms before broadcasting: the build side
+    # of the scoring join is the ≤(terms + max_expansions)-row selection,
+    # never the full vocabulary (multi-GB at corpus scale)
+    df_sel = df_t.join(F.broadcast(selected), "term")
     scored = (
-        tf.join(F.broadcast(selected), "term")
-        .join(F.broadcast(df_t), "term")
+        tf.join(F.broadcast(df_sel), "term")
         .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
         .withColumn(
             "idf",
@@ -514,6 +525,17 @@ def more_like_this_from_postings(
     selected terms ARE tokens, so a space-joined query string re-analyzes
     to exactly them — probing k+1 and dropping the source."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float) -> float:
+        # Replicate F.round's HALF_UP (which the DuckDB oracle shares for
+        # the non-negative selection scores) — Python's round() is
+        # half-to-even and could pick a different term set on an exact
+        # half-tie at the 6th decimal. Decimal(repr(x)) mirrors Spark's
+        # BigDecimal.valueOf(double) shortest-representation semantics.
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
 
     if isinstance(stats, tuple):
         n_docs = int(stats[0])
@@ -540,7 +562,7 @@ def more_like_this_from_postings(
     df_by_term = {r.term: r.df for r in df_rows}
     ranked = sorted(
         (
-            (-round(r.tf * math.log(n_docs / df_by_term[r.term]), 6), r.term)
+            (-_round6(r.tf * math.log(n_docs / df_by_term[r.term])), r.term)
             for r in src_rows
             if df_by_term.get(r.term, 0) >= min_doc_freq
         ),
@@ -1111,10 +1133,12 @@ def tfidf_keywords(
     summarization / tagging pass (ES's significant-terms cousin).
 
     Shape: one tokenize+explode → (doc, term) TF shuffle (map-side
-    combined), a term-DF aggregate joined back BROADCAST (distinct terms ≪
-    corpus), the one-row corpus count broadcast in, then a per-doc top-k
-    window. The window partitions by doc_id — same key as the TF shuffle,
-    so AQE reuses the partitioning; nothing here is more than linear."""
+    combined), a term-DF aggregate joined back on the SAME term key — a
+    shuffle join, deliberately NOT a broadcast: the build side would be
+    the whole corpus vocabulary (multi-GB at 100×, past the broadcast
+    cap), while the shuffle join's df_t side reuses the groupBy("term")
+    exchange. The one-row corpus count broadcasts in, then a per-doc
+    top-k window; nothing here is more than linear."""
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
     )
@@ -1129,7 +1153,7 @@ def tfidf_keywords(
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
     return (
-        tf.join(F.broadcast(df_t), "term")
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "score",

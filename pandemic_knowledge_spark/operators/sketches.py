@@ -76,8 +76,11 @@ def distinct_tolerance_audit(
     ranges: tuple[tuple[str, str], ...],
     tol: float = 0.05,
 ) -> DataFrame:
-    """(range_lo, range_hi, n_distinct_exact, within_5pct) — the HLL range
-    rollup re-expressed in ORACLE-CHECKABLE tolerance form. The estimate
+    """(range_lo, range_hi, n_distinct_exact, within_<tol>pct) — the HLL
+    range rollup re-expressed in ORACLE-CHECKABLE tolerance form (the
+    witness column is named from ``tol``, e.g. ``within_5pct`` at the 0.05
+    default, so the name always states the bound being attested). The
+    estimate
     itself can't replay in another engine (DataSketches register layout),
     but the CLAIM the sketch makes — "within ±tol of the true distinct
     count" — can: Spark emits the exact count plus a boolean witness that
@@ -129,22 +132,30 @@ def distinct_tolerance_audit(
         "n_distinct_exact",
         (
             (F.col("n_distinct_est") >= lo_b) & (F.col("n_distinct_est") <= hi_b)
-        ).alias("within_5pct"),
+        ).alias(_tol_col(tol)),
     )
+
+
+def _tol_col(tol: float) -> str:
+    """Witness column name derived from the tolerance so it can never
+    misstate the bound (tol=0.05 → ``within_5pct``, 0.10 → ``within_10pct``)."""
+    return f"within_{int(round(tol * 100))}pct"
 
 
 def sql_distinct_tolerance(
     ranges: tuple[tuple[str, str], ...],
     key_col: str = "user_id",
     ts_col: str = "ts",
+    tol: float = 0.05,
 ) -> str:
     """DuckDB replay of :func:`distinct_tolerance_audit`'s checkable half:
     exact per-range distinct counts plus literal TRUE — the oracle asserts
-    the Spark estimate was in-tolerance by hash-matching the booleans."""
+    the Spark estimate was in-tolerance by hash-matching the booleans.
+    ``tol`` must match the Spark twin's so the witness column names agree."""
     selects = [
         f"SELECT '{lo}' AS range_lo, '{hi}' AS range_hi, "
         f"CAST(COUNT(DISTINCT {key_col}) AS BIGINT) AS n_distinct_exact, "
-        f"TRUE AS within_5pct FROM events "
+        f"TRUE AS {_tol_col(tol)} FROM events "
         f"WHERE CAST({ts_col} AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
         for lo, hi in ranges
     ]
