@@ -252,3 +252,283 @@ SELECT term,
 FROM per_term, totals
 ORDER BY score DESC, term LIMIT {top_k}
 """
+
+
+def rare_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_count: int,
+    limit: int = 100,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation — the long-tail complement of the
+    terms agg (find the values that almost never occur, without the
+    inverted top-N's "give me a huge size and hope" anti-pattern): terms
+    whose DOC frequency (per-doc distinct, exactly how ES counts
+    doc_count) is ≤ ``max_doc_count``, rarest first, (term, doc_count).
+
+    Plan: one corpus scan → per-doc distinct-term explode → ONE term
+    shuffle for doc frequencies → filter → top-``limit`` via
+    per-partition heaps (TakeOrderedAndProject — rare buckets are capped,
+    mirroring ES's CuckooFilter-bounded memory; no global sort). Linear
+    at any corpus size."""
+    from pandemic_knowledge_spark.functions.text import tokenize
+
+    vocab = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    return (
+        vocab.filter(F.col("doc_count") <= F.lit(max_doc_count))
+        .orderBy("doc_count", "term")
+        .limit(limit)
+    )
+
+
+def sql_rare_terms(
+    table: str, id_col: str, text_col: str, max_doc_count: int, limit: int = 100
+) -> str:
+    """DuckDB SQL reproducing :func:`rare_terms` exactly."""
+    from pandemic_knowledge_spark.functions.text import sql_tokenize
+
+    return f"""
+WITH vocab AS (
+  SELECT term, count(*) AS doc_count
+  FROM (
+    SELECT {id_col} AS doc_id,
+           unnest(list_distinct({sql_tokenize(text_col)})) AS term
+    FROM {table}
+  )
+  GROUP BY term
+)
+SELECT term, doc_count FROM vocab
+WHERE doc_count <= {max_doc_count}
+ORDER BY doc_count, term LIMIT {limit}
+"""
+
+
+def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: given named filters, one
+    bucket per filter plus one per pairwise INTERSECTION (ES's
+    ``A&B``-keyed buckets, '&' joining the two names in sorted order),
+    each with its doc count; empty buckets are omitted, exactly as ES
+    drops zero-doc buckets. The Kibana use: co-occurrence of segments
+    (bought X ∩ bought Y) without N² queries.
+
+    Plan: ONE scan — every filter becomes a 0/1 projection column, all
+    singleton and pairwise counts are conditional sums in a single
+    partial+final aggregate (no shuffle of the fact table at all, just
+    the one-row agg), then the one result row unpivots via a literal
+    struct-array explode. Adding a filter adds a column, never a scan."""
+    names = sorted(filters)
+    proj = df.select(
+        *[filters[n].cast("boolean").cast("int").alias(f"__f_{i}") for i, n in enumerate(names)]
+    )
+    aggs = []
+    keys = []
+    for i, n in enumerate(names):
+        keys.append(n)
+        aggs.append(F.sum(F.col(f"__f_{i}")).alias(f"c{len(aggs)}"))
+    for i, a in enumerate(names):
+        for j in range(i + 1, len(names)):
+            keys.append(f"{a}&{names[j]}")
+            aggs.append(
+                F.sum(F.col(f"__f_{i}") * F.col(f"__f_{j}")).alias(f"c{len(aggs)}")
+            )
+    one = proj.agg(*aggs)
+    buckets = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key"),
+                        F.coalesce(F.col(f"c{i}"), F.lit(0)).alias("doc_count"),
+                    )
+                    for i, k in enumerate(keys)
+                ]
+            )
+        ).alias("b")
+    ).select("b.*")
+    return buckets.filter(F.col("doc_count") > 0)
+
+
+def sql_adjacency_matrix(table: str, filters: dict[str, str]) -> str:
+    """DuckDB SQL reproducing :func:`adjacency_matrix` exactly —
+    ``filters`` maps bucket name → SQL predicate string."""
+    names = sorted(filters)
+    cols = [
+        f"CAST(COALESCE(sum(CASE WHEN {filters[n]} THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_{i}"
+        for i, n in enumerate(names)
+    ]
+    sel = []
+    for i, n in enumerate(names):
+        sel.append((n, f"c_{i}"))
+    k = len(names)
+    for i, a in enumerate(names):
+        for j in range(i + 1, len(names)):
+            cols.append(
+                f"CAST(COALESCE(sum(CASE WHEN ({filters[a]}) AND ({filters[names[j]]}) "
+                f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_{k}"
+            )
+            sel.append((f"{a}&{names[j]}", f"c_{k}"))
+            k += 1
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{key}' AS key, {c} AS doc_count FROM one" for key, c in sel
+    )
+    return f"""
+WITH one AS (
+  SELECT {', '.join(cols)} FROM {table}
+)
+SELECT key, doc_count FROM ({unions}) WHERE doc_count > 0
+"""
+
+
+def composite_page(
+    df: DataFrame,
+    sources: list,
+    metrics: dict[str, Column],
+    after: tuple | None = None,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``composite`` aggregation — the PAGINATED group-by ES built so
+    dashboards can walk every bucket of a high-cardinality grouping
+    without a giant terms size: buckets are ordered by the source-key
+    tuple, and each page resumes strictly AFTER the ``after`` key of the
+    previous page. ``sources`` is [(name, Column), ...] (ascending order,
+    as ES defaults); ``after`` is the last key tuple of the prior page or
+    None for the first page.
+
+    Plan: one grouped aggregate on the source keys, the after-key
+    predicate as a tuple-lexicographic filter ON TOP of the aggregate
+    (buckets, not rows — a later page never rescans earlier buckets'
+    rows... the agg itself is one shuffle), then orderBy().limit(size) →
+    TakeOrderedAndProject per-partition heaps. No global sort, no state:
+    the after-key IS the cursor, so page N costs the same as page 1 and
+    pages can be fetched by independent jobs — the property ES built
+    composite for."""
+    names = [n for n, _ in sources]
+    g = df.groupBy(*[c.alias(n) for n, c in sources]).agg(
+        *[c.alias(n) for n, c in metrics.items()]
+    )
+    if after is not None:
+        pred = None
+        # lexicographic (k1, k2, ...) > (a1, a2, ...)
+        for i in range(len(names)):
+            eq = None
+            for j in range(i):
+                e = F.col(names[j]) == F.lit(after[j])
+                eq = e if eq is None else (eq & e)
+            gt = F.col(names[i]) > F.lit(after[i])
+            term = gt if eq is None else (eq & gt)
+            pred = term if pred is None else (pred | term)
+        g = g.filter(pred)
+    return g.orderBy(*[F.col(n) for n in names]).limit(size)
+
+
+def date_histogram_pipeline(
+    df: DataFrame, ts_col: str, window: int = 7
+) -> DataFrame:
+    """ES PIPELINE aggregations over a day date_histogram, in one frame:
+    ``derivative`` (bucket count minus the calendar-previous day's, NULL
+    for the first/bucketless-predecessor day), ``cumulative_sum``, and a
+    trailing-``window``-calendar-day ``moving_avg`` (ES moving_fn
+    unweightedAvg over the available trailing buckets) — the Kibana
+    "daily delta / running total / smoothed trend" panel triple.
+
+    Every stage avoids a global single-partition sort, because at 100 TB
+    the daily frame spans years and the engine should never funnel it
+    through one task:
+    - derivative: an equi self-join on day = prev_day + 1 (no window);
+    - cumulative_sum: two-phase prefix sum — within-MONTH running totals
+      (window partitioned by month) plus a month-offset frame composed
+      from month totals (the one bounded non-equi join: months, not
+      days), the classic distributed scan composition;
+    - moving_avg: each day's count fans out to the ≤``window`` report
+      days it contributes to (the rolling_active_keys explode pattern),
+      then ONE keyed shuffle re-aggregates; the inner join back to the
+      daily spine truncates past the series end.
+    Counts and sums stay int64 end-to-end; only the final avg divides."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # 4 consumers; truncate the scan plan
+    )
+    prev = daily.select(
+        F.date_add("day", 1).alias("day"), F.col("cnt").alias("__prev_cnt")
+    )
+    month = F.trunc("day", "month")
+    from pyspark.sql.window import Window
+
+    w_month = (
+        Window.partitionBy(month)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = daily.withColumn("__cum_m", F.sum("cnt").over(w_month)).withColumn(
+        "__m", month
+    )
+    mtot = daily.groupBy(month.alias("__m")).agg(F.sum("cnt").alias("__mcnt"))
+    offs = (
+        mtot.alias("a")
+        .join(
+            F.broadcast(mtot.select(F.col("__m").alias("__m2"), "__mcnt").alias("b")),
+            F.col("__m2") < F.col("a.__m"),
+            "left",
+        )
+        .groupBy(F.col("a.__m").alias("__m"))
+        .agg(F.coalesce(F.sum(F.col("b.__mcnt")), F.lit(0)).alias("__off"))
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__o"), "day", "cnt"
+    ).select(F.date_add("day", F.col("__o")).alias("day"), "cnt")
+    mov = contrib.groupBy("day").agg(
+        F.sum("cnt").alias("__msum"), F.count(F.lit(1)).alias("__mn")
+    )
+    return (
+        within.join(F.broadcast(offs), "__m")
+        .join(prev, "day", "left")
+        .join(mov, "day")  # inner: prunes fan-out rows past the series end
+        .select(
+            "day",
+            "cnt",
+            (F.col("cnt") - F.col("__prev_cnt")).alias("derivative"),
+            (F.col("__cum_m") + F.col("__off")).alias("cumulative_sum"),
+            F.round(
+                F.col("__msum").cast("double") / F.col("__mn"), 4
+            ).alias("moving_avg"),
+        )
+    )
+
+
+def sql_date_histogram_pipeline(table: str, ts_col: str, window: int = 7) -> str:
+    """DuckDB SQL reproducing :func:`date_histogram_pipeline` exactly —
+    the oracle uses plain ordered window frames (fine single-node) with a
+    calendar RANGE frame for the moving average, which matches the
+    explode-fanout by construction; the derivative joins on day = prev+1
+    exactly as the Spark twin."""
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', {ts_col}) AS DATE) AS day, count(*) AS cnt
+  FROM {table} GROUP BY 1
+), w AS (
+  SELECT day, cnt,
+         CAST(sum(cnt) OVER (ORDER BY day) AS BIGINT) AS cumulative_sum,
+         CAST(sum(cnt) OVER (
+           ORDER BY day RANGE BETWEEN INTERVAL {window - 1} DAY PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS msum,
+         count(*) OVER (
+           ORDER BY day RANGE BETWEEN INTERVAL {window - 1} DAY PRECEDING AND CURRENT ROW
+         ) AS mn
+  FROM daily
+)
+SELECT w.day, w.cnt,
+       w.cnt - p.cnt AS derivative,
+       w.cumulative_sum,
+       round(CAST(w.msum AS DOUBLE) / w.mn, 4) AS moving_avg
+FROM w LEFT JOIN daily p ON w.day = p.day + 1
+"""

@@ -456,6 +456,219 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def fuzzy_auto_band(term_len: int) -> int:
+    """ES ``fuzziness: AUTO`` edit-distance band by term length
+    (the generated-edit-distance table in the ES common options docs):
+    0–2 chars → 0 edits (exact only), 3–5 → 1, 6+ → 2."""
+    if term_len < 3:
+        return 0
+    if term_len < 6:
+        return 1
+    return 2
+
+
+def fuzzy_match_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    prefix_length: int = 0,
+) -> DataFrame:
+    """ES ``match`` with ``fuzziness: AUTO`` — the misspelling-tolerant
+    retrieval the news app's `lenient` search leans on
+    (/root/reference/news_app/app/app/src/SearchUI.js:22-27): each query
+    term expands to the vocabulary terms within its AUTO edit-distance
+    band (:func:`fuzzy_auto_band`; the exact term itself rides along at
+    distance 0 when in-vocabulary), capped at ``max_expansions`` per query
+    term by (distance ASC, df DESC, term ASC) — Lucene's
+    closest-then-most-frequent blended rewrite, made deterministic — and
+    BM25 ranks docs over the union of all expansions. ``prefix_length``
+    (ES default 0) requires expansions to share that many leading chars.
+
+    Scale shape: same one-TF-shuffle skeleton as :func:`prefix_search`.
+    Candidate generation is an EQUI-join: each fuzzy query term is
+    exploded driver-side into its admissible candidate LENGTHS (≤ 2·band+1
+    tiny literal rows — edit distance can never beat the length gap, the
+    same band term_suggest prunes with), broadcast, and hash-joined to the
+    vocabulary on ``length(term)`` — levenshtein then runs only on the
+    surviving sliver, never vocabulary × query terms. Every broadcast
+    build side is bounded (literal rows, per-term top-``max_expansions``
+    selections, the ≤ |selected|-row df_sel frame) — the full-vocabulary
+    frame is only ever the STREAMED side."""
+    from pyspark.sql.window import Window
+
+    q_terms = sorted(set(query_terms(query)))
+    if not q_terms:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id %s, score double" % docs.schema[id_col].dataType.simpleString()
+        )
+    bands = [(t, fuzzy_auto_band(len(t))) for t in q_terms]
+    exact_terms = sorted(t for t, b in bands if b == 0)
+    fuzz_rows = [
+        (t, b, length)
+        for t, b in bands
+        if b > 0
+        for length in range(max(1, len(t) - b), len(t) + b + 1)
+    ]
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .crossJoin(F.broadcast(stats))
+        .localCheckpoint(eager=True)
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    spark = docs.sparkSession
+    selected = None
+    if fuzz_rows:
+        qf = spark.createDataFrame(fuzz_rows, "qterm string, band int, tlen int")
+        cand = (
+            df_t.withColumn("tlen", F.length("term"))
+            .join(F.broadcast(qf), "tlen")
+            .withColumn("distance", F.levenshtein(F.col("term"), F.col("qterm")))
+            .filter(F.col("distance") <= F.col("band"))
+        )
+        if prefix_length > 0:
+            cand = cand.filter(
+                F.substring("term", 1, prefix_length)
+                == F.substring("qterm", 1, prefix_length)
+            )
+        w = Window.partitionBy("qterm").orderBy(
+            "distance", F.desc("df"), F.col("term")
+        )
+        selected = (
+            cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= F.lit(max_expansions))
+            .select("term")
+        )
+    if exact_terms:
+        exact = spark.createDataFrame([(t,) for t in exact_terms], "term string")
+        selected = exact if selected is None else selected.unionByName(exact)
+    selected = selected.distinct()
+    # bound df_t to the selection before broadcasting, as in prefix_search
+    df_sel = df_t.join(F.broadcast(selected), "term")
+    scored = (
+        tf.join(F.broadcast(df_sel), "term")
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            _term_score(F.col("idf"), F.col("tf"), F.col("dl"), F.col("avgdl")),
+        )
+    )
+    return _bm25_score_agg(scored, k)
+
+
+def sql_fuzzy_match_search(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    prefix_length: int = 0,
+) -> str:
+    """DuckDB SQL reproducing :func:`fuzzy_match_search` exactly — same
+    tokenizer, same AUTO bands computed driver-side, same
+    (distance, df DESC, term) per-query-term expansion cap, same BM25.
+    DuckDB's ``levenshtein`` and Spark's agree (plain unit-cost edits,
+    proven by the term_suggest parity row)."""
+    q_terms = sorted(set(query_terms(query)))
+    if not q_terms:
+        raise ValueError("sql_fuzzy_match_search: empty query")
+    bands = [(t, fuzzy_auto_band(len(t))) for t in q_terms]
+    exact_terms = sorted(t for t, b in bands if b == 0)
+    fuzz = [(t, b) for t, b in bands if b > 0]
+    parts = []
+    if fuzz:
+        qt_vals = ", ".join(
+            f"('{t.replace(chr(39), chr(39) * 2)}', {b})" for t, b in fuzz
+        )
+        pref_pred = (
+            f"\n    AND substr(dft.term, 1, {prefix_length})"
+            f" = substr(qt.qterm, 1, {prefix_length})"
+            if prefix_length > 0
+            else ""
+        )
+        parts.append(
+            f"""qt(qterm, band) AS (
+  VALUES {qt_vals}
+), cand AS (
+  SELECT dft.term, dft.df, qt.qterm,
+         levenshtein(dft.term, qt.qterm) AS distance
+  FROM dft, qt
+  WHERE abs(length(dft.term) - length(qt.qterm)) <= qt.band
+    AND levenshtein(dft.term, qt.qterm) <= qt.band{pref_pred}
+), expansions AS (
+  SELECT term FROM (
+    SELECT term,
+           row_number() OVER (
+             PARTITION BY qterm ORDER BY distance, df DESC, term
+           ) AS rnk
+    FROM cand
+  ) WHERE rnk <= {max_expansions}
+)"""
+        )
+        sel_src = "SELECT term FROM expansions"
+    else:
+        sel_src = None
+    if exact_terms:
+        lits = " UNION ALL ".join(
+            "SELECT '{}' AS term".format(t.replace("'", "''")) for t in exact_terms
+        )
+        parts.append(f"exact AS ({lits})")
+        sel_src = (
+            f"SELECT term FROM expansions UNION ALL SELECT term FROM exact"
+            if sel_src
+            else "SELECT term FROM exact"
+        )
+    extra_ctes = (", " + ", ".join(parts)) if parts else ""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks FROM {table}
+), base2 AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM base
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base2
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
+  GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+){extra_ctes}, sel AS (
+  SELECT DISTINCT term FROM ({sel_src})
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1))
+         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+         AS term_score
+  FROM tf
+  JOIN sel ON tf.term = sel.term
+  JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats
+)
+SELECT doc_id, round(sum(term_score), 4) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def rrf_fuse(
     rankings,
     rank_const: int = 60,

@@ -17,6 +17,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+from datetime import date
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -52,13 +54,20 @@ from pandemic_knowledge_spark.functions.geo import (
 )
 from pandemic_knowledge_spark.functions.vectors import cosine, sql_cosine, sql_dot
 from pandemic_knowledge_spark.operators.aggregates import (
+    adjacency_matrix,
     as_money,
     cents,
     cents_sum,
+    composite_page,
+    date_histogram_pipeline,
     matrix_stats,
+    rare_terms,
     significant_terms,
+    sql_adjacency_matrix,
     sql_cents_sum,
+    sql_date_histogram_pipeline,
     sql_matrix_stats,
+    sql_rare_terms,
     sql_significant_terms,
     terms_topn,
 )
@@ -124,7 +133,9 @@ from pandemic_knowledge_spark.operators.joins import (
 )
 from pandemic_knowledge_spark.operators.search import (
     build_positional_postings,
+    fuzzy_match_search,
     more_like_this,
+    sql_fuzzy_match_search,
     phrase_search_from_postings,
     prefix_search,
     rrf_fuse,
@@ -816,6 +827,140 @@ def agg_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         as_money(cents_sum("o_totalprice")).alias("total_price"),
     )
+
+
+_TZ = "America/New_York"
+
+
+@q(
+    "agg_daily_events_tz",
+    oracle=f"""
+SELECT CAST(timezone('{_TZ}', timezone('UTC', ts)) AS DATE) AS day_bucket,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def agg_daily_events_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 with an explicit TIME ZONE — Kibana date_histogram's
+    calendar-day buckets in the dashboard viewer's zone (ES
+    `date_histogram` with `time_zone`): bucket edges fall on
+    America/New_York midnights, so late-evening UTC events land on the
+    local PREVIOUS day. Spark shifts the UTC instant with
+    from_utc_timestamp before truncation; the DuckDB oracle replays it
+    with the two-step AT TIME ZONE (ICU) conversion. Same scan-side
+    one-shuffle shape as agg_daily_orders — the zone shift is a pure
+    projection, free at any scale."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.to_date(F.from_utc_timestamp(F.col("ts"), _TZ)).alias("day_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+@q(
+    "agg_rare_terms",
+    oracle=sql_rare_terms("documents", "doc_id", "text", max_doc_count=500),
+)
+def agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rare_terms` aggregation — the long-tail complement of terms
+    top-N: vocabulary terms appearing in at most max_doc_count documents
+    (per-doc distinct counting, exactly ES's doc_count), rarest first.
+    The testdata's injected near-duplicate marker 'dup' is the long tail
+    (≈0.3% of docs) against an otherwise ~90%-df vocabulary; 500 keeps it
+    in-bucket at every sf (operators.aggregates.rare_terms — one
+    distinct-term explode, one term shuffle, heap top-k)."""
+    d = load(spark, sf_dir, "documents")
+    return rare_terms(d, "doc_id", "text", max_doc_count=500)
+
+
+_ADJ_FILTERS_SQL = {
+    "click": "event_type = 'click'",
+    "highval": "value >= 50",
+    "week1": "ts < TIMESTAMP '2024-01-08'",
+}
+
+
+@q(
+    "agg_adjacency_matrix",
+    oracle=sql_adjacency_matrix("events", _ADJ_FILTERS_SQL),
+)
+def agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `adjacency_matrix` aggregation: named segment filters (clicks,
+    high-value, first-week) plus every pairwise intersection ('A&B' keys,
+    sorted-name order), doc counts, empty buckets dropped — segment
+    co-occurrence without N² queries. One fact scan, all nine counts as
+    conditional sums in a single partial+final aggregate, unpivoted from
+    the one result row (operators.aggregates.adjacency_matrix)."""
+    e = load(spark, sf_dir, "events")
+    return adjacency_matrix(
+        e,
+        {
+            "click": F.col("event_type") == "click",
+            "highval": F.col("value") >= 50,
+            "week1": F.col("ts") < F.lit("2024-01-08").cast("timestamp"),
+        },
+    )
+
+
+_COMPOSITE_AFTER = ("error", date(2024, 1, 15))
+
+
+@q(
+    "agg_composite_after",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day_bucket,
+         count(*) AS doc_count,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1, 2
+)
+SELECT * FROM buckets
+WHERE event_type > 'error'
+   OR (event_type = 'error' AND day_bucket > DATE '2024-01-15')
+ORDER BY event_type, day_bucket LIMIT 10
+""",
+)
+def agg_composite_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `composite` aggregation with after-key pagination — the
+    walk-every-bucket cursor Kibana/exports use on high-cardinality
+    groupings: buckets keyed (event_type, day), page 2 resumes strictly
+    after ('error', 2024-01-15) in tuple-lexicographic order, page size
+    10. The after-predicate filters BUCKETS (post-agg), the page is
+    per-partition heap top-k — any page costs one aggregate, no state
+    (operators.aggregates.composite_page)."""
+    e = load(spark, sf_dir, "events")
+    return composite_page(
+        e,
+        [
+            ("event_type", F.col("event_type")),
+            ("day_bucket", F.date_trunc("day", F.col("ts")).cast("date")),
+        ],
+        {
+            "doc_count": F.count(F.lit(1)),
+            "n_users": F.count_distinct(F.col("user_id")),
+        },
+        after=_COMPOSITE_AFTER,
+        size=10,
+    )
+
+
+@q(
+    "agg_pipeline_daily_delta",
+    oracle=sql_date_histogram_pipeline("events", "ts", window=7),
+)
+def agg_pipeline_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES PIPELINE aggregations (derivative + cumulative_sum + moving_fn
+    over a day date_histogram) — the Kibana daily-delta / running-total /
+    7-day-smoothed panel triple, composed scale-safe: derivative as a
+    calendar equi self-join, cumulative sum as a two-phase month-partial
+    prefix composition, moving average via bounded fan-out — NO global
+    single-partition sort anywhere
+    (operators.aggregates.date_histogram_pipeline)."""
+    e = load(spark, sf_dir, "events")
+    return date_histogram_pipeline(e, "ts", window=7)
 
 
 @q(
@@ -2618,6 +2763,26 @@ def search_prefix_type_ahead(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.search.prefix_search)."""
     d = load(spark, sf_dir, "documents")
     return prefix_search(d, "doc_id", "text", _PREFIX_QUERY, k=10)
+
+
+_FUZZY_QUERY = "a sparc strean"  # two typos + one short exact-band term
+
+
+@q(
+    "search_fuzzy_match",
+    oracle=sql_fuzzy_match_search("documents", "doc_id", "text", _FUZZY_QUERY, 10),
+)
+def search_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `match` with `fuzziness: AUTO` — the misspelling-tolerant query
+    behind the news app's lenient search (SearchUI.js:22-27): 'sparc'
+    (length 5 → 1 edit) reaches 'spark', 'strean' (length 6 → 2 edits)
+    reaches 'stream', 'a' (length 1 → exact only) matches as-is; BM25
+    ranks docs over the union of expansions
+    (operators.search.fuzzy_match_search — banded-levenshtein candidate
+    pruning via a length equi-join, per-term expansion cap, every
+    broadcast build side bounded)."""
+    d = load(spark, sf_dir, "documents")
+    return fuzzy_match_search(d, "doc_id", "text", _FUZZY_QUERY, k=10)
 
 
 _RRF_K = 20  # per-list depth fed into the fusion

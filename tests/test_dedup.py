@@ -311,6 +311,47 @@ def test_ngram_jaccard_string_ids_fall_through_to_two_column_count(spark):
     assert got == expect and len(got) > 0
 
 
+def test_ngram_containment_string_ids_match_integer_ids(spark):
+    """The containment form shares the packed-key branch with Jaccard, so
+    the same type gate must route string ids to the two-column fallback —
+    pairs and containment values must match the integer-id run exactly
+    (extension of the advisor-reported Jaccard regression pin to the
+    containment twin)."""
+    from pandemic_knowledge_spark.operators.dedup import ngram_containment_pairs
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta iota kappa",
+        "omega psi chi phi upsilon tau sigma rho",
+    ]
+    as_long = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string",
+    )
+    as_str = spark.createDataFrame(
+        [(f"doc-{i}", "en", t) for i, t in enumerate(texts)],
+        "doc_id string, lang string, text string",
+    )
+    expect = {
+        (r.doc_a, r.doc_b, r.cont_a_in_b, r.cont_b_in_a)
+        for r in ngram_containment_pairs(
+            as_long, "doc_id", "text", "lang", k=3, threshold=0.1
+        ).collect()
+    }
+    got = {
+        (
+            int(r.doc_a.removeprefix("doc-")),
+            int(r.doc_b.removeprefix("doc-")),
+            r.cont_a_in_b,
+            r.cont_b_in_a,
+        )
+        for r in ngram_containment_pairs(
+            as_str, "doc_id", "text", "lang", k=3, threshold=0.1
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
 def test_ngram_containment_detects_embedded_quote(spark):
     """A short doc quoted verbatim inside a much longer one: Jaccard is
     tiny (|A|/|B|), containment of the quote in the article is 1.0 — the

@@ -1,0 +1,142 @@
+"""Hand-built-input semantics for the r7 ES-parity aggregations
+(rare_terms, adjacency_matrix, composite paging, pipeline aggs) and the
+fuzzy-match retrieval — the catalog rows prove oracle parity on the
+testdata; these pin the edge semantics parity can't reach (empty buckets,
+page boundaries, series starts, AUTO band edges)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.operators.aggregates import (
+    adjacency_matrix,
+    composite_page,
+    date_histogram_pipeline,
+    rare_terms,
+)
+from pandemic_knowledge_spark.operators.search import (
+    fuzzy_auto_band,
+    fuzzy_match_search,
+)
+
+
+def test_rare_terms_counts_docs_not_occurrences(spark):
+    """doc_count is per-doc distinct (ES doc_count), so a term repeated
+    many times inside ONE doc is still rare; ordering is rarest-first."""
+    docs = spark.createDataFrame(
+        [
+            (1, "zz zz zz zz common"),
+            (2, "common other"),
+            (3, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.term, r.doc_count) for r in rare_terms(docs, "doc_id", "text", 2).collect()]
+    assert got == [("zz", 1), ("other", 2)]  # 'common' (3 docs) excluded
+
+
+def test_adjacency_matrix_drops_empty_and_keys_sorted(spark):
+    """Pairwise keys join names in sorted order with '&'; zero-doc buckets
+    (including an all-false filter) are omitted, exactly as ES drops
+    empty adjacency cells."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 60.0), (2, 70.0)], "k long, v double"
+    )
+    got = {
+        r.key: r.doc_count
+        for r in adjacency_matrix(
+            df,
+            {
+                "two": F.col("k") == 2,
+                "high": F.col("v") >= 50,
+                "never": F.col("v") < 0,
+            },
+        ).collect()
+    }
+    assert got == {"two": 2, "high": 2, "high&two": 2}
+    assert "never" not in got and "high&never" not in got
+
+
+def test_composite_after_key_is_strict_tuple_order(spark):
+    """The after-key cursor resumes STRICTLY after the tuple: same first
+    key with larger second keys still qualify; the after bucket itself
+    never reappears (the ES composite contract that makes pages
+    non-overlapping)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 1)], "g string, d int"
+    )
+    srcs = [("g", F.col("g")), ("d", F.col("d"))]
+    m = {"doc_count": F.count(F.lit(1))}
+    page1 = [(r.g, r.d) for r in composite_page(df, srcs, m, size=2).collect()]
+    assert page1 == [("a", 1), ("a", 2)]
+    page2 = [
+        (r.g, r.d)
+        for r in composite_page(df, srcs, m, after=page1[-1], size=2).collect()
+    ]
+    assert page2 == [("a", 3), ("b", 1)]
+    page3 = [
+        (r.g, r.d)
+        for r in composite_page(df, srcs, m, after=page2[-1], size=2).collect()
+    ]
+    assert page3 == []
+
+
+def test_pipeline_derivative_null_starts_and_exact_composition(spark):
+    """First bucket (and any bucket with no calendar-previous day) has a
+    NULL derivative; cumulative_sum composes exactly across the month
+    boundary; the moving average truncates at the series start."""
+    rows = []
+    # 2024-01-30, 2024-01-31, 2024-02-01 with 1, 2, 4 events; gap, then
+    # 2024-02-03 with 8 (no calendar-previous bucket).
+    for d, n in ((date(2024, 1, 30), 1), (date(2024, 1, 31), 2),
+                 (date(2024, 2, 1), 4), (date(2024, 2, 3), 8)):
+        rows += [(d.isoformat() + " 12:00:00",)] * n
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r.day.isoformat(): r for r in date_histogram_pipeline(df, "ts", window=2).collect()}
+    assert got["2024-01-30"].derivative is None
+    assert got["2024-01-31"].derivative == 1
+    assert got["2024-02-01"].derivative == 2  # across month boundary
+    assert got["2024-02-03"].derivative is None  # gap: no prev bucket
+    assert [got[d].cumulative_sum for d in sorted(got)] == [1, 3, 7, 15]
+    # trailing-2-calendar-day means: day1 alone, (1+2)/2, (2+4)/2, 8 alone
+    assert [got[d].moving_avg for d in sorted(got)] == [1.0, 1.5, 3.0, 8.0]
+
+
+def test_fuzzy_auto_bands_match_es_table():
+    assert [fuzzy_auto_band(n) for n in (0, 1, 2, 3, 5, 6, 12)] == [
+        0, 0, 0, 1, 1, 2, 2,
+    ]
+
+
+def test_fuzzy_match_expands_within_band_only(spark):
+    """'grapx' (len 5 → 1 edit) must reach 'grape' and 'graph' but not
+    'grapes' at distance 2; a short term stays exact-only even when a
+    1-edit neighbor exists."""
+    docs = spark.createDataFrame(
+        [
+            (1, "grape grape vine"),
+            (2, "graph theory"),
+            (3, "grapes are fruit"),
+            (4, "ax bx"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id for r in fuzzy_match_search(docs, "doc_id", "text", "grapx", k=10).collect()}
+    assert hits == {1, 2}
+    # 'ax' is length 2 → band 0: exact only, so 'ay' matches nothing
+    assert fuzzy_match_search(docs, "doc_id", "text", "ay", k=10).count() == 0
+    # ...but the exact token itself still retrieves
+    assert {
+        r.doc_id
+        for r in fuzzy_match_search(docs, "doc_id", "text", "ax", k=10).collect()
+    } == {4}
+
+
+def test_fuzzy_match_empty_query_returns_empty(spark):
+    docs = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    out = fuzzy_match_search(docs, "doc_id", "text", "  !!  ", k=5)
+    assert out.count() == 0 and out.columns == ["doc_id", "score"]
