@@ -2770,6 +2770,7 @@ _FUZZY_QUERY = "a sparc strean"  # two typos + one short exact-band term
 
 @q(
     "search_fuzzy_match",
+    bench=True,
     oracle=sql_fuzzy_match_search("documents", "doc_id", "text", _FUZZY_QUERY, 10),
 )
 def search_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5583,11 +5584,47 @@ BENCH_QUERY_NAMES.extend(
 # already proven green in a previous round's CORRECTNESS_r*.json rotate to
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
-# The rows displaced from the r6 window by this round's 12 new queries —
-# each deferral is justified inline below by in-window family coverage.
-# These MUST lead the r7 window (after r7's own new/changed rows):
-# scripts/window_rotate.py --must-lead $(paste this list) emits it.
+# The rows displaced from the r7 window by this round's 6 new queries —
+# all 13 are r4-green rows whose families keep fresher in-window coverage:
+# the text_* six (search family holds search_fuzzy_match + highlighted +
+# phrase rows in-window; tokenizer/quality invariants stay pytest-pinned),
+# timeseries_corr_topk (ses_forecast leads this window),
+# union_feed (both setop rows in-window), and the four window-function
+# rows (window_range_7day_avg is r6-green; agg_pipeline_daily_delta adds
+# fresh window machinery this round). These MUST lead the r8 window
+# (after r8's own new/changed rows): zero-argument
+# `python scripts/window_rotate.py` emits it.
 _NEXT_WINDOW_IOUS = [
+    "text_boilerplate_ngrams",
+    "text_hash_embeddings",
+    "text_lang_id",
+    "text_repetition_signals",
+    "text_search_bm25",
+    "text_search_overlap",
+    "text_stats",
+    "timeseries_corr_topk",
+    "union_feed",
+    "window_lag_delta",
+    "window_ntile_quartiles",
+    "window_running_revenue",
+    "window_topk_orders_per_cust",
+]
+
+_DRIVER_PRIORITY = [
+    # ROUND-7 WINDOW (50 slots) — the zero-argument scripts/window_rotate.py
+    # proposal (r6 verdict item #1): this round's 6 NEW queries lead
+    # (never-checked = riskiest), then the 13 r7 IOUs the r6 rotation
+    # declared (several are §2 primary evidence: A1/A3 agg_daily_orders,
+    # S6 crawl_tweets_fixture_conform, P3/P8 ingest_weekly_conform_fixture),
+    # then the r4-stale set oldest-first. After this round no catalog row's
+    # newest evidence is older than r4.
+    "agg_daily_events_tz",        # NEW r7: tz-aware date histogram
+    "agg_rare_terms",             # NEW r7: ES rare_terms long tail
+    "agg_adjacency_matrix",       # NEW r7: ES adjacency_matrix
+    "agg_composite_after",        # NEW r7: ES composite after-key paging
+    "agg_pipeline_daily_delta",   # NEW r7: ES pipeline aggs (derivative…)
+    "search_fuzzy_match",         # NEW r7: ES match fuzziness=AUTO
+    # --- the 13 r6-declared IOUs ---
     "agg_cube_status_priority",
     "agg_daily_orders",
     "cohort_weekly_retention",
@@ -5601,113 +5638,40 @@ _NEXT_WINDOW_IOUS = [
     "sample_token_mixture",
     "scd2_user_history",
     "timeseries_ses_forecast",
-]
-
-_DRIVER_PRIORITY = [
-    # ROUND-6 WINDOW (50 slots) — the scripts/window_rotate.py --must-lead
-    # proposal from the r5 evidence (r5 verdict item #1), amended for the
-    # three NEW r6 sql_door queries (never-checked = riskiest, they lead):
-    # then the tolerance-form HLL row (oracle changed this round), the 9
-    # declared r2-stale deferral IOUs (three of them the primary §2 driver
-    # evidence for P4/J1, P5, J3), and the r3-stale set oldest-first. To
-    # make room for the 3 new rows, the proposal's two oldest-r4 fills
-    # (agg_cube_status_priority, agg_daily_orders — both r4-green) and ONE
-    # r3 row (scd2_user_history, whose SCD2 family keeps two in-window rows
-    # via scd2_incremental_merge + scd2_snapshot_asof) are declared r7
-    # IOUs. After this round scd2_user_history is the only row older
-    # than r4.
-    "sql_door_nation_revenue",   # NEW r6: raw-SQL door, join shape
-    "sql_door_monthly_orders",   # NEW r6: raw-SQL door, dashboard shape
-    "sql_door_doc_profile",      # NEW r6: raw-SQL door, corpus shape
-    "search_more_like_this",     # NEW r6: ES more_like_this parity
-    "agg_significant_terms",     # NEW r6: ES significant_terms parity
-    "search_term_suggest",       # NEW r6: ES term suggester parity
-    "dedup_ngram_containment",   # NEW r6: asymmetric containment pairs
-    "search_hybrid_rrf",         # NEW r6: BM25 ⊕ kNN reciprocal-rank fusion
-    "agg_percentile_ranks",      # NEW r6: ES percentile_ranks aggregation
-    "agg_matrix_stats",          # NEW r6: ES matrix_stats (cov/corr matrix)
-    "geo_distance_rings",        # NEW r6: ES geo_distance ring aggregation
-    "sample_dsir_rank",          # NEW r6: DSIR importance-resampling rank
-    "search_prefix_type_ahead",  # NEW r6: ES match_bool_prefix parity
-    "sketch_hll_range_rollup",  # RED→oracle: r6 tolerance form (hash-checked)
-    # --- the 9 r2-only-green deferral IOUs ---
-    "agg_histogram_buckets",
-    "agg_stats_moments",
-    "window_range_7day_avg",
-    "anti_join_misses",
-    "iso_code_enrich",
-    "dim_broadcast_enrich",
-    "text_search_bm25_fields",
-    "sample_upsample_epochs",
-    "dedup_cluster_reps_star",
-    # --- the entire r3-only-green residue ---
-    "bpe_encode_docs",
-    "bpe_learn_merges",
-    "chunk_documents_grid",
-    # (cohort_weekly_retention — r3-green, deferred to the r7 head to make
-    #  room for search_hybrid_rrf: funnel_signup_view_purchase keeps the
-    #  funnel/retention machinery in-window)
-    "corpus_training_prep",
-    "crawl_news_fixture_conform",
-    # (crawl_tweets_fixture_conform — r3-green, deferred to the r7 head to
-    #  make room for agg_matrix_stats: the crawler/conform family keeps
-    #  crawl_news_fixture_conform in-window and the tweet source cap stays
-    #  pytest-pinned)
-    "dedup_corpus_lines",
-    "dedup_url_canonical",
-    # (dedup_winnow_fingerprints — r3-green, deferred to the r7 head to
-    #  make room for dedup_ngram_containment: the winnow family's r5 rows
-    #  dedup_winnow_pairs + dedup_winnow_cluster_reps both CONSUME the
-    #  fingerprints path, so it keeps fresh transitive coverage)
-    "emb_kmeans_clusters",
-    # (epi_outbreak_spikes — r3-green, deferred to the r7 head to make room
-    #  for agg_percentile_ranks: epi_rt_daily keeps the shared
-    #  daily_counts_dense machinery in-window)
-    "epi_rt_daily",
-    "funnel_signup_view_purchase",
-    "fuzzy_dim_match_nations",
-    # (graph_trade_pagerank — r3-green, deferred to the r7 head to make
-    #  room for sample_dsir_rank: the iterative-graph family's
-    #  convergence/asymptotics evidence stays pinned in tests/test_graph.py
-    #  and the r5 sf3 probe)
-    "ingest_owid_conform_fixture",
-    # (ingest_weekly_conform_fixture — r3-green, deferred to the r7 head to
-    #  make room for search_term_suggest: the ingest/conform fixture family
-    #  keeps ingest_owid + both crawl fixtures in-window)
-    "io_partitioned_roundtrip",
-    # (layout_zorder_box_scan — r3-green, deferred to the r7 head to make
-    #  room for geo_distance_rings: the layout family keeps
-    #  io_partitioned_roundtrip in-window and the pruning property stays
-    #  pinned in tests/test_layout.py)
-    "lm_score_docs",
-    "multimodal_media_features",
-    "privacy_k_anonymize",
-    "profile_drift_psi",
-    # (profile_orders_table — r3-green, deferred to the r7 head to make
-    #  room for search_prefix_type_ahead: profile_drift_psi keeps the
-    #  profiling family in-window)
-    "range_join_value_brackets",
-    "sample_fixed_per_stratum",
-    # (sample_token_mixture — r3-green, deferred to the r7 head to make
-    #  room for agg_significant_terms: the sampling family keeps
-    #  sample_fixed_per_stratum + sample_upsample_epochs in-window)
-    "scd2_incremental_merge",
-    "scd2_snapshot_asof",
-    # (scd2_user_history — r3-green, deferred to the r7 head to make room
-    #  for the three new sql_door rows: its SCD2 family keeps two in-window
-    #  rows above)
-    "sketch_quantile_rollup",
-    "text_collocations_pmi",
-    "text_quality_classifier",
-    "text_tfidf_keywords",
-    "timeseries_gapfill_ffill",
-    "timeseries_rolling_active",
-    # (timeseries_ses_forecast — r3-green, deferred to the r7 head to make
-    #  room for search_more_like_this: the timeseries family keeps two
-    #  in-window rows above)
-    # (agg_cube_status_priority, agg_daily_orders — the rotate proposal's
-    #  oldest-r4 fills, deferred to the r7 head to make room for the three
-    #  new sql_door rows; both are r4-green)
+    # --- r4-stale rows, oldest-evidence-first (name-ordered) ---
+    "agg_grouping_sets_orders",
+    "agg_nation_balance",
+    "agg_pivot_daily_metrics",
+    "agg_rollup_region_nation",
+    "agg_terms_top_events",
+    "ann_ivf_topk",
+    "ann_rp_lsh_topk",
+    "asof_attribution",
+    "conform_json_coerce",
+    "conform_week_histogram",
+    "corpus_curation_pipeline",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_pruned",
+    "dedup_simhash_docs",
+    "dedup_substring_clean",
+    "dedup_substring_spans",
+    "interval_join_shipments",
+    "knn_cosine_topk",
+    "latest_feed_page",
+    "lm_ccnet_buckets",
+    "retail_rfm_segments",
+    "search_page_highlighted",
+    "search_phrase_positional",
+    "semi_join_hits",
+    "setop_nations_except",
+    "setop_nations_intersect",
+    "skew_salted_user_totals",
+    "stream_session_5m",
+    "stream_sliding_1h30m",
+    "stream_tumbling_hourly",
+    # (the 13 remaining r4 rows are the declared r8 IOUs above —
+    #  _NEXT_WINDOW_IOUS — displaced by this round's 6 new queries)
 ]
 
 

@@ -96,6 +96,16 @@ WIDE_QUERIES = [
     "agg_percentile_ranks",    # conditional sums, one scan
     "geo_distance_rings",      # scan-side ring id + narrow groupBy
     "sample_dsir_rank",        # bigram-bucket models + broadcast ratios
+    # r7-window heavies with no sf1 row yet (r6 verdict item #6):
+    "dedup_winnow_fingerprints",  # winnow window over gram hashes
+    "layout_zorder_box_scan",     # z-order interleave + box predicate
+    # r7-new operators — first sf1 evidence for each cost shape:
+    "search_fuzzy_match",      # length-banded levenshtein + BM25 expansion
+    "agg_daily_events_tz",     # tz-shifted day histogram, one shuffle
+    "agg_rare_terms",          # distinct-term explode + term shuffle
+    "agg_adjacency_matrix",    # single-scan conditional sums
+    "agg_composite_after",     # bucket agg + cursor filter + heap page
+    "agg_pipeline_daily_delta",  # month-partial prefix composition
 ]
 
 KEY_COLS = {
