@@ -862,18 +862,18 @@ def agg_daily_events_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "agg_rare_terms",
-    oracle=sql_rare_terms("documents", "doc_id", "text", max_doc_count=500),
+    oracle=sql_rare_terms("documents", "doc_id", "text", max_doc_count=300),
 )
 def agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `rare_terms` aggregation — the long-tail complement of terms
     top-N: vocabulary terms appearing in at most max_doc_count documents
     (per-doc distinct counting, exactly ES's doc_count), rarest first.
     The testdata's injected near-duplicate marker 'dup' is the long tail
-    (≈0.3% of docs) against an otherwise ~90%-df vocabulary; 500 keeps it
-    in-bucket at every sf (operators.aggregates.rare_terms — one
+    (≈5% of docs) against an otherwise ~75%-df vocabulary; 300 keeps it
+    the ONLY in-bucket term at every shipped sf (operators.aggregates.rare_terms — one
     distinct-term explode, one term shuffle, heap top-k)."""
     d = load(spark, sf_dir, "documents")
-    return rare_terms(d, "doc_id", "text", max_doc_count=500)
+    return rare_terms(d, "doc_id", "text", max_doc_count=300)
 
 
 _ADJ_FILTERS_SQL = {
