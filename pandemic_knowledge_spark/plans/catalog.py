@@ -870,8 +870,9 @@ def agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-doc distinct counting, exactly ES's doc_count), rarest first.
     The testdata's injected near-duplicate marker 'dup' is the long tail
     (≈5% of docs) against an otherwise ~75%-df vocabulary; 300 keeps it
-    the ONLY in-bucket term at every shipped sf (operators.aggregates.rare_terms — one
-    distinct-term explode, one term shuffle, heap top-k)."""
+    the ONLY in-bucket term at every shipped sf
+    (operators.aggregates.rare_terms — one distinct-term explode, one
+    term shuffle, heap top-k)."""
     d = load(spark, sf_dir, "documents")
     return rare_terms(d, "doc_id", "text", max_doc_count=300)
 
@@ -891,7 +892,7 @@ def agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `adjacency_matrix` aggregation: named segment filters (clicks,
     high-value, first-week) plus every pairwise intersection ('A&B' keys,
     sorted-name order), doc counts, empty buckets dropped — segment
-    co-occurrence without N² queries. One fact scan, all nine counts as
+    co-occurrence without N² queries. One fact scan, all six counts as
     conditional sums in a single partial+final aggregate, unpivoted from
     the one result row (operators.aggregates.adjacency_matrix)."""
     e = load(spark, sf_dir, "events")
