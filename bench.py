@@ -22,6 +22,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Idle gate witness (r5/r6 verdict protocol): the START loadavg is the
+    # honest one — by the end, this process's own 32 threads dominate it.
+    loadavg_start = round(os.getloadavg()[0], 2)
+
     spark = get_spark(app_name="pk-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -113,6 +117,7 @@ def main() -> None:
             # and overlapping runs measure 1.2-2x slower uniformly
             # (BASELINE.md variance notes). loadavg >> this process's own
             # footprint at read time means the numbers carry that tax.
+            "loadavg_1m_at_start": loadavg_start,
             "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
         }
     )

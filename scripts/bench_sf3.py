@@ -40,6 +40,7 @@ QUERIES = [
     "sample_dsir_rank",        # bigram-bucket models (3.7 s at sf1)
     "dedup_ngram_containment", # exact pair core, ΣC(df,2) contract (8.2 s)
     "search_more_like_this",   # TF shuffle + broadcast term scoring
+    "search_fuzzy_match",      # r7: TF shuffle + banded levenshtein (3.1 s at sf1)
 ]
 
 
@@ -47,6 +48,9 @@ def main() -> None:
     from pandemic_knowledge_spark.plans import REGISTRY
     from pandemic_knowledge_spark.session import get_spark
 
+    global QUERIES
+    if "--only" in sys.argv:  # targeted probe: --only name1,name2
+        QUERIES = sys.argv[sys.argv.index("--only") + 1].split(",")
     bench_sf1.DST = "/tmp/pk_sf3"
     bench_sf1.COPIES = 30
     spark = get_spark(app_name="pk-bench-sf3")
