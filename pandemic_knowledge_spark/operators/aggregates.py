@@ -402,6 +402,13 @@ def composite_page(
     as ES defaults); ``after`` is the last key tuple of the prior page or
     None for the first page.
 
+    Rows with a NULL in ANY source key are excluded — ES's composite
+    default (``missing_bucket: false``: documents without a value for a
+    source are skipped). Without this, a NULL bucket would surface on
+    page 1 but be unreachable past any cursor (NULL > x is NULL), making
+    pagination silently lossy; dropping it up front keeps every emitted
+    bucket pageable and matches an oracle's non-NULL ordering.
+
     Plan: one grouped aggregate on the source keys, the after-key
     predicate as a tuple-lexicographic filter ON TOP of the aggregate
     (buckets, not rows — a later page never rescans earlier buckets'
@@ -411,10 +418,18 @@ def composite_page(
     pages can be fetched by independent jobs — the property ES built
     composite for."""
     names = [n for n, _ in sources]
-    g = df.groupBy(*[c.alias(n) for n, c in sources]).agg(
+    filtered = df
+    for _, c in sources:  # missing_bucket=false: skip NULL-keyed rows
+        filtered = filtered.filter(c.isNotNull())
+    g = filtered.groupBy(*[c.alias(n) for n, c in sources]).agg(
         *[c.alias(n) for n, c in metrics.items()]
     )
     if after is not None:
+        if len(after) != len(names) or any(a is None for a in after):
+            raise ValueError(
+                "composite_page: after must supply a non-NULL value per "
+                f"source ({len(names)} expected, got {after!r})"
+            )
         pred = None
         # lexicographic (k1, k2, ...) > (a1, a2, ...)
         for i in range(len(names)):
@@ -452,6 +467,11 @@ def date_histogram_pipeline(
       then ONE keyed shuffle re-aggregates; the inner join back to the
       daily spine truncates past the series end.
     Counts and sums stay int64 end-to-end; only the final avg divides."""
+    if window < 1:
+        # window=0 would make F.sequence(0, -1) count DOWN (Spark infers
+        # step -1), silently turning the trailing average into a leading
+        # one — reject instead.
+        raise ValueError(f"date_histogram_pipeline: window must be >= 1, got {window}")
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     daily = (
         df.groupBy(day.alias("day"))
@@ -511,6 +531,10 @@ def sql_date_histogram_pipeline(table: str, ts_col: str, window: int = 7) -> str
     calendar RANGE frame for the moving average, which matches the
     explode-fanout by construction; the derivative joins on day = prev+1
     exactly as the Spark twin."""
+    if window < 1:
+        raise ValueError(
+            f"sql_date_histogram_pipeline: window must be >= 1, got {window}"
+        )
     return f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', {ts_col}) AS DATE) AS day, count(*) AS cnt

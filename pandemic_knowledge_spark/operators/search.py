@@ -27,6 +27,91 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _tf_with_stats(docs, id_col: str, text_col: str):
+    """The shared corpus-scan skeleton of every selected-terms scorer
+    (more_like_this / prefix_search / fuzzy_match_search): tokenize →
+    (doc, term) TF shuffle with the one-row corpus stats CARRIED on the
+    eagerly-checkpointed frame (one scalar broadcast for the whole
+    operator — the plan-audit scalar-BNLJ budget is one), plus the
+    per-term document-frequency aggregate derived from it. Returns
+    (tf, df_t). Extracted so a tokenizer/stats/checkpoint change can
+    never desynchronize one scorer from the others."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .crossJoin(F.broadcast(stats))
+        .localCheckpoint(eager=True)
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return tf, df_t
+
+
+def _attach_bm25_scores(joined: DataFrame) -> DataFrame:
+    """Add avgdl/idf/term_score to a frame carrying (tf, dl, df, n_docs,
+    sum_dl) — the one BM25 expression shape every scorer shares."""
+    return (
+        joined.withColumn(
+            "avgdl", F.col("sum_dl").cast("double") / F.col("n_docs")
+        )
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            _term_score(F.col("idf"), F.col("tf"), F.col("dl"), F.col("avgdl")),
+        )
+    )
+
+
+def _sql_tf_prelude(table: str, id_col: str, text_col: str) -> str:
+    """The shared DuckDB CTE prelude (base → stats → tf → dft) mirroring
+    :func:`_tf_with_stats` — composed, never hand-copied, so the oracle
+    prelude can't drift between the selected-terms scorers."""
+    return f"""base AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks FROM {table}
+), base2 AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM base
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base2
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
+  GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+)"""
+
+
+def _sql_bm25_tail(k: int, where: str = "") -> str:
+    """The shared DuckDB scoring tail: BM25 term scores over tf ⋈ sel ⋈
+    dft with the corpus stats, per-doc sum, 4-dp round, top-k."""
+    return f"""scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * (tf.tf * ({BM25_K1} + 1))
+         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+         AS term_score
+  FROM tf
+  JOIN sel ON tf.term = sel.term
+  JOIN dft ON tf.term = dft.term
+  CROSS JOIN stats{where}
+)
+SELECT doc_id, round(sum(term_score), 4) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def bm25_search(
     docs: DataFrame,
     id_col: str,
@@ -252,24 +337,7 @@ def more_like_this(
     selection score, exactly as :func:`tfidf_keywords` (and the DuckDB
     oracle) rank. An unknown/empty source doc selects no terms and returns
     an empty frame, not an error."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
-    ).withColumn("dl", F.size("toks"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        # ONE scalar-stats broadcast for the whole operator, carried on the
-        # checkpointed frame: selection needs N, scoring needs N + sum_dl —
-        # a keyless one-row join per consumer would double the plan's
-        # nested-loop count (the plan-audit scalar-BNLJ budget is one).
-        .crossJoin(F.broadcast(stats))
-        .localCheckpoint(eager=True)
-    )
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf, df_t = _tf_with_stats(docs, id_col, text_col)
     # orderBy().limit() plans TakeOrderedAndProject (per-partition heaps
     # merged at the driver — no single-partition exchange); its input is
     # the ONE source doc's terms joined to the tiny DF table, bounded by
@@ -296,30 +364,12 @@ def more_like_this(
     # attach, and no BroadcastExchange ever has the unfiltered vocabulary
     # as input
     df_sel = df_t.join(F.broadcast(selected), "term")
-    scored = (
-        tf.join(F.broadcast(df_sel), "term")
-        .filter(F.col("doc_id") != F.lit(src_doc_id))
-        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (BM25_K1 + 1))
-            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+    scored = _attach_bm25_scores(
+        tf.join(F.broadcast(df_sel), "term").filter(
+            F.col("doc_id") != F.lit(src_doc_id)
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 4).alias("score"))
-        .orderBy(F.desc("score"), F.col("doc_id"))
-        .limit(k)
-    )
+    return _bm25_score_agg(scored, k)
 
 
 def prefix_search(
@@ -350,20 +400,7 @@ def prefix_search(
         )
     *full_terms, prefix = toks
     full_terms = sorted(set(full_terms))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
-    ).withColumn("dl", F.size("toks"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .crossJoin(F.broadcast(stats))
-        .localCheckpoint(eager=True)
-    )
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf, df_t = _tf_with_stats(docs, id_col, text_col)
     expansions = (
         df_t.filter(F.col("term").startswith(prefix))
         .orderBy(F.desc("df"), F.col("term"))
@@ -380,21 +417,7 @@ def prefix_search(
     # of the scoring join is the ≤(terms + max_expansions)-row selection,
     # never the full vocabulary (multi-GB at corpus scale)
     df_sel = df_t.join(F.broadcast(selected), "term")
-    scored = (
-        tf.join(F.broadcast(df_sel), "term")
-        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "term_score",
-            _term_score(F.col("idf"), F.col("tf"), F.col("dl"), F.col("avgdl")),
-        )
-    )
+    scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
     return _bm25_score_agg(scored, k)
 
 
@@ -421,38 +444,13 @@ def sql_prefix_search(
         exact_cte = f", exact AS ({lits})"
         sel = "SELECT DISTINCT term FROM (SELECT term FROM expansions UNION ALL SELECT term FROM exact)"
     return f"""
-WITH base AS (
-  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks FROM {table}
-), base2 AS (
-  SELECT doc_id, toks, len(toks) AS dl FROM base
-), stats AS (
-  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base2
-), tf AS (
-  SELECT doc_id, dl, term, count(*) AS tf
-  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
-  GROUP BY doc_id, dl, term
-), dft AS (
-  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
-), expansions AS (
+WITH {_sql_tf_prelude(table, id_col, text_col)}, expansions AS (
   SELECT term FROM dft
   WHERE term LIKE '{pre_lit}%'
   ORDER BY df DESC, term LIMIT {max_expansions}
 ){exact_cte}, sel AS (
   {sel}
-), scored AS (
-  SELECT tf.doc_id,
-         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-         * (tf.tf * ({BM25_K1} + 1))
-         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
-         AS term_score
-  FROM tf
-  JOIN sel ON tf.term = sel.term
-  JOIN dft ON tf.term = dft.term
-  CROSS JOIN stats
-)
-SELECT doc_id, round(sum(term_score), 4) AS score
-FROM scored GROUP BY doc_id
-ORDER BY score DESC, doc_id LIMIT {k}
+), {_sql_bm25_tail(k)}
 """
 
 
@@ -512,20 +510,7 @@ def fuzzy_match_search(
         if b > 0
         for length in range(max(1, len(t) - b), len(t) + b + 1)
     ]
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
-    ).withColumn("dl", F.size("toks"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .crossJoin(F.broadcast(stats))
-        .localCheckpoint(eager=True)
-    )
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf, df_t = _tf_with_stats(docs, id_col, text_col)
     spark = docs.sparkSession
     selected = None
     if fuzz_rows:
@@ -555,21 +540,7 @@ def fuzzy_match_search(
     selected = selected.distinct()
     # bound df_t to the selection before broadcasting, as in prefix_search
     df_sel = df_t.join(F.broadcast(selected), "term")
-    scored = (
-        tf.join(F.broadcast(df_sel), "term")
-        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "term_score",
-            _term_score(F.col("idf"), F.col("tf"), F.col("dl"), F.col("avgdl")),
-        )
-    )
+    scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
     return _bm25_score_agg(scored, k)
 
 
@@ -638,34 +609,9 @@ def sql_fuzzy_match_search(
         )
     extra_ctes = (", " + ", ".join(parts)) if parts else ""
     return f"""
-WITH base AS (
-  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks FROM {table}
-), base2 AS (
-  SELECT doc_id, toks, len(toks) AS dl FROM base
-), stats AS (
-  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base2
-), tf AS (
-  SELECT doc_id, dl, term, count(*) AS tf
-  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
-  GROUP BY doc_id, dl, term
-), dft AS (
-  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
-){extra_ctes}, sel AS (
+WITH {_sql_tf_prelude(table, id_col, text_col)}{extra_ctes}, sel AS (
   SELECT DISTINCT term FROM ({sel_src})
-), scored AS (
-  SELECT tf.doc_id,
-         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-         * (tf.tf * ({BM25_K1} + 1))
-         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
-         AS term_score
-  FROM tf
-  JOIN sel ON tf.term = sel.term
-  JOIN dft ON tf.term = dft.term
-  CROSS JOIN stats
-)
-SELECT doc_id, round(sum(term_score), 4) AS score
-FROM scored GROUP BY doc_id
-ORDER BY score DESC, doc_id LIMIT {k}
+), {_sql_bm25_tail(k)}
 """
 
 
@@ -814,20 +760,9 @@ def sql_more_like_this(
     (score DESC, term) tie-break, same BM25 scoring over the selected
     terms, same source-doc exclusion and 4-dp rounding."""
     src_lit = _sql_id_lit(src_doc_id)
+    excl_src = f"\n  WHERE tf.doc_id <> {src_lit}"
     return f"""
-WITH base AS (
-  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks FROM {table}
-), base2 AS (
-  SELECT doc_id, toks, len(toks) AS dl FROM base
-), stats AS (
-  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base2
-), tf AS (
-  SELECT doc_id, dl, term, count(*) AS tf
-  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
-  GROUP BY doc_id, dl, term
-), dft AS (
-  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
-), sel AS (
+WITH {_sql_tf_prelude(table, id_col, text_col)}, sel AS (
   SELECT term
   FROM (
     SELECT tf.term,
@@ -839,21 +774,7 @@ WITH base AS (
     WHERE tf.doc_id = {src_lit} AND tf.term = dft.term
       AND tf.tf >= {min_term_freq} AND dft.df >= {min_doc_freq}
   ) WHERE rnk <= {max_query_terms}
-), scored AS (
-  SELECT tf.doc_id,
-         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-         * (tf.tf * ({BM25_K1} + 1))
-         / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
-         AS term_score
-  FROM tf
-  JOIN sel ON tf.term = sel.term
-  JOIN dft ON tf.term = dft.term
-  CROSS JOIN stats
-  WHERE tf.doc_id <> {src_lit}
-)
-SELECT doc_id, round(sum(term_score), 4) AS score
-FROM scored GROUP BY doc_id
-ORDER BY score DESC, doc_id LIMIT {k}
+), {_sql_bm25_tail(k, where=excl_src)}
 """
 
 

@@ -138,8 +138,14 @@ def distinct_tolerance_audit(
 
 def _tol_col(tol: float) -> str:
     """Witness column name derived from the tolerance so it can never
-    misstate the bound (tol=0.05 → ``within_5pct``, 0.10 → ``within_10pct``)."""
-    return f"within_{int(round(tol * 100))}pct"
+    misstate the bound: tol=0.05 → ``within_5pct``, 0.10 →
+    ``within_10pct``, and a fractional percent keeps its decimals with
+    ``_`` for ``.`` (0.025 → ``within_2_5pct``) — never rounded, which
+    would attest a bound that wasn't the one checked."""
+    pct = tol * 100
+    if abs(pct - round(pct)) < 1e-9:
+        return f"within_{int(round(pct))}pct"
+    return "within_{}pct".format(f"{pct:g}".replace(".", "_"))
 
 
 def sql_distinct_tolerance(

@@ -50,7 +50,13 @@ def main() -> None:
 
     global QUERIES
     if "--only" in sys.argv:  # targeted probe: --only name1,name2
-        QUERIES = sys.argv[sys.argv.index("--only") + 1].split(",")
+        i = sys.argv.index("--only") + 1
+        if i >= len(sys.argv) or sys.argv[i].startswith("--") or not sys.argv[i]:
+            raise SystemExit("--only needs a comma-separated query list")
+        QUERIES = sys.argv[i].split(",")
+        unknown = [n for n in QUERIES if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
     bench_sf1.DST = "/tmp/pk_sf3"
     bench_sf1.COPIES = 30
     spark = get_spark(app_name="pk-bench-sf3")

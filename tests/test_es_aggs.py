@@ -140,3 +140,41 @@ def test_fuzzy_match_empty_query_returns_empty(spark):
     docs = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
     out = fuzzy_match_search(docs, "doc_id", "text", "  !!  ", k=5)
     assert out.count() == 0 and out.columns == ["doc_id", "score"]
+
+
+def test_composite_drops_null_keyed_rows_and_rejects_null_after(spark):
+    """ES missing_bucket=false: rows with a NULL source key never form a
+    bucket (a NULL bucket would show on page 1 yet be unreachable past
+    any cursor — silently lossy pagination); an after key containing
+    NULL, or of the wrong arity, is rejected loudly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 1), ("b", None), ("b", 2)], "g string, d int"
+    )
+    srcs = [("g", F.col("g")), ("d", F.col("d"))]
+    m = {"doc_count": F.count(F.lit(1))}
+    page = [(r.g, r.d) for r in composite_page(df, srcs, m, size=10).collect()]
+    assert page == [("a", 1), ("b", 2)]  # NULL-keyed rows gone
+    with pytest.raises(ValueError, match="non-NULL"):
+        composite_page(df, srcs, m, after=("a", None))
+    with pytest.raises(ValueError, match="per\\s+source|expected"):
+        composite_page(df, srcs, m, after=("a",))
+
+
+def test_pipeline_rejects_nonpositive_window(spark):
+    """window=0 would flip F.sequence into a DESCENDING fan-out (a
+    leading average instead of trailing) — both twins must reject it."""
+    import pytest
+
+    from pandemic_knowledge_spark.operators.aggregates import (
+        sql_date_histogram_pipeline,
+    )
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    with pytest.raises(ValueError, match="window"):
+        date_histogram_pipeline(df, "ts", window=0)
+    with pytest.raises(ValueError, match="window"):
+        sql_date_histogram_pipeline("events", "ts", window=0)

@@ -189,3 +189,15 @@ def test_quantile_stream_rollup_equals_batch_and_replay_safe(spark, tmp_path):
     after = spark.read.parquet(rollup_dir).select("day", "b", "cnt")
     got2 = {r.q: (r.n, r.est) for r in quantiles_over(after, lo, hi).collect()}
     assert got2 == want
+
+
+def test_tolerance_witness_column_states_exact_bound():
+    """The witness column name must state the EXACT tolerance — never a
+    rounded one (round(2.5%) -> 2% would attest a tighter bound than the
+    one checked)."""
+    from pandemic_knowledge_spark.operators.sketches import _tol_col
+
+    assert _tol_col(0.05) == "within_5pct"
+    assert _tol_col(0.10) == "within_10pct"
+    assert _tol_col(0.025) == "within_2_5pct"
+    assert _tol_col(0.035) == "within_3_5pct"
