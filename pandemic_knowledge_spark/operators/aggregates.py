@@ -556,3 +556,85 @@ SELECT w.day, w.cnt,
        round(CAST(w.msum AS DOUBLE) / w.mn, 4) AS moving_avg
 FROM w LEFT JOIN daily p ON w.day = p.day + 1
 """
+
+
+#: ES auto_date_histogram rounding ladder (unit, approx seconds used for
+#: the CHOICE; truncation itself is calendar-exact via date_trunc).
+AUTO_HISTOGRAM_LADDER: tuple[tuple[str, int], ...] = (
+    ("minute", 60),
+    ("hour", 3_600),
+    ("day", 86_400),
+    ("week", 604_800),
+    ("month", 2_592_000),
+    ("quarter", 7_776_000),
+    ("year", 31_536_000),
+)
+
+
+def auto_date_histogram(
+    df: DataFrame, ts_col: str, target_buckets: int = 20
+) -> DataFrame:
+    """ES ``auto_date_histogram``: the caller asks for AT MOST
+    ``target_buckets`` buckets and the engine picks the interval — the
+    Kibana panel that stays readable whether the time filter spans an
+    hour or a decade. The smallest ladder unit whose approximate span
+    count fits the target is chosen (calendar truncation can still
+    produce one bucket more around month/quarter edges, as in ES, whose
+    rounding is approximate too). Output (interval, bucket, doc_count).
+
+    Fully declarative — no driver round-trip: the one-row min/max bounds
+    frame broadcasts in (the operator's single scalar BNLJ), the unit
+    choice is a literal CASE ladder over the span, and the bucket is a
+    CASE over per-unit date_trunc, so the fact table sees one scan and
+    one grouped shuffle regardless of which interval wins."""
+    ts = F.col(ts_col)
+    bounds = df.agg(
+        F.unix_timestamp(F.min(ts)).alias("__lo"),
+        F.unix_timestamp(F.max(ts)).alias("__hi"),
+    ).select((F.col("__hi") - F.col("__lo")).alias("__span"))
+    unit = None
+    for name, secs in AUTO_HISTOGRAM_LADDER:
+        cond = F.col("__span") <= F.lit(target_buckets * secs)
+        unit = F.when(cond, F.lit(name)) if unit is None else unit.when(cond, F.lit(name))
+    unit = unit.otherwise(F.lit(AUTO_HISTOGRAM_LADDER[-1][0]))
+    with_unit = df.crossJoin(F.broadcast(bounds.select(unit.alias("__unit"))))
+    bucket = None
+    for name, _ in AUTO_HISTOGRAM_LADDER:
+        cond = F.col("__unit") == F.lit(name)
+        trunc = F.date_trunc(name, ts)
+        bucket = F.when(cond, trunc) if bucket is None else bucket.when(cond, trunc)
+    return (
+        with_unit.groupBy(
+            F.col("__unit").alias("interval"), bucket.alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def sql_auto_date_histogram(
+    table: str, ts_col: str, target_buckets: int = 20
+) -> str:
+    """DuckDB SQL reproducing :func:`auto_date_histogram` exactly — same
+    ladder, same floored-seconds span, same calendar truncation."""
+    span = (
+        f"CAST(floor(epoch(max({ts_col}))) AS BIGINT)"
+        f" - CAST(floor(epoch(min({ts_col}))) AS BIGINT)"
+    )
+    unit_case = "CASE " + " ".join(
+        f"WHEN span <= {target_buckets * secs} THEN '{name}'"
+        for name, secs in AUTO_HISTOGRAM_LADDER
+    ) + f" ELSE '{AUTO_HISTOGRAM_LADDER[-1][0]}' END"
+    bucket_case = "CASE " + " ".join(
+        f"WHEN c.unit = '{name}' THEN date_trunc('{name}', {ts_col})"
+        for name, _ in AUTO_HISTOGRAM_LADDER
+    ) + " END"
+    return f"""
+WITH bounds AS (
+  SELECT {span} AS span FROM {table}
+), c AS (
+  SELECT {unit_case} AS unit FROM bounds
+)
+SELECT c.unit AS interval, {bucket_case} AS bucket, count(*) AS doc_count
+FROM {table}, c
+GROUP BY 1, 2
+"""

@@ -1519,6 +1519,115 @@ def phrase_search(
     )
 
 
+def match_phrase_prefix(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` — the last multi_match type left: the
+    query is a PHRASE whose final token is an unfinished PREFIX ("hash
+    jo…" matches docs where 'hash' is immediately followed by any of the
+    first ``max_expansions`` vocabulary terms starting with 'jo', in
+    index (alphabetical) order — exactly ES's expansion rule, which is
+    why ES documents that a rare completion can be missed when the cap
+    truncates). Output (doc_id, phrase_count) ranked like the other
+    phrase forms.
+
+    Plan: the expansion list is a one-row collected array (vocabulary
+    terms with the prefix, alphabetical, capped — a grouped aggregate of
+    the distinct-term explode, never the corpus), broadcast into the same
+    scan-side HOF phrase counter :func:`phrase_search` uses: first m−1
+    positions match exactly, the m-th via array_contains. One corpus
+    scan, one scalar broadcast, top-k heaps — no shuffle of the docs."""
+    toks_all = query_terms(phrase)
+    if not toks_all:
+        raise ValueError("phrase has no tokenizable terms")
+    *exact, prefix = toks_all
+    m = len(toks_all)
+    vocab_exp = (
+        docs.select(F.explode(F.array_distinct(tokenize(text_col))).alias("term"))
+        .filter(F.col("term").startswith(prefix))
+        .distinct()
+        .orderBy("term")
+        .limit(max_expansions)
+        .agg(F.sort_array(F.collect_list("term")).alias("__exp"))
+    )
+    toks = tokenize(text_col)
+    exact_arr = F.array(*[F.lit(t) for t in exact]) if exact else None
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - m),
+        lambda i: (
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 2)),
+                F.lit(True),
+                lambda acc, j: acc
+                & (
+                    F.element_at(toks, (i + j + 1).cast("int"))
+                    == F.element_at(exact_arr, (j + 1).cast("int"))
+                ),
+            )
+            if exact
+            else F.lit(True)
+        )
+        & F.array_contains(F.col("__exp"), F.element_at(toks, (i + m).cast("int"))),
+    )
+    return (
+        docs.crossJoin(F.broadcast(vocab_exp))
+        .select(F.col(id_col).alias("doc_id"), F.size(starts).alias("c"))
+        .where((F.size(toks) >= m) & (F.col("c") > 0))
+        .select("doc_id", F.col("c").cast("long").alias("phrase_count"))
+        .orderBy(F.desc("phrase_count"), "doc_id")
+        .limit(k)
+    )
+
+
+def sql_match_phrase_prefix(
+    table: str,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> str:
+    """DuckDB SQL reproducing :func:`match_phrase_prefix` exactly — same
+    tokenizer, same alphabetical expansion cap, same positional count."""
+    toks_all = query_terms(phrase)
+    if not toks_all:
+        raise ValueError("phrase has no tokenizable terms")
+    *exact, prefix = toks_all
+    m = len(toks_all)
+    pre_lit = prefix.replace("'", "''")
+    conds = " AND ".join(
+        [f"t[i + {j}] = '{t}'" for j, t in enumerate(exact)]
+        + [f"list_contains(el, t[i + {m - 1}])"]
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table}
+),
+vocab AS (
+  SELECT DISTINCT unnest(t) AS term FROM toks
+),
+exp AS (
+  SELECT list(term ORDER BY term) AS el FROM (
+    SELECT term FROM vocab WHERE term LIKE '{pre_lit}%'
+    ORDER BY term LIMIT {max_expansions}
+  )
+),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t) - {m} + 2), i -> {conds})) AS c
+  FROM toks, exp WHERE len(t) >= {m}
+)
+SELECT doc_id, CAST(c AS BIGINT) AS phrase_count
+FROM hits WHERE c > 0
+ORDER BY phrase_count DESC, doc_id LIMIT {k}
+"""
+
+
 def sql_phrase_search(
     table: str, id_col: str, text_col: str, phrase: str, k: int = 10
 ) -> str:

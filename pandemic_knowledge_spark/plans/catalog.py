@@ -56,6 +56,7 @@ from pandemic_knowledge_spark.functions.vectors import cosine, sql_cosine, sql_d
 from pandemic_knowledge_spark.operators.aggregates import (
     adjacency_matrix,
     as_money,
+    auto_date_histogram,
     cents,
     cents_sum,
     composite_page,
@@ -64,6 +65,7 @@ from pandemic_knowledge_spark.operators.aggregates import (
     rare_terms,
     significant_terms,
     sql_adjacency_matrix,
+    sql_auto_date_histogram,
     sql_cents_sum,
     sql_date_histogram_pipeline,
     sql_matrix_stats,
@@ -134,8 +136,10 @@ from pandemic_knowledge_spark.operators.joins import (
 from pandemic_knowledge_spark.operators.search import (
     build_positional_postings,
     fuzzy_match_search,
+    match_phrase_prefix,
     more_like_this,
     sql_fuzzy_match_search,
+    sql_match_phrase_prefix,
     phrase_search_from_postings,
     prefix_search,
     rrf_fuse,
@@ -962,6 +966,43 @@ def agg_pipeline_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.aggregates.date_histogram_pipeline)."""
     e = load(spark, sf_dir, "events")
     return date_histogram_pipeline(e, "ts", window=7)
+
+
+@q(
+    "agg_auto_date_histogram",
+    oracle=sql_auto_date_histogram("events", "ts", target_buckets=20),
+)
+def agg_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `auto_date_histogram` — ask for AT MOST N buckets, the engine
+    picks the interval (the Kibana panel that stays readable at any time
+    filter): the events table's ~30-day span at target 20 resolves to
+    WEEK buckets via the rounding ladder. Declarative end-to-end: one-row
+    span bounds broadcast in, CASE ladder chooses the unit, CASE over
+    date_trunc buckets it — one scan, one grouped shuffle
+    (operators.aggregates.auto_date_histogram)."""
+    e = load(spark, sf_dir, "events")
+    return auto_date_histogram(e, "ts", target_buckets=20)
+
+
+_PHRASE_PREFIX_QUERY = "hash jo"  # unfinished keystroke of "hash join"
+
+
+@q(
+    "search_phrase_prefix",
+    oracle=sql_match_phrase_prefix(
+        "documents", "doc_id", "text", _PHRASE_PREFIX_QUERY, 10
+    ),
+)
+def search_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `match_phrase_prefix` — the last multi_match type: a phrase
+    whose final token is an unfinished prefix ('hash jo…' counts
+    positions where 'hash' is immediately followed by a vocabulary term
+    starting 'jo', expansions capped alphabetically exactly as ES).
+    Scan-side HOF positional count with a one-row expansion-array
+    broadcast — no doc shuffle
+    (operators.search.match_phrase_prefix)."""
+    d = load(spark, sf_dir, "documents")
+    return match_phrase_prefix(d, "doc_id", "text", _PHRASE_PREFIX_QUERY, k=10)
 
 
 @q(
@@ -5585,8 +5626,8 @@ BENCH_QUERY_NAMES.extend(
 # already proven green in a previous round's CORRECTNESS_r*.json rotate to
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
-# The rows displaced from the r7 window by this round's 6 new queries —
-# all 13 are r4-green rows whose families keep fresher in-window coverage:
+# The rows displaced from the r7 window by this round's 8 new queries —
+# all 15 are r4-green rows whose families keep fresher in-window coverage:
 # the text_* six (search family holds search_fuzzy_match + highlighted +
 # phrase rows in-window; tokenizer/quality invariants stay pytest-pinned),
 # timeseries_corr_topk (ses_forecast leads this window),
@@ -5596,6 +5637,8 @@ BENCH_QUERY_NAMES.extend(
 # (after r8's own new/changed rows): zero-argument
 # `python scripts/window_rotate.py` emits it.
 _NEXT_WINDOW_IOUS = [
+    "stream_sliding_1h30m",
+    "stream_tumbling_hourly",
     "text_boilerplate_ngrams",
     "text_hash_embeddings",
     "text_lang_id",
@@ -5625,6 +5668,8 @@ _DRIVER_PRIORITY = [
     "agg_composite_after",        # NEW r7: ES composite after-key paging
     "agg_pipeline_daily_delta",   # NEW r7: ES pipeline aggs (derivative…)
     "search_fuzzy_match",         # NEW r7: ES match fuzziness=AUTO
+    "agg_auto_date_histogram",    # NEW r7: ES auto_date_histogram
+    "search_phrase_prefix",       # NEW r7: ES match_phrase_prefix
     # --- the 13 r6-declared IOUs ---
     "agg_cube_status_priority",
     "agg_daily_orders",
@@ -5669,10 +5714,12 @@ _DRIVER_PRIORITY = [
     "setop_nations_intersect",
     "skew_salted_user_totals",
     "stream_session_5m",
-    "stream_sliding_1h30m",
-    "stream_tumbling_hourly",
-    # (the 13 remaining r4 rows are the declared r8 IOUs above —
-    #  _NEXT_WINDOW_IOUS — displaced by this round's 6 new queries)
+    # (the 15 remaining r4 rows are the declared r8 IOUs above —
+    #  _NEXT_WINDOW_IOUS — displaced by this round's 8 new queries;
+    #  stream_sliding_1h30m / stream_tumbling_hourly joined them when
+    #  agg_auto_date_histogram + search_phrase_prefix took the last two
+    #  slots: stream_session_5m keeps the streaming-window family
+    #  in-window and stream_near_dup_mark is r5-green)
 ]
 
 

@@ -106,6 +106,8 @@ WIDE_QUERIES = [
     "agg_adjacency_matrix",    # single-scan conditional sums
     "agg_composite_after",     # bucket agg + cursor filter + heap page
     "agg_pipeline_daily_delta",  # month-partial prefix composition
+    "agg_auto_date_histogram",   # span bounds + CASE ladder, one shuffle
+    "search_phrase_prefix",      # scan-side HOF + expansion-array broadcast
 ]
 
 KEY_COLS = {

@@ -178,3 +178,52 @@ def test_pipeline_rejects_nonpositive_window(spark):
         date_histogram_pipeline(df, "ts", window=0)
     with pytest.raises(ValueError, match="window"):
         sql_date_histogram_pipeline("events", "ts", window=0)
+
+
+def test_auto_date_histogram_picks_interval_from_span(spark):
+    """A ~30-minute span at target 20 must bucket by MINUTE; stretching
+    the same data to ~10 days must flip the choice to DAY — and the
+    bucket counts always sum to the row count."""
+    from pandemic_knowledge_spark.operators.aggregates import auto_date_histogram
+
+    mins = spark.createDataFrame(
+        [(f"2024-01-01 10:{m:02d}:30",) for m in range(0, 20, 2)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = auto_date_histogram(mins, "ts", target_buckets=20).collect()
+    assert {r.interval for r in got} == {"minute"}  # 18-min span fits 20 buckets
+    assert sum(r.doc_count for r in got) == 10
+
+    days = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 12:00:00",) for d in range(1, 11)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = auto_date_histogram(days, "ts", target_buckets=20).collect()
+    assert {r.interval for r in got} == {"day"} and len(got) == 10
+
+
+def test_match_phrase_prefix_expansion_cap_is_alphabetical(spark):
+    """The prefix expands to the first max_expansions vocabulary terms in
+    ALPHABETICAL (index) order — ES's documented cap, which can miss a
+    later completion; adjacency of the exact lead terms is required."""
+    from pandemic_knowledge_spark.operators.search import match_phrase_prefix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "run joa now"),
+            (2, "run job now"),
+            (3, "run joc now"),
+            (4, "joa run"),  # 'run' not followed by a jo-term
+        ],
+        "doc_id long, text string",
+    )
+    all_hits = {
+        r.doc_id
+        for r in match_phrase_prefix(docs, "doc_id", "text", "run jo", k=10).collect()
+    }
+    assert all_hits == {1, 2, 3}
+    capped = {
+        r.doc_id
+        for r in match_phrase_prefix(
+            docs, "doc_id", "text", "run jo", k=10, max_expansions=2
+        ).collect()
+    }
+    assert capped == {1, 2}  # joc is alphabetically third — truncated out
