@@ -495,8 +495,6 @@ def fuzzy_match_search(
     build side is bounded (literal rows, per-term top-``max_expansions``
     selections, the ≤ |selected|-row df_sel frame) — the full-vocabulary
     frame is only ever the STREAMED side."""
-    from pyspark.sql.window import Window
-
     q_terms = sorted(set(query_terms(query)))
     if not q_terms:
         return docs.sparkSession.createDataFrame(
@@ -511,12 +509,36 @@ def fuzzy_match_search(
         for length in range(max(1, len(t) - b), len(t) + b + 1)
     ]
     tf, df_t = _tf_with_stats(docs, id_col, text_col)
-    spark = docs.sparkSession
+    selected = _fuzzy_selected(
+        docs.sparkSession, df_t, fuzz_rows, exact_terms, max_expansions, prefix_length
+    )
+    # bound df_t to the selection before broadcasting, as in prefix_search
+    df_sel = df_t.join(F.broadcast(selected), "term")
+    scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
+    return _bm25_score_agg(scored, k)
+
+
+def _fuzzy_selected(
+    spark,
+    vocab: DataFrame,
+    fuzz_rows: list,
+    exact_terms: list,
+    max_expansions: int,
+    prefix_length: int,
+) -> DataFrame:
+    """The shared fuzzy expansion: admissible-length equi-join of the
+    (term, df) vocabulary against the literal (qterm, band, length) rows,
+    levenshtein on the sliver, per-qterm (distance, df DESC, term) cap,
+    union with the band-0 exact terms, distinct. Used by BOTH the
+    corpus-scan and the index-probe forms so the expansion rule can't
+    fork."""
+    from pyspark.sql.window import Window
+
     selected = None
     if fuzz_rows:
         qf = spark.createDataFrame(fuzz_rows, "qterm string, band int, tlen int")
         cand = (
-            df_t.withColumn("tlen", F.length("term"))
+            vocab.withColumn("tlen", F.length("term"))
             .join(F.broadcast(qf), "tlen")
             .withColumn("distance", F.levenshtein(F.col("term"), F.col("qterm")))
             .filter(F.col("distance") <= F.col("band"))
@@ -537,11 +559,51 @@ def fuzzy_match_search(
     if exact_terms:
         exact = spark.createDataFrame([(t,) for t in exact_terms], "term string")
         selected = exact if selected is None else selected.unionByName(exact)
-    selected = selected.distinct()
-    # bound df_t to the selection before broadcasting, as in prefix_search
-    df_sel = df_t.join(F.broadcast(selected), "term")
-    scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
-    return _bm25_score_agg(scored, k)
+    return selected.distinct()
+
+
+def fuzzy_match_from_postings(
+    postings: DataFrame,
+    stats,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    prefix_length: int = 0,
+) -> DataFrame:
+    """``fuzzy_match_search`` probed from a persisted index — ES's actual
+    fuzzy execution shape (expand against the term dictionary, then run a
+    pruned terms query). Identical output to the corpus-scan form over
+    the same corpus (same AUTO bands, same expansion cap, same BM25 —
+    pinned by ``tests/test_engine.py``).
+
+    The vocabulary (term, df) comes from ONE map-side-combined count over
+    the postings ((doc, term) rows are unique, so the count IS the doc
+    frequency — the same derivation :func:`bm25_from_postings` uses); the
+    shared :func:`_fuzzy_selected` expansion runs distributed, and the
+    bounded selection (≤ query terms × max_expansions rows — ES's
+    rewrite is capped identically) collects to the driver so the scoring
+    probe can enumerate its crc32 BUCKETS and get parquet partition
+    pruning, exactly like the MLT probe's second phase."""
+    q_terms = sorted(set(query_terms(query)))
+    if not q_terms:
+        return bm25_from_postings(postings, stats, "", k)
+    bands = [(t, fuzzy_auto_band(len(t))) for t in q_terms]
+    exact_terms = sorted(t for t, b in bands if b == 0)
+    fuzz_rows = [
+        (t, b, length)
+        for t, b in bands
+        if b > 0
+        for length in range(max(1, len(t) - b), len(t) + b + 1)
+    ]
+    vocab = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    selected = _fuzzy_selected(
+        postings.sparkSession, vocab, fuzz_rows, exact_terms,
+        max_expansions, prefix_length,
+    )
+    sel_terms = sorted(r.term for r in selected.collect())
+    if not sel_terms:
+        return bm25_from_postings(postings, stats, "", k)
+    return bm25_from_postings(postings, stats, " ".join(sel_terms), k)
 
 
 def sql_fuzzy_match_search(
@@ -1194,6 +1256,23 @@ class SearchIndex:
             self.postings, stats, src_doc_id, k=k,
             max_query_terms=max_query_terms,
             min_term_freq=min_term_freq, min_doc_freq=min_doc_freq,
+        )
+
+    def fuzzy_search(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        prefix_length: int = 0,
+    ) -> DataFrame:
+        """Misspelling-tolerant probe — ES `match` with fuzziness=AUTO
+        against the persisted postings (see
+        :func:`fuzzy_match_from_postings`); output identical to the
+        corpus-scan :func:`fuzzy_match_search`."""
+        stats = self.stats_scalars if self.stats_scalars is not None else self.stats
+        return fuzzy_match_from_postings(
+            self.postings, stats, query, k=k,
+            max_expansions=max_expansions, prefix_length=prefix_length,
         )
 
     def merge(self, docs: DataFrame, id_col: str = "doc_id",

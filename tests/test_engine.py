@@ -592,3 +592,40 @@ def test_prefix_search_matches_unfinished_term(spark):
     # max_expansions caps the expanded set deterministically by df
     one = prefix_search(d, "doc_id", "text", "qui", k=10, max_expansions=1).collect()
     assert len(one) == 1  # only the higher-df 'qui…' term survives
+
+
+def test_fuzzy_index_probe_matches_corpus_scan(spark, sf_dir, tmp_path):
+    """The persisted-index fuzzy probe must return exactly the
+    corpus-scan fuzzy_match_search rows — same AUTO bands, same
+    expansion cap, same BM25 — including through a save/load round-trip
+    (ES's actual fuzzy execution: term-dictionary expansion, then a
+    pruned terms query)."""
+    from pandemic_knowledge_spark import tables
+    from pandemic_knowledge_spark.operators.search import (
+        SearchIndex,
+        fuzzy_match_from_postings,
+        fuzzy_match_search,
+    )
+
+    d = tables.load(spark, sf_dir, "documents")
+    idx = SearchIndex.build(d, "doc_id", "text")
+    idx.save(str(tmp_path / "fz_idx"))
+    loaded = SearchIndex.load(spark, str(tmp_path / "fz_idx"))
+    for q in ("a sparc strean", "strean", "sparc batc"):
+        direct = [
+            (r.doc_id, r.score)
+            for r in fuzzy_match_search(d, "doc_id", "text", q, k=10).collect()
+        ]
+        via_build = [
+            (r.doc_id, r.score)
+            for r in fuzzy_match_from_postings(
+                idx.postings, idx.stats, q, k=10
+            ).collect()
+        ]
+        via_loaded = [
+            (r.doc_id, r.score) for r in loaded.fuzzy_search(q, k=10).collect()
+        ]
+        assert direct == via_build == via_loaded and len(direct) > 0, q
+    # a query with no in-band expansion anywhere: empty, right schema
+    none = fuzzy_match_from_postings(idx.postings, idx.stats, "zzzzzzzzzz")
+    assert none.count() == 0 and none.columns == ["doc_id", "score"]
