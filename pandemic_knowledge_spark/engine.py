@@ -153,6 +153,49 @@ class Engine:
             self.table(table), id_col, text_col, term, max_edits=max_edits, k=k
         )
 
+    def fuzzy_search(
+        self,
+        query: str,
+        k: int = 8,
+        max_expansions: int = 50,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        use_index: bool = True,
+    ) -> DataFrame:
+        """ES `match` with `fuzziness: AUTO` — misspelling-tolerant
+        retrieval; probes the cached inverted index by default
+        (operators.search.fuzzy_match_from_postings), or the one-shot
+        corpus scan with use_index=False."""
+        from pandemic_knowledge_spark.operators.search import fuzzy_match_search
+
+        if use_index:
+            return self.search_index(table, id_col, text_col).fuzzy_search(
+                query, k=k, max_expansions=max_expansions
+            )
+        return fuzzy_match_search(
+            self.table(table), id_col, text_col, query, k=k,
+            max_expansions=max_expansions,
+        )
+
+    def phrase_prefix_search(
+        self,
+        phrase: str,
+        k: int = 8,
+        max_expansions: int = 50,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """ES `match_phrase_prefix` — phrase whose final token is an
+        unfinished prefix (operators.search.match_phrase_prefix)."""
+        from pandemic_knowledge_spark.operators.search import match_phrase_prefix
+
+        return match_phrase_prefix(
+            self.table(table), id_col, text_col, phrase, k=k,
+            max_expansions=max_expansions,
+        )
+
     def phrase_search(
         self,
         phrase: str,

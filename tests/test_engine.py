@@ -629,3 +629,19 @@ def test_fuzzy_index_probe_matches_corpus_scan(spark, sf_dir, tmp_path):
     # a query with no in-band expansion anywhere: empty, right schema
     none = fuzzy_match_from_postings(idx.postings, idx.stats, "zzzzzzzzzz")
     assert none.count() == 0 and none.columns == ["doc_id", "score"]
+
+
+def test_engine_fuzzy_and_phrase_prefix_doors(spark, sf_dir):
+    """The Engine façade exposes the two r7 retrieval doors: fuzzy_search
+    (index probe ≡ corpus scan) and phrase_prefix_search."""
+    from pandemic_knowledge_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    via_idx = [(r.doc_id, r.score) for r in eng.fuzzy_search("sparc strean", k=5).collect()]
+    via_scan = [
+        (r.doc_id, r.score)
+        for r in eng.fuzzy_search("sparc strean", k=5, use_index=False).collect()
+    ]
+    assert via_idx == via_scan and len(via_idx) > 0
+    pp = eng.phrase_prefix_search("hash jo", k=5).collect()
+    assert all(r.phrase_count >= 1 for r in pp)
