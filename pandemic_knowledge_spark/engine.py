@@ -144,11 +144,19 @@ class Engine:
         table: str = "documents",
         id_col: str = "doc_id",
         text_col: str = "text",
+        use_index: bool = True,
     ) -> DataFrame:
-        """ES term suggester ("did you mean") over the table's vocabulary
-        (operators.search.term_suggest)."""
+        """ES term suggester ("did you mean") over the table's vocabulary —
+        by default a probe of the cached index's terms dictionary (one
+        vocabulary materialization per session, not one per keystroke;
+        operators.search.term_suggest_from_vocab), or the one-shot corpus
+        scan with use_index=False (operators.search.term_suggest)."""
         from pandemic_knowledge_spark.operators.search import term_suggest
 
+        if use_index:
+            return self.search_index(table, id_col, text_col).suggest(
+                term, max_edits=max_edits, k=k
+            )
         return term_suggest(
             self.table(table), id_col, text_col, term, max_edits=max_edits, k=k
         )
@@ -158,6 +166,7 @@ class Engine:
         query: str,
         k: int = 8,
         max_expansions: int = 50,
+        prefix_length: int = 0,
         table: str = "documents",
         id_col: str = "doc_id",
         text_col: str = "text",
@@ -166,16 +175,19 @@ class Engine:
         """ES `match` with `fuzziness: AUTO` — misspelling-tolerant
         retrieval; probes the cached inverted index by default
         (operators.search.fuzzy_match_from_postings), or the one-shot
-        corpus scan with use_index=False."""
+        corpus scan with use_index=False. ``prefix_length`` (ES option,
+        default 0) requires expansions to share that many leading chars —
+        the cheap pruning knob ES exposes for hot fuzzy endpoints."""
         from pandemic_knowledge_spark.operators.search import fuzzy_match_search
 
         if use_index:
             return self.search_index(table, id_col, text_col).fuzzy_search(
-                query, k=k, max_expansions=max_expansions
+                query, k=k, max_expansions=max_expansions,
+                prefix_length=prefix_length,
             )
         return fuzzy_match_search(
             self.table(table), id_col, text_col, query, k=k,
-            max_expansions=max_expansions,
+            max_expansions=max_expansions, prefix_length=prefix_length,
         )
 
     def phrase_prefix_search(

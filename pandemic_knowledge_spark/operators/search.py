@@ -537,9 +537,10 @@ def _fuzzy_selected(
     selected = None
     if fuzz_rows:
         qf = spark.createDataFrame(fuzz_rows, "qterm string, band int, tlen int")
+        if "tlen" not in vocab.columns:
+            vocab = vocab.withColumn("tlen", F.length("term"))
         cand = (
-            vocab.withColumn("tlen", F.length("term"))
-            .join(F.broadcast(qf), "tlen")
+            vocab.join(F.broadcast(qf), "tlen")
             .withColumn("distance", F.levenshtein(F.col("term"), F.col("qterm")))
             .filter(F.col("distance") <= F.col("band"))
         )
@@ -562,6 +563,21 @@ def _fuzzy_selected(
     return selected.distinct()
 
 
+def _probe_vocab(postings: DataFrame, vocab: DataFrame | None, lengths) -> DataFrame:
+    """The term dictionary a probe expands against. With a persisted
+    ``vocab`` sidecar (see :meth:`SearchIndex.save`) the admissible term
+    LENGTHS prune its ``tlen`` partitions — the parquet analogue of ES
+    seeking the per-segment FST instead of touching postings; without one
+    (legacy layouts, ad-hoc posting frames) fall back to the one
+    map-side-combined count over the postings ((doc, term) rows are
+    unique, so the count IS the doc frequency — the same derivation
+    :func:`bm25_from_postings` uses)."""
+    if vocab is not None:
+        lens = sorted(set(lengths))
+        return vocab.filter(F.col("tlen").isin(lens)) if lens else vocab
+    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
 def fuzzy_match_from_postings(
     postings: DataFrame,
     stats,
@@ -569,6 +585,7 @@ def fuzzy_match_from_postings(
     k: int = 10,
     max_expansions: int = 50,
     prefix_length: int = 0,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """``fuzzy_match_search`` probed from a persisted index — ES's actual
     fuzzy execution shape (expand against the term dictionary, then run a
@@ -576,14 +593,16 @@ def fuzzy_match_from_postings(
     the same corpus (same AUTO bands, same expansion cap, same BM25 —
     pinned by ``tests/test_engine.py``).
 
-    The vocabulary (term, df) comes from ONE map-side-combined count over
-    the postings ((doc, term) rows are unique, so the count IS the doc
-    frequency — the same derivation :func:`bm25_from_postings` uses); the
-    shared :func:`_fuzzy_selected` expansion runs distributed, and the
-    bounded selection (≤ query terms × max_expansions rows — ES's
-    rewrite is capped identically) collects to the driver so the scoring
-    probe can enumerate its crc32 BUCKETS and get parquet partition
-    pruning, exactly like the MLT probe's second phase."""
+    The vocabulary (term, df) comes from :func:`_probe_vocab` — the
+    ``tlen``-partition-pruned terms-dictionary sidecar when the index has
+    one (nothing but dictionary slivers are scanned before candidates are
+    known, like ES's FST walk), else one map-side-combined count over the
+    postings; the shared :func:`_fuzzy_selected` expansion runs
+    distributed, and the bounded selection (≤ query terms ×
+    max_expansions rows — ES's rewrite is capped identically) collects to
+    the driver so the scoring probe can enumerate its crc32 BUCKETS and
+    get parquet partition pruning, exactly like the MLT probe's second
+    phase."""
     q_terms = sorted(set(query_terms(query)))
     if not q_terms:
         return bm25_from_postings(postings, stats, "", k)
@@ -595,15 +614,79 @@ def fuzzy_match_from_postings(
         if b > 0
         for length in range(max(1, len(t) - b), len(t) + b + 1)
     ]
-    vocab = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    v = _probe_vocab(postings, vocab, (r[2] for r in fuzz_rows))
     selected = _fuzzy_selected(
-        postings.sparkSession, vocab, fuzz_rows, exact_terms,
+        postings.sparkSession, v, fuzz_rows, exact_terms,
         max_expansions, prefix_length,
     )
     sel_terms = sorted(r.term for r in selected.collect())
     if not sel_terms:
         return bm25_from_postings(postings, stats, "", k)
     return bm25_from_postings(postings, stats, " ".join(sel_terms), k)
+
+
+def prefix_search_from_postings(
+    postings: DataFrame,
+    stats,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`prefix_search` probed from a persisted index — the
+    per-keystroke path of the reference's search box
+    (/root/reference/news_app/app/app/src/SearchUI.js:45-46): the
+    unfinished token expands against the term dictionary (the ``vocab``
+    sidecar when present — row-group min/max on the term-sorted files
+    prunes inside each length partition; otherwise one postings count),
+    then the bounded expansion set (≤ terms + max_expansions) probes the
+    bucket-pruned postings. Identical output to the corpus-scan form."""
+    toks = query_terms(query)
+    if not toks:
+        return bm25_from_postings(postings, stats, "", k)
+    *full_terms, prefix = toks
+    full_terms = sorted(set(full_terms))
+    v = _probe_vocab(postings, vocab, ())
+    expansions = (
+        v.filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.col("term"))
+        .limit(max_expansions)
+        .select("term")
+    )
+    sel_terms = sorted({r.term for r in expansions.collect()} | set(full_terms))
+    if not sel_terms:
+        return bm25_from_postings(postings, stats, "", k)
+    return bm25_from_postings(postings, stats, " ".join(sel_terms), k)
+
+
+def term_suggest_from_vocab(
+    vocab: DataFrame,
+    term: str,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """:func:`term_suggest` probed from a term dictionary (the persisted
+    ``vocab`` sidecar or the in-memory cached one) — identical output to
+    the corpus-scan form, but per keystroke it touches only the ``tlen``
+    partitions inside the ±``max_edits`` length band (edit distance can
+    never beat the length gap), never the postings, never the corpus."""
+    q = term.lower()
+    lens = list(range(max(1, len(q) - max_edits), len(q) + max_edits + 1))
+    v = _probe_vocab(None, vocab, lens) if "tlen" in vocab.columns else vocab
+    pref = q[: max(0, prefix_length)]
+    cand = v.filter(
+        (F.substring("term", 1, len(pref)) == F.lit(pref))
+        & (F.abs(F.length("term") - F.lit(len(q))) <= F.lit(max_edits))
+        & (F.col("term") != F.lit(q))
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein(F.col("term"), F.lit(q)))
+        .filter(F.col("distance") <= F.lit(max_edits))
+        .select("term", "df", "distance")
+        .orderBy("distance", F.desc("df"), "term")
+        .limit(k)
+    )
 
 
 def sql_fuzzy_match_search(
@@ -1119,16 +1202,108 @@ def bm25_from_postings_small(
     return _bm25_score_agg(scored, k)
 
 
+def _postings_fingerprint(postings: DataFrame) -> str:
+    """Content fingerprint of a persisted postings layout: sha256 over the
+    sorted data-file names (driver-side listing — no data scan). Appends
+    add files and never rewrite them, so fingerprint equality ⇔ the
+    sidecars were derived from exactly these postings. Stored in the
+    ``meta`` sidecar LAST at every save/append; a mismatch at load means a
+    crash landed between the postings commit and the sidecar refresh, and
+    triggers a one-time sidecar rebuild (self-healing, never wrong — the
+    postings remain the single source of truth)."""
+    import hashlib
+
+    names = sorted(f.rsplit("/postings/", 1)[-1] for f in postings.inputFiles())
+    return hashlib.sha256("\n".join(names).encode("utf-8")).hexdigest()
+
+
+def _read_index_meta(spark, path: str) -> dict | None:
+    """The one-row meta sidecar as a dict, or None when absent/unreadable
+    (legacy layout, or a crash mid-overwrite — both mean 'rebuild')."""
+    try:
+        rows = spark.read.parquet(f"{path}/meta").collect()
+    except Exception:
+        return None
+    if len(rows) != 1:
+        return None
+    return rows[0].asDict()
+
+
+def _write_index_sidecars(
+    spark, path: str, postings: DataFrame, fingerprint: str | None = None
+) -> None:
+    """(Re)derive the three sidecars from the persisted postings: the
+    full-rebuild path used by :meth:`SearchIndex.save` and by the load-time
+    repair. ``doc_ids`` and ``vocab`` are each one aggregate over the
+    postings — paid once per ingest (or once per crash), never per probe.
+    ``meta`` (stats + postings fingerprint) goes LAST: until it commits,
+    the layout reads as stale and repairs again — overwrite-in-progress
+    can therefore never masquerade as fresh."""
+    (
+        postings.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/doc_ids")
+    )
+    (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("tlen", F.length("term"))
+        .repartition("tlen")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("tlen")
+        .parquet(f"{path}/vocab")
+    )
+    row = (
+        spark.read.parquet(f"{path}/doc_ids")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .collect()[0]
+    )
+    _write_index_meta(
+        spark,
+        path,
+        int(row["n_docs"]),
+        int(row["sum_dl"] or 0),
+        fingerprint or _postings_fingerprint(postings),
+    )
+
+
+def _write_index_meta(spark, path: str, n_docs: int, sum_dl: int, fingerprint: str) -> None:
+    (
+        spark.createDataFrame(
+            [(n_docs, sum_dl, fingerprint)],
+            "n_docs long, sum_dl long, fingerprint string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
+
+
 class SearchIndex:
     """Materialized inverted index: build once per ingest, probe per query —
     the Spark analogue of the reference's Elasticsearch index (SURVEY.md
     §4.2; the reference pays this cost in its ES bulk loaders,
     /root/reference/flow/scripts/insert_owid.py bulk(), and then every
-    keystroke search is an index probe, never a corpus scan)."""
+    keystroke search is an index probe, never a corpus scan).
+
+    Persisted layout (:meth:`save`): ``postings/`` (the source of truth,
+    bucket-partitioned) plus three DERIVED sidecars — ``vocab/`` the terms
+    dictionary (term, df) partitioned by term length (ES's per-segment FST:
+    fuzzy/suggest/prefix probes expand against dictionary slivers, never
+    postings), ``doc_ids/`` the indexed-id set with dl norms (the
+    incremental-ingest dedup guard and the stats derivation), and ``meta``
+    one row (n_docs, sum_dl, postings-file fingerprint). Sidecars are
+    validated against the fingerprint at load and rebuilt from postings on
+    mismatch, so a crash anywhere in save/append degrades to a one-time
+    repair, never a wrong answer."""
 
     def __init__(self, postings: DataFrame, stats: DataFrame,
                  stats_scalars: tuple | None = None,
-                 index_bytes: int | None = None) -> None:
+                 index_bytes: int | None = None,
+                 vocab: DataFrame | None = None,
+                 doc_ids: DataFrame | None = None) -> None:
         self.postings = postings
         self.stats = stats
         # (n_docs, sum_dl) as plain ints when known eagerly (loaded index):
@@ -1140,31 +1315,51 @@ class SearchIndex:
         # optimizer invocation (a py4j stats() round per probe measured
         # ~0.1 s — half the interactive budget).
         self.index_bytes = index_bytes
+        # Terms dictionary (term, df, tlen) and indexed-id set (doc_id, dl):
+        # persisted sidecars on a loaded index, cached derivations on an
+        # in-memory build, None on bare frames (probes fall back to the
+        # postings aggregate).
+        self.vocab = vocab
+        self.doc_ids = doc_ids
 
     @classmethod
     def build(cls, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
               cache: bool = True) -> "SearchIndex":
         """Tokenize the corpus ONCE; optionally pin the postings in the cache
-        manager (the interactive-session mode — repeated searches hit memory)."""
+        manager (the interactive-session mode — repeated searches hit
+        memory). The terms dictionary and indexed-id set are derived and
+        cached alongside, so interactive fuzzy/suggest/prefix probes
+        aggregate the postings once per session, not once per keystroke."""
         postings, stats = build_postings(docs, id_col, text_col)
+        vocab = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("tlen", F.length("term"))
+        )
+        doc_ids = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
         if cache:
             postings = postings.cache()
             stats = stats.cache()
-        return cls(postings, stats)
+            vocab = vocab.cache()
+            doc_ids = doc_ids.cache()
+        return cls(postings, stats, vocab=vocab, doc_ids=doc_ids)
 
     def warm(self) -> "SearchIndex":
         """Force materialization now (first search pays nothing)."""
         self.postings.count()
         self.stats.count()
+        if self.vocab is not None:
+            self.vocab.count()
+        if self.doc_ids is not None:
+            self.doc_ids.count()
         return self
 
     def save(self, path: str) -> "SearchIndex":
-        """Persist parquet: postings partitioned by term bucket and sorted by
-        term within each partition file (row-group min/max pruning). The
-        postings are the ONLY persisted state — corpus stats derive from
-        them at load, so the layout has a single atomically-committed
-        artifact and incremental appends can never leave stats stale
-        (crash-idempotent with :meth:`append_save`)."""
+        """Persist parquet: postings partitioned by term bucket and sorted
+        by term within each partition file (row-group min/max pruning),
+        then the derived sidecars (vocab / doc_ids / meta — meta carries
+        the postings-file fingerprint and is written LAST, so a crash
+        anywhere here leaves a mismatch that :meth:`load` repairs)."""
         (
             self.postings.repartition("bucket")
             .sortWithinPartitions("term")
@@ -1172,38 +1367,34 @@ class SearchIndex:
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
         )
+        spark = self.postings.sparkSession
+        _write_index_sidecars(spark, path, spark.read.parquet(f"{path}/postings"))
         return self
 
     @classmethod
     def load(cls, spark, path: str) -> "SearchIndex":
-        """Load the persisted index; corpus stats (n_docs, sum_dl) are
-        derived from the postings' per-doc dl norms — one aggregate over
-        (doc_id, dl) pairs, cache-worthy for interactive sessions. Caveat:
-        a doc with ZERO tokens has no posting rows, so it doesn't count
-        toward n_docs/avgdl here, whereas the in-memory builder counts it;
-        empty docs don't match any query either way, and scores differ only
-        through that avgdl hair — filter empty docs at ingest if exact
-        rebuild parity matters for such corpora.
-
-        The derivation runs ONCE, eagerly, at index-open (the analogue of
-        ES loading segment metadata when an index opens): the one-row
-        result is held as driver-side literals, so every subsequent probe
-        touches only the query terms' bucket partitions — deriving stats
-        lazily instead re-scanned the WHOLE postings table per probe (the
-        round-4 0.5 s probe-latency regression)."""
+        """Open the persisted index: validate the sidecar fingerprint
+        against the postings file listing (driver-side, no data scan);
+        on mismatch — legacy postings-only layouts, or a crash between a
+        postings append and its sidecar refresh — rebuild the sidecars
+        from the postings once. Corpus stats (n_docs, sum_dl) then come
+        from the meta row as driver-side literals, so index-open costs a
+        file listing + a one-row read instead of the full-postings
+        aggregate, and every probe touches only pruned slivers. Caveat
+        (unchanged from the postings-only layout): a doc with ZERO tokens
+        has no posting rows, so it doesn't count toward n_docs/avgdl,
+        whereas the in-memory builder counts it; empty docs don't match
+        any query either way — filter empty docs at ingest if exact
+        rebuild parity matters for such corpora."""
         postings = spark.read.parquet(f"{path}/postings")
-        row = (
-            postings.groupBy("doc_id")
-            .agg(F.first("dl").alias("dl"))
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("dl").alias("sum_dl"),
-            )
-            .collect()[0]
-        )
+        fingerprint = _postings_fingerprint(postings)
+        meta = _read_index_meta(spark, path)
+        if meta is None or meta["fingerprint"] != fingerprint:
+            _write_index_sidecars(spark, path, postings, fingerprint=fingerprint)
+            meta = _read_index_meta(spark, path)
         stats = spark.range(1).select(
-            F.lit(row["n_docs"]).cast("long").alias("n_docs"),
-            F.lit(row["sum_dl"]).cast("long").alias("sum_dl"),
+            F.lit(meta["n_docs"]).cast("long").alias("n_docs"),
+            F.lit(meta["sum_dl"]).cast("long").alias("sum_dl"),
         )
         index_bytes = (
             postings._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -1211,8 +1402,10 @@ class SearchIndex:
         return cls(
             postings,
             stats,
-            stats_scalars=(row["n_docs"], row["sum_dl"]),
+            stats_scalars=(meta["n_docs"], meta["sum_dl"]),
             index_bytes=int(index_bytes),
+            vocab=spark.read.parquet(f"{path}/vocab"),
+            doc_ids=spark.read.parquet(f"{path}/doc_ids"),
         )
 
     def search(self, query: str, k: int = 10) -> DataFrame:
@@ -1273,6 +1466,30 @@ class SearchIndex:
         return fuzzy_match_from_postings(
             self.postings, stats, query, k=k,
             max_expansions=max_expansions, prefix_length=prefix_length,
+            vocab=self.vocab,
+        )
+
+    def prefix_search(self, query: str, k: int = 10,
+                      max_expansions: int = 50) -> DataFrame:
+        """Search-as-you-type probe — ES `match_bool_prefix` against the
+        persisted postings with the last token expanded against the terms
+        dictionary (see :func:`prefix_search_from_postings`); output
+        identical to the corpus-scan :func:`prefix_search`."""
+        stats = self.stats_scalars if self.stats_scalars is not None else self.stats
+        return prefix_search_from_postings(
+            self.postings, stats, query, k=k,
+            max_expansions=max_expansions, vocab=self.vocab,
+        )
+
+    def suggest(self, term: str, max_edits: int = 2, prefix_length: int = 1,
+                k: int = 5) -> DataFrame:
+        """"Did you mean" probe — ES term suggester against the terms
+        dictionary (see :func:`term_suggest_from_vocab`): tlen-pruned
+        dictionary slivers only, never a postings or corpus scan. Output
+        identical to the corpus-scan :func:`term_suggest`."""
+        vocab = _probe_vocab(self.postings, self.vocab, ())
+        return term_suggest_from_vocab(
+            vocab, term, max_edits=max_edits, prefix_length=prefix_length, k=k
         )
 
     def merge(self, docs: DataFrame, id_col: str = "doc_id",
@@ -1288,12 +1505,16 @@ class SearchIndex:
         Already-indexed doc ids in ``docs`` are DROPPED (first-accepted
         wins — the same policy as the incremental dedup ingest): without
         this, a re-crawled doc would hold two posting rows per term,
-        inflating df and double-counting its scores. The guard is one
-        left_anti against the distinct indexed ids (bounded by corpus doc
-        count; at scale keep the indexed-id set as its own tiny table)."""
-        indexed = self.postings.select(
-            F.col("doc_id").alias(id_col)
-        ).distinct()
+        inflating df and double-counting its scores. The guard anti-joins
+        the ``doc_ids`` sidecar — one row per doc, the tiny table — when
+        the index carries one (loaded or cached builds); only a bare
+        posting frame pays the full-postings distinct fallback."""
+        if self.doc_ids is not None:
+            indexed = self.doc_ids.select(F.col("doc_id").alias(id_col))
+        else:
+            indexed = self.postings.select(
+                F.col("doc_id").alias(id_col)
+            ).distinct()
         docs = docs.join(indexed, id_col, "left_anti")
         new_p, new_s = build_postings(docs, id_col, text_col)
         stats = (
@@ -1303,34 +1524,79 @@ class SearchIndex:
                 F.sum("sum_dl").alias("sum_dl"),
             )
         )
-        return SearchIndex(self.postings.unionByName(new_p), stats)
+        doc_ids = None
+        if self.doc_ids is not None:
+            doc_ids = self.doc_ids.unionByName(
+                new_p.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            )
+        # vocab of the merged index would need a re-count over old ∪ new
+        # (df is not unionable); leave it None — probes fall back to the
+        # postings aggregate, and a save() re-derives it persistently.
+        return SearchIndex(
+            self.postings.unionByName(new_p), stats, doc_ids=doc_ids
+        )
 
     @classmethod
     def append_save(cls, spark, path: str, docs: DataFrame,
                     id_col: str = "doc_id", text_col: str = "text") -> "SearchIndex":
         """Persisted incremental ingest: tokenize only ``docs``, APPEND their
         postings into the existing bucket-partitioned parquet layout at
-        ``path``. Returns the updated loaded index; probes over it equal a
-        from-scratch rebuild of old ∪ new.
+        ``path``, then refresh the sidecars INCREMENTALLY — the dedup guard
+        anti-joins the tiny ``doc_ids`` sidecar (never a full-postings
+        distinct), the terms dictionary merges old vocab + the batch's term
+        counts (dictionary-sized, not postings-sized), and the meta stats
+        are exact integer sums. Returns the updated loaded index; probes
+        over it equal a from-scratch rebuild of old ∪ new.
 
         CRASH-IDEMPOTENT under at-least-once retries (e.g. foreachBatch):
-        already-indexed doc ids are dropped (first-accepted wins — see
-        :meth:`merge`), the parquet append only becomes visible at job
-        commit (a mid-write crash leaves no partial rows), and there is no
-        second artifact to go stale — stats derive from the postings at
-        load. Re-running the same batch is therefore a no-op."""
-        prev = cls.load(spark, path)
-        indexed = prev.postings.select(F.col("doc_id").alias(id_col)).distinct()
-        # materialize the filtered batch BEFORE appending: the anti-join
-        # reads {path}/postings, which the write below appends into
+        the load() at entry validates the sidecar fingerprint and repairs
+        a half-finished predecessor, already-indexed doc ids are dropped
+        (first-accepted wins — see :meth:`merge`), the parquet append only
+        becomes visible at job commit, and meta commits LAST — a crash at
+        any point leaves either a no-op retry or a fingerprint mismatch
+        that the next open repairs from the postings."""
+        prev = cls.load(spark, path)  # validates/repairs sidecars
+        indexed = prev.doc_ids.select(F.col("doc_id").alias(id_col))
+        # materialize the filtered batch BEFORE any write: the anti-join
+        # reads {path}/doc_ids, which the refresh below overwrites
         docs = docs.join(indexed, id_col, "left_anti").localCheckpoint(eager=True)
         new_p, _new_s = build_postings(docs, id_col, text_col)
+        new_p = new_p.localCheckpoint(eager=True)  # 3 consumers below
         (
             new_p.repartition("bucket")
             .sortWithinPartitions("term")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
+        )
+        new_docs = new_p.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        new_docs.write.mode("append").parquet(f"{path}/doc_ids")
+        batch = new_docs.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+        ).collect()[0]
+        merged_vocab = (
+            prev.vocab.select("term", "df")
+            .unionByName(new_p.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .withColumn("tlen", F.length("term"))
+            # materialize before overwriting the directory it reads from
+            .localCheckpoint(eager=True)
+        )
+        (
+            merged_vocab.repartition("tlen")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("tlen")
+            .parquet(f"{path}/vocab")
+        )
+        n_docs, sum_dl = prev.stats_scalars
+        _write_index_meta(
+            spark,
+            path,
+            n_docs + int(batch["n"]),
+            sum_dl + int(batch["s"]),
+            _postings_fingerprint(spark.read.parquet(f"{path}/postings")),
         )
         return cls.load(spark, path)
 
