@@ -112,3 +112,23 @@ def sql_synth_lon(key: str) -> str:
 
 def sql_grid(expr: str, cell_deg: float = 10.0) -> str:
     return f"CAST(floor(({expr}) / {cell_deg}) AS BIGINT)"
+
+
+def synth_lat_micro(key: Column) -> Column:
+    """The synthetic latitude in exact integer HUNDREDTHS-of-a-degree
+    (before the /100 − 90 shift of :func:`synth_lat`): centroid averages
+    sum these int64s — partitioning-invariant, so Spark and the oracle
+    hash identically — and convert to degrees once, after the divide."""
+    return (key * F.lit(7919) % F.lit(18000)).cast("long")
+
+
+def synth_lon_micro(key: Column) -> Column:
+    return (key * F.lit(104729) % F.lit(36000)).cast("long")
+
+
+def sql_synth_lat_micro(key: str) -> str:
+    return f"CAST({key} * 7919 % 18000 AS BIGINT)"
+
+
+def sql_synth_lon_micro(key: str) -> str:
+    return f"CAST({key} * 104729 % 36000 AS BIGINT)"

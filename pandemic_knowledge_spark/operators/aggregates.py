@@ -638,3 +638,72 @@ SELECT c.unit AS interval, {bucket_case} AS bucket, count(*) AS doc_count
 FROM {table}, c
 GROUP BY 1, 2
 """
+
+
+def top_hits(
+    df: DataFrame,
+    bucket_col: str,
+    sort_col: str,
+    payload_cols: list[str],
+    k: int = 3,
+    ascending: bool = False,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ES ``terms`` + ``top_hits`` sub-aggregation — the Kibana "latest
+    news per source" panel shape (the reference's dashboard lists the
+    newest documents inside each bucket, /root/reference/README.md:22-24):
+    per ``bucket_col`` value, the top-``k`` rows by ``sort_col`` WITH their
+    payload columns carried through, plus the bucket's total ``doc_count``
+    (the terms-agg count ES attaches to every bucket). ``tiebreak_col``
+    (default: the first payload column) makes the cut deterministic when
+    sort values tie — ES breaks ties by internal doc id; a distributed
+    engine must name one.
+
+    Scale shape: ONE hash shuffle on the bucket key; Spark's
+    WindowGroupLimit pushes the top-k below the sort (each partition keeps
+    at most k rows per bucket before any data moves — no global sort, no
+    full-bucket materialization). doc_count rides the same window — no
+    second aggregate or join."""
+    from pyspark.sql.window import Window
+
+    tb = tiebreak_col or payload_cols[0]
+    order = [
+        F.col(sort_col).asc() if ascending else F.col(sort_col).desc(),
+        F.col(tb).asc(),
+    ]
+    w = Window.partitionBy(bucket_col).orderBy(*order)
+    wc = Window.partitionBy(bucket_col)
+    cols = [bucket_col, *payload_cols]
+    return (
+        df.select(*dict.fromkeys(cols + [sort_col, tb]))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("doc_count", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rank") <= F.lit(k))
+        .select(*cols, "rank", "doc_count")
+    )
+
+
+def sql_top_hits(
+    table: str,
+    bucket_col: str,
+    sort_col: str,
+    payload_cols: list[str],
+    k: int = 3,
+    ascending: bool = False,
+    tiebreak_col: str | None = None,
+) -> str:
+    """DuckDB SQL reproducing :func:`top_hits` exactly — same sort
+    direction, same tiebreak, same per-bucket doc_count."""
+    tb = tiebreak_col or payload_cols[0]
+    direction = "ASC" if ascending else "DESC"
+    cols = ", ".join(dict.fromkeys([bucket_col, *payload_cols]))
+    return f"""
+SELECT {cols}, rank, doc_count FROM (
+  SELECT {cols},
+         CAST(row_number() OVER (
+           PARTITION BY {bucket_col} ORDER BY {sort_col} {direction}, {tb} ASC
+         ) AS INTEGER) AS rank,
+         count(*) OVER (PARTITION BY {bucket_col}) AS doc_count
+  FROM {table}
+) WHERE rank <= {k}
+"""

@@ -164,30 +164,15 @@ def bm25_search(
     )
 
 
-def bm25_search_fields(
-    docs: DataFrame,
-    id_col: str,
-    field_cols: list[str],
-    query: str,
-    k: int = 10,
-    tie_breaker: float = 0.0,
-) -> DataFrame:
-    """Multi-field ``best_fields`` BM25 top-k — the reference's search shape
-    (`multi_match` with `type: best_fields, lenient: true` over all fields,
-    /root/reference/news_app/app/app/src/SearchUI.js:22-27): each field is
-    scored as its own BM25 corpus (own N, avgdl, per-term df — ES's
-    per-field inverted index), a doc's score is its BEST single field
-    (`greatest` across fields), plus ``tie_breaker`` × the other fields'
-    scores (ES semantics; default 0 = pure best_fields).
-
-    Plan shape: ONE scan of the docs (all fields tokenized in a single
-    projection, then an explode over a literal field array — no per-field
-    re-scan), one shuffle to (field, doc, term) TF, a broadcast of the tiny
-    per-(field, term) DF and per-field stats, and a final per-doc agg.
-    Candidate rows are only docs matching >= 1 query term in >= 1 field, so
-    the expensive stages are bounded by matches, not corpus size.
-    """
-    q_terms = sorted(set(query_terms(query)))
+def _fields_tf(docs, id_col: str, field_cols: list[str], q_terms: list[str]):
+    """The shared multi_match skeleton: ONE scan of the docs (all fields
+    tokenized in a single projection, then an explode over a literal field
+    array — no per-field re-scan), one shuffle to the (field, doc, term)
+    TF, plus the tiny per-field corpus stats. Candidate TF rows are only
+    docs matching >= 1 query term in >= 1 field, so the expensive stages
+    are bounded by matches, not corpus size. Shared by every multi_match
+    type (best_fields / most_fields / cross_fields) so the per-field
+    tokenize/stats can never fork between them."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         *[tokenize(c).alias(f"__toks_{i}") for i, c in enumerate(field_cols)],
@@ -214,6 +199,48 @@ def bm25_search_fields(
         .groupBy("field", "doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return tf, stats
+
+
+def _fields_tf_norm():
+    """BM25's tf normalization over the per-field norms carried on the TF
+    row — the factor every multi_match type multiplies its idf by."""
+    return (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+
+
+def bm25_search_fields(
+    docs: DataFrame,
+    id_col: str,
+    field_cols: list[str],
+    query: str,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    mode: str = "best_fields",
+) -> DataFrame:
+    """Multi-field field-centric BM25 top-k — the reference's search shape
+    (`multi_match` with `type: best_fields, lenient: true` over all fields,
+    /root/reference/news_app/app/app/src/SearchUI.js:22-27): each field is
+    scored as its own BM25 corpus (own N, avgdl, per-term df — ES's
+    per-field inverted index); a doc's score combines its per-field scores
+    by ``mode``:
+
+    - ``best_fields`` (ES default): the BEST single field (`greatest`
+      across fields), plus ``tie_breaker`` × the other fields' scores
+      (default 0 = pure best_fields) — right when one field should
+      dominate (title OR body holds the whole answer);
+    - ``most_fields``: the SUM of all field scores (ES most_fields, a
+      dis-junction tuned for the same text analyzed different ways — each
+      matching field adds evidence).
+
+    Plan shape: see :func:`_fields_tf` (one scan, one TF shuffle, tiny
+    broadcast DF/stats frames, final per-doc agg)."""
+    if mode not in ("best_fields", "most_fields"):
+        raise ValueError(f"bm25_search_fields: unknown mode {mode!r}")
+    q_terms = sorted(set(query_terms(query)))
+    tf, stats = _fields_tf(docs, id_col, field_cols, q_terms)
     df_t = tf.groupBy("field", "term").agg(F.countDistinct("doc_id").alias("df"))
     field_scores = (
         tf.join(F.broadcast(df_t), ["field", "term"])
@@ -226,55 +253,93 @@ def bm25_search_fields(
                 + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
             ),
         )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (BM25_K1 + 1))
-            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
-        )
+        .withColumn("term_score", F.col("idf") * _fields_tf_norm())
         .groupBy("doc_id", "field")
         .agg(F.round(F.sum("term_score"), 4).alias("field_score"))
     )
+    if mode == "most_fields":
+        combined = F.round(F.sum("field_score"), 4)
+    else:
+        combined = F.round(
+            F.max("field_score")
+            + F.lit(tie_breaker) * (F.sum("field_score") - F.max("field_score")),
+            4,
+        )
     return (
         field_scores.groupBy("doc_id")
-        .agg(
-            F.max("field_score").alias("__best"),
-            F.sum("field_score").alias("__total"),
-        )
-        .select(
-            "doc_id",
-            F.round(
-                F.col("__best") + F.lit(tie_breaker) * (F.col("__total") - F.col("__best")),
-                4,
-            ).alias("score"),
-        )
+        .agg(combined.alias("score"))
         .orderBy(F.desc("score"), F.col("doc_id"))
         .limit(k)
     )
 
 
-def sql_bm25_search_fields(
-    table: str,
+def bm25_search_cross_fields(
+    docs: DataFrame,
     id_col: str,
-    field_exprs: dict[str, str],
+    field_cols: list[str],
     query: str,
     k: int = 10,
     tie_breaker: float = 0.0,
-) -> str:
-    """DuckDB SQL reproducing :func:`bm25_search_fields` exactly.
+) -> DataFrame:
+    """`multi_match` ``type: cross_fields`` — ES's TERM-centric type for
+    entities split across fields ("jane smith" where first_name holds
+    'jane' and last_name holds 'smith'): fields behave like one combined
+    field per TERM, so a doc matching all query terms across DIFFERENT
+    fields beats one matching a single term in every field (the failure
+    mode of best/most_fields ES documents).
 
-    ``field_exprs`` maps field name → SQL expression deriving that field's
-    text from the table's columns (must match the Spark-side derivation).
-    """
+    Deterministic blended-statistics spec (Lucene's BlendedTermQuery made
+    exact): per term, df blends to the MAX per-field df and idf uses the
+    MAX per-field doc count — a term common in ANY field is cheap in all
+    of them; tf normalization stays per-field (each field keeps its own
+    length norm). Per (doc, term) the fields combine dis-max style: best
+    field score + ``tie_breaker`` × the rest (ES cross_fields tie_breaker,
+    default 0); per doc, term scores SUM (every query term found somewhere
+    adds evidence — the term-centric AND-ish shape).
+
+    Same plan skeleton as :func:`bm25_search_fields` (one scan, one TF
+    shuffle); the blended df is one more tiny (≤ query-terms-row)
+    broadcast."""
     q_terms = sorted(set(query_terms(query)))
+    tf, stats = _fields_tf(docs, id_col, field_cols, q_terms)
+    df_t = tf.groupBy("field", "term").agg(F.countDistinct("doc_id").alias("df"))
+    df_blend = df_t.groupBy("term").agg(F.max("df").alias("df"))
+    n_max = stats.agg(F.max("n_docs").alias("n_max"))
+    per_field = (
+        tf.join(F.broadcast(df_blend), "term")
+        .join(F.broadcast(stats), "field")
+        .crossJoin(F.broadcast(n_max))
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_max") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn("fscore", F.round(F.col("idf") * _fields_tf_norm(), 6))
+    )
+    term_scores = per_field.groupBy("doc_id", "term").agg(
+        (
+            F.max("fscore")
+            + F.lit(tie_breaker) * (F.sum("fscore") - F.max("fscore"))
+        ).alias("term_score")
+    )
+    return _bm25_score_agg(term_scores, k)
+
+
+def _sql_fields_prelude(table: str, id_col: str, field_exprs: dict[str, str],
+                        q_terms: list[str]) -> str:
+    """The shared DuckDB CTE prelude (long → stats → tf → dft) mirroring
+    :func:`_fields_tf` — composed, never hand-copied, so the oracle can't
+    drift between the multi_match types."""
     terms_list = ", ".join(f"'{t}'" for t in q_terms)
     branches = " UNION ALL ".join(
         f"SELECT {id_col} AS doc_id, '{name}' AS field, "
         f"regexp_extract_all(lower({expr}), '[a-z0-9]+') AS toks FROM {table}"
         for name, expr in field_exprs.items()
     )
-    return f"""
-WITH long AS (
+    return f"""long AS (
   SELECT doc_id, field, toks, len(toks) AS dl FROM ({branches})
 ), stats AS (
   SELECT field, count(*) AS n_docs, sum(dl) AS sum_dl FROM long GROUP BY field
@@ -285,12 +350,49 @@ WITH long AS (
   GROUP BY field, doc_id, dl, term
 ), dft AS (
   SELECT field, term, count(DISTINCT doc_id) AS df FROM tf GROUP BY field, term
-), fscore AS (
+)"""
+
+
+#: The BM25 tf-normalization SQL factor over per-field norms (twin of
+#: :func:`_fields_tf_norm`).
+_SQL_FIELDS_TF_NORM = (
+    f"(tf.tf * ({BM25_K1} + 1))"
+    f" / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl"
+    f" / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))"
+)
+
+
+def sql_bm25_search_fields(
+    table: str,
+    id_col: str,
+    field_exprs: dict[str, str],
+    query: str,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    mode: str = "best_fields",
+) -> str:
+    """DuckDB SQL reproducing :func:`bm25_search_fields` exactly (both
+    ``best_fields`` and ``most_fields`` modes).
+
+    ``field_exprs`` maps field name → SQL expression deriving that field's
+    text from the table's columns (must match the Spark-side derivation).
+    """
+    if mode not in ("best_fields", "most_fields"):
+        raise ValueError(f"sql_bm25_search_fields: unknown mode {mode!r}")
+    q_terms = sorted(set(query_terms(query)))
+    if mode == "most_fields":
+        combined = "round(sum(field_score), 4)"
+    else:
+        combined = (
+            f"round(max(field_score) + {tie_breaker}"
+            " * (sum(field_score) - max(field_score)), 4)"
+        )
+    return f"""
+WITH {_sql_fields_prelude(table, id_col, field_exprs, q_terms)}, fscore AS (
   SELECT tf.doc_id, tf.field,
          round(sum(
            ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-           * (tf.tf * ({BM25_K1} + 1))
-           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+           * {_SQL_FIELDS_TF_NORM}
          ), 4) AS field_score
   FROM tf
   JOIN dft ON tf.field = dft.field AND tf.term = dft.term
@@ -298,8 +400,47 @@ WITH long AS (
   GROUP BY tf.doc_id, tf.field
 )
 SELECT doc_id,
-       round(max(field_score) + {tie_breaker} * (sum(field_score) - max(field_score)), 4) AS score
+       {combined} AS score
 FROM fscore GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def sql_bm25_search_cross_fields(
+    table: str,
+    id_col: str,
+    field_exprs: dict[str, str],
+    query: str,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+) -> str:
+    """DuckDB SQL reproducing :func:`bm25_search_cross_fields` exactly —
+    same blended statistics (max per-field df, max per-field doc count),
+    same per-field tf norms, same dis-max per (doc, term), same per-doc
+    term sum and roundings."""
+    q_terms = sorted(set(query_terms(query)))
+    return f"""
+WITH {_sql_fields_prelude(table, id_col, field_exprs, q_terms)}, blend AS (
+  SELECT term, max(df) AS df FROM dft GROUP BY term
+), nmax AS (
+  SELECT max(n_docs) AS n_max FROM stats
+), pf AS (
+  SELECT tf.doc_id, tf.term,
+         round(
+           ln(1.0 + (nmax.n_max - blend.df + 0.5) / (blend.df + 0.5))
+           * {_SQL_FIELDS_TF_NORM}
+         , 6) AS fscore
+  FROM tf
+  JOIN blend ON tf.term = blend.term
+  JOIN stats ON tf.field = stats.field
+  CROSS JOIN nmax
+), tscore AS (
+  SELECT doc_id, term,
+         max(fscore) + {tie_breaker} * (sum(fscore) - max(fscore)) AS term_score
+  FROM pf GROUP BY doc_id, term
+)
+SELECT doc_id, round(sum(term_score), 4) AS score
+FROM tscore GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}
 """
 

@@ -48,9 +48,13 @@ from pandemic_knowledge_spark.functions.geo import (
     sql_grid,
     sql_ring_index,
     sql_synth_lat,
+    sql_synth_lat_micro,
     sql_synth_lon,
+    sql_synth_lon_micro,
     synth_lat,
+    synth_lat_micro,
     synth_lon,
+    synth_lon_micro,
 )
 from pandemic_knowledge_spark.functions.vectors import cosine, sql_cosine, sql_dot
 from pandemic_knowledge_spark.operators.aggregates import (
@@ -71,7 +75,9 @@ from pandemic_knowledge_spark.operators.aggregates import (
     sql_matrix_stats,
     sql_rare_terms,
     sql_significant_terms,
+    sql_top_hits,
     terms_topn,
+    top_hits,
 )
 from pandemic_knowledge_spark.operators.dedup import (
     N_BANDS,
@@ -149,8 +155,10 @@ from pandemic_knowledge_spark.operators.search import (
     sql_term_suggest,
     term_suggest,
     bm25_search,
+    bm25_search_cross_fields,
     bm25_search_fields,
     sql_bm25_search,
+    sql_bm25_search_cross_fields,
     sql_bm25_search_fields,
     sql_tfidf_keywords,
     tfidf_keywords,
@@ -2925,6 +2933,113 @@ def search_fields_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_fields_from_postings(postings, stats, _BM25_QUERY, k=10)
 
 
+_FIELDS_SPLIT = {"title": "substr(text, 1, 80)", "body": "substr(text, 81)"}
+
+
+def _fields_split_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("substr(text, 1, 80)").alias("title"),
+        F.expr("substr(text, 81)").alias("body"),
+    )
+
+
+@q(
+    "search_multi_most_fields",
+    oracle=sql_bm25_search_fields(
+        "documents", "doc_id", _FIELDS_SPLIT, _BM25_QUERY, 10,
+        mode="most_fields",
+    ),
+)
+def search_multi_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES `multi_match` ``type: most_fields``: each field is its own
+    BM25 corpus and a doc's score is the SUM across fields (every matching
+    field adds evidence — ES's type for the same text analyzed multiple
+    ways). Same one-scan/one-TF-shuffle skeleton as best_fields
+    (operators.search.bm25_search_fields mode='most_fields'); with
+    best_fields + fields_indexed + phrase/bool_prefix/fuzzy this completes
+    the multi_match types a Searchkit user can reach."""
+    return bm25_search_fields(
+        _fields_split_df(spark, sf_dir), "doc_id", ["title", "body"],
+        _BM25_QUERY, k=10, mode="most_fields",
+    )
+
+
+@q(
+    "search_multi_cross_fields",
+    oracle=sql_bm25_search_cross_fields(
+        "documents", "doc_id", _FIELDS_SPLIT, _BM25_QUERY, 10,
+    ),
+)
+def search_multi_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES `multi_match` ``type: cross_fields``, the TERM-centric type
+    for entities split across fields: per term the fields blend statistics
+    (max per-field df / doc count — Lucene's BlendedTermQuery made
+    deterministic) and combine dis-max; per doc the term scores sum, so
+    matching ALL query terms across DIFFERENT fields beats matching one
+    term everywhere (operators.search.bm25_search_cross_fields — the
+    blended df is one extra ≤|query-terms|-row broadcast on the same
+    skeleton)."""
+    return bm25_search_cross_fields(
+        _fields_split_df(spark, sf_dir), "doc_id", ["title", "body"],
+        _BM25_QUERY, k=10,
+    )
+
+
+@q(
+    "search_fuzzy_indexed",
+    oracle=sql_fuzzy_match_search("documents", "doc_id", "text", _FUZZY_QUERY, 10),
+)
+def search_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 over the PERSISTED index + terms-dictionary sidecar (the r8
+    headline): fuzzy expansion runs against the tlen-partition-pruned
+    ``vocab/`` sidecar (ES's FST walk — dictionary slivers only), scoring
+    probes the bucket-pruned postings; the oracle is the corpus-scan
+    fuzzy_match_search SQL, proving sidecar probe ≡ corpus scan with a
+    value hash. (Scratch path fixed per-sf, rebuilt via save() each run —
+    same pattern as io_partitioned_roundtrip.)"""
+    import os
+    import tempfile
+
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+
+    d = load(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pk_search_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    SearchIndex.build(d, "doc_id", "text", cache=False).save(path)
+    idx = SearchIndex.load(spark, path)
+    return idx.fuzzy_search(_FUZZY_QUERY, k=10)
+
+
+@q(
+    "search_suggest_indexed",
+    oracle=sql_term_suggest("documents", "doc_id", "text", _SUGGEST_TERM, 2, 1, 5),
+)
+def search_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 "did you mean" over the persisted terms dictionary: the suggester
+    probes only the ±max_edits tlen partitions of the ``vocab/`` sidecar —
+    never postings, never the corpus (operators.search.
+    term_suggest_from_vocab). Oracle = the corpus-scan term_suggest SQL:
+    sidecar probe ≡ corpus scan, value-hashed. Reuses the scratch index
+    search_fuzzy_indexed materializes (same fixed per-sf path)."""
+    import os
+    import tempfile
+
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+
+    d = load(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pk_search_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.isdir(os.path.join(path, "postings")):
+        SearchIndex.build(d, "doc_id", "text", cache=False).save(path)
+    idx = SearchIndex.load(spark, path)
+    return idx.suggest(_SUGGEST_TERM, max_edits=2, prefix_length=1, k=5)
+
+
 # TPC-H nation name → ISO 3166-1 alpha-2 (public data); nations without an
 # entry (ALGERIA, ETHIOPIA, IRAN, IRAQ, JORDAN, MOZAMBIQUE) stay unmapped and
 # exercise the left-join unknown-code → null path. UNITED KINGDOM maps to the
@@ -3282,6 +3397,83 @@ def geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             as_money(cents_sum("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+@q(
+    "agg_top_hits_latest",
+    oracle=sql_top_hits(
+        "events", "event_type", "ts", ["ts", "event_id", "user_id", "value"],
+        k=3, tiebreak_col="event_id",
+    ),
+)
+def agg_top_hits_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` + ``top_hits`` — the literal "Latest news" Kibana panel
+    (/root/reference/README.md:22-24: newest documents listed inside each
+    bucket): per event_type, the 3 newest events WITH their payload
+    columns (ts, user, value) and the bucket's total doc_count. One hash
+    shuffle on the bucket key; WindowGroupLimit keeps ≤3 rows per bucket
+    per partition before anything moves (operators.aggregates.top_hits)."""
+    ev = load(spark, sf_dir, "events")
+    return top_hits(
+        ev, "event_type", "ts", ["ts", "event_id", "user_id", "value"],
+        k=3, tiebreak_col="event_id",
+    )
+
+
+@q(
+    "geo_centroid_bounds",
+    oracle=f"""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round((CAST(sum({sql_synth_lat_micro('c_custkey')}) AS BIGINT)
+              / CAST(count(*) AS DOUBLE)) / 100.0 - 90.0, 6) AS centroid_lat,
+       round((CAST(sum({sql_synth_lon_micro('c_custkey')}) AS BIGINT)
+              / CAST(count(*) AS DOUBLE)) / 100.0 - 180.0, 6) AS centroid_lon,
+       max({sql_synth_lat('c_custkey')}) AS top_left_lat,
+       min({sql_synth_lon('c_custkey')}) AS top_left_lon,
+       min({sql_synth_lat('c_custkey')}) AS bottom_right_lat,
+       max({sql_synth_lon('c_custkey')}) AS bottom_right_lon
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def geo_centroid_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — ES ``geo_centroid`` + ``geo_bounds`` per terms bucket (the two
+    metric aggs Kibana's map panels attach to coordinate docs): per
+    nation, the average point and the enclosing box (top-left /
+    bottom-right corners, ES's bounds shape). The centroid averages the
+    EXACT integer hundredth-degree values (functions.geo.synth_lat_micro)
+    — int64 sums are partitioning-invariant, so the result hashes
+    identically at any cluster size; the divide-to-degrees happens once
+    per bucket. One narrow groupBy on the nation key; min/max/sum all
+    combine map-side."""
+    cust = load(spark, sf_dir, "customer")
+    lat_i = synth_lat_micro(F.col("c_custkey"))
+    lon_i = synth_lon_micro(F.col("c_custkey"))
+    lat = synth_lat(F.col("c_custkey"))
+    lon = synth_lon(F.col("c_custkey"))
+    cnt = F.count(F.lit(1))
+    return (
+        cust.select(
+            "c_nationkey",
+            lat_i.alias("__lat_i"), lon_i.alias("__lon_i"),
+            lat.alias("__lat"), lon.alias("__lon"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            cnt.alias("n_customers"),
+            F.round(
+                (F.sum("__lat_i") / cnt.cast("double")) / 100.0 - 90.0, 6
+            ).alias("centroid_lat"),
+            F.round(
+                (F.sum("__lon_i") / cnt.cast("double")) / 100.0 - 180.0, 6
+            ).alias("centroid_lon"),
+            F.max("__lat").alias("top_left_lat"),
+            F.min("__lon").alias("top_left_lon"),
+            F.min("__lat").alias("bottom_right_lat"),
+            F.max("__lon").alias("bottom_right_lon"),
         )
     )
 

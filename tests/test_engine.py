@@ -645,3 +645,75 @@ def test_engine_fuzzy_and_phrase_prefix_doors(spark, sf_dir):
     assert via_idx == via_scan and len(via_idx) > 0
     pp = eng.phrase_prefix_search("hash jo", k=5).collect()
     assert all(r.phrase_count >= 1 for r in pp)
+
+
+def test_multi_match_most_fields_sums_per_field_scores(spark, sf_dir):
+    """most_fields = the SUM of the per-field BM25 scores (ES multi_match
+    type for the same text analyzed multiple ways); with a single field
+    every multi_match type degenerates to plain bm25_search."""
+    from pandemic_knowledge_spark.operators.search import (
+        bm25_search,
+        bm25_search_cross_fields,
+        bm25_search_fields,
+    )
+    from pandemic_knowledge_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("substr(text, 1, 80)").alias("title"),
+        F.expr("substr(text, 81)").alias("body"),
+    )
+    q = "spark join stream window"
+    best = bm25_search_fields(d, "doc_id", ["title", "body"], q, k=10)
+    most = bm25_search_fields(
+        d, "doc_id", ["title", "body"], q, k=10, mode="most_fields"
+    )
+    # tie_breaker=1.0 turns best_fields into the same sum
+    sum_via_tb = bm25_search_fields(
+        d, "doc_id", ["title", "body"], q, k=10, tie_breaker=1.0
+    )
+    assert most.collect() == sum_via_tb.collect()
+    assert best.collect() != most.collect()  # the split corpus really forks them
+    # single-field degeneracy: all types equal the plain scorer
+    single = d.select("doc_id", "title")
+    plain = [
+        (r.doc_id, r.score)
+        for r in bm25_search(single, "doc_id", "title", q, k=10).collect()
+    ]
+    for frame in (
+        bm25_search_fields(single, "doc_id", ["title"], q, k=10),
+        bm25_search_fields(single, "doc_id", ["title"], q, k=10, mode="most_fields"),
+        bm25_search_cross_fields(single, "doc_id", ["title"], q, k=10),
+    ):
+        assert [(r.doc_id, round(r.score, 4)) for r in frame.collect()] == plain
+
+
+def test_multi_match_cross_fields_is_term_centric(spark):
+    """cross_fields must rank the doc whose DIFFERENT fields cover ALL
+    query terms above the doc matching one term in every field — the
+    split-entity case ES documents as the reason the type exists."""
+    from pandemic_knowledge_spark.operators.search import (
+        bm25_search_cross_fields,
+        bm25_search_fields,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "jane doe", "smith avenue"),     # covers both terms, split
+            (2, "jane is here", "jane again"),   # one term, every field
+            (3, "nothing", "relevant"),
+        ],
+        "doc_id long, first string, last string",
+    )
+    q = "jane smith"
+    cross = bm25_search_cross_fields(docs, "doc_id", ["first", "last"], q, k=3).collect()
+    assert cross[0].doc_id == 1
+    # and per-term blending: doc 2's duplicated 'jane' can't stack fields
+    by_id = {r.doc_id: r.score for r in cross}
+    assert by_id[1] > by_id[2]
+    # field-centric most_fields CAN prefer doc 2 or at least scores it by
+    # stacking both fields; the diverging semantics is the point
+    most = bm25_search_fields(
+        docs, "doc_id", ["first", "last"], q, k=3, mode="most_fields"
+    ).collect()
+    assert {r.doc_id for r in most} >= {1, 2}
