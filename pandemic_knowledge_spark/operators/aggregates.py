@@ -448,11 +448,18 @@ def date_histogram_pipeline(
     df: DataFrame, ts_col: str, window: int = 7
 ) -> DataFrame:
     """ES PIPELINE aggregations over a day date_histogram, in one frame:
-    ``derivative`` (bucket count minus the calendar-previous day's, NULL
-    for the first/bucketless-predecessor day), ``cumulative_sum``, and a
-    trailing-``window``-calendar-day ``moving_avg`` (ES moving_fn
-    unweightedAvg over the available trailing buckets) — the Kibana
-    "daily delta / running total / smoothed trend" panel triple.
+    ``derivative`` (bucket count minus the previous day's, NULL only for
+    the first bucket), ``cumulative_sum``, and a trailing-``window``-day
+    ``moving_avg`` (ES moving_fn unweightedAvg) — the Kibana "daily delta
+    / running total / smoothed trend" panel triple.
+
+    ES-default gap semantics (``min_doc_count=0``): the daily spine is
+    DENSIFIED — every calendar day between the first and last bucket
+    exists with cnt=0, exactly as ES's date_histogram emits empty buckets
+    — so a derivative after a gap is cnt−0 and the moving average divides
+    by the zero buckets too. The spine is one bounded explode of the
+    [min, max] day range (≤ tens of thousands of rows for decades of
+    data) left-joined to the real counts.
 
     Every stage avoids a global single-partition sort, because at 100 TB
     the daily frame spans years and the engine should never funnel it
@@ -473,9 +480,14 @@ def date_histogram_pipeline(
         # one — reject instead.
         raise ValueError(f"date_histogram_pipeline: window must be >= 1, got {window}")
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    raw = df.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("cnt"))
+    spine = (
+        raw.agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+        .select(F.explode(F.sequence("__lo", "__hi")).alias("day"))
+    )
     daily = (
-        df.groupBy(day.alias("day"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        spine.join(raw, "day", "left")
+        .select("day", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"))
         .localCheckpoint(eager=True)  # 4 consumers; truncate the scan plan
     )
     prev = daily.select(
@@ -527,18 +539,27 @@ def date_histogram_pipeline(
 
 def sql_date_histogram_pipeline(table: str, ts_col: str, window: int = 7) -> str:
     """DuckDB SQL reproducing :func:`date_histogram_pipeline` exactly —
-    the oracle uses plain ordered window frames (fine single-node) with a
-    calendar RANGE frame for the moving average, which matches the
-    explode-fanout by construction; the derivative joins on day = prev+1
-    exactly as the Spark twin."""
+    the same min_doc_count=0 densified spine (generate_series over the
+    [min, max] day range), then plain ordered window frames (fine
+    single-node) with a calendar RANGE frame for the moving average,
+    which matches the explode-fanout by construction; the derivative
+    joins on day = prev+1 exactly as the Spark twin."""
     if window < 1:
         raise ValueError(
             f"sql_date_histogram_pipeline: window must be >= 1, got {window}"
         )
     return f"""
-WITH daily AS (
+WITH raw AS (
   SELECT CAST(date_trunc('day', {ts_col}) AS DATE) AS day, count(*) AS cnt
   FROM {table} GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+                                     CAST(max(day) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM raw
+), daily AS (
+  SELECT spine.day, CAST(COALESCE(raw.cnt, 0) AS BIGINT) AS cnt
+  FROM spine LEFT JOIN raw ON spine.day = raw.day
 ), w AS (
   SELECT day, cnt,
          CAST(sum(cnt) OVER (ORDER BY day) AS BIGINT) AS cumulative_sum,
@@ -558,16 +579,31 @@ FROM w LEFT JOIN daily p ON w.day = p.day + 1
 """
 
 
-#: ES auto_date_histogram rounding ladder (unit, approx seconds used for
-#: the CHOICE; truncation itself is calendar-exact via date_trunc).
-AUTO_HISTOGRAM_LADDER: tuple[tuple[str, int], ...] = (
-    ("minute", 60),
-    ("hour", 3_600),
-    ("day", 86_400),
-    ("week", 604_800),
-    ("month", 2_592_000),
-    ("quarter", 7_776_000),
-    ("year", 31_536_000),
+#: ES auto_date_histogram rounding ladder: (label, kind, seconds). ES's
+#: ladder includes sub-minute units and interval MULTIPLES (5m/10m/30m,
+#: 3h/12h, ...), so a short span still gets fine-grained buckets instead
+#: of collapsing to the next calendar unit. kind="cal" rungs truncate
+#: calendar-exactly via date_trunc (label IS the unit); kind="fixed" rungs
+#: are fixed-width epoch floors (the multiples — a 5-minute bucket has no
+#: calendar meaning). `seconds` doubles as the approximate span used for
+#: the CHOICE and, for fixed rungs, the exact step width.
+AUTO_HISTOGRAM_LADDER: tuple[tuple[str, str, int], ...] = (
+    ("second", "cal", 1),
+    ("5s", "fixed", 5),
+    ("10s", "fixed", 10),
+    ("30s", "fixed", 30),
+    ("minute", "cal", 60),
+    ("5m", "fixed", 300),
+    ("10m", "fixed", 600),
+    ("30m", "fixed", 1_800),
+    ("hour", "cal", 3_600),
+    ("3h", "fixed", 10_800),
+    ("12h", "fixed", 43_200),
+    ("day", "cal", 86_400),
+    ("week", "cal", 604_800),
+    ("month", "cal", 2_592_000),
+    ("quarter", "cal", 7_776_000),
+    ("year", "cal", 31_536_000),
 )
 
 
@@ -593,15 +629,20 @@ def auto_date_histogram(
         F.unix_timestamp(F.max(ts)).alias("__hi"),
     ).select((F.col("__hi") - F.col("__lo")).alias("__span"))
     unit = None
-    for name, secs in AUTO_HISTOGRAM_LADDER:
+    for name, _kind, secs in AUTO_HISTOGRAM_LADDER:
         cond = F.col("__span") <= F.lit(target_buckets * secs)
         unit = F.when(cond, F.lit(name)) if unit is None else unit.when(cond, F.lit(name))
     unit = unit.otherwise(F.lit(AUTO_HISTOGRAM_LADDER[-1][0]))
     with_unit = df.crossJoin(F.broadcast(bounds.select(unit.alias("__unit"))))
     bucket = None
-    for name, _ in AUTO_HISTOGRAM_LADDER:
+    for name, kind, secs in AUTO_HISTOGRAM_LADDER:
         cond = F.col("__unit") == F.lit(name)
-        trunc = F.date_trunc(name, ts)
+        if kind == "cal":
+            trunc = F.date_trunc(name, ts)
+        else:  # fixed-width epoch floor (the ES interval multiples)
+            trunc = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(ts) / F.lit(secs)) * F.lit(secs)
+            )
         bucket = F.when(cond, trunc) if bucket is None else bucket.when(cond, trunc)
     return (
         with_unit.groupBy(
@@ -622,11 +663,20 @@ def sql_auto_date_histogram(
     )
     unit_case = "CASE " + " ".join(
         f"WHEN span <= {target_buckets * secs} THEN '{name}'"
-        for name, secs in AUTO_HISTOGRAM_LADDER
+        for name, _kind, secs in AUTO_HISTOGRAM_LADDER
     ) + f" ELSE '{AUTO_HISTOGRAM_LADDER[-1][0]}' END"
+
+    def _sql_bucket(name: str, kind: str, secs: int) -> str:
+        if kind == "cal":
+            return f"date_trunc('{name}', {ts_col})"
+        return (
+            f"make_timestamp(CAST(floor(floor(epoch({ts_col})) / {secs})"
+            f" * {secs} AS BIGINT) * 1000000)"
+        )
+
     bucket_case = "CASE " + " ".join(
-        f"WHEN c.unit = '{name}' THEN date_trunc('{name}', {ts_col})"
-        for name, _ in AUTO_HISTOGRAM_LADDER
+        f"WHEN c.unit = '{name}' THEN {_sql_bucket(name, kind, secs)}"
+        for name, kind, secs in AUTO_HISTOGRAM_LADDER
     ) + " END"
     return f"""
 WITH bounds AS (

@@ -84,12 +84,13 @@ def test_composite_after_key_is_strict_tuple_order(spark):
 
 
 def test_pipeline_derivative_null_starts_and_exact_composition(spark):
-    """First bucket (and any bucket with no calendar-previous day) has a
-    NULL derivative; cumulative_sum composes exactly across the month
-    boundary; the moving average truncates at the series start."""
+    """ES min_doc_count=0 semantics: the spine densifies, so a gap day
+    EXISTS with cnt=0 (derivative swings through it, the moving average
+    divides by it); only the very first bucket has a NULL derivative;
+    cumulative_sum composes exactly across the month boundary."""
     rows = []
-    # 2024-01-30, 2024-01-31, 2024-02-01 with 1, 2, 4 events; gap, then
-    # 2024-02-03 with 8 (no calendar-previous bucket).
+    # 2024-01-30, 2024-01-31, 2024-02-01 with 1, 2, 4 events; gap on
+    # 2024-02-02 (an EMPTY bucket in ES), then 2024-02-03 with 8.
     for d, n in ((date(2024, 1, 30), 1), (date(2024, 1, 31), 2),
                  (date(2024, 2, 1), 4), (date(2024, 2, 3), 8)):
         rows += [(d.isoformat() + " 12:00:00",)] * n
@@ -97,13 +98,18 @@ def test_pipeline_derivative_null_starts_and_exact_composition(spark):
         F.col("ts").cast("timestamp").alias("ts")
     )
     got = {r.day.isoformat(): r for r in date_histogram_pipeline(df, "ts", window=2).collect()}
-    assert got["2024-01-30"].derivative is None
+    assert sorted(got) == [
+        "2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02", "2024-02-03",
+    ]  # the gap day materializes
+    assert got["2024-02-02"].cnt == 0
+    assert got["2024-01-30"].derivative is None  # only the first bucket
     assert got["2024-01-31"].derivative == 1
     assert got["2024-02-01"].derivative == 2  # across month boundary
-    assert got["2024-02-03"].derivative is None  # gap: no prev bucket
-    assert [got[d].cumulative_sum for d in sorted(got)] == [1, 3, 7, 15]
-    # trailing-2-calendar-day means: day1 alone, (1+2)/2, (2+4)/2, 8 alone
-    assert [got[d].moving_avg for d in sorted(got)] == [1.0, 1.5, 3.0, 8.0]
+    assert got["2024-02-02"].derivative == -4  # into the empty bucket
+    assert got["2024-02-03"].derivative == 8  # out of the empty bucket
+    assert [got[d].cumulative_sum for d in sorted(got)] == [1, 3, 7, 7, 15]
+    # trailing-2-day means INCLUDE the zero bucket: 1, 1.5, 3, (4+0)/2, (0+8)/2
+    assert [got[d].moving_avg for d in sorted(got)] == [1.0, 1.5, 3.0, 2.0, 4.0]
 
 
 def test_fuzzy_auto_bands_match_es_table():
@@ -196,8 +202,37 @@ def test_auto_date_histogram_picks_interval_from_span(spark):
     days = spark.createDataFrame(
         [(f"2024-01-{d:02d} 12:00:00",) for d in range(1, 11)], "ts string"
     ).select(F.col("ts").cast("timestamp").alias("ts"))
+    # 9-day span at target 20: the 12h MULTIPLE rung (ES's ladder) wins
+    # over collapsing straight to day — finer buckets, still <= target
     got = auto_date_histogram(days, "ts", target_buckets=20).collect()
+    assert {r.interval for r in got} == {"12h"} and len(got) == 10
+    # and at target 10 the multiples are skipped: day fits exactly
+    got = auto_date_histogram(days, "ts", target_buckets=10).collect()
     assert {r.interval for r in got} == {"day"} and len(got) == 10
+
+
+def test_auto_date_histogram_subminute_rungs(spark):
+    """ADVICE r7: a 2-hour span at target 20 must yield minute-scale
+    buckets (the 10m rung), not 2 hour-buckets — and a 40-second span
+    picks seconds. Both twins share the ladder constant, so oracle parity
+    is automatic (pinned by the catalog row); here we pin the choice."""
+    from pandemic_knowledge_spark.operators.aggregates import auto_date_histogram
+
+    two_h = spark.createDataFrame(
+        [(f"2024-01-01 {10 + h}:{m:02d}:00",) for h in range(2) for m in range(0, 60, 7)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = auto_date_histogram(two_h, "ts", target_buckets=20).collect()
+    assert {r.interval for r in got} == {"10m"}
+    assert sum(r.doc_count for r in got) == two_h.count()
+    assert len(got) <= 20
+
+    secs = spark.createDataFrame(
+        [(f"2024-01-01 10:00:{s:02d}",) for s in range(0, 40, 3)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = auto_date_histogram(secs, "ts", target_buckets=20).collect()
+    assert {r.interval for r in got} == {"5s"}
+    assert len(got) <= 20
 
 
 def test_match_phrase_prefix_expansion_cap_is_alphabetical(spark):

@@ -689,24 +689,85 @@ def _subtree_lines(plan: str, marker: str) -> list[list[str]]:
     return subtrees
 
 
+_BOUNDING_TOKENS = (
+    "TakeOrderedAndProject",
+    "LocalLimit",
+    "GlobalLimit",
+    "LocalTableScan",
+    "Scan ExistingRDD",
+    "BroadcastExchange",  # an inner broadcast is itself a bounded build
+)
+
+
+def _line_depth(line: str) -> int:
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else -1
+
+
+def _join_other_child(sub: list[str], join_i: int, branch_i: int) -> list[str]:
+    """Lines of the join node's child subtree NOT containing line
+    ``branch_i`` — the join's other input."""
+    jd = _line_depth(sub[join_i])
+    # immediate children: minimal-depth lines below the join
+    child_starts = []
+    j = join_i + 1
+    child_depth = None
+    while j < len(sub) and _line_depth(sub[j]) > jd:
+        d = _line_depth(sub[j])
+        if child_depth is None or d < child_depth:
+            child_depth = d
+            child_starts = [j]
+        elif d == child_depth:
+            child_starts.append(j)
+        j += 1
+    end = j
+    out = []
+    for ci, start in enumerate(child_starts):
+        stop = child_starts[ci + 1] if ci + 1 < len(child_starts) else end
+        if not (start <= branch_i < stop):
+            out.extend(sub[start:stop])
+    return out
+
+
 def _unbounded_vocab_broadcasts(plan: str) -> list[str]:
+    """Flag BroadcastExchange subtrees whose build side is the UNFILTERED
+    vocabulary aggregate. A vocabulary HashAggregate(count(distinct ...))
+    inside the exchange is fine only if something on its OWN ancestor
+    chain bounds it — a limit above it, or an ancestor JOIN whose other
+    input is a bounded frame (literal rows, a limited selection, an inner
+    broadcast). A join that merely appears SOMEWHERE in the subtree (e.g.
+    below the aggregate, joining its inputs) no longer launders it
+    (r7 ADVICE: the old any-token scan would have)."""
     bad = []
     for sub in _subtree_lines(plan, "BroadcastExchange"):
-        text = "\n".join(sub)
-        has_vocab_agg = "count(distinct" in text and "HashAggregate" in text
-        bounded = any(
-            tok in text
-            for tok in (
-                "TakeOrderedAndProject",
-                "LocalLimit",
-                "GlobalLimit",
-                "LocalTableScan",
-                "BroadcastHashJoin",
-                "SortMergeJoin",
-            )
-        )
-        if has_vocab_agg and not bounded:
-            bad.append(text[:300])
+        vocab_lines = [
+            i
+            for i, line in enumerate(sub)
+            if "count(distinct" in line and "HashAggregate" in line
+        ]
+        for vi in vocab_lines:
+            bounded = False
+            cur_d = _line_depth(sub[vi])
+            for ai in range(vi - 1, -1, -1):
+                ad = _line_depth(sub[ai])
+                if ad < 0 or ad >= cur_d:
+                    continue
+                cur_d = ad  # sub[ai] is the next ancestor up
+                anc = sub[ai]
+                if any(
+                    tok in anc
+                    for tok in ("TakeOrderedAndProject", "LocalLimit", "GlobalLimit")
+                ):
+                    bounded = True
+                    break
+                if "Join" in anc:
+                    other = "\n".join(_join_other_child(sub, ai, vi))
+                    if any(tok in other for tok in _BOUNDING_TOKENS):
+                        bounded = True
+                        break
+            if not bounded:
+                bad.append("\n".join(sub)[:300])
+                break
     return bad
 
 
@@ -721,6 +782,49 @@ def test_search_broadcast_build_sides_are_bounded(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     bad = _unbounded_vocab_broadcasts(plan)
     assert not bad, f"{name} broadcasts an unbounded vocabulary frame:\n{bad[0]}"
+
+
+def test_vocab_broadcast_heuristic_rejects_laundering():
+    """r7 ADVICE: a join BELOW the vocabulary aggregate (joining its
+    inputs) must NOT bound it — only a limit above it or an ancestor join
+    against a bounded frame counts. Synthetic plan fixtures pin both
+    directions of the heuristic."""
+    laundered = """\
+BroadcastExchange HashedRelationBroadcastMode, [plan_id=1]
++- HashAggregate(keys=[term#1], functions=[count(distinct doc_id#2L)])
+   +- SortMergeJoin [term#1], [term#3], Inner
+      :- Sort [term#1 ASC]
+      :  +- FileScan parquet [term#1,doc_id#2L]
+      +- Sort [term#3 ASC]
+         +- FileScan parquet [term#3]
+"""
+    assert _unbounded_vocab_broadcasts(laundered), "join-below must not bound"
+
+    bounded_by_join = """\
+BroadcastExchange HashedRelationBroadcastMode, [plan_id=1]
++- BroadcastHashJoin [term#1], [term#9], Inner, BuildRight
+   :- HashAggregate(keys=[term#1], functions=[count(distinct doc_id#2L)])
+   :  +- FileScan parquet [term#1,doc_id#2L]
+   +- BroadcastExchange HashedRelationBroadcastMode, [plan_id=2]
+      +- LocalTableScan [term#9]
+"""
+    assert not _unbounded_vocab_broadcasts(bounded_by_join)
+
+    bounded_by_limit = """\
+BroadcastExchange HashedRelationBroadcastMode, [plan_id=1]
++- GlobalLimit 50
+   +- LocalLimit 50
+      +- HashAggregate(keys=[term#1], functions=[count(distinct doc_id#2L)])
+         +- FileScan parquet [term#1,doc_id#2L]
+"""
+    assert not _unbounded_vocab_broadcasts(bounded_by_limit)
+
+    naked = """\
+BroadcastExchange HashedRelationBroadcastMode, [plan_id=1]
++- HashAggregate(keys=[term#1], functions=[count(distinct doc_id#2L)])
+   +- FileScan parquet [term#1,doc_id#2L]
+"""
+    assert _unbounded_vocab_broadcasts(naked)
 
 
 def test_tfidf_term_join_is_shuffle_not_vocab_broadcast(spark, sf_dir):
