@@ -5818,17 +5818,58 @@ BENCH_QUERY_NAMES.extend(
 # already proven green in a previous round's CORRECTNESS_r*.json rotate to
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
-# The rows displaced from the r7 window by this round's 8 new queries —
-# all 15 are r4-green rows whose families keep fresher in-window coverage:
-# the text_* six (search family holds search_fuzzy_match + highlighted +
-# phrase rows in-window; tokenizer/quality invariants stay pytest-pinned),
-# timeseries_corr_topk (ses_forecast leads this window),
-# union_feed (both setop rows in-window), and the four window-function
-# rows (window_range_7day_avg is r6-green; agg_pipeline_daily_delta adds
-# fresh window machinery this round). These MUST lead the r8 window
-# (after r8's own new/changed rows): zero-argument
-# `python scripts/window_rotate.py` emits it.
+# The rows left out of the r8 window whose newest evidence is r5 — the
+# stalest green rows after this rotation (everything else is r6+). They
+# MUST lead the r9 window (after r9's own new/changed rows): zero-argument
+# `python scripts/window_rotate.py` emits it. Families keep fresher
+# in-window coverage meanwhile: the TPC-H q* relational core shares its
+# machinery with the in-window agg_*/sql_door_* rows, search_fields_indexed
+# / search_page_indexed with search_fuzzy_indexed + search_suggest_indexed
+# (this round's sidecar probes), the stream_* pair with stream_session_5m
+# (r7) and the streaming pytest suite.
 _NEXT_WINDOW_IOUS = [
+    "q1_pricing_summary",
+    "q20_heavy_part_suppliers",
+    "q21_single_return_supplier",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "redact_pii",
+    "retail_association_rules",
+    "sample_stratified_corpus",
+    "sample_train_test_split",
+    "search_fields_indexed",
+    "search_page_indexed",
+    "stream_dedup_first",
+    "stream_near_dup_mark",
+    "window_gap_islands",
+]
+
+_DRIVER_PRIORITY = [
+    # ROUND-8 WINDOW (50 slots) — the zero-argument scripts/window_rotate.py
+    # proposal (r7 verdict item #2): this round's 6 NEW queries lead
+    # (never-checked = riskiest), then agg_pipeline_daily_delta whose
+    # SEMANTICS changed this round (min_doc_count=0 densification — its r7
+    # evidence predates the change; swapped in over the last r5 slot,
+    # q1_pricing_summary, which joins the r9 IOUs), then the 15 r7-declared
+    # IOUs (several are §2 primary evidence: F6/X1/X3/X5 text rows, T2
+    # window_topk, §2.11 window functions, W1 streaming windows, §2.8
+    # union_feed), then r5-stale rows oldest-first. After this round no
+    # catalog row's newest evidence is older than r5.
+    "search_multi_most_fields",    # NEW r8: ES multi_match most_fields
+    "search_multi_cross_fields",   # NEW r8: ES multi_match cross_fields
+    "search_fuzzy_indexed",        # NEW r8: terms-dictionary sidecar probe
+    "search_suggest_indexed",      # NEW r8: suggester over the vocab sidecar
+    "agg_top_hits_latest",         # NEW r8: ES terms + top_hits panel
+    "geo_centroid_bounds",         # NEW r8: ES geo_centroid + geo_bounds
+    "agg_pipeline_daily_delta",    # CHANGED r8: ES min_doc_count=0 spine
+    # --- the 15 r7-declared IOUs ---
     "stream_sliding_1h30m",
     "stream_tumbling_hourly",
     "text_boilerplate_ngrams",
@@ -5844,74 +5885,37 @@ _NEXT_WINDOW_IOUS = [
     "window_ntile_quartiles",
     "window_running_revenue",
     "window_topk_orders_per_cust",
-]
-
-_DRIVER_PRIORITY = [
-    # ROUND-7 WINDOW (50 slots) — the zero-argument scripts/window_rotate.py
-    # proposal (r6 verdict item #1): this round's 6 NEW queries lead
-    # (never-checked = riskiest), then the 13 r7 IOUs the r6 rotation
-    # declared (several are §2 primary evidence: A1/A3 agg_daily_orders,
-    # S6 crawl_tweets_fixture_conform, P3/P8 ingest_weekly_conform_fixture),
-    # then the r4-stale set oldest-first. After this round no catalog row's
-    # newest evidence is older than r4.
-    "agg_daily_events_tz",        # NEW r7: tz-aware date histogram
-    "agg_rare_terms",             # NEW r7: ES rare_terms long tail
-    "agg_adjacency_matrix",       # NEW r7: ES adjacency_matrix
-    "agg_composite_after",        # NEW r7: ES composite after-key paging
-    "agg_pipeline_daily_delta",   # NEW r7: ES pipeline aggs (derivative…)
-    "search_fuzzy_match",         # NEW r7: ES match fuzziness=AUTO
-    "agg_auto_date_histogram",    # NEW r7: ES auto_date_histogram
-    "search_phrase_prefix",       # NEW r7: ES match_phrase_prefix
-    # --- the 13 r6-declared IOUs ---
-    "agg_cube_status_priority",
-    "agg_daily_orders",
-    "cohort_weekly_retention",
-    "crawl_tweets_fixture_conform",
-    "dedup_winnow_fingerprints",
-    "epi_outbreak_spikes",
-    "graph_trade_pagerank",
-    "ingest_weekly_conform_fixture",
-    "layout_zorder_box_scan",
-    "profile_orders_table",
-    "sample_token_mixture",
-    "scd2_user_history",
-    "timeseries_ses_forecast",
-    # --- r4-stale rows, oldest-evidence-first (name-ordered) ---
-    "agg_grouping_sets_orders",
-    "agg_nation_balance",
-    "agg_pivot_daily_metrics",
-    "agg_rollup_region_nation",
-    "agg_terms_top_events",
-    "ann_ivf_topk",
-    "ann_rp_lsh_topk",
-    "asof_attribution",
-    "conform_json_coerce",
-    "conform_week_histogram",
-    "corpus_curation_pipeline",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_pruned",
-    "dedup_simhash_docs",
-    "dedup_substring_clean",
-    "dedup_substring_spans",
-    "interval_join_shipments",
-    "knn_cosine_topk",
-    "latest_feed_page",
-    "lm_ccnet_buckets",
-    "retail_rfm_segments",
-    "search_page_highlighted",
-    "search_phrase_positional",
-    "semi_join_hits",
-    "setop_nations_except",
-    "setop_nations_intersect",
-    "skew_salted_user_totals",
-    "stream_session_5m",
-    # (the 15 remaining r4 rows are the declared r8 IOUs above —
-    #  _NEXT_WINDOW_IOUS — displaced by this round's 8 new queries;
-    #  stream_sliding_1h30m / stream_tumbling_hourly joined them when
-    #  agg_auto_date_histogram + search_phrase_prefix took the last two
-    #  slots: stream_session_5m keeps the streaming-window family
-    #  in-window and stream_near_dup_mark is r5-green)
+    # --- r5-stale rows, oldest-evidence-first (name-ordered) ---
+    "agg_approx_distinct_users",
+    "agg_percentile_quantity",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_topk",
+    "ann_rp_lsh_multi_topk",
+    "conform_validity_audit",
+    "decontaminate_train_split",
+    "dedup_cluster_reps",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_winnow_cluster_reps",
+    "dedup_winnow_pairs",
+    "emb_near_dup_pairs",
+    "geo_grid_hotspots",
+    "geo_nearest_customers",
+    "multikey_lookup",
+    "multimodal_byte_stats",
+    "pack_training_bins",
+    "q10_returned_revenue",
+    "q11_part_value_concentration",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    # (the 21 remaining r5 rows are the declared r9 IOUs above —
+    #  _NEXT_WINDOW_IOUS)
 ]
 
 
