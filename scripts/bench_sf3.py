@@ -57,6 +57,9 @@ def main() -> None:
         unknown = [n for n in QUERIES if n not in REGISTRY]
         if unknown:
             raise SystemExit(f"--only: unknown queries {unknown}")
+    n_runs = 2
+    if "--runs" in sys.argv:  # e.g. --runs 3: the min-of-3 re-measure protocol
+        n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
     bench_sf1.DST = "/tmp/pk_sf3"
     bench_sf1.COPIES = 30
     spark = get_spark(app_name="pk-bench-sf3")
@@ -68,7 +71,7 @@ def main() -> None:
         spark.catalog.clearCache()
         REGISTRY[name].fn(spark, bench_sf1.DST).collect()
     runs = {name: [] for name in QUERIES}
-    for _ in range(2):
+    for _ in range(n_runs):
         for name in QUERIES:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -84,7 +87,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": 3.0,
                 "derived_from": "sf0.1 x30 key-shifted copies",
-                "protocol": "steady_state_min_of_2_cache_cleared",
+                "protocol": f"steady_state_min_of_{n_runs}_cache_cleared",
             }
         )
     )
