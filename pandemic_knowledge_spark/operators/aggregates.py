@@ -444,6 +444,44 @@ def composite_page(
     return g.orderBy(*[F.col(n) for n in names]).limit(size)
 
 
+def dense_daily_counts(df: DataFrame, ts_col: str) -> DataFrame:
+    """The ES date_histogram day frame with default ``min_doc_count=0``
+    semantics: (day, cnt) for EVERY calendar day between the first and
+    last bucket — gap days exist with cnt=0, exactly as ES emits empty
+    buckets. One grouped count, then one bounded explode of the
+    [min, max] day range (≤ tens of thousands of rows for decades)
+    left-joined back. Shared by every pipeline aggregation
+    (:func:`date_histogram_pipeline`, :func:`serial_diff_daily`,
+    :func:`sibling_bucket_stats`) so the spine can't fork between them."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    raw = df.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("cnt"))
+    spine = (
+        raw.agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+        .select(F.explode(F.sequence("__lo", "__hi")).alias("day"))
+    )
+    return spine.join(raw, "day", "left").select(
+        "day", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+
+
+def _sql_dense_daily(table: str, ts_col: str) -> str:
+    """DuckDB CTEs (raw → spine → daily) mirroring
+    :func:`dense_daily_counts` — composed into every pipeline-agg oracle,
+    never hand-copied."""
+    return f"""raw AS (
+  SELECT CAST(date_trunc('day', {ts_col}) AS DATE) AS day, count(*) AS cnt
+  FROM {table} GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+                                     CAST(max(day) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM raw
+), daily AS (
+  SELECT spine.day, CAST(COALESCE(raw.cnt, 0) AS BIGINT) AS cnt
+  FROM spine LEFT JOIN raw ON spine.day = raw.day
+)"""
+
+
 def date_histogram_pipeline(
     df: DataFrame, ts_col: str, window: int = 7
 ) -> DataFrame:
@@ -479,16 +517,8 @@ def date_histogram_pipeline(
         # step -1), silently turning the trailing average into a leading
         # one — reject instead.
         raise ValueError(f"date_histogram_pipeline: window must be >= 1, got {window}")
-    day = F.date_trunc("day", F.col(ts_col)).cast("date")
-    raw = df.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("cnt"))
-    spine = (
-        raw.agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
-        .select(F.explode(F.sequence("__lo", "__hi")).alias("day"))
-    )
-    daily = (
-        spine.join(raw, "day", "left")
-        .select("day", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)  # 4 consumers; truncate the scan plan
+    daily = dense_daily_counts(df, ts_col).localCheckpoint(
+        eager=True  # 4 consumers; truncate the scan plan
     )
     prev = daily.select(
         F.date_add("day", 1).alias("day"), F.col("cnt").alias("__prev_cnt")
@@ -549,18 +579,7 @@ def sql_date_histogram_pipeline(table: str, ts_col: str, window: int = 7) -> str
             f"sql_date_histogram_pipeline: window must be >= 1, got {window}"
         )
     return f"""
-WITH raw AS (
-  SELECT CAST(date_trunc('day', {ts_col}) AS DATE) AS day, count(*) AS cnt
-  FROM {table} GROUP BY 1
-), spine AS (
-  SELECT CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
-                                     CAST(max(day) AS TIMESTAMP),
-                                     INTERVAL 1 DAY)) AS DATE) AS day
-  FROM raw
-), daily AS (
-  SELECT spine.day, CAST(COALESCE(raw.cnt, 0) AS BIGINT) AS cnt
-  FROM spine LEFT JOIN raw ON spine.day = raw.day
-), w AS (
+WITH {_sql_dense_daily(table, ts_col)}, w AS (
   SELECT day, cnt,
          CAST(sum(cnt) OVER (ORDER BY day) AS BIGINT) AS cumulative_sum,
          CAST(sum(cnt) OVER (
@@ -757,3 +776,286 @@ SELECT {cols}, rank, doc_count FROM (
   FROM {table}
 ) WHERE rank <= {k}
 """
+
+
+def serial_diff_daily(df: DataFrame, ts_col: str, lag: int = 7) -> DataFrame:
+    """ES ``serial_diff`` pipeline aggregation over the day
+    date_histogram: each bucket's count minus the count ``lag`` buckets
+    earlier (NULL for the first ``lag`` buckets) — the seasonality
+    detrender (lag=7 removes the weekly cycle). Runs on the densified
+    min_doc_count=0 spine (:func:`dense_daily_counts`), so on the dense
+    frame "lag buckets" IS "lag calendar days" and the subtraction is an
+    EQUI self-join on day = prev_day + lag — no window, no global sort,
+    exactly the derivative's distributed shape."""
+    if lag < 1:
+        raise ValueError(f"serial_diff_daily: lag must be >= 1, got {lag}")
+    daily = dense_daily_counts(df, ts_col).localCheckpoint(eager=True)
+    prev = daily.select(
+        F.date_add("day", lag).alias("day"), F.col("cnt").alias("__lag_cnt")
+    )
+    return (
+        daily.join(prev, "day", "left")
+        .select(
+            "day", "cnt",
+            (F.col("cnt") - F.col("__lag_cnt")).alias(f"diff_{lag}"),
+        )
+    )
+
+
+def sql_serial_diff_daily(table: str, ts_col: str, lag: int = 7) -> str:
+    """DuckDB SQL reproducing :func:`serial_diff_daily` exactly."""
+    if lag < 1:
+        raise ValueError(f"sql_serial_diff_daily: lag must be >= 1, got {lag}")
+    return f"""
+WITH {_sql_dense_daily(table, ts_col)}
+SELECT d.day, d.cnt, d.cnt - p.cnt AS diff_{lag}
+FROM daily d LEFT JOIN daily p ON d.day = p.day + {lag}
+"""
+
+
+def sibling_bucket_stats(df: DataFrame, ts_col: str) -> DataFrame:
+    """ES sibling pipeline aggregations over the day date_histogram in one
+    row: ``max_bucket`` / ``min_bucket`` (value AND key), ``avg_bucket``,
+    ``sum_bucket`` — the "which day peaked / bottomed / what's typical"
+    Kibana annotations. ES returns a keys LIST on ties; a distributed
+    engine must pick one deterministically: the EARLIEST tied day.
+
+    One pass over the dense day spine: the arg-extremes fold into the
+    same aggregate via struct ordering — max(struct(cnt, −epoch_day))
+    picks the highest count and, among ties, the smallest day — so the
+    whole row is one tiny aggregate, no join, no window."""
+    daily = dense_daily_counts(df, ts_col)
+    epoch = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    return (
+        daily.select("day", "cnt", epoch.alias("__ed"))
+        .agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("__ed")).alias("__ned"))).alias("__mx"),
+            F.min(F.struct(F.col("cnt"), F.col("__ed"))).alias("__mn"),
+            F.round(F.sum("cnt") / F.count(F.lit(1)).cast("double"), 6).alias("avg_cnt"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+        .select(
+            F.col("__mx.cnt").alias("max_cnt"),
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), -F.col("__mx.__ned")
+            ).alias("max_day"),
+            F.col("__mn.cnt").alias("min_cnt"),
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("__mn.__ed")
+            ).alias("min_day"),
+            "avg_cnt",
+            "sum_cnt",
+        )
+    )
+
+
+def sql_sibling_bucket_stats(table: str, ts_col: str) -> str:
+    """DuckDB SQL reproducing :func:`sibling_bucket_stats` exactly — the
+    arg-extremes via ordered LIMIT 1 subqueries (equivalent to the struct
+    ordering: highest/lowest count, earliest day on ties)."""
+    return f"""
+WITH {_sql_dense_daily(table, ts_col)},
+mx AS (SELECT cnt AS max_cnt, day AS max_day FROM daily
+       ORDER BY cnt DESC, day ASC LIMIT 1),
+mn AS (SELECT cnt AS min_cnt, day AS min_day FROM daily
+       ORDER BY cnt ASC, day ASC LIMIT 1),
+tot AS (SELECT round(CAST(sum(cnt) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS avg_cnt,
+               CAST(sum(cnt) AS BIGINT) AS sum_cnt FROM daily)
+SELECT mx.max_cnt, mx.max_day, mn.min_cnt, mn.min_day, tot.avg_cnt, tot.sum_cnt
+FROM mx, mn, tot
+"""
+
+
+def value_histogram(
+    df: DataFrame, col: str, interval: float, min_doc_count: int = 0
+) -> DataFrame:
+    """ES numeric ``histogram`` aggregation: values bucket at
+    ``floor(value / interval) * interval`` and, with the ES default
+    ``min_doc_count=0``, EMPTY buckets between the min and max key are
+    returned too — the fixed-interval bar chart that never hides gaps.
+    Output (bucket double, doc_count long).
+
+    One grouped count on the bucket index (a long — map-side combined),
+    then the zero spine is a bounded explode of the [min, max] INDEX
+    range joined back: the fact table is scanned once; the spine costs
+    (max−min)/interval rows, the caller's resolution choice."""
+    if interval <= 0:
+        raise ValueError(f"value_histogram: interval must be > 0, got {interval}")
+    idx = F.floor(F.col(col) / F.lit(float(interval))).cast("long")
+    raw = df.filter(F.col(col).isNotNull()).groupBy(idx.alias("__i")).agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    if min_doc_count > 0:
+        out = raw.filter(F.col("doc_count") >= F.lit(min_doc_count))
+    else:
+        spine = (
+            raw.agg(F.min("__i").alias("__lo"), F.max("__i").alias("__hi"))
+            .select(F.explode(F.sequence("__lo", "__hi")).alias("__i"))
+        )
+        out = spine.join(raw, "__i", "left").select(
+            "__i", F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count")
+        )
+    return out.select(
+        (F.col("__i").cast("double") * F.lit(float(interval))).alias("bucket"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def sql_value_histogram(
+    table: str, col: str, interval: float, min_doc_count: int = 0
+) -> str:
+    """DuckDB SQL reproducing :func:`value_histogram` exactly (same
+    floor-index arithmetic, same zero spine)."""
+    if interval <= 0:
+        raise ValueError(f"sql_value_histogram: interval must be > 0, got {interval}")
+    if min_doc_count > 0:
+        return f"""
+SELECT CAST(floor({col} / {interval!r}) AS DOUBLE) * {interval!r} AS bucket,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM {table} WHERE {col} IS NOT NULL
+GROUP BY 1 HAVING count(*) >= {min_doc_count}
+"""
+    return f"""
+WITH raw AS (
+  SELECT CAST(floor({col} / {interval!r}) AS BIGINT) AS i, count(*) AS doc_count
+  FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series(min(i), max(i))) AS i FROM raw
+)
+SELECT CAST(spine.i AS DOUBLE) * {interval!r} AS bucket,
+       CAST(COALESCE(raw.doc_count, 0) AS BIGINT) AS doc_count
+FROM spine LEFT JOIN raw ON spine.i = raw.i
+"""
+
+
+def string_stats(df: DataFrame, col: str) -> DataFrame:
+    """ES ``string_stats`` metric aggregation over a keyword field:
+    count, min_length, max_length, avg_length, and the Shannon ENTROPY of
+    the field's character distribution (base 2) — the data-quality probe
+    that flags machine-generated / low-diversity values.
+
+    Distributed determinism: lengths aggregate as exact int64s; the
+    entropy uses the identity  H = log2(T) − (Σ c·log2 c)/T  over the
+    per-character counts, with each c·log2 c term rounded to integer
+    NANO-units before the sum — integer sums are partitioning-invariant,
+    so Spark and the oracle hash identically (the same micro-log-unit
+    idiom as the DSIR sampler). The character explode multiplies rows by
+    the value length — a keyword-field aggregation by contract (ES runs
+    it on keyword fields); at 100 TB the per-char frame combines
+    map-side to ≤ |alphabet| rows per partition."""
+    vals = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    lens = vals.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(F.length("__v")).alias("min_length"),
+        F.max(F.length("__v")).alias("max_length"),
+        F.sum(F.length("__v")).alias("__tot_chars"),
+    )
+    chars = (
+        vals.select(F.explode(F.split("__v", "")).alias("__c"))
+        .filter(F.col("__c") != F.lit(""))
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    ent = chars.agg(
+        F.sum(
+            F.round(F.col("__n").cast("double") * F.log2(F.col("__n")) * F.lit(1e9), 0)
+            .cast("long")
+        ).alias("__nlogn_nano"),
+        F.sum("__n").alias("__t"),
+    )
+    return lens.crossJoin(F.broadcast(ent)).select(
+        "count",
+        "min_length",
+        "max_length",
+        F.round(F.col("__tot_chars").cast("double") / F.col("count"), 6).alias(
+            "avg_length"
+        ),
+        F.round(
+            F.log2(F.col("__t").cast("double"))
+            - (F.col("__nlogn_nano").cast("double") / 1e9) / F.col("__t"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def sql_string_stats(table: str, col: str) -> str:
+    """DuckDB SQL reproducing :func:`string_stats` exactly — same
+    nano-unit rounded Σ c·log2 c, same H identity, same roundings."""
+    return f"""
+WITH vals AS (
+  SELECT {col} AS v FROM {table} WHERE {col} IS NOT NULL
+), lens AS (
+  SELECT count(*) AS cnt, min(length(v)) AS min_length,
+         max(length(v)) AS max_length,
+         CAST(sum(length(v)) AS BIGINT) AS tot_chars
+  FROM vals
+), chars AS (
+  SELECT c, count(*) AS n
+  FROM (SELECT unnest(string_split(v, '')) AS c FROM vals)
+  WHERE c <> '' GROUP BY c
+), ent AS (
+  SELECT CAST(sum(CAST(round(CAST(n AS DOUBLE) * log2(n) * 1e9, 0) AS BIGINT)) AS BIGINT) AS nlogn_nano,
+         CAST(sum(n) AS BIGINT) AS t
+  FROM chars
+)
+SELECT CAST(lens.cnt AS BIGINT) AS count, lens.min_length, lens.max_length,
+       round(CAST(lens.tot_chars AS DOUBLE) / lens.cnt, 6) AS avg_length,
+       round(log2(CAST(ent.t AS DOUBLE)) - (CAST(ent.nlogn_nano AS DOUBLE) / 1e9) / ent.t, 6) AS entropy
+FROM lens, ent
+"""
+
+
+def filters_agg(
+    df: DataFrame,
+    buckets: list,
+    other_bucket: str | None = "_other_",
+) -> DataFrame:
+    """ES ``filters`` aggregation: NAMED predicate buckets in one scan —
+    each bucket counts the docs matching its filter (buckets are
+    independent: a doc can land in several, exactly ES's semantics), plus
+    an optional ``other_bucket`` for docs matching NO filter. ``buckets``
+    is a list of (name, boolean Column). Output one row per bucket name:
+    (bucket, doc_count).
+
+    Plan: ONE scan, ONE one-row aggregate (a conditional sum per bucket,
+    all map-side combined), then a literal-array explode unpivots to rows
+    — the adjacency_matrix shape; no shuffle grows with bucket count."""
+    names = [n for n, _ in buckets]
+    if other_bucket in names:
+        raise ValueError(f"filters_agg: bucket name {other_bucket!r} collides")
+    conds = {n: c for n, c in buckets}
+    if other_bucket is not None:
+        none_match = None
+        for _, c in buckets:
+            nc = ~c
+            none_match = nc if none_match is None else (none_match & nc)
+        conds[other_bucket] = none_match
+    aggs = []
+    for n, c in conds.items():
+        aggs.append(
+            F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(f"__dc_{n}")
+        )
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(n).alias("bucket"), F.col(f"__dc_{n}").alias("doc_count")
+        )
+        for n in conds
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def sql_filters_agg(table: str, buckets: list, other_bucket: str | None = "_other_") -> str:
+    """DuckDB SQL reproducing :func:`filters_agg` exactly. ``buckets`` is
+    a list of (name, SQL boolean expression)."""
+    conds = list(buckets)
+    if other_bucket is not None:
+        none = " AND ".join(f"NOT ({e})" for _, e in buckets)
+        conds.append((other_bucket, none))
+    branches = " UNION ALL ".join(
+        f"SELECT '{n}' AS bucket, "
+        f"CAST(sum(CASE WHEN {e} THEN 1 ELSE 0 END) AS BIGINT) AS doc_count "
+        f"FROM {table}"
+        for n, e in conds
+    )
+    return branches

@@ -73,11 +73,21 @@ from pandemic_knowledge_spark.operators.aggregates import (
     sql_cents_sum,
     sql_date_histogram_pipeline,
     sql_matrix_stats,
+    filters_agg,
+    serial_diff_daily,
+    sibling_bucket_stats,
+    sql_filters_agg,
     sql_rare_terms,
+    sql_serial_diff_daily,
+    sql_sibling_bucket_stats,
     sql_significant_terms,
+    sql_string_stats,
     sql_top_hits,
+    sql_value_histogram,
+    string_stats,
     terms_topn,
     top_hits,
+    value_histogram,
 )
 from pandemic_knowledge_spark.operators.dedup import (
     N_BANDS,
@@ -3401,6 +3411,124 @@ def geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILTER_BUCKETS_SQL = [
+    ("high_value", "o_totalprice > 250000"),
+    ("urgent", "o_orderpriority = '1-URGENT'"),
+    ("unfilled", "o_orderstatus = 'O'"),
+]
+
+
+@q(
+    "agg_filters_named",
+    oracle=sql_filters_agg("orders", _FILTER_BUCKETS_SQL, other_bucket="_other_"),
+)
+def agg_filters_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` aggregation (named predicate buckets + other_bucket
+    — the Kibana "filters" panel): independent boolean buckets counted in
+    ONE scan and one one-row conditional aggregate (a doc can land in
+    several buckets, exactly ES's semantics; _other_ counts docs matching
+    none), unpivoted by a literal explode
+    (operators.aggregates.filters_agg — the adjacency_matrix shape)."""
+    o = load(spark, sf_dir, "orders")
+    return filters_agg(
+        o,
+        [
+            ("high_value", F.col("o_totalprice") > 250000),
+            ("urgent", F.col("o_orderpriority") == "1-URGENT"),
+            ("unfilled", F.col("o_orderstatus") == "O"),
+        ],
+        other_bucket="_other_",
+    )
+
+
+@q(
+    "agg_weighted_avg",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0, 6) AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``weighted_avg`` metric aggregation: extended price per
+    return-flag bucket, weighted by line quantity — Σ(value·weight) /
+    Σ(weight), both sums EXACT int64s (cents × integer quantity), the
+    divide happening once per bucket, so the result hashes identically at
+    any partitioning (the catalog's standing money idiom)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    wsum = F.sum(cents("l_extendedprice") * qty)
+    return li.groupBy("l_returnflag").agg(
+        F.sum(qty).alias("total_weight"),
+        F.round(
+            wsum.cast("double") / F.sum(qty).cast("double") / 100.0, 6
+        ).alias("weighted_avg_price"),
+    )
+
+
+@q(
+    "agg_serial_diff",
+    oracle=sql_serial_diff_daily("orders", "o_orderdate", 7),
+)
+def agg_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``serial_diff`` pipeline aggregation, lag=7: each day's order
+    count minus the count 7 buckets earlier on the min_doc_count=0
+    densified spine — the weekly-seasonality detrender. The lag is an
+    EQUI self-join on day = prev + 7 (the derivative's shape): no window,
+    no global single-partition sort
+    (operators.aggregates.serial_diff_daily)."""
+    o = load(spark, sf_dir, "orders")
+    return serial_diff_daily(o, "o_orderdate", lag=7)
+
+
+@q(
+    "agg_sibling_buckets",
+    oracle=sql_sibling_bucket_stats("orders", "o_orderdate"),
+)
+def agg_sibling_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggregations (max_bucket / min_bucket /
+    avg_bucket / sum_bucket) over the daily order histogram in ONE row —
+    which day peaked, which bottomed (earliest day on ties, made
+    deterministic where ES returns a keys list), the mean and total. The
+    arg-extremes fold into one tiny aggregate via struct ordering — no
+    join, no window (operators.aggregates.sibling_bucket_stats)."""
+    o = load(spark, sf_dir, "orders")
+    return sibling_bucket_stats(o, "o_orderdate")
+
+
+@q(
+    "agg_value_histogram",
+    oracle=sql_value_histogram("events", "value", 100.0),
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES numeric ``histogram`` aggregation, interval=100, ES-default
+    min_doc_count=0: event values bucket at floor(v/100)·100 and empty
+    buckets between the min and max key are emitted too. One grouped
+    count on the long bucket index + a bounded index-range spine
+    (operators.aggregates.value_histogram)."""
+    ev = load(spark, sf_dir, "events")
+    return value_histogram(ev, "value", 100.0)
+
+
+@q(
+    "agg_string_stats",
+    oracle=sql_string_stats("events", "event_type"),
+)
+def agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``string_stats`` metric aggregation over the event_type keyword
+    field: count, min/max/avg length, and the Shannon entropy of the
+    character distribution — the low-diversity/machine-generated-value
+    probe. Lengths are exact int64 sums; the entropy uses
+    H = log2(T) − (Σ c·log2 c)/T with nano-unit-rounded integer terms,
+    so the double is partitioning-invariant
+    (operators.aggregates.string_stats)."""
+    ev = load(spark, sf_dir, "events")
+    return string_stats(ev, "event_type")
+
+
 @q(
     "agg_top_hits_latest",
     oracle=sql_top_hits(
@@ -5828,6 +5956,12 @@ BENCH_QUERY_NAMES.extend(
 # (this round's sidecar probes), the stream_* pair with stream_session_5m
 # (r7) and the streaming pytest suite.
 _NEXT_WINDOW_IOUS = [
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
     "q1_pricing_summary",
     "q20_heavy_part_suppliers",
     "q21_single_return_supplier",
@@ -5862,6 +5996,12 @@ _DRIVER_PRIORITY = [
     # window_topk, §2.11 window functions, W1 streaming windows, §2.8
     # union_feed), then r5-stale rows oldest-first. After this round no
     # catalog row's newest evidence is older than r5.
+    "agg_filters_named",           # NEW r8: ES filters agg (named buckets)
+    "agg_weighted_avg",            # NEW r8: ES weighted_avg metric
+    "agg_serial_diff",             # NEW r8: ES serial_diff pipeline (lag 7)
+    "agg_sibling_buckets",         # NEW r8: ES max/min/avg/sum_bucket siblings
+    "agg_value_histogram",         # NEW r8: ES numeric histogram (0-gap spine)
+    "agg_string_stats",            # NEW r8: ES string_stats (+entropy)
     "search_multi_most_fields",    # NEW r8: ES multi_match most_fields
     "search_multi_cross_fields",   # NEW r8: ES multi_match cross_fields
     "search_fuzzy_indexed",        # NEW r8: terms-dictionary sidecar probe
@@ -5908,14 +6048,10 @@ _DRIVER_PRIORITY = [
     "q11_part_value_concentration",
     "q12_priority_by_linestatus",
     "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    # (the 21 remaining r5 rows are the declared r9 IOUs above —
-    #  _NEXT_WINDOW_IOUS)
+    # (the 27 remaining r5 rows are the declared r9 IOUs above —
+    #  _NEXT_WINDOW_IOUS; q14–q19 joined them when the 6 late-r8 ES-agg
+    #  rows took the last six slots: the TPC-H family keeps fresher
+    #  in-window coverage via q10–q13 + the sql_door rows)
 ]
 
 

@@ -262,3 +262,98 @@ def test_match_phrase_prefix_expansion_cap_is_alphabetical(spark):
         ).collect()
     }
     assert capped == {1, 2}  # joc is alphabetically third — truncated out
+
+
+def test_filters_agg_overlap_other_and_collision(spark):
+    """ES filters semantics: buckets are independent (one doc can count in
+    several), _other_ counts docs matching none, and a bucket named like
+    the other_bucket is rejected loudly."""
+    import pytest
+
+    from pandemic_knowledge_spark.operators.aggregates import filters_agg
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "v int, g string"
+    )
+    got = {
+        r.bucket: r.doc_count
+        for r in filters_agg(
+            df,
+            [("small", F.col("v") <= 2), ("group_a", F.col("g") == "a")],
+        ).collect()
+    }
+    # doc 1 and 2 are in BOTH buckets; docs 3,4 match neither
+    assert got == {"small": 2, "group_a": 2, "_other_": 2}
+    with pytest.raises(ValueError, match="collides"):
+        filters_agg(df, [("_other_", F.col("v") > 0)])
+
+
+def test_value_histogram_zero_buckets_and_negative_floor(spark):
+    """min_doc_count=0 (ES default): empty buckets between min and max
+    keys materialize; negative values floor DOWN (-0.5 → bucket -100,
+    not 0); min_doc_count>0 switches to the sparse filter."""
+    from pandemic_knowledge_spark.operators.aggregates import value_histogram
+
+    df = spark.createDataFrame(
+        [(-50.0,), (10.0,), (20.0,), (250.0,)], "value double"
+    )
+    got = {r.bucket: r.doc_count for r in value_histogram(df, "value", 100.0).collect()}
+    assert got == {-100.0: 1, 0.0: 2, 100.0: 0, 200.0: 1}
+    sparse = {
+        r.bucket: r.doc_count
+        for r in value_histogram(df, "value", 100.0, min_doc_count=2).collect()
+    }
+    assert sparse == {0.0: 2}
+
+
+def test_serial_diff_equals_lagged_subtraction_on_dense_spine(spark):
+    """diff_7 = cnt − cnt[day−7] on the DENSIFIED spine: a gap day exists
+    with cnt 0 and participates on both sides of the lag."""
+    from pandemic_knowledge_spark.operators.aggregates import serial_diff_daily
+
+    rows = [("2024-01-01 00:00:00",)] * 3 + [("2024-01-08 00:00:00",)] * 5
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r.day.isoformat(): r for r in serial_diff_daily(df, "ts", lag=7).collect()}
+    assert len(got) == 8  # dense: Jan 1..8
+    assert got["2024-01-02"].cnt == 0  # densified gap
+    assert got["2024-01-07"].diff_7 is None  # no bucket 7 back
+    assert got["2024-01-08"].diff_7 == 2  # 5 - 3
+    import pytest
+
+    with pytest.raises(ValueError, match="lag"):
+        serial_diff_daily(df, "ts", lag=0)
+
+
+def test_sibling_buckets_tie_breaks_to_earliest_day(spark):
+    """max_bucket/min_bucket pick the EARLIEST tied day (ES returns a keys
+    list; a single-row engine answer must name one deterministically)."""
+    from pandemic_knowledge_spark.operators.aggregates import sibling_bucket_stats
+
+    rows = (
+        [("2024-01-01 00:00:00",)] * 4
+        + [("2024-01-02 00:00:00",)] * 1
+        + [("2024-01-03 00:00:00",)] * 4  # ties Jan 1 for max
+        + [("2024-01-04 00:00:00",)] * 1  # ties Jan 2 for min
+    )
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    r = sibling_bucket_stats(df, "ts").collect()[0]
+    assert (r.max_cnt, r.max_day.isoformat()) == (4, "2024-01-01")
+    assert (r.min_cnt, r.min_day.isoformat()) == (1, "2024-01-02")
+    assert r.sum_cnt == 10 and r.avg_cnt == 2.5
+
+
+def test_string_stats_known_entropy(spark):
+    """Hand-checked Shannon entropy: values ['ab','b'] → chars {a:1, b:2},
+    H = log2(3) − (1·log2 1 + 2·log2 2)/3 ≈ 0.918296; NULL values are
+    ignored (ES skips missing)."""
+    from pandemic_knowledge_spark.operators.aggregates import string_stats
+
+    df = spark.createDataFrame([("ab",), ("b",), (None,)], "s string")
+    r = string_stats(df, "s").collect()[0]
+    assert (r["count"], r.min_length, r.max_length) == (2, 1, 2)
+    assert r.avg_length == 1.5
+    assert r.entropy == 0.918296
