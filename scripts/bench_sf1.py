@@ -108,6 +108,19 @@ WIDE_QUERIES = [
     "agg_pipeline_daily_delta",  # month-partial prefix composition
     "agg_auto_date_histogram",   # span bounds + CASE ladder, one shuffle
     "search_phrase_prefix",      # scan-side HOF + expansion-array broadcast
+    # r8-new operators — first sf1 evidence for each cost shape:
+    "search_multi_most_fields",  # per-field TF shuffle, sum combiner
+    "search_multi_cross_fields", # + blended-df broadcast, dis-max per term
+    "search_fuzzy_indexed",      # save+load+sidecar probe (io-inclusive)
+    "search_suggest_indexed",    # tlen-pruned dictionary probe
+    "agg_top_hits_latest",       # bucket window + WindowGroupLimit
+    "geo_centroid_bounds",       # integer-micro centroid, one groupBy
+    "agg_filters_named",         # one-scan conditional sums, unpivot
+    "agg_weighted_avg",          # exact int weighted sums
+    "agg_serial_diff",           # dense spine + lag equi self-join
+    "agg_sibling_buckets",       # struct-ordered arg-extremes, one agg
+    "agg_value_histogram",       # long-index groupBy + index spine
+    "agg_string_stats",          # char explode + nano-unit entropy
 ]
 
 KEY_COLS = {
