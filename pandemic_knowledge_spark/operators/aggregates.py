@@ -728,11 +728,15 @@ def top_hits(
     sort values tie — ES breaks ties by internal doc id; a distributed
     engine must name one.
 
-    Scale shape: ONE hash shuffle on the bucket key; Spark's
-    WindowGroupLimit pushes the top-k below the sort (each partition keeps
-    at most k rows per bucket before any data moves — no global sort, no
-    full-bucket materialization). doc_count rides the same window — no
-    second aggregate or join."""
+    Scale shape: the top-k path is a row_number window ALONE, so Spark's
+    WindowGroupLimit pushes the cut below the sort — each input partition
+    keeps at most k rows per bucket BEFORE the bucket shuffle (plan-gated
+    in tests/test_es_aggs.py). doc_count deliberately does NOT ride the
+    same window: an unbounded count frame would force every row of every
+    bucket through the shuffle just to be discarded by the rank filter
+    (the first-draft plan did exactly that); instead it's a
+    map-side-combined groupBy — one tiny (#buckets-row) frame — joined
+    back onto the ≤ k·#buckets top-k rows."""
     from pyspark.sql.window import Window
 
     tb = tiebreak_col or payload_cols[0]
@@ -741,15 +745,14 @@ def top_hits(
         F.col(tb).asc(),
     ]
     w = Window.partitionBy(bucket_col).orderBy(*order)
-    wc = Window.partitionBy(bucket_col)
     cols = [bucket_col, *payload_cols]
-    return (
+    counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("doc_count"))
+    topk = (
         df.select(*dict.fromkeys(cols + [sort_col, tb]))
         .withColumn("rank", F.row_number().over(w))
-        .withColumn("doc_count", F.count(F.lit(1)).over(wc))
         .filter(F.col("rank") <= F.lit(k))
-        .select(*cols, "rank", "doc_count")
     )
+    return topk.join(counts, bucket_col).select(*cols, "rank", "doc_count")
 
 
 def sql_top_hits(
@@ -1023,24 +1026,26 @@ def filters_agg(
     names = [n for n, _ in buckets]
     if other_bucket in names:
         raise ValueError(f"filters_agg: bucket name {other_bucket!r} collides")
-    conds = {n: c for n, c in buckets}
+    conds = list(buckets)
     if other_bucket is not None:
         none_match = None
         for _, c in buckets:
             nc = ~c
             none_match = nc if none_match is None else (none_match & nc)
-        conds[other_bucket] = none_match
-    aggs = []
-    for n, c in conds.items():
-        aggs.append(
-            F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(f"__dc_{n}")
-        )
+        conds.append((other_bucket, none_match))
+    # positional internal aliases: bucket NAMES are arbitrary ES strings
+    # (dots, spaces, backticks) and must never reach a column parser —
+    # they ride only as literals in the unpivot structs
+    aggs = [
+        F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(f"__dc_{i}")
+        for i, (_, c) in enumerate(conds)
+    ]
     wide = df.agg(*aggs)
     rows = [
         F.struct(
-            F.lit(n).alias("bucket"), F.col(f"__dc_{n}").alias("doc_count")
+            F.lit(n).alias("bucket"), F.col(f"__dc_{i}").alias("doc_count")
         )
-        for n in conds
+        for i, (n, _) in enumerate(conds)
     ]
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
@@ -1053,8 +1058,8 @@ def sql_filters_agg(table: str, buckets: list, other_bucket: str | None = "_othe
         none = " AND ".join(f"NOT ({e})" for _, e in buckets)
         conds.append((other_bucket, none))
     branches = " UNION ALL ".join(
-        f"SELECT '{n}' AS bucket, "
-        f"CAST(sum(CASE WHEN {e} THEN 1 ELSE 0 END) AS BIGINT) AS doc_count "
+        "SELECT '{}' AS bucket, ".format(n.replace("'", "''"))
+        + f"CAST(sum(CASE WHEN {e} THEN 1 ELSE 0 END) AS BIGINT) AS doc_count "
         f"FROM {table}"
         for n, e in conds
     )

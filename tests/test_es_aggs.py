@@ -357,3 +357,24 @@ def test_string_stats_known_entropy(spark):
     assert (r["count"], r.min_length, r.max_length) == (2, 1, 2)
     assert r.avg_length == 1.5
     assert r.entropy == 0.918296
+
+
+def test_top_hits_plan_prunes_topk_before_shuffle(spark):
+    """The top-k window must get WindowGroupLimit pushdown (each input
+    partition keeps <= k rows per bucket pre-shuffle) — which requires the
+    doc_count to come from a separate map-side-combined aggregate, never
+    an unbounded count frame on the same window (the first-draft plan
+    shuffled every row only to discard it at the rank filter)."""
+    from pandemic_knowledge_spark.operators.aggregates import top_hits
+
+    df = spark.createDataFrame(
+        [(g, i, float(i)) for g in ("a", "b") for i in range(20)],
+        "g string, i int, v double",
+    )
+    out = top_hits(df, "g", "v", ["i", "v"], k=3, tiebreak_col="i")
+    got = {(r.g, r.rank): (r.i, r.doc_count) for r in out.collect()}
+    assert got[("a", 1)] == (19, 20) and got[("b", 3)] == (17, 20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # no unbounded count frame riding a window — doc_count must be the agg
+    assert "count(1) windowspecdefinition" not in plan
