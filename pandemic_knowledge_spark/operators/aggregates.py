@@ -523,18 +523,51 @@ def date_histogram_pipeline(
     prev = daily.select(
         F.date_add("day", 1).alias("day"), F.col("cnt").alias("__prev_cnt")
     )
-    month = F.trunc("day", "month")
+    cum = daily_prefix_sum(daily, "cnt", "cumulative_sum")
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__o"), "day", "cnt"
+    ).select(F.date_add("day", F.col("__o")).alias("day"), "cnt")
+    mov = contrib.groupBy("day").agg(
+        F.sum("cnt").alias("__msum"), F.count(F.lit(1)).alias("__mn")
+    )
+    return (
+        cum.join(prev, "day", "left")
+        .join(mov, "day")  # inner: prunes fan-out rows past the series end
+        .select(
+            "day",
+            "cnt",
+            (F.col("cnt") - F.col("__prev_cnt")).alias("derivative"),
+            "cumulative_sum",
+            F.round(
+                F.col("__msum").cast("double") / F.col("__mn"), 4
+            ).alias("moving_avg"),
+        )
+    )
+
+
+def daily_prefix_sum(daily: DataFrame, val_col: str, out_col: str) -> DataFrame:
+    """Distributed running total over a (day, value) frame WITHOUT a
+    global single-partition sort — at 100 TB a daily frame spans years
+    and must never funnel through one task. The classic two-phase scan
+    composition: within-MONTH running totals (window partitioned by
+    month) plus a month-offset frame composed from month totals (the one
+    bounded non-equi join: months, not days — broadcastable forever).
+    Returns the input columns plus ``out_col``. Shared by
+    :func:`date_histogram_pipeline` (cumulative_sum) and
+    :func:`cumulative_cardinality_daily` so the prefix machinery can't
+    fork."""
     from pyspark.sql.window import Window
 
+    month = F.trunc("day", "month")
     w_month = (
         Window.partitionBy(month)
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = daily.withColumn("__cum_m", F.sum("cnt").over(w_month)).withColumn(
+    within = daily.withColumn("__cum_m", F.sum(val_col).over(w_month)).withColumn(
         "__m", month
     )
-    mtot = daily.groupBy(month.alias("__m")).agg(F.sum("cnt").alias("__mcnt"))
+    mtot = daily.groupBy(month.alias("__m")).agg(F.sum(val_col).alias("__mcnt"))
     offs = (
         mtot.alias("a")
         .join(
@@ -545,25 +578,10 @@ def date_histogram_pipeline(
         .groupBy(F.col("a.__m").alias("__m"))
         .agg(F.coalesce(F.sum(F.col("b.__mcnt")), F.lit(0)).alias("__off"))
     )
-    contrib = daily.select(
-        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__o"), "day", "cnt"
-    ).select(F.date_add("day", F.col("__o")).alias("day"), "cnt")
-    mov = contrib.groupBy("day").agg(
-        F.sum("cnt").alias("__msum"), F.count(F.lit(1)).alias("__mn")
-    )
     return (
         within.join(F.broadcast(offs), "__m")
-        .join(prev, "day", "left")
-        .join(mov, "day")  # inner: prunes fan-out rows past the series end
-        .select(
-            "day",
-            "cnt",
-            (F.col("cnt") - F.col("__prev_cnt")).alias("derivative"),
-            (F.col("__cum_m") + F.col("__off")).alias("cumulative_sum"),
-            F.round(
-                F.col("__msum").cast("double") / F.col("__mn"), 4
-            ).alias("moving_avg"),
-        )
+        .withColumn(out_col, F.col("__cum_m") + F.col("__off"))
+        .drop("__cum_m", "__m", "__off")
     )
 
 
@@ -1064,3 +1082,65 @@ def sql_filters_agg(table: str, buckets: list, other_bucket: str | None = "_othe
         for n, e in conds
     )
     return branches
+
+
+def cumulative_cardinality_daily(df: DataFrame, ts_col: str, key_col: str) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation over the day
+    date_histogram: for each day, the number of DISTINCT keys seen so far
+    (the "total users to date" Kibana line). ES computes it from per-
+    bucket HLL sketches; exactly and distributed it reduces to first-seen
+    dates: a key contributes to the cumulative count from its FIRST day
+    onward, so cumulative_cardinality(day) = Σ_{d ≤ day} |{k: first(k)=d}|.
+
+    Plan: one groupBy(key) for first-seen days (the only key-sized
+    shuffle), a day-sized count, the min_doc_count=0 dense spine, and the
+    shared :func:`daily_prefix_sum` — no global sort, no per-day distinct
+    re-count (the naive form re-counts a growing set per bucket:
+    quadratic in days). Output (day, new_keys, cumulative_keys)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    first_seen = (
+        df.select(F.col(key_col).alias("__k"), day.alias("day"))
+        .filter(F.col("__k").isNotNull())
+        .groupBy("__k")
+        .agg(F.min("day").alias("day"))
+    )
+    new_per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_keys")
+    )
+    # dense spine over the FULL data range (a day with docs but no new
+    # keys still buckets, as does a gap day)
+    spine = (
+        df.select(day.alias("day"))
+        .agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+        .select(F.explode(F.sequence("__lo", "__hi")).alias("day"))
+    )
+    daily = spine.join(new_per_day, "day", "left").select(
+        "day", F.coalesce(F.col("new_keys"), F.lit(0)).cast("long").alias("new_keys")
+    )
+    return daily_prefix_sum(daily, "new_keys", "cumulative_keys")
+
+
+def sql_cumulative_cardinality_daily(table: str, ts_col: str, key_col: str) -> str:
+    """DuckDB SQL reproducing :func:`cumulative_cardinality_daily`."""
+    return f"""
+WITH first_seen AS (
+  SELECT {key_col} AS k, min(CAST(date_trunc('day', {ts_col}) AS DATE)) AS day
+  FROM {table} WHERE {key_col} IS NOT NULL GROUP BY 1
+), new_per_day AS (
+  SELECT day, count(*) AS new_keys FROM first_seen GROUP BY day
+), bounds AS (
+  SELECT min(CAST(date_trunc('day', {ts_col}) AS DATE)) AS lo,
+         max(CAST(date_trunc('day', {ts_col}) AS DATE)) AS hi
+  FROM {table}
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), daily AS (
+  SELECT spine.day, CAST(COALESCE(new_per_day.new_keys, 0) AS BIGINT) AS new_keys
+  FROM spine LEFT JOIN new_per_day ON spine.day = new_per_day.day
+)
+SELECT day, new_keys,
+       CAST(sum(new_keys) OVER (ORDER BY day) AS BIGINT) AS cumulative_keys
+FROM daily
+"""

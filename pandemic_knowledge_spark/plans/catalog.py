@@ -73,8 +73,10 @@ from pandemic_knowledge_spark.operators.aggregates import (
     sql_cents_sum,
     sql_date_histogram_pipeline,
     sql_matrix_stats,
+    cumulative_cardinality_daily,
     filters_agg,
     serial_diff_daily,
+    sql_cumulative_cardinality_daily,
     sibling_bucket_stats,
     sql_filters_agg,
     sql_rare_terms,
@@ -3530,6 +3532,66 @@ def agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_cumulative_cardinality",
+    oracle=sql_cumulative_cardinality_daily("events", "ts", "user_id"),
+)
+def agg_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation — "total
+    distinct users to date" per day. Exactly and distributed via
+    first-seen reduction: a user counts from their first day onward, so
+    one groupBy(user) (the only key-sized shuffle), a day count, the
+    dense spine, and the shared two-phase prefix sum — never a per-day
+    re-count of a growing distinct set (quadratic in days), never a
+    global single-partition sort
+    (operators.aggregates.cumulative_cardinality_daily)."""
+    ev = load(spark, sf_dir, "events")
+    return cumulative_cardinality_daily(ev, "ts", "user_id")
+
+
+_BUCKET_SEL_MIN_AVG = 155000.0  # avg order price gate (sf-invariant distribution)
+
+
+@q(
+    "agg_bucket_selector_sort",
+    oracle=f"""
+WITH buckets AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST({sql_cents_sum('o_totalprice')} AS DOUBLE) / 100.0 AS total_price
+  FROM orders GROUP BY 1
+)
+SELECT day, n_orders, total_price
+FROM buckets
+WHERE total_price / n_orders > {_BUCKET_SEL_MIN_AVG!r}
+ORDER BY total_price DESC, day LIMIT 5
+""",
+)
+def agg_bucket_selector_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_selector`` + ``bucket_sort`` pipeline aggregations —
+    the bucket-level HAVING and ORDER/LIMIT every Kibana "top buckets"
+    panel composes: day buckets of orders, keep only days whose average
+    order price clears a gate (bucket_selector's script over that
+    bucket's own metrics — a sf-invariant predicate), then the top 5 by
+    revenue (bucket_sort with size). Declarative filter → heap top-k
+    (TakeOrderedAndProject) over the already-aggregated bucket frame —
+    both pipeline aggs are free riders on the histogram shuffle."""
+    o = load(spark, sf_dir, "orders")
+    buckets = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        as_money(cents_sum("o_totalprice")).alias("total_price"),
+    )
+    return (
+        buckets.filter(
+            F.col("total_price") / F.col("n_orders") > F.lit(_BUCKET_SEL_MIN_AVG)
+        )
+        .orderBy(F.desc("total_price"), F.col("day"))
+        .limit(5)
+    )
+
+
+@q(
     "agg_top_hits_latest",
     oracle=sql_top_hits(
         "events", "event_type", "ts", ["ts", "event_id", "user_id", "value"],
@@ -5956,6 +6018,8 @@ BENCH_QUERY_NAMES.extend(
 # (this round's sidecar probes), the stream_* pair with stream_session_5m
 # (r7) and the streaming pytest suite.
 _NEXT_WINDOW_IOUS = [
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_cnt",
@@ -5996,6 +6060,8 @@ _DRIVER_PRIORITY = [
     # window_topk, §2.11 window functions, W1 streaming windows, §2.8
     # union_feed), then r5-stale rows oldest-first. After this round no
     # catalog row's newest evidence is older than r5.
+    "agg_cumulative_cardinality",  # NEW r8: ES cumulative_cardinality pipeline
+    "agg_bucket_selector_sort",    # NEW r8: ES bucket_selector + bucket_sort
     "agg_filters_named",           # NEW r8: ES filters agg (named buckets)
     "agg_weighted_avg",            # NEW r8: ES weighted_avg metric
     "agg_serial_diff",             # NEW r8: ES serial_diff pipeline (lag 7)
@@ -6046,12 +6112,10 @@ _DRIVER_PRIORITY = [
     "pack_training_bins",
     "q10_returned_revenue",
     "q11_part_value_concentration",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    # (the 27 remaining r5 rows are the declared r9 IOUs above —
+    # (the 29 remaining r5 rows are the declared r9 IOUs above —
     #  _NEXT_WINDOW_IOUS; q14–q19 joined them when the 6 late-r8 ES-agg
-    #  rows took the last six slots: the TPC-H family keeps fresher
-    #  in-window coverage via q10–q13 + the sql_door rows)
+    #  rows took the last slots: the TPC-H family keeps fresher
+    #  in-window coverage via q10/q11 + the sql_door rows)
 ]
 
 

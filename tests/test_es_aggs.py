@@ -378,3 +378,31 @@ def test_top_hits_plan_prunes_topk_before_shuffle(spark):
     assert "WindowGroupLimit" in plan
     # no unbounded count frame riding a window — doc_count must be the agg
     assert "count(1) windowspecdefinition" not in plan
+
+
+def test_cumulative_cardinality_counts_first_seen_only(spark):
+    """A key re-appearing on later days must not re-count; days with docs
+    but no NEW keys still bucket (new_keys=0) and the running total
+    carries; gap days densify."""
+    from pandemic_knowledge_spark.operators.aggregates import (
+        cumulative_cardinality_daily,
+    )
+
+    rows = [
+        ("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 2),
+        ("2024-01-02 10:00:00", 1),                       # repeat only
+        ("2024-01-04 10:00:00", 2), ("2024-01-04 11:00:00", 3),  # one new
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    got = {
+        r.day.isoformat(): (r.new_keys, r.cumulative_keys)
+        for r in cumulative_cardinality_daily(df, "ts", "user_id").collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2),
+        "2024-01-02": (0, 2),  # repeat user adds nothing
+        "2024-01-03": (0, 2),  # densified gap
+        "2024-01-04": (1, 3),
+    }
