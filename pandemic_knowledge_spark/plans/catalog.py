@@ -2979,6 +2979,7 @@ def search_multi_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "search_multi_cross_fields",
+    bench=True,  # r8 headline: the term-centric multi_match shape
     oracle=sql_bm25_search_cross_fields(
         "documents", "doc_id", _FIELDS_SPLIT, _BM25_QUERY, 10,
     ),
