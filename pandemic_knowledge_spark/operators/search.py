@@ -1380,12 +1380,14 @@ def _write_index_sidecars(
     ``meta`` (stats + postings fingerprint) goes LAST: until it commits,
     the layout reads as stale and repairs again — overwrite-in-progress
     can therefore never masquerade as fresh."""
-    (
+    doc_ids = (
         postings.groupBy("doc_id")
         .agg(F.first("dl").alias("dl"))
-        .write.mode("overwrite")
-        .parquet(f"{path}/doc_ids")
+        # materialize once: the write AND the stats aggregate below both
+        # consume it — without this the postings groupBy would run twice
+        .localCheckpoint(eager=True)
     )
+    doc_ids.write.mode("overwrite").parquet(f"{path}/doc_ids")
     (
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1396,11 +1398,9 @@ def _write_index_sidecars(
         .partitionBy("tlen")
         .parquet(f"{path}/vocab")
     )
-    row = (
-        spark.read.parquet(f"{path}/doc_ids")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
-        .collect()[0]
-    )
+    row = doc_ids.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
     _write_index_meta(
         spark,
         path,
