@@ -1092,26 +1092,29 @@ def cumulative_cardinality_daily(df: DataFrame, ts_col: str, key_col: str) -> Da
     dates: a key contributes to the cumulative count from its FIRST day
     onward, so cumulative_cardinality(day) = Σ_{d ≤ day} |{k: first(k)=d}|.
 
-    Plan: one groupBy(key) for first-seen days (the only key-sized
-    shuffle), a day-sized count, the min_doc_count=0 dense spine, and the
-    shared :func:`daily_prefix_sum` — no global sort, no per-day distinct
-    re-count (the naive form re-counts a growing set per bucket:
-    quadratic in days). Output (day, new_keys, cumulative_keys)."""
+    Plan: ONE scan of the fact table — the groupBy(key) carries each
+    key's first AND last day, so the dense-spine bounds (the
+    min_doc_count=0 range: first day any key appeared … last day any key
+    appeared) fold out of the same aggregate instead of a second scan —
+    then a day-sized count and the shared :func:`daily_prefix_sum`. No
+    global sort, no per-day distinct re-count (the naive form re-counts a
+    growing set per bucket: quadratic in days). Output
+    (day, new_keys, cumulative_keys)."""
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     first_seen = (
         df.select(F.col(key_col).alias("__k"), day.alias("day"))
         .filter(F.col("__k").isNotNull())
         .groupBy("__k")
-        .agg(F.min("day").alias("day"))
+        .agg(F.min("day").alias("day"), F.max("day").alias("__last"))
+        .localCheckpoint(eager=True)  # 2 consumers: counts + bounds
     )
     new_per_day = first_seen.groupBy("day").agg(
         F.count(F.lit(1)).alias("new_keys")
     )
-    # dense spine over the FULL data range (a day with docs but no new
-    # keys still buckets, as does a gap day)
+    # dense spine over the keyed docs' full day range (a day with docs but
+    # no new keys still buckets, as does a gap day)
     spine = (
-        df.select(day.alias("day"))
-        .agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+        first_seen.agg(F.min("day").alias("__lo"), F.max("__last").alias("__hi"))
         .select(F.explode(F.sequence("__lo", "__hi")).alias("day"))
     )
     daily = spine.join(new_per_day, "day", "left").select(
@@ -1124,14 +1127,14 @@ def sql_cumulative_cardinality_daily(table: str, ts_col: str, key_col: str) -> s
     """DuckDB SQL reproducing :func:`cumulative_cardinality_daily`."""
     return f"""
 WITH first_seen AS (
-  SELECT {key_col} AS k, min(CAST(date_trunc('day', {ts_col}) AS DATE)) AS day
+  SELECT {key_col} AS k,
+         min(CAST(date_trunc('day', {ts_col}) AS DATE)) AS day,
+         max(CAST(date_trunc('day', {ts_col}) AS DATE)) AS last_day
   FROM {table} WHERE {key_col} IS NOT NULL GROUP BY 1
 ), new_per_day AS (
   SELECT day, count(*) AS new_keys FROM first_seen GROUP BY day
 ), bounds AS (
-  SELECT min(CAST(date_trunc('day', {ts_col}) AS DATE)) AS lo,
-         max(CAST(date_trunc('day', {ts_col}) AS DATE)) AS hi
-  FROM {table}
+  SELECT min(day) AS lo, max(last_day) AS hi FROM first_seen
 ), spine AS (
   SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
                                      INTERVAL 1 DAY)) AS DATE) AS day
