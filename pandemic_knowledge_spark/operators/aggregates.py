@@ -1147,3 +1147,59 @@ SELECT day, new_keys,
        CAST(sum(new_keys) OVER (ORDER BY day) AS BIGINT) AS cumulative_keys
 FROM daily
 """
+
+
+def range_agg(df: DataFrame, col: str, ranges: list) -> DataFrame:
+    """ES ``range`` aggregation: NAMED value ranges, ``from`` inclusive /
+    ``to`` exclusive / either end unbounded, evaluated INDEPENDENTLY (ES
+    allows overlapping ranges — a doc can land in several); docs with a
+    NULL value land in none. ``ranges`` is a list of (name, lo, hi) with
+    None for an open end. Output (bucket, doc_count) — one scan, one
+    one-row conditional aggregate via :func:`filters_agg`."""
+    c = F.col(col)
+    conds = []
+    for name, lo, hi in ranges:
+        cond = c.isNotNull()
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (c < F.lit(hi))
+        conds.append((name, cond))
+    return filters_agg(df, conds, other_bucket=None)
+
+
+def sql_range_agg(table: str, col: str, ranges: list, sql_lit=repr) -> str:
+    """DuckDB SQL reproducing :func:`range_agg` exactly. ``sql_lit``
+    renders a bound as a SQL literal (default ``repr`` for numerics; pass
+    e.g. ``lambda v: f"TIMESTAMP '{v}'"`` for date ranges)."""
+    conds = []
+    for name, lo, hi in ranges:
+        parts = [f"{col} IS NOT NULL"]
+        if lo is not None:
+            parts.append(f"{col} >= {sql_lit(lo)}")
+        if hi is not None:
+            parts.append(f"{col} < {sql_lit(hi)}")
+        conds.append((name, " AND ".join(parts)))
+    return sql_filters_agg(table, conds, other_bucket=None)
+
+
+def date_range_agg(df: DataFrame, ts_col: str, ranges: list) -> DataFrame:
+    """ES ``date_range`` aggregation — :func:`range_agg` over a timestamp
+    column with ISO bounds (from inclusive, to exclusive, open ends)."""
+    c = F.col(ts_col)
+    conds = []
+    for name, lo, hi in ranges:
+        cond = c.isNotNull()
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (c < F.lit(hi).cast("timestamp"))
+        conds.append((name, cond))
+    return filters_agg(df, conds, other_bucket=None)
+
+
+def sql_date_range_agg(table: str, ts_col: str, ranges: list) -> str:
+    """DuckDB twin of :func:`date_range_agg`."""
+    return sql_range_agg(
+        table, ts_col, ranges, sql_lit=lambda v: f"TIMESTAMP '{v}'"
+    )

@@ -74,9 +74,13 @@ from pandemic_knowledge_spark.operators.aggregates import (
     sql_date_histogram_pipeline,
     sql_matrix_stats,
     cumulative_cardinality_daily,
+    date_range_agg,
     filters_agg,
+    range_agg,
     serial_diff_daily,
     sql_cumulative_cardinality_daily,
+    sql_date_range_agg,
+    sql_range_agg,
     sibling_bucket_stats,
     sql_filters_agg,
     sql_rare_terms,
@@ -3532,6 +3536,187 @@ def agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return string_stats(ev, "event_type")
 
 
+_QTY_RANGES = [
+    ("small", None, 10), ("mid", 10, 40), ("large", 40, None),
+    ("tail_30plus", 30, None),  # OVERLAPS 'large': ES ranges are independent
+]
+
+
+@q(
+    "agg_range_named",
+    oracle=sql_range_agg("lineitem", "l_quantity", _QTY_RANGES),
+)
+def agg_range_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``range`` aggregation: named value ranges over line quantity —
+    from inclusive, to exclusive, open ends, and deliberately OVERLAPPING
+    buckets (tail_30plus ⊃ large) because ES evaluates each range
+    independently. One scan, one one-row conditional aggregate
+    (operators.aggregates.range_agg over the filters_agg machinery)."""
+    li = load(spark, sf_dir, "lineitem")
+    return range_agg(li, "l_quantity", _QTY_RANGES)
+
+
+_DATE_RANGES = [
+    ("before_1995", None, "1995-01-01 00:00:00"),
+    ("y1995_1996", "1995-01-01 00:00:00", "1997-01-01 00:00:00"),
+    ("from_1997", "1997-01-01 00:00:00", None),
+]
+
+
+@q(
+    "agg_date_range",
+    oracle=sql_date_range_agg("orders", "o_orderdate", _DATE_RANGES),
+)
+def agg_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` aggregation: named calendar ranges with open
+    ends over the order date (the Kibana "before / during / after" band
+    panel). Same independent-buckets contract and one-scan shape as
+    agg_range_named (operators.aggregates.date_range_agg)."""
+    o = load(spark, sf_dir, "orders")
+    return date_range_agg(o, "o_orderdate", _DATE_RANGES)
+
+
+@q(
+    "agg_multi_terms",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS doc_count
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY doc_count DESC, o_orderstatus, o_orderpriority
+LIMIT 8
+""",
+)
+def agg_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_terms`` aggregation (7.12+): terms buckets keyed by a
+    COMPOUND of several fields, ranked by doc_count — the panel shape a
+    plain terms agg can't give without mangling fields into one string.
+    One grouped shuffle on the compound key, heap top-N
+    (TakeOrderedAndProject), deterministic key tiebreak."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), "o_orderstatus", "o_orderpriority")
+        .limit(8)
+    )
+
+
+@q(
+    "agg_normalize_pipeline",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(min(cnt) AS BIGINT) AS mn, CAST(max(cnt) AS BIGINT) AS mx,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sumsq
+  FROM daily
+)
+SELECT day, cnt,
+       round(CAST(cnt AS DOUBLE) / total, 6) AS percent_of_sum,
+       round(CAST(cnt - mn AS DOUBLE) / (mx - mn), 6) AS rescale_0_1,
+       round((cnt - CAST(total AS DOUBLE) / n)
+             / sqrt(CAST(sumsq AS DOUBLE) / n - (CAST(total AS DOUBLE) / n) * (CAST(total AS DOUBLE) / n)), 6) AS zscore
+FROM daily, tot
+""",
+)
+def agg_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation, three methods in one frame:
+    ``percent_of_sum``, ``rescale_0_1`` and ``z-score`` over the daily
+    order histogram. All statistics fold out of ONE one-row aggregate of
+    exact int64 sums (Σ, Σx², min, max, n — partitioning-invariant)
+    broadcast back onto the bucket frame; population std via the moment
+    identity, the same determinism recipe as matrix_stats."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = daily.agg(
+        F.sum("cnt").alias("total"),
+        F.min("cnt").alias("mn"),
+        F.max("cnt").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    mean = F.col("total").cast("double") / F.col("n")
+    var = F.col("sumsq").cast("double") / F.col("n") - mean * mean
+    return daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+            "percent_of_sum"
+        ),
+        F.round(
+            (F.col("cnt") - F.col("mn")).cast("double") / (F.col("mx") - F.col("mn")),
+            6,
+        ).alias("rescale_0_1"),
+        F.round((F.col("cnt") - mean) / F.sqrt(var), 6).alias("zscore"),
+    )
+
+
+@q(
+    "agg_percentiles_bucket",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day, count(*) AS cnt
+  FROM orders GROUP BY 1
+)
+SELECT round(quantile_cont(cnt, 0.25), 6) AS p25,
+       round(quantile_cont(cnt, 0.50), 6) AS p50,
+       round(quantile_cont(cnt, 0.75), 6) AS p75,
+       round(quantile_cont(cnt, 0.99), 6) AS p99
+FROM daily
+""",
+)
+def agg_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline aggregation: exact
+    percentiles OF THE BUCKET VALUES (daily order counts) — "what does a
+    typical day look like". The bucket frame is day-sized (bounded by the
+    histogram, not the corpus), so the builtin exact interpolated
+    percentile is the right tier here — the rank-targeted distributed
+    form (grouped_percentiles_exact) exists for value-sized inputs and
+    its equivalence is pinned in tests/test_ranks."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ps = [0.25, 0.50, 0.75, 0.99]
+    return daily.agg(
+        *[
+            F.round(F.expr(f"percentile(cnt, {p})"), 6).alias(f"p{int(p * 100)}")
+            for p in ps
+        ]
+    )
+
+
+@q(
+    "agg_missing_bucket",
+    oracle=f"""
+WITH enriched AS ({_sql_iso_enrich().strip()})
+SELECT CAST(sum(CASE WHEN iso_code3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count,
+       CAST(count(*) AS BIGINT) AS total_docs
+FROM enriched
+""",
+)
+def agg_missing_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``missing`` aggregation: the bucket of docs LACKING a field —
+    here the nations whose ISO enrichment found no alpha-3 code (the
+    left-join-miss nulls the reference's per-row `countries.get` probe
+    produces, parse_insert.py:94-96). One conditional sum over the
+    enriched frame; total_docs rides along for the Kibana 'x of y
+    unmapped' readout."""
+    enriched = iso_code_enrich(spark, sf_dir)
+    return enriched.agg(
+        F.sum(F.when(F.col("iso_code3").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("missing_count"),
+        F.count(F.lit(1)).alias("total_docs"),
+    )
+
+
 @q(
     "agg_cumulative_cardinality",
     oracle=sql_cumulative_cardinality_daily("events", "ts", "user_id"),
@@ -6019,6 +6204,12 @@ BENCH_QUERY_NAMES.extend(
 # (this round's sidecar probes), the stream_* pair with stream_session_5m
 # (r7) and the streaming pytest suite.
 _NEXT_WINDOW_IOUS = [
+    "geo_nearest_customers",
+    "multikey_lookup",
+    "multimodal_byte_stats",
+    "pack_training_bins",
+    "q10_returned_revenue",
+    "q11_part_value_concentration",
     "q12_priority_by_linestatus",
     "q13_order_count_distribution",
     "q14_promo_revenue",
@@ -6061,6 +6252,12 @@ _DRIVER_PRIORITY = [
     # window_topk, §2.11 window functions, W1 streaming windows, §2.8
     # union_feed), then r5-stale rows oldest-first. After this round no
     # catalog row's newest evidence is older than r5.
+    "agg_range_named",             # NEW r8: ES range agg (overlapping buckets)
+    "agg_date_range",              # NEW r8: ES date_range agg (open ends)
+    "agg_multi_terms",             # NEW r8: ES multi_terms compound buckets
+    "agg_normalize_pipeline",      # NEW r8: ES normalize (pct/rescale/zscore)
+    "agg_percentiles_bucket",      # NEW r8: ES percentiles_bucket sibling
+    "agg_missing_bucket",          # NEW r8: ES missing agg (join-miss nulls)
     "agg_cumulative_cardinality",  # NEW r8: ES cumulative_cardinality pipeline
     "agg_bucket_selector_sort",    # NEW r8: ES bucket_selector + bucket_sort
     "agg_filters_named",           # NEW r8: ES filters agg (named buckets)
@@ -6107,13 +6304,7 @@ _DRIVER_PRIORITY = [
     "dedup_winnow_pairs",
     "emb_near_dup_pairs",
     "geo_grid_hotspots",
-    "geo_nearest_customers",
-    "multikey_lookup",
-    "multimodal_byte_stats",
-    "pack_training_bins",
-    "q10_returned_revenue",
-    "q11_part_value_concentration",
-    # (the 29 remaining r5 rows are the declared r9 IOUs above —
+    # (the 35 remaining r5 rows are the declared r9 IOUs above —
     #  _NEXT_WINDOW_IOUS; q14–q19 joined them when the 6 late-r8 ES-agg
     #  rows took the last slots: the TPC-H family keeps fresher
     #  in-window coverage via q10/q11 + the sql_door rows)

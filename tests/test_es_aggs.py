@@ -406,3 +406,24 @@ def test_cumulative_cardinality_counts_first_seen_only(spark):
         "2024-01-03": (0, 2),  # densified gap
         "2024-01-04": (1, 3),
     }
+
+
+def test_range_agg_open_ends_overlap_and_null_exclusion(spark):
+    """ES range semantics: from inclusive / to exclusive, open ends,
+    independent (overlapping) buckets, NULL values in no bucket."""
+    from pandemic_knowledge_spark.operators.aggregates import range_agg
+
+    df = spark.createDataFrame(
+        [(None,), (5.0,), (10.0,), (25.0,), (40.0,)], "v double"
+    )
+    got = {
+        r.bucket: r.doc_count
+        for r in range_agg(
+            df, "v",
+            [("lo", None, 10), ("mid", 10, 40), ("hi", 40, None),
+             ("from_25", 25, None)],
+        ).collect()
+    }
+    # 10 goes to mid (from-inclusive), not lo (to-exclusive); 40 to hi;
+    # NULL nowhere; from_25 overlaps hi
+    assert got == {"lo": 1, "mid": 2, "hi": 1, "from_25": 2}
