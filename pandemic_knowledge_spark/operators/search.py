@@ -1343,19 +1343,24 @@ def bm25_from_postings_small(
     return _bm25_score_agg(scored, k)
 
 
-def _postings_fingerprint(postings: DataFrame) -> str:
-    """Content fingerprint of a persisted postings layout: sha256 over the
+def _layout_fingerprint(frame: DataFrame, subdir: str) -> str:
+    """Content fingerprint of a persisted index artifact: sha256 over the
     sorted data-file names (driver-side listing — no data scan). Appends
     add files and never rewrite them, so fingerprint equality ⇔ the
-    sidecars were derived from exactly these postings. Stored in the
+    sidecars were derived from exactly these files. Stored in the
     ``meta`` sidecar LAST at every save/append; a mismatch at load means a
-    crash landed between the postings commit and the sidecar refresh, and
-    triggers a one-time sidecar rebuild (self-healing, never wrong — the
-    postings remain the single source of truth)."""
+    crash landed between an artifact commit and the meta refresh."""
     import hashlib
 
-    names = sorted(f.rsplit("/postings/", 1)[-1] for f in postings.inputFiles())
+    names = sorted(f.rsplit(f"/{subdir}/", 1)[-1] for f in frame.inputFiles())
     return hashlib.sha256("\n".join(names).encode("utf-8")).hexdigest()
+
+
+def _postings_fingerprint(postings: DataFrame) -> str:
+    """Fingerprint of the postings artifact — a mismatch vs meta triggers
+    a one-time DERIVED-sidecar rebuild (self-healing, never wrong — the
+    postings remain the single source of truth for vocab/doc_ids/stats)."""
+    return _layout_fingerprint(postings, "postings")
 
 
 def _read_index_meta(spark, path: str) -> dict | None:
@@ -1371,7 +1376,11 @@ def _read_index_meta(spark, path: str) -> dict | None:
 
 
 def _write_index_sidecars(
-    spark, path: str, postings: DataFrame, fingerprint: str | None = None
+    spark,
+    path: str,
+    postings: DataFrame,
+    fingerprint: str | None = None,
+    pos_fingerprint: str | None = None,
 ) -> None:
     """(Re)derive the three sidecars from the persisted postings: the
     full-rebuild path used by :meth:`SearchIndex.save` and by the load-time
@@ -1407,14 +1416,18 @@ def _write_index_sidecars(
         int(row["n_docs"]),
         int(row["sum_dl"] or 0),
         fingerprint or _postings_fingerprint(postings),
+        pos_fingerprint,
     )
 
 
-def _write_index_meta(spark, path: str, n_docs: int, sum_dl: int, fingerprint: str) -> None:
+def _write_index_meta(
+    spark, path: str, n_docs: int, sum_dl: int, fingerprint: str,
+    pos_fingerprint: str | None = None,
+) -> None:
     (
         spark.createDataFrame(
-            [(n_docs, sum_dl, fingerprint)],
-            "n_docs long, sum_dl long, fingerprint string",
+            [(n_docs, sum_dl, fingerprint, pos_fingerprint)],
+            "n_docs long, sum_dl long, fingerprint string, pos_fingerprint string",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -1444,7 +1457,8 @@ class SearchIndex:
                  stats_scalars: tuple | None = None,
                  index_bytes: int | None = None,
                  vocab: DataFrame | None = None,
-                 doc_ids: DataFrame | None = None) -> None:
+                 doc_ids: DataFrame | None = None,
+                 positional: DataFrame | None = None) -> None:
         self.postings = postings
         self.stats = stats
         # (n_docs, sum_dl) as plain ints when known eagerly (loaded index):
@@ -1462,15 +1476,23 @@ class SearchIndex:
         # postings aggregate).
         self.vocab = vocab
         self.doc_ids = doc_ids
+        # Positional postings (bucket, term, doc_id, positions) — an
+        # OPT-IN peer artifact (ES stores positions in the index when the
+        # mapping asks for phrase queries), NOT derivable from the tf
+        # postings: present only on positional builds/layouts; phrase
+        # probes require it.
+        self.positional = positional
 
     @classmethod
     def build(cls, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-              cache: bool = True) -> "SearchIndex":
+              cache: bool = True, positional: bool = False) -> "SearchIndex":
         """Tokenize the corpus ONCE; optionally pin the postings in the cache
         manager (the interactive-session mode — repeated searches hit
         memory). The terms dictionary and indexed-id set are derived and
         cached alongside, so interactive fuzzy/suggest/prefix probes
-        aggregate the postings once per session, not once per keystroke."""
+        aggregate the postings once per session, not once per keystroke.
+        ``positional=True`` additionally builds the positional posting
+        table (phrase probes; a second tokenize pass over the corpus)."""
         postings, stats = build_postings(docs, id_col, text_col)
         vocab = (
             postings.groupBy("term")
@@ -1478,12 +1500,19 @@ class SearchIndex:
             .withColumn("tlen", F.length("term"))
         )
         doc_ids = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        pos = (
+            build_positional_postings(docs, id_col, text_col)
+            if positional
+            else None
+        )
         if cache:
             postings = postings.cache()
             stats = stats.cache()
             vocab = vocab.cache()
             doc_ids = doc_ids.cache()
-        return cls(postings, stats, vocab=vocab, doc_ids=doc_ids)
+            if pos is not None:
+                pos = pos.cache()
+        return cls(postings, stats, vocab=vocab, doc_ids=doc_ids, positional=pos)
 
     def warm(self) -> "SearchIndex":
         """Force materialization now (first search pays nothing)."""
@@ -1498,9 +1527,12 @@ class SearchIndex:
     def save(self, path: str) -> "SearchIndex":
         """Persist parquet: postings partitioned by term bucket and sorted
         by term within each partition file (row-group min/max pruning),
-        then the derived sidecars (vocab / doc_ids / meta — meta carries
-        the postings-file fingerprint and is written LAST, so a crash
-        anywhere here leaves a mismatch that :meth:`load` repairs)."""
+        the positional postings when this is a positional build (same
+        layout — a phrase probe prunes the same way), then the derived
+        sidecars (vocab / doc_ids / meta — meta carries the per-artifact
+        file fingerprints and is written LAST, so a crash anywhere here
+        leaves a mismatch that :meth:`load` repairs — or, for the
+        non-derivable positional artifact, loudly disables)."""
         (
             self.postings.repartition("bucket")
             .sortWithinPartitions("term")
@@ -1509,7 +1541,22 @@ class SearchIndex:
             .parquet(f"{path}/postings")
         )
         spark = self.postings.sparkSession
-        _write_index_sidecars(spark, path, spark.read.parquet(f"{path}/postings"))
+        pos_fp = None
+        if self.positional is not None:
+            (
+                self.positional.repartition("bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/positions")
+            )
+            pos_fp = _layout_fingerprint(
+                spark.read.parquet(f"{path}/positions"), "positions"
+            )
+        _write_index_sidecars(
+            spark, path, spark.read.parquet(f"{path}/postings"),
+            pos_fingerprint=pos_fp,
+        )
         return self
 
     @classmethod
@@ -1531,8 +1578,23 @@ class SearchIndex:
         fingerprint = _postings_fingerprint(postings)
         meta = _read_index_meta(spark, path)
         if meta is None or meta["fingerprint"] != fingerprint:
+            # derived sidecars rebuild from postings; the positional
+            # artifact is NOT derivable, and after a crash we can't know
+            # it matches the postings — disable it (pos_fingerprint=None)
+            # rather than risk silently inconsistent phrase results; a
+            # positional save() re-enables it.
             _write_index_sidecars(spark, path, postings, fingerprint=fingerprint)
             meta = _read_index_meta(spark, path)
+        positional = None
+        if meta.get("pos_fingerprint"):
+            try:
+                pos = spark.read.parquet(f"{path}/positions")
+            except Exception:
+                pos = None
+            if pos is not None and (
+                _layout_fingerprint(pos, "positions") == meta["pos_fingerprint"]
+            ):
+                positional = pos
         stats = spark.range(1).select(
             F.lit(meta["n_docs"]).cast("long").alias("n_docs"),
             F.lit(meta["sum_dl"]).cast("long").alias("sum_dl"),
@@ -1547,6 +1609,7 @@ class SearchIndex:
             index_bytes=int(index_bytes),
             vocab=spark.read.parquet(f"{path}/vocab"),
             doc_ids=spark.read.parquet(f"{path}/doc_ids"),
+            positional=positional,
         )
 
     def search(self, query: str, k: int = 10) -> DataFrame:
@@ -1633,6 +1696,20 @@ class SearchIndex:
             vocab, term, max_edits=max_edits, prefix_length=prefix_length, k=k
         )
 
+    def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
+        """Exact consecutive-phrase probe from the positional posting
+        table (see :func:`phrase_search_from_postings`) — requires a
+        positional build/layout; raises otherwise rather than falling
+        back to a corpus scan the caller didn't ask to pay for."""
+        if self.positional is None:
+            raise ValueError(
+                "phrase_search needs a positional index: build with "
+                "positional=True (and save() to persist); a loaded layout "
+                "whose positions were stale/mid-write is deliberately "
+                "disabled — rebuild via a positional save()."
+            )
+        return phrase_search_from_postings(self.positional, phrase, k=k)
+
     def merge(self, docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> "SearchIndex":
         """Incremental maintenance: tokenize ONLY the new docs, union their
@@ -1670,11 +1747,20 @@ class SearchIndex:
             doc_ids = self.doc_ids.unionByName(
                 new_p.groupBy("doc_id").agg(F.first("dl").alias("dl"))
             )
+        positional = None
+        if self.positional is not None:
+            # per-(doc, term) position rows are independent across docs,
+            # so the positional table unions exactly like the postings
+            # (docs was already dedup-filtered above)
+            positional = self.positional.unionByName(
+                build_positional_postings(docs, id_col, text_col)
+            )
         # vocab of the merged index would need a re-count over old ∪ new
         # (df is not unionable); leave it None — probes fall back to the
         # postings aggregate, and a save() re-derives it persistently.
         return SearchIndex(
-            self.postings.unionByName(new_p), stats, doc_ids=doc_ids
+            self.postings.unionByName(new_p), stats, doc_ids=doc_ids,
+            positional=positional,
         )
 
     @classmethod
@@ -1697,6 +1783,17 @@ class SearchIndex:
         any point leaves either a no-op retry or a fingerprint mismatch
         that the next open repairs from the postings."""
         prev = cls.load(spark, path)  # validates/repairs sidecars
+        if prev.positional is not None:
+            raise ValueError(
+                "append_save does not maintain positional layouts: a crash "
+                "between the postings and positions appends could leave "
+                "phrase results silently inconsistent with BM25 results "
+                "(positions are not derivable from postings, so the "
+                "fingerprint repair cannot heal them). Positional indexes "
+                "are full-refresh artifacts — rebuild with "
+                "SearchIndex.build(..., positional=True).save(path), the "
+                "same lifecycle the reference's ES bulk loaders use."
+            )
         indexed = prev.doc_ids.select(F.col("doc_id").alias(id_col))
         # materialize the filtered batch BEFORE any write: the anti-join
         # reads {path}/doc_ids, which the refresh below overwrites

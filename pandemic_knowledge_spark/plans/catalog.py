@@ -1954,6 +1954,34 @@ def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search_from_postings(pp, _PHRASE_QUERY, 10)
 
 
+@q(
+    "search_phrase_indexed",
+    oracle=sql_phrase_search("documents", "doc_id", "text", _PHRASE_QUERY, 10),
+)
+def search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase over the PERSISTED positional index tier (r8: the
+    SearchIndex artifact now optionally carries ``positions/`` with its
+    own meta fingerprint — stale-after-crash positions disable the tier
+    loudly instead of answering inconsistently, and append_save refuses
+    positional layouts because positions aren't derivable from postings):
+    build(positional=True) → save → load → phrase probe, only the phrase
+    terms' crc32 buckets scanned. Oracle = the corpus-scan phrase SQL,
+    proving persisted-tier ≡ direct scan with a value hash."""
+    import os
+    import tempfile
+
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+
+    d = load(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pk_search_pos_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    SearchIndex.build(d, "doc_id", "text", cache=False, positional=True).save(path)
+    idx = SearchIndex.load(spark, path)
+    return idx.phrase_search(_PHRASE_QUERY, k=10)
+
+
 _QROLL_LO, _QROLL_HI = "2024-01-08", "2024-01-22"
 
 
@@ -6204,6 +6232,7 @@ BENCH_QUERY_NAMES.extend(
 # (this round's sidecar probes), the stream_* pair with stream_session_5m
 # (r7) and the streaming pytest suite.
 _NEXT_WINDOW_IOUS = [
+    "geo_grid_hotspots",
     "geo_nearest_customers",
     "multikey_lookup",
     "multimodal_byte_stats",
@@ -6268,6 +6297,7 @@ _DRIVER_PRIORITY = [
     "agg_string_stats",            # NEW r8: ES string_stats (+entropy)
     "search_multi_most_fields",    # NEW r8: ES multi_match most_fields
     "search_multi_cross_fields",   # NEW r8: ES multi_match cross_fields
+    "search_phrase_indexed",       # NEW r8: persisted positional tier probe
     "search_fuzzy_indexed",        # NEW r8: terms-dictionary sidecar probe
     "search_suggest_indexed",      # NEW r8: suggester over the vocab sidecar
     "agg_top_hits_latest",         # NEW r8: ES terms + top_hits panel
@@ -6303,8 +6333,7 @@ _DRIVER_PRIORITY = [
     "dedup_winnow_cluster_reps",
     "dedup_winnow_pairs",
     "emb_near_dup_pairs",
-    "geo_grid_hotspots",
-    # (the 35 remaining r5 rows are the declared r9 IOUs above —
+    # (the 36 remaining r5 rows are the declared r9 IOUs above —
     #  _NEXT_WINDOW_IOUS; q14–q19 joined them when the 6 late-r8 ES-agg
     #  rows took the last slots: the TPC-H family keeps fresher
     #  in-window coverage via q10/q11 + the sql_door rows)

@@ -255,3 +255,62 @@ def test_inmemory_build_caches_dictionary_for_interactive_probes(spark):
     finally:
         for frame in (idx.postings, idx.stats, idx.vocab, idx.doc_ids):
             frame.unpersist()
+
+
+def test_positional_tier_roundtrip_and_consistency_guards(spark, tmp_path):
+    """The opt-in positional artifact: (1) a positional build+save+load
+    answers phrase probes identically to the corpus scan; (2) positions
+    are NOT derivable from postings, so a postings change that meta
+    didn't record (crash simulation) must DISABLE the tier loudly, never
+    serve silently inconsistent phrase results; (3) append_save rejects
+    positional layouts (full-refresh artifacts); (4) a plain build has no
+    phrase door."""
+    import pytest
+
+    from pandemic_knowledge_spark.operators.search import (
+        build_postings,
+        phrase_search,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    path = str(tmp_path / "pos_idx")
+    SearchIndex.build(docs, "doc_id", "text", cache=False, positional=True).save(path)
+    idx = SearchIndex.load(spark, path)
+    assert idx.positional is not None
+    ph = "hash join"
+    assert (
+        idx.phrase_search(ph, k=10).collect()
+        == phrase_search(docs, "doc_id", "text", ph, k=10).collect()
+    )
+    # in-memory merge keeps the positional tier and equals a full rebuild
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = SearchIndex.build(
+        old, "doc_id", "text", cache=False, positional=True
+    ).merge(new)
+    assert (
+        merged.phrase_search(ph, k=10).collect()
+        == phrase_search(docs, "doc_id", "text", ph, k=10).collect()
+    )
+
+    # (3) append_save refuses the layout
+    with pytest.raises(ValueError, match="positional"):
+        SearchIndex.append_save(spark, path, new)
+
+    # (2) crash simulation: postings change without a meta refresh →
+    # load repairs the derived sidecars but DISABLES positions
+    extra = docs.withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    new_p, _ = build_postings(extra, "doc_id", "text")
+    (
+        new_p.repartition("bucket").sortWithinPartitions("term")
+        .write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+    )
+    repaired = SearchIndex.load(spark, path)
+    assert repaired.positional is None
+    with pytest.raises(ValueError, match="positional"):
+        repaired.phrase_search(ph)
+
+    # (4) no positional build → no phrase door
+    plain = SearchIndex.build(docs, "doc_id", "text", cache=False)
+    with pytest.raises(ValueError, match="positional"):
+        plain.phrase_search(ph)
