@@ -121,6 +121,15 @@ WIDE_QUERIES = [
     "agg_sibling_buckets",       # struct-ordered arg-extremes, one agg
     "agg_value_histogram",       # long-index groupBy + index spine
     "agg_string_stats",          # char explode + nano-unit entropy
+    "agg_cumulative_cardinality",  # first-seen reduce + prefix sum
+    "agg_bucket_selector_sort",    # bucket HAVING + heap top-k
+    "agg_range_named",             # one-scan conditional sums
+    "agg_date_range",              # ditto, timestamp bounds
+    "agg_multi_terms",             # compound-key terms + heap top-N
+    "agg_normalize_pipeline",      # one-row exact moments broadcast
+    "agg_percentiles_bucket",      # exact percentile over bucket frame
+    "agg_missing_bucket",          # join-miss conditional sum
+    "search_phrase_indexed",       # positional build+save+probe (io-incl)
 ]
 
 KEY_COLS = {
