@@ -132,3 +132,55 @@ def sql_synth_lat_micro(key: str) -> str:
 
 def sql_synth_lon_micro(key: str) -> str:
     return f"CAST({key} * 104729 % 36000 AS BIGINT)"
+
+
+#: Web-Mercator latitude clamp (the standard geotile bound: beyond it the
+#: projection diverges; ES clamps identically).
+MERCATOR_MAX_LAT = 85.05112877980659
+
+
+def geotile_cell(lat: Column, lon: Column, zoom: int) -> tuple[Column, Column]:
+    """ES/Kibana ``geotile_grid`` bucket key: the Web-Mercator z/x/y map
+    tile (the slippy-map scheme every tile server uses — unlike the
+    equal-angle :func:`grid_cell`, tiles are equal-AREA on the projected
+    map, which is what the Kibana map actually draws). Latitude clamps to
+    ±85.0511° exactly as ES does.
+
+    Cross-engine determinism note: the y tile needs ln/tan, whose last
+    ulp may differ between runtimes; the projected coordinate is rounded
+    to 9 decimals BEFORE the floor so both engines land on the same tile
+    unless the true value sits within 5e-10 of a tile boundary — the SQL
+    twin applies the identical rounding."""
+    n = float(1 << zoom)
+    lat_c = F.greatest(
+        F.least(lat, F.lit(MERCATOR_MAX_LAT)), F.lit(-MERCATOR_MAX_LAT)
+    )
+    xt = F.floor(F.round((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n), 9))
+    lat_r = F.radians(lat_c)
+    merc = (
+        F.lit(1.0)
+        - F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r)) / F.lit(3.141592653589793)
+    ) / F.lit(2.0)
+    yt = F.floor(F.round(merc * F.lit(n), 9))
+    # lon=180 exactly maps past the last tile; clamp into range like ES
+    max_t = F.lit(int(n) - 1)
+    return (
+        F.least(F.greatest(xt, F.lit(0)), max_t).cast("long"),
+        F.least(F.greatest(yt, F.lit(0)), max_t).cast("long"),
+    )
+
+
+def sql_geotile_cell(lat: str, lon: str, zoom: int) -> tuple[str, str]:
+    """DuckDB twin of :func:`geotile_cell` — identical clamp, identical
+    9-dp pre-floor rounding."""
+    n = float(1 << zoom)
+    max_t = int(n) - 1
+    lat_c = f"greatest(least({lat}, {MERCATOR_MAX_LAT!r}), {-MERCATOR_MAX_LAT!r})"
+    xt = f"floor(round((({lon}) + 180.0) / 360.0 * {n!r}, 9))"
+    merc = (
+        f"(1.0 - ln(tan(radians({lat_c})) + 1.0 / cos(radians({lat_c})))"
+        f" / 3.141592653589793) / 2.0"
+    )
+    yt = f"floor(round(({merc}) * {n!r}, 9))"
+    clamp = lambda e: f"CAST(least(greatest({e}, 0), {max_t}) AS BIGINT)"
+    return clamp(xt), clamp(yt)

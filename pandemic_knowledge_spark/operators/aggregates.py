@@ -1203,3 +1203,84 @@ def sql_date_range_agg(table: str, ts_col: str, ranges: list) -> str:
     return sql_range_agg(
         table, ts_col, ranges, sql_lit=lambda v: f"TIMESTAMP '{v}'"
     )
+
+
+def t_test_agg(
+    df: DataFrame,
+    value_col: str,
+    a_filter: Column,
+    b_filter: Column,
+    scale: int = 1000,
+) -> DataFrame:
+    """ES ``t_test`` metric aggregation (default ``heteroscedastic`` =
+    Welch's unpaired t-test): is population A's mean value significantly
+    different from population B's?  t = (m_a − m_b) / √(v_a/n_a + v_b/n_b)
+    with SAMPLE variances (n−1). Output one row
+    (n_a, n_b, mean_a, mean_b, t_value).
+
+    Determinism: values scale to exact integers (``scale`` micro-units —
+    the cents idiom), both populations' Σ and Σx² fold into ONE one-row
+    conditional aggregate (a single scan, map-side combined), and the
+    means/variances/t assemble in double with one fixed expression shape
+    — bit-identical on any partitioning, like matrix_stats."""
+    v = cents(F.col(value_col), scale)
+    aggs = []
+    for tag, cond in (("a", a_filter), ("b", b_filter)):
+        gated = F.when(cond, v)
+        aggs += [
+            F.count(gated).alias(f"n_{tag}"),
+            F.sum(gated).alias(f"s_{tag}"),
+            F.sum(gated * gated).alias(f"ss_{tag}"),
+        ]
+    wide = df.agg(*aggs)
+
+    def mean(tag):
+        return F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}") / scale
+
+    def var(tag):  # sample variance, in VALUE units (descaled)
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        ss = F.col(f"ss_{tag}").cast("double")
+        return (ss - s * s / n) / (n - 1) / (scale * scale)
+
+    t = (mean("a") - mean("b")) / F.sqrt(
+        var("a") / F.col("n_a") + var("b") / F.col("n_b")
+    )
+    return wide.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(mean("a"), 6).alias("mean_a"),
+        F.round(mean("b"), 6).alias("mean_b"),
+        F.round(t, 6).alias("t_value"),
+    )
+
+
+def sql_t_test_agg(
+    table: str, value_col: str, a_sql: str, b_sql: str, scale: int = 1000
+) -> str:
+    """DuckDB SQL reproducing :func:`t_test_agg` exactly."""
+    v = f"CAST(round(({value_col}) * {scale}, 0) AS BIGINT)"
+    parts = []
+    for tag, cond in (("a", a_sql), ("b", b_sql)):
+        g = f"CASE WHEN {cond} THEN {v} END"
+        parts += [
+            f"CAST(count({g}) AS BIGINT) AS n_{tag}",
+            f"CAST(sum({g}) AS BIGINT) AS s_{tag}",
+            f"CAST(sum(({g}) * ({g})) AS BIGINT) AS ss_{tag}",
+        ]
+    mean = lambda t: f"(CAST(s_{t} AS DOUBLE) / n_{t} / {scale})"
+    var = (
+        lambda t: f"((CAST(ss_{t} AS DOUBLE) - CAST(s_{t} AS DOUBLE) * s_{t} / n_{t})"
+        f" / (n_{t} - 1) / ({scale} * {scale}.0))"
+    )
+    return f"""
+WITH wide AS (
+  SELECT {", ".join(parts)} FROM {table}
+)
+SELECT n_a, n_b,
+       round({mean('a')}, 6) AS mean_a,
+       round({mean('b')}, 6) AS mean_b,
+       round(({mean('a')} - {mean('b')})
+             / sqrt({var('a')} / n_a + {var('b')} / n_b), 6) AS t_value
+FROM wide
+"""

@@ -42,9 +42,11 @@ from pandemic_knowledge_spark.functions.text import (
     tokenize,
 )
 from pandemic_knowledge_spark.functions.geo import (
+    geotile_cell,
     grid_cell,
     ring_index,
     sq_degree_dist,
+    sql_geotile_cell,
     sql_grid,
     sql_ring_index,
     sql_synth_lat,
@@ -81,6 +83,8 @@ from pandemic_knowledge_spark.operators.aggregates import (
     sql_cumulative_cardinality_daily,
     sql_date_range_agg,
     sql_range_agg,
+    sql_t_test_agg,
+    t_test_agg,
     sibling_bucket_stats,
     sql_filters_agg,
     sql_rare_terms,
@@ -3564,6 +3568,146 @@ def agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return string_stats(ev, "event_type")
 
 
+@q(
+    "agg_t_test_welch",
+    oracle=sql_t_test_agg(
+        "events", "value",
+        "event_type = 'purchase'", "event_type = 'view'",
+    ),
+)
+def agg_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``t_test`` metric aggregation (default heteroscedastic =
+    Welch's unpaired test): do purchase events carry a significantly
+    different value than view events? One scan, one one-row conditional
+    aggregate of exact micro-unit Σ/Σx² for both populations, then the
+    fixed double expression — partitioning-invariant
+    (operators.aggregates.t_test_agg)."""
+    ev = load(spark, sf_dir, "events")
+    return t_test_agg(
+        ev, "value",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "view",
+    )
+
+
+_GEOTILE_ZOOM = 4
+
+
+def _sql_geotile() -> str:
+    xt, yt = sql_geotile_cell(
+        sql_synth_lat("c_custkey"), sql_synth_lon("c_custkey"), _GEOTILE_ZOOM
+    )
+    return f"""
+SELECT {_GEOTILE_ZOOM} AS zoom, {xt} AS xt, {yt} AS yt,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM customer
+GROUP BY 2, 3
+"""
+
+
+@q("agg_geotile_grid", oracle=_sql_geotile())
+def agg_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES/Kibana ``geotile_grid`` aggregation: customers bucketed into
+    Web-Mercator z/x/y map tiles (zoom 4) — the slippy-map scheme the
+    Kibana map draws, equal-AREA on the projected map unlike the
+    equal-angle grid_cell panel (functions.geo.geotile_cell; ±85.0511°
+    clamp and 9-dp pre-floor rounding shared with the oracle so the
+    ln/tan ulp can't fork engines). Scan-side tile id → one narrow
+    groupBy, the geo_grid_hotspots shape."""
+    cust = load(spark, sf_dir, "customer")
+    xt, yt = geotile_cell(
+        synth_lat(F.col("c_custkey")), synth_lon(F.col("c_custkey")), _GEOTILE_ZOOM
+    )
+    return (
+        cust.select(
+            F.lit(_GEOTILE_ZOOM).alias("zoom"), xt.alias("xt"), yt.alias("yt")
+        )
+        .groupBy("zoom", "xt", "yt")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+@q(
+    "agg_top_metrics",
+    oracle="""
+SELECT o_orderpriority, top_o_orderkey, top_date, top_price FROM (
+  SELECT o_orderpriority,
+         o_orderkey AS top_o_orderkey,
+         CAST(date_trunc('day', o_orderdate) AS DATE) AS top_date,
+         o_totalprice AS top_price,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_orderdate DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def agg_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_metrics`` aggregation: per bucket, the metric values OF
+    the top-sorted document (here: each priority's LATEST order — its
+    key, day and price). Folds into ONE aggregate via struct ordering —
+    max(struct(sort_key, −tiebreak, metrics…)) — no window, no join; the
+    deterministic tiebreak (smallest orderkey among equal dates) stands
+    in for ES's internal doc id."""
+    o = load(spark, sf_dir, "orders")
+    top = F.max(
+        F.struct(
+            F.col("o_orderdate").alias("d"),
+            (-F.col("o_orderkey")).alias("nk"),
+            F.col("o_totalprice").alias("p"),
+        )
+    ).alias("__t")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(top)
+        .select(
+            "o_orderpriority",
+            (-F.col("__t.nk")).cast("long").alias("top_o_orderkey"),
+            F.date_trunc("day", F.col("__t.d")).cast("date").alias("top_date"),
+            F.col("__t.p").alias("top_price"),
+        )
+    )
+
+
+@q(
+    "agg_boxplot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(min(l_quantity) AS DOUBLE) AS min_v,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+       round(quantile_cont(l_quantity, 0.50), 6) AS q2,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q3,
+       CAST(max(l_quantity) AS DOUBLE) AS max_v
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boxplot`` aggregation: min / q1 / median / q3 / max per group
+    (ES computes TDigest approximations; we match the capability with
+    exact percentile_cont so the oracle verifies values). Quartiles run
+    DISTRIBUTED via the rank-targeted grouped_percentiles_exact — the
+    same scale tier agg_percentile_quantity pins — with min/max folded in
+    from one map-side-combined aggregate joined on the group key (a
+    #groups-row broadcast)."""
+    from pandemic_knowledge_spark.operators.ranks import grouped_percentiles_exact
+
+    li = load(spark, sf_dir, "lineitem")
+    qs = grouped_percentiles_exact(li, ["l_returnflag"], "l_quantity", [0.25, 0.5, 0.75])
+    mm = li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").cast("double").alias("min_v"),
+        F.max("l_quantity").cast("double").alias("max_v"),
+    )
+    return qs.join(F.broadcast(mm), "l_returnflag").select(
+        "l_returnflag",
+        "min_v",
+        F.round(F.col("p25"), 6).alias("q1"),
+        F.round(F.col("p50"), 6).alias("q2"),
+        F.round(F.col("p75"), 6).alias("q3"),
+        "max_v",
+    )
+
+
 _QTY_RANGES = [
     ("small", None, 10), ("mid", 10, 40), ("large", 40, None),
     ("tail_30plus", 30, None),  # OVERLAPS 'large': ES ranges are independent
@@ -6232,6 +6376,10 @@ BENCH_QUERY_NAMES.extend(
 # (this round's sidecar probes), the stream_* pair with stream_session_5m
 # (r7) and the streaming pytest suite.
 _NEXT_WINDOW_IOUS = [
+    "dedup_semantic_clusters",
+    "dedup_winnow_cluster_reps",
+    "dedup_winnow_pairs",
+    "emb_near_dup_pairs",
     "geo_grid_hotspots",
     "geo_nearest_customers",
     "multikey_lookup",
@@ -6281,6 +6429,10 @@ _DRIVER_PRIORITY = [
     # window_topk, §2.11 window functions, W1 streaming windows, §2.8
     # union_feed), then r5-stale rows oldest-first. After this round no
     # catalog row's newest evidence is older than r5.
+    "agg_t_test_welch",            # NEW r8: ES t_test (Welch) metric
+    "agg_geotile_grid",            # NEW r8: Kibana geotile_grid z/x/y tiles
+    "agg_top_metrics",             # NEW r8: ES top_metrics (arg-top metrics)
+    "agg_boxplot",                 # NEW r8: ES boxplot (exact quartiles)
     "agg_range_named",             # NEW r8: ES range agg (overlapping buckets)
     "agg_date_range",              # NEW r8: ES date_range agg (open ends)
     "agg_multi_terms",             # NEW r8: ES multi_terms compound buckets
@@ -6329,11 +6481,7 @@ _DRIVER_PRIORITY = [
     "decontaminate_train_split",
     "dedup_cluster_reps",
     "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
-    "dedup_winnow_cluster_reps",
-    "dedup_winnow_pairs",
-    "emb_near_dup_pairs",
-    # (the 36 remaining r5 rows are the declared r9 IOUs above —
+    # (the 40 remaining r5 rows are the declared r9 IOUs above —
     #  _NEXT_WINDOW_IOUS; q14–q19 joined them when the 6 late-r8 ES-agg
     #  rows took the last slots: the TPC-H family keeps fresher
     #  in-window coverage via q10/q11 + the sql_door rows)

@@ -427,3 +427,36 @@ def test_range_agg_open_ends_overlap_and_null_exclusion(spark):
     # 10 goes to mid (from-inclusive), not lo (to-exclusive); 40 to hi;
     # NULL nowhere; from_25 overlaps hi
     assert got == {"lo": 1, "mid": 2, "hi": 1, "from_25": 2}
+
+
+def test_geotile_clamps_poles_and_antimeridian(spark):
+    """Web-Mercator edges: lat ±90 clamps to ±85.0511 (tile 0 / 2^z−1),
+    lon 180 clamps into the last column — no NaN/overflow tiles; and the
+    equator/greenwich point lands in the exact center tile."""
+    from pandemic_knowledge_spark.functions.geo import geotile_cell
+
+    df = spark.createDataFrame(
+        [(90.0, 0.0), (-90.0, 0.0), (0.0, 180.0), (0.0, -180.0), (0.0, 0.0)],
+        "lat double, lon double",
+    )
+    xt, yt = geotile_cell(F.col("lat"), F.col("lon"), 4)
+    got = [(r.x, r.y) for r in df.select(xt.alias("x"), yt.alias("y")).collect()]
+    assert got[0] == (8, 0)     # north pole row clamps to top tile
+    assert got[1] == (8, 15)    # south pole row clamps to bottom tile
+    assert got[2] == (15, 8)    # lon=180 clamps into the last column
+    assert got[3] == (0, 8)
+    assert got[4] == (8, 8)     # center tile
+
+
+def test_t_test_welch_hand_checked(spark):
+    """Hand-checked Welch t: A = [1,2,3] (mean 2, var 1), B = [2,4]
+    (mean 3, var 2) → t = (2−3)/√(1/3 + 2/2) ≈ −0.866025."""
+    from pandemic_knowledge_spark.operators.aggregates import t_test_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = t_test_agg(df, "v", F.col("g") == "a", F.col("g") == "b").collect()[0]
+    assert (r.n_a, r.n_b, r.mean_a, r.mean_b) == (3, 2, 2.0, 3.0)
+    assert r.t_value == -0.866025
