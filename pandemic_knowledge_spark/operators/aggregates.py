@@ -464,7 +464,7 @@ def dense_daily_counts(df: DataFrame, ts_col: str) -> DataFrame:
     )
 
 
-def _sql_dense_daily(table: str, ts_col: str) -> str:
+def sql_dense_daily_counts(table: str, ts_col: str) -> str:
     """DuckDB CTEs (raw → spine → daily) mirroring
     :func:`dense_daily_counts` — composed into every pipeline-agg oracle,
     never hand-copied."""
@@ -597,7 +597,7 @@ def sql_date_histogram_pipeline(table: str, ts_col: str, window: int = 7) -> str
             f"sql_date_histogram_pipeline: window must be >= 1, got {window}"
         )
     return f"""
-WITH {_sql_dense_daily(table, ts_col)}, w AS (
+WITH {sql_dense_daily_counts(table, ts_col)}, w AS (
   SELECT day, cnt,
          CAST(sum(cnt) OVER (ORDER BY day) AS BIGINT) AS cumulative_sum,
          CAST(sum(cnt) OVER (
@@ -828,7 +828,7 @@ def sql_serial_diff_daily(table: str, ts_col: str, lag: int = 7) -> str:
     if lag < 1:
         raise ValueError(f"sql_serial_diff_daily: lag must be >= 1, got {lag}")
     return f"""
-WITH {_sql_dense_daily(table, ts_col)}
+WITH {sql_dense_daily_counts(table, ts_col)}
 SELECT d.day, d.cnt, d.cnt - p.cnt AS diff_{lag}
 FROM daily d LEFT JOIN daily p ON d.day = p.day + {lag}
 """
@@ -875,7 +875,7 @@ def sql_sibling_bucket_stats(table: str, ts_col: str) -> str:
     arg-extremes via ordered LIMIT 1 subqueries (equivalent to the struct
     ordering: highest/lowest count, earliest day on ties)."""
     return f"""
-WITH {_sql_dense_daily(table, ts_col)},
+WITH {sql_dense_daily_counts(table, ts_col)},
 mx AS (SELECT cnt AS max_cnt, day AS max_day FROM daily
        ORDER BY cnt DESC, day ASC LIMIT 1),
 mn AS (SELECT cnt AS min_cnt, day AS min_day FROM daily

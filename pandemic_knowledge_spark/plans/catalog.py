@@ -76,11 +76,14 @@ from pandemic_knowledge_spark.operators.aggregates import (
     sql_date_histogram_pipeline,
     sql_matrix_stats,
     cumulative_cardinality_daily,
+    daily_prefix_sum,
     date_range_agg,
+    dense_daily_counts,
     filters_agg,
     range_agg,
     serial_diff_daily,
     sql_cumulative_cardinality_daily,
+    sql_dense_daily_counts,
     sql_date_range_agg,
     sql_range_agg,
     sql_t_test_agg,
@@ -3568,6 +3571,116 @@ def agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return string_stats(ev, "event_type")
 
 
+_SAMPLER_PERMILLE = 100  # probability 0.1, the ES random_sampler knob
+
+
+@q(
+    "agg_random_sampler",
+    oracle=f"""
+WITH sampled AS (
+  SELECT value FROM events
+  WHERE {md5_int_expr("CAST(event_id AS VARCHAR)")} % 1000 < {_SAMPLER_PERMILLE}
+)
+SELECT CAST(count(*) AS BIGINT) AS sampled_count,
+       CAST(round(count(*) * 1000.0 / {_SAMPLER_PERMILLE}, 0) AS BIGINT) AS est_total,
+       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 * 1000.0 / {_SAMPLER_PERMILLE}, 4) AS est_sum_value
+FROM sampled
+""",
+)
+def agg_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``random_sampler`` aggregation (8.2): run the child aggs over a
+    p-probability sample and scale the results by 1/p — the price/accuracy
+    knob for exploratory dashboards on huge indices. Made REPRODUCIBLE
+    (ES takes a seed; a distributed engine needs partition-order
+    independence too): membership is a pure hash of the doc id
+    (md5 % 1000 < 100 → p=0.1), so the same doc set samples on any
+    cluster, any partitioning, both engines. One scan with the sample
+    predicate scan-side (pushes into codegen), exact-cents sum, the 1/p
+    scaling applied once at the end."""
+    ev = load(spark, sf_dir, "events")
+    from pandemic_knowledge_spark.functions.text import md5_int
+
+    sampled = ev.filter(
+        F.pmod(md5_int(F.col("event_id").cast("string")), F.lit(1000))
+        < F.lit(_SAMPLER_PERMILLE)
+    )
+    scale = 1000.0 / _SAMPLER_PERMILLE
+    return sampled.agg(
+        F.count(F.lit(1)).alias("sampled_count"),
+        F.round(F.count(F.lit(1)) * F.lit(scale), 0)
+        .cast("long")
+        .alias("est_total"),
+        F.round(
+            cents_sum("value").cast("double") / 100.0 * F.lit(scale), 4
+        ).alias("est_sum_value"),
+    )
+
+
+@q(
+    "agg_change_point",
+    oracle=f"""
+WITH {sql_dense_daily_counts("events", "ts")}, w AS (
+  SELECT day, cnt,
+         CAST(sum(cnt) OVER (ORDER BY day) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS total,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily
+)
+SELECT day AS change_day,
+       round(abs(CAST(cum AS DOUBLE) - CAST(i AS DOUBLE) * total / n), 4) AS cusum_score
+FROM w
+WHERE i < n
+ORDER BY cusum_score DESC, change_day LIMIT 1
+""",
+)
+def agg_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``change_point`` pipeline aggregation (8.x) — "where did this
+    series shift?" — as the deterministic CUSUM variant: the candidate
+    day maximizing |S_i − (i/n)·S_n| (the classic cumulative-sum
+    departure from a uniform-rate series; ES's ML detector returns the
+    same argmax day for clean step changes). Distributed: the daily
+    histogram, the shared two-phase prefix sum (daily_prefix_sum — no
+    global sort), one-row totals broadcast, argmax via one
+    struct-ordered aggregate (earliest day on ties). Output
+    (change_day, cusum_score)."""
+    ev = load(spark, sf_dir, "events")
+    daily = dense_daily_counts(ev, "ts").localCheckpoint(eager=True)
+    cum = daily_prefix_sum(daily, "cnt", "cum")
+    tot = daily.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    epoch = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    lo = daily.agg(F.min(epoch).alias("lo"))
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(lo))
+        .withColumn("i", (epoch - F.col("lo") + 1).cast("long"))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "day",
+            F.round(
+                F.abs(
+                    F.col("cum").cast("double")
+                    - F.col("i").cast("double") * F.col("total") / F.col("n")
+                ),
+                4,
+            ).alias("cusum_score"),
+            epoch.alias("__ed"),
+        )
+    )
+    top = scored.agg(
+        F.max(F.struct(F.col("cusum_score"), (-F.col("__ed")).alias("__ned"))).alias("__t")
+    )
+    return top.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), -F.col("__t.__ned")).alias(
+            "change_day"
+        ),
+        F.col("__t.cusum_score").alias("cusum_score"),
+    )
+
+
 @q(
     "agg_t_test_welch",
     oracle=sql_t_test_agg(
@@ -6376,6 +6489,8 @@ BENCH_QUERY_NAMES.extend(
 # (this round's sidecar probes), the stream_* pair with stream_session_5m
 # (r7) and the streaming pytest suite.
 _NEXT_WINDOW_IOUS = [
+    "dedup_cluster_reps",
+    "dedup_ngram_jaccard",
     "dedup_semantic_clusters",
     "dedup_winnow_cluster_reps",
     "dedup_winnow_pairs",
@@ -6429,6 +6544,8 @@ _DRIVER_PRIORITY = [
     # window_topk, §2.11 window functions, W1 streaming windows, §2.8
     # union_feed), then r5-stale rows oldest-first. After this round no
     # catalog row's newest evidence is older than r5.
+    "agg_random_sampler",          # NEW r8: ES random_sampler (hash-seeded)
+    "agg_change_point",            # NEW r8: ES change_point (CUSUM variant)
     "agg_t_test_welch",            # NEW r8: ES t_test (Welch) metric
     "agg_geotile_grid",            # NEW r8: Kibana geotile_grid z/x/y tiles
     "agg_top_metrics",             # NEW r8: ES top_metrics (arg-top metrics)
@@ -6479,9 +6596,7 @@ _DRIVER_PRIORITY = [
     "ann_rp_lsh_multi_topk",
     "conform_validity_audit",
     "decontaminate_train_split",
-    "dedup_cluster_reps",
-    "dedup_ngram_jaccard",
-    # (the 40 remaining r5 rows are the declared r9 IOUs above —
+    # (the 42 remaining r5 rows are the declared r9 IOUs above —
     #  _NEXT_WINDOW_IOUS; q14–q19 joined them when the 6 late-r8 ES-agg
     #  rows took the last slots: the TPC-H family keeps fresher
     #  in-window coverage via q10/q11 + the sql_door rows)
