@@ -3648,22 +3648,26 @@ def agg_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     daily = dense_daily_counts(ev, "ts").localCheckpoint(eager=True)
     cum = daily_prefix_sum(daily, "cnt", "cum")
-    tot = daily.agg(
-        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n")
-    )
     epoch = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
-    lo = daily.agg(F.min(epoch).alias("lo"))
+    # one bounded one-row collect (the daily frame is histogram-sized by
+    # construction): total/n/lo fold to literals, like the loaded-index
+    # stats — no scalar BNLJ rounds; the prefix sum's month-offset join
+    # stays the plan's single bounded non-equi join
+    row = daily.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(epoch).alias("lo"),
+    ).collect()[0]
+    total, n, lo = int(row["total"]), int(row["n"]), int(row["lo"])
     scored = (
-        cum.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(lo))
-        .withColumn("i", (epoch - F.col("lo") + 1).cast("long"))
-        .filter(F.col("i") < F.col("n"))
+        cum.withColumn("i", (epoch - F.lit(lo) + 1).cast("long"))
+        .filter(F.col("i") < F.lit(n))
         .select(
             "day",
             F.round(
                 F.abs(
                     F.col("cum").cast("double")
-                    - F.col("i").cast("double") * F.col("total") / F.col("n")
+                    - F.col("i").cast("double") * F.lit(float(total)) / F.lit(n)
                 ),
                 4,
             ).alias("cusum_score"),

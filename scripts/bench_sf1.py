@@ -130,6 +130,12 @@ WIDE_QUERIES = [
     "agg_percentiles_bucket",      # exact percentile over bucket frame
     "agg_missing_bucket",          # join-miss conditional sum
     "search_phrase_indexed",       # positional build+save+probe (io-incl)
+    "agg_t_test_welch",            # one-row conditional moments
+    "agg_geotile_grid",            # scan-side mercator tile + groupBy
+    "agg_top_metrics",             # struct-ordered arg-top, one agg
+    "agg_boxplot",                 # rank-targeted quartiles + min/max join
+    "agg_random_sampler",          # hash-predicate sample, scan-side
+    "agg_change_point",            # dense spine + prefix sum + argmax
 ]
 
 KEY_COLS = {
