@@ -6538,16 +6538,20 @@ _NEXT_WINDOW_IOUS = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-8 WINDOW (50 slots) — the zero-argument scripts/window_rotate.py
-    # proposal (r7 verdict item #2): this round's 6 NEW queries lead
-    # (never-checked = riskiest), then agg_pipeline_daily_delta whose
-    # SEMANTICS changed this round (min_doc_count=0 densification — its r7
-    # evidence predates the change; swapped in over the last r5 slot,
-    # q1_pricing_summary, which joins the r9 IOUs), then the 15 r7-declared
-    # IOUs (several are §2 primary evidence: F6/X1/X3/X5 text rows, T2
+    # ROUND-8 WINDOW (50 slots) — seeded by the zero-argument
+    # scripts/window_rotate.py proposal (r7 verdict item #2), then grown
+    # as the round shipped: the 21 NEVER-CHECKED r8 queries lead (the ES
+    # aggregation/query-DSL long tail + the sidecar/positional index
+    # probes — riskiest first), then agg_pipeline_daily_delta whose
+    # SEMANTICS changed this round (min_doc_count=0 densification — its
+    # r7 evidence predates the change), then the 15 r7-declared IOUs
+    # (several are §2 primary evidence: F6/X1/X3/X5 text rows, T2
     # window_topk, §2.11 window functions, W1 streaming windows, §2.8
-    # union_feed), then r5-stale rows oldest-first. After this round no
-    # catalog row's newest evidence is older than r5.
+    # union_feed), then the 13 r5-stale rows that still fit,
+    # oldest-first. Every r5 row displaced by a later r8 wave is declared
+    # in _NEXT_WINDOW_IOUS above. After this round no catalog row's
+    # newest evidence is older than r5, and all 50 slots were verified
+    # green at sf0.01 with the driver-gate replica before each commit.
     "agg_random_sampler",          # NEW r8: ES random_sampler (hash-seeded)
     "agg_change_point",            # NEW r8: ES change_point (CUSUM variant)
     "agg_t_test_welch",            # NEW r8: ES t_test (Welch) metric
