@@ -1284,3 +1284,57 @@ SELECT n_a, n_b,
              / sqrt({var('a')} / n_a + {var('b')} / n_b), 6) AS t_value
 FROM wide
 """
+
+
+def moving_percentile_daily(
+    df: DataFrame, ts_col: str, window: int = 7, p: float = 0.5
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation: an exact
+    percentile of the trailing ``window`` day-bucket values — the robust
+    (outlier-proof) cousin of the moving average Kibana overlays. Runs on
+    the min_doc_count=0 dense spine, trailing-inclusive like the
+    moving_avg stage of :func:`date_histogram_pipeline`, truncated at the
+    series start (ES emits the percentile of however many buckets exist).
+
+    Distributed shape: each day's count fans out to the ≤``window``
+    report days it contributes to (the same explode pattern as the
+    moving average — never a global sort), then ONE keyed shuffle
+    re-aggregates; the per-day group holds ≤``window`` values, so the
+    exact interpolated percentile is a constant-size in-group sort.
+    Output (day, cnt, moving_pNN)."""
+    if window < 1:
+        raise ValueError(f"moving_percentile_daily: window must be >= 1, got {window}")
+    if not (0.0 <= p <= 1.0):
+        raise ValueError(f"moving_percentile_daily: p must be in [0, 1], got {p}")
+    daily = dense_daily_counts(df, ts_col).localCheckpoint(eager=True)
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__o"), "day", "cnt"
+    ).select(F.date_add("day", F.col("__o")).alias("day"), F.col("cnt").alias("__v"))
+    out_col = f"moving_p{int(p * 100)}"
+    mov = contrib.groupBy("day").agg(
+        F.round(F.expr(f"percentile(__v, {p!r})"), 6).alias(out_col)
+    )
+    # inner join back to the spine: prunes fan-out rows past the series end
+    return daily.join(mov, "day").select("day", "cnt", out_col)
+
+
+def sql_moving_percentile_daily(
+    table: str, ts_col: str, window: int = 7, p: float = 0.5
+) -> str:
+    """DuckDB SQL reproducing :func:`moving_percentile_daily` exactly —
+    the trailing calendar-day window as a bounded self-join over the
+    dense spine (mirrors the explode fan-out by construction), exact
+    interpolated percentile per report day."""
+    if window < 1:
+        raise ValueError(
+            f"sql_moving_percentile_daily: window must be >= 1, got {window}"
+        )
+    out_col = f"moving_p{int(p * 100)}"
+    return f"""
+WITH {sql_dense_daily_counts(table, ts_col)}
+SELECT d1.day, d1.cnt,
+       round(quantile_cont(d2.cnt, {p!r}), 6) AS {out_col}
+FROM daily d1
+JOIN daily d2 ON d2.day BETWEEN d1.day - {window - 1} AND d1.day
+GROUP BY d1.day, d1.cnt
+"""

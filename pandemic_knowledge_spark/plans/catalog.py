@@ -75,8 +75,10 @@ from pandemic_knowledge_spark.operators.aggregates import (
     sql_cents_sum,
     sql_date_histogram_pipeline,
     sql_matrix_stats,
+    sql_moving_percentile_daily,
     cumulative_cardinality_daily,
     daily_prefix_sum,
+    moving_percentile_daily,
     date_range_agg,
     dense_daily_counts,
     filters_agg,
@@ -3571,6 +3573,21 @@ def agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return string_stats(ev, "event_type")
 
 
+@q(
+    "agg_moving_percentiles",
+    oracle=sql_moving_percentile_daily("orders", "o_orderdate", 7, 0.5),
+)
+def agg_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation: the trailing-7-day
+    EXACT median of daily order counts over the min_doc_count=0 dense
+    spine — the outlier-robust trend overlay. Each day's count fans out
+    to the ≤7 report days it serves (the moving_avg explode pattern, no
+    global sort), one keyed shuffle, constant-size in-group exact
+    percentile (operators.aggregates.moving_percentile_daily)."""
+    o = load(spark, sf_dir, "orders")
+    return moving_percentile_daily(o, "o_orderdate", window=7, p=0.5)
+
+
 _SAMPLER_PERMILLE = 100  # probability 0.1, the ES random_sampler knob
 
 
@@ -6493,6 +6510,7 @@ BENCH_QUERY_NAMES.extend(
 # (this round's sidecar probes), the stream_* pair with stream_session_5m
 # (r7) and the streaming pytest suite.
 _NEXT_WINDOW_IOUS = [
+    "decontaminate_train_split",
     "dedup_cluster_reps",
     "dedup_ngram_jaccard",
     "dedup_semantic_clusters",
@@ -6552,6 +6570,7 @@ _DRIVER_PRIORITY = [
     # in _NEXT_WINDOW_IOUS above. After this round no catalog row's
     # newest evidence is older than r5, and all 50 slots were verified
     # green at sf0.01 with the driver-gate replica before each commit.
+    "agg_moving_percentiles",      # NEW r8: ES moving_percentiles pipeline
     "agg_random_sampler",          # NEW r8: ES random_sampler (hash-seeded)
     "agg_change_point",            # NEW r8: ES change_point (CUSUM variant)
     "agg_t_test_welch",            # NEW r8: ES t_test (Welch) metric
@@ -6603,8 +6622,7 @@ _DRIVER_PRIORITY = [
     "ann_pq_topk",
     "ann_rp_lsh_multi_topk",
     "conform_validity_audit",
-    "decontaminate_train_split",
-    # (the 42 remaining r5 rows are the declared r9 IOUs above —
+    # (the 43 remaining r5 rows are the declared r9 IOUs above —
     #  _NEXT_WINDOW_IOUS; q14–q19 joined them when the 6 late-r8 ES-agg
     #  rows took the last slots: the TPC-H family keeps fresher
     #  in-window coverage via q10/q11 + the sql_door rows)

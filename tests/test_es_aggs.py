@@ -460,3 +460,37 @@ def test_t_test_welch_hand_checked(spark):
     r = t_test_agg(df, "v", F.col("g") == "a", F.col("g") == "b").collect()[0]
     assert (r.n_a, r.n_b, r.mean_a, r.mean_b) == (3, 2, 2.0, 3.0)
     assert r.t_value == -0.866025
+
+
+def test_moving_percentile_truncates_at_series_start_and_sees_gaps(spark):
+    """Trailing-3-day exact median: truncated windows at the series start
+    (median of 1 then 2 values), densified gap days participate as
+    zeros."""
+    from pandemic_knowledge_spark.operators.aggregates import (
+        moving_percentile_daily,
+    )
+
+    rows = (
+        [("2024-01-01 00:00:00",)] * 4
+        + [("2024-01-02 00:00:00",)] * 2
+        + [("2024-01-04 00:00:00",)] * 6  # Jan 3 is an empty bucket
+    )
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        r.day.isoformat(): r.moving_p50
+        for r in moving_percentile_daily(df, "ts", window=3, p=0.5).collect()
+    }
+    assert got == {
+        "2024-01-01": 4.0,   # [4]
+        "2024-01-02": 3.0,   # [4, 2] → interpolated median
+        "2024-01-03": 2.0,   # [4, 2, 0] — the zero bucket counts
+        "2024-01-04": 2.0,   # [2, 0, 6]
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="window"):
+        moving_percentile_daily(df, "ts", window=0)
+    with pytest.raises(ValueError, match="p must"):
+        moving_percentile_daily(df, "ts", p=1.5)
