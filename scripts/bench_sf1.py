@@ -136,6 +136,7 @@ WIDE_QUERIES = [
     "agg_boxplot",                 # rank-targeted quartiles + min/max join
     "agg_random_sampler",          # hash-predicate sample, scan-side
     "agg_change_point",            # dense spine + prefix sum + argmax
+    "agg_moving_percentiles",      # window fan-out + in-group percentile
 ]
 
 KEY_COLS = {
