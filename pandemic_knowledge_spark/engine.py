@@ -232,6 +232,34 @@ class Engine:
             ).cache()
         return phrase_search_from_postings(self._positional_indexes[key], phrase, k)
 
+    def bool_search(
+        self,
+        *,
+        must=(),
+        should=(),
+        must_not=(),
+        filter=(),
+        minimum_should_match: int | None = None,
+        k: int = 8,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """The composed ES ``bool`` query — must/should/must_not/filter
+        with per-clause boosts and minimum_should_match, compiled onto the
+        engine's scorers in one plan (operators.boolquery.bool_search).
+        This is the reference's own query shape —
+        ``bool.filter[multi_match ...]``
+        (/root/reference/news_app/app/app/src/SearchUI.js:15-33) — and the
+        glue every Searchkit facet adds one more clause to."""
+        from pandemic_knowledge_spark.operators.boolquery import bool_search
+
+        return bool_search(
+            self.table(table), id_col, text_col,
+            must=must, should=should, must_not=must_not, filter=filter,
+            minimum_should_match=minimum_should_match, k=k,
+        )
+
     # ------------------------------------------------------------ dashboards
 
     def dashboard_totals(self, facts: DataFrame, *metric_cols: str) -> DataFrame:

@@ -1,0 +1,567 @@
+"""The composed ES ``bool`` query door — must / should / must_not / filter
+with per-clause boosts and ``minimum_should_match``, compiled onto the
+engine's existing scorers.
+
+This is the glue of every real Elasticsearch query, including the
+reference's own: its queryBuilder emits ``bool.filter[multi_match ...]``
+(/root/reference/news_app/app/app/src/SearchUI.js:15-33), and every
+Searchkit facet the news app renders adds one more bool clause. The
+engine already had every individual scorer (the complete multi_match
+family, phrase, fuzzy, prefix); this module is the combinator.
+
+Clause specs are plain dicts with exactly one query key plus an optional
+``boost`` (scored contexts only):
+
+========  =========================================  ====================
+key       semantics (scored: must/should)            membership (filter/
+                                                     must_not)
+========  =========================================  ====================
+match     BM25 over the analyzed query terms         doc holds >= 1 term
+phrase    BM25 with the phrase as one pseudo-term    doc holds the
+          (tf := exact consecutive phrase count,     consecutive phrase
+          df := docs containing the phrase — the
+          Lucene ExactPhraseScorer model: phrase
+          frequency IS the term frequency)
+prefix    constant_score 1.0 (ES's prefix-query      doc holds >= 1 token
+          rewrite: multi-term queries score with     with the prefix
+          a constant unless explicitly blended)
+fuzzy     BM25 over the AUTO-band expansion set      —
+          (same expansion rule as
+          operators.search.fuzzy_match_search:
+          admissible-length equi-join, per-term
+          (distance, df DESC, term) cap)
+term      —                                          doc holds the exact
+                                                     token
+========  =========================================  ====================
+
+Scoring combination is exactly ES's: ``score(doc) = Σ boost_i ·
+clause_score_i(doc)`` over every matched must and should clause; a doc
+qualifies iff it matches ALL must clauses, at least
+``minimum_should_match`` should clauses (ES default: 1 when the query has
+neither must nor filter clauses, else 0), NO must_not clause, and every
+filter clause (filter and must_not never contribute score). Clause scores
+stay RAW doubles; only the combined sum rounds, once, at 4 dp — the same
+single-round idiom as every other scorer here, in both the Spark plan and
+the DuckDB oracle (:func:`sql_bool_search`). (An intermediate per-clause
+round would be a double-rounding trap: 6-dp-quantized clause scores sum
+onto exact 4-dp half-boundaries, where HALF_UP diverges on the last ulp
+between engines — observed immediately at sf0.001.)
+
+Scale shape: ONE corpus tokenize feeds every match/fuzzy clause (the
+shared :func:`~.search._tf_with_stats` checkpoint — its single one-row
+stats crossJoin is the plan's whole scalar-BNLJ budget); clause scoring
+is then per-clause aggregations over that same checkpointed (doc, term)
+TF frame, never a re-scan. Phrase clauses count occurrences scan-side
+(whole-stage-codegen higher-order functions, no shuffle before the
+per-doc frame) with their corpus constants folded to literals via a
+bounded one-row collect. All filter / must_not membership tests compile
+into ONE additional scan — a single projection of per-clause boolean
+columns joined once against the aggregated hits frame (never one
+semi/anti join per clause). The combine itself is one union + one keyed
+groupBy shuffle, then a TakeOrderedAndProject top-k.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.functions.text import (
+    query_terms,
+    sql_tokenize,
+    tokenize,
+)
+from pandemic_knowledge_spark.operators.search import (
+    BM25_B,
+    BM25_K1,
+    _attach_bm25_scores,
+    _fuzzy_selected,
+    _sql_tf_prelude,
+    _tf_with_stats,
+    fuzzy_auto_band,
+)
+
+_SCORED_KEYS = ("match", "phrase", "prefix", "fuzzy")
+_MEMBER_KEYS = ("match", "phrase", "prefix", "term")
+
+
+def _clause_key(clause: dict, allowed: tuple) -> str:
+    keys = [k for k in allowed if k in clause]
+    if len(keys) != 1:
+        raise ValueError(
+            f"bool clause needs exactly one of {allowed}, got {sorted(clause)}"
+        )
+    return keys[0]
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# --------------------------------------------------------------------- Spark
+
+
+def _phrase_starts(toks, terms: list[str]):
+    """Positions where ``terms`` occur consecutively in the token array —
+    the same scan-side HOF counter as operators.search.phrase_search
+    (kept in lock-step by the parity test)."""
+    m = len(terms)
+    lit_arr = F.array(*[F.lit(t) for t in terms])
+    return F.filter(
+        F.sequence(F.lit(0), F.size(toks) - m),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(True),
+            lambda acc, j: acc
+            & (
+                F.element_at(toks, (i + j + 1).cast("int"))
+                == F.element_at(lit_arr, (j + 1).cast("int"))
+            ),
+        ),
+    )
+
+
+def _member_pred(toks, clause: dict):
+    """The clause's membership test as ONE boolean column over the shared
+    token array — all filter/must_not clauses ride a single docs scan."""
+    key = _clause_key(clause, _MEMBER_KEYS)
+    if key == "term":
+        return F.array_contains(toks, F.lit(clause["term"]))
+    if key == "match":
+        terms = sorted(set(query_terms(clause["match"])))
+        if not terms:
+            raise ValueError("bool match clause has no tokenizable terms")
+        return F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+    if key == "prefix":
+        p = clause["prefix"]
+        return F.exists(toks, lambda x: x.startswith(p))
+    terms = query_terms(clause["phrase"])
+    if not terms:
+        raise ValueError("bool phrase clause has no tokenizable terms")
+    return (F.size(toks) >= len(terms)) & (
+        F.size(_phrase_starts(toks, terms)) > 0
+    )
+
+
+def _match_frame(tf, df_t, terms: list[str]) -> DataFrame:
+    """Full (doc_id, cscore) BM25 frame for a match clause — the scorer of
+    operators.search.bm25_search minus the top-k (the bool combinator
+    truncates AFTER combining; a per-clause cut would silently drop docs
+    whose summed score belongs in the page)."""
+    sel = tf.filter(F.col("term").isin(terms))
+    df_sel = df_t.filter(F.col("term").isin(terms))
+    scored = _attach_bm25_scores(sel.join(F.broadcast(df_sel), "term"))
+    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("cscore"))
+
+
+def _fuzzy_frame(spark, tf, df_t, clause: dict) -> DataFrame:
+    q_terms = sorted(set(query_terms(clause["fuzzy"])))
+    if not q_terms:
+        raise ValueError("bool fuzzy clause has no tokenizable terms")
+    max_expansions = int(clause.get("max_expansions", 50))
+    prefix_length = int(clause.get("prefix_length", 0))
+    bands = [(t, fuzzy_auto_band(len(t))) for t in q_terms]
+    exact_terms = sorted(t for t, b in bands if b == 0)
+    fuzz_rows = [
+        (t, b, length)
+        for t, b in bands
+        if b > 0
+        for length in range(max(1, len(t) - b), len(t) + b + 1)
+    ]
+    selected = _fuzzy_selected(
+        spark, df_t, fuzz_rows, exact_terms, max_expansions, prefix_length
+    )
+    df_sel = df_t.join(F.broadcast(selected), "term")
+    scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
+    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("cscore"))
+
+
+def _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl) -> DataFrame:
+    """Full (doc_id, cscore) frame for a scored phrase clause: the phrase
+    is ONE pseudo-term (tf := phrase count, df := matching-doc count —
+    Lucene's ExactPhraseScorer model). Counting is scan-side codegen; the
+    corpus constants arrive as literals (n_docs/sum_dl collected once by
+    the caller, df via one bounded count of the checkpointed match frame)
+    so the plan spends no scalar broadcast here — the one-BNLJ budget
+    stays with the shared TF stats."""
+    toks = tokenize(text_col)
+    m = len(terms)
+    pf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.size(_phrase_starts(toks, terms)).alias("pf"),
+        )
+        .where((F.col("dl") >= m) & (F.col("pf") > 0))
+        .localCheckpoint(eager=True)  # consumed by count() AND the scorer
+    )
+    df_ph = pf.count()
+    avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - df_ph + F.lit(0.5)) / (F.lit(df_ph) + F.lit(0.5))
+    )
+    tf_part = (F.col("pf") * (BM25_K1 + 1)) / (
+        F.col("pf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    return pf.select("doc_id", (idf * tf_part).alias("cscore"))
+
+
+def _prefix_frame(docs, id_col, text_col, prefix: str) -> DataFrame:
+    toks = tokenize(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__t")
+    ).where(F.exists(F.col("__t"), lambda x: x.startswith(prefix))).select(
+        "doc_id", F.lit(1.0).alias("cscore")
+    )
+
+
+def default_msm(must, should, filter) -> int:
+    """ES's documented default: a pure-should bool needs one should hit;
+    once a must or filter clause exists, should becomes purely additive."""
+    return 1 if (should and not must and not filter) else 0
+
+
+def bool_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    must=(),
+    should=(),
+    must_not=(),
+    filter=(),
+    minimum_should_match: int | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Execute a composed bool query; returns the (doc_id, score) top-k
+    page, ranked (score DESC, doc_id) like every scorer in the engine.
+    See the module docstring for clause forms and combination semantics."""
+    must, should = list(must), list(should)
+    must_not, filter = list(must_not), list(filter)
+    if not (must or should or filter):
+        raise ValueError("bool query needs at least one must/should/filter clause")
+    msm = (
+        minimum_should_match
+        if minimum_should_match is not None
+        else default_msm(must, should, filter)
+    )
+    spark = docs.sparkSession
+
+    scored = [("must", c) for c in must] + [("should", c) for c in should]
+    needs_tf = any(
+        _clause_key(c, _SCORED_KEYS) in ("match", "fuzzy") for _, c in scored
+    )
+    needs_stats = any(
+        _clause_key(c, _SCORED_KEYS) == "phrase" for _, c in scored
+    )
+    tf = df_t = None
+    if needs_tf:
+        tf, df_t = _tf_with_stats(docs, id_col, text_col)
+    n_docs = sum_dl = None
+    if needs_stats:
+        # one bounded one-row collect — the stats_scalars idiom: phrase
+        # clauses then score with literals instead of more scalar joins
+        row = (
+            docs.select(F.size(tokenize(text_col)).alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
+
+    parts = []
+    for kind, clause in scored:
+        key = _clause_key(clause, _SCORED_KEYS)
+        boost = float(clause.get("boost", 1.0))
+        if key == "match":
+            terms = sorted(set(query_terms(clause["match"])))
+            if not terms:
+                raise ValueError("bool match clause has no tokenizable terms")
+            frame = _match_frame(tf, df_t, terms)
+        elif key == "fuzzy":
+            frame = _fuzzy_frame(spark, tf, df_t, clause)
+        elif key == "phrase":
+            terms = query_terms(clause["phrase"])
+            if not terms:
+                raise ValueError("bool phrase clause has no tokenizable terms")
+            frame = _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl)
+        else:  # prefix — constant_score
+            frame = _prefix_frame(docs, id_col, text_col, clause["prefix"])
+        parts.append(
+            frame.select(
+                "doc_id",
+                (F.col("cscore") * F.lit(boost)).alias("bscore"),
+                F.lit(kind).alias("kind"),
+            )
+        )
+
+    if parts:
+        u = reduce(lambda a, b: a.unionByName(b), parts)
+        hits = (
+            u.groupBy("doc_id")
+            .agg(
+                F.round(F.sum("bscore"), 4).alias("score"),
+                F.sum(F.when(F.col("kind") == "must", 1).otherwise(0)).alias(
+                    "__n_must"
+                ),
+                F.sum(F.when(F.col("kind") == "should", 1).otherwise(0)).alias(
+                    "__n_should"
+                ),
+            )
+            .where(
+                (F.col("__n_must") == len(must))
+                & (F.col("__n_should") >= F.lit(msm))
+            )
+            .select("doc_id", "score")
+        )
+    else:
+        # filter-only bool: ES returns score 0 for every qualifying doc
+        hits = docs.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        )
+
+    if filter or must_not:
+        toks = tokenize(text_col)
+        pred_cols = [
+            _member_pred(toks, c).alias(f"__f{i}") for i, c in enumerate(filter)
+        ] + [
+            _member_pred(toks, c).alias(f"__m{i}")
+            for i, c in enumerate(must_not)
+        ]
+        preds = docs.select(F.col(id_col).alias("doc_id"), *pred_cols)
+        cond = F.lit(True)
+        for i in range(len(filter)):
+            cond = cond & F.col(f"__f{i}")
+        for i in range(len(must_not)):
+            cond = cond & ~F.col(f"__m{i}")
+        hits = hits.join(preds, "doc_id").where(cond).select("doc_id", "score")
+
+    return hits.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
+
+
+# ----------------------------------------------------------------- SQL twin
+
+
+def _sql_term_score() -> str:
+    return (
+        "ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
+        f" * (tf.tf * ({BM25_K1} + 1))"
+        f" / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl"
+        " / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))"
+    )
+
+
+def _sql_phrase_conds(terms: list[str], arr: str = "toks") -> str:
+    return " AND ".join(
+        f"{arr}[i + {j}] = {_sql_lit(t)}" for j, t in enumerate(terms)
+    )
+
+
+def _sql_member_pred(clause: dict) -> str:
+    key = _clause_key(clause, _MEMBER_KEYS)
+    if key == "term":
+        return f"list_contains(toks, {_sql_lit(clause['term'])})"
+    if key == "match":
+        terms = sorted(set(query_terms(clause["match"])))
+        lits = ", ".join(_sql_lit(t) for t in terms)
+        return f"len(list_intersect(toks, [{lits}])) > 0"
+    if key == "prefix":
+        return (
+            "len(list_filter(toks, x -> x LIKE "
+            + _sql_lit(clause["prefix"] + "%")
+            + ")) > 0"
+        )
+    terms = query_terms(clause["phrase"])
+    m = len(terms)
+    return (
+        f"(len(toks) >= {m} AND len(list_filter(range(1, len(toks) - {m} + 2),"
+        f" i -> {_sql_phrase_conds(terms)})) > 0)"
+    )
+
+
+def _sql_fuzzy_sel_ctes(i: int, clause: dict) -> tuple[str, str]:
+    """The fuzzy expansion CTE chain (suffixed per clause), mirroring
+    operators.search.sql_fuzzy_match_search's — same AUTO bands, same
+    (distance, df DESC, term) cap."""
+    q_terms = sorted(set(query_terms(clause["fuzzy"])))
+    max_expansions = int(clause.get("max_expansions", 50))
+    prefix_length = int(clause.get("prefix_length", 0))
+    bands = [(t, fuzzy_auto_band(len(t))) for t in q_terms]
+    exact_terms = sorted(t for t, b in bands if b == 0)
+    fuzz = [(t, b) for t, b in bands if b > 0]
+    parts, srcs = [], []
+    if fuzz:
+        qt_vals = ", ".join(f"({_sql_lit(t)}, {b})" for t, b in fuzz)
+        pref = (
+            f"\n    AND substr(dft.term, 1, {prefix_length})"
+            f" = substr(qt{i}.qterm, 1, {prefix_length})"
+            if prefix_length > 0
+            else ""
+        )
+        parts.append(
+            f"""qt{i}(qterm, band) AS (
+  VALUES {qt_vals}
+), cand{i} AS (
+  SELECT dft.term, dft.df, qt{i}.qterm,
+         levenshtein(dft.term, qt{i}.qterm) AS distance
+  FROM dft, qt{i}
+  WHERE abs(length(dft.term) - length(qt{i}.qterm)) <= qt{i}.band
+    AND levenshtein(dft.term, qt{i}.qterm) <= qt{i}.band{pref}
+), exp{i} AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (
+      PARTITION BY qterm ORDER BY distance, df DESC, term) AS rnk
+    FROM cand{i}
+  ) WHERE rnk <= {max_expansions}
+)"""
+        )
+        srcs.append(f"SELECT term FROM exp{i}")
+    if exact_terms:
+        srcs.append(
+            " UNION ALL ".join(
+                f"SELECT {_sql_lit(t)} AS term" for t in exact_terms
+            )
+        )
+    sel = f"sel{i} AS (SELECT DISTINCT term FROM ({' UNION ALL '.join(srcs)}))"
+    parts.append(sel)
+    return ", ".join(parts), f"sel{i}"
+
+
+def sql_bool_search(
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    must=(),
+    should=(),
+    must_not=(),
+    filter=(),
+    minimum_should_match: int | None = None,
+    k: int = 10,
+) -> str:
+    """DuckDB SQL reproducing :func:`bool_search` exactly — one CTE per
+    clause with the identical score arithmetic (round 6 per clause, boost,
+    round 4 on the combined sum), the same msm/must counting, membership
+    via one preds CTE over the shared token arrays."""
+    must, should = list(must), list(should)
+    must_not, filter = list(must_not), list(filter)
+    if not (must or should or filter):
+        raise ValueError("bool query needs at least one must/should/filter clause")
+    msm = (
+        minimum_should_match
+        if minimum_should_match is not None
+        else default_msm(must, should, filter)
+    )
+    scored = [("must", c) for c in must] + [("should", c) for c in should]
+
+    ctes = [_sql_tf_prelude(table, id_col, text_col)]
+    clause_sel = []  # (cte_name, kind)
+    for i, (kind, clause) in enumerate(scored):
+        key = _clause_key(clause, _SCORED_KEYS)
+        boost = float(clause.get("boost", 1.0))
+        name = f"c{i}"
+        if key == "match":
+            terms = sorted(set(query_terms(clause["match"])))
+            lits = ", ".join(_sql_lit(t) for t in terms)
+            ctes.append(
+                f"""{name} AS (
+  SELECT tf.doc_id, sum({_sql_term_score()}) * {boost!r} AS bscore
+  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+  WHERE tf.term IN ({lits})
+  GROUP BY tf.doc_id
+)"""
+            )
+        elif key == "fuzzy":
+            sel_ctes, sel_name = _sql_fuzzy_sel_ctes(i, clause)
+            ctes.append(sel_ctes)
+            ctes.append(
+                f"""{name} AS (
+  SELECT tf.doc_id, sum({_sql_term_score()}) * {boost!r} AS bscore
+  FROM tf JOIN {sel_name} ON tf.term = {sel_name}.term
+  JOIN dft ON tf.term = dft.term CROSS JOIN stats
+  GROUP BY tf.doc_id
+)"""
+            )
+        elif key == "phrase":
+            terms = query_terms(clause["phrase"])
+            m = len(terms)
+            ctes.append(
+                f"""ph{i} AS (
+  SELECT doc_id, dl,
+         len(list_filter(range(1, len(toks) - {m} + 2),
+             i -> {_sql_phrase_conds(terms)})) AS pf
+  FROM base2 WHERE len(toks) >= {m}
+), ph{i}m AS (SELECT doc_id, dl, pf FROM ph{i} WHERE pf > 0),
+ph{i}df AS (SELECT count(*) AS df FROM ph{i}m),
+{name} AS (
+  SELECT doc_id,
+         ln(1.0 + (stats.n_docs - ph{i}df.df + 0.5) / (ph{i}df.df + 0.5))
+           * (pf * ({BM25_K1} + 1))
+           / (pf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl
+              / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+           * {boost!r} AS bscore
+  FROM ph{i}m CROSS JOIN ph{i}df CROSS JOIN stats
+)"""
+            )
+        else:  # prefix
+            pred = (
+                "len(list_filter(toks, x -> x LIKE "
+                + _sql_lit(clause["prefix"] + "%")
+                + ")) > 0"
+            )
+            ctes.append(
+                f"""{name} AS (
+  SELECT doc_id, CAST(1.0 * {boost!r} AS DOUBLE) AS bscore
+  FROM base2 WHERE {pred}
+)"""
+            )
+        clause_sel.append((name, kind))
+
+    if clause_sel:
+        union = " UNION ALL ".join(
+            f"SELECT doc_id, bscore, '{kind}' AS kind FROM {name}"
+            for name, kind in clause_sel
+        )
+        ctes.append(
+            f"""u AS ({union}),
+agg AS (
+  SELECT doc_id, round(sum(bscore), 4) AS score,
+         count(CASE WHEN kind = 'must' THEN 1 END) AS n_must,
+         count(CASE WHEN kind = 'should' THEN 1 END) AS n_should
+  FROM u GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, score FROM agg
+  WHERE n_must = {len(must)} AND n_should >= {msm}
+)"""
+        )
+    else:
+        ctes.append(
+            "hits AS (SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM base2)"
+        )
+
+    where = ""
+    if filter or must_not:
+        pred_cols = ", ".join(
+            [f"{_sql_member_pred(c)} AS f{i}" for i, c in enumerate(filter)]
+            + [f"{_sql_member_pred(c)} AS m{i}" for i, c in enumerate(must_not)]
+        )
+        ctes.append(
+            f"preds AS (SELECT doc_id, {pred_cols} FROM base2)"
+        )
+        conds = [f"preds.f{i}" for i in range(len(filter))] + [
+            f"NOT preds.m{i}" for i in range(len(must_not))
+        ]
+        where = (
+            "\nJOIN preds ON hits.doc_id = preds.doc_id\nWHERE "
+            + " AND ".join(conds)
+        )
+
+    return f"""
+WITH {', '.join(ctes)}
+SELECT hits.doc_id, hits.score FROM hits{where}
+ORDER BY score DESC, hits.doc_id LIMIT {k}
+"""

@@ -164,6 +164,10 @@ from pandemic_knowledge_spark.operators.joins import (
     multikey_lookup_join,
     semi_join_hits,
 )
+from pandemic_knowledge_spark.operators.boolquery import (
+    bool_search,
+    sql_bool_search,
+)
 from pandemic_knowledge_spark.operators.search import (
     build_positional_postings,
     fuzzy_match_search,
@@ -3092,6 +3096,61 @@ def search_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SearchIndex.build(d, "doc_id", "text", cache=False).save(path)
     idx = SearchIndex.load(spark, path)
     return idx.suggest(_SUGGEST_TERM, max_edits=2, prefix_length=1, k=5)
+
+
+# The reference's own query shape is a bool query — its queryBuilder wraps
+# every search as bool.filter[multi_match ...] (SearchUI.js:15-33) and each
+# Searchkit facet adds one more clause. These two rows cover all five
+# clause forms (match/term/phrase/prefix/fuzzy) across all four occurrence
+# contexts (must/should/must_not/filter) plus boosts and msm.
+_BOOL_DOOR = dict(
+    must=[{"match": "spark stream"}],
+    should=[{"match": "window join", "boost": 2.0}],
+    filter=[{"term": "table"}],
+    must_not=[{"term": "vector"}],
+    k=10,
+)
+_BOOL_MSM = dict(
+    should=[
+        {"fuzzy": "sparc strean"},
+        {"phrase": "fast scan", "boost": 1.5},
+        {"prefix": "quer", "boost": 0.5},
+    ],
+    minimum_should_match=2,
+    k=10,
+)
+
+
+@q(
+    "search_bool_door",
+    bench=True,
+    oracle=sql_bool_search("documents", "doc_id", "text", **_BOOL_DOOR),
+)
+def search_bool_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — the composed ES ``bool`` door (r8-verdict task #1): a scored
+    must (multi-term BM25) plus a boosted should, gated by a term filter
+    and a must_not — the Searchkit query + facet shape. One shared TF
+    scan scores both match clauses; filter/must_not compile into a single
+    predicate scan joined once; combine = one union + one keyed groupBy →
+    top-k (operators.boolquery.bool_search)."""
+    return bool_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text", **_BOOL_DOOR
+    )
+
+
+@q(
+    "search_bool_msm",
+    oracle=sql_bool_search("documents", "doc_id", "text", **_BOOL_MSM),
+)
+def search_bool_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — bool `should` panel with ``minimum_should_match=2`` across
+    three different clause families (fuzzy AUTO-band expansion, exact
+    phrase as a pseudo-term, constant-score prefix): a doc needs any two
+    to qualify, and its score is the boosted sum of whichever it matched
+    (operators.boolquery.bool_search)."""
+    return bool_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text", **_BOOL_MSM
+    )
 
 
 # TPC-H nation name → ISO 3166-1 alpha-2 (public data); nations without an

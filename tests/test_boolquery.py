@@ -1,0 +1,193 @@
+"""The composed ES bool-query door (operators.boolquery): combination
+semantics on synthetic corpora, oracle parity for the catalog shapes,
+the Engine facade, and the 100 TB plan gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.engine import Engine
+from pandemic_knowledge_spark.operators.boolquery import (
+    bool_search,
+    default_msm,
+    sql_bool_search,
+)
+from tests.oracle_harness import compare_query
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+# ------------------------------------------------------------- semantics
+
+
+def test_must_is_an_intersection(spark):
+    d = _docs(spark, [(1, "apple banana"), (2, "apple"), (3, "banana")])
+    out = bool_search(
+        d, "doc_id", "text",
+        must=[{"match": "apple"}, {"match": "banana"}],
+    )
+    assert _ids(out) == [1]
+
+
+def test_minimum_should_match_counts_matched_clauses(spark):
+    d = _docs(
+        spark,
+        [(1, "apple banana cherry"), (2, "apple banana"), (3, "apple"), (4, "kiwi")],
+    )
+    out = bool_search(
+        d, "doc_id", "text",
+        should=[{"match": "apple"}, {"match": "banana"}, {"match": "cherry"}],
+        minimum_should_match=2,
+    )
+    assert _ids(out) == [1, 2]
+
+
+def test_pure_should_defaults_to_msm_1_and_must_relaxes_it(spark):
+    d = _docs(spark, [(1, "apple"), (2, "kiwi")])
+    assert default_msm([], [{"match": "x"}], []) == 1
+    assert default_msm([{"match": "y"}], [{"match": "x"}], []) == 0
+    # pure should: non-matching doc 2 excluded
+    out = bool_search(d, "doc_id", "text", should=[{"match": "apple"}])
+    assert _ids(out) == [1]
+    # with a must clause, should becomes purely additive: doc 2 qualifies
+    # through the must even though it matches no should clause
+    out = bool_search(
+        d, "doc_id", "text",
+        must=[{"match": "apple kiwi"}], should=[{"match": "apple"}],
+    )
+    assert _ids(out) == [1, 2]
+
+
+def test_filter_and_must_not_gate_without_scoring(spark):
+    d = _docs(
+        spark,
+        [(1, "apple pie"), (2, "apple tart"), (3, "apple pie poison")],
+    )
+    out = bool_search(
+        d, "doc_id", "text",
+        must=[{"match": "apple"}],
+        filter=[{"term": "pie"}],
+        must_not=[{"term": "poison"}],
+    )
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert sorted(rows) == [1]
+    # filter-only: qualifying docs come back with score exactly 0.0
+    out0 = bool_search(d, "doc_id", "text", filter=[{"term": "pie"}])
+    assert {(r["doc_id"], r["score"]) for r in out0.collect()} == {
+        (1, 0.0), (3, 0.0)
+    }
+
+
+def test_boost_scales_a_clause_linearly(spark):
+    d = _docs(spark, [(1, "apple banana"), (2, "banana banana")])
+    base = bool_search(d, "doc_id", "text", should=[{"match": "apple"}])
+    boosted = bool_search(
+        d, "doc_id", "text", should=[{"match": "apple", "boost": 2.0}]
+    )
+    s0 = {r["doc_id"]: r["score"] for r in base.collect()}
+    s2 = {r["doc_id"]: r["score"] for r in boosted.collect()}
+    assert s2[1] == pytest.approx(2 * s0[1], abs=2e-4)
+
+
+def test_prefix_clause_is_constant_score(spark):
+    d = _docs(spark, [(1, "application apple"), (2, "banana")])
+    out = bool_search(
+        d, "doc_id", "text", should=[{"prefix": "app", "boost": 3.0}]
+    )
+    assert {(r["doc_id"], r["score"]) for r in out.collect()} == {(1, 3.0)}
+
+
+def test_phrase_clause_requires_adjacency(spark):
+    d = _docs(spark, [(1, "new york city"), (2, "york new haven")])
+    out = bool_search(d, "doc_id", "text", should=[{"phrase": "new york"}])
+    assert _ids(out) == [1]
+
+
+def test_clause_validation():
+    with pytest.raises(ValueError, match="at least one"):
+        sql_bool_search("documents", "doc_id", "text", must_not=[{"term": "x"}])
+    with pytest.raises(ValueError, match="exactly one"):
+        sql_bool_search(
+            "documents", "doc_id", "text",
+            must=[{"match": "a", "phrase": "b"}],
+        )
+
+
+def test_empty_match_clause_raises(spark):
+    d = _docs(spark, [(1, "apple")])
+    with pytest.raises(ValueError, match="tokenizable"):
+        bool_search(d, "doc_id", "text", must=[{"match": "!!!"}])
+
+
+# ---------------------------------------------------------- oracle parity
+
+_DOOR = dict(
+    must=[{"match": "spark stream"}],
+    should=[{"match": "window join", "boost": 2.0}],
+    filter=[{"term": "table"}],
+    must_not=[{"term": "vector"}],
+    k=10,
+)
+
+_ALL_TYPES = dict(
+    must=[{"fuzzy": "sparc strean"}],
+    should=[{"phrase": "big table"}, {"prefix": "quer", "boost": 0.5}],
+    filter=[{"prefix": "val"}],
+    must_not=[{"phrase": "slow slow"}],
+    k=10,
+)
+
+
+@pytest.mark.parametrize("spec", [_DOOR, _ALL_TYPES], ids=["door", "all_types"])
+def test_bool_search_matches_duckdb(spark, sf_dir, spec):
+    from pandemic_knowledge_spark.tables import load
+
+    fn = lambda s, d: bool_search(load(s, d, "documents"), "doc_id", "text", **spec)
+    problems, _n = compare_query(
+        spark, sf_dir, fn, sql_bool_search("documents", "doc_id", "text", **spec)
+    )
+    assert problems == []
+
+
+# ----------------------------------------------------------------- facade
+
+
+def test_engine_facade_combines_fuzzy_phrase_filter_must_not(spark, sf_dir):
+    """The r8-verdict composition: every clause type through Engine.bool_search
+    equals the operator called directly on the same table."""
+    eng = Engine(spark, sf_dir)
+    via_engine = eng.bool_search(k=10, **{k: v for k, v in _ALL_TYPES.items() if k != "k"})
+    direct = bool_search(eng.table("documents"), "doc_id", "text", **_ALL_TYPES)
+    assert [tuple(r) for r in via_engine.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+
+
+# -------------------------------------------------------------- plan gates
+
+
+def test_bool_plan_has_no_cartesian_and_bounded_topk(spark, sf_dir):
+    """The combine is a union + one keyed groupBy + TakeOrderedAndProject;
+    the one-row stats crossJoin lives INSIDE the checkpointed TF build, so
+    the final plan carries no nested-loop join at all, and membership
+    clauses compile to one predicate scan, not per-clause joins."""
+    from pandemic_knowledge_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    out = bool_search(d, "doc_id", "text", **_DOOR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+    # all filter/must_not membership tests ride ONE scan: exactly one
+    # parquet scan of documents outside the checkpointed TF frame
+    assert plan.count("Scan parquet") == 1
