@@ -115,6 +115,32 @@ class Engine:
             out = out.withColumn("highlighted", highlight(text_col, query))
         return out.orderBy(F.desc("score"), id_col)
 
+    def search_after(
+        self,
+        query: str,
+        cursor: tuple | None = None,
+        k: int = 8,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        use_index: bool = True,
+    ) -> DataFrame:
+        """ES ``search_after`` — deep pagination by keyset cursor instead
+        of from/size: pass the (score, doc_id) of the previous page's last
+        hit (None = first page) and get the next k hits strictly past it
+        in the total (score DESC, doc_id) order. Unlike :meth:`search`'s
+        offset form (which, like ES from/size, re-ranks the whole
+        (page+1)·k prefix every page), the cursor predicate prunes before
+        the top-k heaps, so page 1000 costs the same as page 1 — ES's own
+        scale idiom for deep result sets."""
+        if use_index:
+            return self.search_index(table, id_col, text_col).search(
+                query, k=k, after=cursor
+            )
+        return bm25_search(
+            self.table(table), id_col, text_col, query, k=k, after=cursor
+        )
+
     def more_like_this(
         self,
         doc_id,

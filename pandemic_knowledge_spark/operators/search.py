@@ -118,11 +118,13 @@ def bm25_search(
     text_col: str,
     query: str,
     k: int = 10,
+    after: tuple | None = None,
 ) -> DataFrame:
     """BM25 top-k: (doc_id, score) for docs matching >= 1 query term.
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson-Sparck Jones, the
-    Lucene/ES formula]; tf component uses k1=1.2, b=0.75.
+    Lucene/ES formula]; tf component uses k1=1.2, b=0.75. ``after`` is the
+    ES search_after keyset cursor (see :func:`_bm25_score_agg`).
     """
     q_terms = sorted(set(query_terms(query)))
     base = docs.select(
@@ -156,12 +158,7 @@ def bm25_search(
             / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 4).alias("score"))
-        .orderBy(F.desc("score"), F.col("doc_id"))
-        .limit(k)
-    )
+    return _bm25_score_agg(scored, k, after=after)
 
 
 def _fields_tf(docs, id_col: str, field_cols: list[str], q_terms: list[str]):
@@ -1186,6 +1183,27 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def sql_search_after(
+    table: str, id_col: str, text_col: str, query: str, k: int, page: int
+) -> str:
+    """DuckDB oracle for search_after page ``page`` (0-based): because the
+    (score DESC, doc_id) sort is TOTAL (doc_id unique), the keyset-cursor
+    page is exactly rows page·k+1 … (page+1)·k of the ranked frame — the
+    oracle states the rank-window definition, the Spark side navigates by
+    cursor; hash equality proves keyset ≡ offset semantics."""
+    inner = sql_bm25_search(table, id_col, text_col, query, k=(page + 1) * k)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM ({inner.strip().rstrip()})
+)
+SELECT doc_id, score FROM ranked
+WHERE rnk > {page * k}
+ORDER BY score DESC, doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Persisted inverted index (SURVEY.md §4.2 — the ES index analogue)
 # ---------------------------------------------------------------------------
@@ -1234,14 +1252,24 @@ def build_postings(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFra
     return postings, stats
 
 
-def _bm25_score_agg(scored: DataFrame, k: int) -> DataFrame:
-    """Shared tail of every postings scorer: per-doc score sum → top-k."""
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 4).alias("score"))
-        .orderBy(F.desc("score"), F.col("doc_id"))
-        .limit(k)
+def _bm25_score_agg(scored: DataFrame, k: int, after: tuple | None = None) -> DataFrame:
+    """Shared tail of every postings scorer: per-doc score sum → top-k.
+
+    ``after`` = (score, doc_id) keyset cursor — ES ``search_after``: keep
+    only rows strictly past the cursor in the total (score DESC, doc_id)
+    order, THEN top-k. Unlike from/size (the :meth:`Engine.search` offset
+    form), page N never re-ranks the N·k prefix: the cursor predicate
+    prunes before the top-k heaps, so every page costs the same."""
+    out = scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 4).alias("score")
     )
+    if after is not None:
+        c_score, c_id = after
+        out = out.where(
+            (F.col("score") < F.lit(c_score))
+            | ((F.col("score") == F.lit(c_score)) & (F.col("doc_id") > F.lit(c_id)))
+        )
+    return out.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
 
 
 def _term_score(idf, tf, dl, avgdl):
@@ -1260,7 +1288,8 @@ PROBE_WINDOW_MAX_BYTES = 64 << 20
 
 
 def bm25_from_postings(
-    postings: DataFrame, stats, query: str, k: int = 10
+    postings: DataFrame, stats, query: str, k: int = 10,
+    after: tuple | None = None,
 ) -> DataFrame:
     """BM25 top-k scored ENTIRELY from the posting tables — no corpus scan,
     no tokenize. Identical output to :func:`bm25_search` (same tf/dl/df/
@@ -1308,11 +1337,12 @@ def bm25_from_postings(
             _term_score(F.col("idf"), F.col("tf"), F.col("dl"), F.col("avgdl")),
         )
     )
-    return _bm25_score_agg(scored, k)
+    return _bm25_score_agg(scored, k, after=after)
 
 
 def bm25_from_postings_small(
-    postings: DataFrame, n_docs: int, sum_dl: int, query: str, k: int = 10
+    postings: DataFrame, n_docs: int, sum_dl: int, query: str, k: int = 10,
+    after: tuple | None = None,
 ) -> DataFrame:
     """Interactive small-candidate probe tier: df via ``count() OVER
     (PARTITION BY term)`` in the SAME scan — one job, no broadcast round
@@ -1340,7 +1370,7 @@ def bm25_from_postings_small(
         p.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .withColumn("term_score", _term_score(idf, F.col("tf"), F.col("dl"), avgdl))
     )
-    return _bm25_score_agg(scored, k)
+    return _bm25_score_agg(scored, k, after=after)
 
 
 def _layout_fingerprint(frame: DataFrame, subdir: str) -> str:
@@ -1612,7 +1642,8 @@ class SearchIndex:
             positional=positional,
         )
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
+    def search(self, query: str, k: int = 10,
+               after: tuple | None = None) -> DataFrame:
         """Probe: identical scores from either tier; the tier only changes
         the physical shape. A small loaded index (interactive sessions)
         takes the single-scan window tier — one job per probe; a large or
@@ -1622,7 +1653,9 @@ class SearchIndex:
         whole-index estimate stored at load (conservative: a big index
         with a rare-term query still takes the safe tier — correct either
         way, and the per-probe cost of estimating the pruned subset would
-        exceed the saving)."""
+        exceed the saving). ``after`` = the ES search_after keyset cursor
+        (score, doc_id) of the previous page's last hit — deep pagination
+        without the from/size prefix re-rank (:func:`_bm25_score_agg`)."""
         if self.stats_scalars is not None:
             thresh = int(
                 self.postings.sparkSession.conf.get(
@@ -1632,10 +1665,12 @@ class SearchIndex:
             if self.index_bytes is not None and self.index_bytes < thresh:
                 n_docs, sum_dl = self.stats_scalars
                 return bm25_from_postings_small(
-                    self.postings, n_docs, sum_dl, query, k=k
+                    self.postings, n_docs, sum_dl, query, k=k, after=after
                 )
-            return bm25_from_postings(self.postings, self.stats_scalars, query, k=k)
-        return bm25_from_postings(self.postings, self.stats, query, k=k)
+            return bm25_from_postings(
+                self.postings, self.stats_scalars, query, k=k, after=after
+            )
+        return bm25_from_postings(self.postings, self.stats, query, k=k, after=after)
 
     def more_like_this(
         self,
@@ -1755,12 +1790,28 @@ class SearchIndex:
             positional = self.positional.unionByName(
                 build_positional_postings(docs, id_col, text_col)
             )
-        # vocab of the merged index would need a re-count over old ∪ new
-        # (df is not unionable); leave it None — probes fall back to the
-        # postings aggregate, and a save() re-derives it persistently.
+        vocab = None
+        if self.vocab is not None:
+            # per-term df IS summable here: the anti-join guard above
+            # guarantees old and new doc sets are disjoint, so each (term,
+            # doc) posting row lands in exactly one side — union the old
+            # dictionary with the batch term counts and sum, exactly as
+            # the persisted :meth:`append_save` path does. (r8 shipped
+            # with vocab=None on a wrong "df is not unionable" rationale,
+            # which silently sent merged-index fuzzy/suggest probes back
+            # to the full-postings aggregate the sidecar exists to kill.)
+            vocab = (
+                self.vocab.select("term", "df")
+                .unionByName(
+                    new_p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+                )
+                .groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"))
+                .withColumn("tlen", F.length("term"))
+            )
         return SearchIndex(
             self.postings.unionByName(new_p), stats, doc_ids=doc_ids,
-            positional=positional,
+            vocab=vocab, positional=positional,
         )
 
     @classmethod

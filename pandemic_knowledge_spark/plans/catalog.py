@@ -189,6 +189,7 @@ from pandemic_knowledge_spark.operators.search import (
     sql_bm25_search,
     sql_bm25_search_cross_fields,
     sql_bm25_search_fields,
+    sql_search_after,
     sql_tfidf_keywords,
     tfidf_keywords,
 )
@@ -3151,6 +3152,26 @@ def search_bool_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bool_search(
         load(spark, sf_dir, "documents"), "doc_id", "text", **_BOOL_MSM
     )
+
+
+@q(
+    "search_after_page",
+    oracle=sql_search_after("documents", "doc_id", "text", _BM25_QUERY, 10, 1),
+)
+def search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``search_after`` deep pagination (r8-verdict task #4): the
+    Spark side navigates by KEYSET — collect page 1's last (score, doc_id)
+    (one bounded k-row collect) and fetch the next page strictly past that
+    cursor; the oracle states the same page as rank-window rows k+1…2k.
+    Hash equality proves cursor ≡ offset semantics on the total
+    (score DESC, doc_id) order, while the cursor plan never re-ranks the
+    prefix — the predicate prunes before the top-k heaps, so page N costs
+    page 1 (operators.search._bm25_score_agg; plan gate in
+    tests/test_search_after.py)."""
+    d = load(spark, sf_dir, "documents")
+    page1 = bm25_search(d, "doc_id", "text", _BM25_QUERY, k=10).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    return bm25_search(d, "doc_id", "text", _BM25_QUERY, k=10, after=cursor)
 
 
 # TPC-H nation name → ISO 3166-1 alpha-2 (public data); nations without an
