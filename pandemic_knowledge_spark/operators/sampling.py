@@ -119,6 +119,35 @@ def fixed_n_per_stratum(
     )
 
 
+def diversified_sample(
+    df: DataFrame,
+    key: Column,
+    diversity_col: str,
+    max_per_value: int,
+    shard_size: int,
+    salt: str,
+) -> DataFrame:
+    """ES ``diversified_sampler``: a bounded sample for downstream child
+    aggs with at most ``max_per_value`` rows per ``diversity_col`` value —
+    the de-bias knob that stops one prolific author/user dominating an
+    exploratory panel. Made deterministic (ES samples by shard-local score
+    order; a distributed engine needs partition-order independence): rows
+    rank by the salted md5 hash of ``key`` both within each diversity
+    value (the per-value cap — :func:`fixed_n_per_stratum`) and globally
+    (the ``shard_size`` cut, ES's single-logical-shard equivalent), so the
+    same rows are chosen on any cluster, any partitioning, both engines.
+    ``sampler`` (the undiversified variant) is this with
+    ``max_per_value >= shard_size``.
+
+    Scale shape: one shuffle on the diversity column for the capped rank,
+    then a TakeOrderedAndProject top-``shard_size`` (bounded — never a
+    global sort), then whatever child agg the caller runs on the
+    ≤ shard_size rows."""
+    capped = fixed_n_per_stratum(df, key, diversity_col, max_per_value, salt)
+    h = md5_int(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return capped.orderBy(h.asc(), key.asc()).limit(shard_size)
+
+
 def budget_mixture_sample(
     df: DataFrame,
     key: Column,

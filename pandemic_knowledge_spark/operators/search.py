@@ -1554,7 +1554,7 @@ class SearchIndex:
             self.doc_ids.count()
         return self
 
-    def save(self, path: str) -> "SearchIndex":
+    def save(self, path: str, timings: dict | None = None) -> "SearchIndex":
         """Persist parquet: postings partitioned by term bucket and sorted
         by term within each partition file (row-group min/max pruning),
         the positional postings when this is a positional build (same
@@ -1562,7 +1562,16 @@ class SearchIndex:
         sidecars (vocab / doc_ids / meta — meta carries the per-artifact
         file fingerprints and is written LAST, so a crash anywhere here
         leaves a mismatch that :meth:`load` repairs — or, for the
-        non-derivable positional artifact, loudly disables)."""
+        non-derivable positional artifact, loudly disables).
+
+        ``timings``: pass a dict to get the per-tier wall seconds recorded
+        into it (``postings_sec`` / ``positions_sec`` / ``sidecars_sec``)
+        — bench instrumentation (r8 verdict watch item: the r8 sidecar +
+        positional tiers tripled build_save; the split shows which tier
+        moves, from the one code path that actually runs)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         (
             self.postings.repartition("bucket")
             .sortWithinPartitions("term")
@@ -1570,6 +1579,7 @@ class SearchIndex:
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
         )
+        t1 = _time.perf_counter()
         spark = self.postings.sparkSession
         pos_fp = None
         if self.positional is not None:
@@ -1583,10 +1593,15 @@ class SearchIndex:
             pos_fp = _layout_fingerprint(
                 spark.read.parquet(f"{path}/positions"), "positions"
             )
+        t2 = _time.perf_counter()
         _write_index_sidecars(
             spark, path, spark.read.parquet(f"{path}/postings"),
             pos_fingerprint=pos_fp,
         )
+        if timings is not None:
+            timings["postings_sec"] = round(t1 - t0, 3)
+            timings["positions_sec"] = round(t2 - t1, 3)
+            timings["sidecars_sec"] = round(_time.perf_counter() - t2, 3)
         return self
 
     @classmethod

@@ -3714,6 +3714,58 @@ def agg_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIVSAMP_HASH = md5_int_expr("concat('divsamp:', CAST(event_id AS VARCHAR))")
+
+
+@q(
+    "agg_diversified_sampler",
+    oracle=f"""
+WITH capped AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY {_DIVSAMP_HASH} ASC, event_id ASC
+         ) AS rk
+  FROM events
+), shard AS (
+  SELECT event_type, value FROM capped WHERE rk <= 2
+  ORDER BY {_DIVSAMP_HASH} ASC, event_id ASC LIMIT 200
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
+       round(CAST({sql_cents_sum('value')} AS DOUBLE) / 100.0 / count(*), 4)
+         AS avg_value
+FROM shard GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``diversified_sampler`` (the last sampler variant after r8's
+    random_sampler): child aggs run over a bounded sample holding at most
+    max_docs_per_value=2 events per user — the de-bias knob against one
+    prolific user dominating an exploratory panel — cut to shard_size=200
+    by the same salted-hash order (operators.sampling.diversified_sample;
+    deterministic where ES is shard-score-order dependent, so both engines
+    choose the same rows). Child agg here = the typical terms+avg panel
+    (per event_type: doc_count, avg value via exact cents). Plan: one
+    user_id window shuffle for the cap, a TakeOrderedAndProject top-200,
+    then a ≤200-row agg."""
+    from pandemic_knowledge_spark.operators.sampling import diversified_sample
+
+    ev = load(spark, sf_dir, "events")
+    shard = diversified_sample(
+        ev, F.col("event_id"), "user_id", max_per_value=2, shard_size=200,
+        salt="divsamp",
+    )
+    return (
+        shard.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(
+                cents_sum("value").cast("double") / 100.0 / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @q(
     "agg_change_point",
     oracle=f"""
@@ -6580,16 +6632,82 @@ BENCH_QUERY_NAMES.extend(
 # already proven green in a previous round's CORRECTNESS_r*.json rotate to
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
-# The rows left out of the r8 window whose newest evidence is r5 — the
-# stalest green rows after this rotation (everything else is r6+). They
-# MUST lead the r9 window (after r9's own new/changed rows): zero-argument
-# `python scripts/window_rotate.py` emits it. Families keep fresher
-# in-window coverage meanwhile: the TPC-H q* relational core shares its
-# machinery with the in-window agg_*/sql_door_* rows, search_fields_indexed
-# / search_page_indexed with search_fuzzy_indexed + search_suggest_indexed
-# (this round's sidecar probes), the stream_* pair with stream_session_5m
-# (r7) and the streaming pytest suite.
+# The rows left out of the r9 window whose newest evidence is r6 — the
+# stalest green cohort after this rotation (everything else is r7+). They
+# MUST lead the r10 window (after r10's own new/changed rows):
+# zero-argument `python scripts/window_rotate.py` emits it. Families keep
+# fresher in-window coverage meanwhile: the search_* corpus-scan rows
+# share scorers with this round's bool-door/search_after rows, the
+# sql_door trio with the in-window TPC-H q* core, the sketch/timeseries
+# rows with their r7-green siblings.
 _NEXT_WINDOW_IOUS = [
+    "agg_significant_terms",
+    "agg_stats_moments",
+    "anti_join_misses",
+    "bpe_encode_docs",
+    "bpe_learn_merges",
+    "chunk_documents_grid",
+    "corpus_training_prep",
+    "crawl_news_fixture_conform",
+    "dedup_cluster_reps_star",
+    "dedup_corpus_lines",
+    "dedup_ngram_containment",
+    "dedup_url_canonical",
+    "dim_broadcast_enrich",
+    "emb_kmeans_clusters",
+    "epi_rt_daily",
+    "funnel_signup_view_purchase",
+    "fuzzy_dim_match_nations",
+    "geo_distance_rings",
+    "ingest_owid_conform_fixture",
+    "io_partitioned_roundtrip",
+    "iso_code_enrich",
+    "lm_score_docs",
+    "multimodal_media_features",
+    "privacy_k_anonymize",
+    "profile_drift_psi",
+    "range_join_value_brackets",
+    "sample_dsir_rank",
+    "sample_fixed_per_stratum",
+    "sample_upsample_epochs",
+    "scd2_incremental_merge",
+    "scd2_snapshot_asof",
+    "search_hybrid_rrf",
+    "search_more_like_this",
+    "search_prefix_type_ahead",
+    "search_term_suggest",
+    "sketch_hll_range_rollup",
+    "sketch_quantile_rollup",
+    "sql_door_doc_profile",
+    "sql_door_monthly_orders",
+    "sql_door_nation_revenue",
+    "text_collocations_pmi",
+    "text_quality_classifier",
+    "text_search_bm25_fields",
+    "text_tfidf_keywords",
+    "timeseries_gapfill_ffill",
+    "timeseries_rolling_active",
+    "window_range_7day_avg",
+]
+
+_DRIVER_PRIORITY = [
+    # ROUND-9 WINDOW (50 slots) — the zero-argument
+    # scripts/window_rotate.py proposal verbatim (r8 verdict task #2):
+    # this round's 4 NEVER-CHECKED rows lead (the composed bool-query
+    # door ×2, search_after keyset pagination, diversified_sampler),
+    # then ALL 43 r8-declared IOUs — the cohort whose newest evidence
+    # was r5, the oldest outstanding (the full TPC-H q1–q22 relational
+    # core, the winnow/ngram/semantic dedup family, the sampling/
+    # privacy/decontamination pipeline rows, the two indexed search
+    # pages, the two streaming rows) — then the 3 stalest r6 rows that
+    # fit. After this round no catalog row's newest green evidence is
+    # older than r6; the 47 remaining r6 rows are declared above as the
+    # r10 debt (_NEXT_WINDOW_IOUS).
+    "search_bool_door",            # NEW r9: composed bool door (verdict #1)
+    "search_bool_msm",             # NEW r9: bool should-panel w/ msm=2
+    "search_after_page",           # NEW r9: keyset pagination (verdict #4)
+    "agg_diversified_sampler",     # NEW r9: ES diversified_sampler (verdict #7)
+    # --- the 43 r8-declared IOUs (newest evidence r5) ---
     "decontaminate_train_split",
     "dedup_cluster_reps",
     "dedup_ngram_jaccard",
@@ -6633,79 +6751,10 @@ _NEXT_WINDOW_IOUS = [
     "stream_dedup_first",
     "stream_near_dup_mark",
     "window_gap_islands",
-]
-
-_DRIVER_PRIORITY = [
-    # ROUND-8 WINDOW (50 slots) — seeded by the zero-argument
-    # scripts/window_rotate.py proposal (r7 verdict item #2), then grown
-    # as the round shipped: the 21 NEVER-CHECKED r8 queries lead (the ES
-    # aggregation/query-DSL long tail + the sidecar/positional index
-    # probes — riskiest first), then agg_pipeline_daily_delta whose
-    # SEMANTICS changed this round (min_doc_count=0 densification — its
-    # r7 evidence predates the change), then the 15 r7-declared IOUs
-    # (several are §2 primary evidence: F6/X1/X3/X5 text rows, T2
-    # window_topk, §2.11 window functions, W1 streaming windows, §2.8
-    # union_feed), then the 13 r5-stale rows that still fit,
-    # oldest-first. Every r5 row displaced by a later r8 wave is declared
-    # in _NEXT_WINDOW_IOUS above. After this round no catalog row's
-    # newest evidence is older than r5, and all 50 slots were verified
-    # green at sf0.01 with the driver-gate replica before each commit.
-    "agg_moving_percentiles",      # NEW r8: ES moving_percentiles pipeline
-    "agg_random_sampler",          # NEW r8: ES random_sampler (hash-seeded)
-    "agg_change_point",            # NEW r8: ES change_point (CUSUM variant)
-    "agg_t_test_welch",            # NEW r8: ES t_test (Welch) metric
-    "agg_geotile_grid",            # NEW r8: Kibana geotile_grid z/x/y tiles
-    "agg_top_metrics",             # NEW r8: ES top_metrics (arg-top metrics)
-    "agg_boxplot",                 # NEW r8: ES boxplot (exact quartiles)
-    "agg_range_named",             # NEW r8: ES range agg (overlapping buckets)
-    "agg_date_range",              # NEW r8: ES date_range agg (open ends)
-    "agg_multi_terms",             # NEW r8: ES multi_terms compound buckets
-    "agg_normalize_pipeline",      # NEW r8: ES normalize (pct/rescale/zscore)
-    "agg_percentiles_bucket",      # NEW r8: ES percentiles_bucket sibling
-    "agg_missing_bucket",          # NEW r8: ES missing agg (join-miss nulls)
-    "agg_cumulative_cardinality",  # NEW r8: ES cumulative_cardinality pipeline
-    "agg_bucket_selector_sort",    # NEW r8: ES bucket_selector + bucket_sort
-    "agg_filters_named",           # NEW r8: ES filters agg (named buckets)
-    "agg_weighted_avg",            # NEW r8: ES weighted_avg metric
-    "agg_serial_diff",             # NEW r8: ES serial_diff pipeline (lag 7)
-    "agg_sibling_buckets",         # NEW r8: ES max/min/avg/sum_bucket siblings
-    "agg_value_histogram",         # NEW r8: ES numeric histogram (0-gap spine)
-    "agg_string_stats",            # NEW r8: ES string_stats (+entropy)
-    "search_multi_most_fields",    # NEW r8: ES multi_match most_fields
-    "search_multi_cross_fields",   # NEW r8: ES multi_match cross_fields
-    "search_phrase_indexed",       # NEW r8: persisted positional tier probe
-    "search_fuzzy_indexed",        # NEW r8: terms-dictionary sidecar probe
-    "search_suggest_indexed",      # NEW r8: suggester over the vocab sidecar
-    "agg_top_hits_latest",         # NEW r8: ES terms + top_hits panel
-    "geo_centroid_bounds",         # NEW r8: ES geo_centroid + geo_bounds
-    "agg_pipeline_daily_delta",    # CHANGED r8: ES min_doc_count=0 spine
-    # --- the 15 r7-declared IOUs ---
-    "stream_sliding_1h30m",
-    "stream_tumbling_hourly",
-    "text_boilerplate_ngrams",
-    "text_hash_embeddings",
-    "text_lang_id",
-    "text_repetition_signals",
-    "text_search_bm25",
-    "text_search_overlap",
-    "text_stats",
-    "timeseries_corr_topk",
-    "union_feed",
-    "window_lag_delta",
-    "window_ntile_quartiles",
-    "window_running_revenue",
-    "window_topk_orders_per_cust",
-    # --- r5-stale rows, oldest-evidence-first (name-ordered) ---
-    "agg_approx_distinct_users",
-    "agg_percentile_quantity",
-    "ann_ivf_kmeans_topk",
-    "ann_pq_topk",
-    "ann_rp_lsh_multi_topk",
-    "conform_validity_audit",
-    # (the 43 remaining r5 rows are the declared r9 IOUs above —
-    #  _NEXT_WINDOW_IOUS; q14–q19 joined them when the 6 late-r8 ES-agg
-    #  rows took the last slots: the TPC-H family keeps fresher
-    #  in-window coverage via q10/q11 + the sql_door rows)
+    # --- the 3 stalest r6 rows that fit ---
+    "agg_histogram_buckets",
+    "agg_matrix_stats",
+    "agg_percentile_ranks",
 ]
 
 
