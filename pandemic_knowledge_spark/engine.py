@@ -286,6 +286,22 @@ class Engine:
             minimum_should_match=minimum_should_match, k=k,
         )
 
+    def query_string(
+        self,
+        q: str,
+        k: int = 8,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """ES ``query_string`` — the user-typed search-box mini-language
+        (`+must`, `-must_not`, `"exact phrase"`, `wildcard*`, `fuzzy~`)
+        parsed driver-side and compiled onto :meth:`bool_search`
+        (operators.boolquery.parse_query_string)."""
+        from pandemic_knowledge_spark.operators.boolquery import query_string_search
+
+        return query_string_search(self.table(table), id_col, text_col, q, k=k)
+
     # ------------------------------------------------------------ dashboards
 
     def dashboard_totals(self, facts: DataFrame, *metric_cols: str) -> DataFrame:

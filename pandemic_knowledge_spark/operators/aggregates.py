@@ -1338,3 +1338,96 @@ FROM daily d1
 JOIN daily d2 ON d2.day BETWEEN d1.day - {window - 1} AND d1.day
 GROUP BY d1.day, d1.cnt
 """
+
+
+def extended_stats_by(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    scale: int = 100,
+    sigma: float = 2.0,
+) -> DataFrame:
+    """ES ``extended_stats`` metric aggregation, grouped: per key the full
+    moment panel — count, min, max, sum, avg, sum_of_squares,
+    variance (population, ES's default ``variance``), sampling variance,
+    std_deviation and the ±``sigma`` std_deviation_bounds Kibana draws as
+    the banded overlay.
+
+    Determinism: values scale to exact integers (the cents idiom); ONE
+    grouped aggregate collects n/Σ/Σx² (map-side combined, one shuffle on
+    the key); every double assembles from those integers with the same
+    fixed expression shape as :func:`t_test_agg`, so results are
+    bit-identical on any partitioning and replay exactly in DuckDB
+    (:func:`sql_extended_stats_by`)."""
+    v = cents(F.col(value_col), scale)
+    wide = df.groupBy(key_col).agg(
+        F.count(v).alias("n"),
+        F.min(F.col(value_col)).alias("mn"),
+        F.max(F.col(value_col)).alias("mx"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = s / F.col("n") / scale
+    var_pop = (ss - s * F.col("s") / F.col("n")) / F.col("n") / (scale * scale)
+    var_samp = (ss - s * F.col("s") / F.col("n")) / (F.col("n") - 1) / (scale * scale)
+    std = F.sqrt(var_pop)
+    return wide.select(
+        F.col(key_col),
+        F.col("n").alias("doc_count"),
+        F.round("mn", 4).alias("min_value"),
+        F.round("mx", 4).alias("max_value"),
+        (s / scale).alias("sum_value"),
+        F.round(mean, 6).alias("avg_value"),
+        F.round(ss / (scale * scale), 6).alias("sum_of_squares"),
+        F.round(var_pop, 6).alias("variance"),
+        F.round(var_samp, 6).alias("variance_sampling"),
+        F.round(std, 6).alias("std_deviation"),
+        F.round(mean + sigma * std, 6).alias("std_upper"),
+        F.round(mean - sigma * std, 6).alias("std_lower"),
+    ).orderBy(key_col)
+
+
+def sql_extended_stats_by(
+    table: str, key_col: str, value_col: str, scale: int = 100,
+    sigma: float = 2.0,
+) -> str:
+    """DuckDB SQL reproducing :func:`extended_stats_by` exactly — same
+    integer moments, same fixed double expression shapes."""
+    v = f"CAST(round(({value_col}) * {scale}, 0) AS BIGINT)"
+    mean = f"(CAST(s AS DOUBLE) / n / {scale})"
+    var_pop = (
+        f"((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n"
+        f" / ({scale} * {scale}.0))"
+    )
+    var_samp = (
+        f"((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)"
+        f" / ({scale} * {scale}.0))"
+    )
+    std = f"sqrt({var_pop})"
+    return f"""
+WITH wide AS (
+  SELECT {key_col},
+         CAST(count({v}) AS BIGINT) AS n,
+         min({value_col}) AS mn,
+         max({value_col}) AS mx,
+         CAST(sum({v}) AS BIGINT) AS s,
+         CAST(sum(({v}) * ({v})) AS BIGINT) AS ss
+  FROM {table} GROUP BY {key_col}
+)
+SELECT {key_col},
+       n AS doc_count,
+       round(mn, 4) AS min_value,
+       round(mx, 4) AS max_value,
+       CAST(s AS DOUBLE) / {scale} AS sum_value,
+       round({mean}, 6) AS avg_value,
+       round(CAST(ss AS DOUBLE) / ({scale} * {scale}.0), 6) AS sum_of_squares,
+       round({var_pop}, 6) AS variance,
+       round({var_samp}, 6) AS variance_sampling,
+       round({std}, 6) AS std_deviation,
+       round({mean} + {sigma!r} * {std}, 6) AS std_upper,
+       round({mean} - {sigma!r} * {std}, 6) AS std_lower
+FROM wide ORDER BY {key_col}
+"""

@@ -63,7 +63,7 @@ groupBy shuffle, then a TakeOrderedAndProject top-k.
 
 from __future__ import annotations
 
-import math
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -225,33 +225,14 @@ def default_msm(must, should, filter) -> int:
     return 1 if (should and not must and not filter) else 0
 
 
-def bool_search(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    must=(),
-    should=(),
-    must_not=(),
-    filter=(),
-    minimum_should_match: int | None = None,
-    k: int = 10,
-) -> DataFrame:
-    """Execute a composed bool query; returns the (doc_id, score) top-k
-    page, ranked (score DESC, doc_id) like every scorer in the engine.
-    See the module docstring for clause forms and combination semantics."""
-    must, should = list(must), list(should)
-    must_not, filter = list(must_not), list(filter)
-    if not (must or should or filter):
-        raise ValueError("bool query needs at least one must/should/filter clause")
-    msm = (
-        minimum_should_match
-        if minimum_should_match is not None
-        else default_msm(must, should, filter)
-    )
+def _scored_frames(docs, id_col, text_col, scored):
+    """Compile (kind, clause) pairs into full (doc_id, bscore, kind)
+    frames — the shared front half of :func:`bool_search` and
+    :func:`dis_max_search`: one `_tf_with_stats` scan feeds every
+    match/fuzzy clause, phrase clauses fold their corpus constants to
+    literals via one bounded one-row collect (the stats_scalars idiom),
+    prefix clauses are constant_score scan-side projections."""
     spark = docs.sparkSession
-
-    scored = [("must", c) for c in must] + [("should", c) for c in should]
     needs_tf = any(
         _clause_key(c, _SCORED_KEYS) in ("match", "fuzzy") for _, c in scored
     )
@@ -263,8 +244,6 @@ def bool_search(
         tf, df_t = _tf_with_stats(docs, id_col, text_col)
     n_docs = sum_dl = None
     if needs_stats:
-        # one bounded one-row collect — the stats_scalars idiom: phrase
-        # clauses then score with literals instead of more scalar joins
         row = (
             docs.select(F.size(tokenize(text_col)).alias("dl"))
             .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
@@ -297,6 +276,36 @@ def bool_search(
                 F.lit(kind).alias("kind"),
             )
         )
+    return parts
+
+
+def bool_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    must=(),
+    should=(),
+    must_not=(),
+    filter=(),
+    minimum_should_match: int | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Execute a composed bool query; returns the (doc_id, score) top-k
+    page, ranked (score DESC, doc_id) like every scorer in the engine.
+    See the module docstring for clause forms and combination semantics."""
+    must, should = list(must), list(should)
+    must_not, filter = list(must_not), list(filter)
+    if not (must or should or filter):
+        raise ValueError("bool query needs at least one must/should/filter clause")
+    msm = (
+        minimum_should_match
+        if minimum_should_match is not None
+        else default_msm(must, should, filter)
+    )
+
+    scored = [("must", c) for c in must] + [("should", c) for c in should]
+    parts = _scored_frames(docs, id_col, text_col, scored)
 
     if parts:
         u = reduce(lambda a, b: a.unionByName(b), parts)
@@ -565,3 +574,136 @@ WITH {', '.join(ctes)}
 SELECT hits.doc_id, hits.score FROM hits{where}
 ORDER BY score DESC, hits.doc_id LIMIT {k}
 """
+
+
+# ----------------------------------------------------------------- dis_max
+
+
+def dis_max_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    clauses,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``dis_max`` compound query: a doc matching several clauses takes
+    its BEST clause score plus ``tie_breaker`` times each other matching
+    clause — ``score = max + tie_breaker · (sum − max)`` — the
+    best-single-field semantics multi_match best_fields is sugar for,
+    exposed for arbitrary clause mixes (match/phrase/prefix/fuzzy, same
+    specs as the bool door). tie_breaker=0 is pure dis-max; 1.0 degrades
+    to the bool should-sum. Same clause compilation as
+    :func:`bool_search` (one shared TF scan), one union + keyed groupBy,
+    top-k."""
+    clauses = list(clauses)
+    if not clauses:
+        raise ValueError("dis_max needs at least one clause")
+    tb = float(tie_breaker)
+    parts = _scored_frames(
+        docs, id_col, text_col, [("should", c) for c in clauses]
+    )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.max("bscore").alias("__mx"), F.sum("bscore").alias("__sm"))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("__mx") + F.lit(tb) * (F.col("__sm") - F.col("__mx")), 4
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def sql_dis_max_search(
+    table: str,
+    id_col: str,
+    text_col: str,
+    clauses,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> str:
+    """DuckDB SQL reproducing :func:`dis_max_search` exactly — the bool
+    door's per-clause CTEs with the max + tie_breaker·(sum−max) combine."""
+    clauses = list(clauses)
+    if not clauses:
+        raise ValueError("dis_max needs at least one clause")
+    tb = float(tie_breaker)
+    # reuse the bool emitter's clause CTEs by rendering a should-only bool
+    # and swapping the combine: regenerate the clause list here to keep the
+    # arithmetic in one visible place
+    bool_sql = sql_bool_search(
+        table, id_col, text_col, should=clauses, minimum_should_match=1, k=k
+    )
+    # the bool emitter ends with: u AS (...), agg AS (...), hits AS (...)
+    # SELECT ... ; splice our combine after its `u` CTE instead.
+    head, _, _ = bool_sql.partition("agg AS (")
+    head = head.rstrip().rstrip(",")
+    return f"""{head},
+dm AS (
+  SELECT doc_id,
+         round(max(bscore) + {tb!r} * (sum(bscore) - max(bscore)), 4) AS score
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, score FROM dm
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+# ------------------------------------------------------------ query_string
+
+_QS_TOKEN = re.compile(r'([+-]?)("([^"]*)"|[^\s]+)')
+
+
+def parse_query_string(q: str) -> dict:
+    """The ES ``query_string`` mini-language → bool clause lists — the
+    user-typed search-box syntax (Lucene classic syntax subset):
+
+    - ``+token``  → must clause, ``-token`` → must_not, bare → should
+    - ``"a b c"`` → exact phrase (works with +/- prefixes)
+    - ``tok*``    → prefix clause (trailing-wildcard rewrite)
+    - ``tok~``    → fuzzy clause, AUTO edit band (``-tok~`` demotes to an
+      exact-token must_not — membership clauses have no expansion set)
+    - anything else → match clause (analyzed with the corpus tokenizer)
+
+    Parsing is driver-side and deterministic, so the DuckDB oracle for a
+    query string is simply ``sql_bool_search(**parse_query_string(q))`` —
+    the parsed form IS the contract."""
+    must, should, must_not = [], [], []
+    for m in _QS_TOKEN.finditer(q):
+        sign, tok, quoted = m.group(1), m.group(2), m.group(3)
+        if quoted is not None:
+            if not query_terms(quoted):
+                continue
+            clause = {"phrase": quoted.lower()}
+        elif tok.endswith("*") and len(tok) > 1:
+            clause = {"prefix": tok[:-1].lower()}
+        elif tok.endswith("~") and len(tok) > 1:
+            if sign == "-":
+                clause = {"match": tok[:-1].lower()}
+            else:
+                clause = {"fuzzy": tok[:-1].lower()}
+        else:
+            if not query_terms(tok):
+                continue
+            clause = {"match": tok.lower()} if sign != "-" else {"term": tok.lower()}
+        if sign == "+":
+            must.append(clause)
+        elif sign == "-":
+            # membership context: match→term keeps -word exact (done
+            # above); phrase/prefix pass through unchanged
+            must_not.append(clause)
+        else:
+            should.append(clause)
+    return {"must": must, "should": should, "must_not": must_not}
+
+
+def query_string_search(
+    docs: DataFrame, id_col: str, text_col: str, q: str, k: int = 10
+) -> DataFrame:
+    """Execute an ES ``query_string`` query: parse the mini-language
+    (:func:`parse_query_string`) and run the resulting bool query."""
+    return bool_search(docs, id_col, text_col, k=k, **parse_query_string(q))

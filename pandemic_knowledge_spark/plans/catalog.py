@@ -90,6 +90,8 @@ from pandemic_knowledge_spark.operators.aggregates import (
     sql_range_agg,
     sql_t_test_agg,
     t_test_agg,
+    extended_stats_by,
+    sql_extended_stats_by,
     sibling_bucket_stats,
     sql_filters_agg,
     sql_rare_terms,
@@ -166,7 +168,11 @@ from pandemic_knowledge_spark.operators.joins import (
 )
 from pandemic_knowledge_spark.operators.boolquery import (
     bool_search,
+    dis_max_search,
+    parse_query_string,
+    query_string_search,
     sql_bool_search,
+    sql_dis_max_search,
 )
 from pandemic_knowledge_spark.operators.search import (
     build_positional_postings,
@@ -3154,6 +3160,56 @@ def search_bool_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES query_string mini-language: the user-typed search-box syntax. Parsing
+# is driver-side and deterministic, so the oracle for the string IS the
+# bool oracle of its parsed clauses — the parsed form is the contract.
+_QS_QUERY = '+spark "fast scan" quer* strean~ -vector'
+
+
+@q(
+    "search_query_string",
+    oracle=sql_bool_search(
+        "documents", "doc_id", "text", k=10, **parse_query_string(_QS_QUERY)
+    ),
+)
+def search_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``query_string``: `+spark` must-match, `"fast scan"` exact
+    phrase, `quer*` trailing-wildcard prefix, `strean~` AUTO-band fuzzy,
+    `-vector` excluded — one search-box string compiled onto the bool
+    door (operators.boolquery.parse_query_string → bool_search; same
+    one-TF-scan plan as search_bool_door)."""
+    return query_string_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _QS_QUERY, k=10
+    )
+
+
+_DIS_MAX_CLAUSES = [
+    {"match": "spark stream"},
+    {"phrase": "fast scan", "boost": 1.2},
+    {"prefix": "win"},
+]
+
+
+@q(
+    "search_dis_max",
+    oracle=sql_dis_max_search(
+        "documents", "doc_id", "text", _DIS_MAX_CLAUSES, tie_breaker=0.3, k=10
+    ),
+)
+def search_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``dis_max`` compound query with tie_breaker=0.3: a doc's
+    score is its best clause plus 0.3× each other matching clause — the
+    best-single-field semantics multi_match best_fields is sugar for,
+    over an arbitrary clause mix (BM25 match, boosted exact phrase,
+    constant-score prefix). Same shared-TF clause compilation as the bool
+    door; combine is one union + keyed groupBy with max/sum
+    (operators.boolquery.dis_max_search)."""
+    return dis_max_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        _DIS_MAX_CLAUSES, tie_breaker=0.3, k=10,
+    )
+
+
 @q(
     "search_after_page",
     oracle=sql_search_after("documents", "doc_id", "text", _BM25_QUERY, 10, 1),
@@ -3712,6 +3768,22 @@ def agg_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents_sum("value").cast("double") / 100.0 * F.lit(scale), 4
         ).alias("est_sum_value"),
     )
+
+
+@q(
+    "agg_extended_stats",
+    oracle=sql_extended_stats_by("events", "event_type", "value"),
+)
+def agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``extended_stats`` metric aggregation per event_type: the full
+    moment panel (count/min/max/sum/avg/sum_of_squares, population AND
+    sampling variance, std_deviation, the ±2σ std_deviation_bounds Kibana
+    draws as the banded overlay) from ONE grouped integer-moment
+    aggregate — exact cents Σ/Σx², fixed double expression shapes, one
+    map-side-combined shuffle on the 5-value key
+    (operators.aggregates.extended_stats_by)."""
+    ev = load(spark, sf_dir, "events")
+    return extended_stats_by(ev, "event_type", "value")
 
 
 _DIVSAMP_HASH = md5_int_expr("concat('divsamp:', CAST(event_id AS VARCHAR))")
@@ -6641,6 +6713,9 @@ BENCH_QUERY_NAMES.extend(
 # sql_door trio with the in-window TPC-H q* core, the sketch/timeseries
 # rows with their r7-green siblings.
 _NEXT_WINDOW_IOUS = [
+    "agg_histogram_buckets",
+    "agg_matrix_stats",
+    "agg_percentile_ranks",
     "agg_significant_terms",
     "agg_stats_moments",
     "anti_join_misses",
@@ -6691,22 +6766,26 @@ _NEXT_WINDOW_IOUS = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-9 WINDOW (50 slots) — the zero-argument
-    # scripts/window_rotate.py proposal verbatim (r8 verdict task #2):
-    # this round's 4 NEVER-CHECKED rows lead (the composed bool-query
-    # door ×2, search_after keyset pagination, diversified_sampler),
-    # then ALL 43 r8-declared IOUs — the cohort whose newest evidence
-    # was r5, the oldest outstanding (the full TPC-H q1–q22 relational
-    # core, the winnow/ngram/semantic dedup family, the sampling/
-    # privacy/decontamination pipeline rows, the two indexed search
-    # pages, the two streaming rows) — then the 3 stalest r6 rows that
-    # fit. After this round no catalog row's newest green evidence is
-    # older than r6; the 47 remaining r6 rows are declared above as the
-    # r10 debt (_NEXT_WINDOW_IOUS).
+    # ROUND-9 WINDOW (50 slots) — seeded by the zero-argument
+    # scripts/window_rotate.py proposal (r8 verdict task #2), then grown
+    # as the round shipped: this round's 7 NEVER-CHECKED rows lead (the
+    # composed bool-query door ×2, query_string, dis_max, search_after
+    # keyset pagination, diversified_sampler, extended_stats), then ALL
+    # 43 r8-declared IOUs — the cohort whose newest evidence was r5, the
+    # oldest outstanding (the full TPC-H q1–q22 relational core, the
+    # winnow/ngram/semantic dedup family, the sampling/privacy/
+    # decontamination pipeline rows, the two indexed search pages, the
+    # two streaming rows). After this round no catalog row's newest
+    # green evidence is older than r6; the 50 r6 rows left out (the 47
+    # never-in + the 3 fillers the late-r9 rows displaced) are declared
+    # above as the r10 debt (_NEXT_WINDOW_IOUS).
     "search_bool_door",            # NEW r9: composed bool door (verdict #1)
     "search_bool_msm",             # NEW r9: bool should-panel w/ msm=2
+    "search_query_string",         # NEW r9: query_string mini-language door
+    "search_dis_max",              # NEW r9: dis_max w/ tie_breaker
     "search_after_page",           # NEW r9: keyset pagination (verdict #4)
     "agg_diversified_sampler",     # NEW r9: ES diversified_sampler (verdict #7)
+    "agg_extended_stats",          # NEW r9: ES extended_stats moment panel
     # --- the 43 r8-declared IOUs (newest evidence r5) ---
     "decontaminate_train_split",
     "dedup_cluster_reps",
@@ -6751,10 +6830,6 @@ _DRIVER_PRIORITY = [
     "stream_dedup_first",
     "stream_near_dup_mark",
     "window_gap_islands",
-    # --- the 3 stalest r6 rows that fit ---
-    "agg_histogram_buckets",
-    "agg_matrix_stats",
-    "agg_percentile_ranks",
 ]
 
 

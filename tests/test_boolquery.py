@@ -191,3 +191,78 @@ def test_bool_plan_has_no_cartesian_and_bounded_topk(spark, sf_dir):
     # all filter/must_not membership tests ride ONE scan: exactly one
     # parquet scan of documents outside the checkpointed TF frame
     assert plan.count("Scan parquet") == 1
+
+
+# ---------------------------------------------------------------- dis_max
+
+
+def test_dis_max_takes_best_plus_tie_breaker(spark):
+    from pandemic_knowledge_spark.operators.boolquery import dis_max_search
+
+    d = _docs(spark, [(1, "apple banana"), (2, "apple"), (3, "banana")])
+    clauses = [{"match": "apple"}, {"match": "banana"}]
+    pure = {r["doc_id"]: r["score"] for r in
+            dis_max_search(d, "doc_id", "text", clauses, tie_breaker=0.0).collect()}
+    blended = {r["doc_id"]: r["score"] for r in
+               dis_max_search(d, "doc_id", "text", clauses, tie_breaker=0.5).collect()}
+    # single-clause docs: tie_breaker changes nothing
+    assert pure[2] == blended[2] and pure[3] == blended[3]
+    # the both-clause doc gains exactly half its weaker clause
+    assert blended[1] > pure[1]
+    # tie_breaker=1.0 == the bool should-sum
+    full = {r["doc_id"]: r["score"] for r in
+            dis_max_search(d, "doc_id", "text", clauses, tie_breaker=1.0).collect()}
+    summed = {r["doc_id"]: r["score"] for r in
+              bool_search(d, "doc_id", "text", should=clauses).collect()}
+    assert full == summed
+
+
+def test_dis_max_rejects_empty_clauses(spark):
+    from pandemic_knowledge_spark.operators.boolquery import dis_max_search
+
+    d = _docs(spark, [(1, "apple")])
+    with pytest.raises(ValueError, match="at least one"):
+        dis_max_search(d, "doc_id", "text", [])
+
+
+# ------------------------------------------------------------ query_string
+
+
+def test_parse_query_string_clause_mapping():
+    from pandemic_knowledge_spark.operators.boolquery import parse_query_string
+
+    p = parse_query_string('+spark "fast scan" quer* strean~ -vector -"slow slow"')
+    assert p["must"] == [{"match": "spark"}]
+    assert p["should"] == [
+        {"phrase": "fast scan"}, {"prefix": "quer"}, {"fuzzy": "strean"},
+    ]
+    assert p["must_not"] == [{"term": "vector"}, {"phrase": "slow slow"}]
+    # a negated fuzzy demotes to an exact-token exclusion
+    assert parse_query_string("-typo~")["must_not"] == [{"match": "typo"}]
+    # empty / punctuation-only tokens are dropped, case folds
+    p2 = parse_query_string('SPARK +"New York" !!!')
+    assert p2["must"] == [{"phrase": "new york"}]
+    assert p2["should"] == [{"match": "spark"}]
+
+
+def test_query_string_search_equals_bool_of_parse(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.boolquery import (
+        parse_query_string,
+        query_string_search,
+    )
+    from pandemic_knowledge_spark.tables import load
+
+    q = '+spark "fast scan" quer* -vector'
+    d = load(spark, sf_dir, "documents")
+    via_qs = query_string_search(d, "doc_id", "text", q, k=10).collect()
+    via_bool = bool_search(
+        d, "doc_id", "text", k=10, **parse_query_string(q)
+    ).collect()
+    assert [tuple(r) for r in via_qs] == [tuple(r) for r in via_bool]
+
+
+def test_engine_query_string_facade(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    out = eng.query_string('+spark -vector', k=5).collect()
+    assert len(out) == 5
+    assert all(r["score"] > 0 for r in out)
