@@ -1431,3 +1431,169 @@ SELECT {key_col},
        round({mean} - {sigma!r} * {std}, 6) AS std_lower
 FROM wide ORDER BY {key_col}
 """
+
+
+def mad_by(
+    df: DataFrame, key_col: str, value_col: str, scale: int = 100
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` metric aggregation, grouped —
+    MAD = median(|x − median(x)|), the robust dispersion ES pairs with its
+    percentile panels (ES approximates with TDigest; we match the
+    capability exactly so the oracle verifies values).
+
+    Determinism across engines: both medians run in an INTEGER domain.
+    Values scale to cents; the per-key median of cents is either k or
+    k+0.5 (percentile_cont at 0.5 interpolates halfway at most), so
+    2·|x_cents| − 2·median stays an exact integer and the second median
+    runs over exact ints too; the final descale (/2/scale) and 6-dp round
+    are one fixed double expression. Both median passes use the
+    rank-targeted distributed percentile tier
+    (operators.ranks.grouped_percentiles_exact) — never a per-group
+    single-reducer value map; the #keys-row median frame broadcasts into
+    the deviation scan."""
+    from pandemic_knowledge_spark.operators.ranks import grouped_percentiles_exact
+
+    v = cents(F.col(value_col), scale)
+    base = df.select(F.col(key_col), v.alias("__mad_c"))
+    med = grouped_percentiles_exact(base, [key_col], "__mad_c", [0.5]).select(
+        key_col, (F.col("p50") * 2).cast("long").alias("__mad_m2")
+    )
+    dev = base.join(F.broadcast(med), key_col).select(
+        key_col,
+        F.abs(F.col("__mad_c") * 2 - F.col("__mad_m2")).alias("__mad_d2"),
+    )
+    out = grouped_percentiles_exact(dev, [key_col], "__mad_d2", [0.5])
+    return out.select(
+        key_col, F.round(F.col("p50") / 2.0 / scale, 6).alias("mad")
+    ).orderBy(key_col)
+
+
+def sql_mad_by(table: str, key_col: str, value_col: str, scale: int = 100) -> str:
+    """DuckDB SQL reproducing :func:`mad_by` exactly (quantile_cont is
+    percentile_cont — the same interpolation Spark's percentile() uses)."""
+    v = f"CAST(round(({value_col}) * {scale}, 0) AS BIGINT)"
+    return f"""
+WITH med AS (
+  SELECT {key_col}, CAST(2 * quantile_cont({v}, 0.5) AS BIGINT) AS m2
+  FROM {table} GROUP BY {key_col}
+), dev AS (
+  SELECT t.{key_col}, abs(2 * {v} - med.m2) AS d2
+  FROM {table} t JOIN med USING ({key_col})
+)
+SELECT {key_col}, round(quantile_cont(d2, 0.5) / 2.0 / {scale}, 6) AS mad
+FROM dev GROUP BY {key_col} ORDER BY {key_col}
+"""
+
+
+def rate_monthly(
+    df: DataFrame, ts_col: str, value_col: str, scale: int = 100
+) -> DataFrame:
+    """ES ``rate`` aggregation inside a calendar-month date_histogram,
+    ``unit: "day"``: each month reports its event count and value sum
+    RESCALED to a per-day rate (doc_rate = docs / days-in-month) — the
+    unit-normalized trend Kibana overlays so a 28-day February compares
+    honestly with a 31-day March. One scan → one month groupBy (exact
+    integer count + cents sum); days-in-month derives from the month
+    start (last_day), so the division is one fixed double expression."""
+    month = F.date_trunc("month", F.col(ts_col)).cast("date")
+    monthly = (
+        df.select(month.alias("month"), cents(F.col(value_col), scale).alias("__c"))
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("doc_count"), F.sum("__c").alias("__s"))
+        .withColumn(
+            "days",
+            (F.datediff(F.last_day(F.col("month")), F.col("month")) + 1)
+            .cast("long"),
+        )
+    )
+    return monthly.select(
+        "month",
+        "doc_count",
+        "days",
+        F.round(
+            F.col("doc_count") / F.col("days").cast("double"), 6
+        ).alias("doc_rate_per_day"),
+        F.round(
+            F.col("__s").cast("double") / scale / F.col("days").cast("double"), 6
+        ).alias("value_rate_per_day"),
+    ).orderBy("month")
+
+
+def sql_rate_monthly(
+    table: str, ts_col: str, value_col: str, scale: int = 100
+) -> str:
+    """DuckDB SQL reproducing :func:`rate_monthly` exactly."""
+    v = f"CAST(round(({value_col}) * {scale}, 0) AS BIGINT)"
+    days = ("(date_diff('day', CAST(month AS DATE), "
+            "CAST(last_day(CAST(month AS DATE)) AS DATE)) + 1)")
+    return f"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', {ts_col}) AS DATE) AS month,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(sum({v}) AS BIGINT) AS s
+  FROM {table} GROUP BY 1
+)
+SELECT month, doc_count,
+       CAST({days} AS BIGINT) AS days,
+       round(doc_count / CAST({days} AS DOUBLE), 6) AS doc_rate_per_day,
+       round(CAST(s AS DOUBLE) / {scale} / CAST({days} AS DOUBLE), 6)
+         AS value_rate_per_day
+FROM m ORDER BY month
+"""
+
+
+def stats_bucket_daily(df: DataFrame, ts_col: str) -> DataFrame:
+    """ES ``stats_bucket`` + ``extended_stats_bucket`` sibling pipeline
+    over a daily date_histogram: one row of count / min / max / avg / sum
+    plus population variance and std deviation OF THE DAILY DOC COUNTS —
+    the "how spiky is my traffic" panel. Two exact integer aggregates
+    (day counts, then one-row moments over the ≤ #days bucket frame);
+    every double assembles from ints with a fixed expression shape."""
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wide = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cnt").alias("mn"),
+        F.max("cnt").alias("mx"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = s / F.col("n")
+    var_pop = (ss - s * F.col("s") / F.col("n")) / F.col("n")
+    return wide.select(
+        F.col("n").alias("bucket_count"),
+        F.col("mn").alias("min_count"),
+        F.col("mx").alias("max_count"),
+        F.col("s").alias("sum_count"),
+        F.round(mean, 6).alias("avg_count"),
+        F.round(var_pop, 6).alias("variance"),
+        F.round(F.sqrt(var_pop), 6).alias("std_deviation"),
+    )
+
+
+def sql_stats_bucket_daily(table: str, ts_col: str) -> str:
+    """DuckDB SQL reproducing :func:`stats_bucket_daily` exactly."""
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', {ts_col}) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM {table} GROUP BY 1
+), wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(min(cnt) AS BIGINT) AS mn,
+         CAST(max(cnt) AS BIGINT) AS mx,
+         CAST(sum(cnt) AS BIGINT) AS s,
+         CAST(sum(cnt * cnt) AS BIGINT) AS ss
+  FROM daily
+)
+SELECT n AS bucket_count, mn AS min_count, mx AS max_count, s AS sum_count,
+       round(CAST(s AS DOUBLE) / n, 6) AS avg_count,
+       round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n, 6)
+         AS variance,
+       round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n), 6)
+         AS std_deviation
+FROM wide
+"""

@@ -707,3 +707,153 @@ def query_string_search(
     """Execute an ES ``query_string`` query: parse the mini-language
     (:func:`parse_query_string`) and run the resulting bool query."""
     return bool_search(docs, id_col, text_col, k=k, **parse_query_string(q))
+
+
+# ---------------------------------------------------------------- boosting
+
+
+def boosting_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    positive: dict,
+    negative: dict,
+    negative_boost: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``boosting`` compound query: rank by the ``positive`` clause,
+    but DEMOTE (not exclude) docs matching the ``negative`` clause by
+    multiplying their score by ``negative_boost`` — the soft version of
+    must_not ("prefer fresh articles, don't hide stale ones"). positive
+    takes any scored clause spec; negative any membership spec. One
+    scored-clause plan plus the single membership-predicate scan joined
+    once — the bool door's exact machinery with a multiply instead of an
+    anti-join."""
+    nb = float(negative_boost)
+    parts = _scored_frames(docs, id_col, text_col, [("must", positive)])
+    toks = tokenize(text_col)
+    preds = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _member_pred(toks, negative).alias("__neg"),
+    )
+    return (
+        parts[0]
+        .join(preds, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("bscore")
+                * F.when(F.col("__neg"), F.lit(nb)).otherwise(F.lit(1.0)),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def sql_boosting_search(
+    table: str,
+    id_col: str,
+    text_col: str,
+    positive: dict,
+    negative: dict,
+    negative_boost: float = 0.5,
+    k: int = 10,
+) -> str:
+    """DuckDB SQL reproducing :func:`boosting_search` exactly."""
+    nb = float(negative_boost)
+    bool_sql = sql_bool_search(
+        table, id_col, text_col, must=[positive], k=k
+    )
+    head, _, _ = bool_sql.partition("agg AS (")
+    head = head.rstrip().rstrip(",")
+    neg = _sql_member_pred(negative)
+    return f"""{head},
+preds AS (SELECT doc_id, {neg} AS neg FROM base2),
+bq AS (
+  SELECT u.doc_id,
+         round(u.bscore * (CASE WHEN preds.neg THEN {nb!r} ELSE 1.0 END), 4)
+           AS score
+  FROM u JOIN preds ON u.doc_id = preds.doc_id
+)
+SELECT doc_id, score FROM bq
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------- collapse
+
+
+def collapse_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    collapse_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES field ``collapse``: the ranked result page keeps only the BEST
+    hit per distinct ``collapse_col`` value (one article per source, one
+    product per brand — the dedup-at-display ES feature Searchkit exposes
+    as "group by field"). Output (collapse value, doc_id, score), ranked
+    (score DESC, doc_id) over the representatives, top-k.
+
+    Plan: the full BM25 score frame (matched docs only) joins the
+    (id, collapse field) projection once — 1:1 on the unique doc id —
+    then ONE window rank per collapse value picks the representative
+    (WindowGroupLimit pushes the rank-1 filter below the shuffle), and a
+    TakeOrderedAndProject cuts the page. No corpus sort, no second scan."""
+    # the UNLIMITED per-doc BM25 aggregate (a per-clause top-k cut before
+    # collapsing would silently drop a value's best representative)
+    scored = _scored_frames(
+        docs, id_col, text_col, [("must", {"match": query})]
+    )[0]
+    from pyspark.sql.window import Window
+
+    fields = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(collapse_col).alias("collapse_key")
+    )
+    w = Window.partitionBy("collapse_key").orderBy(
+        F.desc("bscore"), F.col("doc_id")
+    )
+    return (
+        scored.join(fields, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "collapse_key",
+            "doc_id",
+            F.round(F.col("bscore"), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def sql_collapse_search(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query: str,
+    collapse_col: str,
+    k: int = 10,
+) -> str:
+    """DuckDB SQL reproducing :func:`collapse_search` exactly."""
+    bool_sql = sql_bool_search(
+        table, id_col, text_col, must=[{"match": query}], k=k
+    )
+    head, _, _ = bool_sql.partition("agg AS (")
+    head = head.rstrip().rstrip(",")
+    return f"""{head},
+fields AS (SELECT {id_col} AS doc_id, {collapse_col} AS collapse_key FROM {table}),
+reps AS (
+  SELECT collapse_key, doc_id, round(bscore, 4) AS score,
+         row_number() OVER (
+           PARTITION BY collapse_key ORDER BY bscore DESC, doc_id
+         ) AS rn
+  FROM u JOIN fields USING (doc_id)
+)
+SELECT collapse_key, doc_id, score FROM reps WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT {k}
+"""

@@ -1,0 +1,152 @@
+"""Wave-3 ES surface (r9): boosting query, field collapse,
+median_absolute_deviation, rate, stats_bucket — operators with DuckDB
+oracle parity through the pytest harness now; their catalog rows join the
+r10 driver window (the 50 r9 slots were committed to the declared IOU
+rotation — see plans/catalog._DRIVER_PRIORITY)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.operators.aggregates import (
+    mad_by,
+    rate_monthly,
+    sql_mad_by,
+    sql_rate_monthly,
+    sql_stats_bucket_daily,
+    stats_bucket_daily,
+)
+from pandemic_knowledge_spark.operators.boolquery import (
+    boosting_search,
+    collapse_search,
+    sql_boosting_search,
+    sql_collapse_search,
+)
+from pandemic_knowledge_spark.tables import load
+from tests.oracle_harness import compare_query
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------ oracle parity
+
+
+def test_boosting_matches_duckdb(spark, sf_dir):
+    pos = {"match": "spark stream window"}
+    neg = {"term": "vector"}
+    fn = lambda s, d: boosting_search(
+        load(s, d, "documents"), "doc_id", "text", pos, neg,
+        negative_boost=0.4, k=10,
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_boosting_search("documents", "doc_id", "text", pos, neg,
+                            negative_boost=0.4, k=10),
+    )
+    assert problems == [] and n == 10
+
+
+def test_collapse_matches_duckdb(spark, sf_dir):
+    fn = lambda s, d: collapse_search(
+        load(s, d, "documents"), "doc_id", "text", "spark stream",
+        "lang", k=10,
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_collapse_search("documents", "doc_id", "text", "spark stream",
+                            "lang", k=10),
+    )
+    assert problems == []
+    assert n == 5  # one representative per language
+
+
+def test_mad_matches_duckdb(spark, sf_dir):
+    fn = lambda s, d: mad_by(load(s, d, "events"), "event_type", "value")
+    problems, n = compare_query(
+        spark, sf_dir, fn, sql_mad_by("events", "event_type", "value")
+    )
+    assert problems == [] and n == 5
+
+
+def test_rate_matches_duckdb(spark, sf_dir):
+    fn = lambda s, d: rate_monthly(load(s, d, "events"), "ts", "value")
+    problems, n = compare_query(
+        spark, sf_dir, fn, sql_rate_monthly("events", "ts", "value")
+    )
+    assert problems == [] and n > 0
+
+
+def test_stats_bucket_matches_duckdb(spark, sf_dir):
+    fn = lambda s, d: stats_bucket_daily(load(s, d, "events"), "ts")
+    problems, n = compare_query(
+        spark, sf_dir, fn, sql_stats_bucket_daily("events", "ts")
+    )
+    assert problems == [] and n == 1
+
+
+# --------------------------------------------------------------- semantics
+
+
+def test_boosting_demotes_without_excluding(spark):
+    d = _docs(spark, [(1, "apple fresh"), (2, "apple stale"), (3, "kiwi")])
+    out = boosting_search(
+        d, "doc_id", "text", {"match": "apple"}, {"term": "stale"},
+        negative_boost=0.5, k=10,
+    )
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    # the stale doc stays in the results (unlike must_not) but demoted
+    assert set(rows) == {1, 2}
+    assert rows[2] == pytest.approx(0.5 * rows[1], abs=2e-4)
+
+
+def test_collapse_keeps_best_per_value(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple", "a"),
+            (2, "apple", "a"),
+            (3, "apple apple", "b"),
+            (4, "kiwi", "b"),
+        ],
+        "doc_id long, text string, src string",
+    )
+    out = collapse_search(docs, "doc_id", "text", "apple", "src", k=10)
+    got = [(r["collapse_key"], r["doc_id"]) for r in out.collect()]
+    # one hit per src, the highest-tf doc of each
+    assert sorted(got) == [("a", 1), ("b", 3)]
+
+
+def test_mad_is_zero_for_constant_and_robust_to_outlier(spark):
+    df = spark.createDataFrame(
+        [("k", 5.0)] * 5 + [("k", 1000.0)], "g string, v double"
+    )
+    out = {r["g"]: r["mad"] for r in mad_by(df, "g", "v").collect()}
+    # median 5, deviations (0,0,0,0,0,995) -> MAD 0: the outlier is invisible
+    assert out["k"] == 0.0
+
+
+def test_rate_normalizes_by_month_length(spark):
+    df = spark.createDataFrame(
+        [("2024-02-10 00:00:00", 1.0)] * 29 + [("2024-03-10 00:00:00", 1.0)] * 31,
+        "ts string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = {str(r["month"]): r for r in rate_monthly(df, "ts", "value").collect()}
+    assert out["2024-02-01"]["days"] == 29  # leap February
+    assert out["2024-03-01"]["days"] == 31
+    assert out["2024-02-01"]["doc_rate_per_day"] == 1.0
+    assert out["2024-03-01"]["doc_rate_per_day"] == 1.0
+
+
+def test_stats_bucket_moments_exact(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)] * 2 + [("2024-01-02 00:00:00",)] * 4,
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    row = stats_bucket_daily(df, "ts").collect()[0]
+    assert (row["bucket_count"], row["min_count"], row["max_count"],
+            row["sum_count"]) == (2, 2, 4, 6)
+    assert row["avg_count"] == 3.0
+    assert row["variance"] == 1.0  # population variance of {2, 4}
+    assert row["std_deviation"] == 1.0
