@@ -279,6 +279,30 @@ def _scored_frames(docs, id_col, text_col, scored):
     return parts
 
 
+def _combine_scored(parts, n_must: int, msm: int) -> DataFrame:
+    """The bool combine: union every clause frame, one keyed groupBy for
+    the summed score + matched-clause counts, then the must/msm gate —
+    shared verbatim by the corpus-scan and index-probing doors so the
+    combination semantics can't fork."""
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("bscore"), 4).alias("score"),
+            F.sum(F.when(F.col("kind") == "must", 1).otherwise(0)).alias(
+                "__n_must"
+            ),
+            F.sum(F.when(F.col("kind") == "should", 1).otherwise(0)).alias(
+                "__n_should"
+            ),
+        )
+        .where(
+            (F.col("__n_must") == n_must) & (F.col("__n_should") >= F.lit(msm))
+        )
+        .select("doc_id", "score")
+    )
+
+
 def bool_search(
     docs: DataFrame,
     id_col: str,
@@ -308,24 +332,7 @@ def bool_search(
     parts = _scored_frames(docs, id_col, text_col, scored)
 
     if parts:
-        u = reduce(lambda a, b: a.unionByName(b), parts)
-        hits = (
-            u.groupBy("doc_id")
-            .agg(
-                F.round(F.sum("bscore"), 4).alias("score"),
-                F.sum(F.when(F.col("kind") == "must", 1).otherwise(0)).alias(
-                    "__n_must"
-                ),
-                F.sum(F.when(F.col("kind") == "should", 1).otherwise(0)).alias(
-                    "__n_should"
-                ),
-            )
-            .where(
-                (F.col("__n_must") == len(must))
-                & (F.col("__n_should") >= F.lit(msm))
-            )
-            .select("doc_id", "score")
-        )
+        hits = _combine_scored(parts, len(must), msm)
     else:
         # filter-only bool: ES returns score 0 for every qualifying doc
         hits = docs.select(
@@ -857,3 +864,229 @@ reps AS (
 SELECT collapse_key, doc_id, score FROM reps WHERE rn = 1
 ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+# -------------------------------------------------------- indexed bool door
+
+
+def _index_stats_cols(index, frame: DataFrame) -> DataFrame:
+    if index.stats_scalars is not None:
+        n_docs, sum_dl = index.stats_scalars
+        return frame.withColumns(
+            {
+                "n_docs": F.lit(int(n_docs)).cast("long"),
+                "sum_dl": F.lit(int(sum_dl)).cast("long"),
+            }
+        )
+    return frame.crossJoin(F.broadcast(index.stats))
+
+
+def _index_stats_scalars(index) -> tuple:
+    if index.stats_scalars is not None:
+        return index.stats_scalars
+    row = index.stats.collect()[0]
+    return int(row["n_docs"]), int(row["sum_dl"] or 0)
+
+
+def _index_match_frame(index, terms) -> DataFrame:
+    """Full (doc_id, cscore) BM25 frame for a term set, scored entirely
+    from the bucket-pruned postings — the unlimited form of
+    operators.search.bm25_from_postings (same pruned-count df, same
+    formula, so the indexed door equals the corpus door to the bit)."""
+    from pandemic_knowledge_spark.operators.search import term_bucket_py
+
+    q = sorted(set(terms))
+    buckets = sorted({term_bucket_py(t) for t in q})
+    p = index.postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(q)
+    )
+    df_t = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = _attach_bm25_scores(
+        _index_stats_cols(index, p.join(F.broadcast(df_t), "term"))
+    )
+    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("cscore"))
+
+
+def _index_phrase_frame(index, phrase: str) -> DataFrame:
+    """Scored phrase clause from the positional tier: pf from the
+    positional postings, dl from the doc_ids sidecar, corpus constants as
+    literals — the same pseudo-term BM25 expression as the corpus-scan
+    :func:`_phrase_frame`."""
+    from pandemic_knowledge_spark.operators.search import (
+        phrase_counts_from_postings,
+    )
+
+    if index.positional is None:
+        raise ValueError(
+            "indexed bool phrase clause needs a positional index: build "
+            "with positional=True (and save() to persist)"
+        )
+    dl_src = index.doc_ids
+    if dl_src is None:
+        dl_src = index.postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    pf = (
+        phrase_counts_from_postings(index.positional, phrase)
+        .withColumnRenamed("phrase_count", "pf")
+        .localCheckpoint(eager=True)  # consumed by count() AND the scorer
+    )
+    df_ph = pf.count()
+    n_docs, sum_dl = _index_stats_scalars(index)
+    joined = pf.join(dl_src.select("doc_id", "dl"), "doc_id")
+    avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - df_ph + F.lit(0.5)) / (F.lit(df_ph) + F.lit(0.5))
+    )
+    tf_part = (F.col("pf") * (BM25_K1 + 1)) / (
+        F.col("pf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    return joined.select("doc_id", (idf * tf_part).alias("cscore"))
+
+
+def _index_member_frame(index, clause: dict) -> DataFrame:
+    """Membership clause as a doc-id frame from the index artifacts alone:
+    term/match/prefix prune the postings (bucket partitions for exact
+    terms, term-sorted row groups for prefixes), phrase probes the
+    positional tier. Each is semi/anti-joined against the hits frame."""
+    from pandemic_knowledge_spark.operators.search import (
+        phrase_counts_from_postings,
+        term_bucket_py,
+    )
+
+    key = _clause_key(clause, _MEMBER_KEYS)
+    p = index.postings
+    if key == "term":
+        t = clause["term"]
+        return p.filter(
+            (F.col("bucket") == term_bucket_py(t)) & (F.col("term") == t)
+        ).select("doc_id")
+    if key == "match":
+        terms = sorted(set(query_terms(clause["match"])))
+        if not terms:
+            raise ValueError("bool match clause has no tokenizable terms")
+        buckets = sorted({term_bucket_py(t) for t in terms})
+        return (
+            p.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("doc_id")
+            .distinct()
+        )
+    if key == "prefix":
+        return (
+            p.filter(F.col("term").startswith(clause["prefix"]))
+            .select("doc_id")
+            .distinct()
+        )
+    if index.positional is None:
+        raise ValueError(
+            "indexed bool phrase membership needs a positional index"
+        )
+    return phrase_counts_from_postings(
+        index.positional, clause["phrase"]
+    ).select("doc_id")
+
+
+def bool_search_from_index(
+    index,
+    *,
+    must=(),
+    should=(),
+    must_not=(),
+    filter=(),
+    minimum_should_match: int | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """The bool door probed ENTIRELY from a :class:`~.search.SearchIndex`
+    — no corpus scan, no per-query tokenize (the reference pays indexing
+    once in its ES bulk loaders and then every SearchUI query is an index
+    probe; this is that split for composed queries). Identical output to
+    :func:`bool_search` over the same corpus (asserted in tests):
+
+    - match clauses score from the bucket-pruned postings (the
+      bm25_from_postings shape: pruned-count df broadcasts, posting rows
+      never shuffle by term),
+    - fuzzy clauses expand against the terms-dictionary sidecar
+      (tlen-pruned slivers) and score the bounded expansion from postings,
+    - phrase clauses probe the positional tier (raise without one — a
+      silent corpus fallback would hide the cost the caller indexed to
+      avoid),
+    - membership clauses are postings/positional doc-id sets, semi/anti
+      joined per clause,
+    - the combine is byte-for-byte the shared :func:`_combine_scored`.
+    """
+    must, should = list(must), list(should)
+    must_not, filter = list(must_not), list(filter)
+    if not (must or should or filter):
+        raise ValueError("bool query needs at least one must/should/filter clause")
+    msm = (
+        minimum_should_match
+        if minimum_should_match is not None
+        else default_msm(must, should, filter)
+    )
+    from pandemic_knowledge_spark.operators.search import (
+        _fuzzy_selected,
+        _probe_vocab,
+        fuzzy_auto_band,
+    )
+
+    spark = index.postings.sparkSession
+    parts = []
+    for kind, clause in [("must", c) for c in must] + [("should", c) for c in should]:
+        key = _clause_key(clause, _SCORED_KEYS)
+        boost = float(clause.get("boost", 1.0))
+        if key == "match":
+            terms = sorted(set(query_terms(clause["match"])))
+            if not terms:
+                raise ValueError("bool match clause has no tokenizable terms")
+            frame = _index_match_frame(index, terms)
+        elif key == "fuzzy":
+            q_terms = sorted(set(query_terms(clause["fuzzy"])))
+            if not q_terms:
+                raise ValueError("bool fuzzy clause has no tokenizable terms")
+            max_expansions = int(clause.get("max_expansions", 50))
+            prefix_length = int(clause.get("prefix_length", 0))
+            bands = [(t, fuzzy_auto_band(len(t))) for t in q_terms]
+            exact_terms = sorted(t for t, b in bands if b == 0)
+            fuzz_rows = [
+                (t, b, length)
+                for t, b in bands
+                if b > 0
+                for length in range(max(1, len(t) - b), len(t) + b + 1)
+            ]
+            v = _probe_vocab(
+                index.postings, index.vocab, (r[2] for r in fuzz_rows)
+            )
+            selected = _fuzzy_selected(
+                spark, v, fuzz_rows, exact_terms, max_expansions, prefix_length
+            )
+            # bounded: <= |query terms| * max_expansions rows
+            sel_terms = sorted(r.term for r in selected.collect())
+            if not sel_terms:
+                continue
+            frame = _index_match_frame(index, sel_terms)
+        elif key == "phrase":
+            frame = _index_phrase_frame(index, clause["phrase"])
+        else:  # prefix — constant_score from the postings term range
+            frame = _index_member_frame(
+                index, {"prefix": clause["prefix"]}
+            ).select("doc_id", F.lit(1.0).alias("cscore"))
+        parts.append(
+            frame.select(
+                "doc_id",
+                (F.col("cscore") * F.lit(boost)).alias("bscore"),
+                F.lit(kind).alias("kind"),
+            )
+        )
+
+    if parts:
+        hits = _combine_scored(parts, len(must), msm)
+    else:
+        dl_src = index.doc_ids
+        if dl_src is None:
+            dl_src = index.postings.select("doc_id").distinct()
+        hits = dl_src.select("doc_id", F.lit(0.0).alias("score"))
+
+    for c in filter:
+        hits = hits.join(_index_member_frame(index, c), "doc_id", "left_semi")
+    for c in must_not:
+        hits = hits.join(_index_member_frame(index, c), "doc_id", "left_anti")
+    return hits.orderBy(F.desc("score"), F.col("doc_id")).limit(k)

@@ -592,6 +592,116 @@ WITH {_sql_tf_prelude(table, id_col, text_col)}, expansions AS (
 """
 
 
+def wildcard_regex(pattern: str) -> str:
+    """Lucene wildcard pattern → anchored regex: ``*`` = any run, ``?`` =
+    any one char, everything else literal. Tokens are [a-z0-9]+ so the
+    escaped literals behave identically under Java regex (Spark rlike)
+    and RE2 (DuckDB)."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _pattern_search(docs, id_col, text_col, regex, k, max_expansions):
+    """Shared tail of :func:`wildcard_search` / :func:`regexp_search`:
+    expand the vocabulary terms matching the anchored regex, cap at
+    ``max_expansions`` by (df DESC, term) — Lucene's top_terms_N rewrite,
+    the deterministic form of ES's multi-term query cap — and BM25 over
+    the expansion set. Same one-TF-shuffle skeleton as
+    :func:`prefix_search`; the regex runs over the DICTIONARY (|vocab|
+    rows), never the corpus."""
+    tf, df_t = _tf_with_stats(docs, id_col, text_col)
+    expansions = (
+        df_t.filter(F.col("term").rlike(regex))
+        .orderBy(F.desc("df"), F.col("term"))
+        .limit(max_expansions)
+        .select("term")
+    )
+    df_sel = df_t.join(F.broadcast(expansions), "term")
+    scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
+    return _bm25_score_agg(scored, k)
+
+
+def wildcard_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``wildcard`` query (``rewrite: top_terms_N``): the pattern
+    (``*`` / ``?``) expands against the vocabulary — matching the ENTIRE
+    term, as ES does — and BM25 ranks docs over the capped expansion set
+    (the scoring rewrite; ES's default constant_score is this with all
+    scores 1, strictly less informative — the capability row uses the
+    scored form so the oracle verifies real values)."""
+    return _pattern_search(
+        docs, id_col, text_col, wildcard_regex(pattern.lower()), k,
+        max_expansions,
+    )
+
+
+def regexp_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``regexp`` query: like :func:`wildcard_search` but with a raw
+    regex, anchored to the whole term (ES regexp semantics). Keep
+    patterns in the shared Java-regex ∩ RE2 subset — character classes,
+    alternation, repetition — so the DuckDB oracle matches."""
+    return _pattern_search(
+        docs, id_col, text_col, f"^(?:{pattern.lower()})$", k, max_expansions
+    )
+
+
+def _sql_pattern_search(
+    table: str, id_col: str, text_col: str, regex: str, k: int,
+    max_expansions: int,
+) -> str:
+    rx = regex.replace("'", "''")
+    return f"""
+WITH {_sql_tf_prelude(table, id_col, text_col)}, sel AS (
+  SELECT term FROM dft
+  WHERE regexp_matches(term, '{rx}')
+  ORDER BY df DESC, term LIMIT {max_expansions}
+), {_sql_bm25_tail(k)}
+"""
+
+
+def sql_wildcard_search(
+    table: str, id_col: str, text_col: str, pattern: str, k: int = 10,
+    max_expansions: int = 50,
+) -> str:
+    """DuckDB SQL reproducing :func:`wildcard_search` exactly."""
+    return _sql_pattern_search(
+        table, id_col, text_col, wildcard_regex(pattern.lower()), k,
+        max_expansions,
+    )
+
+
+def sql_regexp_search(
+    table: str, id_col: str, text_col: str, pattern: str, k: int = 10,
+    max_expansions: int = 50,
+) -> str:
+    """DuckDB SQL reproducing :func:`regexp_search` exactly."""
+    return _sql_pattern_search(
+        table, id_col, text_col, f"^(?:{pattern.lower()})$", k, max_expansions
+    )
+
+
 def fuzzy_auto_band(term_len: int) -> int:
     """ES ``fuzziness: AUTO`` edit-distance band by term length
     (the generated-edit-distance table in the ES common options docs):
@@ -1746,6 +1856,19 @@ class SearchIndex:
             vocab, term, max_edits=max_edits, prefix_length=prefix_length, k=k
         )
 
+    def bool_search(self, **kwargs) -> DataFrame:
+        """Composed ES ``bool`` query probed from the index artifacts
+        alone (operators.boolquery.bool_search_from_index): match/fuzzy
+        clauses from the bucket-pruned postings + the terms-dictionary
+        sidecar, phrase clauses from the positional tier, membership
+        clauses as postings doc-id sets. Identical output to the
+        corpus-scan operators.boolquery.bool_search."""
+        from pandemic_knowledge_spark.operators.boolquery import (
+            bool_search_from_index,
+        )
+
+        return bool_search_from_index(self, **kwargs)
+
     def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
         """Exact consecutive-phrase probe from the positional posting
         table (see :func:`phrase_search_from_postings`) — requires a
@@ -2104,6 +2227,20 @@ def phrase_search_from_postings(
     size = the phrase term frequency). Handles repeated phrase terms
     (every offset joins independently). The probe touches only the phrase
     terms' buckets → partition-pruned at scale."""
+    return (
+        phrase_counts_from_postings(postings_pos, phrase)
+        .orderBy(F.desc("phrase_count"), "doc_id")
+        .limit(k)
+    )
+
+
+def phrase_counts_from_postings(
+    postings_pos: DataFrame, phrase: str
+) -> DataFrame:
+    """The UNLIMITED (doc_id, phrase_count) frame behind
+    :func:`phrase_search_from_postings` — exposed so combinators (the
+    indexed bool door's phrase clauses) can score every matching doc
+    instead of a pre-truncated page."""
     terms = query_terms(phrase)
     if not terms:
         raise ValueError("phrase has no tokenizable terms")
@@ -2131,8 +2268,6 @@ def phrase_search_from_postings(
         .agg(F.count(F.lit(1)).alias("n_off"), inter.alias("starts"))
         .where((F.col("n_off") == m) & (F.size("starts") > 0))
         .select("doc_id", F.size("starts").cast("long").alias("phrase_count"))
-        .orderBy(F.desc("phrase_count"), "doc_id")
-        .limit(k)
     )
 
 

@@ -266,3 +266,70 @@ def test_engine_query_string_facade(spark, sf_dir):
     out = eng.query_string('+spark -vector', k=5).collect()
     assert len(out) == 5
     assert all(r["score"] > 0 for r in out)
+
+
+# --------------------------------------------------------- indexed door
+
+
+def test_indexed_bool_door_equals_corpus_scan(spark, sf_dir, tmp_path):
+    """bool_search_from_index over a saved positional index returns
+    exactly the corpus-scan bool_search rows for every clause family —
+    the once-per-ingest / probe-per-query split of the reference, for
+    composed queries."""
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "bool_idx")
+    SearchIndex.build(
+        docs, "doc_id", "text", cache=False, positional=True
+    ).save(path)
+    idx = SearchIndex.load(spark, path)
+
+    for spec in (_DOOR, _ALL_TYPES, dict(
+        should=[{"match": "merge batch"}, {"phrase": "fast scan", "boost": 1.5},
+                {"prefix": "quer", "boost": 0.5}],
+        minimum_should_match=2, k=10,
+    )):
+        scan = bool_search(docs, "doc_id", "text", **spec).collect()
+        probed = idx.bool_search(**spec).collect()
+        assert [tuple(r) for r in probed] == [tuple(r) for r in scan], spec
+
+
+def test_indexed_bool_probe_never_tokenizes_the_corpus(spark, sf_dir, tmp_path):
+    """The scale property: a composed-query probe touches index artifacts
+    only — no corpus tokenize (regexp_extract_all) anywhere in the plan,
+    and no documents.parquet scan."""
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "bool_idx2")
+    SearchIndex.build(docs, "doc_id", "text", cache=False).save(path)
+    idx = SearchIndex.load(spark, path)
+    out = idx.bool_search(
+        must=[{"match": "spark stream"}],
+        filter=[{"term": "table"}],
+        must_not=[{"term": "vector"}],
+        k=10,
+    )
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    try:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "regexp_extract_all" not in plan
+    assert "documents.parquet" not in plan
+    assert "/postings" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_indexed_bool_phrase_without_positions_raises(spark, sf_dir, tmp_path):
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    idx = SearchIndex.build(docs, "doc_id", "text", cache=False)
+    with pytest.raises(ValueError, match="positional"):
+        idx.bool_search(must=[{"phrase": "fast scan"}], k=5).collect()

@@ -150,3 +150,53 @@ def test_stats_bucket_moments_exact(spark):
     assert row["avg_count"] == 3.0
     assert row["variance"] == 1.0  # population variance of {2, 4}
     assert row["std_deviation"] == 1.0
+
+
+# ------------------------------------------------------ wildcard / regexp
+
+
+def test_wildcard_matches_duckdb(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.search import (
+        sql_wildcard_search,
+        wildcard_search,
+    )
+
+    fn = lambda s, d: wildcard_search(
+        load(s, d, "documents"), "doc_id", "text", "s*m", k=10
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_wildcard_search("documents", "doc_id", "text", "s*m", k=10),
+    )
+    assert problems == [] and n == 10
+
+
+def test_regexp_matches_duckdb(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.search import (
+        regexp_search,
+        sql_regexp_search,
+    )
+
+    pat = "(spark|stream|scan)"
+    fn = lambda s, d: regexp_search(
+        load(s, d, "documents"), "doc_id", "text", pat, k=10
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_regexp_search("documents", "doc_id", "text", pat, k=10),
+    )
+    assert problems == [] and n == 10
+
+
+def test_wildcard_expansion_matches_whole_term(spark):
+    from pandemic_knowledge_spark.operators.search import wildcard_search
+
+    docs = spark.createDataFrame(
+        [(1, "stream"), (2, "streaming"), (3, "steam"), (4, "xstream")],
+        "doc_id long, text string",
+    )
+    # 's*m' must match the ENTIRE term: stream and steam qualify (start
+    # 's', end 'm'); streaming ends 'g', xstream starts 'x' — excluded
+    out = sorted(r["doc_id"] for r in
+                 wildcard_search(docs, "doc_id", "text", "s*m", k=10).collect())
+    assert out == [1, 3]
