@@ -1090,3 +1090,107 @@ def bool_search_from_index(
     for c in must_not:
         hits = hits.join(_index_member_frame(index, c), "doc_id", "left_anti")
     return hits.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
+
+
+# ----------------------------------------------------------------- rescore
+
+
+def rescore_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    rescore_phrase: str,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``rescore``: re-rank only the top ``window_size`` BM25 hits with
+    a more expensive secondary query — here a match_phrase (the classic
+    "retrieve loose, re-rank tight" proximity pattern) — combining
+    ``query_weight · original + rescore_weight · rescore_score``. The
+    cheap query bounds the candidate set; the expensive scorer touches
+    ``window_size`` docs, not the corpus — exactly why ES exposes rescore
+    instead of telling users to run the phrase query corpus-wide.
+
+    Plan: the window is a TakeOrderedAndProject (bounded); the phrase
+    score frame left-joins it (docs outside the window never pay the
+    phrase arithmetic in the combine); final sort is ≤ window_size rows.
+    Both inputs to the combine are deterministic (original scores are the
+    4-dp BM25 page; phrase cscore the pseudo-term BM25), so the output
+    replays exactly in DuckDB (:func:`sql_rescore_search`)."""
+    from pandemic_knowledge_spark.operators.search import bm25_search
+
+    terms = query_terms(rescore_phrase)
+    if not terms:
+        raise ValueError("rescore phrase has no tokenizable terms")
+    top = bm25_search(docs, id_col, text_col, query, k=window_size)
+    row = (
+        docs.select(F.size(tokenize(text_col)).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    ph = _phrase_frame(
+        docs, id_col, text_col, terms, int(row["n"]), int(row["s"] or 0)
+    )
+    return (
+        top.join(ph, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(float(query_weight)) * F.col("score")
+                + F.lit(float(rescore_weight))
+                * F.coalesce(F.col("cscore"), F.lit(0.0)),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def sql_rescore_search(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query: str,
+    rescore_phrase: str,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    k: int = 10,
+) -> str:
+    """DuckDB SQL reproducing :func:`rescore_search` exactly."""
+    from pandemic_knowledge_spark.operators.search import sql_bm25_search
+
+    terms = query_terms(rescore_phrase)
+    if not terms:
+        raise ValueError("rescore phrase has no tokenizable terms")
+    m = len(terms)
+    qw, rw = float(query_weight), float(rescore_weight)
+    win = sql_bm25_search(table, id_col, text_col, query, k=window_size)
+    return f"""
+WITH win AS ({win.strip()}),
+{_sql_tf_prelude(table, id_col, text_col)},
+ph AS (
+  SELECT doc_id, dl,
+         len(list_filter(range(1, len(toks) - {m} + 2),
+             i -> {_sql_phrase_conds(terms)})) AS pf
+  FROM base2 WHERE len(toks) >= {m}
+), phm AS (SELECT doc_id, dl, pf FROM ph WHERE pf > 0),
+phdf AS (SELECT count(*) AS df FROM phm),
+c AS (
+  SELECT doc_id,
+         ln(1.0 + (stats.n_docs - phdf.df + 0.5) / (phdf.df + 0.5))
+           * (pf * ({BM25_K1} + 1))
+           / (pf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl
+              / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+           AS cscore
+  FROM phm CROSS JOIN phdf CROSS JOIN stats
+)
+SELECT win.doc_id,
+       round({qw!r} * win.score + {rw!r} * coalesce(c.cscore, 0.0), 4) AS score
+FROM win LEFT JOIN c ON win.doc_id = c.doc_id
+ORDER BY score DESC, win.doc_id LIMIT {k}
+"""

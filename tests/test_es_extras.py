@@ -200,3 +200,46 @@ def test_wildcard_expansion_matches_whole_term(spark):
     out = sorted(r["doc_id"] for r in
                  wildcard_search(docs, "doc_id", "text", "s*m", k=10).collect())
     assert out == [1, 3]
+
+
+# ----------------------------------------------------------------- rescore
+
+
+def test_rescore_matches_duckdb(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.boolquery import (
+        rescore_search,
+        sql_rescore_search,
+    )
+
+    args = dict(query="spark stream", rescore_phrase="fast scan",
+                window_size=40, query_weight=1.0, rescore_weight=2.0, k=10)
+    fn = lambda s, d: rescore_search(
+        load(s, d, "documents"), "doc_id", "text", **args
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_rescore_search("documents", "doc_id", "text", **args),
+    )
+    assert problems == [] and n == 10
+
+
+def test_rescore_only_touches_the_window(spark):
+    from pandemic_knowledge_spark.operators.boolquery import rescore_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple pie apple"),          # strong match + phrase
+            (2, "apple apple apple apple"),  # strongest match, no phrase
+            (3, "apple pie"),                # weaker match + phrase
+            (4, "pie apple zzz"),            # match, reversed order
+        ],
+        "doc_id long, text string",
+    )
+    out = rescore_search(
+        docs, "doc_id", "text", "apple", "apple pie",
+        window_size=10, rescore_weight=10.0, k=4,
+    ).collect()
+    # phrase docs jump over the pure-tf leader once rescored
+    assert out[0]["doc_id"] in (1, 3)
+    ids = [r["doc_id"] for r in out]
+    assert set(ids) == {1, 2, 3, 4}
