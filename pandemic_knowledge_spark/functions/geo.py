@@ -184,3 +184,93 @@ def sql_geotile_cell(lat: str, lon: str, zoom: int) -> tuple[str, str]:
     yt = f"floor(round(({merc}) * {n!r}, 9))"
     clamp = lambda e: f"CAST(least(greatest({e}, 0), {max_t}) AS BIGINT)"
     return clamp(xt), clamp(yt)
+
+
+#: Standard geohash base-32 alphabet (no a/i/l/o).
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bits(precision: int) -> tuple[int, int, int]:
+    bits = precision * 5
+    return bits, (bits + 1) // 2, bits // 2  # total, lon bits, lat bits
+
+
+def geohash_cell(lat: Column, lon: Column, precision: int = 5) -> Column:
+    """ES/Kibana ``geohash_grid`` bucket key: the base-32 geohash cell of
+    (lat, lon) at ``precision`` chars — the OTHER Kibana map gridding
+    next to :func:`geotile_cell` (geohash cells are lat/lon-rectangular;
+    geotiles are Web-Mercator squares).
+
+    Pure integer construction so both engines agree bit-for-bit:
+    quantize each axis to its bit budget (longitude owns the extra bit —
+    the standard even-bit convention), with the 9-dp pre-floor rounding
+    that keeps an ulp in the degree arithmetic from crossing a cell
+    boundary (same idiom as geotile), then interleave bits lon-first and
+    emit 5-bit base-32 chars. Whole-stage codegen — shifts, masks and a
+    literal char array, no UDF."""
+    bits, lon_bits, lat_bits = _geohash_bits(precision)
+    lon_q = F.least(
+        F.floor(F.round((lon + F.lit(180.0)) / F.lit(360.0) * (1 << lon_bits), 9)),
+        F.lit((1 << lon_bits) - 1),
+    ).cast("long")
+    lat_q = F.least(
+        F.floor(F.round((lat + F.lit(90.0)) / F.lit(180.0) * (1 << lat_bits), 9)),
+        F.lit((1 << lat_bits) - 1),
+    ).cast("long")
+    total = F.lit(0).cast("long")
+    for i in range(lon_bits):  # lon takes positions 0, 2, 4, … from the MSB
+        bit = F.shiftright(lon_q, lon_bits - 1 - i).bitwiseAND(F.lit(1))
+        total = total + F.shiftleft(bit.cast("long"), bits - 1 - 2 * i)
+    for i in range(lat_bits):  # lat takes positions 1, 3, 5, …
+        bit = F.shiftright(lat_q, lat_bits - 1 - i).bitwiseAND(F.lit(1))
+        total = total + F.shiftleft(bit.cast("long"), bits - 2 - 2 * i)
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (
+                F.shiftright(total, bits - 5 * (c + 1)).bitwiseAND(F.lit(31))
+                + 1
+            ).cast("int"),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def sql_geohash_quant(lat_sql: str, lon_sql: str, precision: int) -> tuple[str, str]:
+    """The two integer quantizer fragments (lon_q, lat_q) mirroring
+    :func:`geohash_cell` — compute these once in a CTE, then feed the
+    column names to :func:`sql_geohash_chars`."""
+    bits, lon_bits, lat_bits = _geohash_bits(precision)
+    lon_q = (
+        f"least(CAST(floor(round((({lon_sql}) + 180.0) / 360.0"
+        f" * {1 << lon_bits}, 9)) AS BIGINT), {(1 << lon_bits) - 1})"
+    )
+    lat_q = (
+        f"least(CAST(floor(round((({lat_sql}) + 90.0) / 180.0"
+        f" * {1 << lat_bits}, 9)) AS BIGINT), {(1 << lat_bits) - 1})"
+    )
+    return lon_q, lat_q
+
+
+def sql_geohash_chars(lonq_col: str, latq_col: str, precision: int) -> str:
+    """The base-32 cell id from already-quantized integer columns —
+    identical interleave/char math to :func:`geohash_cell`."""
+    bits, lon_bits, lat_bits = _geohash_bits(precision)
+    terms = []
+    for i in range(lon_bits):
+        terms.append(
+            f"((({lonq_col} >> {lon_bits - 1 - i}) & 1) << {bits - 1 - 2 * i})"
+        )
+    for i in range(lat_bits):
+        terms.append(
+            f"((({latq_col} >> {lat_bits - 1 - i}) & 1) << {bits - 2 - 2 * i})"
+        )
+    total = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{GEOHASH32}', CAST((({total} >> {bits - 5 * (c + 1)}) & 31)"
+        f" + 1 AS INTEGER), 1)"
+        for c in range(precision)
+    ]
+    return "(" + " || ".join(chars) + ")"

@@ -1194,3 +1194,46 @@ SELECT win.doc_id,
 FROM win LEFT JOIN c ON win.doc_id = c.doc_id
 ORDER BY score DESC, win.doc_id LIMIT {k}
 """
+
+
+# --------------------------------------------------------------- terms_set
+
+
+def terms_set_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms,
+    minimum_should_match: int,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``terms_set`` query: docs containing at least
+    ``minimum_should_match`` of the given terms, BM25-scored over the
+    terms they hold — exactly a bool `should` of single-term match
+    clauses with msm, so it compiles onto :func:`bool_search` (one TF
+    scan, one combine) rather than growing a parallel scorer."""
+    clauses = [{"match": t} for t in sorted(set(terms))]
+    if not clauses:
+        raise ValueError("terms_set needs at least one term")
+    return bool_search(
+        docs, id_col, text_col, should=clauses,
+        minimum_should_match=minimum_should_match, k=k,
+    )
+
+
+def sql_terms_set_search(
+    table: str,
+    id_col: str,
+    text_col: str,
+    terms,
+    minimum_should_match: int,
+    k: int = 10,
+) -> str:
+    """DuckDB SQL reproducing :func:`terms_set_search` exactly."""
+    clauses = [{"match": t} for t in sorted(set(terms))]
+    if not clauses:
+        raise ValueError("terms_set needs at least one term")
+    return sql_bool_search(
+        table, id_col, text_col, should=clauses,
+        minimum_should_match=minimum_should_match, k=k,
+    )

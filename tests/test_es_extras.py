@@ -243,3 +243,83 @@ def test_rescore_only_touches_the_window(spark):
     assert out[0]["doc_id"] in (1, 3)
     ids = [r["doc_id"] for r in out]
     assert set(ids) == {1, 2, 3, 4}
+
+
+# ------------------------------------------------- terms_set / geohash
+
+
+def test_terms_set_matches_duckdb_and_counts_terms(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.boolquery import (
+        sql_terms_set_search,
+        terms_set_search,
+    )
+
+    terms = ["spark", "stream", "window", "vector"]
+    fn = lambda s, d: terms_set_search(
+        load(s, d, "documents"), "doc_id", "text", terms, 3, k=10
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_terms_set_search("documents", "doc_id", "text", terms, 3, k=10),
+    )
+    assert problems == [] and n == 10
+    # msm semantics on a synthetic corpus: >= 2 of 3 terms required
+    d = _docs(spark, [(1, "a b c"), (2, "a b"), (3, "a"), (4, "z")])
+    got = sorted(
+        r["doc_id"]
+        for r in terms_set_search(d, "doc_id", "text", ["a", "b", "c"], 2).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_geohash_known_value(spark):
+    """The canonical geohash example: (57.64911, 10.40744) -> u4pruydqqvj
+    (Wikipedia's worked example); check the 5- and 7-char truncations."""
+    from pandemic_knowledge_spark.functions.geo import geohash_cell
+
+    df = spark.createDataFrame([(57.64911, 10.40744)], "lat double, lon double")
+    for prec, want in ((5, "u4pru"), (7, "u4pruyd")):
+        got = df.select(
+            geohash_cell(F.col("lat"), F.col("lon"), prec).alias("g")
+        ).collect()[0]["g"]
+        assert got == want, (prec, got)
+
+
+def test_geohash_grid_matches_duckdb(spark, sf_dir):
+    """geohash_grid aggregation parity: customers bucketed by 4-char
+    geohash over the synthetic coordinates, counted per cell."""
+    from pandemic_knowledge_spark.functions.geo import (
+        geohash_cell,
+        sql_geohash_chars,
+        sql_geohash_quant,
+        synth_lat,
+        synth_lon,
+        sql_synth_lat,
+        sql_synth_lon,
+    )
+
+    prec = 4
+    fn = lambda s, d: (
+        load(s, d, "customer")
+        .select(
+            geohash_cell(
+                synth_lat(F.col("c_custkey")), synth_lon(F.col("c_custkey")), prec
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("cell")
+    )
+    lon_q, lat_q = sql_geohash_quant(
+        sql_synth_lat("c_custkey"), sql_synth_lon("c_custkey"), prec
+    )
+    oracle = f"""
+WITH q AS (
+  SELECT {lon_q} AS lonq, {lat_q} AS latq FROM customer
+)
+SELECT {sql_geohash_chars('lonq', 'latq', prec)} AS cell,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM q GROUP BY 1 ORDER BY 1
+"""
+    problems, n = compare_query(spark, sf_dir, fn, oracle)
+    assert problems == [] and n > 0
