@@ -6765,6 +6765,18 @@ _NEXT_WINDOW_IOUS = [
     "window_range_7day_avg",
 ]
 
+# r9 operators shipped WITH DuckDB SQL twins and pytest parity evidence
+# (tests/test_es_extras.py) but WITHOUT catalog rows — the r9 window's 50
+# slots were committed to the declared IOU rotation. Register these as
+# rows in r10 (each is a ~10-line @q using the existing sql_* twin):
+#   boosting_search / collapse_search / rescore_search / terms_set_search
+#   (operators/boolquery.py), wildcard_search / regexp_search
+#   (operators/search.py), mad_by / rate_monthly / stats_bucket_daily
+#   (operators/aggregates.py), geohash_cell grid (functions/geo.py),
+#   bool_search_from_index (indexed bool door — equivalence-tested,
+#   oracle = the corpus-scan bool oracle, same pattern as
+#   search_fuzzy_indexed).
+
 _DRIVER_PRIORITY = [
     # ROUND-9 WINDOW (50 slots) — seeded by the zero-argument
     # scripts/window_rotate.py proposal (r8 verdict task #2), then grown
