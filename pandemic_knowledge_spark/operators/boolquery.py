@@ -1060,9 +1060,16 @@ def bool_search_from_index(
             )
             # bounded: <= |query terms| * max_expansions rows
             sel_terms = sorted(r.term for r in selected.collect())
-            if not sel_terms:
-                continue
-            frame = _index_match_frame(index, sel_terms)
+            if sel_terms:
+                frame = _index_match_frame(index, sel_terms)
+            else:
+                # no vocabulary term within the edit band: the clause
+                # matches NOTHING — an empty frame, so a must-context
+                # clause correctly empties the result (dropping the
+                # clause instead would silently relax a must to a no-op)
+                frame = index.postings.select("doc_id").limit(0).withColumn(
+                    "cscore", F.lit(1.0)
+                )
         elif key == "phrase":
             frame = _index_phrase_frame(index, clause["phrase"])
         else:  # prefix — constant_score from the postings term range

@@ -333,3 +333,23 @@ def test_indexed_bool_phrase_without_positions_raises(spark, sf_dir, tmp_path):
     idx = SearchIndex.build(docs, "doc_id", "text", cache=False)
     with pytest.raises(ValueError, match="positional"):
         idx.bool_search(must=[{"phrase": "fast scan"}], k=5).collect()
+
+
+def test_indexed_must_fuzzy_with_no_expansion_empties_result(spark, sf_dir, tmp_path):
+    """A must fuzzy clause whose edit band reaches NO vocabulary term
+    must empty the page (corpus-scan behavior), not silently drop the
+    clause — regression for the indexed door's early-continue bug."""
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+    from pandemic_knowledge_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    idx = SearchIndex.build(docs, "doc_id", "text", cache=False)
+    out = idx.bool_search(
+        must=[{"fuzzy": "zzzzqqqxxyy"}, {"match": "spark"}], k=5
+    )
+    assert out.count() == 0
+    scan = bool_search(
+        docs, "doc_id", "text",
+        must=[{"fuzzy": "zzzzqqqxxyy"}, {"match": "spark"}], k=5,
+    )
+    assert scan.count() == 0
