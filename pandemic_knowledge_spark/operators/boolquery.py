@@ -211,7 +211,6 @@ def _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl) -> DataFrame:
 
 
 def _prefix_frame(docs, id_col, text_col, prefix: str) -> DataFrame:
-    toks = tokenize(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__t")
     ).where(F.exists(F.col("__t"), lambda x: x.startswith(prefix))).select(
@@ -459,9 +458,10 @@ def sql_bool_search(
     k: int = 10,
 ) -> str:
     """DuckDB SQL reproducing :func:`bool_search` exactly — one CTE per
-    clause with the identical score arithmetic (round 6 per clause, boost,
-    round 4 on the combined sum), the same msm/must counting, membership
-    via one preds CTE over the shared token arrays."""
+    clause with the identical score arithmetic (raw-double clause scores,
+    boost, ONE round at 4 dp on the combined sum — see the module
+    docstring's double-rounding note), the same msm/must counting,
+    membership via one preds CTE over the shared token arrays."""
     must, should = list(must), list(should)
     must_not, filter = list(must_not), list(filter)
     if not (must or should or filter):
