@@ -353,3 +353,30 @@ def test_indexed_must_fuzzy_with_no_expansion_empties_result(spark, sf_dir, tmp_
         must=[{"fuzzy": "zzzzqqqxxyy"}, {"match": "spark"}], k=5,
     )
     assert scan.count() == 0
+
+
+def test_parse_query_string_total_on_arbitrary_input():
+    """The parser is total: any printable garbage yields clause lists the
+    door can accept (or cleanly empty ones) — never an exception. A
+    search box feeds this function raw keystrokes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pandemic_knowledge_spark.operators.boolquery import parse_query_string
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=60,
+    ))
+    def check(q):
+        p = parse_query_string(q)
+        assert set(p) == {"must", "should", "must_not"}
+        for ctx in p.values():
+            for clause in ctx:
+                assert len(clause) == 1
+                (key, val), = clause.items()
+                assert key in ("match", "phrase", "prefix", "fuzzy", "term")
+                assert isinstance(val, str) and val == val.lower()
+
+    check()
