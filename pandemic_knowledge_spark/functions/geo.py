@@ -209,13 +209,19 @@ def geohash_cell(lat: Column, lon: Column, precision: int = 5) -> Column:
     emit 5-bit base-32 chars. Whole-stage codegen — shifts, masks and a
     literal char array, no UDF."""
     bits, lon_bits, lat_bits = _geohash_bits(precision)
-    lon_q = F.least(
-        F.floor(F.round((lon + F.lit(180.0)) / F.lit(360.0) * (1 << lon_bits), 9)),
-        F.lit((1 << lon_bits) - 1),
+    lon_q = F.greatest(
+        F.least(
+            F.floor(F.round((lon + F.lit(180.0)) / F.lit(360.0) * (1 << lon_bits), 9)),
+            F.lit((1 << lon_bits) - 1),
+        ),
+        F.lit(0),
     ).cast("long")
-    lat_q = F.least(
-        F.floor(F.round((lat + F.lit(90.0)) / F.lit(180.0) * (1 << lat_bits), 9)),
-        F.lit((1 << lat_bits) - 1),
+    lat_q = F.greatest(
+        F.least(
+            F.floor(F.round((lat + F.lit(90.0)) / F.lit(180.0) * (1 << lat_bits), 9)),
+            F.lit((1 << lat_bits) - 1),
+        ),
+        F.lit(0),
     ).cast("long")
     total = F.lit(0).cast("long")
     for i in range(lon_bits):  # lon takes positions 0, 2, 4, … from the MSB
@@ -244,12 +250,12 @@ def sql_geohash_quant(lat_sql: str, lon_sql: str, precision: int) -> tuple[str, 
     column names to :func:`sql_geohash_chars`."""
     bits, lon_bits, lat_bits = _geohash_bits(precision)
     lon_q = (
-        f"least(CAST(floor(round((({lon_sql}) + 180.0) / 360.0"
-        f" * {1 << lon_bits}, 9)) AS BIGINT), {(1 << lon_bits) - 1})"
+        f"greatest(least(CAST(floor(round((({lon_sql}) + 180.0) / 360.0"
+        f" * {1 << lon_bits}, 9)) AS BIGINT), {(1 << lon_bits) - 1}), 0)"
     )
     lat_q = (
-        f"least(CAST(floor(round((({lat_sql}) + 90.0) / 180.0"
-        f" * {1 << lat_bits}, 9)) AS BIGINT), {(1 << lat_bits) - 1})"
+        f"greatest(least(CAST(floor(round((({lat_sql}) + 90.0) / 180.0"
+        f" * {1 << lat_bits}, 9)) AS BIGINT), {(1 << lat_bits) - 1}), 0)"
     )
     return lon_q, lat_q
 

@@ -673,8 +673,14 @@ def parse_query_string(q: str) -> dict:
     - ``"a b c"`` → exact phrase (works with +/- prefixes)
     - ``tok*``    → prefix clause (trailing-wildcard rewrite)
     - ``tok~``    → fuzzy clause, AUTO edit band (``-tok~`` demotes to an
-      exact-token must_not — membership clauses have no expansion set)
+      exact-token ``term`` must_not, same as bare ``-tok`` — membership
+      clauses have no expansion set)
     - anything else → match clause (analyzed with the corpus tokenizer)
+
+    Every branch drops tokens with no tokenizable content (``~~`` → the
+    fuzzy base ``~`` analyzes to nothing → no clause), so every emitted
+    clause is executable by bool_search — the parser is total AND its
+    output is total (the r9 advisor found '~~'/'-.~' raising downstream).
 
     Parsing is driver-side and deterministic, so the DuckDB oracle for a
     query string is simply ``sql_bool_search(**parse_query_string(q))`` —
@@ -687,10 +693,14 @@ def parse_query_string(q: str) -> dict:
                 continue
             clause = {"phrase": quoted.lower()}
         elif tok.endswith("*") and len(tok) > 1:
+            if not query_terms(tok[:-1]):
+                continue
             clause = {"prefix": tok[:-1].lower()}
         elif tok.endswith("~") and len(tok) > 1:
+            if not query_terms(tok[:-1]):
+                continue
             if sign == "-":
-                clause = {"match": tok[:-1].lower()}
+                clause = {"term": tok[:-1].lower()}
             else:
                 clause = {"fuzzy": tok[:-1].lower()}
         else:
@@ -712,8 +722,20 @@ def query_string_search(
     docs: DataFrame, id_col: str, text_col: str, q: str, k: int = 10
 ) -> DataFrame:
     """Execute an ES ``query_string`` query: parse the mini-language
-    (:func:`parse_query_string`) and run the resulting bool query."""
-    return bool_search(docs, id_col, text_col, k=k, **parse_query_string(q))
+    (:func:`parse_query_string`) and run the resulting bool query.
+
+    The door is TOTAL on raw keystrokes: a query that parses to no
+    positive clause (all-garbage input like ``!!!``/``~~``, or a
+    pure-negative query like ``-vector``) returns the empty hit frame —
+    Lucene's classic parser likewise matches nothing for pure-negative
+    queries, and a search box must never 500 on punctuation."""
+    parsed = parse_query_string(q)
+    if not (parsed["must"] or parsed["should"]):
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0.0).cast("double").alias("score"),
+        ).limit(0)
+    return bool_search(docs, id_col, text_col, k=k, **parsed)
 
 
 # ---------------------------------------------------------------- boosting

@@ -237,8 +237,13 @@ def test_parse_query_string_clause_mapping():
         {"phrase": "fast scan"}, {"prefix": "quer"}, {"fuzzy": "strean"},
     ]
     assert p["must_not"] == [{"term": "vector"}, {"phrase": "slow slow"}]
-    # a negated fuzzy demotes to an exact-token exclusion
-    assert parse_query_string("-typo~")["must_not"] == [{"match": "typo"}]
+    # a negated fuzzy demotes to an exact-token exclusion (same `term`
+    # shape as bare -tok; r9 advisor fix — was an analyzed match)
+    assert parse_query_string("-typo~")["must_not"] == [{"term": "typo"}]
+    # non-tokenizable fuzzy/prefix bases are dropped, not emitted broken
+    assert parse_query_string("~~") == {"must": [], "should": [], "must_not": []}
+    assert parse_query_string("-.~")["must_not"] == []
+    assert parse_query_string("+.* ~* *")["must"] == []
     # empty / punctuation-only tokens are dropped, case folds
     p2 = parse_query_string('SPARK +"New York" !!!')
     assert p2["must"] == [{"phrase": "new york"}]
@@ -294,6 +299,44 @@ def test_indexed_bool_door_equals_corpus_scan(spark, sf_dir, tmp_path):
         scan = bool_search(docs, "doc_id", "text", **spec).collect()
         probed = idx.bool_search(**spec).collect()
         assert [tuple(r) for r in probed] == [tuple(r) for r in scan], spec
+
+
+def test_indexed_door_counts_empty_docs_like_corpus_scan(spark, tmp_path):
+    """A corpus containing zero-token docs (empty string, punctuation-only,
+    NULL text): the loaded index's meta stats come from the FULL corpus
+    (save() records the build's stats row), so indexed match/phrase BM25
+    idf/avgdl equal the corpus scan bit-for-bit — the r9 advisor's
+    divergence. Pins the convention: n_docs counts every row."""
+    from pandemic_knowledge_spark.operators.search import SearchIndex, bm25_search
+    from pandemic_knowledge_spark.operators.boolquery import bool_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream fast scan"),
+            (2, "spark table merge"),
+            (3, "stream window join fast scan spark"),
+            (4, ""),           # zero tokens
+            (5, "..."),        # punctuation-only → zero tokens
+            (6, None),         # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "empty_doc_idx")
+    SearchIndex.build(docs, "doc_id", "text", cache=False, positional=True).save(path)
+    idx = SearchIndex.load(spark, path)
+    spec = dict(
+        must=[{"match": "spark stream"}],
+        should=[{"phrase": "fast scan", "boost": 1.5}],
+        k=10,
+    )
+    scan = bool_search(docs, "doc_id", "text", **spec).collect()
+    probed = idx.bool_search(**spec).collect()
+    assert [tuple(r) for r in probed] == [tuple(r) for r in scan]
+    assert len(scan) > 0
+    # the plain BM25 probe path agrees too (stats_scalars from meta)
+    s = bm25_search(docs, "doc_id", "text", "spark stream", k=10).collect()
+    p = idx.search("spark stream", k=10).collect()
+    assert [tuple(r) for r in p] == [tuple(r) for r in s]
 
 
 def test_indexed_bool_probe_never_tokenizes_the_corpus(spark, sf_dir, tmp_path):
@@ -364,6 +407,8 @@ def test_parse_query_string_total_on_arbitrary_input():
 
     from pandemic_knowledge_spark.operators.boolquery import parse_query_string
 
+    from pandemic_knowledge_spark.functions.text import query_terms
+
     @settings(max_examples=300, deadline=None)
     @given(st.text(
         alphabet=st.characters(min_codepoint=32, max_codepoint=126),
@@ -378,5 +423,27 @@ def test_parse_query_string_total_on_arbitrary_input():
                 (key, val), = clause.items()
                 assert key in ("match", "phrase", "prefix", "fuzzy", "term")
                 assert isinstance(val, str) and val == val.lower()
+                # executability: every analyzed clause kind must carry at
+                # least one tokenizable term, or bool_search raises on it
+                # (r9 advisor: '~~' emitted {"fuzzy": "~"})
+                if key in ("match", "phrase", "fuzzy", "prefix"):
+                    assert query_terms(val), (q, clause)
 
     check()
+
+
+def test_query_string_door_total_on_garbage(spark):
+    """The raw-keystroke door never raises: all-garbage and pure-negative
+    queries return the empty (doc_id, score) frame (Lucene classic-parser
+    pure-negative semantics), everything else executes."""
+    from pandemic_knowledge_spark.operators.boolquery import query_string_search
+
+    d = spark.createDataFrame(
+        [(1, "spark stream"), (2, "vector scan")], "doc_id long, text string"
+    )
+    for q in ("~~", "-.~", "!!!", "-vector", "", '""', "+.* ~* *"):
+        out = query_string_search(d, "doc_id", "text", q, k=5)
+        assert out.columns == ["doc_id", "score"]
+        assert out.count() == 0, q
+    # sanity: a real query through the same door still scores
+    assert query_string_search(d, "doc_id", "text", "+spark", k=5).count() == 1

@@ -285,6 +285,43 @@ def test_geohash_known_value(spark):
         assert got == want, (prec, got)
 
 
+def test_geohash_clamps_out_of_range_coords_both_engines(spark, sf_dir):
+    """Coordinates outside [-90,90]/[-180,180] clamp to the boundary cell
+    on BOTH engines (the r9 advisor found the lower bound unclamped —
+    shiftright on a negative quantized long made garbage cells)."""
+    import duckdb
+
+    from pandemic_knowledge_spark.functions.geo import (
+        geohash_cell,
+        sql_geohash_chars,
+        sql_geohash_quant,
+    )
+
+    pts = [(-95.0, -185.0), (-90.0, -180.0), (95.0, 185.0), (90.0, 180.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = [
+        r["g"]
+        for r in df.select(
+            geohash_cell(F.col("lat"), F.col("lon"), 5).alias("g")
+        ).collect()
+    ]
+    # below-range == at-boundary (clamped), above-range == at-boundary
+    assert got[0] == got[1] and got[2] == got[3]
+    assert all(len(g) == 5 for g in got)
+    lon_q, lat_q = sql_geohash_quant("lat", "lon", 5)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    oracle = [
+        r[0]
+        for r in con.execute(
+            f"""WITH q AS (SELECT {lon_q} AS lonq, {lat_q} AS latq FROM pts)
+            SELECT {sql_geohash_chars('lonq', 'latq', 5)} FROM q"""
+        ).fetchall()
+    ]
+    assert oracle == got
+
+
 def test_geohash_grid_matches_duckdb(spark, sf_dir):
     """geohash_grid aggregation parity: customers bucketed by 4-char
     geohash over the synthetic coordinates, counted per cell."""
