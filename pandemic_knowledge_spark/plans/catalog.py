@@ -42,8 +42,11 @@ from pandemic_knowledge_spark.functions.text import (
     tokenize,
 )
 from pandemic_knowledge_spark.functions.geo import (
+    geohash_cell,
     geotile_cell,
     grid_cell,
+    sql_geohash_chars,
+    sql_geohash_quant,
     ring_index,
     sq_degree_dist,
     sql_geotile_cell,
@@ -68,9 +71,15 @@ from pandemic_knowledge_spark.operators.aggregates import (
     composite_page,
     date_histogram_pipeline,
     matrix_stats,
+    mad_by,
     rare_terms,
+    rate_monthly,
     significant_terms,
     sql_adjacency_matrix,
+    sql_mad_by,
+    sql_rate_monthly,
+    sql_stats_bucket_daily,
+    stats_bucket_daily,
     sql_auto_date_histogram,
     sql_cents_sum,
     sql_date_histogram_pipeline,
@@ -168,11 +177,20 @@ from pandemic_knowledge_spark.operators.joins import (
 )
 from pandemic_knowledge_spark.operators.boolquery import (
     bool_search,
+    bool_search_from_index,
+    boosting_search,
+    collapse_search,
     dis_max_search,
     parse_query_string,
     query_string_search,
+    rescore_search,
     sql_bool_search,
+    sql_boosting_search,
+    sql_collapse_search,
     sql_dis_max_search,
+    sql_rescore_search,
+    sql_terms_set_search,
+    terms_set_search,
 )
 from pandemic_knowledge_spark.operators.search import (
     build_positional_postings,
@@ -195,9 +213,13 @@ from pandemic_knowledge_spark.operators.search import (
     sql_bm25_search,
     sql_bm25_search_cross_fields,
     sql_bm25_search_fields,
+    sql_regexp_search,
     sql_search_after,
     sql_tfidf_keywords,
+    sql_wildcard_search,
+    regexp_search,
     tfidf_keywords,
+    wildcard_search,
 )
 from pandemic_knowledge_spark.operators.skew import salted_agg
 from pandemic_knowledge_spark.operators.substrings import (
@@ -3228,6 +3250,238 @@ def search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     page1 = bm25_search(d, "doc_id", "text", _BM25_QUERY, k=10).collect()
     cursor = (page1[-1]["score"], page1[-1]["doc_id"])
     return bm25_search(d, "doc_id", "text", _BM25_QUERY, k=10, after=cursor)
+
+
+# ---------------------------------------------------------------------------
+# r10 registrations: the 11 operators r9 shipped with pytest oracle parity
+# but no catalog row (the declared debt — r9 verdict task #1). Each reuses
+# its existing sql_* twin verbatim; args match tests/test_es_extras.py and
+# tests/test_boolquery.py so the driver rows re-prove the same contracts.
+# ---------------------------------------------------------------------------
+
+_BOOSTING_POS = {"match": "spark stream window"}
+_BOOSTING_NEG = {"term": "vector"}
+
+
+@q(
+    "search_boosting",
+    oracle=sql_boosting_search(
+        "documents", "doc_id", "text", _BOOSTING_POS, _BOOSTING_NEG,
+        negative_boost=0.4, k=10,
+    ),
+)
+def search_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``boosting`` compound query: rank by the positive clause
+    but DEMOTE (not exclude) docs matching the negative one by
+    negative_boost — the soft must_not ("prefer fresh, don't hide
+    stale"). One scored-clause plan + the single membership-predicate
+    scan joined once, a multiply where bool's must_not anti-joins
+    (operators.boolquery.boosting_search)."""
+    return boosting_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        _BOOSTING_POS, _BOOSTING_NEG, negative_boost=0.4, k=10,
+    )
+
+
+@q(
+    "search_collapse",
+    oracle=sql_collapse_search(
+        "documents", "doc_id", "text", "spark stream", "lang", k=10
+    ),
+)
+def search_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES field ``collapse``: the ranked page keeps only the BEST hit
+    per distinct field value (one article per source — Searchkit's
+    "group by field"). Unlimited BM25 frame → one 1:1 id join → ONE
+    window rank per collapse value (WindowGroupLimit pushes the rank-1
+    cut below the shuffle) → top-k
+    (operators.boolquery.collapse_search)."""
+    return collapse_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        "spark stream", "lang", k=10,
+    )
+
+
+_RESCORE_ARGS = dict(
+    query="spark stream", rescore_phrase="fast scan",
+    window_size=40, query_weight=1.0, rescore_weight=2.0, k=10,
+)
+
+
+@q(
+    "search_rescore",
+    oracle=sql_rescore_search("documents", "doc_id", "text", **_RESCORE_ARGS),
+)
+def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``rescore``: cheap BM25 ranks the corpus, then ONLY the
+    top window_size hits pay the expensive phrase re-rank
+    (query_weight·bm25 + rescore_weight·phrase) — the two-phase ranking
+    every production ES deployment uses to afford proximity scoring.
+    The phrase scorer runs over the window-bounded id set, never the
+    corpus (operators.boolquery.rescore_search)."""
+    return rescore_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text", **_RESCORE_ARGS
+    )
+
+
+_TERMS_SET = ["spark", "stream", "window", "vector"]
+
+
+@q(
+    "search_terms_set",
+    oracle=sql_terms_set_search(
+        "documents", "doc_id", "text", _TERMS_SET, 3, k=10
+    ),
+)
+def search_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``terms_set``: match docs holding at least
+    minimum_should_match of the given exact terms, scored by how many
+    they hold — the per-doc-threshold cousin of bool msm. One tokenize →
+    array_intersect size, no per-term clause fan-out
+    (operators.boolquery.terms_set_search)."""
+    return terms_set_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _TERMS_SET, 3, k=10
+    )
+
+
+@q(
+    "search_wildcard",
+    oracle=sql_wildcard_search("documents", "doc_id", "text", "s*m", k=10),
+)
+def search_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``wildcard`` term query: the pattern must match an ENTIRE
+    analyzed term (``s*m`` hits stream/steam, not streaming/xstream).
+    Expansion runs against the distinct-terms sliver, never the corpus
+    rows; matched terms score constant 1.0 per ES's multi-term rewrite
+    (operators.search.wildcard_search)."""
+    return wildcard_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "s*m", k=10
+    )
+
+
+_REGEXP_PAT = "(spark|stream|scan)"
+
+
+@q(
+    "search_regexp",
+    oracle=sql_regexp_search("documents", "doc_id", "text", _REGEXP_PAT, k=10),
+)
+def search_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``regexp`` term query (whole-term anchored, like Lucene):
+    same dictionary-bound expansion shape as wildcard — the regex runs
+    over distinct terms, docs join the matched-term set
+    (operators.search.regexp_search)."""
+    return regexp_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _REGEXP_PAT, k=10
+    )
+
+
+@q("agg_mad_events", oracle=sql_mad_by("events", "event_type", "value"))
+def agg_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``median_absolute_deviation`` grouped by event_type: both median
+    passes run in an exact INTEGER domain (cents ×2) through the
+    rank-targeted distributed percentile tier — never a per-group value
+    map — so Spark and DuckDB agree bit-for-bit and no group ever lands
+    on one reducer (operators.aggregates.mad_by)."""
+    return mad_by(load(spark, sf_dir, "events"), "event_type", "value")
+
+
+@q("agg_rate_monthly", oracle=sql_rate_monthly("events", "ts", "value"))
+def agg_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rate`` agg in a calendar-month date_histogram (unit: day):
+    per-day-normalized doc and value rates so a 28-day February compares
+    honestly with a 31-day March. One scan → one month groupBy; exact
+    integer count/cents sums (operators.aggregates.rate_monthly)."""
+    return rate_monthly(load(spark, sf_dir, "events"), "ts", "value")
+
+
+@q("agg_stats_bucket", oracle=sql_stats_bucket_daily("events", "ts"))
+def agg_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``stats_bucket`` pipeline agg: the daily date_histogram's bucket
+    counts re-aggregated into one stats row (count/min/max/avg/sum +
+    exact integer-moment variance/std) — the two-level pipeline shape,
+    two narrow shuffles (operators.aggregates.stats_bucket_daily)."""
+    return stats_bucket_daily(load(spark, sf_dir, "events"), "ts")
+
+
+_GEOHASH_PREC = 4
+
+
+def _sql_geohash_grid() -> str:
+    lon_q, lat_q = sql_geohash_quant(
+        sql_synth_lat("c_custkey"), sql_synth_lon("c_custkey"), _GEOHASH_PREC
+    )
+    return f"""
+WITH q AS (
+  SELECT {lon_q} AS lonq, {lat_q} AS latq FROM customer
+)
+SELECT {sql_geohash_chars('lonq', 'latq', _GEOHASH_PREC)} AS cell,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+@q("geo_geohash_grid", oracle=_sql_geohash_grid())
+def geo_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — ES/Kibana ``geohash_grid`` aggregation: customers bucketed by
+    4-char base-32 geohash cell (integer interleave, lon owns the extra
+    bit; whole-stage codegen, no UDF — functions.geo.geohash_cell), one
+    count per cell. The OTHER Kibana map gridding next to the geotile
+    row; both clamp out-of-range coords on both engines."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            geohash_cell(
+                synth_lat(F.col("c_custkey")),
+                synth_lon(F.col("c_custkey")),
+                _GEOHASH_PREC,
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("cell")
+    )
+
+
+_BOOL_INDEXED = dict(
+    must=[{"match": "spark stream"}],
+    should=[{"phrase": "fast scan", "boost": 1.5}, {"fuzzy": "strean"}],
+    must_not=[{"term": "vector"}],
+    k=10,
+)
+
+
+@q(
+    "search_bool_indexed",
+    oracle=sql_bool_search("documents", "doc_id", "text", **_BOOL_INDEXED),
+)
+def search_bool_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — the composed bool door probed ENTIRELY from the persisted
+    index (operators.boolquery.bool_search_from_index): match scores from
+    bucket-pruned postings, fuzzy expands against the tlen-pruned vocab
+    sidecar, the phrase clause probes the positional tier, must_not is a
+    postings doc-id anti-join — no corpus scan, no per-query tokenize
+    (plan-gated in tests/test_boolquery.py). Oracle = the corpus-scan
+    bool SQL: probe ≡ scan, value-hashed — the same once-per-ingest /
+    probe-per-query split as search_fuzzy_indexed, on the positional
+    scratch index the phrase rows materialize."""
+    import os
+    import tempfile
+
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+
+    d = load(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pk_search_pos_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.isdir(os.path.join(path, "positions")):
+        SearchIndex.build(d, "doc_id", "text", cache=False, positional=True).save(path)
+    idx = SearchIndex.load(spark, path)
+    if idx.positional is None:  # repaired/crashed layout: rebuild once
+        SearchIndex.build(d, "doc_id", "text", cache=False, positional=True).save(path)
+        idx = SearchIndex.load(spark, path)
+    return bool_search_from_index(idx, **_BOOL_INDEXED)
 
 
 # TPC-H nation name → ISO 3166-1 alpha-2 (public data); nations without an
