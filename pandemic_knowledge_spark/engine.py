@@ -302,6 +302,117 @@ class Engine:
 
         return query_string_search(self.table(table), id_col, text_col, q, k=k)
 
+    def function_score(
+        self,
+        query: dict,
+        functions: list[dict],
+        score_mode: str = "multiply",
+        boost_mode: str = "multiply",
+        max_boost: float | None = None,
+        k: int = 8,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """ES ``function_score`` — reshape any scored clause's ranking with
+        document-value functions (field_value_factor boosts, filtered
+        weights), the "boost by popularity/recency/category" door
+        (operators.boolquery.function_score_search)."""
+        from pandemic_knowledge_spark.operators.boolquery import (
+            function_score_search,
+        )
+
+        return function_score_search(
+            self.table(table), id_col, text_col, query, functions,
+            score_mode=score_mode, boost_mode=boost_mode,
+            max_boost=max_boost, k=k,
+        )
+
+    def phrase_suggest(
+        self,
+        query: str,
+        k: int = 3,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        **kwargs,
+    ) -> DataFrame:
+        """ES PHRASE suggester — whole-query "did you mean", bigram-LM
+        re-ranked (operators.search.phrase_suggest; the per-term form is
+        :meth:`suggest`)."""
+        from pandemic_knowledge_spark.operators.search import phrase_suggest
+
+        return phrase_suggest(
+            self.table(table), id_col, text_col, query, k=k, **kwargs
+        )
+
+    def knn(
+        self,
+        knn: dict,
+        query: str | None = None,
+        rank: dict | None = None,
+        k: int = 10,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        emb_table: str = "embeddings",
+        vec_id_col: str = "vec_id",
+    ) -> DataFrame:
+        """The ES-8 kNN / hybrid-retriever door — one request shape routing
+        to the existing tiers:
+
+        - ``knn={"field": "embedding", "query_vector": [...], "k": 20}``
+          alone → vector top-k. Add ``"nprobe"`` (and optionally
+          ``"cell_col"``, default ``label``) to take the IVF
+          cell-pruned tier (operators.similarity.ivf_topk — a
+          partition-pruned probe at scale) instead of brute cosine.
+        - ``query="..."`` + ``rank={"rrf": {"rank_constant": 60,
+          "rank_window_size": 20}}`` → hybrid: BM25 over the text table
+          fused with the vector ranking by reciprocal-rank fusion
+          (operators.search.rrf_fuse), ES 8's ``rank.rrf`` retriever.
+
+        Hybrid WITHOUT rrf (ES's legacy score-sum convex combine) is
+        refused: summing BM25 and cosine needs score calibration this
+        engine won't fake — RRF is the calibration-free combine."""
+        from pandemic_knowledge_spark.operators.search import (
+            bm25_search as _bm25,
+            rrf_fuse,
+        )
+        from pandemic_knowledge_spark.operators.similarity import (
+            ivf_topk,
+            knn_brute_force,
+        )
+
+        spec = dict(knn)
+        vec = spec["query_vector"]
+        vec_col = spec.get("field", "embedding")
+        kk = int(spec.get("k", k))
+        emb = self.table(emb_table)
+        if "nprobe" in spec or "cell_col" in spec:
+            vec_hits = ivf_topk(
+                emb, vec_col, vec_id_col, spec.get("cell_col", "label"),
+                vec, k=kk, nprobe=int(spec.get("nprobe", 2)),
+            )
+        else:
+            vec_hits = knn_brute_force(emb, vec_col, vec_id_col, vec, k=kk)
+        if query is None:
+            return vec_hits
+        if not rank or "rrf" not in rank:
+            raise ValueError(
+                "hybrid retrieval (query + knn) needs rank={'rrf': {...}}: "
+                "BM25+cosine score-summing needs calibration this engine "
+                "won't fake — RRF is the calibration-free combine"
+            )
+        rrf = rank["rrf"] or {}
+        rc = int(rrf.get("rank_constant", 60))
+        win = int(rrf.get("rank_window_size", max(kk, k)))
+        text_hits = _bm25(self.table(table), id_col, text_col, query, k=win)
+        return rrf_fuse(
+            [(text_hits, id_col, "score"), (vec_hits, vec_id_col, "cos_sim")],
+            rank_const=rc,
+            k=k,
+        )
+
     # ------------------------------------------------------------ dashboards
 
     def dashboard_totals(self, facts: DataFrame, *metric_cols: str) -> DataFrame:

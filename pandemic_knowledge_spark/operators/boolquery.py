@@ -811,6 +811,210 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+# ----------------------------------------------------------- function_score
+
+_FVF_MODIFIERS = ("none", "log1p", "sqrt")
+_SCORE_MODES = ("multiply", "sum")
+_BOOST_MODES = ("multiply", "sum")
+
+
+def _function_factor(fn: dict, toks, score_mode: str):
+    """One function spec → its per-doc factor Column (over the raw docs
+    scan: field columns and the shared token array are both in scope).
+    A filtered weight is NEUTRAL where the filter misses (1 under
+    multiply, 0 under sum) — exactly ES's "only matching functions
+    participate" combine, expressed without a per-function frame."""
+    if "field_value_factor" in fn:
+        spec = fn["field_value_factor"]
+        factor = float(spec.get("factor", 1.0))
+        modifier = spec.get("modifier", "none")
+        if modifier not in _FVF_MODIFIERS:
+            raise ValueError(
+                f"field_value_factor modifier must be one of {_FVF_MODIFIERS}"
+            )
+        missing = float(spec.get("missing", 1.0))
+        v = F.coalesce(F.col(spec["field"]).cast("double"), F.lit(missing)) * F.lit(
+            factor
+        )
+        if modifier == "log1p":
+            v = F.log(F.lit(1.0) + v)
+        elif modifier == "sqrt":
+            v = F.sqrt(v)
+        if fn.get("filter") is not None:
+            neutral = 1.0 if score_mode == "multiply" else 0.0
+            v = F.when(_member_pred(toks, fn["filter"]), v).otherwise(F.lit(neutral))
+        return v
+    if "weight" in fn:
+        w = float(fn["weight"])
+        if fn.get("filter") is not None:
+            neutral = 1.0 if score_mode == "multiply" else 0.0
+            return F.when(
+                _member_pred(toks, fn["filter"]), F.lit(w)
+            ).otherwise(F.lit(neutral))
+        return F.lit(w)
+    raise ValueError(
+        f"function_score function needs field_value_factor or weight, got {sorted(fn)}"
+    )
+
+
+def function_score_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: dict,
+    functions: list[dict],
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+    max_boost: float | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``function_score`` compound query — the last widely-used
+    compound door (r9 verdict Missing #2): rank by any scored clause,
+    then reshape each hit's score with document-value functions:
+
+    - ``{"field_value_factor": {"field", "factor", "modifier":
+      none|log1p|sqrt, "missing"}}`` — boost by a numeric column
+      (recency, popularity, length), optionally gated by a ``filter``
+      membership clause,
+    - ``{"weight": w, "filter": <membership clause>}`` — constant factor
+      for docs matching the filter (the per-segment boost Searchkit
+      emits for "boost category X"); filterless weight applies to all.
+
+    ``score_mode`` combines the function values (multiply/sum — a
+    filtered-out function is neutral: 1/0 respectively), ``max_boost``
+    caps the combined function value, ``boost_mode`` combines it with the
+    query score (multiply/sum). One round at 4 dp on the final score (the
+    module's single-round idiom).
+
+    Plan: the query's scored frame (bool-door machinery — one TF scan)
+    joins ONE raw-docs projection computing every function column in a
+    single pass; the combine is pure row arithmetic — no extra shuffle
+    beyond the base scorer's."""
+    if not functions:
+        raise ValueError("function_score needs at least one function")
+    if score_mode not in _SCORE_MODES or boost_mode not in _BOOST_MODES:
+        raise ValueError(f"score_mode/boost_mode must be in {_SCORE_MODES}")
+    scored = _scored_frames(docs, id_col, text_col, [("must", query)])[0]
+    toks = tokenize(text_col)
+    facs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            _function_factor(fn, toks, score_mode).alias(f"__f{i}")
+            for i, fn in enumerate(functions)
+        ],
+    )
+    cols = [F.col(f"__f{i}") for i in range(len(functions))]
+    combined = reduce(
+        (lambda a, b: a * b) if score_mode == "multiply" else (lambda a, b: a + b),
+        cols,
+    )
+    if max_boost is not None:
+        combined = F.least(combined, F.lit(float(max_boost)))
+    final = (
+        F.col("bscore") * combined
+        if boost_mode == "multiply"
+        else F.col("bscore") + combined
+    )
+    return (
+        scored.join(facs, "doc_id")
+        .select("doc_id", F.round(final, 4).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def _sql_function_factor(fn: dict, score_mode: str) -> str:
+    """The DuckDB twin of :func:`_function_factor` — field columns come
+    from the fvals join, token membership from base2.toks."""
+    if "field_value_factor" in fn:
+        spec = fn["field_value_factor"]
+        factor = float(spec.get("factor", 1.0))
+        modifier = spec.get("modifier", "none")
+        if modifier not in _FVF_MODIFIERS:
+            raise ValueError(
+                f"field_value_factor modifier must be one of {_FVF_MODIFIERS}"
+            )
+        missing = float(spec.get("missing", 1.0))
+        v = f"(coalesce(CAST({spec['field']} AS DOUBLE), {missing!r}) * {factor!r})"
+        if modifier == "log1p":
+            v = f"ln(1.0 + {v})"
+        elif modifier == "sqrt":
+            v = f"sqrt({v})"
+        if fn.get("filter") is not None:
+            neutral = "1.0" if score_mode == "multiply" else "0.0"
+            pred = _sql_member_pred(fn["filter"])
+            v = f"(CASE WHEN {pred} THEN {v} ELSE {neutral} END)"
+        return v
+    if "weight" in fn:
+        w = float(fn["weight"])
+        if fn.get("filter") is not None:
+            neutral = "1.0" if score_mode == "multiply" else "0.0"
+            pred = _sql_member_pred(fn["filter"])
+            return f"(CASE WHEN {pred} THEN {w!r} ELSE {neutral} END)"
+        return f"CAST({w!r} AS DOUBLE)"
+    raise ValueError(
+        f"function_score function needs field_value_factor or weight, got {sorted(fn)}"
+    )
+
+
+def sql_function_score_search(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query: dict,
+    functions: list[dict],
+    score_mode: str = "multiply",
+    boost_mode: str = "multiply",
+    max_boost: float | None = None,
+    k: int = 10,
+) -> str:
+    """DuckDB SQL reproducing :func:`function_score_search` exactly —
+    splices the bool emitter's clause CTEs (the ``agg AS (`` partition,
+    same as dis_max/boosting) and computes the function columns over
+    base2.toks + an fvals join for raw field columns."""
+    if not functions:
+        raise ValueError("function_score needs at least one function")
+    if score_mode not in _SCORE_MODES or boost_mode not in _BOOST_MODES:
+        raise ValueError(f"score_mode/boost_mode must be in {_SCORE_MODES}")
+    bool_sql = sql_bool_search(table, id_col, text_col, must=[query], k=k)
+    head, _, _ = bool_sql.partition("agg AS (")
+    head = head.rstrip().rstrip(",")
+    fields = sorted(
+        {
+            fn["field_value_factor"]["field"]
+            for fn in functions
+            if "field_value_factor" in fn
+        }
+    )
+    field_sel = "".join(f", {f}" for f in fields)
+    fac_exprs = [
+        f"{_sql_function_factor(fn, score_mode)} AS f{i}"
+        for i, fn in enumerate(functions)
+    ]
+    op = " * " if score_mode == "multiply" else " + "
+    combined = "(" + op.join(f"f{i}" for i in range(len(functions))) + ")"
+    if max_boost is not None:
+        combined = f"least({combined}, {float(max_boost)!r})"
+    final = (
+        f"u.bscore * {combined}"
+        if boost_mode == "multiply"
+        else f"u.bscore + {combined}"
+    )
+    return f"""{head},
+fvals AS (SELECT {id_col} AS fdoc_id{field_sel} FROM {table}),
+funcs AS (
+  SELECT base2.doc_id, {', '.join(fac_exprs)}
+  FROM base2 JOIN fvals ON base2.doc_id = fvals.fdoc_id
+),
+fs AS (
+  SELECT u.doc_id, round({final}, 4) AS score
+  FROM u JOIN funcs ON u.doc_id = funcs.doc_id
+)
+SELECT doc_id, score FROM fs
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------- collapse
 
 

@@ -1258,6 +1258,268 @@ ORDER BY distance, df DESC, term LIMIT {k}
 """
 
 
+def _phrase_variants(terms: list[str], cands: dict[int, list[str]],
+                     max_errors: int) -> list[list[str]]:
+    """All candidate phrases: the input itself, every single-slot
+    substitution, and (max_errors ≥ 2) every two-slot substitution.
+    Distinct by construction (a substituted slot never equals the
+    original term, so distinct slot subsets give distinct phrases)."""
+    out = [list(terms)]
+    n = len(terms)
+    for i in range(n):
+        for c in cands.get(i, ()):
+            p = list(terms)
+            p[i] = c
+            out.append(p)
+    if max_errors >= 2:
+        for i in range(n):
+            for j in range(i + 1, n):
+                for ci in cands.get(i, ()):
+                    for cj in cands.get(j, ()):
+                        p = list(terms)
+                        p[i], p[j] = ci, cj
+                        out.append(p)
+    return out
+
+
+def phrase_suggest(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    per_term: int = 3,
+    max_errors: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """ES PHRASE suggester ("did you mean" over whole queries): candidate
+    corrections of the full query string, re-ranked by a corpus-trained
+    bigram language model — the composition the term suggester can't do
+    ("sparc strean" → "spark stream" requires knowing the two fixes
+    CO-OCCUR, not just that each term is one edit off; with a single
+    substitution the corrected bigram stays unseen and scores the floor).
+
+    Candidate generation is the term suggester's banded vocabulary probe
+    per query slot (same prefix + length-band + levenshtein pruning,
+    ranked distance ASC / df DESC / term ASC, top ``per_term`` each),
+    collected in ONE bounded ≤ n·per_term-row driver round-trip — ES's
+    coordinator does its candidate enumeration in exactly this place.
+    Candidate phrases substitute up to ``max_errors`` (≤ 2) slots; the
+    phrase set (1 + n·c + C(n,2)·c² worst case) stays driver-bounded.
+    Re-ranking is the add-one-smoothed bigram model of operators.lm
+    (same micro-nat quantization, so scores are order-invariant and
+    engine-exact): each phrase scores its mean bigram cross-entropy in
+    nats, LOWER = likelier. The INPUT phrase is scored too (first row =
+    the input means "your query is already the likeliest" — ES exposes
+    the same comparison through its confidence knob).
+
+    Scale shape: the vocabulary and the bigram model are each one
+    corpus-pass aggregate (dictionary-sized outputs); the phrase
+    candidates are a driver-bounded sliver, so the model JOIN is pruned
+    by a broadcast semi-join of the candidate bigram keys before
+    anything joins — the corpus-sized frames never shuffle toward the
+    candidates. Output (suggestion, xent_nats), xent ASC, top-k."""
+    from pandemic_knowledge_spark.operators.lm import MICRO, _doc_bigrams
+
+    terms = query_terms(query)
+    if len(terms) < 2:
+        raise ValueError(
+            "phrase_suggest needs a multi-term query (term_suggest covers "
+            "single terms)"
+        )
+    if max_errors not in (1, 2):
+        raise ValueError("phrase_suggest supports max_errors 1 or 2")
+    n = len(terms)
+    spark = docs.sparkSession
+    vocab = docs.select(
+        F.explode(F.array_distinct(tokenize(text_col))).alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # one union over the dictionary, one window rank, ONE bounded collect
+    # (≤ n·per_term rows) — the coordinator-side candidate enumeration
+    slot_frames = []
+    for i, t in enumerate(terms):
+        pref = t[: max(0, prefix_length)]
+        slot_frames.append(
+            vocab.filter(
+                (F.substring("term", 1, len(pref)) == F.lit(pref))
+                & (F.abs(F.length("term") - F.lit(len(t))) <= F.lit(max_edits))
+                & (F.col("term") != F.lit(t))
+            )
+            .withColumn("distance", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("distance") <= F.lit(max_edits))
+            .select(F.lit(i).alias("slot"), "term", "df", "distance")
+        )
+    allc = slot_frames[0]
+    for fr in slot_frames[1:]:
+        allc = allc.unionByName(fr)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("slot").orderBy("distance", F.desc("df"), "term")
+    picked = (
+        allc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_term)
+        .select("slot", "term")
+        .collect()
+    )
+    cands: dict[int, list[str]] = {}
+    for r in picked:
+        cands.setdefault(r["slot"], []).append(r["term"])
+    rows = [
+        (" ".join(p), p[j], p[j + 1])
+        for p in _phrase_variants(terms, cands, max_errors)
+        for j in range(n - 1)
+    ]
+    sb = spark.createDataFrame(rows, "suggestion string, a string, b string")
+
+    pairs = _doc_bigrams(docs, id_col, text_col)
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    hist = big.groupBy("a").agg(F.sum("c_ab").alias("h_a"))
+    v = vocab.agg(F.count(F.lit(1)).alias("v"))
+    keys = sb.select("a", "b").distinct()
+    big_f = big.join(F.broadcast(keys), ["a", "b"], "left_semi")
+    hist_f = hist.join(F.broadcast(keys.select("a").distinct()), "a", "left_semi")
+    scored = (
+        sb.join(F.broadcast(big_f), ["a", "b"], "left")
+        .join(F.broadcast(hist_f), "a", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "suggestion",
+            F.round(
+                F.log(
+                    (F.coalesce("c_ab", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("h_a", F.lit(0)) + F.col("v"))
+                )
+                * MICRO
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        scored.groupBy("suggestion")
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("lp_micro").alias("s"))
+        .select(
+            "suggestion",
+            F.round(-F.col("s") / F.col("nb") / MICRO, 4).alias("xent_nats"),
+        )
+        .orderBy("xent_nats", "suggestion")
+        .limit(k)
+    )
+
+
+def sql_phrase_suggest(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query: str,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    per_term: int = 3,
+    max_errors: int = 2,
+    k: int = 3,
+) -> str:
+    """DuckDB SQL reproducing :func:`phrase_suggest` exactly — the same
+    per-slot banded candidate CTEs (candidate enumeration stays IN SQL
+    where the Spark side does a bounded collect; both rank candidates by
+    the identical total order, so the sets can't diverge), the same
+    driver-unrolled bigram rows per candidate phrase, the operators.lm
+    smoothing/micro-nat idiom."""
+    from pandemic_knowledge_spark.operators.lm import MICRO
+
+    terms = query_terms(query)
+    if len(terms) < 2:
+        raise ValueError(
+            "phrase_suggest needs a multi-term query (term_suggest covers "
+            "single terms)"
+        )
+    if max_errors not in (1, 2):
+        raise ValueError("phrase_suggest supports max_errors 1 or 2")
+    n = len(terms)
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    cand_ctes, sugg_sels = [], []
+    orig = " ".join(terms)
+    for j in range(n - 1):
+        sugg_sels.append(
+            f"SELECT {lit(orig)} AS suggestion, {lit(terms[j])} AS a,"
+            f" {lit(terms[j + 1])} AS b"
+        )
+    for i, t in enumerate(terms):
+        pref = t[: max(0, prefix_length)]
+        cand_ctes.append(
+            f"""cand{i} AS (
+  SELECT term AS cand FROM (
+    SELECT term, df, levenshtein(term, {lit(t)}) AS distance FROM vocab
+    WHERE substr(term, 1, {len(pref)}) = {lit(pref)}
+      AND abs(length(term) - {len(t)}) <= {max_edits}
+      AND term <> {lit(t)}
+  ) WHERE distance <= {max_edits}
+  ORDER BY distance, df DESC, term LIMIT {per_term}
+)"""
+        )
+        strparts = [lit(x) for x in terms]
+        strparts[i] = "cand"
+        sugg_expr = " || ' ' || ".join(strparts)
+        for j in range(n - 1):
+            sugg_sels.append(
+                f"SELECT {sugg_expr} AS suggestion, {strparts[j]} AS a,"
+                f" {strparts[j + 1]} AS b FROM cand{i}"
+            )
+    if max_errors >= 2:
+        for i in range(n):
+            for j2 in range(i + 1, n):
+                strparts = [lit(x) for x in terms]
+                strparts[i] = f"s{i}.cand"
+                strparts[j2] = f"s{j2}.cand"
+                sugg_expr = " || ' ' || ".join(strparts)
+                src = f"cand{i} AS s{i} CROSS JOIN cand{j2} AS s{j2}"
+                for j in range(n - 1):
+                    sugg_sels.append(
+                        f"SELECT {sugg_expr} AS suggestion, {strparts[j]} AS a,"
+                        f" {strparts[j + 1]} AS b FROM {src}"
+                    )
+    union = "\n  UNION ALL ".join(sugg_sels)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table}
+),
+vocab AS MATERIALIZED (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+  GROUP BY term
+),
+vsz AS (SELECT count(*) AS v FROM vocab),
+pairs AS MATERIALIZED (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+big AS MATERIALIZED (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+hist AS (SELECT a, sum(c_ab) AS h_a FROM big GROUP BY a),
+{', '.join(cand_ctes)},
+sb AS ({union}),
+scored AS (
+  SELECT sb.suggestion,
+         CAST(round(ln(CAST(coalesce(g.c_ab, 0) + 1 AS DOUBLE)
+                       / (coalesce(h.h_a, 0) + vsz.v)) * {MICRO}) AS BIGINT)
+           AS lp_micro
+  FROM sb
+  LEFT JOIN big g ON sb.a = g.a AND sb.b = g.b
+  LEFT JOIN hist h ON sb.a = h.a
+  CROSS JOIN vsz
+)
+SELECT suggestion,
+       round(-CAST(sum(lp_micro) AS DOUBLE) / count(*) / {MICRO}, 4)
+         AS xent_nats
+FROM scored GROUP BY suggestion
+ORDER BY xent_nats, suggestion LIMIT {k}
+"""
+
+
 def sql_bm25_search(table: str, id_col: str, text_col: str, query: str, k: int = 10) -> str:
     """DuckDB SQL reproducing :func:`bm25_search` exactly."""
     q_terms = sorted(set(query_terms(query)))

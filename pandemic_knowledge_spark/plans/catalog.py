@@ -181,10 +181,12 @@ from pandemic_knowledge_spark.operators.boolquery import (
     boosting_search,
     collapse_search,
     dis_max_search,
+    function_score_search,
     parse_query_string,
     query_string_search,
     rescore_search,
     sql_bool_search,
+    sql_function_score_search,
     sql_boosting_search,
     sql_collapse_search,
     sql_dis_max_search,
@@ -213,6 +215,8 @@ from pandemic_knowledge_spark.operators.search import (
     sql_bm25_search,
     sql_bm25_search_cross_fields,
     sql_bm25_search_fields,
+    phrase_suggest,
+    sql_phrase_suggest,
     sql_regexp_search,
     sql_search_after,
     sql_tfidf_keywords,
@@ -3482,6 +3486,126 @@ def search_bool_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SearchIndex.build(d, "doc_id", "text", cache=False, positional=True).save(path)
         idx = SearchIndex.load(spark, path)
     return bool_search_from_index(idx, **_BOOL_INDEXED)
+
+
+# r10 verdict tasks #5–7: the function_score door, the ES-8 hybrid
+# query+knn retriever (BM25 ⊕ IVF via RRF — Engine.knn routes the same
+# composition), and the phrase suggester.
+
+_FS_QUERY = {"match": "spark stream"}
+_FS_FUNCTIONS = [
+    {
+        "field_value_factor": {
+            "field": "n_chars", "factor": 0.01, "modifier": "log1p",
+            "missing": 1.0,
+        }
+    },
+    {"weight": 2.0, "filter": {"term": "table"}},
+]
+
+
+@q(
+    "search_function_score",
+    oracle=sql_function_score_search(
+        "documents", "doc_id", "text", _FS_QUERY, _FS_FUNCTIONS,
+        max_boost=8.0, k=10,
+    ),
+)
+def search_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``function_score`` (r9 verdict Missing #2, the last
+    widely-used compound door): BM25 base ranking reshaped by a log1p
+    field_value_factor on doc length and a ×2 weight for docs matching a
+    term filter, capped by max_boost, multiplied into the query score.
+    One TF-scan scorer + ONE raw-docs projection computing every
+    function column in a single pass, joined once — no per-function
+    frames (operators.boolquery.function_score_search; Engine facade
+    Engine.function_score)."""
+    return function_score_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        _FS_QUERY, _FS_FUNCTIONS, max_boost=8.0, k=10,
+    )
+
+
+_HYBRID_IVF_ORACLE = f"""
+WITH text_hits AS (
+  SELECT * FROM ({{bm25}}) t
+), pos AS (
+  SELECT label AS cell, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), cent AS (
+  SELECT cell, pos, round(avg(v), 6) AS m FROM pos GROUP BY cell, pos
+), cvec AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell
+), top_cells AS (
+  SELECT cell FROM cvec
+  ORDER BY round({{cent_cos}}, 6) DESC, cell LIMIT 2
+), vec_hits AS (
+  SELECT vec_id, round({{emb_cos}}, 6) AS cos_sim
+  FROM embeddings WHERE label IN (SELECT cell FROM top_cells)
+  ORDER BY cos_sim DESC, vec_id LIMIT {{w}}
+), tr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM text_hits
+), vr AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM vec_hits
+), allr AS (
+  SELECT doc_id, rnk FROM tr UNION ALL SELECT doc_id, rnk FROM vr
+)
+SELECT doc_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf_score
+FROM allr GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+@q(
+    "search_hybrid_knn_ivf",
+    oracle=_HYBRID_IVF_ORACLE.format(
+        bm25=sql_bm25_search("documents", "doc_id", "text", _BM25_QUERY, _RRF_K),
+        cent_cos=sql_cosine("centroid", _QLIT),
+        emb_cos=sql_cosine("embedding", _QLIT),
+        w=_RRF_K,
+    ),
+)
+def search_hybrid_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES-8 hybrid retriever at its SCALE tier (r9 verdict Missing
+    #4): BM25 top-20 fused by RRF with the IVF cell-pruned ANN top-20 —
+    unlike search_hybrid_rrf's brute-cosine side, the vector list here
+    scans only the 2 nearest coarse cells (partition-pruned at a real
+    deployment's layout). Engine.knn is this exact routing as one
+    ES-shaped door: knn={query_vector, k, nprobe} + query +
+    rank={'rrf': ...} (facade equivalence pinned in
+    tests/test_engine.py)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    text_hits = bm25_search(d, "doc_id", "text", _BM25_QUERY, k=_RRF_K)
+    vec_hits = ivf_topk(e, "embedding", "vec_id", "label", QUERY_VEC,
+                        k=_RRF_K, nprobe=2)
+    return rrf_fuse(
+        [(text_hits, "doc_id", "score"), (vec_hits, "vec_id", "cos_sim")],
+        rank_const=60,
+        k=10,
+    )
+
+
+_PS_QUERY = "sparc strean"  # both tokens one edit off "spark stream"
+
+
+@q(
+    "search_phrase_suggest",
+    oracle=sql_phrase_suggest("documents", "doc_id", "text", _PS_QUERY, k=4),
+)
+def search_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — the ES PHRASE suggester (r9 verdict Missing #3): whole-query
+    "did you mean" — per-slot banded vocabulary candidates (the term
+    suggester's pruning), up to two slots substituted per candidate
+    phrase, re-ranked by the operators.lm add-one bigram model in exact
+    micro-nats. 'sparc strean' needs BOTH fixes at once to reach the
+    corpus-likely 'spark stream' bigram — the composition the per-term
+    suggester can't express (operators.search.phrase_suggest)."""
+    return phrase_suggest(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _PS_QUERY, k=4
+    )
 
 
 # TPC-H nation name → ISO 3166-1 alpha-2 (public data); nations without an
