@@ -7082,15 +7082,57 @@ BENCH_QUERY_NAMES.extend(
 # already proven green in a previous round's CORRECTNESS_r*.json rotate to
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
-# The rows left out of the r9 window whose newest evidence is r6 — the
-# stalest green cohort after this rotation (everything else is r7+). They
-# MUST lead the r10 window (after r10's own new/changed rows):
-# zero-argument `python scripts/window_rotate.py` emits it. Families keep
-# fresher in-window coverage meanwhile: the search_* corpus-scan rows
-# share scorers with this round's bool-door/search_after rows, the
-# sql_door trio with the in-window TPC-H q* core, the sketch/timeseries
-# rows with their r7-green siblings.
+# The 14 r6-evidence rows the r10 window's 14 new rows displaced — the
+# stalest green cohort left (everything else is r7+). They MUST lead the
+# r11 window (after r11's own new/changed rows): zero-argument
+# `python scripts/window_rotate.py` emits exactly that. Families keep
+# fresher in-window coverage meanwhile: the two suggest/prefix rows share
+# scorers with the in-window r10 phrase-suggest door, the sql_door trio
+# with the TPC-H q* core checked in r9, the sketch/timeseries rows with
+# their r7/r8-green siblings, bm25_fields/tfidf with this window's six
+# corpus-scan search rows.
 _NEXT_WINDOW_IOUS = [
+    "search_prefix_type_ahead",
+    "search_term_suggest",
+    "sketch_hll_range_rollup",
+    "sketch_quantile_rollup",
+    "sql_door_doc_profile",
+    "sql_door_monthly_orders",
+    "sql_door_nation_revenue",
+    "text_collocations_pmi",
+    "text_quality_classifier",
+    "text_search_bm25_fields",
+    "text_tfidf_keywords",
+    "timeseries_gapfill_ffill",
+    "timeseries_rolling_active",
+    "window_range_7day_avg",
+]
+
+_DRIVER_PRIORITY = [
+    # ROUND-10 WINDOW (50 slots) — zero-argument scripts/window_rotate.py
+    # proposal (r9 verdict task #2): this round's 14 NEVER-CHECKED rows
+    # lead (the 11 registered r9-wave operators — boosting/collapse/
+    # rescore/terms_set/wildcard/regexp/mad/rate/stats_bucket/
+    # geohash_grid/indexed-bool-door — plus the r10 function_score,
+    # hybrid-knn and phrase-suggest doors), then the FIRST 36 of the 50
+    # r9-declared IOUs (the cohort whose newest evidence is r6, the
+    # oldest outstanding). The 14 r6 rows the new rows displaced are the
+    # r11 debt (_NEXT_WINDOW_IOUS above) — after this round the
+    # evidence histogram is r6x14 / r7x49 / r8x50 / r9x50 / r10x50.
+    "search_boosting",
+    "search_collapse",
+    "search_rescore",
+    "search_terms_set",
+    "search_wildcard",
+    "search_regexp",
+    "agg_mad_events",
+    "agg_rate_monthly",
+    "agg_stats_bucket",
+    "geo_geohash_grid",
+    "search_bool_indexed",
+    "search_function_score",
+    "search_hybrid_knn_ivf",
+    "search_phrase_suggest",
     "agg_histogram_buckets",
     "agg_matrix_stats",
     "agg_percentile_ranks",
@@ -7127,99 +7169,6 @@ _NEXT_WINDOW_IOUS = [
     "scd2_snapshot_asof",
     "search_hybrid_rrf",
     "search_more_like_this",
-    "search_prefix_type_ahead",
-    "search_term_suggest",
-    "sketch_hll_range_rollup",
-    "sketch_quantile_rollup",
-    "sql_door_doc_profile",
-    "sql_door_monthly_orders",
-    "sql_door_nation_revenue",
-    "text_collocations_pmi",
-    "text_quality_classifier",
-    "text_search_bm25_fields",
-    "text_tfidf_keywords",
-    "timeseries_gapfill_ffill",
-    "timeseries_rolling_active",
-    "window_range_7day_avg",
-]
-
-# r9 operators shipped WITH DuckDB SQL twins and pytest parity evidence
-# (tests/test_es_extras.py) but WITHOUT catalog rows — the r9 window's 50
-# slots were committed to the declared IOU rotation. Register these as
-# rows in r10 (each is a ~10-line @q using the existing sql_* twin):
-#   boosting_search / collapse_search / rescore_search / terms_set_search
-#   (operators/boolquery.py), wildcard_search / regexp_search
-#   (operators/search.py), mad_by / rate_monthly / stats_bucket_daily
-#   (operators/aggregates.py), geohash_cell grid (functions/geo.py),
-#   bool_search_from_index (indexed bool door — equivalence-tested,
-#   oracle = the corpus-scan bool oracle, same pattern as
-#   search_fuzzy_indexed).
-
-_DRIVER_PRIORITY = [
-    # ROUND-9 WINDOW (50 slots) — seeded by the zero-argument
-    # scripts/window_rotate.py proposal (r8 verdict task #2), then grown
-    # as the round shipped: this round's 7 NEVER-CHECKED rows lead (the
-    # composed bool-query door ×2, query_string, dis_max, search_after
-    # keyset pagination, diversified_sampler, extended_stats), then ALL
-    # 43 r8-declared IOUs — the cohort whose newest evidence was r5, the
-    # oldest outstanding (the full TPC-H q1–q22 relational core, the
-    # winnow/ngram/semantic dedup family, the sampling/privacy/
-    # decontamination pipeline rows, the two indexed search pages, the
-    # two streaming rows). After this round no catalog row's newest
-    # green evidence is older than r6; the 50 r6 rows left out (the 47
-    # never-in + the 3 fillers the late-r9 rows displaced) are declared
-    # above as the r10 debt (_NEXT_WINDOW_IOUS).
-    "search_bool_door",            # NEW r9: composed bool door (verdict #1)
-    "search_bool_msm",             # NEW r9: bool should-panel w/ msm=2
-    "search_query_string",         # NEW r9: query_string mini-language door
-    "search_dis_max",              # NEW r9: dis_max w/ tie_breaker
-    "search_after_page",           # NEW r9: keyset pagination (verdict #4)
-    "agg_diversified_sampler",     # NEW r9: ES diversified_sampler (verdict #7)
-    "agg_extended_stats",          # NEW r9: ES extended_stats moment panel
-    # --- the 43 r8-declared IOUs (newest evidence r5) ---
-    "decontaminate_train_split",
-    "dedup_cluster_reps",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
-    "dedup_winnow_cluster_reps",
-    "dedup_winnow_pairs",
-    "emb_near_dup_pairs",
-    "geo_grid_hotspots",
-    "geo_nearest_customers",
-    "multikey_lookup",
-    "multimodal_byte_stats",
-    "pack_training_bins",
-    "q10_returned_revenue",
-    "q11_part_value_concentration",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q20_heavy_part_suppliers",
-    "q21_single_return_supplier",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "redact_pii",
-    "retail_association_rules",
-    "sample_stratified_corpus",
-    "sample_train_test_split",
-    "search_fields_indexed",
-    "search_page_indexed",
-    "stream_dedup_first",
-    "stream_near_dup_mark",
-    "window_gap_islands",
 ]
 
 
