@@ -302,6 +302,39 @@ class Engine:
 
         return query_string_search(self.table(table), id_col, text_col, q, k=k)
 
+    def span_near(
+        self,
+        query: str,
+        slop: int = 0,
+        k: int = 8,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """ES ``span_near`` / ``match_phrase`` with slop — the analyzed
+        terms in order with at most ``slop`` positions of total slack
+        (operators.search.span_near_search; slop=0 is the exact phrase)."""
+        from pandemic_knowledge_spark.operators.search import span_near_search
+
+        return span_near_search(
+            self.table(table), id_col, text_col, query, slop=slop, k=k
+        )
+
+    def percolate(
+        self,
+        registered: list[tuple[str, str]],
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """ES ``percolate`` — reverse search: which registered standing
+        queries does each document satisfy (all analyzed terms present —
+        match with operator:and)? One (query_id, doc_id) row per match
+        (operators.search.percolate)."""
+        from pandemic_knowledge_spark.operators.search import percolate
+
+        return percolate(self.table(table), id_col, text_col, registered)
+
     def function_score(
         self,
         query: dict,

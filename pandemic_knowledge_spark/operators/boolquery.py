@@ -32,7 +32,26 @@ fuzzy     BM25 over the AUTO-band expansion set      —
           (distance, df DESC, term) cap)
 term      —                                          doc holds the exact
                                                      token
+range     —                                          non-text metadata
+                                                     bound(s) on a doc
+                                                     FIELD (ES range
+                                                     query): ``{"range":
+                                                     {field: {gte/gt/
+                                                     lte/lt}}}``
+exists    —                                          doc FIELD is
+                                                     non-null (ES exists
+                                                     query): ``{"exists":
+                                                     {"field": f}}``
 ========  =========================================  ====================
+
+``range`` / ``exists`` are the metadata gates every real bool query
+carries next to its text clauses (date ranges, length floors, source
+facets — the reference's Kibana dashboards are date-range-filtered
+visualizations of exactly this shape, /root/reference/README.md:22-28).
+They are membership-only (ES executes them in filter context without
+scores) and, like every other membership clause, they ride the SAME
+single predicate-projection scan — the field comparison is one more
+boolean column beside the token tests, not a separate join.
 
 Scoring combination is exactly ES's: ``score(doc) = Σ boost_i ·
 clause_score_i(doc)`` over every matched must and should clause; a doc
@@ -85,7 +104,20 @@ from pandemic_knowledge_spark.operators.search import (
 )
 
 _SCORED_KEYS = ("match", "phrase", "prefix", "fuzzy")
-_MEMBER_KEYS = ("match", "phrase", "prefix", "term")
+_MEMBER_KEYS = ("match", "phrase", "prefix", "term", "range", "exists")
+_RANGE_OPS = ("gte", "gt", "lte", "lt")
+
+
+def _range_parts(clause: dict) -> tuple[str, dict]:
+    """Validate an ES range clause ``{"range": {field: {gte/gt/lte/lt}}}``
+    → (field, bounds). Exactly one field, ≥1 bound, no stray keys."""
+    spec = clause["range"]
+    if len(spec) != 1:
+        raise ValueError(f"range clause needs exactly one field, got {sorted(spec)}")
+    field, bounds = next(iter(spec.items()))
+    if not bounds or not set(bounds) <= set(_RANGE_OPS):
+        raise ValueError(f"range bounds must be a non-empty subset of {_RANGE_OPS}")
+    return field, bounds
 
 
 def _clause_key(clause: dict, allowed: tuple) -> str:
@@ -126,8 +158,20 @@ def _phrase_starts(toks, terms: list[str]):
 
 def _member_pred(toks, clause: dict):
     """The clause's membership test as ONE boolean column over the shared
-    token array — all filter/must_not clauses ride a single docs scan."""
+    token array (plus, for range/exists, the doc's raw field columns —
+    evaluated in the same projection) — all filter/must_not clauses ride
+    a single docs scan."""
     key = _clause_key(clause, _MEMBER_KEYS)
+    if key == "range":
+        field, bounds = _range_parts(clause)
+        col, pred = F.col(field), F.lit(True)
+        for op, v in sorted(bounds.items()):
+            cmp = {"gte": col >= F.lit(v), "gt": col > F.lit(v),
+                   "lte": col <= F.lit(v), "lt": col < F.lit(v)}[op]
+            pred = pred & cmp
+        return pred
+    if key == "exists":
+        return F.col(clause["exists"]["field"]).isNotNull()
     if key == "term":
         return F.array_contains(toks, F.lit(clause["term"]))
     if key == "match":
@@ -375,8 +419,35 @@ def _sql_phrase_conds(terms: list[str], arr: str = "toks") -> str:
     )
 
 
-def _sql_member_pred(clause: dict) -> str:
+def _sql_range_lit(v) -> str:
+    """A range bound as a DuckDB literal — strings quoted (dates compare
+    lexicographically as in Spark), numbers via repr (exact ints, shortest
+    round-trip doubles — the same literal Spark's F.lit folds in)."""
+    if isinstance(v, bool):
+        raise ValueError("range bounds must be numbers or strings")
+    if isinstance(v, str):
+        return _sql_lit(v)
+    if isinstance(v, (int, float)):
+        return repr(v)
+    raise ValueError(f"range bounds must be numbers or strings, got {type(v)}")
+
+
+def _sql_member_pred(clause: dict, field_src: str | None = None) -> str:
     key = _clause_key(clause, _MEMBER_KEYS)
+    if key in ("range", "exists"):
+        if field_src is None:
+            raise ValueError(
+                f"{key} clauses need raw field columns — supported in bool "
+                "filter/must_not context only"
+            )
+        if key == "exists":
+            return f"{field_src}.{clause['exists']['field']} IS NOT NULL"
+        field, bounds = _range_parts(clause)
+        sql_op = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+        return "(" + " AND ".join(
+            f"{field_src}.{field} {sql_op[op]} {_sql_range_lit(v)}"
+            for op, v in sorted(bounds.items())
+        ) + ")"
     if key == "term":
         return f"list_contains(toks, {_sql_lit(clause['term'])})"
     if key == "match":
@@ -561,12 +632,25 @@ hits AS (
 
     where = ""
     if filter or must_not:
+        needs_fields = any(
+            _clause_key(c, _MEMBER_KEYS) in ("range", "exists")
+            for c in filter + must_not
+        )
+        src = "_r" if needs_fields else None
         pred_cols = ", ".join(
-            [f"{_sql_member_pred(c)} AS f{i}" for i, c in enumerate(filter)]
-            + [f"{_sql_member_pred(c)} AS m{i}" for i, c in enumerate(must_not)]
+            [f"{_sql_member_pred(c, src)} AS f{i}" for i, c in enumerate(filter)]
+            + [f"{_sql_member_pred(c, src)} AS m{i}"
+               for i, c in enumerate(must_not)]
+        )
+        # range/exists read raw field columns: join the source table back
+        # on the id (1:1 — base2 is one row per doc) only when needed
+        frm = (
+            f"base2 JOIN {table} _r ON base2.doc_id = _r.{id_col}"
+            if needs_fields
+            else "base2"
         )
         ctes.append(
-            f"preds AS (SELECT doc_id, {pred_cols} FROM base2)"
+            f"preds AS (SELECT base2.doc_id AS doc_id, {pred_cols} FROM {frm})"
         )
         conds = [f"preds.f{i}" for i in range(len(filter))] + [
             f"NOT preds.m{i}" for i in range(len(must_not))

@@ -2749,3 +2749,220 @@ SELECT doc_id, CAST(c AS BIGINT) AS phrase_count
 FROM hits WHERE c > 0
 ORDER BY phrase_count DESC, doc_id LIMIT {k}
 """
+
+
+# ------------------------------------------------------------- span_near
+
+
+def _span_start_pred(toks, terms: list[str], slop: int):
+    """Predicate over a candidate 1-based start position ``i``: the token
+    at ``i`` is terms[0] and the remaining terms occur IN ORDER at
+    strictly increasing positions, all within the window ``[i, i + slop +
+    m - 1]`` — i.e. an ordered occurrence with total slack ≤ slop
+    (``p_m − p_1 − (m−1) ≤ slop``, Lucene's in-order SpanNear match
+    condition). Built as nested EXISTS higher-order functions (depth m−1,
+    each over a ≤ slop+m−1-long window slice) — exact existence search,
+    not a greedy scan, entirely scan-side codegen."""
+    m = len(terms)
+    n = F.size(toks)
+
+    def chain(j, prev, wend):
+        def body(q):
+            hit = F.element_at(toks, q.cast("int")) == F.lit(terms[j])
+            if j + 1 < m:
+                return hit & chain(j + 1, q, wend)
+            return hit
+
+        # sequence() would descend when the window is exhausted — guard
+        return F.when(
+            prev < wend, F.exists(F.sequence(prev + F.lit(1), wend), body)
+        ).otherwise(F.lit(False))
+
+    def pred(i):
+        wend = F.least(i + F.lit(slop + m - 1), n)
+        return (
+            F.element_at(toks, i.cast("int")) == F.lit(terms[0])
+        ) & chain(1, i, wend)
+
+    return pred
+
+
+def span_near_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``span_near`` (``in_order: true``) / ``match_phrase`` with
+    ``slop``: docs where the analyzed query terms occur IN ORDER with at
+    most ``slop`` total positions of slack between the first and last
+    term — the proximity query the exact-phrase door can't express
+    ("spark … stream" within 3 words). ``slop=0`` degenerates to the
+    exact consecutive phrase (pinned against :func:`phrase_search` in
+    tests). Output (doc_id, span_count) ranked (count DESC, doc_id) like
+    the phrase family, where span_count = number of first-term positions
+    from which a qualifying in-order occurrence exists (the deterministic
+    span-start count both engines reproduce bit-identically).
+
+    Plan: one corpus scan; the match test is nested EXISTS higher-order
+    functions over the token array — per first-term occurrence the search
+    explores only a ≤ slop+m−1-token window, so cost is O(tf₁ ·
+    window^(m−1)) per doc with m and slop query constants. No shuffle
+    before the top-k heaps; no Python. (The positional-postings tier,
+    :class:`SearchIndex` ``positional=True``, covers the indexed form of
+    exact phrases; span_near is the direct-scan proximity door.)"""
+    terms = query_terms(query)
+    if len(terms) < 2:
+        raise ValueError("span_near needs ≥ 2 tokenizable terms")
+    if slop < 0:
+        raise ValueError("slop must be ≥ 0")
+    m = len(terms)
+    toks = tokenize(text_col)
+    starts = F.when(
+        F.size(toks) >= m,
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks) - m + 1),
+            _span_start_pred(toks, terms, slop),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.size(starts).alias("c"))
+        .where(F.col("c") > 0)
+        .select("doc_id", F.col("c").cast("long").alias("span_count"))
+        .orderBy(F.desc("span_count"), "doc_id")
+        .limit(k)
+    )
+
+
+def sql_span_near_search(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query: str,
+    slop: int = 0,
+    k: int = 10,
+) -> str:
+    """DuckDB SQL reproducing :func:`span_near_search` exactly — the same
+    nested-EXISTS window search as nested ``list_filter`` lambdas (DuckDB
+    ``range(a, b)`` is empty when a ≥ b, so the window-exhausted guard is
+    implicit)."""
+    terms = query_terms(query)
+    if len(terms) < 2:
+        raise ValueError("span_near needs ≥ 2 tokenizable terms")
+    if slop < 0:
+        raise ValueError("slop must be ≥ 0")
+    m = len(terms)
+    wend = f"least(i + {slop + m - 1}, len(t))"
+
+    def nested(j: int, prev: str) -> str:
+        body = f"t[q{j}] = '{terms[j]}'"
+        if j + 1 < m:
+            body += f" AND {nested(j + 1, f'q{j}')}"
+        return (
+            f"len(list_filter(range({prev} + 1, {wend} + 1),"
+            f" q{j} -> {body})) > 0"
+        )
+
+    conds = f"t[i] = '{terms[0]}' AND {nested(1, 'i')}"
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table}
+),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t) - {m} + 2), i -> {conds})) AS c
+  FROM toks WHERE len(t) >= {m}
+)
+SELECT doc_id, CAST(c AS BIGINT) AS span_count
+FROM hits WHERE c > 0
+ORDER BY span_count DESC, doc_id LIMIT {k}
+"""
+
+
+# ------------------------------------------------------------- percolate
+
+
+def percolate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    registered: list[tuple[str, str]],
+) -> DataFrame:
+    """ES ``percolate`` — the REVERSE search (alerting/classification):
+    queries are stored, documents are the probe; each incoming doc
+    reports which registered queries it satisfies. The reference's
+    news/tweets feeds are exactly the alerting shape this serves
+    (/root/reference/flow/scripts/insert_news.py — a percolator would tag
+    each crawled article with the standing searches it matches).
+
+    ``registered`` is [(query_id, query_text)]; a query matches a doc
+    when ALL its analyzed terms appear in the doc's token set (ES match
+    query with ``operator: and`` — the conjunctive form alerting uses).
+    Queries whose text analyzes to nothing are rejected. Output one row
+    per (query_id, doc_id) match.
+
+    Plan: the registered set compiles to a literal (query_id, term,
+    n_terms) frame BROADCAST into a single equi-join against the per-doc
+    distinct-token explode; a (query_id, doc_id) count equal to n_terms
+    is a full conjunctive match. One corpus scan, one map-side join, one
+    grouped count — at 100 TB the doc side streams and never shuffles
+    toward the (dictionary-sized) query side; a million standing alerts
+    is still a broadcast-sized table."""
+    if not registered:
+        raise ValueError("percolate needs at least one registered query")
+    rows = []
+    for qid, qtext in registered:
+        terms = sorted(set(query_terms(qtext)))
+        if not terms:
+            raise ValueError(f"registered query {qid!r} has no tokenizable terms")
+        rows.extend((str(qid), t, len(terms)) for t in terms)
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(rows, "query_id string, term string, n_terms int")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
+    )
+    return (
+        d.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id", "n_terms")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .where(F.col("__hits") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+
+
+def sql_percolate(
+    table: str,
+    id_col: str,
+    text_col: str,
+    registered: list[tuple[str, str]],
+) -> str:
+    """DuckDB SQL reproducing :func:`percolate` exactly — the registered
+    set as a VALUES CTE, the same distinct-token conjunctive-count join."""
+    if not registered:
+        raise ValueError("percolate needs at least one registered query")
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = []
+    for qid, qtext in registered:
+        terms = sorted(set(query_terms(qtext)))
+        if not terms:
+            raise ValueError(f"registered query {qid!r} has no tokenizable terms")
+        vals.extend(f"({lit(str(qid))}, {lit(t)}, {len(terms)})" for t in terms)
+    return f"""
+WITH qt(query_id, term, n_terms) AS (
+  VALUES {', '.join(vals)}
+),
+d AS (
+  SELECT doc_id, unnest(list_distinct(t)) AS term
+  FROM (SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table})
+)
+SELECT qt.query_id, d.doc_id
+FROM d JOIN qt ON d.term = qt.term
+GROUP BY qt.query_id, d.doc_id, qt.n_terms
+HAVING count(*) = qt.n_terms
+"""

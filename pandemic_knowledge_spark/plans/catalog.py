@@ -215,9 +215,13 @@ from pandemic_knowledge_spark.operators.search import (
     sql_bm25_search,
     sql_bm25_search_cross_fields,
     sql_bm25_search_fields,
+    percolate,
     phrase_suggest,
+    span_near_search,
+    sql_percolate,
     sql_phrase_suggest,
     sql_regexp_search,
+    sql_span_near_search,
     sql_search_after,
     sql_tfidf_keywords,
     sql_wildcard_search,
@@ -3605,6 +3609,98 @@ def search_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     suggester can't express (operators.search.phrase_suggest)."""
     return phrase_suggest(
         load(spark, sf_dir, "documents"), "doc_id", "text", _PS_QUERY, k=4
+    )
+
+
+@q(
+    "search_span_near",
+    oracle=sql_span_near_search(
+        "documents", "doc_id", "text", "spark stream", slop=3, k=15
+    ),
+)
+def search_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``span_near`` (in_order) / match_phrase-with-slop: 'spark'
+    then 'stream' within 3 positions of slack — the proximity query the
+    exact-phrase door can't express. Nested-EXISTS higher-order functions
+    over the token array, per first-term occurrence exploring only a
+    slop+m−1 window — one corpus scan, codegen, no Python, no shuffle
+    before the top-k (operators.search.span_near_search; slop=0 ≡
+    phrase_search is pinned in tests)."""
+    return span_near_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        "spark stream", slop=3, k=15,
+    )
+
+
+# Standing alert queries for the percolate row: conjunctive match
+# (operator:and) standing searches of increasing selectivity, including a
+# 3-term alert no single-term filter could express.
+_PERCOLATE_REG = [
+    ("alert_stream_join", "stream join"),
+    ("alert_fast_scan_table", "fast scan table"),
+    ("alert_spark", "spark"),
+]
+
+
+@q(
+    "search_percolate",
+    oracle=f"""
+SELECT query_id, count(*) AS n_docs,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM ({sql_percolate("documents", "doc_id", "text", _PERCOLATE_REG)})
+GROUP BY query_id ORDER BY query_id
+""",
+)
+def search_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ES ``percolate``, the REVERSE search (alerting): three standing
+    queries are registered; every document reports which it satisfies
+    (all analyzed terms present — match with operator:and). The row
+    aggregates matches per standing query. One corpus scan, the
+    registered set broadcast as a literal (query_id, term, n_terms)
+    frame, one grouped conjunctive count — the doc side never shuffles
+    toward the query side (operators.search.percolate; the alerting shape
+    the reference's crawled news/tweets feeds imply,
+    /root/reference/flow/scripts/insert_news.py)."""
+    m = percolate(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _PERCOLATE_REG
+    )
+    return (
+        m.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_BOOL_RANGE = dict(
+    must=[{"match": "spark stream"}],
+    filter=[
+        {"range": {"n_chars": {"gte": 120, "lt": 420}}},
+        {"exists": {"field": "lang"}},
+    ],
+    must_not=[{"term": "vector"}],
+    k=12,
+)
+
+
+@q(
+    "search_bool_range_filter",
+    oracle=sql_bool_search("documents", "doc_id", "text", **_BOOL_RANGE),
+)
+def search_bool_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — the bool door's METADATA gates (ES range + exists queries in
+    filter context): a scored BM25 must, gated by a numeric range on a
+    raw doc field and a non-null exists check — the date-range/length
+    facets every real ES query carries next to its text clauses (the
+    reference's Kibana dashboards are date-range-filtered views of
+    exactly this shape). The field comparisons ride the SAME single
+    predicate-projection scan as the token filters — one more boolean
+    column, not a separate join (operators.boolquery._member_pred)."""
+    return bool_search(
+        load(spark, sf_dir, "documents"), "doc_id", "text", **_BOOL_RANGE
     )
 
 
@@ -7092,6 +7188,11 @@ BENCH_QUERY_NAMES.extend(
 # their r7/r8-green siblings, bm25_fields/tfidf with this window's six
 # corpus-scan search rows.
 _NEXT_WINDOW_IOUS = [
+    # displaced by the three wave-5 rows registered later in r10
+    # (search_span_near / search_percolate / search_bool_range_filter):
+    "scd2_snapshot_asof",
+    "search_hybrid_rrf",
+    "search_more_like_this",
     "search_prefix_type_ahead",
     "search_term_suggest",
     "sketch_hll_range_rollup",
@@ -7119,6 +7220,11 @@ _DRIVER_PRIORITY = [
     # oldest outstanding). The 14 r6 rows the new rows displaced are the
     # r11 debt (_NEXT_WINDOW_IOUS above) — after this round the
     # evidence histogram is r6x14 / r7x49 / r8x50 / r9x50 / r10x50.
+    # The three wave-5 rows added later in r10 lead (never checked);
+    # the three rows they displaced join _NEXT_WINDOW_IOUS above.
+    "search_span_near",
+    "search_percolate",
+    "search_bool_range_filter",
     "search_boosting",
     "search_collapse",
     "search_rescore",
@@ -7166,9 +7272,6 @@ _DRIVER_PRIORITY = [
     "sample_fixed_per_stratum",
     "sample_upsample_epochs",
     "scd2_incremental_merge",
-    "scd2_snapshot_asof",
-    "search_hybrid_rrf",
-    "search_more_like_this",
 ]
 
 

@@ -1,0 +1,271 @@
+"""Wave-5 ES surface (r10): span_near in-order proximity, the percolate
+reverse-search door, and range/exists metadata gates in the bool door's
+filter/must_not contexts. Oracle parity runs through the same harness the
+driver uses; semantics pinned on synthetic corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandemic_knowledge_spark.engine import Engine
+from pandemic_knowledge_spark.operators.boolquery import (
+    bool_search,
+    sql_bool_search,
+)
+from pandemic_knowledge_spark.operators.search import (
+    percolate,
+    phrase_search,
+    span_near_search,
+    sql_percolate,
+    sql_span_near_search,
+)
+from pandemic_knowledge_spark.tables import load
+from tests.oracle_harness import compare_query
+
+
+# --------------------------------------------------------------- span_near
+
+
+@pytest.mark.parametrize(
+    "query,slop",
+    [("spark stream", 0), ("spark stream", 2), ("fast table scan", 3)],
+)
+def test_span_near_matches_duckdb(spark, sf_dir, query, slop):
+    fn = lambda s, d: span_near_search(
+        load(s, d, "documents"), "doc_id", "text", query, slop=slop, k=25
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_span_near_search("documents", "doc_id", "text", query,
+                             slop=slop, k=25),
+    )
+    assert problems == []
+
+
+def test_span_near_slop0_is_exact_phrase(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ph = sorted(
+        tuple(r) for r in
+        phrase_search(docs, "doc_id", "text", "fast scan", k=100).collect()
+    )
+    sn = sorted(
+        tuple(r) for r in
+        span_near_search(docs, "doc_id", "text", "fast scan",
+                         slop=0, k=100).collect()
+    )
+    assert ph == sn and ph  # non-vacuous
+
+
+def test_span_near_semantics_pinned(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a x b"),        # gap 1 — needs slop >= 1
+            (2, "a b"),          # consecutive
+            (3, "b a"),          # out of order — never matches (in_order)
+            (4, "a x x x b"),    # gap 3 — needs slop >= 3
+            (5, "a x b a b"),    # two qualifying starts at slop >= 1
+        ],
+        "doc_id long, text string",
+    )
+
+    def hits(slop):
+        return {
+            r["doc_id"]: r["span_count"]
+            for r in span_near_search(
+                docs, "doc_id", "text", "a b", slop=slop, k=10
+            ).collect()
+        }
+
+    assert hits(0) == {2: 1, 5: 1}
+    assert hits(1) == {1: 1, 2: 1, 5: 2}
+    assert hits(3) == {1: 1, 2: 1, 4: 1, 5: 2}
+
+
+def test_span_near_window_is_slack_not_distance_per_gap(spark):
+    # total slack across ALL gaps: 'a x b x c' has slack 2, so slop=1 misses
+    docs = spark.createDataFrame(
+        [(1, "a x b x c"), (2, "a b x c"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in span_near_search(
+            docs, "doc_id", "text", "a b c", slop=1, k=10
+        ).collect()
+    }
+    assert got == {2, 3}
+
+
+def test_span_near_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="2 tokenizable"):
+        span_near_search(docs, "doc_id", "text", "solo", slop=1)
+    with pytest.raises(ValueError, match="slop"):
+        span_near_search(docs, "doc_id", "text", "a b", slop=-1)
+    with pytest.raises(ValueError, match="2 tokenizable"):
+        sql_span_near_search("documents", "doc_id", "text", "solo", slop=1)
+
+
+def test_span_near_engine_facade(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    via_engine = sorted(
+        tuple(r)
+        for r in eng.span_near("spark stream", slop=3, k=15).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in span_near_search(
+            load(spark, sf_dir, "documents"), "doc_id", "text",
+            "spark stream", slop=3, k=15,
+        ).collect()
+    )
+    assert via_engine == direct
+
+
+# --------------------------------------------------------------- percolate
+
+_REG = [
+    ("alert_stream_join", "stream join"),
+    ("alert_fast_scan_table", "fast scan table"),
+    ("alert_spark", "spark"),
+]
+
+
+def test_percolate_matches_duckdb(spark, sf_dir):
+    fn = lambda s, d: percolate(load(s, d, "documents"), "doc_id", "text", _REG)
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_percolate("documents", "doc_id", "text", _REG),
+    )
+    assert problems == [] and n > 0
+
+
+def test_percolate_is_conjunctive(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark streams data"),
+            (2, "spark and flink stream side by side"),
+            (3, "flink only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(
+            docs, "doc_id", "text",
+            [("q_both", "spark stream"), ("q_flink", "flink")],
+        ).collect()
+    }
+    # doc 1 holds 'spark' but not the token 'stream' (no stemming — the
+    # analyzed token is 'streams'): conjunctive match requires ALL terms
+    assert got == {("q_both", 2), ("q_flink", 2), ("q_flink", 3)}
+
+
+def test_percolate_validation(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one"):
+        percolate(docs, "doc_id", "text", [])
+    with pytest.raises(ValueError, match="no tokenizable"):
+        percolate(docs, "doc_id", "text", [("bad", "~~")])
+    with pytest.raises(ValueError, match="no tokenizable"):
+        sql_percolate("documents", "doc_id", "text", [("bad", "...")])
+
+
+def test_percolate_engine_facade(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    via_engine = sorted(
+        tuple(r) for r in eng.percolate(_REG).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in percolate(
+            load(spark, sf_dir, "documents"), "doc_id", "text", _REG
+        ).collect()
+    )
+    assert via_engine == direct
+
+
+# ------------------------------------------------- bool range/exists gates
+
+_BQ = dict(
+    must=[{"match": "spark stream"}],
+    filter=[
+        {"range": {"n_chars": {"gte": 120, "lt": 420}}},
+        {"exists": {"field": "lang"}},
+    ],
+    must_not=[{"term": "vector"}],
+    k=12,
+)
+
+
+def test_bool_range_exists_matches_duckdb(spark, sf_dir):
+    fn = lambda s, d: bool_search(load(s, d, "documents"), "doc_id", "text", **_BQ)
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_bool_search("documents", "doc_id", "text", **_BQ),
+    )
+    assert problems == [] and n > 0
+
+
+def test_bool_range_gates_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple pie", 100, "en"),
+            (2, "apple tart", 250, None),
+            (3, "apple cake", 250, "fr"),
+            (4, "pear cake", 250, "en"),
+        ],
+        "doc_id long, text string, n_chars long, lang string",
+    )
+    got = {
+        r["doc_id"]
+        for r in bool_search(
+            docs, "doc_id", "text",
+            must=[{"match": "apple"}],
+            filter=[
+                {"range": {"n_chars": {"gt": 100}}},
+                {"exists": {"field": "lang"}},
+            ],
+            k=10,
+        ).collect()
+    }
+    # 1 fails gt-100, 2 fails exists, 4 fails the must — only 3 qualifies
+    assert got == {3}
+
+
+def test_bool_range_must_not_and_string_bounds(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple", "en"), (2, "apple", "fr"), (3, "apple", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]
+        for r in bool_search(
+            docs, "doc_id", "text",
+            must=[{"match": "apple"}],
+            must_not=[{"range": {"lang": {"gte": "en"}}}],  # lexicographic
+            k=10,
+        ).collect()
+    }
+    assert got == {3}  # 'de' < 'en'; 'en' and 'fr' excluded
+
+
+def test_range_exists_validation():
+    from pandemic_knowledge_spark.operators.boolquery import (
+        _member_pred,
+        _sql_member_pred,
+    )
+
+    with pytest.raises(ValueError, match="exactly one field"):
+        _member_pred(None, {"range": {"a": {"gte": 1}, "b": {"gte": 2}}})
+    with pytest.raises(ValueError, match="non-empty subset"):
+        _member_pred(None, {"range": {"a": {}}})
+    with pytest.raises(ValueError, match="non-empty subset"):
+        _member_pred(None, {"range": {"a": {"between": (1, 2)}}})
+    # SQL twin: field clauses only valid where raw columns are in scope
+    with pytest.raises(ValueError, match="filter/must_not context"):
+        _sql_member_pred({"range": {"a": {"gte": 1}}})
+    with pytest.raises(ValueError, match="filter/must_not context"):
+        _sql_member_pred({"exists": {"field": "a"}})
+    with pytest.raises(ValueError, match="numbers or strings"):
+        _sql_member_pred({"range": {"a": {"gte": True}}}, "_r")
