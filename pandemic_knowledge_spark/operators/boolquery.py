@@ -231,17 +231,32 @@ def _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl) -> DataFrame:
     the caller, df via one bounded count of the checkpointed match frame)
     so the plan spends no scalar broadcast here — the one-BNLJ budget
     stays with the shared TF stats."""
-    toks = tokenize(text_col)
     m = len(terms)
-    pf = (
+    # Tokenize ONCE into its own projection (the positional HOF references
+    # the array per (position, term) pair — an inline tokenize(text) would
+    # re-run the regex at every reference since HOF lambda bodies sit
+    # outside common-subexpression elimination), and checkpoint the narrow
+    # (doc_id, dl, pf) frame BEFORE filtering: a filter below the
+    # checkpoint would push down through both projections and re-inline
+    # the whole counter into a second per-row evaluation. The checkpoint
+    # holds three ints per doc — trivial next to the TF checkpoint the
+    # bool door already carries. (This pathology measured ~6× on the
+    # phrase-bearing composed queries at sf0.1.)
+    toks = F.col("__toks")
+    pf_all = (
         docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(toks).alias("dl"),
-            F.size(_phrase_starts(toks, terms)).alias("pf"),
+            F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
         )
-        .where((F.col("dl") >= m) & (F.col("pf") > 0))
+        .select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.when(
+                F.size(toks) >= m, F.size(_phrase_starts(toks, terms))
+            ).otherwise(F.lit(0)).alias("pf"),
+        )
         .localCheckpoint(eager=True)  # consumed by count() AND the scorer
     )
+    pf = pf_all.where(F.col("pf") > 0)
     df_ph = pf.count()
     avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
     idf = F.log(

@@ -2629,7 +2629,17 @@ def phrase_search(
     if not terms:
         raise ValueError("phrase has no tokenizable terms")
     m = len(terms)
-    toks = tokenize(text_col)
+    # Materialize the token array in its own projection (the HOF lambda
+    # references it per position — an inline tokenize would re-run the
+    # regex at every reference), and take the top-k BEFORE dropping the
+    # zero-count rows: a where() below the sort pushes down through the
+    # projection and re-inlines the whole counter into a second
+    # evaluation per row (measured ~6× this query). Zero-count rows sort
+    # after every positive count, so the page is identical.
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     starts = F.filter(
         F.sequence(F.lit(0), F.size(toks) - m),
         lambda i: F.aggregate(
@@ -2640,12 +2650,12 @@ def phrase_search(
                == F.element_at(F.array(*[F.lit(t) for t in terms]), (j + 1).cast("int"))),
         ),
     )
+    c = F.when(F.size(toks) >= m, F.size(starts)).otherwise(F.lit(0))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.size(starts).alias("c"))
-        .where((F.size(toks) >= m) & (F.col("c") > 0))
-        .select("doc_id", F.col("c").cast("long").alias("phrase_count"))
+        base.select("doc_id", c.cast("long").alias("phrase_count"))
         .orderBy(F.desc("phrase_count"), "doc_id")
         .limit(k)
+        .where(F.col("phrase_count") > 0)
     )
 
 
@@ -2685,7 +2695,16 @@ def match_phrase_prefix(
         .limit(max_expansions)
         .agg(F.sort_array(F.collect_list("term")).alias("__exp"))
     )
-    toks = tokenize(text_col)
+    # Same two rules as phrase_search: tokenize ONCE into its own
+    # projection (the HOF references it per position) and top-k before
+    # the zero-count drop (a below-sort where() re-inlines the counter
+    # into a second per-row evaluation via filter pushdown).
+    base = docs.crossJoin(F.broadcast(vocab_exp)).select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(text_col).alias("__toks"),
+        "__exp",
+    )
+    toks = F.col("__toks")
     exact_arr = F.array(*[F.lit(t) for t in exact]) if exact else None
     starts = F.filter(
         F.sequence(F.lit(0), F.size(toks) - m),
@@ -2704,13 +2723,12 @@ def match_phrase_prefix(
         )
         & F.array_contains(F.col("__exp"), F.element_at(toks, (i + m).cast("int"))),
     )
+    c = F.when(F.size(toks) >= m, F.size(starts)).otherwise(F.lit(0))
     return (
-        docs.crossJoin(F.broadcast(vocab_exp))
-        .select(F.col(id_col).alias("doc_id"), F.size(starts).alias("c"))
-        .where((F.size(toks) >= m) & (F.col("c") > 0))
-        .select("doc_id", F.col("c").cast("long").alias("phrase_count"))
+        base.select("doc_id", c.cast("long").alias("phrase_count"))
         .orderBy(F.desc("phrase_count"), "doc_id")
         .limit(k)
+        .where(F.col("phrase_count") > 0)
     )
 
 
@@ -2854,7 +2872,17 @@ def span_near_search(
     if slop < 0:
         raise ValueError("slop must be ≥ 0")
     m = len(terms)
-    toks = tokenize(text_col)
+    # Materialize the token array in its OWN projection first: the nested
+    # lambdas reference it O(positions × depth) times, and an inline
+    # tokenize(text) expression would re-run the regex tokenizer at every
+    # reference (HOF lambda bodies sit outside common-subexpression
+    # elimination — measured 20× slower). CollapseProject keeps the
+    # two-step projection because inlining would duplicate a non-cheap
+    # expression.
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     starts = F.when(
         F.size(toks) >= m,
         F.filter(
@@ -2862,12 +2890,19 @@ def span_near_search(
             _span_start_pred(toks, terms, slop),
         ),
     ).otherwise(F.array().cast("array<int>"))
+    # Top-k FIRST, then drop the zero-count rows ABOVE the limit: a
+    # where() below the sort would push down through the projection,
+    # re-inlining the whole spans expression (tokenize included) into a
+    # Filter that evaluates it a second time per row (measured ~2× the
+    # query). Every c>0 row outranks every c=0 row under (c DESC, doc_id),
+    # so top-k-then-filter returns exactly the same page.
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.size(starts).alias("c"))
-        .where(F.col("c") > 0)
-        .select("doc_id", F.col("c").cast("long").alias("span_count"))
+        base.select(
+            "doc_id", F.size(starts).cast("long").alias("span_count")
+        )
         .orderBy(F.desc("span_count"), "doc_id")
         .limit(k)
+        .where(F.col("span_count") > 0)
     )
 
 
