@@ -120,6 +120,17 @@ def _range_parts(clause: dict) -> tuple[str, dict]:
     return field, bounds
 
 
+def _clause_fields(clause: dict) -> tuple[str, ...]:
+    """Raw field columns a membership clause reads (range/exists), so a
+    projected preds base can keep them in scope; token clauses read none."""
+    key = _clause_key(clause, _MEMBER_KEYS)
+    if key == "range":
+        return (_range_parts(clause)[0],)
+    if key == "exists":
+        return (clause["exists"]["field"],)
+    return ()
+
+
 def _clause_key(clause: dict, allowed: tuple) -> str:
     keys = [k for k in allowed if k in clause]
     if len(keys) != 1:
@@ -398,14 +409,51 @@ def bool_search(
         )
 
     if filter or must_not:
-        toks = tokenize(text_col)
-        pred_cols = [
-            _member_pred(toks, c).alias(f"__f{i}") for i, c in enumerate(filter)
-        ] + [
-            _member_pred(toks, c).alias(f"__m{i}")
-            for i, c in enumerate(must_not)
-        ]
-        preds = docs.select(F.col(id_col).alias("doc_id"), *pred_cols)
+        has_phrase = any(
+            _clause_key(c, _MEMBER_KEYS) == "phrase" for c in filter + must_not
+        )
+        if has_phrase:
+            # A phrase membership test is a positional HOF over the token
+            # array; tokens must be a MATERIALIZED column (an inline
+            # tokenize re-runs the regex per position — HOF lambdas sit
+            # outside CSE) and the boolean projection must be pinned with
+            # a checkpoint, or the hits-join filter pushdown re-inlines
+            # every predicate (tokenize included) into a per-row
+            # re-evaluation at the scan. The checkpoint is one narrow
+            # (doc_id + K booleans) frame — the same single scan, pinned.
+            base = docs.select(
+                F.col(id_col).alias("doc_id"),
+                tokenize(text_col).alias("__toks"),
+                *[
+                    F.col(c)
+                    for c in {
+                        f
+                        for cl in filter + must_not
+                        for f in _clause_fields(cl)
+                    }
+                ],
+            )
+            toks = F.col("__toks")
+            pred_cols = [
+                _member_pred(toks, c).alias(f"__f{i}")
+                for i, c in enumerate(filter)
+            ] + [
+                _member_pred(toks, c).alias(f"__m{i}")
+                for i, c in enumerate(must_not)
+            ]
+            preds = base.select("doc_id", *pred_cols).localCheckpoint(
+                eager=True
+            )
+        else:
+            toks = tokenize(text_col)
+            pred_cols = [
+                _member_pred(toks, c).alias(f"__f{i}")
+                for i, c in enumerate(filter)
+            ] + [
+                _member_pred(toks, c).alias(f"__m{i}")
+                for i, c in enumerate(must_not)
+            ]
+            preds = docs.select(F.col(id_col).alias("doc_id"), *pred_cols)
         cond = F.lit(True)
         for i in range(len(filter)):
             cond = cond & F.col(f"__f{i}")

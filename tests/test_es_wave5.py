@@ -250,6 +250,29 @@ def test_bool_range_must_not_and_string_bounds(spark):
     assert got == {3}  # 'de' < 'en'; 'en' and 'fr' excluded
 
 
+_BQ_PHRASE_GATES = dict(
+    must=[{"match": "spark stream"}],
+    filter=[{"phrase": "fast scan"}, {"range": {"n_chars": {"gte": 100}}}],
+    must_not=[{"phrase": "big vector"}],
+    k=12,
+)
+
+
+def test_bool_phrase_member_gates_match_duckdb(spark, sf_dir):
+    # phrase clauses in filter/must_not context take the checkpointed
+    # preds scan (materialized tokens — the per-position re-tokenize
+    # regression); combined here with a range gate so the field-column
+    # projection and the token projection coexist in one preds base
+    fn = lambda s, d: bool_search(
+        load(s, d, "documents"), "doc_id", "text", **_BQ_PHRASE_GATES
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_bool_search("documents", "doc_id", "text", **_BQ_PHRASE_GATES),
+    )
+    assert problems == [] and n > 0
+
+
 def test_range_exists_validation():
     from pandemic_knowledge_spark.operators.boolquery import (
         _member_pred,
