@@ -72,11 +72,20 @@ def main() -> None:
         "cartesian_product": [],
         "bnlj_multiple": [],  # >1 nested-loop join: not the scalar pattern
         "global_single_partition_sort": [],
+        # The r10 find: positional access straight off an UNMATERIALIZED
+        # tokenize — element_at(regexp_extract_all(...)) — re-runs the
+        # regex per position accessed (HOF lambda bodies sit outside CSE;
+        # a pushed-down computed-column predicate re-inlines the array
+        # expression). The 6-20× pathology fixed in the positional
+        # scorers. Healthy plans tokenize into a materialized column and
+        # element_at the attribute.
+        "tokenize_per_position": [],
         "errored": [],
     }
     exchange_counts: dict[str, int] = {}
     scalar_bnlj = 0  # exactly one BNLJ = one-row stats broadcast (by design:
     # corpus totals / thresholds joined keylessly; build side is one row)
+    multi_tokenize_filters: list = []  # reported, not flagged (see below)
 
     for name, spec in REGISTRY.items():
         try:
@@ -107,6 +116,21 @@ def main() -> None:
             r"\bSort\b[^\n]*\n\s*(?::|\+)- Exchange SinglePartition", plan
         ):
             flags["global_single_partition_sort"].append(name)
+        # HARD flag: per-position tokenize (see flag comment above).
+        # Softer smell, reported not flagged: a Filter evaluating the
+        # tokenizer k>=2 times per row (pushed-down computed-column
+        # predicates) — linear, k× scan-side regex, tracked so k can't
+        # silently grow.
+        if "element_at(regexp_extract_all(" in plan:
+            flags["tokenize_per_position"].append(name)
+        for line in plan.splitlines():
+            if re.match(r"\s*(?::|\+)?-?\s*\*?\(?\d*\)?\s*Filter\b", line) and (
+                line.count("regexp_extract_all") >= 2
+            ):
+                multi_tokenize_filters.append(
+                    [name, line.count("regexp_extract_all")]
+                )
+                break
         # Count SHUFFLE exchanges only: broadcasts move dims by design and
         # ReusedExchange re-prints its target's description per reference —
         # neither belongs in a shuffle distribution.
@@ -135,6 +159,7 @@ def main() -> None:
                 "n_queries": len(REGISTRY),
                 "flags": flags,
                 "scalar_bnlj_queries": scalar_bnlj,
+                "multi_tokenize_filters": multi_tokenize_filters,
                 "exchange_histogram": dict(sorted(hist.items())),
                 "most_exchanges": top,
             }

@@ -111,3 +111,25 @@ def test_mini_planted_ivf_recall_is_perfect(spark, tmp_path):
         hits += len(exact & approx)
         total += 10
     assert hits == total, f"IVF recall on clustered corpus: {hits}/{total}"
+
+
+def test_tokenize_per_position_detector(spark):
+    """The r10 pathology signature — element_at over an UNMATERIALIZED
+    tokenize — must fire on a deliberately bad plan and stay silent on the
+    fixed positional scorers (materialized token column)."""
+    from pandemic_knowledge_spark.functions.text import tokenize
+    from pandemic_knowledge_spark.operators.search import span_near_search
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a")], "doc_id long, text string"
+    )
+    toks = tokenize("text")  # inline expression, NOT a column
+    bad = docs.select(
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.element_at(toks, i.cast("int")) == F.lit("a"),
+        ).alias("hits")
+    )
+    assert "element_at(regexp_extract_all(" in _plan(bad)
+    good = span_near_search(docs, "doc_id", "text", "a b", slop=1, k=5)
+    assert "element_at(regexp_extract_all(" not in _plan(good)
