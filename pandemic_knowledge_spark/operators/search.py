@@ -2982,6 +2982,11 @@ def percolate(
     is still a broadcast-sized table."""
     if not registered:
         raise ValueError("percolate needs at least one registered query")
+    ids = [str(qid) for qid, _ in registered]
+    if len(ids) != len(set(ids)):
+        # duplicate ids would merge their term rows into one conjunctive
+        # count whose n_terms no doc can reach — a silent never-matches
+        raise ValueError("percolate query_ids must be unique")
     rows = []
     for qid, qtext in registered:
         terms = sorted(set(query_terms(qtext)))
@@ -3003,6 +3008,63 @@ def percolate(
     )
 
 
+def percolate_mark(
+    docs: DataFrame,
+    text_col: str,
+    registered: list[tuple[str, str]],
+    out_col: str = "matched_queries",
+) -> DataFrame:
+    """Percolate-at-ingest — the STREAMING form of :func:`percolate` (the
+    alerting pipeline ES's percolator exists for: tag each arriving doc
+    with the standing searches it satisfies). Adds an ``array<string>``
+    column of matched query ids, in registration order.
+
+    Stateless and shuffle-free: the registered set compiles to one
+    per-query scan-side condition (all analyzed terms present — the same
+    conjunctive semantics as :func:`percolate`; exploding ``out_col``
+    equals percolate()'s rows, pinned in tests), so the transform works
+    identically on a batch frame and a streaming micro-batch frame in
+    APPEND mode — no join, no aggregation, no state, no watermark.
+    Suited to dashboard-scale standing sets (cost is |queries| literal
+    membership tests per doc); the broadcast-join form (:func:`percolate`)
+    is the tier for very large registered sets.
+
+    The token array materializes in its own projection and every query
+    condition references that column — the multi-reference keeps
+    CollapseProject from re-inlining the tokenizer into the per-term
+    lambdas (the r10 per-position pathology; see the plan audit's
+    ``tokenize_per_position`` flag)."""
+    if not registered:
+        raise ValueError("percolate needs at least one registered query")
+    ids = [str(qid) for qid, _ in registered]
+    if len(ids) != len(set(ids)):
+        raise ValueError("percolate query_ids must be unique")
+    qterms = []
+    for qid, qtext in registered:
+        terms = sorted(set(query_terms(qtext)))
+        if not terms:
+            raise ValueError(f"registered query {qid!r} has no tokenizable terms")
+        qterms.append((str(qid), terms))
+    base = docs.withColumn("__toks", tokenize(text_col))
+    toks = F.col("__toks")
+    per_q = [
+        F.when(
+            F.forall(
+                F.array(*[F.lit(t) for t in terms]),
+                lambda t: F.array_contains(toks, t),
+            ),
+            F.lit(qid),
+        )
+        for qid, terms in qterms
+    ]
+    # The isNotNull guard doubles as a second column reference so a
+    # single-query registration can't be collapse-inlined either.
+    matched = F.when(
+        toks.isNotNull(), F.filter(F.array(*per_q), lambda x: x.isNotNull())
+    )
+    return base.withColumn(out_col, matched).drop("__toks")
+
+
 def sql_percolate(
     table: str,
     id_col: str,
@@ -3013,6 +3075,9 @@ def sql_percolate(
     set as a VALUES CTE, the same distinct-token conjunctive-count join."""
     if not registered:
         raise ValueError("percolate needs at least one registered query")
+    ids = [str(qid) for qid, _ in registered]
+    if len(ids) != len(set(ids)):
+        raise ValueError("percolate query_ids must be unique")
 
     def lit(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"

@@ -7178,8 +7178,9 @@ BENCH_QUERY_NAMES.extend(
 # already proven green in a previous round's CORRECTNESS_r*.json rotate to
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
-# The 14 r6-evidence rows the r10 window's 14 new rows displaced — the
-# stalest green cohort left (everything else is r7+). They MUST lead the
+# The 17 r6-evidence rows the r10 window's 17 new rows displaced (14 by
+# the wave-4 registrations, 3 more by the wave-5 rows) — the stalest
+# green cohort left (everything else is r7+). They MUST lead the
 # r11 window (after r11's own new/changed rows): zero-argument
 # `python scripts/window_rotate.py` emits exactly that. Families keep
 # fresher in-window coverage meanwhile: the two suggest/prefix rows share
@@ -7218,10 +7219,10 @@ _DRIVER_PRIORITY = [
     # hybrid-knn and phrase-suggest doors), then the FIRST 36 of the 50
     # r9-declared IOUs (the cohort whose newest evidence is r6, the
     # oldest outstanding). The 14 r6 rows the new rows displaced are the
-    # r11 debt (_NEXT_WINDOW_IOUS above) — after this round the
-    # evidence histogram is r6x14 / r7x49 / r8x50 / r9x50 / r10x50.
-    # The three wave-5 rows added later in r10 lead (never checked);
-    # the three rows they displaced join _NEXT_WINDOW_IOUS above.
+    # r11 debt (_NEXT_WINDOW_IOUS above). The three wave-5 rows added
+    # later in r10 lead (never checked); the three rows they displaced
+    # join _NEXT_WINDOW_IOUS above — after this round the evidence
+    # histogram is r6x17 / r7x49 / r8x50 / r9x50 / r10x50 (216 rows).
     "search_span_near",
     "search_percolate",
     "search_bool_range_filter",

@@ -34,6 +34,12 @@ from pandemic_knowledge_spark.streaming.stateful import (
     sessionize_stateful,
 )
 
+# Percolate-at-ingest (ES percolator's alerting shape): stateless
+# scan-side transform, append-mode safe on a micro-batch stream —
+# defined beside its batch tier in operators.search, re-exported here
+# because a streaming ingest job is where it's reached for.
+from pandemic_knowledge_spark.operators.search import percolate_mark
+
 __all__ = [
     "file_stream",
     "rate_events",
@@ -47,6 +53,7 @@ __all__ = [
     "append_parquet_sink",
     "near_dup_mark_stateful",
     "near_dup_verdicts",
+    "percolate_mark",
     "running_totals_stateful",
     "sessionize_stateful",
 ]

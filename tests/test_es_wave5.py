@@ -6,6 +6,7 @@ driver uses; semantics pinned on synthetic corpora."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pandemic_knowledge_spark.engine import Engine
 from pandemic_knowledge_spark.operators.boolquery import (
@@ -169,6 +170,95 @@ def test_percolate_validation(spark):
         percolate(docs, "doc_id", "text", [("bad", "~~")])
     with pytest.raises(ValueError, match="no tokenizable"):
         sql_percolate("documents", "doc_id", "text", [("bad", "...")])
+    # duplicate ids would merge term rows into one unreachable conjunctive
+    # count (a silent never-matches) — rejected on both engines
+    with pytest.raises(ValueError, match="unique"):
+        percolate(docs, "doc_id", "text", [("q", "a"), ("q", "b")])
+    with pytest.raises(ValueError, match="unique"):
+        sql_percolate("documents", "doc_id", "text", [("q", "a"), ("q", "b")])
+
+
+def test_percolate_mark_equals_percolate(spark, sf_dir):
+    """The scan-side streaming form must agree with the broadcast-join
+    batch tier: exploding matched_queries == percolate()'s rows. Also pins
+    the single-tokenize plan (the multi-reference CollapseProject guard)."""
+    from pandemic_knowledge_spark.operators.search import percolate_mark
+
+    docs = load(spark, sf_dir, "documents")
+    marked = percolate_mark(docs, "text", _REG)
+    via_mark = {
+        (r["query_id"], r["doc_id"])
+        for r in marked.select(
+            "doc_id", F.explode("matched_queries").alias("query_id")
+        ).collect()
+    }
+    via_join = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(docs, "doc_id", "text", _REG).collect()
+    }
+    assert via_mark == via_join and via_mark
+    plan = marked._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1
+    assert "element_at(regexp_extract_all(" not in plan
+    # single-query registration must keep the materialized column too
+    one = percolate_mark(docs, "text", [("solo", "spark stream")])
+    p1 = one._jdf.queryExecution().optimizedPlan().toString()
+    assert p1.count("regexp_extract_all") == 1
+
+
+def test_percolate_mark_streaming_append(spark, tmp_path):
+    """percolate-at-ingest: the transform runs on a file stream in APPEND
+    mode (stateless — no watermark, no aggregation) and the landed marks
+    equal the batch run over the same rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pandemic_knowledge_spark.operators.search import percolate_mark
+    from pandemic_knowledge_spark.streaming import file_stream
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    rows = [
+        (1, "spark streams data quickly"),
+        (2, "spark and flink stream side by side"),
+        (3, "flink only here"),
+        (4, None),
+    ]
+    reg = [("q_both", "spark stream"), ("q_flink", "flink")]
+    landing = str(tmp_path / "landing")
+    df = spark.createDataFrame(rows[:2], schema)
+    df.coalesce(1).write.parquet(landing)
+    spark.createDataFrame(rows[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stream = file_stream(spark, landing, schema, max_files_per_trigger=1)
+    out = str(tmp_path / "marks")
+    q = (
+        percolate_mark(stream, "text", reg)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (None if r["matched_queries"] is None
+                      else tuple(r["matched_queries"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["doc_id"]: (None if r["matched_queries"] is None
+                      else tuple(r["matched_queries"]))
+        for r in percolate_mark(
+            spark.createDataFrame(rows, schema), "text", reg
+        ).collect()
+    }
+    assert got == batch
+    assert got[2] == ("q_both", "q_flink") and got[3] == ("q_flink",)
+    assert got[1] == () and got[4] is None
 
 
 def test_percolate_engine_facade(spark, sf_dir):
