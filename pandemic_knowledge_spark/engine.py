@@ -307,17 +307,21 @@ class Engine:
         query: str,
         slop: int = 0,
         k: int = 8,
+        in_order: bool = True,
         table: str = "documents",
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> DataFrame:
         """ES ``span_near`` / ``match_phrase`` with slop — the analyzed
-        terms in order with at most ``slop`` positions of total slack
-        (operators.search.span_near_search; slop=0 is the exact phrase)."""
+        terms within ``slop`` positions of total slack, in order by
+        default, any arrangement with ``in_order=False``
+        (operators.search.span_near_search; slop=0 ordered is the exact
+        phrase)."""
         from pandemic_knowledge_spark.operators.search import span_near_search
 
         return span_near_search(
-            self.table(table), id_col, text_col, query, slop=slop, k=k
+            self.table(table), id_col, text_col, query,
+            slop=slop, k=k, in_order=in_order,
         )
 
     def percolate(

@@ -32,6 +32,11 @@ fuzzy     BM25 over the AUTO-band expansion set      —
           (distance, df DESC, term) cap)
 term      —                                          doc holds the exact
                                                      token
+constant_ flat 1.0 · boost for docs matching the     —
+score     wrapped MEMBERSHIP clause (ES
+          constant_score: "this facet matters
+          this much"); any membership form below
+          may be wrapped, incl. range/exists
 range     —                                          non-text metadata
                                                      bound(s) on a doc
                                                      FIELD (ES range
@@ -103,7 +108,7 @@ from pandemic_knowledge_spark.operators.search import (
     fuzzy_auto_band,
 )
 
-_SCORED_KEYS = ("match", "phrase", "prefix", "fuzzy")
+_SCORED_KEYS = ("match", "phrase", "prefix", "fuzzy", "constant_score")
 _MEMBER_KEYS = ("match", "phrase", "prefix", "term", "range", "exists")
 _RANGE_OPS = ("gte", "gt", "lte", "lt")
 
@@ -288,6 +293,42 @@ def _prefix_frame(docs, id_col, text_col, prefix: str) -> DataFrame:
     )
 
 
+def _member_frame(docs, id_col, text_col, clause: dict) -> DataFrame:
+    """(doc_id, cscore=1.0) for the docs a MEMBERSHIP clause admits — the
+    executable half of ES ``constant_score`` (the boost multiplies in the
+    shared tail). Token clauses evaluate inline on the scan (one tokenize
+    per predicate); a phrase clause takes the checkpointed narrow-counter
+    shape (_phrase_frame's) so the positional HOF never re-inlines an
+    unmaterialized tokenize per position."""
+    key = _clause_key(clause, _MEMBER_KEYS)
+    if key == "phrase":
+        terms = query_terms(clause["phrase"])
+        if not terms:
+            raise ValueError("bool phrase clause has no tokenizable terms")
+        m = len(terms)
+        toks = F.col("__toks")
+        pf_all = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                tokenize(text_col).alias("__toks"),
+            )
+            .select(
+                "doc_id",
+                F.when(
+                    F.size(toks) >= m, F.size(_phrase_starts(toks, terms))
+                ).otherwise(F.lit(0)).alias("pf"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return pf_all.where(F.col("pf") > 0).select(
+            "doc_id", F.lit(1.0).alias("cscore")
+        )
+    return (
+        docs.where(_member_pred(tokenize(text_col), clause))
+        .select(F.col(id_col).alias("doc_id"), F.lit(1.0).alias("cscore"))
+    )
+
+
 def default_msm(must, should, filter) -> int:
     """ES's documented default: a pure-should bool needs one should hit;
     once a must or filter clause exists, should becomes purely additive."""
@@ -336,7 +377,12 @@ def _scored_frames(docs, id_col, text_col, scored):
             if not terms:
                 raise ValueError("bool phrase clause has no tokenizable terms")
             frame = _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl)
-        else:  # prefix — constant_score
+        elif key == "constant_score":
+            # ES constant_score: any membership clause scored as a flat
+            # 1.0 x boost — the "this facet matters this much" idiom
+            frame = _member_frame(docs, id_col, text_col,
+                                  clause["constant_score"])
+        else:  # prefix — constant_score over the prefix membership
             frame = _prefix_frame(docs, id_col, text_col, clause["prefix"])
         parts.append(
             frame.select(
@@ -654,6 +700,20 @@ ph{i}df AS (SELECT count(*) AS df FROM ph{i}m),
               / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
            * {boost!r} AS bscore
   FROM ph{i}m CROSS JOIN ph{i}df CROSS JOIN stats
+)"""
+            )
+        elif key == "constant_score":
+            inner = clause["constant_score"]
+            if _clause_key(inner, _MEMBER_KEYS) in ("range", "exists"):
+                pred = _sql_member_pred(inner, "_r")
+                frm = f"base2 JOIN {table} _r ON base2.doc_id = _r.{id_col}"
+            else:
+                pred = _sql_member_pred(inner)
+                frm = "base2"
+            ctes.append(
+                f"""{name} AS (
+  SELECT base2.doc_id AS doc_id, CAST(1.0 * {boost!r} AS DOUBLE) AS bscore
+  FROM {frm} WHERE {pred}
 )"""
             )
         else:  # prefix

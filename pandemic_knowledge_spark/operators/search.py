@@ -2840,6 +2840,31 @@ def _span_start_pred(toks, terms: list[str], slop: int):
     return pred
 
 
+def _span_start_pred_unordered(toks, terms: list[str], slop: int):
+    """Unordered variant (Lucene SpanNear ``in_order: false``): position
+    ``i`` anchors a match when it holds ANY query term and the window
+    ``[i, i + slop + m - 1]`` contains EVERY query term (terms are
+    distinct — validated by the caller — so one token per term needs no
+    multiset accounting). forall-over-exists, same window bound as the
+    ordered form."""
+    m = len(terms)
+    n = F.size(toks)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+
+    def pred(i):
+        wend = F.least(i + F.lit(slop + m - 1), n)
+        here = F.element_at(toks, i.cast("int"))
+        return F.array_contains(term_arr, here) & F.forall(
+            term_arr,
+            lambda t: F.exists(
+                F.sequence(i, wend),
+                lambda q: F.element_at(toks, q.cast("int")) == t,
+            ),
+        )
+
+    return pred
+
+
 def span_near_search(
     docs: DataFrame,
     id_col: str,
@@ -2847,30 +2872,38 @@ def span_near_search(
     query: str,
     slop: int = 0,
     k: int = 10,
+    in_order: bool = True,
 ) -> DataFrame:
-    """ES ``span_near`` (``in_order: true``) / ``match_phrase`` with
-    ``slop``: docs where the analyzed query terms occur IN ORDER with at
-    most ``slop`` total positions of slack between the first and last
-    term — the proximity query the exact-phrase door can't express
-    ("spark … stream" within 3 words). ``slop=0`` degenerates to the
-    exact consecutive phrase (pinned against :func:`phrase_search` in
-    tests). Output (doc_id, span_count) ranked (count DESC, doc_id) like
-    the phrase family, where span_count = number of first-term positions
-    from which a qualifying in-order occurrence exists (the deterministic
-    span-start count both engines reproduce bit-identically).
+    """ES ``span_near`` / ``match_phrase`` with ``slop``: docs where the
+    analyzed query terms occur within a window of at most ``slop``
+    positions of total slack — the proximity query the exact-phrase door
+    can't express ("spark … stream" within 3 words). ``in_order=True``
+    (default) requires the terms at strictly increasing positions —
+    ``slop=0`` then degenerates to the exact consecutive phrase (pinned
+    against :func:`phrase_search` in tests); ``in_order=False`` is
+    Lucene's unordered SpanNear — any arrangement within the window
+    (terms must be distinct there; ordered mode allows repeats). Output
+    (doc_id, span_count) ranked (count DESC, doc_id) like the phrase
+    family, where span_count = the deterministic anchor count both
+    engines reproduce bit-identically: positions holding the first term
+    (ordered) / any query term (unordered) whose window completes a
+    qualifying occurrence.
 
     Plan: one corpus scan; the match test is nested EXISTS higher-order
-    functions over the token array — per first-term occurrence the search
-    explores only a ≤ slop+m−1-token window, so cost is O(tf₁ ·
-    window^(m−1)) per doc with m and slop query constants. No shuffle
-    before the top-k heaps; no Python. (The positional-postings tier,
-    :class:`SearchIndex` ``positional=True``, covers the indexed form of
-    exact phrases; span_near is the direct-scan proximity door.)"""
+    functions over the token array — per anchor the search explores only
+    a ≤ slop+m−1-token window, so cost is O(tf_anchor ·
+    window^(m−1)) per doc (ordered; unordered is window·m) with m and
+    slop query constants. No shuffle before the top-k heaps; no Python.
+    (The positional-postings tier, :class:`SearchIndex`
+    ``positional=True``, covers the indexed form of exact phrases;
+    span_near is the direct-scan proximity door.)"""
     terms = query_terms(query)
     if len(terms) < 2:
         raise ValueError("span_near needs ≥ 2 tokenizable terms")
     if slop < 0:
         raise ValueError("slop must be ≥ 0")
+    if not in_order and len(set(terms)) != len(terms):
+        raise ValueError("unordered span_near needs distinct terms")
     m = len(terms)
     # Materialize the token array in its OWN projection first: the nested
     # lambdas reference it O(positions × depth) times, and an inline
@@ -2883,12 +2916,14 @@ def span_near_search(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
     )
     toks = F.col("__toks")
+    pred = (
+        _span_start_pred(toks, terms, slop)
+        if in_order
+        else _span_start_pred_unordered(toks, terms, slop)
+    )
     starts = F.when(
         F.size(toks) >= m,
-        F.filter(
-            F.sequence(F.lit(1), F.size(toks) - m + 1),
-            _span_start_pred(toks, terms, slop),
-        ),
+        F.filter(F.sequence(F.lit(1), F.size(toks) - m + 1), pred),
     ).otherwise(F.array().cast("array<int>"))
     # Top-k FIRST, then drop the zero-count rows ABOVE the limit: a
     # where() below the sort would push down through the projection,
@@ -2913,16 +2948,20 @@ def sql_span_near_search(
     query: str,
     slop: int = 0,
     k: int = 10,
+    in_order: bool = True,
 ) -> str:
     """DuckDB SQL reproducing :func:`span_near_search` exactly — the same
     nested-EXISTS window search as nested ``list_filter`` lambdas (DuckDB
     ``range(a, b)`` is empty when a ≥ b, so the window-exhausted guard is
-    implicit)."""
+    implicit); the unordered form is the same forall-over-exists
+    conjunction of per-term window scans."""
     terms = query_terms(query)
     if len(terms) < 2:
         raise ValueError("span_near needs ≥ 2 tokenizable terms")
     if slop < 0:
         raise ValueError("slop must be ≥ 0")
+    if not in_order and len(set(terms)) != len(terms):
+        raise ValueError("unordered span_near needs distinct terms")
     m = len(terms)
     wend = f"least(i + {slop + m - 1}, len(t))"
 
@@ -2935,7 +2974,15 @@ def sql_span_near_search(
             f" q{j} -> {body})) > 0"
         )
 
-    conds = f"t[i] = '{terms[0]}' AND {nested(1, 'i')}"
+    if in_order:
+        conds = f"t[i] = '{terms[0]}' AND {nested(1, 'i')}"
+    else:
+        anchor_lits = ", ".join(f"'{t}'" for t in terms)
+        per_term = " AND ".join(
+            f"len(list_filter(range(i, {wend} + 1), q{j} -> t[q{j}] = '{t}')) > 0"
+            for j, t in enumerate(terms)
+        )
+        conds = f"t[i] IN ({anchor_lits}) AND {per_term}"
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table}

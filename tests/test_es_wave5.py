@@ -97,6 +97,55 @@ def test_span_near_window_is_slack_not_distance_per_gap(spark):
     assert got == {2, 3}
 
 
+@pytest.mark.parametrize(
+    "query,slop",
+    [("spark stream", 1), ("fast table scan", 2)],
+)
+def test_span_near_unordered_matches_duckdb(spark, sf_dir, query, slop):
+    fn = lambda s, d: span_near_search(
+        load(s, d, "documents"), "doc_id", "text", query,
+        slop=slop, k=25, in_order=False,
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_span_near_search("documents", "doc_id", "text", query,
+                             slop=slop, k=25, in_order=False),
+    )
+    assert problems == [] and n > 0
+
+
+def test_span_near_unordered_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "b a"),          # reversed — unordered matches, ordered not
+            (2, "a b"),
+            (3, "b x a"),        # reversed with gap 1
+            (4, "a x x b"),      # ordered gap 2
+            (5, "b c"),          # missing 'a'
+        ],
+        "doc_id long, text string",
+    )
+
+    def hits(slop, in_order):
+        return {
+            r["doc_id"]
+            for r in span_near_search(
+                docs, "doc_id", "text", "a b", slop=slop, k=10,
+                in_order=in_order,
+            ).collect()
+        }
+
+    assert hits(0, True) == {2}
+    assert hits(0, False) == {1, 2}       # reversal is free when unordered
+    assert hits(1, False) == {1, 2, 3}
+    assert hits(2, False) == {1, 2, 3, 4}
+    with pytest.raises(ValueError, match="distinct"):
+        span_near_search(docs, "doc_id", "text", "a a", in_order=False)
+    with pytest.raises(ValueError, match="distinct"):
+        sql_span_near_search("documents", "doc_id", "text", "a a",
+                             in_order=False)
+
+
 def test_span_near_validation(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="2 tokenizable"):
@@ -361,6 +410,66 @@ def test_bool_phrase_member_gates_match_duckdb(spark, sf_dir):
         sql_bool_search("documents", "doc_id", "text", **_BQ_PHRASE_GATES),
     )
     assert problems == [] and n > 0
+
+
+# ----------------------------------------------------------- constant_score
+
+_BQ_CONST = dict(
+    must=[{"match": "spark stream"}],
+    should=[
+        {"constant_score": {"term": "table"}, "boost": 2.0},
+        {"constant_score": {"range": {"n_chars": {"gte": 300}}}, "boost": 0.5},
+    ],
+    k=12,
+)
+
+
+def test_constant_score_clauses_match_duckdb(spark, sf_dir):
+    fn = lambda s, d: bool_search(load(s, d, "documents"), "doc_id", "text",
+                                  **_BQ_CONST)
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_bool_search("documents", "doc_id", "text", **_BQ_CONST),
+    )
+    assert problems == [] and n > 0
+
+
+def test_constant_score_dis_max_matches_duckdb(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.boolquery import (
+        dis_max_search,
+        sql_dis_max_search,
+    )
+
+    clauses = [
+        {"match": "spark stream"},
+        {"constant_score": {"phrase": "fast scan"}, "boost": 3.0},
+    ]
+    fn = lambda s, d: dis_max_search(
+        load(s, d, "documents"), "doc_id", "text", clauses,
+        tie_breaker=0.4, k=12,
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_dis_max_search("documents", "doc_id", "text", clauses,
+                           tie_breaker=0.4, k=12),
+    )
+    assert problems == [] and n > 0
+
+
+def test_constant_score_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple pie"), (2, "apple table"), (3, "pear table")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bool_search(
+            docs, "doc_id", "text",
+            should=[{"constant_score": {"term": "table"}, "boost": 2.5}],
+            minimum_should_match=1, k=10,
+        ).collect()
+    }
+    assert got == {2: 2.5, 3: 2.5}  # flat boost, no idf/tf shaping
 
 
 def test_range_exists_validation():
