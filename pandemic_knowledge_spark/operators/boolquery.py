@@ -103,9 +103,11 @@ from pandemic_knowledge_spark.operators.search import (
     BM25_K1,
     _attach_bm25_scores,
     _fuzzy_selected,
+    _span_start_pred,
     _sql_tf_prelude,
     _tf_with_stats,
     fuzzy_auto_band,
+    sql_span_conds,
 )
 
 _SCORED_KEYS = ("match", "phrase", "prefix", "fuzzy", "constant_score")
@@ -172,6 +174,22 @@ def _phrase_starts(toks, terms: list[str]):
     )
 
 
+def _phrase_counter(toks, terms: list[str], slop: int = 0):
+    """Qualifying-start positions for a phrase clause: exact consecutive
+    starts at slop=0 (the ExactPhraseScorer shape — unchanged plans and
+    oracles), the ordered span window otherwise (ES match_phrase with
+    slop; pf := span-start count — a documented integer simplification of
+    Lucene's 1/(distance+1) sloppy-freq weighting, identical on both
+    engines)."""
+    if slop == 0:
+        return _phrase_starts(toks, terms)
+    m = len(terms)
+    return F.filter(
+        F.sequence(F.lit(1), F.size(toks) - m + 1),
+        _span_start_pred(toks, terms, slop),
+    )
+
+
 def _member_pred(toks, clause: dict):
     """The clause's membership test as ONE boolean column over the shared
     token array (plus, for range/exists, the doc's raw field columns —
@@ -201,8 +219,11 @@ def _member_pred(toks, clause: dict):
     terms = query_terms(clause["phrase"])
     if not terms:
         raise ValueError("bool phrase clause has no tokenizable terms")
+    slop = int(clause.get("slop", 0))
+    if slop < 0:
+        raise ValueError("phrase slop must be >= 0")
     return (F.size(toks) >= len(terms)) & (
-        F.size(_phrase_starts(toks, terms)) > 0
+        F.size(_phrase_counter(toks, terms, slop)) > 0
     )
 
 
@@ -239,7 +260,8 @@ def _fuzzy_frame(spark, tf, df_t, clause: dict) -> DataFrame:
     return scored.groupBy("doc_id").agg(F.sum("term_score").alias("cscore"))
 
 
-def _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl) -> DataFrame:
+def _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl,
+                  slop: int = 0) -> DataFrame:
     """Full (doc_id, cscore) frame for a scored phrase clause: the phrase
     is ONE pseudo-term (tf := phrase count, df := matching-doc count —
     Lucene's ExactPhraseScorer model). Counting is scan-side codegen; the
@@ -267,7 +289,7 @@ def _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl) -> DataFrame:
             "doc_id",
             F.size(toks).alias("dl"),
             F.when(
-                F.size(toks) >= m, F.size(_phrase_starts(toks, terms))
+                F.size(toks) >= m, F.size(_phrase_counter(toks, terms, slop))
             ).otherwise(F.lit(0)).alias("pf"),
         )
         .localCheckpoint(eager=True)  # consumed by count() AND the scorer
@@ -305,6 +327,9 @@ def _member_frame(docs, id_col, text_col, clause: dict) -> DataFrame:
         terms = query_terms(clause["phrase"])
         if not terms:
             raise ValueError("bool phrase clause has no tokenizable terms")
+        slop = int(clause.get("slop", 0))
+        if slop < 0:
+            raise ValueError("phrase slop must be >= 0")
         m = len(terms)
         toks = F.col("__toks")
         pf_all = (
@@ -315,7 +340,8 @@ def _member_frame(docs, id_col, text_col, clause: dict) -> DataFrame:
             .select(
                 "doc_id",
                 F.when(
-                    F.size(toks) >= m, F.size(_phrase_starts(toks, terms))
+                    F.size(toks) >= m,
+                    F.size(_phrase_counter(toks, terms, slop)),
                 ).otherwise(F.lit(0)).alias("pf"),
             )
             .localCheckpoint(eager=True)
@@ -376,7 +402,11 @@ def _scored_frames(docs, id_col, text_col, scored):
             terms = query_terms(clause["phrase"])
             if not terms:
                 raise ValueError("bool phrase clause has no tokenizable terms")
-            frame = _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl)
+            slop = int(clause.get("slop", 0))
+            if slop < 0:
+                raise ValueError("phrase slop must be >= 0")
+            frame = _phrase_frame(docs, id_col, text_col, terms, n_docs,
+                                  sum_dl, slop=slop)
         elif key == "constant_score":
             # ES constant_score: any membership clause scored as a flat
             # 1.0 x boost — the "this facet matters this much" idiom
@@ -571,9 +601,17 @@ def _sql_member_pred(clause: dict, field_src: str | None = None) -> str:
         )
     terms = query_terms(clause["phrase"])
     m = len(terms)
+    slop = int(clause.get("slop", 0))
+    if slop < 0:
+        raise ValueError("phrase slop must be >= 0")
+    conds = (
+        _sql_phrase_conds(terms)
+        if slop == 0
+        else sql_span_conds(terms, slop, arr="toks")
+    )
     return (
         f"(len(toks) >= {m} AND len(list_filter(range(1, len(toks) - {m} + 2),"
-        f" i -> {_sql_phrase_conds(terms)})) > 0)"
+        f" i -> {conds})) > 0)"
     )
 
 
@@ -684,11 +722,19 @@ def sql_bool_search(
         elif key == "phrase":
             terms = query_terms(clause["phrase"])
             m = len(terms)
+            slop = int(clause.get("slop", 0))
+            if slop < 0:
+                raise ValueError("phrase slop must be >= 0")
+            conds = (
+                _sql_phrase_conds(terms)
+                if slop == 0
+                else sql_span_conds(terms, slop, arr="toks")
+            )
             ctes.append(
                 f"""ph{i} AS (
   SELECT doc_id, dl,
          len(list_filter(range(1, len(toks) - {m} + 2),
-             i -> {_sql_phrase_conds(terms)})) AS pf
+             i -> {conds})) AS pf
   FROM base2 WHERE len(toks) >= {m}
 ), ph{i}m AS (SELECT doc_id, dl, pf FROM ph{i} WHERE pf > 0),
 ph{i}df AS (SELECT count(*) AS df FROM ph{i}m),
@@ -869,7 +915,7 @@ ORDER BY score DESC, doc_id LIMIT {k}
 
 # ------------------------------------------------------------ query_string
 
-_QS_TOKEN = re.compile(r'([+-]?)("([^"]*)"|[^\s]+)')
+_QS_TOKEN = re.compile(r'([+-]?)("([^"]*)"(?:~(\d+))?|[^\s]+)')
 
 
 def parse_query_string(q: str) -> dict:
@@ -877,7 +923,8 @@ def parse_query_string(q: str) -> dict:
     user-typed search-box syntax (Lucene classic syntax subset):
 
     - ``+token``  → must clause, ``-token`` → must_not, bare → should
-    - ``"a b c"`` → exact phrase (works with +/- prefixes)
+    - ``"a b c"`` → exact phrase (works with +/- prefixes); ``"a b"~N``
+      → phrase with slop N (Lucene proximity syntax)
     - ``tok*``    → prefix clause (trailing-wildcard rewrite)
     - ``tok~``    → fuzzy clause, AUTO edit band (``-tok~`` demotes to an
       exact-token ``term`` must_not, same as bare ``-tok`` — membership
@@ -894,11 +941,15 @@ def parse_query_string(q: str) -> dict:
     the parsed form IS the contract."""
     must, should, must_not = [], [], []
     for m in _QS_TOKEN.finditer(q):
-        sign, tok, quoted = m.group(1), m.group(2), m.group(3)
+        sign, tok, quoted, slop = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+        )
         if quoted is not None:
             if not query_terms(quoted):
                 continue
             clause = {"phrase": quoted.lower()}
+            if slop is not None and int(slop) > 0:
+                clause["slop"] = int(slop)
         elif tok.endswith("*") and len(tok) > 1:
             if not query_terms(tok[:-1]):
                 continue

@@ -2941,6 +2941,36 @@ def span_near_search(
     )
 
 
+def sql_span_conds(terms: list[str], slop: int, arr: str = "t",
+                   in_order: bool = True) -> str:
+    """DuckDB predicate over anchor position ``i``: a span of ``terms``
+    within the slop window starting at ``i``, over the token list column
+    ``arr`` — the SQL twin of :func:`_span_start_pred` (ordered) /
+    :func:`_span_start_pred_unordered`. Shared by the span_near oracle
+    and the bool door's phrase-with-slop clause emitters so the window
+    arithmetic can't drift between them."""
+    m = len(terms)
+    wend = f"least(i + {slop + m - 1}, len({arr}))"
+
+    def nested(j: int, prev: str) -> str:
+        body = f"{arr}[q{j}] = '{terms[j]}'"
+        if j + 1 < m:
+            body += f" AND {nested(j + 1, f'q{j}')}"
+        return (
+            f"len(list_filter(range({prev} + 1, {wend} + 1),"
+            f" q{j} -> {body})) > 0"
+        )
+
+    if in_order:
+        return f"{arr}[i] = '{terms[0]}' AND {nested(1, 'i')}"
+    anchor_lits = ", ".join(f"'{t}'" for t in terms)
+    per_term = " AND ".join(
+        f"len(list_filter(range(i, {wend} + 1), q{j} -> {arr}[q{j}] = '{t}')) > 0"
+        for j, t in enumerate(terms)
+    )
+    return f"{arr}[i] IN ({anchor_lits}) AND {per_term}"
+
+
 def sql_span_near_search(
     table: str,
     id_col: str,
@@ -2963,26 +2993,7 @@ def sql_span_near_search(
     if not in_order and len(set(terms)) != len(terms):
         raise ValueError("unordered span_near needs distinct terms")
     m = len(terms)
-    wend = f"least(i + {slop + m - 1}, len(t))"
-
-    def nested(j: int, prev: str) -> str:
-        body = f"t[q{j}] = '{terms[j]}'"
-        if j + 1 < m:
-            body += f" AND {nested(j + 1, f'q{j}')}"
-        return (
-            f"len(list_filter(range({prev} + 1, {wend} + 1),"
-            f" q{j} -> {body})) > 0"
-        )
-
-    if in_order:
-        conds = f"t[i] = '{terms[0]}' AND {nested(1, 'i')}"
-    else:
-        anchor_lits = ", ".join(f"'{t}'" for t in terms)
-        per_term = " AND ".join(
-            f"len(list_filter(range(i, {wend} + 1), q{j} -> t[q{j}] = '{t}')) > 0"
-            for j, t in enumerate(terms)
-        )
-        conds = f"t[i] IN ({anchor_lits}) AND {per_term}"
+    conds = sql_span_conds(terms, slop, arr="t", in_order=in_order)
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS t FROM {table}

@@ -412,6 +412,66 @@ def test_bool_phrase_member_gates_match_duckdb(spark, sf_dir):
     assert problems == [] and n > 0
 
 
+# ---------------------------------------------------- phrase slop everywhere
+
+_BQ_SLOP = dict(
+    must=[{"phrase": "spark stream", "slop": 3, "boost": 1.5}],
+    should=[{"match": "window join"}],
+    filter=[{"phrase": "fast scan", "slop": 2}],
+    k=12,
+)
+
+
+def test_phrase_slop_scored_and_filter_match_duckdb(spark, sf_dir):
+    # slop phrases in a scored must AND a membership filter, one query
+    fn = lambda s, d: bool_search(load(s, d, "documents"), "doc_id", "text",
+                                  **_BQ_SLOP)
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_bool_search("documents", "doc_id", "text", **_BQ_SLOP),
+    )
+    assert problems == [] and n > 0
+
+
+def test_phrase_slop_zero_is_unchanged(spark, sf_dir):
+    # {"phrase": p} and {"phrase": p, "slop": 0} must be the same query
+    docs = load(spark, sf_dir, "documents")
+    a = bool_search(docs, "doc_id", "text",
+                    must=[{"phrase": "fast scan"}], k=20).collect()
+    b = bool_search(docs, "doc_id", "text",
+                    must=[{"phrase": "fast scan", "slop": 0}], k=20).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_query_string_phrase_slop(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.boolquery import (
+        parse_query_string,
+        query_string_search,
+    )
+
+    qs = '+spark "fast scan"~2 -vector'
+    parsed = parse_query_string(qs)
+    assert {"phrase": "fast scan", "slop": 2} in parsed["should"]
+    fn = lambda s, d: query_string_search(
+        load(s, d, "documents"), "doc_id", "text", qs, k=10
+    )
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_bool_search("documents", "doc_id", "text", k=10, **parsed),
+    )
+    assert problems == [] and n > 0
+
+
+def test_phrase_slop_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="slop"):
+        bool_search(docs, "doc_id", "text",
+                    must=[{"phrase": "a b", "slop": -1}], k=5)
+    with pytest.raises(ValueError, match="slop"):
+        sql_bool_search("documents", "doc_id", "text",
+                        must=[{"phrase": "a b", "slop": -1}], k=5)
+
+
 # ----------------------------------------------------------- constant_score
 
 _BQ_CONST = dict(
