@@ -16,7 +16,11 @@ Clause specs are plain dicts with exactly one query key plus an optional
 key       semantics (scored: must/should)            membership (filter/
                                                      must_not)
 ========  =========================================  ====================
-match     BM25 over the analyzed query terms         doc holds >= 1 term
+match     BM25 over the analyzed query terms;        doc holds >= 1 term
+          ``operator: "and"`` requires ALL terms,    (``operator``/int
+          an integer ``minimum_should_match``        ``minimum_should_
+          requires >= that many distinct terms       match`` raise the
+          (ES's term-level matching control)         bar the same way)
 phrase    BM25 with the phrase as one pseudo-term    doc holds the
           (tf := exact consecutive phrase count,     consecutive phrase
           df := docs containing the phrase — the
@@ -127,6 +131,28 @@ def _range_parts(clause: dict) -> tuple[str, dict]:
     return field, bounds
 
 
+def _match_min_terms(clause: dict, terms: list[str]) -> int:
+    """Term-level matching control of an ES ``match`` clause: ``operator:
+    "and"`` requires every analyzed term; an integer
+    ``minimum_should_match`` requires at least that many distinct terms
+    (clamped to the term count — ES clamps too). Default OR semantics
+    (any one term) is min_terms=1."""
+    op = clause.get("operator", "or")
+    if op not in ("or", "and"):
+        raise ValueError(f"match operator must be 'or' or 'and', got {op!r}")
+    msm = clause.get("minimum_should_match")
+    if op == "and" and msm is not None:
+        raise ValueError("match takes operator='and' OR minimum_should_match")
+    if op == "and":
+        return len(terms)
+    if msm is None:
+        return 1
+    msm = int(msm)
+    if msm < 1:
+        raise ValueError("match minimum_should_match must be >= 1")
+    return min(msm, len(terms))
+
+
 def _clause_fields(clause: dict) -> tuple[str, ...]:
     """Raw field columns a membership clause reads (range/exists), so a
     projected preds base can keep them in scope; token clauses read none."""
@@ -212,7 +238,13 @@ def _member_pred(toks, clause: dict):
         terms = sorted(set(query_terms(clause["match"])))
         if not terms:
             raise ValueError("bool match clause has no tokenizable terms")
-        return F.arrays_overlap(toks, F.array(*[F.lit(t) for t in terms]))
+        min_terms = _match_min_terms(clause, terms)
+        term_arr = F.array(*[F.lit(t) for t in terms])
+        if min_terms == 1:
+            return F.arrays_overlap(toks, term_arr)
+        return F.size(F.array_intersect(F.array_distinct(toks), term_arr)) >= F.lit(
+            min_terms
+        )
     if key == "prefix":
         p = clause["prefix"]
         return F.exists(toks, lambda x: x.startswith(p))
@@ -227,15 +259,27 @@ def _member_pred(toks, clause: dict):
     )
 
 
-def _match_frame(tf, df_t, terms: list[str]) -> DataFrame:
+def _match_frame(tf, df_t, terms: list[str],
+                 min_terms: int = 1) -> DataFrame:
     """Full (doc_id, cscore) BM25 frame for a match clause — the scorer of
     operators.search.bm25_search minus the top-k (the bool combinator
     truncates AFTER combining; a per-clause cut would silently drop docs
-    whose summed score belongs in the page)."""
+    whose summed score belongs in the page). ``min_terms`` is the clause's
+    term-level matching control — ES match ``operator: and`` (all terms)
+    or an integer ``minimum_should_match`` — enforced as a distinct-term
+    count in the SAME grouped aggregation (tf holds one row per (doc,
+    term), so count(*) IS the distinct matched-term count; no extra
+    shuffle)."""
     sel = tf.filter(F.col("term").isin(terms))
     df_sel = df_t.filter(F.col("term").isin(terms))
     scored = _attach_bm25_scores(sel.join(F.broadcast(df_sel), "term"))
-    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("cscore"))
+    agged = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("cscore"),
+        F.count(F.lit(1)).alias("__nt"),
+    )
+    if min_terms > 1:
+        agged = agged.where(F.col("__nt") >= F.lit(min_terms))
+    return agged.select("doc_id", "cscore")
 
 
 def _fuzzy_frame(spark, tf, df_t, clause: dict) -> DataFrame:
@@ -395,7 +439,8 @@ def _scored_frames(docs, id_col, text_col, scored):
             terms = sorted(set(query_terms(clause["match"])))
             if not terms:
                 raise ValueError("bool match clause has no tokenizable terms")
-            frame = _match_frame(tf, df_t, terms)
+            frame = _match_frame(tf, df_t, terms,
+                                 min_terms=_match_min_terms(clause, terms))
         elif key == "fuzzy":
             frame = _fuzzy_frame(spark, tf, df_t, clause)
         elif key == "phrase":
@@ -592,7 +637,13 @@ def _sql_member_pred(clause: dict, field_src: str | None = None) -> str:
     if key == "match":
         terms = sorted(set(query_terms(clause["match"])))
         lits = ", ".join(_sql_lit(t) for t in terms)
-        return f"len(list_intersect(toks, [{lits}])) > 0"
+        min_terms = _match_min_terms(clause, terms)
+        if min_terms == 1:
+            return f"len(list_intersect(toks, [{lits}])) > 0"
+        return (
+            f"len(list_intersect(list_distinct(toks), [{lits}]))"
+            f" >= {min_terms}"
+        )
     if key == "prefix":
         return (
             "len(list_filter(toks, x -> x LIKE "
@@ -700,12 +751,16 @@ def sql_bool_search(
         if key == "match":
             terms = sorted(set(query_terms(clause["match"])))
             lits = ", ".join(_sql_lit(t) for t in terms)
+            min_terms = _match_min_terms(clause, terms)
+            having = (
+                f"\n  HAVING count(*) >= {min_terms}" if min_terms > 1 else ""
+            )
             ctes.append(
                 f"""{name} AS (
   SELECT tf.doc_id, sum({_sql_term_score()}) * {boost!r} AS bscore
   FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
   WHERE tf.term IN ({lits})
-  GROUP BY tf.doc_id
+  GROUP BY tf.doc_id{having}
 )"""
             )
         elif key == "fuzzy":

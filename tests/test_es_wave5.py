@@ -472,6 +472,62 @@ def test_phrase_slop_validation(spark):
                         must=[{"phrase": "a b", "slop": -1}], k=5)
 
 
+# ----------------------------------------------- match operator / term msm
+
+_BQ_MATCH_AND = dict(
+    must=[{"match": "spark stream table", "operator": "and"}],
+    should=[{"match": "window join fast", "minimum_should_match": 2}],
+    filter=[{"match": "scan query", "operator": "and"}],
+    k=12,
+)
+
+
+def test_match_operator_and_msm_match_duckdb(spark, sf_dir):
+    # term-level matching control in scored AND membership contexts
+    fn = lambda s, d: bool_search(load(s, d, "documents"), "doc_id", "text",
+                                  **_BQ_MATCH_AND)
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_bool_search("documents", "doc_id", "text", **_BQ_MATCH_AND),
+    )
+    assert problems == [] and n > 0
+
+
+def test_match_operator_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a"), (4, "c")],
+        "doc_id long, text string",
+    )
+
+    def ids(clause):
+        return {
+            r["doc_id"]
+            for r in bool_search(docs, "doc_id", "text",
+                                 must=[clause], k=10).collect()
+        }
+
+    assert ids({"match": "a b c"}) == {1, 2, 3, 4}          # OR default
+    assert ids({"match": "a b c", "operator": "and"}) == {1}
+    assert ids({"match": "a b c", "minimum_should_match": 2}) == {1, 2}
+    # msm clamps to the term count, as ES does
+    assert ids({"match": "a b", "minimum_should_match": 9}) == {1, 2}
+
+
+def test_match_operator_validation(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="'or' or 'and'"):
+        bool_search(docs, "doc_id", "text",
+                    must=[{"match": "a", "operator": "not"}], k=5)
+    with pytest.raises(ValueError, match="operator='and' OR"):
+        bool_search(docs, "doc_id", "text",
+                    must=[{"match": "a b", "operator": "and",
+                           "minimum_should_match": 2}], k=5)
+    with pytest.raises(ValueError, match=">= 1"):
+        sql_bool_search("documents", "doc_id", "text",
+                        must=[{"match": "a b", "minimum_should_match": 0}],
+                        k=5)
+
+
 # ----------------------------------------------------------- constant_score
 
 _BQ_CONST = dict(
