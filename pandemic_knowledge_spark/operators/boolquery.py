@@ -304,28 +304,21 @@ def _fuzzy_frame(spark, tf, df_t, clause: dict) -> DataFrame:
     return scored.groupBy("doc_id").agg(F.sum("term_score").alias("cscore"))
 
 
-def _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl,
-                  slop: int = 0) -> DataFrame:
-    """Full (doc_id, cscore) frame for a scored phrase clause: the phrase
-    is ONE pseudo-term (tf := phrase count, df := matching-doc count —
-    Lucene's ExactPhraseScorer model). Counting is scan-side codegen; the
-    corpus constants arrive as literals (n_docs/sum_dl collected once by
-    the caller, df via one bounded count of the checkpointed match frame)
-    so the plan spends no scalar broadcast here — the one-BNLJ budget
-    stays with the shared TF stats."""
+def _phrase_pf_all(docs, id_col, text_col, terms, slop: int = 0):
+    """Checkpointed narrow (doc_id, dl, pf) frame for a phrase clause —
+    the ONE shape every phrase consumer uses (scored _phrase_frame,
+    constant_score/_member_frame membership). Tokenize materializes once
+    in its own projection (the positional HOF references the array per
+    (position, term) pair — an inline tokenize(text) would re-run the
+    regex at every reference since HOF lambda bodies sit outside CSE),
+    and the checkpoint lands BEFORE any filter: a filter below it would
+    push down through both projections and re-inline the whole counter
+    into a second per-row evaluation (the r10 6× pathology). Three ints
+    per doc — trivial next to the TF checkpoint the bool door carries.
+    """
     m = len(terms)
-    # Tokenize ONCE into its own projection (the positional HOF references
-    # the array per (position, term) pair — an inline tokenize(text) would
-    # re-run the regex at every reference since HOF lambda bodies sit
-    # outside common-subexpression elimination), and checkpoint the narrow
-    # (doc_id, dl, pf) frame BEFORE filtering: a filter below the
-    # checkpoint would push down through both projections and re-inline
-    # the whole counter into a second per-row evaluation. The checkpoint
-    # holds three ints per doc — trivial next to the TF checkpoint the
-    # bool door already carries. (This pathology measured ~6× on the
-    # phrase-bearing composed queries at sf0.1.)
     toks = F.col("__toks")
-    pf_all = (
+    return (
         docs.select(
             F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
         )
@@ -336,9 +329,21 @@ def _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl,
                 F.size(toks) >= m, F.size(_phrase_counter(toks, terms, slop))
             ).otherwise(F.lit(0)).alias("pf"),
         )
-        .localCheckpoint(eager=True)  # consumed by count() AND the scorer
+        .localCheckpoint(eager=True)
     )
-    pf = pf_all.where(F.col("pf") > 0)
+
+
+def _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl,
+                  slop: int = 0) -> DataFrame:
+    """Full (doc_id, cscore) frame for a scored phrase clause: the phrase
+    is ONE pseudo-term (tf := phrase count, df := matching-doc count —
+    Lucene's ExactPhraseScorer model). Counting is scan-side codegen; the
+    corpus constants arrive as literals (n_docs/sum_dl collected once by
+    the caller, df via one bounded count of the checkpointed match frame)
+    so the plan spends no scalar broadcast here — the one-BNLJ budget
+    stays with the shared TF stats."""
+    pf_all = _phrase_pf_all(docs, id_col, text_col, terms, slop)
+    pf = pf_all.where(F.col("pf") > 0)  # consumed by count() AND the scorer
     df_ph = pf.count()
     avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
     idf = F.log(
@@ -374,24 +379,10 @@ def _member_frame(docs, id_col, text_col, clause: dict) -> DataFrame:
         slop = int(clause.get("slop", 0))
         if slop < 0:
             raise ValueError("phrase slop must be >= 0")
-        m = len(terms)
-        toks = F.col("__toks")
-        pf_all = (
-            docs.select(
-                F.col(id_col).alias("doc_id"),
-                tokenize(text_col).alias("__toks"),
-            )
-            .select(
-                "doc_id",
-                F.when(
-                    F.size(toks) >= m,
-                    F.size(_phrase_counter(toks, terms, slop)),
-                ).otherwise(F.lit(0)).alias("pf"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        return pf_all.where(F.col("pf") > 0).select(
-            "doc_id", F.lit(1.0).alias("cscore")
+        return (
+            _phrase_pf_all(docs, id_col, text_col, terms, slop)
+            .where(F.col("pf") > 0)
+            .select("doc_id", F.lit(1.0).alias("cscore"))
         )
     return (
         docs.where(_member_pred(tokenize(text_col), clause))
@@ -579,7 +570,12 @@ def bool_search(
         for i in range(len(filter)):
             cond = cond & F.col(f"__f{i}")
         for i in range(len(must_not)):
-            cond = cond & ~F.col(f"__m{i}")
+            # NULL-safe negation: a pred over a missing field (or null
+            # text) evaluates NULL; ES treats "field absent" as "query
+            # does not match", so a must_not must KEEP the doc — bare
+            # ~NULL is NULL and the where() would drop it (three-valued
+            # logic; the DuckDB twin uses the same coalesce)
+            cond = cond & ~F.coalesce(F.col(f"__m{i}"), F.lit(False))
         hits = hits.join(preds, "doc_id").where(cond).select("doc_id", "score")
 
     return hits.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
@@ -877,7 +873,9 @@ hits AS (
             f"preds AS (SELECT base2.doc_id AS doc_id, {pred_cols} FROM {frm})"
         )
         conds = [f"preds.f{i}" for i in range(len(filter))] + [
-            f"NOT preds.m{i}" for i in range(len(must_not))
+            # NULL-safe: missing field -> pred NULL -> must_not keeps the
+            # doc (ES semantics), mirrored in the Spark door
+            f"NOT coalesce(preds.m{i}, FALSE)" for i in range(len(must_not))
         ]
         where = (
             "\nJOIN preds ON hits.doc_id = preds.doc_id\nWHERE "
@@ -973,6 +971,20 @@ ORDER BY score DESC, doc_id LIMIT {k}
 _QS_TOKEN = re.compile(r'([+-]?)("([^"]*)"(?:~(\d+))?|[^\s]+)')
 
 
+def _negated_token_clause(tok: str) -> dict:
+    """A ``-token`` exclusion as an EXECUTABLE membership clause: the term
+    must be the ANALYZED form — tokens are [a-z0-9]+ only, so a raw
+    punctuated term ('-covid-19' -> {"term": "covid-19"}) could never
+    equal any corpus token and the exclusion would be a silent no-op
+    (r10 review find). Single analyzed term -> exact term; multi-term
+    analysis ('covid-19' -> covid, 19) -> an analyzed match must_not
+    (excludes docs holding ANY sub-term — the conservative exclusion)."""
+    terms = query_terms(tok)
+    if len(terms) == 1:
+        return {"term": terms[0]}
+    return {"match": " ".join(terms)}
+
+
 def parse_query_string(q: str) -> dict:
     """The ES ``query_string`` mini-language → bool clause lists — the
     user-typed search-box syntax (Lucene classic syntax subset):
@@ -1013,13 +1025,17 @@ def parse_query_string(q: str) -> dict:
             if not query_terms(tok[:-1]):
                 continue
             if sign == "-":
-                clause = {"term": tok[:-1].lower()}
+                clause = _negated_token_clause(tok[:-1])
             else:
                 clause = {"fuzzy": tok[:-1].lower()}
         else:
             if not query_terms(tok):
                 continue
-            clause = {"match": tok.lower()} if sign != "-" else {"term": tok.lower()}
+            clause = (
+                {"match": tok.lower()}
+                if sign != "-"
+                else _negated_token_clause(tok)
+            )
         if sign == "+":
             must.append(clause)
         elif sign == "-":
@@ -1238,7 +1254,8 @@ def function_score_search(
 
 def _sql_function_factor(fn: dict, score_mode: str) -> str:
     """The DuckDB twin of :func:`_function_factor` — field columns come
-    from the fvals join, token membership from base2.toks."""
+    from the fvals join (range/exists filter fields included), token
+    membership from base2.toks."""
     if "field_value_factor" in fn:
         spec = fn["field_value_factor"]
         factor = float(spec.get("factor", 1.0))
@@ -1255,14 +1272,14 @@ def _sql_function_factor(fn: dict, score_mode: str) -> str:
             v = f"sqrt({v})"
         if fn.get("filter") is not None:
             neutral = "1.0" if score_mode == "multiply" else "0.0"
-            pred = _sql_member_pred(fn["filter"])
+            pred = _sql_member_pred(fn["filter"], "fvals")
             v = f"(CASE WHEN {pred} THEN {v} ELSE {neutral} END)"
         return v
     if "weight" in fn:
         w = float(fn["weight"])
         if fn.get("filter") is not None:
             neutral = "1.0" if score_mode == "multiply" else "0.0"
-            pred = _sql_member_pred(fn["filter"])
+            pred = _sql_member_pred(fn["filter"], "fvals")
             return f"(CASE WHEN {pred} THEN {w!r} ELSE {neutral} END)"
         return f"CAST({w!r} AS DOUBLE)"
     raise ValueError(
@@ -1297,6 +1314,12 @@ def sql_function_score_search(
             fn["field_value_factor"]["field"]
             for fn in functions
             if "field_value_factor" in fn
+        }
+        | {
+            f
+            for fn in functions
+            if fn.get("filter") is not None
+            for f in _clause_fields(fn["filter"])
         }
     )
     field_sel = "".join(f", {f}" for f in fields)
@@ -1427,11 +1450,14 @@ def _index_stats_scalars(index) -> tuple:
     return int(row["n_docs"]), int(row["sum_dl"] or 0)
 
 
-def _index_match_frame(index, terms) -> DataFrame:
+def _index_match_frame(index, terms, min_terms: int = 1) -> DataFrame:
     """Full (doc_id, cscore) BM25 frame for a term set, scored entirely
     from the bucket-pruned postings — the unlimited form of
     operators.search.bm25_from_postings (same pruned-count df, same
-    formula, so the indexed door equals the corpus door to the bit)."""
+    formula, so the indexed door equals the corpus door to the bit).
+    ``min_terms`` enforces the match clause's term-level control
+    (operator and / minimum_should_match) as a count in the same grouped
+    aggregation — postings hold one row per (term, doc)."""
     from pandemic_knowledge_spark.operators.search import term_bucket_py
 
     q = sorted(set(terms))
@@ -1443,16 +1469,25 @@ def _index_match_frame(index, terms) -> DataFrame:
     scored = _attach_bm25_scores(
         _index_stats_cols(index, p.join(F.broadcast(df_t), "term"))
     )
-    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("cscore"))
+    agged = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("cscore"),
+        F.count(F.lit(1)).alias("__nt"),
+    )
+    if min_terms > 1:
+        agged = agged.where(F.col("__nt") >= F.lit(min_terms))
+    return agged.select("doc_id", "cscore")
 
 
-def _index_phrase_frame(index, phrase: str) -> DataFrame:
+def _index_phrase_frame(index, phrase: str, slop: int = 0) -> DataFrame:
     """Scored phrase clause from the positional tier: pf from the
-    positional postings, dl from the doc_ids sidecar, corpus constants as
-    literals — the same pseudo-term BM25 expression as the corpus-scan
+    positional postings (the shift-intersect counter at slop=0, the
+    per-doc position-array span search otherwise — both identical to the
+    corpus-side counters), dl from the doc_ids sidecar, corpus constants
+    as literals — the same pseudo-term BM25 expression as the corpus-scan
     :func:`_phrase_frame`."""
     from pandemic_knowledge_spark.operators.search import (
         phrase_counts_from_postings,
+        span_counts_from_postings,
     )
 
     if index.positional is None:
@@ -1463,8 +1498,13 @@ def _index_phrase_frame(index, phrase: str) -> DataFrame:
     dl_src = index.doc_ids
     if dl_src is None:
         dl_src = index.postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    pf = (
+    counts = (
         phrase_counts_from_postings(index.positional, phrase)
+        if slop == 0
+        else span_counts_from_postings(index.positional, phrase, slop)
+    )
+    pf = (
+        counts
         .withColumnRenamed("phrase_count", "pf")
         .localCheckpoint(eager=True)  # consumed by count() AND the scorer
     )
@@ -1489,10 +1529,18 @@ def _index_member_frame(index, clause: dict) -> DataFrame:
     positional tier. Each is semi/anti-joined against the hits frame."""
     from pandemic_knowledge_spark.operators.search import (
         phrase_counts_from_postings,
+        span_counts_from_postings,
         term_bucket_py,
     )
 
     key = _clause_key(clause, _MEMBER_KEYS)
+    if key in ("range", "exists"):
+        # raw field columns are not index artifacts — an index-only door
+        # cannot answer them; the corpus door (bool_search) can
+        raise ValueError(
+            f"{key} clauses need raw field columns the index does not "
+            "carry — use the corpus door (bool_search)"
+        )
     p = index.postings
     if key == "term":
         t = clause["term"]
@@ -1503,11 +1551,20 @@ def _index_member_frame(index, clause: dict) -> DataFrame:
         terms = sorted(set(query_terms(clause["match"])))
         if not terms:
             raise ValueError("bool match clause has no tokenizable terms")
+        min_terms = _match_min_terms(clause, terms)
         buckets = sorted({term_bucket_py(t) for t in terms})
+        hits = p.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        if min_terms == 1:
+            return hits.select("doc_id").distinct()
+        # one row per (term, doc): the grouped count IS the distinct
+        # matched-term count, same as the corpus door's membership test
         return (
-            p.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("__nt"))
+            .where(F.col("__nt") >= F.lit(min_terms))
             .select("doc_id")
-            .distinct()
         )
     if key == "prefix":
         return (
@@ -1519,9 +1576,15 @@ def _index_member_frame(index, clause: dict) -> DataFrame:
         raise ValueError(
             "indexed bool phrase membership needs a positional index"
         )
-    return phrase_counts_from_postings(
-        index.positional, clause["phrase"]
-    ).select("doc_id")
+    slop = int(clause.get("slop", 0))
+    if slop < 0:
+        raise ValueError("phrase slop must be >= 0")
+    counts = (
+        phrase_counts_from_postings(index.positional, clause["phrase"])
+        if slop == 0
+        else span_counts_from_postings(index.positional, clause["phrase"], slop)
+    )
+    return counts.select("doc_id")
 
 
 def bool_search_from_index(
@@ -1576,7 +1639,9 @@ def bool_search_from_index(
             terms = sorted(set(query_terms(clause["match"])))
             if not terms:
                 raise ValueError("bool match clause has no tokenizable terms")
-            frame = _index_match_frame(index, terms)
+            frame = _index_match_frame(
+                index, terms, min_terms=_match_min_terms(clause, terms)
+            )
         elif key == "fuzzy":
             q_terms = sorted(set(query_terms(clause["fuzzy"])))
             if not q_terms:
@@ -1610,7 +1675,17 @@ def bool_search_from_index(
                     "cscore", F.lit(1.0)
                 )
         elif key == "phrase":
-            frame = _index_phrase_frame(index, clause["phrase"])
+            slop = int(clause.get("slop", 0))
+            if slop < 0:
+                raise ValueError("phrase slop must be >= 0")
+            frame = _index_phrase_frame(index, clause["phrase"], slop=slop)
+        elif key == "constant_score":
+            # any index-answerable membership clause, flat 1.0 x boost
+            # (range/exists reject inside _index_member_frame — raw
+            # fields are not index artifacts)
+            frame = _index_member_frame(
+                index, clause["constant_score"]
+            ).select("doc_id", F.lit(1.0).alias("cscore"))
         else:  # prefix — constant_score from the postings term range
             frame = _index_member_frame(
                 index, {"prefix": clause["prefix"]}

@@ -1332,9 +1332,18 @@ def phrase_suggest(
         raise ValueError("phrase_suggest supports max_errors 1 or 2")
     n = len(terms)
     spark = docs.sparkSession
-    vocab = docs.select(
-        F.explode(F.array_distinct(tokenize(text_col))).alias("term")
-    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # dictionary-sized; checkpointed because BOTH the per-slot candidate
+    # collect and the final plan's |V| fold consume it — uncheckpointed,
+    # the full corpus tokenize+explode+groupBy lineage ran twice (the
+    # SQL twin pays once via vocab AS MATERIALIZED; r10 review find)
+    vocab = (
+        docs.select(
+            F.explode(F.array_distinct(tokenize(text_col))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
 
     # one union over the dictionary, one window rank, ONE bounded collect
     # (≤ n·per_term rows) — the coordinator-side candidate enumeration
@@ -2615,6 +2624,72 @@ def phrase_counts_from_postings(
         .where((F.col("n_off") == m) & (F.size("starts") > 0))
         .select("doc_id", F.size("starts").cast("long").alias("phrase_count"))
     )
+
+
+def span_counts_from_postings(
+    postings_pos: DataFrame, phrase: str, slop: int
+) -> DataFrame:
+    """(doc_id, phrase_count) for a phrase WITH SLOP from the positional
+    tier: the ordered span-start count of :func:`span_near_search` /
+    the bool door's ``{"phrase": p, "slop": N}`` clauses, computed from
+    per-term position lists instead of a corpus scan. Identical counts to
+    the corpus-side counter (pinned in tests) — the indexed bool door
+    stays row-identical to the corpus door for sloppy phrases too.
+
+    Plan: bucket-pruned probe of the m query terms' positional rows, one
+    groupBy assembling the m position arrays per doc (docs lacking any
+    term drop via the n_off == m gate), then the same nested-EXISTS
+    window search as HOFs over the (tiny, per-doc) arrays — no corpus
+    scan, no shuffle beyond the per-doc assembly."""
+    terms = query_terms(phrase)
+    if not terms:
+        raise ValueError("phrase has no tokenizable terms")
+    if slop < 0:
+        raise ValueError("slop must be ≥ 0")
+    m = len(terms)
+    W = slop + m
+    buckets = sorted({term_bucket_py(t) for t in terms})
+    offsets = F.posexplode(F.array(*[F.lit(t) for t in terms])).alias("off", "term")
+    phrase_df = F.broadcast(
+        postings_pos.sparkSession.range(1).select(offsets)
+    )
+    probe = postings_pos.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(sorted(set(terms)))
+    )
+    per_doc = (
+        probe.join(phrase_df, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_off"),
+            F.array_sort(
+                F.collect_list(F.struct("off", "positions"))
+            ).alias("ps"),
+        )
+        .where(F.col("n_off") == m)
+    )
+
+    # anchors are term-0 positions; each subsequent term needs a position
+    # strictly after the previous one and within the anchor's window
+    def starts_expr(ps):
+        pos0 = ps[0]["positions"]
+
+        def rec(j, prev, wend):
+            return F.exists(
+                ps[j]["positions"],
+                lambda q: (q > prev)
+                & (q <= wend)
+                & (rec(j + 1, q, wend) if j + 1 < m else F.lit(True)),
+            )
+
+        return F.filter(
+            pos0,
+            lambda p: rec(1, p, p + F.lit(W - 1)) if m > 1 else F.lit(True),
+        )
+
+    return per_doc.select(
+        "doc_id",
+        F.size(starts_expr(F.col("ps"))).cast("long").alias("phrase_count"),
+    ).where(F.col("phrase_count") > 0)
 
 
 def phrase_search(

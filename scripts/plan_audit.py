@@ -124,7 +124,11 @@ def main() -> None:
         if "element_at(regexp_extract_all(" in plan:
             flags["tokenize_per_position"].append(name)
         for line in plan.splitlines():
-            if re.match(r"\s*(?::|\+)?-?\s*\*?\(?\d*\)?\s*Filter\b", line) and (
+            # node label = first word after the tree-drawing prefix; the
+            # prefix may stack any number of ':'/'+'/'-' branch tokens
+            # plus a '*(n)' codegen id (an earlier anchored regex missed
+            # every Filter nested under a ':' branch — r10 review find)
+            if re.match(r"[\s:+\-*()\d]*Filter\b", line) and (
                 line.count("regexp_extract_all") >= 2
             ):
                 multi_tokenize_filters.append(

@@ -607,3 +607,100 @@ def test_range_exists_validation():
         _sql_member_pred({"exists": {"field": "a"}})
     with pytest.raises(ValueError, match="numbers or strings"):
         _sql_member_pred({"range": {"a": {"gte": True}}}, "_r")
+
+
+# -------------------------------------------------- r10 review regressions
+
+
+def test_indexed_door_honors_new_clause_options(spark):
+    """The indexed bool door must stay row-identical to the corpus door
+    for the r10 clause options (match operator/minimum_should_match,
+    phrase slop, constant_score) — it previously ignored them silently —
+    and must REJECT range/exists cleanly (raw fields are not index
+    artifacts)."""
+    from pandemic_knowledge_spark.operators.boolquery import (
+        bool_search_from_index,
+    )
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream fast scan"),
+            (2, "spark slow scan"),
+            (3, "stream of data"),
+            (4, "spark x stream"),
+            (5, "fast spark stream scan table"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = SearchIndex.build(docs, "doc_id", "text", cache=False,
+                            positional=True)
+    cases = [
+        dict(must=[{"match": "spark stream", "operator": "and"}], k=10),
+        dict(must=[{"match": "spark stream scan",
+                    "minimum_should_match": 2}], k=10),
+        dict(must=[{"phrase": "spark stream", "slop": 1}], k=10),
+        dict(must=[{"match": "spark"}],
+             filter=[{"phrase": "fast scan", "slop": 2}], k=10),
+        dict(should=[{"constant_score": {"term": "table"}, "boost": 2.0},
+                     {"match": "spark"}],
+             minimum_should_match=1, k=10),
+    ]
+    for case in cases:
+        via_corpus = sorted(
+            map(tuple, bool_search(docs, "doc_id", "text", **case).collect())
+        )
+        via_index = sorted(
+            map(tuple, bool_search_from_index(idx, **case).collect())
+        )
+        assert via_index == via_corpus, case
+    with pytest.raises(ValueError, match="corpus door"):
+        bool_search_from_index(
+            idx, must=[{"match": "spark"}],
+            filter=[{"range": {"n_chars": {"gte": 1}}}],
+        ).collect()
+
+
+def test_must_not_missing_field_keeps_doc(spark, tmp_path):
+    """ES semantics: a doc whose field is NULL does not MATCH a range (or
+    term-over-null-text) query, so a must_not must KEEP it — bare ~NULL
+    dropped it under three-valued logic (r10 review find). Pinned on both
+    engines over the same parquet."""
+    import duckdb
+
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "apple pie", 500), (2, "apple tart", None), (3, "apple", 10)],
+        "doc_id long, text string, n_chars long",
+    ).coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    bq = dict(must=[{"match": "apple"}],
+              must_not=[{"range": {"n_chars": {"gte": 100}}}], k=10)
+    got = {r["doc_id"] for r in
+           bool_search(docs, "doc_id", "text", **bq).collect()}
+    assert got == {2, 3}  # 2 has NULL n_chars: kept, not dropped
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    oracle = {r[0] for r in con.execute(
+        sql_bool_search("documents", "doc_id", "text", **bq)).fetchall()}
+    assert oracle == got
+
+
+def test_query_string_negated_punctuated_token_excludes(spark):
+    """'-covid-19' must exclude docs holding the ANALYZED tokens (covid,
+    19) — the raw punctuated term could never equal a corpus token and
+    the exclusion was a silent no-op (r10 review find)."""
+    from pandemic_knowledge_spark.operators.boolquery import (
+        parse_query_string,
+        query_string_search,
+    )
+
+    parsed = parse_query_string("apple -covid-19")
+    assert parsed["must_not"] == [{"match": "covid 19"}]
+    docs = spark.createDataFrame(
+        [(1, "apple covid-19 report"), (2, "apple sauce"), (3, "apple 19")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in query_string_search(
+        docs, "doc_id", "text", "apple -covid-19", k=10).collect()}
+    assert got == {2}  # 1 holds covid AND 19; 3 holds the sub-term 19
