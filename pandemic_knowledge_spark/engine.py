@@ -302,6 +302,26 @@ class Engine:
 
         return query_string_search(self.table(table), id_col, text_col, q, k=k)
 
+    def es_query(
+        self,
+        body: dict,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        field_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Run a real ES request body (``{"query": {...}, "size",
+        "from"}``) verbatim — the migration door for clients that hold ES
+        JSON (the reference's SearchUI emits exactly these bodies).
+        Routes to the engine's existing doors; unsupported constructs
+        raise UnsupportedEsQuery with the failing JSON path
+        (operators.esdsl.es_query)."""
+        from pandemic_knowledge_spark.operators.esdsl import es_query
+
+        return es_query(
+            self.table(table), id_col, text_col, body, field_cols=field_cols
+        )
+
     def span_near(
         self,
         query: str,

@@ -1,0 +1,347 @@
+"""The ES request-body door: run a real Elasticsearch query JSON as-is.
+
+The reference never writes Spark — it writes ES JSON: its SearchUI
+queryBuilder emits ``bool.filter[multi_match ...]`` request bodies
+(/root/reference/news_app/app/app/src/SearchUI.js:15-33) and its Kibana
+dashboards are date-range-filtered aggregations over the same DSL. A user
+switching from the reference therefore holds a pile of ES request bodies,
+not clause dicts; :func:`es_query` accepts those bodies verbatim and
+compiles them onto the engine's existing doors (bool / dis_max /
+function_score / the multi_match family / term-level queries), so the
+migration is "point the client at Spark", not "rewrite every query".
+
+Coverage is the DSL surface the engine genuinely implements — every
+translation routes to an existing oracle-checked operator; anything
+outside it raises ``UnsupportedEsQuery`` with the exact path that failed
+(silent approximation would be worse than an error). Scoring fidelity is
+whatever the target door guarantees (BM25 with the engine's documented
+single-round idiom); ``size``/``from`` map to top-k and keyset-free offset
+paging over the (score DESC, doc_id) total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+class UnsupportedEsQuery(ValueError):
+    """An ES construct this engine does not implement — carries the JSON
+    path so callers can see exactly which part of the body failed."""
+
+
+def _fail(path: str, msg: str):
+    raise UnsupportedEsQuery(f"{path}: {msg}")
+
+
+def _single_field(d: dict, path: str) -> tuple[str, object]:
+    if not isinstance(d, dict) or len(d) != 1:
+        _fail(path, f"expected one field key, got {sorted(d) if isinstance(d, dict) else type(d)}")
+    return next(iter(d.items()))
+
+
+def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
+    """One ES LEAF query → the bool door's clause dict. The engine is
+    single-text-field per table, so the field name is accepted and
+    ignored for text queries (the caller picks text_col) and kept for
+    range/exists (raw metadata columns)."""
+    if qtype == "match":
+        field, spec = _single_field(body, path)
+        if isinstance(spec, str):
+            return {"match": spec}
+        clause = {"match": str(spec["query"])}
+        if "operator" in spec:
+            clause["operator"] = spec["operator"]
+        if "minimum_should_match" in spec:
+            clause["minimum_should_match"] = int(spec["minimum_should_match"])
+        if "boost" in spec:
+            clause["boost"] = float(spec["boost"])
+        _reject_extras(spec, {"query", "operator", "minimum_should_match",
+                              "boost"}, path)
+        return clause
+    if qtype == "match_phrase":
+        field, spec = _single_field(body, path)
+        if isinstance(spec, str):
+            return {"phrase": spec}
+        clause = {"phrase": str(spec["query"])}
+        if "slop" in spec:
+            clause["slop"] = int(spec["slop"])
+        if "boost" in spec:
+            clause["boost"] = float(spec["boost"])
+        _reject_extras(spec, {"query", "slop", "boost"}, path)
+        return clause
+    if qtype == "term":
+        field, spec = _single_field(body, path)
+        v = spec["value"] if isinstance(spec, dict) else spec
+        clause = {"term": str(v)}
+        if isinstance(spec, dict) and "boost" in spec:
+            clause["boost"] = float(spec["boost"])
+        return clause
+    if qtype == "prefix":
+        field, spec = _single_field(body, path)
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return {"prefix": str(v)}
+    if qtype == "fuzzy":
+        field, spec = _single_field(body, path)
+        if isinstance(spec, dict):
+            clause = {"fuzzy": str(spec["value"])}
+            if "max_expansions" in spec:
+                clause["max_expansions"] = int(spec["max_expansions"])
+            if "prefix_length" in spec:
+                clause["prefix_length"] = int(spec["prefix_length"])
+            if "boost" in spec:
+                clause["boost"] = float(spec["boost"])
+            _reject_extras(spec, {"value", "max_expansions", "prefix_length",
+                                  "boost", "fuzziness"}, path)
+            if spec.get("fuzziness", "AUTO") != "AUTO":
+                _fail(path, "only fuzziness AUTO is implemented")
+            return clause
+        return {"fuzzy": str(spec)}
+    if qtype == "range":
+        field, spec = _single_field(body, path)
+        bounds = {op: v for op, v in spec.items()
+                  if op in ("gte", "gt", "lte", "lt")}
+        _reject_extras(spec, {"gte", "gt", "lte", "lt"}, path)
+        return {"range": {field: bounds}}
+    if qtype == "exists":
+        return {"exists": {"field": body["field"]}}
+    if qtype == "constant_score":
+        inner_type, inner_body = _single_field(body["filter"], f"{path}.filter")
+        clause = {
+            "constant_score": _leaf_clause(
+                inner_type, inner_body, f"{path}.filter.{inner_type}"
+            )
+        }
+        if "boost" in body:
+            clause["boost"] = float(body["boost"])
+        return clause
+    if qtype == "multi_match":
+        # the reference's own emitted leaf (SearchUI queryBuilder wraps
+        # every search as bool.filter[multi_match]): over a single text
+        # field every non-positional multi_match type IS the match query,
+        # and type phrase IS match_phrase — an exact collapse, so accept
+        # it as a bool leaf. Genuinely multi-field bodies must use the
+        # top-level multi_match route (per-field scoring needs the
+        # dedicated operators, not a clause frame).
+        q = str(body["query"])
+        mm_type = body.get("type", "best_fields")
+        fields = [f.split("^")[0] for f in body.get("fields", [])]
+        if len(set(fields)) > 1:
+            _fail(path, "multi-field multi_match inside bool is not "
+                        "implemented — use it as the top-level query")
+        if mm_type == "phrase":
+            clause = {"phrase": q}
+        elif mm_type in ("best_fields", "most_fields", "cross_fields"):
+            clause = {"match": q}
+            if "operator" in body:
+                clause["operator"] = body["operator"]
+        else:
+            _fail(path, f"multi_match type {mm_type!r} inside bool is not "
+                        "implemented")
+        if "boost" in body:
+            clause["boost"] = float(body["boost"])
+        return clause
+    _fail(path, f"query type {qtype!r} is not translatable inside bool "
+                "(supported: match, match_phrase, term, prefix, fuzzy, "
+                "range, exists, constant_score)")
+
+
+def _reject_extras(spec: dict, allowed: set, path: str) -> None:
+    extras = set(spec) - allowed
+    if extras:
+        _fail(path, f"unsupported options {sorted(extras)}")
+
+
+def _bool_kwargs(body: dict, path: str) -> dict:
+    out = {"must": [], "should": [], "must_not": [], "filter": []}
+    for occ in ("must", "should", "must_not", "filter"):
+        entries = body.get(occ, [])
+        if isinstance(entries, dict):
+            entries = [entries]
+        for i, q in enumerate(entries):
+            qtype, qbody = _single_field(q, f"{path}.{occ}[{i}]")
+            if qtype == "bool":
+                _fail(f"{path}.{occ}[{i}]",
+                      "nested bool is not implemented — flatten the query")
+            out[occ].append(
+                _leaf_clause(qtype, qbody, f"{path}.{occ}[{i}].{qtype}")
+            )
+    if "minimum_should_match" in body:
+        out["minimum_should_match"] = int(body["minimum_should_match"])
+    _reject_extras(body, {"must", "should", "must_not", "filter",
+                          "minimum_should_match", "boost"}, path)
+    return out
+
+
+_MULTI_MATCH_TYPES = {
+    "best_fields", "most_fields", "cross_fields", "phrase", "phrase_prefix",
+    "bool_prefix",
+}
+
+
+def es_query(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    body: dict,
+    field_cols: list[str] | None = None,
+) -> DataFrame:
+    """Execute an ES request body ``{"query": {...}, "size", "from"}``
+    against ``docs``. Returns the (doc_id, score) page in the engine's
+    (score DESC, doc_id) total order. ``field_cols`` supplies the text
+    columns a ``multi_match`` over several fields targets (defaults to
+    ``[text_col]``)."""
+    from pandemic_knowledge_spark.operators.boolquery import (
+        bool_search,
+        dis_max_search,
+        function_score_search,
+    )
+    from pandemic_knowledge_spark.operators.search import (
+        bm25_search,
+        bm25_search_cross_fields,
+        bm25_search_fields,
+        fuzzy_match_search,
+        match_phrase_prefix,
+        phrase_search,
+        regexp_search,
+        span_near_search,
+        wildcard_search,
+    )
+
+    if "query" not in body:
+        _fail("$", "request body needs a 'query'")
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    _reject_extras(body, {"query", "size", "from"}, "$")
+    fetch = size + offset
+    qtype, qbody = _single_field(body["query"], "$.query")
+    path = f"$.query.{qtype}"
+
+    if qtype == "match_all":
+        page = docs.select(
+            F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
+        ).orderBy("doc_id").limit(fetch)
+        return _offset(page, offset)
+
+    if qtype == "bool":
+        out = bool_search(docs, id_col, text_col, k=fetch,
+                          **_bool_kwargs(qbody, path))
+    elif qtype == "dis_max":
+        clauses = [
+            _leaf_clause(*_single_field(q, f"{path}.queries[{i}]"),
+                         path=f"{path}.queries[{i}]")
+            for i, q in enumerate(qbody["queries"])
+        ]
+        out = dis_max_search(
+            docs, id_col, text_col, clauses,
+            tie_breaker=float(qbody.get("tie_breaker", 0.0)), k=fetch,
+        )
+    elif qtype == "function_score":
+        inner_t, inner_b = _single_field(qbody["query"], f"{path}.query")
+        base = _leaf_clause(inner_t, inner_b, f"{path}.query.{inner_t}")
+        functions = []
+        for i, fn in enumerate(qbody.get("functions", [])):
+            spec = dict(fn)
+            if "filter" in spec:
+                ft, fb = _single_field(spec["filter"],
+                                       f"{path}.functions[{i}].filter")
+                spec["filter"] = _leaf_clause(
+                    ft, fb, f"{path}.functions[{i}].filter.{ft}"
+                )
+            functions.append(spec)
+        out = function_score_search(
+            docs, id_col, text_col, base, functions,
+            score_mode=qbody.get("score_mode", "multiply"),
+            boost_mode=qbody.get("boost_mode", "multiply"),
+            max_boost=qbody.get("max_boost"),
+            k=fetch,
+        )
+    elif qtype == "multi_match":
+        q = str(qbody["query"])
+        mm_type = qbody.get("type", "best_fields")
+        if mm_type not in _MULTI_MATCH_TYPES:
+            _fail(path, f"multi_match type {mm_type!r} unknown")
+        fields = qbody.get("fields") or field_cols or [text_col]
+        fields = [f.split("^")[0] for f in fields]  # boosts not implemented
+        if any("^" in f for f in qbody.get("fields", [])):
+            _fail(path, "per-field boosts (field^2) are not implemented")
+        if mm_type == "phrase":
+            out = (
+                phrase_search(docs, id_col, fields[0], q, k=fetch)
+                if len(fields) == 1
+                else _fail(path, "multi-field phrase is not implemented")
+            )
+        elif mm_type == "phrase_prefix":
+            out = match_phrase_prefix(docs, id_col, fields[0], q, k=fetch)
+        elif mm_type == "cross_fields":
+            out = bm25_search_cross_fields(docs, id_col, fields, q, k=fetch)
+        elif mm_type == "most_fields":
+            out = bm25_search_fields(docs, id_col, fields, q, k=fetch,
+                                     mode="most_fields")
+        elif mm_type == "bool_prefix":
+            _fail(path, "bool_prefix routes through Engine.search "
+                        "type-ahead; not available on the body door")
+        else:  # best_fields
+            out = (
+                bm25_search(docs, id_col, fields[0], q, k=fetch)
+                if len(fields) == 1
+                else bm25_search_fields(docs, id_col, fields, q, k=fetch,
+                                        mode="best_fields")
+            )
+    elif qtype == "wildcard":
+        field, spec = _single_field(qbody, path)
+        v = spec["value"] if isinstance(spec, dict) else spec
+        out = wildcard_search(docs, id_col, text_col, str(v), k=fetch)
+    elif qtype == "regexp":
+        field, spec = _single_field(qbody, path)
+        v = spec["value"] if isinstance(spec, dict) else spec
+        out = regexp_search(docs, id_col, text_col, str(v), k=fetch)
+    elif qtype == "span_near":
+        def _span_term(c, i):
+            _, spec = _single_field(c["span_term"], f"{path}.clauses[{i}]")
+            return str(spec["value"] if isinstance(spec, dict) else spec)
+
+        terms = " ".join(
+            _span_term(c, i) for i, c in enumerate(qbody["clauses"])
+        )
+        out = span_near_search(
+            docs, id_col, text_col, terms,
+            slop=int(qbody.get("slop", 0)),
+            in_order=bool(qbody.get("in_order", True)),
+            k=fetch,
+        )
+    elif qtype in ("match", "match_phrase", "term", "prefix", "fuzzy",
+                   "range", "exists", "constant_score"):
+        # bare leaf at the top level: ES wraps it in an implicit bool
+        clause = _leaf_clause(qtype, qbody, path)
+        if qtype in ("range", "exists"):
+            out = bool_search(docs, id_col, text_col, filter=[clause],
+                              k=fetch)
+        elif qtype == "fuzzy":
+            out = fuzzy_match_search(docs, id_col, text_col,
+                                     clause["fuzzy"], k=fetch)
+        else:
+            out = bool_search(docs, id_col, text_col, should=[clause],
+                              minimum_should_match=1, k=fetch)
+    else:
+        _fail(path, f"query type {qtype!r} is not implemented")
+    return _offset(out, offset)
+
+
+def _offset(page: DataFrame, offset: int) -> DataFrame:
+    """ES from/size offset paging over an ALREADY top-(from+size) page:
+    number the ≤ from+size rows in the page's total order and drop the
+    first ``from``. The window is over a bounded page (never the corpus),
+    so the single-partition sort is a ≤ fetch-row driver-side-scale
+    operation — the same cost class ES pays for deep from/size, which is
+    why search_after exists for real deep paging."""
+    if offset <= 0:
+        return page
+    from pyspark.sql import Window
+
+    cols = page.columns
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        page.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > offset)
+        .select(*cols)
+    )

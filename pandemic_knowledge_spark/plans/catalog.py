@@ -3686,6 +3686,59 @@ _BOOL_RANGE = dict(
 )
 
 
+# The body the reference's SearchUI queryBuilder actually emits
+# (bool + multi_match + facet term filter, SearchUI.js:15-33), extended
+# with the metadata gates its Kibana dashboards add — run VERBATIM
+# through the ES-request-body door. The oracle is the equivalent direct
+# bool-door SQL: the translation layer is driver-side and deterministic,
+# so the translated clause set IS the contract (same idiom as
+# search_query_string's parsed-form oracle).
+_ES_BODY = {
+    "query": {
+        "bool": {
+            "must": [
+                {"multi_match": {"query": "spark stream",
+                                 "fields": ["text"],
+                                 "type": "best_fields"}}
+            ],
+            "should": [
+                {"match_phrase": {"text": {"query": "fast scan",
+                                           "slop": 2, "boost": 1.5}}}
+            ],
+            "must_not": [{"term": {"text": "vector"}}],
+            "filter": [{"range": {"n_chars": {"gte": 100}}}],
+        }
+    },
+    "size": 10,
+}
+_ES_BODY_KWARGS = dict(
+    must=[{"match": "spark stream"}],
+    should=[{"phrase": "fast scan", "slop": 2, "boost": 1.5}],
+    must_not=[{"term": "vector"}],
+    filter=[{"range": {"n_chars": {"gte": 100}}}],
+    k=10,
+)
+
+
+@q(
+    "search_es_body_door",
+    oracle=sql_bool_search("documents", "doc_id", "text", **_ES_BODY_KWARGS),
+)
+def search_es_body_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — the ES REQUEST-BODY door (operators.esdsl.es_query): the JSON
+    body the reference's SearchUI queryBuilder emits, run verbatim —
+    bool + multi_match (single-text-field exact collapse) + a sloppy
+    phrase should + facet term must_not + a dashboard range gate. A user
+    of the reference migrates by pointing their client here, not by
+    rewriting queries; unsupported constructs raise with the failing
+    JSON path instead of approximating (Engine.es_query facade)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_query
+
+    return es_query(
+        load(spark, sf_dir, "documents"), "doc_id", "text", _ES_BODY
+    )
+
+
 @q(
     "search_bool_range_filter",
     oracle=sql_bool_search("documents", "doc_id", "text", **_BOOL_RANGE),
@@ -7178,8 +7231,9 @@ BENCH_QUERY_NAMES.extend(
 # already proven green in a previous round's CORRECTNESS_r*.json rotate to
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
-# The 17 r6-evidence rows the r10 window's 17 new rows displaced (14 by
-# the wave-4 registrations, 3 more by the wave-5 rows) — the stalest
+# The 18 r6-evidence rows the r10 window's 18 new rows displaced (14 by
+# the wave-4 registrations, 3 by the wave-5 rows, 1 by the
+# ES-request-body door) — the stalest
 # green cohort left (everything else is r7+). They MUST lead the
 # r11 window (after r11's own new/changed rows): zero-argument
 # `python scripts/window_rotate.py` emits exactly that. Families keep
@@ -7189,8 +7243,9 @@ BENCH_QUERY_NAMES.extend(
 # their r7/r8-green siblings, bm25_fields/tfidf with this window's six
 # corpus-scan search rows.
 _NEXT_WINDOW_IOUS = [
-    # displaced by the three wave-5 rows registered later in r10
-    # (search_span_near / search_percolate / search_bool_range_filter):
+    # displaced by the three wave-5 rows and the ES-request-body door
+    # registered later in r10:
+    "scd2_incremental_merge",
     "scd2_snapshot_asof",
     "search_hybrid_rrf",
     "search_more_like_this",
@@ -7219,10 +7274,12 @@ _DRIVER_PRIORITY = [
     # hybrid-knn and phrase-suggest doors), then the FIRST 36 of the 50
     # r9-declared IOUs (the cohort whose newest evidence is r6, the
     # oldest outstanding). The 14 r6 rows the new rows displaced are the
-    # r11 debt (_NEXT_WINDOW_IOUS above). The three wave-5 rows added
-    # later in r10 lead (never checked); the three rows they displaced
-    # join _NEXT_WINDOW_IOUS above — after this round the evidence
-    # histogram is r6x17 / r7x49 / r8x50 / r9x50 / r10x50 (216 rows).
+    # r11 debt (_NEXT_WINDOW_IOUS above). The three wave-5 rows and the
+    # ES-request-body door added later in r10 lead (never checked); the
+    # four rows they displaced join _NEXT_WINDOW_IOUS above — after this
+    # round the evidence histogram is r6x18 / r7x49 / r8x50 / r9x50 /
+    # r10x50 (217 rows).
+    "search_es_body_door",
     "search_span_near",
     "search_percolate",
     "search_bool_range_filter",
@@ -7272,7 +7329,6 @@ _DRIVER_PRIORITY = [
     "sample_dsir_rank",
     "sample_fixed_per_stratum",
     "sample_upsample_epochs",
-    "scd2_incremental_merge",
 ]
 
 

@@ -1,0 +1,197 @@
+"""The ES request-body door (operators.esdsl.es_query): real ES JSON
+bodies route onto the engine's doors and return the identical pages the
+direct door calls return — including the reference's own SearchUI
+queryBuilder shape, bool.filter[multi_match]. Unsupported constructs must
+raise UnsupportedEsQuery with the failing JSON path, never approximate."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandemic_knowledge_spark.engine import Engine
+from pandemic_knowledge_spark.operators.boolquery import (
+    bool_search,
+    dis_max_search,
+    function_score_search,
+)
+from pandemic_knowledge_spark.operators.esdsl import (
+    UnsupportedEsQuery,
+    es_query,
+)
+from pandemic_knowledge_spark.operators.search import (
+    bm25_search,
+    span_near_search,
+    wildcard_search,
+)
+from pandemic_knowledge_spark.tables import load
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_reference_searchui_shape(spark, sf_dir):
+    """The exact body the reference's queryBuilder emits —
+    bool.filter[multi_match] (SearchUI.js:15-33) — must run and equal the
+    equivalent direct bool door call."""
+    docs = load(spark, sf_dir, "documents")
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"multi_match": {"query": "spark stream",
+                                          "fields": ["text"],
+                                          "type": "best_fields"}}],
+                "filter": [{"term": {"text": "table"}}],
+            }
+        },
+        "size": 10,
+    }
+    got = rows(es_query(docs, "doc_id", "text", body))
+    want = rows(bool_search(docs, "doc_id", "text",
+                            must=[{"match": "spark stream"}],
+                            filter=[{"term": "table"}], k=10))
+    assert got == want and got
+
+
+def test_bool_body_full_clause_mix(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": {"query": "spark stream",
+                                             "operator": "and"}}}],
+                "should": [
+                    {"match_phrase": {"text": {"query": "fast scan",
+                                               "slop": 2, "boost": 1.5}}},
+                    {"constant_score": {"filter": {"term": {"text": "table"}},
+                                        "boost": 2.0}},
+                ],
+                "must_not": [{"term": {"text": "vector"}}],
+                "filter": [{"range": {"n_chars": {"gte": 100, "lt": 500}}},
+                           {"exists": {"field": "lang"}}],
+            }
+        },
+        "size": 12,
+    }
+    got = rows(es_query(docs, "doc_id", "text", body))
+    want = rows(bool_search(
+        docs, "doc_id", "text",
+        must=[{"match": "spark stream", "operator": "and"}],
+        should=[{"phrase": "fast scan", "slop": 2, "boost": 1.5},
+                {"constant_score": {"term": "table"}, "boost": 2.0}],
+        must_not=[{"term": "vector"}],
+        filter=[{"range": {"n_chars": {"gte": 100, "lt": 500}}},
+                {"exists": {"field": "lang"}}],
+        k=12,
+    ))
+    assert got == want and got
+
+
+def test_top_level_leaves_and_compounds(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    # bare match == implicit bool should
+    got = rows(es_query(docs, "doc_id", "text",
+                        {"query": {"match": {"text": "spark stream"}},
+                         "size": 8}))
+    want = rows(bool_search(docs, "doc_id", "text",
+                            should=[{"match": "spark stream"}],
+                            minimum_should_match=1, k=8))
+    assert got == want
+    # dis_max
+    got = rows(es_query(docs, "doc_id", "text", {
+        "query": {"dis_max": {
+            "queries": [{"match": {"text": "spark stream"}},
+                        {"match_phrase": {"text": "fast scan"}}],
+            "tie_breaker": 0.3,
+        }}, "size": 10}))
+    want = rows(dis_max_search(
+        docs, "doc_id", "text",
+        [{"match": "spark stream"}, {"phrase": "fast scan"}],
+        tie_breaker=0.3, k=10))
+    assert got == want
+    # function_score
+    fs_body = {
+        "query": {"function_score": {
+            "query": {"match": {"text": "spark stream"}},
+            "functions": [
+                {"field_value_factor": {"field": "n_chars", "factor": 0.01,
+                                        "modifier": "log1p", "missing": 1.0}},
+                {"weight": 2.0, "filter": {"term": {"text": "table"}}},
+            ],
+            "max_boost": 8.0,
+        }}, "size": 10}
+    got = rows(es_query(docs, "doc_id", "text", fs_body))
+    want = rows(function_score_search(
+        docs, "doc_id", "text", {"match": "spark stream"},
+        [{"field_value_factor": {"field": "n_chars", "factor": 0.01,
+                                 "modifier": "log1p", "missing": 1.0}},
+         {"weight": 2.0, "filter": {"term": "table"}}],
+        max_boost=8.0, k=10))
+    assert got == want
+    # wildcard + span_near
+    got = rows(es_query(docs, "doc_id", "text",
+                        {"query": {"wildcard": {"text": {"value": "str*"}}},
+                         "size": 10}))
+    want = rows(wildcard_search(docs, "doc_id", "text", "str*", k=10))
+    assert got == want
+    got = rows(es_query(docs, "doc_id", "text", {
+        "query": {"span_near": {
+            "clauses": [{"span_term": {"text": "spark"}},
+                        {"span_term": {"text": {"value": "stream"}}}],
+            "slop": 3, "in_order": True,
+        }}, "size": 15}))
+    want = rows(span_near_search(docs, "doc_id", "text", "spark stream",
+                                 slop=3, k=15))
+    assert got == want
+
+
+def test_from_size_offset_paging(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    full = bm25_search(docs, "doc_id", "text", "spark stream", k=9).collect()
+    page2 = es_query(docs, "doc_id", "text",
+                     {"query": {"match": {"text": "spark stream"}},
+                      "size": 3, "from": 6}).collect()
+    assert [tuple(r) for r in page2] == [tuple(r) for r in full[6:9]]
+
+
+def test_match_all(spark):
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(7)], "doc_id long, text string"
+    )
+    got = es_query(docs, "doc_id", "text",
+                   {"query": {"match_all": {}}, "size": 5}).collect()
+    assert [r["doc_id"] for r in got] == [0, 1, 2, 3, 4]
+    assert all(r["score"] == 0.0 for r in got)
+
+
+def test_unsupported_paths_are_named(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(UnsupportedEsQuery, match=r"\$\.query\.bool\.must\[0\]"):
+        es_query(docs, "doc_id", "text",
+                 {"query": {"bool": {"must": [{"bool": {}}]}}})
+    with pytest.raises(UnsupportedEsQuery, match="knn"):
+        es_query(docs, "doc_id", "text", {"query": {"knn": {}}})
+    with pytest.raises(UnsupportedEsQuery, match="fuzziness"):
+        es_query(docs, "doc_id", "text",
+                 {"query": {"bool": {"must": [
+                     {"fuzzy": {"text": {"value": "a", "fuzziness": 1}}}]}}})
+    with pytest.raises(UnsupportedEsQuery, match="unsupported options"):
+        es_query(docs, "doc_id", "text",
+                 {"query": {"match": {"text": {"query": "a",
+                                               "analyzer": "english"}}}})
+    with pytest.raises(UnsupportedEsQuery, match="top-level"):
+        es_query(docs, "doc_id", "text",
+                 {"query": {"bool": {"must": [{"multi_match": {
+                     "query": "a", "fields": ["text", "lang"]}}]}}})
+
+
+def test_engine_facade(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark stream"}}],
+        "filter": [{"range": {"n_chars": {"gte": 120}}}],
+    }}, "size": 10}
+    got = rows(eng.es_query(body))
+    want = rows(es_query(load(spark, sf_dir, "documents"),
+                         "doc_id", "text", body))
+    assert got == want and got
