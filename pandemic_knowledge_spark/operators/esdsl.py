@@ -168,7 +168,7 @@ def _bool_kwargs(body: dict, path: str) -> dict:
     if "minimum_should_match" in body:
         out["minimum_should_match"] = int(body["minimum_should_match"])
     _reject_extras(body, {"must", "should", "must_not", "filter",
-                          "minimum_should_match", "boost"}, path)
+                          "minimum_should_match"}, path)
     return out
 
 
@@ -199,7 +199,6 @@ def es_query(
         bm25_search,
         bm25_search_cross_fields,
         bm25_search_fields,
-        fuzzy_match_search,
         match_phrase_prefix,
         phrase_search,
         regexp_search,
@@ -287,14 +286,15 @@ def es_query(
                 else bm25_search_fields(docs, id_col, fields, q, k=fetch,
                                         mode="best_fields")
             )
-    elif qtype == "wildcard":
+    elif qtype in ("wildcard", "regexp"):
         field, spec = _single_field(qbody, path)
-        v = spec["value"] if isinstance(spec, dict) else spec
-        out = wildcard_search(docs, id_col, text_col, str(v), k=fetch)
-    elif qtype == "regexp":
-        field, spec = _single_field(qbody, path)
-        v = spec["value"] if isinstance(spec, dict) else spec
-        out = regexp_search(docs, id_col, text_col, str(v), k=fetch)
+        if isinstance(spec, dict):
+            _reject_extras(spec, {"value"}, path)
+            v = spec["value"]
+        else:
+            v = spec
+        fn = wildcard_search if qtype == "wildcard" else regexp_search
+        out = fn(docs, id_col, text_col, str(v), k=fetch)
     elif qtype == "span_near":
         def _span_term(c, i):
             _, spec = _single_field(c["span_term"], f"{path}.clauses[{i}]")
@@ -306,7 +306,8 @@ def es_query(
         out = span_near_search(
             docs, id_col, text_col, terms,
             slop=int(qbody.get("slop", 0)),
-            in_order=bool(qbody.get("in_order", True)),
+            # ES documents in_order as defaulting to false
+            in_order=bool(qbody.get("in_order", False)),
             k=fetch,
         )
     elif qtype in ("match", "match_phrase", "term", "prefix", "fuzzy",
@@ -316,10 +317,10 @@ def es_query(
         if qtype in ("range", "exists"):
             out = bool_search(docs, id_col, text_col, filter=[clause],
                               k=fetch)
-        elif qtype == "fuzzy":
-            out = fuzzy_match_search(docs, id_col, text_col,
-                                     clause["fuzzy"], k=fetch)
         else:
+            # one implicit-bool route for every scored leaf (fuzzy
+            # included) so boost / max_expansions / prefix_length are
+            # honored uniformly
             out = bool_search(docs, id_col, text_col, should=[clause],
                               minimum_should_match=1, k=fetch)
     else:
