@@ -33,6 +33,14 @@ def _fail(path: str, msg: str):
     raise UnsupportedEsQuery(f"{path}: {msg}")
 
 
+def _req(d: dict, key: str, path: str):
+    """Required key access with the module's pathed error contract —
+    a missing key is an unsupported/malformed body, not a raw KeyError."""
+    if not isinstance(d, dict) or key not in d:
+        _fail(path, f"missing required key {key!r}")
+    return d[key]
+
+
 def _single_field(d: dict, path: str) -> tuple[str, object]:
     if not isinstance(d, dict) or len(d) != 1:
         _fail(path, f"expected one field key, got {sorted(d) if isinstance(d, dict) else type(d)}")
@@ -48,7 +56,7 @@ def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
         field, spec = _single_field(body, path)
         if isinstance(spec, str):
             return {"match": spec}
-        clause = {"match": str(spec["query"])}
+        clause = {"match": str(_req(spec, "query", path))}
         if "operator" in spec:
             clause["operator"] = spec["operator"]
         if "minimum_should_match" in spec:
@@ -62,7 +70,7 @@ def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
         field, spec = _single_field(body, path)
         if isinstance(spec, str):
             return {"phrase": spec}
-        clause = {"phrase": str(spec["query"])}
+        clause = {"phrase": str(_req(spec, "query", path))}
         if "slop" in spec:
             clause["slop"] = int(spec["slop"])
         if "boost" in spec:
@@ -71,19 +79,19 @@ def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
         return clause
     if qtype == "term":
         field, spec = _single_field(body, path)
-        v = spec["value"] if isinstance(spec, dict) else spec
+        v = _req(spec, "value", path) if isinstance(spec, dict) else spec
         clause = {"term": str(v)}
         if isinstance(spec, dict) and "boost" in spec:
             clause["boost"] = float(spec["boost"])
         return clause
     if qtype == "prefix":
         field, spec = _single_field(body, path)
-        v = spec["value"] if isinstance(spec, dict) else spec
+        v = _req(spec, "value", path) if isinstance(spec, dict) else spec
         return {"prefix": str(v)}
     if qtype == "fuzzy":
         field, spec = _single_field(body, path)
         if isinstance(spec, dict):
-            clause = {"fuzzy": str(spec["value"])}
+            clause = {"fuzzy": str(_req(spec, "value", path))}
             if "max_expansions" in spec:
                 clause["max_expansions"] = int(spec["max_expansions"])
             if "prefix_length" in spec:
@@ -103,9 +111,9 @@ def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
         _reject_extras(spec, {"gte", "gt", "lte", "lt"}, path)
         return {"range": {field: bounds}}
     if qtype == "exists":
-        return {"exists": {"field": body["field"]}}
+        return {"exists": {"field": _req(body, "field", path)}}
     if qtype == "constant_score":
-        inner_type, inner_body = _single_field(body["filter"], f"{path}.filter")
+        inner_type, inner_body = _single_field(_req(body, "filter", path), f"{path}.filter")
         clause = {
             "constant_score": _leaf_clause(
                 inner_type, inner_body, f"{path}.filter.{inner_type}"
@@ -122,7 +130,7 @@ def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
         # it as a bool leaf. Genuinely multi-field bodies must use the
         # top-level multi_match route (per-field scoring needs the
         # dedicated operators, not a clause frame).
-        q = str(body["query"])
+        q = str(_req(body, "query", path))
         mm_type = body.get("type", "best_fields")
         fields = [f.split("^")[0] for f in body.get("fields", [])]
         if len(set(fields)) > 1:
@@ -228,14 +236,14 @@ def es_query(
         clauses = [
             _leaf_clause(*_single_field(q, f"{path}.queries[{i}]"),
                          path=f"{path}.queries[{i}]")
-            for i, q in enumerate(qbody["queries"])
+            for i, q in enumerate(_req(qbody, "queries", path))
         ]
         out = dis_max_search(
             docs, id_col, text_col, clauses,
             tie_breaker=float(qbody.get("tie_breaker", 0.0)), k=fetch,
         )
     elif qtype == "function_score":
-        inner_t, inner_b = _single_field(qbody["query"], f"{path}.query")
+        inner_t, inner_b = _single_field(_req(qbody, "query", path), f"{path}.query")
         base = _leaf_clause(inner_t, inner_b, f"{path}.query.{inner_t}")
         functions = []
         for i, fn in enumerate(qbody.get("functions", [])):
@@ -255,7 +263,7 @@ def es_query(
             k=fetch,
         )
     elif qtype == "multi_match":
-        q = str(qbody["query"])
+        q = str(_req(qbody, "query", path))
         mm_type = qbody.get("type", "best_fields")
         if mm_type not in _MULTI_MATCH_TYPES:
             _fail(path, f"multi_match type {mm_type!r} unknown")
@@ -290,18 +298,18 @@ def es_query(
         field, spec = _single_field(qbody, path)
         if isinstance(spec, dict):
             _reject_extras(spec, {"value"}, path)
-            v = spec["value"]
+            v = _req(spec, "value", path)
         else:
             v = spec
         fn = wildcard_search if qtype == "wildcard" else regexp_search
         out = fn(docs, id_col, text_col, str(v), k=fetch)
     elif qtype == "span_near":
         def _span_term(c, i):
-            _, spec = _single_field(c["span_term"], f"{path}.clauses[{i}]")
-            return str(spec["value"] if isinstance(spec, dict) else spec)
+            _, spec = _single_field(_req(c, "span_term", f"{path}.clauses[{i}]"), f"{path}.clauses[{i}]")
+            return str(_req(spec, "value", f"{path}.clauses[{i}]") if isinstance(spec, dict) else spec)
 
         terms = " ".join(
-            _span_term(c, i) for i, c in enumerate(qbody["clauses"])
+            _span_term(c, i) for i, c in enumerate(_req(qbody, "clauses", path))
         )
         out = span_near_search(
             docs, id_col, text_col, terms,

@@ -195,3 +195,21 @@ def test_engine_facade(spark, sf_dir):
     want = rows(es_query(load(spark, sf_dir, "documents"),
                          "doc_id", "text", body))
     assert got == want and got
+
+
+def test_missing_required_keys_raise_pathed_errors(spark):
+    """Malformed bodies (missing required keys) raise UnsupportedEsQuery
+    carrying the JSON path — never a raw KeyError."""
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for body, frag in [
+        ({"query": {"dis_max": {}}}, "queries"),
+        ({"query": {"function_score": {}}}, "query"),
+        ({"query": {"exists": {}}}, "field"),
+        ({"query": {"bool": {"must": [{"term": {"text": {"boost": 2}}}]}}},
+         "value"),
+        ({"query": {"span_near": {"clauses": [{"span_term": {"t": {}}}]}}},
+         "value"),
+        ({"size": 3}, "query"),
+    ]:
+        with pytest.raises(UnsupportedEsQuery, match=frag):
+            es_query(docs, "doc_id", "text", body)
