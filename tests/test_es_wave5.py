@@ -1,7 +1,11 @@
-"""Wave-5 ES surface (r10): span_near in-order proximity, the percolate
-reverse-search door, and range/exists metadata gates in the bool door's
-filter/must_not contexts. Oracle parity runs through the same harness the
-driver uses; semantics pinned on synthetic corpora."""
+"""Wave-5 ES surface (r10): span_near proximity (ordered + unordered),
+the percolate reverse-search door (batch join tier + the percolate_mark
+streaming form), range/exists metadata gates, constant_score wrapped
+membership, phrase slop in every phrase context, match operator /
+term-level minimum_should_match, and the round's review-regression pins
+(indexed-door option parity, NULL-safe must_not, analyzed negations).
+Oracle parity runs through the same harness the driver uses; semantics
+pinned on synthetic corpora."""
 
 from __future__ import annotations
 
