@@ -322,6 +322,20 @@ class Engine:
             self.table(table), id_col, text_col, body, field_cols=field_cols
         )
 
+    def es_aggs(
+        self,
+        body: dict,
+        table: str = "events",
+        text_col: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """Run the AGGREGATION half of an ES request body — the Kibana
+        dashboard shape (filter query + terms/date_histogram/histogram/
+        range buckets with metric sub-aggs) — one DataFrame per top-level
+        aggregation (operators.esdsl.es_aggs)."""
+        from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+        return es_aggs(self.table(table), body, text_col=text_col)
+
     def span_near(
         self,
         query: str,

@@ -354,3 +354,236 @@ def _offset(page: DataFrame, offset: int) -> DataFrame:
         .where(F.col("__rn") > offset)
         .select(*cols)
     )
+
+
+# ------------------------------------------------------------- aggregations
+#
+# The OTHER half of a real ES request body: "aggs". The reference's Kibana
+# dashboards are exactly this shape — a filter query plus terms /
+# date_histogram buckets carrying metric sub-aggregations
+# (/root/reference/README.md:22-28). es_aggs runs those bodies over any
+# registered table. Unlike the search door (single text field), agg-context
+# leaf queries are FIELD-based, matching how ES types them: term/terms/
+# range/exists hit raw columns (a term on the text column is analyzed-token
+# membership, ES's text-field term semantics); match/match_phrase need the
+# text column. Every bucket/metric compiles to one grouped Catalyst
+# aggregation — one scan, one shuffle per top-level agg.
+
+_CAL_TRUNC = {"hour": "hour", "day": "day", "week": "week",
+              "month": "month", "quarter": "quarter", "year": "year"}
+
+
+def _agg_filter_pred(clause: dict, text_col: str | None, path: str):
+    """An agg-context query as ONE boolean Column (recursive bool allowed —
+    it is pure column composition here, no scoring)."""
+    from pandemic_knowledge_spark.functions.text import tokenize
+    from pandemic_knowledge_spark.operators.boolquery import _member_pred
+
+    qtype, body = _single_field(clause, path)
+    p = f"{path}.{qtype}"
+    if qtype == "bool":
+        must = body.get("must", [])
+        should = body.get("should", [])
+        must_not = body.get("must_not", [])
+        filt = body.get("filter", [])
+        for occ in (must, should, must_not, filt):
+            if isinstance(occ, dict):
+                _fail(p, "clause lists must be arrays")
+        _reject_extras(body, {"must", "should", "must_not", "filter",
+                              "minimum_should_match"}, p)
+        cond = F.lit(True)
+        for i, c in enumerate(must + filt):
+            cond = cond & F.coalesce(
+                _agg_filter_pred(c, text_col, f"{p}.must[{i}]"), F.lit(False)
+            )
+        for i, c in enumerate(must_not):
+            cond = cond & ~F.coalesce(
+                _agg_filter_pred(c, text_col, f"{p}.must_not[{i}]"),
+                F.lit(False),
+            )
+        if should:
+            msm = int(body.get(
+                "minimum_should_match",
+                1 if not (must or filt) else 0,
+            ))
+            if msm > 0:
+                n_should = None
+                for i, c in enumerate(should):
+                    one = F.coalesce(
+                        _agg_filter_pred(c, text_col, f"{p}.should[{i}]"),
+                        F.lit(False),
+                    ).cast("int")
+                    n_should = one if n_should is None else n_should + one
+                cond = cond & (n_should >= F.lit(msm))
+        return cond
+    if qtype == "match_all":
+        return F.lit(True)
+    if qtype == "term":
+        field, spec = _single_field(body, p)
+        v = _req(spec, "value", p) if isinstance(spec, dict) else spec
+        if text_col is not None and field == text_col:
+            return _member_pred(tokenize(text_col), {"term": str(v)})
+        return F.col(field) == F.lit(v)
+    if qtype == "terms":
+        field, values = _single_field(body, p)
+        if not isinstance(values, (list, tuple)) or not values:
+            _fail(p, "terms needs a non-empty value array")
+        if text_col is not None and field == text_col:
+            toks = tokenize(text_col)
+            return F.arrays_overlap(
+                toks, F.array(*[F.lit(str(v)) for v in values])
+            )
+        return F.col(field).isin(list(values))
+    if qtype in ("range", "exists"):
+        return _member_pred(None, {qtype: body})
+    if qtype in ("match", "match_phrase"):
+        if text_col is None:
+            _fail(p, f"{qtype} needs a text column — pass text_col")
+        leaf = _leaf_clause(qtype, body, p)
+        # scored keys map onto membership keys for the filter context
+        if "match" in leaf or "phrase" in leaf:
+            return _member_pred(tokenize(text_col), leaf)
+    _fail(p, f"query type {qtype!r} is not implemented in agg context")
+
+
+def _metric_cols(sub_aggs: dict, path: str):
+    """Metric sub-aggregations → aliased aggregate Columns. cardinality is
+    EXACT count_distinct (ES's is approximate — documented divergence in
+    the precise direction)."""
+    cols = []
+    for name, spec in (sub_aggs or {}).items():
+        mtype, mbody = _single_field(spec, f"{path}.aggs.{name}")
+        mp = f"{path}.aggs.{name}.{mtype}"
+        field = _req(mbody, "field", mp)
+        col = F.col(field)
+        if mtype == "avg":
+            cols.append(F.avg(col).alias(name))
+        elif mtype == "sum":
+            cols.append(F.sum(col).alias(name))
+        elif mtype == "min":
+            cols.append(F.min(col).alias(name))
+        elif mtype == "max":
+            cols.append(F.max(col).alias(name))
+        elif mtype == "value_count":
+            cols.append(F.count(col).alias(name))
+        elif mtype == "cardinality":
+            cols.append(F.countDistinct(col).alias(name))
+        elif mtype == "stats":
+            cols.extend([
+                F.count(col).alias(f"{name}_count"),
+                F.min(col).alias(f"{name}_min"),
+                F.max(col).alias(f"{name}_max"),
+                F.sum(col).alias(f"{name}_sum"),
+                F.avg(col).alias(f"{name}_avg"),
+            ])
+        else:
+            _fail(mp, f"metric {mtype!r} is not implemented (supported: "
+                      "avg, sum, min, max, value_count, cardinality, stats)")
+    return cols
+
+
+def _one_agg(filtered: DataFrame, name: str, spec: dict) -> DataFrame:
+    path = f"$.aggs.{name}"
+    spec = dict(spec)
+    sub = spec.pop("aggs", None)
+    if len(spec) != 1:
+        _fail(path, f"expected one bucket/metric type, got {sorted(spec)}")
+    atype, body = next(iter(spec.items()))
+    p = f"{path}.{atype}"
+    metrics = _metric_cols(sub, path)
+    if atype == "terms":
+        field = _req(body, "field", p)
+        size = int(body.get("size", 10))
+        _reject_extras(body, {"field", "size"}, p)
+        return (
+            filtered.groupBy(F.col(field).alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(size)
+        )
+    if atype == "date_histogram":
+        field = _req(body, "field", p)
+        unit = body.get("calendar_interval") or body.get("fixed_interval")
+        if unit not in _CAL_TRUNC:
+            _fail(p, f"calendar_interval must be one of {sorted(_CAL_TRUNC)}")
+        _reject_extras(body, {"field", "calendar_interval",
+                              "fixed_interval"}, p)
+        return (
+            filtered.groupBy(
+                F.date_trunc(_CAL_TRUNC[unit], F.col(field)).alias("key")
+            )
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+            .orderBy("key")
+        )
+    if atype == "histogram":
+        field = _req(body, "field", p)
+        interval = float(_req(body, "interval", p))
+        if interval <= 0:
+            _fail(p, "interval must be > 0")
+        _reject_extras(body, {"field", "interval"}, p)
+        key = F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)
+        return (
+            filtered.where(F.col(field).isNotNull())
+            .groupBy(key.alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+            .orderBy("key")
+        )
+    if atype == "range":
+        field = _req(body, "field", p)
+        ranges = _req(body, "ranges", p)
+        _reject_extras(body, {"field", "ranges"}, p)
+        col = F.col(field)
+        out = None
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            pred = col.isNotNull()
+            key_parts = []
+            if lo is not None:
+                pred = pred & (col >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (col < F.lit(hi))  # ES: from incl., to excl.
+            key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+            one = (
+                filtered.where(pred)
+                .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+                .select(F.lit(key).alias("key"), "*")
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
+    _fail(p, f"aggregation {atype!r} is not implemented (supported: terms, "
+             "date_histogram, histogram, range + metric sub-aggs)")
+
+
+def es_aggs(
+    docs: DataFrame,
+    body: dict,
+    text_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run the AGGREGATION half of an ES request body — the Kibana shape:
+    ``{"query": <filter>, "aggs": {name: {terms|date_histogram|histogram|
+    range: {...}, "aggs": {metric sub-aggs}}}}`` → one DataFrame per
+    top-level aggregation (columns: key, doc_count, one per metric).
+
+    The query acts as a FILTER (ES aggregates over every matching doc,
+    not a top-k page): it compiles to one boolean Column — recursive bool
+    composition, field-based term/terms/range/exists, analyzed match /
+    match_phrase when ``text_col`` is given — so each aggregation is one
+    scan + one grouped shuffle over the predicate-pushed frame. Metric
+    note: ``cardinality`` here is EXACT count_distinct (ES's is an
+    approximate HLL — this engine diverges in the precise direction);
+    ``sum``/``avg`` over doubles carry the usual float-order caveat, so
+    oracle-checked uses prefer count/min/max/cardinality or pre-scaled
+    integer fields."""
+    aggs = _req(body, "aggs", "$")
+    _reject_extras(body, {"query", "aggs"}, "$")
+    filtered = docs
+    if "query" in body:
+        filtered = docs.where(
+            F.coalesce(
+                _agg_filter_pred(body["query"], text_col, "$.query"),
+                F.lit(False),
+            )
+        )
+    return {
+        name: _one_agg(filtered, name, spec) for name, spec in aggs.items()
+    }

@@ -3720,6 +3720,48 @@ _ES_BODY_KWARGS = dict(
 )
 
 
+# The Kibana half of the same migration story: a dashboard body — filter
+# query + date_histogram bucket + metric sub-aggs — run verbatim through
+# es_aggs. Metrics chosen from the order-insensitive exact set
+# (cardinality here is exact count_distinct; max is order-free), so the
+# row hash-matches without the float-sum caveat the operator documents.
+_ES_DASH = {
+    "query": {"bool": {"must_not": [{"term": {"event_type": "signup"}}]}},
+    "aggs": {
+        "per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "users": {"cardinality": {"field": "user_id"}},
+                "max_value": {"max": {"field": "value"}},
+            },
+        }
+    },
+}
+
+
+@q(
+    "agg_es_body_dashboard",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS key, count(*) AS doc_count,
+       count(DISTINCT user_id) AS users, max(value) AS max_value
+FROM events
+WHERE NOT coalesce(event_type = 'signup', FALSE)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def agg_es_body_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3 via the ES AGG-BODY door (operators.esdsl.es_aggs): the
+    Kibana dashboard request — a bool must_not filter plus a daily
+    date_histogram carrying cardinality and max metric sub-aggs — run
+    VERBATIM over the events table (the reference's dashboards are
+    exactly these bodies, /root/reference/README.md:22-28). One scan, one
+    grouped shuffle; the filter is one pushed boolean column
+    (Engine.es_aggs facade)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), _ES_DASH)["per_day"]
+
+
 @q(
     "search_es_body_door",
     oracle=sql_bool_search("documents", "doc_id", "text", **_ES_BODY_KWARGS),
@@ -7231,9 +7273,9 @@ BENCH_QUERY_NAMES.extend(
 # already proven green in a previous round's CORRECTNESS_r*.json rotate to
 # the back. Rotate again next round if entries remain unchecked.
 # ---------------------------------------------------------------------------
-# The 18 r6-evidence rows the r10 window's 18 new rows displaced (14 by
-# the wave-4 registrations, 3 by the wave-5 rows, 1 by the
-# ES-request-body door) — the stalest
+# The 19 r6-evidence rows the r10 window's 19 new rows displaced (14 by
+# the wave-4 registrations, 3 by the wave-5 rows, 2 by the ES request
+# body doors — search + aggs) — the stalest
 # green cohort left (everything else is r7+). They MUST lead the
 # r11 window (after r11's own new/changed rows): zero-argument
 # `python scripts/window_rotate.py` emits exactly that. Families keep
@@ -7245,6 +7287,7 @@ BENCH_QUERY_NAMES.extend(
 _NEXT_WINDOW_IOUS = [
     # displaced by the three wave-5 rows and the ES-request-body door
     # registered later in r10:
+    "sample_upsample_epochs",
     "scd2_incremental_merge",
     "scd2_snapshot_asof",
     "search_hybrid_rrf",
@@ -7275,11 +7318,12 @@ _DRIVER_PRIORITY = [
     # r9-declared IOUs (the cohort whose newest evidence is r6, the
     # oldest outstanding). The 14 r6 rows the new rows displaced are the
     # r11 debt (_NEXT_WINDOW_IOUS above). The three wave-5 rows and the
-    # ES-request-body door added later in r10 lead (never checked); the
-    # four rows they displaced join _NEXT_WINDOW_IOUS above — after this
-    # round the evidence histogram is r6x18 / r7x49 / r8x50 / r9x50 /
-    # r10x50 (217 rows).
+    # two ES request-body doors (search + aggs) added later in r10 lead
+    # (never checked); the five rows they displaced join
+    # _NEXT_WINDOW_IOUS above — after this round the evidence histogram
+    # is r6x19 / r7x49 / r8x50 / r9x50 / r10x50 (218 rows).
     "search_es_body_door",
+    "agg_es_body_dashboard",
     "search_span_near",
     "search_percolate",
     "search_bool_range_filter",
@@ -7328,7 +7372,6 @@ _DRIVER_PRIORITY = [
     "range_join_value_brackets",
     "sample_dsir_rank",
     "sample_fixed_per_stratum",
-    "sample_upsample_epochs",
 ]
 
 

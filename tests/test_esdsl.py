@@ -213,3 +213,109 @@ def test_missing_required_keys_raise_pathed_errors(spark):
     ]:
         with pytest.raises(UnsupportedEsQuery, match=frag):
             es_query(docs, "doc_id", "text", body)
+
+
+# ------------------------------------------------------------ aggregations
+
+
+def test_es_aggs_kibana_dashboard_body(spark, sf_dir):
+    """The Kibana shape: filter + date_histogram + metric sub-aggs equals
+    the direct groupBy."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    body = {
+        "query": {"bool": {"must_not": [{"term": {"event_type": "signup"}}]}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"users": {"cardinality": {"field": "user_id"}},
+                     "max_value": {"max": {"field": "value"}}},
+        }},
+    }
+    got = rows(es_aggs(ev, body)["per_day"])
+    want = rows(
+        ev.where(~F.coalesce(F.col("event_type") == "signup", F.lit(False)))
+        .groupBy(F.date_trunc("day", "ts").alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.countDistinct("user_id").alias("users"),
+             F.max("value").alias("max_value"))
+        .orderBy("key")
+    )
+    assert got == want and got
+
+
+def test_es_aggs_terms_histogram_range(spark):
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 15.0), (3, "b", 25.0), (4, "b", None),
+         (5, "c", 35.0)],
+        "id long, kind string, v double",
+    )
+    out = es_aggs(df, {"aggs": {
+        "kinds": {"terms": {"field": "kind", "size": 2},
+                  "aggs": {"v_count": {"value_count": {"field": "v"}}}},
+        "v_hist": {"histogram": {"field": "v", "interval": 10.0}},
+        "v_ranges": {"range": {"field": "v", "ranges": [
+            {"to": 10.0}, {"from": 10.0, "to": 30.0}, {"from": 30.0}]}},
+    }})
+    kinds = [(r["key"], r["doc_count"], r["v_count"])
+             for r in out["kinds"].collect()]
+    assert kinds == [("a", 2, 2), ("b", 2, 1)]  # count desc, key asc, size 2
+    hist = [(r["key"], r["doc_count"]) for r in out["v_hist"].collect()]
+    assert hist == [(0.0, 1), (10.0, 1), (20.0, 1), (30.0, 1)]  # nulls out
+    ranges = {r["key"]: r["doc_count"] for r in out["v_ranges"].collect()}
+    # ES bounds: from inclusive, to exclusive; nulls never bucket
+    assert ranges == {"*-10.0": 1, "10.0-30.0": 2, "30.0-*": 1}
+
+
+def test_es_aggs_filter_semantics(spark):
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = spark.createDataFrame(
+        [(1, "x", "apple pie", 5), (2, "y", "apple tart", 50),
+         (3, "x", "pear pie", 50), (4, None, "apple", 50)],
+        "id long, kind string, text string, n long",
+    )
+    # recursive bool, text term (analyzed membership) + field range +
+    # must_not over a NULL field keeps the doc
+    body = {
+        "query": {"bool": {
+            "must": [{"term": {"text": "apple"}}],
+            "filter": [{"range": {"n": {"gte": 10}}}],
+            "must_not": [{"term": {"kind": "y"}}],
+        }},
+        "aggs": {"n_ids": {"terms": {"field": "id", "size": 10}}},
+    }
+    got = {r["key"] for r in
+           es_aggs(df, body, text_col="text")["n_ids"].collect()}
+    assert got == {4}  # 1 fails range, 2 is must_not'd, 3 lacks 'apple';
+    # 4's NULL kind must be KEPT by the must_not (ES missing-field rule)
+
+
+def test_es_aggs_errors_are_pathed(spark):
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with pytest.raises(UnsupportedEsQuery, match="aggs"):
+        es_aggs(df, {"query": {"match_all": {}}})
+    with pytest.raises(UnsupportedEsQuery, match="percentiles"):
+        es_aggs(df, {"aggs": {"p": {"terms": {"field": "id"}, "aggs": {
+            "q": {"percentiles": {"field": "v"}}}}}})
+    with pytest.raises(UnsupportedEsQuery, match="composite"):
+        es_aggs(df, {"aggs": {"c": {"composite": {"sources": []}}}})
+    with pytest.raises(UnsupportedEsQuery, match="text column"):
+        es_aggs(df, {"query": {"match": {"t": "x"}},
+                     "aggs": {"a": {"terms": {"field": "id"}}}})
+
+
+def test_es_aggs_engine_facade(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    body = {"aggs": {"by_type": {"terms": {"field": "event_type",
+                                           "size": 3}}}}
+    got = rows(eng.es_aggs(body)["by_type"])
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    want = rows(es_aggs(load(spark, sf_dir, "events"), body)["by_type"])
+    assert got == want and got
