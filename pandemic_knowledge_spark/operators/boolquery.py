@@ -115,7 +115,7 @@ from pandemic_knowledge_spark.operators.search import (
 )
 
 _SCORED_KEYS = ("match", "phrase", "prefix", "fuzzy", "constant_score")
-_MEMBER_KEYS = ("match", "phrase", "prefix", "term", "range", "exists")
+_MEMBER_KEYS = ("match", "phrase", "prefix", "term", "range", "exists", "bool")
 _RANGE_OPS = ("gte", "gt", "lte", "lt")
 
 
@@ -153,14 +153,38 @@ def _match_min_terms(clause: dict, terms: list[str]) -> int:
     return min(msm, len(terms))
 
 
+def _membership_kinds(clause: dict) -> set:
+    """Every leaf kind a membership clause tree contains (recursing
+    through nested bools) — drives the needs-raw-fields and
+    needs-checkpointed-preds gates."""
+    key = _clause_key(clause, _MEMBER_KEYS)
+    if key != "bool":
+        return {key}
+    spec = clause["bool"]
+    out = set()
+    for occ in ("must", "should", "must_not", "filter"):
+        for c in spec.get(occ, ()):
+            out |= _membership_kinds(c)
+    return out
+
+
 def _clause_fields(clause: dict) -> tuple[str, ...]:
-    """Raw field columns a membership clause reads (range/exists), so a
-    projected preds base can keep them in scope; token clauses read none."""
+    """Raw field columns a membership clause tree reads (range/exists,
+    recursing through nested bools), so a projected preds base can keep
+    them in scope; token clauses read none."""
     key = _clause_key(clause, _MEMBER_KEYS)
     if key == "range":
         return (_range_parts(clause)[0],)
     if key == "exists":
         return (clause["exists"]["field"],)
+    if key == "bool":
+        spec = clause["bool"]
+        return tuple(
+            f
+            for occ in ("must", "should", "must_not", "filter")
+            for c in spec.get(occ, ())
+            for f in _clause_fields(c)
+        )
     return ()
 
 
@@ -232,6 +256,40 @@ def _member_pred(toks, clause: dict):
         return pred
     if key == "exists":
         return F.col(clause["exists"]["field"]).isNotNull()
+    if key == "bool":
+        # a NESTED bool in membership context (ES filter trees:
+        # filter=[{bool: {should: [...]}}] is the idiomatic OR-of-filters)
+        # composes recursively as pure boolean algebra — no scoring, so
+        # unlike the scored contexts the nesting is exact. NULL-safe: a
+        # sub-pred over a missing field coalesces to False before any
+        # negation (the ES missing-field rule).
+        spec = clause["bool"]
+        unknown = set(spec) - {"must", "should", "must_not", "filter",
+                               "minimum_should_match"}
+        if unknown:
+            raise ValueError(f"nested bool: unsupported keys {sorted(unknown)}")
+        must = list(spec.get("must", ())) + list(spec.get("filter", ()))
+        should = list(spec.get("should", ()))
+        must_not = list(spec.get("must_not", ()))
+        if not (must or should or must_not):
+            raise ValueError("nested bool needs at least one clause")
+        pred = F.lit(True)
+        for c in must:
+            pred = pred & F.coalesce(_member_pred(toks, c), F.lit(False))
+        for c in must_not:
+            pred = pred & ~F.coalesce(_member_pred(toks, c), F.lit(False))
+        if should:
+            msm = int(spec.get("minimum_should_match",
+                               1 if not must else 0))
+            if msm > 0:
+                n = None
+                for c in should:
+                    one = F.coalesce(
+                        _member_pred(toks, c), F.lit(False)
+                    ).cast("int")
+                    n = one if n is None else n + one
+                pred = pred & (n >= F.lit(msm))
+        return pred
     if key == "term":
         return F.array_contains(toks, F.lit(clause["term"]))
     if key == "match":
@@ -522,7 +580,7 @@ def bool_search(
 
     if filter or must_not:
         has_phrase = any(
-            _clause_key(c, _MEMBER_KEYS) == "phrase" for c in filter + must_not
+            "phrase" in _membership_kinds(c) for c in filter + must_not
         )
         if has_phrase:
             # A phrase membership test is a positional HOF over the token
@@ -614,6 +672,33 @@ def _sql_range_lit(v) -> str:
 
 def _sql_member_pred(clause: dict, field_src: str | None = None) -> str:
     key = _clause_key(clause, _MEMBER_KEYS)
+    if key == "bool":
+        spec = clause["bool"]
+        unknown = set(spec) - {"must", "should", "must_not", "filter",
+                               "minimum_should_match"}
+        if unknown:
+            raise ValueError(f"nested bool: unsupported keys {sorted(unknown)}")
+        must = list(spec.get("must", ())) + list(spec.get("filter", ()))
+        should = list(spec.get("should", ()))
+        must_not = list(spec.get("must_not", ()))
+        if not (must or should or must_not):
+            raise ValueError("nested bool needs at least one clause")
+        parts = [
+            f"coalesce({_sql_member_pred(c, field_src)}, FALSE)" for c in must
+        ] + [
+            f"NOT coalesce({_sql_member_pred(c, field_src)}, FALSE)"
+            for c in must_not
+        ]
+        if should:
+            msm = int(spec.get("minimum_should_match", 1 if not must else 0))
+            if msm > 0:
+                n = " + ".join(
+                    f"CAST(coalesce({_sql_member_pred(c, field_src)}, FALSE)"
+                    " AS INT)"
+                    for c in should
+                )
+                parts.append(f"(({n}) >= {msm})")
+        return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
     if key in ("range", "exists"):
         if field_src is None:
             raise ValueError(
@@ -853,7 +938,7 @@ hits AS (
     where = ""
     if filter or must_not:
         needs_fields = any(
-            _clause_key(c, _MEMBER_KEYS) in ("range", "exists")
+            _membership_kinds(c) & {"range", "exists"}
             for c in filter + must_not
         )
         src = "_r" if needs_fields else None
@@ -1534,12 +1619,12 @@ def _index_member_frame(index, clause: dict) -> DataFrame:
     )
 
     key = _clause_key(clause, _MEMBER_KEYS)
-    if key in ("range", "exists"):
-        # raw field columns are not index artifacts — an index-only door
-        # cannot answer them; the corpus door (bool_search) can
+    if key in ("range", "exists", "bool"):
+        # range/exists need raw field columns the index does not carry;
+        # nested-bool membership composition is corpus-door-only for now
         raise ValueError(
-            f"{key} clauses need raw field columns the index does not "
-            "carry — use the corpus door (bool_search)"
+            f"{key} clauses are not answerable from index artifacts alone "
+            "— use the corpus door (bool_search)"
         )
     p = index.postings
     if key == "term":

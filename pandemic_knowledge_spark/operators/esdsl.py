@@ -168,8 +168,15 @@ def _bool_kwargs(body: dict, path: str) -> dict:
         for i, q in enumerate(entries):
             qtype, qbody = _single_field(q, f"{path}.{occ}[{i}]")
             if qtype == "bool":
-                _fail(f"{path}.{occ}[{i}]",
-                      "nested bool is not implemented — flatten the query")
+                if occ in ("must", "should"):
+                    _fail(f"{path}.{occ}[{i}]",
+                          "nested bool in a SCORED context is not "
+                          "implemented — flatten the query (membership "
+                          "contexts filter/must_not accept nested bools)")
+                out[occ].append(
+                    {"bool": _bool_kwargs(qbody, f"{path}.{occ}[{i}].bool")}
+                )
+                continue
             out[occ].append(
                 _leaf_clause(qtype, qbody, f"{path}.{occ}[{i}].{qtype}")
             )

@@ -708,3 +708,105 @@ def test_query_string_negated_punctuated_token_excludes(spark):
     got = {r["doc_id"] for r in query_string_search(
         docs, "doc_id", "text", "apple -covid-19", k=10).collect()}
     assert got == {2}  # 1 holds covid AND 19; 3 holds the sub-term 19
+
+
+# ------------------------------------------------ nested membership bool
+
+_BQ_NESTED = dict(
+    must=[{"match": "spark stream"}],
+    filter=[{
+        "bool": {
+            "should": [
+                {"term": "table"},
+                {"bool": {"must": [{"prefix": "quer"},
+                                   {"range": {"n_chars": {"gte": 200}}}]}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }],
+    must_not=[{"bool": {"must": [{"term": "vector"},
+                                 {"term": "window"}]}}],
+    k=15,
+)
+
+
+def test_nested_membership_bool_matches_duckdb(spark, sf_dir):
+    """ES filter trees: bool nested inside filter/must_not composes as
+    pure boolean algebra (OR-of-filters, AND-groups, two levels deep,
+    range leaves included) — identical on both engines."""
+    fn = lambda s, d: bool_search(load(s, d, "documents"), "doc_id", "text",
+                                  **_BQ_NESTED)
+    problems, n = compare_query(
+        spark, sf_dir, fn,
+        sql_bool_search("documents", "doc_id", "text", **_BQ_NESTED),
+    )
+    assert problems == [] and n > 0
+
+
+def test_nested_bool_semantics_and_null_safety(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple pie", 10),
+            (2, "apple tart", None),
+            (3, "apple cake", 300),
+            (4, "apple", 300),
+        ],
+        "doc_id long, text string, n long",
+    )
+    got = {
+        r["doc_id"]
+        for r in bool_search(
+            docs, "doc_id", "text",
+            must=[{"match": "apple"}],
+            filter=[{"bool": {"should": [
+                {"term": "pie"},
+                {"bool": {"must": [{"range": {"n": {"gte": 100}}},
+                                   {"term": "cake"}]}},
+            ]}}],
+            k=10,
+        ).collect()
+    }
+    # 1 via 'pie'; 3 via (n>=100 AND cake); 2's NULL n coalesces to a
+    # non-match inside the OR (not a query-killing NULL); 4 matches neither
+    assert got == {1, 3}
+    with pytest.raises(ValueError, match="at least one clause"):
+        bool_search(docs, "doc_id", "text", must=[{"match": "apple"}],
+                    filter=[{"bool": {}}], k=5)
+
+
+def test_nested_bool_rejected_by_indexed_door(spark):
+    from pandemic_knowledge_spark.operators.boolquery import (
+        bool_search_from_index,
+    )
+    from pandemic_knowledge_spark.operators.search import SearchIndex
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    idx = SearchIndex.build(docs, "doc_id", "text", cache=False)
+    with pytest.raises(ValueError, match="corpus door"):
+        bool_search_from_index(
+            idx, must=[{"match": "a"}],
+            filter=[{"bool": {"must": [{"term": "b"}]}}],
+        ).collect()
+
+
+def test_es_body_nested_bool_filter(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.esdsl import es_query
+
+    docs = load(spark, sf_dir, "documents")
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark stream"}}],
+        "filter": [{"bool": {"should": [
+            {"term": {"text": "table"}},
+            {"range": {"n_chars": {"gte": 400}}},
+        ]}}],
+    }}, "size": 12}
+    got = sorted(map(tuple, es_query(docs, "doc_id", "text", body).collect()))
+    want = sorted(map(tuple, bool_search(
+        docs, "doc_id", "text",
+        must=[{"match": "spark stream"}],
+        filter=[{"bool": {"should": [{"term": "table"},
+                                     {"range": {"n_chars": {"gte": 400}}}],
+                          "must": [], "must_not": [], "filter": []}}],
+        k=12,
+    ).collect()))
+    assert got == want and got
