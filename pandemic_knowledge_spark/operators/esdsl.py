@@ -489,7 +489,8 @@ def _metric_cols(sub_aggs: dict, path: str):
     return cols
 
 
-def _one_agg(filtered: DataFrame, name: str, spec: dict) -> DataFrame:
+def _one_agg(filtered: DataFrame, name: str, spec: dict,
+             text_col: str | None = None) -> DataFrame:
     path = f"$.aggs.{name}"
     spec = dict(spec)
     sub = spec.pop("aggs", None)
@@ -535,6 +536,44 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
             .orderBy("key")
         )
+    if atype == "filters":
+        # named predicate buckets (the Kibana "filters" panel): each named
+        # query is an independent membership predicate; a doc can land in
+        # several buckets, exactly ES's semantics. With metric sub-aggs
+        # each bucket is one filtered aggregate unioned by name (the
+        # count-only one-scan conditional form is
+        # operators.aggregates.filters_agg — the dedicated tier).
+        named = _req(body, "filters", p)
+        _reject_extras(body, {"filters", "other_bucket_key"}, p)
+        if not isinstance(named, dict) or not named:
+            _fail(p, "filters needs a non-empty name -> query object")
+        other_key = body.get("other_bucket_key")
+        preds = {
+            bname: F.coalesce(
+                _agg_filter_pred(q, text_col, f"{p}.filters.{bname}"),
+                F.lit(False),
+            )
+            for bname, q in named.items()
+        }
+        out = None
+        for bname in named:  # declaration order, like ES
+            one = (
+                filtered.where(preds[bname])
+                .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+                .select(F.lit(bname).alias("key"), "*")
+            )
+            out = one if out is None else out.unionByName(one)
+        if other_key is not None:
+            none_pred = F.lit(True)
+            for c in preds.values():
+                none_pred = none_pred & ~c
+            one = (
+                filtered.where(none_pred)
+                .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+                .select(F.lit(str(other_key)).alias("key"), "*")
+            )
+            out = out.unionByName(one)
+        return out
     if atype == "range":
         field = _req(body, "field", p)
         ranges = _req(body, "ranges", p)
@@ -558,7 +597,7 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict) -> DataFrame:
             out = one if out is None else out.unionByName(one)
         return out
     _fail(p, f"aggregation {atype!r} is not implemented (supported: terms, "
-             "date_histogram, histogram, range + metric sub-aggs)")
+             "date_histogram, histogram, range, filters + metric sub-aggs)")
 
 
 def es_aggs(
@@ -592,5 +631,6 @@ def es_aggs(
             )
         )
     return {
-        name: _one_agg(filtered, name, spec) for name, spec in aggs.items()
+        name: _one_agg(filtered, name, spec, text_col=text_col)
+        for name, spec in aggs.items()
     }

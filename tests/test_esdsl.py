@@ -319,3 +319,27 @@ def test_es_aggs_engine_facade(spark, sf_dir):
 
     want = rows(es_aggs(load(spark, sf_dir, "events"), body)["by_type"])
     assert got == want and got
+
+
+def test_es_aggs_filters_buckets(spark):
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = spark.createDataFrame(
+        [(1, "apple pie", 10.0), (2, "apple tart", 30.0),
+         (3, "pear pie", 30.0), (4, "fig", 5.0)],
+        "id long, text string, v double",
+    )
+    out = es_aggs(df, {"aggs": {"panels": {
+        "filters": {
+            "filters": {
+                "apples": {"term": {"text": "apple"}},
+                "big": {"range": {"v": {"gte": 20.0}}},
+            },
+            "other_bucket_key": "rest",
+        },
+        "aggs": {"v_max": {"max": {"field": "v"}}},
+    }}}, text_col="text")["panels"]
+    got = [(r["key"], r["doc_count"], r["v_max"]) for r in out.collect()]
+    # declaration order; doc 2 lands in BOTH buckets (ES semantics);
+    # doc 4 matches none -> other bucket
+    assert got == [("apples", 2, 30.0), ("big", 2, 30.0), ("rest", 1, 5.0)]
