@@ -132,21 +132,39 @@ def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
         # dedicated operators, not a clause frame).
         q = str(_req(body, "query", path))
         mm_type = body.get("type", "best_fields")
-        fields = [f.split("^")[0] for f in body.get("fields", [])]
+        raw_fields = body.get("fields", [])
+        fields = [f.split("^")[0] for f in raw_fields]
         if len(set(fields)) > 1:
             _fail(path, "multi-field multi_match inside bool is not "
                         "implemented — use it as the top-level query")
+        # a single field may carry an ES per-field boost ("text^3"): over
+        # one field it multiplies the clause score exactly, so fold it
+        # into the clause boost rather than silently stripping it
+        field_boost = 1.0
+        for f in raw_fields:
+            if "^" in f:
+                try:
+                    field_boost *= float(f.split("^", 1)[1])
+                except ValueError:
+                    _fail(path, f"malformed field boost {f!r}")
         if mm_type == "phrase":
             clause = {"phrase": q}
         elif mm_type in ("best_fields", "most_fields", "cross_fields"):
             clause = {"match": q}
             if "operator" in body:
                 clause["operator"] = body["operator"]
+            if "minimum_should_match" in body:
+                clause["minimum_should_match"] = int(
+                    body["minimum_should_match"]
+                )
         else:
             _fail(path, f"multi_match type {mm_type!r} inside bool is not "
                         "implemented")
-        if "boost" in body:
-            clause["boost"] = float(body["boost"])
+        _reject_extras(body, {"query", "type", "fields", "operator",
+                              "minimum_should_match", "boost"}, path)
+        boost = float(body.get("boost", 1.0)) * field_boost
+        if boost != 1.0:
+            clause["boost"] = boost
         return clause
     _fail(path, f"query type {qtype!r} is not translatable inside bool "
                 "(supported: match, match_phrase, term, prefix, fuzzy, "
@@ -159,27 +177,52 @@ def _reject_extras(spec: dict, allowed: set, path: str) -> None:
         _fail(path, f"unsupported options {sorted(extras)}")
 
 
-def _bool_kwargs(body: dict, path: str) -> dict:
+def _scored_term_wrap(clause: dict) -> dict:
+    """A ``term`` landing in a SCORED context (top-level query, bool
+    must/should) routes as ``constant_score(term)``: ES term queries
+    target keyword fields, where norms are disabled and tf is 1, so every
+    matching doc scores the SAME constant — constant_score is
+    rank-identical; the magnitude here is the clause boost (ES's is
+    boost × a per-term idf constant — documented divergence, precise
+    direction: deterministic, query-independent of corpus stats).
+    Membership contexts keep the raw term clause."""
+    if set(clause) <= {"term", "boost"}:
+        wrapped = {"constant_score": {"term": clause["term"]}}
+        if "boost" in clause:
+            wrapped["boost"] = clause["boost"]
+        return wrapped
+    return clause
+
+
+def _bool_kwargs(body: dict, path: str, member_ctx: bool = False) -> dict:
+    """Compile an ES bool body to the bool door's kwargs. ``member_ctx``
+    is True once the tree sits inside a filter/must_not occurrence — from
+    there down EVERY occurrence (must/should included) is pure membership
+    (ES's filter context), so nested bools are allowed in all four
+    occurrences and term clauses stay raw membership tests."""
     out = {"must": [], "should": [], "must_not": [], "filter": []}
     for occ in ("must", "should", "must_not", "filter"):
         entries = body.get(occ, [])
         if isinstance(entries, dict):
             entries = [entries]
+        inner_member = member_ctx or occ in ("must_not", "filter")
         for i, q in enumerate(entries):
             qtype, qbody = _single_field(q, f"{path}.{occ}[{i}]")
             if qtype == "bool":
-                if occ in ("must", "should"):
+                if occ in ("must", "should") and not member_ctx:
                     _fail(f"{path}.{occ}[{i}]",
                           "nested bool in a SCORED context is not "
                           "implemented — flatten the query (membership "
                           "contexts filter/must_not accept nested bools)")
                 out[occ].append(
-                    {"bool": _bool_kwargs(qbody, f"{path}.{occ}[{i}].bool")}
+                    {"bool": _bool_kwargs(qbody, f"{path}.{occ}[{i}].bool",
+                                          member_ctx=inner_member)}
                 )
                 continue
-            out[occ].append(
-                _leaf_clause(qtype, qbody, f"{path}.{occ}[{i}].{qtype}")
-            )
+            clause = _leaf_clause(qtype, qbody, f"{path}.{occ}[{i}].{qtype}")
+            if occ in ("must", "should") and not member_ctx:
+                clause = _scored_term_wrap(clause)
+            out[occ].append(clause)
     if "minimum_should_match" in body:
         out["minimum_should_match"] = int(body["minimum_should_match"])
     _reject_extras(body, {"must", "should", "must_not", "filter",
@@ -274,10 +317,20 @@ def es_query(
         mm_type = qbody.get("type", "best_fields")
         if mm_type not in _MULTI_MATCH_TYPES:
             _fail(path, f"multi_match type {mm_type!r} unknown")
+        _reject_extras(qbody, {"query", "type", "fields", "operator",
+                               "minimum_should_match"}, path)
         fields = qbody.get("fields") or field_cols or [text_col]
         fields = [f.split("^")[0] for f in fields]  # boosts not implemented
         if any("^" in f for f in qbody.get("fields", [])):
             _fail(path, "per-field boosts (field^2) are not implemented")
+        # term-level matching controls: honored on the single-field
+        # best_fields route (an exact collapse onto the match clause,
+        # which implements both); everywhere else they would need
+        # per-field matching-control scorers — reject, don't approximate
+        has_ctl = "operator" in qbody or "minimum_should_match" in qbody
+        if has_ctl and not (mm_type == "best_fields" and len(fields) == 1):
+            _fail(path, "operator/minimum_should_match are only "
+                        "implemented for single-field best_fields")
         if mm_type == "phrase":
             out = (
                 phrase_search(docs, id_col, fields[0], q, k=fetch)
@@ -294,6 +347,19 @@ def es_query(
         elif mm_type == "bool_prefix":
             _fail(path, "bool_prefix routes through Engine.search "
                         "type-ahead; not available on the body door")
+        elif has_ctl:
+            # single-field best_fields with operator/minimum_should_match:
+            # multi_match collapses to the match clause (the implicit-bool
+            # route every scored leaf takes), which implements both
+            clause = {"match": q}
+            if "operator" in qbody:
+                clause["operator"] = qbody["operator"]
+            if "minimum_should_match" in qbody:
+                clause["minimum_should_match"] = int(
+                    qbody["minimum_should_match"]
+                )
+            out = bool_search(docs, id_col, fields[0], should=[clause],
+                              minimum_should_match=1, k=fetch)
         else:  # best_fields
             out = (
                 bm25_search(docs, id_col, fields[0], q, k=fetch)
@@ -335,8 +401,10 @@ def es_query(
         else:
             # one implicit-bool route for every scored leaf (fuzzy
             # included) so boost / max_expansions / prefix_length are
-            # honored uniformly
-            out = bool_search(docs, id_col, text_col, should=[clause],
+            # honored uniformly; a bare term is a scored context, so it
+            # takes the constant_score(term) route (see _scored_term_wrap)
+            out = bool_search(docs, id_col, text_col,
+                              should=[_scored_term_wrap(clause)],
                               minimum_should_match=1, k=fetch)
     else:
         _fail(path, f"query type {qtype!r} is not implemented")

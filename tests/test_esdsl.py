@@ -343,3 +343,137 @@ def test_es_aggs_filters_buckets(spark):
     # declaration order; doc 2 lands in BOTH buckets (ES semantics);
     # doc 4 matches none -> other bucket
     assert got == [("apples", 2, 30.0), ("big", 2, 30.0), ("rest", 1, 5.0)]
+
+
+# --------------------------------------------------- r11 ADVICE regressions
+
+
+def test_top_level_term_query_scores_constant(spark, sf_dir):
+    """ADVICE r10: a bare top-level {"query": {"term": ...}} must run (it
+    is listed as supported), routing as constant_score(term) — on an ES
+    keyword field norms are off and tf=1, so every matching doc scores
+    the same constant; rank-identical, magnitude = boost."""
+    docs = load(spark, sf_dir, "documents")
+    body = {"query": {"term": {"text": {"value": "spark", "boost": 2.0}}},
+            "size": 10}
+    got = rows(es_query(docs, "doc_id", "text", body))
+    want = rows(bool_search(
+        docs, "doc_id", "text",
+        should=[{"constant_score": {"term": "spark"}, "boost": 2.0}],
+        minimum_should_match=1, k=10,
+    ))
+    assert got == want and got
+    assert {s for _, s in got} == {2.0}
+
+
+def test_term_inside_bool_scored_context(spark, sf_dir):
+    """term in bool must/should wraps to constant_score; in filter /
+    must_not it stays a raw membership test (no score contribution)."""
+    docs = load(spark, sf_dir, "documents")
+    body = {"query": {"bool": {
+        "must": [{"term": {"text": "spark"}}],
+        "should": [{"term": {"text": {"value": "stream", "boost": 3.0}}}],
+    }}, "size": 10}
+    got = rows(es_query(docs, "doc_id", "text", body))
+    want = rows(bool_search(
+        docs, "doc_id", "text",
+        must=[{"constant_score": {"term": "spark"}}],
+        should=[{"constant_score": {"term": "stream"}, "boost": 3.0}],
+        k=10,
+    ))
+    assert got == want and got
+
+
+def test_top_level_multi_match_honors_operator(spark, sf_dir):
+    """ADVICE r10: top-level multi_match must honor operator /
+    minimum_should_match on the single-field best_fields collapse instead
+    of silently returning the any-term doc set."""
+    docs = load(spark, sf_dir, "documents")
+    body_and = {"query": {"multi_match": {
+        "query": "spark stream", "fields": ["text"], "operator": "and",
+    }}, "size": 200}
+    got = rows(es_query(docs, "doc_id", "text", body_and))
+    want = rows(bool_search(
+        docs, "doc_id", "text",
+        should=[{"match": "spark stream", "operator": "and"}],
+        minimum_should_match=1, k=200,
+    ))
+    assert got == want and got
+    # and the AND doc set is exactly the docs holding BOTH tokens — the
+    # any-term approximation the silent path returned would include
+    # single-token docs
+    from pyspark.sql import functions as F
+
+    from pandemic_knowledge_spark.functions.text import tokenize
+
+    both = {
+        r["doc_id"]
+        for r in docs.where(
+            F.array_contains(tokenize("text"), "spark")
+            & F.array_contains(tokenize("text"), "stream")
+        ).select("doc_id").collect()
+    }
+    page_ids = {d for d, _ in got}
+    assert page_ids <= both
+    assert len(got) == min(200, len(both))
+
+
+def test_top_level_multi_match_rejects_unknown_options(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    with pytest.raises(UnsupportedEsQuery, match="fuzziness"):
+        es_query(docs, "doc_id", "text", {"query": {"multi_match": {
+            "query": "spark", "fields": ["text"], "fuzziness": "AUTO",
+        }}})
+    with pytest.raises(UnsupportedEsQuery, match="single-field"):
+        es_query(docs, "doc_id", "text", {"query": {"multi_match": {
+            "query": "spark", "fields": ["text", "lang"],
+            "operator": "and",
+        }}})
+
+
+def test_bool_multi_match_single_field_boost_folds(spark, sf_dir):
+    """ADVICE r10: fields: ["text^3"] inside bool multiplies the clause
+    score by 3 (single field — an exact fold), never silently strips."""
+    docs = load(spark, sf_dir, "documents")
+    boosted = {"query": {"bool": {"must": [{"multi_match": {
+        "query": "spark stream", "fields": ["text^3"],
+    }}]}}, "size": 10}
+    plain = {"query": {"bool": {"must": [{"multi_match": {
+        "query": "spark stream", "fields": ["text"],
+    }}]}}, "size": 10}
+    got = dict(rows(es_query(docs, "doc_id", "text", boosted)))
+    base = dict(rows(es_query(docs, "doc_id", "text", plain)))
+    assert set(got) == set(base) and got
+    for d, s in got.items():
+        # scores round to 4 dp on both sides, so the fold is exact up to
+        # 3x a half-ulp of the base rounding
+        assert abs(s - 3.0 * base[d]) < 2e-4
+
+
+def test_nested_bool_allowed_inside_filter_subtree(spark, sf_dir):
+    """ADVICE r10: an ES-valid filter tree with bool under must INSIDE a
+    filter occurrence (pure membership all the way down) must compile."""
+    docs = load(spark, sf_dir, "documents")
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"bool": {"must": [{"bool": {"should": [
+            {"term": {"text": "stream"}},
+            {"range": {"n_chars": {"gte": 500}}},
+        ]}}]}}],
+    }}, "size": 50}
+    got = rows(es_query(docs, "doc_id", "text", body))
+    # flat equivalent: filter on (stream-token OR n_chars>=500)
+    want = rows(bool_search(
+        docs, "doc_id", "text",
+        must=[{"match": "spark"}],
+        filter=[{"bool": {"should": [
+            {"term": "stream"}, {"range": {"n_chars": {"gte": 500}}},
+        ]}}],
+        k=50,
+    ))
+    assert got == want and got
+    # scored contexts OUTSIDE a membership subtree still reject nesting
+    with pytest.raises(UnsupportedEsQuery, match="SCORED"):
+        es_query(docs, "doc_id", "text", {"query": {"bool": {
+            "must": [{"bool": {"must": [{"match": {"text": "spark"}}]}}],
+        }}})
