@@ -243,11 +243,15 @@ def es_query(
     body: dict,
     field_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Execute an ES request body ``{"query": {...}, "size", "from"}``
-    against ``docs``. Returns the (doc_id, score) page in the engine's
-    (score DESC, doc_id) total order. ``field_cols`` supplies the text
-    columns a ``multi_match`` over several fields targets (defaults to
-    ``[text_col]``)."""
+    """Execute an ES request body ``{"query": {...}, "size", "from",
+    "sort", "_source"}`` against ``docs``. Default route returns the
+    (doc_id, score) page in the engine's (score DESC, doc_id) total
+    order; with ``"sort": [{field: "desc"}, ...]`` the query runs as a
+    membership filter and the page orders by the fields (doc_id
+    tiebreak, no score column — ES skips scoring under field sorts too);
+    ``"_source": [cols]`` projects those doc columns into the page.
+    ``field_cols`` supplies the text columns a ``multi_match`` over
+    several fields targets (defaults to ``[text_col]``)."""
     from pandemic_knowledge_spark.operators.boolquery import (
         bool_search,
         dis_max_search,
@@ -268,8 +272,64 @@ def es_query(
         _fail("$", "request body needs a 'query'")
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
-    _reject_extras(body, {"query", "size", "from"}, "$")
+    _reject_extras(body, {"query", "size", "from", "sort", "_source"}, "$")
     fetch = size + offset
+    source = body.get("_source")
+    if source is not None and (
+        not isinstance(source, (list, tuple))
+        or not all(isinstance(c, str) for c in source)
+    ):
+        _fail("$._source", "only a field-name array form is implemented")
+
+    if "sort" in body:
+        # FIELD-sorted search (ES skips scoring when sorting by fields —
+        # the reference's "Latest news" panel shape, SearchUI.js:51 /
+        # crawl_google_news.py:75): the query compiles to ONE membership
+        # predicate (the es_aggs filter compiler — bool composition,
+        # term/terms/range/exists, analyzed match), then orderBy + top-k;
+        # doc_id ascending is the deterministic tiebreak (ES's is shard
+        # order — unstable; ours is total). Output: doc_id + the _source
+        # projection (no score column — ES omits _score here too).
+        sort_cols = []
+        for i, s in enumerate(body["sort"]):
+            sp = f"$.sort[{i}]"
+            if isinstance(s, str):
+                s = {s: "asc"}
+            sfield, sspec = _single_field(s, sp)
+            order = (sspec.get("order", "asc") if isinstance(sspec, dict)
+                     else str(sspec))
+            if sfield == "_score":
+                _fail(sp, "sorting by _score is the default scored route "
+                          "— drop the sort clause")
+            if order not in ("asc", "desc"):
+                _fail(sp, f"order must be asc or desc, got {order!r}")
+            col = F.col(sfield)
+            sort_cols.append(col.desc() if order == "desc" else col.asc())
+        pred = F.coalesce(
+            _agg_filter_pred(body["query"], text_col, "$.query"),
+            F.lit(False),
+        )
+        base = (
+            docs.where(pred)
+            .orderBy(*sort_cols, F.col(id_col).asc())
+            .limit(fetch)
+        )
+        if offset > 0:
+            from pyspark.sql import Window
+
+            # the frame is already ≤ fetch rows; renumber in its total
+            # order and drop the first `from` (the same bounded-window
+            # rationale as _offset on the scored route)
+            w = Window.orderBy(*sort_cols, F.col(id_col).asc())
+            base = (
+                base.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") > offset)
+            )
+        return base.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in (source or [])],
+        )
+
     qtype, qbody = _single_field(body["query"], "$.query")
     path = f"$.query.{qtype}"
 
@@ -277,7 +337,7 @@ def es_query(
         page = docs.select(
             F.col(id_col).alias("doc_id"), F.lit(0.0).alias("score")
         ).orderBy("doc_id").limit(fetch)
-        return _offset(page, offset)
+        return _with_source(_offset(page, offset), docs, id_col, source)
 
     if qtype == "bool":
         out = bool_search(docs, id_col, text_col, k=fetch,
@@ -408,7 +468,24 @@ def es_query(
                               minimum_should_match=1, k=fetch)
     else:
         _fail(path, f"query type {qtype!r} is not implemented")
-    return _offset(out, offset)
+    return _with_source(_offset(out, offset), docs, id_col, source)
+
+
+def _with_source(page: DataFrame, docs: DataFrame, id_col: str,
+                 source) -> DataFrame:
+    """ES ``_source`` projection on a SCORED page: broadcast the ≤ size
+    page (bounded) back onto the docs table to fetch the requested
+    columns — one broadcast hash join, never a docs shuffle. Output:
+    (doc_id, score, *source)."""
+    if not source:
+        return page
+    fetched = docs.select(
+        F.col(id_col).alias("doc_id"), *[F.col(c) for c in source]
+    )
+    return (
+        fetched.join(F.broadcast(page), "doc_id")
+        .select("doc_id", "score", *source)
+    )
 
 
 def _offset(page: DataFrame, offset: int) -> DataFrame:
@@ -521,40 +598,436 @@ def _agg_filter_pred(clause: dict, text_col: str | None, path: str):
     _fail(p, f"query type {qtype!r} is not implemented in agg context")
 
 
-def _metric_cols(sub_aggs: dict, path: str):
-    """Metric sub-aggregations → aliased aggregate Columns. cardinality is
-    EXACT count_distinct (ES's is approximate — documented divergence in
-    the precise direction)."""
-    cols = []
+def _pct_label(v) -> str:
+    """A percent/probe value as a column-name-safe label: 1.0 → "1",
+    99.9 → "99_9" (the same value spells the same way in the oracle)."""
+    return ("%g" % float(v)).replace("-", "m").replace(".", "_")
+
+
+#: ES default percents for the percentiles metric.
+_ES_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+_METRIC_TYPES = (
+    "avg, sum, min, max, value_count, cardinality, stats, percentiles, "
+    "percentile_ranks, extended_stats, median_absolute_deviation"
+)
+
+
+def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
+    """Metric sub-aggregations → ``(agg_cols, final_cols, mad_specs)``:
+    aggregate Columns (internal aliases where assembly is needed), the
+    post-aggregation select expressions that produce the caller-visible
+    columns, and any ``median_absolute_deviation`` specs (two grouped
+    median passes — the caller joins them in; see :func:`_one_agg`).
+
+    ``cond`` (the filters/range one-scan path) wraps every input in
+    ``F.when(cond, col)`` so each named bucket's metrics ride the SAME
+    single aggregate — aggregates ignore the NULLs the failed predicate
+    leaves behind, which is exactly per-bucket semantics.
+
+    Determinism notes (the catalog's float contract): cardinality is
+    EXACT count_distinct (ES approximates — divergence in the precise
+    direction); percentiles/percentile_ranks are exact interpolated forms
+    rounded to 6 dp (ES TDigest-approximates); extended_stats runs on
+    integer moments via the cents idiom (optional ``scale`` key, default
+    100 — an engine extension ES bodies simply omit) with the same fixed
+    double expressions as operators.aggregates.extended_stats_by."""
+    aggs, finals, mads = [], [], []
     for name, spec in (sub_aggs or {}).items():
         mtype, mbody = _single_field(spec, f"{path}.aggs.{name}")
         mp = f"{path}.aggs.{name}.{mtype}"
         field = _req(mbody, "field", mp)
         col = F.col(field)
+        if cond is not None:
+            col = F.when(cond, col)
+
+        def _one(agg_col, out_name):
+            aggs.append(agg_col.alias(f"{prefix}{out_name}"))
+            finals.append(F.col(f"{prefix}{out_name}").alias(out_name))
+
         if mtype == "avg":
-            cols.append(F.avg(col).alias(name))
+            _one(F.avg(col), name)
         elif mtype == "sum":
-            cols.append(F.sum(col).alias(name))
+            _one(F.sum(col), name)
         elif mtype == "min":
-            cols.append(F.min(col).alias(name))
+            _one(F.min(col), name)
         elif mtype == "max":
-            cols.append(F.max(col).alias(name))
+            _one(F.max(col), name)
         elif mtype == "value_count":
-            cols.append(F.count(col).alias(name))
+            _one(F.count(col), name)
         elif mtype == "cardinality":
-            cols.append(F.countDistinct(col).alias(name))
+            _one(F.countDistinct(col), name)
         elif mtype == "stats":
-            cols.extend([
-                F.count(col).alias(f"{name}_count"),
-                F.min(col).alias(f"{name}_min"),
-                F.max(col).alias(f"{name}_max"),
-                F.sum(col).alias(f"{name}_sum"),
-                F.avg(col).alias(f"{name}_avg"),
+            _one(F.count(col), f"{name}_count")
+            _one(F.min(col), f"{name}_min")
+            _one(F.max(col), f"{name}_max")
+            _one(F.sum(col), f"{name}_sum")
+            _one(F.avg(col), f"{name}_avg")
+        elif mtype == "percentiles":
+            percents = [float(v) for v in
+                        mbody.get("percents", _ES_DEFAULT_PERCENTS)]
+            _reject_extras(mbody, {"field", "percents"}, mp)
+            if not percents:
+                _fail(mp, "percents must be non-empty")
+            arr = f"{prefix}__pct_{name}"
+            aggs.append(
+                F.percentile(col, [p / 100.0 for p in percents]).alias(arr)
+            )
+            finals.extend(
+                F.round(F.element_at(F.col(arr), i + 1), 6)
+                .alias(f"{name}_p{_pct_label(p)}")
+                for i, p in enumerate(percents)
+            )
+        elif mtype == "percentile_ranks":
+            values = _req(mbody, "values", mp)
+            _reject_extras(mbody, {"field", "values"}, mp)
+            if not isinstance(values, (list, tuple)) or not values:
+                _fail(mp, "values must be a non-empty array")
+            n_alias = f"{prefix}__prk_n_{name}"
+            aggs.append(F.count(col).alias(n_alias))
+            for i, v in enumerate(values):
+                le = f"{prefix}__prk_{name}_{i}"
+                aggs.append(
+                    F.count(F.when(col <= F.lit(float(v)), F.lit(1)))
+                    .alias(le)
+                )
+                finals.append(
+                    F.round(
+                        F.lit(100.0) * F.col(le) / F.col(n_alias), 6
+                    ).alias(f"{name}_rank_{_pct_label(v)}")
+                )
+        elif mtype == "extended_stats":
+            scale = int(mbody.get("scale", 100))
+            sigma = float(mbody.get("sigma", 2.0))
+            _reject_extras(mbody, {"field", "scale", "sigma"}, mp)
+            c = F.round(col * scale, 0).cast("long")
+            pre = f"{prefix}__xs_{name}"
+            aggs.extend([
+                F.count(c).alias(f"{pre}_n"),
+                F.min(col).alias(f"{pre}_mn"),
+                F.max(col).alias(f"{pre}_mx"),
+                F.sum(c).alias(f"{pre}_s"),
+                F.sum(c * c).alias(f"{pre}_ss"),
             ])
+            n = F.col(f"{pre}_n")
+            s = F.col(f"{pre}_s").cast("double")
+            ss = F.col(f"{pre}_ss").cast("double")
+            mean = s / n / scale
+            var_pop = (ss - s * F.col(f"{pre}_s") / n) / n / (scale * scale)
+            std = F.sqrt(var_pop)
+            finals.extend([
+                n.alias(f"{name}_count"),
+                F.round(F.col(f"{pre}_mn"), 4).alias(f"{name}_min"),
+                F.round(F.col(f"{pre}_mx"), 4).alias(f"{name}_max"),
+                (s / scale).alias(f"{name}_sum"),
+                F.round(mean, 6).alias(f"{name}_avg"),
+                F.round(ss / (scale * scale), 6).alias(
+                    f"{name}_sum_of_squares"),
+                F.round(var_pop, 6).alias(f"{name}_variance"),
+                F.round(std, 6).alias(f"{name}_std_deviation"),
+                F.round(mean + sigma * std, 6).alias(f"{name}_std_upper"),
+                F.round(mean - sigma * std, 6).alias(f"{name}_std_lower"),
+            ])
+        elif mtype == "median_absolute_deviation":
+            if cond is not None:
+                _fail(mp, "median_absolute_deviation inside filters/range "
+                          "buckets is not implemented (needs a per-bucket "
+                          "median join — use a terms/date_histogram "
+                          "bucket)")
+            _reject_extras(mbody, {"field", "scale"}, mp)
+            mads.append((name, field, int(mbody.get("scale", 100))))
         else:
             _fail(mp, f"metric {mtype!r} is not implemented (supported: "
-                      "avg, sum, min, max, value_count, cardinality, stats)")
-    return cols
+                      f"{_METRIC_TYPES})")
+    return aggs, finals, mads
+
+
+_BUCKET_TYPES = ("terms", "date_histogram", "histogram", "geohash_grid",
+                 "geotile_grid")
+_BUCKET_PIPELINE_TYPES = ("cumulative_sum", "derivative")
+_SIBLING_PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket",
+                           "max_bucket", "stats_bucket")
+
+
+def _bucket_key(atype: str, body: dict, p: str) -> dict:
+    """One bucket-agg spec → ``{expr, order, size, pre}``: the grouping
+    key Column, the bucket ordering rule (``"count"`` = doc_count desc /
+    key asc with a top-``size`` cut — terms and the geo grids; ``"key"``
+    = key ascending — the histogram family), and an optional pre-filter.
+
+    Geo grids: ``field`` names a geo_point struct column (``lat``/``lon``
+    subfields — the engine's geo_point mapping, SURVEY §1.1); the cell
+    math is the shared integer-exact codegen in functions.geo (geohash
+    base-32 / Web-Mercator z/x/y), so a verbatim Kibana map body buckets
+    bit-identically to the standalone geo rows."""
+    from pandemic_knowledge_spark.functions.geo import (
+        geohash_cell,
+        geotile_cell,
+    )
+
+    if atype == "terms":
+        field = _req(body, "field", p)
+        _reject_extras(body, {"field", "size"}, p)
+        return {"expr": F.col(field), "order": "count",
+                "size": int(body.get("size", 10)), "pre": None}
+    if atype == "date_histogram":
+        field = _req(body, "field", p)
+        unit = body.get("calendar_interval") or body.get("fixed_interval")
+        if unit not in _CAL_TRUNC:
+            _fail(p, f"calendar_interval must be one of {sorted(_CAL_TRUNC)}")
+        _reject_extras(body, {"field", "calendar_interval",
+                              "fixed_interval"}, p)
+        return {"expr": F.date_trunc(_CAL_TRUNC[unit], F.col(field)),
+                "order": "key", "size": None, "pre": None,
+                # pipeline two-phase partition: one calendar YEAR of
+                # buckets per partition (≤ 8,784 even at hour grain)
+                "coarse": lambda key: F.date_trunc("year", key)}
+    if atype == "histogram":
+        field = _req(body, "field", p)
+        interval = float(_req(body, "interval", p))
+        if interval <= 0:
+            _fail(p, "interval must be > 0")
+        _reject_extras(body, {"field", "interval"}, p)
+        return {
+            "expr": F.floor(F.col(field) / F.lit(interval)) * F.lit(interval),
+            "order": "key", "size": None,
+            "pre": F.col(field).isNotNull(),
+            # pipeline two-phase partition: 1,024 buckets per partition
+            "coarse": lambda key: F.floor(key / F.lit(interval * 1024.0)),
+        }
+    if atype == "geohash_grid":
+        field = _req(body, "field", p)
+        precision = int(body.get("precision", 5))
+        _reject_extras(body, {"field", "precision", "size"}, p)
+        if not 1 <= precision <= 12:
+            _fail(p, "precision must be in [1, 12]")
+        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        return {"expr": geohash_cell(lat, lon, precision), "order": "count",
+                "size": int(body.get("size", 10000)),
+                "pre": lat.isNotNull() & lon.isNotNull()}
+    if atype == "geotile_grid":
+        field = _req(body, "field", p)
+        precision = int(body.get("precision", 7))
+        _reject_extras(body, {"field", "precision", "size"}, p)
+        if not 0 <= precision <= 29:
+            _fail(p, "precision must be in [0, 29]")
+        lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+        xt, yt = geotile_cell(lat, lon, precision)
+        return {
+            "expr": F.concat_ws("/", F.lit(str(precision)),
+                                xt.cast("string"), yt.cast("string")),
+            "order": "count", "size": int(body.get("size", 10000)),
+            "pre": lat.isNotNull() & lon.isNotNull(),
+        }
+    _fail(p, f"aggregation {atype!r} is not implemented (supported buckets: "
+             f"{', '.join(_BUCKET_TYPES)}, filters, range; metric "
+             f"sub-aggs: {_METRIC_TYPES})")
+
+
+def _split_sub_aggs(sub: dict, path: str):
+    """A bucket's ``aggs`` dict → (inner bucket entry | None, pipeline
+    entries, metric leaves). At most ONE nested bucket level (the Kibana
+    split-series shape); deeper nesting raises with the JSON path."""
+    inner = None
+    pipelines, metrics = {}, {}
+    for sname, sspec in (sub or {}).items():
+        stype, sbody = _single_field(
+            {k: v for k, v in sspec.items() if k != "aggs"} or sspec,
+            f"{path}.aggs.{sname}",
+        )
+        if stype in _BUCKET_TYPES:
+            if inner is not None:
+                _fail(f"{path}.aggs.{sname}",
+                      "only one nested bucket sub-aggregation per level "
+                      "is implemented")
+            inner = (sname, stype, sbody, sspec.get("aggs"))
+        elif stype in _BUCKET_PIPELINE_TYPES:
+            pipelines[sname] = (stype, sbody)
+        else:
+            metrics[sname] = sspec
+    return inner, pipelines, metrics
+
+
+def _apply_mads(grouped: DataFrame, framed: DataFrame, key_cols: list[str],
+                mad_specs) -> DataFrame:
+    """Join per-bucket ``median_absolute_deviation`` columns onto the
+    grouped frame. Exactly operators.aggregates.mad_by's integer-domain
+    two-median ladder (cents → median×2 stays integral → second median
+    over exact ints), generalized to the door's materialized key columns;
+    the #buckets-row median frames broadcast, so the fact table never
+    reshuffles per metric."""
+    from pandemic_knowledge_spark.operators.aggregates import cents
+    from pandemic_knowledge_spark.operators.ranks import (
+        grouped_percentiles_exact,
+    )
+
+    for name, field, scale in mad_specs:
+        base = framed.select(
+            *key_cols, cents(F.col(field), scale).alias("__mad_c")
+        )
+        med = grouped_percentiles_exact(
+            base, key_cols, "__mad_c", [0.5]
+        ).select(
+            *key_cols, (F.col("p50") * 2).cast("long").alias("__mad_m2")
+        )
+        dev = base.join(F.broadcast(med), key_cols).select(
+            *key_cols,
+            F.abs(F.col("__mad_c") * 2 - F.col("__mad_m2")).alias("__mad_d2"),
+        )
+        mad = grouped_percentiles_exact(dev, key_cols, "__mad_d2", [0.5])
+        mad = mad.select(
+            *key_cols, F.round(F.col("p50") / 2.0 / scale, 6).alias(name)
+        )
+        grouped = grouped.join(F.broadcast(mad), key_cols, "left")
+    return grouped
+
+
+def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
+                            order_col: str, partition_cols: list[str],
+                            parent: dict, path: str) -> DataFrame:
+    """``cumulative_sum`` / ``derivative`` sub-aggs over the ORDERED
+    bucket frame (post-aggregation — never the fact table).
+    ``buckets_path`` names a sibling metric column or ``_count``;
+    derivative's first bucket is NULL (ES's no-lag policy; the door's
+    histogram family emits only non-empty buckets — min_doc_count=1 —
+    so the lag is over EXISTING buckets).
+
+    No global single-partition sort, matching the engine's prefix-sum
+    posture (operators.aggregates.daily_prefix_sum): nested parents
+    window partitioned by the outer key; single-level parents run the
+    two-phase composition — within-COARSE-partition running totals /
+    lags (year of buckets per partition for date_histogram, 1,024
+    buckets for histogram) plus ONE bounded non-equi broadcast join over
+    the partition-attrs frame (partitions, not buckets) carrying both
+    every cumulative offset and each partition's predecessor's last
+    value."""
+    if not pipelines:
+        return grouped
+    if parent["order"] != "key":
+        _fail(path, "cumulative_sum/derivative need an ordered parent "
+                    "bucket (date_histogram or histogram)")
+    from pyspark.sql import Window
+
+    specs = []
+    for pname, (ptype, pbody) in pipelines.items():
+        ref = str(_req(pbody, "buckets_path", f"{path}.aggs.{pname}"))
+        _reject_extras(pbody, {"buckets_path"}, f"{path}.aggs.{pname}")
+        col_name = "doc_count" if ref == "_count" else ref
+        if col_name not in grouped.columns:
+            _fail(f"{path}.aggs.{pname}",
+                  f"buckets_path {ref!r} does not name a sibling metric")
+        specs.append((pname, ptype, col_name))
+
+    if partition_cols:
+        # nested split-series: the outer key IS the partition — each
+        # series windows independently, no single-partition exchange
+        w = Window.partitionBy(*partition_cols).orderBy(F.asc(order_col))
+        for pname, ptype, col_name in specs:
+            src = F.col(col_name)
+            if ptype == "cumulative_sum":
+                grouped = grouped.withColumn(
+                    pname,
+                    F.sum(src).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                )
+            else:  # derivative
+                grouped = grouped.withColumn(pname, src - F.lag(src).over(w))
+        return grouped
+
+    coarse = parent.get("coarse")
+    # pin the bucket frame (bucket-count-sized): the partition-attrs side
+    # below consumes it a second time, and without the checkpoint each
+    # consumer re-runs the whole fact-table aggregation from the scan
+    grouped = grouped.localCheckpoint(eager=True)
+    fr = grouped.withColumn("__part", coarse(F.col(order_col)))
+    w = Window.partitionBy("__part").orderBy(F.asc(order_col))
+    # one partition-attrs frame: per coarse partition its totals (for the
+    # cumulative offsets) and last bucket value (for the cross-partition
+    # lag), then ONE broadcast non-equi self-join folds every
+    # earlier-partition total and the immediately-previous partition's
+    # last value — partitions-count rows on both sides
+    part_aggs = [F.max(F.col(order_col)).alias("__plast_key")]
+    for pname, ptype, col_name in specs:
+        part_aggs.append(F.sum(F.col(col_name)).alias(f"__ptot_{pname}"))
+        part_aggs.append(
+            F.max_by(F.col(col_name), F.col(order_col))
+            .alias(f"__plastv_{pname}")
+        )
+    parts = fr.groupBy("__part").agg(*part_aggs)
+    attr_aggs = []
+    for pname, ptype, col_name in specs:
+        if ptype == "cumulative_sum":
+            attr_aggs.append(
+                F.coalesce(F.sum(f"b.__ptot_{pname}"), F.lit(0))
+                .alias(f"__off_{pname}")
+            )
+        else:
+            attr_aggs.append(
+                F.max_by(F.col(f"b.__plastv_{pname}"), F.col("b.__part"))
+                .alias(f"__prev_{pname}")
+            )
+    attrs = (
+        parts.alias("a")
+        .join(F.broadcast(parts.alias("b")),
+              F.col("b.__part") < F.col("a.__part"), "left")
+        .groupBy(F.col("a.__part").alias("__part"))
+        .agg(*attr_aggs)
+    )
+    fr = fr.join(F.broadcast(attrs), "__part", "left")
+    for pname, ptype, col_name in specs:
+        src = F.col(col_name)
+        if ptype == "cumulative_sum":
+            fr = fr.withColumn(
+                pname,
+                F.sum(src).over(w.rowsBetween(Window.unboundedPreceding, 0))
+                + F.coalesce(F.col(f"__off_{pname}"), F.lit(0)),
+            )
+        else:
+            fr = fr.withColumn(
+                pname,
+                src - F.coalesce(F.lag(src).over(w),
+                                 F.col(f"__prev_{pname}")),
+            )
+    drop = ["__part"] + [f"__off_{p}" for p, t, _ in specs
+                         if t == "cumulative_sum"] \
+        + [f"__prev_{p}" for p, t, _ in specs if t == "derivative"]
+    return fr.drop(*drop)
+
+
+def _predicate_buckets_agg(filtered: DataFrame, conds: list,
+                           sub: dict, path: str) -> DataFrame:
+    """The filters/range shape: NAMED predicate buckets (a doc can land
+    in several — ES semantics) in ONE scan and ONE one-row aggregate — a
+    conditional aggregate per (bucket × metric), all map-side combined,
+    then a literal-array explode unpivots to (key, doc_count, metrics)
+    rows in declaration order. Bucket count never grows the shuffle (the
+    operators.aggregates.filters_agg / adjacency_matrix shape, now
+    carrying metric sub-aggs too)."""
+    aggs, bucket_finals = [], []
+    for i, (bname, pred) in enumerate(conds):
+        aggs.append(
+            F.count(F.when(pred, F.lit(1))).alias(f"__dc_{i}")
+        )
+        # positional alias PREFIX: bucket names are arbitrary ES strings
+        # (dots, spaces, backticks) and must never reach a column parser —
+        # the prefix keeps each bucket's internal aggregate aliases unique
+        # in the single wide row while the finals carry the plain names
+        m_aggs, m_finals, _ = _metric_cols(
+            sub, path, cond=pred, prefix=f"__b{i}_"
+        )
+        aggs.extend(m_aggs)
+        bucket_finals.append((bname, f"__dc_{i}", m_finals))
+    wide = filtered.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(bname).alias("key"),
+            F.col(dc).cast("long").alias("doc_count"),
+            *m_finals,
+        )
+        for bname, dc, m_finals in bucket_finals
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
 def _one_agg(filtered: DataFrame, name: str, spec: dict,
@@ -566,106 +1039,136 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         _fail(path, f"expected one bucket/metric type, got {sorted(spec)}")
     atype, body = next(iter(spec.items()))
     p = f"{path}.{atype}"
-    metrics = _metric_cols(sub, path)
-    if atype == "terms":
-        field = _req(body, "field", p)
-        size = int(body.get("size", 10))
-        _reject_extras(body, {"field", "size"}, p)
-        return (
-            filtered.groupBy(F.col(field).alias("key"))
-            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
-            .orderBy(F.desc("doc_count"), F.asc("key"))
-            .limit(size)
-        )
-    if atype == "date_histogram":
-        field = _req(body, "field", p)
-        unit = body.get("calendar_interval") or body.get("fixed_interval")
-        if unit not in _CAL_TRUNC:
-            _fail(p, f"calendar_interval must be one of {sorted(_CAL_TRUNC)}")
-        _reject_extras(body, {"field", "calendar_interval",
-                              "fixed_interval"}, p)
-        return (
-            filtered.groupBy(
-                F.date_trunc(_CAL_TRUNC[unit], F.col(field)).alias("key")
-            )
-            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
-            .orderBy("key")
-        )
-    if atype == "histogram":
-        field = _req(body, "field", p)
-        interval = float(_req(body, "interval", p))
-        if interval <= 0:
-            _fail(p, "interval must be > 0")
-        _reject_extras(body, {"field", "interval"}, p)
-        key = F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)
-        return (
-            filtered.where(F.col(field).isNotNull())
-            .groupBy(key.alias("key"))
-            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
-            .orderBy("key")
-        )
+
     if atype == "filters":
-        # named predicate buckets (the Kibana "filters" panel): each named
-        # query is an independent membership predicate; a doc can land in
-        # several buckets, exactly ES's semantics. With metric sub-aggs
-        # each bucket is one filtered aggregate unioned by name (the
-        # count-only one-scan conditional form is
-        # operators.aggregates.filters_agg — the dedicated tier).
         named = _req(body, "filters", p)
         _reject_extras(body, {"filters", "other_bucket_key"}, p)
         if not isinstance(named, dict) or not named:
             _fail(p, "filters needs a non-empty name -> query object")
-        other_key = body.get("other_bucket_key")
-        preds = {
-            bname: F.coalesce(
+        preds = [
+            (bname, F.coalesce(
                 _agg_filter_pred(q, text_col, f"{p}.filters.{bname}"),
                 F.lit(False),
-            )
-            for bname, q in named.items()
-        }
-        out = None
-        for bname in named:  # declaration order, like ES
-            one = (
-                filtered.where(preds[bname])
-                .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
-                .select(F.lit(bname).alias("key"), "*")
-            )
-            out = one if out is None else out.unionByName(one)
+            ))
+            for bname, q in named.items()  # declaration order, like ES
+        ]
+        conds = list(preds)
+        other_key = body.get("other_bucket_key")
         if other_key is not None:
             none_pred = F.lit(True)
-            for c in preds.values():
+            for _, c in preds:
                 none_pred = none_pred & ~c
-            one = (
-                filtered.where(none_pred)
-                .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
-                .select(F.lit(str(other_key)).alias("key"), "*")
-            )
-            out = out.unionByName(one)
-        return out
+            conds.append((str(other_key), none_pred))
+        return _predicate_buckets_agg(filtered, conds, sub, path)
+
     if atype == "range":
         field = _req(body, "field", p)
         ranges = _req(body, "ranges", p)
         _reject_extras(body, {"field", "ranges"}, p)
         col = F.col(field)
-        out = None
+        conds = []
         for r in ranges:
             lo, hi = r.get("from"), r.get("to")
             pred = col.isNotNull()
-            key_parts = []
             if lo is not None:
                 pred = pred & (col >= F.lit(lo))
             if hi is not None:
                 pred = pred & (col < F.lit(hi))  # ES: from incl., to excl.
-            key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
-            one = (
-                filtered.where(pred)
-                .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
-                .select(F.lit(key).alias("key"), "*")
-            )
-            out = one if out is None else out.unionByName(one)
-        return out
-    _fail(p, f"aggregation {atype!r} is not implemented (supported: terms, "
-             "date_histogram, histogram, range, filters + metric sub-aggs)")
+            key = (f"{lo if lo is not None else '*'}-"
+                   f"{hi if hi is not None else '*'}")
+            conds.append((key, pred))
+        return _predicate_buckets_agg(filtered, conds, sub, path)
+
+    outer = _bucket_key(atype, body, p)
+    inner_entry, pipelines, metric_leaves = _split_sub_aggs(sub, path)
+
+    if inner_entry is None:
+        # ----- single-level bucket: one scan, one grouped shuffle
+        m_aggs, m_finals, mads = _metric_cols(metric_leaves, path)
+        frame = filtered
+        if outer["pre"] is not None:
+            frame = frame.where(outer["pre"])
+        framed = frame.withColumn("key", outer["expr"])
+        grouped = (
+            framed.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("doc_count"), *m_aggs)
+            .select("key", "doc_count", *m_finals)
+        )
+        grouped = _apply_mads(grouped, framed, ["key"], mads)
+        grouped = _apply_bucket_pipelines(
+            grouped, pipelines, "key", [], outer, path
+        )
+        if outer["order"] == "count":
+            return grouped.orderBy(
+                F.desc("doc_count"), F.asc("key")
+            ).limit(outer["size"])
+        return grouped.orderBy("key")
+
+    # ----- two-level bucket-in-bucket (the Kibana split-series shape):
+    # ONE scan, ONE grouped shuffle on the composite key; the outer
+    # terms/grid size cut re-aggregates the (already bucket-count-sized)
+    # grouped frame for outer totals and semi-joins the winners back —
+    # never a second fact-table pass, never a global window.
+    iname, itype, ibody, isub = inner_entry
+    if metric_leaves:
+        _fail(f"{path}.aggs",
+              "metric sub-aggs next to a nested bucket must live INSIDE "
+              "the nested bucket (one flat (outer, inner, metrics) table "
+              "per level is the door's output shape)")
+    inner = _bucket_key(itype, ibody, f"{path}.aggs.{iname}.{itype}")
+    i_inner, i_pipelines, i_metrics = _split_sub_aggs(
+        isub, f"{path}.aggs.{iname}"
+    )
+    if i_inner is not None:
+        _fail(f"{path}.aggs.{iname}.aggs",
+              "bucket nesting deeper than two levels is not implemented")
+    m_aggs, m_finals, mads = _metric_cols(i_metrics, f"{path}.aggs.{iname}")
+
+    ikey = f"{iname}_key"
+    frame = filtered
+    if outer["pre"] is not None:
+        frame = frame.where(outer["pre"])
+    if inner["pre"] is not None:
+        frame = frame.where(inner["pre"])
+    framed = (
+        frame.withColumn("key", outer["expr"])
+        .withColumn(ikey, inner["expr"])
+    )
+    grouped = (
+        framed.groupBy("key", ikey)
+        .agg(F.count(F.lit(1)).alias("doc_count"), *m_aggs)
+        .select("key", ikey, "doc_count", *m_finals)
+    )
+    grouped = _apply_mads(grouped, framed, ["key", ikey], mads)
+
+    if outer["order"] == "count":
+        # outer terms/grid: top-size keys by TOTAL doc_count (ES orders
+        # parents by their total, not any single child bucket)
+        totals = (
+            grouped.groupBy("key")
+            .agg(F.sum("doc_count").alias("__total"))
+            .orderBy(F.desc("__total"), F.asc("key"))
+            .limit(outer["size"])
+        )
+        grouped = grouped.join(
+            F.broadcast(totals.select("key")), "key", "left_semi"
+        )
+    if inner["order"] == "count" and inner["size"] is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy(
+            F.desc("doc_count"), F.asc(ikey)
+        )
+        grouped = (
+            grouped.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= inner["size"])
+            .drop("__rn")
+        )
+    grouped = _apply_bucket_pipelines(
+        grouped, i_pipelines, ikey, ["key"], inner,
+        f"{path}.aggs.{iname}",
+    )
+    return grouped.orderBy("key", ikey)
 
 
 def es_aggs(
@@ -673,18 +1176,34 @@ def es_aggs(
     body: dict,
     text_col: str | None = None,
 ) -> dict[str, DataFrame]:
-    """Run the AGGREGATION half of an ES request body — the Kibana shape:
-    ``{"query": <filter>, "aggs": {name: {terms|date_histogram|histogram|
-    range: {...}, "aggs": {metric sub-aggs}}}}`` → one DataFrame per
-    top-level aggregation (columns: key, doc_count, one per metric).
+    """Run the AGGREGATION half of an ES request body — the Kibana shape
+    — one DataFrame per top-level aggregation name.
+
+    Buckets: ``terms`` / ``date_histogram`` / ``histogram`` /
+    ``geohash_grid`` / ``geotile_grid`` (the Kibana map grids —
+    ``field`` names a geo_point struct column) / ``filters`` / ``range``,
+    nestable ONE level deep (``terms`` → ``date_histogram`` …, the Kibana
+    split-series shape — output one flat row per (key, <inner>_key)
+    pair). Metrics: avg/sum/min/max/value_count/cardinality/stats/
+    percentiles/percentile_ranks/extended_stats/
+    median_absolute_deviation. Pipelines: ``cumulative_sum`` /
+    ``derivative`` as sub-aggs of an ordered histogram parent (two-phase
+    prefix composition — no single-partition sort), and sibling
+    ``avg_bucket``/``sum_bucket``/``min_bucket``/``max_bucket``/
+    ``stats_bucket`` with ``buckets_path: "sibling>metric"`` at the top
+    level.
 
     The query acts as a FILTER (ES aggregates over every matching doc,
     not a top-k page): it compiles to one boolean Column — recursive bool
     composition, field-based term/terms/range/exists, analyzed match /
     match_phrase when ``text_col`` is given — so each aggregation is one
-    scan + one grouped shuffle over the predicate-pushed frame. Metric
-    note: ``cardinality`` here is EXACT count_distinct (ES's is an
-    approximate HLL — this engine diverges in the precise direction);
+    scan + one grouped shuffle over the predicate-pushed frame (filters/
+    range buckets: one scan + ONE one-row conditional aggregate however
+    many buckets). Determinism divergences, all in the precise direction:
+    ``cardinality`` is EXACT count_distinct (ES: approximate HLL);
+    percentiles / percentile_ranks / median_absolute_deviation are exact
+    interpolated forms rounded 6 dp (ES: TDigest); the histogram family
+    emits only non-empty buckets (min_doc_count=1 semantics).
     ``sum``/``avg`` over doubles carry the usual float-order caveat, so
     oracle-checked uses prefer count/min/max/cardinality or pre-scaled
     integer fields."""
@@ -698,7 +1217,57 @@ def es_aggs(
                 F.lit(False),
             )
         )
-    return {
-        name: _one_agg(filtered, name, spec, text_col=text_col)
-        for name, spec in aggs.items()
-    }
+    out: dict[str, DataFrame] = {}
+    pipelines = {}
+    for name, spec in aggs.items():
+        atype = next(iter(set(spec) - {"aggs"}), None)
+        if atype in _SIBLING_PIPELINE_TYPES:
+            pipelines[name] = (atype, spec[atype])
+            continue
+        out[name] = _one_agg(filtered, name, spec, text_col=text_col)
+    for name, (ptype, pbody) in pipelines.items():
+        out[name] = _sibling_pipeline(out, name, ptype, pbody)
+    return out
+
+
+def _sibling_pipeline(siblings: dict, name: str, ptype: str,
+                      pbody: dict) -> DataFrame:
+    """Top-level SIBLING pipeline aggregations — ``avg_bucket`` /
+    ``sum_bucket`` / ``min_bucket`` / ``max_bucket`` / ``stats_bucket``
+    with ``buckets_path: "sibling>metric"`` (or ``sibling>_count``): the
+    named sibling bucket agg's per-bucket metric re-aggregated into ONE
+    row, exactly the Kibana overall-stats panel. The input is the
+    already-computed bucket frame (bucket-count-sized), so this is one
+    tiny aggregate on top — no extra fact-table scan."""
+    path = f"$.aggs.{name}.{ptype}"
+    ref = str(_req(pbody, "buckets_path", path))
+    _reject_extras(pbody, {"buckets_path"}, path)
+    if ">" not in ref:
+        _fail(path, "buckets_path must be 'sibling>metric' (or "
+                    "'sibling>_count')")
+    sib, metric = ref.split(">", 1)
+    if sib not in siblings:
+        _fail(path, f"buckets_path sibling {sib!r} does not name a "
+                    "previously-declared bucket aggregation")
+    frame = siblings[sib]
+    col_name = "doc_count" if metric == "_count" else metric
+    if col_name not in frame.columns:
+        _fail(path, f"buckets_path metric {metric!r} is not a column of "
+                    f"sibling {sib!r} (has {frame.columns})")
+    src = F.col(col_name)
+    if ptype == "avg_bucket":
+        return frame.agg(F.round(F.avg(src), 6).alias("value"))
+    if ptype == "sum_bucket":
+        return frame.agg(F.sum(src).alias("value"))
+    if ptype == "min_bucket":
+        return frame.agg(F.min(src).alias("value"))
+    if ptype == "max_bucket":
+        return frame.agg(F.max(src).alias("value"))
+    # stats_bucket
+    return frame.agg(
+        F.count(src).alias("count"),
+        F.min(src).alias("min"),
+        F.max(src).alias("max"),
+        F.round(F.avg(src), 6).alias("avg"),
+        F.sum(src).alias("sum"),
+    )

@@ -300,9 +300,9 @@ def test_es_aggs_errors_are_pathed(spark):
     df = spark.createDataFrame([(1, 2.0)], "id long, v double")
     with pytest.raises(UnsupportedEsQuery, match="aggs"):
         es_aggs(df, {"query": {"match_all": {}}})
-    with pytest.raises(UnsupportedEsQuery, match="percentiles"):
+    with pytest.raises(UnsupportedEsQuery, match="weighted_avg"):
         es_aggs(df, {"aggs": {"p": {"terms": {"field": "id"}, "aggs": {
-            "q": {"percentiles": {"field": "v"}}}}}})
+            "q": {"weighted_avg": {"field": "v"}}}}}})
     with pytest.raises(UnsupportedEsQuery, match="composite"):
         es_aggs(df, {"aggs": {"c": {"composite": {"sources": []}}}})
     with pytest.raises(UnsupportedEsQuery, match="text column"):
@@ -477,3 +477,292 @@ def test_nested_bool_allowed_inside_filter_subtree(spark, sf_dir):
         es_query(docs, "doc_id", "text", {"query": {"bool": {
             "must": [{"bool": {"must": [{"match": {"text": "spark"}}]}}],
         }}})
+
+
+# ------------------------------------------- r11 door widening: sort/_source
+
+
+def test_es_body_sort_source_latest_feed(spark, sf_dir):
+    """The reference's "Latest news" panel as a verbatim ES body —
+    match_all + sort by time desc + _source projection, size 8
+    (SearchUI.js:51 / crawl_google_news.py:75)."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    body = {"query": {"match_all": {}},
+            "sort": [{"ts": "desc"}],
+            "size": 8,
+            "_source": ["ts", "event_type", "value"]}
+    got = es_query(ev, "event_id", None, body)
+    assert got.columns == ["doc_id", "ts", "event_type", "value"]
+    want = [
+        (r["event_id"], r["ts"], r["event_type"], r["value"])
+        for r in ev.orderBy(F.desc("ts"), "event_id").limit(8).collect()
+    ]
+    assert [tuple(r) for r in got.collect()] == want
+
+
+def test_es_body_sort_with_filter_and_offset(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    body = {"query": {"bool": {"filter": [
+                {"term": {"event_type": "purchase"}}]}},
+            "sort": [{"value": {"order": "desc"}}],
+            "size": 5, "from": 3,
+            "_source": ["value"]}
+    got = [tuple(r) for r in es_query(ev, "event_id", None, body).collect()]
+    want = [
+        (r["event_id"], r["value"])
+        for r in ev.where(F.col("event_type") == "purchase")
+        .orderBy(F.desc("value"), "event_id").limit(8).collect()
+    ][3:]
+    assert got == want and len(got) == 5
+
+
+def test_es_body_source_on_scored_route(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    body = {"query": {"match": {"text": "spark stream"}}, "size": 5,
+            "_source": ["lang", "n_chars"]}
+    got = es_query(docs, "doc_id", "text", body)
+    assert got.columns == ["doc_id", "score", "lang", "n_chars"]
+    plain = es_query(docs, "doc_id", "text",
+                     {"query": {"match": {"text": "spark stream"}},
+                      "size": 5})
+    assert ({(r["doc_id"], r["score"]) for r in got.collect()}
+            == {tuple(r) for r in plain.collect()})
+
+
+def test_es_body_sort_rejects_score_and_bad_order(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    with pytest.raises(UnsupportedEsQuery, match="_score"):
+        es_query(ev, "event_id", None,
+                 {"query": {"match_all": {}}, "sort": [{"_score": "desc"}]})
+    with pytest.raises(UnsupportedEsQuery, match="order"):
+        es_query(ev, "event_id", None,
+                 {"query": {"match_all": {}}, "sort": [{"ts": "down"}]})
+
+
+# -------------------------------------- r11 door widening: agg bucket/metric
+
+
+def _docs_frame(spark):
+    import datetime as dt
+
+    rows = []
+    for i in range(48):
+        rows.append((
+            i,
+            dt.datetime(2023 + i % 2, 1 + (i // 2) % 6, 1 + i % 7),
+            ["news", "blog", "wire"][i % 3],
+            float((i * 7) % 23),
+            {"lat": float((i * 13) % 120 - 60), "lon": float((i * 29) % 320 - 160)},
+        ))
+    return spark.createDataFrame(
+        rows,
+        "id long, ts timestamp, kind string, v double, "
+        "loc struct<lat:double,lon:double>",
+    )
+
+
+def test_es_aggs_nested_terms_date_histogram(spark):
+    """The Kibana split-series body: terms -> date_histogram -> metrics,
+    one flat (key, inner_key, doc_count, metrics) row per pair."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = _docs_frame(spark)
+    out = es_aggs(df, {"aggs": {"by_kind": {
+        "terms": {"field": "kind", "size": 2},
+        "aggs": {"per_month": {
+            "date_histogram": {"field": "ts", "calendar_interval": "month"},
+            "aggs": {"v_max": {"max": {"field": "v"}}},
+        }},
+    }}})["by_kind"]
+    assert out.columns == ["key", "per_month_key", "doc_count", "v_max"]
+    rows = out.collect()
+    # outer size=2: only the top-2 kinds by TOTAL doc_count survive
+    assert len({r["key"] for r in rows}) == 2
+    # spot-check one pair against a hand count
+    import datetime as dt
+
+    data = df.collect()
+    kinds = sorted({d["kind"] for d in data})
+    totals = {k: sum(1 for d in data if d["kind"] == k) for k in kinds}
+    top2 = sorted(kinds, key=lambda k: (-totals[k], k))[:2]
+    assert {r["key"] for r in rows} == set(top2)
+    k0 = top2[0]
+    m0 = min(dt.datetime(d["ts"].year, d["ts"].month, 1)
+             for d in data if d["kind"] == k0)
+    want_n = sum(1 for d in data if d["kind"] == k0
+                 and dt.datetime(d["ts"].year, d["ts"].month, 1) == m0)
+    want_mx = max(d["v"] for d in data if d["kind"] == k0
+                  and dt.datetime(d["ts"].year, d["ts"].month, 1) == m0)
+    got0 = [r for r in rows if r["key"] == k0
+            and r["per_month_key"] == m0]
+    assert len(got0) == 1
+    assert (got0[0]["doc_count"], got0[0]["v_max"]) == (want_n, want_mx)
+    # three levels deep is a pathed error
+    with pytest.raises(UnsupportedEsQuery, match="two levels"):
+        es_aggs(df, {"aggs": {"a": {"terms": {"field": "kind"}, "aggs": {
+            "b": {"terms": {"field": "kind"}, "aggs": {
+                "c": {"terms": {"field": "kind"}}}}}}}})
+    # metrics next to a nested bucket must live inside it
+    with pytest.raises(UnsupportedEsQuery, match="INSIDE"):
+        es_aggs(df, {"aggs": {"a": {"terms": {"field": "kind"}, "aggs": {
+            "b": {"terms": {"field": "kind"}},
+            "m": {"max": {"field": "v"}}}}}})
+
+
+def test_es_aggs_geo_grids_match_standalone(spark):
+    from pandemic_knowledge_spark.functions.geo import (
+        geohash_cell,
+        geotile_cell,
+    )
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+    from pyspark.sql import functions as F
+
+    df = _docs_frame(spark)
+    gh = es_aggs(df, {"aggs": {"cells": {
+        "geohash_grid": {"field": "loc", "precision": 3}}}})["cells"]
+    want = (
+        df.groupBy(
+            geohash_cell(F.col("loc.lat"), F.col("loc.lon"), 3).alias("key")
+        ).agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    assert sorted(map(tuple, gh.collect())) == sorted(map(tuple, want.collect()))
+    gt = es_aggs(df, {"aggs": {"tiles": {
+        "geotile_grid": {"field": "loc", "precision": 4}}}})["tiles"]
+    xt, yt = geotile_cell(F.col("loc.lat"), F.col("loc.lon"), 4)
+    want_t = (
+        df.groupBy(
+            F.concat_ws("/", F.lit("4"), xt.cast("string"),
+                        yt.cast("string")).alias("key")
+        ).agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    assert sorted(map(tuple, gt.collect())) == sorted(map(tuple, want_t.collect()))
+
+
+def test_es_aggs_percentiles_and_mad_metrics(spark):
+    """percentiles/percentile_ranks/extended_stats/MAD sub-aggs under a
+    terms bucket match hand-computed exact forms."""
+    import statistics
+
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = _docs_frame(spark)
+    out = es_aggs(df, {"aggs": {"by_kind": {
+        "terms": {"field": "kind", "size": 3},
+        "aggs": {
+            "pv": {"percentiles": {"field": "v", "percents": [50.0]}},
+            "rk": {"percentile_ranks": {"field": "v", "values": [10.0]}},
+            "mad": {"median_absolute_deviation": {"field": "v"}},
+        },
+    }}})["by_kind"]
+    data = df.collect()
+    for r in out.collect():
+        vs = sorted(d["v"] for d in data if d["kind"] == r["key"])
+        assert abs(r["pv_p50"] - statistics.median(vs)) < 1e-6
+        assert abs(
+            r["rk_rank_10"] - 100.0 * sum(1 for v in vs if v <= 10.0) / len(vs)
+        ) < 1e-6
+        med = statistics.median(vs)
+        assert abs(
+            r["mad"] - statistics.median([abs(v - med) for v in vs])
+        ) < 1e-6
+
+
+def test_es_aggs_pipeline_cumsum_derivative(spark):
+    """cumulative_sum / derivative sub-aggs: exact prefix sums and lags
+    over the ordered bucket frame, composed across coarse partitions
+    (multi-year range) without a global single-partition sort."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = _docs_frame(spark)
+    out = es_aggs(df, {"aggs": {"per_month": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month"},
+        "aggs": {
+            "n": {"value_count": {"field": "id"}},
+            "cum": {"cumulative_sum": {"buckets_path": "n"}},
+            "d": {"derivative": {"buckets_path": "_count"}},
+        },
+    }}})["per_month"]
+    rows = out.orderBy("key").collect()
+    assert rows[0]["d"] is None
+    acc, prev = 0, None
+    for r in rows:
+        acc += r["n"]
+        assert r["cum"] == acc
+        if prev is not None:
+            assert r["d"] == r["doc_count"] - prev
+        prev = r["doc_count"]
+    # no Sort directly over a single-partition exchange in the plan
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, (
+        "pipeline aggs must not funnel through one partition"
+    )
+
+
+def test_es_aggs_sibling_pipelines(spark):
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = _docs_frame(spark)
+    out = es_aggs(df, {"aggs": {
+        "per_month": {
+            "date_histogram": {"field": "ts", "calendar_interval": "month"},
+            "aggs": {"n": {"value_count": {"field": "id"}}},
+        },
+        "overall": {"stats_bucket": {"buckets_path": "per_month>n"}},
+        "avg_n": {"avg_bucket": {"buckets_path": "per_month>_count"}},
+    }})
+    buckets = [r["n"] for r in out["per_month"].collect()]
+    stats = out["overall"].collect()[0]
+    assert stats["count"] == len(buckets)
+    assert stats["sum"] == sum(buckets)
+    assert stats["min"] == min(buckets) and stats["max"] == max(buckets)
+    avg = out["avg_n"].collect()[0]["value"]
+    assert abs(avg - sum(buckets) / len(buckets)) < 1e-6
+    with pytest.raises(UnsupportedEsQuery, match="sibling"):
+        es_aggs(df, {"aggs": {
+            "x": {"avg_bucket": {"buckets_path": "nope>_count"}}}})
+
+
+def test_es_aggs_filters_one_scan_with_metrics(spark):
+    """The filters agg with metric sub-aggs compiles to ONE aggregate
+    (conditional sums) — a single scan regardless of bucket count."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = _docs_frame(spark)
+    out = es_aggs(df, {"aggs": {"panels": {
+        "filters": {"filters": {
+            "news": {"term": {"kind": "news"}},
+            "small": {"range": {"v": {"lt": 10.0}}},
+        }, "other_bucket_key": "rest"},
+        "aggs": {"v_avg": {"avg": {"field": "v"}},
+                 "v_sum": {"sum": {"field": "v"}}},
+    }}})["panels"]
+    data = df.collect()
+
+    def bucket(pred):
+        sel = [d["v"] for d in data if pred(d)]
+        return (len(sel), sum(sel) / len(sel), sum(sel))
+
+    want = {
+        "news": bucket(lambda d: d["kind"] == "news"),
+        "small": bucket(lambda d: d["v"] < 10.0),
+        "rest": bucket(lambda d: d["kind"] != "news" and d["v"] >= 10.0),
+    }
+    for r in out.collect():
+        n, avg, s = want[r["key"]]
+        assert r["doc_count"] == n
+        assert abs(r["v_avg"] - avg) < 1e-9 and abs(r["v_sum"] - s) < 1e-9
+    # plan shape: exactly one aggregate stage pair over one scan — no
+    # union of per-bucket scans (the count of HashAggregate nodes is
+    # 2: partial + final on a single grouping)
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Scan ExistingRDD") == 1, plan
+    assert "Union" not in plan, plan
