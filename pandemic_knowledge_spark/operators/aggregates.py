@@ -1360,12 +1360,18 @@ def extended_stats_by(
     bit-identical on any partitioning and replay exactly in DuckDB
     (:func:`sql_extended_stats_by`)."""
     v = cents(F.col(value_col), scale)
+    # Σx² runs in DECIMAL(38,0): a long squares-sum overflows around 1e4
+    # money-sized rows per group at sf1 (cents² ≈ 1e15/row — the r11 sf1
+    # probe caught the door's copy of this) — decimal keeps the moment
+    # exact with 38 digits of headroom and converts to double identically
+    # on both engines (DuckDB sums BIGINT products into HUGEINT)
+    d = v.cast("decimal(18,0)")
     wide = df.groupBy(key_col).agg(
         F.count(v).alias("n"),
         F.min(F.col(value_col)).alias("mn"),
         F.max(F.col(value_col)).alias("mx"),
         F.sum(v).alias("s"),
-        F.sum(v * v).alias("ss"),
+        F.sum(d * d).alias("ss"),
     )
     n = F.col("n").cast("double")
     s = F.col("s").cast("double")
@@ -1414,7 +1420,7 @@ WITH wide AS (
          min({value_col}) AS mn,
          max({value_col}) AS mx,
          CAST(sum({v}) AS BIGINT) AS s,
-         CAST(sum(({v}) * ({v})) AS BIGINT) AS ss
+         sum(({v}) * ({v})) AS ss
   FROM {table} GROUP BY {key_col}
 )
 SELECT {key_col},

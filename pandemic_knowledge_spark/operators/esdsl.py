@@ -701,13 +701,20 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
             sigma = float(mbody.get("sigma", 2.0))
             _reject_extras(mbody, {"field", "scale", "sigma"}, mp)
             c = F.round(col * scale, 0).cast("long")
+            # the squares sum runs in DECIMAL(38,0): cents² is ~1e15 per
+            # row for money-sized values, so a long Σx² overflows around
+            # 1e4 rows×group at sf1 (caught by the sf1 probe) — decimal
+            # keeps the moment exact with 38 digits of headroom (1e12
+            # rows of 1e15 squares = 1e27 ≪ 1e38) and converts to double
+            # identically on both engines (DuckDB sums into HUGEINT)
+            d = c.cast("decimal(18,0)")
             pre = f"{prefix}__xs_{name}"
             aggs.extend([
                 F.count(c).alias(f"{pre}_n"),
                 F.min(col).alias(f"{pre}_mn"),
                 F.max(col).alias(f"{pre}_mx"),
                 F.sum(c).alias(f"{pre}_s"),
-                F.sum(c * c).alias(f"{pre}_ss"),
+                F.sum(d * d).alias(f"{pre}_ss"),
             ])
             n = F.col(f"{pre}_n")
             s = F.col(f"{pre}_s").cast("double")

@@ -7445,8 +7445,8 @@ WITH wide AS (
          CAST(count(o_totalprice) AS BIGINT) AS n,
          min(o_totalprice) AS mn, max(o_totalprice) AS mx,
          CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS s,
-         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-                  * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS ss
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS ss
   FROM orders GROUP BY 1
 )
 SELECT key, doc_count, n AS price_count,

@@ -766,3 +766,42 @@ def test_es_aggs_filters_one_scan_with_metrics(spark):
     )
     assert plan.count("Scan ExistingRDD") == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_extended_stats_survives_long_overflow_scale(spark):
+    """r11 sf1-probe regression: money-sized values (cents² ≈ 1e15/row)
+    overflow a long Σx² after ~1e4 rows — the squares moment must run in
+    decimal. 20k rows of ~500k values would overflow 9.2e18; the panel
+    must still produce exact doubles (checked against numpy float math on
+    the same integers)."""
+    from pandemic_knowledge_spark.operators.aggregates import (
+        extended_stats_by,
+    )
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "'g' AS k", "CAST(400000 + (id % 1000) AS DOUBLE) AS v"
+    )
+    # exact integer moments in Python (unbounded ints), then the SAME
+    # fixed double expression shape both engines evaluate — the contract
+    # is cross-engine bit-identity of that expression, not exact-real
+    # variance (the one-pass moment formula cancels; ES's does too)
+    cents = [400000_00 + (i % 1000) * 100 for i in range(n)]
+    s, ss = sum(cents), sum(c * c for c in cents)
+    assert ss > 2**63 - 1  # the test is vacuous unless long would overflow
+    mean = float(s) / n / 100
+    var = (float(ss) - float(s) * s / n) / n / 10000.0
+
+    row = extended_stats_by(df, "k", "v").collect()[0]
+    assert row["doc_count"] == n
+    assert row["avg_value"] == round(mean, 6)
+    assert row["variance"] == round(var, 6)
+
+    door = es_aggs(df, {"aggs": {"by_k": {
+        "terms": {"field": "k"},
+        "aggs": {"x": {"extended_stats": {"field": "v"}}},
+    }}})["by_k"].collect()[0]
+    assert door["x_count"] == n
+    assert door["x_avg"] == round(mean, 6)
+    assert door["x_variance"] == round(var, 6)
