@@ -387,6 +387,30 @@ SELECT key, doc_count FROM ({unions}) WHERE doc_count > 0
 """
 
 
+def composite_after_pred(names: list[str], after) -> Column:
+    """The composite cursor as ONE boolean Column: lexicographic
+    (k1, k2, ...) > (a1, a2, ...) over the source-key columns — the
+    after-key IS the page cursor, evaluated on the (bucket-count-sized)
+    aggregated frame, so later pages never rescan earlier buckets' rows.
+    Shared by :func:`composite_page` and the ES body door's ``composite``
+    bucket type (operators.esdsl) so the cursor law can't fork."""
+    if len(after) != len(names) or any(a is None for a in after):
+        raise ValueError(
+            "composite after-cursor must supply a non-NULL value per "
+            f"source ({len(names)} expected, got {after!r})"
+        )
+    pred = None
+    for i in range(len(names)):
+        eq = None
+        for j in range(i):
+            e = F.col(names[j]) == F.lit(after[j])
+            eq = e if eq is None else (eq & e)
+        gt = F.col(names[i]) > F.lit(after[i])
+        term = gt if eq is None else (eq & gt)
+        pred = term if pred is None else (pred | term)
+    return pred
+
+
 def composite_page(
     df: DataFrame,
     sources: list,
@@ -425,22 +449,7 @@ def composite_page(
         *[c.alias(n) for n, c in metrics.items()]
     )
     if after is not None:
-        if len(after) != len(names) or any(a is None for a in after):
-            raise ValueError(
-                "composite_page: after must supply a non-NULL value per "
-                f"source ({len(names)} expected, got {after!r})"
-            )
-        pred = None
-        # lexicographic (k1, k2, ...) > (a1, a2, ...)
-        for i in range(len(names)):
-            eq = None
-            for j in range(i):
-                e = F.col(names[j]) == F.lit(after[j])
-                eq = e if eq is None else (eq & e)
-            gt = F.col(names[i]) > F.lit(after[i])
-            term = gt if eq is None else (eq & gt)
-            pred = term if pred is None else (pred | term)
-        g = g.filter(pred)
+        g = g.filter(composite_after_pred(names, after))
     return g.orderBy(*[F.col(n) for n in names]).limit(size)
 
 

@@ -524,6 +524,12 @@ def _offset(page: DataFrame, offset: int) -> DataFrame:
 _CAL_TRUNC = {"hour": "hour", "day": "day", "week": "week",
               "month": "month", "quarter": "quarter", "year": "year"}
 
+#: the spine step per calendar unit for min_doc_count=0 densification
+#: (week steps 7 days to stay on date_trunc's Monday alignment)
+_CAL_STEP = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY",
+             "week": "INTERVAL 7 DAY", "month": "INTERVAL 1 MONTH",
+             "quarter": "INTERVAL 3 MONTH", "year": "INTERVAL 1 YEAR"}
+
 
 def _agg_filter_pred(clause: dict, text_col: str | None, path: str):
     """An agg-context query as ONE boolean Column (recursive bool allowed —
@@ -783,9 +789,15 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
         if unit not in _CAL_TRUNC:
             _fail(p, f"calendar_interval must be one of {sorted(_CAL_TRUNC)}")
         _reject_extras(body, {"field", "calendar_interval",
-                              "fixed_interval"}, p)
+                              "fixed_interval", "min_doc_count"}, p)
+        mdc = int(body.get("min_doc_count", 1))
         return {"expr": F.date_trunc(_CAL_TRUNC[unit], F.col(field)),
                 "order": "key", "size": None, "pre": None,
+                # min_doc_count=0 (ES's default; the door defaults to 1 —
+                # emit-nonempty-only — to keep existing green rows'
+                # semantics): densify with a bounded calendar spine
+                "dense": mdc == 0,
+                "step": _CAL_STEP[unit],
                 # pipeline two-phase partition: one calendar YEAR of
                 # buckets per partition (≤ 8,784 even at hour grain)
                 "coarse": lambda key: F.date_trunc("year", key)}
@@ -794,11 +806,13 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
         interval = float(_req(body, "interval", p))
         if interval <= 0:
             _fail(p, "interval must be > 0")
-        _reject_extras(body, {"field", "interval"}, p)
+        _reject_extras(body, {"field", "interval", "min_doc_count"}, p)
         return {
             "expr": F.floor(F.col(field) / F.lit(interval)) * F.lit(interval),
             "order": "key", "size": None,
             "pre": F.col(field).isNotNull(),
+            "dense": int(body.get("min_doc_count", 1)) == 0,
+            "step": interval,
             # pipeline two-phase partition: 1,024 buckets per partition
             "coarse": lambda key: F.floor(key / F.lit(interval * 1024.0)),
         }
@@ -1002,6 +1016,150 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
     return fr.drop(*drop)
 
 
+def _densify(grouped: DataFrame, step) -> DataFrame:
+    """ES ``min_doc_count: 0`` gap buckets: left-join the bucket frame
+    onto a DENSE key spine — every calendar/interval step between the
+    first and last observed bucket exists, gaps with doc_count=0 and
+    NULL metrics (ES's empty-bucket shape). The spine is ONE bounded
+    explode of the [min, max] key range (never the fact table; ≤ tens of
+    thousands of rows for decades at day grain — the dense_daily_counts
+    rationale, generalized to every unit and to numeric intervals)."""
+    cols = grouped.columns
+    bounds = grouped.agg(F.min("key").alias("__lo"), F.max("key").alias("__hi"))
+    if isinstance(step, str):  # calendar interval
+        spine = bounds.select(
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(step))
+            ).alias("key")
+        )
+    else:  # numeric histogram: step over integer bucket indices
+        spine = bounds.select(
+            F.explode(
+                F.sequence(
+                    F.round(F.col("__lo") / step).cast("long"),
+                    F.round(F.col("__hi") / step).cast("long"),
+                )
+            ).alias("__i")
+        ).select((F.col("__i") * F.lit(step)).alias("key"))
+    return (
+        spine.join(grouped, "key", "left")
+        .select(
+            "key",
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+            *[c for c in cols if c not in ("key", "doc_count")],
+        )
+    )
+
+
+def _top_hits_agg(filtered: DataFrame, terms_body: dict, sub: dict,
+                  path: str, p: str) -> DataFrame:
+    """``terms`` + ``top_hits`` — the Kibana "latest per bucket" panel
+    (the reference's dashboards list the newest docs inside each bucket,
+    /root/reference/README.md:22-24): per bucket the top-k rows by the
+    sort field with their ``_source`` payload and the bucket's total
+    doc_count, via the window-group-limit shape of
+    operators.aggregates.top_hits (per-partition heaps BEFORE the bucket
+    shuffle). The terms ``size`` cut ranks buckets by doc_count on the
+    (bucket-count-sized) output frame."""
+    from pandemic_knowledge_spark.operators.aggregates import top_hits
+
+    field = _req(terms_body, "field", p)
+    _reject_extras(terms_body, {"field", "size"}, p)
+    tsize = int(terms_body.get("size", 10))
+    (name, spec), = sub.items()
+    cfg = spec["top_hits"]
+    tp = f"{path}.aggs.{name}.top_hits"
+    _reject_extras(cfg, {"size", "sort", "_source"}, tp)
+    k = int(cfg.get("size", 3))
+    sort = cfg.get("sort", [])
+    if len(sort) != 1:
+        _fail(tp, "top_hits needs exactly one sort entry")
+    sfield, sspec = _single_field(sort[0], f"{tp}.sort[0]")
+    order = (sspec.get("order", "asc") if isinstance(sspec, dict)
+             else str(sspec))
+    if order not in ("asc", "desc"):
+        _fail(f"{tp}.sort[0]", f"order must be asc or desc, got {order!r}")
+    payload = _req(cfg, "_source", tp)
+    if not isinstance(payload, (list, tuple)) or not payload:
+        _fail(f"{tp}._source", "top_hits needs a field-name array _source")
+    out = top_hits(
+        filtered, field, sfield, list(payload), k=k,
+        ascending=order == "asc",
+    ).withColumnRenamed(field, "key")
+    winners = (
+        out.select("key", "doc_count").distinct()
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(tsize)
+    )
+    return out.join(
+        F.broadcast(winners.select("key")), "key", "left_semi"
+    ).orderBy("key", "rank")
+
+
+def _composite_agg(filtered: DataFrame, body: dict, sub: dict,
+                   path: str, p: str) -> DataFrame:
+    """ES ``composite`` aggregation — the PAGINATED group-by: buckets
+    order by the source-key tuple and each page resumes strictly after
+    the ``after`` cursor (evaluated on the aggregated bucket frame via
+    the shared operators.aggregates.composite_after_pred — page N costs
+    page 1). Sources: terms / date_histogram; NULL-keyed rows are
+    skipped (ES ``missing_bucket: false`` default — a NULL bucket would
+    be unreachable past any cursor). Metric sub-aggs ride the same
+    single grouped aggregate."""
+    from pandemic_knowledge_spark.operators.aggregates import (
+        composite_after_pred,
+    )
+
+    sources_spec = _req(body, "sources", p)
+    _reject_extras(body, {"sources", "size", "after"}, p)
+    size = int(body.get("size", 10))
+    if not isinstance(sources_spec, (list, tuple)) or not sources_spec:
+        _fail(p, "sources must be a non-empty array")
+    sources = []
+    for i, s in enumerate(sources_spec):
+        sp = f"{p}.sources[{i}]"
+        sname, sbody = _single_field(s, sp)
+        stype, scfg = _single_field(sbody, sp)
+        if stype == "terms":
+            _reject_extras(scfg, {"field"}, f"{sp}.terms")
+            col = F.col(_req(scfg, "field", f"{sp}.terms"))
+        elif stype == "date_histogram":
+            unit = scfg.get("calendar_interval") or scfg.get("fixed_interval")
+            if unit not in _CAL_TRUNC:
+                _fail(f"{sp}.date_histogram",
+                      f"calendar_interval must be one of {sorted(_CAL_TRUNC)}")
+            _reject_extras(scfg, {"field", "calendar_interval",
+                                  "fixed_interval"}, f"{sp}.date_histogram")
+            col = F.date_trunc(
+                _CAL_TRUNC[unit],
+                F.col(_req(scfg, "field", f"{sp}.date_histogram")),
+            )
+        else:
+            _fail(sp, f"composite source type {stype!r} is not implemented "
+                      "(supported: terms, date_histogram)")
+        sources.append((sname, col))
+    names = [n for n, _ in sources]
+    m_aggs, m_finals, mads = _metric_cols(sub, path)
+    if mads:
+        _fail(f"{path}.aggs", "median_absolute_deviation inside composite "
+                              "is not implemented")
+    frame = filtered
+    for _, c in sources:  # missing_bucket=false
+        frame = frame.where(c.isNotNull())
+    g = (
+        frame.groupBy(*[c.alias(n) for n, c in sources])
+        .agg(F.count(F.lit(1)).alias("doc_count"), *m_aggs)
+        .select(*names, "doc_count", *m_finals)
+    )
+    after_d = body.get("after")
+    if after_d is not None:
+        if not isinstance(after_d, dict) or set(after_d) != set(names):
+            _fail(f"{p}.after",
+                  f"after must carry exactly the source keys {names}")
+        g = g.filter(composite_after_pred(names, [after_d[n] for n in names]))
+    return g.orderBy(*[F.col(n) for n in names]).limit(size)
+
+
 def _predicate_buckets_agg(filtered: DataFrame, conds: list,
                            sub: dict, path: str) -> DataFrame:
     """The filters/range shape: NAMED predicate buckets (a doc can land
@@ -1046,6 +1204,17 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         _fail(path, f"expected one bucket/metric type, got {sorted(spec)}")
     atype, body = next(iter(spec.items()))
     p = f"{path}.{atype}"
+
+    if atype == "composite":
+        return _composite_agg(filtered, body, sub, path, p)
+
+    if atype == "terms" and sub and any(
+        isinstance(s, dict) and "top_hits" in s for s in sub.values()
+    ):
+        if len(sub) != 1:
+            _fail(f"{path}.aggs", "top_hits must be the only sub-agg of "
+                                  "its terms bucket")
+        return _top_hits_agg(filtered, body, sub, path, p)
 
     if atype == "filters":
         named = _req(body, "filters", p)
@@ -1102,6 +1271,8 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
             .select("key", "doc_count", *m_finals)
         )
         grouped = _apply_mads(grouped, framed, ["key"], mads)
+        if outer.get("dense"):
+            grouped = _densify(grouped, outer["step"])
         grouped = _apply_bucket_pipelines(
             grouped, pipelines, "key", [], outer, path
         )

@@ -7639,6 +7639,149 @@ def search_es_body_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _ES_SORTED)
 
 
+_ES_COMPOSITE = {
+    "aggs": {
+        "page": {
+            "composite": {
+                "sources": [
+                    {"st": {"terms": {"field": "o_orderstatus"}}},
+                    {"pri": {"terms": {"field": "o_orderpriority"}}},
+                ],
+                "size": 6,
+                "after": {"st": "F", "pri": "3-MEDIUM"},
+            },
+            "aggs": {
+                "n_orders": {"value_count": {"field": "o_orderkey"}},
+                "price_max": {"max": {"field": "o_totalprice"}},
+            },
+        }
+    }
+}
+
+
+@q(
+    "agg_es_composite_page",
+    oracle="""
+WITH g AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS pri,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+         max(o_totalprice) AS price_max
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT * FROM g
+WHERE st > 'F' OR (st = 'F' AND pri > '3-MEDIUM')
+ORDER BY st, pri LIMIT 6
+""",
+)
+def agg_es_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` aggregation via the AGG-BODY door — the PAGINATED
+    group-by (how Kibana walks every bucket of a high-cardinality
+    grouping without a giant terms size), run as a verbatim body with a
+    mid-stream ``after`` cursor: buckets order by the source-key tuple
+    and this page resumes strictly after (F, 3-MEDIUM). One grouped
+    aggregate; the cursor is a lexicographic predicate ON the bucket
+    frame (operators.aggregates.composite_after_pred — page N costs page
+    1, pages fetchable by independent jobs), then a per-partition-heap
+    top-size. NULL-keyed rows are skipped (missing_bucket=false)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "orders"), _ES_COMPOSITE)["page"]
+
+
+_ES_DENSE = {
+    "query": {"range": {"o_totalprice": {"gte": 490000.0}}},
+    "aggs": {
+        "per_week": {
+            "date_histogram": {"field": "o_orderdate",
+                               "calendar_interval": "week",
+                               "min_doc_count": 0},
+            "aggs": {"price_max": {"max": {"field": "o_totalprice"}}},
+        }
+    }
+}
+
+
+@q(
+    "agg_es_dense_histogram",
+    oracle="""
+WITH raw AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS key,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         max(o_totalprice) AS price_max
+  FROM orders WHERE coalesce(o_totalprice >= 490000.0, FALSE)
+  GROUP BY 1
+), b AS (SELECT min(key) AS lo, max(key) AS hi FROM raw),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS key FROM b
+)
+SELECT spine.key, CAST(coalesce(raw.doc_count, 0) AS BIGINT) AS doc_count,
+       raw.price_max
+FROM spine LEFT JOIN raw USING (key) ORDER BY key
+""",
+)
+def agg_es_dense_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``min_doc_count: 0`` date_histogram via the AGG-BODY door (the
+    Kibana DEFAULT — bar charts that never hide gaps): a rare-order
+    filter leaves most weeks empty, and every calendar week between the
+    first and last bucket is emitted with doc_count=0 / NULL metrics.
+    The spine is ONE bounded explode of the [min, max] week range
+    (bucket-frame-sized, never the fact table —
+    operators.esdsl._densify, the dense_daily_counts rationale
+    generalized to every calendar unit)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "orders"), _ES_DENSE)["per_week"]
+
+
+_ES_TOP_HITS = {
+    "aggs": {
+        "latest": {
+            "terms": {"field": "event_type", "size": 3},
+            "aggs": {
+                "hits": {"top_hits": {"size": 2,
+                                      "sort": [{"ts": "desc"}],
+                                      "_source": ["event_id", "value"]}},
+            },
+        }
+    }
+}
+
+
+@q(
+    "agg_es_top_hits_door",
+    oracle="""
+WITH th AS (
+  SELECT event_type AS key, event_id, value,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY ts DESC, event_id ASC
+         ) AS INTEGER) AS rank,
+         count(*) OVER (PARTITION BY event_type) AS doc_count
+  FROM events
+), top3 AS (
+  SELECT key FROM (SELECT DISTINCT key, doc_count FROM th)
+  ORDER BY doc_count DESC, key LIMIT 3
+)
+SELECT th.key, event_id, value, rank, doc_count
+FROM th JOIN top3 USING (key) WHERE rank <= 2
+""",
+)
+def agg_es_top_hits_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` + ``top_hits`` via the AGG-BODY door — the Kibana
+    "latest per bucket" panel the reference's dashboards render
+    (/root/reference/README.md:22-24), verbatim: per event type the 2
+    newest events with their payload columns and the bucket's total
+    doc_count; the terms size-3 cut ranks buckets on the bucket-sized
+    output frame. Window-group-limit plan: per-partition heaps keep ≤ k
+    rows per bucket BEFORE the shuffle (operators.aggregates.top_hits,
+    plan-gated in tests/test_es_aggs.py)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), _ES_TOP_HITS)["latest"]
+
+
 # Driver-facing registry order. The round driver hash-checks queries()[:50]
 # in registry order, so queries that have never had a driver CORRECTNESS row
 # (plus any whose oracle changed this round) are surfaced first; queries
@@ -7648,13 +7791,16 @@ def search_es_body_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The r7-evidence rows the r11 window could not fit (the 50 slots went to
 # the 8 never-checked r11 door rows, the 19 r6-stale IOUs the r10 verdict
 # ordered retired — all refreshed this round — and the first 23 r7 rows
-# alphabetically): the 26 names below are the stalest green cohort left
+# alphabetically): the 29 names below are the stalest green cohort left
 # (everything else is r8+) and MUST lead the r12 window after r12's own
 # new/changed rows. Zero-argument `python scripts/window_rotate.py` emits
 # exactly that ordering. After this round the judge-computed freshness
-# histogram is r7x26 / r8x50 / r9x50 / r10x50 / r11x50 (226 rows) — no row
+# histogram is r7x29 / r8x50 / r9x50 / r10x50 / r11x50 (229 rows) — no row
 # older than r7, the r10 verdict task #4 criterion.
 _NEXT_WINDOW_IOUS = [
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_pruned",
     "dedup_simhash_docs",
     "dedup_substring_clean",
     "dedup_substring_spans",
@@ -7685,13 +7831,15 @@ _NEXT_WINDOW_IOUS = [
 
 _DRIVER_PRIORITY = [
     # ROUND-11 WINDOW (50 slots) — zero-argument scripts/window_rotate.py
-    # proposal (r10 verdict task #4): the 8 never-checked r11 rows lead
+    # proposal (r10 verdict task #4): the 11 never-checked r11 rows lead
     # (the ES body-door widening: nested buckets, geo map grid,
     # percentile/extended-stats metrics, one-scan filters-with-metrics,
-    # pipeline + sibling aggs, the field-sorted Latest-news body), then
-    # the 19 r6-evidence IOUs declared at r10 (the whole cohort retires —
-    # nothing stays older than r7), then the oldest r7 rows. The 26 r7
-    # rows displaced are _NEXT_WINDOW_IOUS above.
+    # pipeline + sibling aggs, the field-sorted Latest-news body, plus
+    # wave-2: composite cursor paging, min_doc_count:0 dense spines,
+    # terms+top_hits), then the 19 r6-evidence IOUs declared at r10 (the
+    # whole cohort retires — nothing stays older than r7), then the
+    # oldest r7 rows. The 29 r7 rows displaced are _NEXT_WINDOW_IOUS
+    # above.
     "agg_es_nested_buckets",
     "agg_es_geo_map",
     "agg_es_percentiles_door",
@@ -7700,6 +7848,9 @@ _DRIVER_PRIORITY = [
     "agg_es_pipeline_cumsum",
     "agg_es_sibling_stats",
     "search_es_body_sorted",
+    "agg_es_composite_page",
+    "agg_es_dense_histogram",
+    "agg_es_top_hits_door",
     "sample_upsample_epochs",
     "scd2_incremental_merge",
     "scd2_snapshot_asof",
@@ -7739,9 +7890,6 @@ _DRIVER_PRIORITY = [
     "conform_week_histogram",
     "corpus_curation_pipeline",
     "crawl_tweets_fixture_conform",
-    "dedup_exact_docs",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_pruned",
 ]
 
 

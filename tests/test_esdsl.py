@@ -805,3 +805,90 @@ def test_extended_stats_survives_long_overflow_scale(spark):
     assert door["x_count"] == n
     assert door["x_avg"] == round(mean, 6)
     assert door["x_variance"] == round(var, 6)
+
+
+def test_es_aggs_min_doc_count_zero_densifies(spark):
+    """ES min_doc_count:0 (the Kibana default) emits every calendar gap
+    bucket with doc_count=0 / NULL metrics; the door default stays 1
+    (non-empty only, the shipped green-row semantics)."""
+    import datetime as dt
+
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    rows = [(i, dt.datetime(2024, 1, 1 if i % 4 else 9), float(i))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    body = {"aggs": {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "min_doc_count": 0},
+        "aggs": {"vmax": {"max": {"field": "v"}}}}}}
+    got = es_aggs(df, body)["per_day"].collect()
+    assert [str(r["key"])[:10] for r in got] == [
+        f"2024-01-0{d}" for d in range(1, 10)]
+    assert [r["doc_count"] for r in got] == [9, 0, 0, 0, 0, 0, 0, 0, 3]
+    assert got[1]["vmax"] is None and got[0]["vmax"] == 11.0
+    # default (min_doc_count absent) keeps the non-empty-only shape
+    body2 = {"aggs": {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"}}}}
+    assert es_aggs(df, body2)["per_day"].count() == 2
+    # numeric histogram densifies on the interval grid too
+    h = es_aggs(df, {"aggs": {"hv": {"histogram": {
+        "field": "v", "interval": 5.0, "min_doc_count": 0}}}})["hv"].collect()
+    assert [r["key"] for r in h] == [0.0, 5.0, 10.0]
+
+
+def test_es_aggs_composite_cursor_paging(spark):
+    """composite pages walk EVERY bucket in source-tuple order; page N
+    resumes strictly after the cursor and never re-emits a bucket."""
+    import datetime as dt
+
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    rows = [(i, dt.datetime(2024, 1 + i % 2, 1), ["a", "b", None][i % 3],
+             float(i)) for i in range(24)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, kind string, v double")
+    src = [{"k": {"terms": {"field": "kind"}}},
+           {"m": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "month"}}}]
+    body = {"aggs": {"page": {"composite": {"sources": src, "size": 3},
+                              "aggs": {"n": {"value_count": {"field": "id"}}}}}}
+    seen, after = [], None
+    for _ in range(5):
+        b = {"aggs": {"page": {"composite": {"sources": src, "size": 3,
+                                             **({"after": after} if after else {})},
+                               "aggs": {"n": {"value_count": {"field": "id"}}}}}}
+        page = es_aggs(df, b)["page"].collect()
+        if not page:
+            break
+        seen.extend((r["k"], r["m"]) for r in page)
+        after = {"k": page[-1]["k"], "m": str(page[-1]["m"])}
+    # NULL-keyed rows skipped (missing_bucket=false); 2 kinds x 2 months
+    assert seen == sorted(set(seen)) and len(seen) == 4
+    data = [r for r in df.collect() if r["kind"] is not None]
+    assert len(seen) == len({(d["kind"], d["ts"].month) for d in data})
+
+
+def test_es_aggs_top_hits_door(spark, sf_dir):
+    """terms + top_hits: per-bucket newest rows with payload + bucket
+    doc_count, equal to the standalone operator's output."""
+    from pandemic_knowledge_spark.operators.aggregates import top_hits
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    ev = load(spark, sf_dir, "events")
+    body = {"aggs": {"latest": {"terms": {"field": "event_type", "size": 3},
+        "aggs": {"hits": {"top_hits": {"size": 2, "sort": [{"ts": "desc"}],
+                                       "_source": ["event_id", "value"]}}}}}}
+    got = es_aggs(ev, body)["latest"]
+    assert got.columns == ["key", "event_id", "value", "rank", "doc_count"]
+    want = top_hits(ev, "event_type", "ts", ["event_id", "value"], k=2,
+                    ascending=False).withColumnRenamed("event_type", "key")
+    totals = {r["key"]: r["doc_count"]
+              for r in want.select("key", "doc_count").distinct().collect()}
+    top3 = sorted(totals, key=lambda k: (-totals[k], k))[:3]
+    want_rows = sorted(tuple(r) for r in want.collect() if r["key"] in top3)
+    assert sorted(tuple(r) for r in got.collect()) == want_rows
+    with pytest.raises(UnsupportedEsQuery, match="only sub-agg"):
+        es_aggs(ev, {"aggs": {"x": {"terms": {"field": "event_type"},
+            "aggs": {"h": {"top_hits": {"size": 1, "sort": [{"ts": "desc"}],
+                                        "_source": ["event_id"]}},
+                     "m": {"max": {"field": "value"}}}}}})
