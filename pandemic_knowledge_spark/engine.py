@@ -327,14 +327,19 @@ class Engine:
         body: dict,
         table: str = "events",
         text_col: str | None = None,
+        id_col: str | None = None,
     ) -> dict[str, DataFrame]:
         """Run the AGGREGATION half of an ES request body — the Kibana
-        dashboard shape (filter query + terms/date_histogram/histogram/
-        range buckets with metric sub-aggs) — one DataFrame per top-level
-        aggregation (operators.esdsl.es_aggs)."""
+        dashboard shape (filter query + bucket aggs incl. nested
+        split-series, geo grids, composite paging, predicate buckets and
+        the text-terms analyses, carrying metric/pipeline sub-aggs) —
+        one DataFrame per top-level aggregation (operators.esdsl.es_aggs;
+        ``id_col`` feeds the doc-frequency analyses significant_terms /
+        rare_terms)."""
         from pandemic_knowledge_spark.operators.esdsl import es_aggs
 
-        return es_aggs(self.table(table), body, text_col=text_col)
+        return es_aggs(self.table(table), body, text_col=text_col,
+                       id_col=id_col)
 
     def span_near(
         self,

@@ -290,6 +290,9 @@ def es_query(
         # doc_id ascending is the deterministic tiebreak (ES's is shard
         # order — unstable; ours is total). Output: doc_id + the _source
         # projection (no score column — ES omits _score here too).
+        if not body["sort"]:
+            _fail("$.sort", "sort must be a non-empty array (drop the key "
+                            "for the default scored route)")
         sort_cols = []
         for i, s in enumerate(body["sort"]):
             sp = f"$.sort[{i}]"
@@ -615,7 +618,8 @@ _ES_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
 _METRIC_TYPES = (
     "avg, sum, min, max, value_count, cardinality, stats, percentiles, "
-    "percentile_ranks, extended_stats, median_absolute_deviation"
+    "percentile_ranks, extended_stats, median_absolute_deviation, "
+    "weighted_avg, boxplot, geo_centroid, geo_bounds"
 )
 
 
@@ -642,10 +646,13 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
     for name, spec in (sub_aggs or {}).items():
         mtype, mbody = _single_field(spec, f"{path}.aggs.{name}")
         mp = f"{path}.aggs.{name}.{mtype}"
-        field = _req(mbody, "field", mp)
-        col = F.col(field)
-        if cond is not None:
-            col = F.when(cond, col)
+        if mtype == "weighted_avg":  # value/weight sub-objects, no field
+            field, col = None, None
+        else:
+            field = _req(mbody, "field", mp)
+            col = F.col(field)
+            if cond is not None:
+                col = F.when(cond, col)
 
         def _one(agg_col, out_name):
             aggs.append(agg_col.alias(f"{prefix}{out_name}"))
@@ -741,6 +748,68 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
                 F.round(mean + sigma * std, 6).alias(f"{name}_std_upper"),
                 F.round(mean - sigma * std, 6).alias(f"{name}_std_lower"),
             ])
+        elif mtype == "weighted_avg":
+            # Σ(value·weight) / Σ(weight), both sums exact int64s (the
+            # catalog's money idiom: value in cents via optional `scale`,
+            # default 100; weight cast to long — integer weights by
+            # contract, like ES's typical count weights)
+            vspec = _req(mbody, "value", mp)
+            wspec = _req(mbody, "weight", mp)
+            _reject_extras(mbody, {"value", "weight", "scale"}, mp)
+            scale = int(mbody.get("scale", 100))
+            vcol = F.col(_req(vspec, "field", f"{mp}.value"))
+            wcol = F.col(_req(wspec, "field", f"{mp}.weight")).cast("long")
+            if cond is not None:
+                vcol = F.when(cond, vcol)
+                wcol = F.when(cond, wcol)
+            vc = F.round(vcol * scale, 0).cast("long")
+            _one_pre = f"{prefix}__wa_{name}"
+            aggs.extend([
+                F.sum(vc * wcol).alias(f"{_one_pre}_vw"),
+                F.sum(wcol).alias(f"{_one_pre}_w"),
+            ])
+            finals.append(
+                F.round(
+                    F.col(f"{_one_pre}_vw").cast("double")
+                    / F.col(f"{_one_pre}_w").cast("double") / scale, 6
+                ).alias(name)
+            )
+        elif mtype == "boxplot":
+            _reject_extras(mbody, {"field"}, mp)
+            arr = f"{prefix}__box_{name}"
+            aggs.extend([
+                F.min(col).alias(f"{arr}_mn"),
+                F.percentile(col, [0.25, 0.5, 0.75]).alias(f"{arr}_q"),
+                F.max(col).alias(f"{arr}_mx"),
+            ])
+            finals.extend([
+                F.col(f"{arr}_mn").cast("double").alias(f"{name}_min"),
+                F.round(F.element_at(F.col(f"{arr}_q"), 1), 6)
+                .alias(f"{name}_q1"),
+                F.round(F.element_at(F.col(f"{arr}_q"), 2), 6)
+                .alias(f"{name}_q2"),
+                F.round(F.element_at(F.col(f"{arr}_q"), 3), 6)
+                .alias(f"{name}_q3"),
+                F.col(f"{arr}_mx").cast("double").alias(f"{name}_max"),
+            ])
+        elif mtype == "geo_centroid":
+            # arithmetic mean of the geo_point struct's lat/lon (ES's
+            # centroid), 6-dp rounded; dateline wrap not modeled
+            _reject_extras(mbody, {"field"}, mp)
+            lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+            if cond is not None:
+                lat, lon = F.when(cond, lat), F.when(cond, lon)
+            _one(F.round(F.avg(lat), 6), f"{name}_lat")
+            _one(F.round(F.avg(lon), 6), f"{name}_lon")
+        elif mtype == "geo_bounds":
+            _reject_extras(mbody, {"field"}, mp)
+            lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
+            if cond is not None:
+                lat, lon = F.when(cond, lat), F.when(cond, lon)
+            _one(F.max(lat), f"{name}_top")
+            _one(F.min(lat), f"{name}_bottom")
+            _one(F.min(lon), f"{name}_left")
+            _one(F.max(lon), f"{name}_right")
         elif mtype == "median_absolute_deviation":
             if cond is not None:
                 _fail(mp, "median_absolute_deviation inside filters/range "
@@ -841,8 +910,10 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
             "pre": lat.isNotNull() & lon.isNotNull(),
         }
     _fail(p, f"aggregation {atype!r} is not implemented (supported buckets: "
-             f"{', '.join(_BUCKET_TYPES)}, filters, range; metric "
-             f"sub-aggs: {_METRIC_TYPES})")
+             f"{', '.join(_BUCKET_TYPES)}, composite, filters, range, "
+             "date_range, geo_distance, missing, multi_terms, "
+             "adjacency_matrix, significant_terms, rare_terms, "
+             f"auto_date_histogram; metric sub-aggs: {_METRIC_TYPES})")
 
 
 def _split_sub_aggs(sub: dict, path: str):
@@ -1196,7 +1267,8 @@ def _predicate_buckets_agg(filtered: DataFrame, conds: list,
 
 
 def _one_agg(filtered: DataFrame, name: str, spec: dict,
-             text_col: str | None = None) -> DataFrame:
+             text_col: str | None = None, docs: DataFrame | None = None,
+             pred=None, id_col: str | None = None) -> DataFrame:
     path = f"$.aggs.{name}"
     spec = dict(spec)
     sub = spec.pop("aggs", None)
@@ -1207,6 +1279,157 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
 
     if atype == "composite":
         return _composite_agg(filtered, body, sub, path, p)
+
+    if atype in ("significant_terms", "rare_terms"):
+        # text-terms analyses over per-doc DISTINCT tokens — exactly the
+        # oracle-checked standalone operators; they need the doc id (the
+        # doc-frequency unit) and, for significant_terms, the UNFILTERED
+        # corpus as ES's superset background with the body query as the
+        # foreground predicate
+        from pandemic_knowledge_spark.operators.aggregates import (
+            rare_terms,
+            significant_terms,
+        )
+
+        if sub:
+            _fail(f"{path}.aggs", f"{atype} does not take sub-aggregations")
+        if id_col is None:
+            _fail(p, f"{atype} needs the doc id column — pass id_col to "
+                     "es_aggs")
+        fld = _req(body, "field", p)
+        if text_col is None or fld != text_col:
+            _fail(p, f"{atype} runs over the analyzed text column — pass "
+                     f"text_col and reference it (got field {fld!r})")
+        if atype == "rare_terms":
+            _reject_extras(body, {"field", "max_doc_count", "size"}, p)
+            return rare_terms(
+                filtered, id_col, text_col,
+                int(body.get("max_doc_count", 1)),
+                limit=int(body.get("size", 100)),
+            )
+        _reject_extras(body, {"field", "size", "min_doc_count"}, p)
+        if pred is None:
+            _fail(p, "significant_terms needs a foreground — give the "
+                     "request a query (ES's significant-vs-background "
+                     "contrast is meaningless without one)")
+        return significant_terms(
+            docs, id_col, text_col, pred,
+            top_k=int(body.get("size", 10)),
+            min_doc_count=int(body.get("min_doc_count", 3)),
+        )
+
+    if atype == "auto_date_histogram":
+        from pandemic_knowledge_spark.operators.aggregates import (
+            auto_date_histogram,
+        )
+
+        if sub:
+            _fail(f"{path}.aggs",
+                  "auto_date_histogram sub-aggregations are not implemented")
+        field = _req(body, "field", p)
+        _reject_extras(body, {"field", "buckets"}, p)
+        return auto_date_histogram(filtered, field,
+                                   target_buckets=int(body.get("buckets", 10)))
+
+    if atype == "adjacency_matrix":
+        from pandemic_knowledge_spark.operators.aggregates import (
+            adjacency_matrix,
+        )
+
+        if sub:
+            _fail(f"{path}.aggs", "adjacency_matrix metric sub-aggs are "
+                                  "not implemented (count buckets only)")
+        named = _req(body, "filters", p)
+        _reject_extras(body, {"filters"}, p)
+        if not isinstance(named, dict) or not named:
+            _fail(p, "adjacency_matrix needs a non-empty name -> query "
+                     "object")
+        preds = {
+            bname: F.coalesce(
+                _agg_filter_pred(q, text_col, f"{p}.filters.{bname}"),
+                F.lit(False),
+            )
+            for bname, q in named.items()
+        }
+        return adjacency_matrix(filtered, preds)
+
+    if atype == "multi_terms":
+        terms_spec = _req(body, "terms", p)
+        _reject_extras(body, {"terms", "size"}, p)
+        size = int(body.get("size", 10))
+        if not isinstance(terms_spec, (list, tuple)) or len(terms_spec) < 2:
+            _fail(p, "multi_terms needs >= 2 term sources")
+        fields = []
+        for i, t in enumerate(terms_spec):
+            _reject_extras(t, {"field"}, f"{p}.terms[{i}]")
+            fields.append(_req(t, "field", f"{p}.terms[{i}]"))
+        m_aggs, m_finals, mads = _metric_cols(sub, path)
+        if mads:
+            _fail(f"{path}.aggs", "median_absolute_deviation inside "
+                                  "multi_terms is not implemented")
+        return (
+            filtered.groupBy(*fields)
+            .agg(F.count(F.lit(1)).alias("doc_count"), *m_aggs)
+            .select(*fields, "doc_count", *m_finals)
+            .orderBy(F.desc("doc_count"), *[F.asc(f) for f in fields])
+            .limit(size)
+        )
+
+    if atype == "missing":
+        field = _req(body, "field", p)
+        _reject_extras(body, {"field"}, p)
+        return _predicate_buckets_agg(
+            filtered, [("missing", F.col(field).isNull())], sub, path
+        )
+
+    if atype == "date_range":
+        field = _req(body, "field", p)
+        ranges = _req(body, "ranges", p)
+        _reject_extras(body, {"field", "ranges"}, p)
+        col = F.col(field)
+        conds = []
+        for i, r in enumerate(ranges):
+            _reject_extras(r, {"key", "from", "to"}, f"{p}.ranges[{i}]")
+            lo, hi = r.get("from"), r.get("to")
+            pr = col.isNotNull()
+            if lo is not None:
+                pr = pr & (col >= F.to_timestamp(F.lit(str(lo))))
+            if hi is not None:
+                pr = pr & (col < F.to_timestamp(F.lit(str(hi))))
+            key = r.get("key") or (f"{lo if lo is not None else '*'}-"
+                                   f"{hi if hi is not None else '*'}")
+            conds.append((str(key), pr))
+        return _predicate_buckets_agg(filtered, conds, sub, path)
+
+    if atype == "geo_distance":
+        from pandemic_knowledge_spark.functions.geo import haversine_km
+
+        field = _req(body, "field", p)
+        origin = _req(body, "origin", p)
+        ranges = _req(body, "ranges", p)
+        unit = body.get("unit")
+        if unit != "km":
+            _fail(p, "only unit: \"km\" is implemented (ES defaults to "
+                     "meters — say the unit explicitly)")
+        _reject_extras(body, {"field", "origin", "ranges", "unit"}, p)
+        dist = haversine_km(
+            F.col(f"{field}.lat"), F.col(f"{field}.lon"),
+            F.lit(float(_req(origin, "lat", f"{p}.origin"))),
+            F.lit(float(_req(origin, "lon", f"{p}.origin"))),
+        )
+        conds = []
+        for i, r in enumerate(ranges):
+            _reject_extras(r, {"key", "from", "to"}, f"{p}.ranges[{i}]")
+            lo, hi = r.get("from"), r.get("to")
+            pr = F.col(f"{field}.lat").isNotNull()
+            if lo is not None:
+                pr = pr & (dist >= F.lit(float(lo)))
+            if hi is not None:
+                pr = pr & (dist < F.lit(float(hi)))
+            key = r.get("key") or (f"{lo if lo is not None else '*'}-"
+                                   f"{hi if hi is not None else '*'}")
+            conds.append((str(key), pr))
+        return _predicate_buckets_agg(filtered, conds, sub, path)
 
     if atype == "terms" and sub and any(
         isinstance(s, dict) and "top_hits" in s for s in sub.values()
@@ -1288,12 +1511,21 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
     # grouped frame for outer totals and semi-joins the winners back —
     # never a second fact-table pass, never a global window.
     iname, itype, ibody, isub = inner_entry
+    if outer.get("dense"):
+        _fail(p, "min_doc_count: 0 on a parent of a nested bucket is not "
+                 "implemented (the dense spine is single-level) — drop it "
+                 "or flatten the query")
     if metric_leaves:
         _fail(f"{path}.aggs",
               "metric sub-aggs next to a nested bucket must live INSIDE "
               "the nested bucket (one flat (outer, inner, metrics) table "
               "per level is the door's output shape)")
     inner = _bucket_key(itype, ibody, f"{path}.aggs.{iname}.{itype}")
+    if inner.get("dense"):
+        _fail(f"{path}.aggs.{iname}.{itype}",
+              "min_doc_count: 0 inside a nested bucket is not implemented "
+              "(a per-parent dense spine) — drop it or run the histogram "
+              "as the top-level bucket")
     i_inner, i_pipelines, i_metrics = _split_sub_aggs(
         isub, f"{path}.aggs.{iname}"
     )
@@ -1353,6 +1585,7 @@ def es_aggs(
     docs: DataFrame,
     body: dict,
     text_col: str | None = None,
+    id_col: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run the AGGREGATION half of an ES request body — the Kibana shape
     — one DataFrame per top-level aggregation name.
@@ -1387,14 +1620,14 @@ def es_aggs(
     integer fields."""
     aggs = _req(body, "aggs", "$")
     _reject_extras(body, {"query", "aggs"}, "$")
+    pred = None
     filtered = docs
     if "query" in body:
-        filtered = docs.where(
-            F.coalesce(
-                _agg_filter_pred(body["query"], text_col, "$.query"),
-                F.lit(False),
-            )
+        pred = F.coalesce(
+            _agg_filter_pred(body["query"], text_col, "$.query"),
+            F.lit(False),
         )
+        filtered = docs.where(pred)
     out: dict[str, DataFrame] = {}
     pipelines = {}
     for name, spec in aggs.items():
@@ -1402,7 +1635,8 @@ def es_aggs(
         if atype in _SIBLING_PIPELINE_TYPES:
             pipelines[name] = (atype, spec[atype])
             continue
-        out[name] = _one_agg(filtered, name, spec, text_col=text_col)
+        out[name] = _one_agg(filtered, name, spec, text_col=text_col,
+                             docs=docs, pred=pred, id_col=id_col)
     for name, (ptype, pbody) in pipelines.items():
         out[name] = _sibling_pipeline(out, name, ptype, pbody)
     return out

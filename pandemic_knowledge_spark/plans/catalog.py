@@ -7782,6 +7782,161 @@ def agg_es_top_hits_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_aggs(load(spark, sf_dir, "events"), _ES_TOP_HITS)["latest"]
 
 
+_ES_SIG = {
+    "query": {"term": {"text": "spark"}},
+    "aggs": {"sig": {"significant_terms": {"field": "text", "size": 7,
+                                           "min_doc_count": 2}}},
+}
+
+
+@q(
+    "agg_es_sig_terms_door",
+    oracle=sql_significant_terms(
+        "documents", "doc_id", "text",
+        f"list_contains({sql_tokenize('text')}, 'spark')",
+        top_k=7, min_doc_count=2,
+    ),
+)
+def agg_es_sig_terms_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_terms`` via the AGG-BODY door: the body query is
+    the FOREGROUND predicate and the unfiltered corpus the superset
+    background (ES's contrast contract) — JLH-scored overrepresented
+    terms among spark-mentioning docs, verbatim Kibana body. Routes to
+    the oracle-checked operators.aggregates.significant_terms (one
+    distinct-terms explode, one term shuffle carrying fg/bg counts)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "documents"), _ES_SIG,
+                   text_col="text", id_col="doc_id")["sig"]
+
+
+_ES_MULTI_TERMS = {
+    "aggs": {
+        "pairs": {
+            "multi_terms": {
+                "terms": [{"field": "o_orderstatus"},
+                          {"field": "o_orderpriority"}],
+                "size": 8,
+            },
+            "aggs": {
+                "wa_price": {"weighted_avg": {
+                    "value": {"field": "o_totalprice"},
+                    "weight": {"field": "o_custkey"},
+                }},
+            },
+        }
+    }
+}
+
+
+@q(
+    "agg_es_multi_terms_door",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS doc_count,
+       round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                      * CAST(o_custkey AS BIGINT)) AS DOUBLE)
+             / CAST(sum(CAST(o_custkey AS BIGINT)) AS DOUBLE) / 100.0, 6)
+         AS wa_price
+FROM orders GROUP BY 1, 2
+ORDER BY doc_count DESC, o_orderstatus, o_orderpriority LIMIT 8
+""",
+)
+def agg_es_multi_terms_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_terms`` (7.12+) via the AGG-BODY door — compound-keyed
+    terms buckets with a ``weighted_avg`` metric sub-agg riding the SAME
+    grouped aggregate: Σ(cents·weight)/Σ(weight), both sums exact int64s
+    (the catalog's money idiom; integer weights by contract). One
+    compound-key shuffle, heap top-8."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "orders"), _ES_MULTI_TERMS)["pairs"]
+
+
+_ES_DATE_RANGE = {
+    "aggs": {
+        "eras": {
+            "date_range": {
+                "field": "o_orderdate",
+                "ranges": [{"key": "early", "to": "1997-01-01"},
+                           {"key": "late", "from": "1997-01-01"}],
+            },
+            "aggs": {"bp": {"boxplot": {"field": "o_totalprice"}}},
+        }
+    }
+}
+
+
+@q(
+    "agg_es_date_range_boxplot",
+    oracle="""
+SELECT 'early' AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(min(o_totalprice) AS DOUBLE) AS bp_min,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS bp_q1,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS bp_q2,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS bp_q3,
+       CAST(max(o_totalprice) AS DOUBLE) AS bp_max
+FROM orders
+WHERE o_orderdate IS NOT NULL AND o_orderdate < TIMESTAMP '1997-01-01'
+UNION ALL
+SELECT 'late', CAST(count(*) AS BIGINT),
+       CAST(min(o_totalprice) AS DOUBLE),
+       round(quantile_cont(o_totalprice, 0.25), 6),
+       round(quantile_cont(o_totalprice, 0.50), 6),
+       round(quantile_cont(o_totalprice, 0.75), 6),
+       CAST(max(o_totalprice) AS DOUBLE)
+FROM orders
+WHERE o_orderdate IS NOT NULL AND o_orderdate >= TIMESTAMP '1997-01-01'
+""",
+)
+def agg_es_date_range_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` buckets + ``boxplot`` metric via the AGG-BODY
+    door (the Kibana era-comparison panel): ISO bounds (from inclusive,
+    to exclusive), each era's five-number price summary. ONE scan, ONE
+    one-row conditional aggregate — min/quartiles/max per bucket as
+    when()-wrapped aggregates in the same wide row, unpivoted
+    (operators.esdsl._predicate_buckets_agg; the oracle's UNION ALL is
+    presentation of the same values)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "orders"), _ES_DATE_RANGE)["eras"]
+
+
+_ES_ADJ = {
+    "aggs": {
+        "segments": {
+            "adjacency_matrix": {
+                "filters": {
+                    "open": {"term": {"o_orderstatus": "O"}},
+                    "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+                    "big": {"range": {"o_totalprice": {"gte": 300000.0}}},
+                }
+            }
+        }
+    }
+}
+
+_ES_ADJ_SQL = {
+    "open": "coalesce(o_orderstatus = 'O', FALSE)",
+    "urgent": "coalesce(o_orderpriority = '1-URGENT', FALSE)",
+    "big": "coalesce(o_totalprice >= 300000.0, FALSE)",
+}
+
+
+@q(
+    "agg_es_adjacency_door",
+    oracle=sql_adjacency_matrix("orders", _ES_ADJ_SQL),
+)
+def agg_es_adjacency_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix`` via the AGG-BODY door: named segment
+    queries plus every pairwise intersection ('A&B' keys), verbatim body
+    compiled to boolean Columns and routed to the one-scan
+    conditional-sum operator (operators.aggregates.adjacency_matrix —
+    adding a segment adds a column, never a scan)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "orders"), _ES_ADJ)["segments"]
+
+
 # Driver-facing registry order. The round driver hash-checks queries()[:50]
 # in registry order, so queries that have never had a driver CORRECTNESS row
 # (plus any whose oracle changed this round) are surfaced first; queries
@@ -7791,13 +7946,17 @@ def agg_es_top_hits_door(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The r7-evidence rows the r11 window could not fit (the 50 slots went to
 # the 8 never-checked r11 door rows, the 19 r6-stale IOUs the r10 verdict
 # ordered retired — all refreshed this round — and the first 23 r7 rows
-# alphabetically): the 29 names below are the stalest green cohort left
+# alphabetically): the 33 names below are the stalest green cohort left
 # (everything else is r8+) and MUST lead the r12 window after r12's own
 # new/changed rows. Zero-argument `python scripts/window_rotate.py` emits
 # exactly that ordering. After this round the judge-computed freshness
-# histogram is r7x29 / r8x50 / r9x50 / r10x50 / r11x50 (229 rows) — no row
+# histogram is r7x33 / r8x50 / r9x50 / r10x50 / r11x50 (233 rows) — no row
 # older than r7, the r10 verdict task #4 criterion.
 _NEXT_WINDOW_IOUS = [
+    "conform_json_coerce",
+    "conform_week_histogram",
+    "corpus_curation_pipeline",
+    "crawl_tweets_fixture_conform",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_pruned",
@@ -7831,14 +7990,16 @@ _NEXT_WINDOW_IOUS = [
 
 _DRIVER_PRIORITY = [
     # ROUND-11 WINDOW (50 slots) — zero-argument scripts/window_rotate.py
-    # proposal (r10 verdict task #4): the 11 never-checked r11 rows lead
+    # proposal (r10 verdict task #4): the 15 never-checked r11 rows lead
     # (the ES body-door widening: nested buckets, geo map grid,
     # percentile/extended-stats metrics, one-scan filters-with-metrics,
     # pipeline + sibling aggs, the field-sorted Latest-news body, plus
     # wave-2: composite cursor paging, min_doc_count:0 dense spines,
-    # terms+top_hits), then the 19 r6-evidence IOUs declared at r10 (the
+    # terms+top_hits; wave-3: significant_terms / multi_terms+weighted_avg
+    # / date_range+boxplot / adjacency_matrix door rows), then the 19
+    # r6-evidence IOUs declared at r10 (the
     # whole cohort retires — nothing stays older than r7), then the
-    # oldest r7 rows. The 29 r7 rows displaced are _NEXT_WINDOW_IOUS
+    # oldest r7 rows. The 33 r7 rows displaced are _NEXT_WINDOW_IOUS
     # above.
     "agg_es_nested_buckets",
     "agg_es_geo_map",
@@ -7851,6 +8012,10 @@ _DRIVER_PRIORITY = [
     "agg_es_composite_page",
     "agg_es_dense_histogram",
     "agg_es_top_hits_door",
+    "agg_es_sig_terms_door",
+    "agg_es_multi_terms_door",
+    "agg_es_date_range_boxplot",
+    "agg_es_adjacency_door",
     "sample_upsample_epochs",
     "scd2_incremental_merge",
     "scd2_snapshot_asof",
@@ -7886,10 +8051,6 @@ _DRIVER_PRIORITY = [
     "ann_rp_lsh_topk",
     "asof_attribution",
     "cohort_weekly_retention",
-    "conform_json_coerce",
-    "conform_week_histogram",
-    "corpus_curation_pipeline",
-    "crawl_tweets_fixture_conform",
 ]
 
 

@@ -892,3 +892,179 @@ def test_es_aggs_top_hits_door(spark, sf_dir):
             "aggs": {"h": {"top_hits": {"size": 1, "sort": [{"ts": "desc"}],
                                         "_source": ["event_id"]}},
                      "m": {"max": {"field": "value"}}}}}})
+
+
+def test_es_aggs_dense_and_empty_sort_reject_paths(spark):
+    """Self-review regressions: min_doc_count:0 in a NESTED body must
+    raise (silently ignoring it would violate the door contract), and an
+    empty sort array must not silently take the scoreless route."""
+    import datetime as dt
+
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a", 1.0)],
+        "id long, ts timestamp, kind string, v double",
+    )
+    with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
+        es_aggs(df, {"aggs": {"a": {"terms": {"field": "kind"}, "aggs": {
+            "b": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "day",
+                                     "min_doc_count": 0}}}}}})
+    with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
+        es_aggs(df, {"aggs": {"a": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0},
+            "aggs": {"b": {"terms": {"field": "kind"}}}}}})
+    with pytest.raises(UnsupportedEsQuery, match="sort"):
+        es_query(df, "id", None, {"query": {"match_all": {}}, "sort": []})
+
+
+def test_es_aggs_text_terms_analyses_door(spark, sf_dir):
+    """significant_terms / rare_terms bodies route to the oracle-checked
+    text-terms operators: the body query is the foreground, the
+    UNFILTERED corpus the background (ES's superset contract)."""
+    from pyspark.sql import functions as F
+
+    from pandemic_knowledge_spark.functions.text import tokenize
+    from pandemic_knowledge_spark.operators.aggregates import (
+        rare_terms,
+        significant_terms,
+    )
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    docs = load(spark, sf_dir, "documents")
+    got = es_aggs(docs, {
+        "query": {"term": {"text": "spark"}},
+        "aggs": {"sig": {"significant_terms": {"field": "text", "size": 7,
+                                               "min_doc_count": 2}}},
+    }, text_col="text", id_col="doc_id")["sig"]
+    want = significant_terms(
+        docs, "doc_id", "text",
+        F.array_contains(tokenize("text"), "spark"), top_k=7,
+        min_doc_count=2,
+    )
+    assert rows(got) == rows(want) and got.count()
+    got_r = es_aggs(docs, {"aggs": {"r": {"rare_terms": {
+        "field": "text", "max_doc_count": 2, "size": 9}}}},
+        text_col="text", id_col="doc_id")["r"]
+    want_r = rare_terms(docs, "doc_id", "text", 2, limit=9)
+    assert rows(got_r) == rows(want_r)
+    with pytest.raises(UnsupportedEsQuery, match="id_col"):
+        es_aggs(docs, {"aggs": {"r": {"rare_terms": {
+            "field": "text", "max_doc_count": 1}}}}, text_col="text")
+    with pytest.raises(UnsupportedEsQuery, match="foreground"):
+        es_aggs(docs, {"aggs": {"s": {"significant_terms": {
+            "field": "text"}}}}, text_col="text", id_col="doc_id")
+
+
+def test_es_aggs_adjacency_and_auto_histogram_door(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pandemic_knowledge_spark.operators.aggregates import (
+        adjacency_matrix,
+        auto_date_histogram,
+    )
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    o = load(spark, sf_dir, "orders")
+    got = es_aggs(o, {"aggs": {"adj": {"adjacency_matrix": {"filters": {
+        "open": {"term": {"o_orderstatus": "O"}},
+        "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+    }}}}})["adj"]
+    want = adjacency_matrix(o, {
+        "open": F.coalesce(F.col("o_orderstatus") == "O", F.lit(False)),
+        "urgent": F.coalesce(F.col("o_orderpriority") == "1-URGENT",
+                             F.lit(False)),
+    })
+    assert rows(got) == rows(want) and got.count()
+    got_a = es_aggs(o, {"aggs": {"auto": {"auto_date_histogram": {
+        "field": "o_orderdate", "buckets": 12}}}})["auto"]
+    want_a = auto_date_histogram(o, "o_orderdate", target_buckets=12)
+    assert rows(got_a) == rows(want_a)
+
+
+def test_es_aggs_wave3_metrics_and_predicate_buckets(spark, sf_dir):
+    """weighted_avg / boxplot / geo metrics + date_range / missing /
+    multi_terms / geo_distance buckets — value spot-checks."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    o = load(spark, sf_dir, "orders")
+    mt = es_aggs(o, {"aggs": {"mt": {
+        "multi_terms": {"terms": [{"field": "o_orderstatus"},
+                                  {"field": "o_orderpriority"}], "size": 5},
+        "aggs": {"wa": {"weighted_avg": {"value": {"field": "o_totalprice"},
+                                         "weight": {"field": "o_custkey"}}}},
+    }}})["mt"]
+    assert mt.columns == ["o_orderstatus", "o_orderpriority", "doc_count",
+                          "wa"]
+    top = mt.collect()[0]
+    data = [r for r in o.collect()
+            if (r["o_orderstatus"], r["o_orderpriority"])
+            == (top["o_orderstatus"], top["o_orderpriority"])]
+    vw = sum(round(d["o_totalprice"] * 100) * d["o_custkey"] for d in data)
+    w = sum(d["o_custkey"] for d in data)
+    assert abs(top["wa"] - round(vw / w / 100, 6)) < 1e-9
+    assert top["doc_count"] == len(data)
+
+    dr = es_aggs(o, {"aggs": {"dr": {
+        "date_range": {"field": "o_orderdate",
+                       "ranges": [{"key": "old", "to": "1998-01-01"},
+                                  {"key": "new", "from": "1998-01-01"}]},
+        "aggs": {"bp": {"boxplot": {"field": "o_totalprice"}}},
+    }}})["dr"].collect()
+    import datetime as dt
+    import statistics
+
+    cut = dt.datetime(1998, 1, 1)
+    by_key = {r["key"]: r for r in dr}
+    old = sorted(r["o_totalprice"] for r in o.collect()
+                 if r["o_orderdate"] < cut)
+    assert by_key["old"]["doc_count"] == len(old)
+    assert by_key["old"]["bp_min"] == min(old)
+    assert abs(by_key["old"]["bp_q2"]
+               - round(statistics.median(old), 6)) < 1e-6
+
+    miss = es_aggs(o, {"aggs": {"m": {"missing": {"field": "o_custkey"}}}})
+    assert miss["m"].collect()[0]["doc_count"] == 0
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.struct(
+            ((F.col("c_custkey") % 90) - 45).cast("double").alias("lat"),
+            ((F.col("c_custkey") % 180) - 90).cast("double").alias("lon"),
+        ).alias("loc")
+    )
+    rings = es_aggs(cust, {"aggs": {"rings": {"geo_distance": {
+        "field": "loc", "origin": {"lat": 0.0, "lon": 0.0}, "unit": "km",
+        "ranges": [{"to": 5000.0}, {"from": 5000.0}],
+    }, }, }, "query": {"match_all": {}}})["rings"].collect()
+
+    def hav(lat, lon):
+        R = 6371.0088
+        p1, p2 = math.radians(0.0), math.radians(lat)
+        dp, dl = math.radians(lat), math.radians(lon)
+        a = (math.sin(dp / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+        return 2 * R * math.asin(math.sqrt(a))
+
+    pts = [((k % 90) - 45.0, (k % 180) - 90.0)
+           for k in range(1, cust.count() + 1)]
+    near = sum(1 for la, lo in pts if hav(la, lo) < 5000.0)
+    by_key = {r["key"]: r["doc_count"] for r in rings}
+    assert by_key["*-5000.0"] == near
+    assert by_key["5000.0-*"] == len(pts) - near
+    # geo metrics under a terms bucket
+    ev = load(spark, sf_dir, "customer").select(
+        F.lit("x").alias("k"),
+        F.struct(F.lit(10.0).alias("lat"), F.lit(20.0).alias("lon"))
+        .alias("loc"))
+    gm = es_aggs(ev, {"aggs": {"g": {"terms": {"field": "k"}, "aggs": {
+        "c": {"geo_centroid": {"field": "loc"}},
+        "b": {"geo_bounds": {"field": "loc"}}}}}})["g"].collect()[0]
+    assert (gm["c_lat"], gm["c_lon"]) == (10.0, 20.0)
+    assert (gm["b_top"], gm["b_bottom"], gm["b_left"], gm["b_right"]) == (
+        10.0, 10.0, 20.0, 20.0)
