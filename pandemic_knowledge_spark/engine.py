@@ -341,6 +341,69 @@ class Engine:
         return es_aggs(self.table(table), body, text_col=text_col,
                        id_col=id_col)
 
+    def es_search(
+        self,
+        body: dict,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        emb_table: str = "embeddings",
+        vec_id_col: str = "vec_id",
+    ) -> dict:
+        """The full ES ``_search`` request in ONE call — the exact shape
+        an ES client POSTs: ``query`` (+ ``size``/``from``/``sort``/
+        ``_source``) produce the ``"hits"`` frame, ``knn`` (+ optional
+        ``rank: {rrf}`` hybrid with the query) routes through the kNN
+        door, and ``aggs`` adds one DataFrame per aggregation computed
+        over the SAME query filter (ES aggregates over every matching
+        doc, not the hits page). Returns ``{"hits": DataFrame | absent,
+        <agg_name>: DataFrame, ...}`` — a migrating client splits the dict
+        exactly where ES's response JSON splits hits from aggregations."""
+        from pandemic_knowledge_spark.operators.esdsl import (
+            UnsupportedEsQuery,
+            es_aggs,
+            es_query,
+        )
+
+        out: dict = {}
+        if "knn" in body:
+            extras = set(body) - {"knn", "query", "rank", "size", "aggs"}
+            if extras:
+                raise UnsupportedEsQuery(
+                    f"$: unsupported keys next to knn: {sorted(extras)}"
+                )
+            q = body.get("query")
+            if q is not None:
+                qtype, qbody = next(iter(q.items()))
+                if qtype != "match":
+                    raise UnsupportedEsQuery(
+                        "$.query: hybrid knn+query supports a match query "
+                        "(the BM25 arm of the RRF fuse)"
+                    )
+                field, spec = next(iter(qbody.items()))
+                qtext = spec["query"] if isinstance(spec, dict) else spec
+            else:
+                qtext = None
+            out["hits"] = self.knn(
+                body["knn"], query=qtext, rank=body.get("rank"),
+                k=int(body.get("size", 10)), table=table, id_col=id_col,
+                text_col=text_col, emb_table=emb_table,
+                vec_id_col=vec_id_col,
+            )
+        elif "query" in body:
+            hits_body = {k: body[k] for k in
+                         ("query", "size", "from", "sort", "_source")
+                         if k in body}
+            out["hits"] = self.es_query(hits_body, table=table,
+                                        id_col=id_col, text_col=text_col)
+        if "aggs" in body:
+            aggs_body = {"aggs": body["aggs"]}
+            if "query" in body and "knn" not in body:
+                aggs_body["query"] = body["query"]
+            out.update(es_aggs(self.table(table), aggs_body,
+                               text_col=text_col, id_col=id_col))
+        return out
+
     def span_near(
         self,
         query: str,

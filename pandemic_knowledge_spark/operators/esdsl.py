@@ -112,6 +112,18 @@ def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
         return {"range": {field: bounds}}
     if qtype == "exists":
         return {"exists": {"field": _req(body, "field", path)}}
+    if qtype == "terms":
+        # ES terms query: the doc matches if ANY listed term does —
+        # exactly a membership bool of term clauses (minimum_should_match
+        # 1); scored contexts wrap it constant_score like the single term
+        # (keyword-field terms scores are flat per doc)
+        field, values = _single_field(body, path)
+        if not isinstance(values, (list, tuple)) or not values:
+            _fail(path, "terms needs a non-empty value array")
+        return {"bool": {
+            "should": [{"term": str(v)} for v in values],
+            "minimum_should_match": 1,
+        }}
     if qtype == "constant_score":
         inner_type, inner_body = _single_field(_req(body, "filter", path), f"{path}.filter")
         clause = {
@@ -185,12 +197,15 @@ def _scored_term_wrap(clause: dict) -> dict:
     rank-identical; the magnitude here is the clause boost (ES's is
     boost × a per-term idf constant — documented divergence, precise
     direction: deterministic, query-independent of corpus stats).
-    Membership contexts keep the raw term clause."""
-    if set(clause) <= {"term", "boost"}:
-        wrapped = {"constant_score": {"term": clause["term"]}}
-        if "boost" in clause:
-            wrapped["boost"] = clause["boost"]
-        return wrapped
+    Membership contexts keep the raw term clause. The ``terms`` query
+    (compiled to a membership bool-of-terms) wraps the same way — its
+    keyword-field score is equally flat per matching doc."""
+    for inner_key in ("term", "bool"):
+        if set(clause) <= {inner_key, "boost"}:
+            wrapped = {"constant_score": {inner_key: clause[inner_key]}}
+            if "boost" in clause:
+                wrapped["boost"] = clause["boost"]
+            return wrapped
     return clause
 
 
@@ -454,8 +469,20 @@ def es_query(
             in_order=bool(qbody.get("in_order", False)),
             k=fetch,
         )
-    elif qtype in ("match", "match_phrase", "term", "prefix", "fuzzy",
-                   "range", "exists", "constant_score"):
+    elif qtype in ("query_string", "simple_query_string"):
+        # the search-box mini-language (+must -must_not "phrase"
+        # wildcard* fuzzy~ — the engine's parse_query_string door);
+        # simple_query_string accepts the same subset here, erroring on
+        # anything the parser can't express rather than approximating
+        from pandemic_knowledge_spark.operators.boolquery import (
+            query_string_search,
+        )
+
+        q = str(_req(qbody, "query", path))
+        _reject_extras(qbody, {"query"}, path)
+        out = query_string_search(docs, id_col, text_col, q, k=fetch)
+    elif qtype in ("match", "match_phrase", "term", "terms", "prefix",
+                   "fuzzy", "range", "exists", "constant_score"):
         # bare leaf at the top level: ES wraps it in an implicit bool
         clause = _leaf_clause(qtype, qbody, path)
         if qtype in ("range", "exists"):

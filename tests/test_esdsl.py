@@ -1068,3 +1068,69 @@ def test_es_aggs_wave3_metrics_and_predicate_buckets(spark, sf_dir):
     assert (gm["c_lat"], gm["c_lon"]) == (10.0, 20.0)
     assert (gm["b_top"], gm["b_bottom"], gm["b_left"], gm["b_right"]) == (
         10.0, 10.0, 20.0, 20.0)
+
+
+def test_es_query_terms_and_query_string_routes(spark, sf_dir):
+    """terms queries compile to a membership bool-of-terms (constant
+    score in scored contexts, raw membership in filters); query_string
+    bodies route to the mini-language door."""
+    from pandemic_knowledge_spark.operators.boolquery import (
+        query_string_search,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    got = rows(es_query(docs, "doc_id", "text", {
+        "query": {"terms": {"text": ["spark", "vector"]}}, "size": 30}))
+    want = rows(bool_search(
+        docs, "doc_id", "text",
+        should=[{"constant_score": {"bool": {
+            "should": [{"term": "spark"}, {"term": "vector"}],
+            "minimum_should_match": 1}}}],
+        minimum_should_match=1, k=30))
+    assert got == want and got
+    assert {s for _, s in got} == {1.0}
+    # terms in filter context: pure membership, composes with a scored must
+    got_f = rows(es_query(docs, "doc_id", "text", {"query": {"bool": {
+        "must": [{"match": {"text": "stream"}}],
+        "filter": [{"terms": {"text": ["spark", "vector"]}}]}}, "size": 25}))
+    want_f = rows(bool_search(
+        docs, "doc_id", "text", must=[{"match": "stream"}],
+        filter=[{"bool": {"should": [{"term": "spark"}, {"term": "vector"}],
+                          "minimum_should_match": 1}}], k=25))
+    assert got_f == want_f and got_f
+    # query_string body
+    q = '+spark -vector "fast scan"'
+    got_q = rows(es_query(docs, "doc_id", "text", {
+        "query": {"query_string": {"query": q}}, "size": 10}))
+    want_q = rows(query_string_search(docs, "doc_id", "text", q, k=10))
+    assert got_q == want_q
+
+
+def test_engine_es_search_unified_request(spark, sf_dir):
+    """The full _search body in one call: hits + aggregations computed
+    over the SAME query filter, split exactly where ES's response JSON
+    splits them; knn bodies route through the hybrid door."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    eng = Engine(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": "spark stream"}},
+        "size": 5,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5}}},
+    }
+    res = eng.es_search(body)
+    assert set(res) == {"hits", "by_lang"}
+    want_hits = rows(eng.es_query({"query": body["query"], "size": 5}))
+    assert rows(res["hits"]) == want_hits and want_hits
+    want_aggs = es_aggs(
+        load(spark, sf_dir, "documents"),
+        {"query": body["query"], "aggs": body["aggs"]},
+        text_col="text", id_col="doc_id",
+    )["by_lang"]
+    assert rows(res["by_lang"]) == rows(want_aggs)
+    # knn arm: pure vector body routes to the vector door
+    emb = load(spark, sf_dir, "embeddings")
+    vec = emb.limit(1).collect()[0]["embedding"]
+    res_k = eng.es_search({"knn": {"field": "embedding",
+                                   "query_vector": list(vec), "k": 5}})
+    assert list(res_k) == ["hits"] and res_k["hits"].count() == 5
