@@ -789,10 +789,18 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
             if cond is not None:
                 vcol = F.when(cond, vcol)
                 wcol = F.when(cond, wcol)
-            vc = F.round(vcol * scale, 0).cast("long")
+            # the value·weight products and their sum run in DECIMAL:
+            # cents × a large integer weight overflows a long product
+            # around 1e11-scale weights and the SUM overflows around 1e4
+            # money-sized rows (the sf1 probe caught it, like
+            # extended_stats' Σx²) — decimal(18)×decimal(18) → (37,0)
+            # exact, summed with 38 digits of headroom; DuckDB's HUGEINT
+            # sum is the oracle twin
+            vc = F.round(vcol * scale, 0).cast("decimal(18,0)")
+            wd = wcol.cast("decimal(18,0)")
             _one_pre = f"{prefix}__wa_{name}"
             aggs.extend([
-                F.sum(vc * wcol).alias(f"{_one_pre}_vw"),
+                F.sum(vc * wd).alias(f"{_one_pre}_vw"),
                 F.sum(wcol).alias(f"{_one_pre}_w"),
             ])
             finals.append(

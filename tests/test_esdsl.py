@@ -1134,3 +1134,25 @@ def test_engine_es_search_unified_request(spark, sf_dir):
     res_k = eng.es_search({"knn": {"field": "embedding",
                                    "query_vector": list(vec), "k": 5}})
     assert list(res_k) == ["hits"] and res_k["hits"].count() == 5
+
+
+def test_weighted_avg_survives_long_overflow_scale(spark):
+    """r11 sf1-probe regression #2: cents·large-weight products summed in
+    long overflow (the multi_terms door row crashed at sf1 with shifted
+    1e8-scale keys as weights) — the products and their sum must run in
+    decimal."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "'g' AS k", "CAST(400000 AS DOUBLE) AS v",
+        "CAST(100000000 + id AS BIGINT) AS w",
+    )
+    cents, ws = 400000_00, [100_000_000 + i for i in range(n)]
+    assert sum(cents * w for w in ws) > 2**63 - 1  # vacuous-guard
+    out = es_aggs(df, {"aggs": {"g": {"terms": {"field": "k"}, "aggs": {
+        "wa": {"weighted_avg": {"value": {"field": "v"},
+                                "weight": {"field": "w"}}}}}}})["g"]
+    row = out.collect()[0]
+    # constant value -> the weighted average IS the value
+    assert row["wa"] == 400000.0
