@@ -861,7 +861,9 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
 
 _BUCKET_TYPES = ("terms", "date_histogram", "histogram", "geohash_grid",
                  "geotile_grid")
-_BUCKET_PIPELINE_TYPES = ("cumulative_sum", "derivative")
+_BUCKET_PIPELINE_TYPES = ("cumulative_sum", "derivative", "serial_diff",
+                          "moving_fn")
+_BUCKET_FRAME_PIPELINE_TYPES = ("bucket_selector", "bucket_sort")
 _SIBLING_PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket",
                            "max_bucket", "stats_bucket")
 
@@ -956,7 +958,7 @@ def _split_sub_aggs(sub: dict, path: str):
     entries, metric leaves). At most ONE nested bucket level (the Kibana
     split-series shape); deeper nesting raises with the JSON path."""
     inner = None
-    pipelines, metrics = {}, {}
+    pipelines, frame_pipelines, metrics = {}, {}, {}
     for sname, sspec in (sub or {}).items():
         stype, sbody = _single_field(
             {k: v for k, v in sspec.items() if k != "aggs"} or sspec,
@@ -970,9 +972,11 @@ def _split_sub_aggs(sub: dict, path: str):
             inner = (sname, stype, sbody, sspec.get("aggs"))
         elif stype in _BUCKET_PIPELINE_TYPES:
             pipelines[sname] = (stype, sbody)
+        elif stype in _BUCKET_FRAME_PIPELINE_TYPES:
+            frame_pipelines[sname] = (stype, sbody)
         else:
             metrics[sname] = sspec
-    return inner, pipelines, metrics
+    return inner, pipelines, frame_pipelines, metrics
 
 
 def _apply_mads(grouped: DataFrame, framed: DataFrame, key_cols: list[str],
@@ -1035,16 +1039,84 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
                     "bucket (date_histogram or histogram)")
     from pyspark.sql import Window
 
-    specs = []
+    specs, shifted = [], []
     for pname, (ptype, pbody) in pipelines.items():
-        ref = str(_req(pbody, "buckets_path", f"{path}.aggs.{pname}"))
-        _reject_extras(pbody, {"buckets_path"}, f"{path}.aggs.{pname}")
+        pp = f"{path}.aggs.{pname}"
+        ref = str(_req(pbody, "buckets_path", pp))
+        allowed = {"buckets_path"}
+        if ptype == "serial_diff":
+            allowed |= {"lag"}
+        elif ptype == "moving_fn":
+            allowed |= {"window", "script"}
+        _reject_extras(pbody, allowed, pp)
         col_name = "doc_count" if ref == "_count" else ref
         if col_name not in grouped.columns:
-            _fail(f"{path}.aggs.{pname}",
-                  f"buckets_path {ref!r} does not name a sibling metric")
+            _fail(pp, f"buckets_path {ref!r} does not name a sibling metric")
+        if ptype in ("serial_diff", "moving_fn"):
+            # calendar/interval SHIFT pipelines: on a DENSE spine a shift
+            # of n bucket positions IS key + n·step, so both compile to
+            # bounded equi self-joins on the bucket frame (no window at
+            # all) — exactly the serial_diff_daily / moving-avg explode
+            # shapes. A sparse frame would make position ≠ calendar
+            # arithmetic, so require min_doc_count: 0.
+            if not parent.get("dense"):
+                _fail(pp, f"{ptype} needs min_doc_count: 0 on its parent "
+                          "(bucket positions must be the calendar grid)")
+            if ptype == "moving_fn":
+                script = str(_req(pbody, "script", pp))
+                if "unweightedAvg" not in script:
+                    _fail(f"{pp}.script",
+                          "only MovingFunctions.unweightedAvg is "
+                          "implemented")
+                shifted.append((pname, ptype, col_name,
+                                int(_req(pbody, "window", pp))))
+            else:
+                shifted.append((pname, ptype, col_name,
+                                int(pbody.get("lag", 1))))
+            continue
         specs.append((pname, ptype, col_name))
 
+    if shifted:
+        # each shift pipeline self-joins the bucket frame — pin it so the
+        # extra consumers read the checkpoint, not a fact-table re-run
+        grouped = grouped.localCheckpoint(eager=True)
+        step = parent["step"]
+        step_expr = F.expr(step) if isinstance(step, str) else F.lit(step)
+    for pname, ptype, col_name, n in shifted:
+        src = F.col(col_name)
+        if ptype == "serial_diff":
+            prev = grouped.select(
+                (F.col(order_col) + step_expr * F.lit(n)).alias(order_col),
+                src.alias(f"__sd_{pname}"),
+            )
+            grouped = (
+                grouped.join(prev, order_col, "left")
+                .withColumn(pname, src - F.col(f"__sd_{pname}"))
+                .drop(f"__sd_{pname}")
+            )
+        else:  # moving_fn unweightedAvg: trailing window INCL. current
+            contrib = grouped.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("__o"),
+                F.col(order_col), src.alias("__mv"),
+            ).select(
+                (F.col(order_col) + step_expr * F.col("__o"))
+                .alias(order_col),
+                "__mv",
+            )
+            mov = contrib.groupBy(order_col).agg(
+                F.sum("__mv").alias("__ms"), F.count(F.lit(1)).alias("__mn")
+            )
+            grouped = (
+                grouped.join(mov, order_col)  # inner: trims past series end
+                .withColumn(
+                    pname,
+                    F.round(F.col("__ms").cast("double") / F.col("__mn"), 6),
+                )
+                .drop("__ms", "__mn")
+            )
+
+    if not specs:
+        return grouped
     if partition_cols:
         # nested split-series: the outer key IS the partition — each
         # series windows independently, no single-partition exchange
@@ -1264,6 +1336,85 @@ def _composite_agg(filtered: DataFrame, body: dict, sub: dict,
                   f"after must carry exactly the source keys {names}")
         g = g.filter(composite_after_pred(names, [after_d[n] for n in names]))
     return g.orderBy(*[F.col(n) for n in names]).limit(size)
+
+
+def _apply_frame_pipelines(grouped: DataFrame, frame_pipes: dict,
+                           path: str) -> DataFrame:
+    """``bucket_selector`` / ``bucket_sort`` — post-aggregation pipelines
+    on the (bucket-count-sized) frame. bucket_selector accepts the
+    restricted Painless form ES bodies actually carry for threshold
+    gates — one comparison ``params.<var> <op> <literal>`` with the var
+    bound in ``buckets_path`` — compiled to a Column predicate (anything
+    else raises with the path: this engine does not run Painless).
+    bucket_sort re-orders and trims buckets by sibling metrics (size /
+    from; heap top-k, never a global sort of anything fact-sized).
+    Selectors apply before sorts, ES's dependency order."""
+    import re as _re
+
+    selectors = {n: s for n, s in frame_pipes.items()
+                 if s[0] == "bucket_selector"}
+    sorts = {n: s for n, s in frame_pipes.items() if s[0] == "bucket_sort"}
+    for pname, (_, pbody) in selectors.items():
+        pp = f"{path}.aggs.{pname}"
+        paths = _req(pbody, "buckets_path", pp)
+        script = str(_req(pbody, "script", pp))
+        _reject_extras(pbody, {"buckets_path", "script"}, pp)
+        if not isinstance(paths, dict) or len(paths) != 1:
+            _fail(f"{pp}.buckets_path", "exactly one named path is "
+                                        "implemented")
+        (var, ref), = paths.items()
+        col_name = "doc_count" if ref == "_count" else str(ref)
+        if col_name not in grouped.columns:
+            _fail(f"{pp}.buckets_path",
+                  f"{ref!r} does not name a sibling metric")
+        m = _re.fullmatch(
+            rf"\s*params\.{_re.escape(var)}\s*(>=|<=|>|<|==|!=)\s*"
+            r"(-?\d+(?:\.\d+)?)\s*",
+            script,
+        )
+        if not m:
+            _fail(f"{pp}.script",
+                  "only the threshold form 'params.<var> <op> <number>' "
+                  "is implemented (this engine does not run Painless)")
+        op, lit = m.group(1), float(m.group(2))
+        col = F.col(col_name)
+        pred = {
+            ">": col > lit, ">=": col >= lit, "<": col < lit,
+            "<=": col <= lit, "==": col == lit, "!=": col != lit,
+        }[op]
+        grouped = grouped.where(pred)
+    for pname, (_, pbody) in sorts.items():
+        pp = f"{path}.aggs.{pname}"
+        _reject_extras(pbody, {"sort", "size", "from"}, pp)
+        sort_cols = []
+        for i, s in enumerate(pbody.get("sort", [])):
+            sfield, sspec = _single_field(s, f"{pp}.sort[{i}]")
+            order = (sspec.get("order", "asc") if isinstance(sspec, dict)
+                     else str(sspec))
+            col_name = "doc_count" if sfield == "_count" else sfield
+            if col_name not in grouped.columns:
+                _fail(f"{pp}.sort[{i}]",
+                      f"{sfield!r} does not name a sibling metric")
+            c = F.col(col_name)
+            sort_cols.append(c.desc() if order == "desc" else c.asc())
+        sort_cols.append(F.col("key").asc())  # deterministic tiebreak
+        offset = int(pbody.get("from", 0))
+        size = pbody.get("size")
+        fetch = (int(size) + offset) if size is not None else None
+        ordered = grouped.orderBy(*sort_cols)
+        if fetch is not None:
+            ordered = ordered.limit(fetch)
+        if offset > 0:
+            from pyspark.sql import Window
+
+            w = Window.orderBy(*sort_cols)
+            ordered = (
+                ordered.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") > offset)
+                .drop("__rn")
+            )
+        grouped = ordered
+    return grouped
 
 
 def _predicate_buckets_agg(filtered: DataFrame, conds: list,
@@ -1514,7 +1665,9 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         return _predicate_buckets_agg(filtered, conds, sub, path)
 
     outer = _bucket_key(atype, body, p)
-    inner_entry, pipelines, metric_leaves = _split_sub_aggs(sub, path)
+    inner_entry, pipelines, frame_pipes, metric_leaves = _split_sub_aggs(
+        sub, path
+    )
 
     if inner_entry is None:
         # ----- single-level bucket: one scan, one grouped shuffle
@@ -1534,6 +1687,7 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         grouped = _apply_bucket_pipelines(
             grouped, pipelines, "key", [], outer, path
         )
+        grouped = _apply_frame_pipelines(grouped, frame_pipes, path)
         if outer["order"] == "count":
             return grouped.orderBy(
                 F.desc("doc_count"), F.asc("key")
@@ -1555,15 +1709,23 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
               "metric sub-aggs next to a nested bucket must live INSIDE "
               "the nested bucket (one flat (outer, inner, metrics) table "
               "per level is the door's output shape)")
+    if pipelines or frame_pipes:
+        _fail(f"{path}.aggs",
+              "pipeline sub-aggs next to a nested bucket must live INSIDE "
+              "the nested bucket (they window over the inner frame)")
     inner = _bucket_key(itype, ibody, f"{path}.aggs.{iname}.{itype}")
     if inner.get("dense"):
         _fail(f"{path}.aggs.{iname}.{itype}",
               "min_doc_count: 0 inside a nested bucket is not implemented "
               "(a per-parent dense spine) — drop it or run the histogram "
               "as the top-level bucket")
-    i_inner, i_pipelines, i_metrics = _split_sub_aggs(
+    i_inner, i_pipelines, i_frame_pipes, i_metrics = _split_sub_aggs(
         isub, f"{path}.aggs.{iname}"
     )
+    if i_frame_pipes:
+        _fail(f"{path}.aggs.{iname}.aggs",
+              "bucket_selector/bucket_sort inside a nested bucket are not "
+              "implemented — run them on a single-level histogram")
     if i_inner is not None:
         _fail(f"{path}.aggs.{iname}.aggs",
               "bucket nesting deeper than two levels is not implemented")

@@ -7937,6 +7937,108 @@ def agg_es_adjacency_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_aggs(load(spark, sf_dir, "orders"), _ES_ADJ)["segments"]
 
 
+_ES_SHIFT_PIPES = {
+    "aggs": {
+        "per_month": {
+            "date_histogram": {"field": "o_orderdate",
+                               "calendar_interval": "month",
+                               "min_doc_count": 0},
+            "aggs": {
+                "sdiff": {"serial_diff": {"buckets_path": "_count",
+                                          "lag": 3}},
+                "smooth": {"moving_fn": {
+                    "buckets_path": "_count", "window": 4,
+                    "script": "MovingFunctions.unweightedAvg(values)",
+                }},
+            },
+        }
+    }
+}
+
+
+@q(
+    "agg_es_shift_pipelines",
+    oracle="""
+WITH raw AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS key,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM orders GROUP BY 1
+), b AS (SELECT min(key) AS lo, max(key) AS hi FROM raw),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS key FROM b
+), dense AS (
+  SELECT spine.key, CAST(coalesce(raw.doc_count, 0) AS BIGINT) AS doc_count
+  FROM spine LEFT JOIN raw USING (key)
+)
+SELECT key, doc_count,
+       doc_count - lag(doc_count, 3) OVER (ORDER BY key) AS sdiff,
+       round(avg(doc_count) OVER (
+         ORDER BY key ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ), 6) AS smooth
+FROM dense ORDER BY key
+""",
+)
+def agg_es_shift_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``serial_diff`` (lag 3 — the quarterly detrender) and
+    ``moving_fn`` unweightedAvg (trailing 4, current bucket included)
+    via the AGG-BODY door, on a ``min_doc_count: 0`` monthly spine. On a
+    DENSE spine a shift of n positions IS key + n·step, so both compile
+    to bounded equi self-joins / a contribution explode on the
+    bucket-count-sized frame — NO window, no single-partition sort
+    (operators.esdsl._apply_bucket_pipelines, shift tier; the oracle's
+    window functions are DuckDB-side presentation of the same values)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "orders"), _ES_SHIFT_PIPES)["per_month"]
+
+
+_ES_SELECTOR_SORT = {
+    "aggs": {
+        "hot_days": {
+            "date_histogram": {"field": "o_orderdate",
+                               "calendar_interval": "day"},
+            "aggs": {
+                "price_max": {"max": {"field": "o_totalprice"}},
+                "gate": {"bucket_selector": {
+                    "buckets_path": {"m": "price_max"},
+                    "script": "params.m >= 480000",
+                }},
+                "top": {"bucket_sort": {
+                    "sort": [{"price_max": "desc"}], "size": 12,
+                }},
+            },
+        }
+    }
+}
+
+
+@q(
+    "agg_es_selector_sort",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS key,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         max(o_totalprice) AS price_max
+  FROM orders GROUP BY 1
+)
+SELECT * FROM daily WHERE price_max >= 480000
+ORDER BY price_max DESC, key LIMIT 12
+""",
+)
+def agg_es_selector_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_selector`` + ``bucket_sort`` via the AGG-BODY door —
+    the Kibana threshold-gate-then-rank panel: daily buckets kept only
+    where the max price clears the gate (the restricted Painless
+    threshold form ``params.<var> <op> <number>``, compiled to a Column
+    predicate — this engine does NOT run Painless and says so with the
+    JSON path for anything else), then heap top-12 by the sibling metric
+    (operators.esdsl._apply_frame_pipelines; declarative filter → no
+    bucket leaves the one grouped aggregate's frame)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "orders"), _ES_SELECTOR_SORT)["hot_days"]
+
+
 # Driver-facing registry order. The round driver hash-checks queries()[:50]
 # in registry order, so queries that have never had a driver CORRECTNESS row
 # (plus any whose oracle changed this round) are surfaced first; queries
@@ -7946,13 +8048,15 @@ def agg_es_adjacency_door(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The r7-evidence rows the r11 window could not fit (the 50 slots went to
 # the 8 never-checked r11 door rows, the 19 r6-stale IOUs the r10 verdict
 # ordered retired — all refreshed this round — and the first 23 r7 rows
-# alphabetically): the 33 names below are the stalest green cohort left
+# alphabetically): the 35 names below are the stalest green cohort left
 # (everything else is r8+) and MUST lead the r12 window after r12's own
 # new/changed rows. Zero-argument `python scripts/window_rotate.py` emits
 # exactly that ordering. After this round the judge-computed freshness
-# histogram is r7x33 / r8x50 / r9x50 / r10x50 / r11x50 (233 rows) — no row
+# histogram is r7x35 / r8x50 / r9x50 / r10x50 / r11x50 (235 rows) — no row
 # older than r7, the r10 verdict task #4 criterion.
 _NEXT_WINDOW_IOUS = [
+    "asof_attribution",
+    "cohort_weekly_retention",
     "conform_json_coerce",
     "conform_week_histogram",
     "corpus_curation_pipeline",
@@ -7990,16 +8094,18 @@ _NEXT_WINDOW_IOUS = [
 
 _DRIVER_PRIORITY = [
     # ROUND-11 WINDOW (50 slots) — zero-argument scripts/window_rotate.py
-    # proposal (r10 verdict task #4): the 15 never-checked r11 rows lead
+    # proposal (r10 verdict task #4): the 17 never-checked r11 rows lead
     # (the ES body-door widening: nested buckets, geo map grid,
     # percentile/extended-stats metrics, one-scan filters-with-metrics,
     # pipeline + sibling aggs, the field-sorted Latest-news body, plus
     # wave-2: composite cursor paging, min_doc_count:0 dense spines,
     # terms+top_hits; wave-3: significant_terms / multi_terms+weighted_avg
-    # / date_range+boxplot / adjacency_matrix door rows), then the 19
+    # / date_range+boxplot / adjacency_matrix door rows; wave-4:
+    # serial_diff+moving_fn shift pipelines and bucket_selector/
+    # bucket_sort), then the 19
     # r6-evidence IOUs declared at r10 (the
     # whole cohort retires — nothing stays older than r7), then the
-    # oldest r7 rows. The 33 r7 rows displaced are _NEXT_WINDOW_IOUS
+    # oldest r7 rows. The 35 r7 rows displaced are _NEXT_WINDOW_IOUS
     # above.
     "agg_es_nested_buckets",
     "agg_es_geo_map",
@@ -8016,6 +8122,8 @@ _DRIVER_PRIORITY = [
     "agg_es_multi_terms_door",
     "agg_es_date_range_boxplot",
     "agg_es_adjacency_door",
+    "agg_es_shift_pipelines",
+    "agg_es_selector_sort",
     "sample_upsample_epochs",
     "scd2_incremental_merge",
     "scd2_snapshot_asof",
@@ -8049,8 +8157,6 @@ _DRIVER_PRIORITY = [
     "agg_terms_top_events",
     "ann_ivf_topk",
     "ann_rp_lsh_topk",
-    "asof_attribution",
-    "cohort_weekly_retention",
 ]
 
 

@@ -1156,3 +1156,63 @@ def test_weighted_avg_survives_long_overflow_scale(spark):
     row = out.collect()[0]
     # constant value -> the weighted average IS the value
     assert row["wa"] == 400000.0
+
+
+def test_es_aggs_shift_pipelines_and_frame_pipelines(spark):
+    """serial_diff / moving_fn (dense-spine equi-join shifts, no window),
+    bucket_selector (restricted Painless threshold) and bucket_sort."""
+    import datetime as dt
+
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    rows, i = [], 0
+    for m in (1, 2, 3, 5, 6):  # month 4 missing -> a real gap bucket
+        for d in range(1, 4 + m):
+            rows.append((i, dt.datetime(2024, m, d), float(m * 10 + d)))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    out = es_aggs(df, {"aggs": {"pm": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month",
+                           "min_doc_count": 0},
+        "aggs": {
+            "sd": {"serial_diff": {"buckets_path": "_count", "lag": 2}},
+            "mv": {"moving_fn": {"buckets_path": "_count", "window": 3,
+                                 "script":
+                                 "MovingFunctions.unweightedAvg(values)"}},
+        }}}})["pm"].collect()
+    cnt = [r["doc_count"] for r in out]
+    assert cnt == [4, 5, 6, 0, 8, 9]
+    assert [r["sd"] for r in out] == [None, None, 2, -5, 2, 9]
+    for k, r in enumerate(out):
+        win = cnt[max(0, k - 2):k + 1]
+        assert r["mv"] == round(sum(win) / len(win), 6)
+    # selector gates buckets; sort takes heap top-k by a sibling metric
+    got = es_aggs(df, {"aggs": {"pm": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month"},
+        "aggs": {
+            "vmax": {"max": {"field": "v"}},
+            "sel": {"bucket_selector": {"buckets_path": {"m": "vmax"},
+                                        "script": "params.m > 35"}},
+            "srt": {"bucket_sort": {"sort": [{"vmax": "desc"}],
+                                    "size": 2}},
+        }}}})["pm"].collect()
+    assert sorted(r["vmax"] for r in got) == [58.0, 69.0]
+    # sparse parents reject the shift pipelines (position != calendar)
+    with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
+        es_aggs(df, {"aggs": {"pm": {
+            "date_histogram": {"field": "ts", "calendar_interval": "month"},
+            "aggs": {"sd": {"serial_diff": {"buckets_path": "_count"}}}}}})
+    # full Painless is refused loudly
+    with pytest.raises(UnsupportedEsQuery, match="Painless"):
+        es_aggs(df, {"aggs": {"pm": {
+            "date_histogram": {"field": "ts", "calendar_interval": "month"},
+            "aggs": {"sel": {"bucket_selector": {
+                "buckets_path": {"c": "_count"},
+                "script": "params.c > 1 && params.c < 9"}}}}}})
+    # pipelines NEXT TO a nested bucket are loud, not silently dropped
+    df2 = df.selectExpr("*", "CAST(id % 2 AS STRING) AS kind")
+    with pytest.raises(UnsupportedEsQuery, match="INSIDE"):
+        es_aggs(df2, {"aggs": {"a": {"terms": {"field": "kind"}, "aggs": {
+            "b": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "month"}},
+            "c": {"cumulative_sum": {"buckets_path": "_count"}}}}}})
