@@ -1104,7 +1104,12 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
                 "__mv",
             )
             mov = contrib.groupBy(order_col).agg(
-                F.sum("__mv").alias("__ms"), F.count(F.lit(1)).alias("__mn")
+                # count NON-NULL contributions: a gap bucket's metric is
+                # NULL (doc_count paths are never null) and unweightedAvg
+                # skips gaps — dividing by window positions would
+                # silently deflate the average
+                F.sum("__mv").alias("__ms"),
+                F.count(F.col("__mv")).alias("__mn"),
             )
             grouped = (
                 grouped.join(mov, order_col)  # inner: trims past series end

@@ -1216,3 +1216,29 @@ def test_es_aggs_shift_pipelines_and_frame_pipelines(spark):
             "b": {"date_histogram": {"field": "ts",
                                      "calendar_interval": "month"}},
             "c": {"cumulative_sum": {"buckets_path": "_count"}}}}}})
+
+
+def test_es_aggs_moving_fn_skips_metric_gaps(spark):
+    """moving_fn over a METRIC path: gap buckets carry NULL metric values
+    and unweightedAvg must skip them (divide by non-null contributions),
+    not deflate the average by window positions."""
+    import datetime as dt
+
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    rows = [(0, dt.datetime(2024, 1, 1), 10.0),
+            (1, dt.datetime(2024, 3, 1), 30.0)]  # Feb is a gap
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    out = es_aggs(df, {"aggs": {"pm": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month",
+                           "min_doc_count": 0},
+        "aggs": {
+            "vmax": {"max": {"field": "v"}},
+            "mv": {"moving_fn": {"buckets_path": "vmax", "window": 2,
+                                 "script":
+                                 "MovingFunctions.unweightedAvg(values)"}},
+        }}}})["pm"].collect()
+    assert [r["vmax"] for r in out] == [10.0, None, 30.0]
+    # Feb window = {Jan 10.0, Feb NULL} -> avg of the one non-null = 10.0
+    # Mar window = {Feb NULL, Mar 30.0} -> 30.0, NOT 15.0
+    assert [r["mv"] for r in out] == [10.0, 10.0, 30.0]
