@@ -47,13 +47,31 @@ def _single_field(d: dict, path: str) -> tuple[str, object]:
     return next(iter(d.items()))
 
 
-def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
+def _text_field_gate(field: str, text_col, path: str) -> None:
+    """Analyzed-text queries (match/phrase/prefix/fuzzy) target THE text
+    column — a body naming some other field would silently search the
+    wrong data if accepted, so it fails with the path instead. term/terms
+    dispatch on the field (token membership on the text column, value
+    equality on metadata columns) and never reach this gate."""
+    if text_col is not None and field != text_col:
+        _fail(path, f"analyzed-text queries run over the text column "
+                    f"{text_col!r} (single-text-field engine); field "
+                    f"{field!r} takes term/terms/range/exists")
+
+
+def _leaf_clause(qtype: str, body: dict, path: str,
+                 text_col: str | None = None) -> dict:
     """One ES LEAF query → the bool door's clause dict. The engine is
-    single-text-field per table, so the field name is accepted and
-    ignored for text queries (the caller picks text_col) and kept for
-    range/exists (raw metadata columns)."""
+    single-text-field per table: analyzed queries (match/phrase/prefix/
+    fuzzy) must name the text column (pathed error otherwise — silently
+    searching the wrong field would be worse); term/terms dispatch on the
+    field — the text column gets ES's text-field term semantics (exact
+    token membership), any other column gets value EQUALITY (compiled as
+    a closed range, the bool door's field-comparison clause); range /
+    exists keep their raw metadata columns."""
     if qtype == "match":
         field, spec = _single_field(body, path)
+        _text_field_gate(field, text_col, path)
         if isinstance(spec, str):
             return {"match": spec}
         clause = {"match": str(_req(spec, "query", path))}
@@ -68,6 +86,7 @@ def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
         return clause
     if qtype == "match_phrase":
         field, spec = _single_field(body, path)
+        _text_field_gate(field, text_col, path)
         if isinstance(spec, str):
             return {"phrase": spec}
         clause = {"phrase": str(_req(spec, "query", path))}
@@ -80,16 +99,23 @@ def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
     if qtype == "term":
         field, spec = _single_field(body, path)
         v = _req(spec, "value", path) if isinstance(spec, dict) else spec
-        clause = {"term": str(v)}
+        if text_col is not None and field != text_col:
+            # metadata-field term: value EQUALITY (a closed range — the
+            # bool door's field-comparison membership clause)
+            clause = {"range": {field: {"gte": v, "lte": v}}}
+        else:
+            clause = {"term": str(v)}
         if isinstance(spec, dict) and "boost" in spec:
             clause["boost"] = float(spec["boost"])
         return clause
     if qtype == "prefix":
         field, spec = _single_field(body, path)
+        _text_field_gate(field, text_col, path)
         v = _req(spec, "value", path) if isinstance(spec, dict) else spec
         return {"prefix": str(v)}
     if qtype == "fuzzy":
         field, spec = _single_field(body, path)
+        _text_field_gate(field, text_col, path)
         if isinstance(spec, dict):
             clause = {"fuzzy": str(_req(spec, "value", path))}
             if "max_expansions" in spec:
@@ -116,19 +142,23 @@ def _leaf_clause(qtype: str, body: dict, path: str) -> dict:
         # ES terms query: the doc matches if ANY listed term does —
         # exactly a membership bool of term clauses (minimum_should_match
         # 1); scored contexts wrap it constant_score like the single term
-        # (keyword-field terms scores are flat per doc)
+        # (keyword-field terms scores are flat per doc). Metadata fields
+        # get value equality per alternative.
         field, values = _single_field(body, path)
         if not isinstance(values, (list, tuple)) or not values:
             _fail(path, "terms needs a non-empty value array")
-        return {"bool": {
-            "should": [{"term": str(v)} for v in values],
-            "minimum_should_match": 1,
-        }}
+        if text_col is not None and field != text_col:
+            alts = [{"range": {field: {"gte": v, "lte": v}}}
+                    for v in values]
+        else:
+            alts = [{"term": str(v)} for v in values]
+        return {"bool": {"should": alts, "minimum_should_match": 1}}
     if qtype == "constant_score":
         inner_type, inner_body = _single_field(_req(body, "filter", path), f"{path}.filter")
         clause = {
             "constant_score": _leaf_clause(
-                inner_type, inner_body, f"{path}.filter.{inner_type}"
+                inner_type, inner_body, f"{path}.filter.{inner_type}",
+                text_col=text_col,
             )
         }
         if "boost" in body:
@@ -197,10 +227,12 @@ def _scored_term_wrap(clause: dict) -> dict:
     rank-identical; the magnitude here is the clause boost (ES's is
     boost × a per-term idf constant — documented divergence, precise
     direction: deterministic, query-independent of corpus stats).
-    Membership contexts keep the raw term clause. The ``terms`` query
-    (compiled to a membership bool-of-terms) wraps the same way — its
-    keyword-field score is equally flat per matching doc."""
-    for inner_key in ("term", "bool"):
+    Membership contexts keep the raw clause. Every PURE-MEMBERSHIP
+    clause kind wraps the same way — ``terms`` (a membership
+    bool-of-terms), metadata-field equality (a closed range), ``range``
+    and ``exists`` — because ES scores all of them as a flat constant per
+    matching doc in scored contexts."""
+    for inner_key in ("term", "bool", "range", "exists"):
         if set(clause) <= {inner_key, "boost"}:
             wrapped = {"constant_score": {inner_key: clause[inner_key]}}
             if "boost" in clause:
@@ -209,7 +241,8 @@ def _scored_term_wrap(clause: dict) -> dict:
     return clause
 
 
-def _bool_kwargs(body: dict, path: str, member_ctx: bool = False) -> dict:
+def _bool_kwargs(body: dict, path: str, member_ctx: bool = False,
+                 text_col: str | None = None) -> dict:
     """Compile an ES bool body to the bool door's kwargs. ``member_ctx``
     is True once the tree sits inside a filter/must_not occurrence — from
     there down EVERY occurrence (must/should included) is pure membership
@@ -231,10 +264,12 @@ def _bool_kwargs(body: dict, path: str, member_ctx: bool = False) -> dict:
                           "contexts filter/must_not accept nested bools)")
                 out[occ].append(
                     {"bool": _bool_kwargs(qbody, f"{path}.{occ}[{i}].bool",
-                                          member_ctx=inner_member)}
+                                          member_ctx=inner_member,
+                                          text_col=text_col)}
                 )
                 continue
-            clause = _leaf_clause(qtype, qbody, f"{path}.{occ}[{i}].{qtype}")
+            clause = _leaf_clause(qtype, qbody, f"{path}.{occ}[{i}].{qtype}",
+                                  text_col=text_col)
             if occ in ("must", "should") and not member_ctx:
                 clause = _scored_term_wrap(clause)
             out[occ].append(clause)
@@ -359,11 +394,11 @@ def es_query(
 
     if qtype == "bool":
         out = bool_search(docs, id_col, text_col, k=fetch,
-                          **_bool_kwargs(qbody, path))
+                          **_bool_kwargs(qbody, path, text_col=text_col))
     elif qtype == "dis_max":
         clauses = [
             _leaf_clause(*_single_field(q, f"{path}.queries[{i}]"),
-                         path=f"{path}.queries[{i}]")
+                         path=f"{path}.queries[{i}]", text_col=text_col)
             for i, q in enumerate(_req(qbody, "queries", path))
         ]
         out = dis_max_search(
@@ -372,7 +407,8 @@ def es_query(
         )
     elif qtype == "function_score":
         inner_t, inner_b = _single_field(_req(qbody, "query", path), f"{path}.query")
-        base = _leaf_clause(inner_t, inner_b, f"{path}.query.{inner_t}")
+        base = _leaf_clause(inner_t, inner_b, f"{path}.query.{inner_t}",
+                            text_col=text_col)
         functions = []
         for i, fn in enumerate(qbody.get("functions", [])):
             spec = dict(fn)
@@ -380,7 +416,8 @@ def es_query(
                 ft, fb = _single_field(spec["filter"],
                                        f"{path}.functions[{i}].filter")
                 spec["filter"] = _leaf_clause(
-                    ft, fb, f"{path}.functions[{i}].filter.{ft}"
+                    ft, fb, f"{path}.functions[{i}].filter.{ft}",
+                    text_col=text_col,
                 )
             functions.append(spec)
         out = function_score_search(
@@ -484,7 +521,7 @@ def es_query(
     elif qtype in ("match", "match_phrase", "term", "terms", "prefix",
                    "fuzzy", "range", "exists", "constant_score"):
         # bare leaf at the top level: ES wraps it in an implicit bool
-        clause = _leaf_clause(qtype, qbody, path)
+        clause = _leaf_clause(qtype, qbody, path, text_col=text_col)
         if qtype in ("range", "exists"):
             out = bool_search(docs, id_col, text_col, filter=[clause],
                               k=fetch)
@@ -627,7 +664,7 @@ def _agg_filter_pred(clause: dict, text_col: str | None, path: str):
     if qtype in ("match", "match_phrase"):
         if text_col is None:
             _fail(p, f"{qtype} needs a text column — pass text_col")
-        leaf = _leaf_clause(qtype, body, p)
+        leaf = _leaf_clause(qtype, body, p, text_col=text_col)
         # scored keys map onto membership keys for the filter context
         if "match" in leaf or "phrase" in leaf:
             return _member_pred(tokenize(text_col), leaf)

@@ -1242,3 +1242,54 @@ def test_es_aggs_moving_fn_skips_metric_gaps(spark):
     # Feb window = {Jan 10.0, Feb NULL} -> avg of the one non-null = 10.0
     # Mar window = {Feb NULL, Mar 30.0} -> 30.0, NOT 15.0
     assert [r["mv"] for r in out] == [10.0, 10.0, 30.0]
+
+
+def test_es_query_metadata_field_dispatch(spark, sf_dir):
+    """term/terms on a METADATA column are value equality (not text-token
+    membership — the silent wrong-field hazard); analyzed queries naming
+    a non-text field fail with the path; membership clauses (range/
+    exists/metadata-term) in scored contexts score as flat constants
+    instead of crashing."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    # metadata term in filter context == field equality
+    got = rows(es_query(docs, "doc_id", "text", {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"term": {"lang": "de"}}]}}, "size": 50}))
+    want = rows(bool_search(
+        docs, "doc_id", "text", must=[{"match": "spark"}],
+        filter=[{"range": {"lang": {"gte": "de", "lte": "de"}}}], k=50))
+    assert got == want and got
+    langs = {r["lang"] for r in docs.join(
+        spark.createDataFrame([(d,) for d, _ in got], "doc_id long"),
+        "doc_id").select("lang").collect()}
+    assert langs == {"de"}
+    # metadata term in a SCORED context: constant_score, boost magnitude
+    got_s = rows(es_query(docs, "doc_id", "text", {"query": {"bool": {
+        "should": [{"term": {"lang": {"value": "de", "boost": 2.5}}}],
+    }}, "size": 10}))
+    assert got_s and {s for _, s in got_s} == {2.5}
+    # range in must: constant score 1.0, never a crash
+    got_r = rows(es_query(docs, "doc_id", "text", {"query": {"bool": {
+        "must": [{"range": {"n_chars": {"gte": 100}}}]}}, "size": 10}))
+    assert got_r and {s for _, s in got_r} == {1.0}
+    # metadata terms-query: equality per alternative
+    got_t = {d for d, _ in rows(es_query(docs, "doc_id", "text", {
+        "query": {"bool": {"filter": [{"terms": {"lang": ["de", "fr"]}}],
+                           "must": [{"match": {"text": "spark"}}]}},
+        "size": 200}))}
+    want_t = {r["doc_id"] for r in docs.where(
+        F.col("lang").isin("de", "fr")
+        & F.array_contains(
+            __import__("pandemic_knowledge_spark.functions.text",
+                       fromlist=["tokenize"]).tokenize("text"), "spark")
+    ).select("doc_id").collect()}
+    assert got_t <= want_t and got_t
+    # analyzed query on a metadata field: pathed, never wrong-field search
+    with pytest.raises(UnsupportedEsQuery, match="single-text-field"):
+        es_query(docs, "doc_id", "text",
+                 {"query": {"bool": {"must": [{"match": {"lang": "de"}}]}}})
+    with pytest.raises(UnsupportedEsQuery, match="single-text-field"):
+        es_query(docs, "doc_id", "text",
+                 {"query": {"match_phrase": {"lang": "de fr"}}})
