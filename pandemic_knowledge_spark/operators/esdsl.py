@@ -17,6 +17,27 @@ outside it raises ``UnsupportedEsQuery`` with the exact path that failed
 whatever the target door guarantees (BM25 with the engine's documented
 single-round idiom); ``size``/``from`` map to top-k and keyset-free offset
 paging over the (score DESC, doc_id) total order.
+
+r11 widened both doors to the full Kibana surface:
+
+- :func:`es_query`: ``sort``/``_source``; ``terms`` and ``query_string``
+  queries; field-aware leaf dispatch (term/terms on metadata columns are
+  value EQUALITY; analyzed queries gate on the text column; membership
+  clauses in scored contexts score flat constants, ES's keyword-field
+  behavior).
+- :func:`es_aggs`: nested bucket-in-bucket (split series, one composite
+  shuffle), geohash/geotile grids, composite cursor paging,
+  min_doc_count:0 dense spines, terms+top_hits, significant/rare terms,
+  multi_terms, date_range/missing/geo_distance predicate buckets (all
+  one-scan conditional aggregates), adjacency_matrix,
+  auto_date_histogram; metric sub-aggs through percentiles /
+  percentile_ranks / extended_stats / MAD / weighted_avg / boxplot /
+  geo_centroid / geo_bounds; pipelines: cumulative_sum / derivative
+  (two-phase prefix, no single-partition sort), serial_diff / moving_fn
+  (dense-spine equi-join shifts), bucket_selector (restricted Painless
+  threshold) / bucket_sort, and sibling avg/sum/min/max/stats_bucket.
+- ``Engine.es_search`` runs the complete ``_search`` body
+  (query+knn+rank+aggs) in one call.
 """
 
 from __future__ import annotations
