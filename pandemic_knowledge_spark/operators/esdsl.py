@@ -920,10 +920,11 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
 _BUCKET_TYPES = ("terms", "date_histogram", "histogram", "geohash_grid",
                  "geotile_grid")
 _BUCKET_PIPELINE_TYPES = ("cumulative_sum", "derivative", "serial_diff",
-                          "moving_fn")
+                          "moving_fn", "normalize")
 _BUCKET_FRAME_PIPELINE_TYPES = ("bucket_selector", "bucket_sort")
 _SIBLING_PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket",
-                           "max_bucket", "stats_bucket")
+                           "max_bucket", "stats_bucket",
+                           "percentiles_bucket")
 
 
 def _bucket_key(atype: str, body: dict, p: str) -> dict:
@@ -1092,12 +1093,18 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
     value."""
     if not pipelines:
         return grouped
-    if parent["order"] != "key":
-        _fail(path, "cumulative_sum/derivative need an ordered parent "
-                    "bucket (date_histogram or histogram)")
+    if parent["order"] != "key" and any(
+        t != "normalize" for t, _ in pipelines.values()
+    ):
+        # normalize is order-free (percent_of_sum under terms is the
+        # Kibana share-of-total column); every other pipeline walks the
+        # bucket sequence and needs an ordered histogram parent
+        _fail(path, "cumulative_sum/derivative/serial_diff/moving_fn need "
+                    "an ordered parent bucket (date_histogram or "
+                    "histogram)")
     from pyspark.sql import Window
 
-    specs, shifted = [], []
+    specs, shifted, normalizes = [], [], []
     for pname, (ptype, pbody) in pipelines.items():
         pp = f"{path}.aggs.{pname}"
         ref = str(_req(pbody, "buckets_path", pp))
@@ -1106,10 +1113,22 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
             allowed |= {"lag"}
         elif ptype == "moving_fn":
             allowed |= {"window", "script"}
+        elif ptype == "normalize":
+            allowed |= {"method"}
         _reject_extras(pbody, allowed, pp)
         col_name = "doc_count" if ref == "_count" else ref
         if col_name not in grouped.columns:
             _fail(pp, f"buckets_path {ref!r} does not name a sibling metric")
+        if ptype == "normalize":
+            method = str(_req(pbody, "method", pp))
+            if method not in ("percent_of_sum", "rescale_0_1",
+                              "rescale_0_100"):
+                _fail(f"{pp}.method",
+                      "implemented normalize methods: percent_of_sum, "
+                      "rescale_0_1, rescale_0_100 (mean/z-score/softmax "
+                      "sum doubles in frame order — not hash-stable)")
+            normalizes.append((pname, method, col_name))
+            continue
         if ptype in ("serial_diff", "moving_fn"):
             # calendar/interval SHIFT pipelines: on a DENSE spine a shift
             # of n bucket positions IS key + n·step, so both compile to
@@ -1133,6 +1152,41 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
                                 int(pbody.get("lag", 1))))
             continue
         specs.append((pname, ptype, col_name))
+
+    if normalizes:
+        if partition_cols:
+            _fail(path, "normalize inside a nested bucket is not "
+                        "implemented (per-parent totals) — run it on a "
+                        "single-level histogram")
+        # order-free pipeline: ONE one-row totals aggregate over the
+        # bucket frame (sums stay exact for count/long paths) broadcast
+        # back — no ordering requirement, works under any parent
+        grouped = grouped.localCheckpoint(eager=True)
+        tot_aggs = []
+        for pname, method, col_name in normalizes:
+            src_c = F.col(col_name)
+            tot_aggs.extend([
+                F.sum(src_c).alias(f"__nt_s_{pname}"),
+                F.min(src_c).alias(f"__nt_mn_{pname}"),
+                F.max(src_c).alias(f"__nt_mx_{pname}"),
+            ])
+        totals = grouped.agg(*tot_aggs)
+        grouped = grouped.crossJoin(F.broadcast(totals))
+        for pname, method, col_name in normalizes:
+            src_c = F.col(col_name).cast("double")
+            if method == "percent_of_sum":
+                expr = src_c / F.col(f"__nt_s_{pname}").cast("double")
+            else:
+                rng = (F.col(f"__nt_mx_{pname}").cast("double")
+                       - F.col(f"__nt_mn_{pname}").cast("double"))
+                expr = (src_c - F.col(f"__nt_mn_{pname}").cast("double")) / rng
+                if method == "rescale_0_100":
+                    expr = expr * 100.0
+            grouped = grouped.withColumn(pname, F.round(expr, 6))
+        grouped = grouped.drop(*[
+            c for p, _, _ in normalizes
+            for c in (f"__nt_s_{p}", f"__nt_mn_{p}", f"__nt_mx_{p}")
+        ])
 
     if shifted:
         # each shift pipeline self-joins the bucket frame — pin it so the
@@ -1747,14 +1801,20 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         grouped = _apply_mads(grouped, framed, ["key"], mads)
         if outer.get("dense"):
             grouped = _densify(grouped, outer["step"])
+        if outer["order"] == "count":
+            # ES pipelines run over the RETURNED buckets, so the
+            # terms/grid size cut applies first (percent_of_sum under
+            # terms is the share among the top-size buckets, as Kibana
+            # renders it)
+            grouped = grouped.orderBy(
+                F.desc("doc_count"), F.asc("key")
+            ).limit(outer["size"])
         grouped = _apply_bucket_pipelines(
             grouped, pipelines, "key", [], outer, path
         )
         grouped = _apply_frame_pipelines(grouped, frame_pipes, path)
         if outer["order"] == "count":
-            return grouped.orderBy(
-                F.desc("doc_count"), F.asc("key")
-            ).limit(outer["size"])
+            return grouped
         return grouped.orderBy("key")
 
     # ----- two-level bucket-in-bucket (the Kibana split-series shape):
@@ -1913,7 +1973,10 @@ def _sibling_pipeline(siblings: dict, name: str, ptype: str,
     tiny aggregate on top — no extra fact-table scan."""
     path = f"$.aggs.{name}.{ptype}"
     ref = str(_req(pbody, "buckets_path", path))
-    _reject_extras(pbody, {"buckets_path"}, path)
+    allowed = {"buckets_path"}
+    if ptype == "percentiles_bucket":
+        allowed |= {"percents"}
+    _reject_extras(pbody, allowed, path)
     if ">" not in ref:
         _fail(path, "buckets_path must be 'sibling>metric' (or "
                     "'sibling>_count')")
@@ -1935,6 +1998,17 @@ def _sibling_pipeline(siblings: dict, name: str, ptype: str,
         return frame.agg(F.min(src).alias("value"))
     if ptype == "max_bucket":
         return frame.agg(F.max(src).alias("value"))
+    if ptype == "percentiles_bucket":
+        percents = [float(v) for v in
+                    pbody.get("percents", (1.0, 5.0, 25.0, 50.0, 75.0,
+                                           95.0, 99.0))]
+        arr = F.percentile(src, [p / 100.0 for p in percents])
+        one = frame.agg(arr.alias("__pb"))
+        return one.select(*[
+            F.round(F.element_at(F.col("__pb"), i + 1), 6)
+            .alias(f"p{_pct_label(p)}")
+            for i, p in enumerate(percents)
+        ])
     # stats_bucket
     return frame.agg(
         F.count(src).alias("count"),

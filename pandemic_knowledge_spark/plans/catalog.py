@@ -8075,6 +8075,55 @@ def search_es_body_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ES_NORMALIZE = {
+    "aggs": {
+        "by_type": {
+            "terms": {"field": "event_type", "size": 3},
+            "aggs": {
+                "share": {"normalize": {"buckets_path": "_count",
+                                        "method": "percent_of_sum"}},
+                "scaled": {"normalize": {"buckets_path": "_count",
+                                         "method": "rescale_0_100"}},
+            },
+        }
+    }
+}
+
+
+@q(
+    "agg_es_normalize_door",
+    oracle="""
+WITH g AS (
+  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count
+  FROM events GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3
+), t AS (
+  SELECT CAST(sum(doc_count) AS BIGINT) AS tot,
+         CAST(min(doc_count) AS BIGINT) AS mn,
+         CAST(max(doc_count) AS BIGINT) AS mx
+  FROM g
+)
+SELECT key, doc_count,
+       round(CAST(doc_count AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+       round(100.0 * (CAST(doc_count AS DOUBLE) - CAST(mn AS DOUBLE))
+             / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)), 6) AS scaled
+FROM g, t
+""",
+)
+def agg_es_normalize_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``normalize`` pipeline via the AGG-BODY door — the Kibana
+    share-of-total column: percent_of_sum and rescale_0_100 over a terms
+    bucket's counts. Order-free pipeline over the RETURNED buckets (ES
+    pipelines run on the parent's returned buckets, so the terms size-3
+    cut applies FIRST — the share is among the top 3, exactly as Kibana
+    renders it); one one-row totals aggregate broadcast back, exact
+    integer sums on the _count path. mean/z-score/softmax are refused
+    loudly (double sums in frame order are not hash-stable)
+    (operators.esdsl._apply_bucket_pipelines, normalize tier)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), _ES_NORMALIZE)["by_type"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -8088,13 +8137,14 @@ BENCH_QUERY_NAMES.extend(
 # The r7-evidence rows the r11 window could not fit (the 50 slots went to
 # the 8 never-checked r11 door rows, the 19 r6-stale IOUs the r10 verdict
 # ordered retired — all refreshed this round — and the first 23 r7 rows
-# alphabetically): the 36 names below are the stalest green cohort left
+# alphabetically): the 37 names below are the stalest green cohort left
 # (everything else is r8+) and MUST lead the r12 window after r12's own
 # new/changed rows. Zero-argument `python scripts/window_rotate.py` emits
 # exactly that ordering. After this round the judge-computed freshness
-# histogram is r7x36 / r8x50 / r9x50 / r10x50 / r11x50 (236 rows) — no row
+# histogram is r7x37 / r8x50 / r9x50 / r10x50 / r11x50 (237 rows) — no row
 # older than r7, the r10 verdict task #4 criterion.
 _NEXT_WINDOW_IOUS = [
+    "ann_ivf_topk",
     "ann_rp_lsh_topk",
     "asof_attribution",
     "cohort_weekly_retention",
@@ -8135,7 +8185,7 @@ _NEXT_WINDOW_IOUS = [
 
 _DRIVER_PRIORITY = [
     # ROUND-11 WINDOW (50 slots) — zero-argument scripts/window_rotate.py
-    # proposal (r10 verdict task #4): the 18 never-checked r11 rows lead
+    # proposal (r10 verdict task #4): the 19 never-checked r11 rows lead
     # (the ES body-door widening: nested buckets, geo map grid,
     # percentile/extended-stats metrics, one-scan filters-with-metrics,
     # pipeline + sibling aggs, the field-sorted Latest-news body, plus
@@ -8146,7 +8196,7 @@ _DRIVER_PRIORITY = [
     # bucket_sort), then the 19
     # r6-evidence IOUs declared at r10 (the
     # whole cohort retires — nothing stays older than r7), then the
-    # oldest r7 rows. The 36 r7 rows displaced are _NEXT_WINDOW_IOUS
+    # oldest r7 rows. The 37 r7 rows displaced are _NEXT_WINDOW_IOUS
     # above.
     "agg_es_nested_buckets",
     "agg_es_geo_map",
@@ -8166,6 +8216,7 @@ _DRIVER_PRIORITY = [
     "agg_es_shift_pipelines",
     "agg_es_selector_sort",
     "search_es_body_facet",
+    "agg_es_normalize_door",
     "sample_upsample_epochs",
     "scd2_incremental_merge",
     "scd2_snapshot_asof",
@@ -8197,7 +8248,6 @@ _DRIVER_PRIORITY = [
     "agg_rare_terms",
     "agg_rollup_region_nation",
     "agg_terms_top_events",
-    "ann_ivf_topk",
 ]
 
 

@@ -1293,3 +1293,38 @@ def test_es_query_metadata_field_dispatch(spark, sf_dir):
     with pytest.raises(UnsupportedEsQuery, match="single-text-field"):
         es_query(docs, "doc_id", "text",
                  {"query": {"match_phrase": {"lang": "de fr"}}})
+
+
+def test_es_aggs_normalize_and_percentiles_bucket(spark, sf_dir):
+    """normalize (order-free, runs under terms over the RETURNED buckets)
+    and the percentiles_bucket sibling pipeline."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    ev = load(spark, sf_dir, "events")
+    out = es_aggs(ev, {"aggs": {
+        "by_type": {"terms": {"field": "event_type", "size": 3},
+                    "aggs": {"share": {"normalize": {
+                        "buckets_path": "_count",
+                        "method": "percent_of_sum"}},
+                        "scaled": {"normalize": {
+                            "buckets_path": "_count",
+                            "method": "rescale_0_100"}}}},
+        "spread": {"percentiles_bucket": {
+            "buckets_path": "by_type>_count", "percents": [50.0]}},
+    }})
+    rows_ = out["by_type"].collect()
+    cnt = [r["doc_count"] for r in rows_]
+    tot = sum(cnt)  # the TOP-3 total, not the corpus total
+    for r in rows_:
+        assert r["share"] == round(r["doc_count"] / tot, 6)
+        lo, hi = min(cnt), max(cnt)
+        assert r["scaled"] == round(100.0 * (r["doc_count"] - lo) / (hi - lo), 6)
+    import statistics
+
+    med = out["spread"].collect()[0]["p50"]
+    assert med == round(statistics.median(cnt), 6)
+    # full Painless-adjacent methods are refused loudly
+    with pytest.raises(UnsupportedEsQuery, match="hash-stable"):
+        es_aggs(ev, {"aggs": {"a": {"terms": {"field": "event_type"},
+            "aggs": {"z": {"normalize": {"buckets_path": "_count",
+                                         "method": "z-score"}}}}}})
