@@ -142,8 +142,21 @@ def matrix_stats(df: DataFrame, cols) -> DataFrame:
     for i in range(m):
         aggs.append(F.sum(F.col(f"__v{i}")).alias(f"s{i}"))
         for j in range(i, m):
+            # product moments: per-row products in LONG (exact — the
+            # scaled integers are < 2^31 for any realistic cents field,
+            # so the product fits; bigger inputs fail loudly under ANSI
+            # mode rather than silently wrapping), SUMMED in DECIMAL
+            # (a long Σ of ~1e15 products overflows around 1e4 rows —
+            # the r11 sf1-probe overflow family). The long multiply +
+            # compact-decimal accumulate is ~20× faster than
+            # decimal×decimal per row (the probe caught the first
+            # decimal-product draft at 46 s/sf1); DuckDB's HUGEINT sum
+            # converts to double identically.
             aggs.append(
-                F.sum(F.col(f"__v{i}") * F.col(f"__v{j}")).alias(f"p{i}_{j}")
+                F.sum(
+                    (F.col(f"__v{i}") * F.col(f"__v{j}"))
+                    .cast("decimal(38,0)")
+                ).alias(f"p{i}_{j}")
             )
     wide = proj.agg(*aggs)
     nd = F.col("n").cast("double")
@@ -1371,16 +1384,17 @@ def extended_stats_by(
     v = cents(F.col(value_col), scale)
     # Σx² runs in DECIMAL(38,0): a long squares-sum overflows around 1e4
     # money-sized rows per group at sf1 (cents² ≈ 1e15/row — the r11 sf1
-    # probe caught the door's copy of this) — decimal keeps the moment
-    # exact with 38 digits of headroom and converts to double identically
-    # on both engines (DuckDB sums BIGINT products into HUGEINT)
-    d = v.cast("decimal(18,0)")
+    # probe caught the door's copy of this). The per-row square stays in
+    # LONG (exact below 2^31-scale inputs; bigger fails loudly under
+    # ANSI) and only the SUM accumulates in decimal — the long multiply
+    # is ~20× faster than decimal×decimal per row. DuckDB sums BIGINT
+    # products into HUGEINT, converting to double identically.
     wide = df.groupBy(key_col).agg(
         F.count(v).alias("n"),
         F.min(F.col(value_col)).alias("mn"),
         F.max(F.col(value_col)).alias("mx"),
         F.sum(v).alias("s"),
-        F.sum(d * d).alias("ss"),
+        F.sum((v * v).cast("decimal(38,0)")).alias("ss"),
     )
     n = F.col("n").cast("double")
     s = F.col("s").cast("double")

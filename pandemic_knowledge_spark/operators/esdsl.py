@@ -799,20 +799,21 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
             sigma = float(mbody.get("sigma", 2.0))
             _reject_extras(mbody, {"field", "scale", "sigma"}, mp)
             c = F.round(col * scale, 0).cast("long")
-            # the squares sum runs in DECIMAL(38,0): cents² is ~1e15 per
+            # the squares SUM runs in DECIMAL(38,0): cents² is ~1e15 per
             # row for money-sized values, so a long Σx² overflows around
             # 1e4 rows×group at sf1 (caught by the sf1 probe) — decimal
             # keeps the moment exact with 38 digits of headroom (1e12
             # rows of 1e15 squares = 1e27 ≪ 1e38) and converts to double
-            # identically on both engines (DuckDB sums into HUGEINT)
-            d = c.cast("decimal(18,0)")
+            # identically on both engines (DuckDB sums into HUGEINT).
+            # The per-row square stays in LONG (exact below 2^31-scale
+            # inputs, ~20× faster than decimal×decimal — sf1-probed).
             pre = f"{prefix}__xs_{name}"
             aggs.extend([
                 F.count(c).alias(f"{pre}_n"),
                 F.min(col).alias(f"{pre}_mn"),
                 F.max(col).alias(f"{pre}_mx"),
                 F.sum(c).alias(f"{pre}_s"),
-                F.sum(d * d).alias(f"{pre}_ss"),
+                F.sum((c * c).cast("decimal(38,0)")).alias(f"{pre}_ss"),
             ])
             n = F.col(f"{pre}_n")
             s = F.col(f"{pre}_s").cast("double")
@@ -847,18 +848,18 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
             if cond is not None:
                 vcol = F.when(cond, vcol)
                 wcol = F.when(cond, wcol)
-            # the value·weight products and their sum run in DECIMAL:
-            # cents × a large integer weight overflows a long product
-            # around 1e11-scale weights and the SUM overflows around 1e4
-            # money-sized rows (the sf1 probe caught it, like
-            # extended_stats' Σx²) — decimal(18)×decimal(18) → (37,0)
-            # exact, summed with 38 digits of headroom; DuckDB's HUGEINT
-            # sum is the oracle twin
-            vc = F.round(vcol * scale, 0).cast("decimal(18,0)")
-            wd = wcol.cast("decimal(18,0)")
+            # the value·weight SUM runs in DECIMAL: a long Σ(v·w)
+            # overflows around 1e4 money-sized rows at key-scale weights
+            # (the sf1 probe caught it, like extended_stats' Σx²). The
+            # per-row product stays in LONG — exact while |v_scaled·w| <
+            # 2^63 (true for cents × any id-scale weight; bigger fails
+            # loudly under ANSI) and ~20× faster than decimal×decimal.
+            # DuckDB's HUGEINT sum is the oracle twin.
+            vc = F.round(vcol * scale, 0).cast("long")
             _one_pre = f"{prefix}__wa_{name}"
             aggs.extend([
-                F.sum(vc * wd).alias(f"{_one_pre}_vw"),
+                F.sum((vc * wcol).cast("decimal(38,0)"))
+                .alias(f"{_one_pre}_vw"),
                 F.sum(wcol).alias(f"{_one_pre}_w"),
             ])
             finals.append(
@@ -1620,6 +1621,63 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
             top_k=int(body.get("size", 10)),
             min_doc_count=int(body.get("min_doc_count", 3)),
         )
+
+    if atype == "string_stats":
+        from pandemic_knowledge_spark.operators.aggregates import (
+            string_stats,
+        )
+
+        if sub:
+            _fail(f"{path}.aggs", "string_stats does not take "
+                                  "sub-aggregations")
+        field = _req(body, "field", p)
+        _reject_extras(body, {"field"}, p)
+        return string_stats(filtered, field)
+
+    if atype == "matrix_stats":
+        from pandemic_knowledge_spark.operators.aggregates import (
+            cents,
+            matrix_stats,
+        )
+
+        if sub:
+            _fail(f"{path}.aggs", "matrix_stats does not take "
+                                  "sub-aggregations")
+        fields = _req(body, "fields", p)
+        scale = int(body.get("scale", 100))
+        _reject_extras(body, {"fields", "scale"}, p)
+        if not isinstance(fields, (list, tuple)) or len(fields) < 2:
+            _fail(p, "matrix_stats needs >= 2 fields")
+        # each field scales to exact integers (optional `scale` engine
+        # extension, default cents) so the moments are order-invariant —
+        # the operator's documented determinism contract
+        return matrix_stats(
+            filtered, [(f, cents(F.col(f), scale)) for f in fields]
+        )
+
+    if atype == "diversified_sampler":
+        from pandemic_knowledge_spark.operators.sampling import (
+            diversified_sample,
+        )
+
+        if id_col is None:
+            _fail(p, "diversified_sampler needs the doc id column (the "
+                     "deterministic hash seed) — pass id_col to es_aggs")
+        if not sub or len(sub) != 1:
+            _fail(f"{path}.aggs", "diversified_sampler needs exactly one "
+                                  "sub-aggregation to run over the sample")
+        field = _req(body, "field", p)
+        _reject_extras(body, {"field", "max_docs_per_value",
+                              "shard_size"}, p)
+        shard = diversified_sample(
+            filtered, F.col(id_col), field,
+            max_per_value=int(body.get("max_docs_per_value", 1)),
+            shard_size=int(body.get("shard_size", 100)),
+            salt="divsamp",
+        )
+        (iname, ispec), = sub.items()
+        return _one_agg(shard, iname, ispec, text_col=text_col,
+                        docs=docs, pred=pred, id_col=id_col)
 
     if atype == "auto_date_histogram":
         from pandemic_knowledge_spark.operators.aggregates import (

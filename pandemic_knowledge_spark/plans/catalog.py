@@ -8124,6 +8124,90 @@ def agg_es_normalize_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_aggs(load(spark, sf_dir, "events"), _ES_NORMALIZE)["by_type"]
 
 
+@q(
+    "agg_es_string_stats_door",
+    oracle=sql_string_stats("documents", "source"),
+)
+def agg_es_string_stats_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``string_stats`` via the AGG-BODY door — the keyword-field
+    data-quality probe (count / length stats / Shannon character entropy)
+    over the documents source field, verbatim body routed to the
+    oracle-checked operator (integer nano-unit entropy sums —
+    operators.aggregates.string_stats)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "documents"), {
+        "aggs": {"src": {"string_stats": {"field": "source"}}}
+    })["src"]
+
+
+_ES_MATRIX_FIELDS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@q(
+    "agg_es_matrix_stats_door",
+    oracle=sql_matrix_stats(
+        "lineitem",
+        [(f, f"round(({f}) * 100, 0)") for f in _ES_MATRIX_FIELDS],
+    ),
+)
+def agg_es_matrix_stats_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``matrix_stats`` via the AGG-BODY door: pairwise covariance /
+    Pearson correlation across three lineitem fields in ONE scan, each
+    field cents-scaled to exact integers (the door's `scale` extension,
+    default 100) — and the product moments now run in DECIMAL, the r11
+    overflow rule (a cents² long Σ dies around 1e4 rows; this body at
+    sf1 is the witness). Routed to operators.aggregates.matrix_stats."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "lineitem"), {
+        "aggs": {"mx": {"matrix_stats": {"fields": _ES_MATRIX_FIELDS}}}
+    })["mx"]
+
+
+_ES_SAMPLER = {
+    "aggs": {
+        "sample": {
+            "diversified_sampler": {"field": "user_id",
+                                    "max_docs_per_value": 2,
+                                    "shard_size": 200},
+            "aggs": {"by_type": {"terms": {"field": "event_type",
+                                           "size": 5}}},
+        }
+    }
+}
+
+
+@q(
+    "agg_es_sampler_door",
+    oracle=f"""
+WITH capped AS (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY {_DIVSAMP_HASH} ASC, event_id ASC
+         ) AS rk
+  FROM events
+), shard AS (
+  SELECT event_type FROM capped WHERE rk <= 2
+  ORDER BY {_DIVSAMP_HASH} ASC, event_id ASC LIMIT 200
+)
+SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count
+FROM shard GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 5
+""",
+)
+def agg_es_sampler_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``diversified_sampler`` via the AGG-BODY door: the child terms
+    agg runs over a bounded deterministic sample (≤ 2 events per user,
+    salted-hash shard cut of 200 — partition-order-independent where ES
+    is shard-score-order dependent), the de-bias panel shape. The door
+    recurses the child body over the sampled frame
+    (operators.esdsl._one_agg → operators.sampling.diversified_sample)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), _ES_SAMPLER,
+                   id_col="event_id")["sample"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -8137,13 +8221,16 @@ BENCH_QUERY_NAMES.extend(
 # The r7-evidence rows the r11 window could not fit (the 50 slots went to
 # the 8 never-checked r11 door rows, the 19 r6-stale IOUs the r10 verdict
 # ordered retired — all refreshed this round — and the first 23 r7 rows
-# alphabetically): the 37 names below are the stalest green cohort left
+# alphabetically): the 40 names below are the stalest green cohort left
 # (everything else is r8+) and MUST lead the r12 window after r12's own
 # new/changed rows. Zero-argument `python scripts/window_rotate.py` emits
 # exactly that ordering. After this round the judge-computed freshness
-# histogram is r7x37 / r8x50 / r9x50 / r10x50 / r11x50 (237 rows) — no row
+# histogram is r7x40 / r8x50 / r9x50 / r10x50 / r11x50 (240 rows) — no row
 # older than r7, the r10 verdict task #4 criterion.
 _NEXT_WINDOW_IOUS = [
+    "agg_rare_terms",
+    "agg_rollup_region_nation",
+    "agg_terms_top_events",
     "ann_ivf_topk",
     "ann_rp_lsh_topk",
     "asof_attribution",
@@ -8185,7 +8272,7 @@ _NEXT_WINDOW_IOUS = [
 
 _DRIVER_PRIORITY = [
     # ROUND-11 WINDOW (50 slots) — zero-argument scripts/window_rotate.py
-    # proposal (r10 verdict task #4): the 19 never-checked r11 rows lead
+    # proposal (r10 verdict task #4): the 22 never-checked r11 rows lead
     # (the ES body-door widening: nested buckets, geo map grid,
     # percentile/extended-stats metrics, one-scan filters-with-metrics,
     # pipeline + sibling aggs, the field-sorted Latest-news body, plus
@@ -8196,7 +8283,7 @@ _DRIVER_PRIORITY = [
     # bucket_sort), then the 19
     # r6-evidence IOUs declared at r10 (the
     # whole cohort retires — nothing stays older than r7), then the
-    # oldest r7 rows. The 37 r7 rows displaced are _NEXT_WINDOW_IOUS
+    # oldest r7 rows. The 40 r7 rows displaced are _NEXT_WINDOW_IOUS
     # above.
     "agg_es_nested_buckets",
     "agg_es_geo_map",
@@ -8217,6 +8304,9 @@ _DRIVER_PRIORITY = [
     "agg_es_selector_sort",
     "search_es_body_facet",
     "agg_es_normalize_door",
+    "agg_es_string_stats_door",
+    "agg_es_matrix_stats_door",
+    "agg_es_sampler_door",
     "sample_upsample_epochs",
     "scd2_incremental_merge",
     "scd2_snapshot_asof",
@@ -8245,9 +8335,6 @@ _DRIVER_PRIORITY = [
     "agg_grouping_sets_orders",
     "agg_nation_balance",
     "agg_pivot_daily_metrics",
-    "agg_rare_terms",
-    "agg_rollup_region_nation",
-    "agg_terms_top_events",
 ]
 
 
