@@ -573,6 +573,11 @@ def _with_source(page: DataFrame, docs: DataFrame, id_col: str,
     return (
         fetched.join(F.broadcast(page), "doc_id")
         .select("doc_id", "score", *source)
+        # the join hash-partitions the page, so re-state the module's
+        # (score DESC, doc_id) total page order — without it _source
+        # pages would come back in nondeterministic join order (r11
+        # advisor finding)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
     )
 
 
@@ -708,7 +713,8 @@ _METRIC_TYPES = (
 )
 
 
-def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
+def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = "",
+                 dtypes: dict | None = None):
     """Metric sub-aggregations → ``(agg_cols, final_cols, mad_specs)``:
     aggregate Columns (internal aliases where assembly is needed), the
     post-aggregation select expressions that produce the caller-visible
@@ -844,7 +850,23 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = ""):
             _reject_extras(mbody, {"value", "weight", "scale"}, mp)
             scale = int(mbody.get("scale", 100))
             vcol = F.col(_req(vspec, "field", f"{mp}.value"))
-            wcol = F.col(_req(wspec, "field", f"{mp}.weight")).cast("long")
+            wfield = _req(wspec, "field", f"{mp}.weight")
+            # integer weights BY CONTRACT (ES's typical count weights):
+            # casting a fractional weight column to long would silently
+            # truncate (0.5 → 0) — reject the column type loudly instead
+            # (r11 advisor finding; ES accepts fractional weights, this
+            # engine documents the divergence in the error)
+            wtype = (dtypes or {}).get(wfield)
+            if wtype is not None and (
+                wtype in ("float", "double")
+                or (wtype.startswith("decimal") and ",0)" not in wtype)
+            ):
+                _fail(f"{mp}.weight",
+                      f"weight column {wfield!r} has fractional type "
+                      f"{wtype} — weighted_avg sums exact integer "
+                      "weights (Σv·w in DECIMAL(38,0)); cast the column "
+                      "to an integer type or pre-scale it")
+            wcol = F.col(wfield).cast("long")
             if cond is not None:
                 vcol = F.when(cond, vcol)
                 wcol = F.when(cond, wcol)
@@ -1113,7 +1135,7 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
         if ptype == "serial_diff":
             allowed |= {"lag"}
         elif ptype == "moving_fn":
-            allowed |= {"window", "script"}
+            allowed |= {"window", "script", "shift"}
         elif ptype == "normalize":
             allowed |= {"method"}
         _reject_extras(pbody, allowed, pp)
@@ -1146,11 +1168,18 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
                     _fail(f"{pp}.script",
                           "only MovingFunctions.unweightedAvg is "
                           "implemented")
+                # ES shift semantics: the default window (shift=0) is the
+                # n buckets BEFORE the current one, EXCLUDING it; shift=1
+                # slides it right to include the current bucket (r11
+                # advisor finding — the door used to hardwire shift=1)
+                shift = int(pbody.get("shift", 0))
+                if not 0 <= shift <= int(_req(pbody, "window", pp)):
+                    _fail(f"{pp}.shift", "shift must be in [0, window]")
                 shifted.append((pname, ptype, col_name,
-                                int(_req(pbody, "window", pp))))
+                                int(_req(pbody, "window", pp)), shift))
             else:
                 shifted.append((pname, ptype, col_name,
-                                int(pbody.get("lag", 1))))
+                                int(pbody.get("lag", 1)), None))
             continue
         specs.append((pname, ptype, col_name))
 
@@ -1195,7 +1224,7 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
         grouped = grouped.localCheckpoint(eager=True)
         step = parent["step"]
         step_expr = F.expr(step) if isinstance(step, str) else F.lit(step)
-    for pname, ptype, col_name, n in shifted:
+    for pname, ptype, col_name, n, shift in shifted:
         src = F.col(col_name)
         if ptype == "serial_diff":
             prev = grouped.select(
@@ -1207,9 +1236,15 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
                 .withColumn(pname, src - F.col(f"__sd_{pname}"))
                 .drop(f"__sd_{pname}")
             )
-        else:  # moving_fn unweightedAvg: trailing window INCL. current
+        else:
+            # moving_fn unweightedAvg over ES's shifted window: bucket j
+            # contributes to positions j+(1-shift) … j+(n-shift) — the
+            # default shift=0 is the n buckets BEFORE the current one
+            # (ES excludes the current bucket; shift=1 includes it)
             contrib = grouped.select(
-                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("__o"),
+                F.explode(
+                    F.sequence(F.lit(1 - shift), F.lit(n - shift))
+                ).alias("__o"),
                 F.col(order_col), src.alias("__mv"),
             ).select(
                 (F.col(order_col) + step_expr * F.col("__o"))
@@ -1225,7 +1260,11 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
                 F.count(F.col("__mv")).alias("__mn"),
             )
             grouped = (
-                grouped.join(mov, order_col)  # inner: trims past series end
+                # LEFT: with shift=0 the series head has an EMPTY window
+                # (no contributors at all) — ES emits the bucket with a
+                # null value, not no bucket; contributions past the
+                # series end still drop (no left-side row to land on)
+                grouped.join(mov, order_col, "left")
                 .withColumn(
                     pname,
                     F.round(F.col("__ms").cast("double") / F.col("__mn"), 6),
@@ -1435,7 +1474,8 @@ def _composite_agg(filtered: DataFrame, body: dict, sub: dict,
                       "(supported: terms, date_histogram)")
         sources.append((sname, col))
     names = [n for n, _ in sources]
-    m_aggs, m_finals, mads = _metric_cols(sub, path)
+    m_aggs, m_finals, mads = _metric_cols(sub, path,
+                                           dtypes=dict(filtered.dtypes))
     if mads:
         _fail(f"{path}.aggs", "median_absolute_deviation inside composite "
                               "is not implemented")
@@ -1554,7 +1594,8 @@ def _predicate_buckets_agg(filtered: DataFrame, conds: list,
         # the prefix keeps each bucket's internal aggregate aliases unique
         # in the single wide row while the finals carry the plain names
         m_aggs, m_finals, _ = _metric_cols(
-            sub, path, cond=pred, prefix=f"__b{i}_"
+            sub, path, cond=pred, prefix=f"__b{i}_",
+            dtypes=dict(filtered.dtypes),
         )
         aggs.extend(m_aggs)
         bucket_finals.append((bname, f"__dc_{i}", m_finals))
@@ -1724,7 +1765,9 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         for i, t in enumerate(terms_spec):
             _reject_extras(t, {"field"}, f"{p}.terms[{i}]")
             fields.append(_req(t, "field", f"{p}.terms[{i}]"))
-        m_aggs, m_finals, mads = _metric_cols(sub, path)
+        m_aggs, m_finals, mads = _metric_cols(
+            sub, path, dtypes=dict(filtered.dtypes)
+        )
         if mads:
             _fail(f"{path}.aggs", "median_absolute_deviation inside "
                                   "multi_terms is not implemented")
@@ -1846,7 +1889,9 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
 
     if inner_entry is None:
         # ----- single-level bucket: one scan, one grouped shuffle
-        m_aggs, m_finals, mads = _metric_cols(metric_leaves, path)
+        m_aggs, m_finals, mads = _metric_cols(
+            metric_leaves, path, dtypes=dict(filtered.dtypes)
+        )
         frame = filtered
         if outer["pre"] is not None:
             frame = frame.where(outer["pre"])
@@ -1910,7 +1955,9 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
     if i_inner is not None:
         _fail(f"{path}.aggs.{iname}.aggs",
               "bucket nesting deeper than two levels is not implemented")
-    m_aggs, m_finals, mads = _metric_cols(i_metrics, f"{path}.aggs.{iname}")
+    m_aggs, m_finals, mads = _metric_cols(
+        i_metrics, f"{path}.aggs.{iname}", dtypes=dict(filtered.dtypes)
+    )
 
     ikey = f"{iname}_key"
     frame = filtered

@@ -7971,15 +7971,18 @@ spine AS (
 SELECT key, doc_count,
        doc_count - lag(doc_count, 3) OVER (ORDER BY key) AS sdiff,
        round(avg(doc_count) OVER (
-         ORDER BY key ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+         ORDER BY key ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING
        ), 6) AS smooth
 FROM dense ORDER BY key
 """,
 )
 def agg_es_shift_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``serial_diff`` (lag 3 — the quarterly detrender) and
-    ``moving_fn`` unweightedAvg (trailing 4, current bucket included)
-    via the AGG-BODY door, on a ``min_doc_count: 0`` monthly spine. On a
+    ``moving_fn`` unweightedAvg (window 4 at ES's DEFAULT shift=0 — the
+    four buckets BEFORE the current one, current excluded; ``shift: 1``
+    slides the window right to include it — r12 fix of the r11 advisor
+    finding) via the AGG-BODY door, on a ``min_doc_count: 0`` monthly
+    spine. On a
     DENSE spine a shift of n positions IS key + n·step, so both compile
     to bounded equi self-joins / a contribution explode on the
     bucket-count-sized frame — NO window, no single-partition sort

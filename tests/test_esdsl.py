@@ -529,8 +529,11 @@ def test_es_body_source_on_scored_route(spark, sf_dir):
     plain = es_query(docs, "doc_id", "text",
                      {"query": {"match": {"text": "spark stream"}},
                       "size": 5})
-    assert ({(r["doc_id"], r["score"]) for r in got.collect()}
-            == {tuple(r) for r in plain.collect()})
+    # ORDER matters: _source pages keep the module's documented
+    # (score DESC, doc_id) total order — the join-back must not scramble
+    # it (r11 advisor finding: set-compare masked nondeterministic order)
+    assert ([(r["doc_id"], r["score"]) for r in got.collect()]
+            == [tuple(r) for r in plain.collect()])
 
 
 def test_es_body_sort_rejects_score_and_bad_order(spark, sf_dir):
@@ -1158,6 +1161,42 @@ def test_weighted_avg_survives_long_overflow_scale(spark):
     assert row["wa"] == 400000.0
 
 
+def test_weighted_avg_rejects_fractional_weight_column(spark):
+    """r12 advisor fix: weighted_avg casts the weight to long — a DOUBLE
+    weight column would silently truncate fractional weights (0.5 -> 0),
+    so the fractional column TYPE is rejected with the JSON path instead
+    (integer weights by contract; ES accepts fractional — documented
+    divergence in the error)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    df = spark.range(10).selectExpr(
+        "'g' AS k", "CAST(id AS DOUBLE) AS v", "CAST(0.5 AS DOUBLE) AS w",
+        "CAST(id AS BIGINT) AS wi",
+    )
+    body = {"aggs": {"g": {"terms": {"field": "k"}, "aggs": {
+        "wa": {"weighted_avg": {"value": {"field": "v"},
+                                "weight": {"field": "w"}}}}}}}
+    with pytest.raises(UnsupportedEsQuery,
+                       match=r"\$\.aggs\.g\.aggs\.wa\.weighted_avg\.weight"):
+        es_aggs(df, body)
+    # integer weight columns still pass — and through every bucket shape
+    # that threads dtypes (plain terms, filters' one-scan path, composite)
+    ok = es_aggs(df, {"aggs": {"g": {"terms": {"field": "k"}, "aggs": {
+        "wa": {"weighted_avg": {"value": {"field": "v"},
+                                "weight": {"field": "wi"}}}}}}})["g"]
+    assert ok.collect()[0]["wa"] is not None
+    with pytest.raises(UnsupportedEsQuery, match="fractional type"):
+        es_aggs(df, {"aggs": {"f": {
+            "filters": {"filters": {"all": {"match_all": {}}}},
+            "aggs": {"wa": {"weighted_avg": {"value": {"field": "v"},
+                                             "weight": {"field": "w"}}}}}}})
+    with pytest.raises(UnsupportedEsQuery, match="fractional type"):
+        es_aggs(df, {"aggs": {"c": {
+            "composite": {"sources": [{"k": {"terms": {"field": "k"}}}]},
+            "aggs": {"wa": {"weighted_avg": {"value": {"field": "v"},
+                                             "weight": {"field": "w"}}}}}}})
+
+
 def test_es_aggs_shift_pipelines_and_frame_pipelines(spark):
     """serial_diff / moving_fn (dense-spine equi-join shifts, no window),
     bucket_selector (restricted Painless threshold) and bucket_sort."""
@@ -1183,9 +1222,12 @@ def test_es_aggs_shift_pipelines_and_frame_pipelines(spark):
     cnt = [r["doc_count"] for r in out]
     assert cnt == [4, 5, 6, 0, 8, 9]
     assert [r["sd"] for r in out] == [None, None, 2, -5, 2, 9]
+    # ES default shift=0: the window is the 3 buckets BEFORE the current
+    # one (current EXCLUDED); the first bucket's window is empty -> null
     for k, r in enumerate(out):
-        win = cnt[max(0, k - 2):k + 1]
-        assert r["mv"] == round(sum(win) / len(win), 6)
+        win = cnt[max(0, k - 3):k]
+        want = round(sum(win) / len(win), 6) if win else None
+        assert r["mv"] == want
     # selector gates buckets; sort takes heap top-k by a sibling metric
     got = es_aggs(df, {"aggs": {"pm": {
         "date_histogram": {"field": "ts", "calendar_interval": "month"},
@@ -1239,9 +1281,23 @@ def test_es_aggs_moving_fn_skips_metric_gaps(spark):
                                  "MovingFunctions.unweightedAvg(values)"}},
         }}}})["pm"].collect()
     assert [r["vmax"] for r in out] == [10.0, None, 30.0]
-    # Feb window = {Jan 10.0, Feb NULL} -> avg of the one non-null = 10.0
-    # Mar window = {Feb NULL, Mar 30.0} -> 30.0, NOT 15.0
-    assert [r["mv"] for r in out] == [10.0, 10.0, 30.0]
+    # ES shift=0: Jan window = {} -> null; Feb = {Jan 10.0} -> 10.0;
+    # Mar = {Jan 10.0, Feb NULL} -> avg of the one non-null = 10.0
+    assert [r["mv"] for r in out] == [None, 10.0, 10.0]
+    # shift=1 includes the current bucket (the pre-r12 hardwired window)
+    out1 = es_aggs(df, {"aggs": {"pm": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month",
+                           "min_doc_count": 0},
+        "aggs": {
+            "vmax": {"max": {"field": "v"}},
+            "mv": {"moving_fn": {"buckets_path": "vmax", "window": 2,
+                                 "shift": 1,
+                                 "script":
+                                 "MovingFunctions.unweightedAvg(values)"}},
+        }}}})["pm"].collect()
+    # Jan = {Jan 10} -> 10.0; Feb = {Jan 10, Feb NULL} -> 10.0;
+    # Mar = {Feb NULL, Mar 30} -> 30.0
+    assert [r["mv"] for r in out1] == [10.0, 10.0, 30.0]
 
 
 def test_es_query_metadata_field_dispatch(spark, sf_dir):
