@@ -8227,6 +8227,7 @@ def agg_es_sampler_door(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id AS doc_id, ts, event_type FROM events
 ORDER BY ts DESC, event_id LIMIT 8 OFFSET 8
 """,
+    bench=True,
 )
 def search_es_body_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``search_after`` IN-BODY on the field-sorted route — the news

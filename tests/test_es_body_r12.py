@@ -123,6 +123,32 @@ def test_post_filter_folds_into_existing_bool(spark, sf_dir):
     assert rows(got) == rows(want) and rows(got)
 
 
+def test_post_filter_composes_with_highlight_and_sorted_route(spark, sf_dir):
+    """Composition seams (the door's historical bug source): post_filter
+    next to highlight — the REAL Searchkit facet+highlight request — and
+    post_filter on the field-sorted route."""
+    docs = load(spark, sf_dir, "documents")
+    got = es_query(docs, "doc_id", "text", {
+        "query": {"match": {"text": "spark stream"}},
+        "post_filter": {"term": {"lang": "en"}},
+        "highlight": {"fields": {"text": {}}},
+        "size": 5,
+    })
+    assert got.columns == ["doc_id", "score", "highlighted"]
+    out = got.collect()
+    assert out and all("<em>" in r["highlighted"] for r in out)
+    # sorted route: post_filter ANDs into the membership predicate
+    ev = load(spark, sf_dir, "events")
+    got2 = es_query(ev, "event_id", None, {
+        "query": {"match_all": {}},
+        "post_filter": {"term": {"event_type": "purchase"}},
+        "sort": [{"ts": "desc"}], "size": 5, "_source": ["event_type"],
+    })
+    rows2 = got2.collect()
+    assert len(rows2) == 5
+    assert {r["event_type"] for r in rows2} == {"purchase"}
+
+
 # ------------------------------------------------------- track_total_hits
 
 
