@@ -390,7 +390,7 @@ class Engine:
             body,
             {"query", "knn", "rank", "size", "from", "sort", "_source",
              "aggs", "post_filter", "track_total_hits", "search_after",
-             "collapse", "highlight"},
+             "collapse", "highlight", "min_score", "fields"},
             "$",
         )
         out: dict = {}
@@ -435,7 +435,8 @@ class Engine:
             hits_body = {k: body[k] for k in
                          ("query", "size", "from", "sort", "_source",
                           "post_filter", "track_total_hits",
-                          "search_after", "collapse", "highlight")
+                          "search_after", "collapse", "highlight",
+                          "min_score", "fields")
                          if k in body}
             out["hits"] = self.es_query(hits_body, table=table,
                                         id_col=id_col, text_col=text_col)

@@ -486,14 +486,35 @@ def es_query(
     offset = int(body.get("from", 0))
     _reject_extras(body, {"query", "size", "from", "sort", "_source",
                           "post_filter", "track_total_hits", "search_after",
-                          "collapse", "highlight"}, "$")
+                          "collapse", "highlight", "min_score", "fields"},
+                   "$")
     fetch = size + offset
-    source = body.get("_source")
+    if "fields" in body and "_source" in body:
+        _fail("$.fields", "give fields OR _source, not both (the door "
+                          "returns flat columns either way)")
+    # ES 8's `fields` is the modern _source: same field-name array in,
+    # flat projected columns out (ES's per-field value-array envelope is
+    # a JSON transport shape a DataFrame doesn't need)
+    source = body.get("_source", body.get("fields"))
     if source is not None and (
         not isinstance(source, (list, tuple))
         or not all(isinstance(c, str) for c in source)
     ):
         _fail("$._source", "only a field-name array form is implemented")
+    min_score = body.get("min_score")
+    if min_score is not None:
+        if "sort" in body:
+            _fail("$.min_score", "min_score needs the scored route — "
+                                 "field sorts skip scoring (ES computes "
+                                 "no _score there either)")
+        if "collapse" in body or "search_after" in body:
+            _fail("$.min_score", "min_score next to collapse/search_after "
+                                 "is not implemented")
+        if next(iter(body["query"])) == "match_all":
+            _fail("$.min_score", "this engine scores match_all 0.0 (ES: "
+                                 "1.0) — a min_score gate over match_all "
+                                 "would silently diverge; drop the key")
+        min_score = float(min_score)
 
     # ---- r12 body keys: post_filter / track_total_hits / search_after /
     # collapse / highlight (the keys es_search used to silently drop —
@@ -867,6 +888,11 @@ def es_query(
                               minimum_should_match=1, k=fetch)
     else:
         _fail(path, f"query type {qtype!r} is not implemented")
+    if min_score is not None:
+        # monotone-on-score gate: dropping sub-threshold rows AFTER the
+        # top-k heap keeps exactly the rows a pre-cut filter would (the
+        # heap is score-ordered), so the operators' plans stay untouched
+        out = out.where(F.col("score") >= F.lit(min_score))
     return _finish(_offset(out, offset))
 
 
@@ -1020,7 +1046,7 @@ _ES_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 _METRIC_TYPES = (
     "avg, sum, min, max, value_count, cardinality, stats, percentiles, "
     "percentile_ranks, extended_stats, median_absolute_deviation, "
-    "weighted_avg, boxplot, geo_centroid, geo_bounds"
+    "weighted_avg, boxplot, geo_centroid, geo_bounds, top_metrics"
 )
 
 
@@ -1048,7 +1074,7 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = "",
     for name, spec in (sub_aggs or {}).items():
         mtype, mbody = _single_field(spec, f"{path}.aggs.{name}")
         mp = f"{path}.aggs.{name}.{mtype}"
-        if mtype == "weighted_avg":  # value/weight sub-objects, no field
+        if mtype in ("weighted_avg", "top_metrics"):  # sub-objects, no field
             field, col = None, None
         else:
             field = _req(mbody, "field", mp)
@@ -1237,6 +1263,54 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = "",
             _one(F.min(lat), f"{name}_bottom")
             _one(F.min(lon), f"{name}_left")
             _one(F.max(lon), f"{name}_right")
+        elif mtype == "top_metrics":
+            # per bucket, the metric values OF the top-sorted row —
+            # folded into the SAME grouped aggregate as a struct
+            # max/min (no window, no join): max(struct(sort, metrics…))
+            # picks the winning tuple lexicographically, so among
+            # equal sort values ties break by metric value (largest
+            # under desc, smallest under asc) — a deterministic rule
+            # where ES's is shard doc order (unstable); documented
+            # divergence. size > 1 would need a per-bucket top-k frame
+            # — use terms+top_hits for that shape.
+            _reject_extras(mbody, {"metrics", "sort", "size"}, mp)
+            if int(mbody.get("size", 1)) != 1:
+                _fail(f"{mp}.size", "only size 1 is implemented (the "
+                                    "top_hits door covers per-bucket "
+                                    "top-k pages)")
+            sort = _req(mbody, "sort", mp)
+            if isinstance(sort, dict):
+                sort = [sort]
+            if len(sort) != 1:
+                _fail(f"{mp}.sort", "exactly one sort entry is implemented")
+            sfield, sspec = _single_field(sort[0], f"{mp}.sort[0]")
+            order = (sspec.get("order", "asc") if isinstance(sspec, dict)
+                     else str(sspec))
+            if order not in ("asc", "desc"):
+                _fail(f"{mp}.sort[0]", f"order must be asc or desc, "
+                                       f"got {order!r}")
+            mfields = [
+                str(_req(m, "field", f"{mp}.metrics[{i}]"))
+                for i, m in enumerate(
+                    _req(mbody, "metrics", mp)
+                    if isinstance(mbody["metrics"], (list, tuple))
+                    else [mbody["metrics"]]
+                )
+            ]
+            tup = F.struct(
+                F.col(sfield).alias("__s"),
+                *[F.col(f).alias(f"__m{i}") for i, f in enumerate(mfields)],
+            )
+            if cond is not None:
+                tup = F.when(cond, tup)
+            pre = f"{prefix}__tm_{name}"
+            aggs.append(
+                (F.max(tup) if order == "desc" else F.min(tup)).alias(pre)
+            )
+            finals.extend(
+                F.col(f"{pre}.__m{i}").alias(f"{name}_{f}")
+                for i, f in enumerate(mfields)
+            )
         elif mtype == "median_absolute_deviation":
             if cond is not None:
                 _fail(mp, "median_absolute_deviation inside filters/range "
@@ -1258,7 +1332,7 @@ _BUCKET_PIPELINE_TYPES = ("cumulative_sum", "derivative", "serial_diff",
 _BUCKET_FRAME_PIPELINE_TYPES = ("bucket_selector", "bucket_sort")
 _SIBLING_PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket",
                            "max_bucket", "stats_bucket",
-                           "percentiles_bucket")
+                           "extended_stats_bucket", "percentiles_bucket")
 
 
 def _bucket_key(atype: str, body: dict, p: str) -> dict:
@@ -2405,6 +2479,8 @@ def _sibling_pipeline(siblings: dict, name: str, ptype: str,
     allowed = {"buckets_path"}
     if ptype == "percentiles_bucket":
         allowed |= {"percents"}
+    elif ptype == "extended_stats_bucket":
+        allowed |= {"sigma"}
     _reject_extras(pbody, allowed, path)
     if ">" not in ref:
         _fail(path, "buckets_path must be 'sibling>metric' (or "
@@ -2438,6 +2514,38 @@ def _sibling_pipeline(siblings: dict, name: str, ptype: str,
             .alias(f"p{_pct_label(p)}")
             for i, p in enumerate(percents)
         ])
+    if ptype == "extended_stats_bucket":
+        # one-row moment panel over the (bucket-count-sized) frame —
+        # the "how spiky is my series" sibling. The moments sum the
+        # sibling column as-is: _count/long paths stay exact integers;
+        # double metric paths are a ≤|buckets|-row sum (the frame is
+        # already a deterministic aggregate), rounded at 6 dp like
+        # every emitted double.
+        sigma = float(pbody.get("sigma", 2.0))
+        wide = frame.agg(
+            F.count(src).alias("n"),
+            F.min(src).alias("mn"),
+            F.max(src).alias("mx"),
+            F.sum(src).alias("s"),
+            F.sum(src * src).alias("ss"),
+        )
+        s, ss, n = (F.col("s").cast("double"), F.col("ss").cast("double"),
+                    F.col("n"))
+        mean = s / n
+        var_pop = (ss - s * F.col("s").cast("double") / n) / n
+        std = F.sqrt(var_pop)
+        return wide.select(
+            n.alias("count"),
+            F.col("mn").alias("min"),
+            F.col("mx").alias("max"),
+            F.round(mean, 6).alias("avg"),
+            F.col("s").alias("sum"),
+            F.round(ss, 6).alias("sum_of_squares"),
+            F.round(var_pop, 6).alias("variance"),
+            F.round(std, 6).alias("std_deviation"),
+            F.round(mean + sigma * std, 6).alias("std_upper"),
+            F.round(mean - sigma * std, 6).alias("std_lower"),
+        )
     # stats_bucket
     return frame.agg(
         F.count(src).alias("count"),

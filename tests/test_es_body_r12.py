@@ -341,6 +341,121 @@ def test_significant_text_door(spark, sf_dir):
             text_col="text", id_col="doc_id")
 
 
+# ----------------------- r12 wave 2: top_metrics / extended_stats_bucket /
+# min_score / fields (pytest parity now; catalog rows are declared r13
+# registration debt — the r9→r10 pattern)
+
+
+def test_top_metrics_door_metric(spark, sf_dir):
+    """top_metrics as a door metric sub-agg: per bucket the metric values
+    OF the top-sorted row, folded into the same grouped aggregate as a
+    struct max/min — no window, no join."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    got = es_aggs(ev, {"aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 3},
+        "aggs": {"latest": {"top_metrics": {
+            "metrics": [{"field": "value"}],
+            "sort": [{"ts": "desc"}],
+        }}},
+    }}})["by_type"]
+    assert got.columns == ["key", "doc_count", "latest_value"]
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("ts"), F.desc("value")
+    )
+    want = {
+        (r["event_type"], r["value"])
+        for r in ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1).collect()
+    }
+    for r in got.collect():
+        assert (r["key"], r["latest_value"]) in want
+    # asc sort takes the struct MIN
+    got2 = es_aggs(ev, {"aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 3},
+        "aggs": {"first": {"top_metrics": {
+            "metrics": [{"field": "value"}], "sort": [{"ts": "asc"}],
+        }}}}}})["by_type"]
+    w2 = Window.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("value"))
+    want2 = {
+        (r["event_type"], r["value"])
+        for r in ev.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") == 1).collect()
+    }
+    for r in got2.collect():
+        assert (r["key"], r["first_value"]) in want2
+    # size > 1 routes to top_hits, loudly
+    with pytest.raises(UnsupportedEsQuery, match="size 1"):
+        es_aggs(ev, {"aggs": {"x": {"terms": {"field": "event_type"},
+            "aggs": {"t": {"top_metrics": {"metrics": [{"field": "value"}],
+                                           "sort": [{"ts": "desc"}],
+                                           "size": 3}}}}}})
+
+
+def test_top_metrics_in_predicate_buckets(spark, sf_dir):
+    """top_metrics rides the one-scan filters path (cond-wrapped struct)."""
+    ev = load(spark, sf_dir, "events")
+    got = es_aggs(ev, {"aggs": {"f": {
+        "filters": {"filters": {
+            "purchases": {"term": {"event_type": "purchase"}}}},
+        "aggs": {"latest": {"top_metrics": {
+            "metrics": [{"field": "value"}], "sort": [{"ts": "desc"}]}}},
+    }}})["f"].collect()
+    assert len(got) == 1
+    top = (ev.where(F.col("event_type") == "purchase")
+           .orderBy(F.desc("ts"), F.desc("value")).limit(1).collect()[0])
+    assert got[0]["latest_value"] == top["value"]
+
+
+def test_extended_stats_bucket_sibling(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    out = es_aggs(o, {"aggs": {
+        "per_month": {"date_histogram": {"field": "o_orderdate",
+                                         "calendar_interval": "month"}},
+        "spread": {"extended_stats_bucket": {
+            "buckets_path": "per_month>_count"}},
+    }})
+    months = [r["doc_count"] for r in out["per_month"].collect()]
+    row = out["spread"].collect()[0]
+    import statistics
+
+    n = len(months)
+    assert row["count"] == n and row["sum"] == sum(months)
+    assert row["min"] == min(months) and row["max"] == max(months)
+    mean = sum(months) / n
+    var = statistics.pvariance(months)
+    assert row["avg"] == round(mean, 6)
+    assert abs(row["variance"] - var) < 1e-4
+    assert row["std_upper"] == round(mean + 2.0 * var ** 0.5, 6)
+
+
+def test_min_score_and_fields(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    base = {"query": {"match": {"text": "spark stream"}}, "size": 50}
+    all_rows = es_query(docs, "doc_id", "text", base).collect()
+    cut = all_rows[len(all_rows) // 2]["score"]
+    got = es_query(docs, "doc_id", "text", {**base, "min_score": cut})
+    want = [(r["doc_id"], r["score"]) for r in all_rows if r["score"] >= cut]
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == want
+    # fields == the modern _source spelling (flat columns out)
+    a = es_query(docs, "doc_id", "text",
+                 {**base, "size": 5, "_source": ["lang"]})
+    b = es_query(docs, "doc_id", "text",
+                 {**base, "size": 5, "fields": ["lang"]})
+    assert rows(a) == rows(b) and a.columns == b.columns
+    with pytest.raises(UnsupportedEsQuery, match="not both"):
+        es_query(docs, "doc_id", "text",
+                 {**base, "_source": ["lang"], "fields": ["lang"]})
+    with pytest.raises(UnsupportedEsQuery, match="min_score"):
+        es_query(docs, "doc_id", "text",
+                 {"query": {"match_all": {}}, "min_score": 0.5})
+    with pytest.raises(UnsupportedEsQuery, match="min_score"):
+        es_query(load(spark, sf_dir, "events"), "event_id", None,
+                 {"query": {"match_all": {}}, "sort": [{"ts": "desc"}],
+                  "min_score": 0.5})
+
+
 # ---------------------------------------------------------- retriever.rrf
 
 
