@@ -1353,17 +1353,58 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
 
     if atype == "terms":
         field = _req(body, "field", p)
-        _reject_extras(body, {"field", "size"}, p)
-        return {"expr": F.col(field), "order": "count",
-                "size": int(body.get("size", 10)), "pre": None}
+        _reject_extras(body, {"field", "size", "order", "missing"}, p)
+        expr = F.col(field)
+        if "missing" in body:
+            # ES `missing`: docs without the field land in a named
+            # bucket instead of being dropped
+            expr = F.coalesce(expr, F.lit(body["missing"]))
+        order_spec = None
+        if "order" in body:
+            od = body["order"]
+            if not isinstance(od, dict) or len(od) != 1:
+                _fail(f"{p}.order",
+                      "order takes one {target: asc|desc} entry "
+                      "(_count, _key, or a sibling metric name)")
+            (tgt, dirn), = od.items()
+            if dirn not in ("asc", "desc"):
+                _fail(f"{p}.order", f"direction must be asc or desc, "
+                                    f"got {dirn!r}")
+            order_spec = (str(tgt), dirn)
+        return {"expr": expr, "order": "count",
+                "size": int(body.get("size", 10)), "pre": None,
+                "order_spec": order_spec}
     if atype == "date_histogram":
         field = _req(body, "field", p)
         unit = body.get("calendar_interval") or body.get("fixed_interval")
         if unit not in _CAL_TRUNC:
             _fail(p, f"calendar_interval must be one of {sorted(_CAL_TRUNC)}")
         _reject_extras(body, {"field", "calendar_interval",
-                              "fixed_interval", "min_doc_count"}, p)
+                              "fixed_interval", "min_doc_count",
+                              "extended_bounds"}, p)
         mdc = int(body.get("min_doc_count", 1))
+        ext = None
+        if "extended_bounds" in body:
+            # ES extended_bounds: force the dense spine to cover AT
+            # LEAST [min, max] (union with the data range) — the Kibana
+            # time-picker shape, so an empty edge of the dashboard
+            # window still renders zero buckets. Only meaningful with
+            # min_doc_count: 0 (ES silently ignores it otherwise — this
+            # door refuses the silent form).
+            if mdc != 0:
+                _fail(f"{p}.extended_bounds",
+                      "extended_bounds needs min_doc_count: 0 (ES "
+                      "ignores it otherwise — drop one of the two)")
+            eb = body["extended_bounds"]
+            lo = _req(eb, "min", f"{p}.extended_bounds")
+            hi = _req(eb, "max", f"{p}.extended_bounds")
+            _reject_extras(eb, {"min", "max"}, f"{p}.extended_bounds")
+            ext = (
+                F.date_trunc(_CAL_TRUNC[unit],
+                             F.to_timestamp(F.lit(str(lo)))),
+                F.date_trunc(_CAL_TRUNC[unit],
+                             F.to_timestamp(F.lit(str(hi)))),
+            )
         return {"expr": F.date_trunc(_CAL_TRUNC[unit], F.col(field)),
                 "order": "key", "size": None, "pre": None,
                 # min_doc_count=0 (ES's default; the door defaults to 1 —
@@ -1371,6 +1412,8 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                 # semantics): densify with a bounded calendar spine
                 "dense": mdc == 0,
                 "step": _CAL_STEP[unit],
+                "unit": unit,
+                "ext": ext,
                 # pipeline two-phase partition: one calendar YEAR of
                 # buckets per partition (≤ 8,784 even at hour grain)
                 "coarse": lambda key: F.date_trunc("year", key)}
@@ -1379,13 +1422,32 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
         interval = float(_req(body, "interval", p))
         if interval <= 0:
             _fail(p, "interval must be > 0")
-        _reject_extras(body, {"field", "interval", "min_doc_count"}, p)
+        _reject_extras(body, {"field", "interval", "min_doc_count",
+                              "extended_bounds"}, p)
+        mdc = int(body.get("min_doc_count", 1))
+        ext = None
+        if "extended_bounds" in body:
+            if mdc != 0:
+                _fail(f"{p}.extended_bounds",
+                      "extended_bounds needs min_doc_count: 0 (ES "
+                      "ignores it otherwise — drop one of the two)")
+            import math as _math
+
+            eb = body["extended_bounds"]
+            lo = float(_req(eb, "min", f"{p}.extended_bounds"))
+            hi = float(_req(eb, "max", f"{p}.extended_bounds"))
+            _reject_extras(eb, {"min", "max"}, f"{p}.extended_bounds")
+            ext = (
+                F.lit(_math.floor(lo / interval) * interval),
+                F.lit(_math.floor(hi / interval) * interval),
+            )
         return {
             "expr": F.floor(F.col(field) / F.lit(interval)) * F.lit(interval),
             "order": "key", "size": None,
             "pre": F.col(field).isNotNull(),
-            "dense": int(body.get("min_doc_count", 1)) == 0,
+            "dense": mdc == 0,
             "step": interval,
+            "ext": ext,
             # pipeline two-phase partition: 1,024 buckets per partition
             "coarse": lambda key: F.floor(key / F.lit(interval * 1024.0)),
         }
@@ -1423,10 +1485,11 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
 
 def _split_sub_aggs(sub: dict, path: str):
     """A bucket's ``aggs`` dict → (inner bucket entry | None, pipeline
-    entries, metric leaves). At most ONE nested bucket level (the Kibana
-    split-series shape); deeper nesting raises with the JSON path."""
+    entries, frame pipelines, cardinality pipelines, metric leaves). At
+    most ONE nested bucket level (the Kibana split-series shape); deeper
+    nesting raises with the JSON path."""
     inner = None
-    pipelines, frame_pipelines, metrics = {}, {}, {}
+    pipelines, frame_pipelines, card_pipelines, metrics = {}, {}, {}, {}
     for sname, sspec in (sub or {}).items():
         stype, sbody = _single_field(
             {k: v for k, v in sspec.items() if k != "aggs"} or sspec,
@@ -1442,9 +1505,11 @@ def _split_sub_aggs(sub: dict, path: str):
             pipelines[sname] = (stype, sbody)
         elif stype in _BUCKET_FRAME_PIPELINE_TYPES:
             frame_pipelines[sname] = (stype, sbody)
+        elif stype == "cumulative_cardinality":
+            card_pipelines[sname] = sbody
         else:
             metrics[sname] = sspec
-    return inner, pipelines, frame_pipelines, metrics
+    return inner, pipelines, frame_pipelines, card_pipelines, metrics
 
 
 def _apply_mads(grouped: DataFrame, framed: DataFrame, key_cols: list[str],
@@ -1737,28 +1802,34 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
     return fr.drop(*drop)
 
 
-def _densify(grouped: DataFrame, step) -> DataFrame:
+def _densify(grouped: DataFrame, step, ext=None) -> DataFrame:
     """ES ``min_doc_count: 0`` gap buckets: left-join the bucket frame
     onto a DENSE key spine — every calendar/interval step between the
     first and last observed bucket exists, gaps with doc_count=0 and
-    NULL metrics (ES's empty-bucket shape). The spine is ONE bounded
-    explode of the [min, max] key range (never the fact table; ≤ tens of
-    thousands of rows for decades at day grain — the dense_daily_counts
-    rationale, generalized to every unit and to numeric intervals)."""
+    NULL metrics (ES's empty-bucket shape). ``ext`` (extended_bounds)
+    widens the spine to at least [min, max] — least/greatest against the
+    data range, so it can only extend (ES's union rule), and an empty
+    frame still renders the requested window. The spine is ONE bounded
+    explode of the key range (never the fact table; ≤ tens of thousands
+    of rows for decades at day grain — the dense_daily_counts rationale,
+    generalized to every unit and to numeric intervals)."""
     cols = grouped.columns
     bounds = grouped.agg(F.min("key").alias("__lo"), F.max("key").alias("__hi"))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    if ext is not None:
+        # least/greatest skip NULLs, so an all-gap (empty) frame falls
+        # back to the extended bounds alone
+        lo, hi = F.least(lo, ext[0]), F.greatest(hi, ext[1])
     if isinstance(step, str):  # calendar interval
         spine = bounds.select(
-            F.explode(
-                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(step))
-            ).alias("key")
+            F.explode(F.sequence(lo, hi, F.expr(step))).alias("key")
         )
     else:  # numeric histogram: step over integer bucket indices
         spine = bounds.select(
             F.explode(
                 F.sequence(
-                    F.round(F.col("__lo") / step).cast("long"),
-                    F.round(F.col("__hi") / step).cast("long"),
+                    F.round(lo / step).cast("long"),
+                    F.round(hi / step).cast("long"),
                 )
             ).alias("__i")
         ).select((F.col("__i") * F.lit(step)).alias("key"))
@@ -2209,10 +2280,11 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         field = _req(body, "field", p)
         origin = _req(body, "origin", p)
         ranges = _req(body, "ranges", p)
-        unit = body.get("unit")
-        if unit != "km":
-            _fail(p, "only unit: \"km\" is implemented (ES defaults to "
-                     "meters — say the unit explicitly)")
+        unit = body.get("unit", "m")  # ES defaults to meters
+        to_km = {"km": 1.0, "m": 0.001, "mi": 1.609344}
+        if unit not in to_km:
+            _fail(p, f"unit must be one of {sorted(to_km)} (ES default: m)")
+        factor = to_km[unit]
         _reject_extras(body, {"field", "origin", "ranges", "unit"}, p)
         dist = haversine_km(
             F.col(f"{field}.lat"), F.col(f"{field}.lon"),
@@ -2225,9 +2297,9 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
             lo, hi = r.get("from"), r.get("to")
             pr = F.col(f"{field}.lat").isNotNull()
             if lo is not None:
-                pr = pr & (dist >= F.lit(float(lo)))
+                pr = pr & (dist >= F.lit(float(lo) * factor))
             if hi is not None:
-                pr = pr & (dist < F.lit(float(hi)))
+                pr = pr & (dist < F.lit(float(hi) * factor))
             key = r.get("key") or (f"{lo if lo is not None else '*'}-"
                                    f"{hi if hi is not None else '*'}")
             conds.append((str(key), pr))
@@ -2281,12 +2353,71 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         return _predicate_buckets_agg(filtered, conds, sub, path)
 
     outer = _bucket_key(atype, body, p)
-    inner_entry, pipelines, frame_pipes, metric_leaves = _split_sub_aggs(
-        sub, path
-    )
+    (inner_entry, pipelines, frame_pipes, card_pipes,
+     metric_leaves) = _split_sub_aggs(sub, path)
 
     if inner_entry is None:
         # ----- single-level bucket: one scan, one grouped shuffle
+        card_specs = []
+        for pname, pbody in card_pipes.items():
+            # ES ``cumulative_cardinality`` — "distinct keys seen so
+            # far" (the total-users-to-date Kibana line). ES merges
+            # per-bucket HLL sketches; exactly and distributed it
+            # reduces to FIRST-SEEN buckets: a key contributes from the
+            # bucket of its first appearance onward, so the pipeline is
+            # one groupBy(field).min(key) aggregate + the SAME two-phase
+            # cumulative_sum machinery every other walk pipeline uses
+            # (operators.aggregates.cumulative_cardinality_daily, door
+            # form). buckets_path must name a sibling cardinality
+            # metric — that metric's field is the key being counted.
+            pp = f"{path}.aggs.{pname}"
+            ref = str(_req(pbody, "buckets_path", pp))
+            _reject_extras(pbody, {"buckets_path"}, pp)
+            sib = metric_leaves.get(ref)
+            if (not isinstance(sib, dict)
+                    or next(iter(sib), None) != "cardinality"):
+                _fail(f"{pp}.buckets_path",
+                      f"{ref!r} must name a sibling cardinality metric "
+                      "(its field is the key the cumulative count walks)")
+            if outer["order"] != "key":
+                _fail(pp, "cumulative_cardinality needs an ordered parent "
+                          "bucket (date_histogram or histogram)")
+            card_specs.append(
+                (pname, _req(sib["cardinality"], "field", f"{pp}.field"))
+            )
+        rate_specs = []
+        for rname in list(metric_leaves):
+            rspec = metric_leaves[rname]
+            if not (isinstance(rspec, dict)
+                    and next(iter(rspec), None) == "rate"):
+                continue
+            # ES ``rate`` — per-calendar-unit normalized sum/count under
+            # a date_histogram parent (the Kibana per-day trend line on
+            # monthly buckets): value = Σfield (or doc_count) ÷ the
+            # bucket's span in `unit`s. The span is pure key arithmetic
+            # (key + 1 interval − key), so rate is a post-aggregation
+            # column on the bucket frame — no extra scan
+            # (operators.aggregates.rate_monthly, door form).
+            rb = rspec["rate"]
+            rp = f"{path}.aggs.{rname}.rate"
+            _reject_extras(rb, {"unit", "field"}, rp)
+            if atype != "date_histogram":
+                _fail(rp, "rate needs a date_histogram parent")
+            runit = str(_req(rb, "unit", rp))
+            punit = body.get("calendar_interval") or body.get(
+                "fixed_interval")
+            if runit != punit and (runit != "day"
+                                   or punit not in ("week", "month",
+                                                    "quarter", "year")):
+                _fail(f"{rp}.unit",
+                      "implemented rate units: the parent's own interval "
+                      "(span 1), or 'day' under a week/month/quarter/"
+                      "year parent")
+            fld = rb.get("field")
+            if fld is not None:
+                metric_leaves[f"__rs_{rname}"] = {"sum": {"field": fld}}
+            rate_specs.append((rname, fld, runit, punit))
+            del metric_leaves[rname]
         m_aggs, m_finals, mads = _metric_cols(
             metric_leaves, path, dtypes=dict(filtered.dtypes)
         )
@@ -2300,19 +2431,80 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
             .select("key", "doc_count", *m_finals)
         )
         grouped = _apply_mads(grouped, framed, ["key"], mads)
+        for pname, fld in card_specs:
+            # first-seen counts per bucket (new-keys frame is
+            # bucket-count-sized → broadcast onto the grouped frame),
+            # then the synthetic cumulative_sum below integrates it
+            firsts = (
+                framed.where(F.col(fld).isNotNull())
+                .groupBy(fld)
+                .agg(F.min("key").alias("key"))
+                .groupBy("key")
+                .agg(F.count(F.lit(1)).alias(f"__new_{pname}"))
+            )
+            grouped = grouped.join(F.broadcast(firsts), "key", "left")
+            grouped = grouped.withColumn(
+                f"__new_{pname}",
+                F.coalesce(F.col(f"__new_{pname}"), F.lit(0)),
+            )
+            pipelines[pname] = (
+                "cumulative_sum", {"buckets_path": f"__new_{pname}"}
+            )
         if outer.get("dense"):
-            grouped = _densify(grouped, outer["step"])
+            grouped = _densify(grouped, outer["step"], outer.get("ext"))
+            for pname, _ in card_specs:  # gap buckets add no new keys
+                grouped = grouped.withColumn(
+                    f"__new_{pname}",
+                    F.coalesce(F.col(f"__new_{pname}"), F.lit(0)),
+                )
+        for rname, fld, runit, punit in rate_specs:
+            if runit == punit:
+                span = F.lit(1.0)
+            else:  # day units under a coarser calendar parent
+                span = F.datediff(
+                    (F.col("key") + F.expr(_CAL_STEP[punit])).cast("date"),
+                    F.col("key").cast("date"),
+                ).cast("double")
+            base_col = (F.coalesce(F.col(f"__rs_{rname}"), F.lit(0))
+                        if fld is not None else F.col("doc_count"))
+            grouped = grouped.withColumn(
+                rname, F.round(base_col / span, 6)
+            )
+        if rate_specs:
+            grouped = grouped.drop(*[
+                f"__rs_{r}" for r, f, _, _ in rate_specs if f is not None
+            ])
         if outer["order"] == "count":
             # ES pipelines run over the RETURNED buckets, so the
             # terms/grid size cut applies first (percent_of_sum under
             # terms is the share among the top-size buckets, as Kibana
-            # renders it)
-            grouped = grouped.orderBy(
-                F.desc("doc_count"), F.asc("key")
-            ).limit(outer["size"])
+            # renders it). A terms `order` spec redirects the ranking:
+            # _count asc/desc, _key, or a sibling METRIC column — the
+            # cut stays a top-k heap on the (bucket-count-sized)
+            # aggregated frame either way, never a fact-table sort.
+            spec_o = outer.get("order_spec")
+            if spec_o is None or spec_o == ("_count", "desc"):
+                sort_cols = [F.desc("doc_count"), F.asc("key")]
+            elif spec_o[0] == "_count":
+                sort_cols = [F.asc("doc_count"), F.asc("key")]
+            elif spec_o[0] == "_key":
+                sort_cols = [F.desc("key") if spec_o[1] == "desc"
+                             else F.asc("key")]
+            else:
+                tgt, dirn = spec_o
+                if tgt not in grouped.columns:
+                    _fail(f"{p}.order",
+                          f"{tgt!r} does not name a sibling metric "
+                          f"column (has {grouped.columns})")
+                c = F.col(tgt)
+                sort_cols = [c.desc() if dirn == "desc" else c.asc(),
+                             F.asc("key")]
+            grouped = grouped.orderBy(*sort_cols).limit(outer["size"])
         grouped = _apply_bucket_pipelines(
             grouped, pipelines, "key", [], outer, path
         )
+        if card_specs:
+            grouped = grouped.drop(*[f"__new_{p}" for p, _ in card_specs])
         grouped = _apply_frame_pipelines(grouped, frame_pipes, path)
         if outer["order"] == "count":
             return grouped
@@ -2324,6 +2516,10 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
     # grouped frame for outer totals and semi-joins the winners back —
     # never a second fact-table pass, never a global window.
     iname, itype, ibody, isub = inner_entry
+    if outer.get("order_spec") is not None:
+        _fail(p, "terms `order` on the parent of a nested bucket is not "
+                 "implemented (parents rank by total doc_count) — flatten "
+                 "or drop the order key")
     if outer.get("dense"):
         _fail(p, "min_doc_count: 0 on a parent of a nested bucket is not "
                  "implemented (the dense spine is single-level) — drop it "
@@ -2333,23 +2529,31 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
               "metric sub-aggs next to a nested bucket must live INSIDE "
               "the nested bucket (one flat (outer, inner, metrics) table "
               "per level is the door's output shape)")
-    if pipelines or frame_pipes:
+    if pipelines or frame_pipes or card_pipes:
         _fail(f"{path}.aggs",
               "pipeline sub-aggs next to a nested bucket must live INSIDE "
               "the nested bucket (they window over the inner frame)")
     inner = _bucket_key(itype, ibody, f"{path}.aggs.{iname}.{itype}")
+    if inner.get("order_spec") is not None:
+        _fail(f"{path}.aggs.{iname}.{itype}",
+              "terms `order` inside a nested bucket is not implemented "
+              "(inner buckets rank by doc_count)")
     if inner.get("dense"):
         _fail(f"{path}.aggs.{iname}.{itype}",
               "min_doc_count: 0 inside a nested bucket is not implemented "
               "(a per-parent dense spine) — drop it or run the histogram "
               "as the top-level bucket")
-    i_inner, i_pipelines, i_frame_pipes, i_metrics = _split_sub_aggs(
-        isub, f"{path}.aggs.{iname}"
-    )
+    (i_inner, i_pipelines, i_frame_pipes, i_card_pipes,
+     i_metrics) = _split_sub_aggs(isub, f"{path}.aggs.{iname}")
     if i_frame_pipes:
         _fail(f"{path}.aggs.{iname}.aggs",
               "bucket_selector/bucket_sort inside a nested bucket are not "
               "implemented — run them on a single-level histogram")
+    if i_card_pipes:
+        _fail(f"{path}.aggs.{iname}.aggs",
+              "cumulative_cardinality inside a nested bucket is not "
+              "implemented (per-parent first-seen frames) — run it on a "
+              "single-level histogram")
     if i_inner is not None:
         _fail(f"{path}.aggs.{iname}.aggs",
               "bucket nesting deeper than two levels is not implemented")

@@ -34,7 +34,7 @@ def rows(df):
 def test_es_search_rejects_unknown_body_keys(engine):
     """The r11 judge repro: a body with an unsupported top-level key must
     raise with the path, never run with silently different semantics."""
-    for bad in ("min_score", "explain", "suggest", "rescore"):
+    for bad in ("explain", "suggest", "rescore", "indices_boost"):
         with pytest.raises(UnsupportedEsQuery, match=r"\$"):
             engine.es_search({"query": {"match": {"text": "spark"}},
                               bad: {"x": 1}})
@@ -430,6 +430,44 @@ def test_extended_stats_bucket_sibling(spark, sf_dir):
     assert row["std_upper"] == round(mean + 2.0 * var ** 0.5, 6)
 
 
+def test_cumulative_cardinality_door(spark):
+    """cumulative_cardinality = distinct keys seen so far: reduces
+    exactly to first-seen buckets + the shared two-phase prefix sum (ES
+    merges HLL sketches — approximate; this is the exact form)."""
+    import datetime as dt
+
+    rows_in = [
+        (1, "u1", dt.datetime(2024, 1, 1)), (2, "u2", dt.datetime(2024, 1, 1)),
+        (3, "u1", dt.datetime(2024, 1, 2)),
+        (4, "u3", dt.datetime(2024, 1, 4)), (5, "u1", dt.datetime(2024, 1, 4)),
+        (6, "u4", dt.datetime(2024, 1, 5)), (7, "u5", dt.datetime(2024, 1, 5)),
+    ]
+    df = spark.createDataFrame(rows_in, "id long, user string, ts timestamp")
+    body = {"aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "min_doc_count": 0},
+        "aggs": {"u": {"cardinality": {"field": "user"}},
+                 "cu": {"cumulative_cardinality": {"buckets_path": "u"}}},
+    }}}
+    out = es_aggs(df, body)["daily"].collect()
+    assert [r["cu"] for r in out] == [2, 2, 2, 3, 5]
+    assert [r["u"] for r in out] == [2, 1, None, 2, 2]
+    # buckets_path must name a sibling CARDINALITY metric
+    with pytest.raises(UnsupportedEsQuery, match="cardinality metric"):
+        es_aggs(df, {"aggs": {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"m": {"max": {"field": "id"}},
+                     "cu": {"cumulative_cardinality": {
+                         "buckets_path": "m"}}}}}})
+    # unordered parents refuse the walk
+    with pytest.raises(UnsupportedEsQuery, match="ordered parent"):
+        es_aggs(df, {"aggs": {"t": {
+            "terms": {"field": "user"},
+            "aggs": {"u": {"cardinality": {"field": "id"}},
+                     "cu": {"cumulative_cardinality": {
+                         "buckets_path": "u"}}}}}})
+
+
 def test_min_score_and_fields(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     base = {"query": {"match": {"text": "spark stream"}}, "size": 50}
@@ -454,6 +492,134 @@ def test_min_score_and_fields(spark, sf_dir):
         es_query(load(spark, sf_dir, "events"), "event_id", None,
                  {"query": {"match_all": {}}, "sort": [{"ts": "desc"}],
                   "min_score": 0.5})
+
+
+def test_terms_order_and_missing(spark, sf_dir):
+    """terms `order` (_count asc, _key, sibling metric) and `missing`."""
+    ev = load(spark, sf_dir, "events")
+    body = lambda order: {"aggs": {"t": {
+        "terms": {"field": "event_type", "size": 3, "order": order},
+        "aggs": {"vmax": {"max": {"field": "value"}}},
+    }}}
+    base = (ev.groupBy(F.col("event_type").alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.max("value").alias("vmax")))
+    got = es_aggs(ev, body({"vmax": "desc"}))["t"].collect()
+    want = base.orderBy(F.desc("vmax"), F.asc("key")).limit(3).collect()
+    assert [(r["key"], r["vmax"]) for r in got] == [
+        (r["key"], r["vmax"]) for r in want]
+    got2 = es_aggs(ev, body({"_count": "asc"}))["t"].collect()
+    want2 = base.orderBy(F.asc("doc_count"), F.asc("key")).limit(3).collect()
+    assert [r["key"] for r in got2] == [r["key"] for r in want2]
+    got3 = es_aggs(ev, body({"_key": "desc"}))["t"].collect()
+    want3 = base.orderBy(F.desc("key")).limit(3).collect()
+    assert [r["key"] for r in got3] == [r["key"] for r in want3]
+    with pytest.raises(UnsupportedEsQuery, match="sibling metric"):
+        es_aggs(ev, body({"nope": "desc"}))
+    # missing: null keys land in a named bucket
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id long, k string")
+    out = es_aggs(df, {"aggs": {"t": {"terms": {"field": "k",
+                                                "missing": "N/A"}}}})["t"]
+    assert {(r["key"], r["doc_count"]) for r in out.collect()} == {
+        ("a", 1), ("N/A", 2)}
+    # order inside / on the parent of a nested bucket is loud
+    with pytest.raises(UnsupportedEsQuery, match="order"):
+        es_aggs(ev, {"aggs": {"t": {
+            "terms": {"field": "event_type", "order": {"_key": "asc"}},
+            "aggs": {"h": {"date_histogram": {
+                "field": "ts", "calendar_interval": "month"}}}}}})
+
+
+def test_extended_bounds_widens_the_spine(spark):
+    import datetime as dt
+
+    rows_in = [(1, dt.datetime(2024, 3, 10)), (2, dt.datetime(2024, 4, 2))]
+    df = spark.createDataFrame(rows_in, "id long, ts timestamp")
+    out = es_aggs(df, {"aggs": {"m": {"date_histogram": {
+        "field": "ts", "calendar_interval": "month", "min_doc_count": 0,
+        "extended_bounds": {"min": "2024-01-15", "max": "2024-06-01"},
+    }}}})["m"].collect()
+    assert [r["key"].month for r in out] == [1, 2, 3, 4, 5, 6]
+    assert [r["doc_count"] for r in out] == [0, 0, 1, 1, 0, 0]
+    # bounds can only EXTEND (union with the data range)
+    out2 = es_aggs(df, {"aggs": {"m": {"date_histogram": {
+        "field": "ts", "calendar_interval": "month", "min_doc_count": 0,
+        "extended_bounds": {"min": "2024-03-20", "max": "2024-03-25"},
+    }}}})["m"].collect()
+    assert [r["key"].month for r in out2] == [3, 4]
+    # numeric histogram form
+    dfn = spark.createDataFrame([(1, 12.0)], "id long, v double")
+    outn = es_aggs(dfn, {"aggs": {"h": {"histogram": {
+        "field": "v", "interval": 5.0, "min_doc_count": 0,
+        "extended_bounds": {"min": 0, "max": 20},
+    }}}})["h"].collect()
+    assert [r["key"] for r in outn] == [0.0, 5.0, 10.0, 15.0, 20.0]
+    # silently-ignored form refused
+    with pytest.raises(UnsupportedEsQuery, match="extended_bounds"):
+        es_aggs(df, {"aggs": {"m": {"date_histogram": {
+            "field": "ts", "calendar_interval": "month",
+            "extended_bounds": {"min": "2024-01-01", "max": "2024-02-01"},
+        }}}})
+
+
+def test_geo_distance_defaults_to_meters(spark, sf_dir):
+    """ES's default geo_distance unit is meters — a verbatim Kibana body
+    without `unit` now buckets correctly instead of failing."""
+    cust = None
+    df = spark.createDataFrame(
+        [(1, 48.8566, 2.3522),    # Paris (origin)
+         (2, 48.8606, 2.3376),    # Louvre ~1.2 km
+         (3, 45.7640, 4.8357)],   # Lyon ~392 km
+        "id long, lat double, lon double",
+    ).selectExpr("id", "named_struct('lat', lat, 'lon', lon) AS geo")
+    body = lambda unit_kv: {"aggs": {"rings": {"geo_distance": {
+        "field": "geo", "origin": {"lat": 48.8566, "lon": 2.3522},
+        "ranges": [{"to": 2000}, {"from": 2000}], **unit_kv,
+    }}}}
+    out_m = {r["key"]: r["doc_count"]
+             for r in es_aggs(df, body({}))["rings"].collect()}
+    assert out_m == {"*-2000": 2, "2000-*": 1}
+    out_km = {r["key"]: r["doc_count"]
+              for r in es_aggs(df, {"aggs": {"rings": {"geo_distance": {
+                  "field": "geo", "origin": {"lat": 48.8566, "lon": 2.3522},
+                  "ranges": [{"to": 2}, {"from": 2}], "unit": "km",
+              }}}})["rings"].collect()}
+    assert out_km == {"*-2": 2, "2-*": 1}
+    with pytest.raises(UnsupportedEsQuery, match="unit"):
+        es_aggs(df, body({"unit": "furlong"}))
+
+
+def test_rate_metric_door(spark):
+    import datetime as dt
+
+    rows_in = []
+    i = 0
+    for d in range(1, 32):       # 31 January days, 2 docs/day, v=10
+        for _ in range(2):
+            rows_in.append((i, dt.datetime(2024, 1, d), 10.0)); i += 1
+    for d in range(1, 30):       # 29 February days (2024 leap), 1 doc/day
+        rows_in.append((i, dt.datetime(2024, 2, d), 29.0)); i += 1
+    df = spark.createDataFrame(rows_in, "id long, ts timestamp, v double")
+    out = es_aggs(df, {"aggs": {"pm": {
+        "date_histogram": {"field": "ts", "calendar_interval": "month"},
+        "aggs": {
+            "docs_per_day": {"rate": {"unit": "day"}},
+            "v_per_day": {"rate": {"unit": "day", "field": "v"}},
+            "v_per_month": {"rate": {"unit": "month", "field": "v"}},
+        }}}})["pm"].collect()
+    jan, feb = out
+    assert jan["docs_per_day"] == 2.0 and feb["docs_per_day"] == 1.0
+    assert jan["v_per_day"] == 20.0          # 620 / 31
+    assert feb["v_per_day"] == 29.0          # 841 / 29
+    assert jan["v_per_month"] == 620.0 and feb["v_per_month"] == 841.0
+    with pytest.raises(UnsupportedEsQuery, match="rate"):
+        es_aggs(df, {"aggs": {"t": {"terms": {"field": "id"},
+            "aggs": {"r": {"rate": {"unit": "day"}}}}}})
+    with pytest.raises(UnsupportedEsQuery, match="unit"):
+        es_aggs(df, {"aggs": {"pm": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {"r": {"rate": {"unit": "day"}}}}}})
 
 
 # ---------------------------------------------------------- retriever.rrf
