@@ -8561,6 +8561,23 @@ _NEXT_WINDOW_IOUS = [
     "window_topk_orders_per_cust",
 ]
 
+# r13 REGISTRATION DEBT (the r9→r10 pattern): door types shipped in r12
+# with DuckDB pytest parity (tests/test_es_body_r12_oracle.py holds the
+# proven oracle SQL, ready to paste) but no catalog row — registering
+# them this round would displace the 40 r7-stale IOUs the r11 verdict
+# ordered refreshed. Register in r13 and lead the window with them:
+#   cumulative_cardinality door (events daily users),
+#   rate door (orders monthly per-day),
+#   extended_stats_bucket sibling (orders monthly spread),
+#   terms order + top_metrics door (events by metric),
+#   min_score / fields / in-body scored search_after bodies.
+_R13_REGISTRATION_DEBT = [
+    "agg_es_cumulative_cardinality_door",
+    "agg_es_rate_door",
+    "agg_es_extended_stats_bucket_door",
+    "agg_es_terms_order_top_metrics_door",
+]
+
 _DRIVER_PRIORITY = [
     # ROUND-12 WINDOW (50 slots) — scripts/window_rotate.py proposal plus
     # the one changed-oracle row: the 9 never-checked r12 rows lead (the
