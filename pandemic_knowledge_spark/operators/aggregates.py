@@ -119,6 +119,87 @@ def significant_terms(
     )
 
 
+def significant_terms_field(
+    docs: DataFrame,
+    field: str,
+    fg_predicate: Column,
+    top_k: int = 10,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """ES ``significant_terms`` over a KEYWORD field (the commoner Kibana
+    panel shape: significant hosts / agents / categories — no analysis
+    chain, one value per doc): field values overrepresented in the
+    foreground subset vs the whole corpus, same JLH score and same
+    superset-background contract as the text form
+    (:func:`significant_terms`). Output (term, fg_count, bg_count,
+    score), top-k by (score DESC, term).
+
+    Plan: ONE scan → ONE groupBy(field) carrying fg/bg doc counts as a
+    conditional sum, one-row totals broadcast in, TakeOrderedAndProject
+    top-k — strictly cheaper than the text form (no tokenize, no
+    explode)."""
+    base = docs.select(
+        F.col(field).alias("term"),
+        fg_predicate.cast("boolean").alias("fg"),
+    ).where(F.col("term").isNotNull())
+    totals = base.agg(
+        F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("n_fg"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    per_term = (
+        base.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("fg_count"),
+            F.count(F.lit(1)).alias("bg_count"),
+        )
+        .filter(F.col("fg_count") >= F.lit(min_doc_count))
+    )
+    fg_pct = F.col("fg_count").cast("double") / F.col("n_fg")
+    bg_pct = F.col("bg_count").cast("double") / F.col("n_all")
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "fg_count",
+            "bg_count",
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("term"))
+        .limit(top_k)
+    )
+
+
+def sql_significant_terms_field(
+    table: str, field: str, fg_sql: str, top_k: int = 10,
+    min_doc_count: int = 2,
+) -> str:
+    """DuckDB SQL reproducing :func:`significant_terms_field` exactly."""
+    return f"""
+WITH base AS (
+  SELECT {field} AS term, CAST(({fg_sql}) AS BOOLEAN) AS fg
+  FROM {table} WHERE {field} IS NOT NULL
+), totals AS (
+  SELECT CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS n_fg,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM base
+), per_term AS (
+  SELECT term,
+         CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_count,
+         CAST(count(*) AS BIGINT) AS bg_count
+  FROM base GROUP BY term
+  HAVING CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT)
+         >= {min_doc_count}
+)
+SELECT term, fg_count, bg_count,
+       round((CAST(fg_count AS DOUBLE) / n_fg
+              - CAST(bg_count AS DOUBLE) / n_all)
+             * ((CAST(fg_count AS DOUBLE) / n_fg)
+                / (CAST(bg_count AS DOUBLE) / n_all)), 6) AS score
+FROM per_term, totals
+ORDER BY score DESC, term LIMIT {top_k}
+"""
+
+
 def matrix_stats(df: DataFrame, cols) -> DataFrame:
     """ES ``matrix_stats`` aggregation: pairwise population covariance and
     Pearson correlation across numeric fields, in ONE scan. ``cols`` is a

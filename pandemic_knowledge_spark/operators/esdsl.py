@@ -1381,8 +1381,30 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
             _fail(p, f"calendar_interval must be one of {sorted(_CAL_TRUNC)}")
         _reject_extras(body, {"field", "calendar_interval",
                               "fixed_interval", "min_doc_count",
-                              "extended_bounds"}, p)
+                              "extended_bounds", "time_zone"}, p)
         mdc = int(body.get("min_doc_count", 1))
+        tz = body.get("time_zone")
+        key_col = F.col(field)
+        if tz is not None:
+            # ES time_zone: bucket edges fall on LOCAL calendar
+            # boundaries, keys are the UTC instants of those local
+            # starts — truncate in the zone, convert back (the
+            # agg_daily_events_tz idiom; IANA names and ±HH:MM offsets
+            # both work). Dense spines under a time_zone would need
+            # DST-aware stepping (a calendar INTERVAL walk over UTC
+            # instants crosses transitions) — refused, not approximated.
+            if mdc == 0:
+                _fail(f"{p}.time_zone",
+                      "min_doc_count: 0 under a time_zone is not "
+                      "implemented (the dense calendar spine would cross "
+                      "DST transitions) — drop one of the two")
+            key_expr = F.to_utc_timestamp(
+                F.date_trunc(_CAL_TRUNC[unit],
+                             F.from_utc_timestamp(key_col, str(tz))),
+                str(tz),
+            )
+        else:
+            key_expr = F.date_trunc(_CAL_TRUNC[unit], key_col)
         ext = None
         if "extended_bounds" in body:
             # ES extended_bounds: force the dense spine to cover AT
@@ -1405,7 +1427,7 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                 F.date_trunc(_CAL_TRUNC[unit],
                              F.to_timestamp(F.lit(str(hi)))),
             )
-        return {"expr": F.date_trunc(_CAL_TRUNC[unit], F.col(field)),
+        return {"expr": key_expr,
                 "order": "key", "size": None, "pre": None,
                 # min_doc_count=0 (ES's default; the door defaults to 1 —
                 # emit-nonempty-only — to keep existing green rows'
@@ -2098,10 +2120,33 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
 
         if sub:
             _fail(f"{path}.aggs", f"{atype} does not take sub-aggregations")
+        fld = _req(body, "field", p)
+        if atype == "significant_terms" and (
+            text_col is None or fld != text_col
+        ):
+            # FIELD dispatch (the r11 door rule): significant_terms on a
+            # non-text column is the KEYWORD form — one value per doc,
+            # no analysis chain, same JLH contrast (the commoner Kibana
+            # panel: significant hosts/agents/categories). One
+            # groupBy(field) with conditional fg/bg counts — no
+            # tokenize, no explode.
+            from pandemic_knowledge_spark.operators.aggregates import (
+                significant_terms_field,
+            )
+
+            _reject_extras(body, {"field", "size", "min_doc_count"}, p)
+            if pred is None:
+                _fail(p, "significant_terms needs a foreground — give the "
+                         "request a query (ES's significant-vs-background "
+                         "contrast is meaningless without one)")
+            return significant_terms_field(
+                docs, fld, pred,
+                top_k=int(body.get("size", 10)),
+                min_doc_count=int(body.get("min_doc_count", 3)),
+            )
         if id_col is None:
             _fail(p, f"{atype} needs the doc id column — pass id_col to "
                      "es_aggs")
-        fld = _req(body, "field", p)
         if text_col is None or fld != text_col:
             _fail(p, f"{atype} runs over the analyzed text column — pass "
                      f"text_col and reference it (got field {fld!r})")

@@ -622,6 +622,58 @@ def test_rate_metric_door(spark):
             "aggs": {"r": {"rate": {"unit": "day"}}}}}})
 
 
+def test_significant_terms_keyword_field(spark, sf_dir):
+    """significant_terms on a NON-text column takes the keyword form —
+    one groupBy, no tokenize, same JLH score (the commoner Kibana
+    panel)."""
+    docs = load(spark, sf_dir, "documents")
+    got = es_aggs(docs, {
+        "query": {"range": {"n_chars": {"gte": 400}}},
+        "aggs": {"sig": {"significant_terms": {"field": "lang", "size": 5,
+                                               "min_doc_count": 1}}},
+    }, text_col="text")["sig"]
+    assert got.columns == ["term", "fg_count", "bg_count", "score"]
+    rows_out = got.collect()
+    assert rows_out
+    n_all = docs.where(F.col("lang").isNotNull()).count()
+    n_fg = docs.where(
+        (F.col("n_chars") >= 400) & F.col("lang").isNotNull()
+    ).count()
+    for r in rows_out:
+        fg = docs.where((F.col("lang") == r["term"])
+                        & (F.col("n_chars") >= 400)).count()
+        bg = docs.where(F.col("lang") == r["term"]).count()
+        assert (r["fg_count"], r["bg_count"]) == (fg, bg)
+        fgp, bgp = fg / n_fg, bg / n_all
+        assert r["score"] == round((fgp - bgp) * (fgp / bgp), 6)
+    # still needs a foreground
+    with pytest.raises(UnsupportedEsQuery, match="foreground"):
+        es_aggs(docs, {"aggs": {"sig": {"significant_terms": {
+            "field": "lang"}}}}, text_col="text")
+
+
+def test_date_histogram_time_zone(spark):
+    import datetime as dt
+
+    # 23:30 UTC on Jan 1 is already Jan 2 in +02:00
+    rows_in = [(1, dt.datetime(2024, 1, 1, 10, 0)),
+               (2, dt.datetime(2024, 1, 1, 23, 30)),
+               (3, dt.datetime(2024, 1, 2, 5, 0))]
+    df = spark.createDataFrame(rows_in, "id long, ts timestamp")
+    out = es_aggs(df, {"aggs": {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "time_zone": "+02:00"}}}})["d"].collect()
+    # local day starts at 22:00 UTC of the previous day
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        (dt.datetime(2023, 12, 31, 22, 0), 1),
+        (dt.datetime(2024, 1, 1, 22, 0), 2),
+    ]
+    with pytest.raises(UnsupportedEsQuery, match="time_zone"):
+        es_aggs(df, {"aggs": {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "time_zone": "+02:00", "min_doc_count": 0}}}})
+
+
 # ---------------------------------------------------------- retriever.rrf
 
 

@@ -122,6 +122,25 @@ FROM wide
 """)
 
 
+def test_significant_terms_field_oracle(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.aggregates import (
+        sql_significant_terms_field,
+    )
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    def fn(spark, sf_dir):
+        return es_aggs(load(spark, sf_dir, "documents"), {
+            "query": {"range": {"n_chars": {"gte": 400}}},
+            "aggs": {"sig": {"significant_terms": {
+                "field": "lang", "size": 5, "min_doc_count": 1}}},
+        }, text_col="text")["sig"]
+
+    _run(spark, sf_dir, fn, sql_significant_terms_field(
+        "documents", "lang", "coalesce(n_chars >= 400, FALSE)",
+        top_k=5, min_doc_count=1,
+    ))
+
+
 def test_terms_order_top_metrics_oracle(spark, sf_dir):
     from pandemic_knowledge_spark.operators.esdsl import es_aggs
 
