@@ -749,10 +749,25 @@ def es_query(
             _fail(path, f"multi_match type {mm_type!r} unknown")
         _reject_extras(qbody, {"query", "type", "fields", "operator",
                                "minimum_should_match"}, path)
-        fields = qbody.get("fields") or field_cols or [text_col]
-        fields = [f.split("^")[0] for f in fields]  # boosts not implemented
-        if any("^" in f for f in qbody.get("fields", [])):
-            _fail(path, "per-field boosts (field^2) are not implemented")
+        raw_fields = qbody.get("fields") or field_cols or [text_col]
+        fields = [f.split("^")[0] for f in raw_fields]
+        boosts = {}
+        for f in raw_fields:
+            if "^" not in f:
+                continue
+            fname, _, bstr = f.partition("^")
+            try:
+                boosts[fname] = float(bstr)
+            except ValueError:
+                _fail(path, f"malformed field boost {f!r}")
+        if boosts and not (mm_type in ("best_fields", "most_fields")
+                           and len(set(fields)) > 1):
+            # multi-field best/most_fields scale each field's score
+            # before the combine (ES semantics, bm25_search_fields
+            # boosts); elsewhere a boost is either rank-identical
+            # (single field) or needs per-type scorers — reject
+            _fail(path, "per-field boosts (field^2) are implemented for "
+                        "multi-field best_fields/most_fields only")
         # term-level matching controls: honored on the single-field
         # best_fields route (an exact collapse onto the match clause,
         # which implements both); everywhere else they would need
@@ -773,7 +788,8 @@ def es_query(
             out = bm25_search_cross_fields(docs, id_col, fields, q, k=fetch)
         elif mm_type == "most_fields":
             out = bm25_search_fields(docs, id_col, fields, q, k=fetch,
-                                     mode="most_fields")
+                                     mode="most_fields",
+                                     boosts=boosts or None)
         elif mm_type == "bool_prefix":
             _fail(path, "bool_prefix routes through Engine.search "
                         "type-ahead; not available on the body door")
@@ -795,7 +811,8 @@ def es_query(
                 bm25_search(docs, id_col, fields[0], q, k=fetch)
                 if len(fields) == 1
                 else bm25_search_fields(docs, id_col, fields, q, k=fetch,
-                                        mode="best_fields")
+                                        mode="best_fields",
+                                        boosts=boosts or None)
             )
     elif qtype in ("wildcard", "regexp"):
         field, spec = _single_field(qbody, path)

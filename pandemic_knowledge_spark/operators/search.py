@@ -216,6 +216,7 @@ def bm25_search_fields(
     k: int = 10,
     tie_breaker: float = 0.0,
     mode: str = "best_fields",
+    boosts: dict | None = None,
 ) -> DataFrame:
     """Multi-field field-centric BM25 top-k — the reference's search shape
     (`multi_match` with `type: best_fields, lenient: true` over all fields,
@@ -254,6 +255,19 @@ def bm25_search_fields(
         .groupBy("doc_id", "field")
         .agg(F.round(F.sum("term_score"), 4).alias("field_score"))
     )
+    if boosts:
+        # ES per-field boosts ("title^3"): the field's query boost scales
+        # that field's whole score before the cross-field combine — a
+        # CASE over the (small, literal) field list; the unboosted path
+        # stays bit-identical (no expression change when boosts is None)
+        b = None
+        for f in field_cols:
+            w = float(boosts.get(f, 1.0))
+            b = (F.when(F.col("field") == f, F.lit(w)) if b is None
+                 else b.when(F.col("field") == f, F.lit(w)))
+        field_scores = field_scores.withColumn(
+            "field_score", F.col("field_score") * b
+        )
     if mode == "most_fields":
         combined = F.round(F.sum("field_score"), 4)
     else:
@@ -367,9 +381,11 @@ def sql_bm25_search_fields(
     k: int = 10,
     tie_breaker: float = 0.0,
     mode: str = "best_fields",
+    boosts: dict | None = None,
 ) -> str:
     """DuckDB SQL reproducing :func:`bm25_search_fields` exactly (both
-    ``best_fields`` and ``most_fields`` modes).
+    ``best_fields`` and ``most_fields`` modes, optional per-field
+    ``boosts``).
 
     ``field_exprs`` maps field name → SQL expression deriving that field's
     text from the table's columns (must match the Spark-side derivation).
@@ -384,6 +400,16 @@ def sql_bm25_search_fields(
             f"round(max(field_score) + {tie_breaker}"
             " * (sum(field_score) - max(field_score)), 4)"
         )
+    boosted = ""
+    if boosts:
+        cases = " ".join(
+            f"WHEN field = '{f}' THEN field_score * {float(boosts.get(f, 1.0))!r}"
+            for f in field_exprs
+        )
+        boosted = f""", boosted AS (
+  SELECT doc_id, field, CASE {cases} END AS field_score FROM fscore
+)"""
+    src = "boosted" if boosts else "fscore"
     return f"""
 WITH {_sql_fields_prelude(table, id_col, field_exprs, q_terms)}, fscore AS (
   SELECT tf.doc_id, tf.field,
@@ -395,10 +421,10 @@ WITH {_sql_fields_prelude(table, id_col, field_exprs, q_terms)}, fscore AS (
   JOIN dft ON tf.field = dft.field AND tf.term = dft.term
   JOIN stats ON tf.field = stats.field
   GROUP BY tf.doc_id, tf.field
-)
+){boosted}
 SELECT doc_id,
        {combined} AS score
-FROM fscore GROUP BY doc_id
+FROM {src} GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}
 """
 

@@ -122,6 +122,41 @@ FROM wide
 """)
 
 
+def test_multi_match_field_boosts_oracle(spark, sf_dir):
+    """multi_match with per-field boosts (title^3) through the body door
+    vs the boosted DuckDB twin — both best_fields and most_fields."""
+    from pyspark.sql import functions as F
+
+    from pandemic_knowledge_spark.operators.esdsl import es_query
+    from pandemic_knowledge_spark.operators.search import (
+        sql_bm25_search_fields,
+    )
+
+    def make_fn(mm_type):
+        def fn(spark, sf_dir):
+            d = load(spark, sf_dir, "documents").select(
+                "doc_id",
+                F.expr("substr(text, 1, 80)").alias("title"),
+                F.expr("substr(text, 81)").alias("body"),
+            )
+            return es_query(d, "doc_id", "title", {
+                "query": {"multi_match": {
+                    "query": "spark join stream window",
+                    "type": mm_type,
+                    "fields": ["title^3", "body"],
+                }},
+                "size": 10,
+            })
+        return fn
+
+    exprs = {"title": "substr(text, 1, 80)", "body": "substr(text, 81)"}
+    for mm_type in ("best_fields", "most_fields"):
+        _run(spark, sf_dir, make_fn(mm_type), sql_bm25_search_fields(
+            "documents", "doc_id", exprs, "spark join stream window",
+            k=10, mode=mm_type, boosts={"title": 3.0},
+        ))
+
+
 def test_significant_terms_field_oracle(spark, sf_dir):
     from pandemic_knowledge_spark.operators.aggregates import (
         sql_significant_terms_field,
