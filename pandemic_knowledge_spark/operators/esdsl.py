@@ -434,13 +434,21 @@ def _keyset_pred(keys: list, values: list, schema):
     compare correctly against timestamp/numeric columns. The predicate
     is pushable — it prunes before any sort/top-k, which is the whole
     point of search_after (page N costs page 1)."""
+    def _dtype(name):
+        try:
+            return schema[name].dataType
+        except KeyError:
+            _fail("$.search_after",
+                  f"cursor names unknown column {name!r} (sort fields "
+                  "must be top-level table columns)")
+
     pred = F.lit(False)
     for i, (ci, desc) in enumerate(keys):
         eq = F.lit(True)
         for j in range(i):
             cj, _ = keys[j]
-            eq = eq & (F.col(cj) == F.lit(values[j]).cast(schema[cj].dataType))
-        lit = F.lit(values[i]).cast(schema[ci].dataType)
+            eq = eq & (F.col(cj) == F.lit(values[j]).cast(_dtype(cj)))
+        lit = F.lit(values[i]).cast(_dtype(ci))
         pred = pred | (eq & ((F.col(ci) < lit) if desc else (F.col(ci) > lit)))
     return pred
 
@@ -2679,19 +2687,22 @@ def es_aggs(
     """Run the AGGREGATION half of an ES request body — the Kibana shape
     — one DataFrame per top-level aggregation name.
 
-    Buckets: ``terms`` / ``date_histogram`` / ``histogram`` /
+    Buckets: ``terms`` (with ``order``/``missing``) / ``date_histogram``
+    (``time_zone``, ``extended_bounds``) / ``histogram`` /
     ``geohash_grid`` / ``geotile_grid`` (the Kibana map grids —
     ``field`` names a geo_point struct column) / ``filters`` / ``range``,
     nestable ONE level deep (``terms`` → ``date_histogram`` …, the Kibana
     split-series shape — output one flat row per (key, <inner>_key)
     pair). Metrics: avg/sum/min/max/value_count/cardinality/stats/
     percentiles/percentile_ranks/extended_stats/
-    median_absolute_deviation. Pipelines: ``cumulative_sum`` /
+    median_absolute_deviation/top_metrics, plus ``rate`` under a
+    date_histogram parent. Pipelines: ``cumulative_sum`` /
     ``derivative`` as sub-aggs of an ordered histogram parent (two-phase
-    prefix composition — no single-partition sort), and sibling
+    prefix composition — no single-partition sort),
+    ``cumulative_cardinality`` (exact first-seen reduction), and sibling
     ``avg_bucket``/``sum_bucket``/``min_bucket``/``max_bucket``/
-    ``stats_bucket`` with ``buckets_path: "sibling>metric"`` at the top
-    level.
+    ``stats_bucket``/``extended_stats_bucket``/``percentiles_bucket``
+    with ``buckets_path: "sibling>metric"`` at the top level.
 
     The query acts as a FILTER (ES aggregates over every matching doc,
     not a top-k page): it compiles to one boolean Column — recursive bool
