@@ -518,6 +518,16 @@ def es_query(
         if "collapse" in body or "search_after" in body:
             _fail("$.min_score", "min_score next to collapse/search_after "
                                  "is not implemented")
+        if "track_total_hits" in body:
+            # ES's hits.total respects min_score (sub-threshold docs are
+            # excluded from hits AND the total); this engine's total is
+            # a membership count, so the pair would silently diverge —
+            # refuse (an exact score-aware total needs the unbounded
+            # score frame)
+            _fail("$.min_score", "min_score next to track_total_hits is "
+                                 "not implemented (ES's total respects "
+                                 "min_score; the membership count here "
+                                 "would silently differ)")
         if next(iter(body["query"])) == "match_all":
             _fail("$.min_score", "this engine scores match_all 0.0 (ES: "
                                  "1.0) — a min_score gate over match_all "

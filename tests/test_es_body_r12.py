@@ -488,6 +488,11 @@ def test_min_score_and_fields(spark, sf_dir):
     with pytest.raises(UnsupportedEsQuery, match="min_score"):
         es_query(docs, "doc_id", "text",
                  {"query": {"match_all": {}}, "min_score": 0.5})
+    # ES's hits.total respects min_score — the membership-count total
+    # would silently differ, so the pair is refused (r12 self-review)
+    with pytest.raises(UnsupportedEsQuery, match="track_total_hits"):
+        es_query(docs, "doc_id", "text",
+                 {**base, "min_score": 1.0, "track_total_hits": True})
     with pytest.raises(UnsupportedEsQuery, match="min_score"):
         es_query(load(spark, sf_dir, "events"), "event_id", None,
                  {"query": {"match_all": {}}, "sort": [{"ts": "desc"}],
