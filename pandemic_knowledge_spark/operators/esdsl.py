@@ -1533,7 +1533,8 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
             "pre": lat.isNotNull() & lon.isNotNull(),
         }
     _fail(p, f"aggregation {atype!r} is not implemented (supported buckets: "
-             f"{', '.join(_BUCKET_TYPES)}, composite, filters, range, "
+             f"{', '.join(_BUCKET_TYPES)}, composite, filter, filters, "
+             "global, range, "
              "date_range, geo_distance, missing, multi_terms, "
              "adjacency_matrix, significant_terms, significant_text, "
              "rare_terms, "
@@ -2138,6 +2139,52 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
 
     if atype == "composite":
         return _composite_agg(filtered, body, sub, path, p)
+
+    if atype in ("filter", "global"):
+        # the SINGLE filter bucket — the wrapper Kibana puts around
+        # almost every panel's aggs ({"filter": <query>, "aggs": {...}})
+        # — and its inverse `global` (escape the request query — the
+        # "% of all" denominator panel). Both narrow/widen the frame and
+        # delegate: one nested bucket agg recurses over the adjusted
+        # frame; metric-only bodies ride the one-scan conditional-
+        # aggregate path (one row: doc_count + metrics, ES's shape).
+        if atype == "filter":
+            fpred = F.coalesce(
+                _agg_filter_pred(body, text_col, p), F.lit(False)
+            )
+            frame2 = filtered.where(fpred)
+            pred2 = (pred & fpred) if pred is not None else fpred
+        else:
+            if body not in ({}, None):
+                _fail(p, "global takes an empty body")
+            frame2 = docs if docs is not None else filtered
+            pred2 = None
+        inner2, pipelines2, frame_pipes2, card2, metrics2 = _split_sub_aggs(
+            sub, path
+        )
+        if inner2 is not None:
+            if metrics2 or pipelines2 or frame_pipes2 or card2:
+                _fail(f"{path}.aggs",
+                      f"{atype} with a nested bucket takes ONLY that "
+                      "bucket (metrics/pipelines live inside it — one "
+                      "flat table per aggregation is the door's shape)")
+            iname2, itype2, ibody2, isub2 = inner2
+            return _one_agg(frame2, iname2,
+                            {itype2: ibody2,
+                             **({"aggs": isub2} if isub2 else {})},
+                            text_col=text_col, docs=docs, pred=pred2,
+                            id_col=id_col)
+        if pipelines2 or frame_pipes2 or card2:
+            _fail(f"{path}.aggs",
+                  f"pipeline sub-aggs directly under {atype} are not "
+                  "implemented (give them an ordered bucket parent)")
+        if atype == "global":
+            return _predicate_buckets_agg(
+                frame2, [(name, F.lit(True))], metrics2 or None, path
+            )
+        return _predicate_buckets_agg(
+            filtered, [(name, fpred)], metrics2 or None, path
+        )
 
     if atype in ("significant_terms", "significant_text", "rare_terms"):
         # text-terms analyses over per-doc DISTINCT tokens — exactly the

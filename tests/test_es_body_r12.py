@@ -679,6 +679,57 @@ def test_date_histogram_time_zone(spark):
             "time_zone": "+02:00", "min_doc_count": 0}}}})
 
 
+def test_filter_and_global_aggs(spark, sf_dir):
+    """The single `filter` bucket (Kibana's per-panel wrapper) and
+    `global` (escape the request query — the %-of-all denominator)."""
+    ev = load(spark, sf_dir, "events")
+    # filter + metrics: one row, doc_count + metric over the narrowed set
+    out = es_aggs(ev, {"aggs": {"purch": {
+        "filter": {"term": {"event_type": "purchase"}},
+        "aggs": {"vsum": {"sum": {"field": "value"}}},
+    }}})["purch"].collect()
+    assert len(out) == 1
+    sub = ev.where(F.col("event_type") == "purchase")
+    assert out[0]["doc_count"] == sub.count()
+    assert out[0]["vsum"] == sub.agg(F.sum("value")).collect()[0][0]
+    # filter wrapping a BUCKET agg: recurse over the narrowed frame
+    got = es_aggs(ev, {"aggs": {"purch": {
+        "filter": {"term": {"event_type": "purchase"}},
+        "aggs": {"daily": {"date_histogram": {
+            "field": "ts", "calendar_interval": "month"}}},
+    }}})["purch"]
+    want = es_aggs(sub, {"aggs": {"daily": {"date_histogram": {
+        "field": "ts", "calendar_interval": "month"}}}})["daily"]
+    assert rows(got) == rows(want) and rows(got)
+    # filter composes with the request query (AND)
+    got2 = es_aggs(ev, {
+        "query": {"range": {"value": {"gte": 10}}},
+        "aggs": {"purch": {
+            "filter": {"term": {"event_type": "purchase"}},
+            "aggs": {"n": {"value_count": {"field": "event_id"}}}}},
+    })["purch"].collect()[0]
+    assert got2["doc_count"] == ev.where(
+        (F.col("value") >= 10) & (F.col("event_type") == "purchase")
+    ).count()
+    # global ESCAPES the request query
+    gout = es_aggs(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"all_docs": {"global": {},
+                              "aggs": {"n": {"value_count": {
+                                  "field": "event_id"}}}}},
+    })["all_docs"].collect()[0]
+    assert gout["doc_count"] == ev.count() and gout["n"] == ev.count()
+    # loud seams: mixing a nested bucket with sibling metrics, pipelines
+    with pytest.raises(UnsupportedEsQuery, match="ONLY that"):
+        es_aggs(ev, {"aggs": {"x": {
+            "filter": {"term": {"event_type": "purchase"}},
+            "aggs": {"daily": {"date_histogram": {
+                "field": "ts", "calendar_interval": "month"}},
+                "m": {"max": {"field": "value"}}}}}})
+    with pytest.raises(UnsupportedEsQuery, match="global takes"):
+        es_aggs(ev, {"aggs": {"x": {"global": {"q": 1}}}})
+
+
 # ---------------------------------------------------------- retriever.rrf
 
 

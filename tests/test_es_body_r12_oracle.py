@@ -122,6 +122,30 @@ FROM wide
 """)
 
 
+def test_filter_wrapper_oracle(spark, sf_dir):
+    """Kibana's per-panel `filter` wrapper around a date_histogram,
+    composed with a request query — bit-exact vs DuckDB."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    def fn(spark, sf_dir):
+        return es_aggs(load(spark, sf_dir, "events"), {
+            "query": {"range": {"value": {"gte": 10}}},
+            "aggs": {"purch": {
+                "filter": {"term": {"event_type": "purchase"}},
+                "aggs": {"daily": {"date_histogram": {
+                    "field": "ts", "calendar_interval": "month"}}},
+            }},
+        })["purch"]
+
+    _run(spark, sf_dir, fn, """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM events
+WHERE value >= 10 AND event_type = 'purchase'
+GROUP BY 1 ORDER BY key
+""")
+
+
 def test_multi_match_field_boosts_oracle(spark, sf_dir):
     """multi_match with per-field boosts (title^3) through the body door
     vs the boosted DuckDB twin — both best_fields and most_fields."""
