@@ -2682,8 +2682,9 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
               "implemented (per-parent first-seen frames) — run it on a "
               "single-level histogram")
     if i_inner is not None:
-        _fail(f"{path}.aggs.{iname}.aggs",
-              "bucket nesting deeper than two levels is not implemented")
+        return _three_level_agg(filtered, outer, inner_entry, i_inner,
+                                i_pipelines, i_metrics, path, p,
+                                dtypes=dict(filtered.dtypes))
     m_aggs, m_finals, mads = _metric_cols(
         i_metrics, f"{path}.aggs.{iname}", dtypes=dict(filtered.dtypes)
     )
@@ -2733,6 +2734,113 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         f"{path}.aggs.{iname}",
     )
     return grouped.orderBy("key", ikey)
+
+
+def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
+                     l2_pipelines: dict, l2_metrics: dict, path: str,
+                     p: str, dtypes: dict) -> DataFrame:
+    """THREE-level bucket nesting — the full Kibana "split chart +
+    x-axis + split series" body: ONE scan, ONE grouped shuffle on the
+    triple key, then three bounded cuts on the (bucket-count-sized)
+    frame — never a second fact pass:
+
+    - level 1 (terms/grid, order count): top-size keys by TOTAL
+      doc_count (sum over all descendants — ES ranks parents by their
+      total), semi-joined back;
+    - level 2: per level-1 key, top-size sub-keys by their (level-1,
+      level-2) TOTAL via one window rank over the re-aggregated
+      sub-totals frame;
+    - level 3 (the leaf): per (level-1, level-2), top-size by its own
+      doc_count via WindowGroupLimit.
+
+    Metrics and walk pipelines live in the LEAF (pipelines window
+    partitioned by the two outer keys — each series independently, no
+    single-partition exchange); metrics/pipelines at levels 1-2 and
+    min_doc_count:0 / terms order at any level raise with the path;
+    nesting past three levels raises (ES allows it; Kibana does not
+    emit it)."""
+    iname, itype, ibody, isub = l2_entry
+    if l2_pipelines or l2_metrics:
+        _fail(f"{path}.aggs.{iname}.aggs",
+              "metric/pipeline sub-aggs next to a nested bucket must "
+              "live INSIDE the innermost bucket")
+    jname, jtype, jbody, jsub = l3_entry
+    inner2 = _bucket_key(itype, ibody, f"{path}.aggs.{iname}.{itype}")
+    jp = f"{path}.aggs.{iname}.aggs.{jname}"
+    inner3 = _bucket_key(jtype, jbody, f"{jp}.{jtype}")
+    for lvl, spec_l in ((p, outer), (f"{path}.aggs.{iname}.{itype}", inner2),
+                        (f"{jp}.{jtype}", inner3)):
+        if spec_l.get("dense"):
+            _fail(lvl, "min_doc_count: 0 inside three-level nesting is "
+                       "not implemented — drop it or flatten the query")
+        if spec_l.get("order_spec") is not None:
+            _fail(lvl, "terms `order` inside three-level nesting is not "
+                       "implemented (levels rank by doc_count totals)")
+    (j_inner, j_pipelines, j_frame_pipes, j_card,
+     j_metrics) = _split_sub_aggs(jsub, jp)
+    if j_inner is not None:
+        _fail(f"{jp}.aggs",
+              "bucket nesting deeper than three levels is not implemented")
+    if j_frame_pipes or j_card:
+        _fail(f"{jp}.aggs",
+              "bucket_selector/bucket_sort/cumulative_cardinality inside "
+              "three-level nesting are not implemented")
+    m_aggs, m_finals, mads = _metric_cols(j_metrics, jp, dtypes=dtypes)
+
+    ikey, jkey = f"{iname}_key", f"{jname}_key"
+    frame = filtered
+    for spec_l in (outer, inner2, inner3):
+        if spec_l["pre"] is not None:
+            frame = frame.where(spec_l["pre"])
+    framed = (
+        frame.withColumn("key", outer["expr"])
+        .withColumn(ikey, inner2["expr"])
+        .withColumn(jkey, inner3["expr"])
+    )
+    grouped = (
+        framed.groupBy("key", ikey, jkey)
+        .agg(F.count(F.lit(1)).alias("doc_count"), *m_aggs)
+        .select("key", ikey, jkey, "doc_count", *m_finals)
+    )
+    grouped = _apply_mads(grouped, framed, ["key", ikey, jkey], mads)
+
+    from pyspark.sql import Window
+
+    if outer["order"] == "count":
+        totals = (
+            grouped.groupBy("key")
+            .agg(F.sum("doc_count").alias("__t"))
+            .orderBy(F.desc("__t"), F.asc("key"))
+            .limit(outer["size"])
+        )
+        grouped = grouped.join(
+            F.broadcast(totals.select("key")), "key", "left_semi"
+        )
+    if inner2["order"] == "count" and inner2["size"] is not None:
+        t2 = grouped.groupBy("key", ikey).agg(
+            F.sum("doc_count").alias("__t2")
+        )
+        w2 = Window.partitionBy("key").orderBy(F.desc("__t2"), F.asc(ikey))
+        winners2 = (
+            t2.withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") <= inner2["size"])
+            .select("key", ikey)
+        )
+        grouped = grouped.join(F.broadcast(winners2), ["key", ikey],
+                               "left_semi")
+    if inner3["order"] == "count" and inner3["size"] is not None:
+        w3 = Window.partitionBy("key", ikey).orderBy(
+            F.desc("doc_count"), F.asc(jkey)
+        )
+        grouped = (
+            grouped.withColumn("__rn", F.row_number().over(w3))
+            .where(F.col("__rn") <= inner3["size"])
+            .drop("__rn")
+        )
+    grouped = _apply_bucket_pipelines(
+        grouped, j_pipelines, jkey, ["key", ikey], inner3, jp
+    )
+    return grouped.orderBy("key", ikey, jkey)
 
 
 def es_aggs(

@@ -730,6 +730,82 @@ def test_filter_and_global_aggs(spark, sf_dir):
         es_aggs(ev, {"aggs": {"x": {"global": {"q": 1}}}})
 
 
+def test_three_level_nested_buckets(spark, sf_dir):
+    """Kibana's full "split chart + x-axis + split series" body: terms →
+    date_histogram → terms with leaf metrics — one scan, one triple-key
+    shuffle, three bounded cuts. Verified against an independent Spark
+    computation of ES's cut semantics (parents rank by TOTAL doc_count
+    at every level)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    body = {"aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 2},
+        "aggs": {"monthly": {
+            "date_histogram": {"field": "ts", "calendar_interval": "month"},
+            "aggs": {"by_user_bucket": {
+                "terms": {"field": "user_id", "size": 2},
+                "aggs": {"vmax": {"max": {"field": "value"}}},
+            }},
+        }},
+    }}}
+    got = es_aggs(ev, body)["by_type"]
+    assert got.columns == ["key", "monthly_key", "by_user_bucket_key",
+                           "doc_count", "vmax"]
+    g = (ev.groupBy(F.col("event_type").alias("key"),
+                    F.date_trunc("month", "ts").alias("mk"),
+                    F.col("user_id").alias("uk"))
+         .agg(F.count(F.lit(1)).alias("doc_count"),
+              F.max("value").alias("vmax")))
+    top_types = [r["key"] for r in
+                 g.groupBy("key").agg(F.sum("doc_count").alias("t"))
+                 .orderBy(F.desc("t"), F.asc("key")).limit(2).collect()]
+    w3 = Window.partitionBy("key", "mk").orderBy(F.desc("doc_count"),
+                                                 F.asc("uk"))
+    want = (g.where(F.col("key").isin(top_types))
+            .withColumn("__rn", F.row_number().over(w3))
+            .where(F.col("__rn") <= 2).drop("__rn"))
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()) and got.count() > 0
+    # leaf pipelines window per (level-1, level-2) series
+    body2 = {"aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 2},
+        "aggs": {"by_user": {
+            "terms": {"field": "user_id", "size": 2},
+            "aggs": {"monthly": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "month"},
+                "aggs": {"cum": {"cumulative_sum": {
+                    "buckets_path": "_count"}}},
+            }},
+        }},
+    }}}
+    out2 = es_aggs(ev, body2)["by_type"].collect()
+    assert out2
+    import itertools
+    for (_, _), grp in itertools.groupby(
+        out2, key=lambda r: (r["key"], r["by_user_key"])
+    ):
+        run = 0
+        for r in grp:
+            run += r["doc_count"]
+            assert r["cum"] == run
+    # four levels are loud
+    with pytest.raises(UnsupportedEsQuery, match="three levels"):
+        es_aggs(ev, {"aggs": {"a": {"terms": {"field": "event_type"},
+            "aggs": {"b": {"terms": {"field": "user_id"},
+                "aggs": {"c": {"date_histogram": {
+                    "field": "ts", "calendar_interval": "month"},
+                    "aggs": {"d": {"terms": {"field": "event_id"}}}}}}}}}})
+    # metrics next to the mid-level bucket are loud
+    with pytest.raises(UnsupportedEsQuery, match="INSIDE"):
+        es_aggs(ev, {"aggs": {"a": {"terms": {"field": "event_type"},
+            "aggs": {"b": {"terms": {"field": "user_id"},
+                "aggs": {"c": {"date_histogram": {
+                    "field": "ts", "calendar_interval": "month"}},
+                    "m": {"max": {"field": "value"}}}}}}}})
+
+
 # ---------------------------------------------------------- retriever.rrf
 
 
