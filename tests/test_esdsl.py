@@ -604,11 +604,13 @@ def test_es_aggs_nested_terms_date_histogram(spark):
             and r["per_month_key"] == m0]
     assert len(got0) == 1
     assert (got0[0]["doc_count"], got0[0]["v_max"]) == (want_n, want_mx)
-    # three levels deep is a pathed error
-    with pytest.raises(UnsupportedEsQuery, match="two levels"):
+    # r12: three levels route to the triple-key path (see
+    # test_three_level_nested_buckets); FOUR levels stay a pathed error
+    with pytest.raises(UnsupportedEsQuery, match="three levels"):
         es_aggs(df, {"aggs": {"a": {"terms": {"field": "kind"}, "aggs": {
             "b": {"terms": {"field": "kind"}, "aggs": {
-                "c": {"terms": {"field": "kind"}}}}}}}})
+                "c": {"terms": {"field": "kind"}, "aggs": {
+                    "d": {"terms": {"field": "kind"}}}}}}}}}})
     # metrics next to a nested bucket must live inside it
     with pytest.raises(UnsupportedEsQuery, match="INSIDE"):
         es_aggs(df, {"aggs": {"a": {"terms": {"field": "kind"}, "aggs": {
