@@ -390,7 +390,8 @@ class Engine:
             body,
             {"query", "knn", "rank", "size", "from", "sort", "_source",
              "aggs", "post_filter", "track_total_hits", "search_after",
-             "collapse", "highlight", "min_score", "fields"},
+             "collapse", "highlight", "min_score", "fields", "rescore",
+             "suggest"},
             "$",
         )
         out: dict = {}
@@ -436,7 +437,7 @@ class Engine:
                          ("query", "size", "from", "sort", "_source",
                           "post_filter", "track_total_hits",
                           "search_after", "collapse", "highlight",
-                          "min_score", "fields")
+                          "min_score", "fields", "rescore")
                          if k in body}
             out["hits"] = self.es_query(hits_body, table=table,
                                         id_col=id_col, text_col=text_col)
@@ -449,6 +450,50 @@ class Engine:
                 aggs_body["query"] = body["query"]
             out.update(es_aggs(self.table(table), aggs_body,
                                text_col=text_col, id_col=id_col))
+        if "suggest" in body:
+            # ES's `suggest` section rides the same _search request —
+            # the news app's "did you mean" shapes: one frame per named
+            # suggester ({"text": ..., "term": {...}} routes to the term
+            # suggester, {"text": ..., "phrase": {...}} to the bigram-LM
+            # phrase suggester). Unknown suggester types / fields raise
+            # with the path, like every other body key.
+            from pandemic_knowledge_spark.operators.search import (
+                phrase_suggest,
+                term_suggest,
+            )
+
+            for sname, sspec in body["suggest"].items():
+                sp = f"$.suggest.{sname}"
+                if not isinstance(sspec, dict) or "text" not in sspec:
+                    raise UnsupportedEsQuery(
+                        f"{sp}: a suggester needs a 'text' key")
+                stext = str(sspec["text"])
+                kinds = set(sspec) - {"text"}
+                if len(kinds) != 1 or not kinds <= {"term", "phrase"}:
+                    raise UnsupportedEsQuery(
+                        f"{sp}: exactly one of term/phrase per suggester")
+                (kind,) = kinds
+                cfg = sspec[kind] or {}
+                _reject_extras(cfg, {"field", "size", "max_edits",
+                                     "prefix_length"}, f"{sp}.{kind}")
+                fld = _req(cfg, "field", f"{sp}.{kind}")
+                if fld != text_col:
+                    raise UnsupportedEsQuery(
+                        f"{sp}.{kind}.field: suggesters run over the "
+                        f"text column {text_col!r}; got {fld!r}")
+                common = dict(
+                    max_edits=int(cfg.get("max_edits", 2)),
+                    prefix_length=int(cfg.get("prefix_length", 1)),
+                    k=int(cfg.get("size", 5 if kind == "term" else 3)),
+                )
+                if kind == "term":
+                    out[sname] = term_suggest(
+                        self.table(table), id_col, text_col, stext,
+                        **common)
+                else:
+                    out[sname] = phrase_suggest(
+                        self.table(table), id_col, text_col, stext,
+                        **common)
         return out
 
     def _retriever_hits(

@@ -462,7 +462,8 @@ def es_query(
 ) -> DataFrame:
     """Execute an ES request body ``{"query": {...}, "size", "from",
     "sort", "_source", "post_filter", "track_total_hits",
-    "search_after", "collapse", "highlight"}`` against ``docs``. Default
+    "search_after", "collapse", "highlight", "min_score", "fields",
+    "rescore"}`` against ``docs``. Default
     route returns the (doc_id, score) page in the engine's (score DESC,
     doc_id) total order; with ``"sort": [{field: "desc"}, ...]`` the
     query runs as a membership filter and the page orders by the fields
@@ -494,7 +495,8 @@ def es_query(
     offset = int(body.get("from", 0))
     _reject_extras(body, {"query", "size", "from", "sort", "_source",
                           "post_filter", "track_total_hits", "search_after",
-                          "collapse", "highlight", "min_score", "fields"},
+                          "collapse", "highlight", "min_score", "fields",
+                          "rescore"},
                    "$")
     fetch = size + offset
     if "fields" in body and "_source" in body:
@@ -622,6 +624,66 @@ def es_query(
                   "page — operators.boolquery.collapse_search)")
         out = collapse_search(docs, id_col, text_col, qtext, cfield,
                               k=fetch)
+        return _finish(_offset(out, offset))
+
+    if "rescore" in body:
+        # ES two-phase ranking IN-BODY: cheap BM25 ranks the corpus, the
+        # top window_size hits pay the expensive proximity re-rank
+        # (query_weight·bm25 + rescore_weight·phrase — ES's default
+        # `total` score_mode). Routes to the oracle-proven
+        # operators.boolquery.rescore_search; the base must be a plain
+        # match and the rescore_query a match_phrase over the text
+        # column — anything else raises with its path.
+        from pandemic_knowledge_spark.operators.boolquery import (
+            rescore_search,
+        )
+
+        rs = body["rescore"]
+        if isinstance(rs, (list, tuple)):
+            if len(rs) != 1:
+                _fail("$.rescore",
+                      "exactly one rescore stage is implemented")
+            rs = rs[0]
+        if "sort" in body or "collapse" in body or after is not None:
+            _fail("$.rescore", "rescore composes with the plain scored "
+                               "route (sort/collapse/search_after next "
+                               "to it are not implemented)")
+        window = int(rs.get("window_size", 10))
+        rq = _req(rs, "query", "$.rescore")
+        _reject_extras(rs, {"window_size", "query"}, "$.rescore")
+        _reject_extras(rq, {"rescore_query", "query_weight",
+                            "rescore_weight", "score_mode"},
+                       "$.rescore.query")
+        if rq.get("score_mode", "total") != "total":
+            _fail("$.rescore.query.score_mode",
+                  "only `total` (the default weighted sum) is implemented")
+        rtype, rbody = _single_field(
+            _req(rq, "rescore_query", "$.rescore.query"),
+            "$.rescore.query.rescore_query",
+        )
+        if rtype != "match_phrase":
+            _fail("$.rescore.query.rescore_query",
+                  "the rescore arm takes a match_phrase (the proximity "
+                  f"re-rank shape); got {rtype!r}")
+        rfield, rspec = _single_field(
+            rbody, "$.rescore.query.rescore_query.match_phrase")
+        _text_field_gate(rfield, text_col,
+                         "$.rescore.query.rescore_query.match_phrase")
+        rphrase = (rspec if isinstance(rspec, str)
+                   else str(_req(rspec, "query",
+                                 "$.rescore.query.rescore_query")))
+        qtext = _plain_match_text(query, text_col)
+        if qtext is None:
+            _fail("$.rescore",
+                  "rescore is implemented over a plain match base query")
+        out = rescore_search(
+            docs, id_col, text_col, qtext, rphrase, window_size=window,
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_weight=float(rq.get("rescore_weight", 1.0)),
+            k=fetch,
+        )
+        if min_score is not None:
+            out = out.where(F.col("score") >= F.lit(min_score))
         return _finish(_offset(out, offset))
 
     if "sort" in body:

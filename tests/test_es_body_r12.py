@@ -806,6 +806,69 @@ def test_three_level_nested_buckets(spark, sf_dir):
                     "m": {"max": {"field": "value"}}}}}}}})
 
 
+def test_rescore_in_body(spark, sf_dir):
+    from pandemic_knowledge_spark.operators.boolquery import rescore_search
+
+    docs = load(spark, sf_dir, "documents")
+    body = {
+        "query": {"match": {"text": "spark stream"}},
+        "rescore": {"window_size": 40, "query": {
+            "rescore_query": {"match_phrase": {"text": "fast scan"}},
+            "query_weight": 1.0, "rescore_weight": 2.0,
+        }},
+        "size": 10,
+    }
+    got = es_query(docs, "doc_id", "text", body)
+    want = rescore_search(docs, "doc_id", "text", "spark stream",
+                          "fast scan", window_size=40, query_weight=1.0,
+                          rescore_weight=2.0, k=10)
+    assert rows(got) == rows(want) and rows(got)
+    # the array form ES clients send
+    got2 = es_query(docs, "doc_id", "text",
+                    {**body, "rescore": [body["rescore"]]})
+    assert rows(got2) == rows(want)
+    with pytest.raises(UnsupportedEsQuery, match="score_mode"):
+        es_query(docs, "doc_id", "text", {**body, "rescore": {
+            "query": {"rescore_query": {
+                "match_phrase": {"text": "fast scan"}},
+                "score_mode": "max"}}})
+    with pytest.raises(UnsupportedEsQuery, match="match_phrase"):
+        es_query(docs, "doc_id", "text", {**body, "rescore": {
+            "query": {"rescore_query": {"match": {"text": "x"}}}}})
+    with pytest.raises(UnsupportedEsQuery, match="rescore"):
+        es_query(docs, "doc_id", "text",
+                 {**body, "sort": [{"n_chars": "desc"}]})
+
+
+def test_suggest_in_search_body(engine, spark, sf_dir):
+    from pandemic_knowledge_spark.operators.search import (
+        phrase_suggest,
+        term_suggest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = engine.es_search({
+        "query": {"match": {"text": "spark"}}, "size": 3,
+        "suggest": {
+            "fix_term": {"text": "strean", "term": {"field": "text"}},
+            "fix_phrase": {"text": "spark strean",
+                           "phrase": {"field": "text", "size": 2}},
+        },
+    })
+    assert set(out) == {"hits", "fix_term", "fix_phrase"}
+    want_t = term_suggest(docs, "doc_id", "text", "strean")
+    assert rows(out["fix_term"]) == rows(want_t) and rows(want_t)
+    want_p = phrase_suggest(docs, "doc_id", "text", "spark strean", k=2)
+    assert rows(out["fix_phrase"]) == rows(want_p)
+    from pandemic_knowledge_spark.operators.esdsl import UnsupportedEsQuery
+    with pytest.raises(UnsupportedEsQuery, match="text column"):
+        engine.es_search({"suggest": {"s": {
+            "text": "x", "term": {"field": "lang"}}}})
+    with pytest.raises(UnsupportedEsQuery, match="term/phrase"):
+        engine.es_search({"suggest": {"s": {
+            "text": "x", "completion": {"field": "text"}}}})
+
+
 # ---------------------------------------------------------- retriever.rrf
 
 
