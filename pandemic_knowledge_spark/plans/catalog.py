@@ -8576,6 +8576,15 @@ _R13_REGISTRATION_DEBT = [
     "agg_es_rate_door",
     "agg_es_extended_stats_bucket_door",
     "agg_es_terms_order_top_metrics_door",
+    # waves 5-7 (filter/global wrapper, three-level nesting, in-body
+    # rescore, the suggest section, sig-terms-keyword, multi_match
+    # boosts) — pytest-parity green this round, same debt terms:
+    "agg_es_filter_wrapper_door",
+    "agg_es_three_level_door",
+    "agg_es_sig_terms_keyword_door",
+    "search_es_body_rescore",
+    "search_es_suggest_door",
+    "search_es_body_boosted_fields",
 ]
 
 _DRIVER_PRIORITY = [
