@@ -464,6 +464,12 @@ class Engine:
 
             for sname, sspec in body["suggest"].items():
                 sp = f"$.suggest.{sname}"
+                if sname in out:
+                    # the response dict is flat — a suggester named like
+                    # an aggregation (or "hits") would silently shadow it
+                    raise UnsupportedEsQuery(
+                        f"{sp}: name collides with another response "
+                        "section — rename the suggester")
                 if not isinstance(sspec, dict) or "text" not in sspec:
                     raise UnsupportedEsQuery(
                         f"{sp}: a suggester needs a 'text' key")
