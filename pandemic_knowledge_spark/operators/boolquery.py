@@ -553,10 +553,20 @@ def bool_search(
     filter=(),
     minimum_should_match: int | None = None,
     k: int = 10,
+    after: tuple | None = None,
 ) -> DataFrame:
     """Execute a composed bool query; returns the (doc_id, score) top-k
     page, ranked (score DESC, doc_id) like every scorer in the engine.
-    See the module docstring for clause forms and combination semantics."""
+    See the module docstring for clause forms and combination semantics.
+
+    ``after`` = (score, doc_id) keyset cursor — ES ``search_after`` over
+    the engine's (score DESC, doc_id) total order: rows strictly past
+    the cursor filter BEFORE the top-k heaps (the same tier
+    bm25_search's ``after`` implements), so deep pages of a filtered
+    search cost the same as page 1 — never a re-rank of the N·k
+    prefix. Scores are cursor-independent (corpus-wide BM25 stats, the
+    filter clauses restrict membership only), so pages are mutually
+    consistent."""
     must, should = list(must), list(should)
     must_not, filter = list(must_not), list(filter)
     if not (must or should or filter):
@@ -636,6 +646,13 @@ def bool_search(
             cond = cond & ~F.coalesce(F.col(f"__m{i}"), F.lit(False))
         hits = hits.join(preds, "doc_id").where(cond).select("doc_id", "score")
 
+    if after is not None:
+        c_score, c_id = after
+        hits = hits.where(
+            (F.col("score") < F.lit(c_score))
+            | ((F.col("score") == F.lit(c_score))
+               & (F.col("doc_id") > F.lit(c_id)))
+        )
     return hits.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
 
 
@@ -806,12 +823,14 @@ def sql_bool_search(
     filter=(),
     minimum_should_match: int | None = None,
     k: int = 10,
+    after: tuple | None = None,
 ) -> str:
     """DuckDB SQL reproducing :func:`bool_search` exactly — one CTE per
     clause with the identical score arithmetic (raw-double clause scores,
     boost, ONE round at 4 dp on the combined sum — see the module
     docstring's double-rounding note), the same msm/must counting,
-    membership via one preds CTE over the shared token arrays."""
+    membership via one preds CTE over the shared token arrays; ``after``
+    mirrors the keyset cursor (strictly past (score, doc_id))."""
     must, should = list(must), list(should)
     must_not, filter = list(must_not), list(filter)
     if not (must or should or filter):
@@ -966,6 +985,16 @@ hits AS (
             "\nJOIN preds ON hits.doc_id = preds.doc_id\nWHERE "
             + " AND ".join(conds)
         )
+
+    if after is not None:
+        c_score, c_id = after
+        id_lit = _sql_lit(c_id) if isinstance(c_id, str) else repr(c_id)
+        cursor = (
+            f"(hits.score < {float(c_score)!r} OR (hits.score = "
+            f"{float(c_score)!r} AND hits.doc_id > {id_lit}))"
+        )
+        where = (f"{where} AND {cursor}" if where
+                 else f"\nWHERE {cursor}")
 
     return f"""
 WITH {', '.join(ctes)}

@@ -427,13 +427,71 @@ def _highlight_query_text(query: dict, text_col: str | None) -> str:
           f"(match / match_phrase / multi_match) — got {qtype!r}")
 
 
+def _cursor_value(name: str, dtype, v):
+    """Validate/convert one search_after cursor value against its sort
+    column's type, DRIVER-side. A lazy ``F.lit(v).cast(dtype)`` turns an
+    uncastable cursor (a malformed timestamp string, a word where a
+    number belongs) into NULL — every keyset comparison goes NULL and
+    the page comes back silently EMPTY, against the door's loud-failure
+    contract (ES raises a parse error). So the conversion happens here,
+    eagerly, and mismatches raise with the path."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    def _bad(msg):
+        _fail("$.search_after",
+              f"cursor value {v!r} for sort field {name!r} {msg} "
+              f"(column type {dtype.simpleString()})")
+
+    if v is None:
+        _bad("is null — the cursor carries the previous page's concrete "
+             "sort values")
+    if isinstance(dtype, T.BooleanType):
+        if not isinstance(v, bool):
+            _bad("is not a boolean")
+        return v
+    if isinstance(dtype, T.NumericType):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            _bad("is not a number")
+        return v
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, datetime.datetime):
+            return v
+        if isinstance(v, str):
+            try:
+                return datetime.datetime.fromisoformat(
+                    v.replace("T", " ").replace("Z", "+00:00"))
+            except ValueError:
+                _bad("does not parse as an ISO timestamp")
+        _bad("is not a timestamp")
+    if isinstance(dtype, T.DateType):
+        if isinstance(v, datetime.datetime):
+            return v.date()
+        if isinstance(v, datetime.date):
+            return v
+        if isinstance(v, str):
+            try:
+                return datetime.date.fromisoformat(v)
+            except ValueError:
+                _bad("does not parse as an ISO date")
+        _bad("is not a date")
+    if isinstance(dtype, T.StringType):
+        if not isinstance(v, str):
+            _bad("is not a string")
+        return v
+    _bad("targets an unsupported sort-column type")
+
+
 def _keyset_pred(keys: list, values: list, schema):
     """Strictly-after-the-cursor predicate over a lexicographic sort
     order: ``keys`` is [(column, is_desc), ...] INCLUDING the doc-id
-    tiebreak; literals cast to each column's type so string cursors
-    compare correctly against timestamp/numeric columns. The predicate
-    is pushable — it prunes before any sort/top-k, which is the whole
-    point of search_after (page N costs page 1)."""
+    tiebreak; cursor literals are validated/converted driver-side
+    (:func:`_cursor_value` — an uncastable value raises instead of
+    NULLing the page empty) then cast to each column's exact type so
+    comparisons stay pushable — the predicate prunes at the scan before
+    any sort/top-k, which is the whole point of search_after (page N
+    costs page 1)."""
     def _dtype(name):
         try:
             return schema[name].dataType
@@ -442,13 +500,15 @@ def _keyset_pred(keys: list, values: list, schema):
                   f"cursor names unknown column {name!r} (sort fields "
                   "must be top-level table columns)")
 
+    lits = [F.lit(_cursor_value(ci, _dtype(ci), values[i])).cast(_dtype(ci))
+            for i, (ci, _) in enumerate(keys)]
     pred = F.lit(False)
     for i, (ci, desc) in enumerate(keys):
         eq = F.lit(True)
         for j in range(i):
             cj, _ = keys[j]
-            eq = eq & (F.col(cj) == F.lit(values[j]).cast(_dtype(cj)))
-        lit = F.lit(values[i]).cast(_dtype(ci))
+            eq = eq & (F.col(cj) == lits[j])
+        lit = lits[i]
         pred = pred | (eq & ((F.col(ci) < lit) if desc else (F.col(ci) > lit)))
     return pred
 
@@ -567,36 +627,47 @@ def es_query(
                   "pair too)")
     hl = None
     if "highlight" in body:
-        if "sort" in body:
-            _fail("$.highlight",
-                  "highlight is implemented on the scored route (field "
-                  "sorts skip scoring and carry no analyzed query terms)")
-        hl = _highlight_spec(body["highlight"], text_col)
+        from pandemic_knowledge_spark.engine import highlight_pattern
+
+        hf, hpre, hpost = _highlight_spec(body["highlight"], text_col)
         # pattern text comes from the ORIGINAL query (post_filter terms
-        # are never highlighted — ES's highlighter scope)
+        # are never highlighted — ES's highlighter scope). Works on BOTH
+        # routes: scored pages and field-sorted pages (the reference's
+        # "Latest news" panel is a sorted+highlighted page,
+        # SearchUI.js:51,76-97) — the sorted route just needs the query
+        # to carry analyzed terms (a match-family query next to the
+        # sort), which _highlight_query_text enforces with its path.
         hl_text = _highlight_query_text(body["query"], text_col)
+        hpattern = highlight_pattern(hl_text)
+        if hpattern is None:
+            _fail("$.highlight",
+                  "query has no tokenizable terms to highlight")
+        hl = (hf, hpre, hpost, hpattern)
 
     def _finish(page: DataFrame) -> DataFrame:
         """Shared page tail: _source projection, highlight column, total
         column — each a broadcast of the ≤size page or a one-row frame."""
         page = _with_source(page, docs, id_col, source)
         if hl is not None:
-            from pandemic_knowledge_spark.engine import highlight_pattern
-
-            hf, pre, post = hl
-            pattern = highlight_pattern(hl_text)
-            if pattern is None:
-                _fail("$.highlight", "query has no tokenizable terms to "
-                                     "highlight")
+            hf, pre, post, pattern = hl
             cols = page.columns
-            marked = docs.select(
+            # project the RAW field through the broadcast join and mark
+            # above it: the regexp then runs on the ≤size joined rows
+            # only, not corpus-wide on the stream side (r12 advisor
+            # finding — a pre-join regexp column evaluates per corpus
+            # row before the hash probe discards it)
+            raw = docs.select(
                 F.col(id_col).alias("doc_id"),
-                F.regexp_replace(F.col(hf), pattern, pre + r"$1" + post)
-                .alias("highlighted"),
+                F.col(hf).alias("__hl_raw"),
             )
             page = (
-                marked.join(F.broadcast(page), "doc_id")
-                .select(*cols, "highlighted")
+                raw.join(F.broadcast(page), "doc_id")
+                .select(
+                    *cols,
+                    F.regexp_replace(
+                        F.col("__hl_raw"), pattern, pre + r"$1" + post
+                    ).alias("highlighted"),
+                )
                 .orderBy(F.desc("score"), F.asc("doc_id"))
             )
         if total is not None:
@@ -611,11 +682,16 @@ def es_query(
         cspec = body["collapse"]
         cfield = str(_req(cspec, "field", "$.collapse"))
         _reject_extras(cspec, {"field"}, "$.collapse")
-        if "sort" in body or after is not None or hl is not None or source:
+        if ("sort" in body or "rescore" in body or after is not None
+                or hl is not None or source):
+            # rescore in the list because this branch RETURNS — without
+            # the check a collapse+rescore body would silently skip the
+            # rescore phase (ES rejects the pair too; r12 advisor
+            # finding — the rescore branch below can't catch it)
             _fail("$.collapse",
                   "collapse composes with size/from/track_total_hits only "
-                  "(sort/search_after/highlight/_source next to collapse "
-                  "are not implemented)")
+                  "(sort/search_after/highlight/_source/rescore next to "
+                  "collapse are not implemented)")
         qtext = _plain_match_text(query, text_col)
         if qtext is None:
             _fail("$.collapse",
@@ -746,37 +822,65 @@ def es_query(
                 base.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") > offset)
             )
+        hl_cols = []
+        if hl is not None:
+            # the sorted base is already the ≤size page WITH every doc
+            # column — the highlight mark is one regexp over those rows
+            # (no rejoin; evaluated above the top-k, so page-only)
+            hf, pre, post, pattern = hl
+            hl_cols = [
+                F.regexp_replace(F.col(hf), pattern, pre + r"$1" + post)
+                .alias("highlighted")
+            ]
         page = base.select(
             F.col(id_col).alias("doc_id"),
             *[F.col(c) for c in (source or [])],
+            *hl_cols,
         )
         if total is not None:
             page = page.crossJoin(F.broadcast(total))
         return page
 
+    after_cursor = None
     if after is not None:
         # scored-route search_after: the cursor is [score, doc_id] over
-        # the (score DESC, doc_id) total order, implemented for the plain
-        # BM25 match shapes (bm25_search's keyset tier — the predicate
-        # prunes before the top-k heaps, page N costs page 1); other
-        # scored queries would need per-operator cursor support
+        # the (score DESC, doc_id) total order — every scorer's keyset
+        # tier filters strictly-past-the-cursor BEFORE its top-k heaps,
+        # so page N costs page 1. Implemented for the shapes whose
+        # scorers carry an `after` tier: plain match / single-field
+        # best_fields (bm25_search), bool (bool_search — the common
+        # "next page of a filtered search" body; corpus-wide BM25 stats
+        # keep pages mutually consistent), and multi-field
+        # best_fields / most_fields (bm25_search_fields). Other scored
+        # queries fail with the path below.
         if "post_filter" in body:
             _fail("$.search_after",
                   "search_after next to post_filter is not implemented — "
                   "fold the filter into a bool query")
-        qtext = _plain_match_text(query, text_col)
-        if qtext is None:
-            _fail("$.search_after",
-                  "scored-route search_after is implemented for a plain "
-                  "match / single-field best_fields query (the bm25 keyset "
-                  "tier); field-sorted bodies take the sort route")
         if len(after) != 2:
             _fail("$.search_after",
                   "scored-route cursor is [score, doc_id] — the previous "
                   "page's last sort values")
-        out = bm25_search(docs, id_col, text_col, qtext, k=size,
-                          after=(float(after[0]), after[1]))
-        return _finish(out)
+        if isinstance(after[0], bool) or not isinstance(
+                after[0], (int, float)):
+            _fail("$.search_after",
+                  f"scored-route cursor score {after[0]!r} is not a "
+                  "number")
+        after_cursor = (float(after[0]), after[1])
+        qtext = _plain_match_text(query, text_col)
+        if qtext is not None:
+            out = bm25_search(docs, id_col, text_col, qtext, k=size,
+                              after=after_cursor)
+            return _finish(out)
+        atype, _ = _single_field(query, "$.query")
+        if atype not in ("bool", "multi_match"):
+            _fail("$.search_after",
+                  "scored-route search_after is implemented for match / "
+                  "bool / multi_match best_fields|most_fields queries "
+                  f"(keyset-tier scorers); got {atype!r} — field-sorted "
+                  "bodies take the sort route")
+        # falls through: the bool / multi_match branches below thread
+        # the cursor into their scorers' keyset tiers
 
     qtype, qbody = _single_field(query, "$.query")
     path = f"$.query.{qtype}"
@@ -789,6 +893,7 @@ def es_query(
 
     if qtype == "bool":
         out = bool_search(docs, id_col, text_col, k=fetch,
+                          after=after_cursor,
                           **_bool_kwargs(qbody, path, text_col=text_col))
     elif qtype == "dis_max":
         clauses = [
@@ -856,6 +961,12 @@ def es_query(
         if has_ctl and not (mm_type == "best_fields" and len(fields) == 1):
             _fail(path, "operator/minimum_should_match are only "
                         "implemented for single-field best_fields")
+        if after_cursor is not None and mm_type not in ("best_fields",
+                                                        "most_fields"):
+            _fail("$.search_after",
+                  "scored-route search_after over multi_match is "
+                  "implemented for best_fields/most_fields (the "
+                  f"bm25_search_fields keyset tier); got {mm_type!r}")
         if mm_type == "phrase":
             out = (
                 phrase_search(docs, id_col, fields[0], q, k=fetch)
@@ -869,7 +980,8 @@ def es_query(
         elif mm_type == "most_fields":
             out = bm25_search_fields(docs, id_col, fields, q, k=fetch,
                                      mode="most_fields",
-                                     boosts=boosts or None)
+                                     boosts=boosts or None,
+                                     after=after_cursor)
         elif mm_type == "bool_prefix":
             _fail(path, "bool_prefix routes through Engine.search "
                         "type-ahead; not available on the body door")
@@ -885,14 +997,17 @@ def es_query(
                     qbody["minimum_should_match"]
                 )
             out = bool_search(docs, id_col, fields[0], should=[clause],
-                              minimum_should_match=1, k=fetch)
+                              minimum_should_match=1, k=fetch,
+                              after=after_cursor)
         else:  # best_fields
             out = (
-                bm25_search(docs, id_col, fields[0], q, k=fetch)
+                bm25_search(docs, id_col, fields[0], q, k=fetch,
+                            after=after_cursor)
                 if len(fields) == 1
                 else bm25_search_fields(docs, id_col, fields, q, k=fetch,
                                         mode="best_fields",
-                                        boosts=boosts or None)
+                                        boosts=boosts or None,
+                                        after=after_cursor)
             )
     elif qtype in ("wildcard", "regexp"):
         field, spec = _single_field(qbody, path)

@@ -217,6 +217,7 @@ def bm25_search_fields(
     tie_breaker: float = 0.0,
     mode: str = "best_fields",
     boosts: dict | None = None,
+    after: tuple | None = None,
 ) -> DataFrame:
     """Multi-field field-centric BM25 top-k — the reference's search shape
     (`multi_match` with `type: best_fields, lenient: true` over all fields,
@@ -276,12 +277,18 @@ def bm25_search_fields(
             + F.lit(tie_breaker) * (F.sum("field_score") - F.max("field_score")),
             4,
         )
-    return (
-        field_scores.groupBy("doc_id")
-        .agg(combined.alias("score"))
-        .orderBy(F.desc("score"), F.col("doc_id"))
-        .limit(k)
-    )
+    out = field_scores.groupBy("doc_id").agg(combined.alias("score"))
+    if after is not None:
+        # ES search_after keyset cursor over the (score DESC, doc_id)
+        # total order — same tier as _bm25_score_agg: the predicate
+        # prunes before the top-k heaps, page N costs page 1
+        c_score, c_id = after
+        out = out.where(
+            (F.col("score") < F.lit(c_score))
+            | ((F.col("score") == F.lit(c_score))
+               & (F.col("doc_id") > F.lit(c_id)))
+        )
+    return out.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
 
 
 def bm25_search_cross_fields(
@@ -382,10 +389,11 @@ def sql_bm25_search_fields(
     tie_breaker: float = 0.0,
     mode: str = "best_fields",
     boosts: dict | None = None,
+    after: tuple | None = None,
 ) -> str:
     """DuckDB SQL reproducing :func:`bm25_search_fields` exactly (both
     ``best_fields`` and ``most_fields`` modes, optional per-field
-    ``boosts``).
+    ``boosts``, the ``after`` keyset cursor).
 
     ``field_exprs`` maps field name → SQL expression deriving that field's
     text from the table's columns (must match the Spark-side derivation).
@@ -410,6 +418,14 @@ def sql_bm25_search_fields(
   SELECT doc_id, field, CASE {cases} END AS field_score FROM fscore
 )"""
     src = "boosted" if boosts else "fscore"
+    having = ""
+    if after is not None:
+        c_score, c_id = after
+        id_lit = (f"'{c_id}'" if isinstance(c_id, str) else repr(c_id))
+        having = (
+            f"\nHAVING ({combined} < {float(c_score)!r} OR"
+            f" ({combined} = {float(c_score)!r} AND doc_id > {id_lit}))"
+        )
     return f"""
 WITH {_sql_fields_prelude(table, id_col, field_exprs, q_terms)}, fscore AS (
   SELECT tf.doc_id, tf.field,
@@ -424,7 +440,7 @@ WITH {_sql_fields_prelude(table, id_col, field_exprs, q_terms)}, fscore AS (
 ){boosted}
 SELECT doc_id,
        {combined} AS score
-FROM {src} GROUP BY doc_id
+FROM {src} GROUP BY doc_id{having}
 ORDER BY score DESC, doc_id LIMIT {k}
 """
 

@@ -1,0 +1,329 @@
+"""Round-13 regression suite: the r12 judge's confirmed defect
+(Engine.knn silently ignored unknown knn-spec keys — a `filter` body
+returned UNfiltered neighbors) plus the five r12 advisor findings and
+the two new compositions (highlight × field-sort, scored-route
+search_after for bool / multi-field multi_match)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandemic_knowledge_spark.engine import Engine
+from pandemic_knowledge_spark.operators.esdsl import (
+    UnsupportedEsQuery,
+    es_query,
+)
+from pandemic_knowledge_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ------------------------------------------------------- knn spec gating
+
+
+def test_knn_spec_rejects_unknown_keys(engine):
+    """The r12 judge repro, gated: unknown keys inside the knn spec must
+    raise with the $.knn path — `similarity`/`boost` change ranking
+    semantics and must never be silently dropped."""
+    emb = engine.table("embeddings")
+    vec = emb.first()["embedding"]
+    for bad in ("similarity", "boost", "inner_hits"):
+        with pytest.raises(UnsupportedEsQuery, match=r"\$\.knn"):
+            engine.knn({"field": "embedding", "query_vector": vec,
+                        "k": 5, bad: 0.5})
+
+
+def test_knn_spec_missing_query_vector_is_pathed(engine):
+    """A missing query_vector is a pathed UnsupportedEsQuery, not a raw
+    KeyError (r12 judge finding)."""
+    with pytest.raises(UnsupportedEsQuery, match=r"\$\.knn"):
+        engine.knn({"field": "embedding", "k": 5})
+
+
+def test_knn_num_candidates_accepted(engine):
+    """num_candidates is validated and subsumed (the exact tier is its
+    ∞ limit) — identical results with and without it."""
+    emb = engine.table("embeddings")
+    vec = emb.first()["embedding"]
+    base = engine.knn({"field": "embedding", "query_vector": vec, "k": 5})
+    with_nc = engine.knn({"field": "embedding", "query_vector": vec,
+                          "k": 5, "num_candidates": 50})
+    assert rows(base) == rows(with_nc) and rows(base)
+
+
+def test_knn_filter_prefilters_neighbors(engine, spark, sf_dir):
+    """ES filtered kNN: neighbors restricted to docs matching the filter
+    BEFORE the top-k — exactly k qualifying rows, and every returned id
+    satisfies the predicate."""
+    from pandemic_knowledge_spark.operators.similarity import (
+        knn_brute_force,
+    )
+
+    emb = engine.table("embeddings")
+    docs = engine.table("documents")
+    vec = emb.first()["embedding"]
+    got = engine.knn({"field": "embedding", "query_vector": vec, "k": 5,
+                      "filter": {"term": {"lang": "en"}}})
+    allowed = docs.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id"))
+    want = knn_brute_force(emb.join(allowed, "vec_id", "left_semi"),
+                           "embedding", "vec_id", vec, k=5)
+    assert rows(got) == rows(want) and rows(got)
+    en_ids = {r[0] for r in allowed.collect()}
+    assert all(r[0] in en_ids for r in rows(got))
+    # array form = clauses ANDed
+    got2 = engine.knn({"field": "embedding", "query_vector": vec, "k": 5,
+                       "filter": [{"term": {"lang": "en"}},
+                                  {"range": {"n_chars": {"gte": 0}}}]})
+    assert rows(got2) == rows(want)
+    # empty array is loud
+    with pytest.raises(UnsupportedEsQuery, match=r"\$\.knn\.filter"):
+        engine.knn({"field": "embedding", "query_vector": vec, "k": 5,
+                    "filter": []})
+
+
+def test_knn_filter_via_es_search_and_hybrid(engine):
+    """The body-door route: es_search({"knn": {..., "filter": ...}})
+    takes the pre-filter; in hybrid bodies the filter restricts ONLY the
+    knn arm (ES scope) — the BM25 arm still ranks the whole corpus."""
+    from pandemic_knowledge_spark.operators.search import (
+        bm25_search,
+        rrf_fuse,
+    )
+    from pandemic_knowledge_spark.operators.similarity import (
+        knn_brute_force,
+    )
+
+    emb = engine.table("embeddings")
+    docs = engine.table("documents")
+    vec = emb.first()["embedding"]
+    body = {"knn": {"field": "embedding", "query_vector": vec, "k": 5,
+                    "filter": {"term": {"lang": "en"}}}, "size": 5}
+    got = engine.es_search(body)["hits"]
+    allowed = docs.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id"))
+    femb = emb.join(allowed, "vec_id", "left_semi")
+    want = knn_brute_force(femb, "embedding", "vec_id", vec, k=5)
+    assert rows(got) == rows(want) and rows(got)
+
+    hybrid = engine.es_search({
+        "knn": {"field": "embedding", "query_vector": vec, "k": 10,
+                "filter": {"term": {"lang": "en"}}},
+        "query": {"match": {"text": "spark stream"}},
+        "rank": {"rrf": {"rank_constant": 60, "rank_window_size": 10}},
+        "size": 5,
+    })["hits"]
+    text_hits = bm25_search(docs, "doc_id", "text", "spark stream", k=10)
+    vec_hits = knn_brute_force(femb, "embedding", "vec_id", vec, k=10)
+    want_h = rrf_fuse([(text_hits, "doc_id", "score"),
+                       (vec_hits, "vec_id", "cos_sim")],
+                      rank_const=60, k=5)
+    assert rows(hybrid) == rows(want_h) and rows(hybrid)
+
+
+def test_retriever_knn_arm_rejects_unknown_keys(engine):
+    """The retriever tree's knn arm rides the same gated spec."""
+    emb = engine.table("embeddings")
+    vec = emb.first()["embedding"]
+    with pytest.raises(UnsupportedEsQuery, match=r"\$\.knn"):
+        engine.es_search({"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "spark"}}}},
+            {"knn": {"field": "embedding", "query_vector": vec, "k": 5,
+                     "similarity": 0.4}},
+        ]}}, "size": 5})
+
+
+# -------------------------------------------- r12 advisor: silent drops
+
+
+def test_collapse_plus_rescore_is_loud(engine, spark, sf_dir):
+    """collapse+rescore used to take the collapse branch and silently
+    skip the rescore phase (ES rejects the pair)."""
+    docs = load(spark, sf_dir, "documents")
+    with pytest.raises(UnsupportedEsQuery, match=r"\$\.collapse"):
+        es_query(docs, "doc_id", "text", {
+            "query": {"match": {"text": "spark"}},
+            "collapse": {"field": "lang"},
+            "rescore": {"query": {"rescore_query": {
+                "match_phrase": {"text": "fast scan"}}}},
+        })
+
+
+def test_agg_named_hits_is_loud(engine):
+    """An aggregation named like an earlier response section would
+    silently clobber that frame in the flat response dict."""
+    with pytest.raises(UnsupportedEsQuery, match="collide"):
+        engine.es_search({
+            "query": {"match": {"text": "spark"}}, "size": 3,
+            "aggs": {"hits": {"terms": {"field": "lang", "size": 3}}},
+        })
+
+
+def test_malformed_keyset_cursor_is_loud(spark, sf_dir):
+    """An uncastable search_after cursor value must raise with the path,
+    never NULL the predicate into a silently empty page."""
+    docs = load(spark, sf_dir, "events")
+    base = {"query": {"term": {"event_type": "purchase"}},
+            "sort": [{"ts": "desc"}], "size": 5}
+    # sanity: a well-formed string cursor still works
+    first = es_query(docs, "event_id", None, base).collect()
+    assert first
+    for bad_ts in ("not-a-timestamp", 12.5):
+        with pytest.raises(UnsupportedEsQuery, match=r"search_after"):
+            es_query(docs, "event_id", None,
+                     {**base, "search_after": [bad_ts, 0]}).collect()
+    with pytest.raises(UnsupportedEsQuery, match=r"search_after"):
+        es_query(docs, "event_id", None,
+                 {**base, "search_after": [None, 0]}).collect()
+    # numeric sort key given a word
+    with pytest.raises(UnsupportedEsQuery, match=r"search_after"):
+        es_query(docs, "event_id", None,
+                 {"query": {"term": {"event_type": "purchase"}},
+                  "sort": [{"value": "desc"}], "size": 5,
+                  "search_after": ["abc", 0]}).collect()
+
+
+def test_keyset_string_timestamp_cursor_pages(spark, sf_dir):
+    """A well-formed ISO-string timestamp cursor converts driver-side and
+    pages identically to the native-value cursor."""
+    docs = load(spark, sf_dir, "events")
+    base = {"query": {"term": {"event_type": "purchase"}},
+            "sort": [{"ts": "desc"}], "_source": ["ts"], "size": 5}
+    p1 = es_query(docs, "event_id", None, base).collect()
+    last = p1[-1]
+    native = es_query(docs, "event_id", None, {
+        **base, "search_after": [last["ts"], last["doc_id"]]}).collect()
+    iso = es_query(docs, "event_id", None, {
+        **base,
+        "search_after": [last["ts"].isoformat(sep=" "), last["doc_id"]],
+    }).collect()
+    assert [tuple(r) for r in native] == [tuple(r) for r in iso]
+    assert native and p1[-1] != native[0]
+
+
+# ------------------------------------------ highlight × field-sort page
+
+
+def test_sorted_highlighted_page(spark, sf_dir):
+    """The reference's "Latest news" panel shape (SearchUI.js:51,76-97):
+    a match query, a date-ish field sort, highlight on the text column —
+    page rows in sort order WITH the marked column."""
+    docs = load(spark, sf_dir, "documents")
+    body = {
+        "query": {"match": {"text": "spark"}},
+        "sort": [{"n_chars": "desc"}],
+        "_source": ["lang"],
+        "highlight": {"fields": {"text": {}}},
+        "size": 5,
+    }
+    got = es_query(docs, "doc_id", "text", body)
+    assert got.columns == ["doc_id", "lang", "highlighted"]
+    out = got.collect()
+    assert out
+    # sort order: n_chars desc among matching docs, doc_id tiebreak
+    from pandemic_knowledge_spark.engine import highlight_pattern
+    from pandemic_knowledge_spark.functions.text import tokenize
+
+    pattern = highlight_pattern("spark")
+    want = (
+        docs.where(F.array_contains(tokenize("text"), "spark"))
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(5)
+        .select(
+            F.col("doc_id"),
+            F.col("lang"),
+            F.regexp_replace("text", pattern, "<em>$1</em>")
+            .alias("highlighted"),
+        )
+    )
+    assert rows(got) == rows(want)
+    assert any("<em>" in (r["highlighted"] or "") for r in out)
+    # a sorted body whose query carries no analyzed terms stays loud
+    with pytest.raises(UnsupportedEsQuery, match="highlight"):
+        es_query(docs, "doc_id", "text", {
+            "query": {"term": {"lang": "en"}},
+            "sort": [{"n_chars": "desc"}],
+            "highlight": {"fields": {"text": {}}},
+        })
+
+
+# --------------------------------- scored-route search_after extensions
+
+
+def _page_walk(docs, body, size, pages):
+    """Walk `pages` pages of `size` via search_after cursors; return the
+    concatenated rows."""
+    out, cursor = [], None
+    for _ in range(pages):
+        b = dict(body, size=size)
+        if cursor is not None:
+            b["search_after"] = list(cursor)
+        page = [tuple(r) for r in
+                es_query(docs, "doc_id", "text", b).collect()]
+        if not page:
+            break
+        out.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    return out
+
+
+def test_search_after_bool_query(spark, sf_dir):
+    """Keyset pages of a filtered bool search stitch to exactly the
+    one-shot top-N ranking (the 'next page of a filtered search' body)."""
+    docs = load(spark, sf_dir, "documents")
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark stream"}}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+    }}}
+    walked = _page_walk(docs, body, size=4, pages=3)
+    one_shot = [tuple(r) for r in
+                es_query(docs, "doc_id", "text",
+                         dict(body, size=12)).collect()]
+    assert walked == one_shot[:len(walked)] and len(walked) >= 8
+
+
+def test_search_after_multi_match_fields(spark, sf_dir):
+    """Keyset pages for multi-field best_fields/most_fields stitch to the
+    one-shot ranking."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("substr(text, 1, 80)").alias("title"),
+        F.expr("substr(text, 81)").alias("body"),
+    )
+    for mm_type in ("best_fields", "most_fields"):
+        body = {"query": {"multi_match": {
+            "query": "spark join stream window",
+            "type": mm_type, "fields": ["title", "body"],
+        }}}
+        walked = _page_walk(d, body, size=4, pages=3)
+        one_shot = [tuple(r) for r in
+                    es_query(d, "doc_id", "title",
+                             dict(body, size=12)).collect()]
+        assert walked == one_shot[:len(walked)] and len(walked) >= 8
+
+
+def test_search_after_unsupported_scored_shapes_are_loud(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    with pytest.raises(UnsupportedEsQuery, match="search_after"):
+        es_query(docs, "doc_id", "text", {
+            "query": {"dis_max": {"queries": [
+                {"match": {"text": "spark"}}]}},
+            "search_after": [1.0, 0], "size": 5})
+    with pytest.raises(UnsupportedEsQuery, match="search_after"):
+        es_query(docs, "doc_id", "text", {
+            "query": {"multi_match": {"query": "spark", "type": "phrase",
+                                      "fields": ["text"]}},
+            "search_after": [1.0, 0], "size": 5})
+    # non-numeric cursor score is loud
+    with pytest.raises(UnsupportedEsQuery, match="search_after"):
+        es_query(docs, "doc_id", "text", {
+            "query": {"match": {"text": "spark"}},
+            "search_after": ["high", 0], "size": 5})
