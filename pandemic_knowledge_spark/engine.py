@@ -540,10 +540,16 @@ class Engine:
             raise UnsupportedEsQuery(
                 "$._source: not implemented on the retriever route")
         rtype, rbody = _single_field(body["retriever"], "$.retriever")
+        if rtype == "linear":
+            return self._linear_retriever_hits(
+                rbody, k=int(body.get("size", 10)), table=table,
+                id_col=id_col, text_col=text_col, emb_table=emb_table,
+                vec_id_col=vec_id_col,
+            )
         if rtype != "rrf":
             raise UnsupportedEsQuery(
                 f"$.retriever: retriever type {rtype!r} is not implemented "
-                "(supported: rrf with a standard + knn arm)")
+                "(supported: rrf / linear, each with a standard + knn arm)")
         _reject_extras(rbody, {"retrievers", "rank_constant",
                                "rank_window_size"}, "$.retriever.rrf")
         rets = _req(rbody, "retrievers", "$.retriever.rrf")
@@ -589,6 +595,108 @@ class Engine:
             knn_spec, query=str(qtext), rank=rank,
             k=int(body.get("size", 10)), table=table, id_col=id_col,
             text_col=text_col, emb_table=emb_table, vec_id_col=vec_id_col,
+        )
+
+    def _linear_retriever_hits(
+        self,
+        rbody: dict,
+        k: int,
+        table: str,
+        id_col: str,
+        text_col: str,
+        emb_table: str,
+        vec_id_col: str,
+    ) -> DataFrame:
+        """ES 8.18 ``retriever.linear`` — the weighted score combine, the
+        last commonly-seen retriever spelling next to rrf: each arm's
+        top-window scores min-max normalize within the window, then
+        fused = Σ weight·norm (operators.search.linear_fuse).
+
+        Every arm MUST say ``normalizer: "minmax"`` explicitly: ES's
+        default ``normalizer: none`` sums raw BM25 and cosine scores —
+        the cross-family calibration this engine refuses to fake (the
+        same rationale as the rank:{rrf} requirement on the legacy
+        hybrid path) — so ``none``/absent raises with the path rather
+        than silently producing scale-dependent rankings. One standard
+        (match) arm + one knn arm, the same arm gates as the rrf tree;
+        the knn arm rides the gated spec (filter supported, unknown keys
+        raise). ``rank_window_size`` bounds the standard arm; the knn
+        arm's own k caps at the window."""
+        from pandemic_knowledge_spark.operators.esdsl import (
+            UnsupportedEsQuery,
+            _req,
+            _reject_extras,
+            _single_field,
+        )
+        from pandemic_knowledge_spark.operators.search import (
+            bm25_search as _bm25,
+            linear_fuse,
+        )
+
+        path = "$.retriever.linear"
+        _reject_extras(rbody, {"retrievers", "rank_window_size"}, path)
+        rets = _req(rbody, "retrievers", path)
+        if not isinstance(rets, (list, tuple)) or len(rets) != 2:
+            raise UnsupportedEsQuery(
+                f"{path}.retrievers: exactly two arms (standard + knn) "
+                "are implemented")
+        window = int(rbody.get("rank_window_size", max(k, 10)))
+        std = knn_spec = None
+        std_w = knn_w = 1.0
+        for i, entry in enumerate(rets):
+            ep = f"{path}.retrievers[{i}]"
+            if not isinstance(entry, dict):
+                raise UnsupportedEsQuery(f"{ep}: each arm is an object")
+            _reject_extras(entry, {"retriever", "weight", "normalizer"},
+                           ep)
+            norm = _req(entry, "normalizer", ep)
+            if norm != "minmax":
+                raise UnsupportedEsQuery(
+                    f"{ep}.normalizer: only 'minmax' is implemented — "
+                    f"{norm!r} (ES's default 'none' sums raw BM25 and "
+                    "cosine scores, a cross-family calibration this "
+                    "engine won't fake; say minmax, or use rank: {rrf})")
+            weight = float(entry.get("weight", 1.0))
+            atype, abody = _single_field(_req(entry, "retriever", ep),
+                                         f"{ep}.retriever")
+            if atype == "standard":
+                std = _req(abody, "query", f"{ep}.retriever.standard")
+                std_w = weight
+            elif atype == "knn":
+                knn_spec = dict(abody)
+                knn_w = weight
+            else:
+                raise UnsupportedEsQuery(
+                    f"{ep}.retriever: arm type {atype!r} is not "
+                    "implemented (standard, knn)")
+        if std is None or knn_spec is None:
+            raise UnsupportedEsQuery(
+                f"{path}.retrievers: need one standard arm and one knn "
+                "arm")
+        qtype, qbody = _single_field(std, f"{path}..standard.query")
+        if qtype != "match":
+            raise UnsupportedEsQuery(
+                f"{path}..standard.query: the BM25 arm takes a match "
+                "query")
+        field, spec = _single_field(qbody, f"{path}..standard.query")
+        if field != text_col:
+            raise UnsupportedEsQuery(
+                f"{path}..standard.query.match: the BM25 arm runs over "
+                f"the text column {text_col!r}; got field {field!r}")
+        qtext = (_req(spec, "query", f"{path}..standard.query.match")
+                 if isinstance(spec, dict) else spec)
+        text_hits = _bm25(self.table(table), id_col, text_col, str(qtext),
+                          k=window)
+        # the knn arm's frame is TakeOrderedAndProject output (one sorted
+        # partition), so the window cap is a deterministic sorted prefix
+        vec_hits = self.knn(
+            knn_spec, k=window, table=table, id_col=id_col,
+            text_col=text_col, emb_table=emb_table, vec_id_col=vec_id_col,
+        ).limit(window)
+        return linear_fuse(
+            [(text_hits, id_col, "score", std_w),
+             (vec_hits, vec_id_col, "cos_sim", knn_w)],
+            k=k,
         )
 
     def span_near(

@@ -1092,6 +1092,65 @@ def rrf_fuse(
     )
 
 
+def linear_fuse(
+    rankings,
+    k: int = 10,
+) -> DataFrame:
+    """ES 8's ``linear`` retriever combiner: each arm's TOP-WINDOW scores
+    are min-max normalized to [0, 1] WITHIN that window, then
+    fused(d) = Σ weight_i · norm_i(d), a doc absent from an arm
+    contributing 0 — the weighted convex combine that IS well-defined
+    once a normalizer is explicit (the raw-score sum ES calls
+    ``normalizer: none`` stays refused upstream: summing BM25 and cosine
+    without normalization needs calibration this engine won't fake).
+
+    ``rankings`` is a sequence of (frame, id_col, score_col, weight)
+    tuples; each frame is a bounded top-window result, so the per-arm
+    min/max is a one-row aggregate broadcast back onto ≤ window rows.
+    A DEGENERATE window (max == min — every hit scored identically,
+    incl. single-hit windows) raises at evaluation rather than guessing:
+    ES's minmax behavior for a zero-range window is version-dependent
+    and a silent constant would reorder the fuse. Output
+    (doc_id, lin_score) top-k, round 6, ties by id; with two arms the
+    per-doc sum has ≤ 2 addends, IEEE-order-exact, so the fused score
+    replays bit-identically in the DuckDB oracle."""
+    outs = []
+    for i, (frame, id_col, score_col, weight) in enumerate(rankings):
+        stats = frame.agg(
+            F.min(score_col).alias("__mn"), F.max(score_col).alias("__mx")
+        )
+        norm = (
+            F.when(
+                F.col("__mx") > F.col("__mn"),
+                (F.col(score_col) - F.col("__mn"))
+                / (F.col("__mx") - F.col("__mn")),
+            )
+            .otherwise(F.raise_error(F.lit(
+                "linear retriever: degenerate score window (max == min) — "
+                "minmax normalization is undefined; narrow the arm or use "
+                "rank: {rrf}"
+            )))
+        )
+        outs.append(
+            frame.crossJoin(F.broadcast(stats)).select(
+                F.col(id_col).alias("doc_id"),
+                (norm * F.lit(float(weight))).alias(f"__w{i}"),
+            )
+        )
+    fused = outs[0]
+    for o in outs[1:]:
+        fused = fused.join(o, "doc_id", "full_outer")
+    total = None
+    for i in range(len(outs)):
+        part = F.coalesce(F.col(f"__w{i}"), F.lit(0.0))
+        total = part if total is None else total + part
+    return (
+        fused.select("doc_id", F.round(total, 6).alias("lin_score"))
+        .orderBy(F.desc("lin_score"), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 def more_like_this_from_postings(
     postings: DataFrame,
     stats,

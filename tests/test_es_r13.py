@@ -327,3 +327,74 @@ def test_search_after_unsupported_scored_shapes_are_loud(spark, sf_dir):
         es_query(docs, "doc_id", "text", {
             "query": {"match": {"text": "spark"}},
             "search_after": ["high", 0], "size": 5})
+
+
+# ------------------------------------------------------ retriever.linear
+
+
+def test_retriever_linear(engine):
+    """ES 8.18 linear retriever: per-arm minmax normalization within the
+    window, weighted sum, absent arm contributes 0 — verified against an
+    independent Spark computation; normalizer anything-but-minmax (incl.
+    ES's raw-sum default `none`) and unknown arm keys stay loud."""
+    from pyspark.sql import Window as W
+
+    from pandemic_knowledge_spark.operators.search import (
+        bm25_search,
+        linear_fuse,
+    )
+    from pandemic_knowledge_spark.operators.similarity import (
+        knn_brute_force,
+    )
+
+    emb = engine.table("embeddings")
+    docs = engine.table("documents")
+    vec = emb.first()["embedding"]
+    got = engine.es_search({
+        "retriever": {"linear": {
+            "retrievers": [
+                {"retriever": {"standard": {"query": {
+                    "match": {"text": "spark stream"}}}},
+                 "weight": 2.0, "normalizer": "minmax"},
+                {"retriever": {"knn": {"field": "embedding",
+                                       "query_vector": vec, "k": 20}},
+                 "weight": 1.0, "normalizer": "minmax"},
+            ],
+            "rank_window_size": 20,
+        }},
+        "size": 10,
+    })["hits"]
+    text_hits = bm25_search(docs, "doc_id", "text", "spark stream", k=20)
+    vec_hits = knn_brute_force(emb, "embedding", "vec_id", vec, k=20)
+    want = linear_fuse([(text_hits, "doc_id", "score", 2.0),
+                        (vec_hits, "vec_id", "cos_sim", 1.0)], k=10)
+    assert rows(got) == rows(want) and rows(got)
+    # hand-check one fused score: weighted minmax of the two arms
+    t = {r["doc_id"]: r["score"] for r in text_hits.collect()}
+    v = {r["vec_id"]: r["cos_sim"] for r in vec_hits.collect()}
+    tmn, tmx = min(t.values()), max(t.values())
+    vmn, vmx = min(v.values()), max(v.values())
+    top = rows(got)[0]
+    expect = 0.0
+    if top[0] in t:
+        expect += 2.0 * (t[top[0]] - tmn) / (tmx - tmn)
+    if top[0] in v:
+        expect += 1.0 * (v[top[0]] - vmn) / (vmx - vmn)
+    assert abs(top[1] - expect) < 1e-6
+
+    base_arm = {"retriever": {"standard": {"query": {
+        "match": {"text": "spark"}}}}, "normalizer": "minmax"}
+    knn_arm = {"retriever": {"knn": {"field": "embedding",
+                                     "query_vector": vec, "k": 5}},
+               "normalizer": "minmax"}
+    # normalizer none / absent = raw-score sum — refused with rationale
+    with pytest.raises(UnsupportedEsQuery, match="minmax"):
+        engine.es_search({"retriever": {"linear": {"retrievers": [
+            {**base_arm, "normalizer": "none"}, knn_arm]}}})
+    with pytest.raises(UnsupportedEsQuery, match="normalizer"):
+        engine.es_search({"retriever": {"linear": {"retrievers": [
+            {"retriever": base_arm["retriever"]}, knn_arm]}}})
+    # unknown arm keys are loud
+    with pytest.raises(UnsupportedEsQuery, match="unsupported"):
+        engine.es_search({"retriever": {"linear": {"retrievers": [
+            {**base_arm, "rescorer": {}}, knn_arm]}}})
