@@ -454,6 +454,13 @@ def _cursor_value(name: str, dtype, v):
     if isinstance(dtype, T.NumericType):
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             _bad("is not a number")
+        if (isinstance(dtype, T.IntegralType) and isinstance(v, float)
+                and not v.is_integer()):
+            # lit(12.5).cast(long) would TRUNCATE to 12 and silently
+            # shift the keyset bound (col < 12 keeps col=12 out where
+            # col < 12.5 admits it) — same silent-divergence class as
+            # the NULLing cast
+            _bad("has a fractional part but the sort column is integral")
         return v
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         if isinstance(v, datetime.datetime):

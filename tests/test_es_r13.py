@@ -189,6 +189,19 @@ def test_malformed_keyset_cursor_is_loud(spark, sf_dir):
                  {"query": {"term": {"event_type": "purchase"}},
                   "sort": [{"value": "desc"}], "size": 5,
                   "search_after": ["abc", 0]}).collect()
+    # fractional cursor against an INTEGRAL sort column would silently
+    # truncate (lit(12.5).cast(long) -> 12, shifting the keyset bound)
+    with pytest.raises(UnsupportedEsQuery, match="integral"):
+        es_query(docs, "event_id", None,
+                 {"query": {"term": {"event_type": "purchase"}},
+                  "sort": [{"user_id": "desc"}], "size": 5,
+                  "search_after": [12.5, 0]}).collect()
+    # ...but a whole-number float cursor is fine (JSON has one number type)
+    ok = es_query(docs, "event_id", None,
+                  {"query": {"term": {"event_type": "purchase"}},
+                   "sort": [{"user_id": "desc"}], "size": 5,
+                   "search_after": [float(10**9), 0]}).collect()
+    assert isinstance(ok, list)
 
 
 def test_keyset_string_timestamp_cursor_pages(spark, sf_dir):
