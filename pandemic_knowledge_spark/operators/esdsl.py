@@ -584,9 +584,11 @@ def es_query(
             _fail("$.min_score", "min_score needs the scored route — "
                                  "field sorts skip scoring (ES computes "
                                  "no _score there either)")
-        if "collapse" in body or "search_after" in body:
-            _fail("$.min_score", "min_score next to collapse/search_after "
-                                 "is not implemented")
+        # collapse: gate applied on the representatives (monotone — a
+        # group whose best rep is sub-threshold vanishes, ES-identical).
+        # search_after: the cursor prunes pre-heap, the gate drops a
+        # suffix of the score-ordered heap — still exactly the pre-cut
+        # filter's rows (both applied at each early return below).
         if "track_total_hits" in body:
             # ES's hits.total respects min_score (sub-threshold docs are
             # excluded from hits AND the total); this engine's total is
@@ -654,59 +656,77 @@ def es_query(
     def _finish(page: DataFrame) -> DataFrame:
         """Shared page tail: _source projection, highlight column, total
         column — each a broadcast of the ≤size page or a one-row frame."""
-        page = _with_source(page, docs, id_col, source)
-        if hl is not None:
-            hf, pre, post, pattern = hl
+        need = list(source or [])
+        if need or hl is not None:
+            # ONE broadcast join fetches the _source columns AND the raw
+            # highlight field together (two separate joins would stream
+            # the corpus scan twice — r13 sf1 probe finding); the regexp
+            # marks ABOVE the join, so it runs on the ≤size joined page
+            # rows only, never corpus-wide on the stream side (r12
+            # advisor finding — a pre-join regexp column evaluates per
+            # corpus row before the hash probe discards it)
             cols = page.columns
-            # project the RAW field through the broadcast join and mark
-            # above it: the regexp then runs on the ≤size joined rows
-            # only, not corpus-wide on the stream side (r12 advisor
-            # finding — a pre-join regexp column evaluates per corpus
-            # row before the hash probe discards it)
-            raw = docs.select(
-                F.col(id_col).alias("doc_id"),
-                F.col(hf).alias("__hl_raw"),
-            )
-            page = (
-                raw.join(F.broadcast(page), "doc_id")
-                .select(
-                    *cols,
+            fetch_cols = [F.col(c) for c in need]
+            proj_tail = list(need)
+            if hl is not None:
+                hf, pre, post, pattern = hl
+                fetch_cols.append(F.col(hf).alias("__hl_raw"))
+                proj_tail.append(
                     F.regexp_replace(
                         F.col("__hl_raw"), pattern, pre + r"$1" + post
-                    ).alias("highlighted"),
+                    ).alias("highlighted")
                 )
+            fetched = docs.select(F.col(id_col).alias("doc_id"),
+                                  *fetch_cols)
+            page = (
+                fetched.join(F.broadcast(page), "doc_id")
+                .select(*cols, *proj_tail)
+                # the join hash-partitions the page, so re-state the
+                # module's (score DESC, doc_id) total page order (r11
+                # advisor finding)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
             )
         if total is not None:
             page = page.crossJoin(F.broadcast(total))
         return page
 
+    collapse_field = None
     if "collapse" in body:
+        cspec = body["collapse"]
+        collapse_field = str(_req(cspec, "field", "$.collapse"))
+        _reject_extras(cspec, {"field"}, "$.collapse")
+        if "rescore" in body or after is not None:
+            # rescore in the list because the collapse branches RETURN —
+            # without the check a collapse+rescore body would silently
+            # skip the rescore phase (ES rejects the pair too; r12
+            # advisor finding — the rescore branch below can't catch
+            # it). search_after over collapsed groups would need a
+            # group-level cursor — refuse, don't fake.
+            _fail("$.collapse",
+                  "collapse composes with size/from/sort/_source/"
+                  "highlight/min_score/track_total_hits "
+                  "(search_after/rescore next to collapse are not "
+                  "implemented)")
+
+    if collapse_field is not None and "sort" not in body:
         from pandemic_knowledge_spark.operators.boolquery import (
             collapse_search,
         )
 
-        cspec = body["collapse"]
-        cfield = str(_req(cspec, "field", "$.collapse"))
-        _reject_extras(cspec, {"field"}, "$.collapse")
-        if ("sort" in body or "rescore" in body or after is not None
-                or hl is not None or source):
-            # rescore in the list because this branch RETURNS — without
-            # the check a collapse+rescore body would silently skip the
-            # rescore phase (ES rejects the pair too; r12 advisor
-            # finding — the rescore branch below can't catch it)
-            _fail("$.collapse",
-                  "collapse composes with size/from/track_total_hits only "
-                  "(sort/search_after/highlight/_source/rescore next to "
-                  "collapse are not implemented)")
         qtext = _plain_match_text(query, text_col)
         if qtext is None:
             _fail("$.collapse",
                   "collapse is implemented for a plain match query over "
                   "the text column (the one-best-hit-per-field-value "
                   "page — operators.boolquery.collapse_search)")
-        out = collapse_search(docs, id_col, text_col, qtext, cfield,
-                              k=fetch)
+        out = collapse_search(docs, id_col, text_col, qtext,
+                              collapse_field, k=fetch)
+        if min_score is not None:
+            # monotone post-heap gate, same rationale as the scored
+            # route: a group whose best representative scores below the
+            # threshold vanishes exactly as ES's pre-collapse exclusion
+            # would make it
+            out = out.where(F.col("score") >= F.lit(min_score))
         return _finish(_offset(out, offset))
 
     if "rescore" in body:
@@ -813,9 +833,25 @@ def es_query(
                       "sort field plus the doc_id tiebreak (the engine's "
                       "total order)")
             pred = pred & _keyset_pred(keys, list(after), docs.schema)
+        flt = docs.where(pred)
+        if collapse_field is not None:
+            # collapse under a field sort — the news app's "latest
+            # article per source" shape: the representative of each
+            # collapse value is its FIRST hit in the sort's total order
+            # (rank-1 per group; WindowGroupLimit pushes the cut below
+            # the one collapse-key shuffle), then the page orders the
+            # representatives by the same sort
+            from pyspark.sql import Window
+
+            cw = Window.partitionBy(collapse_field).orderBy(
+                *sort_cols, F.col(id_col).asc())
+            flt = (
+                flt.withColumn("__rn", F.row_number().over(cw))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         base = (
-            docs.where(pred)
-            .orderBy(*sort_cols, F.col(id_col).asc())
+            flt.orderBy(*sort_cols, F.col(id_col).asc())
             .limit(fetch)
         )
         if offset > 0:
@@ -860,10 +896,11 @@ def es_query(
         # keep pages mutually consistent), and multi-field
         # best_fields / most_fields (bm25_search_fields). Other scored
         # queries fail with the path below.
-        if "post_filter" in body:
-            _fail("$.search_after",
-                  "search_after next to post_filter is not implemented — "
-                  "fold the filter into a bool query")
+        # post_filter composes: the fold above already rewrote `query`
+        # as bool{..., filter: [post_filter]}, which takes the bool
+        # keyset tier below — the cursor pages the post-filtered ranked
+        # list exactly as ES does (scores unchanged by the fold: BM25
+        # stats are corpus-wide, filters restrict membership only)
         if len(after) != 2:
             _fail("$.search_after",
                   "scored-route cursor is [score, doc_id] — the previous "
@@ -878,6 +915,8 @@ def es_query(
         if qtext is not None:
             out = bm25_search(docs, id_col, text_col, qtext, k=size,
                               after=after_cursor)
+            if min_score is not None:
+                out = out.where(F.col("score") >= F.lit(min_score))
             return _finish(out)
         atype, _ = _single_field(query, "$.query")
         if atype not in ("bool", "multi_match"):
@@ -1113,28 +1152,6 @@ def es_query(
         # heap is score-ordered), so the operators' plans stay untouched
         out = out.where(F.col("score") >= F.lit(min_score))
     return _finish(_offset(out, offset))
-
-
-def _with_source(page: DataFrame, docs: DataFrame, id_col: str,
-                 source) -> DataFrame:
-    """ES ``_source`` projection on a SCORED page: broadcast the ≤ size
-    page (bounded) back onto the docs table to fetch the requested
-    columns — one broadcast hash join, never a docs shuffle. Output:
-    (doc_id, score, *source)."""
-    if not source:
-        return page
-    fetched = docs.select(
-        F.col(id_col).alias("doc_id"), *[F.col(c) for c in source]
-    )
-    return (
-        fetched.join(F.broadcast(page), "doc_id")
-        .select("doc_id", "score", *source)
-        # the join hash-partitions the page, so re-state the module's
-        # (score DESC, doc_id) total page order — without it _source
-        # pages would come back in nondeterministic join order (r11
-        # advisor finding)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-    )
 
 
 def _offset(page: DataFrame, offset: int) -> DataFrame:

@@ -9023,6 +9023,76 @@ def search_es_retriever_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     })["hits"]
 
 
+_R13_COLLAPSE_HL = highlight_pattern("spark stream")
+
+
+@q(
+    "search_es_body_collapse_rich",
+    oracle=f"""
+WITH reps AS ({sql_collapse_search('documents', 'doc_id', 'text',
+                                   'spark stream', 'lang', k=5)})
+SELECT reps.collapse_key, reps.doc_id, reps.score, d.source,
+       regexp_replace(d.text, '{_R13_COLLAPSE_HL}', '<em>\\1</em>', 'g')
+         AS highlighted
+FROM reps JOIN documents d ON reps.doc_id = d.doc_id
+""",
+)
+def search_es_body_collapse_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collapse × _source × highlight (r13 composition wave — the limits
+    the r12 verdict flagged as the ones a real Kibana body hits first):
+    the one-best-hit-per-lang page carries its collapse_key, the
+    projected source column, and the marked text. The _source fetch and
+    the highlight mark are each ONE broadcast join of the ≤size
+    representatives page back to docs — the regexp runs on the joined
+    page rows only, never corpus-wide (operators.esdsl._finish;
+    min_score over the representatives is the same monotone post-heap
+    gate as the scored route)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_query
+
+    return es_query(load(spark, sf_dir, "documents"), "doc_id", "text", {
+        "query": {"match": {"text": "spark stream"}},
+        "collapse": {"field": "lang"},
+        "_source": ["source"],
+        "highlight": {"fields": {"text": {}}},
+        "size": 5,
+    })
+
+
+@q(
+    "search_es_body_sorted_collapse",
+    oracle="""
+WITH r AS (
+  SELECT event_id AS doc_id, event_type, ts,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY ts DESC, event_id) AS rn
+  FROM events
+)
+SELECT doc_id, event_type, ts FROM r WHERE rn = 1
+ORDER BY ts DESC, doc_id LIMIT 5
+""",
+)
+def search_es_body_sorted_collapse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """collapse × FIELD SORT (r13 composition wave) — the news app's
+    "latest article per source" panel as the verbatim body: each
+    collapse value keeps its FIRST hit in the sort's total order
+    (rank-1 per group — WindowGroupLimit pushes the cut below the one
+    collapse-key shuffle), the page orders the representatives by the
+    same sort. search_after next to collapse stays loud (a group-level
+    cursor this engine won't fake)
+    (operators.esdsl.es_query, sorted-collapse composition)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_query
+
+    return es_query(load(spark, sf_dir, "events"), "event_id", None, {
+        "query": {"match_all": {}},
+        "sort": [{"ts": "desc"}],
+        "collapse": {"field": "event_type"},
+        "_source": ["event_type", "ts"],
+        "size": 5,
+    })
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9038,15 +9108,17 @@ BENCH_QUERY_NAMES.extend(
 # types — DONE, all ten have catalog rows above (plus the three new r13
 # compositions: filtered kNN, sorted+highlight, scored bool search_after);
 # (b) rotate the window onto the 50 r8-evidence IOUs declared at r12.
-# 14 new rows + 50 IOUs > 50 slots, so the window takes the 14 new rows
-# first (never-checked rows lead — the standing rule) then the FIRST 36
-# IOUs in the window_rotate.py proposal order; the 14 displaced IOUs below
+# 16 new rows + 50 IOUs > 50 slots, so the window takes the 16 new rows
+# first (never-checked rows lead — the standing rule) then the FIRST 34
+# IOUs in the window_rotate.py proposal order; the 16 displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
 # the overflow as r14 IOUs"). They are the ONLY rows left with r8
-# evidence — after r13 the freshness histogram is r8x14 / r9x50 / r10x50 /
-# r11x49 / r12x50 / r13x50 (263 rows) and the r14 window MUST lead with
+# evidence — after r13 the freshness histogram is r8x16 / r9x50 / r10x50 /
+# r11x49 / r12x50 / r13x50 (265 rows) and the r14 window MUST lead with
 # them after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
+    "search_suggest_indexed",
+    "stream_sliding_1h30m",
     "stream_tumbling_hourly",
     "text_boilerplate_ngrams",
     "text_hash_embeddings",
@@ -9080,13 +9152,13 @@ _R13_REGISTRATION_DEBT_PAID = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-13 WINDOW (50 slots): the 14 never-checked r13 rows lead (the
+    # ROUND-13 WINDOW (50 slots): the 16 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
-    # scored-bool-search_after, and retriever.linear compositions), then
-    # the first 36 of
+    # scored-bool-search_after, retriever.linear, collapse×_source×
+    # highlight, and collapse×sort compositions), then the first 34 of
     # the 50 r8-stale IOUs declared at r12 (window_rotate.py order). The
-    # 14 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
+    # 16 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
     # oracle changed this round (sql_bool_search/sql_bm25_search_fields
     # gained an `after` parameter that leaves their no-cursor SQL text
     # byte-identical), so no forced re-entries.
@@ -9104,6 +9176,8 @@ _DRIVER_PRIORITY = [
     "search_es_body_sorted_highlight",
     "search_es_body_bool_after",
     "search_es_retriever_linear",
+    "search_es_body_collapse_rich",
+    "search_es_body_sorted_collapse",
     "agg_approx_distinct_users",
     "agg_boxplot",
     "agg_bucket_selector_sort",
@@ -9138,8 +9212,6 @@ _DRIVER_PRIORITY = [
     "search_multi_cross_fields",
     "search_multi_most_fields",
     "search_phrase_indexed",
-    "search_suggest_indexed",
-    "stream_sliding_1h30m",
 ]
 
 

@@ -238,11 +238,9 @@ def test_collapse_in_body(spark, sf_dir):
     want = collapse_search(docs, "doc_id", "text", "spark stream", "lang",
                            k=10)
     assert rows(got) == rows(want) and rows(got)
-    with pytest.raises(UnsupportedEsQuery, match="collapse"):
-        es_query(docs, "doc_id", "text", {
-            "query": {"match": {"text": "spark"}},
-            "collapse": {"field": "lang"}, "sort": [{"n_chars": "desc"}],
-        })
+    # collapse × sort routes to the sorted-collapse composition as of
+    # r13 (covered in tests/test_es_r13.py); non-match scored collapse
+    # queries stay loud
     with pytest.raises(UnsupportedEsQuery, match="collapse"):
         es_query(docs, "doc_id", "text", {
             "query": {"wildcard": {"text": "spar*"}},

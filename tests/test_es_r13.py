@@ -411,3 +411,116 @@ def test_retriever_linear(engine):
     with pytest.raises(UnsupportedEsQuery, match="unsupported"):
         engine.es_search({"retriever": {"linear": {"retrievers": [
             {**base_arm, "rescorer": {}}, knn_arm]}}})
+
+
+# ------------------------------------- composition wave: collapse & pals
+
+
+def test_collapse_with_source_highlight_min_score(spark, sf_dir):
+    """collapse now composes with _source / highlight / min_score on the
+    scored route: the representatives page keeps collapse_key, gains the
+    projected columns and the marked text, and sub-threshold groups
+    vanish (monotone gate)."""
+    from pandemic_knowledge_spark.engine import highlight_pattern
+    from pandemic_knowledge_spark.operators.boolquery import (
+        collapse_search,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    body = {
+        "query": {"match": {"text": "spark stream"}},
+        "collapse": {"field": "lang"},
+        "_source": ["source"],
+        "highlight": {"fields": {"text": {}}},
+        "size": 5,
+    }
+    got = es_query(docs, "doc_id", "text", body)
+    assert got.columns == ["collapse_key", "doc_id", "score", "source",
+                           "highlighted"]
+    reps = collapse_search(docs, "doc_id", "text", "spark stream", "lang",
+                           k=5)
+    pattern = highlight_pattern("spark stream")
+    want = (
+        docs.select("doc_id", "source",
+                    F.regexp_replace("text", pattern, "<em>$1</em>")
+                    .alias("highlighted"))
+        .join(reps, "doc_id")
+        .select("collapse_key", "doc_id", "score", "source", "highlighted")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    assert rows(got) == rows(want) and rows(got)
+    # min_score: pick a threshold between reps' scores, groups vanish
+    scores = sorted((r["score"] for r in reps.collect()), reverse=True)
+    if len(set(scores)) > 1:
+        cut = scores[1]
+        kept = es_query(docs, "doc_id", "text",
+                        {**body, "min_score": cut}).collect()
+        assert all(r["score"] >= cut for r in kept)
+        assert len(kept) < len(scores) or scores[0] == scores[-1]
+
+
+def test_collapse_under_field_sort(spark, sf_dir):
+    """The news app's 'latest per source' shape: collapse under a field
+    sort keeps each group's FIRST hit in the sort order, page ordered by
+    the same sort."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    got = es_query(ev, "event_id", None, {
+        "query": {"match_all": {}},
+        "sort": [{"ts": "desc"}],
+        "collapse": {"field": "event_type"},
+        "_source": ["event_type", "ts"],
+        "size": 5,
+    })
+    w = W.partitionBy("event_type").orderBy(F.desc("ts"),
+                                            F.asc("event_id"))
+    want = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(5)
+        .select(F.col("event_id").alias("doc_id"), "event_type", "ts")
+    )
+    assert rows(got) == rows(want) and rows(got)
+    # collapse × search_after stays loud (group-level cursors not faked)
+    with pytest.raises(UnsupportedEsQuery, match="collapse"):
+        es_query(ev, "event_id", None, {
+            "query": {"match_all": {}}, "sort": [{"ts": "desc"}],
+            "collapse": {"field": "event_type"},
+            "search_after": ["2020-01-01 00:00:00", 0, 0],
+        })
+
+
+def test_search_after_with_post_filter(spark, sf_dir):
+    """post_filter × search_after: the fold rewrites the query as
+    bool{must, filter}, whose keyset tier pages the post-filtered ranked
+    list — pages stitch to the folded bool one-shot."""
+    docs = load(spark, sf_dir, "documents")
+    pf_body = {"query": {"match": {"text": "spark stream"}},
+               "post_filter": {"range": {"n_chars": {"gte": 100}}}}
+    bool_body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark stream"}}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}]}}}
+    one_shot = [tuple(r) for r in
+                es_query(docs, "doc_id", "text",
+                         dict(bool_body, size=12)).collect()]
+    walked = _page_walk(docs, pf_body, size=4, pages=3)
+    assert walked == one_shot[:len(walked)] and len(walked) >= 8
+
+
+def test_min_score_with_search_after(spark, sf_dir):
+    """min_score × search_after on the plain-match keyset tier: the gate
+    drops a suffix of the cursor-pruned heap."""
+    docs = load(spark, sf_dir, "documents")
+    base = {"query": {"match": {"text": "spark stream"}}, "size": 50}
+    all_rows = es_query(docs, "doc_id", "text", base).collect()
+    assert len(all_rows) >= 6
+    cursor = (all_rows[1]["score"], all_rows[1]["doc_id"])
+    cut = all_rows[len(all_rows) // 2]["score"]
+    got = es_query(docs, "doc_id", "text", {
+        **base, "search_after": list(cursor), "min_score": cut,
+    }).collect()
+    want = [(r["doc_id"], r["score"]) for r in all_rows[2:]
+            if r["score"] >= cut][:50]
+    assert [(r["doc_id"], r["score"]) for r in got] == want
