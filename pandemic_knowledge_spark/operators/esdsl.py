@@ -1565,7 +1565,8 @@ _BUCKET_TYPES = ("terms", "date_histogram", "histogram", "geohash_grid",
                  "geotile_grid")
 _BUCKET_PIPELINE_TYPES = ("cumulative_sum", "derivative", "serial_diff",
                           "moving_fn", "normalize")
-_BUCKET_FRAME_PIPELINE_TYPES = ("bucket_selector", "bucket_sort")
+_BUCKET_FRAME_PIPELINE_TYPES = ("bucket_selector", "bucket_sort",
+                                "bucket_script")
 _SIBLING_PIPELINE_TYPES = ("avg_bucket", "sum_bucket", "min_bucket",
                            "max_bucket", "stats_bucket",
                            "extended_stats_bucket", "percentiles_bucket")
@@ -2212,22 +2213,138 @@ def _composite_agg(filtered: DataFrame, body: dict, sub: dict,
     return g.orderBy(*[F.col(n) for n in names]).limit(size)
 
 
-def _apply_frame_pipelines(grouped: DataFrame, frame_pipes: dict,
-                           path: str) -> DataFrame:
-    """``bucket_selector`` / ``bucket_sort`` — post-aggregation pipelines
-    on the (bucket-count-sized) frame. bucket_selector accepts the
-    restricted Painless form ES bodies actually carry for threshold
-    gates — one comparison ``params.<var> <op> <literal>`` with the var
-    bound in ``buckets_path`` — compiled to a Column predicate (anything
-    else raises with the path: this engine does not run Painless).
-    bucket_sort re-orders and trims buckets by sibling metrics (size /
-    from; heap top-k, never a global sort of anything fact-sized).
-    Selectors apply before sorts, ES's dependency order."""
+def _compile_bucket_script(text: str, varmap: dict, path: str):
+    """The restricted ``bucket_script`` arithmetic ES bodies actually
+    carry (Kibana's "filter ratio" / TSVB math column): ``params.<var>``
+    references, numeric literals, ``+ - * /``, unary minus, parentheses
+    — compiled to one Column by a recursive-descent parser. Anything
+    else (method calls, strings, ternaries — real Painless) raises with
+    the path: this engine does not run Painless.
+
+    Every variable casts to double (Painless params are doubles) and
+    every division is GUARDED: a zero denominator raises at evaluation
+    (Painless yields Infinity there, Spark/DuckDB yield NULL — both
+    diverge from the other, so neither is silently produced; the loud
+    error names the path). The grammar is left-associative like
+    Painless/Java, so hand-written DuckDB twins replay the same IEEE
+    operation order."""
     import re as _re
 
+    toks = _re.findall(
+        r"params\.[A-Za-z_]\w*|\d+(?:\.\d+)?|[()+\-*/]|\S", text
+    )
+    pos = [0]
+
+    def _peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def _take():
+        t = _peek()
+        pos[0] += 1
+        return t
+
+    def _atom():
+        t = _take()
+        if t is None:
+            _fail(path, f"bucket_script: unexpected end of script "
+                        f"{text!r}")
+        if t == "(":
+            e = _expr()
+            if _take() != ")":
+                _fail(path, f"bucket_script: unbalanced parens in "
+                            f"{text!r}")
+            return e
+        if t == "-":
+            return -_atom()
+        if t.startswith("params."):
+            var = t[len("params."):]
+            if var not in varmap:
+                _fail(path, f"bucket_script: {t} is not bound in "
+                            "buckets_path")
+            return F.col(varmap[var]).cast("double")
+        if _re.fullmatch(r"\d+(?:\.\d+)?", t):
+            return F.lit(float(t))
+        _fail(path, "bucket_script: only the arithmetic form "
+                    "(params.<var>, numbers, + - * /, parens) is "
+                    f"implemented — got {t!r} in {text!r} (this engine "
+                    "does not run Painless)")
+
+    def _term():
+        e = _atom()
+        while _peek() in ("*", "/"):
+            op = _take()
+            rhs = _atom()
+            if op == "*":
+                e = e * rhs
+            else:
+                e = F.when(rhs != 0, e / rhs).otherwise(F.raise_error(
+                    F.lit(f"{path}: bucket_script division by zero — "
+                          "Painless yields Infinity here and SQL yields "
+                          "NULL; this engine raises rather than pick "
+                          "one silently")))
+        return e
+
+    def _expr():
+        e = _term()
+        while _peek() in ("+", "-"):
+            op = _take()
+            rhs = _term()
+            e = e + rhs if op == "+" else e - rhs
+        return e
+
+    out = _expr()
+    if _peek() is not None:
+        _fail(path, f"bucket_script: trailing tokens in {text!r}")
+    return out
+
+
+def _apply_frame_pipelines(grouped: DataFrame, frame_pipes: dict,
+                           path: str) -> DataFrame:
+    """``bucket_script`` / ``bucket_selector`` / ``bucket_sort`` —
+    post-aggregation pipelines on the (bucket-count-sized) frame.
+    bucket_script appends a per-bucket arithmetic column over sibling
+    metrics (the restricted grammar — :func:`_compile_bucket_script`).
+    bucket_selector accepts the restricted Painless form ES bodies
+    actually carry for threshold gates — one comparison ``params.<var>
+    <op> <literal>`` with the var bound in ``buckets_path`` — compiled
+    to a Column predicate (anything else raises with the path: this
+    engine does not run Painless). bucket_sort re-orders and trims
+    buckets by sibling metrics (size / from; heap top-k, never a global
+    sort of anything fact-sized). Scripts apply first (so selectors and
+    sorts can reference the scripted column), then selectors, then
+    sorts — ES's pipeline dependency order."""
+    import re as _re
+
+    scripts = {n: s for n, s in frame_pipes.items()
+               if s[0] == "bucket_script"}
     selectors = {n: s for n, s in frame_pipes.items()
                  if s[0] == "bucket_selector"}
     sorts = {n: s for n, s in frame_pipes.items() if s[0] == "bucket_sort"}
+    for pname, (_, pbody) in scripts.items():
+        pp = f"{path}.aggs.{pname}"
+        paths = _req(pbody, "buckets_path", pp)
+        script = str(_req(pbody, "script", pp))
+        _reject_extras(pbody, {"buckets_path", "script", "gap_policy"},
+                       pp)
+        if pbody.get("gap_policy", "skip") != "skip":
+            _fail(f"{pp}.gap_policy",
+                  "only the default gap_policy `skip` is implemented")
+        if not isinstance(paths, dict) or not paths:
+            _fail(f"{pp}.buckets_path",
+                  "buckets_path must be a non-empty {var: metric} map")
+        varmap = {}
+        for var, ref in paths.items():
+            col_name = "doc_count" if ref == "_count" else str(ref)
+            if col_name not in grouped.columns:
+                _fail(f"{pp}.buckets_path",
+                      f"{ref!r} does not name a sibling metric")
+            varmap[str(var)] = col_name
+        if pname in grouped.columns:
+            _fail(pp, f"bucket_script name {pname!r} collides with an "
+                      "existing column")
+        grouped = grouped.withColumn(
+            pname, _compile_bucket_script(script, varmap, pp)
+        )
     for pname, (_, pbody) in selectors.items():
         pp = f"{path}.aggs.{pname}"
         paths = _req(pbody, "buckets_path", pp)

@@ -1114,17 +1114,18 @@ def linear_fuse(
     (doc_id, lin_score) top-k, round 6, ties by id; with two arms the
     per-doc sum has ≤ 2 addends, IEEE-order-exact, so the fused score
     replays bit-identically in the DuckDB oracle."""
+    from pyspark.sql import Window
+
     outs = []
     for i, (frame, id_col, score_col, weight) in enumerate(rankings):
-        stats = frame.agg(
-            F.min(score_col).alias("__mn"), F.max(score_col).alias("__mx")
-        )
+        # unpartitioned min/max window over the ≤window-row arm frame
+        # (bounded by contract) — no one-row crossJoin (a keyless BNLJ
+        # the plan audit would flag as the non-scalar pattern), no sort
+        w = Window.partitionBy()
+        mn = F.min(score_col).over(w)
+        mx = F.max(score_col).over(w)
         norm = (
-            F.when(
-                F.col("__mx") > F.col("__mn"),
-                (F.col(score_col) - F.col("__mn"))
-                / (F.col("__mx") - F.col("__mn")),
-            )
+            F.when(mx > mn, (F.col(score_col) - mn) / (mx - mn))
             .otherwise(F.raise_error(F.lit(
                 "linear retriever: degenerate score window (max == min) — "
                 "minmax normalization is undefined; narrow the arm or use "
@@ -1132,7 +1133,7 @@ def linear_fuse(
             )))
         )
         outs.append(
-            frame.crossJoin(F.broadcast(stats)).select(
+            frame.select(
                 F.col(id_col).alias("doc_id"),
                 (norm * F.lit(float(weight))).alias(f"__w{i}"),
             )

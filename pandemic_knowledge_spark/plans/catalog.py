@@ -9093,6 +9093,45 @@ def search_es_body_sorted_collapse(
     })
 
 
+@q(
+    "agg_es_bucket_script_door",
+    oracle="""
+WITH g AS (
+  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count,
+         max(value) AS vmax
+  FROM events GROUP BY 1
+)
+SELECT key, doc_count, vmax,
+       CASE WHEN CAST(doc_count AS DOUBLE) <> 0
+            THEN vmax / CAST(doc_count AS DOUBLE)
+            ELSE error('division by zero') END AS per_doc
+FROM g ORDER BY doc_count DESC, key LIMIT 5
+""",
+)
+def agg_es_bucket_script_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_script`` pipeline via the agg-body door — Kibana's
+    per-bucket arithmetic (the "filter ratio" / TSVB math column): the
+    restricted params-arithmetic grammar (params refs, literals,
+    ``+ - * /``, parens — :func:`esdsl._compile_bucket_script`) compiled
+    to ONE Column over the already-grouped bucket frame; real Painless
+    raises with the path. Division is guarded — a zero denominator
+    raises at evaluation (Painless yields Infinity, SQL NULL; this
+    engine refuses to pick one silently). Scripts run before
+    bucket_selector/bucket_sort so gates can reference the scripted
+    column (ES's pipeline dependency order)
+    (operators.esdsl._apply_frame_pipelines)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), {"aggs": {"t": {
+        "terms": {"field": "event_type", "size": 5},
+        "aggs": {
+            "vmax": {"max": {"field": "value"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"m": "vmax", "c": "_count"},
+                "script": "params.m / params.c"}},
+        }}}})["t"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9108,15 +9147,16 @@ BENCH_QUERY_NAMES.extend(
 # types — DONE, all ten have catalog rows above (plus the three new r13
 # compositions: filtered kNN, sorted+highlight, scored bool search_after);
 # (b) rotate the window onto the 50 r8-evidence IOUs declared at r12.
-# 16 new rows + 50 IOUs > 50 slots, so the window takes the 16 new rows
-# first (never-checked rows lead — the standing rule) then the FIRST 34
-# IOUs in the window_rotate.py proposal order; the 16 displaced IOUs below
+# 17 new rows + 50 IOUs > 50 slots, so the window takes the 17 new rows
+# first (never-checked rows lead — the standing rule) then the FIRST 33
+# IOUs in the window_rotate.py proposal order; the 17 displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
 # the overflow as r14 IOUs"). They are the ONLY rows left with r8
-# evidence — after r13 the freshness histogram is r8x16 / r9x50 / r10x50 /
-# r11x49 / r12x50 / r13x50 (265 rows) and the r14 window MUST lead with
+# evidence — after r13 the freshness histogram is r8x17 / r9x50 / r10x50 /
+# r11x49 / r12x50 / r13x50 (266 rows) and the r14 window MUST lead with
 # them after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
+    "search_phrase_indexed",
     "search_suggest_indexed",
     "stream_sliding_1h30m",
     "stream_tumbling_hourly",
@@ -9152,13 +9192,13 @@ _R13_REGISTRATION_DEBT_PAID = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-13 WINDOW (50 slots): the 16 never-checked r13 rows lead (the
+    # ROUND-13 WINDOW (50 slots): the 17 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
     # scored-bool-search_after, retriever.linear, collapse×_source×
-    # highlight, and collapse×sort compositions), then the first 34 of
+    # highlight, collapse×sort, and bucket_script), then the first 33 of
     # the 50 r8-stale IOUs declared at r12 (window_rotate.py order). The
-    # 16 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
+    # 17 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
     # oracle changed this round (sql_bool_search/sql_bm25_search_fields
     # gained an `after` parameter that leaves their no-cursor SQL text
     # byte-identical), so no forced re-entries.
@@ -9178,6 +9218,7 @@ _DRIVER_PRIORITY = [
     "search_es_retriever_linear",
     "search_es_body_collapse_rich",
     "search_es_body_sorted_collapse",
+    "agg_es_bucket_script_door",
     "agg_approx_distinct_users",
     "agg_boxplot",
     "agg_bucket_selector_sort",
@@ -9211,7 +9252,6 @@ _DRIVER_PRIORITY = [
     "search_fuzzy_indexed",
     "search_multi_cross_fields",
     "search_multi_most_fields",
-    "search_phrase_indexed",
 ]
 
 

@@ -524,3 +524,71 @@ def test_min_score_with_search_after(spark, sf_dir):
     want = [(r["doc_id"], r["score"]) for r in all_rows[2:]
             if r["score"] >= cut][:50]
     assert [(r["doc_id"], r["score"]) for r in got] == want
+
+
+# ---------------------------------------------------------- bucket_script
+
+
+def test_bucket_script(spark, sf_dir):
+    """Kibana's per-bucket arithmetic (filter-ratio / TSVB math): the
+    restricted params-arithmetic grammar over sibling metrics, guarded
+    division, selectors able to reference the scripted column."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    ev = load(spark, sf_dir, "events")
+    out = es_aggs(ev, {"aggs": {"t": {
+        "terms": {"field": "event_type", "size": 5},
+        "aggs": {
+            "vmax": {"max": {"field": "value"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"m": "vmax", "c": "_count"},
+                "script": "params.m / params.c"}},
+            "fancy": {"bucket_script": {
+                "buckets_path": {"m": "vmax", "c": "_count"},
+                "script": "(params.m * 2 + 1) / (params.c - 0.5)"}},
+        }}}})["t"].collect()
+    assert out
+    for r in out:
+        assert r["per_doc"] == pytest.approx(
+            float(r["vmax"]) / float(r["doc_count"]))
+        assert r["fancy"] == pytest.approx(
+            (float(r["vmax"]) * 2 + 1) / (float(r["doc_count"]) - 0.5))
+    # a selector referencing the scripted column (scripts run first)
+    cut = sorted(r["per_doc"] for r in out)[len(out) // 2]
+    gated = es_aggs(ev, {"aggs": {"t": {
+        "terms": {"field": "event_type", "size": 5},
+        "aggs": {
+            "vmax": {"max": {"field": "value"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"m": "vmax", "c": "_count"},
+                "script": "params.m / params.c"}},
+            "gate": {"bucket_selector": {
+                "buckets_path": {"r": "per_doc"},
+                "script": f"params.r >= {cut}"}},
+        }}}})["t"].collect()
+    assert gated and all(r["per_doc"] >= cut for r in gated)
+    assert len(gated) < len(out) or all(r["per_doc"] >= cut for r in out)
+    # real Painless stays loud
+    from pandemic_knowledge_spark.operators.esdsl import UnsupportedEsQuery
+    for bad in ("Math.log(params.m)", "params.m > 1 ? 1 : 0",
+                "params.unbound + 1"):
+        with pytest.raises(UnsupportedEsQuery, match="bucket_script"):
+            es_aggs(ev, {"aggs": {"t": {
+                "terms": {"field": "event_type", "size": 5},
+                "aggs": {
+                    "vmax": {"max": {"field": "value"}},
+                    "x": {"bucket_script": {
+                        "buckets_path": {"m": "vmax"},
+                        "script": bad}}}}}})["t"].collect()
+    # division by a zero-capable expression raises AT EVALUATION
+    import py4j.protocol
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    with pytest.raises(Exception, match="division by zero"):
+        es_aggs(ev, {"aggs": {"t": {
+            "terms": {"field": "event_type", "size": 5},
+            "aggs": {
+                "vmax": {"max": {"field": "value"}},
+                "x": {"bucket_script": {
+                    "buckets_path": {"m": "vmax", "c": "_count"},
+                    "script": "params.m / (params.c - params.c)"}}}}}},
+        )["t"].collect()
