@@ -1013,6 +1013,7 @@ def dis_max_search(
     clauses,
     tie_breaker: float = 0.0,
     k: int = 10,
+    after: tuple | None = None,
 ) -> DataFrame:
     """ES ``dis_max`` compound query: a doc matching several clauses takes
     its BEST clause score plus ``tie_breaker`` times each other matching
@@ -1022,7 +1023,8 @@ def dis_max_search(
     specs as the bool door). tie_breaker=0 is pure dis-max; 1.0 degrades
     to the bool should-sum. Same clause compilation as
     :func:`bool_search` (one shared TF scan), one union + keyed groupBy,
-    top-k."""
+    top-k. ``after`` = the (score, doc_id) keyset cursor — strictly past
+    the cursor BEFORE the top-k heaps, the shared search_after tier."""
     clauses = list(clauses)
     if not clauses:
         raise ValueError("dis_max needs at least one clause")
@@ -1031,7 +1033,7 @@ def dis_max_search(
         docs, id_col, text_col, [("should", c) for c in clauses]
     )
     u = reduce(lambda a, b: a.unionByName(b), parts)
-    return (
+    scored = (
         u.groupBy("doc_id")
         .agg(F.max("bscore").alias("__mx"), F.sum("bscore").alias("__sm"))
         .select(
@@ -1040,9 +1042,15 @@ def dis_max_search(
                 F.col("__mx") + F.lit(tb) * (F.col("__sm") - F.col("__mx")), 4
             ).alias("score"),
         )
-        .orderBy(F.desc("score"), F.col("doc_id"))
-        .limit(k)
     )
+    if after is not None:
+        c_score, c_id = after
+        scored = scored.where(
+            (F.col("score") < F.lit(c_score))
+            | ((F.col("score") == F.lit(c_score))
+               & (F.col("doc_id") > F.lit(c_id)))
+        )
+    return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
 
 
 def sql_dis_max_search(
@@ -1310,6 +1318,7 @@ def function_score_search(
     boost_mode: str = "multiply",
     max_boost: float | None = None,
     k: int = 10,
+    after: tuple | None = None,
 ) -> DataFrame:
     """ES ``function_score`` compound query — the last widely-used
     compound door (r9 verdict Missing #2): rank by any scored clause,
@@ -1358,12 +1367,20 @@ def function_score_search(
         if boost_mode == "multiply"
         else F.col("bscore") + combined
     )
-    return (
+    out = (
         scored.join(facs, "doc_id")
         .select("doc_id", F.round(final, 4).alias("score"))
-        .orderBy(F.desc("score"), F.col("doc_id"))
-        .limit(k)
     )
+    if after is not None:
+        # the (score, doc_id) keyset cursor — strictly past the cursor
+        # BEFORE the top-k heaps, the shared search_after tier
+        c_score, c_id = after
+        out = out.where(
+            (F.col("score") < F.lit(c_score))
+            | ((F.col("score") == F.lit(c_score))
+               & (F.col("doc_id") > F.lit(c_id)))
+        )
+    return out.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
 
 
 def _sql_function_factor(fn: dict, score_mode: str) -> str:

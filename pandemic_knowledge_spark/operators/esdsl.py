@@ -919,14 +919,15 @@ def es_query(
                 out = out.where(F.col("score") >= F.lit(min_score))
             return _finish(out)
         atype, _ = _single_field(query, "$.query")
-        if atype not in ("bool", "multi_match"):
+        if atype not in ("bool", "multi_match", "dis_max",
+                         "function_score"):
             _fail("$.search_after",
                   "scored-route search_after is implemented for match / "
-                  "bool / multi_match best_fields|most_fields queries "
-                  f"(keyset-tier scorers); got {atype!r} — field-sorted "
-                  "bodies take the sort route")
-        # falls through: the bool / multi_match branches below thread
-        # the cursor into their scorers' keyset tiers
+                  "bool / multi_match best_fields|most_fields / dis_max "
+                  f"/ function_score queries (keyset-tier scorers); got "
+                  f"{atype!r} — field-sorted bodies take the sort route")
+        # falls through: the compound branches below thread the cursor
+        # into their scorers' keyset tiers
 
     qtype, qbody = _single_field(query, "$.query")
     path = f"$.query.{qtype}"
@@ -950,6 +951,7 @@ def es_query(
         out = dis_max_search(
             docs, id_col, text_col, clauses,
             tie_breaker=float(qbody.get("tie_breaker", 0.0)), k=fetch,
+            after=after_cursor,
         )
     elif qtype == "function_score":
         inner_t, inner_b = _single_field(_req(qbody, "query", path), f"{path}.query")
@@ -972,6 +974,7 @@ def es_query(
             boost_mode=qbody.get("boost_mode", "multiply"),
             max_boost=qbody.get("max_boost"),
             k=fetch,
+            after=after_cursor,
         )
     elif qtype == "multi_match":
         q = str(_req(qbody, "query", path))

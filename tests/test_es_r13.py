@@ -323,12 +323,33 @@ def test_search_after_multi_match_fields(spark, sf_dir):
         assert walked == one_shot[:len(walked)] and len(walked) >= 8
 
 
+def test_search_after_dis_max_and_function_score(spark, sf_dir):
+    """The compound scorers' keyset tiers: pages stitch to the one-shot
+    ranking for dis_max and function_score too."""
+    docs = load(spark, sf_dir, "documents")
+    for body in (
+        {"query": {"dis_max": {"queries": [
+            {"match": {"text": "spark stream"}},
+            {"match": {"text": "window join"}}],
+            "tie_breaker": 0.3}}},
+        {"query": {"function_score": {
+            "query": {"match": {"text": "spark stream"}},
+            "functions": [{"field_value_factor": {
+                "field": "n_chars", "factor": 0.001,
+                "modifier": "log1p"}}]}}},
+    ):
+        walked = _page_walk(docs, body, size=4, pages=3)
+        one_shot = [tuple(r) for r in
+                    es_query(docs, "doc_id", "text",
+                             dict(body, size=12)).collect()]
+        assert walked == one_shot[:len(walked)] and len(walked) >= 8
+
+
 def test_search_after_unsupported_scored_shapes_are_loud(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     with pytest.raises(UnsupportedEsQuery, match="search_after"):
         es_query(docs, "doc_id", "text", {
-            "query": {"dis_max": {"queries": [
-                {"match": {"text": "spark"}}]}},
+            "query": {"wildcard": {"text": "spar*"}},
             "search_after": [1.0, 0], "size": 5})
     with pytest.raises(UnsupportedEsQuery, match="search_after"):
         es_query(docs, "doc_id", "text", {
