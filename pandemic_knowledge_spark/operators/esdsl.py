@@ -1593,7 +1593,14 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
 
     if atype == "terms":
         field = _req(body, "field", p)
-        _reject_extras(body, {"field", "size", "order", "missing"}, p)
+        # shard_size accepted and SUBSUMED: it tunes ES's per-shard
+        # candidate budget for its approximate terms counts; this
+        # engine's terms counts are exact global aggregates — the
+        # shard_size→∞ limit (the num_candidates precedent: divergence
+        # only in the precise direction). Kibana panels send it.
+        int(body.get("shard_size", 0))
+        _reject_extras(body, {"field", "size", "order", "missing",
+                              "shard_size"}, p)
         expr = F.col(field)
         if "missing" in body:
             # ES `missing`: docs without the field land in a named
@@ -2537,7 +2544,9 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
                 significant_terms_field,
             )
 
-            _reject_extras(body, {"field", "size", "min_doc_count"}, p)
+            int(body.get("shard_size", 0))  # subsumed: exact contrast
+            _reject_extras(body, {"field", "size", "min_doc_count",
+                                  "shard_size"}, p)
             if pred is None:
                 _fail(p, "significant_terms needs a foreground — give the "
                          "request a query (ES's significant-vs-background "
@@ -2569,7 +2578,11 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
                       "dedup the corpus first (operators.dedup) and drop "
                       "the key")
         else:
-            _reject_extras(body, {"field", "size", "min_doc_count"}, p)
+            # shard_size subsumed (exact global JLH contrast — the
+            # shard_size→∞ limit of ES's per-shard candidate cut)
+            int(body.get("shard_size", 0))
+            _reject_extras(body, {"field", "size", "min_doc_count",
+                                  "shard_size"}, p)
         if pred is None:
             _fail(p, "significant_terms needs a foreground — give the "
                      "request a query (ES's significant-vs-background "

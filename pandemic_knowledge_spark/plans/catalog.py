@@ -8859,6 +8859,7 @@ def search_es_body_boosted_fields(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @q(
     "search_es_knn_filtered",
+    bench=True,
     oracle=f"""
 SELECT vec_id, round({sql_cosine('embedding', _QLIT)}, 6) AS cos_sim
 FROM embeddings

@@ -613,3 +613,28 @@ def test_bucket_script(spark, sf_dir):
                     "buckets_path": {"m": "vmax", "c": "_count"},
                     "script": "params.m / (params.c - params.c)"}}}}}},
         )["t"].collect()
+
+
+def test_shard_size_subsumed(spark, sf_dir):
+    """Kibana sends shard_size on terms / significant_terms panels; this
+    engine's counts are exact global aggregates (the shard_size→∞
+    limit), so the knob is accepted and results are identical with and
+    without it."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    ev = load(spark, sf_dir, "events")
+    base = {"aggs": {"t": {"terms": {"field": "event_type", "size": 3}}}}
+    with_ss = {"aggs": {"t": {"terms": {
+        "field": "event_type", "size": 3, "shard_size": 25}}}}
+    assert rows(es_aggs(ev, base)["t"]) == rows(es_aggs(ev, with_ss)["t"])
+
+    docs = load(spark, sf_dir, "documents")
+    sig = {"query": {"range": {"n_chars": {"gte": 400}}},
+           "aggs": {"s": {"significant_terms": {
+               "field": "lang", "size": 5, "min_doc_count": 1}}}}
+    sig_ss = {**sig, "aggs": {"s": {"significant_terms": {
+        "field": "lang", "size": 5, "min_doc_count": 1,
+        "shard_size": 50}}}}
+    a = es_aggs(docs, sig, text_col="text")["s"]
+    b = es_aggs(docs, sig_ss, text_col="text")["s"]
+    assert rows(a) == rows(b) and rows(a)
