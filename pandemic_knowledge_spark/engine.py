@@ -699,6 +699,36 @@ class Engine:
             k=k,
         )
 
+    def count(
+        self,
+        query: dict | None = None,
+        table: str = "documents",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """The ES ``_count`` API — how many docs match the query, no
+        hits: the query compiles to ONE membership predicate (the same
+        agg-context compiler the body door uses — bool composition,
+        term/terms/range/exists, analyzed match) over one scan-side
+        count aggregate; no query counts the whole table (ES's
+        match_all default). Returns a one-row (count) frame — exactly
+        the body door's ``track_total_hits`` column without the page.
+        Scale: a pushed-predicate scan + map-side-combined count — no
+        shuffle of anything row-shaped."""
+        from pandemic_knowledge_spark.operators.esdsl import (
+            _agg_filter_pred,
+        )
+
+        t = self.table(table)
+        if query is None:
+            pred = F.lit(True)
+        else:
+            pred = F.coalesce(
+                _agg_filter_pred(query, text_col, "$.query"), F.lit(False)
+            )
+        return t.where(pred).agg(
+            F.count(F.lit(1)).cast("long").alias("count")
+        )
+
     def span_near(
         self,
         query: str,

@@ -1492,6 +1492,7 @@ def collapse_search(
     query: str,
     collapse_col: str,
     k: int = 10,
+    after: tuple | None = None,
 ) -> DataFrame:
     """ES field ``collapse``: the ranked result page keeps only the BEST
     hit per distinct ``collapse_col`` value (one article per source, one
@@ -1517,7 +1518,7 @@ def collapse_search(
     w = Window.partitionBy("collapse_key").orderBy(
         F.desc("bscore"), F.col("doc_id")
     )
-    return (
+    reps = (
         scored.join(fields, "doc_id")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -1526,9 +1527,20 @@ def collapse_search(
             "doc_id",
             F.round(F.col("bscore"), 4).alias("score"),
         )
-        .orderBy(F.desc("score"), F.col("doc_id"))
-        .limit(k)
     )
+    if after is not None:
+        # ES search_after over a collapsed list pages by the
+        # REPRESENTATIVES' (score, doc_id) — the cursor filters groups
+        # after the rank-1 cut (a group whose best hit sorts before the
+        # cursor is gone even if a lesser member would qualify), before
+        # the top-k heaps
+        c_score, c_id = after
+        reps = reps.where(
+            (F.col("score") < F.lit(c_score))
+            | ((F.col("score") == F.lit(c_score))
+               & (F.col("doc_id") > F.lit(c_id)))
+        )
+    return reps.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
 
 
 def sql_collapse_search(
@@ -1538,13 +1550,23 @@ def sql_collapse_search(
     query: str,
     collapse_col: str,
     k: int = 10,
+    after: tuple | None = None,
 ) -> str:
-    """DuckDB SQL reproducing :func:`collapse_search` exactly."""
+    """DuckDB SQL reproducing :func:`collapse_search` exactly (``after``
+    = the representatives-page keyset cursor)."""
     bool_sql = sql_bool_search(
         table, id_col, text_col, must=[{"match": query}], k=k
     )
     head, _, _ = bool_sql.partition("agg AS (")
     head = head.rstrip().rstrip(",")
+    cursor = ""
+    if after is not None:
+        c_score, c_id = after
+        id_lit = _sql_lit(c_id) if isinstance(c_id, str) else repr(c_id)
+        cursor = (
+            f" AND (score < {float(c_score)!r} OR (score = "
+            f"{float(c_score)!r} AND doc_id > {id_lit}))"
+        )
     return f"""{head},
 fields AS (SELECT {id_col} AS doc_id, {collapse_col} AS collapse_key FROM {table}),
 reps AS (
@@ -1554,7 +1576,7 @@ reps AS (
          ) AS rn
   FROM u JOIN fields USING (doc_id)
 )
-SELECT collapse_key, doc_id, score FROM reps WHERE rn = 1
+SELECT collapse_key, doc_id, score FROM reps WHERE rn = 1{cursor}
 ORDER BY score DESC, doc_id LIMIT {k}
 """
 

@@ -695,18 +695,15 @@ def es_query(
         cspec = body["collapse"]
         collapse_field = str(_req(cspec, "field", "$.collapse"))
         _reject_extras(cspec, {"field"}, "$.collapse")
-        if "rescore" in body or after is not None:
-            # rescore in the list because the collapse branches RETURN —
-            # without the check a collapse+rescore body would silently
+        if "rescore" in body:
+            # rescore in a dedicated check because the collapse branches
+            # RETURN — without it a collapse+rescore body would silently
             # skip the rescore phase (ES rejects the pair too; r12
-            # advisor finding — the rescore branch below can't catch
-            # it). search_after over collapsed groups would need a
-            # group-level cursor — refuse, don't fake.
+            # advisor finding — the rescore branch below can't catch it)
             _fail("$.collapse",
                   "collapse composes with size/from/sort/_source/"
-                  "highlight/min_score/track_total_hits "
-                  "(search_after/rescore next to collapse are not "
-                  "implemented)")
+                  "highlight/min_score/track_total_hits/search_after "
+                  "(rescore next to collapse is not implemented)")
 
     if collapse_field is not None and "sort" not in body:
         from pandemic_knowledge_spark.operators.boolquery import (
@@ -719,8 +716,22 @@ def es_query(
                   "collapse is implemented for a plain match query over "
                   "the text column (the one-best-hit-per-field-value "
                   "page — operators.boolquery.collapse_search)")
+        c_after = None
+        if after is not None:
+            # paging a collapsed list: the cursor is the previous
+            # page's last REPRESENTATIVE'S [score, doc_id] — it filters
+            # groups after the rank-1 cut, before the top-k heaps
+            if len(after) != 2:
+                _fail("$.search_after",
+                      "collapsed-scored cursor is [score, doc_id] — the "
+                      "previous page's last representative")
+            if isinstance(after[0], bool) or not isinstance(
+                    after[0], (int, float)):
+                _fail("$.search_after",
+                      f"cursor score {after[0]!r} is not a number")
+            c_after = (float(after[0]), after[1])
         out = collapse_search(docs, id_col, text_col, qtext,
-                              collapse_field, k=fetch)
+                              collapse_field, k=fetch, after=c_after)
         if min_score is not None:
             # monotone post-heap gate, same rationale as the scored
             # route: a group whose best representative scores below the
@@ -832,7 +843,9 @@ def es_query(
                       f"cursor must carry {len(keys)} values — one per "
                       "sort field plus the doc_id tiebreak (the engine's "
                       "total order)")
-            pred = pred & _keyset_pred(keys, list(after), docs.schema)
+            keyset = _keyset_pred(keys, list(after), docs.schema)
+            if collapse_field is None:
+                pred = pred & keyset
         flt = docs.where(pred)
         if collapse_field is not None:
             # collapse under a field sort — the news app's "latest
@@ -850,6 +863,13 @@ def es_query(
                 .where(F.col("__rn") == 1)
                 .drop("__rn")
             )
+            if after is not None:
+                # the cursor pages the REPRESENTATIVES: it must apply
+                # after the rank-1 cut (a group whose rep sorts before
+                # the cursor is excluded even when a lesser member
+                # would pass — ES's collapse+search_after semantics),
+                # not inside the scan predicate
+                flt = flt.where(keyset)
         base = (
             flt.orderBy(*sort_cols, F.col(id_col).asc())
             .limit(fetch)
@@ -1600,7 +1620,17 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
         # only in the precise direction). Kibana panels send it.
         int(body.get("shard_size", 0))
         _reject_extras(body, {"field", "size", "order", "missing",
-                              "shard_size"}, p)
+                              "shard_size", "min_doc_count"}, p)
+        mdc = int(body.get("min_doc_count", 1))
+        if mdc == 0:
+            # terms min_doc_count: 0 = "every field value in the index,
+            # matched or not" — needs the query-UNfiltered value domain
+            # joined back in; refuse rather than silently return only
+            # matched values (Kibana's "show empty buckets" for terms)
+            _fail(f"{p}.min_doc_count",
+                  "min_doc_count: 0 on terms (buckets for unmatched "
+                  "field values) is not implemented — drop the key or "
+                  "use >= 1")
         expr = F.col(field)
         if "missing" in body:
             # ES `missing`: docs without the field land in a named
@@ -1620,7 +1650,7 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
             order_spec = (str(tgt), dirn)
         return {"expr": expr, "order": "count",
                 "size": int(body.get("size", 10)), "pre": None,
-                "order_spec": order_spec}
+                "order_spec": order_spec, "min_dc": mdc}
     if atype == "date_histogram":
         field = _req(body, "field", p)
         unit = body.get("calendar_interval") or body.get("fixed_interval")
@@ -2935,6 +2965,12 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
             grouped = grouped.drop(*[
                 f"__rs_{r}" for r, f, _, _ in rate_specs if f is not None
             ])
+        if outer.get("min_dc", 1) > 1:
+            # ES terms min_doc_count: buckets below the threshold are
+            # pruned BEFORE the size cut (a rare-value floor); a plain
+            # filter on the already-aggregated bucket frame
+            grouped = grouped.where(
+                F.col("doc_count") >= F.lit(outer["min_dc"]))
         if outer["order"] == "count":
             # ES pipelines run over the RETURNED buckets, so the
             # terms/grid size cut applies first (percent_of_sum under
@@ -2981,6 +3017,12 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         _fail(p, "terms `order` on the parent of a nested bucket is not "
                  "implemented (parents rank by total doc_count) — flatten "
                  "or drop the order key")
+    if outer.get("min_dc", 1) > 1 or (inner_entry and
+                                      inner_entry[1] == "terms" and
+                                      int(ibody.get("min_doc_count", 1))
+                                      > 1):
+        _fail(p, "terms min_doc_count > 1 inside nested buckets is not "
+                 "implemented — flatten or drop the key")
     if outer.get("dense"):
         _fail(p, "min_doc_count: 0 on a parent of a nested bucket is not "
                  "implemented (the dense spine is single-level) — drop it "
@@ -3110,6 +3152,10 @@ def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
         if spec_l.get("order_spec") is not None:
             _fail(lvl, "terms `order` inside three-level nesting is not "
                        "implemented (levels rank by doc_count totals)")
+        if spec_l.get("min_dc", 1) > 1:
+            _fail(lvl, "terms min_doc_count > 1 inside three-level "
+                       "nesting is not implemented — flatten or drop "
+                       "the key")
     (j_inner, j_pipelines, j_frame_pipes, j_card,
      j_metrics) = _split_sub_aggs(jsub, jp)
     if j_inner is not None:

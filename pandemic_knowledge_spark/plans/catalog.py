@@ -9080,8 +9080,10 @@ def search_es_body_sorted_collapse(
     collapse value keeps its FIRST hit in the sort's total order
     (rank-1 per group — WindowGroupLimit pushes the cut below the one
     collapse-key shuffle), the page orders the representatives by the
-    same sort. search_after next to collapse stays loud (a group-level
-    cursor this engine won't fake)
+    same sort. search_after composes: the cursor pages the
+    REPRESENTATIVES (applied after the rank-1 cut — a group whose rep
+    sorts before the cursor is excluded even when a lesser member would
+    pass, ES's semantics)
     (operators.esdsl.es_query, sorted-collapse composition)."""
     from pandemic_knowledge_spark.operators.esdsl import es_query
 
@@ -9133,6 +9135,61 @@ def agg_es_bucket_script_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         }}}})["t"]
 
 
+_R13_COLLAPSE_CURSOR = (0.9, 0)
+
+
+@q(
+    "search_es_body_collapse_after",
+    oracle=sql_collapse_search(
+        "documents", "doc_id", "text", "spark stream", "lang", k=10,
+        after=_R13_COLLAPSE_CURSOR,
+    ),
+)
+def search_es_body_collapse_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collapse × search_after (r13 late wave) — deep-paging a collapsed
+    feed ("infinite scroll of one-best-per-source"): the cursor is the
+    previous page's last REPRESENTATIVE'S [score, doc_id], applied after
+    the rank-1 per-group cut and before the top-k heaps — a group whose
+    best hit sorts before the cursor is excluded even when a lesser
+    member would qualify (ES's collapse+search_after semantics). The
+    cursor sits inside the sf0.01 score range so the driver's gate
+    proves it excludes the head of page 1
+    (operators.boolquery.collapse_search after=)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_query
+
+    return es_query(load(spark, sf_dir, "documents"), "doc_id", "text", {
+        "query": {"match": {"text": "spark stream"}},
+        "collapse": {"field": "lang"},
+        "search_after": list(_R13_COLLAPSE_CURSOR),
+        "size": 10,
+    })
+
+
+@q(
+    "search_es_count",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS count FROM documents
+WHERE list_contains(""" + sql_tokenize("text") + """, 'spark')
+  AND coalesce(n_chars >= 100, FALSE)
+""",
+)
+def search_es_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES ``_count`` API (Engine.count) — how many docs match, no
+    hits: the query compiles to ONE membership predicate (the body
+    door's agg-context compiler) over one scan-side map-side-combined
+    count; no shuffle of anything row-shaped. The body here is the
+    composed bool every client sends (analyzed match + range filter)
+    (engine.py::Engine.count; ≡ the body door's track_total_hits column
+    without the page)."""
+    from pandemic_knowledge_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.count({"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+    }})
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9148,15 +9205,17 @@ BENCH_QUERY_NAMES.extend(
 # types — DONE, all ten have catalog rows above (plus the three new r13
 # compositions: filtered kNN, sorted+highlight, scored bool search_after);
 # (b) rotate the window onto the 50 r8-evidence IOUs declared at r12.
-# 17 new rows + 50 IOUs > 50 slots, so the window takes the 17 new rows
-# first (never-checked rows lead — the standing rule) then the FIRST 33
-# IOUs in the window_rotate.py proposal order; the 17 displaced IOUs below
+# 19 new rows + 50 IOUs > 50 slots, so the window takes the 19 new rows
+# first (never-checked rows lead — the standing rule) then the FIRST 31
+# IOUs in the window_rotate.py proposal order; the 19 displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
 # the overflow as r14 IOUs"). They are the ONLY rows left with r8
-# evidence — after r13 the freshness histogram is r8x17 / r9x50 / r10x50 /
-# r11x49 / r12x50 / r13x50 (266 rows) and the r14 window MUST lead with
+# evidence — after r13 the freshness histogram is r8x19 / r9x50 / r10x50 /
+# r11x49 / r12x50 / r13x50 (268 rows) and the r14 window MUST lead with
 # them after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
+    "search_multi_cross_fields",
+    "search_multi_most_fields",
     "search_phrase_indexed",
     "search_suggest_indexed",
     "stream_sliding_1h30m",
@@ -9193,13 +9252,14 @@ _R13_REGISTRATION_DEBT_PAID = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-13 WINDOW (50 slots): the 17 never-checked r13 rows lead (the
+    # ROUND-13 WINDOW (50 slots): the 19 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
     # scored-bool-search_after, retriever.linear, collapse×_source×
-    # highlight, collapse×sort, and bucket_script), then the first 33 of
+    # highlight, collapse×sort, collapse×search_after, bucket_script, and
+    # the _count API), then the first 31 of
     # the 50 r8-stale IOUs declared at r12 (window_rotate.py order). The
-    # 17 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
+    # 19 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
     # oracle changed this round (sql_bool_search/sql_bm25_search_fields
     # gained an `after` parameter that leaves their no-cursor SQL text
     # byte-identical), so no forced re-entries.
@@ -9220,6 +9280,8 @@ _DRIVER_PRIORITY = [
     "search_es_body_collapse_rich",
     "search_es_body_sorted_collapse",
     "agg_es_bucket_script_door",
+    "search_es_body_collapse_after",
+    "search_es_count",
     "agg_approx_distinct_users",
     "agg_boxplot",
     "agg_bucket_selector_sort",
@@ -9251,8 +9313,6 @@ _DRIVER_PRIORITY = [
     "conform_validity_audit",
     "geo_centroid_bounds",
     "search_fuzzy_indexed",
-    "search_multi_cross_fields",
-    "search_multi_most_fields",
 ]
 
 

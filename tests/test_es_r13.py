@@ -504,13 +504,74 @@ def test_collapse_under_field_sort(spark, sf_dir):
         .select(F.col("event_id").alias("doc_id"), "event_type", "ts")
     )
     assert rows(got) == rows(want) and rows(got)
-    # collapse × search_after stays loud (group-level cursors not faked)
-    with pytest.raises(UnsupportedEsQuery, match="collapse"):
-        es_query(ev, "event_id", None, {
+    # collapse × search_after pages the REPRESENTATIVES: page 2 via the
+    # last rep's cursor == the one-shot rep list's next rows
+    all_reps = es_query(ev, "event_id", None, {
+        "query": {"match_all": {}}, "sort": [{"ts": "desc"}],
+        "collapse": {"field": "event_type"},
+        "_source": ["event_type", "ts"], "size": 10,
+    }).collect()
+    if len(all_reps) > 2:
+        cur = [all_reps[1]["ts"], all_reps[1]["doc_id"]]
+        page2 = es_query(ev, "event_id", None, {
             "query": {"match_all": {}}, "sort": [{"ts": "desc"}],
             "collapse": {"field": "event_type"},
-            "search_after": ["2020-01-01 00:00:00", 0, 0],
-        })
+            "_source": ["event_type", "ts"], "size": 10,
+            "search_after": cur,
+        }).collect()
+        assert [tuple(r) for r in page2] == [tuple(r)
+                                             for r in all_reps[2:]]
+
+
+def test_collapse_scored_search_after(spark, sf_dir):
+    """Scored collapse pages by the representatives' [score, doc_id]."""
+    docs = load(spark, sf_dir, "documents")
+    base = {"query": {"match": {"text": "spark stream"}},
+            "collapse": {"field": "lang"}, "size": 10}
+    reps = es_query(docs, "doc_id", "text", base).collect()
+    assert len(reps) >= 2
+    cur = [reps[0]["score"], reps[0]["doc_id"]]
+    page2 = es_query(docs, "doc_id", "text",
+                     {**base, "search_after": cur}).collect()
+    assert [tuple(r) for r in page2] == [tuple(r) for r in reps[1:]]
+
+
+def test_terms_min_doc_count(spark, sf_dir):
+    """terms min_doc_count >= 1 prunes buckets before the size cut;
+    0 (unmatched-value buckets) and nested uses stay loud."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    ev = load(spark, sf_dir, "events")
+    full = es_aggs(ev, {"aggs": {"t": {"terms": {
+        "field": "event_type", "size": 10}}}})["t"].collect()
+    assert full
+    cut = sorted(r["doc_count"] for r in full)[len(full) // 2]
+    pruned = es_aggs(ev, {"aggs": {"t": {"terms": {
+        "field": "event_type", "size": 10,
+        "min_doc_count": int(cut)}}}})["t"].collect()
+    assert pruned == [r for r in full if r["doc_count"] >= cut]
+    with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
+        es_aggs(ev, {"aggs": {"t": {"terms": {
+            "field": "event_type", "min_doc_count": 0}}}})
+    with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
+        es_aggs(ev, {"aggs": {"t": {
+            "terms": {"field": "event_type", "min_doc_count": 2},
+            "aggs": {"m": {"date_histogram": {
+                "field": "ts", "calendar_interval": "month"}}}}}})
+
+
+def test_engine_count(engine):
+    """The _count API: membership count, match_all default."""
+    docs = engine.table("documents")
+    n_all = engine.count().collect()[0]["count"]
+    assert n_all == docs.count()
+    n_en = engine.count({"term": {"lang": "en"}}).collect()[0]["count"]
+    assert n_en == docs.where(F.col("lang") == "en").count()
+    n_bool = engine.count({"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+    }}).collect()[0]["count"]
+    assert 0 < n_bool <= n_all
 
 
 def test_search_after_with_post_filter(spark, sf_dir):
