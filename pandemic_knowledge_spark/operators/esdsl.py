@@ -1586,6 +1586,14 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = "",
 
 _BUCKET_TYPES = ("terms", "date_histogram", "histogram", "geohash_grid",
                  "geotile_grid")
+# metric types a TOP-LEVEL agg may carry (the _metric_cols surface minus
+# median_absolute_deviation, which needs the grouped two-pass)
+_TOP_METRIC_SET = frozenset({
+    "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
+    "percentiles", "percentile_ranks", "extended_stats",
+    "median_absolute_deviation", "weighted_avg", "boxplot",
+    "geo_centroid", "geo_bounds", "top_metrics",
+})
 _BUCKET_PIPELINE_TYPES = ("cumulative_sum", "derivative", "serial_diff",
                           "moving_fn", "normalize")
 _BUCKET_FRAME_PIPELINE_TYPES = ("bucket_selector", "bucket_sort",
@@ -1753,7 +1761,9 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
     if atype == "geohash_grid":
         field = _req(body, "field", p)
         precision = int(body.get("precision", 5))
-        _reject_extras(body, {"field", "precision", "size"}, p)
+        int(body.get("shard_size", 0))  # subsumed: exact global cells
+        _reject_extras(body, {"field", "precision", "size",
+                              "shard_size"}, p)
         if not 1 <= precision <= 12:
             _fail(p, "precision must be in [1, 12]")
         lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
@@ -1763,7 +1773,9 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
     if atype == "geotile_grid":
         field = _req(body, "field", p)
         precision = int(body.get("precision", 7))
-        _reject_extras(body, {"field", "precision", "size"}, p)
+        int(body.get("shard_size", 0))  # subsumed: exact global cells
+        _reject_extras(body, {"field", "precision", "size",
+                              "shard_size"}, p)
         if not 0 <= precision <= 29:
             _fail(p, "precision must be in [0, 29]")
         lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
@@ -2494,6 +2506,25 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         _fail(path, f"expected one bucket/metric type, got {sorted(spec)}")
     atype, body = next(iter(spec.items()))
     p = f"{path}.{atype}"
+
+    if atype in _TOP_METRIC_SET:
+        # a TOP-LEVEL metric agg — the Kibana single-stat ("metric"
+        # visualization) panel: {"aggs": {"avg_price": {"avg": ...}}}.
+        # One ungrouped scan-side aggregate over the query-filtered
+        # frame (map-side combined, no shuffle of rows) returning the
+        # one-row metric frame; the same _metric_cols expressions the
+        # bucketed paths use, so a panel moved under a terms split
+        # cannot change its arithmetic.
+        if sub:
+            _fail(f"{path}.aggs",
+                  "metric aggregations take no sub-aggregations")
+        m_aggs, m_finals, mads = _metric_cols(
+            {name: {atype: body}}, path, dtypes=dict(filtered.dtypes)
+        )
+        if mads:
+            _fail(p, "median_absolute_deviation at the top level is not "
+                     "implemented — put it under a bucket")
+        return filtered.agg(*m_aggs).select(*m_finals)
 
     if atype == "composite":
         return _composite_agg(filtered, body, sub, path, p)

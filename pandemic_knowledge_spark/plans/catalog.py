@@ -9190,6 +9190,34 @@ def search_es_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     }})
 
 
+@q(
+    "agg_es_metric_panel_door",
+    oracle="""
+SELECT CAST(count(o_custkey) AS BIGINT) AS s_count,
+       min(o_custkey) AS s_min, max(o_custkey) AS s_max,
+       CAST(sum(o_custkey) AS BIGINT) AS s_sum,
+       avg(CAST(o_custkey AS DOUBLE)) AS s_avg
+FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def agg_es_metric_panel_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-LEVEL metric aggs via the agg-body door — the Kibana
+    single-stat ("metric" visualization) panel:
+    ``{"query": ..., "aggs": {"s": {"stats": ...}}}`` with no bucket.
+    One ungrouped scan-side aggregate over the query-filtered frame
+    (map-side combined, pushed predicate, no row shuffle); the SAME
+    _metric_cols expressions the bucketed paths use, so moving a panel
+    under a terms split cannot change its arithmetic. Integer-domain
+    sums here are order-exact (doubles only in the final division)
+    (operators.esdsl._one_agg, top-level metric arm)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "orders"), {
+        "query": {"term": {"o_orderpriority": "1-URGENT"}},
+        "aggs": {"s": {"stats": {"field": "o_custkey"}}},
+    })["s"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9205,15 +9233,16 @@ BENCH_QUERY_NAMES.extend(
 # types — DONE, all ten have catalog rows above (plus the three new r13
 # compositions: filtered kNN, sorted+highlight, scored bool search_after);
 # (b) rotate the window onto the 50 r8-evidence IOUs declared at r12.
-# 19 new rows + 50 IOUs > 50 slots, so the window takes the 19 new rows
-# first (never-checked rows lead — the standing rule) then the FIRST 31
-# IOUs in the window_rotate.py proposal order; the 19 displaced IOUs below
+# 20 new rows + 50 IOUs > 50 slots, so the window takes the 20 new rows
+# first (never-checked rows lead — the standing rule) then the FIRST 30
+# IOUs in the window_rotate.py proposal order; the 20 displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
 # the overflow as r14 IOUs"). They are the ONLY rows left with r8
-# evidence — after r13 the freshness histogram is r8x19 / r9x50 / r10x50 /
-# r11x49 / r12x50 / r13x50 (268 rows) and the r14 window MUST lead with
+# evidence — after r13 the freshness histogram is r8x20 / r9x50 / r10x50 /
+# r11x49 / r12x50 / r13x50 (269 rows) and the r14 window MUST lead with
 # them after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
+    "search_fuzzy_indexed",
     "search_multi_cross_fields",
     "search_multi_most_fields",
     "search_phrase_indexed",
@@ -9252,14 +9281,14 @@ _R13_REGISTRATION_DEBT_PAID = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-13 WINDOW (50 slots): the 19 never-checked r13 rows lead (the
+    # ROUND-13 WINDOW (50 slots): the 20 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
     # scored-bool-search_after, retriever.linear, collapse×_source×
     # highlight, collapse×sort, collapse×search_after, bucket_script, and
-    # the _count API), then the first 31 of
+    # the _count API and top-level metric panels), then the first 30 of
     # the 50 r8-stale IOUs declared at r12 (window_rotate.py order). The
-    # 19 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
+    # 20 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
     # oracle changed this round (sql_bool_search/sql_bm25_search_fields
     # gained an `after` parameter that leaves their no-cursor SQL text
     # byte-identical), so no forced re-entries.
@@ -9282,6 +9311,7 @@ _DRIVER_PRIORITY = [
     "agg_es_bucket_script_door",
     "search_es_body_collapse_after",
     "search_es_count",
+    "agg_es_metric_panel_door",
     "agg_approx_distinct_users",
     "agg_boxplot",
     "agg_bucket_selector_sort",
@@ -9312,7 +9342,6 @@ _DRIVER_PRIORITY = [
     "ann_rp_lsh_multi_topk",
     "conform_validity_audit",
     "geo_centroid_bounds",
-    "search_fuzzy_indexed",
 ]
 
 

@@ -699,3 +699,52 @@ def test_shard_size_subsumed(spark, sf_dir):
     a = es_aggs(docs, sig, text_col="text")["s"]
     b = es_aggs(docs, sig_ss, text_col="text")["s"]
     assert rows(a) == rows(b) and rows(a)
+
+
+def test_top_level_metric_aggs(spark, sf_dir):
+    """The Kibana single-stat panel: a top-level metric agg is one
+    ungrouped scan-side aggregate — same expressions as the bucketed
+    paths, DuckDB-parity-checked."""
+    from tests.oracle_harness import compare_query
+
+    def fn_avg(spark, sf_dir):
+        from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+        return es_aggs(load(spark, sf_dir, "events"), {
+            "query": {"term": {"event_type": "purchase"}},
+            "aggs": {"avg_value": {"avg": {"field": "value"}}},
+        })["avg_value"]
+
+    errs, cnt = compare_query(spark, sf_dir, fn_avg, """
+SELECT avg(value) AS avg_value FROM events WHERE event_type = 'purchase'
+""")
+    assert not errs and cnt == 1
+
+    def fn_stats(spark, sf_dir):
+        from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+        return es_aggs(load(spark, sf_dir, "orders"), {
+            "aggs": {"s": {"stats": {"field": "o_custkey"}}},
+        })["s"]
+
+    errs, cnt = compare_query(spark, sf_dir, fn_stats, """
+SELECT CAST(count(o_custkey) AS BIGINT) AS s_count,
+       min(o_custkey) AS s_min, max(o_custkey) AS s_max,
+       CAST(sum(o_custkey) AS BIGINT) AS s_sum,
+       avg(CAST(o_custkey AS DOUBLE)) AS s_avg
+FROM orders
+""")
+    assert not errs and cnt == 1
+
+    from pandemic_knowledge_spark.operators.esdsl import (
+        UnsupportedEsQuery,
+        es_aggs,
+    )
+    ev = load(spark, sf_dir, "events")
+    with pytest.raises(UnsupportedEsQuery, match="sub-aggregations"):
+        es_aggs(ev, {"aggs": {"a": {"avg": {"field": "value"},
+                                    "aggs": {"b": {"max": {
+                                        "field": "value"}}}}}})
+    with pytest.raises(UnsupportedEsQuery, match="top level"):
+        es_aggs(ev, {"aggs": {"m": {"median_absolute_deviation": {
+            "field": "value"}}}})
