@@ -589,16 +589,20 @@ def es_query(
         # search_after: the cursor prunes pre-heap, the gate drops a
         # suffix of the score-ordered heap — still exactly the pre-cut
         # filter's rows (both applied at each early return below).
-        if "track_total_hits" in body:
+        if "track_total_hits" in body and (
+                "post_filter" in body
+                or _plain_match_text(body["query"], text_col) is None):
             # ES's hits.total respects min_score (sub-threshold docs are
-            # excluded from hits AND the total); this engine's total is
-            # a membership count, so the pair would silently diverge —
-            # refuse (an exact score-aware total needs the unbounded
-            # score frame)
+            # excluded from hits AND the total). For a PLAIN MATCH body
+            # the exact score-aware total is implemented below
+            # (bm25_score_count — the same unbounded score frame as the
+            # page, filtered at the threshold); other scored shapes
+            # would need per-operator unbounded score frames — refuse
+            # rather than let the membership count silently differ.
             _fail("$.min_score", "min_score next to track_total_hits is "
-                                 "not implemented (ES's total respects "
-                                 "min_score; the membership count here "
-                                 "would silently differ)")
+                                 "implemented for a plain match query "
+                                 "only (the exact score-aware total "
+                                 "needs the scorer's unbounded frame)")
         if next(iter(body["query"])) == "match_all":
             _fail("$.min_score", "this engine scores match_all 0.0 (ES: "
                                  "1.0) — a min_score gate over match_all "
@@ -618,13 +622,27 @@ def es_query(
             _fail("$.track_total_hits",
                   "only the exact form `true` is implemented (for ES's "
                   "default 10k-threshold behavior just drop the key)")
-        # exact total = the membership count of the (post_filter-folded)
-        # query — ES's hits.total counts post-filtered matches; one
-        # filtered one-row count, broadcast onto the page as a column
-        total = docs.where(
-            F.coalesce(_agg_filter_pred(query, text_col, "$.query"),
-                       F.lit(False))
-        ).agg(F.count(F.lit(1)).cast("long").alias("total"))
+        if min_score is not None:
+            # ES's total respects min_score: the SCORE-AWARE exact count
+            # over the unbounded match set (the same per-doc score
+            # aggregate as the page — operators.search.bm25_score_count)
+            from pandemic_knowledge_spark.operators.search import (
+                bm25_score_count,
+            )
+
+            total = bm25_score_count(
+                docs, id_col, text_col,
+                _plain_match_text(body["query"], text_col), min_score,
+            )
+        else:
+            # exact total = the membership count of the
+            # (post_filter-folded) query — ES's hits.total counts
+            # post-filtered matches; one filtered one-row count,
+            # broadcast onto the page as a column
+            total = docs.where(
+                F.coalesce(_agg_filter_pred(query, text_col, "$.query"),
+                           F.lit(False))
+            ).agg(F.count(F.lit(1)).cast("long").alias("total"))
     after = body.get("search_after")
     if after is not None:
         if not isinstance(after, (list, tuple)) or not after:

@@ -112,20 +112,13 @@ FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
-def bm25_search(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    query: str,
-    k: int = 10,
-    after: tuple | None = None,
-) -> DataFrame:
-    """BM25 top-k: (doc_id, score) for docs matching >= 1 query term.
-
-    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson-Sparck Jones, the
-    Lucene/ES formula]; tf component uses k1=1.2, b=0.75. ``after`` is the
-    ES search_after keyset cursor (see :func:`_bm25_score_agg`).
-    """
+def _bm25_term_scores(docs: DataFrame, id_col: str, text_col: str,
+                      query: str) -> DataFrame:
+    """The shared (doc_id, term, term_score) frame every corpus-scan BM25
+    consumer aggregates: one tokenize scan, one TF shuffle, broadcast
+    df/corpus stats. Factored so the top-k page (:func:`bm25_search`)
+    and the score-aware exact total (:func:`bm25_score_count`) can never
+    fork arithmetic."""
     q_terms = sorted(set(query_terms(query)))
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
@@ -158,7 +151,48 @@ def bm25_search(
             / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
         )
     )
+    return scored
+
+
+def bm25_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """BM25 top-k: (doc_id, score) for docs matching >= 1 query term.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson-Sparck Jones, the
+    Lucene/ES formula]; tf component uses k1=1.2, b=0.75. ``after`` is the
+    ES search_after keyset cursor (see :func:`_bm25_score_agg`).
+    """
+    scored = _bm25_term_scores(docs, id_col, text_col, query)
     return _bm25_score_agg(scored, k, after=after)
+
+
+def bm25_score_count(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    min_score: float,
+) -> DataFrame:
+    """The SCORE-AWARE exact hit total — ES's ``track_total_hits: true``
+    next to ``min_score`` (hits below the threshold are excluded from
+    the total too): the same per-doc score aggregate as the page
+    (identical term-score frame via :func:`_bm25_term_scores`, identical
+    4 dp rounding), filtered at the threshold, reduced to one long. No
+    top-k — the count is over the UNBOUNDED match set, one extra
+    map-side-combined aggregate on the same one-scan pipeline."""
+    scored = _bm25_term_scores(docs, id_col, text_col, query)
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+        .where(F.col("score") >= F.lit(float(min_score)))
+        .agg(F.count(F.lit(1)).cast("long").alias("total"))
+    )
 
 
 def _fields_tf(docs, id_col: str, field_cols: list[str], q_terms: list[str]):

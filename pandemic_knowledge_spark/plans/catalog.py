@@ -9218,6 +9218,46 @@ def agg_es_metric_panel_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     })["s"]
 
 
+_R13_TOTAL_CUT = 1.58  # inside the sf0.01 score band — the gate bites
+
+
+@q(
+    "search_es_body_total_min_score",
+    oracle=f"""
+WITH allsc AS ({sql_bm25_search('documents', 'doc_id', 'text',
+                                _BM25_QUERY, 1000000000)}),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS total FROM allsc
+  WHERE score >= {_R13_TOTAL_CUT}
+), page AS (
+  SELECT doc_id, score FROM allsc ORDER BY score DESC, doc_id LIMIT 10
+)
+SELECT page.doc_id, page.score, tot.total
+FROM page CROSS JOIN tot WHERE page.score >= {_R13_TOTAL_CUT}
+""",
+)
+def search_es_body_total_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_score × track_total_hits (r13 late wave — an r12 refusal now
+    implemented exactly): ES's hits.total RESPECTS min_score, so the
+    total column is the SCORE-AWARE exact count over the unbounded
+    match set (operators.search.bm25_score_count — the identical
+    term-score frame and 4 dp rounding as the page, filtered at the
+    threshold, one extra map-side-combined aggregate on the same
+    one-scan pipeline), never the membership count that would silently
+    overcount. The page itself gates post-heap (monotone). Implemented
+    for plain match; other scored shapes refuse with the path (their
+    unbounded score frames aren't exposed)
+    (operators.esdsl.es_query, $.track_total_hits × $.min_score)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_query
+
+    return es_query(load(spark, sf_dir, "documents"), "doc_id", "text", {
+        "query": {"match": {"text": _BM25_QUERY}},
+        "size": 10,
+        "min_score": _R13_TOTAL_CUT,
+        "track_total_hits": True,
+    })
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9233,15 +9273,16 @@ BENCH_QUERY_NAMES.extend(
 # types — DONE, all ten have catalog rows above (plus the three new r13
 # compositions: filtered kNN, sorted+highlight, scored bool search_after);
 # (b) rotate the window onto the 50 r8-evidence IOUs declared at r12.
-# 20 new rows + 50 IOUs > 50 slots, so the window takes the 20 new rows
-# first (never-checked rows lead — the standing rule) then the FIRST 30
-# IOUs in the window_rotate.py proposal order; the 20 displaced IOUs below
+# 21 new rows + 50 IOUs > 50 slots, so the window takes the 21 new rows
+# first (never-checked rows lead — the standing rule) then the FIRST 29
+# IOUs in the window_rotate.py proposal order; the 21 displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
 # the overflow as r14 IOUs"). They are the ONLY rows left with r8
-# evidence — after r13 the freshness histogram is r8x20 / r9x50 / r10x50 /
-# r11x49 / r12x50 / r13x50 (269 rows) and the r14 window MUST lead with
+# evidence — after r13 the freshness histogram is r8x21 / r9x50 / r10x50 /
+# r11x49 / r12x50 / r13x50 (270 rows) and the r14 window MUST lead with
 # them after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
+    "geo_centroid_bounds",
     "search_fuzzy_indexed",
     "search_multi_cross_fields",
     "search_multi_most_fields",
@@ -9281,14 +9322,15 @@ _R13_REGISTRATION_DEBT_PAID = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-13 WINDOW (50 slots): the 20 never-checked r13 rows lead (the
+    # ROUND-13 WINDOW (50 slots): the 21 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
     # scored-bool-search_after, retriever.linear, collapse×_source×
     # highlight, collapse×sort, collapse×search_after, bucket_script, and
-    # the _count API and top-level metric panels), then the first 30 of
+    # the _count API, top-level metric panels, and the score-aware exact
+    # total), then the first 29 of
     # the 50 r8-stale IOUs declared at r12 (window_rotate.py order). The
-    # 20 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
+    # 21 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
     # oracle changed this round (sql_bool_search/sql_bm25_search_fields
     # gained an `after` parameter that leaves their no-cursor SQL text
     # byte-identical), so no forced re-entries.
@@ -9312,6 +9354,7 @@ _DRIVER_PRIORITY = [
     "search_es_body_collapse_after",
     "search_es_count",
     "agg_es_metric_panel_door",
+    "search_es_body_total_min_score",
     "agg_approx_distinct_users",
     "agg_boxplot",
     "agg_bucket_selector_sort",
@@ -9341,7 +9384,6 @@ _DRIVER_PRIORITY = [
     "ann_pq_topk",
     "ann_rp_lsh_multi_topk",
     "conform_validity_audit",
-    "geo_centroid_bounds",
 ]
 
 

@@ -489,11 +489,19 @@ def test_min_score_and_fields(spark, sf_dir):
     with pytest.raises(UnsupportedEsQuery, match="min_score"):
         es_query(docs, "doc_id", "text",
                  {"query": {"match_all": {}}, "min_score": 0.5})
-    # ES's hits.total respects min_score — the membership-count total
-    # would silently differ, so the pair is refused (r12 self-review)
+    # ES's hits.total respects min_score — for a PLAIN MATCH the exact
+    # score-aware total is implemented (r13); a 'total' column counting
+    # only >= threshold hits
+    both = es_query(docs, "doc_id", "text",
+                    {**base, "min_score": cut,
+                     "track_total_hits": True}).collect()
+    assert both and all(r["total"] == len(want) for r in both)
+    # other scored shapes still refuse (their unbounded score frames
+    # aren't exposed)
     with pytest.raises(UnsupportedEsQuery, match="track_total_hits"):
-        es_query(docs, "doc_id", "text",
-                 {**base, "min_score": 1.0, "track_total_hits": True})
+        es_query(docs, "doc_id", "text", {
+            "query": {"bool": {"must": [{"match": {"text": "spark"}}]}},
+            "min_score": 1.0, "track_total_hits": True})
     with pytest.raises(UnsupportedEsQuery, match="min_score"):
         es_query(load(spark, sf_dir, "events"), "event_id", None,
                  {"query": {"match_all": {}}, "sort": [{"ts": "desc"}],
