@@ -617,6 +617,7 @@ def es_query(
     if "post_filter" in body:
         query = _fold_post_filter(query, body["post_filter"])
     total = None
+    shared_page = None
     if "track_total_hits" in body:
         if body["track_total_hits"] is not True:
             _fail("$.track_total_hits",
@@ -624,16 +625,25 @@ def es_query(
                   "default 10k-threshold behavior just drop the key)")
         if min_score is not None:
             # ES's total respects min_score: the SCORE-AWARE exact count
-            # over the unbounded match set (the same per-doc score
-            # aggregate as the page — operators.search.bm25_score_count)
+            # over the unbounded match set. ONE shared per-doc score
+            # frame (lazily checkpoint-pinned) feeds BOTH the count and
+            # — when no collapse/cursor reshapes it — the page itself,
+            # so the tokenize scan + TF shuffle run once, not twice
+            # (operators.search.bm25_page_and_count; the unshared shape
+            # read 20.7 s at the sf1 probe)
             from pandemic_knowledge_spark.operators.search import (
-                bm25_score_count,
+                bm25_page_and_count,
             )
 
-            total = bm25_score_count(
-                docs, id_col, text_col,
-                _plain_match_text(body["query"], text_col), min_score,
+            qt_total = _plain_match_text(body["query"], text_col)
+            simple_combo = ("collapse" not in body
+                            and "search_after" not in body)
+            shared_page, total = bm25_page_and_count(
+                docs, id_col, text_col, qt_total,
+                k=(fetch if simple_combo else 1), min_score=min_score,
             )
+            if not simple_combo:
+                shared_page = None
         else:
             # exact total = the membership count of the
             # (post_filter-folded) query — ES's hits.total counts
@@ -808,14 +818,23 @@ def es_query(
         if qtext is None:
             _fail("$.rescore",
                   "rescore is implemented over a plain match base query")
+        if min_score is not None:
+            # ES applies min_score at the QUERY phase (base BM25 —
+            # sub-threshold docs are never rescored); this engine's
+            # rescore page carries combined scores, so gating either
+            # score silently diverges from the other — refuse (r13
+            # self-review: the old combined-score gate was the quiet
+            # wrong pick)
+            _fail("$.min_score",
+                  "min_score next to rescore is not implemented (ES "
+                  "gates the query-phase score, the page carries the "
+                  "combined score — drop one of the two)")
         out = rescore_search(
             docs, id_col, text_col, qtext, rphrase, window_size=window,
             query_weight=float(rq.get("query_weight", 1.0)),
             rescore_weight=float(rq.get("rescore_weight", 1.0)),
             k=fetch,
         )
-        if min_score is not None:
-            out = out.where(F.col("score") >= F.lit(min_score))
         return _finish(_offset(out, offset))
 
     if "sort" in body:
@@ -966,6 +985,12 @@ def es_query(
                   f"{atype!r} — field-sorted bodies take the sort route")
         # falls through: the compound branches below thread the cursor
         # into their scorers' keyset tiers
+
+    if shared_page is not None:
+        # the min_score × track_total_hits simple combo: the page is the
+        # shared frame's top-k (already threshold-gated) — no second
+        # scorer pipeline
+        return _finish(_offset(shared_page, offset))
 
     qtype, qbody = _single_field(query, "$.query")
     path = f"$.query.{qtype}"

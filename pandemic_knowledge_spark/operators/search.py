@@ -172,27 +172,40 @@ def bm25_search(
     return _bm25_score_agg(scored, k, after=after)
 
 
-def bm25_score_count(
+def bm25_page_and_count(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     query: str,
+    k: int,
     min_score: float,
-) -> DataFrame:
-    """The SCORE-AWARE exact hit total — ES's ``track_total_hits: true``
-    next to ``min_score`` (hits below the threshold are excluded from
-    the total too): the same per-doc score aggregate as the page
-    (identical term-score frame via :func:`_bm25_term_scores`, identical
-    4 dp rounding), filtered at the threshold, reduced to one long. No
-    top-k — the count is over the UNBOUNDED match set, one extra
-    map-side-combined aggregate on the same one-scan pipeline."""
+) -> tuple[DataFrame, DataFrame]:
+    """The SCORE-AWARE exact hit total next to its page — ES's
+    ``track_total_hits: true`` × ``min_score`` (hits below the threshold
+    are excluded from the total too): ONE per-doc score frame (identical
+    term-score pipeline and 4 dp rounding as :func:`bm25_search`) feeds
+    BOTH the top-k page and the unbounded ≥-threshold count. The frame
+    is lazily localCheckpoint-pinned: without the pin the page and the
+    count are separate subtrees and the tokenize scan + TF shuffle run
+    TWICE (the r13 sf1 probe read 20.7 s for the two-pipeline shape;
+    pinned it's one pipeline + a bucket-count-free count). Returns
+    (page, total): page already min_score-gated post-heap (monotone),
+    total a one-row long frame."""
     scored = _bm25_term_scores(docs, id_col, text_col, query)
-    return (
+    per_doc = (
         scored.groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 4).alias("score"))
-        .where(F.col("score") >= F.lit(float(min_score)))
-        .agg(F.count(F.lit(1)).cast("long").alias("total"))
+        .localCheckpoint(eager=False)
     )
+    page = (
+        per_doc.orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(k)
+        .where(F.col("score") >= F.lit(float(min_score)))
+    )
+    total = per_doc.where(
+        F.col("score") >= F.lit(float(min_score))
+    ).agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return page, total
 
 
 def _fields_tf(docs, id_col: str, field_cols: list[str], q_terms: list[str]):
