@@ -60,6 +60,32 @@ loud-failure contract had a hole) and routed the keys real clients send:
   ``significant_text``; ES 8 ``retriever.rrf`` tree syntax in es_search.
 - ``moving_fn`` now honors ES shift semantics (default shift=0 EXCLUDES
   the current bucket; explicit ``shift`` accepted).
+
+r13 closed the NESTED seam (Engine.knn reject-extras-gates the knn spec;
+``knn.filter`` is implemented — predicate-compiled over docs, semi-joined
+into the embeddings BEFORE the top-k), paid the r12 registration debt,
+and completed the composition matrix:
+
+- highlight × field-sort (the reference's "Latest news" page), collapse ×
+  _source/highlight/min_score, collapse × sort ("latest per source",
+  rank-1 per group), collapse × search_after (the cursor pages the
+  REPRESENTATIVES, applied after the rank-1 cut).
+- scored-route ``search_after`` for bool / multi-field best・most_fields /
+  dis_max / function_score (per-scorer keyset tiers — deep pages cost
+  page 1); post_filter × search_after via the fold; min_score ×
+  search_after (monotone gate at every early return); ``search_after``
+  cursor literals validate DRIVER-side (:func:`_cursor_value` — never a
+  NULLed-empty page, never an integral-truncated bound).
+- min_score × track_total_hits for plain match: the SCORE-AWARE exact
+  total over ONE shared checkpoint-pinned score frame
+  (operators.search.bm25_page_and_count); min_score × rescore refused
+  (ES gates the query-phase score, the page carries combined).
+- ``bucket_script`` (restricted params arithmetic, guarded division),
+  terms ``min_doc_count`` ≥ 1, TOP-LEVEL metric aggs (the Kibana
+  single-stat panel), ``shard_size`` subsumed (exact counts),
+  ES 8.18 ``retriever.linear`` (per-arm minmax × weights; ``normalizer:
+  none`` refused with the calibration rationale), and the ``_count``
+  API (Engine.count).
 """
 
 from __future__ import annotations
