@@ -201,10 +201,7 @@ def _leaf_clause(qtype: str, body: dict, path: str,
         return {"fuzzy": str(spec)}
     if qtype == "range":
         field, spec = _single_field(body, path)
-        bounds = {op: v for op, v in spec.items()
-                  if op in ("gte", "gt", "lte", "lt")}
-        _reject_extras(spec, {"gte", "gt", "lte", "lt"}, path)
-        return {"range": {field: bounds}}
+        return {"range": {field: _range_spec(spec, path)}}
     if qtype == "exists":
         return {"exists": {"field": _req(body, "field", path)}}
     if qtype == "terms":
@@ -514,6 +511,62 @@ def _cursor_value(name: str, dtype, v):
             _bad("is not a string")
         return v
     _bad("targets an unsupported sort-column type")
+
+
+def _range_spec(spec: dict, path: str) -> dict:
+    """Normalize an ES range spec's bounds — the Kibana-reality arm:
+
+    - ``format: epoch_millis`` (every Kibana time-picker body): numeric
+      bounds convert DRIVER-side to UTC timestamps (ES date fields take
+      epoch millis; the engine's date columns are timestamps, session TZ
+      UTC) — the comparison then pushes down as a typed literal instead
+      of failing BIGINT-vs-TIMESTAMP mid-analysis.
+    - ``format: strict_date_optional_time`` (the other Kibana spelling):
+      ISO strings pass through (Spark's ANSI string→timestamp cast).
+    - DATE-MATH strings (``now-7d/d``, ``||``-anchored) are refused with
+      the path: a ``now`` anchor is non-deterministic, and the raw
+      string would otherwise throw a mid-job cast error (ANSI) or
+      NULL-empty the page (non-ANSI) — resolve it client-side to a
+      concrete instant.
+    """
+    import datetime
+
+    _reject_extras(spec, {"gte", "gt", "lte", "lt", "format"}, path)
+    fmt = spec.get("format")
+    if fmt not in (None, "epoch_millis", "strict_date_optional_time",
+                   "strict_date_optional_time_nanos"):
+        _fail(f"{path}.format",
+              f"range format {fmt!r} is not implemented (epoch_millis / "
+              "strict_date_optional_time)")
+    bounds = {}
+    for op in ("gte", "gt", "lte", "lt"):
+        if op not in spec:
+            continue
+        v = spec[op]
+        if isinstance(v, str) and (v.startswith("now") or "||" in v):
+            _fail(f"{path}.{op}",
+                  f"date math ({v!r}) needs a deterministic `now` anchor "
+                  "— resolve it client-side to a concrete instant")
+        if fmt == "epoch_millis":
+            if isinstance(v, bool):
+                _fail(f"{path}.{op}", "epoch_millis bound must be a "
+                                      "number")
+            if isinstance(v, str):
+                try:
+                    v = float(v)
+                except ValueError:
+                    _fail(f"{path}.{op}",
+                          f"epoch_millis bound {v!r} is not a number")
+            if not isinstance(v, (int, float)):
+                _fail(f"{path}.{op}", "epoch_millis bound must be a "
+                                      "number")
+            v = datetime.datetime.fromtimestamp(
+                float(v) / 1000.0, tz=datetime.timezone.utc
+            ).replace(tzinfo=None)
+        bounds[op] = v
+    if not bounds:
+        _fail(path, "range needs at least one of gte/gt/lte/lt")
+    return bounds
 
 
 def _keyset_pred(keys: list, values: list, schema):
@@ -1350,8 +1403,11 @@ def _agg_filter_pred(clause: dict, text_col: str | None, path: str):
                 toks, F.array(*[F.lit(str(v)) for v in values])
             )
         return F.col(field).isin(list(values))
-    if qtype in ("range", "exists"):
-        return _member_pred(None, {qtype: body})
+    if qtype == "range":
+        field, spec = _single_field(body, p)
+        return _member_pred(None, {"range": {field: _range_spec(spec, p)}})
+    if qtype == "exists":
+        return _member_pred(None, {"exists": body})
     if qtype in ("match", "match_phrase"):
         if text_col is None:
             _fail(p, f"{qtype} needs a text column — pass text_col")

@@ -9258,6 +9258,36 @@ def search_es_body_total_min_score(spark: SparkSession, sf_dir: str) -> DataFram
     })
 
 
+@q(
+    "agg_es_kibana_time_range",
+    oracle="""
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM events
+WHERE ts >= TIMESTAMP '2020-01-01 00:00:00' AND ts <= TIMESTAMP '2030-01-01 00:00:00'
+GROUP BY 1 ORDER BY key
+""",
+)
+def agg_es_kibana_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERBATIM Kibana time-picker panel (r13 late wave): a range
+    over the date field with ``format: epoch_millis`` and numeric
+    bounds — what every Kibana dashboard request actually carries —
+    plus the monthly date_histogram. The millis convert DRIVER-side to
+    typed UTC timestamp literals (esdsl._range_spec), so the predicate
+    pushes down to the parquet scan instead of failing
+    BIGINT-vs-TIMESTAMP mid-analysis; date-math strings (now-7d/d) and
+    unknown formats raise with the path
+    (operators.esdsl.es_aggs, $.query.range.format)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), {
+        "query": {"range": {"ts": {
+            "gte": 1577836800000, "lte": 1893456000000, "format": "epoch_millis"}}},
+        "aggs": {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "month"}}},
+    })["d"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9273,15 +9303,16 @@ BENCH_QUERY_NAMES.extend(
 # types — DONE, all ten have catalog rows above (plus the three new r13
 # compositions: filtered kNN, sorted+highlight, scored bool search_after);
 # (b) rotate the window onto the 50 r8-evidence IOUs declared at r12.
-# 21 new rows + 50 IOUs > 50 slots, so the window takes the 21 new rows
-# first (never-checked rows lead — the standing rule) then the FIRST 29
-# IOUs in the window_rotate.py proposal order; the 21 displaced IOUs below
+# 22 new rows + 50 IOUs > 50 slots, so the window takes the 22 new rows
+# first (never-checked rows lead — the standing rule) then the FIRST 28
+# IOUs in the window_rotate.py proposal order; the 22 displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
 # the overflow as r14 IOUs"). They are the ONLY rows left with r8
-# evidence — after r13 the freshness histogram is r8x21 / r9x50 / r10x50 /
-# r11x49 / r12x50 / r13x50 (270 rows) and the r14 window MUST lead with
+# evidence — after r13 the freshness histogram is r8x22 / r9x50 / r10x50 /
+# r11x49 / r12x50 / r13x50 (271 rows) and the r14 window MUST lead with
 # them after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
+    "conform_validity_audit",
     "geo_centroid_bounds",
     "search_fuzzy_indexed",
     "search_multi_cross_fields",
@@ -9322,15 +9353,16 @@ _R13_REGISTRATION_DEBT_PAID = [
 ]
 
 _DRIVER_PRIORITY = [
-    # ROUND-13 WINDOW (50 slots): the 21 never-checked r13 rows lead (the
+    # ROUND-13 WINDOW (50 slots): the 22 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
     # scored-bool-search_after, retriever.linear, collapse×_source×
     # highlight, collapse×sort, collapse×search_after, bucket_script, and
-    # the _count API, top-level metric panels, and the score-aware exact
-    # total), then the first 29 of
+    # the _count API, top-level metric panels, the score-aware exact
+    # total, and the verbatim epoch_millis time-picker range), then the
+    # first 28 of
     # the 50 r8-stale IOUs declared at r12 (window_rotate.py order). The
-    # 21 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
+    # 22 displaced IOUs are _NEXT_WINDOW_IOUS above. No existing row's
     # oracle changed this round (sql_bool_search/sql_bm25_search_fields
     # gained an `after` parameter that leaves their no-cursor SQL text
     # byte-identical), so no forced re-entries.
@@ -9355,6 +9387,7 @@ _DRIVER_PRIORITY = [
     "search_es_count",
     "agg_es_metric_panel_door",
     "search_es_body_total_min_score",
+    "agg_es_kibana_time_range",
     "agg_approx_distinct_users",
     "agg_boxplot",
     "agg_bucket_selector_sort",
@@ -9383,7 +9416,6 @@ _DRIVER_PRIORITY = [
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
     "ann_rp_lsh_multi_topk",
-    "conform_validity_audit",
 ]
 
 

@@ -748,3 +748,42 @@ FROM orders
     with pytest.raises(UnsupportedEsQuery, match="top level"):
         es_aggs(ev, {"aggs": {"m": {"median_absolute_deviation": {
             "field": "value"}}}})
+
+
+def test_range_epoch_millis_and_date_math(spark, sf_dir):
+    """Kibana time-picker bodies: range with format epoch_millis
+    converts driver-side to typed timestamp literals (identical rows to
+    the ISO spelling); date-math strings and unknown formats raise with
+    the path instead of a mid-job cast error."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    ev = load(spark, sf_dir, "events")
+    lo_ms, hi_ms = 1577836800000, 1893456000000  # 2020..2030 UTC
+    body = {"query": {"range": {"ts": {
+        "gte": lo_ms, "lte": hi_ms, "format": "epoch_millis"}}},
+        "aggs": {"d": {"date_histogram": {"field": "ts",
+                                          "calendar_interval": "month"}}}}
+    got = es_aggs(ev, body)["d"].collect()
+    iso = es_aggs(ev, {"query": {"range": {"ts": {
+        "gte": "2020-01-01 00:00:00", "lte": "2030-01-01 00:00:00",
+        "format": "strict_date_optional_time"}}},
+        "aggs": {"d": {"date_histogram": {"field": "ts",
+                                          "calendar_interval": "month"}}}}
+    )["d"].collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in iso] and got
+    for bad in ({"gte": "now-7d/d"},
+                {"gte": "2020-01-01||-7d"},
+                {"gte": 1, "format": "basic_date"}):
+        with pytest.raises(UnsupportedEsQuery,
+                           match="date math|format"):
+            es_aggs(ev, {"query": {"range": {"ts": bad}},
+                         "aggs": {"d": {"date_histogram": {
+                             "field": "ts",
+                             "calendar_interval": "month"}}}})
+    # the scored/filter context takes the same normalization
+    out = es_query(ev, "event_id", None, {
+        "query": {"bool": {"filter": [
+            {"range": {"ts": {"gte": lo_ms, "format": "epoch_millis"}}},
+            {"term": {"event_type": "purchase"}}]}},
+        "sort": [{"ts": "desc"}], "size": 3})
+    assert out.count() == 3
