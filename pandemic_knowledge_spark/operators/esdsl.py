@@ -1785,16 +1785,77 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                 "size": int(body.get("size", 10)), "pre": None,
                 "order_spec": order_spec, "min_dc": mdc}
     if atype == "date_histogram":
+        import re as _re
+
         field = _req(body, "field", p)
         unit = body.get("calendar_interval") or body.get("fixed_interval")
+        fixed_w = None
         if unit not in _CAL_TRUNC:
-            _fail(p, f"calendar_interval must be one of {sorted(_CAL_TRUNC)}")
+            # Kibana's AUTO-interval histograms send arbitrary
+            # fixed_interval widths ("30s", "10m", "12h", "3d") — ES
+            # fixed buckets anchor at the epoch: key = floor(epoch/w)·w.
+            # Sub-second widths are refused (the engine's timestamps are
+            # not guaranteed sub-second-meaningful); calendar_interval
+            # stays the named-unit surface.
+            m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", str(unit or ""))
+            if not m or body.get("calendar_interval"):
+                _fail(p, "calendar_interval must be one of "
+                         f"{sorted(_CAL_TRUNC)} (fixed_interval also "
+                         "takes Ns/Nm/Nh/Nd epoch-anchored widths)")
+            if m.group(2) == "ms":
+                _fail(p, "sub-second fixed_interval buckets are not "
+                         "implemented")
+            fixed_w = int(m.group(1)) * {"s": 1, "m": 60, "h": 3600,
+                                         "d": 86400}[m.group(2)]
+            if fixed_w <= 0:
+                _fail(p, "fixed_interval width must be > 0")
         _reject_extras(body, {"field", "calendar_interval",
                               "fixed_interval", "min_doc_count",
                               "extended_bounds", "time_zone"}, p)
         mdc = int(body.get("min_doc_count", 1))
         tz = body.get("time_zone")
         key_col = F.col(field)
+        if fixed_w is not None:
+            if tz is not None:
+                _fail(f"{p}.time_zone",
+                      "time_zone with an arbitrary fixed_interval is "
+                      "not implemented (ES anchors fixed buckets at the "
+                      "epoch; a zone shifts the anchor) — drop one")
+            wlit = F.lit(float(fixed_w))
+
+            def _fixed_bucket(c):
+                # floor(epoch/w)·w in double seconds — exact for whole-
+                # second widths (floor yields an integer-valued double),
+                # pushable, and identical to DuckDB's
+                # to_timestamp(floor(epoch(ts)/w)*w)
+                return F.timestamp_seconds(
+                    F.floor(c.cast("double") / wlit) * wlit
+                )
+
+            ext = None
+            if "extended_bounds" in body:
+                if mdc != 0:
+                    _fail(f"{p}.extended_bounds",
+                          "extended_bounds needs min_doc_count: 0 (ES "
+                          "ignores it otherwise — drop one of the two)")
+                eb = body["extended_bounds"]
+                lo = _req(eb, "min", f"{p}.extended_bounds")
+                hi = _req(eb, "max", f"{p}.extended_bounds")
+                _reject_extras(eb, {"min", "max"}, f"{p}.extended_bounds")
+                ext = (
+                    _fixed_bucket(F.to_timestamp(F.lit(str(lo)))),
+                    _fixed_bucket(F.to_timestamp(F.lit(str(hi)))),
+                )
+            return {"expr": _fixed_bucket(key_col),
+                    "order": "key", "size": None, "pre": None,
+                    "dense": mdc == 0,
+                    # the spine/shift machinery is interval-string
+                    # driven, so fixed widths ride it unchanged (exact
+                    # second stepping — no DST hazard without a zone)
+                    "step": f"INTERVAL {fixed_w} SECOND",
+                    "unit": str(unit),
+                    "ext": ext,
+                    "coarse": lambda key: F.date_trunc("year", key)}
         if tz is not None:
             # ES time_zone: bucket edges fall on LOCAL calendar
             # boundaries, keys are the UTC instants of those local

@@ -787,3 +787,27 @@ def test_range_epoch_millis_and_date_math(spark, sf_dir):
             {"term": {"event_type": "purchase"}}]}},
         "sort": [{"ts": "desc"}], "size": 3})
     assert out.count() == 3
+
+
+def test_fixed_interval_widths(spark, sf_dir):
+    """Kibana auto-interval histograms: arbitrary fixed_interval widths
+    bucket at floor(epoch/w)·w (epoch-anchored, ES semantics), ride the
+    dense spine + pipeline machinery unchanged, and DuckDB-parity-check
+    bit-exact."""
+    from tests.oracle_harness import compare_query
+
+    def fn(spark, sf_dir):
+        from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+        return es_aggs(load(spark, sf_dir, "events"), {"aggs": {"d": {
+            "date_histogram": {"field": "ts", "fixed_interval": "12h"},
+            "aggs": {"v": {"max": {"field": "value"}}},
+        }}})["d"]
+
+    errs, cnt = compare_query(spark, sf_dir, fn, """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 43200) * 43200) AS TIMESTAMP)
+         AS key,
+       CAST(count(*) AS BIGINT) AS doc_count, max(value) AS v
+FROM events GROUP BY 1 ORDER BY key
+""")
+    assert not errs and cnt > 0
