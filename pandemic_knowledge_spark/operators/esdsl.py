@@ -3228,18 +3228,15 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
     # ONE scan, ONE grouped shuffle on the composite key; the outer
     # terms/grid size cut re-aggregates the (already bucket-count-sized)
     # grouped frame for outer totals and semi-joins the winners back —
-    # never a second fact-table pass, never a global window.
+    # never a second fact-table pass, never a global window. terms
+    # `order` (_count / _key, both directions — Kibana's "order by
+    # ascending count / alphabetical" split knobs) and min_doc_count > 1
+    # participate in each level's cut: order picks the sort of the
+    # re-aggregated totals frame (parents rank by their TOTAL like ES),
+    # min_doc_count prunes buckets below the floor BEFORE the size cut
+    # (the single-level precedent). Sibling-METRIC order targets stay
+    # loud: metrics cannot sit next to a nested bucket in this door.
     iname, itype, ibody, isub = inner_entry
-    if outer.get("order_spec") is not None:
-        _fail(p, "terms `order` on the parent of a nested bucket is not "
-                 "implemented (parents rank by total doc_count) — flatten "
-                 "or drop the order key")
-    if outer.get("min_dc", 1) > 1 or (inner_entry and
-                                      inner_entry[1] == "terms" and
-                                      int(ibody.get("min_doc_count", 1))
-                                      > 1):
-        _fail(p, "terms min_doc_count > 1 inside nested buckets is not "
-                 "implemented — flatten or drop the key")
     if outer.get("dense"):
         _fail(p, "min_doc_count: 0 on a parent of a nested bucket is not "
                  "implemented (the dense spine is single-level) — drop it "
@@ -3254,10 +3251,6 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
               "pipeline sub-aggs next to a nested bucket must live INSIDE "
               "the nested bucket (they window over the inner frame)")
     inner = _bucket_key(itype, ibody, f"{path}.aggs.{iname}.{itype}")
-    if inner.get("order_spec") is not None:
-        _fail(f"{path}.aggs.{iname}.{itype}",
-              "terms `order` inside a nested bucket is not implemented "
-              "(inner buckets rank by doc_count)")
     if inner.get("dense"):
         _fail(f"{path}.aggs.{iname}.{itype}",
               "min_doc_count: 0 inside a nested bucket is not implemented "
@@ -3301,21 +3294,28 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
 
     if outer["order"] == "count":
         # outer terms/grid: top-size keys by TOTAL doc_count (ES orders
-        # parents by their total, not any single child bucket)
-        totals = (
-            grouped.groupBy("key")
-            .agg(F.sum("doc_count").alias("__total"))
-            .orderBy(F.desc("__total"), F.asc("key"))
-            .limit(outer["size"])
+        # parents by their total, not any single child bucket); explicit
+        # `order` swaps the sort of this totals frame, min_doc_count
+        # prunes before the limit
+        totals = grouped.groupBy("key").agg(
+            F.sum("doc_count").alias("__total")
         )
+        if outer.get("min_dc", 1) > 1:
+            totals = totals.where(F.col("__total") >= outer["min_dc"])
+        totals = totals.orderBy(
+            *_nested_order_cols(outer.get("order_spec"), "__total", "key", p)
+        ).limit(outer["size"])
         grouped = grouped.join(
             F.broadcast(totals.select("key")), "key", "left_semi"
         )
+    if inner.get("min_dc", 1) > 1:
+        grouped = grouped.where(F.col("doc_count") >= inner["min_dc"])
     if inner["order"] == "count" and inner["size"] is not None:
         from pyspark.sql import Window
 
         w = Window.partitionBy("key").orderBy(
-            F.desc("doc_count"), F.asc(ikey)
+            *_nested_order_cols(inner.get("order_spec"), "doc_count",
+                                ikey, f"{path}.aggs.{iname}.{itype}")
         )
         grouped = (
             grouped.withColumn("__rn", F.row_number().over(w))
@@ -3327,6 +3327,27 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         f"{path}.aggs.{iname}",
     )
     return grouped.orderBy("key", ikey)
+
+
+def _nested_order_cols(spec_o, count_col: str, key_col: str, p: str):
+    """terms ``order`` applied at a nested-bucket level: the sort of that
+    level's cut frame. ``_count`` ranks by the level's (total) doc_count
+    — ES ranks a parent by its TOTAL, a leaf by its own count — ``_key``
+    by the bucket key; both directions. A sibling-METRIC target raises:
+    metrics cannot sit next to a nested bucket in this door (the flat
+    per-level output shape), so there is no sibling column to rank by."""
+    if spec_o is None or spec_o == ("_count", "desc"):
+        return [F.desc(count_col), F.asc(key_col)]
+    tgt, dirn = spec_o
+    if tgt == "_count":
+        return [F.asc(count_col), F.asc(key_col)]
+    if tgt == "_key":
+        return [F.desc(key_col) if dirn == "desc" else F.asc(key_col)]
+    _fail(f"{p}.order",
+          f"{tgt!r}: ordering a nested-bucket level by a sibling metric "
+          "is not implemented (metric sub-aggs live INSIDE the innermost "
+          "bucket here, so there is no sibling metric column) — use "
+          "_count/_key or flatten the query")
 
 
 def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
@@ -3348,10 +3369,12 @@ def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
 
     Metrics and walk pipelines live in the LEAF (pipelines window
     partitioned by the two outer keys — each series independently, no
-    single-partition exchange); metrics/pipelines at levels 1-2 and
-    min_doc_count:0 / terms order at any level raise with the path;
-    nesting past three levels raises (ES allows it; Kibana does not
-    emit it)."""
+    single-partition exchange); terms ``order`` (_count/_key) and
+    min_doc_count > 1 participate in each level's cut (order sorts that
+    level's totals frame, min_doc_count prunes below the floor before
+    the size cut); metrics/pipelines at levels 1-2 and min_doc_count:0
+    at any level raise with the path; nesting past three levels raises
+    (ES allows it; Kibana does not emit it)."""
     iname, itype, ibody, isub = l2_entry
     if l2_pipelines or l2_metrics:
         _fail(f"{path}.aggs.{iname}.aggs",
@@ -3366,13 +3389,6 @@ def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
         if spec_l.get("dense"):
             _fail(lvl, "min_doc_count: 0 inside three-level nesting is "
                        "not implemented — drop it or flatten the query")
-        if spec_l.get("order_spec") is not None:
-            _fail(lvl, "terms `order` inside three-level nesting is not "
-                       "implemented (levels rank by doc_count totals)")
-        if spec_l.get("min_dc", 1) > 1:
-            _fail(lvl, "terms min_doc_count > 1 inside three-level "
-                       "nesting is not implemented — flatten or drop "
-                       "the key")
     (j_inner, j_pipelines, j_frame_pipes, j_card,
      j_metrics) = _split_sub_aggs(jsub, jp)
     if j_inner is not None:
@@ -3404,12 +3420,14 @@ def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
     from pyspark.sql import Window
 
     if outer["order"] == "count":
-        totals = (
-            grouped.groupBy("key")
-            .agg(F.sum("doc_count").alias("__t"))
-            .orderBy(F.desc("__t"), F.asc("key"))
-            .limit(outer["size"])
+        totals = grouped.groupBy("key").agg(
+            F.sum("doc_count").alias("__t")
         )
+        if outer.get("min_dc", 1) > 1:
+            totals = totals.where(F.col("__t") >= outer["min_dc"])
+        totals = totals.orderBy(
+            *_nested_order_cols(outer.get("order_spec"), "__t", "key", p)
+        ).limit(outer["size"])
         grouped = grouped.join(
             F.broadcast(totals.select("key")), "key", "left_semi"
         )
@@ -3417,7 +3435,12 @@ def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
         t2 = grouped.groupBy("key", ikey).agg(
             F.sum("doc_count").alias("__t2")
         )
-        w2 = Window.partitionBy("key").orderBy(F.desc("__t2"), F.asc(ikey))
+        if inner2.get("min_dc", 1) > 1:
+            t2 = t2.where(F.col("__t2") >= inner2["min_dc"])
+        w2 = Window.partitionBy("key").orderBy(
+            *_nested_order_cols(inner2.get("order_spec"), "__t2", ikey,
+                                f"{path}.aggs.{iname}.{itype}")
+        )
         winners2 = (
             t2.withColumn("__rn", F.row_number().over(w2))
             .where(F.col("__rn") <= inner2["size"])
@@ -3425,9 +3448,19 @@ def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
         )
         grouped = grouped.join(F.broadcast(winners2), ["key", ikey],
                                "left_semi")
+    elif inner2.get("min_dc", 1) > 1:
+        t2 = grouped.groupBy("key", ikey).agg(
+            F.sum("doc_count").alias("__t2")
+        ).where(F.col("__t2") >= inner2["min_dc"])
+        grouped = grouped.join(
+            F.broadcast(t2.select("key", ikey)), ["key", ikey], "left_semi"
+        )
+    if inner3.get("min_dc", 1) > 1:
+        grouped = grouped.where(F.col("doc_count") >= inner3["min_dc"])
     if inner3["order"] == "count" and inner3["size"] is not None:
         w3 = Window.partitionBy("key", ikey).orderBy(
-            F.desc("doc_count"), F.asc(jkey)
+            *_nested_order_cols(inner3.get("order_spec"), "doc_count",
+                                jkey, f"{jp}.{jtype}")
         )
         grouped = (
             grouped.withColumn("__rn", F.row_number().over(w3))

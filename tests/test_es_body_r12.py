@@ -537,12 +537,20 @@ def test_terms_order_and_missing(spark, sf_dir):
                                                 "missing": "N/A"}}}})["t"]
     assert {(r["key"], r["doc_count"]) for r in out.collect()} == {
         ("a", 1), ("N/A", 2)}
-    # order inside / on the parent of a nested bucket is loud
-    with pytest.raises(UnsupportedEsQuery, match="order"):
-        es_aggs(ev, {"aggs": {"t": {
-            "terms": {"field": "event_type", "order": {"_key": "asc"}},
-            "aggs": {"h": {"date_histogram": {
-                "field": "ts", "calendar_interval": "month"}}}}}})
+    # order on the parent of a nested bucket: _count/_key route (r13 —
+    # Kibana's "order split by alphabetical"); sibling-metric targets
+    # stay loud (no sibling metric column exists next to a nested bucket)
+    nested = lambda order: {"aggs": {"t": {
+        "terms": {"field": "event_type", "size": 2, "order": order},
+        "aggs": {"h": {"date_histogram": {
+            "field": "ts", "calendar_interval": "month"}}}}}}
+    keys_desc = {r["key"] for r in
+                 es_aggs(ev, nested({"_key": "desc"}))["t"].collect()}
+    all_keys = sorted(r["event_type"] for r in
+                      ev.select("event_type").distinct().collect())
+    assert keys_desc == set(all_keys[-2:])
+    with pytest.raises(UnsupportedEsQuery, match="sibling metric"):
+        es_aggs(ev, nested({"vmax": "desc"}))
 
 
 def test_extended_bounds_widens_the_spine(spark):

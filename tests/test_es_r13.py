@@ -553,11 +553,17 @@ def test_terms_min_doc_count(spark, sf_dir):
     with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
         es_aggs(ev, {"aggs": {"t": {"terms": {
             "field": "event_type", "min_doc_count": 0}}}})
-    with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
-        es_aggs(ev, {"aggs": {"t": {
-            "terms": {"field": "event_type", "min_doc_count": 2},
-            "aggs": {"m": {"date_histogram": {
-                "field": "ts", "calendar_interval": "month"}}}}}})
+    # nested parent: min_doc_count prunes by the parent's TOTAL before
+    # the size cut (r13 — was loud; the dense 0 form stays loud)
+    totals = {r["key"]: r["doc_count"] for r in full}
+    floor_ = sorted(totals.values())[len(totals) // 2]
+    nested = es_aggs(ev, {"aggs": {"t": {
+        "terms": {"field": "event_type", "size": 10,
+                  "min_doc_count": int(floor_)},
+        "aggs": {"m": {"date_histogram": {
+            "field": "ts", "calendar_interval": "month"}}}}}})["t"]
+    assert {r["key"] for r in nested.collect()} == {
+        k for k, v in totals.items() if v >= floor_}
 
 
 def test_engine_count(engine):
