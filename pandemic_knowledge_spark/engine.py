@@ -391,9 +391,21 @@ class Engine:
             {"query", "knn", "rank", "size", "from", "sort", "_source",
              "aggs", "post_filter", "track_total_hits", "search_after",
              "collapse", "highlight", "min_score", "fields", "rescore",
-             "suggest"},
+             "suggest", "runtime_mappings"},
             "$",
         )
+        docs = self.table(table)
+        if "runtime_mappings" in body:
+            # search-time script columns (Kibana field editor): compiled
+            # onto the frame ONCE, so the query/sort/_source/aggs routes
+            # below all see the runtime field as a real column (the knn
+            # branch's own extras gate refuses the combination — a
+            # runtime field cannot be a vector)
+            from pandemic_knowledge_spark.operators.esdsl import (
+                apply_runtime_mappings,
+            )
+
+            docs = apply_runtime_mappings(docs, body["runtime_mappings"])
         out: dict = {}
         if "knn" in body:
             extras = set(body) - {"knn", "query", "rank", "size"}
@@ -439,8 +451,7 @@ class Engine:
                           "search_after", "collapse", "highlight",
                           "min_score", "fields", "rescore")
                          if k in body}
-            out["hits"] = self.es_query(hits_body, table=table,
-                                        id_col=id_col, text_col=text_col)
+            out["hits"] = es_query(docs, id_col, text_col, hits_body)
         if "aggs" in body:
             # ES aggregation scope: every doc matching the query — NOT
             # the post_filter (facet counts stay wide while the hit list
@@ -448,7 +459,7 @@ class Engine:
             aggs_body = {"aggs": body["aggs"]}
             if "query" in body:
                 aggs_body["query"] = body["query"]
-            agg_out = es_aggs(self.table(table), aggs_body,
+            agg_out = es_aggs(docs, aggs_body,
                               text_col=text_col, id_col=id_col)
             clash = sorted(set(agg_out) & set(out))
             if clash:

@@ -1458,11 +1458,54 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = "",
     for name, spec in (sub_aggs or {}).items():
         mtype, mbody = _single_field(spec, f"{path}.aggs.{name}")
         mp = f"{path}.aggs.{name}.{mtype}"
+        simple = mtype in ("avg", "sum", "min", "max", "value_count",
+                           "cardinality", "stats")
         if mtype in ("weighted_avg", "top_metrics"):  # sub-objects, no field
             field, col = None, None
+        elif "script" in mbody:
+            # scripted metric: the agg runs over a per-doc restricted-
+            # Painless arithmetic expression instead of a raw field
+            # (Kibana's "Advanced > JSON input" / TSVB math metric).
+            # Implemented for the simple family; elsewhere the branch's
+            # own _reject_extras raises on the script key.
+            if not simple:
+                _fail(mp, f"script metrics are implemented for avg/sum/"
+                          f"min/max/value_count/cardinality/stats, not "
+                          f"{mtype!r}")
+            _reject_extras(mbody, {"script"}, mp)
+            if dtypes is None:
+                _fail(mp, "script metrics need column types — "
+                          "internal: no dtypes at this call site")
+            field = None
+            col, _kind = _compile_doc_script(mbody["script"], mp, dtypes)
+            if cond is not None:
+                col = F.when(cond, col)
         else:
             field = _req(mbody, "field", mp)
             col = F.col(field)
+            if simple:
+                # cardinality's precision_threshold is accepted and
+                # SUBSUMED: this tier is exact count_distinct, the
+                # precision_threshold→∞ limit of ES's HLL++ —
+                # divergence in the precise direction (same posture as
+                # knn num_candidates)
+                ok = {"field", "missing"}
+                if mtype == "cardinality":
+                    ok = ok | {"precision_threshold"}
+                _reject_extras(mbody, ok, mp)
+                if "missing" in mbody:
+                    # ES `missing`: docs without the field aggregate AS
+                    # this value (was silently ignored pre-r13 — the
+                    # seam class the r11/r12 verdicts closed elsewhere)
+                    mv = mbody["missing"]
+                    is_str_col = (dtypes or {}).get(field) == "string"
+                    if isinstance(mv, bool) or mv is None or (
+                        isinstance(mv, str) != is_str_col
+                    ):
+                        _fail(f"{mp}.missing",
+                              f"missing value {mv!r} does not match the "
+                              f"type of field {field!r}")
+                    col = F.coalesce(col, F.lit(mv))
             if cond is not None:
                 col = F.when(cond, col)
 
@@ -2534,6 +2577,257 @@ def _compile_bucket_script(text: str, varmap: dict, path: str):
     if _peek() is not None:
         _fail(path, f"bucket_script: trailing tokens in {text!r}")
     return out
+
+
+def _script_parts(spec, path: str):
+    """ES ``script`` spec → ``(source, params)``. Both spellings the API
+    accepts: the string shorthand ``"script": "doc['a'].value * 2"`` and
+    the object form ``{"source": ..., "lang"?: "painless",
+    "params"?: {...}}``. Unknown keys / non-painless langs raise with
+    the path (``lang: "expression"`` scripts carry a different grammar —
+    routing them through the Painless subset would silently mis-parse)."""
+    if isinstance(spec, str):
+        return spec, {}
+    if not isinstance(spec, dict):
+        _fail(path, "script must be a string or {source, lang?, params?}")
+    _reject_extras(spec, {"source", "lang", "params"}, path)
+    lang = spec.get("lang", "painless")
+    if lang != "painless":
+        _fail(f"{path}.lang",
+              f"script lang {lang!r} is not implemented (painless "
+              "arithmetic subset only)")
+    params = spec.get("params", {})
+    if not isinstance(params, dict):
+        _fail(f"{path}.params", "params must be an object")
+    return str(_req(spec, "source", path)), params
+
+
+_DOC_MATH_1 = ("abs", "sqrt", "log", "log10", "exp", "floor", "ceil")
+_DOC_MATH_2 = ("pow", "max", "min")
+
+
+def _compile_doc_script(spec, path: str, dtypes: dict):
+    """Doc-level restricted-Painless arithmetic → ``(Column, kind)``
+    where kind is ``"long"`` or ``"double"`` under Java numeric
+    promotion. The subset real scripted metrics / runtime fields carry:
+    ``doc['field'].value``, ``params.<name>``, numeric literals,
+    ``+ - * / %``, unary minus, parens, and ``Math.abs/sqrt/log/log10/
+    exp/floor/ceil/pow/max/min``. Anything else (strings, ternaries,
+    method chains, loops — real Painless) raises with the path: this
+    engine does not run Painless.
+
+    Type honesty, same posture as :func:`_compile_bucket_script`:
+
+    - ``doc['f'].value`` keeps the FIELD's numeric kind (integral
+      columns are long, float/double are double; decimal casts to
+      double — documented). Non-numeric fields raise.
+    - ``/`` with BOTH sides integral raises: Painless long division
+      truncates (5/2 == 2) while the SQL twin yields 2.5 — neither is
+      silently produced; write a double literal (``2.0``) or multiply
+      by ``1.0`` to force Java's own double promotion.
+    - every ``/`` and ``%`` is zero-GUARDED: Painless yields
+      Infinity/ArithmeticException, Spark/DuckDB yield NULL — the
+      evaluation raises loudly instead of picking one.
+    - ``Math.*`` casts its args to double (the Java overloads ES
+      scripts hit) and yields double; ``Math.floor/ceil`` cast back to
+      double explicitly (Spark's floor yields LONG, Java's yields
+      double — the cast keeps both engines on the double).
+    """
+    import re as _re
+
+    source, params = _script_parts(spec, path)
+    toks = _re.findall(
+        r"doc\[\s*(?:'[^']*'|\"[^\"]*\")\s*\]\s*\.\s*value"
+        r"|params\.[A-Za-z_]\w*|Math\.[A-Za-z_]\w*"
+        r"|\d+\.\d+|\d+|[()+\-*/%,]|\S",
+        source,
+    )
+    pos = [0]
+    _INT_KINDS = {"tinyint", "smallint", "int", "bigint", "long"}
+    _DBL_KINDS = {"float", "double"}
+
+    def _peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def _take():
+        t = _peek()
+        pos[0] += 1
+        return t
+
+    def _expect(t):
+        got = _take()
+        if got != t:
+            _fail(path, f"script: expected {t!r}, got {got!r} in "
+                        f"{source!r}")
+
+    def _atom():
+        t = _take()
+        if t is None:
+            _fail(path, f"script: unexpected end of {source!r}")
+        if t == "(":
+            e = _expr()
+            _expect(")")
+            return e
+        if t == "-":
+            c, k = _atom()
+            return -c, k
+        if t.startswith("doc["):
+            m = _re.fullmatch(
+                r"doc\[\s*(?:'([^']*)'|\"([^\"]*)\")\s*\]\s*\.\s*value", t
+            )
+            fname = m.group(1) if m.group(1) is not None else m.group(2)
+            if fname not in dtypes:
+                _fail(path, f"script: doc[{fname!r}] is not a column of "
+                            "the frame")
+            dt = dtypes[fname]
+            if dt in _INT_KINDS:
+                return F.col(fname), "long"
+            if dt in _DBL_KINDS:
+                return F.col(fname), "double"
+            if dt.startswith("decimal"):
+                return F.col(fname).cast("double"), "double"
+            _fail(path, f"script: doc[{fname!r}] has non-numeric type "
+                        f"{dt!r} — script arithmetic takes numeric "
+                        "fields")
+        if t.startswith("params."):
+            name = t[len("params."):]
+            if name not in params:
+                _fail(path, f"script: params.{name} is not bound in "
+                            "params")
+            v = params[name]
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                _fail(path, f"script: params.{name} must be numeric, "
+                            f"got {type(v).__name__}")
+            return (F.lit(v),
+                    "long" if isinstance(v, int) else "double")
+        if t.startswith("Math."):
+            fn = t[len("Math."):]
+            _expect("(")
+            a, _ = _expr()
+            a = a.cast("double")
+            if fn in _DOC_MATH_1:
+                _expect(")")
+                out = getattr(F, fn)(a)
+                if fn in ("floor", "ceil"):
+                    out = out.cast("double")
+                return out, "double"
+            if fn in _DOC_MATH_2:
+                _expect(",")
+                b, _ = _expr()
+                b = b.cast("double")
+                _expect(")")
+                out = {"pow": F.pow, "max": F.greatest,
+                       "min": F.least}[fn](a, b)
+                return out, "double"
+            _fail(path, f"script: Math.{fn} is not implemented "
+                        f"(supported: {_DOC_MATH_1 + _DOC_MATH_2})")
+        if _re.fullmatch(r"\d+\.\d+", t):
+            return F.lit(float(t)), "double"
+        if _re.fullmatch(r"\d+", t):
+            return F.lit(int(t)), "long"
+        _fail(path, "script: only the arithmetic form (doc['f'].value, "
+                    "params.<name>, numbers, + - * / %, Math.<fn>, "
+                    f"parens) is implemented — got {t!r} in {source!r} "
+                    "(this engine does not run Painless)")
+
+    def _guard_zero(den, what):
+        return F.when(den != 0, den).otherwise(F.raise_error(
+            F.lit(f"{path}: script {what} by zero — Painless yields "
+                  "Infinity/ArithmeticException here and SQL yields "
+                  "NULL; this engine raises rather than pick one "
+                  "silently")))
+
+    def _term():
+        e, k = _atom()
+        while _peek() in ("*", "/", "%"):
+            op = _take()
+            r, rk = _atom()
+            both_long = k == "long" and rk == "long"
+            if op == "*":
+                e, k = e * r, ("long" if both_long else "double")
+            elif op == "/":
+                if both_long:
+                    _fail(path, "script: integer / integer truncates in "
+                                "Painless (5/2 == 2) but divides in the "
+                                "SQL twin — write a double literal "
+                                "(2.0) or multiply by 1.0 to get Java's "
+                                "own double promotion")
+                e, k = e / _guard_zero(r, "division"), "double"
+            else:
+                e, k = (e % _guard_zero(r, "modulo"),
+                        "long" if both_long else "double")
+        return e, k
+
+    def _expr():
+        e, k = _term()
+        while _peek() in ("+", "-"):
+            op = _take()
+            r, rk = _term()
+            k = "long" if (k == "long" and rk == "long") else "double"
+            e = e + r if op == "+" else e - r
+        return e, k
+
+    out, kind = _expr()
+    if _peek() is not None:
+        _fail(path, f"script: trailing tokens in {source!r}")
+    return out, kind
+
+
+def apply_runtime_mappings(df: DataFrame, spec: dict,
+                           path: str = "$.runtime_mappings") -> DataFrame:
+    """ES ``runtime_mappings`` — the search-time script columns Kibana
+    adds from the field editor (``Add field`` → ``Set value``). Each
+    entry is ``{"type": "double" | "long", "script": {"source":
+    "emit(<expr>)"}}`` with ``<expr>`` in the restricted arithmetic
+    subset (:func:`_compile_doc_script`). The emitted column joins the
+    frame under the field's name, so every downstream door construct —
+    range/term queries, sorts, ``_source``/``fields``, bucket and
+    metric aggs — sees it as a real column. Fields compile in insertion
+    order, so a later runtime field may reference an earlier one
+    (``doc['earlier'].value``), exactly ES's behavior.
+
+    Other runtime types (keyword/date/boolean — string-producing
+    scripts) and non-``emit`` script bodies raise with the path.
+    Scale note: a runtime column is one projected expression inside
+    whole-stage codegen — no shuffle, no UDF; predicate pushdown on
+    REAL columns is unaffected because the projection sits above the
+    scan."""
+    if not isinstance(spec, dict) or not spec:
+        _fail(path, "runtime_mappings must be a non-empty object")
+    import re as _re
+
+    for name, cfg in spec.items():
+        p = f"{path}.{name}"
+        if not isinstance(cfg, dict):
+            _fail(p, "runtime field must be an object")
+        _reject_extras(cfg, {"type", "script"}, p)
+        ftype = _req(cfg, "type", p)
+        if ftype not in ("double", "long"):
+            _fail(f"{p}.type",
+                  f"runtime field type {ftype!r} is not implemented "
+                  "(double, long — the numeric emit() subset)")
+        if name in df.columns:
+            # ES lets a runtime field SHADOW an indexed field; here the
+            # shadowed column silently vanishes from every construct —
+            # refuse rather than hide data (the door's loud contract)
+            _fail(p, f"runtime field {name!r} shadows an existing "
+                     "column — rename it")
+        src, params = _script_parts(_req(cfg, "script", p), f"{p}.script")
+        m = _re.fullmatch(r"\s*emit\s*\((.*)\)\s*", src, flags=_re.S)
+        if not m:
+            _fail(f"{p}.script",
+                  "runtime scripts take the emit(<arithmetic>) form")
+        col, kind = _compile_doc_script(
+            {"source": m.group(1), "params": params},
+            f"{p}.script", dict(df.dtypes),
+        )
+        if ftype == "long" and kind != "long":
+            _fail(f"{p}.script",
+                  "emit(double) into a long runtime field is a Painless "
+                  "cast error in ES too — declare the field double or "
+                  "emit an integral expression")
+        df = df.withColumn(name, col.cast(ftype))
+    return df
 
 
 def _apply_frame_pipelines(grouped: DataFrame, frame_pipes: dict,

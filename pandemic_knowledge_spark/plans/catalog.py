@@ -9410,6 +9410,72 @@ def agg_es_three_level_order_door(spark: SparkSession, sf_dir: str) -> DataFrame
     }}})["t"]
 
 
+@q(
+    "agg_es_scripted_metric_door",
+    oracle="""
+SELECT l_returnflag AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       max(l_extendedprice * (1 - l_discount)) AS mx_rev,
+       min(l_extendedprice * (1 - l_discount)) AS mn_rev,
+       CAST(sum(l_orderkey * 2 + l_suppkey) AS BIGINT) AS key_sum,
+       CAST(count(*) AS BIGINT) AS n_rev
+FROM lineitem GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10
+""",
+)
+def agg_es_scripted_metric_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCRIPTED metric aggs (r12 verdict gap #5, the restricted-Painless
+    doc-level subset): ``{"max": {"script": "doc['f'].value * ..."}}``
+    — Kibana's "JSON input" / TSVB math metric. The script compiles to
+    ONE Column expression inside the same grouped aggregate (no UDF, no
+    second scan; whole-stage codegen). Float determinism: max/min are
+    order-free selections over identical per-row IEEE products
+    (bit-exact vs the twin), the sum rides exact LONG arithmetic, and
+    integer/integer division is refused loudly (Painless truncates
+    where SQL divides — operators.esdsl._compile_doc_script)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    rev = "doc['l_extendedprice'].value * (1 - doc['l_discount'].value)"
+    return es_aggs(load(spark, sf_dir, "lineitem"), {"aggs": {"flags": {
+        "terms": {"field": "l_returnflag"},
+        "aggs": {
+            "mx_rev": {"max": {"script": rev}},
+            "mn_rev": {"min": {"script": {"source": rev}}},
+            "key_sum": {"sum": {"script":
+                "doc['l_orderkey'].value * 2 + doc['l_suppkey'].value"}},
+            "n_rev": {"value_count": {"script": rev}},
+        },
+    }}})["flags"]
+
+
+@q(
+    "search_es_runtime_field",
+    oracle="""
+SELECT doc_id, lang, n_chars / 1000.0 AS kchars
+FROM documents WHERE n_chars / 1000.0 >= 0.4
+ORDER BY kchars DESC, doc_id LIMIT 12
+""",
+)
+def search_es_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``runtime_mappings`` through the full ``_search`` door — the
+    search-time script column Kibana's field editor emits, feeding the
+    range QUERY, the SORT, and ``_source`` in one body. The emit()
+    expression (restricted-Painless arithmetic with ``params``)
+    compiles onto the frame as one projected column above the scan —
+    no shuffle, no UDF; pushdown on real columns is unaffected
+    (operators.esdsl.apply_runtime_mappings via Engine.es_search)."""
+    from pandemic_knowledge_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.es_search({
+        "runtime_mappings": {"kchars": {"type": "double", "script": {
+            "source": "emit(doc['n_chars'].value / params.k)",
+            "params": {"k": 1000.0}}}},
+        "query": {"range": {"kchars": {"gte": 0.4}}},
+        "sort": [{"kchars": "desc"}, {"doc_id": "asc"}],
+        "_source": ["lang", "kchars"],
+        "size": 12,
+    })["hits"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9425,15 +9491,24 @@ BENCH_QUERY_NAMES.extend(
 # types — DONE, all ten have catalog rows above (plus the three new r13
 # compositions: filtered kNN, sorted+highlight, scored bool search_after);
 # (b) rotate the window onto the 50 r8-evidence IOUs declared at r12.
-# 25 new rows + 50 IOUs > 50 slots, so the window takes the 25 new rows
-# first (never-checked rows lead — the standing rule) then the FIRST 25
-# IOUs in the window_rotate.py proposal order; the 25 displaced IOUs below
+# 25 new rows + 50 IOUs > 50 slots, so the window takes the new rows
+# first (never-checked rows lead — the standing rule) then the first
+# IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). They are the ONLY rows left with r8
-# evidence — after r13 the freshness histogram is r8x25 / r9x50 / r10x50 /
-# r11x49 / r12x50 / r13x50 (274 rows) and the r14 window MUST lead with
-# them after r14's own new/changed rows.
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 2 more
+# never-checked rows (agg_es_scripted_metric_door,
+# search_es_runtime_field); never-checked leads, so the LAST two r8
+# IOUs of the window (agg_value_histogram, agg_weighted_avg) are
+# displaced into the cohort, which therefore holds 27 r8-evidence
+# rows. After r13 the freshness histogram is r8x27 / r9x50 / r10x50 /
+# r11x49 / r12x50 / r13x50 (276 rows) and the r14 window MUST lead
+# with the 27 r8 names after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
+    # r8-evidence rows displaced by the r13 late-wave never-checked
+    # rows (scripted metrics / runtime fields):
+    "agg_value_histogram",
+    "agg_weighted_avg",
+    # the 25 r8-evidence IOUs displaced by the r13 main wave:
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
     "ann_rp_lsh_multi_topk",
@@ -9478,6 +9553,12 @@ _R13_REGISTRATION_DEBT_PAID = [
 ]
 
 _DRIVER_PRIORITY = [
+    # r13 LATE WAVE (this session): scripted metrics + runtime fields —
+    # two more never-checked rows lead; the two displaced IOUs
+    # (agg_value_histogram, agg_weighted_avg) join the r14 cohort in
+    # _NEXT_WINDOW_IOUS above.
+    "agg_es_scripted_metric_door",
+    "search_es_runtime_field",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -9540,8 +9621,6 @@ _DRIVER_PRIORITY = [
     "agg_t_test_welch",
     "agg_top_hits_latest",
     "agg_top_metrics",
-    "agg_value_histogram",
-    "agg_weighted_avg",
 ]
 
 

@@ -1,0 +1,332 @@
+"""Round-13 wave: doc-level restricted-Painless scripts in the ES door.
+
+Three surfaces, each with DuckDB parity where values flow:
+
+- scripted METRIC aggs ({"avg": {"script": ...}} — Kibana's JSON-input /
+  TSVB math metric) over the simple family;
+- the metric-level ``missing`` parameter (was SILENTLY IGNORED pre-r13 —
+  the same drop-class seam the r11/r12 verdicts closed at the body and
+  knn levels; now implemented with a type gate);
+- ``runtime_mappings`` (the search-time script columns Kibana's field
+  editor emits) compiled onto the frame so query/sort/_source all see
+  the runtime field as a real column.
+
+Reference spec: ES metric-agg `script`/`missing` params and the
+runtime-fields chapter of the ES docs; the reference repo itself only
+ever queries ES (flow/scripts/*.py) — this is the delegated surface
+implemented natively.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from pandemic_knowledge_spark.engine import Engine
+from pandemic_knowledge_spark.operators.esdsl import (
+    UnsupportedEsQuery,
+    apply_runtime_mappings,
+    es_aggs,
+    es_query,
+)
+from pandemic_knowledge_spark.tables import load
+from tests.oracle_harness import compare_query
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def nullframe(spark):
+    """A frame with GENUINE nulls (testdata has none) for `missing`."""
+    return spark.createDataFrame(
+        [
+            Row(k="a", x=1.0, n=10),
+            Row(k="a", x=None, n=20),
+            Row(k="b", x=3.0, n=30),
+            Row(k="b", x=None, n=40),
+            Row(k="b", x=5.0, n=None),
+        ]
+    )
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ------------------------------------------------ scripted metric aggs
+
+
+def test_scripted_metrics_duckdb_parity(spark, sf_dir):
+    """max/min/value_count over a double script and sum over a long
+    script, inside a terms bucket — vs the DuckDB twin. max/min are
+    order-free selections (bit-exact doubles); the sum stays in exact
+    long arithmetic."""
+    expr = "doc['l_extendedprice'].value * (1 - doc['l_discount'].value)"
+    sdf = es_aggs(
+        load(spark, sf_dir, "lineitem"),
+        {"aggs": {"flags": {
+            "terms": {"field": "l_returnflag"},
+            "aggs": {
+                "mx_rev": {"max": {"script": expr}},
+                "mn_rev": {"min": {"script": {"source": expr}}},
+                "key_sum": {"sum": {
+                    "script": "doc['l_orderkey'].value * 2 "
+                              "+ doc['l_suppkey'].value"}},
+                "n_rev": {"value_count": {"script": expr}},
+            },
+        }}},
+    )["flags"]
+    problems, n = compare_query(spark, sf_dir, None, """
+SELECT l_returnflag AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       max(l_extendedprice * (1 - l_discount)) AS mx_rev,
+       min(l_extendedprice * (1 - l_discount)) AS mn_rev,
+       CAST(sum(l_orderkey * 2 + l_suppkey) AS BIGINT) AS key_sum,
+       CAST(count(*) AS BIGINT) AS n_rev
+FROM lineitem GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10
+""", sdf=sdf)
+    assert not problems and n > 0, problems
+
+
+def test_scripted_avg_with_params(spark, sf_dir):
+    """params.<name> binds a literal; avg over a long script divides the
+    exact long sum — bit-identical to the SQL twin."""
+    sdf = es_aggs(
+        load(spark, sf_dir, "orders"),
+        {"aggs": {"st": {
+            "terms": {"field": "o_orderstatus"},
+            "aggs": {"scaled": {"avg": {"script": {
+                "source": "doc['o_orderkey'].value * params.m",
+                "params": {"m": 3},
+            }}}},
+        }}},
+    )["st"]
+    problems, n = compare_query(spark, sf_dir, None, """
+SELECT o_orderstatus AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(o_orderkey * 3) AS DOUBLE) / count(o_orderkey) AS scaled
+FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10
+""", sdf=sdf)
+    assert not problems and n > 0, problems
+
+
+def test_script_math_functions(spark, sf_dir):
+    """Math.sqrt / Math.max compile to the JVM builtins (double kind)."""
+    sdf = es_aggs(
+        load(spark, sf_dir, "events"),
+        {"aggs": {"m": {"max": {"script":
+            "Math.sqrt(Math.max(doc['value'].value, 1.0))"}}}},
+    )["m"]
+    problems, n = compare_query(spark, sf_dir, None, """
+SELECT max(sqrt(CASE WHEN value >= 1.0 THEN value ELSE 1.0 END)) AS m
+FROM events
+""", sdf=sdf)
+    assert not problems and n == 1, problems
+
+
+def test_script_rejections(spark, sf_dir):
+    """The loud edges: non-arithmetic Painless, integer/integer
+    division, unknown Math fn, unbound params, non-numeric and unknown
+    doc fields, scripts on non-simple metrics."""
+    ev = load(spark, sf_dir, "events")
+
+    def agg(script, mtype="avg"):
+        return es_aggs(ev, {"aggs": {"a": {mtype: {"script": script}}}})
+
+    for script, frag in [
+        ("doc['value'].value > 1 ? 1 : 0", "trailing|arithmetic"),
+        ("doc['event_id'].value / doc['user_id'].value", "truncates"),
+        ("Math.tanh(doc['value'].value)", "Math.tanh"),
+        ("params.k * doc['value'].value", "params.k"),
+        ("doc['event_type'].value + 1", "non-numeric"),
+        ("doc['nope'].value", "not a column"),
+        ("doc['value'].value.toString()", "trailing"),
+    ]:
+        with pytest.raises(UnsupportedEsQuery, match=frag):
+            agg(script)
+    with pytest.raises(UnsupportedEsQuery, match="script metrics"):
+        agg("doc['value'].value", mtype="percentiles")
+    # script next to field/missing has no ES meaning the door models
+    with pytest.raises(UnsupportedEsQuery, match="unsupported options"):
+        es_aggs(ev, {"aggs": {"a": {"avg": {
+            "field": "value", "script": "doc['value'].value"}}}})
+    # lang: expression is a DIFFERENT grammar — never silently parsed
+    with pytest.raises(UnsupportedEsQuery, match="lang"):
+        es_aggs(ev, {"aggs": {"a": {"avg": {"script": {
+            "source": "doc['value'].value", "lang": "expression"}}}}})
+
+
+def test_script_division_by_zero_raises_at_eval(spark, sf_dir):
+    """A zero denominator raises at evaluation (Painless yields
+    Infinity, SQL yields NULL — neither silently produced)."""
+    ev = load(spark, sf_dir, "events")
+    out = es_aggs(ev, {"aggs": {"a": {"avg": {"script":
+        "1.0 / (doc['value'].value - doc['value'].value)"}}}})["a"]
+    with pytest.raises(Exception, match="division by zero"):
+        out.collect()
+
+
+# ----------------------------------------------------- metric `missing`
+
+
+def test_metric_missing_substitutes(spark, nullframe):
+    """ES `missing`: docs with a null field aggregate AS the given value
+    — avg/sum/min/max/value_count/cardinality all shift accordingly."""
+    out = es_aggs(nullframe, {"aggs": {"t": {
+        "terms": {"field": "k"},
+        "aggs": {
+            "a": {"avg": {"field": "x", "missing": 0}},
+            "c": {"value_count": {"field": "x", "missing": 0}},
+            "mx": {"max": {"field": "n", "missing": 99}},
+        },
+    }}})["t"].orderBy("key")
+    got = {r["key"]: (r["a"], r["c"], r["mx"]) for r in out.collect()}
+    assert got["a"] == (0.5, 2, 20)
+    assert got["b"] == (8.0 / 3.0, 3, 99)
+
+
+def test_metric_missing_unchanged_without_nulls(spark, sf_dir):
+    """On a null-free column `missing` is the identity — same frame with
+    and without it (and the key is ACCEPTED, not dropped: pre-r13 it was
+    silently ignored, indistinguishable from this passing test only
+    because testdata has no nulls; the nullframe test above is the
+    semantic proof)."""
+    ev = load(spark, sf_dir, "events")
+    base = es_aggs(ev, {"aggs": {"s": {"sum": {"field": "value"}}}})["s"]
+    with_m = es_aggs(ev, {"aggs": {"s": {"sum": {
+        "field": "value", "missing": 7.5}}}})["s"]
+    assert rows(base) == rows(with_m)
+
+
+def test_metric_missing_type_gate(spark, sf_dir):
+    """missing must match the field's type: a string default on a
+    numeric field (or vice versa) raises with the path instead of
+    failing mid-analysis or silently casting."""
+    ev = load(spark, sf_dir, "events")
+    with pytest.raises(UnsupportedEsQuery, match="missing"):
+        es_aggs(ev, {"aggs": {"s": {"sum": {
+            "field": "value", "missing": "zero"}}}})
+    docs_missing = {"aggs": {"c": {"cardinality": {
+        "field": "event_type", "missing": 0}}}}
+    with pytest.raises(UnsupportedEsQuery, match="missing"):
+        es_aggs(ev, docs_missing)
+
+
+def test_metric_unknown_keys_raise(spark, sf_dir):
+    """The simple metric family now rejects unknown keys (pre-r13 a
+    `format`/`missing` rider was silently dropped — the r11 seam class
+    one level deeper). cardinality's precision_threshold is the one
+    accepted-and-subsumed rider (exact tier = its infinite limit)."""
+    ev = load(spark, sf_dir, "events")
+    for mtype in ("avg", "sum", "min", "max", "value_count", "stats"):
+        with pytest.raises(UnsupportedEsQuery, match="format"):
+            es_aggs(ev, {"aggs": {"a": {mtype: {
+                "field": "value", "format": "0.0"}}}})
+    base = es_aggs(ev, {"aggs": {"c": {"cardinality": {
+        "field": "user_id"}}}})["c"]
+    sub = es_aggs(ev, {"aggs": {"c": {"cardinality": {
+        "field": "user_id", "precision_threshold": 40000}}}})["c"]
+    assert rows(base) == rows(sub)
+
+
+# --------------------------------------------------- runtime_mappings
+
+
+def test_runtime_field_query_sort_source(spark, sf_dir, engine):
+    """The full es_search composition: a runtime double field feeds the
+    range query, the sort, and _source — vs the DuckDB twin."""
+    out = engine.es_search({
+        "runtime_mappings": {"kchars": {"type": "double", "script": {
+            "source": "emit(doc['n_chars'].value / params.k)",
+            "params": {"k": 1000.0}}}},
+        "query": {"range": {"kchars": {"gte": 0.4}}},
+        "sort": [{"kchars": "desc"}, {"doc_id": "asc"}],
+        "_source": ["lang", "kchars"],
+        "size": 12,
+    })["hits"]
+    problems, n = compare_query(spark, sf_dir, None, """
+SELECT doc_id, lang, n_chars / 1000.0 AS kchars
+FROM documents WHERE n_chars / 1000.0 >= 0.4
+ORDER BY kchars DESC, doc_id LIMIT 12
+""", sdf=out)
+    assert not problems and n > 0, problems
+
+
+def test_runtime_field_chains_and_feeds_aggs(spark, sf_dir, engine):
+    """A later runtime field may reference an earlier one (ES insertion-
+    order semantics), and aggs see runtime columns."""
+    out = engine.es_search({
+        "runtime_mappings": {
+            "half": {"type": "double",
+                     "script": "emit(doc['n_chars'].value / 2.0)"},
+            "quarter": {"type": "double",
+                        "script": "emit(doc['half'].value / 2.0)"},
+        },
+        "aggs": {"q_max": {"max": {"field": "quarter"}}},
+        "size": 0,
+    })
+    problems, n = compare_query(spark, sf_dir, None, """
+SELECT max(n_chars / 2.0 / 2.0) AS q_max FROM documents
+""", sdf=out["q_max"])
+    assert not problems and n == 1, problems
+
+
+def test_runtime_field_long_type(spark, engine):
+    """type: long with an integral emit keeps long arithmetic; emitting
+    a double expression into a long field raises (a Painless cast error
+    in ES too)."""
+    out = engine.es_search({
+        "runtime_mappings": {"dbl_id": {"type": "long", "script":
+            "emit(doc['doc_id'].value * 2)"}},
+        "query": {"range": {"dbl_id": {"lte": 10}}},
+        "sort": [{"dbl_id": "asc"}],
+        "_source": ["dbl_id"],
+        "size": 5,
+    })["hits"]
+    got = rows(out)
+    assert all(isinstance(r[1], int) and r[1] == 2 * r[0] for r in got)
+    with pytest.raises(UnsupportedEsQuery, match="long"):
+        engine.es_search({
+            "runtime_mappings": {"bad": {"type": "long", "script":
+                "emit(doc['n_chars'].value / 2.0)"}},
+            "size": 1,
+        })
+
+
+def test_runtime_mapping_rejections(spark, engine):
+    """Loud edges: shadowing an existing column, non-emit scripts,
+    unknown field types, unknown cfg keys, and the knn combination."""
+    docs = engine.table("documents")
+    with pytest.raises(UnsupportedEsQuery, match="shadows"):
+        apply_runtime_mappings(docs, {"lang": {"type": "double",
+            "script": "emit(doc['n_chars'].value * 1.0)"}})
+    with pytest.raises(UnsupportedEsQuery, match="emit"):
+        apply_runtime_mappings(docs, {"f": {"type": "double",
+            "script": "doc['n_chars'].value * 1.0"}})
+    with pytest.raises(UnsupportedEsQuery, match="keyword"):
+        apply_runtime_mappings(docs, {"f": {"type": "keyword",
+            "script": "emit(doc['n_chars'].value)"}})
+    with pytest.raises(UnsupportedEsQuery, match="unsupported options"):
+        apply_runtime_mappings(docs, {"f": {"type": "double",
+            "script": "emit(doc['n_chars'].value * 1.0)", "format": "x"}})
+    vec = engine.table("embeddings").first()["embedding"]
+    with pytest.raises(UnsupportedEsQuery, match="runtime_mappings"):
+        engine.es_search({
+            "runtime_mappings": {"f": {"type": "double", "script":
+                "emit(doc['doc_id'].value * 1.0)"}},
+            "knn": {"field": "embedding", "query_vector": vec, "k": 3},
+        })
+
+
+def test_runtime_mapping_null_propagates(spark, nullframe):
+    """NULL field values propagate to NULL runtime values and aggregates
+    skip the doc — SQL semantics, matching the oracle twin (Painless
+    would throw on a missing doc value unless guarded; divergence
+    documented in apply_runtime_mappings)."""
+    rm = apply_runtime_mappings(nullframe, {"x2": {"type": "double",
+        "script": "emit(doc['x'].value * 2.0)"}})
+    got = es_aggs(rm, {"aggs": {"c": {"value_count": {"field": "x2"}},
+                                "s": {"sum": {"field": "x2"}}}})
+    assert rows(got["c"]) == [(3,)]
+    assert rows(got["s"]) == [(18.0,)]
