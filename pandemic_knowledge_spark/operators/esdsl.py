@@ -513,6 +513,110 @@ def _cursor_value(name: str, dtype, v):
     _bad("targets an unsupported sort-column type")
 
 
+def _dm_add_months(dt, n: int):
+    import calendar
+
+    y, m0 = divmod(dt.year * 12 + (dt.month - 1) + n, 12)
+    d = min(dt.day, calendar.monthrange(y, m0 + 1)[1])
+    return dt.replace(year=y, month=m0 + 1, day=d)
+
+
+def _dm_shift(dt, n: int, unit: str):
+    import datetime
+
+    if unit == "y":
+        return _dm_add_months(dt, 12 * n)
+    if unit == "M":
+        return _dm_add_months(dt, n)
+    td = {"w": datetime.timedelta(weeks=n), "d": datetime.timedelta(days=n),
+          "h": datetime.timedelta(hours=n), "H": datetime.timedelta(hours=n),
+          "m": datetime.timedelta(minutes=n),
+          "s": datetime.timedelta(seconds=n)}[unit]
+    return dt + td
+
+
+def _dm_floor(dt, unit: str):
+    import datetime
+
+    if unit == "y":
+        return dt.replace(month=1, day=1, hour=0, minute=0, second=0,
+                          microsecond=0)
+    if unit == "M":
+        return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if unit == "w":  # ISO week: Monday 00:00 (ES/Joda convention)
+        d0 = dt - datetime.timedelta(days=dt.weekday())
+        return d0.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit in ("d",):
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit in ("h", "H"):
+        return dt.replace(minute=0, second=0, microsecond=0)
+    if unit == "m":
+        return dt.replace(second=0, microsecond=0)
+    return dt.replace(microsecond=0)  # "s"
+
+
+def _anchored_date_math(v: str, op: str, fmt, path: str):
+    """ES ANCHORED date math (``2026-01-01||+1M/d``) → ``(op, value)``.
+
+    The ``<anchor>||<math>`` family is fully deterministic, so it
+    resolves DRIVER-side to a concrete naive-UTC datetime (``now``
+    anchors stay refused by the caller — a server clock read is
+    exactly the non-reproducibility this engine's float/instant
+    contract forbids). Grammar: an ISO anchor (or epoch millis under
+    ``format: epoch_millis``), then any run of ``±N(y|M|w|d|h|H|m|s)``
+    shifts applied left-to-right with Java's month-end clamping
+    (Jan 31 + 1M = Feb 28), then AT MOST one trailing ``/unit``
+    rounding — mid-expression rounding raises (ES's own parser takes
+    rounding as a final operation in practice; accepting other
+    placements would guess semantics).
+
+    Rounding follows ES's range-context rules, expressed as op
+    REWRITES so every downstream comparison stays a plain typed
+    literal: ``gte`` and ``lt`` round DOWN to the unit start; ``gt``
+    becomes ``gte <next unit start>`` (ES: "first millisecond not
+    covered"); ``lte`` becomes ``lt <next unit start>`` (ES: "latest
+    millisecond in the interval" — identical membership for ES's own
+    millisecond precision, and strictly correct for this engine's
+    microsecond timestamps where ≤ .999 would wrongly drop .9995)."""
+    import datetime
+    import re as _re
+
+    anchor_s, math = v.split("||", 1)
+    try:
+        if fmt == "epoch_millis" and _re.fullmatch(r"\d+", anchor_s):
+            base = datetime.datetime.fromtimestamp(
+                int(anchor_s) / 1000.0, tz=datetime.timezone.utc
+            ).replace(tzinfo=None)
+        else:
+            base = datetime.datetime.fromisoformat(
+                anchor_s.replace("Z", "+00:00"))
+            if base.tzinfo is not None:
+                base = base.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None)
+    except ValueError:
+        _fail(f"{path}.{op}",
+              f"date-math anchor {anchor_s!r} does not parse as an ISO "
+              "instant")
+    round_unit = None
+    m = _re.search(r"/(y|M|w|d|h|H|m|s)$", math)
+    if m:
+        round_unit, math = m.group(1), math[: m.start()]
+    if not _re.fullmatch(r"(?:[+-]\d+(?:y|M|w|d|h|H|m|s))*", math):
+        _fail(f"{path}.{op}",
+              f"date-math expression {v!r} is not implemented (anchored "
+              "±N[yMwdhHms] shifts with at most one trailing /unit "
+              "rounding)")
+    for sm in _re.finditer(r"([+-]\d+)(y|M|w|d|h|H|m|s)", math):
+        base = _dm_shift(base, int(sm.group(1)), sm.group(2))
+    if round_unit is None:
+        return op, base
+    floored = _dm_floor(base, round_unit)
+    if op in ("gte", "lt"):
+        return op, floored
+    nxt = _dm_shift(floored, 1, round_unit)
+    return ("gte" if op == "gt" else "lt"), nxt
+
+
 def _range_spec(spec: dict, path: str) -> dict:
     """Normalize an ES range spec's bounds — the Kibana-reality arm:
 
@@ -523,11 +627,14 @@ def _range_spec(spec: dict, path: str) -> dict:
       of failing BIGINT-vs-TIMESTAMP mid-analysis.
     - ``format: strict_date_optional_time`` (the other Kibana spelling):
       ISO strings pass through (Spark's ANSI string→timestamp cast).
-    - DATE-MATH strings (``now-7d/d``, ``||``-anchored) are refused with
-      the path: a ``now`` anchor is non-deterministic, and the raw
-      string would otherwise throw a mid-job cast error (ANSI) or
-      NULL-empty the page (non-ANSI) — resolve it client-side to a
-      concrete instant.
+    - ANCHORED date math (``2026-01-01||+1M/d``) resolves driver-side
+      with ES's range-context rounding (:func:`_anchored_date_math`).
+    - ``now``-anchored strings (``now-7d/d``) are refused with the
+      path: a ``now`` anchor is non-deterministic, and the raw string
+      would otherwise throw a mid-job cast error (ANSI) or NULL-empty
+      the page (non-ANSI) — resolve it client-side to a concrete
+      instant (Kibana itself sends epoch_millis when the time picker
+      is pinned).
     """
     import datetime
 
@@ -543,10 +650,22 @@ def _range_spec(spec: dict, path: str) -> dict:
         if op not in spec:
             continue
         v = spec[op]
-        if isinstance(v, str) and (v.startswith("now") or "||" in v):
+        if isinstance(v, str) and v.startswith("now"):
             _fail(f"{path}.{op}",
                   f"date math ({v!r}) needs a deterministic `now` anchor "
                   "— resolve it client-side to a concrete instant")
+        if isinstance(v, str) and "||" in v:
+            new_op, v = _anchored_date_math(v, op, fmt, path)
+            if new_op != op and new_op in spec:
+                _fail(f"{path}.{op}",
+                      f"rounded {op} rewrites to {new_op}, which the "
+                      "spec also sets — drop one bound")
+            if new_op in bounds:
+                _fail(f"{path}.{op}",
+                      f"rounded {op} collides with an earlier rewritten "
+                      f"{new_op} bound — drop one")
+            bounds[new_op] = v
+            continue
         if fmt == "epoch_millis":
             if isinstance(v, bool):
                 _fail(f"{path}.{op}", "epoch_millis bound must be a "

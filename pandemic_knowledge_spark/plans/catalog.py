@@ -9476,6 +9476,40 @@ def search_es_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     })["hits"]
 
 
+@q(
+    "agg_es_date_math_door",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-02-01'
+  AND o_orderdate <  TIMESTAMP '1995-07-01'
+GROUP BY 1 ORDER BY key
+""",
+)
+def agg_es_date_math_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANCHORED ES date math in range bounds (``2026-01-01||+1M/d`` —
+    was loudly refused; ``now``-anchored math still is, with the
+    reproducibility rationale): the ``<anchor>||<shifts>[/unit]``
+    family resolves DRIVER-side with Java month-end clamping and ES's
+    range-context rounding expressed as op rewrites (gt/M → gte next
+    month, lte/M → lt next month), so the pushed predicate stays a
+    plain typed literal — scan-prunable, no session-clock dependence
+    (operators.esdsl._anchored_date_math). The gte bound here shifts
+    THEN floors (+1M/M), the lte bound includes its whole anchor
+    month."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "orders"), {
+        "query": {"range": {"o_orderdate": {
+            "gte": "1995-01-31||+1M/M",
+            "lte": "1995-06-15||/M",
+        }}},
+        "aggs": {"monthly": {"date_histogram": {
+            "field": "o_orderdate", "calendar_interval": "month"}}},
+    })["monthly"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9495,19 +9529,21 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 2 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 3 more
 # never-checked rows (agg_es_scripted_metric_door,
-# search_es_runtime_field); never-checked leads, so the LAST two r8
-# IOUs of the window (agg_value_histogram, agg_weighted_avg) are
-# displaced into the cohort, which therefore holds 27 r8-evidence
-# rows. After r13 the freshness histogram is r8x27 / r9x50 / r10x50 /
-# r11x49 / r12x50 / r13x50 (276 rows) and the r14 window MUST lead
-# with the 27 r8 names after r14's own new/changed rows.
+# search_es_runtime_field, agg_es_date_math_door); never-checked
+# leads, so the LAST three r8 IOUs of the window (agg_value_histogram,
+# agg_weighted_avg, agg_top_metrics) are displaced into the cohort,
+# which therefore holds 28 r8-evidence rows. After r13 the freshness
+# histogram is r8x28 / r9x50 / r10x50 / r11x49 / r12x50 / r13x50
+# (277 rows) and the r14 window MUST lead with the 28 r8 names after
+# r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
-    # rows (scripted metrics / runtime fields):
+    # rows (scripted metrics / runtime fields / anchored date math):
     "agg_value_histogram",
     "agg_weighted_avg",
+    "agg_top_metrics",
     # the 25 r8-evidence IOUs displaced by the r13 main wave:
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
@@ -9559,6 +9595,7 @@ _DRIVER_PRIORITY = [
     # _NEXT_WINDOW_IOUS above.
     "agg_es_scripted_metric_door",
     "search_es_runtime_field",
+    "agg_es_date_math_door",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -9620,7 +9657,6 @@ _DRIVER_PRIORITY = [
     "agg_string_stats",
     "agg_t_test_welch",
     "agg_top_hits_latest",
-    "agg_top_metrics",
 ]
 
 
