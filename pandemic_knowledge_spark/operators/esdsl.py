@@ -2503,6 +2503,55 @@ def _densify(grouped: DataFrame, step, ext=None) -> DataFrame:
     )
 
 
+def _densify_per_parent(grouped: DataFrame, parent_cols: list, ikey: str,
+                        step, ext) -> DataFrame:
+    """Per-parent dense spine for ``min_doc_count: 0`` INSIDE a nested
+    bucket — the Kibana split-series default (a terms split whose
+    per-series date_histogram zero-fills its gaps). ES treats each
+    parent's sub-histogram as an independent aggregation instance, so
+    the spine spans each parent's OWN [min, max] key range (widened by
+    ``extended_bounds`` when present — least/greatest, the union rule).
+
+    One grouped reduction over the already-bucket-count-sized frame
+    computes the per-parent bounds, one bounded explode builds all
+    spines (|parents| × |buckets| rows — dashboard-sized, never the
+    fact table), and one left join fills the gaps: doc_count coalesces
+    to 0, metric columns stay NULL for gap rows (the single-level
+    :func:`_densify` convention — ES also reports null avg/min/max for
+    empty buckets)."""
+    cols = grouped.columns
+    bounds = grouped.groupBy(*parent_cols).agg(
+        F.min(ikey).alias("__lo"), F.max(ikey).alias("__hi")
+    )
+    lo, hi = F.col("__lo"), F.col("__hi")
+    if ext is not None:
+        lo, hi = F.least(lo, ext[0]), F.greatest(hi, ext[1])
+    if isinstance(step, str):  # calendar / fixed interval
+        spine = bounds.select(
+            *parent_cols,
+            F.explode(F.sequence(lo, hi, F.expr(step))).alias(ikey),
+        )
+    else:  # numeric histogram: step over integer bucket indices
+        spine = bounds.select(
+            *parent_cols,
+            F.explode(
+                F.sequence(
+                    F.round(lo / step).cast("long"),
+                    F.round(hi / step).cast("long"),
+                )
+            ).alias("__i"),
+        ).select(*parent_cols, (F.col("__i") * F.lit(step)).alias(ikey))
+    keep = set(parent_cols) | {ikey, "doc_count"}
+    return (
+        spine.join(grouped, [*parent_cols, ikey], "left")
+        .select(
+            *parent_cols, ikey,
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+            *[c for c in cols if c not in keep],
+        )
+    )
+
+
 def _top_hits_agg(filtered: DataFrame, terms_body: dict, sub: dict,
                   path: str, p: str) -> DataFrame:
     """``terms`` + ``top_hits`` — the Kibana "latest per bucket" panel
@@ -3664,11 +3713,11 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
               "pipeline sub-aggs next to a nested bucket must live INSIDE "
               "the nested bucket (they window over the inner frame)")
     inner = _bucket_key(itype, ibody, f"{path}.aggs.{iname}.{itype}")
-    if inner.get("dense"):
+    if inner.get("dense") and inner.get("step") is None:
         _fail(f"{path}.aggs.{iname}.{itype}",
-              "min_doc_count: 0 inside a nested bucket is not implemented "
-              "(a per-parent dense spine) — drop it or run the histogram "
-              "as the top-level bucket")
+              "min_doc_count: 0 on a nested TERMS bucket (unmatched-"
+              "value buckets) is not implemented — only histogram "
+              "families densify")
     (i_inner, i_pipelines, i_frame_pipes, i_card_pipes,
      i_metrics) = _split_sub_aggs(isub, f"{path}.aggs.{iname}")
     if i_frame_pipes:
@@ -3720,6 +3769,16 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         ).limit(outer["size"])
         grouped = grouped.join(
             F.broadcast(totals.select("key")), "key", "left_semi"
+        )
+    if inner.get("dense"):
+        # ES min_doc_count: 0 inside a split: each parent's histogram
+        # is an independent sub-aggregation instance, so the spine is
+        # PER PARENT — that parent's own [min, max] key range (union
+        # extended_bounds), zero-filled. Runs AFTER the outer size cut
+        # (spines only for surviving parents) and BEFORE pipelines
+        # (derivative/moving_fn step over the dense spine, ES order).
+        grouped = _densify_per_parent(
+            grouped, ["key"], ikey, inner["step"], inner.get("ext")
         )
     if inner.get("min_dc", 1) > 1:
         grouped = grouped.where(F.col("doc_count") >= inner["min_dc"])

@@ -1,0 +1,161 @@
+"""Round-13 late wave: per-parent dense spines — ``min_doc_count: 0``
+INSIDE a nested bucket (the Kibana split-series default, previously a
+loud refusal).
+
+ES semantics under test: each parent bucket's sub-histogram is an
+independent aggregation instance, so zero-filling spans each parent's
+OWN [min, max] key range (union extended_bounds); gap buckets report
+doc_count 0 and NULL metrics.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pandemic_knowledge_spark.operators.esdsl import (
+    UnsupportedEsQuery,
+    es_aggs,
+)
+from pandemic_knowledge_spark.tables import load
+from tests.oracle_harness import compare_query
+
+
+@pytest.fixture(scope="module")
+def gapframe(spark):
+    """Two series with DIFFERENT extents and interior gaps:
+    a: Jan 1, Jan 4 (gap 2-3); b: Jan 3, Jan 5 (gap 4)."""
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1), 10.0),
+        (2, "a", dt.datetime(2024, 1, 4), 40.0),
+        (3, "b", dt.datetime(2024, 1, 3), 30.0),
+        (4, "b", dt.datetime(2024, 1, 5), 50.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, kind string, ts timestamp, v double"
+    )
+
+
+def test_per_parent_spine_spans_each_parents_extent(gapframe):
+    """Parent `a` densifies Jan 1-4, parent `b` Jan 3-5 — neither
+    borrows the other's range (independent instances, ES semantics)."""
+    out = es_aggs(gapframe, {"aggs": {"t": {
+        "terms": {"field": "kind"},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0},
+            "aggs": {"vmax": {"max": {"field": "v"}}},
+        }},
+    }}})["t"]
+    got = [(r["key"], r["daily_key"].day, r["doc_count"], r["vmax"])
+           for r in out.collect()]
+    assert got == [
+        ("a", 1, 1, 10.0), ("a", 2, 0, None), ("a", 3, 0, None),
+        ("a", 4, 1, 40.0),
+        ("b", 3, 1, 30.0), ("b", 4, 0, None), ("b", 5, 1, 50.0),
+    ]
+
+
+def test_per_parent_spine_respects_outer_size_cut(gapframe):
+    """The outer terms size cut applies BEFORE densification — only the
+    surviving parent grows a spine (b ties a at 2 docs; key tiebreak
+    keeps a)."""
+    out = es_aggs(gapframe, {"aggs": {"t": {
+        "terms": {"field": "kind", "size": 1},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0},
+        }},
+    }}})["t"]
+    got = [(r["key"], r["doc_count"]) for r in out.collect()]
+    assert [k for k, _ in got] == ["a"] * 4
+    assert [c for _, c in got] == [1, 0, 0, 1]
+
+
+def test_per_parent_extended_bounds_widen_every_parent(gapframe):
+    """extended_bounds union: every parent's spine covers at least the
+    forced window (ES's union rule), here Jan 1-6 for both series."""
+    out = es_aggs(gapframe, {"aggs": {"t": {
+        "terms": {"field": "kind"},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0,
+                               "extended_bounds": {"min": "2024-01-01",
+                                                   "max": "2024-01-06"}},
+        }},
+    }}})["t"]
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["key"], []).append(r["daily_key"].day)
+    assert got == {"a": [1, 2, 3, 4, 5, 6], "b": [1, 2, 3, 4, 5, 6]}
+
+
+def test_nested_numeric_histogram_densifies(gapframe):
+    """The numeric histogram family rides the same per-parent spine
+    (integer bucket-index stepping)."""
+    out = es_aggs(gapframe, {"aggs": {"t": {
+        "terms": {"field": "kind"},
+        "aggs": {"hv": {
+            "histogram": {"field": "v", "interval": 10.0,
+                          "min_doc_count": 0},
+        }},
+    }}})["t"]
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["key"], []).append((r["hv_key"], r["doc_count"]))
+    assert got["a"] == [(10.0, 1), (20.0, 0), (30.0, 0), (40.0, 1)]
+    assert got["b"] == [(30.0, 1), (40.0, 0), (50.0, 1)]
+
+
+def test_split_dense_duckdb_parity(spark, sf_dir):
+    """The catalog row's shape vs a per-parent generate_series twin —
+    the value filter makes the gaps real on testdata."""
+    sdf = es_aggs(load(spark, sf_dir, "events"), {
+        "query": {"range": {"value": {"gte": 250.0}}},
+        "aggs": {"t": {
+            "terms": {"field": "event_type"},
+            "aggs": {"daily": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day",
+                                   "min_doc_count": 0},
+                "aggs": {"vmax": {"max": {"field": "value"}}},
+            }},
+        }},
+    })["t"]
+    problems, n = compare_query(spark, sf_dir, None, """
+WITH g AS (
+  SELECT event_type AS key,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily_key,
+         CAST(count(*) AS BIGINT) AS doc_count, max(value) AS vmax
+  FROM events WHERE value >= 250.0 GROUP BY 1, 2
+), b AS (
+  SELECT key, min(daily_key) AS lo, max(daily_key) AS hi FROM g GROUP BY 1
+), spine AS (
+  SELECT b.key, CAST(u.d AS TIMESTAMP) AS daily_key
+  FROM b, LATERAL (
+    SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d
+  ) u
+)
+SELECT s.key, s.daily_key, COALESCE(g.doc_count, 0) AS doc_count, g.vmax
+FROM spine s LEFT JOIN g USING (key, daily_key)
+""", sdf=sdf)
+    assert not problems and n > 0, problems
+
+
+def test_dense_parent_and_terms_child_stay_loud(gapframe):
+    """The NOT-implemented edges hold their refusals: a dense PARENT of
+    a nested bucket, and three-level dense."""
+    with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
+        es_aggs(gapframe, {"aggs": {"a": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0},
+            "aggs": {"b": {"terms": {"field": "kind"}}}}}})
+    with pytest.raises(UnsupportedEsQuery, match="three-level"):
+        es_aggs(gapframe, {"aggs": {"a": {
+            "terms": {"field": "kind"},
+            "aggs": {"b": {
+                "terms": {"field": "id"},
+                "aggs": {"c": {"date_histogram": {
+                    "field": "ts", "calendar_interval": "day",
+                    "min_doc_count": 0}}}}}}}})

@@ -911,11 +911,9 @@ def test_es_aggs_dense_and_empty_sort_reject_paths(spark):
         [(1, dt.datetime(2024, 1, 1), "a", 1.0)],
         "id long, ts timestamp, kind string, v double",
     )
-    with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
-        es_aggs(df, {"aggs": {"a": {"terms": {"field": "kind"}, "aggs": {
-            "b": {"date_histogram": {"field": "ts",
-                                     "calendar_interval": "day",
-                                     "min_doc_count": 0}}}}}})
+    # terms × dense histogram is IMPLEMENTED since the r13 late wave
+    # (per-parent spines — tests/test_es_densify_r13.py); the dense
+    # PARENT of a nested bucket stays loud:
     with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
         es_aggs(df, {"aggs": {"a": {
             "date_histogram": {"field": "ts", "calendar_interval": "day",
