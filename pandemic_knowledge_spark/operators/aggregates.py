@@ -748,7 +748,8 @@ AUTO_HISTOGRAM_LADDER: tuple[tuple[str, str, int], ...] = (
 
 
 def auto_date_histogram(
-    df: DataFrame, ts_col: str, target_buckets: int = 20
+    df: DataFrame, ts_col: str, target_buckets: int = 20,
+    extra_aggs=(), extra_finals=(),
 ) -> DataFrame:
     """ES ``auto_date_histogram``: the caller asks for AT MOST
     ``target_buckets`` buckets and the engine picks the interval — the
@@ -784,16 +785,22 @@ def auto_date_histogram(
                 F.floor(F.unix_timestamp(ts) / F.lit(secs)) * F.lit(secs)
             )
         bucket = F.when(cond, trunc) if bucket is None else bucket.when(cond, trunc)
-    return (
+    out = (
         with_unit.groupBy(
             F.col("__unit").alias("interval"), bucket.alias("bucket")
         )
-        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .agg(F.count(F.lit(1)).alias("doc_count"), *extra_aggs)
     )
+    if extra_finals:
+        # metric sub-aggs (the ES door) ride the SAME grouped shuffle —
+        # the interval choice costs nothing extra
+        out = out.select("interval", "bucket", "doc_count", *extra_finals)
+    return out
 
 
 def sql_auto_date_histogram(
-    table: str, ts_col: str, target_buckets: int = 20
+    table: str, ts_col: str, target_buckets: int = 20,
+    extra_sql: str = "",
 ) -> str:
     """DuckDB SQL reproducing :func:`auto_date_histogram` exactly — same
     ladder, same floored-seconds span, same calendar truncation."""
@@ -824,7 +831,7 @@ WITH bounds AS (
 ), c AS (
   SELECT {unit_case} AS unit FROM bounds
 )
-SELECT c.unit AS interval, {bucket_case} AS bucket, count(*) AS doc_count
+SELECT c.unit AS interval, {bucket_case} AS bucket, count(*) AS doc_count{extra_sql}
 FROM {table}, c
 GROUP BY 1, 2
 """

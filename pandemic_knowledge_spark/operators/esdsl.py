@@ -3364,13 +3364,31 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
             auto_date_histogram,
         )
 
-        if sub:
-            _fail(f"{path}.aggs",
-                  "auto_date_histogram sub-aggregations are not implemented")
         field = _req(body, "field", p)
         _reject_extras(body, {"field", "buckets"}, p)
+        m_aggs, m_finals = (), ()
+        if sub:
+            # METRIC leaves ride the same grouped shuffle (the interval
+            # choice is a broadcast literal — no extra pass); nested
+            # buckets / pipelines under an auto interval would need the
+            # chosen unit driver-side, so they stay loud
+            for sname, sspec in sub.items():
+                stype, _ = _single_field(sspec, f"{path}.aggs.{sname}")
+                if stype not in _METRIC_TYPES:
+                    _fail(f"{path}.aggs.{sname}",
+                          f"auto_date_histogram sub-agg {stype!r} is not "
+                          "implemented (metric leaves only — pin the "
+                          "interval for nested buckets/pipelines)")
+            m_aggs, m_finals, mads = _metric_cols(
+                sub, path, dtypes=dict(filtered.dtypes)
+            )
+            if mads:
+                _fail(f"{path}.aggs",
+                      "median_absolute_deviation under "
+                      "auto_date_histogram is not implemented")
         return auto_date_histogram(filtered, field,
-                                   target_buckets=int(body.get("buckets", 10)))
+                                   target_buckets=int(body.get("buckets", 10)),
+                                   extra_aggs=m_aggs, extra_finals=m_finals)
 
     if atype == "adjacency_matrix":
         from pandemic_knowledge_spark.operators.aggregates import (

@@ -9558,6 +9558,35 @@ def agg_es_split_dense_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     })["t"]
 
 
+@q(
+    "agg_es_auto_interval_metrics_door",
+    oracle=sql_auto_date_histogram(
+        "events", "ts", target_buckets=12,
+        extra_sql=(", max(value) AS vmax, "
+                   "CAST(count(DISTINCT user_id) AS BIGINT) AS users"),
+    ),
+)
+def agg_es_auto_interval_metrics_door(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``auto_date_histogram`` WITH metric sub-aggs (was loud): the
+    Kibana auto-interval panel carrying per-bucket metrics. The
+    interval choice stays a broadcast literal CASE over the one-row
+    span frame, so the metrics ride the SAME single grouped shuffle as
+    the counts — no second scan, no driver round-trip; nested buckets
+    and pipelines under an auto interval stay loudly refused
+    (operators.aggregates.auto_date_histogram via the agg-body door)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), {"aggs": {"auto": {
+        "auto_date_histogram": {"field": "ts", "buckets": 12},
+        "aggs": {
+            "vmax": {"max": {"field": "value"}},
+            "users": {"cardinality": {"field": "user_id"}},
+        },
+    }}})["auto"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9577,15 +9606,16 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 4 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 5 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
-# agg_es_split_dense_door); never-checked leads, so the LAST four r8
-# IOUs of the window (agg_value_histogram, agg_weighted_avg,
-# agg_top_metrics, agg_top_hits_latest) are displaced into the
-# cohort, which therefore holds 29 r8-evidence rows. After r13 the
-# freshness histogram is r8x29 / r9x50 / r10x50 / r11x49 / r12x50 /
-# r13x50 (278 rows) and the r14 window MUST lead with the 29 r8
+# agg_es_split_dense_door, agg_es_auto_interval_metrics_door);
+# never-checked leads, so the LAST five r8 IOUs of the window
+# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
+# agg_top_hits_latest, agg_t_test_welch) are displaced into the
+# cohort, which therefore holds 30 r8-evidence rows. After r13 the
+# freshness histogram is r8x30 / r9x50 / r10x50 / r11x49 / r12x50 /
+# r13x50 (279 rows) and the r14 window MUST lead with the 30 r8
 # names after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
@@ -9594,6 +9624,7 @@ _NEXT_WINDOW_IOUS = [
     "agg_weighted_avg",
     "agg_top_metrics",
     "agg_top_hits_latest",
+    "agg_t_test_welch",
     # the 25 r8-evidence IOUs displaced by the r13 main wave:
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
@@ -9647,6 +9678,7 @@ _DRIVER_PRIORITY = [
     "search_es_runtime_field",
     "agg_es_date_math_door",
     "agg_es_split_dense_door",
+    "agg_es_auto_interval_metrics_door",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -9706,7 +9738,6 @@ _DRIVER_PRIORITY = [
     "agg_serial_diff",
     "agg_sibling_buckets",
     "agg_string_stats",
-    "agg_t_test_welch",
 ]
 
 

@@ -159,3 +159,49 @@ def test_dense_parent_and_terms_child_stay_loud(gapframe):
                 "aggs": {"c": {"date_histogram": {
                     "field": "ts", "calendar_interval": "day",
                     "min_doc_count": 0}}}}}}}})
+
+
+# ------------------------------------- auto_date_histogram sub-aggs
+
+
+def test_auto_date_histogram_with_metrics_parity(spark, sf_dir):
+    """Metric leaves ride the auto-interval grouped shuffle — vs the
+    ladder-replaying DuckDB twin (r13 late wave; was loud)."""
+    from pandemic_knowledge_spark.operators.aggregates import (
+        sql_auto_date_histogram,
+    )
+
+    sdf = es_aggs(load(spark, sf_dir, "events"), {"aggs": {"auto": {
+        "auto_date_histogram": {"field": "ts", "buckets": 12},
+        "aggs": {
+            "vmax": {"max": {"field": "value"}},
+            "users": {"cardinality": {"field": "user_id"}},
+        },
+    }}})["auto"]
+    problems, n = compare_query(
+        spark, sf_dir, None,
+        sql_auto_date_histogram(
+            "events", "ts", target_buckets=12,
+            extra_sql=(", max(value) AS vmax, "
+                       "CAST(count(DISTINCT user_id) AS BIGINT) AS users"),
+        ),
+        sdf=sdf,
+    )
+    assert not problems and 0 < n <= 13, (problems, n)
+
+
+def test_auto_date_histogram_nested_bucket_stays_loud(spark, sf_dir):
+    """Nested buckets / pipelines under an auto interval keep their
+    pathed refusal (the chosen unit would be needed driver-side)."""
+    ev = load(spark, sf_dir, "events")
+    with pytest.raises(UnsupportedEsQuery, match="metric leaves"):
+        es_aggs(ev, {"aggs": {"auto": {
+            "auto_date_histogram": {"field": "ts", "buckets": 12},
+            "aggs": {"t": {"terms": {"field": "event_type"}}},
+        }}})
+    with pytest.raises(UnsupportedEsQuery, match="metric leaves"):
+        es_aggs(ev, {"aggs": {"auto": {
+            "auto_date_histogram": {"field": "ts", "buckets": 12},
+            "aggs": {"d": {"derivative": {"buckets_path": "vmax"}},
+                     "vmax": {"max": {"field": "value"}}},
+        }}})
