@@ -416,16 +416,31 @@ def _highlight_spec(spec: dict, text_col: str | None):
     if not isinstance(fields, dict) or len(fields) != 1:
         _fail(f"{path}.fields", "exactly one highlight field is implemented")
     (hf, hcfg), = fields.items()
+    f_pre = f_post = None
     if hcfg not in ({}, None):
-        _fail(f"{path}.fields.{hf}",
-              "per-field highlight options are not implemented "
-              "(fragmenting returns the whole field)")
+        fp = f"{path}.fields.{hf}"
+        if not isinstance(hcfg, dict):
+            _fail(fp, "per-field highlight options must be an object")
+        # number_of_fragments: 0 is ES's "return the whole highlighted
+        # field" — exactly this engine's behavior, so it's accepted and
+        # subsumed; real fragmenting (snippet extraction) stays loud.
+        # Field-level tag overrides take ES's precedence over the
+        # top-level pair.
+        _reject_extras(hcfg, {"number_of_fragments", "pre_tags",
+                              "post_tags"}, fp)
+        if int(hcfg.get("number_of_fragments", 0)) != 0:
+            _fail(f"{fp}.number_of_fragments",
+                  "fragmenting is not implemented — 0 (the whole "
+                  "highlighted field) is the supported form")
+        f_pre = hcfg.get("pre_tags")
+        f_post = hcfg.get("post_tags")
     if text_col is not None and hf != text_col:
         _fail(f"{path}.fields",
               f"highlight runs over the text column {text_col!r} "
               f"(single-text-field engine); got {hf!r}")
-    pre = spec.get("pre_tags", ["<em>"])
-    post = spec.get("post_tags", ["</em>"])
+    pre = f_pre if f_pre is not None else spec.get("pre_tags", ["<em>"])
+    post = (f_post if f_post is not None
+            else spec.get("post_tags", ["</em>"]))
     if not (isinstance(pre, (list, tuple)) and len(pre) == 1
             and isinstance(post, (list, tuple)) and len(post) == 1):
         _fail(path, "exactly one pre_tags/post_tags entry is implemented")
@@ -2999,7 +3014,8 @@ def apply_runtime_mappings(df: DataFrame, spec: dict,
 
 
 def _apply_frame_pipelines(grouped: DataFrame, frame_pipes: dict,
-                           path: str) -> DataFrame:
+                           path: str, parent_cols: list = (),
+                           key_col: str = "key") -> DataFrame:
     """``bucket_script`` / ``bucket_selector`` / ``bucket_sort`` —
     post-aggregation pipelines on the (bucket-count-sized) frame.
     bucket_script appends a per-bucket arithmetic column over sibling
@@ -3012,7 +3028,15 @@ def _apply_frame_pipelines(grouped: DataFrame, frame_pipes: dict,
     buckets by sibling metrics (size / from; heap top-k, never a global
     sort of anything fact-sized). Scripts apply first (so selectors and
     sorts can reference the scripted column), then selectors, then
-    sorts — ES's pipeline dependency order."""
+    sorts — ES's pipeline dependency order.
+
+    INSIDE a nested bucket (``parent_cols`` non-empty — the r13 late
+    wave): scripts and selectors are row-local, so they apply
+    unchanged; bucket_sort's cut becomes a per-parent window
+    (row_number over partitionBy(parents), still bucket-count-sized —
+    each parent keeps its own from/size page, ES's independent-
+    instance semantics). ``key_col`` names the level's bucket key for
+    the deterministic tiebreak."""
     import re as _re
 
     scripts = {n: s for n, s in frame_pipes.items()
@@ -3088,10 +3112,25 @@ def _apply_frame_pipelines(grouped: DataFrame, frame_pipes: dict,
                       f"{sfield!r} does not name a sibling metric")
             c = F.col(col_name)
             sort_cols.append(c.desc() if order == "desc" else c.asc())
-        sort_cols.append(F.col("key").asc())  # deterministic tiebreak
+        sort_cols.append(F.col(key_col).asc())  # deterministic tiebreak
         offset = int(pbody.get("from", 0))
         size = pbody.get("size")
         fetch = (int(size) + offset) if size is not None else None
+        if parent_cols:
+            # per-parent page: ES treats each parent's sub-pipeline as
+            # an independent instance; one window over the bucket-
+            # count-sized frame, never a global sort
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*parent_cols).orderBy(*sort_cols)
+            ordered = grouped.withColumn("__rn",
+                                         F.row_number().over(w))
+            if fetch is not None:
+                ordered = ordered.where(F.col("__rn") <= fetch)
+            ordered = (ordered.where(F.col("__rn") > offset)
+                       .drop("__rn"))
+            grouped = ordered
+            continue
         ordered = grouped.orderBy(*sort_cols)
         if fetch is not None:
             ordered = ordered.limit(fetch)
@@ -3738,10 +3777,6 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
               "families densify")
     (i_inner, i_pipelines, i_frame_pipes, i_card_pipes,
      i_metrics) = _split_sub_aggs(isub, f"{path}.aggs.{iname}")
-    if i_frame_pipes:
-        _fail(f"{path}.aggs.{iname}.aggs",
-              "bucket_selector/bucket_sort inside a nested bucket are not "
-              "implemented — run them on a single-level histogram")
     if i_card_pipes:
         _fail(f"{path}.aggs.{iname}.aggs",
               "cumulative_cardinality inside a nested bucket is not "
@@ -3816,6 +3851,14 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         grouped, i_pipelines, ikey, ["key"], inner,
         f"{path}.aggs.{iname}",
     )
+    if i_frame_pipes:
+        # bucket_script/bucket_selector are row-local (they apply
+        # unchanged); bucket_sort pages PER PARENT via one window over
+        # the bucket-count-sized frame (r13 late wave — was loud)
+        grouped = _apply_frame_pipelines(
+            grouped, i_frame_pipes, f"{path}.aggs.{iname}",
+            parent_cols=["key"], key_col=ikey,
+        )
     return grouped.orderBy("key", ikey)
 
 

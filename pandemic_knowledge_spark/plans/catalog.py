@@ -9587,6 +9587,54 @@ def agg_es_auto_interval_metrics_door(
     }}})["auto"]
 
 
+@q(
+    "agg_es_nested_bucket_sort_door",
+    oracle="""
+WITH g AS (
+  SELECT event_type AS key,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily_key,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS users
+  FROM events GROUP BY 1, 2
+), kept AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY key ORDER BY doc_count DESC, daily_key ASC
+  ) AS rn
+  FROM g WHERE doc_count >= 5
+)
+SELECT key, daily_key, doc_count, users
+FROM kept WHERE rn <= 3 ORDER BY key, daily_key
+""",
+)
+def agg_es_nested_bucket_sort_door(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``bucket_selector`` + ``bucket_sort`` INSIDE a nested bucket
+    (r13 late wave — was loud): the TSVB "top N time buckets per
+    series" panel. The selector's threshold gate filters row-locally
+    on the bucket-count-sized frame; the sort's size cut pages PER
+    PARENT via one row_number window partitioned on the split key —
+    each series keeps its own top-3, ES's independent-instance
+    semantics, never a global sort
+    (operators.esdsl._apply_frame_pipelines, parent_cols arm)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), {"aggs": {"t": {
+        "terms": {"field": "event_type"},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "users": {"cardinality": {"field": "user_id"}},
+                "keep": {"bucket_selector": {
+                    "buckets_path": {"c": "_count"},
+                    "script": "params.c >= 5"}},
+                "top3": {"bucket_sort": {"sort": [{"_count": "desc"}],
+                                         "size": 3}},
+            },
+        }},
+    }}})["t"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9606,17 +9654,18 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 5 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 6 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
-# agg_es_split_dense_door, agg_es_auto_interval_metrics_door);
-# never-checked leads, so the LAST five r8 IOUs of the window
-# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
-# agg_top_hits_latest, agg_t_test_welch) are displaced into the
-# cohort, which therefore holds 30 r8-evidence rows. After r13 the
-# freshness histogram is r8x30 / r9x50 / r10x50 / r11x49 / r12x50 /
-# r13x50 (279 rows) and the r14 window MUST lead with the 30 r8
-# names after r14's own new/changed rows.
+# agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
+# agg_es_nested_bucket_sort_door); never-checked leads, so the LAST
+# six r8 IOUs of the window (agg_value_histogram, agg_weighted_avg,
+# agg_top_metrics, agg_top_hits_latest, agg_t_test_welch,
+# agg_string_stats) are displaced into the cohort, which therefore
+# holds 31 r8-evidence rows. After r13 the freshness histogram is
+# r8x31 / r9x50 / r10x50 / r11x49 / r12x50 / r13x50 (280 rows) and
+# the r14 window MUST lead with the 31 r8 names after r14's own
+# new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
     # rows (scripted metrics / runtime fields / anchored date math):
@@ -9625,6 +9674,7 @@ _NEXT_WINDOW_IOUS = [
     "agg_top_metrics",
     "agg_top_hits_latest",
     "agg_t_test_welch",
+    "agg_string_stats",
     # the 25 r8-evidence IOUs displaced by the r13 main wave:
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
@@ -9679,6 +9729,7 @@ _DRIVER_PRIORITY = [
     "agg_es_date_math_door",
     "agg_es_split_dense_door",
     "agg_es_auto_interval_metrics_door",
+    "agg_es_nested_bucket_sort_door",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -9737,7 +9788,6 @@ _DRIVER_PRIORITY = [
     "agg_range_named",
     "agg_serial_diff",
     "agg_sibling_buckets",
-    "agg_string_stats",
 ]
 
 

@@ -205,3 +205,84 @@ def test_auto_date_histogram_nested_bucket_stays_loud(spark, sf_dir):
             "aggs": {"d": {"derivative": {"buckets_path": "vmax"}},
                      "vmax": {"max": {"field": "value"}}},
         }}})
+
+
+# ------------------- frame pipelines (selector / sort) inside nesting
+
+
+def test_nested_bucket_selector_and_sort_per_parent(spark):
+    """bucket_selector filters row-locally; bucket_sort pages PER
+    PARENT (each series keeps its own top-k — ES independent-instance
+    semantics)."""
+    rows = []
+    for day, kind, n in [(1, "a", 5), (2, "a", 1), (3, "a", 3),
+                         (4, "a", 2), (1, "b", 2), (2, "b", 4)]:
+        for i in range(n):
+            rows.append((len(rows), kind,
+                         dt.datetime(2024, 1, day), float(day * 10 + i)))
+    df = spark.createDataFrame(
+        rows, "id long, kind string, ts timestamp, v double")
+    out = es_aggs(df, {"aggs": {"t": {
+        "terms": {"field": "kind"},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "keep": {"bucket_selector": {
+                    "buckets_path": {"c": "_count"},
+                    "script": "params.c >= 2"}},
+                "top2": {"bucket_sort": {"sort": [{"_count": "desc"}],
+                                         "size": 2}},
+            },
+        }},
+    }}})["t"]
+    got = [(r["key"], r["daily_key"].day, r["doc_count"])
+           for r in out.collect()]
+    assert got == [("a", 1, 5), ("a", 3, 3), ("b", 1, 2), ("b", 2, 4)]
+
+
+def test_nested_bucket_sort_from_offset(spark):
+    """`from` pages past each parent's head buckets independently."""
+    rows = []
+    for day, kind, n in [(1, "a", 5), (2, "a", 4), (3, "a", 3),
+                         (1, "b", 9), (2, "b", 1)]:
+        for _ in range(n):
+            rows.append((len(rows), kind, dt.datetime(2024, 1, day)))
+    df = spark.createDataFrame(rows, "id long, kind string, ts timestamp")
+    out = es_aggs(df, {"aggs": {"t": {
+        "terms": {"field": "kind"},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"pg": {"bucket_sort": {
+                "sort": [{"_count": "desc"}], "from": 1, "size": 1}}},
+        }},
+    }}})["t"]
+    got = [(r["key"], r["daily_key"].day, r["doc_count"])
+           for r in out.collect()]
+    assert got == [("a", 2, 4), ("b", 2, 1)]
+
+
+def test_nested_bucket_script_column(spark, sf_dir):
+    """bucket_script appends its arithmetic column inside the nested
+    frame (row-local — unchanged grammar), vs the DuckDB twin."""
+    sdf = es_aggs(load(spark, sf_dir, "events"), {"aggs": {"t": {
+        "terms": {"field": "event_type"},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "vsum": {"sum": {"script":
+                    "doc['event_id'].value * 0 + 1"}},
+                "share": {"bucket_script": {
+                    "buckets_path": {"c": "_count", "s": "vsum"},
+                    "script": "params.s / params.c"}},
+            },
+        }},
+    }}})["t"]
+    problems, n = compare_query(spark, sf_dir, None, """
+SELECT event_type AS key,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily_key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(*) AS BIGINT) AS vsum,
+       CAST(count(*) AS DOUBLE) / count(*) AS share
+FROM events GROUP BY 1, 2
+""", sdf=sdf)
+    assert not problems and n > 0, problems

@@ -330,3 +330,36 @@ def test_runtime_mapping_null_propagates(spark, nullframe):
                                 "s": {"sum": {"field": "x2"}}}})
     assert rows(got["c"]) == [(3,)]
     assert rows(got["s"]) == [(18.0,)]
+
+
+# --------------------------------------------- highlight field options
+
+
+def test_highlight_field_options(spark, sf_dir):
+    """number_of_fragments: 0 is accepted-and-subsumed (whole-field
+    highlighting IS this engine's behavior); field-level tag overrides
+    take ES's precedence over top-level; true fragmenting stays loud."""
+    docs = load(spark, sf_dir, "documents")
+    base = {"query": {"match": {"text": "spark"}},
+            "sort": [{"n_chars": "desc"}], "size": 4}
+    plain = es_query(docs, "doc_id", "text", {
+        **base, "highlight": {"fields": {"text": {}}}})
+    subsumed = es_query(docs, "doc_id", "text", {
+        **base, "highlight": {"fields": {"text": {
+            "number_of_fragments": 0}}}})
+    assert rows(plain) == rows(subsumed) and plain.count() == 4
+    tagged = es_query(docs, "doc_id", "text", {
+        **base, "highlight": {
+            "pre_tags": ["<x>"], "post_tags": ["</x>"],
+            "fields": {"text": {"pre_tags": ["<mark>"],
+                                "post_tags": ["</mark>"]}}}})
+    hl = tagged.select("highlighted").first()[0]
+    assert "<mark>" in hl and "<x>" not in hl
+    with pytest.raises(UnsupportedEsQuery, match="fragment"):
+        es_query(docs, "doc_id", "text", {
+            **base, "highlight": {"fields": {"text": {
+                "number_of_fragments": 3}}}})
+    with pytest.raises(UnsupportedEsQuery, match="unsupported options"):
+        es_query(docs, "doc_id", "text", {
+            **base, "highlight": {"fields": {"text": {
+                "fragment_size": 150}}}})
