@@ -551,6 +551,30 @@ class Engine:
             raise UnsupportedEsQuery(
                 "$._source: not implemented on the retriever route")
         rtype, rbody = _single_field(body["retriever"], "$.retriever")
+        if rtype == "standard":
+            # the degenerate retriever tree — ONE query arm, identical
+            # to the plain {"query": ...} body; `filter` folds in as a
+            # bool filter context (ES's standard-retriever semantics:
+            # non-scoring predicate AND the scored query)
+            _reject_extras(rbody, {"query", "filter"},
+                           "$.retriever.standard")
+            q = _req(rbody, "query", "$.retriever.standard")
+            if "filter" in rbody:
+                flt = rbody["filter"]
+                flt = [flt] if isinstance(flt, dict) else list(flt)
+                q = {"bool": {"must": [q], "filter": flt}}
+            return self.es_query(
+                {"query": q, "size": int(body.get("size", 10))},
+                table=table, id_col=id_col, text_col=text_col,
+            )
+        if rtype == "knn":
+            # the standalone knn retriever — the same spec keys (and the
+            # same reject-extras gate + filter support) as top-level knn
+            return self.knn(
+                dict(rbody), k=int(body.get("size", 10)), table=table,
+                id_col=id_col, text_col=text_col, emb_table=emb_table,
+                vec_id_col=vec_id_col,
+            )
         if rtype == "linear":
             return self._linear_retriever_hits(
                 rbody, k=int(body.get("size", 10)), table=table,
@@ -560,7 +584,7 @@ class Engine:
         if rtype != "rrf":
             raise UnsupportedEsQuery(
                 f"$.retriever: retriever type {rtype!r} is not implemented "
-                "(supported: rrf / linear, each with a standard + knn arm)")
+                "(supported: standard / knn / rrf / linear)")
         _reject_extras(rbody, {"retrievers", "rank_constant",
                                "rank_window_size"}, "$.retriever.rrf")
         rets = _req(rbody, "retrievers", "$.retriever.rrf")

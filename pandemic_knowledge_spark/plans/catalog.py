@@ -9635,6 +9635,34 @@ def agg_es_nested_bucket_sort_door(
     }}})["t"]
 
 
+@q(
+    "search_es_retriever_standard",
+    oracle=sql_bool_search(
+        "documents", "doc_id", "text", k=10,
+        must=[{"match": "spark stream"}],
+        filter=[{"range": {"n_chars": {"gte": 100}}}],
+    ),
+)
+def search_es_retriever_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDALONE ``retriever.standard`` tree (r13 late wave — was
+    refused next to rrf/linear): ES 8.14+ clients spell even plain
+    queries as a one-arm retriever. Routes to the identical bool fold
+    as the flat body — the ``filter`` key joins the scored query in
+    filter context (non-scoring predicate AND), so the oracle is the
+    byte-same clause structure as the proven bool door rows
+    (Engine._retriever_hits, standard arm)."""
+    from pandemic_knowledge_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.es_search({
+        "retriever": {"standard": {
+            "query": {"match": {"text": "spark stream"}},
+            "filter": {"range": {"n_chars": {"gte": 100}}},
+        }},
+        "size": 10,
+    })["hits"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9654,17 +9682,18 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 6 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 7 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
 # agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
-# agg_es_nested_bucket_sort_door); never-checked leads, so the LAST
-# six r8 IOUs of the window (agg_value_histogram, agg_weighted_avg,
-# agg_top_metrics, agg_top_hits_latest, agg_t_test_welch,
-# agg_string_stats) are displaced into the cohort, which therefore
-# holds 31 r8-evidence rows. After r13 the freshness histogram is
-# r8x31 / r9x50 / r10x50 / r11x49 / r12x50 / r13x50 (280 rows) and
-# the r14 window MUST lead with the 31 r8 names after r14's own
+# agg_es_nested_bucket_sort_door, search_es_retriever_standard);
+# never-checked leads, so the LAST seven r8 IOUs of the window
+# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
+# agg_top_hits_latest, agg_t_test_welch, agg_string_stats,
+# agg_sibling_buckets) are displaced into the cohort, which therefore
+# holds 32 r8-evidence rows. After r13 the freshness histogram is
+# r8x32 / r9x50 / r10x50 / r11x49 / r12x50 / r13x50 (281 rows) and
+# the r14 window MUST lead with the 32 r8 names after r14's own
 # new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
@@ -9675,6 +9704,7 @@ _NEXT_WINDOW_IOUS = [
     "agg_top_hits_latest",
     "agg_t_test_welch",
     "agg_string_stats",
+    "agg_sibling_buckets",
     # the 25 r8-evidence IOUs displaced by the r13 main wave:
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
@@ -9730,6 +9760,7 @@ _DRIVER_PRIORITY = [
     "agg_es_split_dense_door",
     "agg_es_auto_interval_metrics_door",
     "agg_es_nested_bucket_sort_door",
+    "search_es_retriever_standard",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -9787,7 +9818,6 @@ _DRIVER_PRIORITY = [
     "agg_random_sampler",
     "agg_range_named",
     "agg_serial_diff",
-    "agg_sibling_buckets",
 ]
 
 

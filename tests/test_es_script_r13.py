@@ -363,3 +363,43 @@ def test_highlight_field_options(spark, sf_dir):
         es_query(docs, "doc_id", "text", {
             **base, "highlight": {"fields": {"text": {
                 "fragment_size": 150}}}})
+
+
+# -------------------------------------- standalone retriever spellings
+
+
+def test_retriever_standard_equals_plain_body(spark, sf_dir, engine):
+    """{"retriever": {"standard": {"query": ...}}} is the degenerate
+    tree — row-identical to the plain {"query": ...} body; `filter`
+    folds in as a non-scoring bool filter."""
+    q = {"match": {"text": "spark"}}
+    via_ret = engine.es_search({
+        "retriever": {"standard": {"query": q}}, "size": 7})["hits"]
+    plain = engine.es_search({"query": q, "size": 7})["hits"]
+    assert rows(via_ret) == rows(plain) and via_ret.count() == 7
+    filtered = engine.es_search({
+        "retriever": {"standard": {
+            "query": q, "filter": {"term": {"lang": "en"}}}},
+        "size": 7})["hits"]
+    folded = engine.es_search({
+        "query": {"bool": {"must": [q],
+                           "filter": [{"term": {"lang": "en"}}]}},
+        "size": 7})["hits"]
+    assert rows(filtered) == rows(folded) and filtered.count() > 0
+
+
+def test_retriever_knn_equals_knn_body(spark, engine):
+    """{"retriever": {"knn": {...}}} routes through the same gated knn
+    door — identical to the top-level knn body, filter included."""
+    vec = engine.table("embeddings").first()["embedding"]
+    spec = {"field": "embedding", "query_vector": vec, "k": 5,
+            "filter": {"term": {"lang": "en"}}}
+    via_ret = engine.es_search({
+        "retriever": {"knn": dict(spec)}, "size": 5})["hits"]
+    plain = engine.es_search({"knn": dict(spec), "size": 5})["hits"]
+    assert rows(via_ret) == rows(plain) and via_ret.count() == 5
+    from pandemic_knowledge_spark.operators.esdsl import UnsupportedEsQuery
+    with pytest.raises(UnsupportedEsQuery, match=r"\$\.knn"):
+        engine.es_search({"retriever": {"knn": {
+            "field": "embedding", "query_vector": vec, "k": 5,
+            "similarity": 0.5}}, "size": 5})
