@@ -1930,7 +1930,8 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
         # only in the precise direction). Kibana panels send it.
         int(body.get("shard_size", 0))
         _reject_extras(body, {"field", "size", "order", "missing",
-                              "shard_size", "min_doc_count"}, p)
+                              "shard_size", "min_doc_count",
+                              "include", "exclude"}, p)
         mdc = int(body.get("min_doc_count", 1))
         if mdc == 0:
             # terms min_doc_count: 0 = "every field value in the index,
@@ -1946,6 +1947,36 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
             # ES `missing`: docs without the field land in a named
             # bucket instead of being dropped
             expr = F.coalesce(expr, F.lit(body["missing"]))
+        pre = None
+        if "include" in body or "exclude" in body:
+            # ES terms include/exclude — Kibana's "filter the buckets"
+            # knob. Buckets are value-partitioned, so bucket filtering
+            # ≡ a ROW predicate on the term expression: it pushes to
+            # the scan instead of post-filtering the aggregate. Arrays
+            # are exact values; strings are Lucene regexps, which are
+            # FULL-string matches — anchored here as ^(?:...)$ (the
+            # common alternation/class patterns Kibana emits are
+            # Java ≡ RE2 ≡ Lucene; exotic Java-only constructs would
+            # diverge from ES's Lucene syntax — keep patterns simple).
+            # exclude wins over include, ES precedence.
+            def _ie_pred(spec_ie, key):
+                if isinstance(spec_ie, (list, tuple)):
+                    if not spec_ie:
+                        _fail(f"{p}.{key}", "value array must be "
+                                            "non-empty")
+                    return expr.isin(list(spec_ie))
+                if isinstance(spec_ie, str):
+                    return expr.rlike(f"^(?:{spec_ie})$")
+                _fail(f"{p}.{key}",
+                      "include/exclude take a value array or a regexp "
+                      "string (partition-map spellings are not "
+                      "implemented)")
+
+            pre = F.lit(True)
+            if "include" in body:
+                pre = pre & _ie_pred(body["include"], "include")
+            if "exclude" in body:
+                pre = pre & ~_ie_pred(body["exclude"], "exclude")
         order_spec = None
         if "order" in body:
             od = body["order"]
@@ -1959,7 +1990,7 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                                     f"got {dirn!r}")
             order_spec = (str(tgt), dirn)
         return {"expr": expr, "order": "count",
-                "size": int(body.get("size", 10)), "pre": None,
+                "size": int(body.get("size", 10)), "pre": pre,
                 "order_spec": order_spec, "min_dc": mdc}
     if atype == "date_histogram":
         import re as _re

@@ -9663,6 +9663,35 @@ def search_es_retriever_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     })["hits"]
 
 
+@q(
+    "agg_es_terms_include_door",
+    oracle="""
+SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       max(value) AS vmax
+FROM events
+WHERE regexp_matches(event_type, '^(?:(c|v|s).*)$')
+  AND event_type NOT IN ('signup')
+GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10
+""",
+)
+def agg_es_terms_include_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms ``include``/``exclude`` (r13 late wave — was loud):
+    Kibana's "filter the buckets" knob. Buckets are value-partitioned,
+    so bucket filtering compiles to a ROW predicate on the term
+    expression — pushed to the scan, never a post-filter on the
+    aggregate; a regexp include is Lucene's FULL-string match (anchored
+    ^(?:...)$ — identical in Java and RE2 for the alternation/class
+    patterns Kibana emits), and exclude wins over include
+    (operators.esdsl, terms arm `pre` predicate)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), {"aggs": {"t": {
+        "terms": {"field": "event_type", "include": "(c|v|s).*",
+                  "exclude": ["signup"]},
+        "aggs": {"vmax": {"max": {"field": "value"}}},
+    }}})["t"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9682,19 +9711,19 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 7 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 8 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
 # agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
-# agg_es_nested_bucket_sort_door, search_es_retriever_standard);
-# never-checked leads, so the LAST seven r8 IOUs of the window
-# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
-# agg_top_hits_latest, agg_t_test_welch, agg_string_stats,
-# agg_sibling_buckets) are displaced into the cohort, which therefore
-# holds 32 r8-evidence rows. After r13 the freshness histogram is
-# r8x32 / r9x50 / r10x50 / r11x49 / r12x50 / r13x50 (281 rows) and
-# the r14 window MUST lead with the 32 r8 names after r14's own
-# new/changed rows.
+# agg_es_nested_bucket_sort_door, search_es_retriever_standard,
+# agg_es_terms_include_door); never-checked leads, so the LAST eight
+# r8 IOUs of the window (agg_value_histogram, agg_weighted_avg,
+# agg_top_metrics, agg_top_hits_latest, agg_t_test_welch,
+# agg_string_stats, agg_sibling_buckets, agg_serial_diff) are
+# displaced into the cohort, which therefore holds 33 r8-evidence
+# rows. After r13 the freshness histogram is r8x33 / r9x50 / r10x50 /
+# r11x49 / r12x50 / r13x50 (282 rows) and the r14 window MUST lead
+# with the 33 r8 names after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
     # rows (scripted metrics / runtime fields / anchored date math):
@@ -9705,6 +9734,7 @@ _NEXT_WINDOW_IOUS = [
     "agg_t_test_welch",
     "agg_string_stats",
     "agg_sibling_buckets",
+    "agg_serial_diff",
     # the 25 r8-evidence IOUs displaced by the r13 main wave:
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
@@ -9761,6 +9791,7 @@ _DRIVER_PRIORITY = [
     "agg_es_auto_interval_metrics_door",
     "agg_es_nested_bucket_sort_door",
     "search_es_retriever_standard",
+    "agg_es_terms_include_door",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -9817,7 +9848,6 @@ _DRIVER_PRIORITY = [
     "agg_pipeline_daily_delta",
     "agg_random_sampler",
     "agg_range_named",
-    "agg_serial_diff",
 ]
 
 

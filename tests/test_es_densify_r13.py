@@ -286,3 +286,45 @@ SELECT event_type AS key,
 FROM events GROUP BY 1, 2
 """, sdf=sdf)
     assert not problems and n > 0, problems
+
+
+# ----------------------------------------- terms include / exclude
+
+
+def test_terms_include_exclude(spark, sf_dir):
+    """Arrays are exact values, strings are anchored (Lucene full-
+    match) regexps, exclude wins over include, and the predicate rides
+    the SCAN (a row filter, not a bucket post-filter)."""
+    ev = load(spark, sf_dir, "events")
+
+    def run(**kw):
+        return sorted(
+            r["key"] for r in es_aggs(ev, {"aggs": {"t": {
+                "terms": {"field": "event_type", **kw}}}})["t"].collect()
+        )
+
+    allk = run()
+    assert run(include=["click", "view"]) == ["click", "view"]
+    assert run(exclude=["click", "view"]) == \
+        [k for k in allk if k not in ("click", "view")]
+    # regex include is FULL-string: 'click|view' matches exactly those
+    assert run(include="click|view") == ["click", "view"]
+    # 'c.*' must not partial-match inside longer values
+    assert run(include="c.*") == [k for k in allk if k.startswith("c")]
+    assert run(include="click|view", exclude=["view"]) == ["click"]
+    with pytest.raises(UnsupportedEsQuery, match="non-empty"):
+        run(include=[])
+    with pytest.raises(UnsupportedEsQuery, match="regexp"):
+        run(include={"partition": 0, "num_partitions": 2})
+
+
+def test_terms_include_nested_level(spark, sf_dir):
+    """include/exclude participate at nested levels too (the spec's
+    pre-predicate composes with the split scan filter)."""
+    ev = load(spark, sf_dir, "events")
+    out = es_aggs(ev, {"aggs": {"t": {
+        "terms": {"field": "event_type", "include": ["click", "view"]},
+        "aggs": {"daily": {"date_histogram": {
+            "field": "ts", "calendar_interval": "week"}}},
+    }}})["t"]
+    assert sorted({r["key"] for r in out.collect()}) == ["click", "view"]
