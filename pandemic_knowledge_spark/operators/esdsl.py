@@ -2019,10 +2019,41 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                 _fail(p, "fixed_interval width must be > 0")
         _reject_extras(body, {"field", "calendar_interval",
                               "fixed_interval", "min_doc_count",
-                              "extended_bounds", "time_zone"}, p)
+                              "extended_bounds", "time_zone",
+                              "offset"}, p)
         mdc = int(body.get("min_doc_count", 1))
         tz = body.get("time_zone")
+        off_secs = 0
+        if "offset" in body:
+            # ES date_histogram `offset`: shift every bucket boundary
+            # by ±N units — compute as round(ts - offset) + offset (the
+            # ES rule), so keys land offset-aligned. The dense-spine
+            # stepping stays valid (an INTERVAL walk from an offset-
+            # aligned key stays offset-aligned). offset × time_zone
+            # composes two boundary shifts — refused, not guessed.
+            om = _re.fullmatch(r"([+-])(\d+)(s|m|h|d)",
+                               str(body["offset"]))
+            if not om:
+                _fail(f"{p}.offset",
+                      f"offset {body['offset']!r} is not implemented "
+                      "(±N(s|m|h|d))")
+            if tz is not None:
+                _fail(f"{p}.offset",
+                      "offset with time_zone is not implemented — "
+                      "drop one")
+            off_secs = (int(om.group(2))
+                        * {"s": 1, "m": 60, "h": 3600, "d": 86400}
+                        [om.group(3)])
+            if om.group(1) == "-":
+                off_secs = -off_secs
         key_col = F.col(field)
+
+        def _with_offset(trunc_fn, c):
+            # ES offset rule: round(ts - offset) + offset
+            if not off_secs:
+                return trunc_fn(c)
+            step_off = F.expr(f"INTERVAL {off_secs} SECOND")
+            return trunc_fn(c - step_off) + step_off
         if fixed_w is not None:
             if tz is not None:
                 _fail(f"{p}.time_zone",
@@ -2051,10 +2082,12 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                 hi = _req(eb, "max", f"{p}.extended_bounds")
                 _reject_extras(eb, {"min", "max"}, f"{p}.extended_bounds")
                 ext = (
-                    _fixed_bucket(F.to_timestamp(F.lit(str(lo)))),
-                    _fixed_bucket(F.to_timestamp(F.lit(str(hi)))),
+                    _with_offset(_fixed_bucket,
+                                 F.to_timestamp(F.lit(str(lo)))),
+                    _with_offset(_fixed_bucket,
+                                 F.to_timestamp(F.lit(str(hi)))),
                 )
-            return {"expr": _fixed_bucket(key_col),
+            return {"expr": _with_offset(_fixed_bucket, key_col),
                     "order": "key", "size": None, "pre": None,
                     "dense": mdc == 0,
                     # the spine/shift machinery is interval-string
@@ -2083,7 +2116,8 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                 str(tz),
             )
         else:
-            key_expr = F.date_trunc(_CAL_TRUNC[unit], key_col)
+            key_expr = _with_offset(
+                lambda c: F.date_trunc(_CAL_TRUNC[unit], c), key_col)
         ext = None
         if "extended_bounds" in body:
             # ES extended_bounds: force the dense spine to cover AT
@@ -2101,9 +2135,9 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
             hi = _req(eb, "max", f"{p}.extended_bounds")
             _reject_extras(eb, {"min", "max"}, f"{p}.extended_bounds")
             ext = (
-                F.date_trunc(_CAL_TRUNC[unit],
+                _with_offset(lambda c: F.date_trunc(_CAL_TRUNC[unit], c),
                              F.to_timestamp(F.lit(str(lo)))),
-                F.date_trunc(_CAL_TRUNC[unit],
+                _with_offset(lambda c: F.date_trunc(_CAL_TRUNC[unit], c),
                              F.to_timestamp(F.lit(str(hi)))),
             )
         return {"expr": key_expr,

@@ -9692,6 +9692,34 @@ def agg_es_terms_include_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     }}})["t"]
 
 
+@q(
+    "agg_es_histogram_offset_door",
+    oracle="""
+SELECT CAST(date_trunc('week', ts + INTERVAL 1 DAY)
+            - INTERVAL 1 DAY AS TIMESTAMP) AS key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY 1 ORDER BY key
+""",
+)
+def agg_es_histogram_offset_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``date_histogram`` ``offset`` (r13 late wave — was loud): the
+    Kibana week-start shift. ES's rule is round(ts − offset) + offset,
+    so ``-1d`` on week buckets yields SUNDAY-start weeks (date_trunc's
+    ISO Monday minus a day). The shift is two interval adds around the
+    same pushable truncation — still one scan, one grouped shuffle;
+    offset composes with fixed_interval widths and dense spines
+    (offset-aligned keys step cleanly), offset × time_zone refused
+    (operators.esdsl, date_histogram arm `_with_offset`)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), {"aggs": {"w": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week",
+                           "offset": "-1d"},
+        "aggs": {"users": {"cardinality": {"field": "user_id"}}},
+    }}})["w"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9711,19 +9739,20 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 8 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 9 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
 # agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
 # agg_es_nested_bucket_sort_door, search_es_retriever_standard,
-# agg_es_terms_include_door); never-checked leads, so the LAST eight
-# r8 IOUs of the window (agg_value_histogram, agg_weighted_avg,
-# agg_top_metrics, agg_top_hits_latest, agg_t_test_welch,
-# agg_string_stats, agg_sibling_buckets, agg_serial_diff) are
-# displaced into the cohort, which therefore holds 33 r8-evidence
-# rows. After r13 the freshness histogram is r8x33 / r9x50 / r10x50 /
-# r11x49 / r12x50 / r13x50 (282 rows) and the r14 window MUST lead
-# with the 33 r8 names after r14's own new/changed rows.
+# agg_es_terms_include_door, agg_es_histogram_offset_door);
+# never-checked leads, so the LAST nine r8 IOUs of the window
+# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
+# agg_top_hits_latest, agg_t_test_welch, agg_string_stats,
+# agg_sibling_buckets, agg_serial_diff, agg_range_named) are
+# displaced into the cohort, which therefore holds 34 r8-evidence
+# rows. After r13 the freshness histogram is r8x34 / r9x50 / r10x50 /
+# r11x49 / r12x50 / r13x50 (283 rows) and the r14 window MUST lead
+# with the 34 r8 names after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
     # rows (scripted metrics / runtime fields / anchored date math):
@@ -9735,6 +9764,7 @@ _NEXT_WINDOW_IOUS = [
     "agg_string_stats",
     "agg_sibling_buckets",
     "agg_serial_diff",
+    "agg_range_named",
     # the 25 r8-evidence IOUs displaced by the r13 main wave:
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
@@ -9792,6 +9822,7 @@ _DRIVER_PRIORITY = [
     "agg_es_nested_bucket_sort_door",
     "search_es_retriever_standard",
     "agg_es_terms_include_door",
+    "agg_es_histogram_offset_door",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -9847,7 +9878,6 @@ _DRIVER_PRIORITY = [
     "agg_percentiles_bucket",
     "agg_pipeline_daily_delta",
     "agg_random_sampler",
-    "agg_range_named",
 ]
 
 

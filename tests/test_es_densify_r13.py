@@ -328,3 +328,59 @@ def test_terms_include_nested_level(spark, sf_dir):
             "field": "ts", "calendar_interval": "week"}}},
     }}})["t"]
     assert sorted({r["key"] for r in out.collect()}) == ["click", "view"]
+
+
+# --------------------------------------------- date_histogram offset
+
+
+def test_date_histogram_offset_parity(spark, sf_dir):
+    """ES offset rule round(ts - offset) + offset: +6h day buckets land
+    at 06:00, vs the DuckDB twin; -1d week buckets give Sunday starts
+    (the classic Kibana week-start shift)."""
+    ev = load(spark, sf_dir, "events")
+    sdf = es_aggs(ev, {"aggs": {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day", "offset": "+6h"}}}})["d"]
+    problems, n = compare_query(spark, sf_dir, None, """
+SELECT CAST(date_trunc('day', ts - INTERVAL 6 HOUR)
+            + INTERVAL 6 HOUR AS TIMESTAMP) AS key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM events GROUP BY 1 ORDER BY key
+""", sdf=sdf)
+    assert not problems and n > 0, problems
+    wk = es_aggs(ev, {"aggs": {"w": {"date_histogram": {
+        "field": "ts", "calendar_interval": "week",
+        "offset": "-1d"}}}})["w"]
+    assert all(r["key"].weekday() == 6 for r in wk.collect())  # Sunday
+
+
+def test_date_histogram_offset_dense_and_fixed(spark, sf_dir):
+    """offset composes with min_doc_count: 0 (the spine steps stay
+    offset-aligned) and with fixed_interval widths."""
+    ev = load(spark, sf_dir, "events")
+    dense = es_aggs(ev, {
+        "query": {"range": {"value": {"gte": 250.0}}},
+        "aggs": {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day", "offset": "+6h",
+            "min_doc_count": 0}}}})["d"].collect()
+    assert all(r["key"].hour == 6 for r in dense)
+    keys = [r["key"] for r in dense]
+    assert all((b - a).total_seconds() == 86400.0
+               for a, b in zip(keys, keys[1:]))
+    fx = es_aggs(ev, {"aggs": {"f": {"date_histogram": {
+        "field": "ts", "fixed_interval": "12h",
+        "offset": "+2h"}}}})["f"].collect()
+    assert all(r["key"].hour in (2, 14) for r in fx)
+
+
+def test_date_histogram_offset_rejections(spark, sf_dir):
+    """Malformed offsets and offset × time_zone raise with the path."""
+    ev = load(spark, sf_dir, "events")
+    for bad in ("6h", "+6q", "+1.5h"):
+        with pytest.raises(UnsupportedEsQuery, match="offset"):
+            es_aggs(ev, {"aggs": {"d": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day",
+                "offset": bad}}}})
+    with pytest.raises(UnsupportedEsQuery, match="offset"):
+        es_aggs(ev, {"aggs": {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "offset": "+6h", "time_zone": "+02:00"}}}})
