@@ -3842,11 +3842,34 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
               "families densify")
     (i_inner, i_pipelines, i_frame_pipes, i_card_pipes,
      i_metrics) = _split_sub_aggs(isub, f"{path}.aggs.{iname}")
-    if i_card_pipes:
+    if i_card_pipes and i_inner is not None:
         _fail(f"{path}.aggs.{iname}.aggs",
-              "cumulative_cardinality inside a nested bucket is not "
-              "implemented (per-parent first-seen frames) — run it on a "
-              "single-level histogram")
+              "cumulative_cardinality inside three-level nesting is "
+              "not implemented")
+    i_card_specs = []
+    for pname, pbody in i_card_pipes.items():
+        # per-parent EXACT cumulative_cardinality (r13 late wave — was
+        # loud): within each split value, a key contributes from the
+        # inner bucket of its first appearance in THAT parent onward
+        # (ES's independent-instance semantics) — one
+        # groupBy(parent, field).min(inner_key) reduction + the shared
+        # per-parent cumulative_sum walk; same shape as the proven
+        # single-level form, keyed by (parent, bucket).
+        pp = f"{path}.aggs.{iname}.aggs.{pname}"
+        ref = str(_req(pbody, "buckets_path", pp))
+        _reject_extras(pbody, {"buckets_path"}, pp)
+        sib = i_metrics.get(ref)
+        if (not isinstance(sib, dict)
+                or next(iter(sib), None) != "cardinality"):
+            _fail(f"{pp}.buckets_path",
+                  f"{ref!r} must name a sibling cardinality metric "
+                  "(its field is the key the cumulative count walks)")
+        if inner["order"] != "key":
+            _fail(pp, "cumulative_cardinality needs an ordered inner "
+                      "bucket (date_histogram or histogram)")
+        i_card_specs.append(
+            (pname, _req(sib["cardinality"], "field", f"{pp}.field"))
+        )
     if i_inner is not None:
         return _three_level_agg(filtered, outer, inner_entry, i_inner,
                                 i_pipelines, i_metrics, path, p,
@@ -3888,6 +3911,25 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         grouped = grouped.join(
             F.broadcast(totals.select("key")), "key", "left_semi"
         )
+    for pname, fld in i_card_specs:
+        # per-(parent, key-value) first-seen counts — the new-keys
+        # frame is bucket-count-sized, broadcast onto the grouped
+        # frame; the synthetic per-parent cumulative_sum integrates it
+        firsts = (
+            framed.where(F.col(fld).isNotNull())
+            .groupBy("key", fld)
+            .agg(F.min(ikey).alias(ikey))
+            .groupBy("key", ikey)
+            .agg(F.count(F.lit(1)).alias(f"__new_{pname}"))
+        )
+        grouped = grouped.join(F.broadcast(firsts), ["key", ikey], "left")
+        grouped = grouped.withColumn(
+            f"__new_{pname}",
+            F.coalesce(F.col(f"__new_{pname}"), F.lit(0)),
+        )
+        i_pipelines[pname] = (
+            "cumulative_sum", {"buckets_path": f"__new_{pname}"}
+        )
     if inner.get("dense"):
         # ES min_doc_count: 0 inside a split: each parent's histogram
         # is an independent sub-aggregation instance, so the spine is
@@ -3898,6 +3940,11 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         grouped = _densify_per_parent(
             grouped, ["key"], ikey, inner["step"], inner.get("ext")
         )
+        for pname, _ in i_card_specs:  # gap buckets add no new keys
+            grouped = grouped.withColumn(
+                f"__new_{pname}",
+                F.coalesce(F.col(f"__new_{pname}"), F.lit(0)),
+            )
     if inner.get("min_dc", 1) > 1:
         grouped = grouped.where(F.col("doc_count") >= inner["min_dc"])
     if inner["order"] == "count" and inner["size"] is not None:
@@ -3916,6 +3963,8 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         grouped, i_pipelines, ikey, ["key"], inner,
         f"{path}.aggs.{iname}",
     )
+    if i_card_specs:
+        grouped = grouped.drop(*[f"__new_{n}" for n, _ in i_card_specs])
     if i_frame_pipes:
         # bucket_script/bucket_selector are row-local (they apply
         # unchanged); bucket_sort pages PER PARENT via one window over

@@ -9720,6 +9720,55 @@ def agg_es_histogram_offset_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     }}})["w"]
 
 
+@q(
+    "agg_es_split_cumcard_door",
+    oracle="""
+WITH g AS (
+  SELECT event_type AS key,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS weekly_key,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS users
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT event_type AS key,
+         CAST(date_trunc('week', mts) AS TIMESTAMP) AS weekly_key,
+         CAST(count(*) AS BIGINT) AS new_u
+  FROM (SELECT event_type, user_id, min(ts) AS mts
+        FROM events GROUP BY 1, 2)
+  GROUP BY 1, 2
+)
+SELECT g.key, g.weekly_key, g.doc_count, g.users,
+       CAST(sum(COALESCE(f.new_u, 0)) OVER (
+         PARTITION BY g.key ORDER BY g.weekly_key) AS BIGINT) AS cu
+FROM g LEFT JOIN f USING (key, weekly_key)
+ORDER BY key, weekly_key
+""",
+)
+def agg_es_split_cumcard_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ``cumulative_cardinality`` INSIDE a split (r13 late wave —
+    was loud): the "distinct users to date, per series" Kibana line.
+    ES merges per-bucket HLL sketches; exactly and distributed it
+    reduces to PER-PARENT first-seen buckets — one
+    groupBy(split, user).min(week) reduction (bucket-count-sized,
+    broadcast), then the shared per-parent cumulative_sum walk. Each
+    split value counts its own first appearances — parents never share
+    state (operators.esdsl, i_card_specs arm)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), {"aggs": {"t": {
+        "terms": {"field": "event_type"},
+        "aggs": {"weekly": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "week"},
+            "aggs": {
+                "users": {"cardinality": {"field": "user_id"}},
+                "cu": {"cumulative_cardinality": {
+                    "buckets_path": "users"}},
+            },
+        }},
+    }}})["t"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9739,20 +9788,21 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 9 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 10 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
 # agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
 # agg_es_nested_bucket_sort_door, search_es_retriever_standard,
-# agg_es_terms_include_door, agg_es_histogram_offset_door);
-# never-checked leads, so the LAST nine r8 IOUs of the window
-# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
-# agg_top_hits_latest, agg_t_test_welch, agg_string_stats,
-# agg_sibling_buckets, agg_serial_diff, agg_range_named) are
-# displaced into the cohort, which therefore holds 34 r8-evidence
-# rows. After r13 the freshness histogram is r8x34 / r9x50 / r10x50 /
-# r11x49 / r12x50 / r13x50 (283 rows) and the r14 window MUST lead
-# with the 34 r8 names after r14's own new/changed rows.
+# agg_es_terms_include_door, agg_es_histogram_offset_door,
+# agg_es_split_cumcard_door); never-checked leads, so the LAST ten
+# r8 IOUs of the window (agg_value_histogram, agg_weighted_avg,
+# agg_top_metrics, agg_top_hits_latest, agg_t_test_welch,
+# agg_string_stats, agg_sibling_buckets, agg_serial_diff,
+# agg_range_named, agg_random_sampler) are displaced into the
+# cohort, which therefore holds 35 r8-evidence rows. After r13 the
+# freshness histogram is r8x35 / r9x50 / r10x50 / r11x49 / r12x50 /
+# r13x50 (284 rows) and the r14 window MUST lead with the 35 r8
+# names after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
     # rows (scripted metrics / runtime fields / anchored date math):
@@ -9765,6 +9815,7 @@ _NEXT_WINDOW_IOUS = [
     "agg_sibling_buckets",
     "agg_serial_diff",
     "agg_range_named",
+    "agg_random_sampler",
     # the 25 r8-evidence IOUs displaced by the r13 main wave:
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
@@ -9823,6 +9874,7 @@ _DRIVER_PRIORITY = [
     "search_es_retriever_standard",
     "agg_es_terms_include_door",
     "agg_es_histogram_offset_door",
+    "agg_es_split_cumcard_door",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -9877,7 +9929,6 @@ _DRIVER_PRIORITY = [
     "agg_percentile_quantity",
     "agg_percentiles_bucket",
     "agg_pipeline_daily_delta",
-    "agg_random_sampler",
 ]
 
 

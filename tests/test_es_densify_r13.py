@@ -384,3 +384,99 @@ def test_date_histogram_offset_rejections(spark, sf_dir):
         es_aggs(ev, {"aggs": {"d": {"date_histogram": {
             "field": "ts", "calendar_interval": "day",
             "offset": "+6h", "time_zone": "+02:00"}}}})
+
+
+# --------------------------- cumulative_cardinality inside a split
+
+
+def test_nested_cumulative_cardinality_per_parent(spark):
+    """Within each split value a key contributes from its first
+    appearance in THAT parent onward — parents never share state."""
+    rows = [("a", 1, "u1"), ("a", 1, "u2"), ("a", 2, "u1"),
+            ("a", 3, "u3"), ("b", 1, "u1"), ("b", 2, "u9"),
+            ("b", 3, "u9")]
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, d), u) for k, d, u in rows],
+        "kind string, ts timestamp, u string")
+    out = es_aggs(df, {"aggs": {"t": {
+        "terms": {"field": "kind"},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {
+                "users": {"cardinality": {"field": "u"}},
+                "cu": {"cumulative_cardinality": {
+                    "buckets_path": "users"}},
+            },
+        }},
+    }}})["t"]
+    got = [(r["key"], r["daily_key"].day, r["users"], r["cu"])
+           for r in out.collect()]
+    assert got == [("a", 1, 2, 2), ("a", 2, 1, 2), ("a", 3, 1, 3),
+                   ("b", 1, 1, 1), ("b", 2, 1, 2), ("b", 3, 1, 2)]
+
+
+def test_nested_cumcard_duckdb_parity(spark, sf_dir):
+    """The testdata shape vs a first-seen + windowed-sum DuckDB twin."""
+    sdf = es_aggs(load(spark, sf_dir, "events"), {"aggs": {"t": {
+        "terms": {"field": "event_type"},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "week"},
+            "aggs": {
+                "users": {"cardinality": {"field": "user_id"}},
+                "cu": {"cumulative_cardinality": {
+                    "buckets_path": "users"}},
+            },
+        }},
+    }}})["t"]
+    problems, n = compare_query(spark, sf_dir, None, """
+WITH g AS (
+  SELECT event_type AS key,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS daily_key,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS users
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT event_type AS key,
+         CAST(date_trunc('week', mts) AS TIMESTAMP) AS daily_key,
+         CAST(count(*) AS BIGINT) AS new_u
+  FROM (SELECT event_type, user_id, min(ts) AS mts
+        FROM events GROUP BY 1, 2)
+  GROUP BY 1, 2
+)
+SELECT g.key, g.daily_key, g.doc_count, g.users,
+       CAST(sum(COALESCE(f.new_u, 0)) OVER (
+         PARTITION BY g.key ORDER BY g.daily_key) AS BIGINT) AS cu
+FROM g LEFT JOIN f USING (key, daily_key)
+""", sdf=sdf)
+    assert not problems and n > 0, problems
+
+
+def test_nested_cumcard_rejections(spark, sf_dir):
+    """buckets_path must name a sibling cardinality; terms inner
+    buckets and three-level placements stay loud."""
+    ev = load(spark, sf_dir, "events")
+    with pytest.raises(UnsupportedEsQuery, match="cardinality"):
+        es_aggs(ev, {"aggs": {"t": {
+            "terms": {"field": "event_type"},
+            "aggs": {"daily": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"cu": {"cumulative_cardinality": {
+                    "buckets_path": "nope"}}},
+            }},
+        }}})
+    with pytest.raises(UnsupportedEsQuery, match="ordered inner"):
+        es_aggs(ev, {"aggs": {"t": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"by_type": {
+                "terms": {"field": "event_type"},
+                "aggs": {
+                    "users": {"cardinality": {"field": "user_id"}},
+                    "cu": {"cumulative_cardinality": {
+                        "buckets_path": "users"}},
+                },
+            }},
+        }}})
