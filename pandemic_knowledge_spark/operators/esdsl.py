@@ -2089,7 +2089,7 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                 )
             return {"expr": _with_offset(_fixed_bucket, key_col),
                     "order": "key", "size": None, "pre": None,
-                    "dense": mdc == 0,
+                    "dense": mdc == 0, "min_dc": mdc,
                     # the spine/shift machinery is interval-string
                     # driven, so fixed widths ride it unchanged (exact
                     # second stepping — no DST hazard without a zone)
@@ -2144,8 +2144,11 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                 "order": "key", "size": None, "pre": None,
                 # min_doc_count=0 (ES's default; the door defaults to 1 —
                 # emit-nonempty-only — to keep existing green rows'
-                # semantics): densify with a bounded calendar spine
-                "dense": mdc == 0,
+                # semantics): densify with a bounded calendar spine.
+                # min_dc > 1 prunes sparse buckets (was silently
+                # IGNORED pre-r13-late — the drop-seam class; the
+                # generic prune blocks read it now)
+                "dense": mdc == 0, "min_dc": mdc,
                 "step": _CAL_STEP[unit],
                 "unit": unit,
                 "ext": ext,
@@ -2180,7 +2183,7 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
             "expr": F.floor(F.col(field) / F.lit(interval)) * F.lit(interval),
             "order": "key", "size": None,
             "pre": F.col(field).isNotNull(),
-            "dense": mdc == 0,
+            "dense": mdc == 0, "min_dc": mdc,
             "step": interval,
             "ext": ext,
             # pipeline two-phase partition: 1,024 buckets per partition
@@ -2316,6 +2319,15 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
         _fail(path, "cumulative_sum/derivative/serial_diff/moving_fn need "
                     "an ordered parent bucket (date_histogram or "
                     "histogram)")
+    if parent.get("min_dc", 1) > 1 and any(
+        t != "normalize" for t, _ in pipelines.values()
+    ):
+        # min_doc_count > 1 prunes sparse buckets (r13-late fix of a
+        # silent ignore); walk pipelines over a PRUNED sequence mix two
+        # semantics (ES steps returned positions, the shift machinery
+        # steps key intervals) — refused, not guessed
+        _fail(path, "walk pipelines under min_doc_count > 1 are not "
+                    "implemented (pruned-bucket sequences) — drop one")
     from pyspark.sql import Window
 
     specs, shifted, normalizes = [], [], []
@@ -3674,6 +3686,13 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
             if outer["order"] != "key":
                 _fail(pp, "cumulative_cardinality needs an ordered parent "
                           "bucket (date_histogram or histogram)")
+            if outer.get("min_dc", 1) > 1:
+                _fail(pp, "cumulative_cardinality under min_doc_count "
+                          "> 1 is not implemented (ES walks the "
+                          "RETURNED buckets — a key first seen in a "
+                          "pruned bucket counts from its next "
+                          "appearance; the first-seen reduction here "
+                          "would drop it) — drop one")
             card_specs.append(
                 (pname, _req(sib["cardinality"], "field", f"{pp}.field"))
             )
@@ -3867,6 +3886,10 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         if inner["order"] != "key":
             _fail(pp, "cumulative_cardinality needs an ordered inner "
                       "bucket (date_histogram or histogram)")
+        if inner.get("min_dc", 1) > 1:
+            _fail(pp, "cumulative_cardinality under min_doc_count > 1 "
+                      "is not implemented (pruned-bucket first-seen "
+                      "divergence — see the single-level guard)")
         i_card_specs.append(
             (pname, _req(sib["cardinality"], "field", f"{pp}.field"))
         )

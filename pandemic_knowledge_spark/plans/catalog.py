@@ -9769,6 +9769,40 @@ def agg_es_split_cumcard_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     }}})["t"]
 
 
+@q(
+    "agg_es_mindc_prune_door",
+    oracle="""
+SELECT event_type AS key,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily_key,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM events WHERE value >= 250.0
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY key, daily_key
+""",
+)
+def agg_es_mindc_prune_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``min_doc_count`` > 1 on the HISTOGRAM family (r13 late-wave
+    adversarial-self-review fix: the key was ACCEPTED and silently
+    ignored — the drop-seam class): sparse buckets are pruned, here at
+    a nested level (terms split × daily histogram, the "hide thin
+    slices" Kibana knob). A plain HAVING-style filter on the
+    bucket-count-sized frame; walk pipelines and
+    cumulative_cardinality over pruned sequences are refused loudly
+    (positional vs key-interval stepping would silently diverge)
+    (operators.esdsl, histogram-family min_dc)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), {
+        "query": {"range": {"value": {"gte": 250.0}}},
+        "aggs": {"t": {
+            "terms": {"field": "event_type"},
+            "aggs": {"daily": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day",
+                "min_doc_count": 2}}},
+        }},
+    })["t"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9788,21 +9822,22 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 10 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 11 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
 # agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
 # agg_es_nested_bucket_sort_door, search_es_retriever_standard,
 # agg_es_terms_include_door, agg_es_histogram_offset_door,
-# agg_es_split_cumcard_door); never-checked leads, so the LAST ten
-# r8 IOUs of the window (agg_value_histogram, agg_weighted_avg,
-# agg_top_metrics, agg_top_hits_latest, agg_t_test_welch,
-# agg_string_stats, agg_sibling_buckets, agg_serial_diff,
-# agg_range_named, agg_random_sampler) are displaced into the
-# cohort, which therefore holds 35 r8-evidence rows. After r13 the
-# freshness histogram is r8x35 / r9x50 / r10x50 / r11x49 / r12x50 /
-# r13x50 (284 rows) and the r14 window MUST lead with the 35 r8
-# names after r14's own new/changed rows.
+# agg_es_split_cumcard_door, agg_es_mindc_prune_door); never-checked
+# leads, so the LAST eleven r8 IOUs of the window
+# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
+# agg_top_hits_latest, agg_t_test_welch, agg_string_stats,
+# agg_sibling_buckets, agg_serial_diff, agg_range_named,
+# agg_random_sampler, agg_pipeline_daily_delta) are displaced into
+# the cohort, which therefore holds 36 r8-evidence rows. After r13
+# the freshness histogram is r8x36 / r9x50 / r10x50 / r11x49 /
+# r12x50 / r13x50 (285 rows) and the r14 window MUST lead with the
+# 36 r8 names after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
     # rows (scripted metrics / runtime fields / anchored date math):
@@ -9816,6 +9851,7 @@ _NEXT_WINDOW_IOUS = [
     "agg_serial_diff",
     "agg_range_named",
     "agg_random_sampler",
+    "agg_pipeline_daily_delta",
     # the 25 r8-evidence IOUs displaced by the r13 main wave:
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
@@ -9875,6 +9911,7 @@ _DRIVER_PRIORITY = [
     "agg_es_terms_include_door",
     "agg_es_histogram_offset_door",
     "agg_es_split_cumcard_door",
+    "agg_es_mindc_prune_door",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -9928,7 +9965,6 @@ _DRIVER_PRIORITY = [
     "agg_normalize_pipeline",
     "agg_percentile_quantity",
     "agg_percentiles_bucket",
-    "agg_pipeline_daily_delta",
 ]
 
 

@@ -480,3 +480,60 @@ def test_nested_cumcard_rejections(spark, sf_dir):
                 },
             }},
         }}})
+
+
+# ---------------------- histogram min_doc_count > 1 (silent-ignore fix)
+
+
+def test_histogram_min_doc_count_prunes(spark):
+    """min_doc_count > 1 on date_histogram/histogram PRUNES sparse
+    buckets (pre-fix it was accepted and silently ignored — the
+    drop-seam class this engine's verdicts keep closing)."""
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5.0),
+         (2, dt.datetime(2024, 1, 1), 5.5),
+         (3, dt.datetime(2024, 1, 2), 15.0)],
+        "id long, ts timestamp, v double")
+    out = es_aggs(df, {"aggs": {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "min_doc_count": 2}}}})["d"].collect()
+    assert [(r["key"].day, r["doc_count"]) for r in out] == [(1, 2)]
+    hv = es_aggs(df, {"aggs": {"h": {"histogram": {
+        "field": "v", "interval": 10.0,
+        "min_doc_count": 2}}}})["h"].collect()
+    assert [(r["key"], r["doc_count"]) for r in hv] == [(0.0, 2)]
+    # nested level: the inner prune block reads the same spec key
+    nested = es_aggs(df, {"aggs": {"t": {
+        "terms": {"field": "id"},
+        "aggs": {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "min_doc_count": 2}}},
+    }}})["t"].collect()
+    assert nested == []  # every (id, day) bucket holds 1 doc
+
+
+def test_min_doc_count_prune_walk_combos_stay_loud(spark):
+    """Walk pipelines and cumulative_cardinality over a PRUNED bucket
+    sequence mix positional and key-interval semantics — refused."""
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "u1"),
+         (2, dt.datetime(2024, 1, 1), "u2"),
+         (3, dt.datetime(2024, 1, 2), "u3")],
+        "id long, ts timestamp, u string")
+    with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
+        es_aggs(df, {"aggs": {"d": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 2},
+            "aggs": {"cs": {"cumulative_sum": {
+                "buckets_path": "_count"}}},
+        }}})
+    with pytest.raises(UnsupportedEsQuery, match="min_doc_count"):
+        es_aggs(df, {"aggs": {"d": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 2},
+            "aggs": {
+                "users": {"cardinality": {"field": "u"}},
+                "cu": {"cumulative_cardinality": {
+                    "buckets_path": "users"}},
+            },
+        }}})
