@@ -1966,6 +1966,15 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                                             "non-empty")
                     return expr.isin(list(spec_ie))
                 if isinstance(spec_ie, str):
+                    import re as _re2
+
+                    try:  # driver-side validation: a malformed pattern
+                        # raises HERE with the path, not mid-job in Java
+                        _re2.compile(spec_ie)
+                    except _re2.error as exc:
+                        _fail(f"{p}.{key}",
+                              f"regexp {spec_ie!r} does not parse: "
+                              f"{exc}")
                     return expr.rlike(f"^(?:{spec_ie})$")
                 _fail(f"{p}.{key}",
                       "include/exclude take a value array or a regexp "

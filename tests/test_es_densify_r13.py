@@ -537,3 +537,12 @@ def test_min_doc_count_prune_walk_combos_stay_loud(spark):
                     "buckets_path": "users"}},
             },
         }}})
+
+
+def test_terms_include_malformed_regex_pathed(spark, sf_dir):
+    """A malformed include pattern raises driver-side with the path,
+    never a mid-job Java PatternSyntaxException."""
+    ev = load(spark, sf_dir, "events")
+    with pytest.raises(UnsupportedEsQuery, match="does not parse"):
+        es_aggs(ev, {"aggs": {"t": {"terms": {
+            "field": "event_type", "include": "(unclosed"}}}})
