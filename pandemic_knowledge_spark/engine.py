@@ -764,6 +764,74 @@ class Engine:
             F.count(F.lit(1)).cast("long").alias("count")
         )
 
+    def mget(
+        self,
+        ids: list,
+        table: str = "documents",
+        id_col: str = "doc_id",
+        source: list[str] | None = None,
+    ) -> DataFrame:
+        """The ES ``_mget`` API — fetch documents by id, in REQUEST
+        order (ES returns docs positionally; a distributed engine must
+        carry the position explicitly, so the id list becomes a
+        broadcast (pos, id) frame joined to the table — the membership
+        predicate pushes to the scan via the join's dynamic filter, and
+        the final sort is over ≤len(ids) rows). ``source`` projects the
+        ES ``_source`` subset; ids absent from the table are simply
+        absent from the frame (ES marks them found: false)."""
+        from pandemic_knowledge_spark.operators.esdsl import (
+            UnsupportedEsQuery,
+        )
+
+        if not isinstance(ids, (list, tuple)) or not ids:
+            raise UnsupportedEsQuery("$.ids: mget needs a non-empty "
+                                     "id array")
+        t = self.table(table)
+        cols = [id_col] + [c for c in (source or t.columns)
+                           if c != id_col]
+        missing = [c for c in cols if c not in t.columns]
+        if missing:
+            raise UnsupportedEsQuery(
+                f"$._source: unknown column(s) {missing}")
+        req = self.spark.range(1).select(
+            F.posexplode(F.array(*[F.lit(i) for i in ids]))
+            .alias("__pos", id_col)
+        )
+        return (
+            t.join(F.broadcast(req), id_col)
+            .orderBy("__pos")
+            .select(*cols)
+        )
+
+    def terms_enum(
+        self,
+        field: str,
+        string: str | None = None,
+        size: int = 10,
+        case_insensitive: bool = False,
+        table: str = "documents",
+    ) -> DataFrame:
+        """The ES ``_terms_enum`` API — the Kibana autocomplete
+        endpoint: the first ``size`` DISTINCT values of a keyword
+        field, optionally restricted to a prefix, in index (ascending)
+        order. One distinct aggregate over one scan-side
+        prefix-pushable predicate + a bounded top-k; with
+        ``case_insensitive`` the prefix folds case but the RETURNED
+        terms keep their stored form, exactly ES."""
+        t = self.table(table)
+        col = F.col(field)
+        if string:
+            if case_insensitive:
+                pred = F.lower(col).startswith(str(string).lower())
+            else:
+                pred = col.startswith(str(string))
+            t = t.where(pred)
+        return (
+            t.where(col.isNotNull())
+            .select(col.alias("term")).distinct()
+            .orderBy("term").limit(int(size))
+        )
+
     def span_near(
         self,
         query: str,

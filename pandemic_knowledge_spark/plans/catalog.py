@@ -9803,6 +9803,46 @@ def agg_es_mindc_prune_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     })["t"]
 
 
+@q(
+    "search_es_mget",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (7, 3, 11, 5)
+""",
+)
+def search_es_mget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES ``_mget`` API (r13 late wave): fetch documents by id in
+    REQUEST order — the id list becomes a broadcast (pos, id) frame
+    joined to the table (the membership pushes to the scan via the
+    join), final sort over ≤len(ids) rows; ``_source`` projects the
+    subset (Engine.mget)."""
+    from pandemic_knowledge_spark.engine import Engine
+
+    return Engine(spark, sf_dir).mget(
+        [7, 3, 11, 5], source=["lang", "n_chars"]
+    )
+
+
+@q(
+    "search_es_terms_enum",
+    oracle="""
+SELECT DISTINCT event_type AS term FROM events
+WHERE event_type LIKE 's%'
+ORDER BY term LIMIT 10
+""",
+)
+def search_es_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES ``_terms_enum`` API (r13 late wave) — the Kibana
+    autocomplete endpoint: first N distinct values of a keyword field
+    under a prefix, ascending. One scan-side prefix predicate (pushed)
+    + one distinct aggregate + a bounded top-k (Engine.terms_enum)."""
+    from pandemic_knowledge_spark.engine import Engine
+
+    return Engine(spark, sf_dir).terms_enum(
+        "event_type", string="s", size=10, table="events"
+    )
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9822,22 +9862,24 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 11 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 13 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
 # agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
 # agg_es_nested_bucket_sort_door, search_es_retriever_standard,
 # agg_es_terms_include_door, agg_es_histogram_offset_door,
-# agg_es_split_cumcard_door, agg_es_mindc_prune_door); never-checked
-# leads, so the LAST eleven r8 IOUs of the window
-# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
-# agg_top_hits_latest, agg_t_test_welch, agg_string_stats,
-# agg_sibling_buckets, agg_serial_diff, agg_range_named,
-# agg_random_sampler, agg_pipeline_daily_delta) are displaced into
-# the cohort, which therefore holds 36 r8-evidence rows. After r13
-# the freshness histogram is r8x36 / r9x50 / r10x50 / r11x49 /
-# r12x50 / r13x50 (285 rows) and the r14 window MUST lead with the
-# 36 r8 names after r14's own new/changed rows.
+# agg_es_split_cumcard_door, agg_es_mindc_prune_door,
+# search_es_mget, search_es_terms_enum); never-checked leads, so the
+# LAST thirteen r8 IOUs of the window (agg_value_histogram,
+# agg_weighted_avg, agg_top_metrics, agg_top_hits_latest,
+# agg_t_test_welch, agg_string_stats, agg_sibling_buckets,
+# agg_serial_diff, agg_range_named, agg_random_sampler,
+# agg_pipeline_daily_delta, agg_percentile_quantity,
+# agg_percentiles_bucket) are displaced into the cohort, which
+# therefore holds 38 r8-evidence rows. After r13 the freshness
+# histogram is r8x38 / r9x50 / r10x50 / r11x49 / r12x50 / r13x50
+# (287 rows) and the r14 window MUST lead with the 38 r8 names after
+# r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
     # rows (scripted metrics / runtime fields / anchored date math):
@@ -9852,6 +9894,8 @@ _NEXT_WINDOW_IOUS = [
     "agg_range_named",
     "agg_random_sampler",
     "agg_pipeline_daily_delta",
+    "agg_percentile_quantity",
+    "agg_percentiles_bucket",
     # the 25 r8-evidence IOUs displaced by the r13 main wave:
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
@@ -9912,6 +9956,8 @@ _DRIVER_PRIORITY = [
     "agg_es_histogram_offset_door",
     "agg_es_split_cumcard_door",
     "agg_es_mindc_prune_door",
+    "search_es_mget",
+    "search_es_terms_enum",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -9963,8 +10009,6 @@ _DRIVER_PRIORITY = [
     "agg_moving_percentiles",
     "agg_multi_terms",
     "agg_normalize_pipeline",
-    "agg_percentile_quantity",
-    "agg_percentiles_bucket",
 ]
 
 

@@ -403,3 +403,43 @@ def test_retriever_knn_equals_knn_body(spark, engine):
         engine.es_search({"retriever": {"knn": {
             "field": "embedding", "query_vector": vec, "k": 5,
             "similarity": 0.5}}, "size": 5})
+
+
+# ---------------------------------------- document APIs: mget, terms_enum
+
+
+def test_mget_request_order_and_source(spark, sf_dir, engine):
+    """_mget returns docs in REQUEST order with the _source subset;
+    duplicate ids duplicate rows; absent ids are absent."""
+    out = engine.mget([7, 3, 11, 5], source=["lang"])
+    got = [r["doc_id"] for r in out.collect()]
+    assert got == [7, 3, 11, 5]
+    assert out.columns == ["doc_id", "lang"]
+    dup = engine.mget([3, 3], source=["lang"])
+    assert [r["doc_id"] for r in dup.collect()] == [3, 3]
+    sparse = engine.mget([3, 999999999], source=["lang"])
+    assert [r["doc_id"] for r in sparse.collect()] == [3]
+    from pandemic_knowledge_spark.operators.esdsl import UnsupportedEsQuery
+    with pytest.raises(UnsupportedEsQuery, match="non-empty"):
+        engine.mget([])
+    with pytest.raises(UnsupportedEsQuery, match="unknown column"):
+        engine.mget([3], source=["nope"])
+
+
+def test_terms_enum_prefix_and_case(spark, sf_dir, engine):
+    """Prefix pushes to the scan; case_insensitive folds the prefix but
+    returns stored forms; size bounds the page."""
+    terms = [r["term"] for r in
+             engine.terms_enum("event_type", table="events").collect()]
+    assert terms == sorted(terms) and len(terms) <= 10 and terms
+    pref = [r["term"] for r in
+            engine.terms_enum("event_type", string="s",
+                              table="events").collect()]
+    assert pref and all(t.startswith("s") for t in pref)
+    ci = [r["term"] for r in
+          engine.terms_enum("event_type", string="S",
+                            case_insensitive=True,
+                            table="events").collect()]
+    assert ci == pref  # folded prefix, stored forms returned
+    one = engine.terms_enum("event_type", size=1, table="events")
+    assert one.count() == 1
