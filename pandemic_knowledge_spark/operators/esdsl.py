@@ -406,6 +406,57 @@ def _plain_match_text(query: dict, text_col: str | None) -> str | None:
     return None
 
 
+def _resolve_source(source, columns: list, id_col: str):
+    """Normalize every ``_source`` spelling ES accepts to a plain
+    column-name list (or None = no projection requested):
+
+    - ``["a", "b"]`` — the array form, now with ``*`` WILDCARDS
+      (``"l_*"``) expanded against the frame's columns in column order
+      (ES's pattern support); a plain name that matches nothing raises
+      here with the path instead of mid-analysis.
+    - ``{"includes": [...], "excludes": [...]}`` — the object form
+      (Kibana emits it); excludes-only means "all but", ES semantics.
+    - ``false`` — no source: the page keeps only its id/score shape
+      (→ empty list); ``true`` — every column (id excluded here; the
+      page adds it).
+    """
+    import fnmatch
+
+    path = "$._source"
+    if source is None:
+        return None
+    if source is False:
+        return []
+    if source is True:
+        return [c for c in columns if c != id_col]
+    if isinstance(source, str):
+        source = [source]  # ES accepts the bare-string shorthand
+    if isinstance(source, dict):
+        _reject_extras(source, {"includes", "excludes"}, path)
+        inc = source.get("includes")
+        exc = _resolve_source(
+            source.get("excludes", []) or [], columns, id_col) or []
+        base = (_resolve_source(inc, columns, id_col)
+                if inc is not None
+                else [c for c in columns if c != id_col])
+        return [c for c in base if c not in set(exc)]
+    if not (isinstance(source, (list, tuple))
+            and all(isinstance(c, str) for c in source)):
+        _fail(path, "unsupported _source form (array of names/patterns, "
+                    "includes/excludes object, true/false)")
+    out = []
+    for pat in source:
+        if "*" in pat or "?" in pat:
+            hits = [c for c in columns if fnmatch.fnmatchcase(c, pat)]
+            out.extend(h for h in hits if h not in out)
+        else:
+            if pat not in columns:
+                _fail(path, f"{pat!r} is not a column of the frame")
+            if pat not in out:
+                out.append(pat)
+    return out
+
+
 def _highlight_spec(spec: dict, text_col: str | None):
     """Parse the in-body ``highlight`` key → (field, pre_tag, post_tag).
     ES defaults ``<em>``/``</em>``; one field, one tag pair (the news
@@ -786,11 +837,7 @@ def es_query(
     # flat projected columns out (ES's per-field value-array envelope is
     # a JSON transport shape a DataFrame doesn't need)
     source = body.get("_source", body.get("fields"))
-    if source is not None and (
-        not isinstance(source, (list, tuple))
-        or not all(isinstance(c, str) for c in source)
-    ):
-        _fail("$._source", "only a field-name array form is implemented")
+    source = _resolve_source(source, docs.columns, id_col)
     min_score = body.get("min_score")
     if min_score is not None:
         if "sort" in body:

@@ -9843,6 +9843,33 @@ def search_es_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "search_es_source_object",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE list_contains({sql_tokenize('text')}, 'spark')
+ORDER BY n_chars DESC, doc_id LIMIT 6
+""",
+)
+def search_es_source_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_source`` OBJECT spelling (r13 late wave — was loud):
+    ``{"excludes": [...]}`` means "all but", includes take ``*``
+    wildcards, true/false and the bare-string shorthand all resolve
+    DRIVER-side to a plain projection list (a name matching nothing
+    raises with the path, never mid-analysis) — the projection itself
+    is the same one broadcast join as the array form
+    (operators.esdsl._resolve_source)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_query
+
+    return es_query(load(spark, sf_dir, "documents"), "doc_id", "text", {
+        "query": {"match": {"text": "spark"}},
+        "sort": [{"n_chars": "desc"}],
+        "_source": {"excludes": ["text", "doc_id"]},
+        "size": 6,
+    })
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9862,23 +9889,24 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 13 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 14 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
 # agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
 # agg_es_nested_bucket_sort_door, search_es_retriever_standard,
 # agg_es_terms_include_door, agg_es_histogram_offset_door,
 # agg_es_split_cumcard_door, agg_es_mindc_prune_door,
-# search_es_mget, search_es_terms_enum); never-checked leads, so the
-# LAST thirteen r8 IOUs of the window (agg_value_histogram,
-# agg_weighted_avg, agg_top_metrics, agg_top_hits_latest,
-# agg_t_test_welch, agg_string_stats, agg_sibling_buckets,
-# agg_serial_diff, agg_range_named, agg_random_sampler,
-# agg_pipeline_daily_delta, agg_percentile_quantity,
-# agg_percentiles_bucket) are displaced into the cohort, which
-# therefore holds 38 r8-evidence rows. After r13 the freshness
-# histogram is r8x38 / r9x50 / r10x50 / r11x49 / r12x50 / r13x50
-# (287 rows) and the r14 window MUST lead with the 38 r8 names after
+# search_es_mget, search_es_terms_enum, search_es_source_object);
+# never-checked leads, so the LAST fourteen r8 IOUs of the window
+# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
+# agg_top_hits_latest, agg_t_test_welch, agg_string_stats,
+# agg_sibling_buckets, agg_serial_diff, agg_range_named,
+# agg_random_sampler, agg_pipeline_daily_delta,
+# agg_percentile_quantity, agg_percentiles_bucket,
+# agg_normalize_pipeline) are displaced into the cohort, which
+# therefore holds 39 r8-evidence rows. After r13 the freshness
+# histogram is r8x39 / r9x50 / r10x50 / r11x49 / r12x50 / r13x50
+# (288 rows) and the r14 window MUST lead with the 39 r8 names after
 # r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
@@ -9958,6 +9986,7 @@ _DRIVER_PRIORITY = [
     "agg_es_mindc_prune_door",
     "search_es_mget",
     "search_es_terms_enum",
+    "search_es_source_object",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -10008,7 +10037,6 @@ _DRIVER_PRIORITY = [
     "agg_missing_bucket",
     "agg_moving_percentiles",
     "agg_multi_terms",
-    "agg_normalize_pipeline",
 ]
 
 

@@ -443,3 +443,37 @@ def test_terms_enum_prefix_and_case(spark, sf_dir, engine):
     assert ci == pref  # folded prefix, stored forms returned
     one = engine.terms_enum("event_type", size=1, table="events")
     assert one.count() == 1
+
+
+# ------------------------------------------------- _source spellings
+
+
+def test_source_object_wildcard_bool_forms(spark, sf_dir):
+    """Every _source spelling ES accepts: includes/excludes object,
+    * wildcards, bare string, true/false — resolved driver-side."""
+    docs = load(spark, sf_dir, "documents")
+    base = {"query": {"match": {"text": "spark"}},
+            "sort": [{"n_chars": "desc"}], "size": 5}
+    arr = es_query(docs, "doc_id", "text", {
+        **base, "_source": ["lang", "source"]})
+    obj = es_query(docs, "doc_id", "text", {
+        **base, "_source": {"includes": ["lang", "source"]}})
+    assert rows(arr) == rows(obj) and arr.columns == obj.columns
+    excl = es_query(docs, "doc_id", "text", {
+        **base, "_source": {"excludes": ["text", "doc_id"]}})
+    assert set(excl.columns) == {"doc_id", "lang", "source", "n_chars"}
+    wild = es_query(docs, "doc_id", "text", {
+        **base, "_source": ["lang", "n_*"]})
+    assert wild.columns[-2:] == ["lang", "n_chars"]
+    bare = es_query(docs, "doc_id", "text", {**base, "_source": "lang"})
+    assert bare.columns[-1] == "lang"
+    off = es_query(docs, "doc_id", "text", {**base, "_source": False})
+    assert off.columns == ["doc_id"]
+    full = es_query(docs, "doc_id", "text", {**base, "_source": True})
+    assert set(full.columns) == {"doc_id", "text", "lang", "source",
+                                 "n_chars"}
+    with pytest.raises(UnsupportedEsQuery, match="not a column"):
+        es_query(docs, "doc_id", "text", {**base, "_source": ["nope"]})
+    with pytest.raises(UnsupportedEsQuery, match="unsupported options"):
+        es_query(docs, "doc_id", "text", {
+            **base, "_source": {"include": ["lang"]}})
