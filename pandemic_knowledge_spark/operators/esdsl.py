@@ -1115,15 +1115,41 @@ def es_query(
             if isinstance(s, str):
                 s = {s: "asc"}
             sfield, sspec = _single_field(s, sp)
-            order = (sspec.get("order", "asc") if isinstance(sspec, dict)
-                     else str(sspec))
+            missing = "_last"
+            if isinstance(sspec, dict):
+                # `missing` was silently IGNORED pre-r13-late (the sort
+                # spec read only `order` — the drop-seam class); ES's
+                # default is _last: missing values sort at the END in
+                # both directions (Spark's asc() is nulls-FIRST — the
+                # explicit null ordering below matches ES)
+                _reject_extras(sspec, {"order", "missing"}, sp)
+                order = sspec.get("order", "asc")
+                missing = sspec.get("missing", "_last")
+            else:
+                order = str(sspec)
             if sfield == "_score":
                 _fail(sp, "sorting by _score is the default scored route "
                           "— drop the sort clause")
             if order not in ("asc", "desc"):
                 _fail(sp, f"order must be asc or desc, got {order!r}")
+            if missing != "_last" and after is not None:
+                _fail(f"{sp}.missing",
+                      "missing next to search_after is not implemented "
+                      "(a null-bearing keyset cursor has no total "
+                      "order to page)")
             col = F.col(sfield)
-            sort_cols.append(col.desc() if order == "desc" else col.asc())
+            if missing not in ("_first", "_last"):
+                # ES also takes a LITERAL: missing docs sort AS that
+                # value (the value itself is not projected)
+                col = F.coalesce(col, F.lit(missing))
+            if missing == "_first":
+                sort_cols.append(col.desc_nulls_first()
+                                 if order == "desc"
+                                 else col.asc_nulls_first())
+            else:
+                sort_cols.append(col.desc_nulls_last()
+                                 if order == "desc"
+                                 else col.asc_nulls_last())
             key_specs.append((sfield, order == "desc"))
         pred = F.coalesce(
             _agg_filter_pred(query, text_col, "$.query"),
@@ -1892,8 +1918,12 @@ def _metric_cols(sub_aggs: dict, path: str, cond=None, prefix: str = "",
             if len(sort) != 1:
                 _fail(f"{mp}.sort", "exactly one sort entry is implemented")
             sfield, sspec = _single_field(sort[0], f"{mp}.sort[0]")
-            order = (sspec.get("order", "asc") if isinstance(sspec, dict)
-                     else str(sspec))
+            if isinstance(sspec, dict):
+                # unknown sort options must not be silently dropped
+                _reject_extras(sspec, {"order"}, f"{mp}.sort[0]")
+                order = sspec.get("order", "asc")
+            else:
+                order = str(sspec)
             if order not in ("asc", "desc"):
                 _fail(f"{mp}.sort[0]", f"order must be asc or desc, "
                                        f"got {order!r}")
@@ -2724,8 +2754,12 @@ def _top_hits_agg(filtered: DataFrame, terms_body: dict, sub: dict,
     if len(sort) != 1:
         _fail(tp, "top_hits needs exactly one sort entry")
     sfield, sspec = _single_field(sort[0], f"{tp}.sort[0]")
-    order = (sspec.get("order", "asc") if isinstance(sspec, dict)
-             else str(sspec))
+    if isinstance(sspec, dict):
+        # unknown sort options must not be silently dropped
+        _reject_extras(sspec, {"order"}, f"{tp}.sort[0]")
+        order = sspec.get("order", "asc")
+    else:
+        order = str(sspec)
     if order not in ("asc", "desc"):
         _fail(f"{tp}.sort[0]", f"order must be asc or desc, got {order!r}")
     payload = _req(cfg, "_source", tp)

@@ -477,3 +477,38 @@ def test_source_object_wildcard_bool_forms(spark, sf_dir):
     with pytest.raises(UnsupportedEsQuery, match="unsupported options"):
         es_query(docs, "doc_id", "text", {
             **base, "_source": {"include": ["lang"]}})
+
+
+# ----------------------------------------------------- sort `missing`
+
+
+def test_sort_missing_orders_nulls(spark, engine):
+    """ES sort `missing`: _last is the DEFAULT (Spark's asc() is
+    nulls-first — the door now matches ES), _first flips, and a
+    literal sorts missing docs AS that value."""
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(doc_id=1, v=10.0), Row(doc_id=2, v=None),
+        Row(doc_id=3, v=5.0),
+    ])
+    base = {"query": {"range": {"doc_id": {"gte": 0}}}, "size": 5,
+            "_source": ["v"]}
+    def ids(body):
+        return [r["doc_id"] for r in
+                es_query(df, "doc_id", None, body).collect()]
+    assert ids({**base, "sort": [{"v": "asc"}]}) == [3, 1, 2]
+    assert ids({**base, "sort": [{"v": {"order": "asc",
+                                        "missing": "_first"}}]}) == \
+        [2, 3, 1]
+    assert ids({**base, "sort": [{"v": {"order": "desc"}}]}) == [1, 3, 2]
+    # literal: the null doc sorts AS 7.0 (between 10 and 5)
+    assert ids({**base, "sort": [{"v": {"order": "desc",
+                                        "missing": 7.0}}]}) == [1, 2, 3]
+    from pandemic_knowledge_spark.operators.esdsl import UnsupportedEsQuery
+    with pytest.raises(UnsupportedEsQuery, match="unsupported options"):
+        ids({**base, "sort": [{"v": {"order": "asc",
+                                     "mode": "min"}}]})
+    with pytest.raises(UnsupportedEsQuery, match="missing"):
+        ids({**base, "sort": [{"v": {"order": "asc",
+                                     "missing": "_first"}}],
+             "search_after": [5.0, 1]})
