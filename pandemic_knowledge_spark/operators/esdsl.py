@@ -2452,11 +2452,30 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
                 _fail(pp, f"{ptype} needs min_doc_count: 0 on its parent "
                           "(bucket positions must be the calendar grid)")
             if ptype == "moving_fn":
+                import re as _re
+
                 script = str(_req(pbody, "script", pp))
-                if "unweightedAvg" not in script:
+                m = _re.fullmatch(
+                    r"\s*MovingFunctions\.(unweightedAvg|max|min|sum)"
+                    r"\s*\(\s*values\s*\)\s*",
+                    script,
+                )
+                if m:
+                    mv_fn = m.group(1)
+                elif _re.fullmatch(
+                    r"\s*MovingFunctions\.stdDev\s*\(\s*values\s*,\s*"
+                    r"MovingFunctions\.unweightedAvg\s*\(\s*values\s*\)"
+                    r"\s*\)\s*",
+                    script,
+                ):
+                    mv_fn = "stdDev"
+                else:
                     _fail(f"{pp}.script",
-                          "only MovingFunctions.unweightedAvg is "
-                          "implemented")
+                          "implemented MovingFunctions forms: "
+                          "unweightedAvg/max/min/sum(values) and "
+                          "stdDev(values, unweightedAvg(values)) — "
+                          "arbitrary Painless window scripts are not "
+                          "run")
                 # ES shift semantics: the default window (shift=0) is the
                 # n buckets BEFORE the current one, EXCLUDING it; shift=1
                 # slides it right to include the current bucket (r11
@@ -2464,7 +2483,7 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
                 shift = int(pbody.get("shift", 0))
                 if not 0 <= shift <= int(_req(pbody, "window", pp)):
                     _fail(f"{pp}.shift", "shift must be in [0, window]")
-                shifted.append((pname, ptype, col_name,
+                shifted.append((pname, (ptype, mv_fn), col_name,
                                 int(_req(pbody, "window", pp)), shift))
             else:
                 shifted.append((pname, ptype, col_name,
@@ -2515,6 +2534,9 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
         step_expr = F.expr(step) if isinstance(step, str) else F.lit(step)
     for pname, ptype, col_name, n, shift in shifted:
         src = F.col(col_name)
+        mv_fn = None
+        if isinstance(ptype, tuple):
+            ptype, mv_fn = ptype
         if ptype == "serial_diff":
             prev = grouped.select(
                 (F.col(order_col) + step_expr * F.lit(n)).alias(order_col),
@@ -2547,18 +2569,43 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
                 # silently deflate the average
                 F.sum("__mv").alias("__ms"),
                 F.count(F.col("__mv")).alias("__mn"),
+                F.max("__mv").alias("__mx"),
+                F.min("__mv").alias("__mi"),
+                F.sum(F.col("__mv") * F.col("__mv")).alias("__mss"),
             )
+            s_d = F.col("__ms").cast("double")
+            n_d = F.col("__mn").cast("double")
+            mean = s_d / n_d
+            # the MovingFunctions family over the same contribution
+            # frame: max/min are order-free selections, sum keeps the
+            # source's exact arithmetic, stdDev is the population form
+            # around unweightedAvg (ES's documented composite), guarded
+            # against tiny negative fp variance
+            val = {
+                "unweightedAvg": F.round(mean, 6),
+                "sum": F.col("__ms"),
+                "max": F.col("__mx"),
+                "min": F.col("__mi"),
+                "stdDev": F.when(
+                    # greatest() skips NULLs, so an empty window would
+                    # leak 0.0 instead of ES's null — gate on the count
+                    F.col("__mn").isNotNull(),
+                    F.round(
+                        F.sqrt(F.greatest(
+                            F.lit(0.0),
+                            F.col("__mss").cast("double") / n_d
+                            - mean * mean,
+                        )), 6),
+                ),
+            }[mv_fn]
             grouped = (
                 # LEFT: with shift=0 the series head has an EMPTY window
                 # (no contributors at all) — ES emits the bucket with a
                 # null value, not no bucket; contributions past the
                 # series end still drop (no left-side row to land on)
                 grouped.join(mov, order_col, "left")
-                .withColumn(
-                    pname,
-                    F.round(F.col("__ms").cast("double") / F.col("__mn"), 6),
-                )
-                .drop("__ms", "__mn")
+                .withColumn(pname, val)
+                .drop("__ms", "__mn", "__mx", "__mi", "__mss")
             )
 
     if not specs:

@@ -9870,6 +9870,72 @@ def search_es_source_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+@q(
+    "agg_es_moving_fn_family_door",
+    oracle="""
+WITH g AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS key,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT min(key) AS lo, max(key) AS hi FROM g
+), spine AS (
+  SELECT CAST(u.d AS TIMESTAMP) AS key
+  FROM b, LATERAL (
+    SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d
+  ) u
+), d AS (
+  SELECT s.key, COALESCE(g.doc_count, 0) AS doc_count
+  FROM spine s LEFT JOIN g USING (key)
+), w AS (
+  SELECT key, doc_count,
+         max(doc_count) OVER win AS mvmax,
+         CAST(sum(doc_count) OVER win AS BIGINT) AS mvsum,
+         count(doc_count) OVER win AS n,
+         CAST(sum(doc_count) OVER win AS DOUBLE) AS s,
+         CAST(sum(doc_count * doc_count) OVER win AS DOUBLE) AS ss
+  FROM d
+  WINDOW win AS (ORDER BY key ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+)
+SELECT key, doc_count, mvmax, mvsum,
+       CASE WHEN n > 0 THEN
+         round(sqrt(greatest(0.0, ss / n - (s / n) * (s / n))), 6)
+       END AS mvstd
+FROM w ORDER BY key
+""",
+)
+def agg_es_moving_fn_family_door(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``MovingFunctions`` FAMILY in ``moving_fn`` (r13 late wave —
+    only unweightedAvg routed before): max / sum / stdDev(·,
+    unweightedAvg(·)) over the ES-shifted window (default shift=0
+    EXCLUDES the current bucket), all riding the SAME contribution
+    frame as the proven moving average — one bounded explode + one
+    bucket-keyed groupBy, no window over the fact table. max is an
+    order-free selection, sum keeps the source's exact long
+    arithmetic, stdDev is the population composite around the window
+    mean with an fp-guard that still yields NULL on an empty head
+    window (operators.esdsl, moving_fn arm)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    mk = {"buckets_path": "_count", "window": 2}
+    return es_aggs(load(spark, sf_dir, "orders"), {"aggs": {"daily": {
+        "date_histogram": {"field": "o_orderdate",
+                           "calendar_interval": "day",
+                           "min_doc_count": 0},
+        "aggs": {
+            "mvmax": {"moving_fn": {
+                **mk, "script": "MovingFunctions.max(values)"}},
+            "mvsum": {"moving_fn": {
+                **mk, "script": "MovingFunctions.sum(values)"}},
+            "mvstd": {"moving_fn": {
+                **mk, "script": "MovingFunctions.stdDev(values, "
+                                "MovingFunctions.unweightedAvg(values))"}},
+        },
+    }}})["daily"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9889,25 +9955,26 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 14 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 15 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
 # agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
 # agg_es_nested_bucket_sort_door, search_es_retriever_standard,
 # agg_es_terms_include_door, agg_es_histogram_offset_door,
 # agg_es_split_cumcard_door, agg_es_mindc_prune_door,
-# search_es_mget, search_es_terms_enum, search_es_source_object);
-# never-checked leads, so the LAST fourteen r8 IOUs of the window
-# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
-# agg_top_hits_latest, agg_t_test_welch, agg_string_stats,
-# agg_sibling_buckets, agg_serial_diff, agg_range_named,
-# agg_random_sampler, agg_pipeline_daily_delta,
-# agg_percentile_quantity, agg_percentiles_bucket,
-# agg_normalize_pipeline) are displaced into the cohort, which
-# therefore holds 39 r8-evidence rows. After r13 the freshness
-# histogram is r8x39 / r9x50 / r10x50 / r11x49 / r12x50 / r13x50
-# (288 rows) and the r14 window MUST lead with the 39 r8 names after
-# r14's own new/changed rows.
+# search_es_mget, search_es_terms_enum, search_es_source_object,
+# agg_es_moving_fn_family_door); never-checked leads, so the LAST
+# fifteen r8 IOUs of the window (agg_value_histogram,
+# agg_weighted_avg, agg_top_metrics, agg_top_hits_latest,
+# agg_t_test_welch, agg_string_stats, agg_sibling_buckets,
+# agg_serial_diff, agg_range_named, agg_random_sampler,
+# agg_pipeline_daily_delta, agg_percentile_quantity,
+# agg_percentiles_bucket, agg_normalize_pipeline, agg_multi_terms)
+# are displaced into the cohort, which therefore holds 40
+# r8-evidence rows. After r13 the freshness histogram is r8x40 /
+# r9x50 / r10x50 / r11x49 / r12x50 / r13x50 (289 rows) and the r14
+# window MUST lead with the 40 r8 names after r14's own new/changed
+# rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
     # rows (scripted metrics / runtime fields / anchored date math):
@@ -9987,6 +10054,7 @@ _DRIVER_PRIORITY = [
     "search_es_mget",
     "search_es_terms_enum",
     "search_es_source_object",
+    "agg_es_moving_fn_family_door",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -10036,7 +10104,6 @@ _DRIVER_PRIORITY = [
     "agg_geotile_grid",
     "agg_missing_bucket",
     "agg_moving_percentiles",
-    "agg_multi_terms",
 ]
 
 

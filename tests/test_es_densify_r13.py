@@ -546,3 +546,46 @@ def test_terms_include_malformed_regex_pathed(spark, sf_dir):
     with pytest.raises(UnsupportedEsQuery, match="does not parse"):
         es_aggs(ev, {"aggs": {"t": {"terms": {
             "field": "event_type", "include": "(unclosed"}}}})
+
+
+# -------------------------------------------- MovingFunctions family
+
+
+def test_moving_fn_family(spark):
+    """max/min/sum/stdDev over the shifted window (TSVB's moving
+    metrics) — same contribution frame as unweightedAvg; ES shift
+    semantics (default excludes the current bucket)."""
+    rows = [(i, dt.datetime(2024, 1, d)) for i, d in
+            enumerate([1] * 1 + [2] * 2 + [3] * 3 + [4] * 4 + [5] * 5)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = es_aggs(df, {"aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "min_doc_count": 0},
+        "aggs": {
+            "mvmax": {"moving_fn": {"buckets_path": "_count",
+                "window": 2, "script": "MovingFunctions.max(values)"}},
+            "mvsum": {"moving_fn": {"buckets_path": "_count",
+                "window": 2, "script": "MovingFunctions.sum(values)"}},
+            "mvstd": {"moving_fn": {"buckets_path": "_count",
+                "window": 2, "script":
+                "MovingFunctions.stdDev(values, "
+                "MovingFunctions.unweightedAvg(values))"}},
+        },
+    }}})["d"].orderBy("key")
+    got = [(r["key"].day, r["doc_count"], r["mvmax"], r["mvsum"],
+            r["mvstd"]) for r in out.collect()]
+    # window 2, shift 0: value at day j aggregates counts of days j-2, j-1
+    assert got == [
+        (1, 1, None, None, None),
+        (2, 2, 1, 1, 0.0),
+        (3, 3, 2, 3, 0.5),
+        (4, 4, 3, 5, 0.5),
+        (5, 5, 4, 7, 0.5),
+    ]
+    with pytest.raises(UnsupportedEsQuery, match="MovingFunctions"):
+        es_aggs(df, {"aggs": {"d": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0},
+            "aggs": {"bad": {"moving_fn": {"buckets_path": "_count",
+                "window": 2, "script": "values.stream().sum()"}}},
+        }}})
