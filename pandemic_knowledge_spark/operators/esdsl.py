@@ -2242,35 +2242,49 @@ def _bucket_key(atype: str, body: dict, p: str) -> dict:
                 # buckets per partition (≤ 8,784 even at hour grain)
                 "coarse": lambda key: F.date_trunc("year", key)}
     if atype == "histogram":
+        import math as _math
+
         field = _req(body, "field", p)
         interval = float(_req(body, "interval", p))
         if interval <= 0:
             _fail(p, "interval must be > 0")
         _reject_extras(body, {"field", "interval", "min_doc_count",
-                              "extended_bounds"}, p)
+                              "extended_bounds", "offset"}, p)
         mdc = int(body.get("min_doc_count", 1))
+        # ES numeric-histogram offset: buckets anchor at offset + n·w
+        # instead of 0 + n·w (ES normalizes any value into
+        # [0, interval)); same floor((v−off)/w)·w + off rule as the
+        # date arm, and the dense spine steps offset-aligned indices
+        off = float(body.get("offset", 0.0)) % interval
+
+        def _hkey(v):
+            if off:
+                return (F.floor((v - F.lit(off)) / F.lit(interval))
+                        * F.lit(interval) + F.lit(off))
+            return F.floor(v / F.lit(interval)) * F.lit(interval)
+
         ext = None
         if "extended_bounds" in body:
             if mdc != 0:
                 _fail(f"{p}.extended_bounds",
                       "extended_bounds needs min_doc_count: 0 (ES "
                       "ignores it otherwise — drop one of the two)")
-            import math as _math
-
             eb = body["extended_bounds"]
             lo = float(_req(eb, "min", f"{p}.extended_bounds"))
             hi = float(_req(eb, "max", f"{p}.extended_bounds"))
             _reject_extras(eb, {"min", "max"}, f"{p}.extended_bounds")
             ext = (
-                F.lit(_math.floor(lo / interval) * interval),
-                F.lit(_math.floor(hi / interval) * interval),
+                F.lit(_math.floor((lo - off) / interval) * interval
+                      + off),
+                F.lit(_math.floor((hi - off) / interval) * interval
+                      + off),
             )
         return {
-            "expr": F.floor(F.col(field) / F.lit(interval)) * F.lit(interval),
+            "expr": _hkey(F.col(field)),
             "order": "key", "size": None,
             "pre": F.col(field).isNotNull(),
             "dense": mdc == 0, "min_dc": mdc,
-            "step": interval,
+            "step": interval, "off": off,
             "ext": ext,
             # pipeline two-phase partition: 1,024 buckets per partition
             "coarse": lambda key: F.floor(key / F.lit(interval * 1024.0)),
@@ -2687,7 +2701,7 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
     return fr.drop(*drop)
 
 
-def _densify(grouped: DataFrame, step, ext=None) -> DataFrame:
+def _densify(grouped: DataFrame, step, ext=None, off=0.0) -> DataFrame:
     """ES ``min_doc_count: 0`` gap buckets: left-join the bucket frame
     onto a DENSE key spine — every calendar/interval step between the
     first and last observed bucket exists, gaps with doc_count=0 and
@@ -2710,14 +2724,16 @@ def _densify(grouped: DataFrame, step, ext=None) -> DataFrame:
             F.explode(F.sequence(lo, hi, F.expr(step))).alias("key")
         )
     else:  # numeric histogram: step over integer bucket indices
+        # (offset-anchored keys are off + i·step — subtracting the
+        # offset keeps the index integral)
         spine = bounds.select(
             F.explode(
                 F.sequence(
-                    F.round(lo / step).cast("long"),
-                    F.round(hi / step).cast("long"),
+                    F.round((lo - F.lit(off)) / step).cast("long"),
+                    F.round((hi - F.lit(off)) / step).cast("long"),
                 )
             ).alias("__i")
-        ).select((F.col("__i") * F.lit(step)).alias("key"))
+        ).select((F.col("__i") * F.lit(step) + F.lit(off)).alias("key"))
     return (
         spine.join(grouped, "key", "left")
         .select(
@@ -2729,7 +2745,7 @@ def _densify(grouped: DataFrame, step, ext=None) -> DataFrame:
 
 
 def _densify_per_parent(grouped: DataFrame, parent_cols: list, ikey: str,
-                        step, ext) -> DataFrame:
+                        step, ext, off=0.0) -> DataFrame:
     """Per-parent dense spine for ``min_doc_count: 0`` INSIDE a nested
     bucket — the Kibana split-series default (a terms split whose
     per-series date_histogram zero-fills its gaps). ES treats each
@@ -2757,15 +2773,17 @@ def _densify_per_parent(grouped: DataFrame, parent_cols: list, ikey: str,
             F.explode(F.sequence(lo, hi, F.expr(step))).alias(ikey),
         )
     else:  # numeric histogram: step over integer bucket indices
+        # (offset-anchored keys are off + i·step, as in _densify)
         spine = bounds.select(
             *parent_cols,
             F.explode(
                 F.sequence(
-                    F.round(lo / step).cast("long"),
-                    F.round(hi / step).cast("long"),
+                    F.round((lo - F.lit(off)) / step).cast("long"),
+                    F.round((hi - F.lit(off)) / step).cast("long"),
                 )
             ).alias("__i"),
-        ).select(*parent_cols, (F.col("__i") * F.lit(step)).alias(ikey))
+        ).select(*parent_cols,
+                 (F.col("__i") * F.lit(step) + F.lit(off)).alias(ikey))
     keep = set(parent_cols) | {ikey, "doc_count"}
     return (
         spine.join(grouped, [*parent_cols, ikey], "left")
@@ -3899,7 +3917,8 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
                 "cumulative_sum", {"buckets_path": f"__new_{pname}"}
             )
         if outer.get("dense"):
-            grouped = _densify(grouped, outer["step"], outer.get("ext"))
+            grouped = _densify(grouped, outer["step"], outer.get("ext"),
+                               off=outer.get("off", 0.0))
             for pname, _ in card_specs:  # gap buckets add no new keys
                 grouped = grouped.withColumn(
                     f"__new_{pname}",
@@ -4098,7 +4117,8 @@ def _one_agg(filtered: DataFrame, name: str, spec: dict,
         # (spines only for surviving parents) and BEFORE pipelines
         # (derivative/moving_fn step over the dense spine, ES order).
         grouped = _densify_per_parent(
-            grouped, ["key"], ikey, inner["step"], inner.get("ext")
+            grouped, ["key"], ikey, inner["step"], inner.get("ext"),
+            off=inner.get("off", 0.0),
         )
         for pname, _ in i_card_specs:  # gap buckets add no new keys
             grouped = grouped.withColumn(

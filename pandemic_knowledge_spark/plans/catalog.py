@@ -9936,6 +9936,32 @@ def agg_es_moving_fn_family_door(
     }}})["daily"]
 
 
+@q(
+    "agg_es_value_histogram_offset_door",
+    oracle="""
+SELECT floor((value - 25.0) / 50.0) * 50.0 + 25.0 AS key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY 1 ORDER BY key
+""",
+)
+def agg_es_value_histogram_offset_door(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Numeric ``histogram`` ``offset`` (r13 late wave — was loud):
+    buckets anchor at offset + n·interval (ES normalizes any offset
+    into [0, interval)), the same floor((v−off)/w)·w + off rule as the
+    date arm; dense spines step offset-aligned integer indices at
+    single and per-parent levels. One scan-side key expression, one
+    grouped shuffle (operators.esdsl, histogram arm)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), {"aggs": {"h": {
+        "histogram": {"field": "value", "interval": 50.0, "offset": 25.0},
+        "aggs": {"users": {"cardinality": {"field": "user_id"}}},
+    }}})["h"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9955,7 +9981,7 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 15 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 16 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
 # agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
@@ -9963,17 +9989,18 @@ BENCH_QUERY_NAMES.extend(
 # agg_es_terms_include_door, agg_es_histogram_offset_door,
 # agg_es_split_cumcard_door, agg_es_mindc_prune_door,
 # search_es_mget, search_es_terms_enum, search_es_source_object,
-# agg_es_moving_fn_family_door); never-checked leads, so the LAST
-# fifteen r8 IOUs of the window (agg_value_histogram,
-# agg_weighted_avg, agg_top_metrics, agg_top_hits_latest,
-# agg_t_test_welch, agg_string_stats, agg_sibling_buckets,
-# agg_serial_diff, agg_range_named, agg_random_sampler,
-# agg_pipeline_daily_delta, agg_percentile_quantity,
-# agg_percentiles_bucket, agg_normalize_pipeline, agg_multi_terms)
-# are displaced into the cohort, which therefore holds 40
-# r8-evidence rows. After r13 the freshness histogram is r8x40 /
-# r9x50 / r10x50 / r11x49 / r12x50 / r13x50 (289 rows) and the r14
-# window MUST lead with the 40 r8 names after r14's own new/changed
+# agg_es_moving_fn_family_door, agg_es_value_histogram_offset_door);
+# never-checked leads, so the LAST sixteen r8 IOUs of the window
+# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
+# agg_top_hits_latest, agg_t_test_welch, agg_string_stats,
+# agg_sibling_buckets, agg_serial_diff, agg_range_named,
+# agg_random_sampler, agg_pipeline_daily_delta,
+# agg_percentile_quantity, agg_percentiles_bucket,
+# agg_normalize_pipeline, agg_multi_terms, agg_moving_percentiles)
+# are displaced into the cohort, which therefore holds 41
+# r8-evidence rows. After r13 the freshness histogram is r8x41 /
+# r9x50 / r10x50 / r11x49 / r12x50 / r13x50 (290 rows) and the r14
+# window MUST lead with the 41 r8 names after r14's own new/changed
 # rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
@@ -10055,6 +10082,7 @@ _DRIVER_PRIORITY = [
     "search_es_terms_enum",
     "search_es_source_object",
     "agg_es_moving_fn_family_door",
+    "agg_es_value_histogram_offset_door",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -10103,7 +10131,6 @@ _DRIVER_PRIORITY = [
     "agg_filters_named",
     "agg_geotile_grid",
     "agg_missing_bucket",
-    "agg_moving_percentiles",
 ]
 
 

@@ -589,3 +589,38 @@ def test_moving_fn_family(spark):
             "aggs": {"bad": {"moving_fn": {"buckets_path": "_count",
                 "window": 2, "script": "values.stream().sum()"}}},
         }}})
+
+
+# ------------------------------------------ numeric histogram offset
+
+
+def test_numeric_histogram_offset(spark):
+    """ES numeric-histogram offset: buckets anchor at offset + n·w
+    (any offset normalizes into [0, interval)); dense spines step
+    offset-aligned indices, single and per-parent."""
+    df = spark.createDataFrame(
+        [(1, "a", 4.0), (2, "a", 11.0), (3, "a", 36.0),
+         (4, "b", 7.0), (5, "b", 26.0)],
+        "id long, kind string, v double")
+    out = es_aggs(df, {"aggs": {"h": {"histogram": {
+        "field": "v", "interval": 10.0, "offset": 5.0,
+        "min_doc_count": 0}}}})["h"].collect()
+    # offset-5 buckets: [-5,5) [5,15) [15,25) [25,35) [35,45)
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        (-5.0, 1), (5.0, 2), (15.0, 0), (25.0, 1), (35.0, 1)]
+    nested = es_aggs(df, {"aggs": {"t": {
+        "terms": {"field": "kind"},
+        "aggs": {"h": {"histogram": {
+            "field": "v", "interval": 10.0, "offset": 5.0,
+            "min_doc_count": 0}}},
+    }}})["t"].collect()
+    got = {}
+    for r in nested:
+        got.setdefault(r["key"], []).append((r["h_key"], r["doc_count"]))
+    assert got["a"] == [(-5.0, 1), (5.0, 1), (15.0, 0), (25.0, 0),
+                        (35.0, 1)]
+    assert got["b"] == [(5.0, 1), (15.0, 0), (25.0, 1)]
+    # offset 15 normalizes to 5 (ES's [0, interval) rule)
+    norm = es_aggs(df, {"aggs": {"h": {"histogram": {
+        "field": "v", "interval": 10.0, "offset": 15.0}}}})["h"].collect()
+    assert [r["key"] for r in norm] == [-5.0, 5.0, 25.0, 35.0]
