@@ -4194,13 +4194,15 @@ def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
     - level 3 (the leaf): per (level-1, level-2), top-size by its own
       doc_count via WindowGroupLimit.
 
-    Metrics and walk pipelines live in the LEAF (pipelines window
-    partitioned by the two outer keys — each series independently, no
-    single-partition exchange); terms ``order`` (_count/_key) and
-    min_doc_count > 1 participate in each level's cut (order sorts that
-    level's totals frame, min_doc_count prunes below the floor before
-    the size cut); metrics/pipelines at levels 1-2 and min_doc_count:0
-    at any level raise with the path; nesting past three levels raises
+    Metrics, walk pipelines, frame pipelines (bucket_script/selector
+    row-local, bucket_sort paged per (chart, series) pair), exact
+    cumulative_cardinality (two-split first-seen reduction) and
+    ``min_doc_count: 0`` leaf dense spines all live in the LEAF
+    (windows partition by the two outer keys — each series
+    independently, no single-partition exchange); terms ``order``
+    (_count/_key) and min_doc_count > 1 participate in each level's
+    cut. Metrics/pipelines at levels 1-2 and min_doc_count: 0 on a
+    SPLIT level raise with the path; nesting past three levels raises
     (ES allows it; Kibana does not emit it)."""
     iname, itype, ibody, isub = l2_entry
     if l2_pipelines or l2_metrics:
@@ -4211,20 +4213,44 @@ def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
     inner2 = _bucket_key(itype, ibody, f"{path}.aggs.{iname}.{itype}")
     jp = f"{path}.aggs.{iname}.aggs.{jname}"
     inner3 = _bucket_key(jtype, jbody, f"{jp}.{jtype}")
-    for lvl, spec_l in ((p, outer), (f"{path}.aggs.{iname}.{itype}", inner2),
-                        (f"{jp}.{jtype}", inner3)):
+    for lvl, spec_l in ((p, outer), (f"{path}.aggs.{iname}.{itype}", inner2)):
         if spec_l.get("dense"):
-            _fail(lvl, "min_doc_count: 0 inside three-level nesting is "
-                       "not implemented — drop it or flatten the query")
+            _fail(lvl, "min_doc_count: 0 on a SPLIT level of three-level "
+                       "nesting is not implemented — only the leaf "
+                       "histogram densifies")
+    if inner3.get("dense") and inner3.get("step") is None:
+        _fail(f"{jp}.{jtype}",
+              "min_doc_count: 0 on a terms leaf (unmatched-value "
+              "buckets) is not implemented")
     (j_inner, j_pipelines, j_frame_pipes, j_card,
      j_metrics) = _split_sub_aggs(jsub, jp)
     if j_inner is not None:
         _fail(f"{jp}.aggs",
               "bucket nesting deeper than three levels is not implemented")
-    if j_frame_pipes or j_card:
-        _fail(f"{jp}.aggs",
-              "bucket_selector/bucket_sort/cumulative_cardinality inside "
-              "three-level nesting are not implemented")
+    j_card_specs = []
+    for pname, pbody in j_card.items():
+        # leaf-level exact cumulative_cardinality: the same per-parent
+        # first-seen reduction as the two-level arm, keyed by BOTH
+        # split columns (each (chart, series) pair counts its own
+        # first appearances)
+        pp = f"{jp}.aggs.{pname}"
+        ref = str(_req(pbody, "buckets_path", pp))
+        _reject_extras(pbody, {"buckets_path"}, pp)
+        sib = j_metrics.get(ref)
+        if (not isinstance(sib, dict)
+                or next(iter(sib), None) != "cardinality"):
+            _fail(f"{pp}.buckets_path",
+                  f"{ref!r} must name a sibling cardinality metric")
+        if inner3["order"] != "key":
+            _fail(pp, "cumulative_cardinality needs an ordered leaf "
+                      "bucket (date_histogram or histogram)")
+        if inner3.get("min_dc", 1) > 1:
+            _fail(pp, "cumulative_cardinality under min_doc_count > 1 "
+                      "is not implemented (pruned-bucket first-seen "
+                      "divergence)")
+        j_card_specs.append(
+            (pname, _req(sib["cardinality"], "field", f"{pp}.field"))
+        )
     m_aggs, m_finals, mads = _metric_cols(j_metrics, jp, dtypes=dtypes)
 
     ikey, jkey = f"{iname}_key", f"{jname}_key"
@@ -4294,9 +4320,47 @@ def _three_level_agg(filtered: DataFrame, outer: dict, l2_entry, l3_entry,
             .where(F.col("__rn") <= inner3["size"])
             .drop("__rn")
         )
+    for pname, fld in j_card_specs:
+        firsts = (
+            framed.where(F.col(fld).isNotNull())
+            .groupBy("key", ikey, fld)
+            .agg(F.min(jkey).alias(jkey))
+            .groupBy("key", ikey, jkey)
+            .agg(F.count(F.lit(1)).alias(f"__new_{pname}"))
+        )
+        grouped = grouped.join(F.broadcast(firsts),
+                               ["key", ikey, jkey], "left")
+        grouped = grouped.withColumn(
+            f"__new_{pname}",
+            F.coalesce(F.col(f"__new_{pname}"), F.lit(0)),
+        )
+        j_pipelines[pname] = (
+            "cumulative_sum", {"buckets_path": f"__new_{pname}"}
+        )
+    if inner3.get("dense"):
+        # leaf per-parent spine keyed by BOTH splits — each (chart,
+        # series) pair zero-fills its own [min, max] leaf range
+        grouped = _densify_per_parent(
+            grouped, ["key", ikey], jkey, inner3["step"],
+            inner3.get("ext"), off=inner3.get("off", 0.0),
+        )
+        for pname, _ in j_card_specs:  # gap buckets add no new keys
+            grouped = grouped.withColumn(
+                f"__new_{pname}",
+                F.coalesce(F.col(f"__new_{pname}"), F.lit(0)),
+            )
     grouped = _apply_bucket_pipelines(
         grouped, j_pipelines, jkey, ["key", ikey], inner3, jp
     )
+    if j_card_specs:
+        grouped = grouped.drop(*[f"__new_{n}" for n, _ in j_card_specs])
+    if j_frame_pipes:
+        # leaf bucket_script/selector are row-local; bucket_sort pages
+        # per (chart, series) pair via one two-key window
+        grouped = _apply_frame_pipelines(
+            grouped, j_frame_pipes, jp,
+            parent_cols=["key", ikey], key_col=jkey,
+        )
     return grouped.orderBy("key", ikey, jkey)
 
 

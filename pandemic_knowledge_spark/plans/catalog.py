@@ -9962,6 +9962,68 @@ def agg_es_value_histogram_offset_door(
     }}})["h"]
 
 
+@q(
+    "agg_es_three_level_dense_door",
+    oracle="""
+WITH g AS (
+  SELECT event_type AS key, user_id AS by_user_key,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily_key,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM events WHERE value >= 250.0 GROUP BY 1, 2, 3
+), t1 AS (
+  SELECT key FROM g GROUP BY key ORDER BY sum(doc_count) DESC, key LIMIT 2
+), t2 AS (
+  SELECT key, by_user_key FROM (
+    SELECT key, by_user_key,
+           row_number() OVER (
+             PARTITION BY key
+             ORDER BY sum(doc_count) DESC, by_user_key) AS rn
+    FROM g WHERE key IN (SELECT key FROM t1) GROUP BY key, by_user_key
+  ) x WHERE rn <= 2
+), kept AS (
+  SELECT g.* FROM g JOIN t2 USING (key, by_user_key)
+), b AS (
+  SELECT key, by_user_key, min(daily_key) AS lo, max(daily_key) AS hi
+  FROM kept GROUP BY 1, 2
+), spine AS (
+  SELECT b.key, b.by_user_key, CAST(u.d AS TIMESTAMP) AS daily_key
+  FROM b, LATERAL (
+    SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d
+  ) u
+)
+SELECT s.key, s.by_user_key, s.daily_key,
+       COALESCE(k.doc_count, 0) AS doc_count
+FROM spine s LEFT JOIN kept k USING (key, by_user_key, daily_key)
+ORDER BY key, by_user_key, daily_key
+""",
+)
+def agg_es_three_level_dense_door(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THREE-level nesting with a DENSE leaf (r13 late-late wave — the
+    leaf previously refused min_doc_count: 0): Kibana's split chart +
+    split series + zero-filled x-axis. The leaf spine is keyed by BOTH
+    split columns — each (chart, series) pair zero-fills its own
+    [min, max] day range AFTER the two top-down total-ranked cuts, so
+    spines exist only for surviving pairs; still one fact scan + one
+    triple-key shuffle + bucket-count-sized frames
+    (operators.esdsl._three_level_agg + _densify_per_parent)."""
+    from pandemic_knowledge_spark.operators.esdsl import es_aggs
+
+    return es_aggs(load(spark, sf_dir, "events"), {
+        "query": {"range": {"value": {"gte": 250.0}}},
+        "aggs": {"by_type": {
+            "terms": {"field": "event_type", "size": 2},
+            "aggs": {"by_user": {
+                "terms": {"field": "user_id", "size": 2},
+                "aggs": {"daily": {"date_histogram": {
+                    "field": "ts", "calendar_interval": "day",
+                    "min_doc_count": 0}}},
+            }},
+        }},
+    })["by_type"]
+
+
 BENCH_QUERY_NAMES.extend(
     name for name, spec in REGISTRY.items() if spec.bench
 )
@@ -9981,7 +10043,7 @@ BENCH_QUERY_NAMES.extend(
 # first (never-checked rows lead — the standing rule) then the first
 # IOUs in the window_rotate.py proposal order; the displaced IOUs below
 # are the r14 cohort, declared explicitly per the r12 verdict ("declare
-# the overflow as r14 IOUs"). LATE WAVE: the session then added 16 more
+# the overflow as r14 IOUs"). LATE WAVE: the session then added 17 more
 # never-checked rows (agg_es_scripted_metric_door,
 # search_es_runtime_field, agg_es_date_math_door,
 # agg_es_split_dense_door, agg_es_auto_interval_metrics_door,
@@ -9989,19 +10051,19 @@ BENCH_QUERY_NAMES.extend(
 # agg_es_terms_include_door, agg_es_histogram_offset_door,
 # agg_es_split_cumcard_door, agg_es_mindc_prune_door,
 # search_es_mget, search_es_terms_enum, search_es_source_object,
-# agg_es_moving_fn_family_door, agg_es_value_histogram_offset_door);
-# never-checked leads, so the LAST sixteen r8 IOUs of the window
-# (agg_value_histogram, agg_weighted_avg, agg_top_metrics,
-# agg_top_hits_latest, agg_t_test_welch, agg_string_stats,
-# agg_sibling_buckets, agg_serial_diff, agg_range_named,
-# agg_random_sampler, agg_pipeline_daily_delta,
-# agg_percentile_quantity, agg_percentiles_bucket,
-# agg_normalize_pipeline, agg_multi_terms, agg_moving_percentiles)
-# are displaced into the cohort, which therefore holds 41
-# r8-evidence rows. After r13 the freshness histogram is r8x41 /
-# r9x50 / r10x50 / r11x49 / r12x50 / r13x50 (290 rows) and the r14
-# window MUST lead with the 41 r8 names after r14's own new/changed
-# rows.
+# agg_es_moving_fn_family_door, agg_es_value_histogram_offset_door,
+# agg_es_three_level_dense_door); never-checked leads, so the LAST
+# seventeen r8 IOUs of the window (agg_value_histogram,
+# agg_weighted_avg, agg_top_metrics, agg_top_hits_latest,
+# agg_t_test_welch, agg_string_stats, agg_sibling_buckets,
+# agg_serial_diff, agg_range_named, agg_random_sampler,
+# agg_pipeline_daily_delta, agg_percentile_quantity,
+# agg_percentiles_bucket, agg_normalize_pipeline, agg_multi_terms,
+# agg_moving_percentiles, agg_missing_bucket) are displaced into the
+# cohort, which therefore holds 42 r8-evidence rows. After r13 the
+# freshness histogram is r8x42 / r9x50 / r10x50 / r11x49 / r12x50 /
+# r13x50 (291 rows) and the r14 window MUST lead with the 42 r8
+# names after r14's own new/changed rows.
 _NEXT_WINDOW_IOUS = [
     # r8-evidence rows displaced by the r13 late-wave never-checked
     # rows (scripted metrics / runtime fields / anchored date math):
@@ -10083,6 +10145,7 @@ _DRIVER_PRIORITY = [
     "search_es_source_object",
     "agg_es_moving_fn_family_door",
     "agg_es_value_histogram_offset_door",
+    "agg_es_three_level_dense_door",
     # ROUND-13 WINDOW (50 slots): the 25 never-checked r13 rows lead (the
     # 10 paid debt registrations + filtered kNN — the r12 judge's one
     # confirmed defect, now gated AND implemented — + the highlight×sort,
@@ -10130,7 +10193,6 @@ _DRIVER_PRIORITY = [
     "agg_date_range",
     "agg_filters_named",
     "agg_geotile_grid",
-    "agg_missing_bucket",
 ]
 
 

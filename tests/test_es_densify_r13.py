@@ -151,14 +151,24 @@ def test_dense_parent_and_terms_child_stay_loud(gapframe):
             "date_histogram": {"field": "ts", "calendar_interval": "day",
                                "min_doc_count": 0},
             "aggs": {"b": {"terms": {"field": "kind"}}}}}})
-    with pytest.raises(UnsupportedEsQuery, match="three-level"):
+    # the three-level LEAF now densifies (per-(chart, series) spines —
+    # the late-late wave); a SPLIT-level dense stays loud
+    out = es_aggs(gapframe, {"aggs": {"a": {
+        "terms": {"field": "kind"},
+        "aggs": {"b": {
+            "terms": {"field": "id"},
+            "aggs": {"c": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day",
+                "min_doc_count": 0}}}}}}}})["a"].collect()
+    assert len(out) == 4  # one doc per (kind, id): leaf spines are 1 day
+    with pytest.raises(UnsupportedEsQuery, match="parent|SPLIT"):
         es_aggs(gapframe, {"aggs": {"a": {
-            "terms": {"field": "kind"},
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0},
             "aggs": {"b": {
-                "terms": {"field": "id"},
-                "aggs": {"c": {"date_histogram": {
-                    "field": "ts", "calendar_interval": "day",
-                    "min_doc_count": 0}}}}}}}})
+                "terms": {"field": "kind"},
+                "aggs": {"c": {"histogram": {
+                    "field": "v", "interval": 10.0}}}}}}}})
 
 
 # ------------------------------------- auto_date_histogram sub-aggs
@@ -624,3 +634,61 @@ def test_numeric_histogram_offset(spark):
     norm = es_aggs(df, {"aggs": {"h": {"histogram": {
         "field": "v", "interval": 10.0, "offset": 15.0}}}})["h"].collect()
     assert [r["key"] for r in norm] == [-5.0, 5.0, 25.0, 35.0]
+
+
+# --------------------------- three-level leaf: dense / sort / cumcard
+
+
+def test_three_level_leaf_extensions(spark):
+    """The leaf of a three-level nesting now takes dense spines,
+    bucket_sort pages, and exact cumulative_cardinality — each keyed
+    by BOTH split columns (independent (chart, series) instances)."""
+    rows = [
+        ("a", 1, 1, "u1"), ("a", 1, 3, "u2"),      # gap at day 2
+        ("a", 2, 1, "u1"), ("b", 1, 2, "u9"),
+        ("b", 1, 4, "u9"),                          # gap at day 3
+    ]
+    df = spark.createDataFrame(
+        [(k, g, dt.datetime(2024, 1, d), u) for k, g, d, u in rows],
+        "kind string, grp long, ts timestamp, u string")
+    body = {"aggs": {"l1": {
+        "terms": {"field": "kind"},
+        "aggs": {"l2": {
+            "terms": {"field": "grp"},
+            "aggs": {"l3": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day",
+                                   "min_doc_count": 0},
+                "aggs": {
+                    "users": {"cardinality": {"field": "u"}},
+                    "cu": {"cumulative_cardinality": {
+                        "buckets_path": "users"}},
+                },
+            }},
+        }},
+    }}}
+    out = es_aggs(df, body)["l1"]
+    got = [(r["key"], r["l2_key"], r["l3_key"].day, r["doc_count"],
+            r["cu"]) for r in out.collect()]
+    assert got == [
+        ("a", 1, 1, 1, 1), ("a", 1, 2, 0, 1), ("a", 1, 3, 1, 2),
+        ("a", 2, 1, 1, 1),
+        ("b", 1, 2, 1, 1), ("b", 1, 3, 0, 1), ("b", 1, 4, 1, 1),
+    ]
+    # bucket_sort at the leaf: top-1 day per (kind, grp) by count
+    sorted_body = {"aggs": {"l1": {
+        "terms": {"field": "kind"},
+        "aggs": {"l2": {
+            "terms": {"field": "grp"},
+            "aggs": {"l3": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"top1": {"bucket_sort": {
+                    "sort": [{"_count": "desc"}], "size": 1}}},
+            }},
+        }},
+    }}}
+    cut = es_aggs(df, sorted_body)["l1"]
+    assert [(r["key"], r["l2_key"], r["l3_key"].day)
+            for r in cut.collect()] == [
+        ("a", 1, 1), ("a", 2, 1), ("b", 1, 2)]
