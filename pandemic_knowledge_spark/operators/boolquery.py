@@ -107,6 +107,7 @@ from pandemic_knowledge_spark.operators.search import (
     BM25_K1,
     _attach_bm25_scores,
     _fuzzy_selected,
+    _literal_tf_with_stats,
     _span_start_pred,
     _sql_tf_prelude,
     _tf_with_stats,
@@ -354,10 +355,11 @@ def _fuzzy_frame(spark, tf, df_t, clause: dict) -> DataFrame:
         if b > 0
         for length in range(max(1, len(t) - b), len(t) + b + 1)
     ]
-    selected = _fuzzy_selected(
+    # the selection carries (term, df) — it IS the bounded build side; no
+    # second df_t pass to re-attach df (r13 optimization, guide §2.4)
+    df_sel = _fuzzy_selected(
         spark, df_t, fuzz_rows, exact_terms, max_expansions, prefix_length
     )
-    df_sel = df_t.join(F.broadcast(selected), "term")
     scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
     return scored.groupBy("doc_id").agg(F.sum("term_score").alias("cscore"))
 
@@ -462,15 +464,31 @@ def _scored_frames(docs, id_col, text_col, scored):
     literals via one bounded one-row collect (the stats_scalars idiom),
     prefix clauses are constant_score scan-side projections."""
     spark = docs.sparkSession
-    needs_tf = any(
-        _clause_key(c, _SCORED_KEYS) in ("match", "fuzzy") for _, c in scored
+    needs_vocab = any(
+        _clause_key(c, _SCORED_KEYS) == "fuzzy" for _, c in scored
+    )
+    match_terms = sorted(
+        {
+            t
+            for _, c in scored
+            if _clause_key(c, _SCORED_KEYS) == "match"
+            for t in query_terms(c["match"])
+        }
     )
     needs_stats = any(
         _clause_key(c, _SCORED_KEYS) == "phrase" for _, c in scored
     )
     tf = df_t = None
-    if needs_tf:
+    if needs_vocab:
+        # a fuzzy clause expands against the FULL vocabulary — only then
+        # is the corpus-wide TF checkpoint justified
         tf, df_t = _tf_with_stats(docs, id_col, text_col)
+    elif match_terms:
+        # every scored term is a literal: scan-side TF over the union of
+        # all match clauses' terms — no corpus-token exchange, no eager
+        # corpus-wide checkpoint (r13 optimization, guide §2.3/§2.4);
+        # each clause filters its own term subset from the shared sliver
+        tf, df_t = _literal_tf_with_stats(docs, id_col, text_col, match_terms)
     n_docs = sum_dl = None
     if needs_stats:
         row = (
@@ -1809,8 +1827,11 @@ def bool_search_from_index(
                 if b > 0
                 for length in range(max(1, len(t) - b), len(t) + b + 1)
             ]
+            # fuzz lengths PLUS exact-term lengths: _fuzzy_selected looks
+            # exact terms up in the vocabulary (for their df) now
             v = _probe_vocab(
-                index.postings, index.vocab, (r[2] for r in fuzz_rows)
+                index.postings, index.vocab,
+                [r[2] for r in fuzz_rows] + [len(t) for t in exact_terms],
             )
             selected = _fuzzy_selected(
                 spark, v, fuzz_rows, exact_terms, max_expansions, prefix_length

@@ -28,14 +28,19 @@ BM25_B = 0.75
 
 
 def _tf_with_stats(docs, id_col: str, text_col: str):
-    """The shared corpus-scan skeleton of every selected-terms scorer
-    (more_like_this / prefix_search / fuzzy_match_search): tokenize →
-    (doc, term) TF shuffle with the one-row corpus stats CARRIED on the
-    eagerly-checkpointed frame (one scalar broadcast for the whole
-    operator — the plan-audit scalar-BNLJ budget is one), plus the
-    per-term document-frequency aggregate derived from it. Returns
-    (tf, df_t). Extracted so a tokenizer/stats/checkpoint change can
-    never desynchronize one scorer from the others."""
+    """The corpus-wide TF skeleton: tokenize → (doc, term) TF shuffle with
+    the one-row corpus stats CARRIED on the eagerly-checkpointed frame
+    (one scalar broadcast for the whole operator — the plan-audit
+    scalar-BNLJ budget is one), plus the per-term document-frequency
+    aggregate derived from it. Returns (tf, df_t).
+
+    Since r13 only the MULTI-CONSUMER bool scorer (boolquery._scored_frames
+    with a fuzzy clause, where N clauses re-probe the same TF) still pays
+    for this corpus-wide materialization; the single-shot selected-terms
+    scorers (more_like_this / prefix_search / _pattern_search /
+    fuzzy_match_search) moved to the :func:`_vocab_df` + :func:`_corpus_stats`
+    + :func:`_selected_tf` shape — no corpus-sized shuffle or checkpoint,
+    only pruned scans and the matching sliver (guide §2.3/§8)."""
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
     ).withColumn("dl", F.size("toks"))
@@ -49,8 +54,62 @@ def _tf_with_stats(docs, id_col: str, text_col: str):
         .crossJoin(F.broadcast(stats))
         .localCheckpoint(eager=True)
     )
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # (doc_id, term) rows are unique by construction of the groupBy above,
+    # so a plain count IS the document frequency — one partial-aggregated
+    # exchange on term instead of count(distinct)'s two-phase double
+    # exchange (r13 optimization, guide §2.4; values bit-identical).
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return tf, df_t
+
+
+def _vocab_df(docs, id_col: str, text_col: str) -> DataFrame:
+    """(term, df) vocabulary in one scan + one map-side-combined exchange:
+    distinct terms per doc explode to rows, a plain count per term IS the
+    document frequency. The shuffle carries per-partition (term,
+    partial_count) rows — vocabulary-sized, never token-row-sized (r13
+    optimization, guide §2.3; same derivation :func:`term_suggest` always
+    used). Only the text column leaves the scan."""
+    return (
+        docs.select(
+            F.explode(F.array_distinct(tokenize(text_col))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def _corpus_stats(docs, text_col: str) -> DataFrame:
+    """One-row (n_docs, sum_dl) corpus stats — one pruned scan, no
+    exchange before the single-row aggregate."""
+    return docs.select(F.size(tokenize(text_col)).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+
+def _selected_tf(docs, id_col: str, text_col: str, df_sel: DataFrame,
+                 stats: DataFrame, exclude_doc=None) -> DataFrame:
+    """(doc_id, dl, term, df, tf, n_docs, sum_dl) rows for the SELECTED
+    terms only: explode tokens, broadcast-join the bounded (term, df)
+    selection (map-side filter — non-selected tokens never reach an
+    exchange), then one tiny grouped count. df rides through the grouping
+    key (functionally dependent on term), so no re-join. This replaces
+    the corpus-wide TF shuffle + eager corpus-sized localCheckpoint of
+    the old shared skeleton for every single-shot selected-terms scorer
+    (r13 optimization, guide §2.3/§8: decide on the small vocabulary
+    frame, then move only the matching sliver)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    if exclude_doc is not None:
+        base = base.filter(F.col("doc_id") != F.lit(exclude_doc))
+    return (
+        base.withColumn("dl", F.size("toks"))
+        .select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(df_sel), "term")
+        .groupBy("doc_id", "dl", "term", "df")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .crossJoin(F.broadcast(stats))
+    )
 
 
 def _attach_bm25_scores(joined: DataFrame) -> DataFrame:
@@ -112,46 +171,72 @@ FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
-def _bm25_term_scores(docs: DataFrame, id_col: str, text_col: str,
-                      query: str) -> DataFrame:
-    """The shared (doc_id, term, term_score) frame every corpus-scan BM25
-    consumer aggregates: one tokenize scan, one TF shuffle, broadcast
-    df/corpus stats. Factored so the top-k page (:func:`bm25_search`)
-    and the score-aware exact total (:func:`bm25_score_count`) can never
-    fork arithmetic."""
-    q_terms = sorted(set(query_terms(query)))
+def _literal_tf_with_stats(docs, id_col: str, text_col: str,
+                           q_terms: list[str]):
+    """(tf, df_t) in the :func:`_tf_with_stats` shape (corpus stats carried
+    on the tf rows) but for a LITERAL term set — the r13 optimization
+    (guide §2.3/§2.4) every literal-terms scorer shares:
+
+    Per-doc TF is computed SCAN-SIDE — ``size(toks) − size(array_remove(
+    toks, term))`` per literal term, all codegen — instead of exploding
+    every corpus token into a (doc, term) shuffle and re-aggregating. The
+    TF exchange disappears outright; what used to be one row per TOKEN
+    entering an exchange is now ≤ |q_terms| rows per matching doc with no
+    exchange at all. The tiny TF sliver is lazily localCheckpoint-pinned so
+    its consumers (the per-term df aggregate and the scoring stream) share
+    ONE tokenize pass; corpus stats are the only other scan. TF values, df
+    values and every downstream expression are bit-identical to the
+    exploded form (tf = occurrence count, cast long; (doc, term) rows
+    unique so count(*) IS the document frequency)."""
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
     ).withColumn("dl", F.size("toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    tf = (
-        base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(q_terms))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-            ),
+    if q_terms:
+        tf_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"),
+                    (
+                        F.size("toks") - F.size(F.array_remove("toks", t))
+                    ).cast("long").alias("tf"),
+                )
+                for t in q_terms
+            ]
         )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (BM25_K1 + 1))
-            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+        tf = (
+            base.select("doc_id", "dl", F.explode(tf_structs).alias("qt"))
+            .select(
+                "doc_id", "dl",
+                F.col("qt.term").alias("term"), F.col("qt.tf").alias("tf"),
+            )
+            .where(F.col("tf") > F.lit(0))
+            .crossJoin(F.broadcast(stats))
+            .localCheckpoint(eager=False)
         )
-    )
-    return scored
+    else:
+        tf = (
+            base.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .filter(F.lit(False))
+            .withColumn("tf", F.lit(0).cast("long"))
+            .crossJoin(F.broadcast(stats))
+        )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf, df_t
+
+
+def _bm25_term_scores(docs: DataFrame, id_col: str, text_col: str,
+                      query: str) -> DataFrame:
+    """The shared (doc_id, term, term_score) frame every corpus-scan BM25
+    consumer aggregates. Factored so the top-k page (:func:`bm25_search`)
+    and the score-aware exact total (:func:`bm25_score_count`) can never
+    fork arithmetic. Plan shape: :func:`_literal_tf_with_stats` (scan-side
+    TF, zero corpus exchanges) + one tiny df broadcast."""
+    q_terms = sorted(set(query_terms(query)))
+    tf, df_t = _literal_tf_with_stats(docs, id_col, text_col, q_terms)
+    return _attach_bm25_scores(tf.join(F.broadcast(df_t), "term"))
 
 
 def bm25_search(
@@ -209,40 +294,80 @@ def bm25_page_and_count(
 
 
 def _fields_tf(docs, id_col: str, field_cols: list[str], q_terms: list[str]):
-    """The shared multi_match skeleton: ONE scan of the docs (all fields
-    tokenized in a single projection, then an explode over a literal field
-    array — no per-field re-scan), one shuffle to the (field, doc, term)
-    TF, plus the tiny per-field corpus stats. Candidate TF rows are only
-    docs matching >= 1 query term in >= 1 field, so the expensive stages
-    are bounded by matches, not corpus size. Shared by every multi_match
-    type (best_fields / most_fields / cross_fields) so the per-field
-    tokenize/stats can never fork between them."""
+    """The shared multi_match skeleton, shared by every multi_match type
+    (best_fields / most_fields / cross_fields) so the per-field
+    tokenize/stats can never fork between them.
+
+    r13 optimization (guide §2.3/§2.4, same re-expression as
+    :func:`_bm25_term_scores`): the query terms and field names are
+    LITERALS, so the per-(field, term) TF is computed SCAN-SIDE via
+    ``size(toks_f) − size(array_remove(toks_f, term))`` — no corpus-token
+    explode, no (field, doc, term) TF exchange; ≤ |fields|·|q_terms| rows
+    per doc survive the tf>0 filter, lazily localCheckpoint-pinned for the
+    df aggregate + scoring consumers. Per-field corpus stats come from ONE
+    single-row aggregate over the same projection (count is identical for
+    every field — each doc carries each field — and sum_dl sums that
+    field's token count), reshaped to per-field rows by exploding a
+    literal struct array. TF/df/stats values are bit-identical to the
+    exploded form."""
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         *[tokenize(c).alias(f"__toks_{i}") for i, c in enumerate(field_cols)],
     )
-    field_structs = F.array(
+    agg_row = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
         *[
-            F.struct(
-                F.lit(c).alias("field"), F.col(f"__toks_{i}").alias("toks")
+            F.sum(F.size(f"__toks_{i}")).alias(f"__sum_{i}")
+            for i in range(len(field_cols))
+        ],
+    )
+    stats = agg_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        F.col("n_docs").alias("n_docs"),
+                        F.col(f"__sum_{i}").alias("sum_dl"),
+                    )
+                    for i, c in enumerate(field_cols)
+                ]
             )
-            for i, c in enumerate(field_cols)
-        ]
-    )
-    long = (
-        base.select("doc_id", F.explode(field_structs).alias("fx"))
-        .select("doc_id", F.col("fx.field").alias("field"), F.col("fx.toks").alias("toks"))
-        .withColumn("dl", F.size("toks"))
-    )
-    stats = long.groupBy("field").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        long.select("field", "doc_id", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(q_terms))
-        .groupBy("field", "doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+        ).alias("s")
+    ).select("s.field", "s.n_docs", "s.sum_dl")
+    if q_terms:
+        structs = []
+        for i, c in enumerate(field_cols):
+            dl_i = F.size(f"__toks_{i}")
+            for t in q_terms:
+                structs.append(
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        dl_i.alias("dl"),
+                        F.lit(t).alias("term"),
+                        (
+                            dl_i - F.size(F.array_remove(f"__toks_{i}", t))
+                        ).cast("long").alias("tf"),
+                    )
+                )
+        tf = (
+            base.select("doc_id", F.explode(F.array(*structs)).alias("x"))
+            .select(
+                F.col("x.field").alias("field"), "doc_id",
+                F.col("x.dl").alias("dl"), F.col("x.term").alias("term"),
+                F.col("x.tf").alias("tf"),
+            )
+            .where(F.col("tf") > F.lit(0))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        tf = (
+            base.select(
+                F.lit("").alias("field"), "doc_id",
+                F.lit(0).alias("dl"), F.lit("").alias("term"),
+                F.lit(0).cast("long").alias("tf"),
+            ).filter(F.lit(False))
+        )
     return tf, stats
 
 
@@ -287,7 +412,7 @@ def bm25_search_fields(
         raise ValueError(f"bm25_search_fields: unknown mode {mode!r}")
     q_terms = sorted(set(query_terms(query)))
     tf, stats = _fields_tf(docs, id_col, field_cols, q_terms)
-    df_t = tf.groupBy("field", "term").agg(F.countDistinct("doc_id").alias("df"))
+    df_t = tf.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
     field_scores = (
         tf.join(F.broadcast(df_t), ["field", "term"])
         .join(F.broadcast(stats), "field")
@@ -367,7 +492,7 @@ def bm25_search_cross_fields(
     broadcast."""
     q_terms = sorted(set(query_terms(query)))
     tf, stats = _fields_tf(docs, id_col, field_cols, q_terms)
-    df_t = tf.groupBy("field", "term").agg(F.countDistinct("doc_id").alias("df"))
+    df_t = tf.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
     df_blend = df_t.groupBy("term").agg(F.max("df").alias("df"))
     n_max = stats.agg(F.max("n_docs").alias("n_max"))
     per_field = (
@@ -564,37 +689,42 @@ def more_like_this(
     selection score, exactly as :func:`tfidf_keywords` (and the DuckDB
     oracle) rank. An unknown/empty source doc selects no terms and returns
     an empty frame, not an error."""
-    tf, df_t = _tf_with_stats(docs, id_col, text_col)
+    # r13 plan shape (guide §2.3/§8): no corpus-wide TF shuffle, no eager
+    # corpus-sized checkpoint — three pruned scans instead. (1) the
+    # (term, df) vocabulary (map-side-combined), (2) the one-row corpus
+    # stats, (3) the source doc's own TF from a predicate-pruned scan.
+    # The ≤ max_query_terms selection then broadcast-joins into
+    # :func:`_selected_tf`, which moves only matching-token rows.
     # orderBy().limit() plans TakeOrderedAndProject (per-partition heaps
     # merged at the driver — no single-partition exchange); its input is
-    # the ONE source doc's terms joined to the tiny DF table, bounded by
-    # that doc's vocabulary, never corpus-sized. The broadcast BUILD side
-    # is the one-doc TF sliver, NEVER the full-vocabulary df_t — at corpus
-    # scale the vocabulary is multi-GB and would blow the broadcast cap.
-    src_tf = tf.filter(F.col("doc_id") == F.lit(src_doc_id)).filter(
-        F.col("tf") >= F.lit(min_term_freq)
+    # bounded by the one source doc's vocabulary, never corpus-sized. The
+    # broadcast BUILD sides are the one-doc TF sliver and the selection,
+    # NEVER the full-vocabulary df_t — at corpus scale the vocabulary is
+    # multi-GB and would blow the broadcast cap.
+    df_t = _vocab_df(docs, id_col, text_col)
+    stats = _corpus_stats(docs, text_col)
+    src_tf = (
+        docs.filter(F.col(id_col) == F.lit(src_doc_id))
+        .select(F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= F.lit(min_term_freq))
     )
-    selected = (
+    df_sel = (
         df_t.join(F.broadcast(src_tf), "term")
         .filter(F.col("df") >= F.lit(min_doc_freq))
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "sel_score",
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
         )
         .orderBy(F.desc("sel_score"), F.col("term"))
         .limit(max_query_terms)
-        .select("term")
+        .select("term", "df")
     )
-    # bound df_t to the selected terms FIRST (build side = the ≤
-    # max_query_terms selection), then broadcast that ≤-m-row frame into
-    # scoring — one broadcast join does both the term filter and the df
-    # attach, and no BroadcastExchange ever has the unfiltered vocabulary
-    # as input
-    df_sel = df_t.join(F.broadcast(selected), "term")
     scored = _attach_bm25_scores(
-        tf.join(F.broadcast(df_sel), "term").filter(
-            F.col("doc_id") != F.lit(src_doc_id)
-        )
+        _selected_tf(docs, id_col, text_col, df_sel, stats,
+                     exclude_doc=src_doc_id)
     )
     return _bm25_score_agg(scored, k)
 
@@ -627,24 +757,40 @@ def prefix_search(
         )
     *full_terms, prefix = toks
     full_terms = sorted(set(full_terms))
-    tf, df_t = _tf_with_stats(docs, id_col, text_col)
-    expansions = (
-        df_t.filter(F.col("term").startswith(prefix))
-        .orderBy(F.desc("df"), F.col("term"))
-        .limit(max_expansions)
-        .select("term")
-    )
-    selected = expansions
+    # r13 plan shape (guide §2.3/§8): vocabulary + stats + selected-TF
+    # scans instead of the corpus-wide TF shuffle/checkpoint; the
+    # selection carries df, so it IS the bounded (term, df) build side.
+    # Exact terms are kept from the SAME single vocabulary pass (rank only
+    # the prefix matches, keep exacts unconditionally) — out-of-vocabulary
+    # exacts were dropped by the old df re-join anyway, so the selected
+    # set is identical. The build side stays ≤ (terms + max_expansions)
+    # rows, never the full vocabulary.
+    df_t = _vocab_df(docs, id_col, text_col)
+    stats = _corpus_stats(docs, text_col)
+    is_pref = F.col("term").startswith(prefix)
     if full_terms:
-        exact = docs.sparkSession.createDataFrame(
-            [(t,) for t in full_terms], "term string"
+        from pyspark.sql.window import Window
+
+        cand = df_t.filter(is_pref | F.col("term").isin(full_terms))
+        w = Window.partitionBy(is_pref).orderBy(F.desc("df"), F.col("term"))
+        df_sel = (
+            cand.withColumn("rnk", F.row_number().over(w))
+            .filter(
+                F.col("term").isin(full_terms)
+                | (is_pref & (F.col("rnk") <= F.lit(max_expansions)))
+            )
+            .select("term", "df")
         )
-        selected = expansions.unionByName(exact).distinct()
-    # bound df_t to the selected terms before broadcasting: the build side
-    # of the scoring join is the ≤(terms + max_expansions)-row selection,
-    # never the full vocabulary (multi-GB at corpus scale)
-    df_sel = df_t.join(F.broadcast(selected), "term")
-    scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
+    else:
+        df_sel = (
+            df_t.filter(is_pref)
+            .orderBy(F.desc("df"), F.col("term"))
+            .limit(max_expansions)
+            .select("term", "df")
+        )
+    scored = _attach_bm25_scores(
+        _selected_tf(docs, id_col, text_col, df_sel, stats)
+    )
     return _bm25_score_agg(scored, k)
 
 
@@ -707,15 +853,20 @@ def _pattern_search(docs, id_col, text_col, regex, k, max_expansions):
     the expansion set. Same one-TF-shuffle skeleton as
     :func:`prefix_search`; the regex runs over the DICTIONARY (|vocab|
     rows), never the corpus."""
-    tf, df_t = _tf_with_stats(docs, id_col, text_col)
-    expansions = (
+    # r13 plan shape (guide §2.3/§8): vocabulary + stats + selected-TF
+    # scans instead of the corpus-wide TF shuffle/checkpoint; the capped
+    # expansion carries (term, df) and IS the bounded build side
+    df_t = _vocab_df(docs, id_col, text_col)
+    stats = _corpus_stats(docs, text_col)
+    df_sel = (
         df_t.filter(F.col("term").rlike(regex))
         .orderBy(F.desc("df"), F.col("term"))
         .limit(max_expansions)
-        .select("term")
+        .select("term", "df")
     )
-    df_sel = df_t.join(F.broadcast(expansions), "term")
-    scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
+    scored = _attach_bm25_scores(
+        _selected_tf(docs, id_col, text_col, df_sel, stats)
+    )
     return _bm25_score_agg(scored, k)
 
 
@@ -845,13 +996,17 @@ def fuzzy_match_search(
         if b > 0
         for length in range(max(1, len(t) - b), len(t) + b + 1)
     ]
-    tf, df_t = _tf_with_stats(docs, id_col, text_col)
-    selected = _fuzzy_selected(
+    # r13 plan shape (guide §2.3/§8): vocabulary + stats + selected-TF
+    # scans instead of the corpus-wide TF shuffle/checkpoint; the
+    # expansion carries (term, df) — it IS the bounded build side
+    df_t = _vocab_df(docs, id_col, text_col)
+    stats = _corpus_stats(docs, text_col)
+    df_sel = _fuzzy_selected(
         docs.sparkSession, df_t, fuzz_rows, exact_terms, max_expansions, prefix_length
     )
-    # bound df_t to the selection before broadcasting, as in prefix_search
-    df_sel = df_t.join(F.broadcast(selected), "term")
-    scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
+    scored = _attach_bm25_scores(
+        _selected_tf(docs, id_col, text_col, df_sel, stats)
+    )
     return _bm25_score_agg(scored, k)
 
 
@@ -868,35 +1023,46 @@ def _fuzzy_selected(
     levenshtein on the sliver, per-qterm (distance, df DESC, term) cap,
     union with the band-0 exact terms, distinct. Used by BOTH the
     corpus-scan and the index-probe forms so the expansion rule can't
-    fork."""
+    fork.
+
+    r13 optimization (guide §2.4): returns (term, df) — df rides along
+    from the vocabulary — so the corpus-scan caller broadcasts THIS frame
+    into scoring directly instead of re-joining (and therefore
+    re-computing) the full-vocabulary df aggregate to re-attach df. Exact
+    terms come from the vocabulary by a pushable isin instead of literal
+    rows: out-of-vocabulary exacts scored nothing under the old df re-join
+    too, so results are identical (the index-probe caller's collected term
+    set loses only terms with no postings). df is functionally dependent
+    on term, so the (term, df) distinct dedupes exactly as before."""
     from pyspark.sql.window import Window
 
-    selected = None
-    if fuzz_rows:
-        qf = spark.createDataFrame(fuzz_rows, "qterm string, band int, tlen int")
-        if "tlen" not in vocab.columns:
-            vocab = vocab.withColumn("tlen", F.length("term"))
-        cand = (
-            vocab.join(F.broadcast(qf), "tlen")
-            .withColumn("distance", F.levenshtein(F.col("term"), F.col("qterm")))
-            .filter(F.col("distance") <= F.col("band"))
+    # Band-0 (exact) terms ride the SAME admissible-length equi-join as
+    # literal (term, band=0, len) rows — levenshtein ≤ 0 keeps exactly the
+    # in-vocabulary term itself, its own 1-row qterm partition trivially
+    # passes the cap — so the vocabulary is walked ONCE for fuzzy and
+    # exact terms together instead of a second filter pass for the exacts.
+    all_rows = list(fuzz_rows) + [(t, 0, len(t)) for t in exact_terms]
+    qf = spark.createDataFrame(all_rows, "qterm string, band int, tlen int")
+    if "tlen" not in vocab.columns:
+        vocab = vocab.withColumn("tlen", F.length("term"))
+    cand = (
+        vocab.join(F.broadcast(qf), "tlen")
+        .withColumn("distance", F.levenshtein(F.col("term"), F.col("qterm")))
+        .filter(F.col("distance") <= F.col("band"))
+    )
+    if prefix_length > 0:
+        cand = cand.filter(
+            F.substring("term", 1, prefix_length)
+            == F.substring("qterm", 1, prefix_length)
         )
-        if prefix_length > 0:
-            cand = cand.filter(
-                F.substring("term", 1, prefix_length)
-                == F.substring("qterm", 1, prefix_length)
-            )
-        w = Window.partitionBy("qterm").orderBy(
-            "distance", F.desc("df"), F.col("term")
-        )
-        selected = (
-            cand.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= F.lit(max_expansions))
-            .select("term")
-        )
-    if exact_terms:
-        exact = spark.createDataFrame([(t,) for t in exact_terms], "term string")
-        selected = exact if selected is None else selected.unionByName(exact)
+    w = Window.partitionBy("qterm").orderBy(
+        "distance", F.desc("df"), F.col("term")
+    )
+    selected = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.lit(max_expansions))
+        .select("term", "df")
+    )
     return selected.distinct()
 
 
@@ -951,7 +1117,13 @@ def fuzzy_match_from_postings(
         if b > 0
         for length in range(max(1, len(t) - b), len(t) + b + 1)
     ]
-    v = _probe_vocab(postings, vocab, (r[2] for r in fuzz_rows))
+    # prune the dictionary to the fuzz lengths PLUS the exact terms'
+    # lengths — _fuzzy_selected now looks exact terms up in the vocabulary
+    # (for their df) instead of injecting literal rows
+    v = _probe_vocab(
+        postings, vocab,
+        [r[2] for r in fuzz_rows] + [len(t) for t in exact_terms],
+    )
     selected = _fuzzy_selected(
         postings.sparkSession, v, fuzz_rows, exact_terms,
         max_expansions, prefix_length,
@@ -1343,14 +1515,7 @@ def term_suggest(
     sliver. The exact-match term itself is excluded (ES suggest_mode
     behavior for the candidate list: you don't suggest the word typed)."""
     q = term.lower()
-    vocab = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
-        )
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    vocab = _vocab_df(docs, id_col, text_col)
     pref = q[: max(0, prefix_length)]
     cand = vocab.filter(
         (F.substring("term", 1, len(pref)) == F.lit(pref))
