@@ -51,7 +51,14 @@ class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str = tables.DEFAULT_SF_DIR) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
-        self.tables = tables.register_all(spark, sf_dir)
+        # LAZY table registration (r13 optimization, guide §5 driver work):
+        # eager register_all read 10 parquet footers + registered 10 temp
+        # views per Engine() — ~1 s of driver-side work per construction,
+        # while a typical request touches 1-3 tables. table() now loads and
+        # registers on first use; sql() (the raw-SQL door, which may name
+        # any view) registers the full set once on first call.
+        self.tables: dict[str, DataFrame] = {}
+        self._all_views_registered = False
         self._search_indexes: dict[tuple[str, str, str], SearchIndex] = {}
         self._positional_indexes: dict[tuple, DataFrame] = {}
 
@@ -71,10 +78,22 @@ class Engine:
         return self._search_indexes[key]
 
     def table(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            if name not in tables.TABLES:
+                raise KeyError(name)
+            df = tables.load(self.spark, self.sf_dir, name)
+            df.createOrReplaceTempView(name)
+            self.tables[name] = df
         return self.tables[name]
 
     def sql(self, query: str) -> DataFrame:
-        """spark.sql over the registered catalog — the engine's query door."""
+        """spark.sql over the registered catalog — the engine's query door.
+        Raw SQL may name any table, so the full view set registers here
+        (once per Engine) rather than at construction."""
+        if not self._all_views_registered:
+            for name in tables.TABLES:
+                self.table(name)
+            self._all_views_registered = True
         return self.spark.sql(query)
 
     # ---------------------------------------------------------------- search
