@@ -77,14 +77,17 @@ def minhash_perm_params(n_perm: int) -> list[tuple[int, int]]:
     ]
 
 
-def fingerprint(col: Column | str) -> Column:
+def fingerprint(col: Column | str, toks: Column | None = None) -> Column:
     """Document fingerprint: md5 over the normalized (tokenized) text.
 
     The canonical form collapses case/punctuation/whitespace, so two
     documents that differ only in formatting share a fingerprint — the
-    rolling-hash dedup key for the exact-dedup operator.
+    rolling-hash dedup key for the exact-dedup operator. Pass ``toks`` (a
+    materialized tokens column) when combining with other token consumers
+    so the tokenizer regex runs once per row (see quality_score docstring).
     """
-    toks = tokenize(col)
+    if toks is None:
+        toks = tokenize(col)
     return F.md5(F.concat_ws(" ", toks))
 
 
@@ -131,12 +134,15 @@ def token_count_bpe_estimate(text_col: Column | str) -> Column:
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     pieces = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
-    extra = F.aggregate(
+    # ONE aggregate pass computing count + length correction together:
+    # size(pieces) + aggregate(pieces) pasted the pieces regexp twice into
+    # the (interpreted, CSE-less) expression tree — the regexp ran 2x per
+    # row (r13 measurement pass).
+    return F.aggregate(
         pieces,
         F.lit(0).cast("long"),
-        lambda acc, p: acc + F.floor(F.length(p) / 6).cast("long"),
-    )
-    return (F.size(pieces).cast("long") + extra).alias("bpe_tokens")
+        lambda acc, p: acc + 1 + F.floor(F.length(p) / 6).cast("long"),
+    ).alias("bpe_tokens")
 
 
 def lang_id(text_col: Column | str, toks: Column | None = None) -> Column:
@@ -150,6 +156,17 @@ def lang_id(text_col: Column | str, toks: Column | None = None) -> Column:
     """
     if toks is None:
         toks = tokenize(text_col)
+    best = lang_best(toks)
+    return lang_from_best(best)
+
+
+def lang_best(toks: Column) -> Column:
+    """The lang-ID argmax STRUCT (s=score, r=-rank, l=lang) over a tokens
+    column. Split out so callers can pin it (functions.pinning): the final
+    verdict references the struct twice (s > 0 guard + l extraction), which
+    pastes the 5 interpreted marker-filter passes twice per row when the
+    struct is an inline expression — pinning halves the lang-ID scan work
+    (the curation pipeline does this)."""
 
     def marker_hits(markers):
         # single-param lambda factory: pyspark passes one arg per declared
@@ -171,7 +188,11 @@ def lang_id(text_col: Column | str, toks: Column | None = None) -> Column:
         )
         for rank, (lang, markers) in enumerate(sorted(LANG_MARKERS.items()))
     ]
-    best = F.greatest(*entries)
+    return F.greatest(*entries)
+
+
+def lang_from_best(best: Column) -> Column:
+    """lang_best struct → language verdict ('und' when no marker hit)."""
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 

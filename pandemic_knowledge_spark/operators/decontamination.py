@@ -30,9 +30,15 @@ def _distinct_shingle_hash_rows(
     docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
     """(doc_id, h): one row per DISTINCT k-shingle of each doc."""
-    sh = shingles(tokenize(text_col), k)
+    # Tokens as a NAMED column first: inlined, the k+1 references inside
+    # shingles() would paste the tokenizer regexp into the Generate that
+    # many times per row (same fix as dedup._shingle_hash_rows; see
+    # functions.pinning module docs).
+    toks = F.col("__toks")
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(sh).alias("s")
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
+    ).select(
+        "doc_id", F.explode(shingles(toks, k)).alias("s")
     ).select("doc_id", (md5_int(F.col("s")) % HASH_MOD).alias("h"))
 
 

@@ -174,12 +174,18 @@ def _shingle_hash_rows(
     min-aggregates and collect_set, both duplicate-insensitive, so skipping
     array_distinct saves work without changing any result.
     """
-    toks = tokenize(text_col)
-    n = F.size(toks)
-    sh = _kgram_concat(toks, k)
+    # Tokens as a NAMED column first: written inline, the Column object's
+    # k+1 references (size + k shifted slices) are pasted verbatim into the
+    # Generate expression and the regexp runs that many times per row
+    # (measured 5 evaluations/row on this scan, r13 pass). As an attribute
+    # it evaluates once — CollapseProject declines to inline multi-use
+    # non-cheap aliases (see functions.pinning module docs).
+    toks = F.col("__toks")
     rows = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.when(n >= k, sh)).alias("s"),
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(F.when(F.size(toks) >= k, _kgram_concat(toks, k))).alias("s"),
     )
     return rows.select("doc_id", (md5_int(F.col("s")) % HASH_MOD).alias("h"))
 
@@ -232,6 +238,11 @@ def band_rows_rowlocal(
     `_shingle_hash_rows`'s explode; NULL-id docs are dropped scan-side —
     an id-less doc can't be registered in the bucket store, and a NaN id
     would poison the stateful kernel's int64 running min."""
+    # NOTE (r13): a pin() barrier here (to stop the size(hs) > 0 predicate
+    # re-running the tokenize+shingle+hash chain below the projection)
+    # measured SLOWER than the duplicated chain (stream_near_dup_mark
+    # 1.29→1.39 s collect) — the Generate's per-row cost exceeds one saved
+    # regexp+HOF pass on this operator. Reverted; see OPTIMIZATION_r13.md.
     with_hs = docs.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         shingle_hashes(tokenize(text_col), k).alias("hs"),
@@ -542,11 +553,21 @@ def winnow_fingerprints(
     the scan has fewer partitions than the cluster's cores, rebalance
     first. At real scale the input has >= cores file-splits and this is a
     no-op — the operator stays shuffle-free."""
+    from pandemic_knowledge_spark.functions.pinning import pin
+
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
-    base = docs.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    # _toks behind a pin barrier: the size(_toks) >= k filter would
+    # otherwise push below the alias and run the tokenizer regexp a second
+    # time per row (functions.pinning). _h needs only a plain alias — its
+    # consumers (size + winnow's w shifted slices) are sibling PROJECTION
+    # references, which CollapseProject already refuses to inline, and no
+    # predicate crosses it (an _h pin measured as pure Generate overhead:
+    # r13 micro-bench, OPTIMIZATION_r13.md wave 3).
+    base = pin(
+        docs.select(F.col(id_col), F.col(text_col)),
+        _toks=tokenize(F.col(text_col)),
     ).filter(F.size("_toks") >= k)
     withh = base.withColumn("_h", kgram_hashes_ordered(F.col("_toks"), k))
     return withh.select(

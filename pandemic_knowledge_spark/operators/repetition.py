@@ -41,7 +41,10 @@ def repetition_signals(
     token_entropy) for every doc with >= 1 token (empty docs have no
     distribution to score; they are the length filter's job, not this one's).
     """
-    toks = tokenize(text_col)
+    # Tokens as a NAMED column (second select below): inlined, dup_frac's
+    # ~5 references would paste the tokenizer regexp that many times per
+    # row into one Project (functions.pinning module docs).
+    toks = F.col("__toks")
     n = F.size(toks)
     # Raw (non-distinct) 2-gram array via the ONE shared gram-assembly
     # definition (dedup._kgram_concat — shingles would array_distinct,
@@ -59,11 +62,17 @@ def repetition_signals(
             6,
         ),
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        toks.alias("__toks"),
-        dup_frac.alias("dup_2gram_frac"),
-    )
+    # pin(), not a plain alias: the explode below makes Spark infer a
+    # size(__toks) > 0 filter (InferFiltersFromGenerate), and predicate
+    # pushdown re-inlines a plain alias into that Filter — the regexp ran
+    # 2x per row in the Filter next to the Project's own evaluation. The
+    # Generate barrier keeps the inferred filter on the attribute.
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    base = pin(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        __toks=tokenize(text_col),
+    ).select("doc_id", "__toks", dup_frac.alias("dup_2gram_frac"))
     # dup_2gram_frac rides through both aggregations as first() — constant
     # per doc, and carrying it beats a join back to the scan side (which
     # would shuffle the per-doc frame a second time).

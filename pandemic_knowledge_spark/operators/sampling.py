@@ -226,13 +226,20 @@ def dsir_rank(
     from pandemic_knowledge_spark.operators.dedup import HASH_MOD, _kgram_concat
     from pandemic_knowledge_spark.functions.text import md5_int, tokenize
 
-    toks = tokenize(text_col)
+    # named tokens column so the 3 references below (size + 2 shifted
+    # slices) don't paste the tokenizer regexp into the interpreted
+    # transform tree 3x per row (functions.pinning module docs)
+    toks = F.col("__toks")
     grams = F.when(F.size(toks) >= 2, _kgram_concat(toks, 2)).otherwise(
         F.array().cast("array<string>")
     )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         target_pred.cast("boolean").alias("tgt"),
+        tokenize(text_col).alias("__toks"),
+    ).select(
+        "doc_id",
+        "tgt",
         F.transform(
             grams, lambda s: (md5_int(s) % HASH_MOD) % n_buckets
         ).alias("bs"),

@@ -64,9 +64,16 @@ def _grams(docs: DataFrame, id_col: str, text_col: str, gram_len: int) -> DataFr
     (sequence → transform → posexplode), all whole-stage-codegen
     expressions; nothing leaves the JVM.
     """
-    toks = tokenize(text_col)
-    docs = docs.select(
-        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    # Tokens behind a pin barrier: with a plain alias the n_tokens >= L
+    # filter pushes below the projection and re-runs the tokenizer regexp
+    # per row next to the Project's own evaluation (the r13 before plan
+    # showed regexp_extract_all in BOTH the Filter and the Project of this
+    # scan — functions.pinning module docs).
+    docs = pin(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        toks=tokenize(text_col),
     ).withColumn("n_tokens", F.size("toks"))
     grams = F.transform(
         F.sequence(F.lit(0), F.col("n_tokens") - gram_len),

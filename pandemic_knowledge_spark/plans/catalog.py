@@ -28,11 +28,14 @@ from pandemic_knowledge_spark.conform.ops import (
     ratio_guarded,
     require_fields,
 )
+from pandemic_knowledge_spark.functions.pinning import pin
 from pandemic_knowledge_spark.functions.text import (
     HASH_MOD,
     LANG_MARKERS,
     STOPWORDS,
     fingerprint,
+    lang_best,
+    lang_from_best,
     lang_id,
     md5_int_expr,
     quality_score,
@@ -2504,7 +2507,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs["stopword_ratio"].alias("stopword_ratio"),
         qs["punct_ratio"].alias("punct_ratio"),
         token_count_bpe_estimate("text").alias("bpe_tokens"),
-        fingerprint("text").alias("fp"),
+        fingerprint("text", toks=F.col("__toks")).alias("fp"),
     )
 
 
@@ -2744,9 +2747,11 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, no pairwise anything."""
     d = load(spark, sf_dir, "documents")
     n_docs = d.count()  # tiny action; at scale use a cached corpus-stats table
-    toks = tokenize("text")
+    # named tokens column so the k+1 references inside shingles() don't
+    # paste the tokenizer regexp into the Generate (functions.pinning docs)
     grams = (
-        d.select(F.col("doc_id"), F.explode(shingles(toks, 2)).alias("gram"))
+        d.select(F.col("doc_id"), tokenize("text").alias("__toks"))
+        .select(F.col("doc_id"), F.explode(shingles(F.col("__toks"), 2)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
@@ -2794,17 +2799,24 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget of the canonical survivors. At 100 TB this is a single scan +
     one window shuffle on the fingerprint + one grouped aggregation —
     the composition costs no extra passes over the corpus."""
-    d = load(spark, sf_dir, "documents").withColumn("__toks", tokenize("text"))
+    # Two pin stages (functions.pinning) so every per-row pass runs ONCE:
+    # unpinned, the bounds filter pushed below the projection and re-ran the
+    # tokenizer regexp 5x per row in the Filter, the lang argmax struct's
+    # double reference ran the 5 marker-filter passes twice, and the BPE +
+    # fingerprint helpers re-tokenized — 7 TOKEN_RE + 2 BPE regexp
+    # evaluations per row measured in the before plan (r13 pass).
+    d = pin(load(spark, sf_dir, "documents"), __toks=tokenize("text"))
     toks = F.col("__toks")
+    d = pin(d, __lang_best=lang_best(toks))
     qs = quality_score("text", toks=toks)
     stats = d.select(
         "doc_id",
         "source",
-        lang_id("text", toks=toks).alias("lang_pred"),
+        lang_from_best(F.col("__lang_best")).alias("lang_pred"),
         qs["n_tokens"].alias("n_tokens"),
         qs["stopword_ratio"].alias("stopword_ratio"),
         token_count_bpe_estimate("text").alias("bpe_tokens"),
-        fingerprint("text").alias("fp"),
+        fingerprint("text", toks=toks).alias("fp"),
     ).filter(F.col("n_tokens").between(20, 80) & (F.col("stopword_ratio") <= 0.5))
     flagged = stats.withColumn(
         "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
