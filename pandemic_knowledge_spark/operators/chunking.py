@@ -54,10 +54,26 @@ def chunk_documents(
     ``carry_cols`` ride along unchanged (e.g. source/lang for downstream
     grouping without a join back)."""
     s, t = _grid(chunk_tokens, overlap_tokens)
-    toks = tokenize(text_col)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), *carry_cols, toks.alias("__toks")
-    ).withColumn("__n", F.size("__toks")).filter(F.col("__n") > 0)
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    # Tokens behind a pin barrier: with a plain alias the __n > 0 filter
+    # pushes below the projection and re-runs the tokenizer regexp per row
+    # next to the Project's own evaluation (r13 census —
+    # corpus_training_prep's before plan tokenized 2x on the chunk side).
+    # Upstream predicates (e.g. a quality gate on the raw docs) are applied
+    # to `docs` BEFORE this select, so they still reach the scan below the
+    # barrier.
+    base = (
+        pin(
+            docs.select(
+                F.col(id_col).alias("doc_id"), *carry_cols, F.col(text_col)
+            ),
+            __toks=tokenize(text_col),
+        )
+        .select("doc_id", *carry_cols, "__toks")  # drop raw text pre-explode
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
     # exact integer ceil: 1 + (n - S + T - 1) div T  ==  1 + ceil((n-S)/T)
     n_chunks = F.when(F.col("__n") <= s, F.lit(1)).otherwise(
         (F.lit(1) + (F.col("__n") - s + (t - 1)) / t).cast("int")

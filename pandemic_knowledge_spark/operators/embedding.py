@@ -39,8 +39,16 @@ def hash_embeddings_long(
     if dim & (dim - 1):
         raise ValueError("dim must be a power of two (shift-exact sign bit)")
     shift = dim.bit_length() - 1
-    base = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
-    tok = base.select("doc_id", F.explode("toks").alias("term"))
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    # Tokens pinned (r13): the explode's inferred size > 0 filter re-ran
+    # the tokenizer regexp per row through pushdown re-inlining
+    # (functions.pinning module docs). The grid side reads ids only.
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    tok = (
+        pin(base, toks=tokenize(text_col))
+        .select("doc_id", F.explode("toks").alias("term"))
+    )
     h = md5_int(F.col("term"))
     # h div dim via shiftright — Column `/` is DOUBLE division and h spans
     # 60 bits (> 2^53), so a float path would corrupt the low bits.

@@ -37,8 +37,14 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # Materialize the token array into a named column FIRST: element_at on
     # the raw tokenize() EXPRESSION would re-run the regex per element —
     # O(tokens²) regex work per doc (the round-1 lang_id blowup class).
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    # Behind a pin barrier (r13): with a plain alias the size >= 2 filter
+    # pushes below the projection and runs the regexp a second time per
+    # row in the Filter (functions.pinning module docs).
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    base = pin(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        toks=tokenize(text_col),
     ).where(F.size("toks") >= 2)
     pairs = F.zip_with(
         F.slice("toks", 1, F.size("toks") - 1),
@@ -159,7 +165,12 @@ def collocations_pmi(
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c_t"))
     )
-    n_tot = pairs.agg(F.count(F.lit(1)).alias("n"))
+    # N = Σ c_ab over the AGGREGATED frame, not count(*) over a second
+    # bigram derivation: identical value, and the two consumers of `big`
+    # now share one scan+explode+partial-aggregate subtree via
+    # ReuseExchange — the r13 before plan paid a full third corpus pass
+    # just to count bigrams (guide §2.4 duplicated-subtree removal).
+    n_tot = big.agg(F.sum("c_ab").alias("n"))
     scored = (
         big.where(F.col("c_ab") >= min_count)
         .join(F.broadcast(uni.withColumnRenamed("t", "a").withColumnRenamed("c_t", "c_a")), "a")

@@ -50,16 +50,14 @@ def hash_weights(dim: int = QUALITY_DIM, seed: int = 1) -> list[int]:
     return [((i + seed) * _KNUTH) % WEIGHT_SPAN - 1000 for i in range(dim)]
 
 
-def quality_feature_cols(
-    text_col: str,
-    weights: list[int],
-    bias_milli: int = 0,
-    salt: str = "qclf",
-) -> tuple[Column, Column]:
-    """(n_features, score_milli) as scan-side Columns — the composable form
-    (pipelines filter on ``score >= 0`` without a join or a second frame)."""
-    dim = len(weights)
-    arr = F.array(*[F.lit(int(w)) for w in weights])
+def _feats_expr(text_col: str) -> Column:
+    """Unigrams + consecutive-bigram features of a text column.
+
+    The token array is bound ONCE per evaluation via a lambda variable:
+    inlining tokenize() into every slice/concat/size consumer re-runs
+    the regex per consumer outside codegen CSE (the measured 2x on the
+    curation pipeline) — the single-element transform makes `toks` a
+    bound variable every downstream term references."""
 
     def build_feats(toks: Column) -> Column:
         n = F.size(toks)
@@ -71,23 +69,43 @@ def quality_feature_cols(
         )
         return F.concat(toks, grams)
 
-    # Bind the token array ONCE per evaluation via a lambda variable:
-    # inlining tokenize() into every slice/concat/size consumer re-runs
-    # the regex per consumer outside codegen CSE (the measured 2x on the
-    # curation pipeline) — the single-element transform makes `toks` a
-    # bound variable every downstream term references.
-    feats = F.flatten(
+    return F.flatten(
         F.transform(F.array(tokenize(text_col)), lambda t: build_feats(t))
     )
+
+
+def _score_expr(
+    feats: Column, weights: list[int], bias_milli: int, salt: str
+) -> Column:
+    """Integer score fold over an already-materialized features column."""
+    dim = len(weights)
+    arr = F.array(*[F.lit(int(w)) for w in weights])
 
     def bucket_weight(t: Column) -> Column:
         h = md5_int(F.concat(F.lit(salt + ":"), t))
         return F.element_at(arr, (h % dim + 1).cast("int")).cast("long")
 
-    score = F.aggregate(
+    return F.aggregate(
         feats, F.lit(bias_milli).cast("long"), lambda acc, t: acc + bucket_weight(t)
     )
-    return F.size(feats), score
+
+
+def quality_feature_cols(
+    text_col: str,
+    weights: list[int],
+    bias_milli: int = 0,
+    salt: str = "qclf",
+) -> tuple[Column, Column]:
+    """(n_features, score_milli) as scan-side Columns — the composable form
+    (pipelines filter on ``score >= 0`` without a join or a second frame).
+
+    NOTE: the two returned Columns each inline the full feature-assembly
+    chain; referencing both in one projection evaluates it twice per row.
+    Prefer :func:`quality_scores` (pins the features) or
+    :func:`quality_keep` (binds them once inside the predicate) — this
+    form exists for single-column consumers."""
+    feats = _feats_expr(text_col)
+    return F.size(feats), _score_expr(feats, weights, bias_milli, salt)
 
 
 def quality_keep(
@@ -96,9 +114,41 @@ def quality_keep(
     bias_milli: int = 0,
     salt: str = "qclf",
 ) -> Column:
-    """Boolean keep gate (score >= 0 over >= 1 feature), scan-side."""
+    """Boolean keep gate (score >= 0 over >= 1 feature), scan-side.
+
+    NOTE: the verdict references the feature chain twice (size gate +
+    score fold), so a Filter on this Column evaluates the regexp + bigram
+    assembly twice per row. Prefer :func:`quality_keep_gate` (pins the
+    features behind a Generate barrier — one evaluation) when gating a
+    DataFrame; this Column form exists for composed predicates. (An
+    attempt to bind the chain once INSIDE the predicate via a
+    single-element transform measured consistently slower — nested
+    interpreted-HOF binding costs more than the second chain eval; r13
+    micro-bench.)"""
     n_feats, score = quality_feature_cols(text_col, weights, bias_milli, salt)
     return (n_feats > 0) & (score >= 0)
+
+
+def quality_keep_gate(
+    docs: DataFrame,
+    text_col: str,
+    weights: list[int],
+    bias_milli: int = 0,
+    salt: str = "qclf",
+) -> DataFrame:
+    """``docs`` filtered to quality keepers — the DataFrame form of
+    :func:`quality_keep`. The features array is pinned
+    (functions.pinning), so the regexp + bigram chain runs ONCE per row
+    where the Column form's pushed Filter evaluates it twice (r13 census:
+    corpus_training_prep before plan). Apply base predicates to ``docs``
+    before this call — the pin barrier blocks pushdown past it."""
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    gen = pin(docs, __feats=_feats_expr(text_col))
+    return gen.filter(
+        (F.size("__feats") > 0)
+        & (_score_expr(F.col("__feats"), weights, bias_milli, salt) >= 0)
+    ).drop("__feats")
 
 
 def quality_scores(
@@ -112,13 +162,27 @@ def quality_scores(
     """(doc_id, n_features, score_milli, quality_score, keep) per doc with
     >= 1 token. Features are unigrams + consecutive bigrams; score_milli is
     the exact integer sum of bucket weights + bias; quality_score its mean
-    in weight units (6 dp); keep = score_milli >= 0."""
-    n_feats, score = quality_feature_cols(text_col, weights, bias_milli, salt)
+    in weight units (6 dp); keep = score_milli >= 0.
+
+    The features array is pinned (functions.pinning): written inline, the
+    n_features > 0 filter pushed below the projection and re-ran the full
+    regexp + bigram chain per row in the Filter, and n_features / score
+    each inlined it again — 3 evaluations per row in the r13 before plan
+    (`plans/r13/text_quality_classifier_before.txt`); pinned it runs
+    once."""
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    base = pin(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        __feats=_feats_expr(text_col),
+    )
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            n_feats.alias("n_features"),
-            score.alias("score_milli"),
+        base.select(
+            "doc_id",
+            F.size("__feats").alias("n_features"),
+            _score_expr(F.col("__feats"), weights, bias_milli, salt).alias(
+                "score_milli"
+            ),
         )
         .filter(F.col("n_features") > 0)
         .select(

@@ -41,8 +41,15 @@ def _tf_with_stats(docs, id_col: str, text_col: str):
     fuzzy_match_search) moved to the :func:`_vocab_df` + :func:`_corpus_stats`
     + :func:`_selected_tf` shape — no corpus-sized shuffle or checkpoint,
     only pruned scans and the matching sliver (guide §2.3/§8)."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    # Tokens pinned (r13): the explode below makes Spark infer a
+    # size(toks) > 0 filter, and pushdown re-inlined a plain alias into
+    # it — the tokenizer regexp ran twice per row on the TF subtree
+    # (functions.pinning module docs).
+    base = pin(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        toks=tokenize(text_col),
     ).withColumn("dl", F.size("toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -68,11 +75,18 @@ def _vocab_df(docs, id_col: str, text_col: str) -> DataFrame:
     document frequency. The shuffle carries per-partition (term,
     partial_count) rows — vocabulary-sized, never token-row-sized (r13
     optimization, guide §2.3; same derivation :func:`term_suggest` always
-    used). Only the text column leaves the scan."""
+    used). Only the text column leaves the scan. The distinct-terms array
+    is pinned (r13): exploded inline, the inferred size > 0 generator
+    filter re-ran the regexp + array_distinct per row
+    (functions.pinning module docs)."""
+    from pandemic_knowledge_spark.functions.pinning import pin
+
     return (
-        docs.select(
-            F.explode(F.array_distinct(tokenize(text_col))).alias("term")
+        pin(
+            docs.select(F.col(text_col)),
+            __terms=F.array_distinct(tokenize(text_col)),
         )
+        .select(F.explode("__terms").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -96,12 +110,16 @@ def _selected_tf(docs, id_col: str, text_col: str, df_sel: DataFrame,
     the corpus-wide TF shuffle + eager corpus-sized localCheckpoint of
     the old shared skeleton for every single-shot selected-terms scorer
     (r13 optimization, guide §2.3/§8: decide on the small vocabulary
-    frame, then move only the matching sliver)."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
-    )
+    frame, then move only the matching sliver). Tokens pinned: the
+    explode's inferred size > 0 filter re-ran the regexp per row through
+    pushdown re-inlining (functions.pinning)."""
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    pre = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     if exclude_doc is not None:
-        base = base.filter(F.col("doc_id") != F.lit(exclude_doc))
+        # id predicate BELOW the pin barrier so it still reaches the scan
+        pre = pre.filter(F.col("doc_id") != F.lit(exclude_doc))
+    base = pin(pre, toks=tokenize(text_col))
     return (
         base.withColumn("dl", F.size("toks"))
         .select("doc_id", "dl", F.explode("toks").alias("term"))
@@ -1650,14 +1668,7 @@ def phrase_suggest(
     # collect and the final plan's |V| fold consume it — uncheckpointed,
     # the full corpus tokenize+explode+groupBy lineage ran twice (the
     # SQL twin pays once via vocab AS MATERIALIZED; r10 review find)
-    vocab = (
-        docs.select(
-            F.explode(F.array_distinct(tokenize(text_col))).alias("term")
-        )
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .localCheckpoint(eager=True)
-    )
+    vocab = _vocab_df(docs, None, text_col).localCheckpoint(eager=True)
 
     # one union over the dictionary, one window rank, ONE bounded collect
     # (≤ n·per_term rows) — the coordinator-side candidate enumeration
@@ -1929,9 +1940,14 @@ def build_postings(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFra
     terms map to a handful of buckets, so an indexed probe reads ~terms/64
     of the index — the partition-pruned analogue of ES's term dictionary
     seek. Within a bucket, parquet min/max on the sorted ``term`` column
-    prunes row groups further."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    prunes row groups further. Tokens pinned (r13): the postings
+    explode's inferred size > 0 filter re-ran the tokenizer regexp per
+    row through pushdown re-inlining (functions.pinning)."""
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    base = pin(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        toks=tokenize(text_col),
     ).withColumn("dl", F.size("toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -2713,13 +2729,20 @@ def tfidf_keywords(
     the whole corpus vocabulary (multi-GB at 100×, past the broadcast
     cap), while the shuffle join's df_t side reuses the groupBy("term")
     exchange. The one-row corpus count broadcasts in, then a per-doc
-    top-k window; nothing here is more than linear."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
-    )
-    stats = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    top-k window; nothing here is more than linear. Tokens pinned (r13):
+    the explode's inferred size > 0 filter re-ran the regexp per row
+    through pushdown re-inlining; n_docs counts the raw docs directly (a
+    pruned count scan, no tokenize at all — same value, one row per
+    doc)."""
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
-        base.select("doc_id", F.explode("toks").alias("term"))
+        pin(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+            toks=tokenize(text_col),
+        )
+        .select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -2773,10 +2796,15 @@ def build_postings_fields(
     """Multi-field postings in ONE corpus pass: (bucket, field, term, doc_id,
     tf, dl) + per-field corpus stats — ES's per-field inverted index. Same
     bucket partitioning as :func:`build_postings`, so a probe prunes to the
-    query terms' buckets regardless of field count."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *[tokenize(c).alias(f"__toks_{i}") for i, c in enumerate(field_cols)],
+    query terms' buckets regardless of field count. Per-field token
+    arrays pinned (r13): the field-struct explode's inferred non-empty
+    filter re-ran every field's tokenizer regexp per row through pushdown
+    re-inlining (functions.pinning)."""
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    base = pin(
+        docs.select(F.col(id_col).alias("doc_id"), *field_cols),
+        **{f"__toks_{i}": tokenize(c) for i, c in enumerate(field_cols)},
     )
     field_structs = F.array(
         *[

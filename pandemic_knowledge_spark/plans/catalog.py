@@ -146,7 +146,7 @@ from pandemic_knowledge_spark.functions.url import (
 )
 from pandemic_knowledge_spark.operators.quality import (
     hash_weights,
-    quality_keep,
+    quality_keep_gate,
     quality_scores,
     sql_quality_scores,
 )
@@ -2577,7 +2577,7 @@ def corpus_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk explode never shuffle. Composability is the point: the same ops
     the individual queries verify, fused."""
     d = load(spark, sf_dir, "documents")
-    kept = d.filter(quality_keep("text", _QCLF_WEIGHTS))
+    kept = quality_keep_gate(d, "text", _QCLF_WEIGHTS)
     chunks = chunk_documents(kept, "doc_id", "text", carry_cols=("source",))
     return chunks.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
