@@ -238,14 +238,20 @@ def band_rows_rowlocal(
     `_shingle_hash_rows`'s explode; NULL-id docs are dropped scan-side —
     an id-less doc can't be registered in the bucket store, and a NaN id
     would poison the stateful kernel's int64 running min."""
-    # NOTE (r13): a pin() barrier here (to stop the size(hs) > 0 predicate
-    # re-running the tokenize+shingle+hash chain below the projection)
-    # measured SLOWER than the duplicated chain (stream_near_dup_mark
-    # 1.29→1.39 s collect) — the Generate's per-row cost exceeds one saved
-    # regexp+HOF pass on this operator. Reverted; see OPTIMIZATION_r13.md.
-    with_hs = docs.where(F.col(id_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        shingle_hashes(tokenize(text_col), k).alias("hs"),
+    # hs behind a pin barrier: the size(hs) > 0 predicate would otherwise
+    # push below the projection and re-run the whole tokenize+shingle+md5
+    # chain per row. (r13 history: the STRUCT-wrapped pin measured slower
+    # than the duplicated chain — 1.29→1.39 s — and was reverted; the
+    # bare-explode single-column pin added later in the round measured
+    # ~17% FASTER than the inline form on this subplan, 2.70→2.23 s noop
+    # median of 6, every round consistent. See OPTIMIZATION_r13.md.)
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    with_hs = pin(
+        docs.where(F.col(id_col).isNotNull()).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col)
+        ),
+        hs=shingle_hashes(tokenize(text_col), k),
     ).where(F.size("hs") > 0)
     return with_hs.select(
         "doc_id",
