@@ -112,7 +112,15 @@ def _selected_tf(docs, id_col: str, text_col: str, df_sel: DataFrame,
     (r13 optimization, guide §2.3/§8: decide on the small vocabulary
     frame, then move only the matching sliver). Tokens pinned: the
     explode's inferred size > 0 filter re-ran the regexp per row through
-    pushdown re-inlining (functions.pinning)."""
+    pushdown re-inlining (functions.pinning).
+
+    When ``df_sel`` already carries the scalar stats columns (n_docs,
+    sum_dl) — a selection that itself joined the stats, like
+    more_like_this's tf·idf pick — pass ``stats=None``: the constants
+    ride the broadcast hash join and the grouping key (functionally
+    dependent on term) instead of a SECOND one-row
+    BroadcastNestedLoopJoin (the plan-audit scalar-BNLJ budget is one
+    per query; r13 audit regression fix)."""
     from pandemic_knowledge_spark.functions.pinning import pin
 
     pre = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
@@ -120,14 +128,17 @@ def _selected_tf(docs, id_col: str, text_col: str, df_sel: DataFrame,
         # id predicate BELOW the pin barrier so it still reaches the scan
         pre = pre.filter(F.col("doc_id") != F.lit(exclude_doc))
     base = pin(pre, toks=tokenize(text_col))
-    return (
+    carried = [c for c in ("n_docs", "sum_dl") if c in df_sel.columns]
+    out = (
         base.withColumn("dl", F.size("toks"))
         .select("doc_id", "dl", F.explode("toks").alias("term"))
         .join(F.broadcast(df_sel), "term")
-        .groupBy("doc_id", "dl", "term", "df")
+        .groupBy("doc_id", "dl", "term", "df", *carried)
         .agg(F.count(F.lit(1)).alias("tf"))
-        .crossJoin(F.broadcast(stats))
     )
+    if stats is not None:
+        out = out.crossJoin(F.broadcast(stats))
+    return out
 
 
 def _attach_bm25_scores(joined: DataFrame) -> DataFrame:
@@ -738,10 +749,12 @@ def more_like_this(
         )
         .orderBy(F.desc("sel_score"), F.col("term"))
         .limit(max_query_terms)
-        .select("term", "df")
+        # carry the one-row stats the selection already joined, so the
+        # TF pass rides ONE scalar broadcast, not a second BNLJ
+        .select("term", "df", "n_docs", "sum_dl")
     )
     scored = _attach_bm25_scores(
-        _selected_tf(docs, id_col, text_col, df_sel, stats,
+        _selected_tf(docs, id_col, text_col, df_sel, stats=None,
                      exclude_doc=src_doc_id)
     )
     return _bm25_score_agg(scored, k)
