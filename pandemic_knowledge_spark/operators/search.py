@@ -1976,6 +1976,44 @@ def build_postings(docs: DataFrame, id_col: str, text_col: str) -> tuple[DataFra
     return postings, stats
 
 
+def _postings_bucket_laid(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """:func:`build_postings` rows in the persisted-index layout, built with
+    ONE exchange (r13, guide §2.4 "two operations keyed the same way can
+    share one exchange"): the bucket column is computed BEFORE the TF
+    aggregate and the token stream is repartitioned by it, so the same
+    shuffle serves the groupBy (``bucket`` is functionally dependent on
+    ``term`` — HashPartitioning(bucket) clusters every grouping key) and
+    the ``partitionBy("bucket")`` write. The plain :func:`build_postings`
+    lineage pays that shuffle twice: the (doc, term) aggregate exchange
+    and then :meth:`SearchIndex.save`'s ``repartition("bucket")``.
+
+    The local sort is (bucket, term) — a prefix the file writer's required
+    ordering (its dynamic-partition columns) is satisfied by, so no second
+    writer-inserted sort runs, and the within-file term order (row-group
+    min/max pruning) is guaranteed rather than inherited from sort
+    stability. Trade-off, documented for cluster sizing: the exchange
+    carries raw token rows (no map-side combine), ~1.3× the aggregated
+    posting bytes — still well under the 2× of shuffling the aggregate
+    twice, and one fewer shuffle round."""
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    base = pin(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        toks=tokenize(text_col),
+    ).withColumn("dl", F.size("toks"))
+    return (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .withColumn(
+            "bucket", F.pmod(F.crc32(F.col("term")), F.lit(N_TERM_BUCKETS)).cast("int")
+        )
+        .repartition("bucket")
+        .groupBy("doc_id", "dl", "term", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", "dl", "term", "tf", "bucket")
+        .sortWithinPartitions("bucket", "term")
+    )
+
+
 def _bm25_score_agg(scored: DataFrame, k: int, after: tuple | None = None) -> DataFrame:
     """Shared tail of every postings scorer: per-doc score sum → top-k.
 
@@ -2156,7 +2194,7 @@ def _write_index_sidecars(
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("tlen", F.length("term"))
         .repartition("tlen")
-        .sortWithinPartitions("term")
+        .sortWithinPartitions("tlen", "term")
         .write.mode("overwrite")
         .partitionBy("tlen")
         .parquet(f"{path}/vocab")
@@ -2245,6 +2283,12 @@ class SearchIndex:
         # postings: present only on positional builds/layouts; phrase
         # probes require it.
         self.positional = positional
+        # (docs, id_col, text_col) of an uncached build: save() re-derives
+        # the bucket-laid postings from this lineage with a single
+        # exchange (_postings_bucket_laid) instead of repartitioning the
+        # aggregated frame a second time. None on loaded/bare/cached
+        # indexes (a warm cache is cheaper than re-tokenizing).
+        self._lineage: tuple | None = None
 
     @classmethod
     def build(cls, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -2275,7 +2319,10 @@ class SearchIndex:
             doc_ids = doc_ids.cache()
             if pos is not None:
                 pos = pos.cache()
-        return cls(postings, stats, vocab=vocab, doc_ids=doc_ids, positional=pos)
+        idx = cls(postings, stats, vocab=vocab, doc_ids=doc_ids, positional=pos)
+        if not cache:
+            idx._lineage = (docs, id_col, text_col)
+        return idx
 
     def warm(self) -> "SearchIndex":
         """Force materialization now (first search pays nothing)."""
@@ -2320,11 +2367,20 @@ class SearchIndex:
         import time as _time
 
         t0 = _time.perf_counter()
-        laid = (
-            self.postings.repartition("bucket")
-            .sortWithinPartitions("term")
-            .localCheckpoint(eager=True)
-        )
+        if self._lineage is not None:
+            # uncached build: re-derive the layout from the corpus with ONE
+            # exchange (bucket-first aggregate) instead of shuffling the
+            # aggregated postings a second time — see _postings_bucket_laid.
+            laid = _postings_bucket_laid(*self._lineage).localCheckpoint(eager=True)
+        else:
+            # loaded / bare / cached postings: lay out the existing frame.
+            # Sorting (bucket, term) — not just term — satisfies the file
+            # writer's required ordering so it inserts no second sort.
+            laid = (
+                self.postings.repartition("bucket")
+                .sortWithinPartitions("bucket", "term")
+                .localCheckpoint(eager=True)
+            )
         (
             laid.write.mode("overwrite")
             .partitionBy("bucket")
@@ -2336,7 +2392,7 @@ class SearchIndex:
         if self.positional is not None:
             (
                 self.positional.repartition("bucket")
-                .sortWithinPartitions("term")
+                .sortWithinPartitions("bucket", "term")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(f"{path}/positions")
@@ -2370,7 +2426,7 @@ class SearchIndex:
                 .agg(F.count(F.lit(1)).alias("df"))
                 .withColumn("tlen", F.length("term"))
                 .repartition("tlen")
-                .sortWithinPartitions("term")
+                .sortWithinPartitions("tlen", "term")
                 .write.mode("overwrite")
                 .partitionBy("tlen")
                 .parquet(f"{path}/vocab")
@@ -2689,7 +2745,7 @@ class SearchIndex:
         new_p = new_p.localCheckpoint(eager=True)  # 3 consumers below
         (
             new_p.repartition("bucket")
-            .sortWithinPartitions("term")
+            .sortWithinPartitions("bucket", "term")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
@@ -2710,7 +2766,7 @@ class SearchIndex:
         )
         (
             merged_vocab.repartition("tlen")
-            .sortWithinPartitions("term")
+            .sortWithinPartitions("tlen", "term")
             .write.mode("overwrite")
             .partitionBy("tlen")
             .parquet(f"{path}/vocab")
