@@ -48,11 +48,19 @@ def chunk_documents(
     chunk_tokens: int = CHUNK_TOKENS,
     overlap_tokens: int = OVERLAP_TOKENS,
     carry_cols: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, *carry_cols, chunk_id, chunk_text, n_chunk_tokens) — the
     sliding chunk grid above. chunk_id is 0-based and dense per doc;
     ``carry_cols`` ride along unchanged (e.g. source/lang for downstream
-    grouping without a join back)."""
+    grouping without a join back).
+
+    ``tokens_col``: an already-materialized token-array column to chunk
+    from INSTEAD of tokenizing ``text_col`` — the fusion handle for
+    pipelines whose upstream op already tokenized (e.g.
+    ``quality_keep_gate(..., keep_tokens=...)``): the corpus is then
+    tokenized once end-to-end (r13). Must be a real (pinned/materialized)
+    column, not a lazy alias of tokenize()."""
     s, t = _grid(chunk_tokens, overlap_tokens)
     from pandemic_knowledge_spark.functions.pinning import pin
 
@@ -63,17 +71,19 @@ def chunk_documents(
     # Upstream predicates (e.g. a quality gate on the raw docs) are applied
     # to `docs` BEFORE this select, so they still reach the scan below the
     # barrier.
-    base = (
-        pin(
+    if tokens_col is not None:
+        toked = docs.select(
+            F.col(id_col).alias("doc_id"), *carry_cols,
+            F.col(tokens_col).alias("__toks"),
+        )
+    else:
+        toked = pin(
             docs.select(
                 F.col(id_col).alias("doc_id"), *carry_cols, F.col(text_col)
             ),
             __toks=tokenize(text_col),
-        )
-        .select("doc_id", *carry_cols, "__toks")  # drop raw text pre-explode
-        .withColumn("__n", F.size("__toks"))
-        .filter(F.col("__n") > 0)
-    )
+        ).select("doc_id", *carry_cols, "__toks")  # drop raw text pre-explode
+    base = toked.withColumn("__n", F.size("__toks")).filter(F.col("__n") > 0)
     # exact integer ceil: 1 + (n - S + T - 1) div T  ==  1 + ceil((n-S)/T)
     n_chunks = F.when(F.col("__n") <= s, F.lit(1)).otherwise(
         (F.lit(1) + (F.col("__n") - s + (t - 1)) / t).cast("int")

@@ -50,6 +50,21 @@ def hash_weights(dim: int = QUALITY_DIM, seed: int = 1) -> list[int]:
     return [((i + seed) * _KNUTH) % WEIGHT_SPAN - 1000 for i in range(dim)]
 
 
+def _feats_from_tokens(toks: Column) -> Column:
+    """Unigrams + consecutive-bigram features of a token array. ``toks``
+    is referenced several times (size/slice/concat) — pass a bound lambda
+    variable or a materialized (pinned) column, never a raw tokenize()
+    expression, or the regex re-runs per reference."""
+    n = F.size(toks)
+    n_pairs = F.greatest(n - 1, F.lit(0))  # slice length >= 0 (n = 0 docs)
+    grams = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return F.concat(toks, grams)
+
+
 def _feats_expr(text_col: str) -> Column:
     """Unigrams + consecutive-bigram features of a text column.
 
@@ -58,19 +73,8 @@ def _feats_expr(text_col: str) -> Column:
     the regex per consumer outside codegen CSE (the measured 2x on the
     curation pipeline) — the single-element transform makes `toks` a
     bound variable every downstream term references."""
-
-    def build_feats(toks: Column) -> Column:
-        n = F.size(toks)
-        n_pairs = F.greatest(n - 1, F.lit(0))  # slice length >= 0 (n = 0 docs)
-        grams = F.zip_with(
-            F.slice(toks, 1, n_pairs),
-            F.slice(toks, 2, n_pairs),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
-        return F.concat(toks, grams)
-
     return F.flatten(
-        F.transform(F.array(tokenize(text_col)), lambda t: build_feats(t))
+        F.transform(F.array(tokenize(text_col)), lambda t: _feats_from_tokens(t))
     )
 
 
@@ -135,20 +139,41 @@ def quality_keep_gate(
     weights: list[int],
     bias_milli: int = 0,
     salt: str = "qclf",
+    keep_tokens: str | None = None,
 ) -> DataFrame:
     """``docs`` filtered to quality keepers — the DataFrame form of
     :func:`quality_keep`. The features array is pinned
     (functions.pinning), so the regexp + bigram chain runs ONCE per row
     where the Column form's pushed Filter evaluates it twice (r13 census:
     corpus_training_prep before plan). Apply base predicates to ``docs``
-    before this call — the pin barrier blocks pushdown past it."""
+    before this call — the pin barrier blocks pushdown past it.
+
+    ``keep_tokens``: name under which to ALSO return the materialized
+    token array — the fusion handle for downstream token consumers
+    (chunking, stats) so the corpus is tokenized once per pipeline, not
+    once per op (r13). In this form the TOKENS are pinned and features
+    build from the pinned attribute; the keep predicate references the
+    feature chain once (score only — the non-empty gate reads
+    size(tokens)), so no second barrier is needed. Identical keep set:
+    size(feats) > 0 <=> size(toks) > 0 (feats = toks ++ bigrams)."""
     from pandemic_knowledge_spark.functions.pinning import pin
 
-    gen = pin(docs, __feats=_feats_expr(text_col))
+    if keep_tokens is None:
+        gen = pin(docs, __feats=_feats_expr(text_col))
+        return gen.filter(
+            (F.size("__feats") > 0)
+            & (_score_expr(F.col("__feats"), weights, bias_milli, salt) >= 0)
+        ).drop("__feats")
+    gen = pin(docs, **{keep_tokens: tokenize(text_col)})
     return gen.filter(
-        (F.size("__feats") > 0)
-        & (_score_expr(F.col("__feats"), weights, bias_milli, salt) >= 0)
-    ).drop("__feats")
+        (F.size(keep_tokens) > 0)
+        & (
+            _score_expr(
+                _feats_from_tokens(F.col(keep_tokens)), weights, bias_milli, salt
+            )
+            >= 0
+        )
+    )
 
 
 def quality_scores(

@@ -2575,10 +2575,15 @@ def corpus_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codegen grid) → per-source chunk/token accounting. The composition
     stays a single scan + one final groupBy — the quality filter and the
     chunk explode never shuffle. Composability is the point: the same ops
-    the individual queries verify, fused."""
-    d = load(spark, sf_dir, "documents")
-    kept = quality_keep_gate(d, "text", _QCLF_WEIGHTS)
-    chunks = chunk_documents(kept, "doc_id", "text", carry_cols=("source",))
+    the individual queries verify, fused. Tokenized ONCE end-to-end
+    (r13): the gate materializes the token array (keep_tokens) and the
+    chunker consumes it — the before plan ran the tokenizer regexp twice
+    per surviving row (once per op)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = quality_keep_gate(d, "text", _QCLF_WEIGHTS, keep_tokens="__toks")
+    chunks = chunk_documents(
+        kept, "doc_id", "text", carry_cols=("source",), tokens_col="__toks"
+    )
     return chunks.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_chunks"),

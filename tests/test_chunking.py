@@ -94,3 +94,29 @@ def test_no_shuffle_no_python(spark):
     plan = chunk_documents(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_fused_gate_chunker_equals_unfused_composition(spark):
+    """The single-tokenize fusion (quality_keep_gate(keep_tokens=...) ->
+    chunk_documents(tokens_col=...)) returns exactly the rows of the
+    unfused composition, and its plan runs the tokenizer regexp at ONE
+    site where the unfused plan has two (r13 optimization)."""
+    from pandemic_knowledge_spark.operators.quality import (
+        hash_weights,
+        quality_keep_gate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, f"src{i % 2}") for i, t in DOCS], "doc_id long, text string, source string"
+    )
+    w = hash_weights()
+    unfused = chunk_documents(
+        quality_keep_gate(df, "text", w), "doc_id", "text", carry_cols=("source",)
+    )
+    fused = chunk_documents(
+        quality_keep_gate(df, "text", w, keep_tokens="__toks"),
+        "doc_id", "text", carry_cols=("source",), tokens_col="__toks",
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, unfused.collect()))
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1, plan
