@@ -5815,10 +5815,22 @@ def q21_single_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(
-            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
-        ).alias("r_lines")
+    # ONE exchange serves both shrinking aggregations (r13, guide §2.4):
+    # repartition by l_orderkey BEFORE the pair agg — orderkey clusters
+    # the (orderkey, suppkey) groups AND the per-order roll-up, where the
+    # default plan shuffled once per aggregate (2 Exchange → 1). Orders
+    # have ≤7 lines, so single-key partitioning cannot skew, and the
+    # forfeited map-side combine reduces little anyway (≈1 line per
+    # (order, supplier) pair).
+    pair = (
+        li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+            ).alias("r_lines")
+        )
     )
     ordstats = pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
