@@ -1572,8 +1572,16 @@ def mad_by(
 
     v = cents(F.col(value_col), scale)
     base = df.select(F.col(key_col), v.alias("__mad_c"))
-    med = grouped_percentiles_exact(base, [key_col], "__mad_c", [0.5]).select(
-        key_col, (F.col("p50") * 2).cast("long").alias("__mad_m2")
+    # The #keys-row median frame is checkpointed: since r13 the percentile
+    # machinery no longer materializes its input (guide §5 — re-scanning
+    # two pruned columns beats storing a corpus copy), so WITHOUT this
+    # tiny barrier the deviation pass would embed the whole pass-1 plan
+    # in each of its subtrees (measured: 442-exchange plan, 8.9 s vs
+    # 3.3 s at sf0.1). Lazy: it materializes with the first action.
+    med = (
+        grouped_percentiles_exact(base, [key_col], "__mad_c", [0.5])
+        .select(key_col, (F.col("p50") * 2).cast("long").alias("__mad_m2"))
+        .localCheckpoint(eager=False)
     )
     dev = base.join(F.broadcast(med), key_col).select(
         key_col,

@@ -2372,10 +2372,15 @@ def _apply_mads(grouped: DataFrame, framed: DataFrame, key_cols: list[str],
         base = framed.select(
             *key_cols, cents(F.col(field), scale).alias("__mad_c")
         )
-        med = grouped_percentiles_exact(
-            base, key_cols, "__mad_c", [0.5]
-        ).select(
-            *key_cols, (F.col("p50") * 2).cast("long").alias("__mad_m2")
+        # checkpoint the #buckets-row median frame so the deviation pass
+        # does not embed the whole pass-1 plan per subtree (see
+        # aggregates.mad_by — same barrier, same r13 measurement)
+        med = (
+            grouped_percentiles_exact(base, key_cols, "__mad_c", [0.5])
+            .select(
+                *key_cols, (F.col("p50") * 2).cast("long").alias("__mad_m2")
+            )
+            .localCheckpoint(eager=False)
         )
         dev = base.join(F.broadcast(med), key_cols).select(
             *key_cols,

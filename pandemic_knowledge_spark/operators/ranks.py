@@ -296,11 +296,26 @@ def grouped_percentiles_exact(
     ordering uses the true value, so fractional inputs are fine);
     override ``bucket`` for custom distributions. The per-group rank
     targets table grows as |groups| × |ps| and must stay broadcastable —
-    same regime note as partitioned_ntile's group_cols."""
-    # project BEFORE the materialization: the sketch + rank passes need
-    # only (group, value) — checkpointing the caller's full row width
-    # would store the whole table (measured 3× slower on 16-col lineitem).
-    d0 = df.select(*group_cols, value_col).localCheckpoint(eager=True)
+    same regime note as partitioned_ntile's group_cols.
+
+    CALLER CONTRACT (r13): the input is consumed by ~3 subtrees (sketch,
+    group list, rank pass) WITHOUT materialization — a plain scan embeds
+    as 3 column-pruned re-scans (cheap, streaming, no stored copy), but
+    an input with an EXPENSIVE derived lineage re-executes that lineage
+    per subtree: localCheckpoint such inputs first (see mad_by's tiny
+    med-frame barrier — without it the deviation pass planned 442
+    exchanges)."""
+    # Plain projected lineage, NO checkpoint (r13, guide §5 caching
+    # note): the sketch subtree is consumed by offsets/total/groups, but
+    # those share its aggregate exchange via ReuseExchange — one corpus
+    # pass feeds the shuffle, the three small consumers read its output —
+    # and the rank pass re-scans only these two pruned columns. The
+    # previous eager localCheckpoint stored a (group, value) copy of the
+    # whole table in executor storage (a 100 TB liability) and serialized
+    # the build into a blocking job; interleaved micro-bench at sf0.1:
+    # lazy ~1.89 s vs checkpoint ~2.06 s on agg_percentile_quantity, MAD
+    # equal. Projection still matters: it is what the re-scans prune to.
+    d0 = df.select(*group_cols, value_col)
     b = F.coalesce(
         bucket if bucket is not None else decimal_bucket(F.col(value_col)),
         F.lit(_NULL_BUCKET),
@@ -323,7 +338,8 @@ def grouped_percentiles_exact(
     total = bcounts.groupBy(*group_cols).agg(F.sum("__pk_pc_c").alias("__pk_pc_n"))
     # group list from the UNFILTERED input (an all-NULL-value group has no
     # bucket counts but must still emit a NULL-percentile row, matching
-    # the builtin); left-join its non-null count in. All group joins below
+    # the builtin); the optimizer prunes this to a group-columns-only scan
+    # + distinct. Left-join its non-null count in. All group joins below
     # RENAME the sketch side's group columns first: both sides of these
     # self-derived joins share lineage, and a bare same-name eqNullSafe
     # silently resolves both sides to ONE attribute (trivially-true
