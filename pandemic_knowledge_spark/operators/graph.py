@@ -63,10 +63,14 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     base = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
     # Materialize the weighted edge list ONCE, hash-partitioned by dst —
     # every iteration broadcast-joins the (small) rank table onto it and
-    # aggregates by dst, so with the dst partitioning baked into the
-    # checkpoint each round needs ZERO edge shuffles (localCheckpoint
-    # preserves outputPartitioning). Without this the fact-table edge
-    # derivation AND a corpus-sized exchange would re-run per round.
+    # aggregates by dst. The checkpoint's PHYSICAL dst clustering means
+    # the per-dst partial aggregation collapses each dst inside its own
+    # partition, so the per-round exchange carries ≤ one row per node,
+    # never the edge list — even though AQE drops the checkpoint's
+    # partitioning METADATA and still plans the (node-sized) exchange
+    # (r13 executed-plan audit; the pre-r13 comment claimed zero
+    # shuffles). Without the checkpoint the fact-table edge derivation
+    # would re-run per round.
     e = edges.join(outw, "src").repartition("dst").localCheckpoint(eager=True)
     for it in range(1, iters + 1):
         contrib = (
@@ -79,7 +83,11 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
         recv = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.sum("c").alias("s")
         )
-        ranks = nodes.join(recv, "node", "left").select(
+        # recv is ≤ one row per node — broadcast it like the rank table
+        # (same size regime, the operator's standing assumption): the
+        # executed plan otherwise ran a per-round SortMergeJoin with a
+        # nodes-side exchange + two sorts (r13; 10 SMJ → 0).
+        ranks = nodes.join(F.broadcast(recv), "node", "left").select(
             "node",
             F.expr(
                 f"{base} + ({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}"
