@@ -118,9 +118,19 @@ def association_rules(
     support counts from the distinct (order, part) sets; confidence =
     P(b|a) = pair/cnt_a; lift = pair·N / (cnt_a·cnt_b). Output both
     directions' confidence so the rule table reads either way."""
-    baskets = lineitem.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
+    # ONE exchange serves the basket dedup AND the basket-array groupBy
+    # (r13, guide §2.4): okey clusters both the (okey, part) distinct and
+    # the per-okey collect — without the explicit okey partitioning the
+    # plan exchanged once on (okey, part) for the distinct and AGAIN on
+    # okey for the arrays. Orders are ≤7 lines: no skew, and the
+    # forfeited map-side partial distinct removed almost nothing.
+    baskets = (
+        lineitem.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+        )
+        .repartition("okey")
+        .distinct()
+    )
     n_df = baskets.agg(F.countDistinct("okey").alias("n_orders"))
     part_cnt = baskets.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
     # Grouped pair emission (the winnow/Jaccard house pattern), not an
