@@ -978,19 +978,27 @@ def connected_components(
     representative kept per cluster. rep = min node id in the component,
     deterministic under any partitioning.
 
-    Algorithm: iterative min-label propagation. Each round every node takes
-    the min of its own label and its neighbors' labels; convergence after
-    D rounds where D = max component diameter. Near-dup graphs have tiny,
-    dense components (D ≲ 4), so the loop is a handful of |edges|-sized
-    shuffles — a driver loop over PLANS, never over rows. Each round
-    persists its (small) label table and unpersists the previous one, so
-    lineage stays flat. For adversarial graphs with giant components, the
-    published fix is alternating large-star/small-star rounds (Kiveris et
-    al., "Connected Components in MapReduce", SoCC'14) — same join shape,
-    O(log²) rounds; not needed for bounded near-dup clusters.
+    Algorithm: min-label propagation WITH pointer jumping. Each round
+    every node takes the min of its own label and its neighbors' labels
+    (one |edges|-sized join + agg), then labels chase one level of
+    indirection (lab ← label_of(lab), a node-sized self-join) — the
+    classic label-doubling step, so a component of diameter D converges
+    in O(log D) rounds instead of D (r13: the measured winnow-overlap
+    graph at sf0.1 had D ≈ 10 and took 11 propagation-only rounds —
+    the pre-r13 "near-dup components have D ≲ 4" assumption did not
+    hold, and a deep-chained 100 TB corpus would have tripped max_iter).
+    Monotone (labels only decrease, floored at the component min), so
+    the jump changes no result — a propagation fixpoint is already the
+    component-min labelling, jumping only gets there in fewer rounds.
+    The loop is a driver loop over PLANS, never over rows; each round
+    checkpoints its (node-sized) label table and unpersists the previous
+    one, so lineage stays flat. For adversarial graphs the alternating
+    large-star/small-star form (Kiveris et al., "Connected Components in
+    MapReduce", SoCC'14) remains available as
+    :func:`connected_components_star`.
 
     Raises if max_iter rounds don't converge (a correctness signal — it
-    means the graph has a component with diameter > max_iter).
+    means the graph has a component with diameter > ~2^max_iter).
     """
     fwd = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     edges = fwd.unionByName(
@@ -1013,15 +1021,35 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("lab").alias("nlab"))
         )
+        prop = labels.join(neigh, labels["node"] == neigh["s"], "left").select(
+            "node",
+            F.col("lab").alias("lab0"),
+            F.least("lab", F.coalesce("nlab", "lab")).alias("lab1"),
+        )
+        # pointer jump: lab ← label_of(lab). Node-sized SHUFFLE self-join
+        # (label tables are corpus-sized at 100 TB — never broadcast);
+        # every label value is a node id present in the table, the left
+        # join + coalesce is belt-and-braces. Two-step select so the
+        # least() feeds both the label and the change flag once.
+        jump = prop.select(
+            F.col("node").alias("__jn"), F.col("lab1").alias("__jl")
+        )
         new_labels = (
-            labels.join(neigh, labels["node"] == neigh["s"], "left")
+            prop.join(jump, prop["lab1"] == jump["__jn"], "left")
             .select(
                 "node",
-                F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
-                (F.col("nlab") < F.col("lab")).alias("__chg"),
+                "lab0",
+                F.least("lab1", F.coalesce("__jl", "lab1")).alias("lab"),
+            )
+            .select(
+                "node", "lab", (F.col("lab") < F.col("lab0")).alias("__chg")
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence count below materializes it in
+        # the SAME job (eager=True paid a second job per round — r13
+        # instrumented loop: 10.7 s -> 6.7 s over the 7 rounds at sf0.1);
+        # later rounds read the cached blocks either way.
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("__chg")).count()
         new_labels = new_labels.drop("__chg")
         labels.unpersist()
@@ -1107,7 +1135,10 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # lazy: the first convergence probe materializes the checkpoint in
+        # its own job (same single-job-per-round move as
+        # connected_components)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         unchanged = (
             new_edges.exceptAll(edges).isEmpty()
             and edges.exceptAll(new_edges).isEmpty()

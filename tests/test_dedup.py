@@ -68,10 +68,12 @@ def test_connected_components_transitive_chain(spark):
 
 
 def test_connected_components_raises_without_convergence(spark):
-    """A path graph of diameter 6 cannot converge in 2 rounds — the loop
-    must fail loudly, never return a partial clustering."""
+    """A path graph too deep for the round budget must fail loudly, never
+    return a partial clustering. With pointer jumping (r13) each round
+    roughly doubles label reach, so the diameter must exceed ~2^max_iter:
+    a 100-edge path cannot converge in 2 rounds."""
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(pairs, max_iter=2)
