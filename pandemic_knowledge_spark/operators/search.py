@@ -2371,7 +2371,9 @@ class SearchIndex:
             # uncached build: re-derive the layout from the corpus with ONE
             # exchange (bucket-first aggregate) instead of shuffling the
             # aggregated postings a second time — see _postings_bucket_laid.
-            laid = _postings_bucket_laid(*self._lineage).localCheckpoint(eager=True)
+            laid = _postings_bucket_laid(*self._lineage).localCheckpoint(
+                eager=False
+            )
         else:
             # loaded / bare / cached postings: lay out the existing frame.
             # Sorting (bucket, term) — not just term — satisfies the file
@@ -2379,7 +2381,7 @@ class SearchIndex:
             laid = (
                 self.postings.repartition("bucket")
                 .sortWithinPartitions("bucket", "term")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         (
             laid.write.mode("overwrite")
