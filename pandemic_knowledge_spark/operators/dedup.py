@@ -369,7 +369,9 @@ def minhash_lsh_pairs(
     # both verify sides), and checkpoint blocks are context-cleaned when the
     # result frame is dropped instead of pinned in the session cache manager
     # (a slow leak in long-lived interactive sessions).
-    base = minhash_base(docs, id_col, text_col, k).localCheckpoint(eager=True)
+    # lazy (r13): the first consuming job materializes the blocks —
+    # identical single computation, one less blocking job per call
+    base = minhash_base(docs, id_col, text_col, k).localCheckpoint(eager=False)
     return pairs_from_base(base, threshold)
 
 
@@ -421,7 +423,7 @@ def minhash_lsh_pairs_pruned(
     # precedent), so their blocks context-clean with the result frame
     # instead of accumulating in the cache manager across queries.
     sigs = minhash_signature_agg(docs, id_col, text_col, k).localCheckpoint(
-        eager=True
+        eager=False
     )
     exploded = _band_rows(sigs)
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -430,7 +432,7 @@ def minhash_lsh_pairs_pruned(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -624,7 +626,8 @@ def winnow_overlap_pairs(
     substrings.py's dup-positions checkpoint, and unlike the previous
     cache() the blocks are context-cleaned when the result frame is
     dropped, not pinned in the cache manager for the session."""
-    fp = winnow_fingerprints(docs, id_col, text_col, k, w).localCheckpoint(eager=True)
+    # lazy (r13): materialized by the first consuming job, not its own
+    fp = winnow_fingerprints(docs, id_col, text_col, k, w).localCheckpoint(eager=False)
     ex = fp.select(
         F.col(id_col).alias("doc_id"), F.explode("fingerprints").alias("fp")
     )
@@ -785,7 +788,7 @@ def ngram_intersections(
         F.array_distinct(
             F.transform("sh", lambda s: md5_int(s) % HASH_MOD)
         ).alias("hs"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cap = max(1, collect_cap)
     par = sc.defaultParallelism
     sizes = hashed.select("doc_id", F.size("hs").alias("sz"))
@@ -1012,8 +1015,9 @@ def connected_components(
         # re-analyzes the whole history each iteration (measured: exponential
         # per-round wall time past ~8 rounds). Truncating lineage keeps every
         # round constant-cost; see connected_components_star for the cluster
-        # (setCheckpointDir) variant of the same move.
-        .localCheckpoint(eager=True)
+        # (setCheckpointDir) variant of the same move. Lazy (r13):
+        # round 1's job materializes it.
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neigh = (
@@ -1131,8 +1135,9 @@ def connected_components_star(
         # 20s/round by round 3 on a 120-node chain. Checkpointing truncates
         # the plan so every round costs the same. (On a cluster with
         # executor loss concerns, setCheckpointDir + .checkpoint() is the
-        # reliable-storage variant of the same move.)
-        .localCheckpoint(eager=True)
+        # reliable-storage variant of the same move.) Lazy (r13): the
+        # first round materializes it.
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # lazy: the first convergence probe materializes the checkpoint in
