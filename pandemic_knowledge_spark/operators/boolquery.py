@@ -389,7 +389,8 @@ def _phrase_pf_all(docs, id_col, text_col, terms, slop: int = 0):
                 F.size(toks) >= m, F.size(_phrase_counter(toks, terms, slop))
             ).otherwise(F.lit(0)).alias("pf"),
         )
-        .localCheckpoint(eager=True)
+        # lazy (r13): the df count below materializes it in one job
+        .localCheckpoint(eager=False)
     )
 
 
@@ -640,7 +641,7 @@ def bool_search(
                 for i, c in enumerate(must_not)
             ]
             preds = base.select("doc_id", *pred_cols).localCheckpoint(
-                eager=True
+                eager=False  # r13: first consuming job materializes
             )
         else:
             toks = tokenize(text_col)
@@ -1677,7 +1678,7 @@ def _index_phrase_frame(index, phrase: str, slop: int = 0) -> DataFrame:
     pf = (
         counts
         .withColumnRenamed("phrase_count", "pf")
-        .localCheckpoint(eager=True)  # consumed by count() AND the scorer
+        .localCheckpoint(eager=False)  # count() below materializes (r13)
     )
     df_ph = pf.count()
     n_docs, sum_dl = _index_stats_scalars(index)
