@@ -920,7 +920,7 @@ def serial_diff_daily(df: DataFrame, ts_col: str, lag: int = 7) -> DataFrame:
     exactly the derivative's distributed shape."""
     if lag < 1:
         raise ValueError(f"serial_diff_daily: lag must be >= 1, got {lag}")
-    daily = dense_daily_counts(df, ts_col).localCheckpoint(eager=True)
+    daily = dense_daily_counts(df, ts_col).localCheckpoint(eager=False)
     prev = daily.select(
         F.date_add("day", lag).alias("day"), F.col("cnt").alias("__lag_cnt")
     )
@@ -1216,7 +1216,7 @@ def cumulative_cardinality_daily(df: DataFrame, ts_col: str, key_col: str) -> Da
         .filter(F.col("__k").isNotNull())
         .groupBy("__k")
         .agg(F.min("day").alias("day"), F.max("day").alias("__last"))
-        .localCheckpoint(eager=True)  # 2 consumers: counts + bounds
+        .localCheckpoint(eager=False)  # 2 consumers: counts + bounds (lazy, r13)
     )
     new_per_day = first_seen.groupBy("day").agg(
         F.count(F.lit(1)).alias("new_keys")
@@ -1416,7 +1416,7 @@ def moving_percentile_daily(
         raise ValueError(f"moving_percentile_daily: window must be >= 1, got {window}")
     if not (0.0 <= p <= 1.0):
         raise ValueError(f"moving_percentile_daily: p must be in [0, 1], got {p}")
-    daily = dense_daily_counts(df, ts_col).localCheckpoint(eager=True)
+    daily = dense_daily_counts(df, ts_col).localCheckpoint(eager=False)
     contrib = daily.select(
         F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__o"), "day", "cnt"
     ).select(F.date_add("day", F.col("__o")).alias("day"), F.col("cnt").alias("__v"))

@@ -99,7 +99,7 @@ def bpe_learn(
     (vocab-sized, not corpus-sized) and truncates lineage so the k-round
     loop doesn't grow the plan."""
     spark = docs.sparkSession
-    vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
+    vocab = word_vocab(docs, text_col).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for it in range(1, n_merges + 1):
         top = (
@@ -111,7 +111,7 @@ def bpe_learn(
         if top is None:
             break
         merges.append((it, top.a, top.b, top.cnt))
-        vocab = _apply_merge(vocab, top.a, top.b).localCheckpoint(eager=True)
+        vocab = _apply_merge(vocab, top.a, top.b).localCheckpoint(eager=False)
     mdf = spark.createDataFrame(
         merges, "it int, left_sym string, right_sym string, cnt long"
     )

@@ -2518,7 +2518,7 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
         # order-free pipeline: ONE one-row totals aggregate over the
         # bucket frame (sums stay exact for count/long paths) broadcast
         # back — no ordering requirement, works under any parent
-        grouped = grouped.localCheckpoint(eager=True)
+        grouped = grouped.localCheckpoint(eager=False)
         tot_aggs = []
         for pname, method, col_name in normalizes:
             src_c = F.col(col_name)
@@ -2548,7 +2548,7 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
     if shifted:
         # each shift pipeline self-joins the bucket frame — pin it so the
         # extra consumers read the checkpoint, not a fact-table re-run
-        grouped = grouped.localCheckpoint(eager=True)
+        grouped = grouped.localCheckpoint(eager=False)
         step = parent["step"]
         step_expr = F.expr(step) if isinstance(step, str) else F.lit(step)
     for pname, ptype, col_name, n, shift in shifted:
@@ -2650,7 +2650,7 @@ def _apply_bucket_pipelines(grouped: DataFrame, pipelines: dict,
     # pin the bucket frame (bucket-count-sized): the partition-attrs side
     # below consumes it a second time, and without the checkpoint each
     # consumer re-runs the whole fact-table aggregation from the scan
-    grouped = grouped.localCheckpoint(eager=True)
+    grouped = grouped.localCheckpoint(eager=False)
     fr = grouped.withColumn("__part", coarse(F.col(order_col)))
     w = Window.partitionBy("__part").orderBy(F.asc(order_col))
     # one partition-attrs frame: per coarse partition its totals (for the

@@ -57,7 +57,7 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # r13: round 1 materializes
     )
     ranks = nodes.select("node", F.lit(SCALE).alias("r"))
     base = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
@@ -71,7 +71,7 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     # (r13 executed-plan audit; the pre-r13 comment claimed zero
     # shuffles). Without the checkpoint the fact-table edge derivation
     # would re-run per round.
-    e = edges.join(outw, "src").repartition("dst").localCheckpoint(eager=True)
+    e = edges.join(outw, "src").repartition("dst").localCheckpoint(eager=False)
     for it in range(1, iters + 1):
         contrib = (
             e.join(F.broadcast(ranks), e.src == ranks.node)

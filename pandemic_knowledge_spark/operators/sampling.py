@@ -251,7 +251,7 @@ def dsir_rank(
     # minhash/winnow/more_like_this
     ex = base.select(
         "doc_id", "tgt", F.explode("bs").alias("b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # r13: first consumer materializes
     counts = ex.groupBy("b").agg(
         F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("tc"),
         F.count(F.lit(1)).alias("rc"),

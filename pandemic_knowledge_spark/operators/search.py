@@ -59,7 +59,7 @@ def _tf_with_stats(docs, id_col: str, text_col: str):
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .crossJoin(F.broadcast(stats))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # r13: first consumer materializes
     )
     # (doc_id, term) rows are unique by construction of the groupBy above,
     # so a plain count IS the document frequency — one partial-aggregated
@@ -1681,7 +1681,7 @@ def phrase_suggest(
     # collect and the final plan's |V| fold consume it — uncheckpointed,
     # the full corpus tokenize+explode+groupBy lineage ran twice (the
     # SQL twin pays once via vocab AS MATERIALIZED; r10 review find)
-    vocab = _vocab_df(docs, None, text_col).localCheckpoint(eager=True)
+    vocab = _vocab_df(docs, None, text_col).localCheckpoint(eager=False)
 
     # one union over the dictionary, one window rank, ONE bounded collect
     # (≤ n·per_term rows) — the coordinator-side candidate enumeration
@@ -2184,9 +2184,9 @@ def _write_index_sidecars(
     doc_ids = (
         postings.groupBy("doc_id")
         .agg(F.first("dl").alias("dl"))
-        # materialize once: the write AND the stats aggregate below both
-        # consume it — without this the postings groupBy would run twice
-        .localCheckpoint(eager=True)
+        # materialized once by the write below; the stats aggregate then
+        # reads the cached blocks (lazy, r13)
+        .localCheckpoint(eager=False)
     )
     doc_ids.write.mode("overwrite").parquet(f"{path}/doc_ids")
     (

@@ -582,7 +582,7 @@ def _kmeans_fit(
     # cache, so the plan truncates and the ContextCleaner reclaims blocks
     # when the frame is dereferenced (k·dim longs per row; tiny vs re-scanning
     # and re-quantizing the parquet five times).
-    base = base.localCheckpoint(eager=True)
+    base = base.localCheckpoint(eager=False)  # init collect materializes
     init = base.select("vec_id", "q").orderBy("vec_id").limit(k).collect()
     if not init:
         raise ValueError("kmeans_embeddings: empty input")
@@ -918,7 +918,7 @@ def pq_fit_codes(
     d = dim // m
     base = emb.select(
         F.col(id_col).alias("vec_id"), _quantize(vec_col).alias("q")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # sample collect materializes
     sample = (
         base.orderBy(md5_int(F.col("vec_id").cast("string")), "vec_id")
         .limit(max(1, train_cap))

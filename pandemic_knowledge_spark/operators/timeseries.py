@@ -248,7 +248,7 @@ def correlation_pairs_topk_pruned(
 
     # both phases (signatures, exact re-check) consume the daily rollup —
     # materialize it once instead of re-aggregating events per consumer
-    daily = _daily_counts(events, key_col, ts_col).localCheckpoint(eager=True)
+    daily = _daily_counts(events, key_col, ts_col).localCheckpoint(eager=False)
     if n_proj is None:
         import math
 
