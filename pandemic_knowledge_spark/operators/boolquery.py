@@ -366,7 +366,7 @@ def _fuzzy_frame(spark, tf, df_t, clause: dict) -> DataFrame:
 
 def _phrase_pf_all(docs, id_col, text_col, terms, slop: int = 0):
     """Checkpointed narrow (doc_id, dl, pf) frame for a phrase clause —
-    the ONE shape every phrase consumer uses (scored _phrase_frame,
+    the ONE shape every phrase consumer uses (scored _phrase_score,
     constant_score/_member_frame membership). Tokenize materializes once
     in its own projection (the positional HOF references the array per
     (position, term) pair — an inline tokenize(text) would re-run the
@@ -394,18 +394,34 @@ def _phrase_pf_all(docs, id_col, text_col, terms, slop: int = 0):
     )
 
 
-def _phrase_frame(docs, id_col, text_col, terms, n_docs, sum_dl,
-                  slop: int = 0) -> DataFrame:
-    """Full (doc_id, cscore) frame for a scored phrase clause: the phrase
-    is ONE pseudo-term (tf := phrase count, df := matching-doc count —
-    Lucene's ExactPhraseScorer model). Counting is scan-side codegen; the
-    corpus constants arrive as literals (n_docs/sum_dl collected once by
-    the caller, df via one bounded count of the checkpointed match frame)
-    so the plan spends no scalar broadcast here — the one-BNLJ budget
-    stays with the shared TF stats."""
-    pf_all = _phrase_pf_all(docs, id_col, text_col, terms, slop)
-    pf = pf_all.where(F.col("pf") > 0)  # consumed by count() AND the scorer
-    df_ph = pf.count()
+def _phrase_stats_and_df(pf_all) -> tuple[int, int, int]:
+    """ONE aggregate job over a checkpointed :func:`_phrase_pf_all` frame
+    yields the corpus stats AND the phrase's document frequency: pf_all
+    carries exactly one row per doc with ``dl = size(toks)``, so
+    ``count(*)`` IS n_docs, ``sum(dl)`` IS sum_dl, and ``pf`` is never
+    NULL (when/otherwise(0)) so ``sum(pf > 0)`` IS the old
+    ``where(pf > 0).count()``. Before r13 wave 13 the stats came from a
+    SEPARATE full tokenize scan of the corpus (one extra job + one extra
+    regexp pass over every corpus byte); this fused aggregate also
+    materializes the checkpoint the scorer re-reads — values
+    bit-identical (guide §1.2: remove a pass outright)."""
+    row = pf_all.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("s"),
+        F.sum(F.when(F.col("pf") > 0, 1).otherwise(0)).alias("d"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"] or 0), int(row["d"] or 0)
+
+
+def _phrase_score(pf_all, n_docs, sum_dl, df_ph) -> DataFrame:
+    """Scoring tail for a scored phrase clause over its checkpointed
+    :func:`_phrase_pf_all` frame: the phrase is ONE pseudo-term
+    (tf := phrase count, df := matching-doc count — Lucene's
+    ExactPhraseScorer model). The corpus constants arrive as literals
+    (collected by the caller — see :func:`_phrase_stats_and_df`) so the
+    plan spends no scalar broadcast here — the one-BNLJ budget stays
+    with the shared TF stats."""
+    pf = pf_all.where(F.col("pf") > 0)
     avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
     idf = F.log(
         F.lit(1.0)
@@ -430,7 +446,7 @@ def _member_frame(docs, id_col, text_col, clause: dict) -> DataFrame:
     executable half of ES ``constant_score`` (the boost multiplies in the
     shared tail). Token clauses evaluate inline on the scan (one tokenize
     per predicate); a phrase clause takes the checkpointed narrow-counter
-    shape (_phrase_frame's) so the positional HOF never re-inlines an
+    shape (_phrase_score's) so the positional HOF never re-inlines an
     unmaterialized tokenize per position."""
     key = _clause_key(clause, _MEMBER_KEYS)
     if key == "phrase":
@@ -476,9 +492,6 @@ def _scored_frames(docs, id_col, text_col, scored):
             for t in query_terms(c["match"])
         }
     )
-    needs_stats = any(
-        _clause_key(c, _SCORED_KEYS) == "phrase" for _, c in scored
-    )
     tf = df_t = None
     if needs_vocab:
         # a fuzzy clause expands against the FULL vocabulary — only then
@@ -490,17 +503,32 @@ def _scored_frames(docs, id_col, text_col, scored):
         # corpus-wide checkpoint (r13 optimization, guide §2.3/§2.4);
         # each clause filters its own term subset from the shared sliver
         tf, df_t = _literal_tf_with_stats(docs, id_col, text_col, match_terms)
+
+    # Phrase clauses: build each clause's checkpointed (doc_id, dl, pf)
+    # frame up front; the FIRST one's materializing aggregate also yields
+    # the shared corpus stats (n_docs, sum_dl) — before r13 wave 13 those
+    # came from a separate full tokenize scan (guide §1.2: one fewer
+    # corpus pass + one fewer job). Later phrase clauses only pay their
+    # own df count over their own checkpoint, exactly as before.
+    phrase_pfs: dict[int, DataFrame] = {}
+    for i, (_kind, clause) in enumerate(scored):
+        if _clause_key(clause, _SCORED_KEYS) != "phrase":
+            continue
+        terms = query_terms(clause["phrase"])
+        if not terms:
+            raise ValueError("bool phrase clause has no tokenizable terms")
+        slop = int(clause.get("slop", 0))
+        if slop < 0:
+            raise ValueError("phrase slop must be >= 0")
+        phrase_pfs[i] = _phrase_pf_all(docs, id_col, text_col, terms, slop)
     n_docs = sum_dl = None
-    if needs_stats:
-        row = (
-            docs.select(F.size(tokenize(text_col)).alias("dl"))
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-            .collect()[0]
-        )
-        n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
+    phrase_dfs: dict[int, int] = {}
+    if phrase_pfs:
+        i0 = min(phrase_pfs)
+        n_docs, sum_dl, phrase_dfs[i0] = _phrase_stats_and_df(phrase_pfs[i0])
 
     parts = []
-    for kind, clause in scored:
+    for i, (kind, clause) in enumerate(scored):
         key = _clause_key(clause, _SCORED_KEYS)
         boost = float(clause.get("boost", 1.0))
         if key == "match":
@@ -512,14 +540,11 @@ def _scored_frames(docs, id_col, text_col, scored):
         elif key == "fuzzy":
             frame = _fuzzy_frame(spark, tf, df_t, clause)
         elif key == "phrase":
-            terms = query_terms(clause["phrase"])
-            if not terms:
-                raise ValueError("bool phrase clause has no tokenizable terms")
-            slop = int(clause.get("slop", 0))
-            if slop < 0:
-                raise ValueError("phrase slop must be >= 0")
-            frame = _phrase_frame(docs, id_col, text_col, terms, n_docs,
-                                  sum_dl, slop=slop)
+            pf_all = phrase_pfs[i]
+            df_ph = phrase_dfs.get(i)
+            if df_ph is None:
+                df_ph = pf_all.where(F.col("pf") > 0).count()
+            frame = _phrase_score(pf_all, n_docs, sum_dl, df_ph)
         elif key == "constant_score":
             # ES constant_score: any membership clause scored as a flat
             # 1.0 x boost — the "this facet matters this much" idiom
@@ -1656,7 +1681,7 @@ def _index_phrase_frame(index, phrase: str, slop: int = 0) -> DataFrame:
     per-doc position-array span search otherwise — both identical to the
     corpus-side counters), dl from the doc_ids sidecar, corpus constants
     as literals — the same pseudo-term BM25 expression as the corpus-scan
-    :func:`_phrase_frame`."""
+    :func:`_phrase_score`."""
     from pandemic_knowledge_spark.operators.search import (
         phrase_counts_from_postings,
         span_counts_from_postings,
@@ -1922,14 +1947,11 @@ def rescore_search(
     if not terms:
         raise ValueError("rescore phrase has no tokenizable terms")
     top = bm25_search(docs, id_col, text_col, query, k=window_size)
-    row = (
-        docs.select(F.size(tokenize(text_col)).alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-        .collect()[0]
-    )
-    ph = _phrase_frame(
-        docs, id_col, text_col, terms, int(row["n"]), int(row["s"] or 0)
-    )
+    # r13 wave 13: the phrase frame's own materializing aggregate yields
+    # corpus stats + df in one job — no separate stats tokenize scan.
+    pf_all = _phrase_pf_all(docs, id_col, text_col, terms)
+    n_docs, sum_dl, df_ph = _phrase_stats_and_df(pf_all)
+    ph = _phrase_score(pf_all, n_docs, sum_dl, df_ph)
     return (
         top.join(ph, "doc_id", "left")
         .select(

@@ -53,6 +53,13 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument(
+        "--plans-only",
+        action="store_true",
+        help="capture .explain('formatted') + node counts only — no "
+        "warmup, no job-count run, no timed runs (cheap final-plan "
+        "snapshot for the plans/r13 deliverables)",
+    )
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -66,10 +73,11 @@ def main() -> None:
 
     # Same steady-state discipline as bench.py: warm the whole set twice.
     spark.range(1000).selectExpr("sum(id)").collect()
-    for _ in range(2):
-        for name in names:
-            spark.catalog.clearCache()
-            REGISTRY[name].fn(spark, args.sf_dir).collect()
+    if not args.plans_only:
+        for _ in range(2):
+            for name in names:
+                spark.catalog.clearCache()
+                REGISTRY[name].fn(spark, args.sf_dir).collect()
 
     results: dict[str, dict] = {}
     for name in names:
@@ -83,6 +91,17 @@ def main() -> None:
         if not args.no_plans:
             with open(os.path.join(plans_dir, f"{name}_{args.tag}.txt"), "w") as f:
                 f.write(plan)
+
+        if args.plans_only:
+            results[name] = dict(nodes)
+            print(
+                f"{name}: exch={nodes['exchange']} "
+                f"bexch={nodes['broadcast_exchange']} "
+                f"py={nodes['python_eval']} smj={nodes['sort_merge_join']} "
+                f"scans={nodes['scans']}",
+                flush=True,
+            )
+            continue
 
         # Job count for one full build+collect cycle.
         group = f"jobs_{name}_{args.tag}"
@@ -119,7 +138,9 @@ def main() -> None:
             flush=True,
         )
 
-    total = round(sum(r["collect_med"] for r in results.values()), 3)
+    total = round(
+        sum(r.get("collect_med", 0.0) for r in results.values()), 3
+    )
     out = args.out or f"/tmp/measure_r13_{args.tag}.json"
     with open(out, "w") as f:
         json.dump({"total_collect": total, "queries": results}, f, indent=1)
