@@ -84,14 +84,23 @@ def significant_terms(
     pass), one-row totals broadcast in, top-k via per-partition heaps
     (TakeOrderedAndProject). ``min_doc_count`` (ES default 3, here 2)
     suppresses one-off noise terms before ranking."""
+    from pandemic_knowledge_spark.functions.pinning import pin
     from pandemic_knowledge_spark.functions.text import tokenize
 
-    base = docs.select(
+    pre = docs.select(
         F.col(id_col).alias("doc_id"),
         fg_predicate.cast("boolean").alias("fg"),
-        F.array_distinct(tokenize(text_col)).alias("terms"),
+        F.col(text_col),
     )
-    totals = base.agg(
+    # Distinct-terms array pinned (r13 wave 14): the explode below makes
+    # Spark infer a size(terms) > 0 filter and pushdown re-inlined the
+    # plain alias — the tokenizer regexp ran twice per row on the
+    # per-term subtree (the wave-3/4 seam; census multi_tokenize_filters).
+    # totals aggregates the UNPINNED projection: it never reads terms,
+    # and a Generate cannot be pruned, so pinning below it would force a
+    # tokenize pass the original plan pruned away.
+    base = pin(pre, terms=F.array_distinct(tokenize(text_col)))
+    totals = pre.agg(
         F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("n_fg"),
         F.count(F.lit(1)).alias("n_all"),
     )
@@ -368,6 +377,11 @@ def rare_terms(
     at any corpus size."""
     from pandemic_knowledge_spark.functions.text import tokenize
 
+    # NOTE (r13 wave 14): a pin here was tried and REVERTED — the census
+    # reads ONE regexp site per row on this plan already (the agg's
+    # count-only consumer prunes everything but the explode; no pushed
+    # predicate re-inlines the array), so the barrier would only add
+    # Generate overhead.
     vocab = (
         docs.select(
             F.col(id_col).alias("doc_id"),

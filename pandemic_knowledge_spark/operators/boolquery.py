@@ -668,6 +668,47 @@ def bool_search(
             preds = base.select("doc_id", *pred_cols).localCheckpoint(
                 eager=False  # r13: first consuming job materializes
             )
+        elif (
+            sum(
+                1
+                for c in filter + must_not
+                if _membership_kinds(c) - {"range", "exists"}
+            )
+            >= 2
+        ):
+            # ≥2 TOKEN predicates on one scan: each would paste its own
+            # tokenize(text) into the pushed-down filter next to the
+            # hits join — the regexp ran once per predicate per row
+            # (wave-3 seam, flagged by the plan census's
+            # multi_tokenize_filters; r13 wave 14). Pin the array so it
+            # evaluates once per row; range/exists fields ride through
+            # the barrier like the phrase branch's base.
+            from pandemic_knowledge_spark.functions.pinning import pin
+
+            base = pin(
+                docs.select(
+                    F.col(id_col).alias("doc_id"),
+                    *[
+                        F.col(c)
+                        for c in {
+                            f
+                            for cl in filter + must_not
+                            for f in _clause_fields(cl)
+                        }
+                    ],
+                    F.col(text_col),
+                ),
+                __toks=tokenize(text_col),
+            )
+            toks = F.col("__toks")
+            pred_cols = [
+                _member_pred(toks, c).alias(f"__f{i}")
+                for i, c in enumerate(filter)
+            ] + [
+                _member_pred(toks, c).alias(f"__m{i}")
+                for i, c in enumerate(must_not)
+            ]
+            preds = base.select("doc_id", *pred_cols)
         else:
             toks = tokenize(text_col)
             pred_cols = [

@@ -2970,8 +2970,14 @@ def build_positional_postings(
     positions, the positional inverted index. Same crc32 term-bucket
     partitioning as :func:`build_postings`, so a phrase probe reads only
     its terms' buckets (partition pruning), never the corpus."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    # Tokens pinned (r13 wave 14): the posexplode's inferred size > 0
+    # filter re-inlined the tokenizer regexp per row (same seam as
+    # build_postings, fixed in wave 4; this builder was missed).
+    base = pin(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        toks=tokenize(text_col),
     )
     return (
         base.select("doc_id", F.posexplode("toks").alias("pos", "term"))
