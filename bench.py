@@ -22,6 +22,20 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Contention guard (r13 verdict item 1b): both r12 and r13 driver
+    # samples launched onto an already-loaded box (loadavg 5.3 / 2.2) and
+    # read 1.2-2x slower uniformly, which PERF then mis-attributed to code.
+    # Before starting Spark, wait (bounded) for the box to go quiet; if it
+    # never does, run anyway but flag the sample so comparisons can
+    # discount it. Additions only: JSON line, env contract, and the timing
+    # methodology below are byte-compatible with every prior round.
+    quiet_threshold = float(os.environ.get("PK_BENCH_QUIET_LOADAVG", "1.0"))
+    wait_cap_sec = float(os.environ.get("PK_BENCH_QUIET_WAIT_SEC", "240"))
+    waited = 0.0
+    while os.getloadavg()[0] >= quiet_threshold and waited < wait_cap_sec:
+        time.sleep(5.0)
+        waited += 5.0
+
     # Idle gate witness (r5/r6 verdict protocol): the START loadavg is the
     # honest one — by the end, this process's own 32 threads dominate it.
     loadavg_start = round(os.getloadavg()[0], 2)
@@ -123,6 +137,10 @@ def main() -> None:
             # footprint at read time means the numbers carry that tax.
             "loadavg_1m_at_start": loadavg_start,
             "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
+            # True when the box never went quiet inside the wait budget:
+            # treat this sample's absolute numbers as contaminated.
+            "contended": loadavg_start >= quiet_threshold,
+            "waited_for_quiet_sec": round(waited, 1),
         }
     )
     # Durable marker FIRST: the round driver parses the last stdout line,

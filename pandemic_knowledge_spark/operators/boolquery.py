@@ -75,11 +75,14 @@ round would be a double-rounding trap: 6-dp-quantized clause scores sum
 onto exact 4-dp half-boundaries, where HALF_UP diverges on the last ulp
 between engines — observed immediately at sf0.001.)
 
-Scale shape: ONE corpus tokenize feeds every match/fuzzy clause (the
-shared :func:`~.search._tf_with_stats` checkpoint — its single one-row
-stats crossJoin is the plan's whole scalar-BNLJ budget); clause scoring
-is then per-clause aggregations over that same checkpointed (doc, term)
-TF frame, never a re-scan. Phrase clauses count occurrences scan-side
+Scale shape: ONE selected-TF sliver feeds every match/fuzzy clause — a
+literal scan-side TF when every scored term is a literal, or (with a
+fuzzy clause, r14) the pruned vocab + stats + selected-TF shape of
+:func:`~.search.fuzzy_match_search`: the only corpus-wide frames are the
+vocab-sized (term, df) table and a 1-row stats scan, never a corpus-
+sized (doc, term) TF checkpoint (its single one-row stats crossJoin is
+the plan's whole scalar-BNLJ budget); clause scoring is then per-clause
+aggregations over the same lazily-pinned sliver, never a re-scan. Phrase clauses count occurrences scan-side
 (whole-stage-codegen higher-order functions, no shuffle before the
 per-doc frame) with their corpus constants folded to literals via a
 bounded one-row collect. All filter / must_not membership tests compile
@@ -106,11 +109,13 @@ from pandemic_knowledge_spark.operators.search import (
     BM25_B,
     BM25_K1,
     _attach_bm25_scores,
+    _corpus_stats,
     _fuzzy_selected,
     _literal_tf_with_stats,
+    _selected_tf,
     _span_start_pred,
     _sql_tf_prelude,
-    _tf_with_stats,
+    _vocab_df,
     fuzzy_auto_band,
     sql_span_conds,
 )
@@ -167,6 +172,24 @@ def _membership_kinds(clause: dict) -> set:
         for c in spec.get(occ, ()):
             out |= _membership_kinds(c)
     return out
+
+
+def _token_leaf_count(clause: dict) -> int:
+    """Number of TOKEN leaves (term/match/prefix/phrase — anything that
+    reads the token array) in a membership clause tree, recursing through
+    nested bools. Drives the ≥2-evaluations pin gate in
+    :func:`bool_search`: counting CLAUSES there undercounted a single
+    nested bool holding several token leaves (r13 advice), whose
+    ``_member_pred`` re-inlines tokenize(text) once per LEAF."""
+    key = _clause_key(clause, _MEMBER_KEYS)
+    if key == "bool":
+        spec = clause["bool"]
+        return sum(
+            _token_leaf_count(c)
+            for occ in ("must", "should", "must_not", "filter")
+            for c in spec.get(occ, ())
+        )
+    return 0 if key in ("range", "exists") else 1
 
 
 def _clause_fields(clause: dict) -> tuple[str, ...]:
@@ -330,8 +353,13 @@ def _match_frame(tf, df_t, terms: list[str],
     term), so count(*) IS the distinct matched-term count; no extra
     shuffle)."""
     sel = tf.filter(F.col("term").isin(terms))
-    df_sel = df_t.filter(F.col("term").isin(terms))
-    scored = _attach_bm25_scores(sel.join(F.broadcast(df_sel), "term"))
+    if "df" in tf.columns:
+        # r14 pruned shape: the selected-TF sliver already carries df
+        joined = sel
+    else:
+        df_sel = df_t.filter(F.col("term").isin(terms))
+        joined = sel.join(F.broadcast(df_sel), "term")
+    scored = _attach_bm25_scores(joined)
     agged = scored.groupBy("doc_id").agg(
         F.sum("term_score").alias("cscore"),
         F.count(F.lit(1)).alias("__nt"),
@@ -341,7 +369,12 @@ def _match_frame(tf, df_t, terms: list[str],
     return agged.select("doc_id", "cscore")
 
 
-def _fuzzy_frame(spark, tf, df_t, clause: dict) -> DataFrame:
+def _fuzzy_clause_selection(spark, df_t, clause: dict) -> DataFrame:
+    """One fuzzy clause's bounded (term, df) expansion set from the
+    (term, df) vocabulary — AUTO bands, per-qterm expansion cap, shared
+    :func:`~.search._fuzzy_selected` rule. Computed up front by
+    :func:`_scored_frames` so all clauses' selections union into the ONE
+    selected-TF scan (r14; guide §2.3/§8)."""
     q_terms = sorted(set(query_terms(clause["fuzzy"])))
     if not q_terms:
         raise ValueError("bool fuzzy clause has no tokenizable terms")
@@ -357,10 +390,17 @@ def _fuzzy_frame(spark, tf, df_t, clause: dict) -> DataFrame:
     ]
     # the selection carries (term, df) — it IS the bounded build side; no
     # second df_t pass to re-attach df (r13 optimization, guide §2.4)
-    df_sel = _fuzzy_selected(
+    return _fuzzy_selected(
         spark, df_t, fuzz_rows, exact_terms, max_expansions, prefix_length
     )
-    scored = _attach_bm25_scores(tf.join(F.broadcast(df_sel), "term"))
+
+
+def _fuzzy_frame(tf, df_sel: DataFrame) -> DataFrame:
+    """BM25 frame for a fuzzy clause over its precomputed expansion set.
+    The shared selected-TF sliver already carries df per term (r14 pruned
+    shape), so the clause only narrows it to its own terms."""
+    joined = tf.join(F.broadcast(df_sel.select("term")), "term")
+    scored = _attach_bm25_scores(joined)
     return scored.groupBy("doc_id").agg(F.sum("term_score").alias("cscore"))
 
 
@@ -476,10 +516,16 @@ def default_msm(must, should, filter) -> int:
 def _scored_frames(docs, id_col, text_col, scored):
     """Compile (kind, clause) pairs into full (doc_id, bscore, kind)
     frames — the shared front half of :func:`bool_search` and
-    :func:`dis_max_search`: one `_tf_with_stats` scan feeds every
+    :func:`dis_max_search`: one selected-TF sliver feeds every
     match/fuzzy clause, phrase clauses fold their corpus constants to
     literals via one bounded one-row collect (the stats_scalars idiom),
-    prefix clauses are constant_score scan-side projections."""
+    prefix clauses are constant_score scan-side projections.
+
+    Validation-order note (r13 advice): phrase-clause validation (empty
+    terms, negative slop) runs in the up-front phrase-frame loop, so a
+    later phrase clause's ValueError can surface before an earlier match
+    clause's — invalid queries still always raise, only which error wins
+    may differ from strict list order."""
     spark = docs.sparkSession
     needs_vocab = any(
         _clause_key(c, _SCORED_KEYS) == "fuzzy" for _, c in scored
@@ -493,10 +539,34 @@ def _scored_frames(docs, id_col, text_col, scored):
         }
     )
     tf = df_t = None
+    fuzzy_sels: dict[int, DataFrame] = {}
     if needs_vocab:
-        # a fuzzy clause expands against the FULL vocabulary — only then
-        # is the corpus-wide TF checkpoint justified
-        tf, df_t = _tf_with_stats(docs, id_col, text_col)
+        # A fuzzy clause expands against the FULL vocabulary — but the
+        # vocabulary is all it needs corpus-wide. r14 (r13 verdict item
+        # 5, guide §2.3/§8): the eager corpus-sized TF checkpoint is
+        # replaced by the same pruned-scan shape fuzzy_match_search took
+        # in r13 wave 1 — a lazily-pinned (term, df) vocabulary (vocab-
+        # sized, never token-row-sized), a 1-row stats scan, and ONE
+        # selected-TF scan over the union of every clause's bounded term
+        # selection (fuzzy expansions + literal match terms). The sliver
+        # is lazily pinned for its per-clause consumers; df rides the
+        # selection, so no clause re-joins a corpus-derived df aggregate.
+        df_t = _vocab_df(docs, id_col, text_col).localCheckpoint(eager=False)
+        stats = _corpus_stats(docs, text_col)
+        for i, (_kind, clause) in enumerate(scored):
+            if _clause_key(clause, _SCORED_KEYS) == "fuzzy":
+                fuzzy_sels[i] = _fuzzy_clause_selection(spark, df_t, clause)
+        sel_parts = list(fuzzy_sels.values())
+        if match_terms:
+            sel_parts.append(df_t.filter(F.col("term").isin(match_terms)))
+        sel_all = sel_parts[0]
+        for p in sel_parts[1:]:
+            sel_all = sel_all.unionByName(p)
+        if len(sel_parts) > 1:
+            sel_all = sel_all.distinct()
+        tf = _selected_tf(docs, id_col, text_col, sel_all, stats).localCheckpoint(
+            eager=False
+        )
     elif match_terms:
         # every scored term is a literal: scan-side TF over the union of
         # all match clauses' terms — no corpus-token exchange, no eager
@@ -538,7 +608,7 @@ def _scored_frames(docs, id_col, text_col, scored):
             frame = _match_frame(tf, df_t, terms,
                                  min_terms=_match_min_terms(clause, terms))
         elif key == "fuzzy":
-            frame = _fuzzy_frame(spark, tf, df_t, clause)
+            frame = _fuzzy_frame(tf, fuzzy_sels[i])
         elif key == "phrase":
             pf_all = phrase_pfs[i]
             df_ph = phrase_dfs.get(i)
@@ -668,19 +738,14 @@ def bool_search(
             preds = base.select("doc_id", *pred_cols).localCheckpoint(
                 eager=False  # r13: first consuming job materializes
             )
-        elif (
-            sum(
-                1
-                for c in filter + must_not
-                if _membership_kinds(c) - {"range", "exists"}
-            )
-            >= 2
-        ):
-            # ≥2 TOKEN predicates on one scan: each would paste its own
-            # tokenize(text) into the pushed-down filter next to the
-            # hits join — the regexp ran once per predicate per row
-            # (wave-3 seam, flagged by the plan census's
-            # multi_tokenize_filters; r13 wave 14). Pin the array so it
+        elif sum(_token_leaf_count(c) for c in filter + must_not) >= 2:
+            # ≥2 TOKEN leaf evaluations on one scan: each would paste its
+            # own tokenize(text) into the pushed-down filter next to the
+            # hits join — the regexp ran once per leaf per row (wave-3
+            # seam, flagged by the plan census's multi_tokenize_filters;
+            # r13 wave 14). Counting LEAVES, not clauses (r14, r13
+            # advice): one nested bool holding several token leaves
+            # re-inlines per leaf just the same. Pin the array so it
             # evaluates once per row; range/exists fields ride through
             # the barrier like the phrase branch's base.
             from pandemic_knowledge_spark.functions.pinning import pin

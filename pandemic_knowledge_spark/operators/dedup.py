@@ -369,9 +369,14 @@ def minhash_lsh_pairs(
     # both verify sides), and checkpoint blocks are context-cleaned when the
     # result frame is dropped instead of pinned in the session cache manager
     # (a slow leak in long-lived interactive sessions).
-    # lazy (r13): the first consuming job materializes the blocks —
-    # identical single computation, one less blocking job per call
-    base = minhash_base(docs, id_col, text_col, k).localCheckpoint(eager=False)
+    # EAGER (r14, reverting the r13 lazy flip — r13 verdict item 3): the
+    # first consuming job reads this frame through MULTIPLE CONCURRENT
+    # stages (the band-bucket self-join's two sides + verify), and an
+    # unmaterialized lazy checkpoint lets those stages race to compute
+    # the same partitions — paired interleaved A/B (8 samples, sf0.1,
+    # round log wave 8) read lazy ~14% slower on dedup_minhash_lsh with
+    # flat controls. Eager materializes once, every stage reads blocks.
+    base = minhash_base(docs, id_col, text_col, k).localCheckpoint(eager=True)
     return pairs_from_base(base, threshold)
 
 
@@ -419,11 +424,12 @@ def minhash_lsh_pairs_pruned(
     measures faster; this form exists as the tested scale path and the
     default can flip per deployment.
     """
-    # Both intermediates multi-consumed → eager localCheckpoint (winnow
-    # precedent), so their blocks context-clean with the result frame
-    # instead of accumulating in the cache manager across queries.
+    # Both intermediates multi-consumed → EAGER localCheckpoint (r14:
+    # same concurrent-stage race as the single-pass base — the band
+    # self-join reads sigs through two stages of one job; the wave-8 A/B
+    # on the single-pass form measured lazy losing, same shape here).
     sigs = minhash_signature_agg(docs, id_col, text_col, k).localCheckpoint(
-        eager=False
+        eager=True
     )
     exploded = _band_rows(sigs)
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -432,7 +438,9 @@ def minhash_lsh_pairs_pruned(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        # eager (r14): consumed by cand_ids' two union legs and the
+        # verify join — concurrent stages of one job (wave-8 A/B shape)
+        .localCheckpoint(eager=True)
     )
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -626,8 +634,11 @@ def winnow_overlap_pairs(
     substrings.py's dup-positions checkpoint, and unlike the previous
     cache() the blocks are context-cleaned when the result frame is
     dropped, not pinned in the cache manager for the session."""
-    # lazy (r13): materialized by the first consuming job, not its own
-    fp = winnow_fingerprints(docs, id_col, text_col, k, w).localCheckpoint(eager=False)
+    # EAGER (r14, reverting the r13 lazy flip): the df pass and the kept
+    # pass read fp in concurrent stages of the first job — the wave-8
+    # paired A/B read lazy ~9% slower on dedup_winnow_pairs (3/4 pairs,
+    # flat controls), the same race as the minhash base.
+    fp = winnow_fingerprints(docs, id_col, text_col, k, w).localCheckpoint(eager=True)
     ex = fp.select(
         F.col(id_col).alias("doc_id"), F.explode("fingerprints").alias("fp")
     )
@@ -788,7 +799,9 @@ def ngram_intersections(
         F.array_distinct(
             F.transform("sh", lambda s: md5_int(s) % HASH_MOD)
         ).alias("hs"),
-    ).localCheckpoint(eager=False)
+        # eager (r14): sizes + the explode leg read this in concurrent
+        # stages of one job — the wave-8 A/B race shape
+    ).localCheckpoint(eager=True)
     cap = max(1, collect_cap)
     par = sc.defaultParallelism
     sizes = hashed.select("doc_id", F.size("hs").alias("sz"))

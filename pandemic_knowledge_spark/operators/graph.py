@@ -37,6 +37,19 @@ DAMP_NUM = 85       # damping 0.85 as an integer rational
 DAMP_DEN = 100
 ITERS = 5
 
+PAGERANK_BCAST_MAX_NODES_CONF = (
+    "spark.pandemic_knowledge.graph.pagerankBroadcastMaxNodes"
+)
+# Node tables broadcast per round (ranks into the edge join, recv into the
+# rank rebuild) are (long, long) rows — ~8M rows is ~130 MB framed, well
+# inside the driver/executor comfort band and far under the 8 GB /
+# 512M-row broadcast cap. Above it the loop falls back to planner-chosen
+# shuffle joins (r14, r13 verdict item 8): slower per round, but a
+# 100 TB-node graph must never be collected to the driver — the same rule
+# the connected-components loop applies to its label table
+# (operators.dedup: pointer jumping never broadcasts labels).
+PAGERANK_BCAST_MAX_NODES_DEFAULT = 8_000_000
+
 
 def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     """Weighted PageRank over directed ``edges(src, dst, w)``.
@@ -46,6 +59,13 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     rank and keep contributing; dangling nodes (no out-edges) receive but
     contribute nothing — their mass is dropped, not redistributed (the
     usual simplification; symmetrize the graph if you need conservation).
+
+    Scale regimes: up to ``spark.pandemic_knowledge.graph.
+    pagerankBroadcastMaxNodes`` (default 8M) nodes, the per-round rank and
+    receive tables broadcast — zero node-table shuffles per round. Above
+    it they flow through planner-chosen shuffle joins instead: the
+    integer arithmetic is partition-order-independent, so results are
+    bit-identical in both regimes.
     """
     edges = edges.select("src", "dst", "w")
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
@@ -72,9 +92,23 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
     # shuffles). Without the checkpoint the fact-table edge derivation
     # would re-run per round.
     e = edges.join(outw, "src").repartition("dst").localCheckpoint(eager=False)
+    # Size-gate the per-round node-table broadcasts (r14, r13 verdict
+    # item 8): the count materializes the nodes checkpoint — work round 1
+    # paid anyway — and decides the regime ONCE for the whole loop. Under
+    # the gate, ranks and recv (≤ one row per node each, same size
+    # regime) broadcast as before (r13: 10 SMJ → 0); over it, no
+    # broadcast hints — the planner's shuffle joins are slower per round
+    # but never stage a graph-sized table through the driver.
+    max_bcast = int(
+        edges.sparkSession.conf.get(
+            PAGERANK_BCAST_MAX_NODES_CONF, str(PAGERANK_BCAST_MAX_NODES_DEFAULT)
+        )
+    )
+    small_nodes = nodes.count() <= max_bcast
+    _b = F.broadcast if small_nodes else (lambda df: df)
     for it in range(1, iters + 1):
         contrib = (
-            e.join(F.broadcast(ranks), e.src == ranks.node)
+            e.join(_b(ranks), e.src == ranks.node)
             .select(
                 "dst",
                 F.expr(f"(r * w) div w_out").alias("c"),
@@ -83,11 +117,7 @@ def pagerank(edges: DataFrame, iters: int = ITERS) -> DataFrame:
         recv = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.sum("c").alias("s")
         )
-        # recv is ≤ one row per node — broadcast it like the rank table
-        # (same size regime, the operator's standing assumption): the
-        # executed plan otherwise ran a per-round SortMergeJoin with a
-        # nodes-side exchange + two sorts (r13; 10 SMJ → 0).
-        ranks = nodes.join(F.broadcast(recv), "node", "left").select(
+        ranks = nodes.join(_b(recv), "node", "left").select(
             "node",
             F.expr(
                 f"{base} + ({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}"

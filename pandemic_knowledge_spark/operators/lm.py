@@ -67,14 +67,28 @@ def lm_score(
     ``xent_nats`` (4 dp) = −mean micro-nat log-prob of the doc's bigrams
     under the add-one-smoothed bigram model trained on ``train_docs``.
     Unseen bigrams/histories fall back to the smoothing floor."""
+    # SELF-SCORED double derivation is deliberate (r13+r14 negative
+    # results, guide §2.3 over §1.2): when train is score, the two bigram
+    # subtrees can never share one exchange — the scoring join consumes
+    # RAW (doc_id, a, b) rows while the model side's clone is
+    # column-pruned (doc_id dropped) and gains the build-side isnotnull
+    # filters, so the exchanges are not canonically equal and AQE stage
+    # reuse cannot fire (r14 plan evidence: plans/r14/lm_score_docs).
+    # Every sharing form costs more than the scan it saves: a
+    # localCheckpoint stores a corpus-sized copy (r13, measured worse); a
+    # (doc_id, a, b) pre-aggregate shares the scan but routes every
+    # corpus bigram through a NEW corpus-sized exchange — trading an
+    # embarrassingly-parallel tokenize re-scan for shuffle bytes, the
+    # wrong direction at 100 TB, where the real shape is a sample-trained
+    # model and ONE corpus-sized scoring scan anyway (module docstring).
     train_pairs = _doc_bigrams(train_docs, id_col, text_col)
     big = train_pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    pairs = _doc_bigrams(score_docs, id_col, text_col)
     hist = big.groupBy("a").agg(F.sum("c_ab").alias("h_a"))
     vocab = (
         train_docs.select(F.explode(tokenize(text_col)).alias("t"))
         .agg(F.countDistinct("t").alias("v"))
     )
-    pairs = _doc_bigrams(score_docs, id_col, text_col)
     scored = (
         pairs.join(big, ["a", "b"], "left")
         .join(F.broadcast(hist), "a", "left")

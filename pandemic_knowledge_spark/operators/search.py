@@ -27,48 +27,6 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def _tf_with_stats(docs, id_col: str, text_col: str):
-    """The corpus-wide TF skeleton: tokenize → (doc, term) TF shuffle with
-    the one-row corpus stats CARRIED on the eagerly-checkpointed frame
-    (one scalar broadcast for the whole operator — the plan-audit
-    scalar-BNLJ budget is one), plus the per-term document-frequency
-    aggregate derived from it. Returns (tf, df_t).
-
-    Since r13 only the MULTI-CONSUMER bool scorer (boolquery._scored_frames
-    with a fuzzy clause, where N clauses re-probe the same TF) still pays
-    for this corpus-wide materialization; the single-shot selected-terms
-    scorers (more_like_this / prefix_search / _pattern_search /
-    fuzzy_match_search) moved to the :func:`_vocab_df` + :func:`_corpus_stats`
-    + :func:`_selected_tf` shape — no corpus-sized shuffle or checkpoint,
-    only pruned scans and the matching sliver (guide §2.3/§8)."""
-    from pandemic_knowledge_spark.functions.pinning import pin
-
-    # Tokens pinned (r13): the explode below makes Spark infer a
-    # size(toks) > 0 filter, and pushdown re-inlined a plain alias into
-    # it — the tokenizer regexp ran twice per row on the TF subtree
-    # (functions.pinning module docs).
-    base = pin(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
-        toks=tokenize(text_col),
-    ).withColumn("dl", F.size("toks"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .crossJoin(F.broadcast(stats))
-        .localCheckpoint(eager=False)  # r13: first consumer materializes
-    )
-    # (doc_id, term) rows are unique by construction of the groupBy above,
-    # so a plain count IS the document frequency — one partial-aggregated
-    # exchange on term instead of count(distinct)'s two-phase double
-    # exchange (r13 optimization, guide §2.4; values bit-identical).
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return tf, df_t
-
-
 def _vocab_df(docs, id_col: str, text_col: str) -> DataFrame:
     """(term, df) vocabulary in one scan + one map-side-combined exchange:
     distinct terms per doc explode to rows, a plain count per term IS the
@@ -164,8 +122,11 @@ def _attach_bm25_scores(joined: DataFrame) -> DataFrame:
 
 def _sql_tf_prelude(table: str, id_col: str, text_col: str) -> str:
     """The shared DuckDB CTE prelude (base → stats → tf → dft) mirroring
-    :func:`_tf_with_stats` — composed, never hand-copied, so the oracle
-    prelude can't drift between the selected-terms scorers."""
+    the classic corpus-wide TF
+    skeleton (tokenize → per-(doc, term) TF → per-term df → 1-row stats;
+    the Spark side computes the same quantities from pruned scans since
+    r13/r14) — composed, never hand-copied, so the oracle prelude can't
+    drift between the selected-terms scorers."""
     return f"""base AS (
   SELECT {id_col} AS doc_id, {sql_tokenize(text_col)} AS toks FROM {table}
 ), base2 AS (
@@ -202,8 +163,8 @@ ORDER BY score DESC, doc_id LIMIT {k}"""
 
 def _literal_tf_with_stats(docs, id_col: str, text_col: str,
                            q_terms: list[str]):
-    """(tf, df_t) in the :func:`_tf_with_stats` shape (corpus stats carried
-    on the tf rows) but for a LITERAL term set — the r13 optimization
+    """(tf, df_t) with corpus stats carried
+    on the tf rows, for a LITERAL term set — the r13 optimization
     (guide §2.3/§2.4) every literal-terms scorer shares:
 
     Per-doc TF is computed SCAN-SIDE — ``size(toks) − size(array_remove(

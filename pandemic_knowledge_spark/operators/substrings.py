@@ -192,37 +192,169 @@ def duplicated_spans(
     return spans
 
 
+def _grams_with_sentinels(
+    docs: DataFrame, id_col: str, text_col: str, gram_len: int
+) -> DataFrame:
+    """(doc_id, n_tokens, start, gram_hash): every L-token gram PLUS one
+    SENTINEL row per document (start = −1, hash = −md5(doc_id) − 1 —
+    negative, so it can never collide with a real 60-bit gram hash). The
+    sentinel rides the same explode as the grams, so ONE scan carries
+    both the gram stream and the all-docs row the report's left side used
+    to re-tokenize the corpus for (r14, r13 verdict item 6; guide §1.2).
+    Docs shorter than ``gram_len`` emit only their sentinel."""
+    from pandemic_knowledge_spark.functions.pinning import pin
+
+    base = pin(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        toks=tokenize(text_col),
+    ).withColumn("n_tokens", F.size("toks"))
+    grams = F.when(
+        F.col("n_tokens") >= gram_len,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - gram_len),
+            lambda i: F.struct(
+                i.alias("start"),
+                md5_int(
+                    F.concat_ws(" ", F.slice("toks", i + 1, gram_len))
+                ).alias("gram_hash"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<start:int,gram_hash:bigint>>")
+    )
+    sent = F.array(
+        F.struct(
+            F.lit(-1).alias("start"),
+            (-md5_int(F.col("doc_id").cast("string")) - 1).alias("gram_hash"),
+        )
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.concat(sent, grams)).alias("g"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("g.start").alias("start"),
+        F.col("g.gram_hash").alias("gram_hash"),
+    )
+
+
 def duplication_report(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     gram_len: int = GRAM_LEN,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Per-document duplication audit over the whole corpus.
 
     (doc_id, n_tokens, dup_spans, dup_tokens, dup_frac): how much of each
     document is a repeat of text seen earlier in the corpus. ``dup_frac``
     rounded to 6 dp; documents with nothing duplicated report zeros.
-    """
-    spans = duplicated_spans(docs, id_col, text_col, gram_len)
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dup_spans"),
-        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
-    )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokenize(text_col)).cast("long").alias("n_tokens"),
-    )
-    return base.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
-        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-        F.round(
-            F.coalesce("dup_tokens", F.lit(0))
-            / F.greatest(F.col("n_tokens"), F.lit(1)),
-            6,
-        ).alias("dup_frac"),
+
+    SINGLE-SCAN shape (r14, r13 verdict item 6): the pre-r14 form called
+    :func:`duplicated_spans` and then re-tokenized the whole corpus a
+    second time just to attach ``n_tokens`` to every doc (plus a
+    corpus-rows join). Now one sentinel row per doc
+    (:func:`_grams_with_sentinels`) flows THROUGH the first-occurrence
+    machinery and the span merge — sentinels are singleton hash groups
+    (rank 1 / count 1, never a false duplicate), are kept past the
+    dup filter by their ``start = −1`` mark, always break their own
+    island, and contribute ``n_tokens`` but no span to the per-doc
+    aggregate. One tokenize pass instead of two and no report join; all
+    output values bit-identical (same rank semantics for real grams, same
+    long sums, same 6-dp division).
+
+    ``skew_safe`` dispatches the first-occurrence strategy exactly like
+    :func:`duplicated_spans` (rank window below the size gate, map-side
+    min-struct combine + repeats join above it)."""
+    if skew_safe is None:
+        from pandemic_knowledge_spark.operators.dispatch import size_gated
+
+        skew_safe = size_gated(docs, SKEW_THRESHOLD_CONF, SKEW_THRESHOLD_DEFAULT)
+    g = _grams_with_sentinels(docs, id_col, text_col, gram_len)
+    if skew_safe:
+        # same double-derivation cache discipline as duplicated_spans
+        g = g.cache()
+        try:
+            per_gram = g.groupBy("gram_hash").agg(
+                F.min(F.struct("doc_id", "start")).alias("first"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            marked = (
+                g.join(
+                    per_gram.where(F.col("cnt") > 1).select("gram_hash", "first"),
+                    "gram_hash",
+                    "left",
+                )
+                .where(
+                    (F.col("start") == -1)
+                    | (
+                        F.col("first").isNotNull()
+                        & (
+                            (F.col("doc_id") != F.col("first.doc_id"))
+                            | (F.col("start") != F.col("first.start"))
+                        )
+                    )
+                )
+                .select("doc_id", "n_tokens", "start")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            g.unpersist()
+    else:
+        occ = Window.partitionBy("gram_hash").orderBy("doc_id", "start")
+        marked = (
+            g.withColumn("occ", F.row_number().over(occ))
+            .where((F.col("occ") > 1) | (F.col("start") == -1))
+            .select("doc_id", "n_tokens", "start")
+        )
+    prev = Window.partitionBy("doc_id").orderBy("start")
+    lag = F.lag("start").over(prev)
+    return (
+        marked.withColumn(
+            "brk",
+            F.when(
+                lag.isNull()
+                # a sentinel (start −1, always first) is its own island
+                # and never seeds a span a real dup at start < L−1 could
+                # merge into
+                | (lag == -1)
+                | (F.col("start") > lag + gram_len),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(prev))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.min("start").alias("span_start"),
+            (F.max("start") + gram_len).alias("span_end"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("span_start") >= 0, 1).otherwise(0)
+            ).cast("long").alias("dup_spans"),
+            F.sum(
+                F.when(
+                    F.col("span_start") >= 0,
+                    F.col("span_end") - F.col("span_start"),
+                ).otherwise(0)
+            ).cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_spans",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
     )
 
 

@@ -249,10 +249,17 @@ def correlation_pairs_topk_pruned(
     # both phases (signatures, exact re-check) consume the daily rollup —
     # materialize it once instead of re-aggregating events per consumer
     daily = _daily_counts(events, key_col, ts_col).localCheckpoint(eager=False)
+    # one moment pass serves the adaptive-width key count, the sketches
+    # (sx) and the final exact assembly (sx, sxx): the count() below
+    # materializes this keys-sized checkpoint AND the daily one — the
+    # pre-r14 separate daily.distinct().count() job is gone (guide §1.2)
+    stats = daily.groupBy("key").agg(
+        F.sum("n").alias("sx"), F.sum(F.col("n") * F.col("n")).alias("sxx")
+    ).localCheckpoint(eager=False)
     if n_proj is None:
         import math
 
-        n_keys = daily.select("key").distinct().count()
+        n_keys = stats.count()
         r_bits = min(
             CORR_MAX_BITS,
             max(CORR_MIN_BITS, math.ceil(math.log2(max(n_keys, 2))) + 1),
@@ -266,47 +273,93 @@ def correlation_pairs_topk_pruned(
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
     )
-    projs = daily.sparkSession.range(n_proj).select(F.col("id").alias("p"))
-    c = F.when(
-        md5_int(
-            F.concat(
-                F.date_format("d", "yyyy-MM-dd"), F.lit("|"), F.col("p").cast("string")
+
+    # Per-day coefficients as n_bands ARRAY columns of r_bits ±1 entries
+    # (projection p = band·r_bits + j ↦ sl<band>[j]; same md5(day|p)
+    # derivation, so every coefficient is bit-identical to the r5 long
+    # form). r14 rewrite (guide §2.3/§2.4): the old (d, p, c) long-form
+    # join fanned every daily row out ×n_proj (≈360M generated rows at
+    # sf1) through a (key, p)-keyed hash aggregate, then re-shuffled
+    # (key, band) to pack bits. Now a daily row explodes only ×n_bands
+    # with its r_bits-slice riding along, ONE (key, band) aggregate sums
+    # the r_bits projections as columns, and the band key is packed
+    # scan-side — a 15× smaller generate, one less exchange, and the
+    # aggregate output stays ≤ maxFields so whole-stage codegen holds.
+    def _c(p: int):
+        return F.when(
+            md5_int(
+                F.concat(F.date_format("d", "yyyy-MM-dd"), F.lit(f"|{p}"))
             )
-        )
-        % 2
-        == 0,
-        F.lit(1),
-    ).otherwise(F.lit(-1))
-    coeff = spine.crossJoin(projs).select("d", "p", c.alias("c"))
-    s_p = coeff.groupBy("p").agg(F.sum("c").alias("s_p"))
-    raw = (
-        daily.join(F.broadcast(coeff), "d")
-        .groupBy("key", "p")
-        .agg(F.sum(F.col("n") * F.col("c")).alias("pr"))
+            % 2
+            == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+
+    coeff_band = spine.select(
+        "d",
+        *[
+            F.array(*[_c(b * r_bits + j) for j in range(r_bits)]).alias(f"sl{b}")
+            for b in range(n_bands)
+        ],
     )
-    # one moment pass serves both the sketches (sx) and the final exact
-    # assembly (sx, sxx) — no re-aggregation of daily downstream
-    stats = daily.groupBy("key").agg(
-        F.sum("n").alias("sx"), F.sum(F.col("n") * F.col("n")).alias("sxx")
+    # S_p = Σ_grid c(d, p), organized per band as an r_bits array
+    s_pb = coeff_band.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sl{b}").alias("sl")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs")
+    ).groupBy(F.col("bs.band").alias("band")).agg(
+        *[F.sum(F.col("bs.sl")[j]).alias(f"sp{j}") for j in range(r_bits)]
+    )
+    raw = (
+        daily.join(F.broadcast(coeff_band), "d")
+        .select(
+            "key",
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"sl{b}").alias("sl")
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .groupBy("key", F.col("bs.band").alias("band"))
+        .agg(
+            *[
+                F.sum(F.col("bs.sl")[j] * F.col("n")).alias(f"pr{j}")
+                for j in range(r_bits)
+            ]
+        )
     )
     nd_df = bounds.select(
         (F.datediff("hi", "lo") + 1).cast("long").alias("nd")
     )
-    bits = (
-        raw.join(F.broadcast(s_p), "p")
+    # bit_j = (nd·pr_j − sx·S_p ≥ 0); bkey = Σ_j bit_j·2^j — packed in the
+    # same projection, no second (key, band) exchange
+    bkey = None
+    for j in range(r_bits):
+        term = F.when(
+            F.col("nd") * F.col(f"pr{j}") - F.col("sx") * F.col(f"sp{j}")
+            >= 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        bkey = term if bkey is None else bkey + term
+    sig = (
+        raw.join(F.broadcast(s_pb), "band")
         .join(stats.select("key", "sx"), "key")
         .crossJoin(F.broadcast(nd_df))
-        .select(
-            "key",
-            "p",
-            (F.col("nd") * F.col("pr") - F.col("sx") * F.col("s_p") >= 0)
-            .cast("long")
-            .alias("bit"),
-        )
+        .select("key", "band", bkey.alias("bkey"))
     )
-    sig = bits.groupBy(
-        "key", F.expr(f"p div {r_bits}").alias("band")
-    ).agg(F.expr(f"sum(bit * shiftleft(1, cast(p % {r_bits} as int)))").alias("bkey"))
     bsize = sig.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("__bc"))
     sigc = sig.join(bsize, ["band", "bkey"])
     grouped = (

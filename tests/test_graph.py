@@ -82,3 +82,36 @@ def test_asymmetric_graph_keeps_source_only_nodes(spark):
     ranks = _spark_ranks(spark, edges)
     assert ranks == brute_pagerank(edges)
     assert 1 in ranks and ranks[1] == (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
+
+
+def test_broadcast_gate_fallback_bit_identical(spark):
+    """r14 guard (r13 verdict item 8): over the node gate the loop must
+    not broadcast its node tables, and the shuffle-join fallback must be
+    bit-identical (integer arithmetic is partition-order-independent).
+    Run the same graph in both regimes and compare exactly; check the
+    fallback plan really has no broadcast of the rank/recv tables."""
+    from pandemic_knowledge_spark.operators.graph import (
+        PAGERANK_BCAST_MAX_NODES_CONF,
+    )
+
+    rng = random.Random(7)
+    pairs = {(rng.randrange(0, 10), 10 + rng.randrange(0, 6)) for _ in range(30)}
+    edges = _symmetrize([(a, b, 1 + rng.randrange(4)) for a, b in pairs])
+    expected = brute_pagerank(edges)
+    assert _spark_ranks(spark, edges) == expected  # broadcast regime
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    spark.conf.set(PAGERANK_BCAST_MAX_NODES_CONF, "0")
+    # Auto-broadcast off: the tiny test relations would otherwise be
+    # planner-broadcast on size alone — with it off, a BroadcastHashJoin
+    # could only come from an operator-side hint, which the gate must
+    # have removed.
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = pagerank(df, ITERS)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert {r.node: r.rank for r in out.collect()} == expected
+    finally:
+        spark.conf.unset(PAGERANK_BCAST_MAX_NODES_CONF)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)

@@ -261,8 +261,9 @@ def test_corr_pruned_degenerate_bucket_chain(spark):
 
 def test_corr_auto_dispatch_scale_gate(spark, sf_dir):
     """Auto dispatcher: below the byte threshold → exact day-blocked pair
-    join (no sign sketches); above → pruned (the shiftleft band packing
-    appears in the plan)."""
+    join (no sign sketches); above → pruned (the md5 coefficient
+    derivation appears in the plan — r14: band packing is literal 2^j
+    terms now, so shiftleft is no longer the tier marker)."""
     from pandemic_knowledge_spark.operators.timeseries import (
         CORR_THRESHOLD_CONF,
         correlation_pairs_topk_auto,
@@ -276,11 +277,11 @@ def test_corr_auto_dispatch_scale_gate(spark, sf_dir):
             correlation_pairs_topk_auto(ev, "user_id", "ts")
             ._jdf.queryExecution().executedPlan().toString()
         )
-        assert "shiftleft" in plan
+        assert "md5" in plan
     finally:
         spark.conf.unset(CORR_THRESHOLD_CONF)
     plan_small = (
         correlation_pairs_topk_auto(ev, "user_id", "ts")  # default 4 MiB gate
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "shiftleft" not in plan_small
+    assert "md5" not in plan_small
