@@ -274,69 +274,56 @@ def correlation_pairs_topk_pruned(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
     )
 
-    # Per-day coefficients as n_bands ARRAY columns of r_bits ±1 entries
-    # (projection p = band·r_bits + j ↦ sl<band>[j]; same md5(day|p)
-    # derivation, so every coefficient is bit-identical to the r5 long
-    # form). r14 rewrite (guide §2.3/§2.4): the old (d, p, c) long-form
-    # join fanned every daily row out ×n_proj (≈360M generated rows at
-    # sf1) through a (key, p)-keyed hash aggregate, then re-shuffled
-    # (key, band) to pack bits. Now a daily row explodes only ×n_bands
-    # with its r_bits-slice riding along, ONE (key, band) aggregate sums
-    # the r_bits projections as columns, and the band key is packed
-    # scan-side — a 15× smaller generate, one less exchange, and the
-    # aggregate output stays ≤ maxFields so whole-stage codegen holds.
-    def _c(p: int):
-        return F.when(
-            md5_int(
-                F.concat(F.date_format("d", "yyyy-MM-dd"), F.lit(f"|{p}"))
+    # Per-day coefficients grouped to (d, band, sl[r_bits]) slice rows —
+    # same md5(day|p) derivation as the r5 long form (bit-identical
+    # coefficients), built FROM the tiny (d, p, c) long table so every
+    # generated-code method holds ONE md5 call (an n_proj-wide md5
+    # projection blew Janino's 64 KB method limit and fell back to
+    # interpreted — measured as ~20 s of cold compile failures). r14
+    # rewrite (guide §2.3/§2.4): the old plan joined the long-form table
+    # onto daily — ×n_proj row fan-out (≈96M generated rows at sf1)
+    # through a (key, p)-keyed aggregate, then a SECOND (key, band)
+    # exchange to pack bits. Now a daily row fans out only ×n_bands with
+    # its r_bits slice attached, ONE (key, band) aggregate sums the
+    # r_bits projections as columns (≤ 20 agg columns — codegen holds),
+    # and the band key packs scan-side.
+    projs = daily.sparkSession.range(n_proj).select(F.col("id").alias("p"))
+    c = F.when(
+        md5_int(
+            F.concat(
+                F.date_format("d", "yyyy-MM-dd"), F.lit("|"), F.col("p").cast("string")
             )
-            % 2
-            == 0,
-            F.lit(1),
-        ).otherwise(F.lit(-1))
-
-    coeff_band = spine.select(
-        "d",
-        *[
-            F.array(*[_c(b * r_bits + j) for j in range(r_bits)]).alias(f"sl{b}")
-            for b in range(n_bands)
-        ],
-    )
-    # S_p = Σ_grid c(d, p), organized per band as an r_bits array
-    s_pb = coeff_band.select(
-        F.explode(
-            F.array(
-                *[
+        )
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    coeff = spine.crossJoin(projs).select("d", "p", c.alias("c"))
+    coeff_bl = coeff.groupBy(
+        "d", F.expr(f"p div {r_bits}").alias("band")
+    ).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
                     F.struct(
-                        F.lit(b).alias("band"), F.col(f"sl{b}").alias("sl")
+                        F.pmod("p", F.lit(r_bits)).cast("int").alias("j"),
+                        F.col("c").alias("c"),
                     )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bs")
-    ).groupBy(F.col("bs.band").alias("band")).agg(
-        *[F.sum(F.col("bs.sl")[j]).alias(f"sp{j}") for j in range(r_bits)]
+                )
+            ),
+            lambda st: st["c"],
+        ).alias("sl")
+    )
+    # S_p = Σ_grid c(d, p), per band as r_bits columns
+    s_pb = coeff_bl.groupBy("band").agg(
+        *[F.sum(F.col("sl")[j]).alias(f"sp{j}") for j in range(r_bits)]
     )
     raw = (
-        daily.join(F.broadcast(coeff_band), "d")
-        .select(
-            "key",
-            "n",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"), F.col(f"sl{b}").alias("sl")
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bs"),
-        )
-        .groupBy("key", F.col("bs.band").alias("band"))
+        daily.join(F.broadcast(coeff_bl), "d")
+        .groupBy("key", "band")
         .agg(
             *[
-                F.sum(F.col("bs.sl")[j] * F.col("n")).alias(f"pr{j}")
+                F.sum(F.col("sl")[j] * F.col("n")).alias(f"pr{j}")
                 for j in range(r_bits)
             ]
         )
@@ -354,11 +341,19 @@ def correlation_pairs_topk_pruned(
             F.lit(1 << j).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         bkey = term if bkey is None else bkey + term
+    # EAGER checkpoint (r14): the banding tail references sig SIX times —
+    # bsize aggregates it, and each of the two sigc clones (sub-cap
+    # grouped pairs, over-cap chain pairs) re-joins it against bsize —
+    # so an unmaterialized sig recomputed the whole signature pass 4–6×
+    # per query (sf1 noop profile: sig 7.4 s once, full query 16+ s).
+    # keys × n_bands rows of three ints — trivial to store; eager per
+    # the wave-8 A/B rule (concurrent stages race a lazy checkpoint).
     sig = (
         raw.join(F.broadcast(s_pb), "band")
         .join(stats.select("key", "sx"), "key")
         .crossJoin(F.broadcast(nd_df))
         .select("key", "band", bkey.alias("bkey"))
+        .localCheckpoint(eager=True)
     )
     bsize = sig.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("__bc"))
     sigc = sig.join(bsize, ["band", "bkey"])

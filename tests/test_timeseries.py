@@ -261,9 +261,11 @@ def test_corr_pruned_degenerate_bucket_chain(spark):
 
 def test_corr_auto_dispatch_scale_gate(spark, sf_dir):
     """Auto dispatcher: below the byte threshold → exact day-blocked pair
-    join (no sign sketches); above → pruned (the md5 coefficient
-    derivation appears in the plan — r14: band packing is literal 2^j
-    terms now, so shiftleft is no longer the tier marker)."""
+    join (no sign sketches, no checkpoints — pure parquet lineage); above
+    → pruned (r14 tier marker: the signature checkpoint truncates the
+    plan at a Scan ExistingRDD node, which the exact tier never has —
+    the old shiftleft/md5 markers are either folded to literals or
+    hidden behind that same checkpoint now)."""
     from pandemic_knowledge_spark.operators.timeseries import (
         CORR_THRESHOLD_CONF,
         correlation_pairs_topk_auto,
@@ -277,11 +279,11 @@ def test_corr_auto_dispatch_scale_gate(spark, sf_dir):
             correlation_pairs_topk_auto(ev, "user_id", "ts")
             ._jdf.queryExecution().executedPlan().toString()
         )
-        assert "md5" in plan
+        assert "ExistingRDD" in plan
     finally:
         spark.conf.unset(CORR_THRESHOLD_CONF)
     plan_small = (
         correlation_pairs_topk_auto(ev, "user_id", "ts")  # default 4 MiB gate
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "md5" not in plan_small
+    assert "ExistingRDD" not in plan_small
